@@ -1,13 +1,710 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+import graft.ops._
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.util.Num.{dsum, davg, dsumSql, davgSql}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with DuckDB-equivalent oracle SQL where the operator is
+  * SQL-expressible (hash-based ops — minhash/simhash/fingerprint/LSH — are
+  * registered rows-only, as the contract permits).
+  *
+  * Money aggregates go through the exact-decimal accumulator
+  * ([[graft.util.Num]]) on BOTH sides so hashes are partitioning- and
+  * engine-independent. Event timestamps are truncated ns→µs identically on
+  * both sides ([[Tables.events]] / `CAST(ts AS TIMESTAMP)`).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q01(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- helpers
+
+  private def ntz(s: String): Column = lit(s).cast("timestamp_ntz")
+
+  /** Events with (user_id, ts)-deduped clicks — shared by q10. */
+  private def clicksDeduped(ev: DataFrame): DataFrame =
+    Dedup.keepLast(
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("value").as("cvalue"),
+          col("event_id")),
+      Seq("user_id", "cts"), Seq(col("event_id").desc))
+      .drop("event_id")
+
+  // ---------------------------------------------------------------- queries
+
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= ntz("1998-09-02 00:00:00"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        // The triple product is decimal-domain end-to-end: Spark's
+        // double→decimal cast rounds the shortest string repr while DuckDB
+        // rounds the exact binary value, and price*(1-d)*(1+t) lands on
+        // x.xxxx5 boundaries often enough to diverge. Casting the (clean,
+        // 2-4dp) INPUTS to decimal is boundary-free in both engines, and the
+        // decimal multiply/sum is exact everywhere after that.
+        // round(_, 4) (HALF_UP in both engines — DuckDB's decimal CAST
+        // truncates on downscale, so round, don't cast) keeps the unscaled
+        // value < 2^53 so both engines' decimal→double conversions agree.
+        round(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(1).cast(DecimalType(6, 4)) - col("l_discount").cast(DecimalType(6, 4))) *
+          (lit(1).cast(DecimalType(6, 4)) + col("l_tax").cast(DecimalType(6, 4)))), 4)
+          .cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scans, filters, projections (S5, P1-P8) ---
+    "q01_pricing_summary" -> ((s, dir) => q01(s, dir)),
+
+    "q02_filter_project" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= ntz("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ntz("1997-01-01 00:00:00") &&
+          col("l_discount") > 0.05 && col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_discount")),
+
+    // --- joins (J1-J7) ---
+    "q03_top_orders" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q04_order_priority" -> ((s, dir) => {
+      val bigLines = Tables.lineitem(s, dir).filter(col("l_quantity") > 45)
+      Joins.semi(Tables.orders(s, dir), bigLines.select(col("l_orderkey").as("o_orderkey")),
+          Seq("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    }),
+
+    "q05_regional_revenue" -> ((s, dir) => {
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= ntz("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ntz("1997-01-01 00:00:00"))
+      val l = Tables.lineitem(s, dir)
+      val dim = broadcast(n.join(broadcast(r), col("n_regionkey") === col("r_regionkey")))
+      c.join(dim, col("c_nationkey") === col("n_nationkey"))
+        .join(o, col("o_custkey") === col("c_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    "q06_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= ntz("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ntz("1997-01-01 00:00:00") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))),
+
+    "q07_customers_no_orders" -> ((s, dir) =>
+      Joins.anti(Tables.customer(s, dir),
+          Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= ntz("2000-01-01 00:00:00"))
+            .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))),
+
+    "q08_outer_join_fill" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          max(col("o_orderpriority")).as("top_priority"),
+          dsum(col("o_totalprice")).as("total_spend"))
+        .na.fill(Map("top_priority" -> "Unknown", "total_spend" -> 0.0))
+    }),
+
+    "q09_band_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(("b0", 0.0, 10.0), ("b1", 10.0, 20.0), ("b2", 20.0, 30.0),
+        ("b3", 30.0, 40.0), ("b4", 40.0, 100.0)).toDF("band", "lo", "hi")
+      Joins.thetaBroadcast(Tables.lineitem(s, dir), bands,
+          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    "q10_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      AsOfJoin.backward(purchases, clicksDeduped(ev), "user_id", "ts", "cts",
+        Seq("cts", "cvalue"))
+    }),
+
+    // --- dedup / set ops (D1-D5) ---
+    "q11_dedup_keep_last" -> ((s, dir) =>
+      Dedup.keepLast(Tables.events(s, dir), Seq("user_id", "event_type"),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select("user_id", "event_type", "event_id", "ts", "value")),
+
+    "q12_exact_dedup_docs" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))),
+
+    "q13_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), pmod(col("user_id"), lit(10)).as("user_bucket"))
+        .distinct()),
+
+    "q14_setops" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clickers = ev.filter(col("event_type") === "click").select("user_id").distinct()
+      val buyers = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+      clickers.except(buyers).withColumn("tag", lit("only_click"))
+        .unionByName(clickers.intersect(buyers).withColumn("tag", lit("both")))
+        .select("tag", "user_id")
+    }),
+
+    "q15_incremental_antijoin" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val staging = o.filter(col("o_orderkey") % 3 === 0)
+      val target = o.filter(col("o_orderkey") % 2 === 0)
+      Dedup.newRows(staging, target, Seq("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // --- aggregation (A4-A7) ---
+    "q16_rollup" -> ((s, dir) =>
+      Aggregates.rollupCount(Tables.lineitem(s, dir),
+        Seq("l_returnflag", "l_linestatus"), "l_quantity")),
+
+    "q17_cube" -> ((s, dir) =>
+      Aggregates.cubeCount(Tables.orders(s, dir), Seq("o_orderstatus", "o_orderpriority"))),
+
+    "q18_grouping_sets" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("graft_events")
+      s.sql(s"""
+        SELECT event_type, user_id % 10 AS user_bucket,
+               COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+        FROM graft_events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+      """)
+    }),
+
+    "q19_count_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))),
+
+    "q44_vwap" -> ((s, dir) =>
+      Aggregates.vwap(Tables.lineitem(s, dir), Seq("l_returnflag"),
+        "l_extendedprice", "l_quantity")),
+
+    "q45_summarize" -> ((s, dir) =>
+      Aggregates.summarize(Tables.events(s, dir), Seq("event_type"), "value")),
+
+    // --- windows (§2.8) ---
+    "q20_window_sma" -> ((s, dir) =>
+      Windows.sma(Tables.events(s, dir).select("user_id", "event_id", "ts", "value"),
+        Seq("user_id"), Seq(col("ts"), col("event_id")), "value", 5, "sma5")),
+
+    "q21_lag_delta" -> ((s, dir) =>
+      Windows.lagDelta(Tables.events(s, dir).select("user_id", "event_id", "ts", "value"),
+        Seq("user_id"), Seq(col("ts"), col("event_id")), "value", "delta")),
+
+    "q22_rank_topn" -> ((s, dir) =>
+      Windows.topNPerKey(
+        Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"), Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .withColumn("rn", col("rn").cast("long"))),
+
+    "q23_running_sum" -> ((s, dir) =>
+      Windows.runningSum(
+        Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        Seq("o_custkey"), Seq(col("o_orderdate"), col("o_orderkey")),
+        "o_totalprice", "run_total")
+        .select("o_custkey", "o_orderkey", "run_total")),
+
+    // --- calendar / scalar functions (F1-F8, P6) ---
+    "q24_calendar" -> ((s, dir) =>
+      Cleaning.withCalendar(
+          Tables.orders(s, dir).withColumn("d", to_date(col("o_orderdate"))), "d")
+        .groupBy("Year", "Quarter", "Weekday")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))),
+
+    "q25_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+          count(col("k")).as("n_k"))),
+
+    "q26_string_funcs" -> ((s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 5).as("pfx"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_brand"), "[0-9]+", 0).as("brand_num"),
+        regexp_replace(col("p_type"), " ", "_").as("type_slug"))),
+
+    "q27_case_when" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .withColumn("wealth",
+          when(col("c_acctbal") < 0, "debt")
+            .when(col("c_acctbal") < 1000, "low")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high"))
+        .groupBy("c_mktsegment", "wealth")
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))),
+
+    "q29_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(pmod(col("user_id"), lit(20)).as("user_bucket"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("click", "view", "purchase", "signup", "error"))),
+
+    // --- text analysis (north star) ---
+    "q30_langid" -> ((s, dir) => {
+      val toks = TF.tokens(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TF.langId(toks, langMarkers).as("predicted"))
+    }),
+
+    "q31_quality" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).withColumn("toks", TF.tokens(col("text")))
+      d.select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        TF.avgTokenLen(col("toks")).as("avg_token_len"),
+        TF.stopwordRatio(col("toks"), stopwords).as("stop_ratio"),
+        TF.bpeishCount(col("text")).cast("long").as("n_bpeish"))
+    }),
+
+    "q32_token_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("n_tokens", TF.tokenCount(col("text")).cast("long"))
+        .withColumn("n_bpeish", TF.bpeishCount(col("text")).cast("long"))
+        .groupBy("source")
+        .agg(sum(col("n_tokens")).as("sum_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+          sum(col("n_bpeish")).as("sum_bpeish"),
+          count(lit(1)).as("n_docs"))),
+
+    "q33_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TF.fingerprint(TF.tokens(col("text"))).as("fingerprint"))),
+
+    "q36_ngram_jaccard" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        TF.shingles(TF.tokens(col("text")), 3).as("sh"))
+      val a = d.select(col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = d.select(col("lang").as("lang_b"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("lang") === col("lang_b") && col("id_a") < col("id_b"))
+        .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0) // ANSI: no 0/0
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        .filter(col("jaccard") >= 0.3)
+        .select("id_a", "id_b", "jaccard")
+    }),
+
+    // --- hash-based dedup (rows-only: hash functions are engine-specific) ---
+    "q34_minhash_neardup" -> ((s, dir) =>
+      MinHashDedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, k = 16, b = 8, threshold = 0.8)),
+
+    "q35_simhash_neardup" -> ((s, dir) =>
+      SimHashDedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxDist = 3)),
+
+    // --- similarity search (north star) ---
+    "q37_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 3)
+    }),
+
+    "q38_lsh_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 3, nBits = 6, nTables = 6)
+    }),
+
+    "q39_vector_neardup" -> ((s, dir) =>
+      Similarity.thresholdPairs(Tables.embeddings(s, dir), threshold = 0.4)),
+
+    "q41_ivf_assign" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfAssign(emb, emb.filter(col("vec_id") < 8))
+        .select("vec_id", "centroid_id", "cdist")
+    }),
+
+    // --- multimodal plumbing (north star) ---
+    "q40_multimodal_meta" -> ((s, dir) => {
+      val assets = Multimodal.fromDocuments(Tables.documents(s, dir))
+      Multimodal.metadataOnly(assets)
+        .join(assets.select(col("asset_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes")), "asset_id")
+    }),
+
+    // --- approximate aggregates (rows-only: HLL is engine-specific) ---
+    "q42_approx_distinct" -> ((s, dir) =>
+      Aggregates.approxDistinct(Tables.events(s, dir), Seq("event_type"), "user_id"))
+  )
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en"     -> Seq("the", "a"),
+    "query"  -> Seq("query", "scan", "filter"),
+    "data"   -> Seq("data", "table", "column"),
+    "stream" -> Seq("stream", "batch", "window"))
+
+  private val stopwords = Seq("the", "a", "value", "key")
+
+  // ---------------------------------------------------------------- oracle
+
+  /** DuckDB equivalents. Notes:
+    *  - `CAST(ts AS TIMESTAMP)` truncates events' ns to µs, matching
+    *    [[Tables.events]].
+    *  - decimal-exact sums via [[graft.util.Num.dsumSql]].
+    */
+  def oracleSql: Map[String, String] = {
+    val disc = "l_extendedprice*(1.0-l_discount)"
+    Map(
+      "q01_pricing_summary" -> s"""
+        SELECT l_returnflag, l_linestatus,
+          ${dsumSql("l_quantity")} AS sum_qty,
+          ${dsumSql("l_extendedprice")} AS sum_base_price,
+          ${dsumSql(disc)} AS sum_disc_price,
+          CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+            (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) *
+            (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))), 4) AS DOUBLE) AS sum_charge,
+          ${davgSql("l_quantity")} AS avg_qty,
+          ${davgSql("l_extendedprice")} AS avg_price,
+          ${davgSql("l_discount")} AS avg_disc,
+          COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""",
+
+      "q02_filter_project" -> """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount > 0.05 AND l_quantity < 10""",
+
+      "q03_top_orders" -> s"""
+        SELECT o_orderkey, o_orderdate, ${dsumSql(disc)} AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+      "q04_order_priority" -> """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders WHERE EXISTS (
+          SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority""",
+
+      "q05_regional_revenue" -> s"""
+        SELECT n_name, ${dsumSql(disc)} AS revenue, COUNT(*) AS n_lines
+        FROM region JOIN nation ON n_regionkey = r_regionkey
+                    JOIN customer ON c_nationkey = n_nationkey
+                    JOIN orders ON o_custkey = c_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name""",
+
+      "q06_forecast_revenue" -> s"""
+        SELECT ${dsumSql("l_extendedprice*l_discount")} AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+
+      "q07_customers_no_orders" -> """
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer WHERE NOT EXISTS (
+          SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c_mktsegment""",
+
+      "q08_outer_join_fill" -> s"""
+        SELECT c_custkey,
+          COUNT(o_orderkey) AS n_orders,
+          COALESCE(MAX(o_orderpriority), 'Unknown') AS top_priority,
+          COALESCE(${dsumSql("o_totalprice")}, 0.0) AS total_spend
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey""",
+
+      "q09_band_join" -> s"""
+        SELECT band, COUNT(*) AS n, ${dsumSql("l_extendedprice")} AS sum_price
+        FROM lineitem JOIN (VALUES ('b0',0.0,10.0),('b1',10.0,20.0),('b2',20.0,30.0),
+          ('b3',30.0,40.0),('b4',40.0,100.0)) AS bands(band, lo, hi)
+          ON l_quantity >= lo AND l_quantity < hi
+        GROUP BY band""",
+
+      "q10_asof_join" -> """
+        WITH clicks0 AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, value AS cvalue,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                                    ORDER BY event_id DESC) AS rn
+          FROM events WHERE event_type = 'click'),
+        cd AS (SELECT user_id, cts, cvalue FROM clicks0 WHERE rn = 1),
+        p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM events WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               cd.cts AS asof_cts, cd.cvalue AS asof_cvalue
+        FROM p ASOF LEFT JOIN cd
+          ON p.user_id = cd.user_id AND cd.cts <= p.ts""",
+
+      "q11_dedup_keep_last" -> """
+        SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1""",
+
+      "q12_exact_dedup_docs" -> """
+        SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text)""",
+
+      "q13_distinct" -> """
+        SELECT DISTINCT event_type, user_id % 10 AS user_bucket FROM events""",
+
+      "q14_setops" -> """
+        SELECT 'only_click' AS tag, user_id FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+          EXCEPT
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        UNION ALL
+        SELECT 'both' AS tag, user_id FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+          INTERSECT
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')""",
+
+      "q15_incremental_antijoin" -> """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders s
+        WHERE s.o_orderkey % 3 = 0 AND NOT EXISTS (
+          SELECT 1 FROM orders t
+          WHERE t.o_orderkey % 2 = 0 AND t.o_orderkey = s.o_orderkey)""",
+
+      "q16_rollup" -> s"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ${dsumSql("l_quantity")} AS sum_l_quantity
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+      "q17_cube" -> """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+
+      "q18_grouping_sets" -> s"""
+        SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n,
+               ${dsumSql("value")} AS sum_value
+        FROM (SELECT event_type, user_id, value FROM events)
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())""",
+
+      "q19_count_distinct" -> """
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag""",
+
+      "q44_vwap" -> s"""
+        SELECT l_returnflag,
+          ${dsumSql("l_extendedprice*l_quantity")} / ${dsumSql("l_quantity")} AS vwap
+        FROM lineitem GROUP BY l_returnflag""",
+
+      "q45_summarize" -> s"""
+        SELECT event_type,
+          ${dsumSql("value")} AS sum_value,
+          ${davgSql("value")} AS avg_value,
+          MIN(value) AS min_value, MAX(value) AS max_value, COUNT(*) AS n
+        FROM events GROUP BY event_type""",
+
+      "q20_window_sma" -> s"""
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+          CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER w AS DOUBLE) / COUNT(*) OVER w AS sma5
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+
+      "q21_lag_delta" -> """
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+          value - LAG(value, 1) OVER (PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS delta
+        FROM events""",
+
+      "q22_rank_topn" -> """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn <= 3""",
+
+      "q23_running_sum" -> """
+        SELECT o_custkey, o_orderkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+        FROM orders""",
+
+      "q24_calendar" -> s"""
+        SELECT CAST(year(d) AS INT) AS Year, CAST(quarter(d) AS INT) AS Quarter,
+               dayname(d) AS Weekday,
+               COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+        FROM (SELECT CAST(o_orderdate AS DATE) AS d, o_totalprice FROM orders)
+        GROUP BY year(d), quarter(d), dayname(d)""",
+
+      "q25_json_extract" -> """
+        SELECT event_type,
+          CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+          COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+        FROM events GROUP BY event_type""",
+
+      "q26_string_funcs" -> """
+        SELECT p_partkey, upper(p_name) AS uname, substring(p_name, 1, 5) AS pfx,
+               length(p_name) AS name_len,
+               concat_ws('|', p_brand, p_type) AS brand_type,
+               regexp_extract(p_brand, '[0-9]+') AS brand_num,
+               replace(p_type, ' ', '_') AS type_slug
+        FROM part""",
+
+      "q27_case_when" -> s"""
+        SELECT c_mktsegment,
+          CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 1000 THEN 'low'
+               WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS wealth,
+          COUNT(*) AS n, ${dsumSql("c_acctbal")} AS sum_bal
+        FROM customer GROUP BY 1, 2""",
+
+      "q29_pivot" -> """
+        SELECT user_id % 20 AS user_bucket,
+          COUNT(*) FILTER (WHERE event_type = 'click') AS "click",
+          COUNT(*) FILTER (WHERE event_type = 'view') AS "view",
+          COUNT(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+          COUNT(*) FILTER (WHERE event_type = 'signup') AS "signup",
+          COUNT(*) FILTER (WHERE event_type = 'error') AS "error"
+        FROM events GROUP BY user_id % 20""",
+
+      "q30_langid" -> """
+        WITH t AS (SELECT doc_id, lang,
+          len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              x -> x IN ('the','a'))) AS s0,
+          len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              x -> x IN ('query','scan','filter'))) AS s1,
+          len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              x -> x IN ('data','table','column'))) AS s2,
+          len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              x -> x IN ('stream','batch','window'))) AS s3
+          FROM documents)
+        SELECT doc_id, lang,
+          CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 AND s0 > 0 THEN 'en'
+               WHEN s1 > s0 AND s1 >= s2 AND s1 >= s3 AND s1 > 0 THEN 'query'
+               WHEN s2 > s0 AND s2 > s1 AND s2 >= s3 AND s2 > 0 THEN 'data'
+               WHEN s3 > s0 AND s3 > s1 AND s3 > s2 AND s3 > 0 THEN 'stream'
+               ELSE 'und' END AS predicted
+        FROM t""",
+
+      "q31_quality" -> """
+        WITH t AS (SELECT doc_id, text,
+            string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+          length(text) AS n_chars_m,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(list_aggregate(list_transform(toks, x -> CAST(length(x) AS BIGINT)), 'sum') AS DOUBLE) / len(toks)
+          END AS avg_token_len,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','value','key'))) AS DOUBLE) / len(toks)
+          END AS stop_ratio,
+          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpeish
+        FROM t""",
+
+      "q32_token_stats" -> """
+        WITH t AS (SELECT source,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_tokens,
+            len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpeish
+          FROM documents)
+        SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               MAX(n_tokens) AS max_tokens,
+               CAST(SUM(n_bpeish) AS BIGINT) AS sum_bpeish, COUNT(*) AS n_docs
+        FROM t GROUP BY source""",
+
+      "q36_ngram_jaccard" -> """
+        WITH t AS (SELECT doc_id, lang,
+            string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        s AS (SELECT doc_id, lang,
+            CASE WHEN len(toks) < 3 THEN [] ELSE list_distinct(
+              list_transform(range(0, len(toks) - 2),
+                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+            END AS sh
+          FROM t)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3""",
+
+      "q37_cosine_topk" -> """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+        scored AS (
+          SELECT q.query_id, v.vec_id AS nn_id,
+            list_dot_product(v.e, q.qe) /
+              (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS s
+          FROM v JOIN q ON v.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, nn_id, round(s, 6) AS score,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, nn_id) AS rnk
+          FROM scored)
+        SELECT query_id, nn_id, score, rnk FROM ranked WHERE rnk <= 3""",
+
+      "q39_vector_neardup" -> """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(list_dot_product(a.e, b.e) /
+            (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS score
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e) /
+            (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4""",
+
+      "q40_multimodal_meta" -> """
+        SELECT doc_id AS asset_id, 'image' AS kind,
+          CAST(length(text) % 640 + 1 AS INT) AS width,
+          CAST(length(text) % 480 + 1 AS INT) AS height,
+          'stub' AS codec,
+          octet_length(encode(text)) AS n_bytes
+        FROM documents"""
+    )
+  }
 }

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for document pipelines (north-star [EXT]
+  * surface; the reference has no text ops — its only string work is a rename
+  * and a weekday format, /root/reference/transformation.py:58,74).
+  *
+  * Everything here is pure Catalyst (`split`, `regexp_extract_all`,
+  * higher-order array functions) — codegen-friendly, no UDFs, so the hot path
+  * stays inside WholeStageCodegen at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization of trimmed, lowercased text.
+    * Empty text yields a single empty token (parity with DuckDB
+    * string_split_regex); use [[tokenCount]] for a 0-aware count.
+    */
+  def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** Whitespace token count; 0 for blank text. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0)).otherwise(size(tokens(c)))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single other
+    * non-space chars — a cheap, deterministic proxy for tokenizer cost.
+    */
+  def bpeishCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Word n-gram shingles over the token array (distinct). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
+
+  /** Count of tokens that appear in a fixed marker set. */
+  def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers: _*)))
+
+  /** Ratio of stopword tokens to all tokens; 0 for empty docs. */
+  def stopwordRatio(toks: Column, stopwords: Seq[String]): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(markerHits(toks, stopwords).cast("double") / size(toks))
+
+  /** Mean token length (characters), 0 for empty docs. */
+  def avgTokenLen(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+
+  /** Deterministic rolling-hash document fingerprint: polynomial fold of
+    * per-token xxhash64 values, mod a large prime. Order-sensitive (a
+    * permutation of tokens changes the print) — standard Rabin-Karp shape.
+    * Modular arithmetic keeps every intermediate < 1e15, so it is safe under
+    * ANSI mode (Spark 4 default) where long overflow throws.
+    */
+  def fingerprint(toks: Column): Column = {
+    val p = lit(1000000007L)
+    aggregate(toks, lit(0L),
+      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), p), p))
+  }
+
+  /** Heuristic language ID over marker-token hit counts. Deterministic
+    * tie-break: first language in `markers` order wins ties.
+    */
+  def langId(toks: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val scored = markers.map { case (lang, ws) => (lang, markerHits(toks, ws)) }
+    // argmax via chained when: lang_i wins if its score > all earlier and >= all later
+    scored.zipWithIndex.foldLeft(lit("und")) { case (acc, ((lang, s), i)) =>
+      val beatsEarlier = scored.take(i).map(_._2 < s)
+      val tiesLater    = scored.drop(i + 1).map(_._2 <= s)
+      val cond = (beatsEarlier ++ tiesLater ++ Seq(s > 0)).reduce(_ && _)
+      when(cond, lit(lang)).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators.
+  *
+  * Reference semantics covered:
+  *  - D2 keyed keep-last (/root/reference/extraction.py:105,
+  *    `drop_duplicates(subset=['Date','Ticker'], keep='last')`): pandas
+  *    keep-last depends on physical row order; a distributed engine must make
+  *    the precedence EXPLICIT. [[keepLast]] takes an ordering and keeps the
+  *    first row per key under it (so "keep latest by ts" = orderBy ts desc).
+  *  - D3/J2 incremental anti-join append (/root/reference/loading.py:159-169,
+  *    `INSERT .. WHERE NOT EXISTS` executed in PostgreSQL): moved inside the
+  *    Spark plan as a left_anti join, so the whole load is one Catalyst plan.
+  *  - D1 union (/root/reference/extraction.py:79,104).
+  *
+  * Scale notes: keepLast is a single hash-shuffle by key + per-partition sort
+  * (window), no global sort. At 100 TB the anti-join shuffles both sides by
+  * the key unless the target fits broadcast; for true incremental loads
+  * prefer a storage-layer MERGE, which this models.
+  */
+object Dedup {
+
+  /** Keep exactly one row per key: the FIRST under `precedence`.
+    * Deterministic iff `precedence` is a total order within each key —
+    * callers should include a unique tiebreaker column.
+    */
+  def keepLast(df: DataFrame, keys: Seq[String], precedence: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(precedence: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact whole-row (or subset) dedup. */
+  def exact(df: DataFrame, cols: Seq[String] = Nil): DataFrame =
+    if (cols.isEmpty) df.distinct() else df.dropDuplicates(cols)
+
+  /** Rows of `staging` whose key is absent from `target` — the reference's
+    * NOT EXISTS insert filter (loading.py:166-168) as a left_anti join.
+    */
+  def newRows(staging: DataFrame, target: DataFrame, keys: Seq[String]): DataFrame =
+    staging.join(target.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** D1: order-insensitive vertical union by column name. */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_ unionByName _)
+}

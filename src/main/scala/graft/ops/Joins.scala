@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join operators.
+  *
+  * Reference semantics covered:
+  *  - J1 broadcast lookup (/root/reference/extraction.py:85-94 — a 20-entry
+  *    Ticker→Company dict mapped over every row): a broadcast hash join
+  *    against the dimension, never a shuffle.
+  *  - J2 anti join (/root/reference/loading.py:159-169) — see [[Dedup.newRows]].
+  *
+  * Extensions (J3-J7): thin, intention-revealing wrappers over Catalyst joins.
+  * At 100 TB: dimensions under ~spark.sql.autoBroadcastJoinThreshold go
+  * broadcast (explicit hint here, so plans don't regress when stats are
+  * missing); large-large equi joins shuffle on the key — pre-bucket both
+  * sides on the join key to eliminate the exchange entirely; skewed keys are
+  * handled by AQE skew-join splitting (enabled by default in Spark 4).
+  */
+object Joins {
+
+  /** J1: enrich a fact with a small dimension — broadcast, left outer so
+    * unmatched facts survive (reference leaves Company null then fills
+    * 'Unknown', extraction.py:94 + transformation.py:86).
+    */
+  def broadcastLookup(fact: DataFrame, dim: DataFrame, key: Seq[String]): DataFrame =
+    fact.join(broadcast(dim), key, "left")
+
+  def inner(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame = l.join(r, keys, "inner")
+  def left(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame  = l.join(r, keys, "left")
+  def semi(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame  = l.join(r, keys, "left_semi")
+  def anti(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame  = l.join(r, keys, "left_anti")
+
+  /** J5: value-in-band range join. Bands are expected small → broadcast, so
+    * the theta condition is evaluated as a BroadcastNestedLoop over a tiny
+    * build side (O(|fact| × |bands|) comparisons but zero shuffle of the
+    * fact). For large-large range joins, bucketize the value into coarse
+    * grid cells and equi-join on the cell first.
+    */
+  def bandJoin(fact: DataFrame, bands: DataFrame, value: Column,
+               lo: Column, hi: Column): DataFrame =
+    fact.join(broadcast(bands), value >= lo && value <= hi, "inner")
+
+  /** Generic theta join against a broadcast-sized build side. */
+  def thetaBroadcast(fact: DataFrame, small: DataFrame, cond: Column): DataFrame =
+    fact.join(broadcast(small), cond, "inner")
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** D5 (north star): MinHash + LSH near-duplicate detection for documents.
+  *
+  * Pipeline: tokens → word n-gram shingles → k minhash values (min over
+  * shingles of a seeded xxhash64) → group the signature into b bands of r
+  * values → explode to (band_idx, band_hash) buckets → self-join within
+  * buckets → distinct candidate pairs → exact Jaccard verification on the
+  * shingle sets.
+  *
+  * Scale shape: the only wide operations are (a) the bucket self-join, which
+  * shuffles by (band, hash) — tiny keys, and pairs are generated ONLY within
+  * buckets (never all-pairs), and (b) the final distinct. Exactly the
+  * MMDS-standard LSH layout; at 100 TB the bucket join replaces an O(n²)
+  * cross join with Σ|bucket|² work. The verify step re-joins shingle sets by
+  * doc id (hash shuffle) and filters on true Jaccard, bounding false
+  * positives; recall is tuned by (b, r).
+  */
+object MinHashDedup {
+
+  /** Seeded 64-bit hash of a shingle. */
+  private def seededHash(s: Column, seed: Int): Column = xxhash64(lit(seed), s)
+
+  /** k minhash values over a shingle array (null → empty treated as no
+    * signature; docs with no shingles are dropped from dedup).
+    */
+  def signature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(shingleCol, s => seededHash(s, i)))): _*)
+
+  /** (band_idx, band_hash) pairs from a signature: b bands × r rows. */
+  def bands(sig: Column, b: Int, r: Int): Column =
+    array((0 until b).map(i =>
+      struct(lit(i).as("band"),
+        xxhash64((i * r until (i + 1) * r).map(j => element_at(sig, j + 1)): _*)
+          .as("bh"))): _*)
+
+  /** Near-duplicate pairs (idA < idB) with exact Jaccard >= `threshold`.
+    *
+    * @param docs      (id, text)
+    * @param idCol     unique document id column name
+    * @param textCol   text column name
+    * @param shingleN  word-shingle width
+    * @param k         minhash signature length (= b*r)
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, k: Int = 16, b: Int = 8,
+                   threshold: Double = 0.8): DataFrame = {
+    require(k % b == 0, "signature length must divide into bands")
+    val r = k / b
+    val withShingles = docs
+      .select(col(idCol).as("id"),
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = withShingles.select(col("id"), col("sh"),
+      bands(signature(col("sh"), k), b, r).as("bands"))
+    val buckets = sigs.select(col("id"), explode(col("bands")).as("b"))
+      .select(col("id"), col("b.band"), col("b.bh"))
+    val candidates = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val shA = withShingles.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = withShingles.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Collapse near-dup pairs to a keep-set: every doc maps to the minimum id
+    * in its duplicate group (single-link over one hop — exact for the
+    * transitive case when pairs are complete within groups).
+    */
+  def canonicalIds(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("id_b").as("id")).agg(min("id_a").as("canonical_id"))
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** North-star multimodal column plumbing: image/audio/video payloads as
+  * opaque `binary` columns plus typed metadata, with decode / feature-extract
+  * stubbed (no media libraries ship in this environment — see STUB markers).
+  * The Spark-side contract — schema, partitioning, batch shape — is real and
+  * tested; swapping the stub for a real decoder changes no plan shape.
+  */
+object Multimodal {
+
+  /** Canonical asset schema: payload + typed metadata (media kind, declared
+    * dims, byte size). Mirrors how a 100 TB lake stores media: payload
+    * columns in parquet, pruned away unless a query touches them.
+    */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("codec", StringType, nullable = true)
+    )), nullable = true)
+  ))
+
+  /** Wrap a text table into asset shape (payload = UTF-8 bytes) — the
+    * deterministic stand-in corpus used by tests and queries.
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("asset_id"),
+      lit("image").as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        (length(col("text")) % 640 + 1).cast("int").as("width"),
+        (length(col("text")) % 480 + 1).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        lit("stub").as("codec")).as("meta"))
+
+  /** STUB — deterministic fake decoder. A real implementation would hand the
+    * payload bytes to an image/audio codec; this derives `dim` pseudo-random
+    * unit features from xxhash64(payload, i) so the downstream plan
+    * (feature column shape array<double>, per-row cost, partitioning) is
+    * exercised honestly without the codec dependency.
+    */
+  def stubDecodeFeatures(dim: Int, inputs: Column*): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => pmod(xxhash64(inputs :+ i: _*), lit(10000)).cast("double") / 10000.0)
+
+  /** STUB — frame sampling plan shape: emit one row per sampled frame index.
+    * Real video decode would replace `stubDecodeFeatures` on the frame bytes;
+    * the explode + per-frame feature layout is the part that matters at
+    * scale (frames dominate row counts; keep them partitioned by asset).
+    */
+  def sampleFrames(assets: DataFrame, everyNth: Int, maxFrames: Int, dim: Int): DataFrame =
+    assets
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), least(
+          floor(coalesce(col("meta.duration_ms"),
+            octet_length(col("payload")).cast("long")) / everyNth).cast("long"),
+          lit((maxFrames - 1).toLong)))))
+      .withColumn("features", stubDecodeFeatures(dim, col("payload"), col("frame_idx")))
+      .select(col("asset_id"), col("frame_idx"), col("features"))
+
+  /** Cheap metadata projection that never touches payload bytes — the scan
+    * must prune the payload column (verified in tests via ReadSchema).
+    */
+  def metadataOnly(assets: DataFrame): DataFrame =
+    assets.select(col("asset_id"), col("kind"),
+      col("meta.width"), col("meta.height"), col("meta.codec"))
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** D5 (north star): 64-bit SimHash near-duplicate detection.
+  *
+  * simhash(doc) packs the signs of per-bit vote sums over token hashes: bit j
+  * is 1 iff Σ_tokens (hash(tok) bit j ? +1 : -1) >= 0. Near-dups are pairs
+  * within small Hamming distance.
+  *
+  * Candidate generation uses the standard chunk trick: split the 64-bit print
+  * into 4 × 16-bit chunks; any pair within Hamming distance 3 must agree on
+  * at least one chunk, so an equi-join on (chunk_idx, chunk_value) finds all
+  * of them with a plain hash shuffle — no similarity join, scales linearly.
+  */
+object SimHashDedup {
+
+  /** 64-bit simhash of a token array, pure Catalyst (array fold of ±1 votes
+    * per bit, then sign-pack). Tokens weighted equally.
+    */
+  def simhash(toks: Column): Column = {
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        val bitVotes = array((0 until 64).map(j =>
+          when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)): _*)
+        zip_with(acc, bitVotes, (v, b) => v + b)
+      })
+    (0 until 64).map(j =>
+      when(element_at(votes, j + 1) >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Hamming distance between two 64-bit prints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Pairs (id_a < id_b) whose simhash Hamming distance <= maxDist (<= 15,
+    * guaranteed complete by the 4-chunk pigeonhole for maxDist <= 3).
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val prints = docs.select(col(idCol).as("id"),
+        simhash(TextFunctions.tokens(col(textCol))).as("sh"))
+    val chunks = prints.select(col("id"), col("sh"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("ci"),
+            shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL).as("cv"))): _*)).as("c"))
+      .select(col("id"), col("sh"), col("c.ci"), col("c.cv"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        hamming(col("x.sh"), col("y.sh")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

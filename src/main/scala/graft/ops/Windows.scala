@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import graft.util.Num
+
+/** Window operators (SURVEY.md §2.8 — none exist in the reference; these are
+  * the standard analytics set for keyed time-series like the reference's
+  * (Ticker, Date) bars, /root/reference/extraction.py:105,112).
+  *
+  * All are single-shuffle: hash-partition by key, sort within partition.
+  * Moving sums/averages use the exact-decimal accumulator ([[Num]]) so
+  * results are engine- and partitioning-independent.
+  */
+object Windows {
+
+  private def ordered(partitionBy: Seq[String], orderBy: Seq[Column]): WindowSpec =
+    Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
+
+  /** Trailing n-row simple moving average (inclusive of current row). */
+  def sma(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[Column],
+          value: String, n: Int, as: String): DataFrame = {
+    val w = ordered(partitionBy, orderBy).rowsBetween(-(n - 1), Window.currentRow)
+    df.withColumn(as,
+      sum(col(value).cast(Num.Money)).over(w).cast("double") /
+        count(lit(1)).over(w))
+  }
+
+  /** Difference vs previous row (lag-1 delta), null for the first row. */
+  def lagDelta(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[Column],
+               value: String, as: String): DataFrame = {
+    val w = ordered(partitionBy, orderBy)
+    df.withColumn(as, col(value) - lag(col(value), 1).over(w))
+  }
+
+  /** Running (cumulative) exact sum. */
+  def runningSum(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[Column],
+                 value: String, as: String): DataFrame = {
+    val w = ordered(partitionBy, orderBy)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(as, sum(col(value).cast(Num.Money)).over(w).cast("double"))
+  }
+
+  /** Top-n rows per key under `orderBy` (deterministic iff orderBy is total). */
+  def topNPerKey(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[Column],
+                 n: Int): DataFrame =
+    df.withColumn("__rn", row_number().over(ordered(partitionBy, orderBy)))
+      .filter(col("__rn") <= n)
+      .withColumnRenamed("__rn", "rn")
+
+  /** rank / dense_rank / row_number in one projection. */
+  def ranked(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    val w = ordered(partitionBy, orderBy)
+    df.withColumns(Map(
+      "rnk"  -> rank().over(w),
+      "drnk" -> dense_rank().over(w),
+      "rn"   -> row_number().over(w)))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated test tables (TESTDATA.md) and the
+  * reference's source surface.
+  *
+  * The reference reads CSV with header+inference
+  * (/root/reference/transformation.py:49) and parquet
+  * (/root/reference/loading.py:110). Here every production path is
+  * fixed-schema parquet; CSV ingest lives in [[CsvIngest]].
+  */
+object Tables {
+  val tpchTables: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects outright. We read nanos as raw longs
+    * (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds with
+    * integer arithmetic (`div`, not `/` — ns-since-epoch exceeds double's 2^53
+    * exact range). DuckDB's `CAST(ts AS TIMESTAMP)` truncates identically, so
+    * oracle comparisons stay bit-exact. Result is TIMESTAMP_NTZ to match the
+    * tz-naive reference data model (/root/reference/extraction.py:60).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  }
+}

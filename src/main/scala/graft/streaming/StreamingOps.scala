@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming re-expression of the reference's incremental
+  * micro-batch pattern (Airflow cron '0 6,12,18 * * *' +
+  * staging-table anti-join, /root/reference/dag_script.py:26 +
+  * /root/reference/loading.py:141-176).
+  *
+  * `Trigger.AvailableNow` reproduces batch-per-schedule semantics exactly:
+  * each invocation drains all new files then stops, and the checkpoint plays
+  * the role of the reference's flag file (extraction.py:126-127) — but
+  * transactionally. Dedup moves from a PG anti-join to streaming
+  * `dropDuplicatesWithinWatermark` state.
+  */
+object StreamingOps {
+
+  /** File-source stream of parquet dropped into `dir`, schema-pinned. */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Keyed dedup over a watermarked stream — late duplicates beyond the
+    * watermark age out of state (bounded memory at 100 TB/day rates, unlike
+    * a global dropDuplicates whose state grows forever).
+    */
+  def dedupedStream(events: DataFrame, tsCol: String, keys: Seq[String],
+                    watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Tumbling-window aggregate with watermarking. */
+  def windowedCounts(events: DataFrame, tsCol: String, width: String,
+                     watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+
+  /** Run a streaming DataFrame to a memory sink, draining everything
+    * available, then stop — the AvailableNow micro-batch harness used by
+    * tests.
+    */
+  def drainToMemory(df: DataFrame, name: String): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+}

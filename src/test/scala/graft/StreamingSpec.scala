@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+/** Structured Streaming re-expression of the reference's scheduled
+  * micro-batch (dag_script.py:26): AvailableNow drain + keyed dedup.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file-stream dedup drains all available input exactly once") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val batch = Seq(
+      (1L, "2024-01-01 00:00:01", "k1", 1.0),
+      (2L, "2024-01-01 00:00:02", "k1", 2.0), // dup key within stream
+      (3L, "2024-01-01 00:00:03", "k2", 3.0)
+    ).toDF("id", "ts", "k", "v").withColumn("ts", $"ts".cast("timestamp"))
+    batch.write.mode("overwrite").parquet(dir)
+
+    val stream = StreamingOps.fileStream(spark, dir, batch.schema)
+    val deduped = StreamingOps.dedupedStream(stream, "ts", Seq("k"))
+    StreamingOps.drainToMemory(deduped, "graft_dedup_out")
+    val out = spark.table("graft_dedup_out")
+    assert(out.count() == 2) // one row per key survives
+    assert(out.select("k").as[String].collect().toSet == Set("k1", "k2"))
+  }
+
+  test("windowed aggregate over a drained stream") {
+    val dir = Files.createTempDirectory("graft_stream2").toString
+    val batch = Seq(
+      (1L, "2024-01-01 00:00:30", "click", 1.0),
+      (2L, "2024-01-01 00:01:30", "click", 2.0),
+      (3L, "2024-01-01 00:00:45", "view", 3.0)
+    ).toDF("id", "ts", "event_type", "value")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    batch.write.mode("overwrite").parquet(dir)
+
+    val stream = StreamingOps.fileStream(spark, dir, batch.schema)
+    val agg = StreamingOps.windowedCounts(stream, "ts", "1 minute")
+    StreamingOps.drainToMemory(agg, "graft_window_out")
+    // append mode emits only closed windows; with a 1h watermark over a
+    // finite batch nothing closes — completeness is asserted via state, so
+    // here we only require the query to run and the schema to be correct.
+    val out = spark.table("graft_window_out")
+    assert(out.columns.contains("window") && out.columns.contains("n"))
+  }
+}

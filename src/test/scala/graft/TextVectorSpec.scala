@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.ops.{MinHashDedup, SimHashDedup, Similarity}
+
+class TextVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different text with no overlap here at all"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, ""),
+    (6L, "one two")
+  ).toDF("doc_id", "text")
+
+  test("tokens / tokenCount edge cases") {
+    val out = docs.select($"doc_id", TF.tokenCount($"text").as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(out(1L) == 9)
+    assert(out(5L) == 0)
+    assert(out(6L) == 2)
+  }
+
+  test("shingles: empty when fewer tokens than n") {
+    val out = docs.select($"doc_id",
+        size(TF.shingles(TF.tokens($"text"), 3)).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(out(6L) == 0)
+    assert(out(1L) == 7) // 9 tokens → 7 trigrams ("the" repeats but trigrams distinct)
+  }
+
+  test("fingerprint: identical docs identical, different docs differ") {
+    val fp = docs.select($"doc_id", TF.fingerprint(TF.tokens($"text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(4L))
+    assert(fp(1L) != fp(2L))
+    assert(fp.values.forall(v => v >= 0 && v < 1000000007L))
+  }
+
+  test("minhash finds the exact-dup pair with jaccard 1.0") {
+    val pairs = MinHashDedup.nearDupPairs(docs, "doc_id", "text",
+        shingleN = 3, k = 16, b = 8, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("simhash: identical docs at distance 0, disjoint docs far") {
+    val pairs = SimHashDedup.nearDupPairs(docs, "doc_id", "text", maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
+  }
+
+  test("cosine: exact on known vectors") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(VF.cosine($"a", $"b")).as[Double].collect().toSeq
+    assert(got(0) == 0.0)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(got(2) == 0.0) // zero vector → 0, not NaN
+  }
+
+  test("bruteForceTopK is deterministic and self-excluding") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3), 2)
+    val rows = out.collect()
+    assert(rows.length == 6)
+    assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("nn_id")))
+  }
+
+  test("langId deterministic argmax with tie rule") {
+    val markers = Seq("x" -> Seq("xx"), "y" -> Seq("yy"))
+    val df = Seq("xx yy", "yy yy xx", "zz").toDF("t")
+    val got = df.select(TF.langId(TF.tokens($"t"), markers)).as[String].collect().toSeq
+    assert(got == Seq("x", "y", "und")) // tie → first marker set wins
+  }
+}
