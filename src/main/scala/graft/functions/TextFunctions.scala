@@ -29,13 +29,24 @@ object TextFunctions {
   def bpeishCount(c: Column): Column =
     size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
-  /** Word n-gram shingles over the token array (distinct). */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>")).otherwise(
-      array_distinct(
-        transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
+  /** Word n-gram shingles over the token array (distinct).
+    *
+    * Built as zip_with over shifted slices rather than
+    * `transform(sequence(...), i => element_at(toks, i+k))`: a lambda-external
+    * expression like `element_at(toks, …)` is re-evaluated on EVERY lambda
+    * invocation, so the transform formulation re-tokenizes the document once
+    * per shingle position (measured 3 ms/doc — 15 s for 5k docs). zip_with
+    * evaluates its array arguments exactly once. Spark's zip_with pads the
+    * shorter side with nulls, making trailing windows null — `array_compact`
+    * drops them, which also yields [] for docs with fewer than n tokens.
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    val joined = (1 until n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))),
+        (x, y) => concat(x, lit(" "), y))
+    }
+    array_distinct(array_compact(joined))
+  }
 
   /** Count of tokens that appear in a fixed marker set. */
   def markerHits(toks: Column, markers: Seq[String]): Column =

@@ -17,8 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double precision. */
+  /** Σ aᵢ·bᵢ in double precision — native codegen'd loop
+    * ([[graft.functions.expressions.DotProduct]]); sums left-to-right, so
+    * results are bit-identical to [[dotHof]] and to a sequential engine loop.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.expressions.DotProduct(a, b)
+
+  /** Reference higher-order-function formulation of [[dot]] — kept as the
+    * pure-Catalyst cross-check for the native expression (tests assert
+    * bit-equality). ~100× slower per pair: lambda frames + an intermediate
+    * array per row, outside whole-stage codegen.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -44,19 +55,16 @@ object VectorFunctions {
       lit(0.0), (acc, v) => acc + v)
 
   /** Random-hyperplane (SimHash-style) LSH bucket for cosine similarity:
-    * sign pattern of the vector against `nBits` pseudo-random hyperplanes.
-    * Hyperplane j's i-th component is derived from xxhash64(seed, j, i) — no
-    * stored model, fully deterministic, computable engine-side at any scale.
+    * sign pattern of the vector against `nBits` seeded ±1 hyperplanes.
+    * Hyperplanes are generated driver-side from the seed and embedded as
+    * literal arrays, so each bit is one native dot product against a
+    * constant — no stored model, deterministic, and codegen-fast.
     */
-  def hyperplaneBucket(v: Column, nBits: Int, seed: Int): Column = {
+  def hyperplaneBucket(v: Column, nBits: Int, seed: Int, dim: Int): Column = {
     val bits = (0 until nBits).map { j =>
-      // pseudo-random ±1 components: hash(i, j) parity
-      val proj = aggregate(
-        zip_with(v, transform(sequence(lit(0), size(v) - 1),
-          i => pmod(xxhash64(lit(seed), lit(j), i), lit(2)) * 2 - 1),
-          (x, s) => x.cast("double") * s.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+      val rnd = new scala.util.Random(seed.toLong * 7919 + j)
+      val plane = Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+      when(dot(v, typedlit(plane)) >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

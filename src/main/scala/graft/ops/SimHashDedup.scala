@@ -38,13 +38,33 @@ object SimHashDedup {
   /** Hamming distance between two 64-bit prints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Simhash prints via explode + hash aggregate: one row per token, 64
+    * codegen'd conditional sums, one shuffle by doc id. Much faster than the
+    * per-row array fold (which stays outside whole-stage codegen) and the
+    * shape that scales — token rows partition evenly regardless of document
+    * length skew.
+    */
+  def simhashPrints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokenRows = docs
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"v$j"))
+    tokenRows.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(j =>
+          when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sh"))
+  }
+
   /** Pairs (id_a < id_b) whose simhash Hamming distance <= maxDist (<= 15,
     * guaranteed complete by the 4-chunk pigeonhole for maxDist <= 3).
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
-    val prints = docs.select(col(idCol).as("id"),
-        simhash(TextFunctions.tokens(col(textCol))).as("sh"))
+    val prints = simhashPrints(docs, idCol, textCol)
     val chunks = prints.select(col("id"), col("sh"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("ci"),

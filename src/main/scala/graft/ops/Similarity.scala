@@ -23,10 +23,15 @@ object Similarity {
     * Deterministic: ties broken by corpus id ascending.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("c_emb"))
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // Norms are computed once per row/query (aliased columns), not per pair —
+    // the per-pair work is exactly one native dot product.
+    val c = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("c_emb"),
+      norm(col("embedding")).as("c_n"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_n"))
     val scored = c.join(broadcast(q), col("nn_id") =!= col("query_id"))
-      .withColumn("score", cosine(col("c_emb"), col("q_emb")))
+      .withColumn("score", when(col("c_n") * col("q_n") === 0.0, 0.0)
+        .otherwise(dot(col("c_emb"), col("q_emb")) / (col("c_n") * col("q_n"))))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("nn_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("query_id"), col("nn_id"), round(col("score"), 6).as("score"),
@@ -39,10 +44,13 @@ object Similarity {
     * buckets followed by this verification within buckets.
     */
   def thresholdPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+      norm(col("embedding")).as("n_a"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
+      norm(col("embedding")).as("n_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("score", cosine(col("e_a"), col("e_b")))
+      .withColumn("score", when(col("n_a") * col("n_b") === 0.0, 0.0)
+        .otherwise(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b"))))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
   }
@@ -51,12 +59,12 @@ object Similarity {
     * Multi-probe via `nTables` independent hash tables unioned before rank.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nBits: Int = 12, nTables: Int = 4): DataFrame = {
+              nBits: Int = 12, nTables: Int = 4, dim: Int = 64): DataFrame = {
     val tables = (0 until nTables).map { t =>
       val cb = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("c_emb"),
-        hyperplaneBucket(col("embedding"), nBits, seed = t).as("bucket"))
+        hyperplaneBucket(col("embedding"), nBits, seed = t, dim).as("bucket"))
       val qb = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        hyperplaneBucket(col("embedding"), nBits, seed = t).as("bucket"))
+        hyperplaneBucket(col("embedding"), nBits, seed = t, dim).as("bucket"))
       cb.join(broadcast(qb), Seq("bucket")).filter(col("nn_id") =!= col("query_id"))
         .select(col("query_id"), col("nn_id"), col("c_emb"), col("q_emb"))
     }
@@ -76,9 +84,15 @@ object Similarity {
     * the data.
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val cent = centroids.select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
-    val scored = corpus.crossJoin(broadcast(cent))
-      .withColumn("cdist", l2sq(col("embedding"), col("cent_emb")))
+    // ‖a−c‖² = ‖a‖² + ‖c‖² − 2a·c: norms once per row/centroid, one native
+    // dot per (row, centroid).
+    val cent = centroids.select(col("vec_id").as("centroid_id"),
+      col("embedding").as("cent_emb"), dot(col("embedding"), col("embedding")).as("c2"))
+    val scored = corpus
+      .withColumn("a2", dot(col("embedding"), col("embedding")))
+      .crossJoin(broadcast(cent))
+      .withColumn("cdist",
+        col("a2") + col("c2") - lit(2.0) * dot(col("embedding"), col("cent_emb")))
     val w = Window.partitionBy("vec_id").orderBy(col("cdist"), col("centroid_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
       .select(col("vec_id"), col("embedding"), col("centroid_id"),

@@ -64,6 +64,14 @@ class TextVectorSpec extends SparkSpec {
     assert(got(2) == 0.0) // zero vector → 0, not NaN
   }
 
+  test("native DotProduct is bit-identical to the HOF formulation") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(100)
+    val both = emb.crossJoin(emb.select($"embedding".as("e2")).limit(20))
+      .select(VF.dot($"embedding", $"e2").as("native"),
+        VF.dotHof($"embedding", $"e2").as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() == 0)
+  }
+
   test("bruteForceTopK is deterministic and self-excluding") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3), 2)
