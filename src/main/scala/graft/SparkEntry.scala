@@ -363,7 +363,34 @@ object SparkEntry {
 
     // --- approximate aggregates (rows-only: HLL is engine-specific) ---
     "q42_approx_distinct" -> ((s, dir) =>
-      Aggregates.approxDistinct(Tables.events(s, dir), Seq("event_type"), "user_id"))
+      Aggregates.approxDistinct(Tables.events(s, dir), Seq("event_type"), "user_id")),
+
+    // --- exact percentiles (A-ext) ---
+    "q43_percentile" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))),
+
+    // --- unpivot / melt (P-ext) ---
+    "q46_unpivot" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("p_size"), col("p_retailprice")),
+          "metric", "value")),
+
+    // --- time-range window frame (§2.8 rangeBetween) ---
+    "q47_range_frame" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("sec", expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("sec").rangeBetween(-60, 0)
+      ev.select(col("event_id"), col("user_id"), col("sec"),
+        sum(col("value").cast(graft.util.Num.Money)).over(w).cast("double").as("v60"),
+        count(lit(1)).over(w).as("n60"))
+    })
   )
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -687,6 +714,30 @@ object SparkEntry {
         FROM v a JOIN v b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.e, b.e) /
             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4""",
+
+      "q43_percentile" -> """
+        SELECT l_returnflag,
+          quantile_cont(l_extendedprice, 0.5) AS p50,
+          quantile_cont(l_extendedprice, 0.9) AS p90,
+          MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        FROM lineitem GROUP BY l_returnflag""",
+
+      "q46_unpivot" -> """
+        SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+        FROM part""",
+
+      "q47_range_frame" -> """
+        WITH e AS (SELECT event_id, user_id, value,
+            epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec FROM events)
+        SELECT event_id, user_id, sec,
+          CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER w AS DOUBLE) AS v60,
+          COUNT(*) OVER w AS n60
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 60 PRECEDING AND CURRENT ROW)""",
 
       "q40_multimodal_meta" -> """
         SELECT doc_id AS asset_id, 'image' AS kind,

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.ParquetIO
+import graft.ops.Skew
+
+/** Scale-layout operators: partition pruning, bucketed zero-exchange joins,
+  * salted skew handling (SURVEY.md §7.4(7)).
+  */
+class LayoutSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned write enables partition pruning in the scan") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val df = spark.read.parquet(s"${sf()}/orders.parquet")
+      .withColumn("oyear", year($"o_orderdate"))
+    ParquetIO.writePartitioned(df, dir, Seq("oyear"))
+    val pruned = spark.read.parquet(dir).filter($"oyear" === 1996)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("oyear"))
+    assert(pruned.count() ==
+      df.filter(year($"o_orderdate") === 1996).count())
+  }
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    Seq("graft_b_orders", "graft_b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a fresh session's in-memory catalog doesn't know about leftover
+      // warehouse dirs from previous runs — remove the location too
+      val d = new java.io.File(s"spark-warehouse/$t")
+      if (d.exists) new scala.reflect.io.Directory(d).deleteRecursively()
+    }
+    val o = spark.read.parquet(s"${sf()}/orders.parquet")
+    val l = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    ParquetIO.writeBucketed(o, "graft_b_orders", "o_orderkey", 4)
+    ParquetIO.writeBucketed(l, "graft_b_lineitem", "o_orderkey", 4)
+    // Disable broadcast so the planner must co-locate — the property under
+    // test is that bucketing removes the shuffle from a large-large join.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_b_orders")
+        .join(spark.table("graft_b_lineitem"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == o.join(l, "o_orderkey").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("saltedAggregate matches plain aggregation") {
+    val ev = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val plain = ev.groupBy("l_returnflag")
+      .agg(sum($"l_quantity").as("s"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag").collect()
+    val salted = Skew.saltedAggregate(ev, Seq("l_returnflag"), salts = 8,
+      partials = Seq(sum($"l_quantity").as("ps"), count(lit(1)).as("pn")),
+      merges = Seq(sum($"ps").as("s"), sum($"pn").as("n")))
+      .orderBy("l_returnflag").collect()
+    assert(plain.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      salted.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq)
+  }
+
+  test("saltedJoin matches plain join") {
+    val l = spark.read.parquet(s"${sf()}/orders.parquet")
+    val r = spark.read.parquet(s"${sf()}/customer.parquet")
+      .select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+    val plain = l.join(r, Seq("o_custkey")).count()
+    val salted = Skew.saltedJoin(l, r, "o_custkey", salts = 4).count()
+    assert(plain == salted)
+  }
+}
