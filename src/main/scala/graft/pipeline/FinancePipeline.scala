@@ -61,4 +61,27 @@ object FinancePipeline {
     */
   def loadIncrement(staging: DataFrame, target: DataFrame): DataFrame =
     Dedup.newRows(staging, target, Seq("id"))
+
+  /** Typed surface: the standardized table as Dataset[Bar] (compile-time
+    * field checks downstream), plus a typed derivation example.
+    */
+  def asBars(standardized: DataFrame)(
+      implicit enc: org.apache.spark.sql.Encoder[graft.model.Bar])
+      : org.apache.spark.sql.Dataset[graft.model.Bar] =
+    standardized.as[graft.model.Bar]
+
+  /** Per-ticker daily returns over the typed Dataset — lag-1 window. */
+  def dailyReturns(bars: org.apache.spark.sql.Dataset[graft.model.Bar])(
+      implicit enc: org.apache.spark.sql.Encoder[graft.model.BarReturn])
+      : org.apache.spark.sql.Dataset[graft.model.BarReturn] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("Ticker").orderBy("Date")
+    bars.toDF()
+      .withColumn("prevClose", lag(col("Close"), 1).over(w))
+      .withColumn("ret",
+        when(col("prevClose").isNotNull && col("prevClose") =!= 0.0,
+          col("Close") / col("prevClose") - 1.0))
+      .select("Ticker", "Date", "Close", "prevClose", "ret")
+      .as[graft.model.BarReturn]
+  }
 }

@@ -1,0 +1,32 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.expressions.DotProduct
+
+/** SparkSessionExtensions entry point: registers graft's native expressions
+  * with the SQL function registry so pure-SQL users get them too:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * // or: spark.sql.extensions=graft.plans.GraftExtensions
+  * spark.sql("SELECT dot_product(a.embedding, b.embedding) FROM ...")
+  * }}}
+  *
+  * This is extension tier (b)/(c) of the build guidance: scalar work ships
+  * as native expressions (DotProduct — codegen'd, see
+  * functions/expressions/DotProduct.scala); whole-operator semantics
+  * (as-of join, LSH dedup) are COMPOSED from stock operators
+  * (ops/AsOfJoin.scala, ops/MinHashDedup.scala) because Catalyst plans them
+  * well — a custom SparkPlan would duplicate exchange/sort machinery for no
+  * plan improvement (SURVEY.md §4).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+  }
+}

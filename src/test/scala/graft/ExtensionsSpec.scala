@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.GraftExtensions
+
+/** The extension-registered SQL surface: dot_product callable from pure SQL
+  * in a session built withExtensions(new GraftExtensions).
+  *
+  * Test JVMs share one SparkContext across suites, so this creates a NEW
+  * SparkSession (extensions apply at session construction) over the shared
+  * context and restores the previous default afterwards — never stop() here,
+  * that would kill every other suite's session.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("dot_product is callable from SQL via GraftExtensions") {
+    val base = SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = spark.sql(
+        "SELECT dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+        .head().getDouble(0)
+      assert(r == 32.0)
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .createOrReplaceTempView("emb_ext")
+      val n = spark.sql(
+        "SELECT dot_product(embedding, embedding) AS n2 FROM emb_ext LIMIT 5")
+        .collect()
+      assert(n.length == 5 && n.forall(_.getDouble(0) > 0))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}

@@ -51,6 +51,17 @@ class PipelineSpec extends SparkSpec {
     assert(out.select("Company").distinct().as[String].collect().toSeq == Seq("Unknown"))
   }
 
+  test("typed Dataset[Bar] surface + daily returns derivation") {
+    val std = FinancePipeline.standardize(FinancePipeline.enrich(bars, companies))
+    val typed = FinancePipeline.asBars(std)
+    assert(typed.filter(_.Ticker == "AAPL").count() == 2)
+    val rets = FinancePipeline.dailyReturns(typed).collect()
+    val aaplJan8 = rets.find(r => r.Ticker == "AAPL" && r.Date.toString == "2024-01-08").get
+    assert(aaplJan8.prevClose.contains(1.5))
+    assert(math.abs(aaplJan8.ret.get - (1.7 / 1.5 - 1.0)) < 1e-12)
+    assert(rets.filter(_.Ticker == "MSFT").head.ret.isEmpty) // first row: no prev
+  }
+
   test("loadIncrement is idempotent (load twice ≡ load once)") {
     val std = FinancePipeline.standardize(FinancePipeline.enrich(bars, companies))
     val target = std.filter($"Day" === 5)
