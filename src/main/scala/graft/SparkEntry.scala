@@ -390,7 +390,60 @@ object SparkEntry {
       ev.select(col("event_id"), col("user_id"), col("sec"),
         sum(col("value").cast(graft.util.Num.Money)).over(w).cast("double").as("v60"),
         count(lit(1)).over(w).as("n60"))
-    })
+    }),
+
+    // --- map columns from JSON (F8 ext) ---
+    "q48_map_funcs" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(explode(from_json(col("props"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType)))
+          .as(Seq("key", "value")))
+        .groupBy("key")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("long")).as("sum_v"),
+          min(col("value").cast("long")).as("min_v"))),
+
+    // --- array functions over token arrays (F9 ext) ---
+    "q49_array_funcs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", TF.tokens(col("text")))
+      d.select(
+        col("doc_id"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        concat_ws(",", slice(col("toks"), 1, 3)).as("first3"),
+        element_at(col("toks"), -1).as("last_tok"),
+        array_min(col("toks")).as("min_tok"),
+        array_max(col("toks")).as("max_tok"))
+    }),
+
+    // --- first/last/nth window values (§2.8) ---
+    "q50_first_last" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFull = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(wFull).as("first_price"),
+          last(col("o_totalprice")).over(wFull).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(wFull).as("second_price"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "first_price", "last_price", "second_price")
+    }),
+
+    // --- order-independent statistical aggregates ---
+    "q51_stats" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("sx"),
+          dsum(col("l_extendedprice") * col("l_extendedprice")).as("sxx"))
+        .select(col("l_returnflag"), col("n"),
+          (col("sx") / col("n")).as("mean"),
+          ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_s"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("std_s")))
   )
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -738,6 +791,48 @@ object SparkEntry {
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY sec
                      RANGE BETWEEN 60 PRECEDING AND CURRENT ROW)""",
+
+      "q48_map_funcs" -> """
+        WITH t AS (SELECT unnest(json_keys(props)) AS key, props FROM events)
+        SELECT key, COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract_string(props, key) AS BIGINT)) AS BIGINT) AS sum_v,
+               MIN(CAST(json_extract_string(props, key) AS BIGINT)) AS min_v
+        FROM t GROUP BY key""",
+
+      "q49_array_funcs" -> """
+        WITH t AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
+        SELECT doc_id,
+          CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+          array_to_string(toks[1:3], ',') AS first3,
+          toks[-1] AS last_tok,
+          list_aggregate(toks, 'min') AS min_tok,
+          list_aggregate(toks, 'max') AS max_tok
+        FROM t""",
+
+      "q50_first_last" -> """
+        SELECT o_custkey, first_price, last_price, second_price FROM (
+          SELECT o_custkey,
+            FIRST_VALUE(o_totalprice) OVER wf AS first_price,
+            LAST_VALUE(o_totalprice) OVER wf AS last_price,
+            NTH_VALUE(o_totalprice, 2) OVER wf AS second_price,
+            ROW_NUMBER() OVER w AS rn
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                 wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        WHERE rn = 1""",
+
+      "q51_stats" -> s"""
+        WITH t AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+            ${dsumSql("l_extendedprice")} AS sx,
+            ${dsumSql("l_extendedprice*l_extendedprice")} AS sxx
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n, sx / n AS mean,
+          (sxx - sx * sx / n) / (n - 1) AS var_s,
+          sqrt((sxx - sx * sx / n) / (n - 1)) AS std_s
+        FROM t""",
 
       "q40_multimodal_meta" -> """
         SELECT doc_id AS asset_id, 'image' AS kind,
