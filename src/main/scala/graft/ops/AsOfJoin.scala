@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,10 +27,14 @@ object AsOfJoin {
     * @param leftTime  event-time column on `left`
     * @param rightTime event-time column on `right`
     * @param payload   right columns to attach (null when no prior right row)
+    * @param tolerance max allowed left.time − right.time (same units as a
+    *                  numeric cast of the time columns); matches older than
+    *                  this are nulled, mirroring pandas merge_asof tolerance
     */
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               payload: Seq[String]): DataFrame = {
+               payload: Seq[String],
+               tolerance: Option[Column] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__t", col(leftTime))
@@ -47,8 +51,17 @@ object AsOfJoin {
     val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r).withColumns(
-      payload.map(p => s"__c_$p" -> last(col(s"__p_$p"), ignoreNulls = true).over(w)).toMap)
-    carried.filter(col("__side") === 1)
-      .select((leftCols.map(col) ++ payload.map(p => col(s"__c_$p").as(s"asof_$p"))): _*)
+      (payload.map(p => s"__c_$p" -> last(col(s"__p_$p"), ignoreNulls = true).over(w)) :+
+        ("__c_rt" -> last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))).toMap)
+    val matched = carried.filter(col("__side") === 1)
+    val withTol = tolerance match {
+      case None => matched
+      case Some(tol) =>
+        val stale = col("__t").cast("long") - col("__c_rt").cast("long") > tol
+        matched.withColumns(payload.map(p =>
+          s"__c_$p" -> when(stale, lit(null)).otherwise(col(s"__c_$p"))).toMap)
+    }
+    withTol.select(
+      (leftCols.map(col) ++ payload.map(p => col(s"__c_$p").as(s"asof_$p"))): _*)
   }
 }

@@ -27,6 +27,16 @@ object FinancePipeline {
     "Close" -> DoubleType, "Volume" -> LongType,
     "Dividends" -> DoubleType, "stock_splits" -> DoubleType)
 
+  /** Reference fidelity: fail fast on empty input
+    * (transformation.py:52-54, loading.py:111-113) — but via `df.isEmpty`
+    * (a limit-1 job), not the reference's full `count()` scan or the
+    * `rdd.isEmpty()` RDD deoptimization.
+    */
+  def requireNonEmpty(df: DataFrame, stage: String): DataFrame = {
+    require(!df.isEmpty, s"[$stage] empty input — aborting, as the reference DAG does")
+    df
+  }
+
   def enrich(bars: DataFrame, companies: DataFrame): DataFrame =
     Joins.broadcastLookup(bars, companies, Seq("Ticker"))
 

@@ -24,6 +24,18 @@ class AsOfJoinSpec extends SparkSpec {
     ))
   }
 
+  test("tolerance nulls out stale matches") {
+    import org.apache.spark.sql.functions.lit
+    val left = Seq((1, 20L, "p")).toDF("k", "t", "ltag")
+    val right = Seq((1, 15L, "r@15")).toDF("k", "rt", "payload")
+    val loose = AsOfJoin.backward(left, right, "k", "t", "rt", Seq("payload"),
+      tolerance = Some(lit(10L))).head()
+    assert(loose.getAs[String]("asof_payload") == "r@15")
+    val tight = AsOfJoin.backward(left, right, "k", "t", "rt", Seq("payload"),
+      tolerance = Some(lit(3L))).head()
+    assert(tight.isNullAt(tight.fieldIndex("asof_payload")))
+  }
+
   test("left rows with no right key at all get nulls") {
     val left = Seq((7, 1L, "x")).toDF("k", "t", "ltag")
     val right = Seq((8, 1L, "y")).toDF("k", "rt", "payload")

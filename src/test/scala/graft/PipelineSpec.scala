@@ -62,6 +62,13 @@ class PipelineSpec extends SparkSpec {
     assert(rets.filter(_.Ticker == "MSFT").head.ret.isEmpty) // first row: no prev
   }
 
+  test("requireNonEmpty passes data through and rejects empty input") {
+    assert(FinancePipeline.requireNonEmpty(bars, "t").count() == 3)
+    intercept[IllegalArgumentException] {
+      FinancePipeline.requireNonEmpty(bars.filter($"Ticker" === "nope"), "t")
+    }
+  }
+
   test("loadIncrement is idempotent (load twice ≡ load once)") {
     val std = FinancePipeline.standardize(FinancePipeline.enrich(bars, companies))
     val target = std.filter($"Day" === 5)

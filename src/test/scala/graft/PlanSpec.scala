@@ -1,0 +1,52 @@
+package graft
+
+/** Plan-shape regression tests — the properties SCALE.md claims, asserted
+  * so they can't silently regress: predicate pushdown, column pruning,
+  * broadcast star joins, single-shuffle aggregation, codegen coverage.
+  */
+class PlanSpec extends SparkSpec {
+
+  /** Final (post-AQE) plan section only. Execute the df's own plan first
+    * (count() would plan a different query), then cut at the Initial Plan
+    * echo — AQE prints both.
+    */
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf())
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q01: filter pushed to parquet scan, unused columns pruned") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"))
+    assert(!p.contains("l_partkey"), "pruned column must not be read")
+    assert(p.contains("*(1)"), "scan stage must be whole-stage codegen")
+  }
+
+  test("q01: exactly one shuffle (map-side partial aggregation)") {
+    val p = plan("q01_pricing_summary")
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q05: star join is a broadcast chain, single shuffle for the agg") {
+    val p = plan("q05_regional_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast, not SMJ")
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("q02: multi-predicate filter reaches the scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("l_discount") && p.contains("l_quantity"))
+  }
+
+  test("q37: plan contains the native dot product expression") {
+    val p = plan("q37_cosine_topk")
+    assert(p.toLowerCase.contains("dotproduct"), p.take(800))
+  }
+}
