@@ -165,10 +165,16 @@ object SparkEntry {
           Seq(col("ts").desc, col("event_id").desc))
         .select("user_id", "event_type", "event_id", "ts", "value")),
 
-    "q12_exact_dedup_docs" -> ((s, dir) =>
-      Tables.documents(s, dir)
+    "q12_exact_dedup_docs" -> ((s, dir) => {
+      // Union the corpus with a re-keyed sample of itself so the dedup has
+      // actual duplicate groups to find (the synthetic corpus is dup-free).
+      val d = Tables.documents(s, dir)
+      val copies = d.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+      Dedup.unionAll(Seq(d, copies))
         .groupBy(md5(col("text")).as("text_hash"))
-        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))),
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+    }),
 
     "q13_distinct" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -561,9 +567,14 @@ object SparkEntry {
               FROM events) WHERE rn = 1""",
 
       "q12_exact_dedup_docs" -> """
+        WITH u AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          WHERE doc_id % 5 = 0)
         SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id,
                COUNT(*) AS n_copies
-        FROM documents GROUP BY md5(text)""",
+        FROM u GROUP BY md5(text)""",
 
       "q13_distinct" -> """
         SELECT DISTINCT event_type, user_id % 10 AS user_bucket FROM events""",
