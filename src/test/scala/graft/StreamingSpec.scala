@@ -27,6 +27,27 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("k").as[String].collect().toSet == Set("k1", "k2"))
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions at the gap") {
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.Event
+    val dir = Files.createTempDirectory("graft_sess").toString
+    val min = 60L * 1000000 // a minute in micros
+    Seq(
+      Event(1L, 0L, 1.0), Event(1L, 10 * min, 2.0),      // session A (2 events)
+      Event(1L, 120 * min, 5.0),                         // session B (open tail)
+      Event(2L, 0L, 7.0)                                 // user 2 open tail
+    ).toDF.write.mode("overwrite").parquet(dir)
+
+    val stream = StreamingOps.fileStream(spark, dir,
+      Seq.empty[Event].toDS.schema).as[Event]
+    val sessions = Sessionize(stream, gapMicros = 30 * min)
+    StreamingOps.drainToMemory(sessions.toDF, "graft_sessions_out")
+    val out = spark.table("graft_sessions_out")
+      .as[Sessionize.Session].collect().toSeq
+    // only user 1's first session closed within the drained batch
+    assert(out == Seq(Sessionize.Session(1L, 0L, 10 * min, 2, 3.0)))
+  }
+
   test("windowed aggregate over a drained stream") {
     val dir = Files.createTempDirectory("graft_stream2").toString
     val batch = Seq(
