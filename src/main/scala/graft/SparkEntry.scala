@@ -449,7 +449,72 @@ object SparkEntry {
         .select(col("l_returnflag"), col("n"),
           (col("sx") / col("n")).as("mean"),
           ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_s"),
-          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("std_s")))
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("std_s"))),
+
+    // --- scalar / correlated subqueries (Catalyst decorrelation) ---
+    // TPC-H Q15 shape: supplier(s) achieving the maximum revenue.
+    "q52_top_supplier" -> ((s, dir) => {
+      Tables.supplier(s, dir).createOrReplaceTempView("graft_supplier")
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+      s.sql(s"""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 ${dsumSql("l_extendedprice*(1.0-l_discount)")} AS total_rev
+          FROM graft_lineitem GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_rev
+        FROM graft_supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+      """)
+    }),
+
+    // TPC-H Q17 shape: small orders — below 20% of the part's average qty.
+    "q53_small_orders" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+      s.sql(s"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+               ${dsumSql("l_extendedprice")} AS sum_price
+        FROM graft_lineitem l1
+        WHERE l_quantity < (
+          SELECT 0.2 * AVG(l_quantity) FROM graft_lineitem l2
+          WHERE l2.l_partkey = l1.l_partkey)
+      """)
+    }),
+
+    // TPC-H Q13 shape: distribution of customers by order count.
+    "q54_order_distribution" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders").agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // TPC-H Q22 shape: wealthy customers with no recent orders.
+    "q55_wealthy_inactive" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      s.sql("""
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(round(SUM(CAST(c_acctbal AS DECIMAL(38,4))), 4) AS DOUBLE) AS total_bal
+        FROM graft_customer
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+            FROM graft_customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (
+            SELECT 1 FROM graft_orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c_mktsegment
+      """)
+    }),
+
+    // --- salted skew-safe aggregation (oracle = plain aggregation) ---
+    "q56_salted_agg" -> ((s, dir) =>
+      Skew.saltedAggregate(Tables.lineitem(s, dir), Seq("l_returnflag"), salts = 8,
+        partials = Seq(sum(col("l_quantity").cast(graft.util.Num.Money)).as("pq"),
+          count(lit(1)).as("pn")),
+        merges = Seq(sum(col("pq")).cast("double").as("sum_qty"),
+          sum(col("pn")).as("n"))))
   )
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -833,6 +898,48 @@ object SparkEntry {
                  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
         WHERE rn = 1""",
+
+      "q52_top_supplier" -> s"""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 ${dsumSql("l_extendedprice*(1.0-l_discount)")} AS total_rev
+          FROM lineitem GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_rev
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""",
+
+      "q53_small_orders" -> s"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+               ${dsumSql("l_extendedprice")} AS sum_price
+        FROM lineitem l1
+        WHERE l_quantity < (
+          SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l1.l_partkey)""",
+
+      "q54_order_distribution" -> """
+        WITH per_cust AS (
+          SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+          FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+          GROUP BY c_custkey)
+        SELECT n_orders, COUNT(*) AS n_customers
+        FROM per_cust GROUP BY n_orders""",
+
+      "q55_wealthy_inactive" -> """
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(round(SUM(CAST(c_acctbal AS DECIMAL(38,4))), 4) AS DOUBLE) AS total_bal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+            FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c_mktsegment""",
+
+      "q56_salted_agg" -> s"""
+        SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag""",
 
       "q51_stats" -> s"""
         WITH t AS (
