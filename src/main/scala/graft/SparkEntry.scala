@@ -514,7 +514,60 @@ object SparkEntry {
         partials = Seq(sum(col("l_quantity").cast(graft.util.Num.Money)).as("pq"),
           count(lit(1)).as("pn")),
         merges = Seq(sum(col("pq")).cast("double").as("sum_qty"),
-          sum(col("pn")).as("n"))))
+          sum(col("pn")).as("n")))),
+
+    // --- elementwise label centroids (vector aggregation via posexplode) ---
+    "q57_label_centroids" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy("label", "i")
+        .agg((sum(col("v").cast("double").cast(DecimalType(38, 8))).cast("double") /
+          count(lit(1))).as("mean_v"))
+        .select(col("label"), col("i").cast("long").as("i"), col("mean_v"))),
+
+    // --- TF-IDF-style top terms (rational idf: exact cross-engine) ---
+    "q58_top_terms" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+      val nDocs = toks.select(countDistinct(col("doc_id")).as("n_docs"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+      tf.join(df, "tok").crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          col("tf") * (col("n_docs") + 1).cast("double") / (col("df") + 1))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "tok", "score", "rn")
+    }),
+
+    // --- full outer join (J3 completes) ---
+    "q59_full_outer" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_custkey") % 2 === 0)
+      val o = Tables.orders(s, dir).filter(col("o_orderkey") % 3 === 0)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      c.join(o, Seq("c_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), lit(-1L)).as("custkey"),
+          when(col("c_name").isNull, "order_only")
+            .when(col("n_orders").isNull, "customer_only")
+            .otherwise("both").as("side"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    }),
+
+    // --- rank / dense_rank (§2.8 completes) ---
+    "q60_rank_dense" -> ((s, dir) =>
+      Windows.ranked(
+        Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"), Seq(col("o_totalprice").desc, col("o_orderkey")))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("rnk").cast("long").as("rnk"),
+          col("drnk").cast("long").as("drnk"),
+          col("rn").cast("long").as("rn")))
   )
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -940,6 +993,53 @@ object SparkEntry {
       "q56_salted_agg" -> s"""
         SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
         FROM lineitem GROUP BY l_returnflag""",
+
+      "q57_label_centroids" -> """
+        WITH t AS (SELECT label,
+            unnest(CAST(embedding AS DOUBLE[])) AS v,
+            unnest(range(0, len(embedding))) AS i
+          FROM embeddings)
+        SELECT label, i,
+          CAST(SUM(CAST(v AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*) AS mean_v
+        FROM t GROUP BY label, i""",
+
+      "q58_top_terms" -> """
+        WITH toks AS (SELECT doc_id,
+            unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+          FROM documents),
+        nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        df AS (SELECT tok, COUNT(*) AS df
+               FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok)
+        SELECT doc_id, tok,
+               tf * CAST(n_docs + 1 AS DOUBLE) / (df + 1) AS score, rn
+        FROM (SELECT tf.doc_id, tf.tok, tf.tf, df.df, nd.n_docs,
+                ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                  ORDER BY tf.tf * CAST(nd.n_docs + 1 AS DOUBLE) / (df.df + 1) DESC,
+                           tf.tok) AS rn
+              FROM tf, df, nd WHERE tf.tok = df.tok)
+        WHERE rn <= 3""",
+
+      "q59_full_outer" -> """
+        WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0),
+        o AS (SELECT o_custkey AS ok, COUNT(*) AS n_orders
+              FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_custkey)
+        SELECT COALESCE(c.c_custkey, o.ok, -1) AS custkey,
+          CASE WHEN c.c_name IS NULL THEN 'order_only'
+               WHEN o.n_orders IS NULL THEN 'customer_only'
+               ELSE 'both' END AS side,
+          COALESCE(o.n_orders, 0) AS n_orders
+        FROM c FULL JOIN o ON c.c_custkey = o.ok""",
+
+      "q60_rank_dense" -> """
+        SELECT o_custkey, o_orderkey, rnk, drnk, rn FROM (
+          SELECT o_custkey, o_orderkey,
+            RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+            ROW_NUMBER() OVER w AS rn
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey))
+        WHERE rn <= 2""",
 
       "q51_stats" -> s"""
         WITH t AS (
