@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 import graft.ops._
+import graft.pipeline.FinancePipeline
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.util.Num.{dsum, davg, dsumSql, davgSql}
 
@@ -567,7 +568,35 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"),
           col("rnk").cast("long").as("rnk"),
           col("drnk").cast("long").as("drnk"),
-          col("rn").cast("long").as("rn")))
+          col("rn").cast("long").as("rn"))),
+
+    // --- the reference's COMPLETE transform path, oracle-verified ---
+    // Synthesize bar-shaped rows from orders (with planted nulls), run the
+    // real FinancePipeline enrich→standardize (rename, casts, calendar,
+    // dtype-driven fill, broadcast company lookup), drop only the xxhash64
+    // id (not expressible in the oracle engine).
+    "q61_reference_etl" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val bars = o.select(
+        col("o_orderdate").cast("string").as("Date"),
+        (col("o_totalprice") / 1000.0).as("Open"),
+        (col("o_totalprice") / 1000.0 * 1.05).as("High"),
+        (col("o_totalprice") / 1000.0 * 0.95).as("Low"),
+        (col("o_totalprice") / 1000.0 * 1.01).as("Close"),
+        pmod(col("o_custkey"), lit(1000)).as("Volume"),
+        lit(0.0).as("Dividends"),
+        when(col("o_orderkey") % 100 === 0, lit(null).cast("double"))
+          .otherwise(lit(0.0)).as("Stock Splits"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("Ticker"))
+      val companies = o.select(col("o_orderpriority").as("Ticker")).distinct()
+        .withColumn("Company", concat(lit("Corp "), col("Ticker")))
+      FinancePipeline.standardize(FinancePipeline.enrich(bars, companies))
+        .drop("id") // xxhash64 surrogate: not expressible in the oracle engine
+        // DATE comparisons cross-engine are representation-fragile; the
+        // proven NTZ-timestamp pattern is used for the compare surface.
+        .withColumn("Date", col("Date").cast("timestamp_ntz"))
+    })
   )
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -1030,6 +1059,25 @@ object SparkEntry {
                ELSE 'both' END AS side,
           COALESCE(o.n_orders, 0) AS n_orders
         FROM c FULL JOIN o ON c.c_custkey = o.ok""",
+
+      "q61_reference_etl" -> """
+        SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS Date,
+          CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS Year,
+          CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS Month,
+          CAST(day(CAST(o_orderdate AS DATE)) AS INT) AS Day,
+          CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS Quarter,
+          dayname(CAST(o_orderdate AS DATE)) AS Weekday,
+          CASE WHEN o_orderkey % 7 = 0 THEN 'Unknown' ELSE o_orderpriority END AS Ticker,
+          CASE WHEN o_orderkey % 7 = 0 THEN 'Unknown'
+               ELSE 'Corp ' || o_orderpriority END AS Company,
+          o_totalprice / 1000.0 AS Open,
+          o_totalprice / 1000.0 * 1.05 AS High,
+          o_totalprice / 1000.0 * 0.95 AS Low,
+          o_totalprice / 1000.0 * 1.01 AS Close,
+          o_custkey % 1000 AS Volume,
+          0.0 AS Dividends,
+          0.0 AS stock_splits
+        FROM orders""",
 
       "q60_rank_dense" -> """
         SELECT o_custkey, o_orderkey, rnk, drnk, rn FROM (
