@@ -596,7 +596,13 @@ object SparkEntry {
         // DATE comparisons cross-engine are representation-fragile; the
         // proven NTZ-timestamp pattern is used for the compare surface.
         .withColumn("Date", col("Date").cast("timestamp_ntz"))
-    })
+    }),
+
+    // --- OHLC time-series resample (reference-domain companion op) ---
+    "q62_ohlc_resample" -> ((s, dir) =>
+      Resample.ohlc(Tables.orders(s, dir), key = "o_orderpriority",
+        time = "o_orderdate", price = "o_totalprice", tiebreak = "o_orderkey",
+        bucket = "month"))
   )
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -1059,6 +1065,20 @@ object SparkEntry {
                ELSE 'both' END AS side,
           COALESCE(o.n_orders, 0) AS n_orders
         FROM c FULL JOIN o ON c.c_custkey = o.ok""",
+
+      "q62_ohlc_resample" -> s"""
+        SELECT o_orderpriority,
+          CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+          struct_extract(min(struct_pack(
+            t := o_orderdate, k := o_orderkey, p := o_totalprice)), 'p') AS open,
+          MAX(o_totalprice) AS high,
+          MIN(o_totalprice) AS low,
+          struct_extract(max(struct_pack(
+            t := o_orderdate, k := o_orderkey, p := o_totalprice)), 'p') AS close,
+          COUNT(*) AS n_bars,
+          ${dsumSql("o_totalprice")} AS turnover
+        FROM orders
+        GROUP BY o_orderpriority, date_trunc('month', o_orderdate)""",
 
       "q61_reference_etl" -> """
         SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS Date,
