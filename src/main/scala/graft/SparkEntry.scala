@@ -602,7 +602,15 @@ object SparkEntry {
     "q62_ohlc_resample" -> ((s, dir) =>
       Resample.ohlc(Tables.orders(s, dir), key = "o_orderpriority",
         time = "o_orderdate", price = "o_totalprice", tiebreak = "o_orderkey",
-        bucket = "month"))
+        bucket = "month")),
+
+    // --- text -> vector bridge: cosine near-dup over documents (rows-only:
+    //     xxhash64-derived embeddings aren't oracle-expressible) ---
+    // threshold 0.95: the synthetic corpus shares one vocabulary, so BoW
+    // cosine is high between ALL docs — only true near-dups clear 0.95.
+    "q63_text_embed_neardup" -> ((s, dir) =>
+      TextEmbed.cosineNearDupDocs(Tables.documents(s, dir), "doc_id", "text",
+        dim = 64, threshold = 0.95))
   )
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(

@@ -29,8 +29,11 @@ object Joins {
 
   def inner(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame = l.join(r, keys, "inner")
   def left(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame  = l.join(r, keys, "left")
+  def right(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame = l.join(r, keys, "right")
+  def full(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame  = l.join(r, keys, "full_outer")
   def semi(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame  = l.join(r, keys, "left_semi")
   def anti(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame  = l.join(r, keys, "left_anti")
+  def cross(l: DataFrame, r: DataFrame): DataFrame = l.crossJoin(r)
 
   /** J5: value-in-band range join. Bands are expected small → broadcast, so
     * the theta condition is evaluated as a BroadcastNestedLoop over a tiny

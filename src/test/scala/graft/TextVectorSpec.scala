@@ -80,6 +80,15 @@ class TextVectorSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("nn_id")))
   }
 
+  test("hashEmbed: near-identical docs cosine-close, disjoint docs far") {
+    import graft.ops.TextEmbed
+    val pairs = TextEmbed.cosineNearDupDocs(docs, "doc_id", "text",
+        dim = 32, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0)) // exact dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))               // disjoint doc
+  }
+
   test("langId deterministic argmax with tie rule") {
     val markers = Seq("x" -> Seq("xx"), "y" -> Seq("yy"))
     val df = Seq("xx yy", "yy yy xx", "zz").toDF("t")
