@@ -610,7 +610,15 @@ object SparkEntry {
     // cosine is high between ALL docs — only true near-dups clear 0.95.
     "q63_text_embed_neardup" -> ((s, dir) =>
       TextEmbed.cosineNearDupDocs(Tables.documents(s, dir), "doc_id", "text",
-        dim = 64, threshold = 0.95))
+        dim = 64, threshold = 0.95)),
+
+    // --- deterministic train/val/test splits (md5-bucket, oracle-portable) ---
+    "q64_dataset_split" -> ((s, dir) =>
+      Sampling.split(Tables.documents(s, dir), col("doc_id"), 800, 100)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id")))
   )
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -1073,6 +1081,18 @@ object SparkEntry {
                ELSE 'both' END AS side,
           COALESCE(o.n_orders, 0) AS n_orders
         FROM c FULL JOIN o ON c.c_custkey = o.ok""",
+
+      "q64_dataset_split" -> """
+        WITH t AS (SELECT doc_id, n_chars,
+            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000 AS b
+          FROM documents)
+        SELECT CASE WHEN b < 800 THEN 'train'
+                    WHEN b < 900 THEN 'val' ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               MIN(doc_id) AS min_id
+        FROM t GROUP BY 1""",
 
       "q62_ohlc_resample" -> s"""
         SELECT o_orderpriority,
