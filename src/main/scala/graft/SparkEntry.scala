@@ -618,7 +618,41 @@ object SparkEntry {
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"),
-          min(col("doc_id")).as("min_id")))
+          min(col("doc_id")).as("min_id"))),
+
+    // --- distribution window functions ---
+    "q65_rank_stats" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir).select(
+        col("c_mktsegment"), col("c_custkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
+    // --- bag semantics set ops ---
+    "q66_setops_all" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val a = ev.filter(col("event_type").isin("click", "view"))
+        .select(pmod(col("user_id"), lit(50)).as("b"))
+      val b = ev.filter(col("event_type") === "click")
+        .select(pmod(col("user_id"), lit(50)).as("b"))
+      a.exceptAll(b).groupBy("b").agg(count(lit(1)).as("n_except"))
+    }),
+
+    // --- calendar-spine gap detection (time-series completeness) ---
+    "q67_date_gaps" -> ((s, dir) => {
+      val perKey = Tables.orders(s, dir)
+        .withColumn("d", to_date(col("o_orderdate")))
+        .groupBy("o_orderpriority")
+        .agg(min(col("d")).as("d0"), max(col("d")).as("d1"),
+          countDistinct(col("d")).as("n_present"))
+      perKey.select(col("o_orderpriority"),
+          (datediff(col("d1"), col("d0")) + 1).cast("long").as("n_days"),
+          col("n_present"))
+        .withColumn("n_missing", col("n_days") - col("n_present"))
+    })
   )
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -1081,6 +1115,32 @@ object SparkEntry {
                ELSE 'both' END AS side,
           COALESCE(o.n_orders, 0) AS n_orders
         FROM c FULL JOIN o ON c.c_custkey = o.ok""",
+
+      "q65_rank_stats" -> """
+        SELECT c_mktsegment, c_custkey,
+          PERCENT_RANK() OVER w AS pr,
+          CUME_DIST() OVER w AS cd,
+          NTILE(4) OVER w AS quartile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""",
+
+      "q66_setops_all" -> """
+        WITH a AS (SELECT user_id % 50 AS b FROM events
+                   WHERE event_type IN ('click','view')),
+        bb AS (SELECT user_id % 50 AS b FROM events WHERE event_type = 'click'),
+        ex AS (SELECT b FROM a EXCEPT ALL SELECT b FROM bb)
+        SELECT b, COUNT(*) AS n_except FROM ex GROUP BY b""",
+
+      "q67_date_gaps" -> """
+        WITH t AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d FROM orders),
+        k AS (SELECT o_orderpriority, MIN(d) AS d0, MAX(d) AS d1,
+                     COUNT(DISTINCT d) AS n_present
+              FROM t GROUP BY o_orderpriority)
+        SELECT o_orderpriority,
+               CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS n_days,
+               n_present,
+               CAST(date_diff('day', d0, d1) + 1 AS BIGINT) - n_present AS n_missing
+        FROM k""",
 
       "q64_dataset_split" -> """
         WITH t AS (SELECT doc_id, n_chars,
