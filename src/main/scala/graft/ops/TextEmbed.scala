@@ -43,5 +43,9 @@ object TextEmbed {
                         dim: Int, threshold: Double): DataFrame =
     Similarity.thresholdPairs(
       hashEmbed(docs, idCol, textCol, dim)
-        .withColumnRenamed(idCol, "vec_id"), threshold)
+        .withColumnRenamed(idCol, "vec_id")
+        // both sides of the pair self-join read this — don't rebuild the
+        // tokenize→hash→aggregate pipeline twice
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      threshold)
 }
