@@ -638,7 +638,25 @@ object SparkEntry {
         .select(pmod(col("user_id"), lit(50)).as("b"))
       val b = ev.filter(col("event_type") === "click")
         .select(pmod(col("user_id"), lit(50)).as("b"))
-      a.exceptAll(b).groupBy("b").agg(count(lit(1)).as("n_except"))
+      a.exceptAll(b).groupBy("b").agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except_all"))
+        .unionByName(
+          a.intersectAll(b).groupBy("b").agg(count(lit(1)).as("n"))
+            .withColumn("op", lit("intersect_all")))
+        .select("op", "b", "n")
+    }),
+
+    // --- array predicates: exists / forall ---
+    "q68_array_predicates" -> ((s, dir) => {
+      val toks = TF.tokens(col("text"))
+      Tables.documents(s, dir).select(
+          col("lang"),
+          exists(toks, t => t === "the").as("has_the"),
+          forall(toks, t => length(t) < 8).as("all_short"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("has_the"), 1L).otherwise(0L)).as("n_has_the"),
+          sum(when(col("all_short"), 1L).otherwise(0L)).as("n_all_short"))
     }),
 
     // --- calendar-spine gap detection (time-series completeness) ---
@@ -1128,8 +1146,21 @@ object SparkEntry {
         WITH a AS (SELECT user_id % 50 AS b FROM events
                    WHERE event_type IN ('click','view')),
         bb AS (SELECT user_id % 50 AS b FROM events WHERE event_type = 'click'),
-        ex AS (SELECT b FROM a EXCEPT ALL SELECT b FROM bb)
-        SELECT b, COUNT(*) AS n_except FROM ex GROUP BY b""",
+        ex AS (SELECT b FROM a EXCEPT ALL SELECT b FROM bb),
+        ia AS (SELECT b FROM a INTERSECT ALL SELECT b FROM bb)
+        SELECT 'except_all' AS op, b, COUNT(*) AS n FROM ex GROUP BY b
+        UNION ALL
+        SELECT 'intersect_all' AS op, b, COUNT(*) AS n FROM ia GROUP BY b""",
+
+      "q68_array_predicates" -> """
+        WITH t AS (SELECT lang,
+            string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
+        SELECT lang, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN len(list_filter(toks, x -> x = 'the')) > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_has_the,
+          CAST(SUM(CASE WHEN len(list_filter(toks, x -> length(x) >= 8)) = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_all_short
+        FROM t GROUP BY lang""",
 
       "q67_date_gaps" -> """
         WITH t AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d FROM orders),
