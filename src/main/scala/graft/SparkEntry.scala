@@ -659,6 +659,16 @@ object SparkEntry {
           sum(when(col("all_short"), 1L).otherwise(0L)).as("n_all_short"))
     }),
 
+    // --- batch session windows (native session_window; oracle = lag+cumsum) ---
+    "q69_session_batch" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(graft.util.Num.Money)).cast("double").as("sum_value"),
+          min(col("event_id")).as("first_event"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"), col("sum_value"), col("first_event"))),
+
     // --- calendar-spine gap detection (time-series completeness) ---
     "q67_date_gaps" -> ((s, dir) => {
       val perKey = Tables.orders(s, dir)
@@ -1161,6 +1171,22 @@ object SparkEntry {
           CAST(SUM(CASE WHEN len(list_filter(toks, x -> length(x) >= 8)) = 0
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_all_short
         FROM t GROUP BY lang""",
+
+      "q69_session_batch" -> """
+        WITH e AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events),
+        flagged AS (SELECT *,
+            CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessioned AS (SELECT *,
+            SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged)
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value,
+               MIN(event_id) AS first_event
+        FROM sessioned GROUP BY user_id, sid""",
 
       "q67_date_gaps" -> """
         WITH t AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d FROM orders),

@@ -49,4 +49,9 @@ class PlanSpec extends SparkSpec {
     val p = plan("q37_cosine_topk")
     assert(p.toLowerCase.contains("dotproduct"), p.take(800))
   }
+
+  test("AQE re-plans at runtime (coalesced shuffle read in the final plan)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("AQEShuffleRead"), p.take(600))
+  }
 }
