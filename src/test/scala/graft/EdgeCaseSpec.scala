@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** Adversarial/edge inputs through the operator surface: empty relations,
+  * unicode/emoji text, degenerate documents, zero vectors — nothing may
+  * throw under ANSI mode (Spark 4 default), and empty in ⇒ empty out.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emptyDocs =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("empty inputs flow through dedup/window/similarity operators") {
+    assert(Dedup.keepLast(emptyDocs, Seq("doc_id"), Seq(col("text").desc)).isEmpty)
+    assert(MinHashDedup.nearDupPairs(emptyDocs, "doc_id", "text").isEmpty)
+    assert(SimHashDedup.nearDupPairs(emptyDocs, "doc_id", "text").isEmpty)
+    assert(SetSimJoin.jaccardPairs(emptyDocs, "doc_id", "text", 3, 0.5).isEmpty)
+    assert(TextEmbed.hashEmbed(emptyDocs, "doc_id", "text", 16).isEmpty)
+    val emptyBars = Seq.empty[(String, java.sql.Timestamp, Double, Long)]
+      .toDF("k", "t", "px", "seq")
+    assert(Resample.ohlc(emptyBars, "k", "t", "px", "seq", "month").isEmpty)
+    assert(Windows.sma(emptyBars, Seq("k"), Seq(col("t")), "px", 3, "m").isEmpty)
+  }
+
+  test("unicode, emoji, huge tokens, and whitespace-only text don't throw") {
+    val weird = Seq(
+      (1L, "héllo wörld 你好 世界 你好"),
+      (2L, "🎉🎉 emoji 🎉 mixed with ascii"),
+      (3L, "x" * 10000 + " tiny"),
+      (4L, "   \t  \n  "),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val stats = weird.select(
+      TF.tokenCount($"text").as("n"),
+      TF.bpeishCount($"text").as("b"),
+      TF.fingerprint(TF.tokens($"text")).as("fp"),
+      size(TF.shingles(TF.tokens($"text"), 3)).as("sh")).collect()
+    assert(stats.length == 5)
+    assert(stats.forall(r => r.getInt(0) >= 0))
+    // dedup ops run end-to-end on the same weird corpus
+    assert(MinHashDedup.nearDupPairs(weird, "doc_id", "text").count() >= 0)
+    assert(SimHashDedup.nearDupPairs(weird, "doc_id", "text").count() >= 0)
+    assert(TextEmbed.cosineNearDupDocs(weird, "doc_id", "text", 16, 0.9).count() >= 0)
+  }
+
+  test("zero and mismatched-length vectors are safe") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 2.0f, 3.0f)),
+      (3L, Array(1.0f, 2.0f)) // shorter: dot truncates to common prefix
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.thresholdPairs(vecs, threshold = -1.0).collect()
+    assert(pairs.length == 3) // all pairs scored, zero vector scores 0
+    val zeroPair = Similarity.thresholdPairs(vecs.filter($"vec_id" <= 2), -1.0).head()
+    assert(zeroPair.getAs[Double]("score") == 0.0)
+  }
+
+  test("as-of join with empty right side yields all-null payloads") {
+    val left = Seq((1, 5L, "x")).toDF("k", "t", "tag")
+    val right = Seq.empty[(Int, Long, String)].toDF("k", "rt", "payload")
+    val out = AsOfJoin.backward(left, right, "k", "t", "rt", Seq("payload"))
+    assert(out.count() == 1 && out.head().isNullAt(out.head().fieldIndex("asof_payload")))
+  }
+}
