@@ -35,13 +35,20 @@ object Bench {
     // min of two runs per query: steadier numbers under co-tenancy. Cache is
     // cleared between runs so operator-internal persists are rebuilt — the
     // repeat measures the operator, not a warm data cache.
+    // A failed query reports -1 (never a small-looking elapsed time) and
+    // logs to stderr — regressions must not masquerade as speedups.
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        t
+        if (ok) t else -1.0
       }
       name -> math.min(once(), once())
     }

@@ -146,8 +146,8 @@ object SparkEntry {
       import s.implicits._
       val bands = Seq(("b0", 0.0, 10.0), ("b1", 10.0, 20.0), ("b2", 20.0, 30.0),
         ("b3", 30.0, 40.0), ("b4", 40.0, 100.0)).toDF("band", "lo", "hi")
-      Joins.thetaBroadcast(Tables.lineitem(s, dir), bands,
-          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      Joins.bandJoin(Tables.lineitem(s, dir), bands,
+          col("l_quantity"), col("lo"), col("hi"))
         .groupBy("band")
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
     }),

@@ -19,7 +19,9 @@ object VectorFunctions {
 
   /** Σ aᵢ·bᵢ in double precision — native codegen'd loop
     * ([[graft.functions.expressions.DotProduct]]); sums left-to-right, so
-    * results are bit-identical to [[dotHof]] and to a sequential engine loop.
+    * results are bit-identical to [[dotHof]] and to a sequential engine
+    * loop, including NULL semantics (mismatched lengths or null elements →
+    * NULL; both asserted in TextVectorSpec/EdgeCaseSpec).
     */
   def dot(a: Column, b: Column): Column =
     graft.functions.expressions.DotProduct(a, b)

@@ -24,7 +24,9 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // nullable regardless of children: mismatched lengths / null elements
+  // yield NULL even for non-null inputs
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -43,15 +45,31 @@ case class DotProduct(left: Expression, right: Expression)
           s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
+  private def mayContainNullElements: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  /** NULL semantics match the zip_with/aggregate formulation exactly:
+    * mismatched lengths → NULL (zip_with pads with null, which propagates),
+    * any null element → NULL. The null-element check is emitted only when
+    * the input types admit null elements, so the common non-null hot loop
+    * stays branch-free.
+    */
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) return null
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
+    val checkNulls = mayContainNullElements
     var s = 0.0
     var i = 0
+    val n = x.numElements()
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -65,15 +83,21 @@ case class DotProduct(left: Expression, right: Expression)
     val rGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullCheck = if (mayContainNullElements)
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      else ""
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $s += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $s = 0.0;
+          for (int $i = 0; $i < $a.numElements(); $i++) {
+            $nullCheck
+            $s += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+          }
+          ${ev.value} = $s;
         }
-        ${ev.value} = $s;
       """
     })
   }

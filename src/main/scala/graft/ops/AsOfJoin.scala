@@ -36,32 +36,38 @@ object AsOfJoin {
                payload: Seq[String],
                tolerance: Option[Column] = None): DataFrame = {
     val leftCols = left.columns.toSeq
+    // The whole right payload rides in ONE struct that is non-null exactly
+    // on right rows: `last(_, ignoreNulls)` then selects the latest right
+    // ROW — not the latest non-null value per column, which would resurrect
+    // stale payloads past newer rows whose payload happens to be null and
+    // could mix columns from different right rows.
+    val payloadStruct = struct(
+      (col(rightTime).as("__rt") +: payload.map(p => col(p).as(p))): _*)
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-      .withColumns(payload.map(p => s"__p_$p" -> lit(null).cast(right.schema(p).dataType)).toMap)
-      .select((Seq(col(key).as("__k"), col("__t"), col("__side")) ++
-        payload.map(p => col(s"__p_$p")) ++ leftCols.map(col)): _*)
+      .withColumn("__p", lit(null).cast(
+        right.select(payloadStruct).schema.head.dataType))
+      .select((Seq(col(key).as("__k"), col("__t"), col("__side"), col("__p")) ++
+        leftCols.map(col)): _*)
     val r = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
-      .select((Seq(col(key).as("__k"), col("__t"), col("__side")) ++
-        payload.map(p => col(p).as(s"__p_$p")) ++
+      .withColumn("__p", payloadStruct)
+      .select((Seq(col(key).as("__k"), col("__t"), col("__side"), col("__p")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l.unionByName(r).withColumns(
-      (payload.map(p => s"__c_$p" -> last(col(s"__p_$p"), ignoreNulls = true).over(w)) :+
-        ("__c_rt" -> last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))).toMap)
-    val matched = carried.filter(col("__side") === 1)
-    val withTol = tolerance match {
+    val matched = l.unionByName(r)
+      .withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val effective = tolerance match {
       case None => matched
       case Some(tol) =>
-        val stale = col("__t").cast("long") - col("__c_rt").cast("long") > tol
-        matched.withColumns(payload.map(p =>
-          s"__c_$p" -> when(stale, lit(null)).otherwise(col(s"__c_$p"))).toMap)
+        val stale = col("__t").cast("long") - col("__c.__rt").cast("long") > tol
+        matched.withColumn("__c", when(stale, lit(null)).otherwise(col("__c")))
     }
-    withTol.select(
-      (leftCols.map(col) ++ payload.map(p => col(s"__c_$p").as(s"asof_$p"))): _*)
+    effective.select(
+      (leftCols.map(col) ++ payload.map(p => col(s"__c.$p").as(s"asof_$p"))): _*)
   }
 }

@@ -35,15 +35,18 @@ object Joins {
   def anti(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame  = l.join(r, keys, "left_anti")
   def cross(l: DataFrame, r: DataFrame): DataFrame = l.crossJoin(r)
 
-  /** J5: value-in-band range join. Bands are expected small → broadcast, so
-    * the theta condition is evaluated as a BroadcastNestedLoop over a tiny
-    * build side (O(|fact| × |bands|) comparisons but zero shuffle of the
-    * fact). For large-large range joins, bucketize the value into coarse
-    * grid cells and equi-join on the cell first.
+  /** J5: value-in-band range join, HALF-OPEN [lo, hi) — contiguous band
+    * tables assign boundary values to exactly one band (inclusive-inclusive
+    * would double-count rows landing on shared boundaries). Bands are
+    * expected small → broadcast, so the theta condition is evaluated as a
+    * BroadcastNestedLoop over a tiny build side (O(|fact| × |bands|)
+    * comparisons but zero shuffle of the fact). For large-large range
+    * joins, bucketize the value into coarse grid cells and equi-join on the
+    * cell first.
     */
   def bandJoin(fact: DataFrame, bands: DataFrame, value: Column,
                lo: Column, hi: Column): DataFrame =
-    fact.join(broadcast(bands), value >= lo && value <= hi, "inner")
+    fact.join(broadcast(bands), value >= lo && value < hi, "inner")
 
   /** Generic theta join against a broadcast-sized build side. */
   def thetaBroadcast(fact: DataFrame, small: DataFrame, cond: Column): DataFrame =

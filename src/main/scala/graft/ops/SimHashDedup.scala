@@ -65,11 +65,15 @@ object SimHashDedup {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     val prints = simhashPrints(docs, idCol, textCol)
+    // both sides of the self-join read this — persist, same rationale as
+    // MinHashDedup/SetSimJoin (the 64-sum vote aggregation is the expensive
+    // stage; recomputing it doubles operator cost)
     val chunks = prints.select(col("id"), col("sh"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("ci"),
             shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL).as("cv"))): _*)).as("c"))
       .select(col("id"), col("sh"), col("c.ci"), col("c.cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     chunks.as("x").join(chunks.as("y"),
         col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
           col("x.id") < col("y.id"))

@@ -24,6 +24,16 @@ class AsOfJoinSpec extends SparkSpec {
     ))
   }
 
+  test("null payload on the matched row stays null (no stale resurrection)") {
+    // rt=18 is the as-of match; its payload is null. A naive per-column
+    // last(ignoreNulls) would resurrect "old" from rt=5 — must not.
+    val left = Seq((1, 20L, "p")).toDF("k", "t", "ltag")
+    val right = Seq((1, 5L, Some("old")), (1, 18L, Option.empty[String]))
+      .toDF("k", "rt", "payload")
+    val out = AsOfJoin.backward(left, right, "k", "t", "rt", Seq("payload")).head()
+    assert(out.isNullAt(out.fieldIndex("asof_payload")))
+  }
+
   test("tolerance nulls out stale matches") {
     import org.apache.spark.sql.functions.lit
     val left = Seq((1, 20L, "p")).toDF("k", "t", "ltag")

@@ -51,12 +51,26 @@ class EdgeCaseSpec extends SparkSpec {
     val vecs = Seq(
       (1L, Array(0.0f, 0.0f, 0.0f)),
       (2L, Array(1.0f, 2.0f, 3.0f)),
-      (3L, Array(1.0f, 2.0f)) // shorter: dot truncates to common prefix
+      (3L, Array(1.0f, 2.0f)) // shorter: dot is NULL (matches HOF semantics)
     ).toDF("vec_id", "embedding")
     val pairs = Similarity.thresholdPairs(vecs, threshold = -1.0).collect()
-    assert(pairs.length == 3) // all pairs scored, zero vector scores 0
+    // (2,3) mismatched lengths -> dot NULL -> filtered; (1,2) and (1,3)
+    // survive because the zero-norm guard scores them 0 before any dot runs
+    assert(pairs.length == 2)
+    assert(pairs.forall(_.getAs[Double]("score") == 0.0))
     val zeroPair = Similarity.thresholdPairs(vecs.filter($"vec_id" <= 2), -1.0).head()
-    assert(zeroPair.getAs[Double]("score") == 0.0)
+    assert(zeroPair.getAs[Double]("score") == 0.0) // zero vector scores 0, not NaN
+  }
+
+  test("native dot NULL semantics match the HOF formulation on edge inputs") {
+    val df = Seq(
+      (Array(1.0f), Array(1.0f, 2.0f)), // length mismatch
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f))
+    ).toDF("a", "b")
+    val got = df.select(VF.dot($"a", $"b").as("n"), VF.dotHof($"a", $"b").as("h"))
+      .collect()
+    assert(got(0).isNullAt(0) && got(0).isNullAt(1)) // both NULL on mismatch
+    assert(got(1).getDouble(0) == 11.0 && got(1).getDouble(1) == 11.0)
   }
 
   test("as-of join with empty right side yields all-null payloads") {
