@@ -18,6 +18,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // pinned at build time: events.parquet is TIMESTAMP(NANOS) (see
+      // Tables.events scaladoc on the setting's session-global scope)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -30,6 +33,7 @@ object Bench {
         try SparkEntry.queries(q)(spark, warmupDir).count()
         catch { case _: Throwable => () }
       }
+    graft.util.Caches.releaseAll()
     spark.catalog.clearCache() // drop warmup persists; timed runs start cold on data
 
     // min of two runs per query: steadier numbers under co-tenancy. Cache is
@@ -47,6 +51,7 @@ object Bench {
             false
           }
         val t = (System.nanoTime() - t0) / 1e9
+        graft.util.Caches.releaseAll()
         spark.catalog.clearCache()
         if (ok) t else -1.0
       }

@@ -286,6 +286,8 @@ object SparkEntry {
         .groupBy("c_mktsegment", "wealth")
         .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))),
 
+    // NOTE: there is deliberately no q28 — a round-1 numbering gap kept
+    // stable (not backfilled) so query ids diff cleanly across rounds.
     "q29_pivot" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(pmod(col("user_id"), lit(20)).as("user_bucket"))
@@ -327,9 +329,14 @@ object SparkEntry {
         col("doc_id"),
         TF.fingerprint(TF.tokens(col("text"))).as("fingerprint"))),
 
+    // dfCap bounds hot-shingle skew (any index key contributes ≤ C(cap,2)
+    // pairs); 64 is far above this corpus's max df (14 at sf0.1), so the
+    // oracle's uncapped Jaccard matches exactly — the cap exists for the
+    // 100 TB path and is behavior-tested with a planted stop-shingle corpus.
     "q36_ngram_jaccard" -> ((s, dir) =>
       SetSimJoin.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 3, threshold = 0.3, blockCol = Some("lang"))),
+        shingleN = 3, threshold = 0.3, blockCol = Some("lang"),
+        dfCap = Some(64L))),
 
     // --- hash-based dedup (rows-only: hash functions are engine-specific) ---
     "q34_minhash_neardup" -> ((s, dir) =>
@@ -457,14 +464,18 @@ object SparkEntry {
     "q52_top_supplier" -> ((s, dir) => {
       Tables.supplier(s, dir).createOrReplaceTempView("graft_supplier")
       Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+      // the scalar-subquery formulation (WHERE total_rev = (SELECT MAX ...))
+      // scanned lineitem twice; the empty-frame window max reuses the single
+      // rev aggregate — one fact scan, one agg shuffle, one 1-row broadcast
       s.sql(s"""
         WITH rev AS (
           SELECT l_suppkey,
                  ${dsumSql("l_extendedprice*(1.0-l_discount)")} AS total_rev
-          FROM graft_lineitem GROUP BY l_suppkey)
+          FROM graft_lineitem GROUP BY l_suppkey),
+        m AS (SELECT *, MAX(total_rev) OVER () AS max_rev FROM rev)
         SELECT s_suppkey, s_name, total_rev
-        FROM graft_supplier JOIN rev ON s_suppkey = l_suppkey
-        WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        FROM graft_supplier JOIN m ON s_suppkey = l_suppkey
+        WHERE total_rev = max_rev
       """)
     }),
 
@@ -680,8 +691,105 @@ object SparkEntry {
           (datediff(col("d1"), col("d0")) + 1).cast("long").as("n_days"),
           col("n_present"))
         .withColumn("n_missing", col("n_days") - col("n_present"))
-    })
+    }),
+
+    // --- transitive dup-group collapse (connected components) ---
+    // Edge set = the exact n-gram Jaccard near-dup pairs (which on this
+    // corpus are isolated 2-cliques) UNION a planted deterministic 3-chain
+    // per 100 doc_ids (i−i+1, i+1−i+2 with NO direct i−i+2 edge) — the
+    // transitive case single-hop canonicalIds gets wrong and dupGroups must
+    // resolve (component = min reachable id).
+    "q70_dedup_groups" -> ((s, dir) => {
+      val jac = SetSimJoin.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, threshold = 0.1, blockCol = Some("lang"), dfCap = Some(64L))
+        .select("id_a", "id_b")
+      val chain = Tables.documents(s, dir)
+        .filter(col("doc_id") % 100 < 2)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      MinHashDedup.dupGroups(jac.unionByName(chain))
+    }),
+
+    // --- CSV sink + fixed-schema scan, oracle-covered (S2/S3) ---
+    // Parquet → CSV (header) → fixed-schema CSV read → aggregate; double
+    // columns survive exactly (shortest-round-trip formatting both ways), so
+    // the oracle over the ORIGINAL parquet proves the CSV round trip
+    // lossless. Fixture lands under the repo's target dir.
+    "q71_csv_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val path = "/root/repo/target/graft_csv/lineitem_slim"
+      graft.sources.CsvIngest.write(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber",
+          "l_returnflag", "l_quantity", "l_extendedprice"),
+        path)
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+        StructField("l_returnflag", StringType), StructField("l_quantity", DoubleType),
+        StructField("l_extendedprice", DoubleType)))
+      graft.sources.CsvIngest.read(s, path, schema)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          max(col("l_linenumber")).cast("long").as("max_line"))
+    }),
+
+    // --- REAL Structured Streaming run, oracle-covered (§2.9) ---
+    // readStream over the events parquet, tumbling-window aggregate,
+    // complete-mode memory sink, Trigger.AvailableNow (the reference's
+    // "process everything pending then stop" batch-cadence model,
+    // /root/reference/dags/financial_pipeline_dag.py). Complete mode keeps
+    // the result deterministic (no watermark-dropped late data).
+    "q72_stream_tumbling" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      // Spark's file STREAM source requires a directory (the testdata table
+      // is a single file), so stage events through the parquet sink first —
+      // which also puts the normalized-ts write path under the oracle. The
+      // stage is written once per source dir (testdata is immutable): the
+      // timed benchmark path measures the STREAM, not the workaround copy.
+      val stage = s"/root/repo/target/graft_stream/events_${new java.io.File(dir).getName}"
+      if (!new java.io.File(s"$stage/_SUCCESS").exists())
+        Tables.events(s, dir).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val ev = s.readStream.schema(schema).parquet(stage)
+      val agg = ev
+        .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(graft.util.Num.Money)).cast("double").as("sum_value"))
+        .select(col("w.start").as("bucket_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      val q = agg.writeStream.format("memory").queryName("graft_q72")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_q72")
+    }),
+
+    // --- salted equi-join on a skewed fact side (Skew.saltedJoin) ---
+    // 8-way salt bounds any hot join key's per-task rows to 1/8; the oracle
+    // is the plain join (salting must be invisible in results).
+    "q73_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Skew.saltedJoin(li, o, "l_orderkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // --- LSH-tier vector near-dup (bucketed candidates + exact verify) ---
+    // The scale path for thresholded similarity: candidates ONLY from
+    // (table, bucket) equi-joins, true cosine verifies. The oracle mirrors
+    // the deterministic seeded hyperplanes literally (they're ±1 constant
+    // arrays), so the row is hash-checked, not rows-only. Recall vs the
+    // exact tier is governed by (nBits, nTables) — see
+    // Similarity.lshThresholdPairs; the differential test reports it.
+    "q74_vector_neardup_lsh" -> ((s, dir) =>
+      Similarity.lshThresholdPairs(Tables.embeddings(s, dir), threshold = 0.4,
+        nBits = lshBits, nTables = lshTables, dim = 64))
   )
+
+  /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
+  private val lshBits = 6
+  private val lshTables = 8
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en"     -> Seq("the", "a"),
@@ -1271,7 +1379,82 @@ object SparkEntry {
           CAST(length(text) % 480 + 1 AS INT) AS height,
           'stub' AS codec,
           octet_length(encode(text)) AS n_bytes
-        FROM documents"""
+        FROM documents""",
+
+      "q70_dedup_groups" -> """
+        WITH RECURSIVE t AS (SELECT doc_id, lang,
+            string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        s AS (SELECT doc_id, lang,
+            CASE WHEN len(toks) < 3 THEN [] ELSE list_distinct(
+              list_transform(range(0, len(toks) - 2),
+                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+            END AS sh
+          FROM t),
+        jac AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE len(a.sh) > 0 AND len(b.sh) > 0
+            AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1),
+        chain AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+                  WHERE doc_id % 100 < 2),
+        p AS (SELECT id_a, id_b FROM jac UNION SELECT id_a, id_b FROM chain),
+        e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+        reach(id, r) AS (SELECT s, s FROM e
+          UNION SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.id)
+        SELECT id, MIN(r) AS component FROM reach GROUP BY id""",
+
+      "q71_csv_roundtrip" -> s"""
+        SELECT l_returnflag, COUNT(*) AS n,
+          ${dsumSql("l_quantity")} AS sum_qty,
+          ${dsumSql("l_extendedprice")} AS sum_price,
+          CAST(MAX(l_linenumber) AS BIGINT) AS max_line
+        FROM lineitem GROUP BY l_returnflag""",
+
+      "q72_stream_tumbling" -> s"""
+        SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) AS bucket_start,
+          event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+        FROM events GROUP BY 1, 2""",
+
+      "q73_salted_join" -> s"""
+        SELECT o_orderpriority, COUNT(*) AS n_lines, ${dsumSql("l_quantity")} AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority""",
+
+      "q74_vector_neardup_lsh" -> {
+        // one UNION ALL branch per hash table, each bucket a literal-plane
+        // sign sum — bit-identical to Similarity.lshThresholdPairs
+        val buckets = (0 until lshTables).map(t =>
+          s"SELECT vec_id, $t AS tbl, ${duckBucket(lshBits, t, 64)} AS bkt FROM v")
+          .mkString("\n          UNION ALL ")
+        s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        b AS ($buckets),
+        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM b x JOIN b y
+            ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+        sc AS (SELECT c.id_a, c.id_b,
+            CASE WHEN sqrt(list_dot_product(a.e, a.e)) *
+                      sqrt(list_dot_product(w.e, w.e)) = 0 THEN 0
+                 ELSE list_dot_product(a.e, w.e) /
+                   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(w.e, w.e)))
+            END AS s
+          FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v w ON w.vec_id = c.id_b)
+        SELECT id_a, id_b, round(s, 6) AS score FROM sc WHERE s >= 0.4"""
+      }
     )
   }
+
+  /** DuckDB expression computing
+    * [[graft.functions.VectorFunctions.hyperplaneBucket]] bit-identically:
+    * the seeded ±1 hyperplanes are regenerated with the SAME RNG stream and
+    * inlined as literal arrays (list_dot_product folds left-to-right like the
+    * native DotProduct, so the sign decisions agree exactly).
+    */
+  private def duckBucket(nBits: Int, seed: Int, dim: Int): String =
+    (0 until nBits).map { j =>
+      val rnd = new scala.util.Random(seed.toLong * 7919 + j)
+      val plane = Seq.fill(dim)(if (rnd.nextBoolean()) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(e, $plane) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
 }

@@ -7,20 +7,23 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * rewriteBatchedStatements, explicit write parallelism = connection budget
   * (the reference repartitions to 4, /root/reference/loading.py:116).
   *
-  * No database exists in this environment, so this is exercised only at the
-  * plan/config level by unit tests; the options map is the contract.
+  * No PostgreSQL exists in this environment; the full write path (DDL,
+  * batched inserts, append-new idempotence) is integration-tested against
+  * embedded Derby (JdbcSpec), and the options map is the PostgreSQL
+  * contract.
   */
 object JdbcLoad {
 
   def options(url: String, table: String, user: String, password: String,
-              batchSize: Int = 1000): Map[String, String] = Map(
+              batchSize: Int = 1000,
+              driver: String = "org.postgresql.Driver"): Map[String, String] = Map(
     "url" -> url,
     "dbtable" -> table,
     "user" -> user,
     "password" -> password,
     "batchsize" -> batchSize.toString,
     "rewriteBatchedStatements" -> "true",
-    "driver" -> "org.postgresql.Driver")
+    "driver" -> driver)
 
   /** Overwrite load (reference full-history path, loading.py:129-137). */
   def overwrite(df: DataFrame, opts: Map[String, String], connections: Int = 4): Unit =

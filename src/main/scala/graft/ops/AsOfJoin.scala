@@ -35,6 +35,14 @@ object AsOfJoin {
                leftTime: String, rightTime: String,
                payload: Seq[String],
                tolerance: Option[Column] = None): DataFrame = {
+    // The internal union-sort columns are reserved: an input already carrying
+    // one would be silently clobbered by withColumn and corrupt the join —
+    // fail loudly instead.
+    val reserved = Set("__t", "__side", "__p", "__k", "__c", "__rt")
+    val clash = (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"AsOfJoin reserves internal column names ${reserved.mkString(", ")}; " +
+        s"rename input columns: ${clash.mkString(", ")}")
     val leftCols = left.columns.toSeq
     // The whole right payload rides in ONE struct that is non-null exactly
     // on right rows: `last(_, ignoreNulls)` then selects the latest right

@@ -57,19 +57,18 @@ object MinHashDedup {
     // Tiny relative to the corpus: ~|doc| strings and 3 longs × bands per
     // doc; at cluster scale this is the standard LSH materialization step
     // (candidates for a checkpoint/table in a production pipeline).
-    val withShingles = docs
+    val withShingles = graft.util.Caches.cache(docs
       .select(col(idCol).as("id"),
         TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(size(col("sh")) > 0)).toDF
     // `sig` MUST be materialized behind its own alias before `bands` consumes
     // it: composing bands(signature(...)) as one expression duplicates the
     // 16-hash signature subtree into every element_at — a 16× slowdown
     // (measured 30s → 1s on sf0.01).
     val sigs = withShingles.select(col("id"), signature(col("sh"), k).as("sig"))
-    val buckets = sigs.select(col("id"), explode(bands(col("sig"), b, r)).as("b"))
-      .select(col("id"), col("b.band"), col("b.bh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = graft.util.Caches.cache(
+      sigs.select(col("id"), explode(bands(col("sig"), b, r)).as("b"))
+        .select(col("id"), col("b.band"), col("b.bh"))).toDF
     val candidates = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))
@@ -87,9 +86,56 @@ object MinHashDedup {
   }
 
   /** Collapse near-dup pairs to a keep-set: every doc maps to the minimum id
-    * in its duplicate group (single-link over one hop — exact for the
-    * transitive case when pairs are complete within groups).
+    * in its duplicate group (single-link over one hop — exact ONLY when pairs
+    * are complete within groups; chains A~B~C without an A~C pair split.
+    * [[dupGroups]] is the transitive-closure-correct collapse).
     */
   def canonicalIds(pairs: DataFrame): DataFrame =
     pairs.groupBy(col("id_b").as("id")).agg(min("id_a").as("canonical_id"))
+
+  /** Connected components over a near-dup pair set (id_a, id_b): every id
+    * that appears in any pair maps to the MINIMUM id reachable through the
+    * pair graph — the transitive-closure-correct duplicate-group collapse
+    * (chains A~B~C with no direct A~C pair land in one group).
+    *
+    * Iterative min-label propagation to fixpoint: each round is one
+    * edge⋈label equi-join + a min aggregate — all distributed, no driver
+    * data. Labels only decrease, so the fixpoint check (any label changed?)
+    * is a join + isEmpty. Rounds needed = graph diameter in the worst case
+    * (near-dup groups are shallow in practice). Each round's result is
+    * `localCheckpoint`ed: an iterative plan that merely persists still GROWS
+    * its logical plan ~2× per round (the classic lineage explosion — it
+    * OOMs the driver on plan strings past ~10 rounds), so the lineage must
+    * be CUT, not just cached. On a cluster-scale run swap localCheckpoint
+    * for `checkpoint` against a fault-tolerant dir (localCheckpoint blocks
+    * are lost with an executor).
+    *
+    * @return (id, component) — one row per distinct id in `pairs`.
+    */
+  def dupGroups(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    // label(v) = min(v, direct neighbors) to start
+    var labels = edges.select(col("src").as("id"), col("dst").as("lbl"))
+      .unionByName(edges.select(col("src").as("id"), col("src").as("lbl")))
+      .groupBy("id").agg(min("lbl").as("lbl"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = labels.unionByName(
+          edges.join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+            .select(col("src").as("id"), col("lbl")))
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      converged = next.join(labels.select(col("id"), col("lbl").as("prev")), "id")
+        .filter(col("lbl") =!= col("prev")).isEmpty
+      labels.unpersist(false)
+      labels = next
+      i += 1
+    }
+    labels.select(col("id"), col("lbl").as("component"))
+  }
 }

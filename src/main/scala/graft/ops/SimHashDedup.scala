@@ -38,21 +38,25 @@ object SimHashDedup {
   /** Hamming distance between two 64-bit prints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Simhash prints via explode + hash aggregate: one row per token, 64
-    * codegen'd conditional sums, one shuffle by doc id. Much faster than the
-    * per-row array fold (which stays outside whole-stage codegen) and the
-    * shape that scales — token rows partition evenly regardless of document
-    * length skew.
+  /** Simhash prints via explode + two hash aggregates. The first groupBy
+    * collapses repeated tokens to `(id, token_hash) → cnt` — natural-language
+    * documents repeat tokens heavily, so the expensive stage downstream sees
+    * several-fold fewer rows, and the only work per raw token row is one
+    * count (map-side combined). The second aggregate computes the 64
+    * codegen'd conditional sums over the collapsed rows, each vote weighted
+    * by cnt — identical votes, identical prints. Both shuffles hash-partition
+    * evenly regardless of document length skew.
     */
   def simhashPrints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokenRows = docs
       .select(col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .select(col("id"), xxhash64(col("tok")).as("h"))
+    val counted = tokenRows.groupBy("id", "h").agg(count(lit(1)).as("cnt"))
     val votes = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-        .as(s"v$j"))
-    tokenRows.groupBy("id").agg(votes.head, votes.tail: _*)
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"v$j"))
+    counted.groupBy("id").agg(votes.head, votes.tail: _*)
       .select(col("id"),
         (0 until 64).map(j =>
           when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
@@ -65,15 +69,15 @@ object SimHashDedup {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     val prints = simhashPrints(docs, idCol, textCol)
-    // both sides of the self-join read this — persist, same rationale as
-    // MinHashDedup/SetSimJoin (the 64-sum vote aggregation is the expensive
-    // stage; recomputing it doubles operator cost)
-    val chunks = prints.select(col("id"), col("sh"),
+    // both sides of the self-join read this — persist (tracked: released by
+    // Caches.releaseAll once the result is consumed), same rationale as
+    // MinHashDedup/SetSimJoin (the vote aggregation is the expensive stage;
+    // recomputing it doubles operator cost)
+    val chunks = graft.util.Caches.cache(prints.select(col("id"), col("sh"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("ci"),
             shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL).as("cv"))): _*)).as("c"))
-      .select(col("id"), col("sh"), col("c.ci"), col("c.cv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), col("sh"), col("c.ci"), col("c.cv"))).toDF
     chunks.as("x").join(chunks.as("y"),
         col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
           col("x.id") < col("y.id"))

@@ -4,17 +4,19 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
+import graft.util.Caches
 
 /** North-star similarity search over `array<float>` embedding columns.
   *
-  * Three tiers:
+  * Four tiers:
   *  - [[bruteForceTopK]]: exact — broadcast the (small) query set against the
   *    corpus; one corpus scan, no corpus shuffle. The baseline and the
   *    correctness oracle for the approximate tiers.
-  *  - [[thresholdPairs]]: exact all-pairs >= threshold within blocking keys.
-  *  - [[lshTopK]]: approximate — random-hyperplane bucket equi-join first,
-  *    exact cosine re-rank within buckets. At 100 TB the bucket join replaces
-  *    the corpus×query cross product; recall is tuned by nBits/nTables.
+  *  - [[thresholdPairs]]: exact all-pairs >= threshold, distributed as a
+  *    block-partitioned self-join (no broadcast nested loop).
+  *  - [[lshThresholdPairs]]: approximate pairs — hyperplane-LSH bucket
+  *    candidates, exact cosine verification. The scale path for near-dup.
+  *  - [[lshTopK]]: approximate top-k — bucket equi-join, exact re-rank.
   */
 object Similarity {
 
@@ -39,16 +41,81 @@ object Similarity {
   }
 
   /** Exact near-duplicate vector pairs (id_a < id_b, cosine >= threshold).
-    * All-pairs within the full corpus — O(n²/2) comparisons via self-join;
-    * use only when n is bounded or pre-blocked. The scale path is [[lshTopK]]
-    * buckets followed by this verification within buckets.
+    *
+    * Exact thresholded similarity is inherently Θ(n²) comparisons on dense
+    * vectors (nothing can prune without losing pairs at the threshold), so
+    * the scale lever is DISTRIBUTION, not asymptotics: the corpus is split
+    * into `blocks` deterministic id-hash blocks and the triangular set of
+    * block pairs (b1 <= b2) drives two equi-joins — a broadcast of the tiny
+    * (b1,b2) table, then a shuffled equi-join on the block id. Every
+    * unordered vector pair is produced exactly once, the O(n²) compare work
+    * spreads over `blocks` shuffle partitions (AQE splits stragglers), and no
+    * BroadcastNestedLoopJoin / driver-side corpus broadcast appears in the
+    * plan. Raise `blocks` with corpus size; per-task compare work scales as
+    * (n/blocks)² per block pair.
+    *
+    * When the use-case is near-duplicate detection at high thresholds,
+    * prefer [[lshThresholdPairs]] — sub-quadratic candidates, same verified
+    * output scores.
     */
-  def thresholdPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
-      norm(col("embedding")).as("n_a"))
-    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
-      norm(col("embedding")).as("n_b"))
-    a.join(b, col("id_a") < col("id_b"))
+  def thresholdPairs(corpus: DataFrame, threshold: Double, blocks: Int = 32): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val blk = pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int")
+    val l = corpus.select(col("vec_id").as("id_l"), col("embedding").as("e_l"),
+      norm(col("embedding")).as("n_l"), blk.as("b_l"))
+    val r = corpus.select(col("vec_id").as("id_r"), col("embedding").as("e_r"),
+      norm(col("embedding")).as("n_r"), blk.as("b_r"))
+    val blockPairs = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+      .toDF("b1", "b2")
+    l.join(broadcast(blockPairs), col("b_l") === col("b1"))
+      .join(r, col("b_r") === col("b2"))
+      // diagonal blocks would otherwise emit both orientations + self-pairs
+      .filter(col("b1") < col("b2") || col("id_l") < col("id_r"))
+      .withColumn("score", when(col("n_l") * col("n_r") === 0.0, 0.0)
+        .otherwise(dot(col("e_l"), col("e_r")) / (col("n_l") * col("n_r"))))
+      .filter(col("score") >= threshold)
+      // cross-block pairs arrive in block order, not id order; dot/norm are
+      // symmetric (same left-to-right element order), so canonicalizing ids
+      // after scoring is bit-exact
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** Near-duplicate pairs via hyperplane-LSH candidates + exact verification:
+    * each vector gets one `nBits`-bit sign bucket per hash table; candidates
+    * are pairs sharing a (table, bucket); true cosine filters them. Output ⊆
+    * [[thresholdPairs]] with identical scores — LSH only GENERATES, never
+    * scores.
+    *
+    * Recall knobs: a pair at cosine s collides per table with probability
+    * (1 − acos(s)/π)^nBits, overall 1 − (1 − p)^nTables — e.g. s = 0.95,
+    * nBits = 8, nTables = 12 → ~99.9%. Raise nTables for recall, nBits to
+    * shrink buckets (cost is Σ_buckets |bucket|² candidate pairs). Designed
+    * for HIGH thresholds; at low thresholds (≲0.6) collision probabilities
+    * decay too fast and [[thresholdPairs]] is the honest choice.
+    */
+  def lshThresholdPairs(corpus: DataFrame, threshold: Double,
+                        nBits: Int = 8, nTables: Int = 12, dim: Int = 64): DataFrame = {
+    val v = Caches.cache(corpus.select(col("vec_id").as("id"), col("embedding").as("e"),
+      norm(col("embedding")).as("n")))
+    // One corpus scan computes every table's bucket via the native
+    // HyperplaneBuckets expression (constant-size codegen loop over a plane
+    // matrix — the composed literal-plane formulation unrolls ~25k terms at
+    // these knobs, blows Janino's 64 KB method limit, and silently runs the
+    // stage interpreted), then explodes to (table, bucket) rows.
+    val buckets = v.select(col("id"),
+      posexplode(graft.functions.expressions.HyperplaneBuckets(
+        col("e"), nBits, nTables, dim)).as(Seq("tbl", "bkt")))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(v.select(col("id").as("id_a"), col("e").as("e_a"), col("n").as("n_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("e").as("e_b"), col("n").as("n_b")), "id_b")
       .withColumn("score", when(col("n_a") * col("n_b") === 0.0, 0.0)
         .otherwise(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b"))))
       .filter(col("score") >= threshold)

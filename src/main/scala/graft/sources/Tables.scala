@@ -35,6 +35,13 @@ object Tables {
     * exact range). DuckDB's `CAST(ts AS TIMESTAMP)` truncates identically, so
     * oracle comparisons stay bit-exact. Result is TIMESTAMP_NTZ to match the
     * tz-naive reference data model (/root/reference/extraction.py:60).
+    *
+    * NOTE: `nanosAsLong` is a SESSION-GLOBAL setting — setting it here (so
+    * the read works in any session) also makes every later nanos-timestamp
+    * parquet read in the session surface longs. Graft's own entry points
+    * (`Verify`/`Bench`/test sessions) pin it at session build time; library
+    * users who read other nanos-parquet in the same session should set it
+    * explicitly rather than rely on call order.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -9,7 +9,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * "3-runs-a-day micro-batch" model to event-time sessions).
   *
   * Events are keyed by user; a session closes when the gap to the next
-  * event exceeds `gapMicros`. Closed sessions are emitted; the open tail
+  * event EXCEEDS `gapMicros` — an event at exactly the gap continues the
+  * session. This matches Spark's native `session_window`, which MERGES
+  * touching [t, t+gap) windows (verified empirically and pinned by a
+  * StreamingSpec boundary test), and the q69 oracle's strict `>` new-session
+  * predicate. Closed sessions are emitted; the open tail
   * session stays in state across micro-batches. State per key is O(1)
   * (last-ts/start/count/sum), so executor memory is bounded by distinct
   * keys, not events — the property that matters at stream scale.

@@ -25,12 +25,15 @@ object Num {
   /** Exact sum of a double column, returned as double. */
   def dsum(c: Column): Column = sum(c.cast(Money)).cast("double")
 
-  /** Exact-sum-based average of a double column, returned as double. */
-  def davg(c: Column): Column = dsum(c) / count(lit(1))
+  /** Exact-sum-based average of a double column, returned as double.
+    * Standard SQL AVG semantics: the denominator counts NON-NULL values of
+    * `c` (matching [[davgSql]]'s `COUNT(e)`), not all rows.
+    */
+  def davg(c: Column): Column = dsum(c) / count(c)
 
   /** SQL fragment computing the same exact sum in DuckDB. */
   def dsumSql(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(38,4))) AS DOUBLE)"
 
   /** SQL fragment computing the same exact average in DuckDB. */
-  def davgSql(e: String): String = s"${dsumSql(e)} / COUNT(*)"
+  def davgSql(e: String): String = s"${dsumSql(e)} / COUNT($e)"
 }

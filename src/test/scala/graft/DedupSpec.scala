@@ -54,4 +54,59 @@ class DedupSpec extends SparkSpec {
       assert(d.count() == pairs.map(_._1).distinct.size)
     }
   }
+
+  test("dupGroups resolves planted 3-chains transitively (canonicalIds cannot)") {
+    import graft.ops.MinHashDedup
+    // 3-chain (1-2-3, NO direct 1-3 edge), 4-chain, isolated pair, triangle
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L),
+      (20L, 21L),
+      (30L, 31L), (31L, 32L), (30L, 32L)
+    ).toDF("id_a", "id_b")
+    val got = MinHashDedup.dupGroups(pairs)
+      .as[(Long, Long)].collect().toMap
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L)
+    assert(got == expected)
+    // the single-hop collapse splits the chain — documents why dupGroups exists
+    val oneHop = MinHashDedup.canonicalIds(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(oneHop(3L) == 2L, "single-hop mislabels chain tails")
+  }
+
+  test("dupGroups converges on a long path (label must travel the diameter)") {
+    import graft.ops.MinHashDedup
+    val path = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = MinHashDedup.dupGroups(path).as[(Long, Long)].collect().toMap
+    assert(got == (0L to 12L).map(_ -> 0L).toMap)
+  }
+
+  test("jaccardPairs dfCap drops only stop-shingle-dependent pairs") {
+    import graft.ops.SetSimJoin
+    // every doc contains the stop 3-gram "zz zz zz"; docs 1/2 additionally
+    // share real content; 3..6 share nothing else
+    val stop = "zz zz zz"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $stop"),
+      (2L, s"alpha beta gamma delta epsilon $stop"),
+      (3L, s"one two three $stop"),
+      (4L, s"four five six $stop"),
+      (5L, s"seven eight nine $stop"),
+      (6L, s"ten eleven twelve $stop")
+    ).toDF("doc_id", "text")
+    val uncapped = SetSimJoin.jaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.05)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the stop shingle alone links every doc pair at this low threshold
+    assert(uncapped.size > 1 && uncapped.contains((3L, 4L)))
+    val capped = SetSimJoin.jaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.05, dfCap = Some(3L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)),
+      s"cap must keep real-overlap pairs and drop stop-only pairs: $capped")
+  }
 }

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{AsOfJoin, SetSimJoin}
+import graft.ops.{AsOfJoin, SetSimJoin, SimHashDedup, Similarity}
+import graft.sources.Tables
 
 /** Differential tests: the custom operators vs brute-force Scala reference
   * implementations on seeded random data — the strongest correctness
@@ -50,5 +51,75 @@ class DifferentialSpec extends SparkSpec {
       if j >= 0.25
     } yield (ia, ib)).toSet
     assert(got == expected)
+  }
+
+  private def randomVecs(n: Int, dim: Int, seed: Int): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    (0L until n.toLong).map(i => (i, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+  }
+
+  private def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    if (na * nb == 0) 0.0 else dot / (na * nb)
+  }
+
+  test("Similarity.thresholdPairs (blocked) matches brute-force all-pairs") {
+    val vecs = randomVecs(80, 16, seed = 23)
+    val df = vecs.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val got = Similarity.thresholdPairs(df, threshold = 0.3, blocks = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      if cosine(va, vb) >= 0.3
+    } yield (ia, ib)).toSet
+    assert(got == expected)
+    // every pair exactly once, no diagonal dupes
+    val all = Similarity.thresholdPairs(df, threshold = -1.0, blocks = 7)
+    assert(all.count() == 80L * 79 / 2)
+  }
+
+  test("Similarity.lshThresholdPairs ⊆ exact tier; full recall on planted near-dups") {
+    val rnd = new scala.util.Random(31)
+    val base = Seq.fill(60)(Seq.fill(32)(rnd.nextFloat() * 2 - 1))
+    // plant: every 4th vector gets a tiny-perturbation twin (cosine ≈ 0.999)
+    val vecs: Seq[(Long, Seq[Float])] = base.zipWithIndex.flatMap { case (v, i) =>
+      val twin = if (i % 4 == 0)
+        Seq((1000L + i, v.map(x => x + rnd.nextFloat() * 0.02f))) else Seq.empty
+      (i.toLong, v) +: twin
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val exact = Similarity.thresholdPairs(df, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.lshThresholdPairs(df, threshold = 0.9,
+        nBits = 8, nTables = 12, dim = 32)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH must never invent or rescore pairs")
+    val planted = exact.filter(_._3 >= 0.99)
+    assert(planted.nonEmpty && planted.subsetOf(lsh),
+      s"planted near-dups must all be recalled: missing ${planted.diff(lsh)}")
+  }
+
+  test("simhashPrints (counted pre-agg) matches the per-token-row formulation") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val got = SimHashDedup.simhashPrints(docs, "doc_id", "text")
+    // the round-1 formulation: 64 conditional ±1 sums over raw token rows
+    val tokenRows = docs
+      .select(col("doc_id").as("id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"v$j"))
+    val reference = tokenRows.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(j =>
+          when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sh"))
+    assert(got.as[(Long, Long)].collect().toSet ==
+      reference.as[(Long, Long)].collect().toSet)
   }
 }

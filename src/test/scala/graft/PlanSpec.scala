@@ -54,4 +54,26 @@ class PlanSpec extends SparkSpec {
     val p = plan("q01_pricing_summary")
     assert(p.contains("AQEShuffleRead"), p.take(600))
   }
+
+  test("q39/q63/q74: pair generation never BroadcastNestedLoops") {
+    for (q <- Seq("q39_vector_neardup", "q74_vector_neardup_lsh",
+        "q63_text_embed_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoop"),
+        s"$q must generate pairs via blocked/bucketed equi-joins\n${p.take(1200)}")
+      graft.util.Caches.releaseAll()
+    }
+  }
+
+  test("q52: revenue CTE computed once (window max, not scalar-subquery rescan)") {
+    val p = plan("q52_top_supplier")
+    // one lineitem scan + one supplier scan; the old scalar-subquery form
+    // scanned lineitem twice
+    assert(countOf(p, "Scan parquet") == 2, p.take(1500))
+  }
+
+  test("q73: the salted key participates in the join") {
+    val p = plan("q73_salted_join")
+    assert(p.contains("__salt"), p.take(1200))
+  }
 }

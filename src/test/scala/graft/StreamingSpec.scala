@@ -48,6 +48,32 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq(Sessionize.Session(1L, 0L, 10 * min, 2, 3.0)))
   }
 
+  test("session boundary: an event at EXACTLY the gap continues the session " +
+      "(Sessionize ≡ native session_window merge of touching windows)") {
+    import graft.streaming.{Sessionize, StreamingOps}
+    import graft.streaming.Sessionize.Event
+    val min = 60L * 1000000
+    // native convention first: [0, 30) and [30, 60) touch → MERGED (1 session);
+    // an event 1µs past the gap splits (2 sessions)
+    def nativeSessions(micros: Seq[Long]): Long = micros
+      .toDF("us").select(expr("cast(timestamp_micros(us) as timestamp_ntz)").as("ts"))
+      .groupBy(session_window(col("ts"), "30 minutes")).count().count()
+    assert(nativeSessions(Seq(0L, 30 * min)) == 1)
+    assert(nativeSessions(Seq(0L, 30 * min + 1)) == 2)
+    // Sessionize agrees: exactly-at-gap continues; past-gap closes the first
+    val dir = Files.createTempDirectory("graft_gap").toString
+    Seq(Event(1L, 0L, 1.0), Event(1L, 30 * min, 2.0),   // one merged session…
+        Event(1L, 120 * min, 9.0))                       // …closed by this one
+      .toDF.write.mode("overwrite").parquet(dir)
+    val stream = StreamingOps.fileStream(spark, dir,
+      Seq.empty[Event].toDS.schema).as[Event]
+    val sessions = Sessionize(stream, gapMicros = 30 * min)
+    StreamingOps.drainToMemory(sessions.toDF, "graft_gap_out")
+    val closed = spark.table("graft_gap_out").as[Sessionize.Session].collect().toSeq
+    assert(closed == Seq(Sessionize.Session(1L, 0L, 30 * min, 2, 3.0)),
+      "exactly-at-gap event must continue (and extend) the first session")
+  }
+
   test("windowed aggregate over a drained stream") {
     val dir = Files.createTempDirectory("graft_stream2").toString
     val batch = Seq(

@@ -95,4 +95,35 @@ class TextVectorSpec extends SparkSpec {
     val got = df.select(TF.langId(TF.tokens($"t"), markers)).as[String].collect().toSeq
     assert(got == Seq("x", "y", "und")) // tie → first marker set wins
   }
+
+  test("native HyperplaneBuckets ≡ composed literal-plane hyperplaneBucket") {
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sf())
+    val (nBits, nTables, dim) = (6, 4, 64)
+    val nat = emb.select($"vec_id",
+        graft.functions.expressions.HyperplaneBuckets($"embedding", nBits, nTables, dim).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val comp = emb.select($"vec_id",
+        array((0 until nTables).map(t =>
+          VF.hyperplaneBucket($"embedding", nBits, t, dim)): _*).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(nat == comp)
+  }
+
+  test("q63 differential at sf0.01: LSH near-dup docs ≡ exact all-pairs tier") {
+    import graft.ops.TextEmbed
+    import graft.sources.Tables
+    val corpus = Tables.documents(spark, sf("0.01"))
+    val exact = TextEmbed.cosineNearDupDocsExact(corpus, "doc_id", "text",
+        dim = 64, threshold = 0.95)
+      .as[(Long, Long, Double)].collect().toSet
+    graft.util.Caches.releaseAll()
+    val lsh = TextEmbed.cosineNearDupDocs(corpus, "doc_id", "text",
+        dim = 64, threshold = 0.95)
+      .as[(Long, Long, Double)].collect().toSet
+    graft.util.Caches.releaseAll()
+    assert(lsh.subsetOf(exact), "LSH must not invent or rescore pairs")
+    assert(lsh == exact,
+      s"recall must be 1 on this corpus at these knobs; missing ${exact.diff(lsh)}")
+  }
 }
