@@ -784,7 +784,25 @@ object SparkEntry {
     // Similarity.lshThresholdPairs; the differential test reports it.
     "q74_vector_neardup_lsh" -> ((s, dir) =>
       Similarity.lshThresholdPairs(Tables.embeddings(s, dir), threshold = 0.4,
-        nBits = lshBits, nTables = lshTables, dim = 64))
+        nBits = lshBits, nTables = lshTables, dim = 64)),
+
+    // --- Gopher-style repetition/boilerplate quality metrics ---
+    "q75_quality_repetition" -> ((s, dir) => {
+      val toks = TF.tokens(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        round(TF.dupNgramFraction(toks, 2), 6).as("dup_bigram_frac"),
+        round(TF.dupNgramFraction(toks, 3), 6).as("dup_trigram_frac"),
+        round(TF.dupLineFraction(col("text")), 6).as("dup_line_frac"))
+    }),
+
+    // --- deterministic PII scrub (emails, long digit runs) ---
+    // A suffix with known matches is appended so the regexes are exercised
+    // on every row (the synthetic corpus itself contains no PII).
+    "q76_pii_redaction" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TF.redactPii(concat(col("text"),
+          lit(" contact: a.user+tag@example.co.uk or 12345678901"))).as("clean")))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -1440,7 +1458,40 @@ object SparkEntry {
             END AS s
           FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v w ON w.vec_id = c.id_b)
         SELECT id_a, id_b, round(s, 6) AS score FROM sc WHERE s >= 0.4"""
-      }
+      },
+
+      "q75_quality_repetition" -> """
+        WITH t AS (SELECT doc_id, text,
+            string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        g AS (SELECT doc_id,
+            CASE WHEN len(toks) < 2 THEN [] ELSE
+              list_transform(range(0, len(toks) - 1),
+                i -> toks[i+1] || ' ' || toks[i+2]) END AS g2,
+            CASE WHEN len(toks) < 3 THEN [] ELSE
+              list_transform(range(0, len(toks) - 2),
+                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END AS g3,
+            list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+              l -> len(l) > 0) AS ls
+          FROM t)
+        SELECT doc_id,
+          round(CASE WHEN len(g2) = 0 THEN 0
+            ELSE CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) END, 6)
+            AS dup_bigram_frac,
+          round(CASE WHEN len(g3) = 0 THEN 0
+            ELSE CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) END, 6)
+            AS dup_trigram_frac,
+          round(CASE WHEN len(ls) = 0 THEN 0
+            ELSE CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls) END, 6)
+            AS dup_line_frac
+        FROM g""",
+
+      "q76_pii_redaction" -> """
+        SELECT doc_id,
+          regexp_replace(
+            regexp_replace(text || ' contact: a.user+tag@example.co.uk or 12345678901',
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{7,}\b', '<NUM>', 'g') AS clean
+        FROM documents"""
     )
   }
 

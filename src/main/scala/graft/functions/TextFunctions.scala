@@ -48,6 +48,51 @@ object TextFunctions {
     array_distinct(array_compact(joined))
   }
 
+  /** Word n-gram sequence over the token array, NON-distinct (every
+    * occurrence kept, in document order) — the building block for
+    * repetition metrics, unlike [[shingles]] which dedups for set
+    * similarity. Same zip_with-over-shifted-slices shape (see [[shingles]]
+    * for why not transform+element_at); [] when fewer than n tokens.
+    */
+  def ngrams(toks: Column, n: Int): Column = {
+    val joined = (1 until n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))),
+        (x, y) => concat(x, lit(" "), y))
+    }
+    array_compact(joined)
+  }
+
+  /** Fraction of n-gram occurrences that repeat an earlier occurrence — the
+    * Gopher-style duplicate-n-gram boilerplate signal; 0 with fewer than n
+    * tokens.
+    */
+  def dupNgramFraction(toks: Column, n: Int): Column = {
+    val g = ngrams(toks, n)
+    when(size(g) === 0, lit(0.0))
+      .otherwise((size(g) - size(array_distinct(g))).cast("double") / size(g))
+  }
+
+  /** Fraction of non-blank lines that duplicate an earlier line (template /
+    * boilerplate detector); 0 for blank documents.
+    */
+  def dupLineFraction(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    when(size(lines) === 0, lit(0.0))
+      .otherwise((size(lines) - size(array_distinct(lines))).cast("double") / size(lines))
+  }
+
+  /** Deterministic PII scrub: email-like tokens → `<EMAIL>`, standalone
+    * digit runs of 7+ → `<NUM>`. Both patterns are ASCII-class regexes that
+    * parse identically under Java regex (Spark) and RE2 (common engines) —
+    * the cheap first scrub pass of a corpus pipeline, not a compliance tool.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c,
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>")),
+      lit("\\b\\d{7,}\\b"), lit("<NUM>"))
+
   /** Count of tokens that appear in a fixed marker set. */
   def markerHits(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isin(markers: _*)))

@@ -22,6 +22,21 @@ object StreamingOps {
   def fileStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** File-source stream that CLEANS consumed input files (S10 — the
+    * reference's consumed-flag-file deletion, extraction.py:126-127, made
+    * transactional): `mode` = "delete" or "archive" (+ `archiveDir`).
+    * Spark removes a file only AFTER the micro-batch that read it commits,
+    * during a later batch's planning, on an async cleaner thread — so a
+    * crash between read and commit never loses input, unlike the
+    * reference's delete-then-hope flag file.
+    */
+  def fileStreamCleaning(spark: SparkSession, dir: String, schema: StructType,
+                         mode: String = "delete",
+                         archiveDir: Option[String] = None): DataFrame = {
+    val reader = spark.readStream.schema(schema).option("cleanSource", mode)
+    archiveDir.fold(reader)(d => reader.option("sourceArchiveDir", d)).parquet(dir)
+  }
+
   /** Keyed dedup over a watermarked stream — late duplicates beyond the
     * watermark age out of state (bounded memory at 100 TB/day rates, unlike
     * a global dropDuplicates whose state grows forever).
@@ -44,6 +59,20 @@ object StreamingOps {
     */
   def drainToMemory(df: DataFrame, name: String): StreamingQuery = {
     val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Drain to a parquet FILE sink with an explicit checkpoint, so successive
+    * drains RESUME the same stream (each drain = one scheduled micro-batch
+    * of the reference's cron model; the memory sink cannot recover from a
+    * checkpoint, a file sink can — and this is the production shape anyway).
+    */
+  def drainToParquet(df: DataFrame, outDir: String,
+                     checkpoint: String): StreamingQuery = {
+    val q = df.writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", checkpoint)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     q

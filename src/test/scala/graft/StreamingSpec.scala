@@ -74,6 +74,35 @@ class StreamingSpec extends SparkSpec {
       "exactly-at-gap event must continue (and extend) the first session")
   }
 
+  test("cleanSource deletes consumed input files after their batch commits (S10)") {
+    val dir = Files.createTempDirectory("graft_clean").toString
+    val ckpt = Files.createTempDirectory("graft_clean_ckpt").toString
+    val out = Files.createTempDirectory("graft_clean_out").toString
+    def dataFiles(): Set[String] = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getName).toSet
+    val batchA = Seq((1L, "a")).toDF("id", "v")
+    batchA.coalesce(1).write.mode("append").parquet(dir)
+    val filesA = dataFiles()
+    assert(filesA.nonEmpty)
+    def drainOnce(): Unit =
+      StreamingOps.drainToParquet(
+        StreamingOps.fileStreamCleaning(spark, dir, batchA.schema, mode = "delete"),
+        out, ckpt)
+    drainOnce() // batch 0 reads A; nothing cleaned yet
+    Seq((2L, "b")).toDF("id", "v").coalesce(1).write.mode("append").parquet(dir)
+    drainOnce() // batch 1 reads B and triggers A's cleanup
+    // the cleaner thread is async — poll briefly for the deletion
+    val deadline = System.currentTimeMillis() + 20000
+    var remaining = dataFiles()
+    while (filesA.subsetOf(remaining) && System.currentTimeMillis() < deadline) {
+      Thread.sleep(250); remaining = dataFiles()
+    }
+    assert(filesA.intersect(remaining).isEmpty,
+      s"consumed batch-0 files must be deleted, still present: $remaining")
+    // and the stream wrote every row exactly once across the two drains
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
   test("windowed aggregate over a drained stream") {
     val dir = Files.createTempDirectory("graft_stream2").toString
     val batch = Seq(

@@ -96,6 +96,36 @@ class TextVectorSpec extends SparkSpec {
     assert(got == Seq("x", "y", "und")) // tie → first marker set wins
   }
 
+  test("repetition metrics: dup n-gram / dup line fractions on planted cases") {
+    val df = Seq(
+      (1L, "a b a b a b"),                    // bigrams: ab,ba,ab,ba,ab → 5 with 2 distinct
+      (2L, "all distinct words here"),        // no repeats
+      (3L, ""),                               // blank
+      (4L, "x\ny\nx\n\n y ")                  // lines x,y,x,y → 2 dups of 4
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        TF.dupNgramFraction(TF.tokens($"text"), 2).as("g2"),
+        TF.dupLineFraction($"text").as("dl"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 == 3.0 / 5)
+    assert(got(2L)._1 == 0.0)
+    assert(got(3L) == ((0.0, 0.0)))
+    assert(got(4L)._2 == 2.0 / 4)
+  }
+
+  test("redactPii scrubs emails and long digit runs, leaves prose alone") {
+    val df = Seq(
+      "write to First.Last+x@sub.domain.org today",
+      "card 4111111111111111 and pin 1234",
+      "no pii at all"
+    ).toDF("t")
+    val got = df.select(TF.redactPii($"t")).as[String].collect().toSeq
+    assert(got == Seq(
+      "write to <EMAIL> today",
+      "card <NUM> and pin 1234", // 4-digit pin is below the 7+ threshold
+      "no pii at all"))
+  }
+
   test("native HyperplaneBuckets ≡ composed literal-plane hyperplaneBucket") {
     import graft.sources.Tables
     val emb = Tables.embeddings(spark, sf())
