@@ -802,7 +802,40 @@ object SparkEntry {
     "q76_pii_redaction" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         TF.redactPii(concat(col("text"),
-          lit(" contact: a.user+tag@example.co.uk or 12345678901"))).as("clean")))
+          lit(" contact: a.user+tag@example.co.uk or 12345678901"))).as("clean"))),
+
+    // --- JSON-lines sink + fixed-schema scan round trip ---
+    // Same proof shape as q71: the oracle aggregates the ORIGINAL parquet,
+    // so a hash match shows the JSON round trip is lossless (doubles
+    // included — shortest-repr emit and parse).
+    "q77_json_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val path = "/root/repo/target/graft_json/lineitem_slim"
+      graft.sources.FormatIO.writeJson(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_linestatus",
+          "l_quantity", "l_discount"), path)
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("l_linestatus", StringType),
+        StructField("l_quantity", DoubleType), StructField("l_discount", DoubleType)))
+      graft.sources.FormatIO.readJson(s, path, schema)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_discount")).as("sum_disc"))
+    }),
+
+    // --- ORC sink + scan round trip ---
+    "q78_orc_roundtrip" -> ((s, dir) => {
+      val path = "/root/repo/target/graft_orc/orders_slim"
+      graft.sources.FormatIO.writeOrc(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        path)
+      graft.sources.FormatIO.readOrc(s, path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"))
+    })
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -1491,7 +1524,19 @@ object SparkEntry {
             regexp_replace(text || ' contact: a.user+tag@example.co.uk or 12345678901',
               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
             '\b\d{7,}\b', '<NUM>', 'g') AS clean
-        FROM documents"""
+        FROM documents""",
+
+      "q77_json_roundtrip" -> s"""
+        SELECT l_linestatus, COUNT(*) AS n,
+          ${dsumSql("l_quantity")} AS sum_qty,
+          ${dsumSql("l_discount")} AS sum_disc
+        FROM lineitem GROUP BY l_linestatus""",
+
+      "q78_orc_roundtrip" -> s"""
+        SELECT o_orderpriority, COUNT(*) AS n,
+          ${dsumSql("o_totalprice")} AS sum_price,
+          MIN(o_orderkey) AS min_key
+        FROM orders GROUP BY o_orderpriority"""
     )
   }
 

@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.DotProduct
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.expressions.{DotProduct, HyperplaneBuckets}
 
 /** SparkSessionExtensions entry point: registers graft's native expressions
   * with the SQL function registry so pure-SQL users get them too:
@@ -28,5 +28,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    // hyperplane_buckets(vec, nBits, nTables, dim) — knobs must be integer
+    // literals (they parameterize the generated plane matrix)
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
+      (children: Seq[Expression]) => {
+        def intLit(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_buckets: $name must be an integer literal, got $other")
+        }
+        HyperplaneBuckets(children(0), intLit(children(1), "nBits"),
+          intLit(children(2), "nTables"), intLit(children(3), "dim"))
+      }))
   }
 }

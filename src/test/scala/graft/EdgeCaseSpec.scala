@@ -26,6 +26,17 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Windows.sma(emptyBars, Seq("k"), Seq(col("t")), "px", 3, "m").isEmpty)
   }
 
+  test("connected components and threshold pairs on empty/singleton inputs") {
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(MinHashDedup.dupGroups(emptyPairs).isEmpty)
+    val single = Seq((7L, Seq.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.thresholdPairs(single, 0.5, blocks = 4).isEmpty)
+    assert(Similarity.lshThresholdPairs(single, 0.5, nBits = 4, nTables = 2, dim = 8).isEmpty)
+    graft.util.Caches.releaseAll()
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.thresholdPairs(emptyVecs, 0.5).isEmpty)
+  }
+
   test("unicode, emoji, huge tokens, and whitespace-only text don't throw") {
     val weird = Seq(
       (1L, "héllo wörld 你好 世界 你好"),

@@ -36,6 +36,16 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT dot_product(embedding, embedding) AS n2 FROM emb_ext LIMIT 5")
         .collect()
       assert(n.length == 5 && n.forall(_.getDouble(0) > 0))
+      // hyperplane_buckets: SQL call agrees with the column-level API
+      val sqlB = spark.sql(
+        "SELECT vec_id, hyperplane_buckets(embedding, 6, 2, 64) AS b FROM emb_ext")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val colB = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          graft.functions.expressions.HyperplaneBuckets(
+            org.apache.spark.sql.functions.col("embedding"), 6, 2, 64).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(sqlB == colB && sqlB.nonEmpty)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
