@@ -44,4 +44,29 @@ class JdbcSpec extends SparkSpec {
     assert(after2 == after1, "append must be idempotent under reruns")
     assert(readTable("inc").count() == 4)
   }
+
+  test("streamAppendNew: micro-batches upsert into JDBC idempotently") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_sjdbc").toString
+    val ckpt = Files.createTempDirectory("graft_sjdbc_ckpt").toString
+    val seed = Seq((1L, "a")).toDF("id", "name")
+    JdbcLoad.overwrite(seed, opts("sload"), connections = 2)
+    // two OVERLAPPING files land before the first drain — AvailableNow folds
+    // them into ONE micro-batch, so key 3 collides within the batch
+    Seq((2L, "b"), (3L, "c")).toDF("id", "name")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((3L, "c"), (5L, "e")).toDF("id", "name")
+      .coalesce(1).write.mode("append").parquet(dir)
+    def drain(): Unit = JdbcLoad.streamAppendNew(
+      graft.streaming.StreamingOps.fileStream(spark, dir, seed.schema),
+      Seq("id"), opts("sload"), ckpt, connections = 2)
+    drain()
+    assert(readTable("sload").count() == 4,
+      "within-batch duplicate keys must collapse to one insert")
+    Seq((3L, "c"), (4L, "d")).toDF("id", "name")
+      .coalesce(1).write.mode("append").parquet(dir)
+    drain() // second drain: 3L already present → anti-join skips it
+    val rows = readTable("sload").as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+  }
 }
