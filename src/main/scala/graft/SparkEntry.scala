@@ -835,7 +835,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           dsum(col("o_totalprice")).as("sum_price"),
           min(col("o_orderkey")).as("min_key"))
-    })
+    }),
+
+    // --- IVF serving: probe nearest cells, exact rerank (oracle-checked:
+    //     assignment, probing, and rank are all deterministic exact math) ---
+    "q79_ivf_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfSearch(emb,
+        centroids = emb.filter(col("vec_id") < 8),
+        queries = emb.filter(col("vec_id") >= 10 && col("vec_id") <= 14),
+        nprobe = 2, k = 3)
+    }),
+
+    // --- calendar gap-fill + forward fill (daily upsample) ---
+    "q80_daily_gap_fill" -> ((s, dir) =>
+      Resample.fillDailyForward(Tables.orders(s, dir), "o_orderpriority",
+        "o_orderdate", dsum(col("o_totalprice"))))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -1536,7 +1551,55 @@ object SparkEntry {
         SELECT o_orderpriority, COUNT(*) AS n,
           ${dsumSql("o_totalprice")} AS sum_price,
           MIN(o_orderkey) AS min_key
-        FROM orders GROUP BY o_orderpriority"""
+        FROM orders GROUP BY o_orderpriority""",
+
+      "q79_ivf_search" -> """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+        assigned AS (SELECT nn_id, c_emb, centroid_id FROM (
+          SELECT v.vec_id AS nn_id, v.e AS c_emb, c.cid AS centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+              list_dot_product(v.e, v.e) + list_dot_product(c.ce, c.ce)
+                - 2.0 * list_dot_product(v.e, c.ce), c.cid) AS rn
+          FROM v CROSS JOIN cent c) WHERE rn = 1),
+        probes AS (SELECT query_id, q_emb, centroid_id FROM (
+          SELECT q.vec_id AS query_id, q.e AS q_emb, c.cid AS centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              list_dot_product(q.e, q.e) + list_dot_product(c.ce, c.ce)
+                - 2.0 * list_dot_product(q.e, c.ce), c.cid) AS pr
+          FROM v q CROSS JOIN cent c
+          WHERE q.vec_id >= 10 AND q.vec_id <= 14) WHERE pr <= 2),
+        scored AS (SELECT p.query_id, a.nn_id, a.centroid_id,
+            CASE WHEN sqrt(list_dot_product(a.c_emb, a.c_emb)) *
+                      sqrt(list_dot_product(p.q_emb, p.q_emb)) = 0 THEN 0
+                 ELSE list_dot_product(a.c_emb, p.q_emb) /
+                   (sqrt(list_dot_product(a.c_emb, a.c_emb)) *
+                    sqrt(list_dot_product(p.q_emb, p.q_emb))) END AS s
+          FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+          WHERE a.nn_id <> p.query_id)
+        SELECT query_id, nn_id, centroid_id, score, rnk FROM (
+          SELECT query_id, nn_id, centroid_id, round(s, 6) AS score,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, nn_id) AS rnk
+          FROM scored) WHERE rnk <= 3""",
+
+      "q80_daily_gap_fill" -> s"""
+        WITH daily AS (SELECT o_orderpriority,
+            CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS d,
+            ${dsumSql("o_totalprice")} AS v
+          FROM orders GROUP BY 1, 2),
+        spans AS (SELECT o_orderpriority, MIN(d) AS d0, MAX(d) AS d1
+          FROM daily GROUP BY o_orderpriority),
+        spine AS (SELECT o_orderpriority,
+            unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+          FROM spans),
+        j AS (SELECT s.o_orderpriority, s.d, daily.v
+          FROM spine s LEFT JOIN daily
+            ON daily.o_orderpriority = s.o_orderpriority AND daily.d = s.d)
+        SELECT o_orderpriority, d AS day,
+          LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY o_orderpriority ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+          v IS NULL AS is_gap
+        FROM j"""
     )
   }
 

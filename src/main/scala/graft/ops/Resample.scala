@@ -35,4 +35,37 @@ object Resample {
         col(s"__o.$price").as("open"), col("high"), col("low"),
         col(s"__c.$price").as("close"), col("n_bars"), col("turnover"))
   }
+
+  /** Daily calendar gap-fill with forward fill (upsample): aggregate to one
+    * value per (key, day), generate each key's full [min-day, max-day] spine
+    * (`sequence` + explode — distributed, no driver calendar), left-join the
+    * dailies onto the spine, and carry the last present value forward with
+    * `last(_, ignoreNulls)` over an unbounded-preceding frame. The hole the
+    * reference's daily-bar model always has (no bars on holidays) made
+    * explicit and filled.
+    *
+    * Scale shape: one agg shuffle + one window shuffle, both keyed by `key`;
+    * spine rows ≈ keys × span-days, generated where the key lives. The
+    * first spine day always has data (it IS some row's day), so the filled
+    * column is never null.
+    *
+    * @return (key, day: timestamp_ntz, v_filled, is_gap)
+    */
+  def fillDailyForward(df: DataFrame, key: String, time: String,
+                       value: Column): DataFrame = {
+    val daily = df
+      .groupBy(col(key), to_date(col(time)).as("__d"))
+      .agg(value.as("__v"))
+    val spine = daily.groupBy(col(key))
+      .agg(min(col("__d")).as("__d0"), max(col("__d")).as("__d1"))
+      .select(col(key), explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy("__d")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.join(daily, Seq(key, "__d"), "left")
+      .select(col(key),
+        col("__d").cast("timestamp_ntz").as("day"),
+        last(col("__v"), ignoreNulls = true).over(w).as("v_filled"),
+        col("__v").isNull.as("is_gap"))
+  }
 }

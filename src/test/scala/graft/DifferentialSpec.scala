@@ -103,6 +103,22 @@ class DifferentialSpec extends SparkSpec {
       s"planted near-dups must all be recalled: missing ${planted.diff(lsh)}")
   }
 
+  test("ivfSearch with nprobe = nlist degrades to exact brute-force top-k") {
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sf())
+    val centroids = emb.filter(col("vec_id") < 8)
+    val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") <= 14)
+    // probing EVERY cell makes the candidate set the whole corpus — the
+    // approximate index must then reproduce the exact answer
+    val ivf = Similarity.ivfSearch(emb, centroids, queries, nprobe = 8, k = 3)
+      .select("query_id", "nn_id", "score", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    graft.util.Caches.releaseAll()
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(ivf == exact)
+  }
+
   test("simhashPrints (counted pre-agg) matches the per-token-row formulation") {
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
     val got = SimHashDedup.simhashPrints(docs, "doc_id", "text")
