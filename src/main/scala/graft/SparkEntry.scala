@@ -850,7 +850,18 @@ object SparkEntry {
     // --- calendar gap-fill + forward fill (daily upsample) ---
     "q80_daily_gap_fill" -> ((s, dir) =>
       Resample.fillDailyForward(Tables.orders(s, dir), "o_orderpriority",
-        "o_orderdate", dsum(col("o_totalprice"))))
+        "o_orderdate", dsum(col("o_totalprice")))),
+
+    // --- document packing into fixed-token training sequences ---
+    // Per-pack stats keep the oracle row small; the per-doc assignment is
+    // what packDocs returns and what the window cumsum mirrors.
+    "q81_doc_packing" -> ((s, dir) =>
+      Sampling.packDocs(Tables.documents(s, dir), "doc_id",
+          TF.tokenCount(col("text")), seqLen = 2048, shards = 8)
+        .groupBy("shard", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min(col("doc_id")).as("first_doc")))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -1599,7 +1610,24 @@ object SparkEntry {
           LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY o_orderpriority ORDER BY d
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
           v IS NULL AS is_gap
-        FROM j"""
+        FROM j""",
+
+      "q81_doc_packing" -> """
+        WITH t AS (SELECT doc_id,
+            CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS BIGINT)
+              AS n_tokens,
+            doc_id % 8 AS shard
+          FROM documents),
+        packed AS (SELECT doc_id, shard, n_tokens,
+            CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+              // 2048 AS BIGINT) AS pack_id
+          FROM t)
+        SELECT shard, pack_id, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+          MIN(doc_id) AS first_doc
+        FROM packed GROUP BY shard, pack_id"""
     )
   }
 

@@ -33,4 +33,31 @@ object Sampling {
         .when(b < trainPerMille + valPerMille, "val")
         .otherwise("test"))
   }
+
+  /** Pack documents into ~`seqLen`-token training sequences: within a shard
+    * (id mod `shards` — deterministic and engine-portable), docs are taken
+    * in id order and a doc starts the pack its PREDECESSORS' cumulative
+    * token count falls in — the streaming greedy-fill rule, expressed as a
+    * running-sum window, so a pack holds consecutive docs and overflows by
+    * at most one document past the budget.
+    *
+    * Scale shape: the running sum partitions by shard — `shards` bounds the
+    * per-task sort, and raising it is the scale knob (a GLOBAL order-by
+    * cumsum would serialize the corpus through one partition). Packing is
+    * deterministic given (ids, token counts), so reruns assign identical
+    * sequences — the property checkpoint-resumable training jobs need.
+    *
+    * @return one row per doc: (idCol, shard, pack_id, n_tokens)
+    */
+  def packDocs(docs: DataFrame, idCol: String, tokenCount: Column,
+               seqLen: Int, shards: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.select(col(idCol), tokenCount.cast("long").as("n_tokens"),
+        pmod(col(idCol), lit(shards.toLong)).as("shard"))
+      .withColumn("pack_id",
+        ((sum(col("n_tokens")).over(w) - col("n_tokens")) / seqLen).cast("long"))
+      .select(col(idCol), col("shard"), col("pack_id"), col("n_tokens"))
+  }
 }

@@ -27,4 +27,22 @@ class SamplingSpec extends SparkSpec {
     val frac = s1.size.toDouble / docs.count()
     assert(frac > 0.15 && frac < 0.45, s"fraction $frac far from 0.3")
   }
+
+  test("packDocs: consecutive greedy fill, ≤1-doc overflow, repartition-stable") {
+    import org.apache.spark.sql.functions._
+    // ten docs of 5 tokens each ("a b c d e"), one shard, budget 12
+    val d = (0L until 10L).map(i => (i, "a b c d e")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.packDocs(df, "doc_id",
+          graft.functions.TextFunctions.tokenCount(col("text")), seqLen = 12, shards = 1)
+        .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    val got = run(d)
+    // cum-before: 0,5,10 → pack 0; 15,20 → pack 1 (floor 15/12=1); 25,30,35 → 2; …
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 3L, 9L -> 3L))
+    // packs hold consecutive ids and overflow the 12-token budget by < 1 doc
+    val packTokens = got.groupBy(_._2).view.mapValues(_.size * 5)
+    assert(packTokens.values.forall(t => t < 12 + 5))
+    assert(run(d.repartition(5)) == got, "assignment must not depend on partitioning")
+  }
 }
