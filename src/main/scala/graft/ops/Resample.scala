@@ -45,9 +45,12 @@ object Resample {
     * explicit and filled.
     *
     * Scale shape: one agg shuffle + one window shuffle, both keyed by `key`;
-    * spine rows ≈ keys × span-days, generated where the key lives. The
-    * first spine day always has data (it IS some row's day), so the filled
-    * column is never null.
+    * spine rows ≈ keys × span-days, generated where the key lives.
+    * `is_gap` marks SPINE-ONLY days (no input rows that day) via an explicit
+    * presence marker, so a present day whose aggregate is legitimately NULL
+    * is not mislabeled; the forward fill carries the last NON-NULL value
+    * past such days, and `v_filled` is null only until the key's first
+    * non-null aggregate.
     *
     * @return (key, day: timestamp_ntz, v_filled, is_gap)
     */
@@ -56,6 +59,7 @@ object Resample {
     val daily = df
       .groupBy(col(key), to_date(col(time)).as("__d"))
       .agg(value.as("__v"))
+      .withColumn("__present", lit(true))
     val spine = daily.groupBy(col(key))
       .agg(min(col("__d")).as("__d0"), max(col("__d")).as("__d1"))
       .select(col(key), explode(sequence(col("__d0"), col("__d1"))).as("__d"))
@@ -66,6 +70,6 @@ object Resample {
       .select(col(key),
         col("__d").cast("timestamp_ntz").as("day"),
         last(col("__v"), ignoreNulls = true).over(w).as("v_filled"),
-        col("__v").isNull.as("is_gap"))
+        col("__present").isNull.as("is_gap"))
   }
 }

@@ -150,39 +150,6 @@ object Similarity {
     * for scale: corpus partitioned by cluster id → queries touch 1/nlist of
     * the data.
     */
-  /** IVF SERVING: route each query to its `nprobe` nearest centroid cells,
-    * exact-cosine rerank only within those cells — the full probe path on
-    * top of [[ivfAssign]]'s partitioning. Deterministic end to end (argmin
-    * and rank ties break on ids), so the whole approximate index is
-    * oracle-checkable. Scale shape: corpus pre-partitioned by cell; a query
-    * touches nprobe/nlist of the data; centroids broadcast twice (assign +
-    * probe), never shuffled.
-    */
-  def ivfSearch(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
-                nprobe: Int, k: Int): DataFrame = {
-    val assigned = Caches.cache(ivfAssign(corpus, centroids)
-      .select(col("vec_id").as("nn_id"), col("embedding").as("c_emb"),
-        col("centroid_id"))).toDF
-    val cent = centroids.select(col("vec_id").as("centroid_id"),
-      col("embedding").as("cent_emb"), dot(col("embedding"), col("embedding")).as("c2"))
-    val wProbe = Window.partitionBy("query_id").orderBy(col("qdist"), col("centroid_id"))
-    val probes = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        dot(col("embedding"), col("embedding")).as("a2"))
-      .crossJoin(broadcast(cent))
-      .withColumn("qdist",
-        col("a2") + col("c2") - lit(2.0) * dot(col("q_emb"), col("cent_emb")))
-      .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("q_emb"), col("centroid_id"))
-    val wK = Window.partitionBy("query_id").orderBy(col("score").desc, col("nn_id"))
-    assigned.join(probes, "centroid_id")
-      .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("score", cosine(col("c_emb"), col("q_emb")))
-      .withColumn("rnk", row_number().over(wK)).filter(col("rnk") <= k)
-      .select(col("query_id"), col("nn_id"), col("centroid_id"),
-        round(col("score"), 6).as("score"), col("rnk").cast("long").as("rnk"))
-  }
-
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     // ‖a−c‖² = ‖a‖² + ‖c‖² − 2a·c: norms once per row/centroid, one native
     // dot per (row, centroid).
@@ -197,5 +164,40 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
         round(col("cdist"), 6).as("cdist"))
+  }
+
+  /** IVF SERVING: route each query to its `nprobe` nearest centroid cells,
+    * exact-cosine rerank only within those cells — the full probe path on
+    * top of [[ivfAssign]]'s partitioning. Deterministic end to end (argmin
+    * and rank ties break on ids), so the whole approximate index is
+    * oracle-checkable. Scale shape: one corpus pass for assignment; the
+    * probe table (|queries| × nprobe rows) is explicitly BROADCAST into the
+    * cell join — its window+cross-join lineage would otherwise defeat
+    * Catalyst's size estimate and shuffle the corpus by cell; centroids
+    * broadcast twice (assign + probe). The corpus itself never shuffles.
+    */
+  def ivfSearch(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+                nprobe: Int, k: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids)
+      .select(col("vec_id").as("nn_id"), col("embedding").as("c_emb"),
+        col("centroid_id"))
+    val cent = centroids.select(col("vec_id").as("centroid_id"),
+      col("embedding").as("cent_emb"), dot(col("embedding"), col("embedding")).as("c2"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("qdist"), col("centroid_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        dot(col("embedding"), col("embedding")).as("a2"))
+      .crossJoin(broadcast(cent))
+      .withColumn("qdist",
+        col("a2") + col("c2") - lit(2.0) * dot(col("q_emb"), col("cent_emb")))
+      .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("centroid_id"))
+    val wK = Window.partitionBy("query_id").orderBy(col("score").desc, col("nn_id"))
+    assigned.join(broadcast(probes), "centroid_id")
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("c_emb"), col("q_emb")))
+      .withColumn("rnk", row_number().over(wK)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("nn_id"), col("centroid_id"),
+        round(col("score"), 6).as("score"), col("rnk").cast("long").as("rnk"))
   }
 }
