@@ -76,4 +76,10 @@ class PlanSpec extends SparkSpec {
     val p = plan("q73_salted_join")
     assert(p.contains("__salt"), p.take(1200))
   }
+
+  test("q79: the probe table broadcasts — the corpus never shuffles by cell") {
+    val p = plan("q79_ivf_search")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), "cell join must not shuffle the corpus")
+  }
 }
