@@ -1564,6 +1564,47 @@ object SparkEntry {
           MIN(o_orderkey) AS min_key
         FROM orders GROUP BY o_orderpriority""",
 
+      // q38: the LSH-ANN path is hash-checked the same way as q74 — the
+      // seeded ±1 hyperplanes are deterministic literals, so DuckDB can
+      // reproduce the buckets bit-exactly and the rest is exact math.
+      "q38_lsh_ann" -> {
+        val buckets = (0 until 6).map(t =>
+          s"SELECT vec_id, $t AS tbl, ${duckBucket(6, t, 64)} AS bkt FROM v")
+          .mkString("\n          UNION ALL ")
+        s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        b AS ($buckets),
+        cand AS (SELECT DISTINCT y.vec_id AS query_id, x.vec_id AS nn_id
+          FROM b x JOIN b y
+            ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id <> y.vec_id
+          WHERE y.vec_id < 10),
+        scored AS (SELECT c.query_id, c.nn_id,
+            CASE WHEN sqrt(list_dot_product(a.e, a.e)) *
+                      sqrt(list_dot_product(q.e, q.e)) = 0 THEN 0
+                 ELSE list_dot_product(a.e, q.e) /
+                   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.e, q.e)))
+            END AS s
+          FROM cand c JOIN v a ON a.vec_id = c.nn_id
+                      JOIN v q ON q.vec_id = c.query_id)
+        SELECT query_id, nn_id, score, rnk FROM (
+          SELECT query_id, nn_id, round(s, 6) AS score,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, nn_id) AS rnk
+          FROM scored) WHERE rnk <= 3"""
+      },
+
+      // q41: IVF assignment is exact argmin math — fully oracle-expressible.
+      "q41_ivf_assign" -> """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8)
+        SELECT vec_id, centroid_id, cdist FROM (
+          SELECT v.vec_id, c.cid AS centroid_id,
+            round(list_dot_product(v.e, v.e) + list_dot_product(c.ce, c.ce)
+              - 2.0 * list_dot_product(v.e, c.ce), 6) AS cdist,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+              list_dot_product(v.e, v.e) + list_dot_product(c.ce, c.ce)
+                - 2.0 * list_dot_product(v.e, c.ce), c.cid) AS rn
+          FROM v CROSS JOIN cent c) WHERE rn = 1""",
+
       "q79_ivf_search" -> """
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
