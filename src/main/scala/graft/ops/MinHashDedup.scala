@@ -100,38 +100,55 @@ object MinHashDedup {
     *
     * Iterative min-label propagation to fixpoint: each round is one
     * edge⋈label equi-join + a min aggregate — all distributed, no driver
-    * data. Labels only decrease, so the fixpoint check (any label changed?)
-    * is a join + isEmpty. Rounds needed = graph diameter in the worst case
-    * (near-dup groups are shallow in practice). Each round's result is
-    * `localCheckpoint`ed: an iterative plan that merely persists still GROWS
-    * its logical plan ~2× per round (the classic lineage explosion — it
-    * OOMs the driver on plan strings past ~10 rounds), so the lineage must
-    * be CUT, not just cached. On a cluster-scale run swap localCheckpoint
-    * for `checkpoint` against a fault-tolerant dir (localCheckpoint blocks
-    * are lost with an executor).
+    * data. Labels only DECREASE (min-propagation is monotone), so the
+    * fixpoint check is a scalar: Σ labels (exact, decimal) strictly drops on
+    * any change and is read in the same job that materializes the round —
+    * no separate change-detection join. Rounds needed = graph diameter in
+    * the worst case (near-dup groups are shallow in practice).
+    *
+    * Lineage: every round persists (tracked); every third round
+    * `localCheckpoint`s. A merely-persisted iterative plan GROWS its logical
+    * plan ~2× per round (the classic lineage explosion — it OOMs the driver
+    * on plan strings past ~10 rounds), so lineage must be CUT periodically;
+    * cutting every round, though, pays an extra materialization job per
+    * round, and shallow dedup graphs converge in 2-3 rounds — before the
+    * first cut. On a cluster-scale run swap localCheckpoint for
+    * `checkpoint` against a fault-tolerant dir (localCheckpoint blocks are
+    * lost with an executor).
     *
     * @return (id, component) — one row per distinct id in `pairs`.
     */
   def dupGroups(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // Exact label checksum; materializes `df`'s persist in the same job.
+    // O(1) driver data — the standard Pregel-style convergence scalar.
+    def checksum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).first()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
     // label(v) = min(v, direct neighbors) to start
-    var labels = edges.select(col("src").as("id"), col("dst").as("lbl"))
-      .unionByName(edges.select(col("src").as("id"), col("src").as("lbl")))
-      .groupBy("id").agg(min("lbl").as("lbl"))
-      .localCheckpoint(true)
+    var labels = graft.util.Caches.cache(
+      edges.select(col("src").as("id"), col("dst").as("lbl"))
+        .unionByName(edges.select(col("src").as("id"), col("src").as("lbl")))
+        .groupBy("id").agg(min("lbl").as("lbl"))).toDF
+    var prevSum = checksum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = labels.unionByName(
+      val step = labels.unionByName(
           edges.join(labels.select(col("id").as("dst"), col("lbl")), "dst")
             .select(col("src").as("id"), col("lbl")))
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
-      converged = next.join(labels.select(col("id"), col("lbl").as("prev")), "id")
-        .filter(col("lbl") =!= col("prev")).isEmpty
+      val next =
+        if ((i + 1) % 3 == 0) step.localCheckpoint(true)
+        else graft.util.Caches.cache(step).toDF
+      val s = checksum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist(false)
       labels = next
       i += 1

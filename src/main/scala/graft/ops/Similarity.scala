@@ -4,7 +4,6 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
-import graft.util.Caches
 
 /** North-star similarity search over `array<float>` embedding columns.
   *
@@ -98,28 +97,38 @@ object Similarity {
     */
   def lshThresholdPairs(corpus: DataFrame, threshold: Double,
                         nBits: Int = 8, nTables: Int = 12, dim: Int = 64): DataFrame = {
-    val v = Caches.cache(corpus.select(col("vec_id").as("id"), col("embedding").as("e"),
-      norm(col("embedding")).as("n")))
     // One corpus scan computes every table's bucket via the native
     // HyperplaneBuckets expression (constant-size codegen loop over a plane
     // matrix — the composed literal-plane formulation unrolls ~25k terms at
     // these knobs, blows Janino's 64 KB method limit, and silently runs the
     // stage interpreted), then explodes to (table, bucket) rows.
-    val buckets = v.select(col("id"),
-      posexplode(graft.functions.expressions.HyperplaneBuckets(
-        col("e"), nBits, nTables, dim)).as(Seq("tbl", "bkt")))
-    val cand = buckets.as("x").join(buckets.as("y"),
+    //
+    // The vector and its norm RIDE ALONG on the bucket rows, so candidate
+    // pairs are scored and threshold-filtered INSIDE the bucket-join stage
+    // and the final distinct only shuffles surviving pairs. The previous
+    // shape (distinct the candidate ids, then two joins back to the vectors)
+    // shuffled every candidate pair-occurrence — on a high-baseline-
+    // similarity corpus that distinct alone dominated the query (~10⁶ pair
+    // rows for ~10² survivors). Cost of the carry: dim doubles per bucket
+    // row in the self-join exchange (one exchange, reused by both sides) and
+    // one exact dot per pair-OCCURRENCE rather than per distinct pair; both
+    // scale linearly with nTables and win whenever survivors ≪ candidates —
+    // the regime LSH is for. At very large dim, flip back to id-only
+    // candidates + re-join.
+    val buckets = corpus.select(col("vec_id").as("id"), col("embedding").as("e"),
+        norm(col("embedding")).as("n"))
+      .select(col("id"), col("e"), col("n"),
+        posexplode(graft.functions.expressions.HyperplaneBuckets(
+          col("e"), nBits, nTables, dim)).as(Seq("tbl", "bkt")))
+    buckets.as("x").join(buckets.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-    cand
-      .join(v.select(col("id").as("id_a"), col("e").as("e_a"), col("n").as("n_a")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("e").as("e_b"), col("n").as("n_b")), "id_b")
-      .withColumn("score", when(col("n_a") * col("n_b") === 0.0, 0.0)
-        .otherwise(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b"))))
+      .withColumn("score", when(col("x.n") * col("y.n") === 0.0, 0.0)
+        .otherwise(dot(col("x.e"), col("y.e")) / (col("x.n") * col("y.n"))))
       .filter(col("score") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round(col("score"), 6).as("score"))
+      .distinct()
   }
 
   /** Approximate top-k: hyperplane-LSH bucket join, exact re-rank in-bucket.
