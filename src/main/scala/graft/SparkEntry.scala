@@ -861,7 +861,46 @@ object SparkEntry {
         .groupBy("shard", "pack_id")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("sum_tokens"),
-          min(col("doc_id")).as("first_doc")))
+          min(col("doc_id")).as("first_doc"))),
+
+    // --- fixed-token-window chunking with stride (overlapping windows) ---
+    // Chunk payloads travel as md5 digests so the oracle row stays compact;
+    // md5-over-UTF8 is engine-portable, so the digests hash-match too.
+    "q82_doc_chunking" -> ((s, dir) =>
+      Chunker.chunk(Tables.documents(s, dir), "doc_id", "text",
+        chunkSize = 64, stride = 48)),
+
+    // --- benchmark decontamination (n-gram overlap vs a small eval set) ---
+    // Every 50th doc plays the held-out benchmark; the rest are the corpus.
+    // The benchmark shingle set is broadcast — the corpus side never
+    // shuffles its text, which is the whole point at 100 TB.
+    "q83_decontamination" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Decontaminate.overlapStats(
+          d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", shingleN = 3)
+        .withColumn("overlap", round(col("overlap"), 6))
+    }),
+
+    // --- stratified deterministic sampling (per-lang fractions) ---
+    "q84_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.documents(s, dir), col("doc_id"),
+          col("lang"), Map("en" -> 0.5, "zh" -> 0.25), default = 0.1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"))),
+
+    // --- incremental near-dedup: new docs vs the existing corpus ---
+    // Odd doc_ids arrive as the increment, even ids are the corpus on disk.
+    // dfCap=64 is far above this corpus's max per-side df (17 at sf0.1), so
+    // the uncapped oracle matches exactly; the cap is the 100 TB skew guard.
+    "q85_cross_corpus_neardup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      SetSimJoin.jaccardPairsAgainst(
+        d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", shingleN = 3, threshold = 0.3, dfCap = Some(64L))
+    })
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -1668,7 +1707,74 @@ object SparkEntry {
         SELECT shard, pack_id, COUNT(*) AS n_docs,
           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
           MIN(doc_id) AS first_doc
-        FROM packed GROUP BY shard, pack_id"""
+        FROM packed GROUP BY shard, pack_id""",
+
+      "q82_doc_chunking" -> """
+        WITH t AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\s+') AS toks,
+            CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS BIGINT)
+              AS n
+          FROM documents),
+        d AS (SELECT * FROM t WHERE n > 0),
+        c AS (SELECT doc_id, n, toks,
+            unnest(range(0, CAST(ceil(greatest(n - 64, 0) / 48.0) AS BIGINT) + 1))
+              AS chunk_ix
+          FROM d)
+        SELECT doc_id, chunk_ix, chunk_ix * 48 AS chunk_start,
+          least(64, n - chunk_ix * 48) AS n_chunk_tokens,
+          md5(array_to_string(
+            list_slice(toks, chunk_ix * 48 + 1, chunk_ix * 48 + 64), ' '))
+            AS chunk_md5
+        FROM c""",
+
+      "q83_decontamination" -> """
+        WITH t AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        s AS (SELECT doc_id,
+            CASE WHEN len(toks) < 3 THEN [] ELSE list_distinct(
+              list_transform(range(0, len(toks) - 2),
+                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+            END AS sh
+          FROM t),
+        b AS (SELECT list(DISTINCT tok) AS bl
+          FROM (SELECT unnest(sh) AS tok FROM s WHERE doc_id % 50 = 0)),
+        d AS (SELECT doc_id, sh FROM s WHERE doc_id % 50 <> 0 AND len(sh) > 0)
+        SELECT d.doc_id, CAST(len(d.sh) AS BIGINT) AS n_shingles,
+          CAST(len(list_intersect(d.sh, b.bl)) AS BIGINT) AS n_hit,
+          round(CAST(len(list_intersect(d.sh, b.bl)) AS DOUBLE) / len(d.sh), 6)
+            AS overlap
+        FROM d, b""",
+
+      "q84_stratified_sample" -> """
+        WITH t AS (SELECT doc_id, lang, n_chars,
+            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000000 AS b
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          MIN(doc_id) AS min_id
+        FROM t
+        WHERE b < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 250000
+                  ELSE 100000 END
+        GROUP BY lang""",
+
+      "q85_cross_corpus_neardup" -> """
+        WITH t AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        s AS (SELECT doc_id,
+            CASE WHEN len(toks) < 3 THEN [] ELSE list_distinct(
+              list_transform(range(0, len(toks) - 2),
+                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+            END AS sh
+          FROM t)
+        SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3"""
     )
   }
 

@@ -34,6 +34,25 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Stratified deterministic sampling: keep a per-stratum fraction of rows,
+    * selected by the same md5 key bucket as [[sampleByKey]] — so membership
+    * is stable under reruns/repartitioning AND a row kept at fraction f stays
+    * kept at any fraction ≥ f (nested samples, the property curriculum /
+    * ablation pipelines need). Strata not in `fractions` fall back to
+    * `default`. The whole operator is a single projection + filter — no
+    * shuffle, pushdown-friendly; per-stratum row counts never influence
+    * membership (unlike quota sampling, which needs a global count pass).
+    */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       fractions: Map[String, Double],
+                       default: Double = 0.0): DataFrame = {
+    val b = deterministicBucket(key, 1000000)
+    val threshold = fractions.foldLeft(lit((default * 1000000).toLong)) {
+      case (acc, (k, f)) => when(stratum === k, lit((f * 1000000).toLong)).otherwise(acc)
+    }
+    df.filter(b < threshold)
+  }
+
   /** Pack documents into ~`seqLen`-token training sequences: within a shard
     * (id mod `shards` — deterministic and engine-portable), docs are taken
     * in id order and a doc starts the pack its PREDECESSORS' cumulative
