@@ -7,11 +7,13 @@ import graft.functions.TextFunctions
 /** Exact n-gram Jaccard similarity self-join via an inverted index.
   *
   * For any threshold t > 0, a qualifying pair shares at least one shingle, so
-  * the exact result over all pairs equals the result over pairs generated by
-  * joining on individual shingles. Intersection sizes come straight from the
-  * inverted-index join — `groupBy(pair).count()` — so no per-pair array
-  * intersection is ever materialized; the whole computation is codegen'd
-  * scans, one token-key shuffle, and hash aggregates.
+  * the exact result over all pairs equals the result over pairs generated
+  * within per-shingle buckets. Each bucket's id list is collected once and
+  * its C(df, 2) pairs exploded positionally; `groupBy(pair).count()` then
+  * yields intersection sizes directly — no per-pair array intersection is
+  * ever materialized, and (sizes riding on the postings) no per-id size
+  * join either: the whole computation is codegen'd scans and exactly two
+  * shuffles (bucket build, pair aggregate).
   *
   * Scale shape: cost is Σ_token C(df(token), 2) pair-occurrences, not
   * C(n, 2) — sublinear in pairs whenever shingles discriminate. Hot shingles
@@ -36,38 +38,57 @@ object SetSimJoin {
                    blockCol: Option[String] = None,
                    dfCap: Option[Long] = None): DataFrame = {
     val blockCols = blockCol.toSeq
-    // Shingles feed the size table and both sides of the index join —
-    // persist once, tracked (same materialization note as MinHashDedup).
-    val d = graft.util.Caches.cache(docs
+    val keyCols = (blockCols :+ "tok").map(col)
+    // Postings carry the doc's set SIZE alongside its id, so the pair rows
+    // built below are self-contained and no per-id size join is ever needed.
+    // Shingles shrink to xxhash64 keys BEFORE the explode: every downstream
+    // exchange, aggregate, and bucket sort then works on 8-byte longs
+    // instead of ~25-byte UTF8 n-grams. Intersection counts are unchanged
+    // unless two distinct shingles of one doc pair collide in 2^64 — odds
+    // ~|shingles|²/2^64, vanishing even at corpus scale per block.
+    val invAll = docs
       .select((blockCols.map(col) :+ col(idCol).as("id")) :+
         TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleN).as("sh"): _*)
-      .filter(size(col("sh")) > 0)).toDF
-    val sizes = d.select(col("id"), size(col("sh")).as("sz"))
-    val invAll = d.select(blockCols.map(col) :+ col("id") :+ explode(col("sh")).as("tok"): _*)
+      .filter(size(col("sh")) > 0)
+      .select(blockCols.map(col) :+ col("id") :+ size(col("sh")).as("sz") :+
+        explode(transform(col("sh"), s => xxhash64(s))).as("tok"): _*)
     val inv = dfCap match {
       case Some(cap) =>
-        // Hot-shingle postings are removed with a broadcast ANTI-join against
-        // the (tiny, by construction: ≤ |postings|/cap keys) over-cap key
-        // set. The key set comes from a partial-aggregating hash count — far
-        // cheaper than the window-over-(block,tok) formulation this replaces,
-        // which full-sorted every posting just to annotate df (measured
-        // +1.2 s at sf0.1; the sort also wasn't reused by the index join).
-        val hot = invAll.groupBy((blockCols :+ "tok").map(col): _*)
+        // Hot-shingle postings are removed BEFORE bucket collection with a
+        // broadcast ANTI-join against the (tiny, by construction:
+        // ≤ |postings|/cap keys) over-cap key set from a partial-aggregating
+        // hash count. Doing it pre-collection also bounds the bucket arrays
+        // built below to `cap` elements — no stop-shingle ever materializes
+        // a giant in-memory posting list. The postings feed both the count
+        // and the anti-join left side — persist once, tracked, so the
+        // corpus is tokenized exactly once.
+        val cached = graft.util.Caches.cache(invAll).toDF
+        val hot = cached.groupBy(keyCols: _*)
           .agg(count(lit(1)).as("__df")).filter(col("__df") > cap)
-          .select((blockCols :+ "tok").map(col): _*)
-        invAll.join(broadcast(hot), blockCols :+ "tok", "left_anti")
+          .select(keyCols: _*)
+        cached.join(broadcast(hot), blockCols :+ "tok", "left_anti")
       case None => invAll
     }
 
-    val joinCond = (blockCols.map(c => col(s"x.$c") === col(s"y.$c")) :+
-      (col("x.tok") === col("y.tok")) :+ (col("x.id") < col("y.id"))).reduce(_ && _)
-    val shared = inv.as("x").join(inv.as("y"), joinCond)
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+    // Bucket the index by shingle and explode each bucket's C(df, 2) id
+    // pairs from the collected (id, sz) array: one shuffle to build buckets,
+    // one to aggregate pairs — replacing the posting self-join formulation
+    // (sort-merge join + two size joins = 3 extra exchanges and a full
+    // posting sort; measured ~2× this plan's latency at sf0.1). sort_array
+    // on the structs orders by id (first field), giving id_a < id_b
+    // positionally.
+    val buckets = inv.groupBy(keyCols: _*)
+      .agg(sort_array(collect_list(struct(col("id"), col("sz")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val pairs = buckets.select(explode(flatten(transform(col("ms"),
+      (x, i) => transform(slice(col("ms"), i + 2, size(col("ms"))),
+        y => struct(x.getField("id").as("id_a"), x.getField("sz").as("sz_a"),
+          y.getField("id").as("id_b"), y.getField("sz").as("sz_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.sz_a"), col("p.id_b"), col("p.sz_b"))
 
-    shared
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+    pairs
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -99,8 +120,12 @@ object SetSimJoin {
       .select(col(idCol).as("id"),
         TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)).toDF
+    // Join keys are xxhash64 of the shingles — 8-byte longs through the
+    // shuffle instead of UTF8 n-grams (same trade as jaccardPairs: exact
+    // absent 2^-64 collisions).
     def postings(d: DataFrame) = {
-      val inv = d.select(col("id"), explode(col("sh")).as("tok"))
+      val inv = d.select(col("id"),
+        explode(transform(col("sh"), s => xxhash64(s))).as("tok"))
       dfCap match {
         case Some(cap) =>
           val hot = inv.groupBy("tok").agg(count(lit(1)).as("__df"))
