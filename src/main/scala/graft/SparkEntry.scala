@@ -900,7 +900,24 @@ object SparkEntry {
       SetSimJoin.jaccardPairsAgainst(
         d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", shingleN = 3, threshold = 0.3, dfCap = Some(64L))
-    })
+    }),
+
+    // --- bloom-pruned join (explicit semi-join reduction) ---
+    // Bloom filters have no false negatives and the real join runs after
+    // the prune, so the result is EXACTLY the plain join — which is what
+    // the oracle states. The filter's work shows up in the plan
+    // (BloomFilterMightContain on the fact scan; PlanSpec-asserted).
+    "q86_bloom_pruned_join" -> ((s, dir) =>
+      BloomPrune.bloomPrunedJoin(
+          Tables.orders(s, dir)
+            .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"),
+          Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+            .select("c_custkey"),
+          factKey = "o_custkey", dimKey = "c_custkey", expectedItems = 100000L)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          min(col("o_orderkey")).as("min_key")))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -1774,7 +1791,15 @@ object SparkEntry {
         FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
         WHERE len(a.sh) > 0 AND len(b.sh) > 0
           AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3"""
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3""",
+
+      "q86_bloom_pruned_join" -> s"""
+        SELECT o_orderpriority, COUNT(*) AS n,
+          ${dsumSql("o_totalprice")} AS sum_price,
+          MIN(o_orderkey) AS min_key
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderpriority"""
     )
   }
 

@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import graft.functions.expressions.{DotProduct, HyperplaneBuckets}
 
 /** SparkSessionExtensions entry point: registers graft's native expressions
@@ -42,5 +43,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HyperplaneBuckets(children(0), intLit(children(1), "nBits"),
           intLit(children(2), "nTables"), intLit(children(3), "dim"))
       }))
+    // Spark's own bloom sketch pair, which core builds for its AQE runtime-
+    // filter rule but never registers for users. Exposed so SQL pipelines
+    // can pin an explicit semi-join reduction (ops/BloomPrune is the
+    // DataFrame-side wrapper): bloom_filter_agg(xxhash64(k), [items[,bits]])
+    // builds the filter, might_contain(<constant/scalar-subquery>, xxhash64(k))
+    // probes it.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_filter_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => new BloomFilterAggregate(c)
+        case Seq(c, n) => new BloomFilterAggregate(c, n)
+        case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+        case other => throw new IllegalArgumentException(
+          s"bloom_filter_agg takes 1-3 arguments, got ${other.size}")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "might_contain"),
+      (children: Seq[Expression]) => BloomFilterMightContain(children(0), children(1))))
   }
 }

@@ -53,6 +53,26 @@ object StreamingOps {
       .groupBy(window(col(tsCol), width), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
 
+  /** Watermarked stream-stream INNER join on a key with a time-bound
+    * (interval) condition: a right row matches a left row when it lands in
+    * `[left.ts, left.ts + within]`. Both sides are watermarked — together
+    * with the interval bound this lets Spark age join state out instead of
+    * buffering both streams forever, the only shape that survives
+    * 100 TB/day (an unbounded stream-stream join keeps every row in state).
+    *
+    * Column names must be disjoint apart from the join key semantics: pass
+    * pre-renamed frames with (`leftKey`,`leftTs`) / (`rightKey`,`rightTs`).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, leftTs: String,
+                   rightKey: String, rightTs: String,
+                   within: String, watermark: String = "1 hour"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+
   /** Run a streaming DataFrame to a memory sink, draining everything
     * available, then stop — the AvailableNow micro-batch harness used by
     * tests.

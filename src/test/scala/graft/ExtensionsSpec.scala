@@ -46,6 +46,15 @@ class ExtensionsSpec extends AnyFunSuite {
             org.apache.spark.sql.functions.col("embedding"), 6, 2, 64).as("b"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
       assert(sqlB == colB && sqlB.nonEmpty)
+      // bloom sketch pair: build over a key set, probe as a scalar subquery
+      spark.sql("SELECT bloom_filter_agg(xxhash64(id), 100L) AS bf FROM range(0, 50)")
+        .createOrReplaceTempView("bf_ext")
+      val hits = spark.sql(
+        """SELECT id FROM range(0, 1000) t
+           WHERE might_contain((SELECT bf FROM bf_ext), xxhash64(id))""")
+        .collect().map(_.getLong(0)).toSet
+      // no false negatives; false positives bounded far under the full range
+      assert((0L until 50L).toSet.subsetOf(hits) && hits.size < 500)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Joins, Windows, Aggregates}
+import graft.ops.{Aggregates, BloomPrune, Joins, Windows}
 
 class JoinsWindowsSpec extends SparkSpec {
   import spark.implicits._
@@ -49,5 +49,27 @@ class JoinsWindowsSpec extends SparkSpec {
     val df = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0)).toDF("f", "g", "v")
     val out = Aggregates.rollupCount(df, Seq("f", "g"), "v")
     assert(out.count() == 3 + 2 + 1) // leaves + per-f + grand total
+  }
+
+  test("bloomPrunedJoin ≡ plain join (no false negatives; join removes FPs)") {
+    val fact = spark.read.parquet(s"${sf()}/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val dim = spark.read.parquet(s"${sf()}/customer.parquet")
+      .filter($"c_mktsegment" === "BUILDING").select("c_custkey")
+    val pruned = BloomPrune.bloomPrunedJoin(fact, dim, "o_custkey", "c_custkey",
+        expectedItems = 10000L)
+      .select("o_orderkey").as[Long].collect().toSet
+    val plain = fact.join(dim, $"o_custkey" === $"c_custkey")
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(pruned == plain && plain.nonEmpty)
+  }
+
+  test("bloom probe keeps every dim key (no false negatives on the sketch)") {
+    val keys = spark.range(0, 200).toDF("k")
+    val bytes = keys.agg(BloomPrune.bloomAgg($"k", 200L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val kept = spark.range(0, 200).toDF("k")
+      .filter(BloomPrune.mightContain(bytes, $"k")).count()
+    assert(kept == 200L)
   }
 }

@@ -65,6 +65,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q86: bloom membership probe prunes the fact side before the join") {
+    val p = plan("q86_bloom_pruned_join")
+    assert(p.contains("might_contain") || p.contains("BloomFilterMightContain"),
+      s"fact scan must be bloom-filtered\n${p.take(1200)}")
+  }
+
   test("q52: revenue CTE computed once (window max, not scalar-subquery rescan)") {
     val p = plan("q52_top_supplier")
     // one lineitem scan + one supplier scan; the old scalar-subquery form

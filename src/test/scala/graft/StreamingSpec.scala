@@ -122,4 +122,31 @@ class StreamingSpec extends SparkSpec {
     val out = spark.table("graft_window_out")
     assert(out.columns.contains("window") && out.columns.contains("n"))
   }
+
+  test("stream-stream interval join matches only rows inside the time bound") {
+    val ldir = Files.createTempDirectory("graft_ssl").toString
+    val rdir = Files.createTempDirectory("graft_ssr").toString
+    val orders = Seq(
+      (10L, "k1", "2024-01-01 00:00:00"),
+      (11L, "k2", "2024-01-01 00:05:00")
+    ).toDF("order_id", "ok", "ots").withColumn("ots", $"ots".cast("timestamp"))
+    val clicks = Seq(
+      (100L, "k1", "2024-01-01 00:00:30"), // within 1 min of order 10
+      (101L, "k1", "2024-01-01 00:03:00"), // same key, too late
+      (102L, "k2", "2024-01-01 00:04:00"), // before the order — excluded
+      (103L, "k3", "2024-01-01 00:00:10")  // no matching key
+    ).toDF("click_id", "ck", "cts").withColumn("cts", $"cts".cast("timestamp"))
+    orders.write.mode("overwrite").parquet(ldir)
+    clicks.write.mode("overwrite").parquet(rdir)
+
+    val joined = StreamingOps.intervalJoin(
+      StreamingOps.fileStream(spark, ldir, orders.schema),
+      StreamingOps.fileStream(spark, rdir, clicks.schema),
+      leftKey = "ok", leftTs = "ots", rightKey = "ck", rightTs = "cts",
+      within = "1 minute", watermark = "10 minutes")
+    StreamingOps.drainToMemory(joined, "graft_ssjoin_out")
+    val out = spark.table("graft_ssjoin_out")
+      .select("order_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((10L, 100L)))
+  }
 }
