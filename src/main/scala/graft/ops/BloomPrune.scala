@@ -26,6 +26,13 @@ object BloomPrune {
 
   /** Aggregate a bloom filter over `xxhash64(key)` (the input type the
     * sketch requires). Returns the serialized filter as one binary value.
+    *
+    * NOTE: `BloomFilterAggregate` silently clamps its sizing to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default 4M) and
+    * `...maxNumBits` (default 67108864 ≈ 8 MB) — an `expectedItems` beyond
+    * the caps builds a saturated filter that prunes nothing while looking
+    * healthy. [[bloomPrunedJoin]] validates against the caps; callers using
+    * this Column directly must do the same (or raise the confs).
     */
   def bloomAgg(key: Column, expectedItems: Long): Column =
     Shim.column(new BloomFilterAggregate(Shim.expression(xxhash64(key)),
@@ -48,13 +55,27 @@ object BloomPrune {
     * scale that is the difference between shuffling the full fact table
     * and shuffling its matching fraction.
     *
-    * @param expectedItems sizes the sketch (~1.2 bytes/key at the default
-    *                      3% false-positive rate) — set to the dim's
-    *                      distinct-key estimate.
+    * @param expectedItems sizes the sketch (Spark allocates 8 bits/item →
+    *                      ~1 byte/key) — set to the dim's distinct-key
+    *                      estimate. Must not exceed the session's
+    *                      runtime-filter caps (see [[bloomAgg]]): the clamp
+    *                      is silent and a saturated filter passes every row,
+    *                      so over-cap requests fail fast here instead.
     */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
                       factKey: String, dimKey: String,
                       expectedItems: Long = 1000000L): DataFrame = {
+    val conf = dim.sparkSession.conf
+    val maxItems =
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits =
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedItems <= maxItems && 8L * expectedItems <= maxBits,
+      s"expectedItems=$expectedItems exceeds the session's bloom-filter caps " +
+        s"(maxNumItems=$maxItems, maxNumBits=$maxBits bits at 8 bits/item); " +
+        "Spark would silently clamp the sketch and a saturated filter prunes " +
+        "nothing — raise spark.sql.optimizer.runtime.bloomFilter.maxNumItems/" +
+        "maxNumBits or lower expectedItems")
     val bytes = dim.agg(bloomAgg(col(dimKey), expectedItems).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     fact.filter(mightContain(bytes, col(factKey)))

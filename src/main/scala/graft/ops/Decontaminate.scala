@@ -30,8 +30,13 @@ object Decontaminate {
       TextFunctions.shingles(TextFunctions.tokens(c), shingleN)
     val benchSh = benchmark
       .select(explode(sh(col(textCol))).as("tok")).distinct()
-    val d = docs.select(col(idCol), sh(col(textCol)).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // The shingled corpus feeds both the explode/semi-join branch and the
+    // per-doc size branch — persist (tracked) so the corpus is tokenized and
+    // shingled exactly once, not twice (shingling is the dominant per-doc
+    // cost at corpus scale).
+    val d = graft.util.Caches.cache(
+      docs.select(col(idCol), sh(col(textCol)).as("sh"))
+        .filter(size(col("sh")) > 0)).toDF
     val hits = d.select(col(idCol), explode(col("sh")).as("tok"))
       .join(broadcast(benchSh), Seq("tok"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("n_hit"))

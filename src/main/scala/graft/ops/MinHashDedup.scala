@@ -136,50 +136,46 @@ object MinHashDedup {
     val p = math.max(1L, math.min(edgesAll.rdd.getNumPartitions.toLong,
       nEdges / 500000L + 1L)).toInt
     val edges = edgesAll.coalesce(p)
-    // Every loop shuffle (the groupBy per round) is also sized to the graph
-    // for the loop's duration: the session fan-out is tuned for the corpus,
-    // and on a small graph each round otherwise pays full-width task
-    // scheduling per job, which dominates wall-clock (the loop runs
-    // diameter-many LOW-LATENCY jobs, unlike the one-shot corpus queries the
-    // session default serves). Restored in `finally` — the loop is
-    // single-threaded driver code, so no concurrent plan sees the override.
-    val spark = pairs.sparkSession
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
-    try {
-      // Exact label checksum; materializes `df`'s persist in the same job.
-      // O(1) driver data — the standard Pregel-style convergence scalar.
-      def checksum(df: DataFrame): java.math.BigDecimal = {
-        val r = df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).first()
-        if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
-      }
-      // label(v) = min(v, direct neighbors) to start
-      var labels = graft.util.Caches.cache(
-        edges.select(col("src").as("id"), col("dst").as("lbl"))
-          .unionByName(edges.select(col("src").as("id"), col("src").as("lbl")))
-          .groupBy("id").agg(min("lbl").as("lbl"))).toDF
-      var prevSum = checksum(labels)
-      var converged = false
-      var i = 0
-      while (!converged && i < maxIter) {
-        val step = labels.unionByName(
-            edges.join(labels.select(col("id").as("dst"), col("lbl")), "dst")
-              .select(col("src").as("id"), col("lbl")))
-          .groupBy("id").agg(min("lbl").as("lbl"))
-        val next =
-          if ((i + 1) % 3 == 0) step.localCheckpoint(true)
-          else graft.util.Caches.cache(step).toDF
-        val s = checksum(next)
-        converged = s.compareTo(prevSum) == 0
-        prevSum = s
-        labels.unpersist(false)
-        labels = next
-        i += 1
-      }
-      // Every round's labels were materialized by its checksum read, so the
-      // caller's action is a narrow scan of the cache — compiled under the
-      // restored session conf, shuffling nothing.
-      labels.select(col("id"), col("lbl").as("component"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // The per-round groupBy shuffles are left at the session fan-out: AQE
+    // (on by default) coalesces each round's near-empty reduce partitions
+    // down to the graph's actual size, and the map side is already `p` tasks
+    // via the coalesce above. Overriding spark.sql.shuffle.partitions here
+    // would be session-GLOBAL — any query planned concurrently on another
+    // thread of the same session would silently compile with graph-sized
+    // (possibly 1) shuffle width, exactly the long-lived-session hazard
+    // Caches exists to avoid.
+
+    // Exact label checksum; materializes `df`'s persist in the same job.
+    // O(1) driver data — the standard Pregel-style convergence scalar.
+    def checksum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).first()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    // label(v) = min(v, direct neighbors) to start
+    var labels = graft.util.Caches.cache(
+      edges.select(col("src").as("id"), col("dst").as("lbl"))
+        .unionByName(edges.select(col("src").as("id"), col("src").as("lbl")))
+        .groupBy("id").agg(min("lbl").as("lbl"))).toDF
+    var prevSum = checksum(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val step = labels.unionByName(
+          edges.join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+            .select(col("src").as("id"), col("lbl")))
+        .groupBy("id").agg(min("lbl").as("lbl"))
+      val next =
+        if ((i + 1) % 3 == 0) step.localCheckpoint(true)
+        else graft.util.Caches.cache(step).toDF
+      val s = checksum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels.unpersist(false)
+      labels = next
+      i += 1
+    }
+    // Every round's labels were materialized by its checksum read, so the
+    // caller's action is a narrow scan of the cache, shuffling nothing.
+    labels.select(col("id"), col("lbl").as("component"))
   }
 }

@@ -46,7 +46,12 @@ object SetSimJoin {
     // instead of ~25-byte UTF8 n-grams. Intersection counts are unchanged
     // unless two distinct shingles of one doc pair collide in 2^64 — odds
     // ~|shingles|²/2^64, vanishing even at corpus scale per block.
+    // NULL block values are null-rejecting, matching the SQL `x.block =
+    // y.block` join this bucket formulation replaced: a doc with an unknown
+    // block belongs to no block and never pairs (grouping would otherwise
+    // silently treat NULL as one shared block).
     val invAll = docs
+      .filter(blockCols.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
       .select((blockCols.map(col) :+ col(idCol).as("id")) :+
         TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleN).as("sh"): _*)
       .filter(size(col("sh")) > 0)
@@ -80,11 +85,18 @@ object SetSimJoin {
     val buckets = inv.groupBy(keyCols: _*)
       .agg(sort_array(collect_list(struct(col("id"), col("sz")))).as("ms"))
       .filter(size(col("ms")) > 1)
-    val pairs = buckets.select(explode(flatten(transform(col("ms"),
-      (x, i) => transform(slice(col("ms"), i + 2, size(col("ms"))),
-        y => struct(x.getField("id").as("id_a"), x.getField("sz").as("sz_a"),
-          y.getField("id").as("id_b"), y.getField("sz").as("sz_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.sz_a"), col("p.id_b"), col("p.sz_b"))
+    // Pairs stream through two chained generators: posexplode picks the left
+    // element, a second explode walks its tail slice. Each intermediate value
+    // is at most one df-sized slice, never the full C(df, 2) pair set — a
+    // single flattened pair array would hold ~2.4e9 structs for one df≈70k
+    // stop-shingle on the uncapped path (JVM array overflow / OOM), where
+    // this shape just takes its time.
+    val pairs = buckets
+      .select(col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ms"), col("i") + lit(2), size(col("ms")))).as("b"))
+      .select(col("a.id").as("id_a"), col("a.sz").as("sz_a"),
+        col("b.id").as("id_b"), col("b.sz").as("sz_b"))
 
     pairs
       .groupBy("id_a", "id_b", "sz_a", "sz_b")

@@ -109,4 +109,22 @@ class DedupSpec extends SparkSpec {
     assert(capped == Set((1L, 2L)),
       s"cap must keep real-overlap pairs and drop stop-only pairs: $capped")
   }
+
+  test("jaccardPairs blockCol: NULL blocks are null-rejecting (never pair)") {
+    import graft.ops.SetSimJoin
+    // 1/2 and 3/4 are near-identical; 3/4 carry a NULL block. The SQL join
+    // contract this bucketed formulation replaced (`x.block = y.block`)
+    // never pairs NULL blocks — pinned here so grouping can't silently
+    // treat NULL as one shared block.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", Some("en")),
+      (2L, "alpha beta gamma delta zeta", Some("en")),
+      (3L, "one two three four five", None),
+      (4L, "one two three four six", None)
+    ).toDF("doc_id", "text", "lang")
+    val got = SetSimJoin.jaccardPairs(docs, "doc_id", "text",
+        shingleN = 2, threshold = 0.1, blockCol = Some("lang"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"NULL-block docs must not pair: $got")
+  }
 }
