@@ -62,10 +62,18 @@ object Bench {
       }
       name -> math.min(once(), once())
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver captures only the last ~2000 chars of output and parses the
+    // JSON line out of that tail. 86 long-name entries at full double
+    // precision overflow the window and the line arrives truncated →
+    // unparseable (every round-1..5 BENCH file shows "parsed": null). Keep
+    // the headline line compact: qNN keys + 3-decimal seconds (~1.2 KB).
+    // The full-name map still goes to stderr for humans.
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.err.println(results.map { case (k, v) => s"$k=${r3(v)}" }.mkString("[bench full] ", " ", ""))
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

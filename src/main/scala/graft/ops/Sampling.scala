@@ -53,6 +53,26 @@ object Sampling {
     df.filter(b < threshold)
   }
 
+  /** Cap rows per key (domain quotas: "at most n documents per source/host",
+    * the crawl-balancing rule that stops one giant domain from dominating a
+    * training mix). Selection within a key is by md5-of-id — deterministic,
+    * repartition-stable, and uncorrelated with any data column, i.e. a
+    * uniform per-key subsample rather than "first n in storage order".
+    *
+    * Scale shape: one hash shuffle on the key + per-key sort (the same cost
+    * as any keyed window). Keys at or under quota pass through unchanged;
+    * there is no global count pass (unlike proportional quota schemes),
+    * which is what lets the operator stream at corpus scale.
+    */
+  def quotaPerKey(df: DataFrame, keyCols: Seq[String], idCol: String,
+                  n: Int): DataFrame =
+    df.withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+
   /** Pack documents into ~`seqLen`-token training sequences: within a shard
     * (id mod `shards` — deterministic and engine-portable), docs are taken
     * in id order and a doc starts the pack its PREDECESSORS' cumulative

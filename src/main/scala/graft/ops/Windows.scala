@@ -49,6 +49,26 @@ object Windows {
       .filter(col("__rn") <= n)
       .withColumnRenamed("__rn", "rn")
 
+  /** Maximum drawdown per key: the deepest peak-to-trough fall of `value`
+    * over the ordered series, as a fraction of the running peak (≤ 0; 0 =
+    * never below a prior peak). The running peak is a cumulative `max`
+    * window (selection only — no arithmetic, so it is exact), and the
+    * per-row drawdown divides two untouched doubles — bit-identical across
+    * engines. A non-positive peak makes the ratio meaningless → NULL row,
+    * ignored by the `min`. Single shuffle + per-key sort, then a hash
+    * aggregate.
+    */
+  def maxDrawdown(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[Column],
+                  value: String): DataFrame = {
+    val w = ordered(partitionBy, orderBy)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peak = max(col(value)).over(w)
+    df.withColumn("__dd",
+        when(peak <= 0, lit(null)).otherwise((col(value) - peak) / peak))
+      .groupBy(partitionBy.map(col): _*)
+      .agg(min(col("__dd")).as("max_drawdown"), max(col(value)).as("peak"))
+  }
+
   /** rank / dense_rank / row_number in one projection. */
   def ranked(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[Column]): DataFrame = {
     val w = ordered(partitionBy, orderBy)
