@@ -917,7 +917,38 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           dsum(col("o_totalprice")).as("sum_price"),
-          min(col("o_orderkey")).as("min_key")))
+          min(col("o_orderkey")).as("min_key"))),
+
+    // --- SCD2 validity intervals from a change log ---
+    // events is the change log (user_id key, µs-normalized NTZ ts); ties
+    // broken by event_id so intervals are total and deterministic.
+    "q87_scd2_intervals" -> ((s, dir) =>
+      Scd2.intervals(Tables.events(s, dir), Seq("user_id"), "ts",
+          tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("valid_from"), col("valid_to"), col("is_current"))),
+
+    // --- per-domain quota sampling (crawl balancing) ---
+    // Row-level output: membership itself is hash-checked, not just counts.
+    "q88_domain_quota" -> ((s, dir) =>
+      Sampling.quotaPerKey(Tables.documents(s, dir), Seq("source"), "doc_id",
+          n = 15)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
+    // --- IQR (Tukey-fence) outlier gate ---
+    // price×qty is right-skewed (product of uniforms), so the upper fence
+    // actually fires (~1% of rows); plain l_extendedprice is uniform and
+    // has no tail. Exact percentile ≡ DuckDB quantile_cont (q43-proven).
+    "q89_iqr_outliers" -> ((s, dir) =>
+      Outliers.summarizeIqr(
+        Tables.lineitem(s, dir)
+          .withColumn("gross", col("l_extendedprice") * col("l_quantity")),
+        Seq("l_returnflag"), "gross")),
+
+    // --- max drawdown per key (peak-to-trough, running max) ---
+    "q90_drawdown" -> ((s, dir) =>
+      Windows.maxDrawdown(Tables.events(s, dir), Seq("user_id"),
+        Seq(col("ts"), col("event_id")), "value"))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -1799,7 +1830,53 @@ object SparkEntry {
           MIN(o_orderkey) AS min_key
         FROM orders JOIN customer ON o_custkey = c_custkey
         WHERE c_mktsegment = 'BUILDING'
-        GROUP BY o_orderpriority"""
+        GROUP BY o_orderpriority""",
+
+      "q87_scd2_intervals" -> """
+        WITH t AS (SELECT user_id, event_id, value,
+            CAST(ts AS TIMESTAMP) AS valid_from,
+            lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS valid_to
+          FROM events)
+        SELECT user_id, event_id, value, valid_from, valid_to,
+          valid_to IS NULL AS is_current
+        FROM t""",
+
+      "q88_domain_quota" -> """
+        WITH t AS (SELECT doc_id, source, n_chars,
+            ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents)
+        SELECT doc_id, source, n_chars FROM t WHERE rk <= 15""",
+
+      "q89_iqr_outliers" -> """
+        WITH t AS (SELECT l_returnflag, l_extendedprice*l_quantity AS gross
+            FROM lineitem),
+        f AS (SELECT l_returnflag,
+            quantile_cont(gross, 0.25) - 1.5*(quantile_cont(gross, 0.75) -
+              quantile_cont(gross, 0.25)) AS lo,
+            quantile_cont(gross, 0.75) + 1.5*(quantile_cont(gross, 0.75) -
+              quantile_cont(gross, 0.25)) AS hi
+          FROM t GROUP BY l_returnflag)
+        SELECT t.l_returnflag, COUNT(*) AS n_rows,
+          CAST(COUNT(*) FILTER (gross < lo OR gross > hi) AS BIGINT) AS n_outliers,
+          MIN(lo) AS lo, MIN(hi) AS hi,
+          MIN(gross) FILTER (gross < lo OR gross > hi) AS min_outlier,
+          MAX(gross) FILTER (gross < lo OR gross > hi) AS max_outlier
+        FROM t JOIN f USING (l_returnflag)
+        GROUP BY t.l_returnflag""",
+
+      "q90_drawdown" -> """
+        WITH t AS (SELECT user_id, value,
+            max(value) OVER (PARTITION BY user_id
+              ORDER BY CAST(ts AS TIMESTAMP), event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+          FROM events)
+        SELECT user_id,
+          MIN(CASE WHEN peak <= 0 THEN NULL
+                   ELSE (value - peak) / peak END) AS max_drawdown,
+          MAX(value) AS peak
+        FROM t GROUP BY user_id"""
     )
   }
 

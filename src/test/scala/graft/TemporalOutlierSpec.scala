@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Outliers, Sampling, Scd2, Windows}
+
+/** SCD2 intervals, Tukey-fence outliers, per-key quotas, max drawdown. */
+class TemporalOutlierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scd2 intervals tile the timeline per key, half-open, one current row") {
+    val log = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      (2L, 15L, "x")
+    ).toDF("k", "ts", "v")
+    val out = Scd2.intervals(log, Seq("k"), "ts", tieBreak = Seq("v"))
+      .select("k", "v", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, "a", 10L, Some(20L), false),
+      (1L, "b", 20L, Some(30L), false),
+      (1L, "c", 30L, None, true),
+      (2L, "x", 15L, None, true)))
+  }
+
+  test("scd2 ties in one tick stay total via the tie-break column") {
+    val log = Seq((1L, 10L, "a"), (1L, 10L, "b")).toDF("k", "ts", "v")
+    val out = Scd2.intervals(log, Seq("k"), "ts", tieBreak = Seq("v"))
+      .select("v", "valid_to", "is_current")
+      .as[(String, Option[Long], Boolean)].collect().toSet
+    // "a" gets the zero-length interval, "b" wins the instant and is current
+    assert(out == Set(("a", Some(10L), false), ("b", None, true)))
+  }
+
+  test("tagIqr flags exactly the values outside the fences") {
+    // 20 inliers 1..20 and one far spike per side
+    val vals = ((1 to 20).map(_.toDouble) ++ Seq(-1000.0, 1000.0))
+    val df = vals.toDF("v").withColumn("g", lit("all"))
+    val flagged = Outliers.tagIqr(df, Seq("g"), "v")
+      .filter(col("is_outlier")).select("v").as[Double].collect().toSet
+    assert(flagged == Set(-1000.0, 1000.0))
+  }
+
+  test("quotaPerKey caps each key, passes small keys through, and is stable") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val got = Sampling.quotaPerKey(docs, Seq("source"), "doc_id", 10)
+    val counts = got.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ <= 10))
+    // keys under quota keep every row
+    val small = Sampling.quotaPerKey(docs.limit(5), Seq("source"), "doc_id", 10)
+    assert(small.count() == 5)
+    // membership is repartition-stable
+    val a = got.select("doc_id").as[Long].collect().toSet
+    val b = Sampling.quotaPerKey(docs.repartition(13), Seq("source"), "doc_id", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("maxDrawdown finds the deepest peak-to-trough fall") {
+    // peak 100 → trough 60 (dd −0.4), later peak 120 → 90 (dd −0.25)
+    val px = Seq((1L, 1L, 100.0), (1L, 2L, 80.0), (1L, 3L, 60.0),
+      (1L, 4L, 120.0), (1L, 5L, 90.0),
+      (2L, 1L, 50.0), (2L, 2L, 55.0) // monotone up: drawdown 0
+    ).toDF("k", "t", "v")
+    val out = Windows.maxDrawdown(px, Seq("k"), Seq(col("t")), "v")
+      .as[(Long, Double, Double)].collect().toMap2
+    assert(out(1L) == ((-0.4, 120.0)))
+    assert(out(2L) == ((0.0, 55.0)))
+  }
+
+  private implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+}
