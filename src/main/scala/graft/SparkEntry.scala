@@ -948,7 +948,12 @@ object SparkEntry {
     // --- max drawdown per key (peak-to-trough, running max) ---
     "q90_drawdown" -> ((s, dir) =>
       Windows.maxDrawdown(Tables.events(s, dir), Seq("user_id"),
-        Seq(col("ts"), col("event_id")), "value"))
+        Seq(col("ts"), col("event_id")), "value")),
+
+    // --- pairwise correlation matrix (decimal-exact moments) ---
+    "q91_pairwise_corr" -> ((s, dir) =>
+      Aggregates.pairwiseCorr(Tables.events(s, dir), "event_type",
+        date_trunc("day", col("ts")), "value"))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -1876,7 +1881,25 @@ object SparkEntry {
           MIN(CASE WHEN peak <= 0 THEN NULL
                    ELSE (value - peak) / peak END) AS max_drawdown,
           MAX(value) AS peak
-        FROM t GROUP BY user_id"""
+        FROM t GROUP BY user_id""",
+
+      "q91_pairwise_corr" -> s"""
+        WITH s AS (SELECT event_type AS k,
+            date_trunc('day', CAST(ts AS TIMESTAMP)) AS b,
+            ${dsumSql("value")} AS v
+          FROM events GROUP BY 1, 2),
+        p AS (SELECT x.k AS key_a, y.k AS key_b, x.v AS vx, y.v AS vy
+          FROM s x JOIN s y ON x.b = y.b AND x.k < y.k),
+        m AS (SELECT key_a, key_b, COUNT(*) AS n,
+            ${dsumSql("vx")} AS sx, ${dsumSql("vy")} AS sy,
+            ${dsumSql("vx*vx")} AS sxx, ${dsumSql("vy*vy")} AS syy,
+            ${dsumSql("vx*vy")} AS sxy
+          FROM p GROUP BY 1, 2)
+        SELECT key_a, key_b, n,
+          CASE WHEN sqrt(sxx - sx*sx/n) * sqrt(syy - sy*sy/n) = 0 THEN NULL
+               ELSE (sxy - sx*sy/n) / (sqrt(sxx - sx*sx/n) * sqrt(syy - sy*sy/n))
+          END AS corr
+        FROM m"""
     )
   }
 
