@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.sources.ParquetIO
+import graft.sources.{Layout, ParquetIO}
 import graft.ops.Skew
 
 /** Scale-layout operators: partition pruning, bucketed zero-exchange joins,
@@ -70,5 +70,51 @@ class LayoutSkewSpec extends SparkSpec {
     val plain = l.join(r, Seq("o_custkey")).count()
     val salted = Skew.saltedJoin(l, r, "o_custkey", salts = 4).count()
     assert(plain == salted)
+  }
+
+  test("z-ordered layout clusters a 2-D range filter into fewer files") {
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice", "l_quantity", "l_discount")
+    val files = 16
+    // Baseline: the same file count, range-laid-out on a column UNRELATED
+    // to the filter dims — every file then spans the full (price, qty) box.
+    val flat = Files.createTempDirectory("graft_flat").toString
+    li.repartitionByRange(files, $"l_orderkey")
+      .write.mode("overwrite").parquet(flat)
+    val zdir = Files.createTempDirectory("graft_z").toString
+    Layout.writeZOrdered(li, zdir, Seq("l_extendedprice", "l_quantity"),
+      bits = 8, files = files)
+    def touched(dir: String): (Long, Long) = {
+      val hit = spark.read.parquet(dir)
+        .filter($"l_extendedprice" < 20000 && $"l_quantity" < 10)
+      (hit.select(input_file_name()).distinct().count(), hit.count())
+    }
+    val (flatFiles, flatRows) = touched(flat)
+    val (zFiles, zRows) = touched(zdir)
+    assert(zRows == flatRows, "layout must not change results")
+    assert(zRows > 0)
+    assert(flatFiles == files, s"baseline should scatter matches (got $flatFiles)")
+    assert(zFiles <= files / 2,
+      s"z-order should confine the box to few files, touched $zFiles/$files")
+  }
+
+  test("compact rewrites many small files into few, same rows") {
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val df = spark.read.parquet(s"${sf()}/orders.parquet")
+    df.repartition(40).write.mode("overwrite").parquet(dir)
+    def parquetFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    assert(before == 40)
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    Layout.compact(spark, dir, targetBytes = bytes / 3)
+    assert(parquetFiles() <= 4, s"expected ≤4 files, got ${parquetFiles()}")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == df.count())
+    // decimal sum: partition-order-independent content check
+    def dsum(d: org.apache.spark.sql.DataFrame) =
+      d.agg(sum($"o_totalprice".cast("decimal(38,4)"))).head().getDecimal(0)
+    assert(dsum(after) == dsum(df))
   }
 }
