@@ -25,6 +25,8 @@ object ProbePhases {
       val t2 = System.nanoTime()
       val n = df.count()
       val t3 = System.nanoTime()
+      if (i == 1 && sys.env.get("PROBE_EXPLAIN").contains("1"))
+        println(df.queryExecution.executedPlan.toString)
       graft.util.Caches.releaseAll()
       spark.catalog.clearCache()
       println(f"run$i: build=${(t1 - t0) / 1e9}%6.2f plan=${(t2 - t1) / 1e9}%6.2f exec=${(t3 - t2) / 1e9}%6.2f  ($n rows)")

@@ -88,4 +88,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
     assert(!p.contains("SortMergeJoin"), "cell join must not shuffle the corpus")
   }
+
+  test("q89: the fence table broadcasts — the fact table is never shuffled for tagging") {
+    val p = plan("q89_iqr_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "per-group fences are group-cardinality-sized; tagging must broadcast them")
+  }
+
+  test("q36: posting self-join reuses one exchange for both sides") {
+    // At toy scale the planner rightly broadcasts one side (no exchange to
+    // reuse); disable auto-broadcast to assert the at-scale SMJ shape.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = plan("q36_ngram_jaccard")
+      assert(p.contains("ReusedExchange"),
+        s"self-join sides are identical plans and must share the shuffle\n${p.take(1500)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      graft.util.Caches.releaseAll()
+    }
+  }
 }
