@@ -63,16 +63,22 @@ object Bench {
       name -> math.min(once(), once())
     }
     // The driver captures only the last ~2000 chars of output and parses the
-    // JSON line out of that tail. 86 long-name entries at full double
+    // JSON line out of that tail. 90 long-name entries at full double
     // precision overflow the window and the line arrives truncated →
     // unparseable (every round-1..5 BENCH file shows "parsed": null). Keep
     // the headline line compact: qNN keys + 3-decimal seconds (~1.2 KB).
-    // The full-name map still goes to stderr for humans.
+    // Nothing else may print near the end: sbt flushes stderr separately,
+    // so even a pre-println stderr dump can land AFTER the JSON line and
+    // push it out of the tail (observed). Full names go to a file instead.
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    System.err.println(results.map { case (k, v) => s"$k=${r3(v)}" }.mkString("[bench full] ", " ", ""))
+    try {
+      val full = results.map { case (k, v) => s"$k=${r3(v)}" }.mkString("\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.txt"),
+        full.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
