@@ -954,6 +954,36 @@ object SparkEntry {
     "q91_pairwise_corr" -> ((s, dir) =>
       Aggregates.pairwiseCorr(Tables.events(s, dir), "event_type",
         date_trunc("day", col("ts")), "value"))
+
+    ,
+    // --- temporal join: facts against SCD2 validity intervals ---
+    // Purchases are the dimension change log (deduped to one per tick),
+    // Scd2 builds the interval table, and clicks join AS-OF (union-sort,
+    // one shuffle — never a range join). The oracle states the SAME join
+    // as half-open interval CONTAINMENT over a DuckDB-built SCD2 table, so
+    // a hash match proves as-of ≡ BETWEEN semantics and that the intervals
+    // tile (disjoint + exhaustive per key).
+    "q92_temporal_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val tick = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+      val dimTicks = ev.filter(col("event_type") === "purchase")
+        .withColumn("__rn", row_number().over(tick))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("ts").as("dts"), col("value").as("dim_value"))
+      val scd = Scd2.intervals(dimTicks, Seq("user_id"), "dts")
+        .select(col("user_id"), col("dim_value"),
+          col("valid_from"), col("valid_to"))
+      val facts = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      AsOfJoin.backward(facts, scd, "user_id", "ts", "valid_from",
+        Seq("dim_value", "valid_from", "valid_to"))
+    }),
+
+    // --- bigram LM statistics (vocabulary + conditional probabilities) ---
+    "q93_bigram_lm" -> ((s, dir) =>
+      LmStats.bigramConditionals(Tables.documents(s, dir), "text",
+        minCount = 3L))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -1899,7 +1929,41 @@ object SparkEntry {
           CASE WHEN sqrt(sxx - sx*sx/n) * sqrt(syy - sy*sy/n) = 0 THEN NULL
                ELSE (sxy - sx*sy/n) / (sqrt(sxx - sx*sx/n) * sqrt(syy - sy*sy/n))
           END AS corr
-        FROM m"""
+        FROM m""",
+
+      "q92_temporal_join" -> """
+        WITH p0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS dts, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                               ORDER BY event_id DESC) AS rn
+          FROM events WHERE event_type = 'purchase'),
+        d AS (SELECT user_id, dts, value FROM p0 WHERE rn = 1),
+        scd AS (SELECT user_id, value AS dim_value, dts AS valid_from,
+            lead(dts) OVER (PARTITION BY user_id ORDER BY dts) AS valid_to
+          FROM d),
+        f AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click')
+        SELECT f.event_id, f.user_id, f.ts,
+          s.dim_value AS asof_dim_value,
+          s.valid_from AS asof_valid_from,
+          s.valid_to AS asof_valid_to
+        FROM f LEFT JOIN scd s ON f.user_id = s.user_id
+          AND f.ts >= s.valid_from
+          AND (s.valid_to IS NULL OR f.ts < s.valid_to)""",
+
+      "q93_bigram_lm" -> """
+        WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        g AS (SELECT unnest(list_transform(range(0, len(toks) - 1),
+            i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+          FROM t WHERE len(toks) >= 2),
+        c AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+            COUNT(*) AS c12
+          FROM g GROUP BY 1, 2),
+        w AS (SELECT w1, w2, c12,
+            CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1
+          FROM c)
+        SELECT w1, w2, c12, c1, CAST(c12 AS DOUBLE) / c1 AS p
+        FROM w WHERE c12 >= 3"""
     )
   }
 

@@ -67,6 +67,21 @@ class TemporalOutlierSpec extends SparkSpec {
     assert(out(2L) == ((0.0, 55.0)))
   }
 
+  test("bigram conditionals: counts exact, P(.|w1) sums to 1") {
+    val docs = Seq("a b a c", "a b").toDF("text")
+    val out = graft.ops.LmStats.bigramConditionals(docs, "text", minCount = 1L)
+      .select("w1", "w2", "c12", "c1", "p")
+      .as[(String, String, Long, Long, Double)].collect()
+    val byPair = out.map(r => (r._1, r._2) -> r).toMap
+    assert(byPair(("a", "b")) == (("a", "b", 2L, 3L, 2.0 / 3)))
+    assert(byPair(("a", "c")) == (("a", "c", 1L, 3L, 1.0 / 3)))
+    assert(byPair(("b", "a")) == (("b", "a", 1L, 1L, 1.0)))
+    // conditionals are a distribution per context
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-12)
+    }
+  }
+
   private implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
