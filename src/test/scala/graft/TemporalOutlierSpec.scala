@@ -82,6 +82,31 @@ class TemporalOutlierSpec extends SparkSpec {
     }
   }
 
+  test("edge cases: empty/single-row inputs and constant series") {
+    // SCD2 on empty input: empty output, schema intact
+    val emptyLog = Seq.empty[(Long, Long, String)].toDF("k", "ts", "v")
+    val scd = Scd2.intervals(emptyLog, Seq("k"), "ts")
+    assert(scd.count() == 0)
+    assert(scd.columns.toSet ==
+      Set("k", "ts", "v", "valid_from", "valid_to", "is_current"))
+    // single-row group: fences collapse to the value, nothing is flagged
+    val one = Seq((42.0, "g")).toDF("v", "g")
+    assert(Outliers.tagIqr(one, Seq("g"), "v").filter(col("is_outlier")).count() == 0)
+    // single observation: drawdown 0, peak = the value
+    val dd = Windows.maxDrawdown(Seq((1L, 1L, 7.0)).toDF("k", "t", "v"),
+      Seq("k"), Seq(col("t")), "v").as[(Long, Double, Double)].head()
+    assert(dd == ((1L, 0.0, 7.0)))
+    // constant paired series: zero variance → NULL corr, not a crash (ANSI)
+    val flat = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("b", 1L, 5.0), ("b", 2L, 5.0))
+      .toDF("k", "b", "v")
+    val corr = graft.ops.Aggregates.pairwiseCorr(flat, "k", col("b"), "v")
+      .select("corr").collect()
+    assert(corr.length == 1 && corr.head.isNullAt(0))
+    // sub-bigram docs contribute nothing
+    assert(graft.ops.LmStats.bigramConditionals(
+      Seq("one", "").toDF("text"), "text", 1L).count() == 0)
+  }
+
   private implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
