@@ -983,7 +983,26 @@ object SparkEntry {
     // --- bigram LM statistics (vocabulary + conditional probabilities) ---
     "q93_bigram_lm" -> ((s, dir) =>
       LmStats.bigramConditionals(Tables.documents(s, dir), "text",
-        minCount = 3L))
+        minCount = 3L)),
+
+    // --- dedup end-to-end: collapse dup groups to one representative ---
+    // Same pair graph as q70 (Jaccard edges + planted chains → connected
+    // components); of each group keep the LONGEST doc (tie: min id), plus
+    // every singleton. The full curation pipeline — candidate pairs → CC →
+    // representative pick — under one oracle.
+    "q94_dedup_keep_best" -> ((s, dir) => {
+      val jac = SetSimJoin.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, threshold = 0.1, blockCol = Some("lang"), dfCap = Some(64L))
+        .select("id_a", "id_b")
+      val chain = Tables.documents(s, dir)
+        .filter(col("doc_id") % 100 < 2)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      val comp = MinHashDedup.dupGroups(jac.unionByName(chain))
+      Dedup.keepRepresentative(Tables.documents(s, dir), comp, "doc_id",
+          better = Seq(col("n_chars").desc, col("doc_id")))
+        .select(col("component"), col("doc_id").as("kept_id"),
+          col("n_chars"), col("group_size"))
+    })
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -1963,7 +1982,39 @@ object SparkEntry {
             CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1
           FROM c)
         SELECT w1, w2, c12, c1, CAST(c12 AS DOUBLE) / c1 AS p
-        FROM w WHERE c12 >= 3"""
+        FROM w WHERE c12 >= 3""",
+
+      "q94_dedup_keep_best" -> """
+        WITH RECURSIVE t AS (SELECT doc_id, lang,
+            string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        s AS (SELECT doc_id, lang,
+            CASE WHEN len(toks) < 3 THEN [] ELSE list_distinct(
+              list_transform(range(0, len(toks) - 2),
+                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+            END AS sh
+          FROM t),
+        jac AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE len(a.sh) > 0 AND len(b.sh) > 0
+            AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1),
+        chain AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+                  WHERE doc_id % 100 < 2),
+        p AS (SELECT id_a, id_b FROM jac UNION SELECT id_a, id_b FROM chain),
+        e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+        reach(id, r) AS (SELECT s, s FROM e
+          UNION SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.id),
+        comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        j AS (SELECT d.doc_id, d.n_chars,
+            COALESCE(c.component, d.doc_id) AS component
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        g AS (SELECT component, doc_id, n_chars,
+            CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS group_size,
+            ROW_NUMBER() OVER (PARTITION BY component
+                               ORDER BY n_chars DESC, doc_id) AS rn
+          FROM j)
+        SELECT component, doc_id AS kept_id, n_chars, group_size
+        FROM g WHERE rn = 1"""
     )
   }
 

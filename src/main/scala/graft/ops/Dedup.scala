@@ -47,4 +47,33 @@ object Dedup {
 
   /** D1: order-insensitive vertical union by column name. */
   def unionAll(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_ unionByName _)
+
+  /** Collapse near-dup groups to ONE representative each — the curation step
+    * after connected components ([[MinHashDedup.dupGroups]]): of every dup
+    * group keep the best row under `better` (e.g. longest text, highest
+    * quality score; include a unique tiebreaker for determinism), and keep
+    * every row that belongs to no group (singletons are their own
+    * component).
+    *
+    * Scale shape: `components` is dup-graph-sized (tiny next to the corpus),
+    * so the left join broadcasts it; the winner pick is then one keyed
+    * window. The corpus is scanned once and shuffled once (by component).
+    *
+    * @param components (id, component) pairs as produced by dupGroups
+    * @return docs rows + (component, group_size), winners only
+    */
+  def keepRepresentative(docs: DataFrame, components: DataFrame, idCol: String,
+                         better: Seq[Column]): DataFrame = {
+    val withComp = docs.join(
+        broadcast(components.select(col("id"), col("component"))),
+        docs(idCol) === col("id"), "left")
+      .drop("id")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val w = Window.partitionBy("component").orderBy(better: _*)
+    withComp
+      .withColumn("group_size", count(lit(1)).over(Window.partitionBy("component")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 }

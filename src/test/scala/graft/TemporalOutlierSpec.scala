@@ -82,6 +82,21 @@ class TemporalOutlierSpec extends SparkSpec {
     }
   }
 
+  test("keepRepresentative keeps the best row per group plus all singletons") {
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // group A: 2 wins (longer, then min id)
+      (4L, 5L),                        // singleton
+      (5L, 9L), (6L, 1L)               // group B: 5 wins
+    ).toDF("doc_id", "n_chars")
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "component")
+    val kept = graft.ops.Dedup.keepRepresentative(docs, comp, "doc_id",
+        Seq(col("n_chars").desc, col("doc_id")))
+      .select("component", "doc_id", "group_size")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(kept == Set((1L, 2L, 3L), (4L, 4L, 1L), (5L, 5L, 2L)))
+  }
+
   test("edge cases: empty/single-row inputs and constant series") {
     // SCD2 on empty input: empty output, schema intact
     val emptyLog = Seq.empty[(Long, Long, String)].toDF("k", "ts", "v")
