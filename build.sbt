@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver benchmark parses ONE JSON line out of the last ~2 KB of sbt's
+// output. Two sbt behaviors broke that every round: (a) forked-run stdout is
+// LOGGED by default, so the JSON line arrived as "[info] {...}" — not
+// parseable as a bare JSON line; (b) the "[success] Total time" trailer
+// printed after it. StdoutOutput passes the child's streams through raw and
+// showSuccess drops the trailer, so the JSON line is the last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

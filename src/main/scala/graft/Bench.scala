@@ -62,24 +62,35 @@ object Bench {
       }
       name -> math.min(once(), once())
     }
-    // The driver captures only the last ~2000 chars of output and parses the
-    // JSON line out of that tail. 90 long-name entries at full double
-    // precision overflow the window and the line arrives truncated →
-    // unparseable (every round-1..5 BENCH file shows "parsed": null). Keep
-    // the headline line compact: qNN keys + 3-decimal seconds (~1.2 KB).
-    // Nothing else may print near the end: sbt flushes stderr separately,
-    // so even a pre-println stderr dump can land AFTER the JSON line and
-    // push it out of the tail (observed). Full names go to a file instead.
-    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
     try {
       val full = results.map { case (k, v) => s"$k=${r3(v)}" }.mkString("\n")
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.txt"),
         full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The JSON line prints AFTER spark.stop() (log level ERROR first) so no
+    // executor/shutdown stderr can land after it in the driver's combined
+    // capture and push it out of the 2 KB tail.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(jsonLine(results, sfDir))
+    System.out.flush()
+  }
+
+  private def r3(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** The driver-facing headline line. The driver captures only the last
+    * ~2000 chars of output and parses the JSON line out of that tail, so
+    * the line must (a) be bare JSON — build.sbt forks `run` with
+    * `StdoutOutput` so sbt does not prefix it with "[info] " — and (b) stay
+    * well under the window: qNN keys + 3-decimal seconds (~1.2 KB for 95
+    * queries). Full names go to target/bench_full.txt instead.
+    * BenchFormatSpec pins both properties against the real query registry.
+    */
+  def jsonLine(results: Map[String, Double], sfDir: String): String = {
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
   }
 }

@@ -132,20 +132,36 @@ object Similarity {
   }
 
   /** Approximate top-k: hyperplane-LSH bucket join, exact re-rank in-bucket.
-    * Multi-probe via `nTables` independent hash tables unioned before rank.
+    * Multi-probe via `nTables` independent hash tables.
+    *
+    * ONE corpus scan: every table's bucket comes from the native
+    * [[graft.functions.expressions.HyperplaneBuckets]] expression (constant
+    * code size at any knob setting — the composed literal-plane formulation
+    * blows Janino's 64 KB method limit at production knobs and drops the
+    * stage to interpreted), posexploded to (tbl, bkt) rows. The query side
+    * takes the same single-scan shape and is broadcast (queries are small
+    * by contract, ×nTables bucket rows). Candidate pairs are scored with
+    * exact cosine INSIDE the bucket join — the vectors ride along on the
+    * bucket rows — so only (query_id, nn_id, score) survives into the
+    * cross-table dedup shuffle; the per-table bucket seed stream matches
+    * [[graft.functions.VectorFunctions.hyperplaneBucket]] seed = t exactly,
+    * so results are bit-identical to the previous nTables-scan formulation
+    * (and to the mirrored DuckDB oracle).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nBits: Int = 12, nTables: Int = 4, dim: Int = 64): DataFrame = {
-    val tables = (0 until nTables).map { t =>
-      val cb = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("c_emb"),
-        hyperplaneBucket(col("embedding"), nBits, seed = t, dim).as("bucket"))
-      val qb = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        hyperplaneBucket(col("embedding"), nBits, seed = t, dim).as("bucket"))
-      cb.join(broadcast(qb), Seq("bucket")).filter(col("nn_id") =!= col("query_id"))
-        .select(col("query_id"), col("nn_id"), col("c_emb"), col("q_emb"))
-    }
-    val cands = tables.reduce(_ unionByName _).dropDuplicates("query_id", "nn_id")
-      .withColumn("score", cosine(col("c_emb"), col("q_emb")))
+    def buckets(df: DataFrame, idAs: String, embAs: String) =
+      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+        posexplode(graft.functions.expressions.HyperplaneBuckets(
+          col("embedding"), nBits, nTables, dim)).as(Seq("tbl", "bkt")))
+    val cands = buckets(corpus, "nn_id", "c_emb")
+      .join(broadcast(buckets(queries, "query_id", "q_emb")), Seq("tbl", "bkt"))
+      .filter(col("nn_id") =!= col("query_id"))
+      // same (query, neighbor) pair from several tables carries a
+      // bit-identical score (same inputs, deterministic math), so the
+      // dedup can drop either occurrence
+      .select(col("query_id"), col("nn_id"), cosine(col("c_emb"), col("q_emb")).as("score"))
+      .dropDuplicates("query_id", "nn_id")
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("nn_id"))
     cands.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("query_id"), col("nn_id"), round(col("score"), 6).as("score"),

@@ -65,6 +65,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q38: one corpus scan — all LSH tables bucket in a single pass") {
+    val p = plan("q38_lsh_ann")
+    // corpus side + broadcast query side = exactly 2 scans; the old
+    // formulation rescanned the corpus once per hash table (6 + 6 at q38's
+    // knobs) and was the round-6 bench regression
+    assert(countOf(p, "Scan parquet") == 2, p.take(1500))
+    assert(p.contains("HyperplaneBuckets") || p.toLowerCase.contains("hyperplane"),
+      s"buckets must come from the native single-pass expression\n${p.take(800)}")
+  }
+
   test("q86: bloom membership probe prunes the fact side before the join") {
     val p = plan("q86_bloom_pruned_join")
     assert(p.contains("might_contain") || p.contains("BloomFilterMightContain"),
