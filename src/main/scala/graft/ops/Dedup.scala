@@ -64,11 +64,20 @@ object Dedup {
     */
   def keepRepresentative(docs: DataFrame, components: DataFrame, idCol: String,
                          better: Seq[Column]): DataFrame = {
+    // "component"/"group_size" are OUTPUT columns — a clash would silently
+    // clobber user data (same reserved-name contract as AsOfJoin.backward).
+    // The join-side columns are __-prefixed so a docs table that already has
+    // an "id" column (or idCol == "id") resolves unambiguously.
+    Seq("component", "group_size").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"docs already has a column named '$c' (reserved for keepRepresentative output)"))
     val withComp = docs.join(
-        broadcast(components.select(col("id"), col("component"))),
-        docs(idCol) === col("id"), "left")
-      .drop("id")
-      .withColumn("component", coalesce(col("component"), col(idCol)))
+        broadcast(components.select(col("id").as("__rep_id"),
+          col("component").as("__rep_component"))),
+        docs(idCol) === col("__rep_id"), "left")
+      .drop("__rep_id")
+      .withColumn("component", coalesce(col("__rep_component"), col(idCol)))
+      .drop("__rep_component")
     val w = Window.partitionBy("component").orderBy(better: _*)
     withComp
       .withColumn("group_size", count(lit(1)).over(Window.partitionBy("component")))

@@ -15,23 +15,38 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: quartiles are one hash-aggregate over the group key (the
   * per-key fence table is group-cardinality-sized, tiny), then a broadcast
-  * join back tags every row — the big table is scanned, never shuffled. The
-  * exact percentile aggregate buffers each group's values; at 100 TB swap in
-  * `approx_percentile` (same call shape, sketch-mergeable, constant memory)
-  * and accept fence jitter — flags stay exact relative to the fences either
-  * way.
+  * join back tags every row — the big table is scanned, never shuffled.
+  *
+  * The exact `percentile` aggregate buffers EVERY value of a group on the
+  * task computing it — fine at test scale and engine-exact (matches DuckDB
+  * `quantile_cont` bit-for-bit, proven by q43), but an unbounded per-group
+  * buffer at 100 TB (~20 M doubles per task at 100× this data). Big-data
+  * callers MUST pass `approx = true`: `approx_percentile` is a mergeable
+  * bounded-error sketch (Greenwald–Khanna), so per-group state is
+  * O(accuracy), constant in data size, and map-side partial merge works.
+  * The fences jitter within the sketch's rank-error bound (≤ 1/accuracy of
+  * the group's rows); flags stay exact RELATIVE to the fences either way,
+  * and OutliersSpec's differential test pins the approx fences to the exact
+  * ones within tolerance on real data.
   */
 object Outliers {
 
   /** Per-group Tukey fences + outlier tagging.
     *
+    * @param approx    use the `approx_percentile` sketch for the quartiles —
+    *                  REQUIRED at large scale (see object doc); default
+    *                  stays exact for engine-exact fences at test scale
+    * @param accuracy  sketch accuracy knob (rank error ≤ 1/accuracy)
     * @return input rows plus (lo, hi, is_outlier)
     */
   def tagIqr(df: DataFrame, groupCols: Seq[String], valueCol: String,
-             k: Double = 1.5): DataFrame = {
+             k: Double = 1.5, approx: Boolean = false,
+             accuracy: Int = 10000): DataFrame = {
+    def quart(p: Double) =
+      if (approx) percentile_approx(col(valueCol), lit(p), lit(accuracy))
+      else percentile(col(valueCol), lit(p))
     val fences = df.groupBy(groupCols.map(col): _*)
-      .agg(percentile(col(valueCol), lit(0.25)).as("__q1"),
-           percentile(col(valueCol), lit(0.75)).as("__q3"))
+      .agg(quart(0.25).as("__q1"), quart(0.75).as("__q3"))
       .select(groupCols.map(col) :+
         (col("__q1") - lit(k) * (col("__q3") - col("__q1"))).as("lo") :+
         (col("__q3") + lit(k) * (col("__q3") - col("__q1"))).as("hi"): _*)
@@ -39,10 +54,13 @@ object Outliers {
       .withColumn("is_outlier", col(valueCol) < col("lo") || col(valueCol) > col("hi"))
   }
 
-  /** Per-group outlier summary: row counts and the worst offenders. */
+  /** Per-group outlier summary: row counts and the worst offenders.
+    * `approx`/`accuracy` as in [[tagIqr]] — pass `approx = true` at scale.
+    */
   def summarizeIqr(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                   k: Double = 1.5): DataFrame =
-    tagIqr(df, groupCols, valueCol, k)
+                   k: Double = 1.5, approx: Boolean = false,
+                   accuracy: Int = 10000): DataFrame =
+    tagIqr(df, groupCols, valueCol, k, approx, accuracy)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),

@@ -40,6 +40,39 @@ class TemporalOutlierSpec extends SparkSpec {
     assert(flagged == Set(-1000.0, 1000.0))
   }
 
+  test("approx IQR path: fences within tolerance of exact, flags identical away from the band") {
+    // Differential over real skewed data (price×qty, the q89 column): the
+    // approx_percentile sketch at the default accuracy must land each fence
+    // within 2% of the exact IQR span, and every row farther than that band
+    // from BOTH exact fences must get the same flag either way — i.e. the
+    // approx path can only ever disagree inside the sketch's error band.
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .withColumn("gross", $"l_extendedprice" * $"l_quantity")
+    val approxFences = Outliers
+      .tagIqr(li, Seq("l_returnflag"), "gross", approx = true)
+      .select($"l_returnflag", $"lo".as("lo_a"), $"hi".as("hi_a")).distinct()
+    val both = Outliers.tagIqr(li, Seq("l_returnflag"), "gross")
+      .join(broadcast(approxFences), "l_returnflag")
+    val fenceRows = both.select("l_returnflag", "lo", "hi", "lo_a", "hi_a")
+      .distinct().collect()
+    assert(fenceRows.length == 3)
+    fenceRows.foreach { r =>
+      val span = r.getDouble(2) - r.getDouble(1)
+      assert(span > 0)
+      assert(math.abs(r.getDouble(3) - r.getDouble(1)) <= 0.02 * span,
+        s"lo fence drift too large: $r")
+      assert(math.abs(r.getDouble(4) - r.getDouble(2)) <= 0.02 * span,
+        s"hi fence drift too large: $r")
+    }
+    val band = ($"hi" - $"lo") * 0.02
+    val away = both.filter(abs($"gross" - $"lo") > band && abs($"gross" - $"hi") > band)
+    assert(away.count() > 0, "band must not swallow the whole table")
+    val mismatches = away
+      .filter(($"gross" < $"lo_a" || $"gross" > $"hi_a") =!= $"is_outlier")
+      .count()
+    assert(mismatches == 0, s"$mismatches flags differ away from the fence band")
+  }
+
   test("quotaPerKey caps each key, passes small keys through, and is stable") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val got = Sampling.quotaPerKey(docs, Seq("source"), "doc_id", 10)
@@ -95,6 +128,19 @@ class TemporalOutlierSpec extends SparkSpec {
       .select("component", "doc_id", "group_size")
       .as[(Long, Long, Long)].collect().toSet
     assert(kept == Set((1L, 2L, 3L), (4L, 4L, 1L), (5L, 5L, 2L)))
+    // a docs table whose key is literally named "id" must resolve cleanly
+    // against the components frame's own "id" column
+    val docsId = docs.withColumnRenamed("doc_id", "id")
+    val keptId = graft.ops.Dedup.keepRepresentative(docsId, comp, "id",
+        Seq(col("n_chars").desc, col("id")))
+      .select("component", "id", "group_size")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(keptId == kept)
+    // reserved output names are rejected, not clobbered
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.keepRepresentative(docs.withColumn("component", lit(0L)),
+        comp, "doc_id", Seq(col("doc_id")))
+    }
   }
 
   test("edge cases: empty/single-row inputs and constant series") {
