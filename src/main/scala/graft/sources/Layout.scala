@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,10 +23,20 @@ import org.apache.spark.sql.functions._
   *
   * COMPACTION: streaming ingests and fine-grained partitions leave thousands
   * of KB-sized files; at 100 TB the scan's task-per-file scheduling and
-  * footer reads dominate. [[compact]] rewrites a directory to
-  * ceil(bytes/target) files via `coalesce` (no shuffle — coalesce merges
-  * existing partitions), writing to a temp dir and swapping atomically-ish
-  * (rename) so readers never see a half-written directory.
+  * footer reads dominate. Two shapes:
+  *  - [[compact]] rewrites IN PLACE via rename-aside swap. Renames are
+  *    checked and the original is restored on failure (no data-loss path),
+  *    but a reader BETWEEN the two renames still sees a missing directory,
+  *    and directory rename is copy-not-atomic on object stores — use it
+  *    only for single-writer, no-concurrent-reader maintenance windows.
+  *  - [[compactVersioned]] is the reader-safe shape: data lives in
+  *    immutable `v=NNNNN` subdirectories and a tiny `_current` manifest
+  *    names the live one. Compaction writes a NEW version dir completely,
+  *    then flips the pointer with one atomic file rename — a concurrent
+  *    reader resolves either the old or the new version, never a missing or
+  *    half-written directory (this is the manifest-flip idea Delta/Iceberg
+  *    build on, reduced to one pointer). Old versions persist until
+  *    [[vacuumVersions]], giving in-flight readers a grace window.
   */
 object Layout {
 
@@ -52,35 +63,147 @@ object Layout {
     }.reduce(_.bitwiseOR(_))
   }
 
-  /** Write `df` Z-ordered on `zCols` into `files` output files. */
+  /** Write `df` Z-ordered on `zCols` into `files` output files.
+    *
+    * Degenerate inputs degrade gracefully instead of failing the write job:
+    * an all-null (or empty-input) dimension is dropped from the Z-value —
+    * there is nothing to cluster on — and a constant dimension (lo == hi)
+    * gets a widened range so `width_bucket` stays well-defined. If no
+    * dimension survives, the data is written un-clustered.
+    */
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
                     bits: Int = 8, files: Int = 16): Unit = {
     val stats = df.select(zCols.flatMap(c =>
       Seq(min(col(c).cast("double")), max(col(c).cast("double")))): _*).head()
-    val ranges = zCols.indices.map(i => (stats.getDouble(2 * i), stats.getDouble(2 * i + 1)))
-    val z = zValue(zCols.map(col), ranges, bits)
-    df.withColumn("__z", z)
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode(SaveMode.Overwrite).parquet(path)
+    val usable = zCols.indices.flatMap { i =>
+      if (stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1)) None
+      else {
+        val lo = stats.getDouble(2 * i)
+        val hi = stats.getDouble(2 * i + 1)
+        Some((zCols(i), (lo, if (hi > lo) hi else lo + 1.0)))
+      }
+    }
+    if (usable.isEmpty) {
+      df.repartition(files).write.mode(SaveMode.Overwrite).parquet(path)
+    } else {
+      val z = zValue(usable.map(u => col(u._1)), usable.map(_._2), bits)
+      df.withColumn("__z", z)
+        .repartitionByRange(files, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(SaveMode.Overwrite).parquet(path)
+    }
   }
 
-  /** Rewrite a parquet directory into ~`targetBytes` files. Returns the new
-    * file count. Partition-directory trees should compact per leaf directory
-    * (drive this method once per partition at 100 TB — embarrassingly
-    * parallel across partitions).
+  /** Rewrite a parquet directory IN PLACE into ~`targetBytes` files via
+    * rename-aside swap (path → path__old, tmp → path, drop __old). Returns
+    * the new file count. Every rename result is checked; a failed forward
+    * swap restores the original, so no outcome loses data — but readers
+    * between the two renames see a MISSING directory. For concurrent
+    * readers use [[compactVersioned]]. Partition-directory trees should
+    * compact per leaf directory (embarrassingly parallel across partitions
+    * at 100 TB).
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long): Int = {
-    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val hadoopPath = new Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(hadoopPath).getLength
     val files = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val tmp = new Path(path + "__compact_tmp")
+    val old = new Path(path + "__compact_old")
     spark.read.parquet(path).coalesce(files)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(hadoopPath, true)
-    fs.rename(tmp, hadoopPath)
+    fs.delete(old, true)
+    require(fs.rename(hadoopPath, old), s"compact: rename aside failed for $path")
+    if (!fs.rename(tmp, hadoopPath)) {
+      // restore the original before failing — never leave the data gone
+      fs.rename(old, hadoopPath)
+      throw new java.io.IOException(s"compact: swap-in failed for $path; original restored")
+    }
+    fs.delete(old, true)
     files
+  }
+
+  // ---------------------------------------------------------------- versioned
+
+  private val CurrentFile = "_current"
+
+  private def versionName(n: Int): String = f"v$n%05d"
+
+  private def fileContext(spark: SparkSession): FileContext =
+    FileContext.getFileContext(spark.sparkContext.hadoopConfiguration)
+
+  /** Atomically point `root/_current` at `version`: write a sibling temp
+    * file, then rename OVER the pointer — `FileContext.rename(OVERWRITE)` is
+    * a single atomic metadata op on HDFS and a POSIX rename locally, so a
+    * concurrent [[resolveCurrent]] reads either the old or the new pointer
+    * in full, never a torn or missing one.
+    */
+  private def writePointer(spark: SparkSession, root: String, version: String): Unit = {
+    val fc = fileContext(spark)
+    val tmp = new Path(root, s"$CurrentFile.tmp")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+    try out.write(version.getBytes("UTF-8")) finally out.close()
+    fc.rename(tmp, new Path(root, CurrentFile), Options.Rename.OVERWRITE)
+  }
+
+  /** Path of the live version dir under a versioned root. */
+  def resolveCurrent(spark: SparkSession, root: String): String = {
+    val fc = fileContext(spark)
+    val in = fc.open(new Path(root, CurrentFile))
+    val version =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    s"$root/$version"
+  }
+
+  /** Create a versioned layout at `root` with `df` as version 0; returns the
+    * live version path. Readers from here on resolve via [[resolveCurrent]].
+    */
+  def initVersioned(df: DataFrame, root: String): String = {
+    val v0 = versionName(0)
+    df.write.mode(SaveMode.Overwrite).parquet(s"$root/$v0")
+    writePointer(df.sparkSession, root, v0)
+    s"$root/$v0"
+  }
+
+  /** Reader-safe compaction: rewrite the live version into ~`targetBytes`
+    * files as a NEW fully-written version dir, then flip `_current` in one
+    * atomic rename. Returns the new live path. The old version dir is left
+    * in place (in-flight readers keep a consistent snapshot); reclaim space
+    * later with [[vacuumVersions]] after a grace period longer than any
+    * reader's job.
+    */
+  def compactVersioned(spark: SparkSession, root: String, targetBytes: Long): String = {
+    val cur = resolveCurrent(spark, root)
+    val curN = cur.substring(cur.lastIndexOf("/v") + 2).toInt
+    val next = versionName(curN + 1)
+    val nextPath = s"$root/$next"
+    val fs = new Path(cur).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new Path(cur)).getLength
+    val files = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(cur).coalesce(files)
+      .write.mode(SaveMode.Overwrite).parquet(nextPath)
+    writePointer(spark, root, next)
+    nextPath
+  }
+
+  /** Delete all version dirs except the newest `keep` (the live one is
+    * always within the newest `keep` ≥ 1). Run this on a schedule with a
+    * grace period, not inline with the flip — an in-flight reader may still
+    * be scanning an old version.
+    */
+  def vacuumVersions(spark: SparkSession, root: String, keep: Int = 2): Int = {
+    require(keep >= 1, "must keep at least the live version")
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(rootPath).map(_.getPath)
+      .filter(p => p.getName.matches("v\\d{5}"))
+      .sortBy(_.getName)
+    val doomed = versions.dropRight(keep)
+    doomed.foreach(p => fs.delete(p, true))
+    doomed.length
   }
 }

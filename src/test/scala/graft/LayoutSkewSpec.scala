@@ -98,6 +98,67 @@ class LayoutSkewSpec extends SparkSpec {
       s"z-order should confine the box to few files, touched $zFiles/$files")
   }
 
+  test("versioned compaction: concurrent readers never see a missing or partial dir") {
+    val root = Files.createTempDirectory("graft_vc").toString
+    val df = spark.read.parquet(s"${sf()}/orders.parquet")
+    Layout.initVersioned(df.repartition(40), root)
+    val expectedRows = df.count()
+    val bytes = new java.io.File(Layout.resolveCurrent(spark, root)).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    @volatile var stop = false
+    @volatile var reads = 0
+    @volatile var err: Option[Throwable] = None
+    val reader = new Thread(() => {
+      // hammer resolve+scan the whole time compactions run: every read must
+      // land on a complete version dir with the full row count
+      while (!stop && err.isEmpty) {
+        try {
+          val n = spark.read.parquet(Layout.resolveCurrent(spark, root)).count()
+          if (n != expectedRows)
+            err = Some(new AssertionError(s"reader saw $n rows, expected $expectedRows"))
+          reads += 1
+        } catch { case t: Throwable => err = Some(t) }
+      }
+    })
+    reader.start()
+    try (1 to 3).foreach(_ => Layout.compactVersioned(spark, root, bytes / 3))
+    finally { stop = true; reader.join(30000) }
+    assert(err.isEmpty, s"concurrent reader failed: ${err.map(_.toString)}")
+    assert(reads > 0, "reader thread never completed a read")
+    // the flip landed: live version is the compacted one, content preserved
+    assert(Layout.resolveCurrent(spark, root).endsWith("v00003"))
+    val after = spark.read.parquet(Layout.resolveCurrent(spark, root))
+    assert(after.count() == expectedRows)
+    def dsum(d: org.apache.spark.sql.DataFrame) =
+      d.agg(sum($"o_totalprice".cast("decimal(38,4)"))).head().getDecimal(0)
+    assert(dsum(after) == dsum(df))
+    // vacuum reclaims old versions but keeps the live one
+    assert(Layout.vacuumVersions(spark, root, keep = 1) == 3)
+    assert(spark.read.parquet(Layout.resolveCurrent(spark, root)).count() == expectedRows)
+  }
+
+  test("writeZOrdered degrades gracefully on empty, all-null, and constant dims") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("a", DoubleType), StructField("b", DoubleType)))
+    // empty input: plain write, zero rows back
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val d1 = Files.createTempDirectory("graft_z_empty").toString
+    Layout.writeZOrdered(empty, d1, Seq("a", "b"), files = 2)
+    assert(spark.read.parquet(d1).count() == 0)
+    // one dim all-null: dropped from the Z-value, rows intact
+    val halfNull = Seq((1.0, Option.empty[Double]), (2.0, None), (3.0, None))
+      .toDF("a", "b")
+    val d2 = Files.createTempDirectory("graft_z_null").toString
+    Layout.writeZOrdered(halfNull, d2, Seq("a", "b"), files = 2)
+    assert(spark.read.parquet(d2).count() == 3)
+    // constant dim: widened range instead of a degenerate width_bucket
+    val const = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("a", "b")
+    val d3 = Files.createTempDirectory("graft_z_const").toString
+    Layout.writeZOrdered(const, d3, Seq("a", "b"), files = 2)
+    assert(spark.read.parquet(d3).count() == 3)
+  }
+
   test("compact rewrites many small files into few, same rows") {
     val dir = Files.createTempDirectory("graft_compact").toString
     val df = spark.read.parquet(s"${sf()}/orders.parquet")
