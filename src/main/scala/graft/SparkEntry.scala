@@ -762,6 +762,11 @@ object SparkEntry {
           sum(col("value").cast(graft.util.Num.Money)).cast("double").as("sum_value"))
         .select(col("w.start").as("bucket_start"), col("event_type"),
           col("n"), col("sum_value"))
+      // Memory sink is safe HERE because complete-mode output is window-
+      // count-bounded (96 buckets/day × event types), not corpus-sized.
+      // Producers of UNBOUNDED results must use StreamingOps.drainToParquet
+      // (file sink + checkpoint — the production shape; StreamingSpec pins
+      // its row-for-row equivalence to the memory sink).
       val q = agg.writeStream.format("memory").queryName("graft_q72")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -1007,6 +1012,18 @@ object SparkEntry {
           better = Seq(col("n_chars").desc, col("doc_id")))
         .select(col("component"), col("doc_id").as("kept_id"),
           col("n_chars"), col("group_size"))
+    }),
+
+    // --- crawl-increment keep set: new docs with NO near-dup in the corpus ---
+    // q85's pair query answers "what matched"; this answers the question the
+    // workflow actually asks — "which of the increment do we ingest". Same
+    // odd/even split, same knobs, one broadcast anti-join on matched ids.
+    "q95_kept_increment" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      SetSimJoin.keptIncrement(
+          d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", shingleN = 3, threshold = 0.3, dfCap = Some(64L))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     })
   )
 
@@ -2019,7 +2036,25 @@ object SparkEntry {
                                ORDER BY n_chars DESC, doc_id) AS rn
           FROM j)
         SELECT component, doc_id AS kept_id, n_chars, group_size
-        FROM g WHERE rn = 1"""
+        FROM g WHERE rn = 1""",
+
+      "q95_kept_increment" -> """
+        WITH t AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        s AS (SELECT doc_id,
+            CASE WHEN len(toks) < 3 THEN [] ELSE list_distinct(
+              list_transform(range(0, len(toks) - 2),
+                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+            END AS sh
+          FROM t),
+        matched AS (SELECT DISTINCT a.doc_id AS new_id
+          FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          WHERE len(a.sh) > 0 AND len(b.sh) > 0
+            AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3)
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id % 2 = 1
+          AND doc_id NOT IN (SELECT new_id FROM matched)"""
     )
   }
 

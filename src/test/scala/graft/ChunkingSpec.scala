@@ -79,6 +79,19 @@ class ChunkingSpec extends SparkSpec {
     assert(cross == self)
   }
 
+  test("keptIncrement keeps exactly the unmatched new docs, including unshingleable ones") {
+    val oldD = Seq((0L, "aaa bbb ccc ddd eee")).toDF("doc_id", "text")
+    val newD = Seq(
+      (1L, "aaa bbb ccc ddd eee"), // exact dup → dropped
+      (3L, "zzz yyy xxx www vvv"), // no overlap → kept
+      (5L, "hi")                   // too short to shingle → kept (can't match)
+    ).toDF("doc_id", "text")
+    val kept = SetSimJoin.keptIncrement(newD, oldD, "doc_id", "text",
+        shingleN = 3, threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 5L))
+  }
+
   test("jaccardPairsAgainst: dfCap drops only capped-shingle-dependent pairs") {
     // every doc opens with the hot trigram "aaa bbb ccc" (old-side df = 4 >
     // cap); each doc's second shingle "bbb ccc xN" is unique to it
