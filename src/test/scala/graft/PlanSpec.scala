@@ -94,9 +94,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q79: the probe table broadcasts — the corpus never shuffles by cell") {
+    // r6→r7 bench noise moved q79 5× with zero code change; this pins plan
+    // health independent of timing. The ONLY corpus exchange allowed is the
+    // assignment window's hashpartitioning(vec_id); an exchange keyed by
+    // centroid_id would mean the cell join shuffled the corpus — the exact
+    // regression the broadcast(probes) hint exists to prevent.
     val p = plan("q79_ivf_search")
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
     assert(!p.contains("SortMergeJoin"), "cell join must not shuffle the corpus")
+    assert(!p.contains("hashpartitioning(centroid_id"),
+      s"corpus must never be exchanged by cell id\n${p.take(1500)}")
   }
 
   test("q89: the fence table broadcasts — the fact table is never shuffled for tagging") {

@@ -27,6 +27,36 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("k").as[String].collect().toSet == Set("k1", "k2"))
   }
 
+  test("drainToParquet ≡ drainToMemory: the file sink sees the same rows") {
+    // The memory sink collects results onto the DRIVER — fine for q72's
+    // window-count-bounded output, fatal for unbounded results. This pins
+    // the production path (parquet sink + checkpoint) to the memory sink
+    // row-for-row, so pointing big-result producers at drainToParquet is a
+    // sink swap, not a semantics change.
+    val dir = Files.createTempDirectory("graft_stream_eq").toString
+    val batch = Seq(
+      (1L, "2024-01-01 00:00:01", "k1", 1.0),
+      (2L, "2024-01-01 00:05:02", "k1", 2.0),
+      (3L, "2024-01-01 00:10:03", "k2", 3.0),
+      (4L, "2024-01-01 00:20:04", "k2", 4.0)
+    ).toDF("id", "ts", "k", "v").withColumn("ts", $"ts".cast("timestamp"))
+    batch.write.mode("overwrite").parquet(dir)
+    def stream() = StreamingOps.fileStream(spark, dir, batch.schema)
+      .filter($"v" > 1.0).withColumn("v2", $"v" * 2)
+    StreamingOps.drainToMemory(stream(), "graft_eq_mem")
+    val outDir = Files.createTempDirectory("graft_eq_pq").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft_eq_ck").toString
+    StreamingOps.drainToParquet(stream(), outDir, ckpt)
+    val mem = spark.table("graft_eq_mem")
+      .select("id", "ts", "k", "v", "v2").as[(Long, java.sql.Timestamp, String, Double, Double)]
+      .collect().toSet
+    val pq = spark.read.parquet(outDir)
+      .select("id", "ts", "k", "v", "v2").as[(Long, java.sql.Timestamp, String, Double, Double)]
+      .collect().toSet
+    assert(pq == mem)
+    assert(pq.size == 3)
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions at the gap") {
     import graft.streaming.Sessionize
     import graft.streaming.Sessionize.Event
