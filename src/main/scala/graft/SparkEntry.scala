@@ -1024,7 +1024,26 @@ object SparkEntry {
           d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
           "doc_id", "text", shingleN = 3, threshold = 0.3, dfCap = Some(64L))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-    })
+    }),
+
+    // --- per-doc LM cross-entropy quality gate (CCNet-style) ---
+    // Bits-per-bigram under the corpus's own smoothed bigram model; the
+    // per-term round(…,12)→decimal sum makes the float aggregate partition-
+    // order-independent, so the whole scoring path is hash-checked.
+    "q96_lm_score" -> ((s, dir) =>
+      LmStats.scoreDocs(Tables.documents(s, dir), "doc_id", "text")),
+
+    // --- per-group winsorization (clamp, don't drop) ---
+    // Row-level output: the clamped value itself is hash-checked for every
+    // row. gross and the exact-percentile bands are bit-identical across
+    // engines (q43-proven), so no rounding is needed anywhere.
+    "q97_winsorize" -> ((s, dir) =>
+      Outliers.winsorize(
+          Tables.lineitem(s, dir)
+            .withColumn("gross", col("l_extendedprice") * col("l_quantity")),
+          Seq("l_returnflag"), "gross", lo = 0.05, hi = 0.95)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("gross_w")))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -2054,7 +2073,36 @@ object SparkEntry {
               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3)
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE doc_id % 2 = 1
-          AND doc_id NOT IN (SELECT new_id FROM matched)"""
+          AND doc_id NOT IN (SELECT new_id FROM matched)""",
+
+      "q96_lm_score" -> """
+        WITH t AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        g AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1),
+            i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+          FROM t WHERE len(toks) >= 2),
+        b AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1,
+            string_split(bg, ' ')[2] AS w2 FROM g),
+        c AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY 1, 2),
+        w AS (SELECT w1, w2, c12,
+            CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1 FROM c),
+        v AS (SELECT COUNT(DISTINCT w2) AS v FROM c)
+        SELECT b.doc_id, COUNT(*) AS n_bigrams,
+          round(CAST(SUM(CAST(round(-log2((c12 + 0.5) / (c1 + 0.5 * v)), 12)
+              AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6) AS bits_per_bigram
+        FROM b JOIN w USING (w1, w2) CROSS JOIN v
+        GROUP BY b.doc_id""",
+
+      "q97_winsorize" -> """
+        WITH t AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+            l_extendedprice * l_quantity AS gross FROM lineitem),
+        f AS (SELECT l_returnflag,
+            quantile_cont(gross, 0.05) AS plo,
+            quantile_cont(gross, 0.95) AS phi
+          FROM t GROUP BY l_returnflag)
+        SELECT t.l_orderkey, t.l_linenumber, t.l_returnflag,
+          least(greatest(gross, plo), phi) AS gross_w
+        FROM t JOIN f USING (l_returnflag)"""
     )
   }
 

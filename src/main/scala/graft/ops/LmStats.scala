@@ -44,4 +44,47 @@ object LmStats {
       .filter(col("c12") >= minCount)
       .withColumn("p", col("c12").cast("double") / col("c1"))
   }
+
+  /** Per-document bits-per-bigram cross-entropy under an add-alpha-smoothed
+    * bigram model fit on the corpus itself — the CCNet-style LM quality
+    * gate: template/boilerplate text is highly predictable and scores LOW,
+    * natural prose sits mid-range, gibberish scores HIGH, so thresholding
+    * both tails cleans a crawl. Smoothing keeps every probability finite;
+    * because the model is fit on the scored corpus, every scored bigram has
+    * c12 ≥ 1 and the join below is lossless.
+    *
+    * Determinism across engines: each per-bigram −log2 p is rounded to 12
+    * decimals and accumulated as an exact decimal, so the per-doc sum is
+    * partition-order-independent and the DuckDB oracle hash-matches — the
+    * standard trick any float aggregate in this repo uses (cf. Num.dsum).
+    *
+    * Scale shape: one cached bigram projection feeds both the LM aggregate
+    * and the scoring join (corpus tokenized ONCE); the (w1,w2) join
+    * shuffles bigrams by composite key — vocabulary²-bounded model side,
+    * map-side-combined counts; the vocab-size scalar broadcasts. Docs with
+    * fewer than 2 tokens have no bigrams and drop out (score undefined).
+    *
+    * @return (idCol, n_bigrams, bits_per_bigram)
+    */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
+                alpha: Double = 0.5): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val pairs = zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val docBigrams = graft.util.Caches.cache(
+      docs.select(col(idCol), explode(pairs).as("bg"))
+        .filter(col("bg.w2").isNotNull)
+        .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))).toDF
+    val lm = docBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy("w1")))
+    val vocab = lm.agg(countDistinct(col("w2")).as("v"))
+    docBigrams.join(lm, Seq("w1", "w2"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll",
+        round(-log2((col("c12") + lit(alpha)) / (col("c1") + lit(alpha) * col("v"))), 12)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("bits_per_bigram"))
+  }
 }

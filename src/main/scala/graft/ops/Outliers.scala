@@ -54,6 +54,30 @@ object Outliers {
       .withColumn("is_outlier", col(valueCol) < col("lo") || col(valueCol) > col("hi"))
   }
 
+  /** Per-group winsorization: CLAMP `valueCol` into its [P(lo), P(hi)]
+    * percentile band instead of dropping rows — the gentler cleaning gate
+    * when downstream aggregates should keep every observation but not let
+    * one fat-finger tick dominate a sum. Adds `<valueCol>_w`.
+    *
+    * Same percentile-aggregate + broadcast-tag shape as [[tagIqr]] (the big
+    * table is scanned, never shuffled), and the same `approx` knob is the
+    * 100 TB path.
+    */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                lo: Double = 0.01, hi: Double = 0.99,
+                approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(lo < hi, s"lo=$lo must be below hi=$hi")
+    def pct(p: Double) =
+      if (approx) percentile_approx(col(valueCol), lit(p), lit(accuracy))
+      else percentile(col(valueCol), lit(p))
+    val bands = df.groupBy(groupCols.map(col): _*)
+      .agg(pct(lo).as("__plo"), pct(hi).as("__phi"))
+    df.join(broadcast(bands), groupCols)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("__plo")), col("__phi")))
+      .drop("__plo", "__phi")
+  }
+
   /** Per-group outlier summary: row counts and the worst offenders.
     * `approx`/`accuracy` as in [[tagIqr]] — pass `approx = true` at scale.
     */

@@ -100,6 +100,42 @@ class TemporalOutlierSpec extends SparkSpec {
     assert(out(2L) == ((0.0, 55.0)))
   }
 
+  test("winsorize clamps into the percentile band, keeps every row") {
+    // values 1..20 plus two spikes; p05/p95 band swallows the spikes
+    val vals = ((1 to 20).map(_.toDouble) ++ Seq(-1000.0, 1000.0))
+    val df = vals.toDF("v").withColumn("g", lit("all"))
+    val out = Outliers.winsorize(df, Seq("g"), "v", lo = 0.05, hi = 0.95)
+    assert(out.count() == vals.length) // nothing dropped
+    val (plo, phi) = out.agg(min($"v_w"), max($"v_w"))
+      .as[(Double, Double)].head()
+    // clamp bounds are the exact p05/p95 of the data (DuckDB-parity
+    // percentile), and everything inside the band is untouched
+    assert(out.filter($"v" >= plo && $"v" <= phi && $"v_w" =!= $"v").count() == 0)
+    assert(out.filter($"v" === -1000.0).select("v_w").as[Double].head() == plo)
+    assert(out.filter($"v" === 1000.0).select("v_w").as[Double].head() == phi)
+    // approx path: same clamp semantics relative to its own band
+    val approx = Outliers.winsorize(df, Seq("g"), "v", lo = 0.05, hi = 0.95,
+      approx = true)
+    assert(approx.count() == vals.length)
+    assert(approx.agg(max($"v_w")).as[Double].head() < 1000.0)
+  }
+
+  test("scoreDocs: boilerplate scores lower than unique prose, bigram counts right") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),  // fully predictable
+      (2L, "the quick brown fox jumps high"), // every bigram unique
+      (3L, "x")                               // sub-bigram: no score row
+    ).toDF("doc_id", "text")
+    val out = graft.ops.LmStats.scoreDocs(docs, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "bits_per_bigram")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 5 && out(2L)._1 == 5)
+    assert(out(1L)._2 < out(2L)._2,
+      s"repetitive doc must be more predictable: $out")
+    graft.util.Caches.releaseAll()
+  }
+
   test("bigram conditionals: counts exact, P(.|w1) sums to 1") {
     val docs = Seq("a b a c", "a b").toDF("text")
     val out = graft.ops.LmStats.bigramConditionals(docs, "text", minCount = 1L)
