@@ -41,14 +41,15 @@ object Bench {
     graft.util.Caches.releaseAll()
     spark.catalog.clearCache() // drop warmup persists; timed runs start cold on data
 
-    // One UNTIMED warmup at the bench SF, then min of two timed runs per
-    // query. The global sf0.001 warmup above covers shared code paths, but
-    // r6→r7 showed ±1 s swings on UNTOUCHED queries (q79 0.38→1.95,
-    // q06 0.12→0.72) — per-query first runs still pay query-specific JIT,
-    // page-cache faults, and GC debt from whatever ran before; discarding
-    // run 1 takes that out of the reported number. Cache is cleared between
-    // runs so operator-internal persists are rebuilt — the repeat measures
-    // the operator, not a warm data cache.
+    // Min of THREE runs per query. The global sf0.001 warmup above covers
+    // shared code paths, but r6→r7 showed ±1 s swings on UNTOUCHED queries
+    // (q79 0.38→1.95, q06 0.12→0.72) — first runs still pay query-specific
+    // JIT, page-cache faults, and GC debt from whatever ran before, and
+    // with only two samples one bad run lands in the reported min half the
+    // time. Run 1 doubles as the warmup but still competes for the min
+    // (it can only help). Cache is cleared between runs so operator-
+    // internal persists are rebuilt — the repeat measures the operator,
+    // not a warm data cache.
     // A failed query reports -1 (never a small-looking elapsed time) and
     // logs to stderr — regressions must not masquerade as speedups.
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -65,8 +66,7 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) t else -1.0
       }
-      once() // discarded warmup
-      name -> math.min(once(), once())
+      name -> Seq(once(), once(), once()).min
     }
     try {
       val full = results.map { case (k, v) => s"$k=${r3(v)}" }.mkString("\n")
