@@ -1043,7 +1043,47 @@ object SparkEntry {
             .withColumn("gross", col("l_extendedprice") * col("l_quantity")),
           Seq("l_returnflag"), "gross", lo = 0.05, hi = 0.95)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          col("gross_w")))
+          col("gross_w"))),
+
+    // --- forward as-of join: each click attaches the NEXT purchase ---
+    // Same dedup-to-one-per-tick shape as q92's dimension build; DuckDB's
+    // ASOF with `<=` states the identical forward-nearest semantics.
+    "q98_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val tick = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+      val dimTicks = ev.filter(col("event_type") === "purchase")
+        .withColumn("__rn", row_number().over(tick))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("ts").as("pts"), col("value").as("next_value"))
+      val facts = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      AsOfJoin.forward(facts, dimTicks, "user_id", "ts", "pts",
+        Seq("next_value", "pts"))
+    }),
+
+    // --- robust z-score (median/MAD) outlier gate ---
+    // The 50%-breakdown sibling of q89's quartile fences; same broadcast-tag
+    // shape, two exact percentile passes, ANSI-safe zero-MAD guard.
+    "q99_robust_z" -> ((s, dir) =>
+      Outliers.tagRobustZ(
+          Tables.lineitem(s, dir)
+            .withColumn("gross", col("l_extendedprice") * col("l_quantity")),
+          Seq("l_returnflag"), "gross")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          first(col("med")).as("med"), first(col("mad")).as("mad"),
+          max(when(col("is_outlier"), col("gross"))).as("max_outlier"))),
+
+    // --- token-budget corpus mixing (per-source weights, in-plan fractions) ---
+    // Row-level membership is hash-checked; the keep fraction for each lang
+    // comes from the corpus's own token totals, computed inside the plan.
+    "q100_token_mix" -> ((s, dir) =>
+      Sampling.mixToBudget(Tables.documents(s, dir), "lang", "doc_id",
+          TF.tokenCount(col("text")), Map("en" -> 0.6, "zh" -> 0.4),
+          targetTokens = 20000L)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -2102,7 +2142,57 @@ object SparkEntry {
           FROM t GROUP BY l_returnflag)
         SELECT t.l_orderkey, t.l_linenumber, t.l_returnflag,
           least(greatest(gross, plo), phi) AS gross_w
-        FROM t JOIN f USING (l_returnflag)"""
+        FROM t JOIN f USING (l_returnflag)""",
+
+      "q98_asof_forward" -> """
+        WITH d AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                               ORDER BY event_id DESC) AS rn
+          FROM events WHERE event_type = 'purchase'),
+        dim AS (SELECT user_id, pts, value FROM d WHERE rn = 1),
+        f AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click')
+        SELECT f.event_id, f.user_id, f.ts,
+          dim.value AS asof_next_value, dim.pts AS asof_pts
+        FROM f ASOF LEFT JOIN dim
+          ON f.user_id = dim.user_id AND f.ts <= dim.pts""",
+
+      "q99_robust_z" -> """
+        WITH t AS (SELECT l_returnflag, l_extendedprice*l_quantity AS gross
+            FROM lineitem),
+        m AS (SELECT l_returnflag, quantile_cont(gross, 0.5) AS med
+          FROM t GROUP BY 1),
+        d AS (SELECT t.l_returnflag, gross, med, abs(gross - med) AS dev
+          FROM t JOIN m USING (l_returnflag)),
+        md AS (SELECT l_returnflag, quantile_cont(dev, 0.5) AS mad
+          FROM d GROUP BY 1),
+        s AS (SELECT d.l_returnflag, gross, med, mad,
+            CASE WHEN mad = 0 THEN NULL
+                 ELSE abs(gross - med) / (1.4826 * mad) END AS rz
+          FROM d JOIN md USING (l_returnflag))
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+          CAST(COUNT(*) FILTER (rz > 3.5) AS BIGINT) AS n_outliers,
+          MIN(med) AS med, MIN(mad) AS mad,
+          MAX(gross) FILTER (rz > 3.5) AS max_outlier
+        FROM s GROUP BY l_returnflag""",
+
+      "q100_token_mix" -> """
+        WITH t AS (SELECT doc_id, lang, source, n_chars,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+            END AS tok,
+            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000000 AS b
+          FROM documents),
+        tot AS (SELECT lang, CAST(SUM(tok) AS BIGINT) AS total
+          FROM t GROUP BY lang),
+        f AS (SELECT lang, CASE WHEN total <= 0 THEN 0.0 ELSE
+            least(1.0, CASE lang WHEN 'en' THEN 0.6 WHEN 'zh' THEN 0.4
+                       ELSE 0.0 END * 20000.0 / total) END AS frac
+          FROM tot)
+        SELECT doc_id, lang, source, n_chars
+        FROM t JOIN f USING (lang)
+        WHERE b < frac * 1000000.0"""
     )
   }
 

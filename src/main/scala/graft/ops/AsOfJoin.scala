@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** J6: as-of (backward) join — for each left row, attach the payload of the
-  * latest right row with the same key and right.time <= left.time.
+/** J6: as-of join — for each left row, attach the payload of the latest
+  * right row with the same key and right.time <= left.time ([[backward]]),
+  * or the earliest with right.time >= left.time ([[forward]]).
   *
   * Not present in the reference (its closest relative is keep-last dedup,
   * /root/reference/extraction.py:105), but natural for the bar/time-series
@@ -34,7 +35,32 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                payload: Seq[String],
-               tolerance: Option[Column] = None): DataFrame = {
+               tolerance: Option[Column] = None): DataFrame =
+    asOf(left, right, key, leftTime, rightTime, payload, tolerance,
+      forward = false)
+
+  /** As-of FORWARD join: for each left row, attach the payload of the
+    * EARLIEST right row with the same key and right.time >= left.time —
+    * "next quote after the order", "first purchase after the click". Same
+    * union-sort shape and cost as [[backward]] (one shuffle by key, no row
+    * explosion); the window simply looks ahead instead of behind. At equal
+    * times the right row matches (inclusive), mirroring backward.
+    *
+    * @param tolerance max allowed right.time − left.time; farther matches
+    *                  are nulled
+    */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+              leftTime: String, rightTime: String,
+              payload: Seq[String],
+              tolerance: Option[Column] = None): DataFrame =
+    asOf(left, right, key, leftTime, rightTime, payload, tolerance,
+      forward = true)
+
+  private def asOf(left: DataFrame, right: DataFrame, key: String,
+                   leftTime: String, rightTime: String,
+                   payload: Seq[String],
+                   tolerance: Option[Column],
+                   forward: Boolean): DataFrame = {
     // The internal union-sort columns are reserved: an input already carrying
     // one would be silently clobbered by withColumn and corrupt the join —
     // fail loudly instead.
@@ -51,29 +77,42 @@ object AsOfJoin {
     // could mix columns from different right rows.
     val payloadStruct = struct(
       (col(rightTime).as("__rt") +: payload.map(p => col(p).as(p))): _*)
+    // Tie handling at equal __t is the side ordering: backward puts right
+    // rows FIRST (0 < 1) so `last` over the preceding frame sees them —
+    // inclusive <=; forward puts right rows AFTER the left row (1 > 0) so
+    // `first` over the following frame sees them — inclusive >=.
+    val (leftSide, rightSide) = if (forward) (0, 1) else (1, 0)
     val l = left
       .withColumn("__t", col(leftTime))
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(leftSide))
       .withColumn("__p", lit(null).cast(
         right.select(payloadStruct).schema.head.dataType))
       .select((Seq(col(key).as("__k"), col("__t"), col("__side"), col("__p")) ++
         leftCols.map(col)): _*)
     val r = right
       .withColumn("__t", col(rightTime))
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(rightSide))
       .withColumn("__p", payloadStruct)
       .select((Seq(col(key).as("__k"), col("__t"), col("__side"), col("__p")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
-    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w0 = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
+    val pick =
+      if (forward)
+        first(col("__p"), ignoreNulls = true)
+          .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col("__p"), ignoreNulls = true)
+          .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val matched = l.unionByName(r)
-      .withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+      .withColumn("__c", pick)
+      .filter(col("__side") === leftSide)
     val effective = tolerance match {
       case None => matched
       case Some(tol) =>
-        val stale = col("__t").cast("long") - col("__c.__rt").cast("long") > tol
-        matched.withColumn("__c", when(stale, lit(null)).otherwise(col("__c")))
+        val gap =
+          if (forward) col("__c.__rt").cast("long") - col("__t").cast("long")
+          else col("__t").cast("long") - col("__c.__rt").cast("long")
+        matched.withColumn("__c", when(gap > tol, lit(null)).otherwise(col("__c")))
     }
     effective.select(
       (leftCols.map(col) ++ payload.map(p => col(s"__c.$p").as(s"asof_$p"))): _*)

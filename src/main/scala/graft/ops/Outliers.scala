@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distribution-based outlier detection — the data-cleaning gate a financial
@@ -52,6 +52,42 @@ object Outliers {
         (col("__q3") + lit(k) * (col("__q3") - col("__q1"))).as("hi"): _*)
     df.join(broadcast(fences), groupCols)
       .withColumn("is_outlier", col(valueCol) < col("lo") || col(valueCol) > col("hi"))
+  }
+
+  /** Per-group robust z-score gate: flag rows with
+    * |x − median| / (1.4826·MAD) > k — the median/MAD sibling of [[tagIqr]],
+    * preferred when up to half the data may be contaminated (the
+    * breakdown point of quartile fences is 25%; MAD's is 50%). 1.4826
+    * rescales MAD to σ-equivalents under normality, so k≈3.5 is the
+    * conventional gate.
+    *
+    * Scale shape: TWO passes over the big table (deviations depend on the
+    * median — inherent to exact MAD), each a group-cardinality aggregate
+    * broadcast back; the table itself never shuffles. A zero MAD (≥50%
+    * identical values) yields a null score and `is_outlier = false` —
+    * guarded BEFORE the division (ANSI mode throws on /0). Same `approx`
+    * knob as [[tagIqr]] for the 100 TB path.
+    *
+    * @return input rows plus (med, mad, robust_z, is_outlier)
+    */
+  def tagRobustZ(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                 k: Double = 3.5, approx: Boolean = false,
+                 accuracy: Int = 10000): DataFrame = {
+    def pct(c: Column, p: Double) =
+      if (approx) percentile_approx(c, lit(p), lit(accuracy))
+      else percentile(c, lit(p))
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(pct(col(valueCol), 0.5).as("med"))
+    val withDev = df.join(broadcast(med), groupCols)
+      .withColumn("__absdev", abs(col(valueCol) - col("med")))
+    val mad = withDev.groupBy(groupCols.map(col): _*)
+      .agg(pct(col("__absdev"), 0.5).as("mad"))
+    withDev.join(broadcast(mad), groupCols)
+      .withColumn("robust_z",
+        when(col("mad") === 0, lit(null).cast("double"))
+          .otherwise(col("__absdev") / (lit(1.4826) * col("mad"))))
+      .withColumn("is_outlier", coalesce(col("robust_z") > k, lit(false)))
+      .drop("__absdev")
   }
 
   /** Per-group winsorization: CLAMP `valueCol` into its [P(lo), P(hi)]

@@ -53,6 +53,39 @@ object Sampling {
     df.filter(b < threshold)
   }
 
+  /** Down-sample a corpus to a TOKEN budget with per-source mixture weights
+    * — the "60% web, 30% code, 10% books, 500B tokens total" recipe every
+    * training run starts from. Source `s` keeps a deterministic
+    * ≈ `weights(s)·targetTokens`-token slice (capped at what it has;
+    * weights absent from the map get `default`). Membership uses the same
+    * md5 bucket as [[sampleByKey]], so samples are repartition-stable and
+    * NEST across budgets: the 100B-token mix is a subset of the 500B mix —
+    * what scaling-law ladders need.
+    *
+    * The per-source keep fraction is computed IN the plan from the
+    * per-source token totals (one group-cardinality aggregate broadcast
+    * back) — no driver collect, no config file that drifts from the data.
+    * Budgeting is in expectation per doc (exact-budget packing is
+    * [[packDocs]]' job downstream).
+    */
+  def mixToBudget(docs: DataFrame, sourceCol: String, idCol: String,
+                  tokenCount: Column, weights: Map[String, Double],
+                  targetTokens: Long, default: Double = 0.0): DataFrame = {
+    val withTok = docs.withColumn("__tok", tokenCount.cast("long"))
+    val totals = withTok.groupBy(col(sourceCol))
+      .agg(sum(col("__tok")).as("__total"))
+    val weightExpr = weights.foldLeft(lit(default)) {
+      case (acc, (s, w)) => when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    // guard the empty-source division (ANSI throws on /0); frac ∈ [0, 1]
+    val frac = when(col("__total") <= 0, lit(0.0))
+      .otherwise(least(lit(1.0),
+        weightExpr * lit(targetTokens.toDouble) / col("__total")))
+    withTok.join(broadcast(totals), Seq(sourceCol))
+      .filter(deterministicBucket(col(idCol), 1000000) < frac * lit(1000000.0))
+      .drop("__total", "__tok")
+  }
+
   /** Cap rows per key (domain quotas: "at most n documents per source/host",
     * the crawl-balancing rule that stops one giant domain from dominating a
     * training mix). Selection within a key is by md5-of-id — deterministic,

@@ -100,6 +100,47 @@ class TemporalOutlierSpec extends SparkSpec {
     assert(out(2L) == ((0.0, 55.0)))
   }
 
+  test("tagRobustZ flags spikes, survives zero MAD, guards the division") {
+    // 20 inliers + two far spikes: MAD is driven by the inliers, spikes flag
+    val vals = ((1 to 20).map(_.toDouble) ++ Seq(-1000.0, 1000.0))
+    val df = vals.toDF("v").withColumn("g", lit("all"))
+    val flagged = Outliers.tagRobustZ(df, Seq("g"), "v")
+      .filter(col("is_outlier")).select("v").as[Double].collect().toSet
+    assert(flagged == Set(-1000.0, 1000.0))
+    // ≥50% identical values → MAD 0 → null score, nothing flagged, no throw
+    val flat = (Seq.fill(10)(5.0) ++ Seq(5.0, 9.0)).toDF("v")
+      .withColumn("g", lit("all"))
+    val out = Outliers.tagRobustZ(flat, Seq("g"), "v")
+    assert(out.filter(col("is_outlier")).count() == 0)
+    assert(out.filter(col("robust_z").isNotNull).count() == 0)
+  }
+
+  test("mixToBudget: fractions follow the token totals, samples nest across budgets") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val tok = graft.functions.TextFunctions.tokenCount(col("text"))
+    val totals = docs.groupBy("lang")
+      .agg(sum(tok.cast("long")).as("tot"))
+      .as[(String, Long)].collect().toMap
+    val small = Sampling.mixToBudget(docs, "lang", "doc_id", tok,
+      Map("en" -> 0.6, "zh" -> 0.4), targetTokens = 5000L)
+    val big = Sampling.mixToBudget(docs, "lang", "doc_id", tok,
+      Map("en" -> 0.6, "zh" -> 0.4), targetTokens = 20000L)
+    // kept tokens per source land near the weighted budget (binomial noise)
+    val kept = small.groupBy("lang").agg(sum(tok.cast("long")).as("k"))
+      .as[(String, Long)].collect().toMap
+    for ((langName, w) <- Seq("en" -> 0.6, "zh" -> 0.4)) {
+      val want = math.min(w * 5000L, totals(langName).toDouble)
+      assert(math.abs(kept.getOrElse(langName, 0L) - want) <= want * 0.5 + 200,
+        s"$langName kept ${kept.get(langName)} vs target $want")
+    }
+    // unweighted sources are dropped entirely (default = 0)
+    assert(small.filter(!col("lang").isin("en", "zh")).count() == 0)
+    // nesting: the smaller budget's membership is a subset of the larger's
+    val smallIds = small.select("doc_id").as[Long].collect().toSet
+    val bigIds = big.select("doc_id").as[Long].collect().toSet
+    assert(smallIds.subsetOf(bigIds))
+  }
+
   test("winsorize clamps into the percentile band, keeps every row") {
     // values 1..20 plus two spikes; p05/p95 band swallows the spikes
     val vals = ((1 to 20).map(_.toDouble) ++ Seq(-1000.0, 1000.0))
