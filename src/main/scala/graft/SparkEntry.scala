@@ -1083,7 +1083,23 @@ object SparkEntry {
       Sampling.mixToBudget(Tables.documents(s, dir), "lang", "doc_id",
           TF.tokenCount(col("text")), Map("en" -> 0.6, "zh" -> 0.4),
           targetTokens = 20000L)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
+    // --- cross-document boilerplate line removal (RefinedWeb-style) ---
+    // The corpus's docs are single-line, so the query PLANTS deterministic
+    // boilerplate (a global footer + a per-lang banner — hot when the lang
+    // has > dfCap docs, kept when rarer) the same way q70 plants chain
+    // edges; the original unique lines must survive untouched. md5 of the
+    // rebuilt text hash-checks the whole strip-and-reassemble path.
+    "q101_boilerplate_lines" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).withColumn("text_aug",
+        concat(col("text"), lit("\nsubscribe to our newsletter\n"),
+          concat(lit("lang "), col("lang"))))
+      Boilerplate.stripBoilerplate(d, "doc_id", "text_aug", dfCap = 10L)
+        .select(col("doc_id"),
+          length(col("text_aug_clean")).cast("long").as("n_chars_clean"),
+          md5(col("text_aug_clean")).as("clean_md5"))
+    })
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -2192,7 +2208,27 @@ object SparkEntry {
           FROM tot)
         SELECT doc_id, lang, source, n_chars
         FROM t JOIN f USING (lang)
-        WHERE b < frac * 1000000.0"""
+        WHERE b < frac * 1000000.0""",
+
+      "q101_boilerplate_lines" -> """
+        WITH t AS (SELECT doc_id,
+            string_split(text || chr(10) || 'subscribe to our newsletter'
+              || chr(10) || 'lang ' || lang, chr(10)) AS ls
+          FROM documents),
+        l AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos,
+            unnest(ls) AS line FROM t),
+        hot AS (SELECT line FROM (
+            SELECT line, COUNT(DISTINCT doc_id) AS df FROM l
+            WHERE length(trim(line)) > 0 GROUP BY line) WHERE df > 10),
+        k AS (SELECT doc_id, pos, line FROM l
+          WHERE line NOT IN (SELECT line FROM hot)),
+        r AS (SELECT doc_id,
+            array_to_string(list(line ORDER BY pos), chr(10)) AS clean
+          FROM k GROUP BY doc_id)
+        SELECT d.doc_id,
+          CAST(length(COALESCE(r.clean, '')) AS BIGINT) AS n_chars_clean,
+          md5(COALESCE(r.clean, '')) AS clean_md5
+        FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id"""
     )
   }
 

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Chunker, Decontaminate, Sampling, SetSimJoin}
+import graft.ops.{Boilerplate, Chunker, Decontaminate, Sampling, SetSimJoin}
 
 class ChunkingSpec extends SparkSpec {
   import spark.implicits._
@@ -77,6 +77,24 @@ class ChunkingSpec extends SparkSpec {
       .filter { case (a, b) => (a % 2) != (b % 2) }
       .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
     assert(cross == self)
+  }
+
+  test("stripBoilerplate removes hot lines everywhere, keeps order, blanks, empty docs") {
+    val corpus = Seq(
+      (1L, "unique a\nFOOTER\nunique b"),
+      (2L, "FOOTER\nunique c"),
+      (3L, "unique d\nFOOTER"),
+      (4L, "FOOTER"),        // all-boilerplate → empty text, row kept
+      (5L, "x\n\ny")         // blank lines are structure, never stripped
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.stripBoilerplate(corpus, "doc_id", "text", dfCap = 2L)
+      .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+    assert(out(1L) == "unique a\nunique b")
+    assert(out(2L) == "unique c")
+    assert(out(3L) == "unique d")
+    assert(out(4L) == "")
+    assert(out(5L) == "x\n\ny")
+    assert(out.size == 5)
   }
 
   test("keptIncrement keeps exactly the unmatched new docs, including unshingleable ones") {
