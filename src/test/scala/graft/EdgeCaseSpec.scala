@@ -37,6 +37,34 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Similarity.thresholdPairs(emptyVecs, 0.5).isEmpty)
   }
 
+  test("round-8 operators: empty and degenerate inputs flow through") {
+    // empty corpora: empty in ⇒ empty out, no ANSI throws
+    assert(LmStats.scoreDocs(emptyDocs, "doc_id", "text").isEmpty)
+    assert(Boilerplate.stripBoilerplate(emptyDocs, "doc_id", "text", 2L).isEmpty)
+    assert(Sampling.mixToBudget(emptyDocs, "text", "doc_id", lit(1L),
+      Map("en" -> 1.0), 100L).isEmpty)
+    assert(SetSimJoin.keptIncrement(emptyDocs, emptyDocs, "doc_id", "text",
+      3, 0.5).isEmpty)
+    graft.util.Caches.releaseAll()
+    // a source whose total token count is ZERO must not divide by zero and
+    // must keep nothing (there is nothing to budget)
+    val zeroTok = Seq((1L, "en")).toDF("doc_id", "lang")
+    assert(Sampling.mixToBudget(zeroTok, "lang", "doc_id", lit(0L),
+      Map("en" -> 1.0), 100L).isEmpty)
+    // single-row group: winsorize clamps to the value itself; robust z
+    // has MAD 0 → null score, nothing flagged
+    val one = Seq((42.0, "g")).toDF("v", "g")
+    val w = Outliers.winsorize(one, Seq("g"), "v")
+    assert(w.count() == 1 && w.select("v_w").as[Double].head() == 42.0)
+    val rz = Outliers.tagRobustZ(one, Seq("g"), "v")
+    assert(rz.filter(col("is_outlier")).count() == 0)
+    // forward as-of with empty right side: all-null payloads, rows kept
+    val left = Seq((1, 10L)).toDF("k", "t")
+    val emptyRight = Seq.empty[(Int, Long, String)].toDF("k", "rt", "p")
+    val fwd = AsOfJoin.forward(left, emptyRight, "k", "t", "rt", Seq("p"))
+    assert(fwd.count() == 1 && fwd.head().isNullAt(fwd.head().fieldIndex("asof_p")))
+  }
+
   test("unicode, emoji, huge tokens, and whitespace-only text don't throw") {
     val weird = Seq(
       (1L, "héllo wörld 你好 世界 你好"),

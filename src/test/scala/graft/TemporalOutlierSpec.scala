@@ -107,6 +107,10 @@ class TemporalOutlierSpec extends SparkSpec {
     val flagged = Outliers.tagRobustZ(df, Seq("g"), "v")
       .filter(col("is_outlier")).select("v").as[Double].collect().toSet
     assert(flagged == Set(-1000.0, 1000.0))
+    // the approx sketch path flags the same spikes
+    val approxFlagged = Outliers.tagRobustZ(df, Seq("g"), "v", approx = true)
+      .filter(col("is_outlier")).select("v").as[Double].collect().toSet
+    assert(approxFlagged == Set(-1000.0, 1000.0))
     // ≥50% identical values → MAD 0 → null score, nothing flagged, no throw
     val flat = (Seq.fill(10)(5.0) ++ Seq(5.0, 9.0)).toDF("v")
       .withColumn("g", lit("all"))
