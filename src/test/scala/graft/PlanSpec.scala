@@ -113,6 +113,31 @@ class PlanSpec extends SparkSpec {
       "per-group fences are group-cardinality-sized; tagging must broadcast them")
   }
 
+  test("q95: the matched-id set broadcasts into the keep-set anti-join") {
+    val p = plan("q95_kept_increment")
+    assert(p.contains("BroadcastHashJoin LeftAnti") || (p.contains("LeftAnti") &&
+      p.contains("BroadcastHashJoin")),
+      s"matched ids are increment-bounded and must broadcast\n${p.take(1200)}")
+    graft.util.Caches.releaseAll()
+  }
+
+  test("q96: corpus tokenized once — model and scoring share the cached bigrams") {
+    // Each InMemoryRelation echo prints its provenance "Scan parquet" line,
+    // so scan-count is not meaningful here; the property is that BOTH the
+    // model aggregate and the scoring join consume the cache (the actual
+    // tokenize+explode runs once, at materialization).
+    val p = plan("q96_lm_score")
+    assert(countOf(p, "InMemoryTableScan") >= 2,
+      s"model and scoring must both read the cached bigram projection\n${p.take(1200)}")
+    graft.util.Caches.releaseAll()
+  }
+
+  test("q101: the boilerplate hot set broadcasts into the line prune") {
+    val p = plan("q101_boilerplate_lines")
+    assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"),
+      s"hot lines are few by definition and must broadcast\n${p.take(1200)}")
+  }
+
   test("q36: posting self-join reuses one exchange for both sides") {
     // At toy scale the planner rightly broadcasts one side (no exchange to
     // reuse); disable auto-broadcast to assert the at-scale SMJ shape.
