@@ -1099,6 +1099,20 @@ object SparkEntry {
         .select(col("doc_id"),
           length(col("text_aug_clean")).cast("long").as("n_chars_clean"),
           md5(col("text_aug_clean")).as("clean_md5"))
+    }),
+
+    // --- multimodal frame-sampling plumbing under the oracle ---
+    // The frame-INDEX layout (explode of the sampling arithmetic over
+    // payload size / declared duration) is deterministic and engine-
+    // mirrorable, so the plan shape that matters at scale — one row per
+    // sampled frame, partitioned by asset — is hash-checked even though
+    // the per-frame features stay stub/rows-only (xxhash features have no
+    // DuckDB equivalent).
+    "q102_frame_sample" -> ((s, dir) => {
+      val assets = Multimodal.fromDocuments(Tables.documents(s, dir))
+      Multimodal.sampleFrames(assets, everyNth = 16, maxFrames = 8, dim = 4)
+        .select(col("asset_id"), col("frame_idx"),
+          size(col("features")).cast("long").as("n_features"))
     })
   )
 
@@ -2228,7 +2242,16 @@ object SparkEntry {
         SELECT d.doc_id,
           CAST(length(COALESCE(r.clean, '')) AS BIGINT) AS n_chars_clean,
           md5(COALESCE(r.clean, '')) AS clean_md5
-        FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id"""
+        FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""",
+
+      "q102_frame_sample" -> """
+        WITH a AS (SELECT doc_id AS asset_id,
+            octet_length(encode(text)) AS nbytes FROM documents),
+        f AS (SELECT asset_id,
+            unnest(range(0,
+              least(CAST(floor(nbytes / 16) AS BIGINT), 7) + 1)) AS frame_idx
+          FROM a)
+        SELECT asset_id, frame_idx, CAST(4 AS BIGINT) AS n_features FROM f"""
     )
   }
 
