@@ -178,14 +178,56 @@ object Layout {
     */
   def compactVersioned(spark: SparkSession, root: String, targetBytes: Long): String = {
     val cur = resolveCurrent(spark, root)
-    val curN = cur.substring(cur.lastIndexOf("/v") + 2).toInt
-    val next = versionName(curN + 1)
-    val nextPath = s"$root/$next"
     val fs = new Path(cur).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(new Path(cur)).getLength
     val files = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(cur).coalesce(files)
-      .write.mode(SaveMode.Overwrite).parquet(nextPath)
+    writeNextVersion(spark, root, cur, spark.read.parquet(cur).coalesce(files))
+  }
+
+  /** Storage-layer MERGE (upsert) on a versioned root: rows of `updates`
+    * replace live rows with the same key, new keys append — written as a
+    * complete NEW version dir, then the `_current` pointer flips atomically,
+    * so readers see the pre-merge or post-merge snapshot, never a mix. This
+    * is the production shape [[graft.ops.Dedup.newRows]]' scaladoc points
+    * at for true incremental loads: the anti-join runs inside the rewrite,
+    * one Catalyst plan, no read-modify-write race with readers.
+    *
+    * Scale shape: one anti-join shuffle (or broadcast, when the update
+    * batch is small — the common case) + the rewrite. Copy-on-write
+    * semantics; at 100 TB drive it per partition directory, like
+    * [[compactVersioned]].
+    *
+    * @return the new live version path
+    */
+  def mergeVersioned(spark: SparkSession, root: String, updates: DataFrame,
+                     keys: Seq[String]): String = {
+    val cur = resolveCurrent(spark, root)
+    val current = spark.read.parquet(cur)
+    val merged = updates.unionByName(
+      current.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+    writeNextVersion(spark, root, cur, merged)
+  }
+
+  /** Storage-layer DELETE on a versioned root: drop rows matching
+    * `predicate`, as a new version + atomic pointer flip (the GDPR/right-
+    * to-be-forgotten shape — the old version holds the rows until
+    * [[vacuumVersions]], which IS the compliance deletion point).
+    *
+    * @return the new live version path
+    */
+  def deleteVersioned(spark: SparkSession, root: String,
+                      predicate: Column): String = {
+    val cur = resolveCurrent(spark, root)
+    val remaining = spark.read.parquet(cur).filter(!predicate)
+    writeNextVersion(spark, root, cur, remaining)
+  }
+
+  private def writeNextVersion(spark: SparkSession, root: String,
+                               currentPath: String, df: DataFrame): String = {
+    val curN = currentPath.substring(currentPath.lastIndexOf("/v") + 2).toInt
+    val next = versionName(curN + 1)
+    val nextPath = s"$root/$next"
+    df.write.mode(SaveMode.Overwrite).parquet(nextPath)
     writePointer(spark, root, next)
     nextPath
   }

@@ -137,6 +137,30 @@ class LayoutSkewSpec extends SparkSpec {
     assert(spark.read.parquet(Layout.resolveCurrent(spark, root)).count() == expectedRows)
   }
 
+  test("versioned merge/delete: upsert by key and predicate delete flip snapshots") {
+    val root = Files.createTempDirectory("graft_vm").toString
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "tag", "v")
+    Layout.initVersioned(base, root)
+    // upsert: replace id=2, add id=4
+    val updates = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("id", "tag", "v")
+    Layout.mergeVersioned(spark, root, updates, Seq("id"))
+    val afterMerge = spark.read.parquet(Layout.resolveCurrent(spark, root))
+      .as[(Long, String, Double)].collect().toSet
+    assert(afterMerge == Set((1L, "a", 10.0), (2L, "B", 99.0),
+      (3L, "c", 30.0), (4L, "d", 40.0)))
+    // delete: GDPR-style predicate removal, old snapshot intact until vacuum
+    Layout.deleteVersioned(spark, root, $"id" === 1L)
+    val afterDelete = spark.read.parquet(Layout.resolveCurrent(spark, root))
+      .select("id").as[Long].collect().toSet
+    assert(afterDelete == Set(2L, 3L, 4L))
+    assert(spark.read.parquet(s"$root/v00000").count() == 3) // old snapshot intact
+    // vacuum is the real deletion point
+    Layout.vacuumVersions(spark, root, keep = 1)
+    assert(!new java.io.File(s"$root/v00000").exists())
+    assert(spark.read.parquet(Layout.resolveCurrent(spark, root)).count() == 3)
+  }
+
   test("writeZOrdered degrades gracefully on empty, all-null, and constant dims") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("a", DoubleType), StructField("b", DoubleType)))
