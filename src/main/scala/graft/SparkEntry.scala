@@ -1113,7 +1113,15 @@ object SparkEntry {
       Multimodal.sampleFrames(assets, everyNth = 16, maxFrames = 8, dim = 4)
         .select(col("asset_id"), col("frame_idx"),
           size(col("features")).cast("long").as("n_features"))
-    })
+    }),
+
+    // --- deterministic global shuffle (reproducible training order) ---
+    // Every (shard, pos) coordinate is hash-checked — the full permutation,
+    // not just counts, is pinned engine-independent.
+    "q103_deterministic_shuffle" -> ((s, dir) =>
+      Sampling.deterministicShuffle(Tables.documents(s, dir), col("doc_id"),
+          shards = 8)
+        .select(col("doc_id"), col("shard"), col("pos")))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -2251,7 +2259,18 @@ object SparkEntry {
             unnest(range(0,
               least(CAST(floor(nbytes / 16) AS BIGINT), 7) + 1)) AS frame_idx
           FROM a)
-        SELECT asset_id, frame_idx, CAST(4 AS BIGINT) AS n_features FROM f"""
+        SELECT asset_id, frame_idx, CAST(4 AS BIGINT) AS n_features FROM f""",
+
+      "q103_deterministic_shuffle" -> """
+        WITH t AS (SELECT doc_id,
+            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 8 AS shard,
+            md5(CAST(doc_id AS VARCHAR)) AS mk
+          FROM documents)
+        SELECT doc_id, shard,
+          CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY mk, doc_id)
+            AS BIGINT) AS pos
+        FROM t"""
     )
   }
 

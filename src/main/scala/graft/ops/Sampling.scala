@@ -53,6 +53,28 @@ object Sampling {
     df.filter(b < threshold)
   }
 
+  /** Deterministic global shuffle — reproducible training-order
+    * randomization: every row gets a (shard, pos) coordinate where `shard`
+    * is its md5 bucket and `pos` its rank within the shard by md5 order.
+    * Reading shards sequentially yields a pseudo-random document order
+    * that is byte-stable across reruns and repartitioning (unlike
+    * `orderBy(rand())`), so a resumed training job sees the identical
+    * stream. Uncorrelated with any data column — md5 of the key is the
+    * permutation.
+    *
+    * Scale shape: one hash shuffle by shard + per-shard sort; `shards`
+    * bounds the per-task sort width (a single global sort would serialize
+    * the corpus — same argument as [[packDocs]]), and raising it is the
+    * scale knob.
+    */
+  def deterministicShuffle(df: DataFrame, key: Column, shards: Int): DataFrame = {
+    val mk = md5(key.cast("string"))
+    df.withColumn("shard", deterministicBucket(key, shards))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy(mk, key)).cast("long"))
+  }
+
   /** Down-sample a corpus to a TOKEN budget with per-source mixture weights
     * — the "60% web, 30% code, 10% books, 500B tokens total" recipe every
     * training run starts from. Source `s` keeps a deterministic

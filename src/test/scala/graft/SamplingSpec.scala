@@ -28,6 +28,27 @@ class SamplingSpec extends SparkSpec {
     assert(frac > 0.15 && frac < 0.45, s"fraction $frac far from 0.3")
   }
 
+  test("deterministicShuffle: full permutation, repartition-stable, decorrelated") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val out = graft.ops.Sampling.deterministicShuffle(docs, col("doc_id"), 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect()
+    // every row gets exactly one coordinate; coordinates are dense per shard
+    assert(out.length == docs.count())
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // stable under repartitioning
+    val again = graft.ops.Sampling
+      .deterministicShuffle(docs.repartition(13), col("doc_id"), 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // decorrelated with insertion order: the shard-0 stream is not sorted by id
+    val stream = out.filter(_._2 == 0).sortBy(_._3).map(_._1).toSeq
+    assert(stream != stream.sorted)
+  }
+
   test("packDocs: consecutive greedy fill, ≤1-doc overflow, repartition-stable") {
     import org.apache.spark.sql.functions._
     // ten docs of 5 tokens each ("a b c d e"), one shard, budget 12
