@@ -1121,7 +1121,15 @@ object SparkEntry {
     "q103_deterministic_shuffle" -> ((s, dir) =>
       Sampling.deterministicShuffle(Tables.documents(s, dir), col("doc_id"),
           shards = 8)
-        .select(col("doc_id"), col("shard"), col("pos")))
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
+    // --- exact EMA (recursive indicator; fold ≡ DuckDB list_reduce) ---
+    "q104_ema" -> ((s, dir) =>
+      Windows.ema(
+          Tables.events(s, dir).filter(col("event_type") === "purchase")
+            .select("user_id", "ts", "event_id", "value"),
+          Seq("user_id"), Seq("ts", "event_id"), "value", alpha = 0.2)
+        .select(col("user_id"), col("event_id"), col("value"), col("ema")))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -2270,7 +2278,21 @@ object SparkEntry {
         SELECT doc_id, shard,
           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY mk, doc_id)
             AS BIGINT) AS pos
-        FROM t"""
+        FROM t""",
+
+      "q104_ema" -> """
+        WITH t AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase'),
+        s AS (SELECT user_id,
+            list(event_id ORDER BY ts, event_id) AS ids,
+            list(value ORDER BY ts, event_id) AS vals
+          FROM t GROUP BY user_id),
+        e AS (SELECT user_id, unnest(ids) AS event_id,
+            generate_subscripts(ids, 1) AS k, vals
+          FROM s)
+        SELECT user_id, event_id, vals[k] AS value,
+          round(list_reduce(vals[1:k], (acc, x) -> 0.2*x + 0.8*acc), 6) AS ema
+        FROM e"""
     )
   }
 

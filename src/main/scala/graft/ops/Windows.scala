@@ -69,6 +69,43 @@ object Windows {
       .agg(min(col("__dd")).as("max_drawdown"), max(col(value)).as("peak"))
   }
 
+  /** Exact exponential moving average per key: e₀ = x₀,
+    * eₜ = α·xₜ + (1−α)·eₜ₋₁ — the recursive indicator SQL windows cannot
+    * express directly (each row depends on the previous RESULT, not the
+    * previous input). Implemented as one ordered `aggregate` fold per key
+    * emitting the whole running series, then re-exploded — pure Catalyst,
+    * no UDF, and the fold's operation sequence is identical in DuckDB's
+    * `list_reduce`, so the series is oracle-checkable (rounded to 6).
+    *
+    * Scale shape: one shuffle by key; each key's series materializes as an
+    * array on one task (the same bounded-series contract as sessionization
+    * or any per-entity indicator — fine for bars-per-ticker or
+    * events-per-user, not for a single global series; there is no
+    * partition-parallel exact EMA because every element depends on all
+    * predecessors).
+    *
+    * @param orderCols total order within key (include a unique tiebreaker)
+    */
+  def ema(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+          valueCol: String, alpha: Double, as: String = "ema"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val grouped = df.groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(
+        struct(orderCols.map(col): _*).as("__o"),
+        col(valueCol).as("__v")))).as("__s"))
+    val emaSeries = aggregate(col("__s"),
+      array().cast("array<double>"),
+      (acc, x) => when(size(acc) === 0, array(x.getField("__v").cast("double")))
+        .otherwise(concat(acc, array(
+          lit(alpha) * x.getField("__v") + lit(1 - alpha) * element_at(acc, -1)))))
+    grouped.withColumn("__e", emaSeries)
+      .select((keys.map(col) :+
+        posexplode(arrays_zip(col("__s"), col("__e"))).as(Seq("__i", "__z"))): _*)
+      .select((keys.map(col) ++
+        orderCols.map(o => col(s"__z.__s.__o.$o").as(o)) ++
+        Seq(col("__z.__s.__v").as(valueCol), round(col("__z.__e"), 6).as(as))): _*)
+  }
+
   /** rank / dense_rank / row_number in one projection. */
   def ranked(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[Column]): DataFrame = {
     val w = ordered(partitionBy, orderBy)

@@ -72,4 +72,22 @@ class JoinsWindowsSpec extends SparkSpec {
       .filter(BloomPrune.mightContain(bytes, $"k")).count()
     assert(kept == 200L)
   }
+
+  test("ema: seeded with first value, exact recursive fold, key-isolated") {
+    val px = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0),
+      ("b", 1L, 100.0)).toDF("k", "t", "v")
+    val out = graft.ops.Windows.ema(px, Seq("k"), Seq("t"), "v", alpha = 0.5)
+      .select("k", "t", "ema").as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("a", 1L)) == 10.0)
+    assert(out(("a", 2L)) == 15.0)   // 0.5*20 + 0.5*10
+    assert(out(("a", 3L)) == 22.5)   // 0.5*30 + 0.5*15
+    assert(out(("b", 1L)) == 100.0)  // keys never mix
+    // order comes from orderCols, not input order
+    val shuffled = graft.ops.Windows.ema(px.orderBy($"v".desc), Seq("k"),
+        Seq("t"), "v", alpha = 0.5)
+      .select("k", "t", "ema").as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(shuffled == out)
+  }
 }
