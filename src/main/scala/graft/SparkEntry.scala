@@ -1129,7 +1129,58 @@ object SparkEntry {
           Tables.events(s, dir).filter(col("event_type") === "purchase")
             .select("user_id", "ts", "event_id", "value"),
           Seq("user_id"), Seq("ts", "event_id"), "value", alpha = 0.2)
-        .select(col("user_id"), col("event_id"), col("value"), col("ema")))
+        .select(col("user_id"), col("event_id"), col("value"), col("ema"))),
+
+    // --- ordered funnel: view → click → purchase, strict-after semantics ---
+    // Each step reduces the log to user grain before anything joins, so the
+    // per-step tables are user-cardinality-sized whatever the event volume.
+    "q105_funnel" -> ((s, dir) =>
+      Funnels.funnel(Tables.events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))),
+
+    // --- weekly cohort retention over the event log ---
+    "q106_cohort_retention" -> ((s, dir) =>
+      Funnels.cohortRetention(Tables.events(s, dir), "user_id", "ts", "week")),
+
+    // --- Bollinger bands: exact-decimal rolling mean/stddev, full windows ---
+    // Variance from the sum-of-squares identity on exact decimal sums — the
+    // only engine-stable way to hash-check a rolling second moment.
+    "q107_bollinger" -> ((s, dir) =>
+      Indicators.bollinger(
+          Tables.events(s, dir).filter(col("event_type") === "purchase")
+            .select("user_id", "ts", "event_id", "value"),
+          Seq("user_id"), Seq(col("ts"), col("event_id")), "value", n = 5)
+        .select("user_id", "event_id", "value", "mid", "sd", "upper", "lower")),
+
+    // --- RSI over trailing 5 deltas (single-division form, exact sums) ---
+    "q108_rsi" -> ((s, dir) =>
+      Indicators.rsi(
+          Tables.events(s, dir).filter(col("event_type") === "purchase")
+            .select("user_id", "ts", "event_id", "value"),
+          Seq("user_id"), Seq(col("ts"), col("event_id")), "value", n = 5)
+        .select("user_id", "event_id", "value", "rsi")),
+
+    // --- whole-table column profile (the pandas describe/isnull gate) ---
+    // One column-pruned aggregate pass per column, unioned; timestamps
+    // profile as epoch-µs doubles so min/max stay cast-not-format.
+    "q109_profile" -> ((s, dir) =>
+      Profile.profile(Tables.orders(s, dir))),
+
+    // --- blocked Levenshtein fuzzy pairs over part names ---
+    // Block = the name's last token; the edit-distance DP only ever runs on
+    // same-block candidates (the scalable shape — never a cross product).
+    "q110_fuzzy_pairs" -> ((s, dir) =>
+      Joins.fuzzyPairs(
+        Tables.part(s, dir).filter(col("p_partkey") % 10 === 0),
+        "p_partkey", "p_name",
+        element_at(split(col("p_name"), " "), -1), maxDist = 3)),
+
+    // --- MATCH_RECOGNIZE-lite: purchase before any error ---
+    // Regex over per-user ordered event-type strings — negation + anchors
+    // the step-join funnel can't express. Portable Java∩RE2 pattern.
+    "q111_sequence_match" -> ((s, dir) =>
+      Funnels.sequenceMatch(Tables.events(s, dir), "user_id", "ts",
+        "event_id", "event_type", "^[^e]*p"))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -2292,7 +2343,133 @@ object SparkEntry {
           FROM s)
         SELECT user_id, event_id, vals[k] AS value,
           round(list_reduce(vals[1:k], (acc, x) -> 0.2*x + 0.8*acc), 6) AS ema
-        FROM e"""
+        FROM e""",
+
+      "q105_funnel" -> """
+        WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+            JOIN s1 ON e.user_id = s1.u
+            WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+            JOIN s2 ON e.user_id = s2.u
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+        c AS (SELECT 1 AS step, 'view' AS step_name, count(*) AS n_users FROM s1
+          UNION ALL SELECT 2, 'click', count(*) FROM s2
+          UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        SELECT step, step_name, n_users,
+          CAST(n_users AS DOUBLE) / (SELECT n_users FROM c WHERE step = 1) AS conv
+        FROM c""",
+
+      "q106_cohort_retention" -> """
+        WITH a AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS w
+            FROM events),
+        c AS (SELECT u, min(w) AS cw FROM a GROUP BY 1),
+        r AS (SELECT cw AS cohort,
+            CAST(date_diff('day', cw, w) / 7 AS INT) AS period_offset,
+            count(*) AS n_users
+          FROM a JOIN c USING (u) GROUP BY 1, 2),
+        b AS (SELECT cohort, n_users AS n0 FROM r WHERE period_offset = 0)
+        SELECT r.cohort, r.period_offset, r.n_users,
+          CAST(r.n_users AS DOUBLE) / b.n0 AS retention
+        FROM r JOIN b USING (cohort)""",
+
+      "q107_bollinger" -> """
+        WITH t AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase'),
+        w AS (SELECT user_id, event_id, value,
+            count(*) OVER win AS cnt,
+            CAST(count(*) OVER win AS DOUBLE) AS nn,
+            CAST(sum(CAST(value AS DECIMAL(38,4))) OVER win AS DOUBLE) AS s1,
+            CAST(sum(CAST(value * value AS DECIMAL(38,6))) OVER win AS DOUBLE) AS s2
+          FROM t
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        SELECT user_id, event_id, value,
+          CASE WHEN cnt = 5 THEN round(s1 / nn, 6) END AS mid,
+          CASE WHEN cnt = 5 THEN
+            round(sqrt(greatest((s2 - s1 * s1 / nn) / (nn - 1.0), 0.0)), 6) END AS sd,
+          CASE WHEN cnt = 5 THEN round(s1 / nn +
+            2.0 * sqrt(greatest((s2 - s1 * s1 / nn) / (nn - 1.0), 0.0)), 6) END AS upper,
+          CASE WHEN cnt = 5 THEN round(s1 / nn -
+            2.0 * sqrt(greatest((s2 - s1 * s1 / nn) / (nn - 1.0), 0.0)), 6) END AS lower
+        FROM w""",
+
+      "q108_rsi" -> """
+        WITH t AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase'),
+        d AS (SELECT user_id, event_id, value, ts,
+            value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+          FROM t),
+        s AS (SELECT user_id, event_id, value,
+            count(delta) OVER win AS nd,
+            CAST(sum(CAST(CASE WHEN delta IS NOT NULL
+              THEN greatest(delta, 0.0) END AS DECIMAL(38,4))) OVER win AS DOUBLE) AS sg,
+            CAST(sum(CAST(CASE WHEN delta IS NOT NULL
+              THEN greatest(-delta, 0.0) END AS DECIMAL(38,4))) OVER win AS DOUBLE) AS sl
+          FROM d
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        SELECT user_id, event_id, value,
+          CASE WHEN nd = 5 AND sg + sl > 0
+            THEN round(100.0 * sg / (sg + sl), 6) END AS rsi
+        FROM s""",
+
+      "q109_profile" -> """
+        SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+          count(*) - count(o_orderkey) AS n_nulls,
+          count(DISTINCT o_orderkey) AS n_distinct,
+          CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+          CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+          CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+          count(DISTINCT o_custkey),
+          CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+          NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+          count(DISTINCT o_orderstatus), NULL, NULL,
+          min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+          count(DISTINCT o_totalprice),
+          CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE),
+          NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+          count(DISTINCT o_orderdate),
+          CAST(epoch_us(min(o_orderdate)) AS DOUBLE),
+          CAST(epoch_us(max(o_orderdate)) AS DOUBLE),
+          NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+          count(DISTINCT o_orderpriority), NULL, NULL,
+          min(o_orderpriority), max(o_orderpriority)
+        FROM orders""",
+
+      "q110_fuzzy_pairs" -> """
+        WITH p AS (SELECT p_partkey, p_name,
+            (string_split(p_name, ' '))[-1] AS blk
+          FROM part WHERE p_partkey % 10 = 0)
+        SELECT x.p_partkey AS id_a, y.p_partkey AS id_b,
+          x.p_name AS s_a, y.p_name AS s_b,
+          levenshtein(x.p_name, y.p_name) AS dist
+        FROM p x JOIN p y ON x.blk = y.blk AND x.p_partkey < y.p_partkey
+        WHERE levenshtein(x.p_name, y.p_name) BETWEEN 1 AND 3""",
+
+      "q111_sequence_match" -> """
+        WITH s AS (SELECT user_id,
+            string_agg(left(event_type, 1), '' ORDER BY ts, event_id) AS seq,
+            count(*) AS n_events
+          FROM events GROUP BY user_id)
+        SELECT user_id, seq, CAST(n_events AS INT) AS n_events
+        FROM s WHERE regexp_matches(seq, '^[^e]*p')"""
     )
   }
 

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.util.Caches
+
+/** Event-log product analytics: ordered funnels and cohort retention — the
+  * two queries every event pipeline (reference domain: per-entity time
+  * series, /root/reference/extraction.py:105) grows once events carry a
+  * user id. Both are exact and oracle-checkable.
+  *
+  * FUNNEL: "of users who did step 1, how many then did step 2 AFTER it,
+  * then step 3 after that …". Each step is a keyed min-timestamp aggregate
+  * joined to the previous step's reach table — k small shuffles on the user
+  * key, never a per-user event array, so an entity with millions of events
+  * costs the same as one with ten. The step tables are persisted (tracked
+  * by [[Caches]]) because the final count union re-reads every prefix.
+  *
+  * RETENTION: users bucketed by their first-activity period (the cohort),
+  * counted per (cohort, periods-since-cohort). One distinct shuffle + one
+  * keyed aggregate; the events table is never joined to itself.
+  *
+  * Scale shape: both operators reduce the event log to user-period /
+  * user-step grain in their FIRST aggregate; everything after runs on
+  * user-cardinality data. At 100 TB the only big shuffles are those first
+  * aggregates, both map-side combinable.
+  */
+object Funnels {
+
+  /** Ordered-funnel step counts.
+    *
+    * A user reaches step i when they have an event of `steps(i)` STRICTLY
+    * after their first qualifying time for step i−1 (the standard
+    * "first-touch" funnel; ties on the boundary don't advance).
+    *
+    * @return one row per step: (step, step_name, n_users,
+    *         conv — fraction of step-1 reachers still present)
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val slim = events.select(col(userCol).as("__u"), col(tsCol).as("__t"),
+      col(typeCol).as("__e"))
+    // reach(i): (user, first time the user completed steps 0..i in order)
+    val reach = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val stepEvents = slim.filter(col("__e") === step).drop("__e")
+        val qualified = prev match {
+          case None => stepEvents
+          case Some(r) =>
+            stepEvents.join(r.select(col("__u"), col("__t").as("__prev")), Seq("__u"))
+              .filter(col("__t") > col("__prev"))
+        }
+        Some(Caches.cache(
+          qualified.groupBy("__u").agg(min(col("__t")).as("__t"))).toDF)
+    }.flatten
+    val counts = reach.zip(steps).zipWithIndex.map { case ((r, name), i) =>
+      r.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(name).as("step_name"), col("n_users"))
+    }.reduce(_ unionByName _)
+    val base = reach.head.agg(count(lit(1)).as("__n0"))
+    counts.crossJoin(broadcast(base))
+      .withColumn("conv", when(col("__n0") === 0, lit(null).cast("double"))
+        .otherwise(col("n_users").cast("double") / col("__n0")))
+      .drop("__n0")
+  }
+
+  /** Cohort retention: users grouped by first-activity period, counted per
+    * periods-since-cohort offset.
+    *
+    * @param unit Spark `date_trunc` unit; "week" and "month" are the
+    *             conventional grains. Offsets are exact integers because
+    *             both endpoints are truncated to the same grain.
+    * @return (cohort, period_offset, n_users, retention) — retention is
+    *         n_users over the cohort's offset-0 size (offset 0 always
+    *         exists: the first-activity period is itself an activity).
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      unit: String = "week"): DataFrame = {
+    val perPeriod = unit match {
+      case "week"  => 7
+      case "day"   => 1
+      case other   => throw new IllegalArgumentException(
+        s"cohortRetention supports day/week offsets, got '$other'")
+    }
+    val activity = Caches.cache(
+      events.select(col(userCol).as("__u"),
+        date_trunc(unit, col(tsCol)).as("__w")).distinct()).toDF
+    val cohorts = activity.groupBy("__u").agg(min(col("__w")).as("__c"))
+    val ret = Caches.cache(
+      activity.join(cohorts, Seq("__u"))
+        .groupBy(col("__c").as("cohort"),
+          (datediff(col("__w"), col("__c")) / perPeriod).cast("int").as("period_offset"))
+        .agg(count(lit(1)).as("n_users"))).toDF
+    val base = ret.filter(col("period_offset") === 0)
+      .select(col("cohort"), col("n_users").as("__n0"))
+    ret.join(base, Seq("cohort"))
+      .withColumn("retention", col("n_users").cast("double") / col("__n0"))
+      .drop("__n0")
+  }
+
+  /** MATCH_RECOGNIZE-lite: find entities whose ORDERED event-type sequence
+    * matches a regex. Each entity's events collapse to one character per
+    * event (via `encode`, e.g. first letter of the type) in (ts, tiebreak)
+    * order; the pattern then runs ONCE per entity on that compact string —
+    * funnels with alternation, negation, and quantifiers ("purchase before
+    * any error" = `^[^e]*p`) that the step-join form of [[funnel]] cannot
+    * express.
+    *
+    * Scale shape: one shuffle by entity; each entity's sequence
+    * materializes as a string on one task — the same bounded-per-entity
+    * contract as sessionization or [[Windows.ema]] (events-per-user scale,
+    * not corpus scale). Keep the regex in the portable intersection of
+    * Java regex and RE2 (character classes, anchors, quantifiers,
+    * alternation — no backreferences or lookaround) so engines agree.
+    *
+    * @param encode event-type → single-character projection
+    * @return matching entities: (userCol, seq, n_events)
+    */
+  def sequenceMatch(events: DataFrame, userCol: String, tsCol: String,
+                    tiebreakCol: String, typeCol: String,
+                    pattern: String,
+                    encode: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                      c => substring(c, 1, 1)): DataFrame =
+    events.groupBy(col(userCol))
+      .agg(array_sort(collect_list(struct(
+        col(tsCol).as("__t"), col(tiebreakCol).as("__k"),
+        encode(col(typeCol)).as("__c")))).as("__s"))
+      .select(col(userCol),
+        concat_ws("", transform(col("__s"), x => x.getField("__c"))).as("seq"),
+        size(col("__s")).as("n_events"))
+      .filter(col("seq").rlike(pattern))
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Rolling technical indicators beyond the reference's moving average
+  * (/root/reference/transformation.py — the reference computes a simple MA;
+  * Bollinger bands and RSI are its two standard companions on the same
+  * (key, time, value) bar model).
+  *
+  * Determinism contract: every windowed SUM runs over exact decimals (the
+  * [[graft.util.Num]] trick), so the sums are partition-order- and
+  * engine-independent; the remaining arithmetic is a FIXED sequence of
+  * double ops mirrored verbatim in the DuckDB oracle, then rounded. No
+  * stddev/variance builtin is used — Welford-style accumulation is
+  * float-order-dependent and would break the hash compare.
+  *
+  * Scale shape: one shuffle per key + in-partition sort; all windows share
+  * the same (partition, order) so Catalyst plans ONE exchange and one sort.
+  * Indicator state is O(window), never O(series).
+  */
+object Indicators {
+
+  private val Sq: DecimalType = DecimalType(38, 6)
+
+  /** Bollinger bands: trailing-n mean ± `width` sample standard deviations.
+    *
+    * Variance uses the sum-of-squares identity (Σx² − (Σx)²/n)/(n−1) on
+    * EXACT decimal sums — deterministic where a streaming variance is not;
+    * the float cancellation in the subtraction is identical on both engines
+    * (clamped at 0 for the all-equal-values case). Bands emit only on a
+    * full window (the first n−1 rows get nulls — standard chart semantics).
+    *
+    * @return input + (mid, sd, upper, lower), each rounded to 6
+    */
+  def bollinger(df: DataFrame, keys: Seq[String], orderCols: Seq[Column],
+                valueCol: String, n: Int, width: Double = 2.0): DataFrame = {
+    require(n >= 2, s"bollinger needs n >= 2, got $n")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val cnt = count(lit(1)).over(w)
+    val s1 = sum(col(valueCol).cast(graft.util.Num.Money)).over(w).cast("double")
+    val s2 = sum((col(valueCol) * col(valueCol)).cast(Sq)).over(w).cast("double")
+    val nn = cnt.cast("double")
+    val mid = s1 / nn
+    val sd = sqrt(greatest((s2 - s1 * s1 / nn) / (nn - lit(1.0)), lit(0.0)))
+    def full(c: Column): Column = when(cnt === n, round(c, 6))
+    df.withColumn("mid", full(mid))
+      .withColumn("sd", full(sd))
+      .withColumn("upper", full(mid + lit(width) * sd))
+      .withColumn("lower", full(mid - lit(width) * sd))
+  }
+
+  /** Relative Strength Index over the trailing `n` deltas:
+    * RSI = 100·Σgain / (Σgain + Σloss) — algebraically the classic
+    * 100 − 100/(1+RS) with simple (not Wilder-smoothed) averages, but with
+    * ONE division so the guard set is just Σgain+Σloss = 0 (flat window →
+    * null; a pure up-window is 100, pure down 0). Emitted only once n
+    * deltas exist (the first row of a key has no delta).
+    *
+    * @return input + (rsi) rounded to 6
+    */
+  def rsi(df: DataFrame, keys: Seq[String], orderCols: Seq[Column],
+          valueCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"rsi needs n >= 1, got $n")
+    val ord = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    val frame = ord.rowsBetween(-(n - 1), Window.currentRow)
+    // the delta must materialize in its own projection — a lag() inside a
+    // windowed sum would be a (disallowed) nested window expression
+    val withDelta = df.withColumn("__delta",
+      col(valueCol) - lag(col(valueCol), 1).over(ord))
+    val gain = when(col("__delta").isNotNull, greatest(col("__delta"), lit(0.0)))
+    val loss = when(col("__delta").isNotNull, greatest(-col("__delta"), lit(0.0)))
+    val sg = sum(gain.cast(graft.util.Num.Money)).over(frame).cast("double")
+    val sl = sum(loss.cast(graft.util.Num.Money)).over(frame).cast("double")
+    val nDeltas = count(gain).over(frame)
+    withDelta.withColumn("rsi",
+        when(nDeltas === n && sg + sl > 0, round(lit(100.0) * sg / (sg + sl), 6)))
+      .drop("__delta")
+  }
+}

@@ -51,4 +51,32 @@ object Joins {
   /** Generic theta join against a broadcast-sized build side. */
   def thetaBroadcast(fact: DataFrame, small: DataFrame, cond: Column): DataFrame =
     fact.join(broadcast(small), cond, "inner")
+
+  /** J10: blocked fuzzy self-join — unordered pairs of rows whose `strCol`
+    * values are within `maxDist` Levenshtein edits, compared only INSIDE
+    * equal `block` values. Blocking is what makes edit-distance joins
+    * feasible at scale: the O(|s|²)-per-pair DP runs on candidate pairs
+    * equi-joined by the block key (one keyed shuffle), never on the full
+    * cross product — the same candidate-generation-then-verify shape as
+    * [[SetSimJoin]], with a user-chosen cheap block (name's last token,
+    * length band, phonetic key…) instead of shingle postings. A hot block
+    * still costs C(|block|,2) compares; cap or sub-split blocks the way
+    * SetSimJoin's dfCap does if the key distribution is skewed.
+    *
+    * @param block    blocking key expression over `df`'s columns
+    * @param minDist  lower bound (1 excludes exact duplicates — usually
+    *                 what "fuzzy" means; 0 includes them)
+    * @return (id_a, id_b, s_a, s_b, dist), id_a < id_b
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String, block: Column,
+                 maxDist: Int, minDist: Int = 1): DataFrame = {
+    require(maxDist >= minDist && minDist >= 0,
+      s"need 0 <= minDist <= maxDist, got [$minDist, $maxDist]")
+    val a = df.select(col(idCol).as("id_a"), col(strCol).as("s_a"), block.as("__b"))
+    val b = df.select(col(idCol).as("id_b"), col(strCol).as("s_b"), block.as("__b"))
+    a.join(b, Seq("__b")).filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist").between(minDist, maxDist))
+      .drop("__b")
+  }
 }

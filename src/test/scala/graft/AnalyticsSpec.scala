@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Funnels, Indicators, Joins, Profile}
+
+/** Hand-checkable semantics for the event-analytics and indicator
+  * operators (funnel, cohort retention, Bollinger, RSI, TF-IDF, fuzzy
+  * pairs). The sf0.01 oracle gate proves engine parity; these pin the
+  * DEFINITIONS on inputs small enough to verify by hand.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, String, Long)*) =
+    rows.toDF("user_id", "ts", "event_type", "event_id")
+      .withColumn("ts", $"ts".cast("timestamp"))
+
+  test("funnel: strict-after ordering, drop-off monotone, conv vs step 1") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view", 1),
+      (1L, "2024-01-01 11:00:00", "click", 2),
+      (1L, "2024-01-01 12:00:00", "purchase", 3),   // full path
+      (2L, "2024-01-01 10:00:00", "view", 4),
+      (2L, "2024-01-01 09:00:00", "click", 5),      // click BEFORE view: no advance
+      (3L, "2024-01-02 08:00:00", "view", 6),
+      (3L, "2024-01-02 09:00:00", "click", 7),      // stops at click
+      (4L, "2024-01-03 08:00:00", "click", 8))      // never viewed
+    val out = Funnels.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("step")
+      .select($"step", $"step_name", $"n_users", $"conv")
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1, "view", 3L, 1.0),
+      (2, "click", 2L, 2.0 / 3.0),
+      (3, "purchase", 1L, 1.0 / 3.0)))
+  }
+
+  test("funnel: boundary tie (same timestamp) does not advance the step") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view", 1),
+      (1L, "2024-01-01 10:00:00", "click", 2)) // tie → not strictly after
+    val out = Funnels.funnel(events, "user_id", "ts", "event_type",
+      Seq("view", "click")).orderBy("step")
+      .select($"n_users").as[Long].collect().toSeq
+    assert(out == Seq(1L, 0L))
+  }
+
+  test("cohortRetention: offsets are whole weeks, retention vs offset 0") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view", 1),  // cohort week of Jan 1 (Monday)
+      (1L, "2024-01-10 10:00:00", "view", 2),  // week offset 1
+      (1L, "2024-01-16 10:00:00", "view", 3),  // week offset 2
+      (2L, "2024-01-03 10:00:00", "view", 4),  // same cohort
+      (2L, "2024-01-09 10:00:00", "view", 5),  // offset 1
+      (3L, "2024-01-08 10:00:00", "view", 6))  // next cohort, only offset 0
+    val out = Funnels.cohortRetention(events, "user_id", "ts", "week")
+      .orderBy("cohort", "period_offset")
+      .select(date_format($"cohort", "yyyy-MM-dd"), $"period_offset",
+        $"n_users", $"retention")
+      .as[(String, Int, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-01", 0, 2L, 1.0),
+      ("2024-01-01", 1, 2L, 1.0),
+      ("2024-01-01", 2, 1L, 0.5),
+      ("2024-01-08", 0, 1L, 1.0)))
+  }
+
+  test("bollinger: full-window bands only; hand-checked mean/sd; flat sd=0") {
+    val bars = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0), (1L, 4L, 4.0),
+        (2L, 1L, 5.0), (2L, 2L, 5.0), (2L, 3L, 5.0))
+      .toDF("k", "seq", "v")
+    val out = Indicators.bollinger(bars, Seq("k"), Seq(col("seq")), "v",
+        n = 3, width = 2.0)
+      .orderBy("k", "seq")
+      .select($"k", $"seq", $"mid", $"sd", $"upper", $"lower")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    // k=1: windows [1,2,3] and [2,3,4] → mean 2/3, sample sd 1
+    assert(out(0) == (1L, 1L, None, None, None, None))
+    assert(out(1) == (1L, 2L, None, None, None, None))
+    assert(out(2) == (1L, 3L, Some(2.0), Some(1.0), Some(4.0), Some(0.0)))
+    assert(out(3) == (1L, 4L, Some(3.0), Some(1.0), Some(5.0), Some(1.0)))
+    // k=2: constant series → sd exactly 0 (clamped identity, no NaN)
+    assert(out(6) == (2L, 3L, Some(5.0), Some(0.0), Some(5.0), Some(5.0)))
+  }
+
+  test("rsi: pure up=100, pure down=0, mixed hand value, flat=null") {
+    val bars = Seq(
+      (1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0),   // up, up → 100
+      (2L, 1L, 3.0), (2L, 2L, 2.0), (2L, 3L, 1.0),   // down, down → 0
+      (3L, 1L, 1.0), (3L, 2L, 4.0), (3L, 3L, 3.0),   // +3, −1 → 75
+      (4L, 1L, 2.0), (4L, 2L, 2.0), (4L, 3L, 2.0))   // flat → null
+      .toDF("k", "seq", "v")
+    val out = Indicators.rsi(bars, Seq("k"), Seq(col("seq")), "v", n = 2)
+      .orderBy("k", "seq").select($"k", $"seq", $"rsi")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(out.filter(_._2 < 3).forall(_._3.isEmpty)) // warmup rows: no rsi
+    assert(out(2) == (1L, 3L, Some(100.0)))
+    assert(out(5) == (2L, 3L, Some(0.0)))
+    assert(out(8) == (3L, 3L, Some(75.0)))
+    assert(out(11) == (4L, 3L, None))
+  }
+
+  test("profile: typed min/max routing, null and distinct counts") {
+    val df = Seq(
+      (Some(1L), Some("b"), Some("2024-01-02 00:00:00")),
+      (Some(5L), None, Some("2024-03-01 12:00:00")),
+      (None, Some("a"), None))
+      .toDF("n", "s", "t").withColumn("t", $"t".cast("timestamp"))
+    val out = Profile.profile(df).orderBy("col_name").collect()
+    val Array(n, s, t) = out
+    assert(n.getAs[String]("col_name") == "n" && n.getAs[Long]("n_rows") == 3 &&
+      n.getAs[Long]("n_nulls") == 1 && n.getAs[Long]("n_distinct") == 2 &&
+      n.getAs[Double]("min_num") == 1.0 && n.getAs[Double]("max_num") == 5.0 &&
+      n.isNullAt(n.fieldIndex("min_str")))
+    assert(s.getAs[String]("min_str") == "a" && s.getAs[String]("max_str") == "b" &&
+      s.isNullAt(s.fieldIndex("min_num")) && s.getAs[Long]("n_nulls") == 1)
+    // timestamps profile as epoch micros (a cast, not a string format):
+    // 2024-01-02 00:00:00 UTC = 1 704 153 600 s
+    assert(t.getAs[Double]("min_num") == 1.7041536e15)
+  }
+
+  test("sequenceMatch: order, anchors, and negation semantics") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view", 1),
+      (1L, "2024-01-01 11:00:00", "purchase", 2),   // v then p, no e → match
+      (2L, "2024-01-01 10:00:00", "error", 3),
+      (2L, "2024-01-01 11:00:00", "purchase", 4),   // e before p → no match
+      (3L, "2024-01-01 10:00:00", "view", 5),       // no purchase at all
+      (4L, "2024-01-01 10:00:00", "purchase", 6),   // p immediately → match
+      (4L, "2024-01-01 11:00:00", "error", 7))      // error AFTER p is fine
+    val out = Funnels.sequenceMatch(events, "user_id", "ts", "event_id",
+        "event_type", "^[^e]*p")
+      .orderBy("user_id").select($"user_id", $"seq", $"n_events")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(out == Seq((1L, "vp", 2), (4L, "pe", 2)))
+  }
+
+  test("fuzzyPairs: blocked compare only, distance band respected") {
+    val names = Seq(
+      (1L, "red widget"), (2L, "bed widget"), (3L, "blue widget"),
+      (4L, "red gadget"), (5L, "red widget"))
+      .toDF("id", "name")
+    val out = Joins.fuzzyPairs(names, "id", "name",
+        element_at(split(col("name"), " "), -1), maxDist = 3)
+      .orderBy("id_a", "id_b")
+      .select($"id_a", $"id_b", $"dist").as[(Long, Long, Int)].collect().toSeq
+    // (1,2) red/bed dist 1; (2,3) bed/blue dist 3; (2,5) dist 1;
+    // red/blue is dist 4 → (1,3),(3,5) out; (4,*) different block;
+    // (1,5) identical → dist 0 excluded by minDist=1
+    assert(out == Seq((1L, 2L, 1), (2L, 3L, 3), (2L, 5L, 1)))
+  }
+
+  test("funnel/cohort: empty input yields empty (no division by zero)") {
+    val none = ev()
+    assert(Funnels.funnel(none, "user_id", "ts", "event_type",
+      Seq("view", "click")).filter($"n_users" > 0).count() == 0)
+    assert(Funnels.cohortRetention(none, "user_id", "ts").count() == 0)
+  }
+}
