@@ -1180,7 +1180,21 @@ object SparkEntry {
     // the step-join funnel can't express. Portable Java∩RE2 pattern.
     "q111_sequence_match" -> ((s, dir) =>
       Funnels.sequenceMatch(Tables.events(s, dir), "user_id", "ts",
-        "event_id", "event_type", "^[^e]*p"))
+        "event_id", "event_type", "^[^e]*p")),
+
+    // --- large-large band join via grid cells (q09's scale shape) ---
+    // Same bands and semantics as q09, but quantize-and-equi-join instead
+    // of a broadcast nested loop — the plan that survives a band table too
+    // big to broadcast. Identical oracle ⇒ the rewrite is proven lossless.
+    "q112_band_join_grid" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(("b0", 0.0, 10.0), ("b1", 10.0, 20.0), ("b2", 20.0, 30.0),
+        ("b3", 30.0, 40.0), ("b4", 40.0, 100.0)).toDF("band", "lo", "hi")
+      Joins.bandJoinGrid(Tables.lineitem(s, dir), bands,
+          col("l_quantity"), col("lo"), col("hi"), cellWidth = 10.0)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+    })
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -2469,7 +2483,14 @@ object SparkEntry {
             count(*) AS n_events
           FROM events GROUP BY user_id)
         SELECT user_id, seq, CAST(n_events AS INT) AS n_events
-        FROM s WHERE regexp_matches(seq, '^[^e]*p')"""
+        FROM s WHERE regexp_matches(seq, '^[^e]*p')""",
+
+      "q112_band_join_grid" -> s"""
+        SELECT band, COUNT(*) AS n, ${dsumSql("l_extendedprice")} AS sum_price
+        FROM lineitem JOIN (VALUES ('b0',0.0,10.0),('b1',10.0,20.0),('b2',20.0,30.0),
+          ('b3',30.0,40.0),('b4',40.0,100.0)) AS bands(band, lo, hi)
+          ON l_quantity >= lo AND l_quantity < hi
+        GROUP BY band"""
     )
   }
 

@@ -52,6 +52,30 @@ object Joins {
   def thetaBroadcast(fact: DataFrame, small: DataFrame, cond: Column): DataFrame =
     fact.join(broadcast(small), cond, "inner")
 
+  /** J5b: the LARGE-LARGE shape of [[bandJoin]] — when the band table is
+    * too big to broadcast, a nested-loop over it is quadratic death; the
+    * scalable plan quantizes the value axis into width-`cellWidth` grid
+    * cells and equi-joins on the cell id. Each fact row lands in exactly
+    * ONE cell (so no dedup pass is needed); each band replicates into
+    * every cell its [lo, hi) span overlaps (span/cellWidth postings — pick
+    * `cellWidth` near the typical band span so replication stays O(1) per
+    * band). The exact predicate then refines the cell-collisions; the
+    * possible one-cell overshoot at an exclusive upper bound is filtered
+    * here too. One hash shuffle per side, AQE splits any hot cell.
+    */
+  def bandJoinGrid(fact: DataFrame, bands: DataFrame, value: Column,
+                   lo: Column, hi: Column, cellWidth: Double): DataFrame = {
+    require(cellWidth > 0, s"cellWidth must be positive, got $cellWidth")
+    val factCells = fact.withColumn("__cell",
+      floor(value / cellWidth).cast("long"))
+    val bandCells = bands.withColumn("__cell",
+      explode(sequence(floor(lo / cellWidth).cast("long"),
+        floor(hi / cellWidth).cast("long"))))
+    factCells.join(bandCells, Seq("__cell"))
+      .filter(value >= lo && value < hi)
+      .drop("__cell")
+  }
+
   /** J10: blocked fuzzy self-join — unordered pairs of rows whose `strCol`
     * values are within `maxDist` Levenshtein edits, compared only INSIDE
     * equal `block` values. Blocking is what makes edit-distance joins

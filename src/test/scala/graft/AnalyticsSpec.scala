@@ -152,6 +152,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 1), (2L, 3L, 3), (2L, 5L, 1)))
   }
 
+  test("bandJoinGrid ≡ broadcast bandJoin, including boundary values") {
+    val fact = Seq(0.0, 9.99, 10.0, 19.5, 25.0, 39.9, 40.0, 99.9, 100.0, 150.0)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val bands = Seq(("b0", 0.0, 10.0), ("b1", 10.0, 40.0), ("b4", 40.0, 100.0))
+      .toDF("band", "lo", "hi")
+    // cellWidth deliberately NOT aligned with band edges
+    val grid = graft.ops.Joins.bandJoinGrid(fact, bands, col("v"),
+        col("lo"), col("hi"), cellWidth = 7.0)
+      .select($"id", $"band").as[(Long, String)].collect().toSet
+    val bcast = graft.ops.Joins.bandJoin(fact, bands, col("v"),
+        col("lo"), col("hi"))
+      .select($"id", $"band").as[(Long, String)].collect().toSet
+    assert(grid == bcast)
+    // half-open semantics: 100.0 and 150.0 match nothing; 40.0 is in b4
+    assert(!grid.exists(p => p._1 == 8 || p._1 == 9))
+    assert(grid.contains((6L, "b4")))
+  }
+
   test("funnel/cohort: empty input yields empty (no division by zero)") {
     val none = ev()
     assert(Funnels.funnel(none, "user_id", "ts", "event_type",

@@ -155,4 +155,22 @@ class PlanSpec extends SparkSpec {
       graft.util.Caches.releaseAll()
     }
   }
+
+  test("q109: profile never plans an Expand (per-column passes, not multi-distinct)") {
+    val p = plan("q109_profile")
+    assert(!p.contains("Expand"), p.take(1200))
+  }
+
+  test("q107/q108: all indicator windows share ONE exchange + sort per key") {
+    for (q <- Seq("q107_bollinger", "q108_rsi")) {
+      val p = plan(q)
+      assert(countOf(p, "Exchange hashpartitioning") == 1, s"$q:\n${p.take(1200)}")
+      assert(countOf(p, "Exchange rangepartitioning") == 0, q)
+    }
+  }
+
+  test("q112: grid band join is an equi-join, never a nested loop") {
+    val p = plan("q112_band_join_grid")
+    assert(!p.contains("NestedLoop"), p.take(1200))
+  }
 }
