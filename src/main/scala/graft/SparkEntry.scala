@@ -1194,6 +1194,25 @@ object SparkEntry {
           col("l_quantity"), col("lo"), col("hi"), cellWidth = 10.0)
         .groupBy("band")
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // --- interval overlap join: errors inside a purchase's 2h window ---
+    // Grid-cell equi-join with algebraic dedup (canonical cell) — Spark has
+    // no interval join; this is the plan that scales where a per-key
+    // sort-merge group or nested loop would not. Epoch-µs endpoints.
+    "q113_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def win(t: String, micros: Long, idAs: String, sAs: String, eAs: String) =
+        ev.filter(col("event_type") === t)
+          .select(col("user_id"), col("event_id").as(idAs),
+            unix_micros(col("ts").cast("timestamp")).as(sAs),
+            (unix_micros(col("ts").cast("timestamp")) + micros).as(eAs))
+      val purchases = win("purchase", 2L * 3600 * 1000000, "p_id", "ps", "pe")
+      val errors = win("error", 30L * 60 * 1000000, "e_id", "es", "ee")
+      Joins.intervalJoinGrid(purchases, errors, "ps", "pe", "es", "ee",
+          cellWidth = 2.0 * 3600 * 1000000, keys = Seq("user_id"))
+        .select(col("user_id"), col("p_id"), col("e_id"),
+          (least(col("pe"), col("ee")) - greatest(col("ps"), col("es"))).as("overlap_us"))
     })
   )
 
@@ -2490,7 +2509,18 @@ object SparkEntry {
         FROM lineitem JOIN (VALUES ('b0',0.0,10.0),('b1',10.0,20.0),('b2',20.0,30.0),
           ('b3',30.0,40.0),('b4',40.0,100.0)) AS bands(band, lo, hi)
           ON l_quantity >= lo AND l_quantity < hi
-        GROUP BY band"""
+        GROUP BY band""",
+
+      "q113_interval_join" -> """
+        WITH p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS ps,
+            epoch_us(ts) + 7200000000 AS pe
+          FROM events WHERE event_type = 'purchase'),
+        e AS (SELECT user_id, event_id AS e_id, epoch_us(ts) AS es,
+            epoch_us(ts) + 1800000000 AS ee
+          FROM events WHERE event_type = 'error')
+        SELECT p.user_id, p_id, e_id,
+          least(pe, ee) - greatest(ps, es) AS overlap_us
+        FROM p JOIN e ON p.user_id = e.user_id AND ps < ee AND es < pe"""
     )
   }
 

@@ -103,4 +103,45 @@ object Joins {
       .filter(col("dist").between(minDist, maxDist))
       .drop("__b")
   }
+
+  /** J11: interval OVERLAP join — pairs of half-open intervals [s, e) that
+    * intersect (`ls < re && rs < le`), at large-large scale. Spark has no
+    * interval join operator; the naive plan is a nested loop (or, with
+    * only an equality key, one giant sort-merge group per key).
+    *
+    * Plan: both sides explode their interval into width-`cellWidth` grid
+    * cells on the shared axis, equi-join on (keys…, cell), refine with the
+    * exact overlap predicate — and DEDUPLICATE ALGEBRAICALLY: a pair
+    * overlaps in every shared cell, so it is emitted only from its
+    * canonical cell, the one containing `greatest(ls, rs)` (always shared:
+    * for an overlapping pair, max(start) lies inside both intervals). No
+    * distinct shuffle. Replication is span/cellWidth postings per row —
+    * pick `cellWidth` near the typical interval span.
+    *
+    * Column NAMES (not exprs) keep post-join references unambiguous; the
+    * two frames must not share data column names apart from `keys`
+    * (guarded). Endpoints are numeric (timestamps: pass epoch micros —
+    * a cast, engine-portable).
+    *
+    * @param keys equality keys present on both sides (optional; empty =
+    *             pure time-axis join, the hardest case — cells alone
+    *             spread it)
+    * @return left ⨯ right matches with both frames' columns
+    */
+  def intervalJoinGrid(left: DataFrame, right: DataFrame,
+                       lStart: String, lEnd: String, rStart: String, rEnd: String,
+                       cellWidth: Double, keys: Seq[String] = Nil): DataFrame = {
+    require(cellWidth > 0, s"cellWidth must be positive, got $cellWidth")
+    val clash = (left.columns.toSet -- keys).intersect(right.columns.toSet -- keys)
+    require(clash.isEmpty, s"ambiguous non-key columns on both sides: $clash")
+    def cells(df: DataFrame, s: String, e: String) =
+      df.withColumn("__cell", explode(sequence(
+        floor(col(s) / cellWidth).cast("long"),
+        floor(col(e) / cellWidth).cast("long"))))
+    cells(left, lStart, lEnd)
+      .join(cells(right, rStart, rEnd), keys :+ "__cell")
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        col("__cell") === floor(greatest(col(lStart), col(rStart)) / cellWidth).cast("long"))
+      .drop("__cell")
+  }
 }

@@ -170,6 +170,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(grid.contains((6L, "b4")))
   }
 
+  test("intervalJoinGrid: exact overlap pairs, no duplicates across cells") {
+    val a = Seq((1L, 0.0, 10.0), (2L, 5.0, 25.0), (3L, 30.0, 31.0))
+      .toDF("a_id", "as_", "ae")
+    val b = Seq((10L, 9.0, 12.0), (11L, 24.0, 40.0), (12L, 10.0, 11.0))
+      .toDF("b_id", "bs", "be")
+    // cellWidth 3 → interval (2) spans 8 cells, pair (2,11) shares several
+    val out = graft.ops.Joins.intervalJoinGrid(a, b, "as_", "ae", "bs", "be",
+        cellWidth = 3.0)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toList
+    // naive oracle: ls < re && rs < le, half-open
+    val expected = for {
+      (ai, s1, e1) <- Seq((1L, 0.0, 10.0), (2L, 5.0, 25.0), (3L, 30.0, 31.0))
+      (bi, s2, e2) <- Seq((10L, 9.0, 12.0), (11L, 24.0, 40.0), (12L, 10.0, 11.0))
+      if s1 < e2 && s2 < e1
+    } yield (ai, bi)
+    assert(out.sorted == expected.sorted.toList) // == also proves NO dup emits
+    // half-open: interval 1 = [0,10) does NOT meet 12 = [10,11)
+    assert(!out.contains((1L, 12L)))
+  }
+
   test("funnel/cohort: empty input yields empty (no division by zero)") {
     val none = ev()
     assert(Funnels.funnel(none, "user_id", "ts", "event_type",
