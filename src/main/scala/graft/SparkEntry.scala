@@ -1213,7 +1213,22 @@ object SparkEntry {
           cellWidth = 2.0 * 3600 * 1000000, keys = Seq("user_id"))
         .select(col("user_id"), col("p_id"), col("e_id"),
           (least(col("pe"), col("ee")) - greatest(col("ps"), col("es"))).as("overlap_us"))
-    })
+    }),
+
+    // --- equal-frequency quantile binning (feature discretization) ---
+    // Fences = one percentile-ARRAY aggregate per group, broadcast back;
+    // bin = HOF fold counting fences ≤ value. Exact ≡ quantile_cont (q43's
+    // parity); approx knob is the 100 TB path.
+    "q114_quantile_bins" -> ((s, dir) =>
+      Binning.equalFrequency(
+          Tables.lineitem(s, dir).select("l_returnflag", "l_extendedprice"),
+          Seq("l_returnflag"), "l_extendedprice", nBins = 4)
+        .groupBy("l_returnflag", "bin")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))),
+
+    // --- growth accounting: new / retained / resurrected / churned ---
+    "q115_growth_accounting" -> ((s, dir) =>
+      Funnels.growthAccounting(Tables.events(s, dir), "user_id", "ts", "week"))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -2520,7 +2535,43 @@ object SparkEntry {
           FROM events WHERE event_type = 'error')
         SELECT p.user_id, p_id, e_id,
           least(pe, ee) - greatest(ps, es) AS overlap_us
-        FROM p JOIN e ON p.user_id = e.user_id AND ps < ee AND es < pe"""
+        FROM p JOIN e ON p.user_id = e.user_id AND ps < ee AND es < pe""",
+
+      "q114_quantile_bins" -> s"""
+        WITH f AS (SELECT l_returnflag,
+            quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS fences
+          FROM lineitem GROUP BY 1),
+        b AS (SELECT l.l_returnflag, l.l_extendedprice,
+            len(list_filter(f.fences, x -> l.l_extendedprice >= x)) AS bin
+          FROM lineitem l JOIN f USING (l_returnflag))
+        SELECT l_returnflag, bin, COUNT(*) AS n,
+          ${dsumSql("l_extendedprice")} AS sum_price
+        FROM b GROUP BY 1, 2""",
+
+      "q115_growth_accounting" -> """
+        WITH a AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS w
+            FROM events),
+        f AS (SELECT u, min(w) AS fw FROM a GROUP BY 1),
+        p AS (SELECT u, w + INTERVAL 7 DAY AS w FROM a),
+        mx AS (SELECT max(w) AS mw FROM a),
+        s AS (SELECT a.w AS period,
+            CAST(sum(CASE WHEN a.w = f.fw THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+            CAST(sum(CASE WHEN a.w <> f.fw AND p.u IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_retained,
+            CAST(sum(CASE WHEN a.w <> f.fw AND p.u IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_resurrected
+          FROM a JOIN f USING (u) LEFT JOIN p ON a.u = p.u AND a.w = p.w
+          GROUP BY 1),
+        c AS (SELECT p.w AS period, count(*) AS n_churned
+          FROM p LEFT JOIN a ON p.u = a.u AND p.w = a.w CROSS JOIN mx
+          WHERE a.u IS NULL AND p.w <= mx.mw
+          GROUP BY 1)
+        SELECT coalesce(s.period, c.period) AS period,
+          coalesce(n_new, 0) AS n_new,
+          coalesce(n_retained, 0) AS n_retained,
+          coalesce(n_resurrected, 0) AS n_resurrected,
+          coalesce(n_churned, 0) AS n_churned
+        FROM s FULL JOIN c ON s.period = c.period"""
     )
   }
 

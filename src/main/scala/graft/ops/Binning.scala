@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Equal-frequency (quantile) binning — the feature-discretization step ML
+  * pipelines run before building histograms, decision-tree splits, or
+  * monotonic-feature buckets: each value is replaced by which of `nBins`
+  * equally-populated bins it falls in WITHIN its group.
+  *
+  * The n−1 interior fences come from one `percentile` aggregate per group
+  * (an ARRAY of cut points in a single pass — not n separate aggregates),
+  * broadcast back and folded into a bin index with a Catalyst `aggregate`
+  * HOF: bin = #fences ≤ value, giving bins 0..n−1 with ties going UP (a
+  * value exactly on a fence starts the next bin — deterministic in both
+  * engines). Same exact-vs-approx contract as [[Outliers]]: exact
+  * `percentile` matches DuckDB `quantile_cont` bit-for-bit (q43), and
+  * `approx = true` swaps in the mergeable `approx_percentile` sketch for
+  * the 100 TB path (fence placement jitters within rank error; bin
+  * SEMANTICS relative to the fences are unchanged).
+  *
+  * Scale shape: one group-cardinality aggregate + a broadcast join back —
+  * the big table is scanned twice (fences, tag), shuffled never.
+  */
+object Binning {
+
+  /** @return input rows + (bin: int in [0, nBins-1]) */
+  def equalFrequency(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     nBins: Int, approx: Boolean = false,
+                     accuracy: Int = 10000): DataFrame = {
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val fences =
+      if (approx)
+        df.groupBy(groupCols.map(col): _*)
+          .agg(percentile_approx(col(valueCol),
+            array(ps.map(lit): _*), lit(accuracy)).as("__fences"))
+      else
+        df.groupBy(groupCols.map(col): _*)
+          .agg(percentile(col(valueCol), array(ps.map(lit): _*)).as("__fences"))
+    df.join(broadcast(fences), groupCols)
+      .withColumn("bin", aggregate(col("__fences"), lit(0),
+        (acc, f) => acc + when(col(valueCol) >= f, 1).otherwise(0)))
+      .drop("__fences")
+  }
+}

@@ -99,6 +99,63 @@ object Funnels {
       .drop("__n0")
   }
 
+  /** Growth accounting: decompose each period's active users into
+    * NEW (first-ever activity), RETAINED (also active the previous
+    * period), RESURRECTED (active before, but not the previous period) —
+    * plus CHURNED, attributed to the period AFTER the user's last active
+    * one (capped at the data's final period, so the horizon doesn't
+    * manufacture churn). The identity
+    * `active(w) = new + retained + resurrected` and
+    * `churned(w) = active(w−1) − retained(w)` makes the output
+    * self-auditing.
+    *
+    * Scale shape: like [[cohortRetention]], the log collapses to distinct
+    * user-period grain first; everything after — first-period aggregate,
+    * previous-period self-join, churn anti-join — runs on that reduced
+    * table, keyed by user. The per-period counts are group-cardinality
+    * small.
+    *
+    * @return (period, n_new, n_retained, n_resurrected, n_churned) —
+    *         zero-filled where a class is empty
+    */
+  def growthAccounting(events: DataFrame, userCol: String, tsCol: String,
+                       unit: String = "week"): DataFrame = {
+    val days = unit match {
+      case "week" => 7
+      case "day"  => 1
+      case other  => throw new IllegalArgumentException(
+        s"growthAccounting supports day/week periods, got '$other'")
+    }
+    val act = Caches.cache(
+      events.select(col(userCol).as("__u"),
+        date_trunc(unit, col(tsCol)).as("__w")).distinct()).toDF
+    val first = act.groupBy("__u").agg(min(col("__w")).as("__fw"))
+    val shifted = act.select(col("__u"),
+      (col("__w") + expr(s"INTERVAL $days DAY")).as("__w"),
+      lit(true).as("__prev"))
+    val maxW = act.agg(max(col("__w")).as("__mw"))
+    val status = act.join(first, Seq("__u"))
+      .join(shifted, Seq("__u", "__w"), "left")
+      .groupBy(col("__w").as("period"))
+      .agg(
+        sum(when(col("__w") === col("__fw"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("__w") =!= col("__fw") && col("__prev"), 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("__w") =!= col("__fw") && col("__prev").isNull, 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val churned = shifted.join(act, Seq("__u", "__w"), "left_anti")
+      .crossJoin(broadcast(maxW))
+      .filter(col("__w") <= col("__mw"))
+      .groupBy(col("__w").as("period"))
+      .agg(count(lit(1)).as("n_churned"))
+    status.join(churned, Seq("period"), "full_outer")
+      .select(col("period"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
   /** MATCH_RECOGNIZE-lite: find entities whose ORDERED event-type sequence
     * matches a regex. Each entity's events collapse to one character per
     * event (via `encode`, e.g. first letter of the type) in (ts, tiebreak)

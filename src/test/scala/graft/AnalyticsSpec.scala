@@ -190,6 +190,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(!out.contains((1L, 12L)))
   }
 
+  test("equalFrequency: quartile bins populated evenly, ties go up") {
+    val df = (1 to 8).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val out = graft.ops.Binning.equalFrequency(df, Seq("g"), "v", nBins = 4)
+      .orderBy("v").select($"v", $"bin").as[(Double, Int)].collect().toSeq
+    // fences at p25/p50/p75 of 1..8 = (2.75, 4.5, 6.25) → 2 values per bin
+    assert(out.map(_._2) == Seq(0, 0, 1, 1, 2, 2, 3, 3))
+    // a value exactly ON a fence starts the next bin
+    val tied = graft.ops.Binning.equalFrequency(
+      Seq(("g", 1.0), ("g", 2.0), ("g", 3.0)).toDF("g", "v"), Seq("g"), "v", 2)
+      .filter($"v" === 2.0).select($"bin").as[Int].head()
+    assert(tied == 1) // p50 of {1,2,3} is exactly 2.0 → bin 1
+  }
+
+  test("equalFrequency: approx path bins agree away from fences") {
+    val df = (1 to 1000).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val exact = graft.ops.Binning.equalFrequency(df, Seq("g"), "v", 4)
+      .select($"v", $"bin".as("b_exact"))
+    val approx = graft.ops.Binning.equalFrequency(df, Seq("g"), "v", 4,
+        approx = true, accuracy = 10000)
+      .select($"v", $"bin".as("b_approx"))
+    val disagree = exact.join(approx, "v")
+      .filter($"b_exact" =!= $"b_approx")
+      .select($"v", $"b_exact", $"b_approx")
+      .as[(Double, Int, Int)].collect().toSeq
+    // the sketch returns a DATA value per fence (exact interpolates), so
+    // only rows hugging a fence may shift — and only to the ADJACENT bin
+    assert(disagree.size <= 5, disagree.toString)
+    assert(disagree.forall(d => math.abs(d._2 - d._3) == 1), disagree.toString)
+    val fences = Seq(250.75, 500.5, 750.25) // exact quartiles of 1..1000
+    assert(disagree.forall(d => fences.exists(f => math.abs(d._1 - f) < 2)),
+      disagree.toString)
+  }
+
+  test("growthAccounting: classes and the self-auditing identity") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view", 1),  // w1: new
+      (1L, "2024-01-08 10:00:00", "view", 2),  // w2: retained
+      (1L, "2024-01-22 10:00:00", "view", 3),  // w4: resurrected (skipped w3)
+      (2L, "2024-01-01 11:00:00", "view", 4),  // w1: new; churned at w2
+      (3L, "2024-01-08 11:00:00", "view", 5))  // w2: new; churned at w3
+    val out = Funnels.growthAccounting(events, "user_id", "ts", "week")
+      .orderBy("period")
+      .select(date_format($"period", "yyyy-MM-dd"),
+        $"n_new", $"n_retained", $"n_resurrected", $"n_churned")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-01", 2L, 0L, 0L, 0L),
+      ("2024-01-08", 1L, 1L, 0L, 1L),  // u3 new, u1 retained, u2 churned
+      ("2024-01-15", 0L, 0L, 0L, 2L),  // u1 and u3 churn; nobody active
+      ("2024-01-22", 0L, 0L, 1L, 0L))) // u1 resurrects; horizon adds no churn
+  }
+
   test("funnel/cohort: empty input yields empty (no division by zero)") {
     val none = ev()
     assert(Funnels.funnel(none, "user_id", "ts", "event_type",
