@@ -1228,7 +1228,12 @@ object SparkEntry {
 
     // --- growth accounting: new / retained / resurrected / churned ---
     "q115_growth_accounting" -> ((s, dir) =>
-      Funnels.growthAccounting(Tables.events(s, dir), "user_id", "ts", "week"))
+      Funnels.growthAccounting(Tables.events(s, dir), "user_id", "ts", "week")),
+
+    // --- Markov transitions: P(next event type | current) ---
+    "q116_event_transitions" -> ((s, dir) =>
+      Funnels.transitions(Tables.events(s, dir), "user_id", "ts",
+        "event_id", "event_type"))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -2571,7 +2576,18 @@ object SparkEntry {
           coalesce(n_retained, 0) AS n_retained,
           coalesce(n_resurrected, 0) AS n_resurrected,
           coalesce(n_churned, 0) AS n_churned
-        FROM s FULL JOIN c ON s.period = c.period"""
+        FROM s FULL JOIN c ON s.period = c.period""",
+
+      "q116_event_transitions" -> """
+        WITH t AS (SELECT user_id, event_type,
+            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS prev
+          FROM events),
+        c AS (SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+          FROM t WHERE prev IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+          CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+        FROM c"""
     )
   }
 

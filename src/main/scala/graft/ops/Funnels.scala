@@ -99,6 +99,34 @@ object Funnels {
       .drop("__n0")
   }
 
+  /** First-order Markov transition table over the event stream:
+    * P(next event type | current) from per-entity ordered lag pairs — the
+    * "what do users do next" table behind next-action prediction, UX path
+    * auditing, and anomaly detection (a transition whose probability
+    * collapses release-over-release is a broken flow).
+    *
+    * Scale shape: one window shuffle by entity for the lag, one hash
+    * aggregate on (from, to) — type²-bounded output — and a window sum
+    * over `from` for the conditionals (exact longs; the single division
+    * is engine-stable). The event-string fold of [[sequenceMatch]] is NOT
+    * used here: lag windows need no per-entity materialization.
+    *
+    * @return (from_type, to_type, n, p) with Σ p = 1 per from_type
+    */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  tiebreakCol: String, typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(tsCol, tiebreakCol)
+    events
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("from_type")))
+  }
+
   /** Growth accounting: decompose each period's active users into
     * NEW (first-ever activity), RETAINED (also active the previous
     * period), RESURRECTED (active before, but not the previous period) —

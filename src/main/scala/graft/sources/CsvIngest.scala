@@ -21,4 +21,30 @@ object CsvIngest {
 
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Quarantining read: malformed rows don't kill the job (FAILFAST) and
+    * don't silently vanish (DROPMALFORMED) — PERMISSIVE mode lands each
+    * bad line's raw text in `_corrupt_record`, so ingest can split the
+    * feed into (clean, quarantine) in ONE scan and keep an audit trail,
+    * the production posture for third-party files. Returns (good rows
+    * with the data columns, bad rows as (raw_line)).
+    *
+    * Spark only populates `_corrupt_record` for rows materialized WITH
+    * the data columns in the same projection (the column is filled at
+    * parse time), so the split caches one pass and filters twice.
+    */
+  def readQuarantined(spark: SparkSession, path: String,
+                      schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.StringType
+    val withCorrupt = schema.add("_corrupt_record", StringType)
+    val raw = graft.util.Caches.cache(
+      spark.read.option("header", "true").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(withCorrupt).csv(path)).toDF
+    val good = raw.filter(raw.col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val bad = raw.filter(raw.col("_corrupt_record").isNotNull)
+      .select(raw.col("_corrupt_record").as("raw_line"))
+    (good, bad)
+  }
 }

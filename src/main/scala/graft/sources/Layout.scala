@@ -149,6 +149,20 @@ object Layout {
     fc.rename(tmp, new Path(root, CurrentFile), Options.Rename.OVERWRITE)
   }
 
+  /** Time travel: path of a SPECIFIC version under a versioned root —
+    * every version dir is immutable once written, so any un-vacuumed
+    * version is a complete, consistent snapshot readable forever (audits,
+    * reproductions, diffing a merge). Fails fast if the version was
+    * vacuumed or never existed.
+    */
+  def resolveVersion(spark: SparkSession, root: String, version: Int): String = {
+    val p = new Path(root, versionName(version))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"version $version does not exist under $root " +
+      "(never written, or already vacuumed)")
+    p.toString
+  }
+
   /** Path of the live version dir under a versioned root. */
   def resolveCurrent(spark: SparkSession, root: String): String = {
     val fc = fileContext(spark)

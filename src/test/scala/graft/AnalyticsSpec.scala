@@ -242,6 +242,29 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-22", 0L, 0L, 1L, 0L))) // u1 resurrects; horizon adds no churn
   }
 
+  test("transitions: conditional probabilities per from-state sum to 1") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view", 1),
+      (1L, "2024-01-01 11:00:00", "click", 2),
+      (1L, "2024-01-01 12:00:00", "view", 3),
+      (2L, "2024-01-01 10:00:00", "view", 4),
+      (2L, "2024-01-01 11:00:00", "click", 5),
+      (2L, "2024-01-01 12:00:00", "purchase", 6),
+      (3L, "2024-01-01 09:00:00", "view", 7)) // single event: no transition
+    val out = Funnels.transitions(events, "user_id", "ts", "event_id",
+        "event_type")
+      .orderBy("from_type", "to_type")
+      .select($"from_type", $"to_type", $"n", $"p")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // view→click twice; click→view and click→purchase once each
+    assert(out == Seq(
+      ("click", "purchase", 1L, 0.5),
+      ("click", "view", 1L, 0.5),
+      ("view", "click", 2L, 1.0)))
+    // no cross-user transition: user 3's lone view produced nothing
+    assert(out.map(_._3).sum == 4L)
+  }
+
   test("funnel/cohort: empty input yields empty (no division by zero)") {
     val none = ev()
     assert(Funnels.funnel(none, "user_id", "ts", "event_type",

@@ -25,6 +25,25 @@ class CsvSpec extends SparkSpec {
     assert(back.filter($"Ticker" === "AAPL").head().getAs[Double]("Close") == 123.45)
   }
 
+  test("quarantining read splits clean rows from malformed, losing neither") {
+    val dir = Files.createTempDirectory("graft_csvq").toString
+    val f = new java.io.File(dir, "feed.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("sym,px,qty")
+    w.println("AAPL,123.45,100")
+    w.println("MSFT,not_a_number,200") // malformed px
+    w.println("GOOG,99.5,300")
+    w.close()
+    val schema = StructType(Seq(StructField("sym", StringType),
+      StructField("px", DoubleType), StructField("qty", LongType)))
+    val (good, bad) = CsvIngest.readQuarantined(spark, f.toString, schema)
+    assert(good.select($"sym").as[String].collect().toSet == Set("AAPL", "GOOG"))
+    val quarantined = bad.select($"raw_line").as[String].collect().toSeq
+    assert(quarantined.size == 1 && quarantined.head.contains("not_a_number"),
+      "the raw malformed line must survive for the audit trail")
+    graft.util.Caches.releaseAll()
+  }
+
   test("inferred mode reproduces the reference's schema-on-read") {
     val dir = Files.createTempDirectory("graft_csv2").toString + "/out"
     CsvIngest.write(Seq((1, 2.5, "x")).toDF("a", "b", "c"), dir)

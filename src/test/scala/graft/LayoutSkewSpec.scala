@@ -161,6 +161,24 @@ class LayoutSkewSpec extends SparkSpec {
     assert(spark.read.parquet(Layout.resolveCurrent(spark, root)).count() == 3)
   }
 
+  test("time travel: resolveVersion reads an old immutable snapshot") {
+    val root = Files.createTempDirectory("graft_tt").toString
+    Layout.initVersioned(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), root)
+    Layout.mergeVersioned(spark, root,
+      Seq((2L, 99.0)).toDF("id", "v"), Seq("id"))
+    // v0 is the pre-merge world; current is post-merge
+    val v0 = spark.read.parquet(Layout.resolveVersion(spark, root, 0))
+      .as[(Long, Double)].collect().toSet
+    assert(v0 == Set((1L, 10.0), (2L, 20.0)))
+    val cur = spark.read.parquet(Layout.resolveCurrent(spark, root))
+      .as[(Long, Double)].collect().toSet
+    assert(cur == Set((1L, 10.0), (2L, 99.0)))
+    // vacuumed / never-written versions fail fast, not silently
+    intercept[IllegalArgumentException](Layout.resolveVersion(spark, root, 7))
+    Layout.vacuumVersions(spark, root, keep = 1)
+    intercept[IllegalArgumentException](Layout.resolveVersion(spark, root, 0))
+  }
+
   test("writeZOrdered degrades gracefully on empty, all-null, and constant dims") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("a", DoubleType), StructField("b", DoubleType)))
