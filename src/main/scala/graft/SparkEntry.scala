@@ -1233,7 +1233,14 @@ object SparkEntry {
     // --- Markov transitions: P(next event type | current) ---
     "q116_event_transitions" -> ((s, dir) =>
       Funnels.transitions(Tables.events(s, dir), "user_id", "ts",
-        "event_id", "event_type"))
+        "event_id", "event_type")),
+
+    // --- A/B analysis: Welch t per event type (arm = user id parity) ---
+    // One conditional aggregate pass; exact decimal moments make the t
+    // statistic hash-checkable — no order-dependent variance accumulation.
+    "q117_ab_welch" -> ((s, dir) =>
+      Experiments.welchT(Tables.events(s, dir), Seq("event_type"),
+        col("user_id") % 2 === 0, "value"))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -2587,7 +2594,35 @@ object SparkEntry {
           FROM t WHERE prev IS NOT NULL GROUP BY 1, 2)
         SELECT from_type, to_type, n,
           CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
-        FROM c"""
+        FROM c""",
+
+      "q117_ab_welch" -> """
+        WITH g AS (SELECT event_type,
+            count(CASE WHEN user_id % 2 = 0 THEN value END) AS n_a,
+            count(CASE WHEN user_id % 2 <> 0 THEN value END) AS n_b,
+            CAST(sum(CAST(CASE WHEN user_id % 2 = 0 THEN value END
+              AS DECIMAL(38,4))) AS DOUBLE) AS sa,
+            CAST(sum(CAST(CASE WHEN user_id % 2 <> 0 THEN value END
+              AS DECIMAL(38,4))) AS DOUBLE) AS sb,
+            CAST(sum(CAST(CASE WHEN user_id % 2 = 0 THEN value * value END
+              AS DECIMAL(38,6))) AS DOUBLE) AS qa,
+            CAST(sum(CAST(CASE WHEN user_id % 2 <> 0 THEN value * value END
+              AS DECIMAL(38,6))) AS DOUBLE) AS qb
+          FROM events GROUP BY 1)
+        SELECT event_type, n_a, n_b,
+          CASE WHEN n_a > 0 THEN round(sa / CAST(n_a AS DOUBLE), 6) END AS mean_a,
+          CASE WHEN n_b > 0 THEN round(sb / CAST(n_b AS DOUBLE), 6) END AS mean_b,
+          CASE WHEN n_a >= 2 AND n_b >= 2 AND
+              greatest((qa - sa * sa / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0), 0.0)
+                / CAST(n_a AS DOUBLE) +
+              greatest((qb - sb * sb / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0), 0.0)
+                / CAST(n_b AS DOUBLE) > 0
+            THEN round((sa / CAST(n_a AS DOUBLE) - sb / CAST(n_b AS DOUBLE)) / sqrt(
+              greatest((qa - sa * sa / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0), 0.0)
+                / CAST(n_a AS DOUBLE) +
+              greatest((qb - sb * sb / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0), 0.0)
+                / CAST(n_b AS DOUBLE)), 6) END AS t
+        FROM g"""
     )
   }
 

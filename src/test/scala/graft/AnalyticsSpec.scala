@@ -265,6 +265,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.map(_._3).sum == 4L)
   }
 
+  test("welchT: hand-checked statistic and degenerate-arm guards") {
+    val df = Seq(
+      ("g", true, 1.0), ("g", true, 2.0), ("g", true, 3.0),
+      ("g", false, 2.0), ("g", false, 4.0),
+      ("h", true, 5.0), ("h", false, 1.0), ("h", false, 2.0), // 1-row arm
+      ("k", true, 7.0), ("k", true, 7.0),
+      ("k", false, 7.0), ("k", false, 7.0))                   // zero variance
+      .toDF("g", "arm", "v")
+    val out = graft.ops.Experiments.welchT(df, Seq("g"), $"arm", "v")
+      .orderBy("g")
+      .select($"g", $"n_a", $"n_b", $"mean_a", $"mean_b", $"t")
+      .as[(String, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    // g: means 2 vs 3, vars 1 vs 2 → t = -1/sqrt(1/3 + 1) = -0.866025
+    assert(out(0) == ("g", 3L, 2L, Some(2.0), Some(3.0), Some(-0.866025)))
+    // h: treatment arm has 1 row → t undefined, means still reported
+    assert(out(1) == ("h", 1L, 2L, Some(5.0), Some(1.5), None))
+    // k: both arms constant → zero standard error → t null, not Infinity
+    assert(out(2) == ("k", 2L, 2L, Some(7.0), Some(7.0), None))
+  }
+
   test("funnel/cohort: empty input yields empty (no division by zero)") {
     val none = ev()
     assert(Funnels.funnel(none, "user_id", "ts", "event_type",
