@@ -1240,7 +1240,12 @@ object SparkEntry {
     // statistic hash-checkable — no order-dependent variance accumulation.
     "q117_ab_welch" -> ((s, dir) =>
       Experiments.welchT(Tables.events(s, dir), Seq("event_type"),
-        col("user_id") % 2 === 0, "value"))
+        col("user_id") % 2 === 0, "value")),
+
+    // --- funnel latency: p50/p90 seconds between adjacent funnel steps ---
+    "q118_funnel_latency" -> ((s, dir) =>
+      Funnels.funnelLatency(Tables.events(s, dir), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase")))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -2622,7 +2627,28 @@ object SparkEntry {
                 / CAST(n_a AS DOUBLE) +
               greatest((qb - sb * sb / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0), 0.0)
                 / CAST(n_b AS DOUBLE)), 6) END AS t
-        FROM g"""
+        FROM g""",
+
+      "q118_funnel_latency" -> """
+        WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+            JOIN s1 ON e.user_id = s1.u
+            WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+            JOIN s2 ON e.user_id = s2.u
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+        d2 AS (SELECT CAST(epoch_us(s2.t) - epoch_us(s1.t) AS DOUBLE) / 1e6 AS d
+          FROM s2 JOIN s1 USING (u)),
+        d3 AS (SELECT CAST(epoch_us(s3.t) - epoch_us(s2.t) AS DOUBLE) / 1e6 AS d
+          FROM s3 JOIN s2 USING (u))
+        SELECT 2 AS step, 'click' AS step_name, count(*) AS n_users,
+          round(quantile_cont(d, 0.5), 6) AS p50_s,
+          round(quantile_cont(d, 0.9), 6) AS p90_s FROM d2
+        UNION ALL
+        SELECT 3, 'purchase', count(*),
+          round(quantile_cont(d, 0.5), 6), round(quantile_cont(d, 0.9), 6)
+        FROM d3"""
     )
   }
 

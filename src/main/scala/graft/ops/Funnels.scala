@@ -27,17 +27,19 @@ import graft.util.Caches
   */
 object Funnels {
 
-  /** Ordered-funnel step counts.
+  /** Per-user funnel step times, WIDE: one row per step-1 reacher with
+    * `t_1 … t_k` — `t_i` is the user's first time completing steps 1..i in
+    * order (strictly after `t_{i-1}`), null once they drop off. The shared
+    * core of [[funnel]] (counts) and funnel-LATENCY analyses (deltas
+    * between the columns are per-user conversion times).
     *
-    * A user reaches step i when they have an event of `steps(i)` STRICTLY
-    * after their first qualifying time for step i−1 (the standard
-    * "first-touch" funnel; ties on the boundary don't advance).
-    *
-    * @return one row per step: (step, step_name, n_users,
-    *         conv — fraction of step-1 reachers still present)
+    * @param withinSeconds optional max gap: step i must land within this
+    *                      many seconds of t_{i-1} (the "converted within
+    *                      an hour" variant); None = unbounded
     */
-  def funnel(events: DataFrame, userCol: String, tsCol: String,
-             typeCol: String, steps: Seq[String]): DataFrame = {
+  def funnelTimes(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String],
+                  withinSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val slim = events.select(col(userCol).as("__u"), col(tsCol).as("__t"),
       col(typeCol).as("__e"))
@@ -48,21 +50,77 @@ object Funnels {
         val qualified = prev match {
           case None => stepEvents
           case Some(r) =>
+            val gate = withinSeconds match {
+              case Some(w) => col("__t") > col("__prev") &&
+                col("__t") <= col("__prev") + expr(s"INTERVAL $w SECOND")
+              case None => col("__t") > col("__prev")
+            }
             stepEvents.join(r.select(col("__u"), col("__t").as("__prev")), Seq("__u"))
-              .filter(col("__t") > col("__prev"))
+              .filter(gate)
         }
         Some(Caches.cache(
           qualified.groupBy("__u").agg(min(col("__t")).as("__t"))).toDF)
     }.flatten
-    val counts = reach.zip(steps).zipWithIndex.map { case ((r, name), i) =>
-      r.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1).as("step"), lit(name).as("step_name"), col("n_users"))
-    }.reduce(_ unionByName _)
-    val base = reach.head.agg(count(lit(1)).as("__n0"))
-    counts.crossJoin(broadcast(base))
+    reach.zipWithIndex.map { case (r, i) =>
+      r.select(col("__u"), col("__t").as(s"t_${i + 1}"))
+    }.reduce((acc, r) => acc.join(r, Seq("__u"), "left"))
+      .withColumnRenamed("__u", userCol)
+  }
+
+  /** Ordered-funnel step counts.
+    *
+    * A user reaches step i when they have an event of `steps(i)` STRICTLY
+    * after their first qualifying time for step i−1 (the standard
+    * "first-touch" funnel; ties on the boundary don't advance). Counts
+    * come from ONE aggregate over the [[funnelTimes]] wide table.
+    *
+    * @return one row per step: (step, step_name, n_users,
+    *         conv — fraction of step-1 reachers still present)
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String],
+             withinSeconds: Option[Long] = None): DataFrame = {
+    val wide = funnelTimes(events, userCol, tsCol, typeCol, steps, withinSeconds)
+    val counts = wide.agg(
+      count(col("t_1")).as("__n_1"),
+      (2 to steps.size).map(i => count(col(s"t_$i")).as(s"__n_$i")): _*)
+    val stackExpr = steps.indices.map(i =>
+      s"${i + 1}, '${steps(i)}', __n_${i + 1}").mkString(", ")
+    counts.select(expr(
+        s"stack(${steps.size}, $stackExpr) AS (step, step_name, n_users)"))
+      .crossJoin(broadcast(counts.select(col("__n_1").as("__n0"))))
       .withColumn("conv", when(col("__n0") === 0, lit(null).cast("double"))
         .otherwise(col("n_users").cast("double") / col("__n0")))
       .drop("__n0")
+  }
+
+  /** Funnel latency: for each ADJACENT step pair, the distribution of
+    * per-user conversion time (seconds between first-reach times) among
+    * users who completed the pair — the "how long does the funnel take"
+    * readout next to [[funnel]]'s "how many make it".
+    *
+    * Exact percentiles (interpolated, ≡ DuckDB `quantile_cont`); the
+    * seconds value is an exact-integer µs difference over 1e6 — one
+    * double division, engine-stable.
+    *
+    * @return (step, step_name, n_users, p50_s, p90_s) for steps 2..k
+    */
+  def funnelLatency(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, steps: Seq[String],
+                    withinSeconds: Option[Long] = None): DataFrame = {
+    require(steps.size >= 2, "funnelLatency needs at least two steps")
+    val wide = Caches.cache(funnelTimes(events, userCol, tsCol, typeCol,
+      steps, withinSeconds)).toDF
+    (2 to steps.size).map { i =>
+      val d = (unix_micros(col(s"t_$i").cast("timestamp")) -
+        unix_micros(col(s"t_${i - 1}").cast("timestamp"))).cast("double") / 1e6
+      wide.filter(col(s"t_$i").isNotNull)
+        .agg(count(lit(1)).as("n_users"),
+          round(percentile(d, lit(0.5)), 6).as("p50_s"),
+          round(percentile(d, lit(0.9)), 6).as("p90_s"))
+        .select(lit(i).as("step"), lit(steps(i - 1)).as("step_name"),
+          col("n_users"), col("p50_s"), col("p90_s"))
+    }.reduce(_ unionByName _)
   }
 
   /** Cohort retention: users grouped by first-activity period, counted per

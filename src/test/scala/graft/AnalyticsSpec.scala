@@ -36,6 +36,32 @@ class AnalyticsSpec extends SparkSpec {
       (3, "purchase", 1L, 1.0 / 3.0)))
   }
 
+  test("funnelTimes wide + within-window gate + latency percentiles") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view", 1),
+      (1L, "2024-01-01 10:30:00", "click", 2),   // 30 min after view
+      (2L, "2024-01-01 10:00:00", "view", 3),
+      (2L, "2024-01-01 12:00:00", "click", 4))   // 2 h after view
+    val wide = Funnels.funnelTimes(events, "user_id", "ts", "event_type",
+        Seq("view", "click"))
+      .orderBy("user_id")
+      .select($"user_id", $"t_1".cast("string"), $"t_2".cast("string"))
+      .as[(Long, String, String)].collect().toSeq
+    assert(wide == Seq(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 10:30:00"),
+      (2L, "2024-01-01 10:00:00", "2024-01-01 12:00:00")))
+    // within 1h: user 2's click is too late → t_2 null, count drops
+    val gated = Funnels.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click"), withinSeconds = Some(3600L))
+      .orderBy("step").select($"n_users").as[Long].collect().toSeq
+    assert(gated == Seq(2L, 1L))
+    // latency: deltas 1800s and 7200s → p50 = 4500 (midpoint), n = 2
+    val lat = Funnels.funnelLatency(events, "user_id", "ts", "event_type",
+        Seq("view", "click"))
+      .select($"step", $"n_users", $"p50_s").as[(Int, Long, Double)].head()
+    assert(lat == ((2, 2L, 4500.0)))
+  }
+
   test("funnel: boundary tie (same timestamp) does not advance the step") {
     val events = ev(
       (1L, "2024-01-01 10:00:00", "view", 1),
