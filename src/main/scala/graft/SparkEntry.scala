@@ -1245,7 +1245,16 @@ object SparkEntry {
     // --- funnel latency: p50/p90 seconds between adjacent funnel steps ---
     "q118_funnel_latency" -> ((s, dir) =>
       Funnels.funnelLatency(Tables.events(s, dir), "user_id", "ts",
-        "event_type", Seq("view", "click", "purchase")))
+        "event_type", Seq("view", "click", "purchase"))),
+
+    // --- one k-means Lloyd iteration over the embedding corpus ---
+    // Composes q41's argmin assignment with q57's exact-decimal means —
+    // the trainable-clustering step behind the IVF serving path, under
+    // one oracle.
+    "q119_kmeans_step" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.kmeansStep(emb, emb.filter(col("vec_id") < 8))
+    })
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -2648,7 +2657,24 @@ object SparkEntry {
         UNION ALL
         SELECT 3, 'purchase', count(*),
           round(quantile_cont(d, 0.5), 6), round(quantile_cont(d, 0.9), 6)
-        FROM d3"""
+        FROM d3""",
+
+      "q119_kmeans_step" -> """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+        a AS (SELECT vec_id, e, centroid_id FROM (
+          SELECT v.vec_id, v.e, c.cid AS centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+              list_dot_product(v.e, v.e) + list_dot_product(c.ce, c.ce)
+                - 2.0 * list_dot_product(v.e, c.ce), c.cid) AS rn
+          FROM v CROSS JOIN cent c) WHERE rn = 1),
+        t AS (SELECT centroid_id, unnest(e) AS x,
+            unnest(range(0, len(e))) AS i
+          FROM a)
+        SELECT centroid_id, i,
+          CAST(SUM(CAST(x AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*) AS mean_v,
+          COUNT(*) AS n_members
+        FROM t GROUP BY 1, 2"""
     )
   }
 

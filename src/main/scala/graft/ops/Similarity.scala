@@ -191,6 +191,35 @@ object Similarity {
         round(col("cdist"), 6).as("cdist"))
   }
 
+  /** One k-means LLOYD ITERATION: assign every vector to its nearest
+    * centroid ([[ivfAssign]]'s argmin — broadcast centroids, corpus never
+    * shuffles for the assignment) and recompute each centroid as the
+    * exact-decimal per-dimension mean of its members (the q57 centroid
+    * shape). Returned per-dimension so the result is hash-checkable
+    * (array columns stringify differently across engines); re-assemble
+    * with `array_sort(collect_list(struct(i, mean_v)))` to feed the next
+    * iteration. Centroids that attract no members simply emit no rows —
+    * the caller decides the empty-cell policy (keep, re-seed, drop).
+    *
+    * Scale shape: one corpus scan + one (centroid, dim)-keyed aggregate —
+    * map-side combinable, output k×d rows. Iterating to convergence is a
+    * driver loop over THIS operator (each round is one job; same bounded-
+    * rounds contract as [[graft.ops.MinHashDedup.dupGroups]]).
+    *
+    * @return (centroid_id, i, mean_v, n_members)
+    */
+  def kmeansStep(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssign(corpus, centroids)
+      .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy("centroid_id", "i")
+      .agg(
+        (sum(col("v").cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 8))).cast("double") /
+          count(lit(1))).as("mean_v"),
+        count(lit(1)).as("n_members"))
+      .select(col("centroid_id"), col("i").cast("long").as("i"),
+        col("mean_v"), col("n_members"))
+
   /** IVF SERVING: route each query to its `nprobe` nearest centroid cells,
     * exact-cosine rerank only within those cells — the full probe path on
     * top of [[ivfAssign]]'s partitioning. Deterministic end to end (argmin

@@ -312,6 +312,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(2) == ("k", 2L, 2L, Some(7.0), Some(7.0), None))
   }
 
+  test("kmeansStep: members move to the nearest centroid, means exact") {
+    val corpus = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.0f, 2.0f)),   // cluster near origin
+      (3L, Array(10.0f, 10.0f)), (4L, Array(10.0f, 12.0f))) // cluster far
+      .toDF("vec_id", "embedding")
+    val cents = Seq((100L, Array(1.0f, 1.0f)), (200L, Array(9.0f, 9.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.kmeansStep(corpus, cents)
+      .orderBy("centroid_id", "i")
+      .select($"centroid_id", $"i", $"mean_v", $"n_members")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      (100L, 0L, 0.0, 2L), (100L, 1L, 1.0, 2L),   // mean of (0,0),(0,2)
+      (200L, 0L, 10.0, 2L), (200L, 1L, 11.0, 2L))) // mean of (10,10),(10,12)
+  }
+
   test("funnel/cohort: empty input yields empty (no division by zero)") {
     val none = ev()
     assert(Funnels.funnel(none, "user_id", "ts", "event_type",
