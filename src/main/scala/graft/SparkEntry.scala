@@ -1254,6 +1254,28 @@ object SparkEntry {
     "q119_kmeans_step" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.kmeansStep(emb, emb.filter(col("vec_id") < 8))
+    }),
+
+    // --- post-load integrity audit: FK orphans, uniqueness, ranges ---
+    // The dbt-test/Great-Expectations report as one declarative query the
+    // pipeline can gate on. All-zero on this (referentially intact) data;
+    // the spec plants violations to prove each check fires.
+    "q120_integrity_audit" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      Audit.report(Seq(
+        "lineitem_orderkey_fk" ->
+          Audit.fkOrphans(li, "l_orderkey", o, "o_orderkey")
+            .agg(count(lit(1)).as("n")),
+        "orders_custkey_fk" ->
+          Audit.fkOrphans(o, "o_custkey", c, "c_custkey")
+            .agg(count(lit(1)).as("n")),
+        "orders_key_unique" -> Audit.duplicateKeyCount(o, Seq("o_orderkey")),
+        "lineitem_qty_range" ->
+          Audit.violationCount(li, col("l_quantity") > 0 && col("l_quantity") <= 50),
+        "orders_price_positive" ->
+          Audit.violationCount(o, col("o_totalprice") > 0)))
     })
   )
 
@@ -2674,7 +2696,27 @@ object SparkEntry {
         SELECT centroid_id, i,
           CAST(SUM(CAST(x AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*) AS mean_v,
           COUNT(*) AS n_members
-        FROM t GROUP BY 1, 2"""
+        FROM t GROUP BY 1, 2""",
+
+      "q120_integrity_audit" -> """
+        SELECT 'lineitem_orderkey_fk' AS check, (SELECT count(*) FROM lineitem l
+          WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+          AS n_violations
+        UNION ALL
+        SELECT 'orders_custkey_fk', (SELECT count(*) FROM orders o
+          WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'orders_key_unique', (SELECT coalesce(CAST(sum(c - 1) AS BIGINT), 0)
+          FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey))
+        UNION ALL
+        SELECT 'lineitem_qty_range', (SELECT CAST(sum(CASE WHEN coalesce(
+            l_quantity > 0 AND l_quantity <= 50, FALSE) THEN 0 ELSE 1 END)
+          AS BIGINT) FROM lineitem)
+        UNION ALL
+        SELECT 'orders_price_positive', (SELECT CAST(sum(CASE WHEN coalesce(
+            o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) FROM orders)"""
     )
   }
 

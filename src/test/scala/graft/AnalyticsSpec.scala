@@ -328,6 +328,25 @@ class AnalyticsSpec extends SparkSpec {
       (200L, 0L, 10.0, 2L), (200L, 1L, 11.0, 2L))) // mean of (10,10),(10,12)
   }
 
+  test("audit: planted violations fire every check; clean data reports 0") {
+    import graft.ops.Audit
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(2L), Some(9L), None).toDF("fk") // 9 orphan; null ignored
+    assert(Audit.fkOrphans(child, "fk", parent, "pk")
+      .as[Long].collect().toSeq == Seq(9L))
+    val dups = Seq(1L, 1L, 1L, 2L).toDF("k") // 2 excess rows for key 1
+    assert(Audit.duplicateKeyCount(dups, Seq("k")).as[Long].head() == 2L)
+    assert(Audit.duplicateKeyCount(parent, Seq("pk")).as[Long].head() == 0L)
+    // null predicate counts as a violation, not a silent pass
+    val vals = Seq(Some(5.0), Some(-1.0), None).toDF("v")
+    assert(Audit.violationCount(vals, $"v" > 0).as[Long].head() == 2L)
+    val rep = Audit.report(Seq(
+        "a" -> Audit.duplicateKeyCount(dups, Seq("k")),
+        "b" -> Audit.violationCount(vals, $"v" > 0)))
+      .as[(String, Long)].collect().toSeq
+    assert(rep == Seq(("a", 2L), ("b", 2L)))
+  }
+
   test("funnel/cohort: empty input yields empty (no division by zero)") {
     val none = ev()
     assert(Funnels.funnel(none, "user_id", "ts", "event_type",
