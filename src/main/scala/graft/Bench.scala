@@ -85,16 +85,20 @@ object Bench {
   private def r3(v: Double): String =
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
+  private def r2(v: Double): String =
+    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+
   /** The driver-facing headline line. The driver captures only the last
     * ~2000 chars of output and parses the JSON line out of that tail, so
     * the line must (a) be bare JSON — build.sbt forks `run` with
     * `StdoutOutput` so sbt does not prefix it with "[info] " — and (b) stay
-    * well under the window: qNN keys + 3-decimal seconds (~1.2 KB for 95
-    * queries). Full names go to target/bench_full.txt instead.
-    * BenchFormatSpec pins both properties against the real query registry.
+    * well under the window: qNN keys + 2-decimal seconds (~1.4 KB for 120
+    * queries; 3 decimals tripped the margin at 118). Full names AND full
+    * precision go to target/bench_full.txt instead. BenchFormatSpec pins
+    * both properties against the real query registry.
     */
   def jsonLine(results: Map[String, Double], sfDir: String): String = {
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""

@@ -1276,6 +1276,21 @@ object SparkEntry {
           Audit.violationCount(li, col("l_quantity") > 0 && col("l_quantity") <= 50),
         "orders_price_positive" ->
           Audit.violationCount(o, col("o_totalprice") > 0)))
+    }),
+
+    // --- rolling autocorrelation (lag-1) of purchase values per user ---
+    // Five exact decimal window moments → one fixed double sequence; the
+    // windowed sibling of q91's pairwise corr, same no-native-corr rule.
+    "q121_rolling_corr" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Indicators.rollingCorr(
+          Tables.events(s, dir).filter(col("event_type") === "purchase")
+            .select("user_id", "ts", "event_id", "value")
+            .withColumn("prev_value", lag(col("value"), 1).over(w)),
+          Seq("user_id"), Seq(col("ts"), col("event_id")),
+          "value", "prev_value", n = 5)
+        .select("user_id", "event_id", "value", "corr")
     })
   )
 
@@ -2716,7 +2731,38 @@ object SparkEntry {
           AS BIGINT) FROM lineitem)
         UNION ALL
         SELECT 'orders_price_positive', (SELECT CAST(sum(CASE WHEN coalesce(
-            o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) FROM orders)"""
+            o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) FROM orders)""",
+
+      "q121_rolling_corr" -> """
+        WITH t AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase'),
+        d AS (SELECT user_id, event_id, value, ts,
+            lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+          FROM t),
+        s AS (SELECT user_id, event_id, value,
+            CAST(count(CASE WHEN value IS NOT NULL AND pv IS NOT NULL
+              THEN 1 END) OVER win AS DOUBLE) AS cnt,
+            CAST(sum(CAST(CASE WHEN value IS NOT NULL AND pv IS NOT NULL
+              THEN value END AS DECIMAL(38,4))) OVER win AS DOUBLE) AS sx,
+            CAST(sum(CAST(CASE WHEN value IS NOT NULL AND pv IS NOT NULL
+              THEN pv END AS DECIMAL(38,4))) OVER win AS DOUBLE) AS sy,
+            CAST(sum(CAST(CASE WHEN value IS NOT NULL AND pv IS NOT NULL
+              THEN value * pv END AS DECIMAL(38,6))) OVER win AS DOUBLE) AS sxy,
+            CAST(sum(CAST(CASE WHEN value IS NOT NULL AND pv IS NOT NULL
+              THEN value * value END AS DECIMAL(38,6))) OVER win AS DOUBLE) AS sxx,
+            CAST(sum(CAST(CASE WHEN value IS NOT NULL AND pv IS NOT NULL
+              THEN pv * pv END AS DECIMAL(38,6))) OVER win AS DOUBLE) AS syy
+          FROM d
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        SELECT user_id, event_id, value,
+          CASE WHEN cnt = 5
+              AND greatest(cnt * sxx - sx * sx, 0.0) > 0
+              AND greatest(cnt * syy - sy * sy, 0.0) > 0
+            THEN round((cnt * sxy - sx * sy) / sqrt(
+              greatest(cnt * sxx - sx * sx, 0.0) *
+              greatest(cnt * syy - sy * sy, 0.0)), 6) END AS corr
+        FROM s"""
     )
   }
 

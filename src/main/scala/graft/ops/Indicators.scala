@@ -80,4 +80,37 @@ object Indicators {
         when(nDeltas === n && sg + sl > 0, round(lit(100.0) * sg / (sg + sl), 6)))
       .drop("__delta")
   }
+
+  /** Trailing-n Pearson correlation between two columns, from the exact
+    * five-moment identity — NEVER Spark's `corr` aggregate, whose
+    * streaming accumulation is float-order-dependent and would break the
+    * hash gate (same reasoning as `Aggregates.pairwiseCorr`, q91, here in
+    * windowed form). Emitted only on full windows with positive variance
+    * on both sides (a constant series has no defined correlation → null).
+    *
+    * @return input + (`as` rounded to 6)
+    */
+  def rollingCorr(df: DataFrame, keys: Seq[String], orderCols: Seq[Column],
+                  xCol: String, yCol: String, n: Int,
+                  as: String = "corr"): DataFrame = {
+    require(n >= 2, s"rollingCorr needs n >= 2, got $n")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val x = col(xCol)
+    val y = col(yCol)
+    // pairwise-complete: a row with either side null contributes nothing
+    val both = x.isNotNull && y.isNotNull
+    def m(c: Column, t: DecimalType) = sum(when(both, c).cast(t)).over(w).cast("double")
+    val cnt = count(when(both, lit(1))).over(w).cast("double")
+    val sx = m(x, graft.util.Num.Money)
+    val sy = m(y, graft.util.Num.Money)
+    val sxy = m(x * y, Sq)
+    val sxx = m(x * x, Sq)
+    val syy = m(y * y, Sq)
+    val num = cnt * sxy - sx * sy
+    val vx = greatest(cnt * sxx - sx * sx, lit(0.0))
+    val vy = greatest(cnt * syy - sy * sy, lit(0.0))
+    df.withColumn(as,
+      when(cnt === n && vx > 0 && vy > 0, round(num / sqrt(vx * vy), 6)))
+  }
 }

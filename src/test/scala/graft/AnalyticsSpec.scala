@@ -347,6 +347,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(rep == Seq(("a", 2L), ("b", 2L)))
   }
 
+  test("rollingCorr: ±1 on linear series, null on constant side") {
+    val up = (1 to 6).map(i => (1L, i.toLong, i.toDouble, i.toDouble + 1))
+    val anti = (1 to 6).map(i => (2L, i.toLong, i.toDouble, -i.toDouble))
+    val const = (1 to 6).map(i => (3L, i.toLong, i.toDouble, 5.0))
+    val df = (up ++ anti ++ const).toDF("k", "seq", "x", "y")
+    val out = graft.ops.Indicators.rollingCorr(df, Seq("k"), Seq(col("seq")),
+        "x", "y", n = 3)
+      .filter($"seq" >= 3).orderBy("k", "seq")
+      .select($"k", $"corr").as[(Long, Option[Double])].collect().toSeq
+    assert(out.filter(_._1 == 1L).forall(_._2.contains(1.0)))
+    assert(out.filter(_._1 == 2L).forall(_._2.contains(-1.0)))
+    assert(out.filter(_._1 == 3L).forall(_._2.isEmpty)) // zero variance side
+  }
+
   test("funnel/cohort: empty input yields empty (no division by zero)") {
     val none = ev()
     assert(Funnels.funnel(none, "user_id", "ts", "event_type",
