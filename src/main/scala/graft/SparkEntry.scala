@@ -1291,7 +1291,12 @@ object SparkEntry {
           Seq("user_id"), Seq(col("ts"), col("event_id")),
           "value", "prev_value", n = 5)
         .select("user_id", "event_id", "value", "corr")
-    })
+    }),
+
+    // --- top user journeys: most common full event paths ---
+    "q122_top_paths" -> ((s, dir) =>
+      Funnels.topPaths(Tables.events(s, dir), "user_id", "ts", "event_id",
+        "event_type", k = 10))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -2762,7 +2767,17 @@ object SparkEntry {
             THEN round((cnt * sxy - sx * sy) / sqrt(
               greatest(cnt * sxx - sx * sx, 0.0) *
               greatest(cnt * syy - sy * sy, 0.0)), 6) END AS corr
-        FROM s"""
+        FROM s""",
+
+      "q122_top_paths" -> """
+        WITH s AS (SELECT user_id,
+            string_agg(left(event_type, 1), '' ORDER BY ts, event_id) AS seq
+          FROM events GROUP BY user_id),
+        c AS (SELECT seq, count(*) AS n_users FROM s GROUP BY seq)
+        SELECT seq, n_users, CAST(rnk AS INT) AS rnk FROM (
+          SELECT seq, n_users,
+            row_number() OVER (ORDER BY n_users DESC, seq) AS rnk
+          FROM c) WHERE rnk <= 10"""
     )
   }
 

@@ -265,6 +265,19 @@ object Funnels {
                     pattern: String,
                     encode: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                       c => substring(c, 1, 1)): DataFrame =
+    sequences(events, userCol, tsCol, tiebreakCol, typeCol, encode)
+      .filter(col("seq").rlike(pattern))
+
+  /** Per-entity ordered event sequence as a compact string — the shared
+    * encoding behind [[sequenceMatch]] (regex filter) and [[topPaths]]
+    * (frequency). Bounded-per-entity contract (see [[sequenceMatch]]).
+    *
+    * @return (userCol, seq, n_events)
+    */
+  def sequences(events: DataFrame, userCol: String, tsCol: String,
+                tiebreakCol: String, typeCol: String,
+                encode: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                  c => substring(c, 1, 1)): DataFrame =
     events.groupBy(col(userCol))
       .agg(array_sort(collect_list(struct(
         col(tsCol).as("__t"), col(tiebreakCol).as("__k"),
@@ -272,5 +285,24 @@ object Funnels {
       .select(col(userCol),
         concat_ws("", transform(col("__s"), x => x.getField("__c"))).as("seq"),
         size(col("__s")).as("n_events"))
-      .filter(col("seq").rlike(pattern))
+
+  /** Top-k user journeys: the most common full event paths and how many
+    * entities walked each — the "what do people actually do" table next
+    * to [[transitions]]' one-step view. Total-ordered (count desc, path
+    * asc), so the top-k is deterministic.
+    *
+    * Scale shape: the [[sequences]] entity shuffle, then a path-keyed
+    * aggregate (map-side combinable; path cardinality ≪ entity count in
+    * any real product) and one global top-k (TakeOrderedAndProject).
+    */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+               tiebreakCol: String, typeCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"topPaths needs k >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_users").desc, col("seq"))
+    sequences(events, userCol, tsCol, tiebreakCol, typeCol)
+      .groupBy("seq").agg(count(lit(1)).as("n_users"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
 }

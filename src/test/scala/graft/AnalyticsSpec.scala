@@ -361,6 +361,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.filter(_._1 == 3L).forall(_._2.isEmpty)) // zero variance side
   }
 
+  test("topPaths: common journeys ranked, ties broken by path") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view", 1),
+      (1L, "2024-01-01 11:00:00", "purchase", 2),
+      (2L, "2024-01-01 10:00:00", "view", 3),
+      (2L, "2024-01-01 11:00:00", "purchase", 4),
+      (3L, "2024-01-01 10:00:00", "view", 5),
+      (4L, "2024-01-01 10:00:00", "click", 6))
+    val out = Funnels.topPaths(events, "user_id", "ts", "event_id",
+        "event_type", k = 2)
+      .select($"seq", $"n_users", $"rnk").as[(String, Long, Int)]
+      .collect().toSeq
+    // "vp" walked twice wins; "c" and "v" tie at 1 → "c" first alphabetically
+    assert(out == Seq(("vp", 2L, 1), ("c", 1L, 2)))
+  }
+
   test("funnel/cohort: empty input yields empty (no division by zero)") {
     val none = ev()
     assert(Funnels.funnel(none, "user_id", "ts", "event_type",
