@@ -2494,8 +2494,8 @@ object SparkEntry {
         WITH t AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
             FROM events WHERE event_type = 'purchase'),
         w AS (SELECT user_id, event_id, value,
-            count(*) OVER win AS cnt,
-            CAST(count(*) OVER win AS DOUBLE) AS nn,
+            count(value) OVER win AS cnt,
+            CAST(count(value) OVER win AS DOUBLE) AS nn,
             CAST(sum(CAST(value AS DECIMAL(38,4))) OVER win AS DOUBLE) AS s1,
             CAST(sum(CAST(value * value AS DECIMAL(38,6))) OVER win AS DOUBLE) AS s2
           FROM t

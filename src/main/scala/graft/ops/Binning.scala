@@ -38,9 +38,12 @@ object Binning {
       else
         df.groupBy(groupCols.map(col): _*)
           .agg(percentile(col(valueCol), array(ps.map(lit): _*)).as("__fences"))
+    // a NULL value belongs to no bin (the fold's null-comparison would
+    // otherwise quietly land it in bin 0)
     df.join(broadcast(fences), groupCols)
-      .withColumn("bin", aggregate(col("__fences"), lit(0),
-        (acc, f) => acc + when(col(valueCol) >= f, 1).otherwise(0)))
+      .withColumn("bin", when(col(valueCol).isNotNull,
+        aggregate(col("__fences"), lit(0),
+          (acc, f) => acc + when(col(valueCol) >= f, 1).otherwise(0))))
       .drop("__fences")
   }
 }

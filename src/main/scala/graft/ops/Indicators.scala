@@ -40,7 +40,9 @@ object Indicators {
     require(n >= 2, s"bollinger needs n >= 2, got $n")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
       .rowsBetween(-(n - 1), Window.currentRow)
-    val cnt = count(lit(1)).over(w)
+    // count NON-NULL values: a null in the window must invalidate the band
+    // (sum would skip it while a row count still claimed a full window)
+    val cnt = count(col(valueCol)).over(w)
     val s1 = sum(col(valueCol).cast(graft.util.Num.Money)).over(w).cast("double")
     val s2 = sum((col(valueCol) * col(valueCol)).cast(Sq)).over(w).cast("double")
     val nn = cnt.cast("double")

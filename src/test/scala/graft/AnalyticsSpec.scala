@@ -229,6 +229,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(tied == 1) // p50 of {1,2,3} is exactly 2.0 → bin 1
   }
 
+  test("null handling: null value gets null bin; null in window kills band") {
+    val df = Seq(("g", Some(1.0)), ("g", Some(2.0)), ("g", Some(3.0)),
+      ("g", Some(4.0)), ("g", None)).toDF("g", "v")
+    val bins = graft.ops.Binning.equalFrequency(df, Seq("g"), "v", 2)
+      .filter($"v".isNull).select($"bin").as[Option[Int]].collect().toSeq
+    assert(bins == Seq(None)) // not silently bin 0
+    val bars = Seq((1L, 1L, Some(1.0)), (1L, 2L, None), (1L, 3L, Some(3.0)),
+      (1L, 4L, Some(4.0)), (1L, 5L, Some(5.0)))
+      .toDF("k", "seq", "v")
+    val bands = graft.ops.Indicators.bollinger(bars, Seq("k"), Seq(col("seq")),
+        "v", n = 3).orderBy("seq").select($"mid").as[Option[Double]].collect()
+    // windows containing the null row (seq 2..4) must not claim full bands
+    assert(bands(1).isEmpty && bands(2).isEmpty && bands(3).isEmpty)
+    assert(bands(4).contains(4.0)) // first clean full window: {3,4,5}
+  }
+
   test("equalFrequency: approx path bins agree away from fences") {
     val df = (1 to 1000).map(i => ("g", i.toDouble)).toDF("g", "v")
     val exact = graft.ops.Binning.equalFrequency(df, Seq("g"), "v", 4)
