@@ -1296,7 +1296,27 @@ object SparkEntry {
     // --- top user journeys: most common full event paths ---
     "q122_top_paths" -> ((s, dir) =>
       Funnels.topPaths(Tables.events(s, dir), "user_id", "ts", "event_id",
-        "event_type", k = 10))
+        "event_type", k = 10)),
+
+    // --- CUPED: variance-reduced experiment readout vs the raw t ---
+    // Pre-period spend per user is the covariate; one row comparing the
+    // raw Welch t (q117's machinery at user grain) with the CUPED-
+    // adjusted t on the same effect.
+    "q123_cuped" -> ((s, dir) => {
+      val cutoff = lit("2024-01-16").cast("timestamp_ntz")
+      val unit = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          coalesce(dsum(when(col("ts") < cutoff, col("value"))), lit(0.0)).as("x"),
+          coalesce(dsum(when(col("ts") >= cutoff, col("value"))), lit(0.0)).as("y"))
+      val arm = col("user_id") % 2 === 0
+      val raw = Experiments.welchT(unit, Nil, arm, "y")
+        .select(col("n_a"), col("n_b"), col("t").as("t_raw"))
+      val adj = Experiments.welchT(
+          Experiments.cuped(unit, Nil, "y", "x"), Nil, arm, "y_cuped")
+        .select(col("t").as("t_cuped"))
+      raw.crossJoin(adj)
+    })
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -2777,7 +2797,69 @@ object SparkEntry {
         SELECT seq, n_users, CAST(rnk AS INT) AS rnk FROM (
           SELECT seq, n_users,
             row_number() OVER (ORDER BY n_users DESC, seq) AS rnk
-          FROM c) WHERE rnk <= 10"""
+          FROM c) WHERE rnk <= 10""",
+
+      "q123_cuped" -> """
+        WITH unit AS (SELECT user_id,
+            coalesce(CAST(SUM(CAST(CASE WHEN ts < TIMESTAMP '2024-01-16'
+              THEN value END AS DECIMAL(38,4))) AS DOUBLE), 0.0) AS x,
+            coalesce(CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+              THEN value END AS DECIMAL(38,4))) AS DOUBLE), 0.0) AS y
+          FROM events GROUP BY user_id),
+        m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+            CAST(SUM(CAST(x AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(y AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+            CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+          FROM unit),
+        adj AS (SELECT user_id,
+            y - (CASE WHEN m.n * m.sxx - m.sx * m.sx > 0
+                 THEN (m.n * m.sxy - m.sx * m.sy) / (m.n * m.sxx - m.sx * m.sx)
+                 ELSE 0.0 END) * (x - m.sx / m.n) AS yc
+          FROM unit CROSS JOIN m),
+        raw AS (SELECT
+            count(CASE WHEN user_id % 2 = 0 THEN y END) AS n_a,
+            count(CASE WHEN user_id % 2 <> 0 THEN y END) AS n_b,
+            CAST(sum(CAST(CASE WHEN user_id % 2 = 0 THEN y END
+              AS DECIMAL(38,4))) AS DOUBLE) AS sa,
+            CAST(sum(CAST(CASE WHEN user_id % 2 <> 0 THEN y END
+              AS DECIMAL(38,4))) AS DOUBLE) AS sb,
+            CAST(sum(CAST(CASE WHEN user_id % 2 = 0 THEN y * y END
+              AS DECIMAL(38,6))) AS DOUBLE) AS qa,
+            CAST(sum(CAST(CASE WHEN user_id % 2 <> 0 THEN y * y END
+              AS DECIMAL(38,6))) AS DOUBLE) AS qb
+          FROM unit),
+        cu AS (SELECT
+            count(CASE WHEN user_id % 2 = 0 THEN yc END) AS n_a,
+            count(CASE WHEN user_id % 2 <> 0 THEN yc END) AS n_b,
+            CAST(sum(CAST(CASE WHEN user_id % 2 = 0 THEN yc END
+              AS DECIMAL(38,4))) AS DOUBLE) AS sa,
+            CAST(sum(CAST(CASE WHEN user_id % 2 <> 0 THEN yc END
+              AS DECIMAL(38,4))) AS DOUBLE) AS sb,
+            CAST(sum(CAST(CASE WHEN user_id % 2 = 0 THEN yc * yc END
+              AS DECIMAL(38,6))) AS DOUBLE) AS qa,
+            CAST(sum(CAST(CASE WHEN user_id % 2 <> 0 THEN yc * yc END
+              AS DECIMAL(38,6))) AS DOUBLE) AS qb
+          FROM adj),
+        tstat AS (SELECT * FROM (
+          SELECT 'raw' AS which, n_a, n_b, sa, sb, qa, qb FROM raw
+          UNION ALL
+          SELECT 'cu', n_a, n_b, sa, sb, qa, qb FROM cu)),
+        ts2 AS (SELECT which, n_a, n_b,
+            CASE WHEN n_a >= 2 AND n_b >= 2 AND
+                greatest((qa - sa * sa / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0), 0.0)
+                  / CAST(n_a AS DOUBLE) +
+                greatest((qb - sb * sb / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0), 0.0)
+                  / CAST(n_b AS DOUBLE) > 0
+              THEN round((sa / CAST(n_a AS DOUBLE) - sb / CAST(n_b AS DOUBLE)) / sqrt(
+                greatest((qa - sa * sa / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0), 0.0)
+                  / CAST(n_a AS DOUBLE) +
+                greatest((qb - sb * sb / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0), 0.0)
+                  / CAST(n_b AS DOUBLE)), 6) END AS t
+          FROM tstat)
+        SELECT r.n_a, r.n_b, r.t AS t_raw, c.t AS t_cuped
+        FROM (SELECT * FROM ts2 WHERE which = 'raw') r
+        CROSS JOIN (SELECT * FROM ts2 WHERE which = 'cu') c"""
     )
   }
 

@@ -55,4 +55,42 @@ object Experiments {
           round((meanA - meanB) / sqrt(se2), 6)))
       .drop("__sa", "__sb", "__qa", "__qb")
   }
+
+  /** CUPED variance reduction: adjust the experiment metric with a
+    * PRE-EXPERIMENT covariate before testing —
+    * y′ = y − θ·(x − x̄) with θ = cov(x, y)/var(x) fitted on the POOLED
+    * units (assignment-independent, so the adjustment is unbiased under
+    * randomization; the arm means of y′ shift together and the true
+    * effect is preserved while covariate-explained variance drops by the
+    * squared correlation). Returns the adjusted unit-level frame — feed
+    * it straight to [[welchT]] for the tighter readout.
+    *
+    * Determinism: θ and x̄ come from exact decimal moments (one pooled
+    * aggregate per group, broadcast back); each row's adjustment is three
+    * double ops. Zero covariate variance → θ = 0 (adjustment is a no-op,
+    * not a divide-by-zero).
+    *
+    * @return input + (`<yCol>_cuped`)
+    */
+  def cuped(df: DataFrame, groupCols: Seq[String], yCol: String,
+            xCol: String): DataFrame = {
+    val x = col(xCol)
+    val y = col(yCol)
+    val m = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(x.cast(graft.util.Num.Money)).cast("double").as("__sx"),
+      sum(y.cast(graft.util.Num.Money)).cast("double").as("__sy"),
+      sum((x * y).cast(Sq)).cast("double").as("__sxy"),
+      sum((x * x).cast(Sq)).cast("double").as("__sxx"))
+    val varX = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val theta = when(varX > 0,
+      (col("__n") * col("__sxy") - col("__sx") * col("__sy")) / varX)
+      .otherwise(lit(0.0))
+    val joined = if (groupCols.isEmpty) df.crossJoin(broadcast(m))
+      else df.join(broadcast(m), groupCols)
+    joined
+      .withColumn(s"${yCol}_cuped",
+        y - theta * (x - col("__sx") / col("__n")))
+      .drop("__n", "__sx", "__sy", "__sxy", "__sxx")
+  }
 }

@@ -393,6 +393,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Seq(("vp", 2L, 1), ("c", 1L, 2)))
   }
 
+  test("cuped: covariate variance removed, effect preserved, zero-var safe") {
+    import graft.ops.Experiments
+    // y = x + 1·treatment (+ deterministic wiggle): x explains most variance
+    val units = (1 to 40).map { i =>
+      val x = (i % 10).toDouble * 3
+      val arm = i % 2 == 0
+      (i.toLong, arm, x, x + (if (arm) 1.0 else 0.0) + (i % 3) * 0.1)
+    }.toDF("u", "arm", "x", "y")
+    val adj = Experiments.cuped(units, Nil, "y", "x")
+    val tRaw = Experiments.welchT(units, Nil, $"arm", "y")
+      .select($"t").as[Option[Double]].head().get
+    val tCuped = Experiments.welchT(adj, Nil, $"arm", "y_cuped")
+      .select($"t").as[Option[Double]].head().get
+    assert(math.abs(tCuped) > math.abs(tRaw),
+      s"CUPED must tighten the test: raw $tRaw vs cuped $tCuped")
+    // the effect itself is untouched: arm-mean gap stays ~1.0
+    val gap = Experiments.welchT(adj, Nil, $"arm", "y_cuped")
+      .select($"mean_a" - $"mean_b").as[Double].head()
+    assert(math.abs(gap - 1.0) < 0.15, s"effect drifted: $gap")
+    // constant covariate → theta 0 → adjustment is a no-op
+    val flat = units.withColumn("x", lit(5.0))
+    val noop = Experiments.cuped(flat, Nil, "y", "x")
+      .filter($"y_cuped" =!= $"y").count()
+    assert(noop == 0)
+  }
+
   test("funnel/cohort: empty input yields empty (no division by zero)") {
     val none = ev()
     assert(Funnels.funnel(none, "user_id", "ts", "event_type",
