@@ -1316,7 +1316,14 @@ object SparkEntry {
           Experiments.cuped(unit, Nil, "y", "x"), Nil, arm, "y_cuped")
         .select(col("t").as("t_cuped"))
       raw.crossJoin(adj)
-    })
+    }),
+
+    // --- TWAP per user-day (time-weighted; q44's VWAP is volume-weighted) ---
+    "q124_twap" -> ((s, dir) =>
+      Indicators.twap(
+        Tables.events(s, dir).filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "value", "event_id", bucket = "day"))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -2859,7 +2866,22 @@ object SparkEntry {
           FROM tstat)
         SELECT r.n_a, r.n_b, r.t AS t_raw, c.t AS t_cuped
         FROM (SELECT * FROM ts2 WHERE which = 'raw') r
-        CROSS JOIN (SELECT * FROM ts2 WHERE which = 'cu') c"""
+        CROSS JOIN (SELECT * FROM ts2 WHERE which = 'cu') c""",
+
+      "q124_twap" -> """
+        WITH t AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+            date_trunc('day', ts) AS b
+          FROM events WHERE event_type = 'purchase'),
+        d AS (SELECT user_id, b, value,
+            epoch_us(coalesce(
+              lead(ts) OVER (PARTITION BY user_id, b ORDER BY ts, event_id),
+              b + INTERVAL 1 DAY)) - epoch_us(ts) AS dt
+          FROM t)
+        SELECT user_id, b AS bucket,
+          round(CAST(SUM(CAST(value * dt AS DECIMAL(38,6))) AS DOUBLE) /
+            CAST(SUM(CAST(dt AS DECIMAL(38,4))) AS DOUBLE), 6) AS twap,
+          count(*) AS n_ticks
+        FROM d GROUP BY 1, 2"""
     )
   }
 

@@ -115,4 +115,42 @@ object Indicators {
     df.withColumn(as,
       when(cnt === n && vx > 0 && vy > 0, round(num / sqrt(vx * vy), 6)))
   }
+
+  /** Time-weighted average price per (key, bucket) — the irregular-tick
+    * companion to VWAP (q44): each observation is weighted by how long it
+    * REMAINED the latest value, so a burst of ticks in one second can't
+    * dominate a quiet hour. The last tick of a bucket carries to the
+    * bucket's end (every bucket's weights tile its span exactly from the
+    * first tick on).
+    *
+    * Weights are exact integer microseconds (a lead window + one interval
+    * edge); the weighted sum runs over exact decimals and the single
+    * division is engine-stable — hash-checkable like every money
+    * aggregate here.
+    *
+    * Scale shape: one window shuffle by (key, bucket-day) + one hash
+    * aggregate, map-side combinable.
+    *
+    * @param bucket Spark `date_trunc` unit ("day", "hour", …)
+    * @return (key, bucket, twap, n_ticks)
+    */
+  def twap(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+           tiebreakCol: String, bucket: String = "day"): DataFrame = {
+    val b = date_trunc(bucket, col(tsCol))
+    val w = Window.partitionBy(col(keyCol), col("__b"))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val bucketEnd = col("__b") + expr(s"INTERVAL 1 $bucket")
+    df.withColumn("__b", b)
+      .withColumn("__dt",
+        unix_micros(coalesce(lead(col(tsCol), 1).over(w),
+          bucketEnd.cast("timestamp")).cast("timestamp")) -
+          unix_micros(col(tsCol).cast("timestamp")))
+      .groupBy(col(keyCol), col("__b").as("bucket"))
+      .agg(
+        (sum((col(valueCol) * col("__dt")).cast(Sq)).cast("double") /
+          sum(col("__dt").cast(graft.util.Num.Money)).cast("double")).as("__t"),
+        count(lit(1)).as("n_ticks"))
+      .select(col(keyCol), col("bucket"), round(col("__t"), 6).as("twap"),
+        col("n_ticks"))
+  }
 }

@@ -419,6 +419,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(noop == 0)
   }
 
+  test("twap: duration-weighted, burst-resistant, carries to bucket end") {
+    // price 10 for the first 6h (00:00→06:00), then a 100-tick worth 18h:
+    // twap = (10·6 + 100·18)/24 = 77.5 — a naive mean would say 55
+    val ticks = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, 10.0),
+      (1L, "2024-01-01 06:00:00", 2L, 100.0))
+      .toDF("k", "ts", "seq", "px").withColumn("ts", $"ts".cast("timestamp"))
+    val out = graft.ops.Indicators.twap(ticks, "k", "ts", "px", "seq")
+      .select($"twap", $"n_ticks").as[(Double, Long)].head()
+    assert(out == ((77.5, 2L)))
+    // a 1000-tick burst at one instant gets zero weight per superseded tick
+    val burst = (1 to 5).map(i =>
+        (2L, "2024-01-01 00:00:00", i.toLong, 999.0)) :+
+      ((2L, "2024-01-01 00:00:01", 9L, 10.0))
+    val out2 = graft.ops.Indicators.twap(
+        burst.toDF("k", "ts", "seq", "px")
+          .withColumn("ts", $"ts".cast("timestamp")),
+        "k", "ts", "px", "seq")
+      .select($"twap").as[Double].head()
+    // 999 held for 1s of 86400 → twap ≈ 10, burst contributes almost nothing
+    assert(out2 < 11.0, s"burst dominated: $out2")
+  }
+
   test("funnel/cohort: empty input yields empty (no division by zero)") {
     val none = ev()
     assert(Funnels.funnel(none, "user_id", "ts", "event_type",
