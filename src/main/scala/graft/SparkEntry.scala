@@ -1323,7 +1323,14 @@ object SparkEntry {
       Indicators.twap(
         Tables.events(s, dir).filter(col("event_type") === "purchase")
           .select("user_id", "ts", "event_id", "value"),
-        "user_id", "ts", "value", "event_id", bucket = "day"))
+        "user_id", "ts", "value", "event_id", bucket = "day")),
+
+    // --- longest underwater stretch (drawdown DURATION; q90 is depth) ---
+    "q125_underwater" -> ((s, dir) =>
+      Windows.maxUnderwater(
+        Tables.events(s, dir).filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id", "value"),
+        Seq("user_id"), "ts", "event_id", "value"))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -2881,7 +2888,29 @@ object SparkEntry {
           round(CAST(SUM(CAST(value * dt AS DECIMAL(38,6))) AS DOUBLE) /
             CAST(SUM(CAST(dt AS DECIMAL(38,4))) AS DOUBLE), 6) AS twap,
           count(*) AS n_ticks
-        FROM d GROUP BY 1, 2"""
+        FROM d GROUP BY 1, 2""",
+
+      "q125_underwater" -> """
+        WITH t AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase'),
+        u AS (SELECT user_id, event_id, value, ts,
+            value < max(value) OVER w AS under
+          FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        g AS (SELECT user_id, ts, under,
+            sum(CASE WHEN under THEN 0 ELSE 1 END) OVER w2 AS grp
+          FROM u WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        r AS (SELECT user_id, grp, count(*) AS n,
+            epoch_us(max(ts)) - epoch_us(min(ts)) AS us
+          FROM g WHERE under GROUP BY 1, 2),
+        agg AS (SELECT user_id, max(n) AS max_underwater_n,
+            max(us) AS max_underwater_us
+          FROM r GROUP BY 1)
+        SELECT k.user_id, coalesce(agg.max_underwater_n, 0) AS max_underwater_n,
+          agg.max_underwater_us
+        FROM (SELECT DISTINCT user_id FROM t) k
+        LEFT JOIN agg ON k.user_id = agg.user_id"""
     )
   }
 

@@ -114,4 +114,45 @@ object Windows {
       "drnk" -> dense_rank().over(w),
       "rn"   -> row_number().over(w)))
   }
+
+  /** Longest underwater stretch per key — the TIME axis of drawdown where
+    * [[maxDrawdown]] is the depth: the maximum number of consecutive
+    * observations spent strictly below the prior running peak, plus that
+    * stretch's wall-clock span. Runs are delimited with the classic
+    * gaps-and-islands trick: a running count of at-peak rows is constant
+    * exactly while underwater, so it is the island id — two window passes
+    * over ONE (key) partitioning, then a two-level aggregate. All counts
+    * and timestamps exact.
+    *
+    * A key that never dips emits 0 / null span (`coalesce` over the empty
+    * max), not a missing row.
+    *
+    * @param tsCol ordering timestamp (also used for the span)
+    * @return (keys…, max_underwater_n, max_underwater_us)
+    */
+  def maxUnderwater(df: DataFrame, keys: Seq[String], tsCol: String,
+                    tiebreakCol: String, valueCol: String): DataFrame = {
+    val ord = ordered(keys, Seq(col(tsCol), col(tiebreakCol)))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peak = max(col(valueCol)).over(cum)
+    val under = col(valueCol) < peak
+    // materialize the underwater flag first — summing over the raw window
+    // expression would be a (disallowed) nested window function
+    val marked = df
+      .withColumn("__under", under)
+      .withColumn("__grp",
+        sum(when(col("__under"), 0L).otherwise(1L)).over(cum))
+    val runs = marked.filter(col("__under"))
+      .groupBy((keys.map(col) :+ col("__grp")): _*)
+      .agg(count(lit(1)).as("__n"),
+        (unix_micros(max(col(tsCol)).cast("timestamp")) -
+          unix_micros(min(col(tsCol)).cast("timestamp"))).as("__us"))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("__n")).as("max_underwater_n"),
+        max(col("__us")).as("max_underwater_us"))
+    df.select(keys.map(col): _*).distinct()
+      .join(runs, keys, "left")
+      .withColumn("max_underwater_n",
+        coalesce(col("max_underwater_n"), lit(0L)))
+  }
 }

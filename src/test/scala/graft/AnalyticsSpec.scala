@@ -442,6 +442,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(out2 < 11.0, s"burst dominated: $out2")
   }
 
+  test("maxUnderwater: island detection, span, and never-dipped zero") {
+    val bars = Seq(
+      // peak 10, under for 3 obs (2h span), recover, under 1 obs
+      (1L, "2024-01-01 00:00:00", 1L, 10.0),
+      (1L, "2024-01-01 01:00:00", 2L, 5.0),
+      (1L, "2024-01-01 02:00:00", 3L, 7.0),
+      (1L, "2024-01-01 03:00:00", 4L, 9.0),
+      (1L, "2024-01-01 04:00:00", 5L, 11.0), // new peak ends the island
+      (1L, "2024-01-01 05:00:00", 6L, 8.0),
+      // monotone climber: never underwater
+      (2L, "2024-01-01 00:00:00", 7L, 1.0),
+      (2L, "2024-01-01 01:00:00", 8L, 2.0))
+      .toDF("k", "ts", "seq", "v").withColumn("ts", $"ts".cast("timestamp"))
+    val out = graft.ops.Windows.maxUnderwater(bars, Seq("k"), "ts", "seq", "v")
+      .orderBy("k")
+      .select($"k", $"max_underwater_n", $"max_underwater_us")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, Some(2L * 3600 * 1000000)), // 01:00→03:00 island
+      (2L, 0L, None)))
+  }
+
   test("funnel/cohort: empty input yields empty (no division by zero)") {
     val none = ev()
     assert(Funnels.funnel(none, "user_id", "ts", "event_type",
