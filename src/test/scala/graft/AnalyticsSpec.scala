@@ -470,4 +470,32 @@ class AnalyticsSpec extends SparkSpec {
       Seq("view", "click")).filter($"n_users" > 0).count() == 0)
     assert(Funnels.cohortRetention(none, "user_id", "ts").count() == 0)
   }
+
+  test("every round-8 analytics operator survives an empty input") {
+    import graft.ops._
+    val noEvents = ev()
+    val noBars = Seq.empty[(Long, Long, Double)].toDF("k", "seq", "v")
+    val noTicks = Seq.empty[(Long, String, Long, Double)]
+      .toDF("k", "ts", "seq", "px").withColumn("ts", $"ts".cast("timestamp"))
+    assert(Indicators.bollinger(noBars, Seq("k"), Seq(col("seq")), "v", 3).count() == 0)
+    assert(Indicators.rsi(noBars, Seq("k"), Seq(col("seq")), "v", 3).count() == 0)
+    assert(Indicators.rollingCorr(noBars.withColumn("v2", $"v"),
+      Seq("k"), Seq(col("seq")), "v", "v2", 3).count() == 0)
+    assert(Indicators.twap(noTicks, "k", "ts", "px", "seq").count() == 0)
+    assert(Binning.equalFrequency(noBars, Seq("k"), "v", 4).count() == 0)
+    assert(Windows.maxUnderwater(noTicks.withColumnRenamed("px", "v"),
+      Seq("k"), "ts", "seq", "v").count() == 0)
+    assert(Funnels.growthAccounting(noEvents, "user_id", "ts").count() == 0)
+    assert(Funnels.transitions(noEvents, "user_id", "ts", "event_id",
+      "event_type").count() == 0)
+    assert(Funnels.topPaths(noEvents, "user_id", "ts", "event_id",
+      "event_type", 5).count() == 0)
+    assert(Funnels.funnelLatency(noEvents, "user_id", "ts", "event_type",
+      Seq("view", "click")).filter($"n_users" > 0).count() == 0)
+    // global (no-group) welchT on empty input: one row, everything null-safe
+    val t = Experiments.welchT(noBars.withColumn("arm", lit(true)),
+      Nil, $"arm", "v").select($"n_a", $"t")
+      .as[(Long, Option[Double])].head()
+    assert(t == ((0L, None)))
+  }
 }
