@@ -173,4 +173,20 @@ class PlanSpec extends SparkSpec {
     val p = plan("q112_band_join_grid")
     assert(!p.contains("NestedLoop"), p.take(1200))
   }
+
+  test("q113: interval join is an equi-join with no distinct dedup pass") {
+    val p = plan("q113_interval_join")
+    assert(!p.contains("NestedLoop"), p.take(1200))
+    // canonical-cell filter replaces dedup: exactly the join + agg-free plan
+    assert(!p.toLowerCase.contains("deduplicate"), p.take(1200))
+  }
+
+  test("q124/q125: tick-window operators shuffle once per key grouping") {
+    for ((q, maxEx) <- Seq(("q124_twap", 2), ("q125_underwater", 3))) {
+      val p = plan(q)
+      assert(countOf(p, "Exchange hashpartitioning") <= maxEx,
+        s"$q:\n${p.take(1500)}")
+      assert(countOf(p, "Exchange rangepartitioning") == 0, q)
+    }
+  }
 }
