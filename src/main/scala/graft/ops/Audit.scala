@@ -5,7 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Data-integrity audits — the declarative constraint checks (dbt tests /
   * Great Expectations) a warehouse runs after every load: foreign-key
-  * orphans, key uniqueness, null rates, range violations. Each check is a
+  * orphans, key uniqueness, null rates, range violations. (The
+  * reference's load path already worries about exactly this — its
+  * anti-join dedup insert, /root/reference/loading.py:159-169, is a
+  * uniqueness constraint enforced by hand; this generalizes the idea to
+  * a gateable report.) Each check is a
   * tiny declarative plan returning violations, composable into one
   * (check, n_violations) report the pipeline can gate on.
   *

@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 /** Equal-frequency (quantile) binning — the feature-discretization step ML
   * pipelines run before building histograms, decision-tree splits, or
   * monotonic-feature buckets: each value is replaced by which of `nBins`
-  * equally-populated bins it falls in WITHIN its group.
+  * equally-populated bins it falls in WITHIN its group. (Reference
+  * domain: the price distributions of /root/reference/extraction.py:105's
+  * bars are exactly what a downstream model would discretize; the
+  * reference itself ships values raw.)
   *
   * The n−1 interior fences come from one `percentile` aggregate per group
   * (an ARRAY of cut points in a single pass — not n separate aggregates),

@@ -8,7 +8,8 @@ import org.apache.spark.sql.types.DecimalType
   * between treatment and control — counts, means, and Welch's t statistic
   * (unequal variances, the safe default). The end of every product-analytics
   * pipeline: funnel (q105) finds the drop-off, the experiment moves it,
-  * this measures it.
+  * this measures it. (No reference analog — an [EXT] operator on the same
+  * event model as the funnel family.)
   *
   * Determinism contract (same as [[Indicators]]): every sum is an exact
   * decimal (count, Σx, Σx² per arm — one conditional aggregate pass, no
