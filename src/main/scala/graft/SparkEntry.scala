@@ -1330,7 +1330,14 @@ object SparkEntry {
       Windows.maxUnderwater(
         Tables.events(s, dir).filter(col("event_type") === "purchase")
           .select("user_id", "ts", "event_id", "value"),
-        Seq("user_id"), "ts", "event_id", "value"))
+        Seq("user_id"), "ts", "event_id", "value")),
+
+    // --- revenue concentration: decile shares without a global sort ---
+    "q126_concentration" -> ((s, dir) =>
+      Binning.concentration(
+        Tables.orders(s, dir).groupBy("o_custkey")
+          .agg(dsum(col("o_totalprice")).as("rev")),
+        "rev", nBins = 10))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -2910,7 +2917,26 @@ object SparkEntry {
         SELECT k.user_id, coalesce(agg.max_underwater_n, 0) AS max_underwater_n,
           agg.max_underwater_us
         FROM (SELECT DISTINCT user_id FROM t) k
-        LEFT JOIN agg ON k.user_id = agg.user_id"""
+        LEFT JOIN agg ON k.user_id = agg.user_id""",
+
+      "q126_concentration" -> s"""
+        WITH u AS (SELECT o_custkey, ${dsumSql("o_totalprice")} AS rev
+          FROM orders GROUP BY 1),
+        f AS (SELECT quantile_cont(rev,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS fences FROM u),
+        b AS (SELECT rev, len(list_filter(f.fences, x -> rev >= x)) AS bin
+          FROM u CROSS JOIN f),
+        p AS (SELECT bin, count(*) AS n_units, ${dsumSql("rev")} AS value_sum
+          FROM b GROUP BY 1),
+        t AS (SELECT CAST(SUM(CAST(value_sum AS DECIMAL(38,4))) AS DOUBLE)
+            AS tot FROM p)
+        SELECT bin, n_units, value_sum,
+          CASE WHEN tot <> 0 THEN round(value_sum / tot, 6) END AS share,
+          CASE WHEN tot <> 0 THEN round(
+            CAST(SUM(CAST(value_sum AS DECIMAL(38,4)))
+              OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND
+                CURRENT ROW) AS DOUBLE) / tot, 6) END AS cum_share
+        FROM p CROSS JOIN t"""
     )
   }
 

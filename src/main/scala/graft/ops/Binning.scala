@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
   */
 object Binning {
 
-  /** @return input rows + (bin: int in [0, nBins-1]) */
+  /** @param groupCols empty = one global fence set (whole-table deciles
+    *                   etc. — still no global sort, just one aggregate)
+    * @return input rows + (bin: int in [0, nBins-1]) */
   def equalFrequency(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      nBins: Int, approx: Boolean = false,
                      accuracy: Int = 10000): DataFrame = {
@@ -41,12 +43,44 @@ object Binning {
       else
         df.groupBy(groupCols.map(col): _*)
           .agg(percentile(col(valueCol), array(ps.map(lit): _*)).as("__fences"))
+    val joined = if (groupCols.isEmpty) df.crossJoin(broadcast(fences))
+      else df.join(broadcast(fences), groupCols)
     // a NULL value belongs to no bin (the fold's null-comparison would
     // otherwise quietly land it in bin 0)
-    df.join(broadcast(fences), groupCols)
+    joined
       .withColumn("bin", when(col(valueCol).isNotNull,
         aggregate(col("__fences"), lit(0),
           (acc, f) => acc + when(col(valueCol) >= f, 1).otherwise(0))))
       .drop("__fences")
+  }
+
+  /** Concentration (Pareto) report: units quantile-binned by `valueCol`,
+    * with each bin's share and cumulative share of the total — "the top
+    * decile of customers carries X% of revenue", the whale-analysis /
+    * 80-20 readout. Built on [[equalFrequency]]'s broadcast fences, NOT a
+    * global rank window — so no single-task global sort ever happens; the
+    * only tiny window is the nBins-row cumulative sum.
+    *
+    * Exact decimal value sums; shares are single engine-stable divisions,
+    * rounded. Bin nBins−1 is the top of the distribution.
+    *
+    * @return one row per bin: (bin, n_units, value_sum, share, cum_share)
+    */
+  def concentration(units: DataFrame, valueCol: String, nBins: Int = 10,
+                    approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    import graft.util.Num
+    val per = equalFrequency(units, Nil, valueCol, nBins, approx, accuracy)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_units"), Num.dsum(col(valueCol)).as("value_sum"))
+    val tot = per.agg(Num.dsum(col("value_sum")).as("__tot"))
+    val cum = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    per.crossJoin(broadcast(tot))
+      .withColumn("share", when(col("__tot") =!= 0,
+        round(col("value_sum") / col("__tot"), 6)))
+      .withColumn("cum_share", when(col("__tot") =!= 0,
+        round(sum(col("value_sum").cast(Num.Money)).over(cum).cast("double") /
+          col("__tot"), 6)))
+      .drop("__tot")
   }
 }

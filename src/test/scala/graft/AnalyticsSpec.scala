@@ -471,6 +471,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(Funnels.cohortRetention(none, "user_id", "ts").count() == 0)
   }
 
+  test("concentration: shares sum to 1, cum monotone, top bin dominates") {
+    // 20 units: one whale worth as much as the rest combined
+    val units = ((1 to 19).map(i => (i.toLong, 10.0)) :+ (20L, 190.0))
+      .toDF("u", "rev")
+    val out = graft.ops.Binning.concentration(units, "rev", nBins = 4)
+      .orderBy("bin")
+      .select($"bin", $"n_units", $"share", $"cum_share")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._2).sum == 20L)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-6)
+    assert(out.last._4 == 1.0)
+    assert(out.map(_._4) == out.map(_._4).sorted) // cumulative is monotone
+    assert(out.last._3 > 0.5, "whale bin must dominate the share")
+  }
+
   test("every round-8 analytics operator survives an empty input") {
     import graft.ops._
     val noEvents = ev()
