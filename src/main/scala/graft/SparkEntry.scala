@@ -1337,7 +1337,20 @@ object SparkEntry {
       Binning.concentration(
         Tables.orders(s, dir).groupBy("o_custkey")
           .agg(dsum(col("o_totalprice")).as("rev")),
-        "rev", nBins = 10))
+        "rev", nBins = 10)),
+
+    // --- native bounded top-k aggregate (map-side partial top-k) ---
+    // The window form shuffles every row; TopKAgg's shuffle carries ≤ k
+    // pairs per (group × map partition). Identical results (total tie
+    // order), proven against the row_number oracle.
+    "q127_native_topk" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(graft.functions.expressions.TopKAgg.topK(
+          col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("o_orderpriority"), (col("i") + 1).cast("int").as("rnk"),
+          col("t.id").as("o_orderkey"), col("t.score").as("o_totalprice")))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -2936,7 +2949,15 @@ object SparkEntry {
             CAST(SUM(CAST(value_sum AS DECIMAL(38,4)))
               OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND
                 CURRENT ROW) AS DOUBLE) / tot, 6) END AS cum_share
-        FROM p CROSS JOIN t"""
+        FROM p CROSS JOIN t""",
+
+      "q127_native_topk" -> """
+        SELECT o_orderpriority, CAST(rn AS INT) AS rnk, o_orderkey,
+          o_totalprice
+        FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn <= 3"""
     )
   }
 

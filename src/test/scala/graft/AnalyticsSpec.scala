@@ -486,6 +486,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.last._3 > 0.5, "whale bin must dominate the share")
   }
 
+  test("TopKAgg: ties, floor, partitioning independence, ≡ window top-k") {
+    import graft.functions.expressions.TopKAgg
+    // buffer unit semantics: floor drop, tie goes to smaller id
+    val b = new graft.functions.expressions.TopKBuffer(3)
+    Seq((5.0, 10L), (7.0, 20L), (5.0, 5L), (3.0, 1L), (7.0, 15L))
+      .foreach { case (s, i) => b.insert(s, i) }
+    assert((0 until b.size).map(i => (b.scores(i), b.ids(i))) ==
+      Seq((7.0, 15L), (7.0, 20L), (5.0, 5L))) // 5.0@10 fell off; tie id asc
+    // distributed: identical under different partitionings, ≡ window form
+    val rows = (1 to 500).map(i => ((i % 7).toString, i.toLong, (i % 83).toDouble))
+    def viaAgg(parts: Int) = rows.toDF("g", "id", "v").repartition(parts)
+      .groupBy("g").agg(TopKAgg.topK(col("v"), col("id"), 5).as("top"))
+      .select($"g", explode($"top").as("t"))
+      .select($"g", $"t.score", $"t.id")
+      .as[(String, Double, Long)].collect().toSet
+    val viaWindow = graft.ops.Windows.topNPerKey(
+        rows.toDF("g", "id", "v"), Seq("g"),
+        Seq(col("v").desc, col("id")), 5)
+      .select($"g", $"v", $"id").as[(String, Double, Long)].collect().toSet
+    assert(viaAgg(2) == viaAgg(13))
+    assert(viaAgg(13) == viaWindow)
+  }
+
   test("every round-8 analytics operator survives an empty input") {
     import graft.ops._
     val noEvents = ev()
