@@ -85,8 +85,13 @@ object Bench {
   private def r3(v: Double): String =
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
+  /** 2-decimal seconds with trailing zeros stripped ("0.50"→"0.5",
+    * "1.00"→"1") — pure width shaving for the tail-window budget;
+    * `toPlainString` avoids BigDecimal's "1E+2" scientific form.
+    */
   private def r2(v: Double): String =
-    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.stripTrailingZeros.toPlainString
 
   /** The driver-facing headline line. The driver captures only the last
     * ~2000 chars of output and parses the JSON line out of that tail, so
