@@ -35,4 +35,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // A 126-query Bench run generates thousands of whole-stage-codegen
+  // classes in ONE JVM. Measured with -XX:+PrintCodeCache at r9: 142 MB
+  // max_used of the JDK 17 default 240 MB — not full today, but the
+  // registry grows every round and reservation (not commitment) is free,
+  // so reserve enough that JIT eviction can never become a suite-position
+  // variable.
+  "-XX:ReservedCodeCacheSize=1g",
+) ++ sys.env.get("EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

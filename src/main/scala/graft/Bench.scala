@@ -52,7 +52,15 @@ object Bench {
     // not a warm data cache.
     // A failed query reports -1 (never a small-looking elapsed time) and
     // logs to stderr — regressions must not masquerade as speedups.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // bench_full.txt records suite POSITION and all three samples per query
+    // (not just the min): when a number moves between rounds, the first
+    // question is "was it late in the suite / was one sample an outlier",
+    // and that evidence must exist in the artifact, not be re-derived.
+    // (r8 post-mortem: 4 untouched queries regressed in the driver run but
+    // were unreproducible in isolation OR a full in-suite rerun — transient
+    // co-located load; position + samples would have shown it immediately.)
+    val samples = collection.mutable.LinkedHashMap.empty[String, (Int, Seq[Double])]
+    val results = SparkEntry.queries.zipWithIndex.map { case ((name, fn), idx) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         val ok =
@@ -66,10 +74,14 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) t else -1.0
       }
-      name -> Seq(once(), once(), once()).min
-    }
+      val runs = Seq(once(), once(), once())
+      samples(name) = (idx, runs)
+      name -> runs.min
+    }.toMap
     try {
-      val full = results.map { case (k, v) => s"$k=${r3(v)}" }.mkString("\n")
+      val full = samples.map { case (k, (idx, runs)) =>
+        f"$k%-34s pos=$idx%03d min=${r3(runs.min)}%s runs=${runs.map(r3).mkString(",")}"
+      }.mkString("\n")
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.txt"),
         full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }

@@ -4,9 +4,10 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
 
 /** Native BOUNDED top-k aggregate: per group, the k largest (score, id)
@@ -23,14 +24,26 @@ import org.apache.spark.sql.types._
   * data ever happens. Same results, shuffle volume O(groups × k) instead
   * of O(rows).
   *
-  * The buffer is a plain sorted array (insertion into a k-capped sorted
-  * array beats a heap for the small k this is for, and keeps eval/merge
-  * deterministic); serialization is a compact length-prefixed byte blob.
+  * TYPES: any ORDERABLE score and id type (numeric, decimal, string, date,
+  * timestamp, …) — comparisons go through Catalyst's interpreted ordering
+  * for the resolved input types, so `top_k(decimal, string)` orders exactly
+  * like an `ORDER BY score DESC, id ASC` over the same columns (including
+  * NaN-largest double semantics, which is also what the equivalent window
+  * form produces). Map/variant and other unorderable types are rejected at
+  * analysis time.
+  *
+  * The buffer is a plain k-capped sorted array (insertion into a small
+  * sorted array beats a heap at these sizes and keeps eval/merge
+  * deterministic); values are defensively copied on insert because Catalyst
+  * reuses row backing buffers. Serialization projects each pair through an
+  * `UnsafeProjection` for the input types — the same trick Spark's own
+  * `Collect`/`Percentile` aggregates use — length-prefixed into one blob.
   * Ties are totally ordered (score desc, id asc), so results are
   * partitioning-independent and oracle-checkable — the window formulation
-  * produces the IDENTICAL set (differentially tested).
+  * produces the IDENTICAL set (differentially tested, including a
+  * (decimal, string) signature).
   *
-  * @return array<struct<score: double, id: long>> sorted score desc
+  * @return array<struct<score: <scoreType>, id: <idType>>> sorted score desc
   */
 case class TopKAgg(score: Expression, id: Expression, k: Int,
                    mutableAggBufferOffset: Int = 0,
@@ -42,32 +55,64 @@ case class TopKAgg(score: Expression, id: Expression, k: Int,
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("score", DoubleType, nullable = false),
-    StructField("id", LongType, nullable = false))), containsNull = false)
+    StructField("score", score.dataType, nullable = false),
+    StructField("id", id.dataType, nullable = false))), containsNull = false)
 
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (score.dataType == DoubleType && id.dataType == LongType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"top_k needs (double, bigint), got " +
-          s"${score.dataType.catalogString} / ${id.dataType.catalogString}")
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val s = TypeUtils.checkForOrderingExpr(score.dataType, s"$prettyName score")
+    if (s != TypeCheckResult.TypeCheckSuccess) s
+    else TypeUtils.checkForOrderingExpr(id.dataType, s"$prettyName id")
+  }
+
+  @transient private lazy val scoreOrd: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(score.dataType)
+  @transient private lazy val idOrd: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(id.dataType)
+  @transient private lazy val pairProjection: UnsafeProjection =
+    UnsafeProjection.create(Array(score.dataType, id.dataType))
+
+  /** True if (s, i) orders strictly before buffer position p's entry
+    * (score desc, id asc on ties).
+    */
+  private def before(buf: TopKBuffer, s: Any, i: Any, p: Int): Boolean = {
+    val c = scoreOrd.compare(s, buf.scores(p))
+    c > 0 || (c == 0 && idOrd.compare(i, buf.ids(p)) < 0)
+  }
+
+  private def insert(buf: TopKBuffer, s0: Any, i0: Any): Unit = {
+    // fast path: full buffer and the candidate is at-or-below the floor —
+    // one compare, no allocation (the overwhelmingly common case once the
+    // buffer warms up)
+    if (buf.size == k && !before(buf, s0, i0, k - 1)) return
+    val s = InternalRow.copyValue(s0)
+    val i = InternalRow.copyValue(i0)
+    // find insertion point (buffers are tiny; linear from the end is fine)
+    var p = math.min(buf.size, k - 1)
+    while (p > 0 && before(buf, s, i, p - 1)) p -= 1
+    // shift tail right (dropping the floor entry if full)
+    val last = math.min(buf.size, k - 1)
+    var j = last
+    while (j > p) {
+      buf.scores(j) = buf.scores(j - 1); buf.ids(j) = buf.ids(j - 1); j -= 1
+    }
+    buf.scores(p) = s
+    buf.ids(p) = i
+    if (buf.size < k) buf.size += 1
+  }
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null)
-      buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    if (s != null && i != null) insert(buf, s, i)
     buf
   }
 
   override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
     var i = 0
     while (i < other.size) {
-      buf.insert(other.scores(i), other.ids(i))
+      insert(buf, other.scores(i), other.ids(i))
       i += 1
     }
     buf
@@ -89,7 +134,10 @@ case class TopKAgg(score: Expression, id: Expression, k: Int,
     out.writeInt(buf.size)
     var i = 0
     while (i < buf.size) {
-      out.writeDouble(buf.scores(i)); out.writeLong(buf.ids(i)); i += 1
+      val row = pairProjection(InternalRow(buf.scores(i), buf.ids(i)))
+      out.writeInt(row.getSizeInBytes)
+      out.write(row.getBytes)
+      i += 1
     }
     out.flush()
     bos.toByteArray
@@ -99,8 +147,18 @@ case class TopKAgg(score: Expression, id: Expression, k: Int,
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = new TopKBuffer(k)
+    val row = new UnsafeRow(2)
     var i = 0
-    while (i < n) { buf.insert(in.readDouble(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      row.pointTo(b, len)
+      // entries arrive already sorted and deduped below k, so insert() takes
+      // its append path; copyValue inside insert detaches from `b`
+      insert(buf, row.get(0, score.dataType), row.get(1, id.dataType))
+      i += 1
+    }
     buf
   }
 
@@ -115,30 +173,14 @@ case class TopKAgg(score: Expression, id: Expression, k: Int,
   override def prettyName: String = "top_k"
 }
 
-/** k-capped sorted buffer: scores desc, ids asc on equal scores. */
+/** k-capped sorted pair buffer: scores desc, ids asc on equal scores.
+  * Ordering and insertion live in [[TopKAgg]], where the resolved input
+  * types' interpreted orderings are available.
+  */
 final class TopKBuffer(val k: Int) {
   var size: Int = 0
-  val scores: Array[Double] = new Array[Double](k)
-  val ids: Array[Long] = new Array[Long](k)
-
-  /** True if (s, i) orders strictly before position p's entry. */
-  private def before(s: Double, i: Long, p: Int): Boolean =
-    s > scores(p) || (s == scores(p) && i < ids(p))
-
-  def insert(s: Double, i: Long): Unit = {
-    if (size == k && !before(s, i, k - 1)) return // below the floor: drop
-    // find insertion point (buffers are tiny; linear is fine and branch-
-    // predictable for the common append-at-floor case scanned from the end)
-    var p = math.min(size, k - 1)
-    while (p > 0 && before(s, i, p - 1)) p -= 1
-    // shift tail right (dropping the floor entry if full)
-    val last = math.min(size, k - 1)
-    var j = last
-    while (j > p) { scores(j) = scores(j - 1); ids(j) = ids(j - 1); j -= 1 }
-    scores(p) = s
-    ids(p) = i
-    if (size < k) size += 1
-  }
+  val scores: Array[Any] = new Array[Any](k)
+  val ids: Array[Any] = new Array[Any](k)
 }
 
 object TopKAgg {

@@ -69,7 +69,12 @@ object Binning {
   def concentration(units: DataFrame, valueCol: String, nBins: Int = 10,
                     approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
     import graft.util.Num
+    // null-valued units carry no bin (see equalFrequency) — drop them here
+    // rather than emit a bin=null report row, whose position under the
+    // cum_share window would also differ between engines (Spark sorts nulls
+    // first, DuckDB last)
     val per = equalFrequency(units, Nil, valueCol, nBins, approx, accuracy)
+      .filter(col("bin").isNotNull)
       .groupBy("bin")
       .agg(count(lit(1)).as("n_units"), Num.dsum(col(valueCol)).as("value_sum"))
     val tot = per.agg(Num.dsum(col("value_sum")).as("__tot"))

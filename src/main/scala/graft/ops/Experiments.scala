@@ -77,12 +77,17 @@ object Experiments {
             xCol: String): DataFrame = {
     val x = col(xCol)
     val y = col(yCol)
+    // θ is fitted on COMPLETE (x, y) pairs only: n and every moment count
+    // the same rows, so a null covariate or metric can't bias θ or x̄ (it
+    // would if n counted all rows while the sums skipped nulls). Rows with
+    // a null x or y pass through with a null adjusted metric.
+    val both = x.isNotNull && y.isNotNull
     val m = df.groupBy(groupCols.map(col): _*).agg(
-      count(lit(1)).cast("double").as("__n"),
-      sum(x.cast(graft.util.Num.Money)).cast("double").as("__sx"),
-      sum(y.cast(graft.util.Num.Money)).cast("double").as("__sy"),
-      sum((x * y).cast(Sq)).cast("double").as("__sxy"),
-      sum((x * x).cast(Sq)).cast("double").as("__sxx"))
+      count(when(both, 1)).cast("double").as("__n"),
+      sum(when(both, x).cast(graft.util.Num.Money)).cast("double").as("__sx"),
+      sum(when(both, y).cast(graft.util.Num.Money)).cast("double").as("__sy"),
+      sum(when(both, x * y).cast(Sq)).cast("double").as("__sxy"),
+      sum(when(both, x * x).cast(Sq)).cast("double").as("__sxx"))
     val varX = col("__n") * col("__sxx") - col("__sx") * col("__sx")
     val theta = when(varX > 0,
       (col("__n") * col("__sxy") - col("__sx") * col("__sy")) / varX)

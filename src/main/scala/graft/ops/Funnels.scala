@@ -84,11 +84,15 @@ object Funnels {
     val counts = wide.agg(
       count(col("t_1")).as("__n_1"),
       (2 to steps.size).map(i => count(col(s"t_$i")).as(s"__n_$i")): _*)
-    val stackExpr = steps.indices.map(i =>
-      s"${i + 1}, '${steps(i)}', __n_${i + 1}").mkString(", ")
-    counts.select(expr(
-        s"stack(${steps.size}, $stackExpr) AS (step, step_name, n_users)"))
-      .crossJoin(broadcast(counts.select(col("__n_1").as("__n0"))))
+    // one row per step via explode of TYPED literals — step names are data,
+    // never SQL text (a quote in a step name must not become a parse error
+    // or an expression injection)
+    val stepRows = array(steps.indices.map(i =>
+      struct(lit(i + 1).as("step"), lit(steps(i)).as("step_name"),
+        col(s"__n_${i + 1}").as("n_users"))): _*)
+    counts.select(explode(stepRows).as("__r"), col("__n_1").as("__n0"))
+      .select(col("__r.step").as("step"), col("__r.step_name").as("step_name"),
+        col("__r.n_users").as("n_users"), col("__n0"))
       .withColumn("conv", when(col("__n0") === 0, lit(null).cast("double"))
         .otherwise(col("n_users").cast("double") / col("__n0")))
       .drop("__n0")
@@ -293,16 +297,22 @@ object Funnels {
     *
     * Scale shape: the [[sequences]] entity shuffle, then a path-keyed
     * aggregate (map-side combinable; path cardinality ≪ entity count in
-    * any real product) and one global top-k (TakeOrderedAndProject).
+    * any real product) and one global top-k as `orderBy(...).limit(k)` —
+    * planned as TakeOrderedAndProject (plan-pinned in PlanSpec), so every
+    * map partition forwards at most k rows and no global sort or
+    * single-partition window over the full path table ever runs. The rank
+    * column is computed AFTER the limit, over k rows.
     */
   def topPaths(events: DataFrame, userCol: String, tsCol: String,
                tiebreakCol: String, typeCol: String, k: Int): DataFrame = {
     require(k >= 1, s"topPaths needs k >= 1, got $k")
+    val topK = sequences(events, userCol, tsCol, tiebreakCol, typeCol)
+      .groupBy("seq").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("seq"))
+      .limit(k)
+    // row_number over the ≤k surviving rows — bounded by construction
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n_users").desc, col("seq"))
-    sequences(events, userCol, tsCol, tiebreakCol, typeCol)
-      .groupBy("seq").agg(count(lit(1)).as("n_users"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    topK.withColumn("rnk", row_number().over(w))
   }
 }

@@ -104,6 +104,9 @@ object Layout {
     * compact per leaf directory (embarrassingly parallel across partitions
     * at 100 TB).
     */
+  @deprecated("readers between the two renames see a missing directory; use " +
+    "compactVersioned (reader-safe, atomic pointer flip) unless you own an " +
+    "exclusive maintenance window", "round 9")
   def compact(spark: SparkSession, path: String, targetBytes: Long): Int = {
     val hadoopPath = new Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -238,12 +241,171 @@ object Layout {
 
   private def writeNextVersion(spark: SparkSession, root: String,
                                currentPath: String, df: DataFrame): String = {
-    val curN = currentPath.substring(currentPath.lastIndexOf("/v") + 2).toInt
-    val next = versionName(curN + 1)
-    val nextPath = s"$root/$next"
+    val (next, nextPath) = nextVersion(root, currentPath)
     df.write.mode(SaveMode.Overwrite).parquet(nextPath)
     writePointer(spark, root, next)
     nextPath
+  }
+
+  private def nextVersion(root: String, currentPath: String): (String, String) = {
+    val curN = currentPath.substring(currentPath.lastIndexOf("/v") + 2).toInt
+    val next = versionName(curN + 1)
+    (next, s"$root/$next")
+  }
+
+  // ------------------------------------------------- partitioned + key-pruned
+
+  /** Create a versioned layout whose version dirs are hive-partitioned on
+    * `pcol` (`root/vNNNNN/pcol=value/part-*.parquet`). This is the layout
+    * [[mergeVersionedPartitioned]] / [[deleteVersionedPartitioned]] prune
+    * against: a merge or delete rewrites ONLY the leaf directories whose
+    * partition value is touched and carries every other leaf forward as a
+    * hardlink — a 1-row upsert into a 100 TB table costs one partition's
+    * rewrite plus O(#partitions) metadata ops, not a 100 TB copy.
+    */
+  def initVersionedPartitioned(df: DataFrame, root: String, pcol: String): String = {
+    val v0 = versionName(0)
+    df.write.mode(SaveMode.Overwrite).partitionBy(pcol).parquet(s"$root/$v0")
+    writePointer(df.sparkSession, root, v0)
+    s"$root/$v0"
+  }
+
+  /** Key-pruned MERGE (upsert) on a partitioned versioned root: only leaf
+    * dirs whose `pcol` value appears in `updates` are rewritten (read with
+    * partition pruning, anti-joined on `keys`, unioned with the updates);
+    * every untouched leaf is carried into the new version dir as a HARDLINK
+    * to the live version's files, so the new version is still a complete,
+    * self-contained snapshot readable with a plain `spark.read.parquet` —
+    * and [[vacuumVersions]] stays safe, because deleting an old version dir
+    * only drops link counts, never bytes a newer version still references.
+    * The pointer flip is the same single atomic rename as
+    * [[mergeVersioned]], so concurrent readers see pre- or post-merge,
+    * never a mix.
+    *
+    * The affected-partition set is derived WITHOUT collecting row data: the
+    * distinct `pcol` values of `updates` are written hive-partitioned to a
+    * scratch dir and the leaf names are listed back — O(#touched
+    * partitions) driver metadata, same class as a directory listing.
+    *
+    * Contract: `pcol` must be stable under updates for a given key (it is
+    * effectively part of the key). A key whose update arrives with a
+    * different partition value than its live row is treated as a new row in
+    * the new partition; the stale row in the old partition is NOT removed —
+    * exactly the failure mode every partition-pruned lakehouse MERGE
+    * documents. On filesystems without hardlinks (object stores) the
+    * carry-forward degrades to a per-file server-side copy; a manifest
+    * layout is the production answer there.
+    *
+    * @return the new live version path
+    */
+  def mergeVersionedPartitioned(spark: SparkSession, root: String,
+                                updates: DataFrame, keys: Seq[String],
+                                pcol: String): String = {
+    val cur = resolveCurrent(spark, root)
+    val curPath = new Path(cur)
+    val fs = curPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val affected = affectedLeaves(updates.select(col(pcol)), pcol, root)
+    val existingAffected = leafNames(fs, curPath).intersect(affected).toSeq.sorted
+    val merged =
+      if (existingAffected.isEmpty) updates
+      else {
+        // basePath keeps pcol as a column; only the touched leaves are read.
+        val existing = spark.read.option("basePath", cur)
+          .parquet(existingAffected.map(n => s"$cur/$n"): _*)
+          // partition-value inference may narrow the type (long -> int);
+          // align with the caller's schema so unionByName stays exact
+          .withColumn(pcol, col(pcol).cast(updates.schema(pcol).dataType))
+        updates.unionByName(
+          existing.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+      }
+    val (next, nextPath) = nextVersion(root, cur)
+    merged.write.mode(SaveMode.Overwrite).partitionBy(pcol).parquet(nextPath)
+    carryForward(fs, curPath, new Path(nextPath), affected,
+      spark.sparkContext.hadoopConfiguration)
+    writePointer(spark, root, next)
+    nextPath
+  }
+
+  /** Key-pruned DELETE on a partitioned versioned root: leaf dirs containing
+    * at least one row matching `predicate` are rewritten without those rows;
+    * all other leaves are hardlinked forward unread. When `predicate`
+    * references `pcol`, Catalyst partition-prunes the match scan too, so a
+    * partition-scoped delete never reads the rest of the table.
+    *
+    * @return the new live version path
+    */
+  def deleteVersionedPartitioned(spark: SparkSession, root: String,
+                                 predicate: Column, pcol: String): String = {
+    val cur = resolveCurrent(spark, root)
+    val curPath = new Path(cur)
+    val fs = curPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val affected = affectedLeaves(
+      spark.read.parquet(cur).filter(predicate).select(col(pcol)), pcol, root)
+    val existingAffected = leafNames(fs, curPath).intersect(affected).toSeq.sorted
+    val (next, nextPath) = nextVersion(root, cur)
+    if (existingAffected.nonEmpty) {
+      spark.read.option("basePath", cur)
+        .parquet(existingAffected.map(n => s"$cur/$n"): _*)
+        .filter(!predicate)
+        .write.mode(SaveMode.Overwrite).partitionBy(pcol).parquet(nextPath)
+    }
+    carryForward(fs, curPath, new Path(nextPath), affected,
+      spark.sparkContext.hadoopConfiguration)
+    writePointer(spark, root, next)
+    nextPath
+  }
+
+  /** Distinct `pcol` values of `df` as hive-encoded leaf names
+    * (`pcol=value`), derived distributed-side: the values are written
+    * hive-partitioned to a scratch dir under `root` and the dir names listed
+    * back. No row data ever reaches the driver — only partition metadata,
+    * O(#distinct values).
+    */
+  private def affectedLeaves(df: DataFrame, pcol: String, root: String): Set[String] = {
+    val spark = df.sparkSession
+    val tmp = s"$root/.affected-${System.nanoTime()}"
+    df.distinct().withColumn("__one", lit(1))
+      .write.mode(SaveMode.Overwrite).partitionBy(pcol).parquet(tmp)
+    val p = new Path(tmp)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = leafNames(fs, p)
+    fs.delete(p, true)
+    names
+  }
+
+  private def leafNames(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Set[String] =
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.contains("=")).toSet
+
+  /** Link (or copy, off local/HDFS-like filesystems) every data file of
+    * `cur`'s leaf dirs NOT in `skip` into `next`. Hardlinks mean the bytes
+    * exist once no matter how many versions reference them, and vacuuming an
+    * old version dir can never orphan a newer snapshot.
+    */
+  private def carryForward(fs: org.apache.hadoop.fs.FileSystem, cur: Path,
+                           next: Path, skip: Set[String],
+                           conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    fs.listStatus(cur).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.contains("=") && !skip.contains(name)) {
+        val dstDir = new Path(next, name)
+        fs.mkdirs(dstDir)
+        fs.listStatus(st.getPath).foreach { f =>
+          val fn = f.getPath.getName
+          if (f.isFile && !fn.startsWith("_") && !fn.startsWith(".")) {
+            val dst = new Path(dstDir, fn)
+            if (local)
+              java.nio.file.Files.createLink(
+                java.nio.file.Paths.get(dst.toUri.getPath),
+                java.nio.file.Paths.get(f.getPath.toUri.getPath))
+            else
+              org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, dst, false, conf)
+          }
+        }
+      }
+    }
   }
 
   /** Delete all version dirs except the newest `keep` (the live one is

@@ -488,12 +488,13 @@ class AnalyticsSpec extends SparkSpec {
 
   test("TopKAgg: ties, floor, partitioning independence, ≡ window top-k") {
     import graft.functions.expressions.TopKAgg
-    // buffer unit semantics: floor drop, tie goes to smaller id
-    val b = new graft.functions.expressions.TopKBuffer(3)
-    Seq((5.0, 10L), (7.0, 20L), (5.0, 5L), (3.0, 1L), (7.0, 15L))
-      .foreach { case (s, i) => b.insert(s, i) }
-    assert((0 until b.size).map(i => (b.scores(i), b.ids(i))) ==
-      Seq((7.0, 15L), (7.0, 20L), (5.0, 5L))) // 5.0@10 fell off; tie id asc
+    // ordered-output semantics: floor drop, tie goes to smaller id
+    val tiny = Seq((5.0, 10L), (7.0, 20L), (5.0, 5L), (3.0, 1L), (7.0, 15L))
+      .toDF("v", "id")
+      .agg(TopKAgg.topK(col("v"), col("id"), 3).as("top"))
+      .select(explode($"top").as("t")).select($"t.score", $"t.id")
+      .as[(Double, Long)].collect().toSeq
+    assert(tiny == Seq((7.0, 15L), (7.0, 20L), (5.0, 5L))) // 5.0@10 fell off; tie id asc
     // distributed: identical under different partitionings, ≡ window form
     val rows = (1 to 500).map(i => ((i % 7).toString, i.toLong, (i % 83).toDouble))
     def viaAgg(parts: Int) = rows.toDF("g", "id", "v").repartition(parts)
@@ -507,6 +508,30 @@ class AnalyticsSpec extends SparkSpec {
       .select($"g", $"v", $"id").as[(String, Double, Long)].collect().toSet
     assert(viaAgg(2) == viaAgg(13))
     assert(viaAgg(13) == viaWindow)
+  }
+
+  test("TopKAgg generalizes to (decimal, string) and rejects unorderable types") {
+    import graft.functions.expressions.TopKAgg
+    // decimal scores + string ids, exercised through a real shuffle: must
+    // match the window formulation exactly (same ordering, same ties)
+    val df = (1 to 400).map { i =>
+      ((i % 5).toString, f"id_${i % 97}%03d", BigDecimal(i % 61) / 100)
+    }.toDF("g", "id", "v").withColumn("v", $"v".cast("decimal(10,2)"))
+    val viaAgg = df.repartition(11)
+      .groupBy("g").agg(TopKAgg.topK(col("v"), col("id"), 4).as("top"))
+      .select($"g", explode($"top").as("t"))
+      .select($"g", $"t.score", $"t.id")
+      .as[(String, BigDecimal, String)].collect().toSet
+    val viaWindow = graft.ops.Windows.topNPerKey(
+        df, Seq("g"), Seq(col("v").desc, col("id")), 4)
+      .select($"g", $"v", $"id").as[(String, BigDecimal, String)].collect().toSet
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.nonEmpty)
+    // unorderable score type (map) fails analysis, not execution
+    val bad = Seq((1, Map("a" -> 1), 2L)).toDF("g", "m", "id")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.groupBy("g").agg(TopKAgg.topK(col("m"), col("id"), 2)).collect()
+    }
   }
 
   test("every round-8 analytics operator survives an empty input") {

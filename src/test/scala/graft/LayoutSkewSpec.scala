@@ -161,6 +161,65 @@ class LayoutSkewSpec extends SparkSpec {
     assert(spark.read.parquet(Layout.resolveCurrent(spark, root)).count() == 3)
   }
 
+  test("key-pruned versioned merge/delete rewrite only matched partitions") {
+    val root = Files.createTempDirectory("graft_vp").toString
+    val base = Seq((1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p2", 30.0),
+      (4L, "p3", 40.0)).toDF("id", "part", "v")
+    val v0 = Layout.initVersionedPartitioned(base, root, "part")
+    def leafFiles(ver: String, leaf: String): Seq[java.io.File] = {
+      val d = new java.io.File(s"$ver/$leaf")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+    }
+    def inode(f: java.io.File): Any =
+      Files.getAttribute(f.toPath, "unix:ino")
+    def readSet(path: String): Set[(Long, String, Double)] =
+      spark.read.parquet(path).select("id", "part", "v")
+        .as[(Long, String, Double)].collect().toSet
+
+    // merge touches ONLY p1 (update id=2, insert id=5) plus a brand-new p4
+    val updates = Seq((2L, "p1", 99.0), (5L, "p1", 50.0), (6L, "p4", 60.0))
+      .toDF("id", "part", "v")
+    val v1 = Layout.mergeVersionedPartitioned(spark, root, updates, Seq("id"), "part")
+    assert(readSet(v1) == Set((1L, "p1", 10.0), (2L, "p1", 99.0), (5L, "p1", 50.0),
+      (3L, "p2", 30.0), (4L, "p3", 40.0), (6L, "p4", 60.0)))
+    // untouched partitions carried forward byte-identical — in fact the SAME
+    // inode (hardlink), so the carry-forward moved zero data bytes
+    for (leaf <- Seq("part=p2", "part=p3")) {
+      val a = leafFiles(v0, leaf); val b = leafFiles(v1, leaf)
+      assert(a.map(_.getName) == b.map(_.getName), s"$leaf file set changed")
+      a.zip(b).foreach { case (fa, fb) =>
+        assert(java.util.Arrays.equals(Files.readAllBytes(fa.toPath),
+          Files.readAllBytes(fb.toPath)), s"$leaf bytes changed")
+        assert(inode(fa) == inode(fb), s"$leaf was rewritten, not linked")
+      }
+    }
+    // the rewritten partition is NOT linked — it is a fresh file set
+    assert(leafFiles(v0, "part=p1").map(inode).toSet
+      .intersect(leafFiles(v1, "part=p1").map(inode).toSet).isEmpty)
+    // time travel: v0 is the pre-merge world
+    assert(readSet(Layout.resolveVersion(spark, root, 0)) ==
+      Set((1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p2", 30.0), (4L, "p3", 40.0)))
+
+    // key-pruned delete: predicate matches only p2 rows
+    val v2 = Layout.deleteVersionedPartitioned(spark, root, $"id" === 3L, "part")
+    assert(readSet(v2) == Set((1L, "p1", 10.0), (2L, "p1", 99.0), (5L, "p1", 50.0),
+      (4L, "p3", 40.0), (6L, "p4", 60.0)))
+    for (leaf <- Seq("part=p1", "part=p3", "part=p4")) {
+      val a = leafFiles(v1, leaf); val b = leafFiles(v2, leaf)
+      assert(a.map(_.getName) == b.map(_.getName), s"$leaf file set changed on delete")
+      a.zip(b).foreach { case (fa, fb) =>
+        assert(inode(fa) == inode(fb), s"$leaf was rewritten by an unrelated delete")
+      }
+    }
+    // vacuum old versions: hardlinked data survives deletion of old dirs
+    assert(Layout.vacuumVersions(spark, root, keep = 1) == 2)
+    assert(!new java.io.File(v0).exists())
+    assert(readSet(Layout.resolveCurrent(spark, root)) ==
+      Set((1L, "p1", 10.0), (2L, "p1", 99.0), (5L, "p1", 50.0),
+        (4L, "p3", 40.0), (6L, "p4", 60.0)))
+  }
+
   test("time travel: resolveVersion reads an old immutable snapshot") {
     val root = Files.createTempDirectory("graft_tt").toString
     Layout.initVersioned(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), root)

@@ -189,4 +189,12 @@ class PlanSpec extends SparkSpec {
       assert(countOf(p, "Exchange rangepartitioning") == 0, q)
     }
   }
+
+  test("q122: topPaths global top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q122_top_paths")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    // the only window runs AFTER the limit, over ≤k rows — no full-table
+    // single-partition exchange may exist upstream of the limit
+    assert(countOf(p, "Exchange rangepartitioning") == 0, p.take(1500))
+  }
 }
