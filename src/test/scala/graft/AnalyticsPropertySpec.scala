@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.ops.{Experiments, Funnels}
+
+/** ScalaCheck invariants for the event-analytics operators: properties that
+  * must hold on EVERY input, not just the oracle fixtures — funnel counts
+  * can only shrink step over step, retention is a fraction of the cohort,
+  * growth accounting must re-add to the independently-counted actives,
+  * transition probabilities are conditional distributions.
+  *
+  * Raw ScalaCheck (Prop + Test.check) rather than a scalatest bridge: the
+  * offline cache ships scalacheck itself, and a handful of samples per
+  * property is the right budget when every sample runs Spark jobs.
+  */
+class AnalyticsPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val types = Seq("view", "click", "buy", "err")
+
+  /** (user, day, sec, type) tuples → events DF with a real timestamp. */
+  private def eventsDF(rows: Seq[(Long, Int, Int, String)]): DataFrame =
+    rows.zipWithIndex
+      .map { case ((u, d, s, t), i) => (u, d, s, t, i.toLong) }
+      .toDF("user_id", "day", "sec", "event_type", "event_id")
+      .withColumn("ts", expr(
+        "timestampadd(SECOND, sec, timestampadd(DAY, day, timestamp'2026-01-01 00:00:00'))"))
+      .drop("day", "sec")
+
+  private val genLog: Gen[Seq[(Long, Int, Int, String)]] = for {
+    nUsers <- Gen.choose(1, 12)
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, for {
+      u <- Gen.choose(0L, nUsers.toLong - 1)
+      d <- Gen.choose(0, 27)
+      s <- Gen.choose(0, 86399)
+      t <- Gen.oneOf(types)
+    } yield (u, d, s, t))
+  } yield rows
+
+  private def check(name: String, p: Prop, samples: Int = 6): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(samples).withWorkers(1), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("funnel: step counts never increase; conv is a fraction of step 1") {
+    check("funnel", Prop.forAll(genLog) { rows =>
+      val out = Funnels.funnel(eventsDF(rows), "user_id", "ts", "event_type",
+          Seq("view", "click", "buy"))
+        .orderBy("step").select("n_users", "conv")
+        .as[(Long, Option[Double])].collect()
+      graft.util.Caches.releaseAll()
+      val counts = out.map(_._1)
+      val monotone = counts.zip(counts.tail).forall { case (a, b) => b <= a }
+      val convOk = out.forall { case (n, c) =>
+        if (counts.head == 0) c.isEmpty
+        else c.exists(v => v >= 0.0 && v <= 1.0 && math.abs(v - n.toDouble / counts.head) < 1e-9)
+      }
+      monotone && convOk
+    })
+  }
+
+  test("cohortRetention: offset 0 is the full cohort; retention ≤ 1") {
+    check("retention", Prop.forAll(genLog) { rows =>
+      val out = Funnels.cohortRetention(eventsDF(rows), "user_id", "ts")
+        .select($"period_offset", $"n_users", $"retention")
+        .as[(Int, Long, Double)].collect()
+      graft.util.Caches.releaseAll()
+      out.nonEmpty &&
+        out.forall { case (off, n, r) => r > 0.0 && r <= 1.0 + 1e-12 &&
+          (off != 0 || math.abs(r - 1.0) < 1e-12) && n >= 1 }
+    })
+  }
+
+  test("growthAccounting: new + retained + resurrected = independent actives") {
+    check("growth", Prop.forAll(genLog) { rows =>
+      val ev = eventsDF(rows)
+      val out = Funnels.growthAccounting(ev, "user_id", "ts")
+        .select($"period".cast("date").cast("string"), $"n_new", $"n_retained",
+          $"n_resurrected")
+        .as[(String, Long, Long, Long)].collect()
+        .map { case (p, a, b, c) => p -> (a + b + c) }.toMap
+      graft.util.Caches.releaseAll()
+      // recompute actives straight from the log, no shared code path
+      val actives = ev
+        .select($"user_id", date_trunc("week", $"ts").cast("date").cast("string").as("w"))
+        .distinct().groupBy("w").count()
+        .as[(String, Long)].collect().toMap
+      out.filter(_._2 > 0) == actives
+    })
+  }
+
+  test("transitions: probabilities are a distribution per from_type") {
+    check("transitions", Prop.forAll(genLog) { rows =>
+      val ev = eventsDF(rows)
+      val out = Funnels.transitions(ev, "user_id", "ts", "event_id", "event_type")
+        .select($"from_type", $"n", $"p").as[(String, Long, Double)].collect()
+      val nPairs = out.map(_._2).sum
+      // every non-first event contributes exactly one lag pair
+      val expectedPairs = rows.groupBy(_._1).values.map(_.size - 1).sum
+      val perFrom = out.groupBy(_._1).values
+      nPairs == expectedPairs &&
+        perFrom.forall(g => math.abs(g.map(_._3).sum - 1.0) < 1e-9) &&
+        out.forall { case (_, n, p) => p > 0.0 && p <= 1.0 && n >= 1 }
+    })
+  }
+
+  test("welchT: exchanging the arms flips the sign of t and swaps the means") {
+    check("welch", Prop.forAll(genLog) { rows =>
+      val ev = eventsDF(rows).withColumn("v", $"event_id".cast("double") % 7)
+      def run(arm: org.apache.spark.sql.Column) =
+        Experiments.welchT(ev, Nil, arm, "v")
+          .select($"n_a", $"n_b", $"mean_a", $"mean_b", $"t")
+          .as[(Long, Long, Option[Double], Option[Double], Option[Double])].head()
+      val a = run($"user_id" % 2 === 0)
+      val b = run($"user_id" % 2 =!= 0)
+      a._1 == b._2 && a._2 == b._1 && a._3 == b._4 && a._4 == b._3 &&
+        ((a._5, b._5) match {
+          case (Some(x), Some(y)) => math.abs(x + y) < 1e-9
+          case (None, None) => true
+          case _ => false
+        })
+    }, samples = 4)
+  }
+}

@@ -534,6 +534,22 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("library-user cache scoping: releaseAll drops every funnel-pinned block") {
+    // guards the library-user path: an operator that pins intermediates via
+    // Caches must leave NOTHING live after releaseAll — not just in
+    // Bench/Verify, whose between-query hygiene also calls clearCache()
+    spark.catalog.clearCache()
+    graft.util.Caches.releaseAll()
+    val sc = spark.sparkContext
+    SparkEntry.queries("q105_funnel")(spark, sf()).count()
+    SparkEntry.queries("q118_funnel_latency")(spark, sf()).count()
+    assert(sc.getPersistentRDDs.nonEmpty,
+      "funnel step tables should be pinned while the result is consumed")
+    graft.util.Caches.releaseAll()
+    assert(sc.getPersistentRDDs.isEmpty,
+      s"releaseAll left live cached blocks: ${sc.getPersistentRDDs.keySet}")
+  }
+
   test("every round-8 analytics operator survives an empty input") {
     import graft.ops._
     val noEvents = ev()

@@ -85,6 +85,33 @@ class DedupSpec extends SparkSpec {
     assert(got == (0L to 12L).map(_ -> 0L).toMap)
   }
 
+  test("dupGroupsStar ≡ dupGroups on random graphs; wins on deep chains") {
+    import graft.ops.MinHashDedup
+    // differential on seeded random graphs (mixed chains/stars/triangles)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 80
+      val pairs = List.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .toDF("id_a", "id_b")
+      val viaLabel = MinHashDedup.dupGroups(pairs).as[(Long, Long)].collect().toMap
+      val viaStar = MinHashDedup.dupGroupsStar(pairs).as[(Long, Long)].collect().toMap
+      assert(viaStar == viaLabel, s"trial $trial diverged")
+    }
+    // planted shapes incl. self-loop-only node
+    val planted = Seq((1L, 2L), (2L, 3L), (20L, 21L), (30L, 31L), (31L, 32L),
+      (30L, 32L), (40L, 40L)).toDF("id_a", "id_b")
+    assert(MinHashDedup.dupGroupsStar(planted).as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 20L -> 20L, 21L -> 20L,
+        30L -> 30L, 31L -> 30L, 32L -> 30L, 40L -> 40L))
+    // a 60-hop chain: min-label would need 60 rounds — it must now FAIL
+    // LOUDLY at maxIter (unconverged labels are wrong, not approximate) —
+    // while star rewriting contracts it within its default budget
+    val deep = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] { MinHashDedup.dupGroups(deep, maxIter = 10) }
+    val star = MinHashDedup.dupGroupsStar(deep).as[(Long, Long)].collect().toMap
+    assert(star == (0L to 60L).map(_ -> 0L).toMap)
+  }
+
   test("jaccardPairs dfCap drops only stop-shingle-dependent pairs") {
     import graft.ops.SetSimJoin
     // every doc contains the stop 3-gram "zz zz zz"; docs 1/2 additionally
