@@ -33,7 +33,7 @@ object Bench {
     val warmupDir = "/root/testdata/sf0.001"
     Seq("q37_cosine_topk", "q34_minhash_neardup", "q20_window_sma", "q01_pricing_summary",
         "q63_text_embed_neardup", "q36_ngram_jaccard", "q70_dedup_groups",
-        "q72_stream_tumbling")
+        "q72_stream_tumbling", "q128_dedup_groups_star")
       .foreach { q =>
         try SparkEntry.queries(q)(spark, warmupDir).count()
         catch { case _: Throwable => () }

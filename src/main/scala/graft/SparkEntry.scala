@@ -1350,7 +1350,38 @@ object SparkEntry {
           col("o_totalprice"), col("o_orderkey"), 3).as("top"))
         .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("i", "t")))
         .select(col("o_orderpriority"), (col("i") + 1).cast("int").as("rnk"),
-          col("t.id").as("o_orderkey"), col("t.score").as("o_totalprice")))
+          col("t.id").as("o_orderkey"), col("t.score").as("o_totalprice"))),
+
+    // --- deep-graph connected components via star rewriting ---
+    // Synthetic 11-node chains bridged into longer components: diameter
+    // ~10, where min-label propagation would need ~10 rounds but
+    // large-star/small-star contracts in O(log²). Same min-reachable-id
+    // contract as q70, checked against the same recursive-CTE oracle.
+    "q128_dedup_groups_star" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      val chain = d.filter(col("doc_id") % 50 < 10)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      val bridge = d.filter(col("doc_id") % 250 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 50).as("id_b"))
+      MinHashDedup.dupGroupsStar(chain.unionByName(bridge))
+    }),
+
+    // --- type-generalized native top-k: (decimal score, string id) ---
+    // Same bounded-shuffle aggregate as q127 with non-primitive input
+    // types: interpreted orderings must match the engine's ORDER BY
+    // (price DESC, item_id ASC) exactly, including decimal scale and
+    // string tie order.
+    "q129_topk_typed" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("item_id"),
+          round(col("l_extendedprice"), 2).cast("decimal(12,2)").as("price"))
+        .groupBy("l_returnflag")
+        .agg(graft.functions.expressions.TopKAgg.topK(
+          col("price"), col("item_id"), 3).as("top"))
+        .select(col("l_returnflag"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("l_returnflag"), (col("i") + 1).cast("int").as("rnk"),
+          col("t.id").as("item_id"), col("t.score").as("price")))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -2957,7 +2988,29 @@ object SparkEntry {
         FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
             row_number() OVER (PARTITION BY o_orderpriority
               ORDER BY o_totalprice DESC, o_orderkey) AS rn
-          FROM orders) WHERE rn <= 3"""
+          FROM orders) WHERE rn <= 3""",
+
+      "q128_dedup_groups_star" -> """
+        WITH RECURSIVE
+        chain AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+                  WHERE doc_id % 50 < 10),
+        bridge AS (SELECT doc_id AS id_a, doc_id + 50 AS id_b FROM documents
+                   WHERE doc_id % 250 = 0),
+        p AS (SELECT id_a, id_b FROM chain UNION SELECT id_a, id_b FROM bridge),
+        e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+        reach(id, r) AS (SELECT s, s FROM e
+          UNION SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.id)
+        SELECT id, MIN(r) AS component FROM reach GROUP BY id""",
+
+      "q129_topk_typed" -> """
+        SELECT l_returnflag, CAST(rn AS INT) AS rnk, item_id, price
+        FROM (SELECT l_returnflag, item_id, price,
+            row_number() OVER (PARTITION BY l_returnflag
+              ORDER BY price DESC, item_id) AS rn
+          FROM (SELECT l_returnflag,
+              l_orderkey || '-' || l_linenumber AS item_id,
+              CAST(round(l_extendedprice, 2) AS DECIMAL(12,2)) AS price
+            FROM lineitem)) WHERE rn <= 3"""
     )
   }
 

@@ -224,11 +224,19 @@ object MinHashDedup {
     val allIds = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id"))).distinct()
     // canonical undirected edges, self-loops dropped (re-attached at the end)
-    var edges = pairs
+    val edgesAll = pairs
       .select(greatest(col("id_a"), col("id_b")).as("hi"),
         least(col("id_a"), col("id_b")).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct()
       .localCheckpoint(true)
+    // Right-size once, same rationale (and knob) as [[dupGroups]]: a star
+    // round is ~5 shuffle stages, so stage-scheduling overhead dominates
+    // wall on small graphs unless the fan-out matches the data (measured
+    // 10.5 s → 3 s at sf0.1 for the q128 chain graph).
+    val nEdges = edgesAll.count()
+    val p = math.max(1L, math.min(edgesAll.rdd.getNumPartitions.toLong,
+      nEdges / 500000L + 1L)).toInt
+    var edges = edgesAll.coalesce(p).toDF
 
     def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),
@@ -239,14 +247,27 @@ object MinHashDedup {
     var converged = prev._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {
+      // Every stage below is EXPLICITLY pre-partitioned on its key at the
+      // graph-sized width p: cached iterative plans execute without AQE
+      // (Spark keeps a cached plan's output partitioning), so leaving the
+      // shuffles at the session fan-out costs 5 × 32-task stages per round
+      // on a tiny graph — measured 1.9 s/round vs 0.5 s with the explicit
+      // p-width exchanges that groupBy/join then REUSE (EnsureRequirements
+      // adds no second exchange over a matching hashpartitioning).
       // LARGE-STAR: for each u, m = min(N(u) ∪ {u}); every neighbor v > u
       // re-points at m. Symmetric neighborhoods, one aggregate + one join.
       val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
         .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
+        .repartition(p, col("u"))
       val mins = sym.groupBy("u").agg(min(col("v")).as("__mv"))
         .select(col("u"), least(col("u"), col("__mv")).as("m"))
+      // no distinct here: each undirected edge contributes exactly one
+      // (v > u) orientation, so |large| = |edges| as a multiset and the
+      // round stays a deterministic function of the edge SET after the
+      // single distinct below — one shuffle saved per round
       val large = sym.filter(col("v") > col("u")).join(mins, "u")
-        .select(col("v").as("hi"), col("m").as("lo")).distinct()
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .repartition(p, col("hi"))
       // SMALL-STAR on the now hi→lo directed edges: for each hi u with
       // lo-neighborhood N, m = min(N); every v ∈ N ∪ {u}, v ≠ m re-points
       // at m. (m < u always, and v > m for every emitted edge, so the
@@ -256,14 +277,18 @@ object MinHashDedup {
         .select(col("lo").as("hi"), col("m").as("lo"))
         .filter(col("hi") =!= col("lo"))
         .unionByName(mins2.select(col("hi"), col("m").as("lo")))
+        .repartition(p, col("hi"), col("lo"))
         .distinct()
-      val next =
-        if ((i + 1) % 3 == 0) small.localCheckpoint(true)
-        else graft.util.Caches.cache(small).toDF
+      // Lineage is cut EVERY round, not every third like [[dupGroups]]: a
+      // star round is a ~10-operator tree, and a cached-but-uncut loop
+      // re-ANALYZES the whole accumulated lineage each round (measured:
+      // round cost grows 2.7 → 8.9 s by round 3; with a per-round cut it
+      // stays flat at ~0.9 s). The extra materialization job is tiny next
+      // to the plan-compile it avoids.
+      val next = small.localCheckpoint(true)
       val s = checksum(next)
       converged = s == prev
       prev = s
-      edges.unpersist(false)
       edges = next
       i += 1
     }
