@@ -287,8 +287,11 @@ object Layout {
     * scratch dir and the leaf names are listed back — O(#touched
     * partitions) driver metadata, same class as a directory listing.
     *
-    * Contract: `pcol` must be stable under updates for a given key (it is
-    * effectively part of the key). A key whose update arrives with a
+    * Contract: `pcol` and the join `keys` must be NON-NULL (a null key
+    * never matches its live row under join equality, and a null partition
+    * value falls into the hive default-partition leaf), and `pcol` must be
+    * stable under updates for a given key (it is effectively part of the
+    * key). A key whose update arrives with a
     * different partition value than its live row is treated as a new row in
     * the new partition; the stale row in the old partition is NOT removed —
     * exactly the failure mode every partition-pruned lakehouse MERGE

@@ -190,6 +190,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q127/q129: top_k aggregates partially on the map side") {
+    // the aggregate's entire scale claim: the shuffle carries k-capped
+    // partial buffers per (group × map partition), never the raw rows
+    for (q <- Seq("q127_native_topk", "q129_topk_typed")) {
+      val p = plan(q)
+      assert(p.contains("partial_top_k"), s"$q must partial-aggregate:\n${p.take(1200)}")
+      assert(!p.contains("RowNumber") && !p.contains("row_number"),
+        s"$q must not fall back to the window form")
+    }
+  }
+
   test("q122: topPaths global top-k is TakeOrderedAndProject, not a global sort") {
     val p = plan("q122_top_paths")
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
