@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.sources.Layout
+
+/** Model-based property test for the partitioned versioned layout: a random
+  * sequence of key-pruned MERGE / DELETE ops must agree with a trivial
+  * in-memory Map model after EVERY step, every historical version must
+  * remain readable and equal to its recorded model snapshot (immutability),
+  * and untouched partitions must carry forward without a rewrite.
+  */
+class LayoutPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val parts = Seq("p0", "p1", "p2")
+  private def partOf(id: Long): String = parts((id % 3).toInt)
+
+  private case class Op(isMerge: Boolean, ids: Seq[Long], vals: Seq[Double])
+
+  private val genOps: Gen[List[Op]] = Gen.listOfN(4, for {
+    isMerge <- Gen.oneOf(true, false)
+    n <- Gen.choose(1, 5)
+    ids <- Gen.listOfN(n, Gen.choose(0L, 17L))
+    vals <- Gen.listOfN(n, Gen.choose(1, 999).map(_.toDouble))
+  } yield Op(isMerge, ids.distinct, vals))
+
+  test("random merge/delete sequences match the Map model; versions immutable") {
+    val prop = Prop.forAll(genOps) { ops =>
+      val root = Files.createTempDirectory("graft_vprop").toString
+      var model = (0L until 12L).map(i => i -> (partOf(i), i.toDouble * 10)).toMap
+      val base = model.toSeq.map { case (id, (p, v)) => (id, p, v) }
+        .toDF("id", "part", "v")
+      Layout.initVersionedPartitioned(base, root, "part")
+      var snapshots = List(model) // index = version number
+
+      def readVersion(path: String): Map[Long, (String, Double)] =
+        spark.read.parquet(path).select("id", "part", "v")
+          .as[(Long, String, Double)].collect()
+          .map { case (i, p, v) => i -> (p, v) }.toMap
+
+      var ok = true
+      ops.foreach { op =>
+        if (op.isMerge) {
+          val rows = op.ids.zip(op.vals).map { case (i, v) => (i, partOf(i), v) }
+          val path = Layout.mergeVersionedPartitioned(spark, root,
+            rows.toDF("id", "part", "v"), Seq("id"), "part")
+          model = model ++ rows.map { case (i, p, v) => i -> (p, v) }
+          ok &&= readVersion(path) == model
+        } else {
+          val doomed = op.ids.toSet
+          val path = Layout.deleteVersionedPartitioned(spark, root,
+            col("id").isin(op.ids: _*), "part")
+          model = model -- doomed
+          ok &&= readVersion(path) == model
+        }
+        snapshots = snapshots :+ model
+      }
+      // every historical version still reads as exactly its model snapshot
+      ok &&= snapshots.zipWithIndex.forall { case (snap, v) =>
+        readVersion(Layout.resolveVersion(spark, root, v)) == snap
+      }
+      // live pointer resolves to the final state
+      ok &&= readVersion(Layout.resolveCurrent(spark, root)) == model
+      ok
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(4).withWorkers(1), prop)
+    assert(res.passed, res.toString)
+  }
+}
