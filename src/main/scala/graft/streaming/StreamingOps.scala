@@ -97,4 +97,33 @@ object StreamingOps {
     q.awaitTermination()
     q
   }
+
+  /** Streaming UPSERT into a key-pruned partitioned versioned layout
+    * ([[graft.sources.Layout.mergeVersionedPartitioned]]): each micro-batch
+    * merges by key, rewriting only the partitions it touches, and flips the
+    * `_current` pointer atomically — batch readers of the layout always see
+    * a complete pre- or post-batch snapshot. This is the streaming leg of
+    * the reference's staging→anti-join load (loading.py:141-176) landed on
+    * storage instead of JDBC.
+    *
+    * Delivery: the checkpoint makes batch REPLAY possible after a crash
+    * (at-least-once). Replaying a merge with the same keys and values is a
+    * no-op on the final state — the upsert is idempotent by construction —
+    * so end-to-end the layout converges to exactly-once CONTENT even when
+    * a batch runs twice; only the version count differs.
+    */
+  def streamMergeVersioned(stream: DataFrame, root: String, keys: Seq[String],
+                           pcol: String, checkpoint: String): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.Layout.mergeVersionedPartitioned(
+            batch.sparkSession, root, batch, keys, pcol)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
 }

@@ -133,6 +133,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("streamMergeVersioned: micro-batches upsert the versioned layout by key") {
+    import graft.sources.Layout
+    val inDir = Files.createTempDirectory("graft_smv_in").toString
+    val root = Files.createTempDirectory("graft_smv_root").toString
+    val ckpt = Files.createTempDirectory("graft_smv_ckpt").toString
+    def rows(rs: (Long, String, Double)*) = rs.toDF("id", "part", "v")
+    Layout.initVersionedPartitioned(
+      rows((1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p2", 30.0)), root, "part")
+
+    // drain 1: update id=2, insert id=4 (touches p1 only)
+    rows((2L, "p1", 99.0), (4L, "p1", 40.0))
+      .write.mode("append").parquet(inDir)
+    val schema = rows((0L, "", 0.0)).schema
+    StreamingOps.streamMergeVersioned(
+      StreamingOps.fileStream(spark, inDir, schema), root, Seq("id"), "part", ckpt)
+    def state() = spark.read.parquet(Layout.resolveCurrent(spark, root))
+      .select("id", "part", "v").as[(Long, String, Double)].collect().toSet
+    assert(state() == Set((1L, "p1", 10.0), (2L, "p1", 99.0), (4L, "p1", 40.0),
+      (3L, "p2", 30.0)))
+
+    // drain 2 RESUMES the same checkpoint: only the new file is merged
+    rows((3L, "p2", 77.0), (5L, "p3", 50.0))
+      .write.mode("append").parquet(inDir)
+    StreamingOps.streamMergeVersioned(
+      StreamingOps.fileStream(spark, inDir, schema), root, Seq("id"), "part", ckpt)
+    assert(state() == Set((1L, "p1", 10.0), (2L, "p1", 99.0), (4L, "p1", 40.0),
+      (3L, "p2", 77.0), (5L, "p3", 50.0)))
+    // pre-stream snapshot still readable (time travel across stream batches)
+    assert(spark.read.parquet(Layout.resolveVersion(spark, root, 0)).count() == 3)
+  }
+
   test("windowed aggregate over a drained stream") {
     val dir = Files.createTempDirectory("graft_stream2").toString
     val batch = Seq(
