@@ -137,10 +137,13 @@ object Layout {
     FileContext.getFileContext(spark.sparkContext.hadoopConfiguration)
 
   /** Atomically point `root/_current` at `version`: write a sibling temp
-    * file, then rename OVER the pointer — `FileContext.rename(OVERWRITE)` is
-    * a single atomic metadata op on HDFS and a POSIX rename locally, so a
-    * concurrent [[resolveCurrent]] reads either the old or the new pointer
-    * in full, never a torn or missing one.
+    * file, then rename OVER the pointer, so a concurrent [[resolveCurrent]]
+    * reads either the old or the new pointer in full, never a torn or
+    * missing one. On HDFS-like filesystems `FileContext.rename(OVERWRITE)`
+    * is a single atomic metadata op; on the LOCAL filesystem Hadoop
+    * implements that overwrite as delete-then-rename — a reader can land in
+    * the gap and find no pointer at all — so the local path goes through
+    * `java.nio.Files.move(ATOMIC_MOVE)`, which is a true POSIX rename.
     */
   private def writePointer(spark: SparkSession, root: String, version: String): Unit = {
     val fc = fileContext(spark)
@@ -149,7 +152,18 @@ object Layout {
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE))
     try out.write(version.getBytes("UTF-8")) finally out.close()
-    fc.rename(tmp, new Path(root, CurrentFile), Options.Rename.OVERWRITE)
+    val dst = new Path(root, CurrentFile)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (local)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    else
+      fc.rename(tmp, dst, Options.Rename.OVERWRITE)
   }
 
   /** Time travel: path of a SPECIFIC version under a versioned root —
@@ -164,6 +178,25 @@ object Layout {
     require(fs.exists(p), s"version $version does not exist under $root " +
       "(never written, or already vacuumed)")
     p.toString
+  }
+
+  /** Read a specific version resolving MIXED LEAF SCHEMAS: after a schema-
+    * evolving [[mergeVersionedPartitioned]], rewritten leaves carry the new
+    * columns while hardlink-carried leaves keep the old footer, so a plain
+    * `spark.read.parquet` would resolve whichever footer it samples first.
+    * `mergeSchema` unions the footers — old leaves null-fill the added
+    * columns, the exact semantics the merge declared. Schema-stable
+    * histories can keep using plain reads on [[resolveVersion]] paths.
+    */
+  def readVersion(spark: SparkSession, root: String, version: Int): DataFrame = {
+    val p = resolveVersion(spark, root, version)
+    spark.read.option("basePath", p).option("mergeSchema", "true").parquet(p)
+  }
+
+  /** [[readVersion]] for the live version. */
+  def readCurrent(spark: SparkSession, root: String): DataFrame = {
+    val p = resolveCurrent(spark, root)
+    spark.read.option("basePath", p).option("mergeSchema", "true").parquet(p)
   }
 
   /** Path of the live version dir under a versioned root. */
@@ -220,9 +253,27 @@ object Layout {
                      keys: Seq[String]): String = {
     val cur = resolveCurrent(spark, root)
     val current = spark.read.parquet(cur)
+    requireEvolvable(current, updates)
     val merged = updates.unionByName(
-      current.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+      current.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"),
+      allowMissingColumns = true)
     writeNextVersion(spark, root, cur, merged)
+  }
+
+  /** Schema evolution contract for merges: `updates` must keep every live
+    * column (same type) and MAY add new ones — added columns null-fill on
+    * rows carried from the live version. Dropping or retyping a column is
+    * rejected loudly; silently nulling existing data is the one thing a
+    * lakehouse merge must never do.
+    */
+  private def requireEvolvable(current: DataFrame, updates: DataFrame): Unit = {
+    val up = updates.schema.map(f => f.name -> f.dataType).toMap
+    current.schema.foreach { f =>
+      require(up.contains(f.name),
+        s"merge: updates drop live column ${f.name}; evolution may only ADD columns")
+      require(up(f.name) == f.dataType,
+        s"merge: column ${f.name} retyped ${f.dataType} -> ${up(f.name)}")
+    }
   }
 
   /** Storage-layer DELETE on a versioned root: drop rows matching
@@ -314,12 +365,15 @@ object Layout {
       else {
         // basePath keeps pcol as a column; only the touched leaves are read.
         val existing = spark.read.option("basePath", cur)
+          .option("mergeSchema", "true")
           .parquet(existingAffected.map(n => s"$cur/$n"): _*)
           // partition-value inference may narrow the type (long -> int);
           // align with the caller's schema so unionByName stays exact
           .withColumn(pcol, col(pcol).cast(updates.schema(pcol).dataType))
+        requireEvolvable(existing, updates)
         updates.unionByName(
-          existing.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+          existing.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"),
+          allowMissingColumns = true)
       }
     val (next, nextPath) = nextVersion(root, cur)
     merged.write.mode(SaveMode.Overwrite).partitionBy(pcol).parquet(nextPath)
@@ -409,6 +463,132 @@ object Layout {
         }
       }
     }
+  }
+
+  // ------------------------------------------------------------- change feed
+
+  /** Change data feed between two versions of a versioned root: one row per
+    * changed key, tagged `_change_type` ∈ {insert, delete, update_pre,
+    * update_post} (updates emit BOTH the before and after image, the shape
+    * downstream incremental consumers — streaming joins, audit diffs, cache
+    * invalidation — need). Unchanged rows never appear.
+    *
+    * Shape: ONE full-outer join of the two snapshots on `keys` (each side
+    * reduced to key + a single payload struct), then one generator
+    * projection — never a 4-way union of per-type joins, so the join runs
+    * once. Identical rows drop out on a null-safe struct compare (NaN
+    * equals NaN, null equals null — change detection, not arithmetic).
+    *
+    * Scale: on a PARTITIONED versioned root ([[initVersionedPartitioned]]),
+    * leaves whose files are identical in both versions — the hardlink
+    * carry-forward of [[mergeVersionedPartitioned]] guarantees this for
+    * every untouched partition — are pruned by FILE IDENTITY (inode on a
+    * local filesystem, length+mtime elsewhere) before any row is read: the
+    * diff of a 1-partition merge on a 100 TB table scans one partition, not
+    * the table. Unpartitioned roots diff in full (one shuffle each side).
+    *
+    * Contract: `keys` are unique and non-null within each snapshot (the
+    * invariant [[mergeVersioned]]/[[mergeVersionedPartitioned]] maintain);
+    * shared column names must keep the same type across versions; columns
+    * added by schema evolution read as null on the older side.
+    */
+  def changeFeed(spark: SparkSession, root: String, fromVersion: Int,
+                 toVersion: Int, keys: Seq[String]): DataFrame = {
+    require(fromVersion != toVersion, "changeFeed: versions must differ")
+    val fromPath = new Path(resolveVersion(spark, root, fromVersion))
+    val toPath = new Path(resolveVersion(spark, root, toVersion))
+    val fs = fromPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (fromLeaves, toLeaves) = (leafNames(fs, fromPath), leafNames(fs, toPath))
+    val (a, b) =
+      if (fromLeaves.nonEmpty && toLeaves.nonEmpty) {
+        val changed = changedLeaves(spark, fs, fromPath, toPath)
+        (readLeaves(spark, fromPath.toString, fromLeaves.intersect(changed)),
+          readLeaves(spark, toPath.toString, toLeaves.intersect(changed)))
+      } else
+        (spark.read.option("mergeSchema", "true").parquet(fromPath.toString),
+          spark.read.option("mergeSchema", "true").parquet(toPath.toString))
+    diff(a, b, keys)
+  }
+
+  /** Leaf dirs that can hold differing rows: present on one side only, or
+    * present on both with a different file inventory. A leaf carried
+    * forward by hardlink has the same file names AND identities (inode
+    * locally; length+mtime on other filesystems) and is skipped — its
+    * bytes are provably those of the other version.
+    */
+  private[graft] def changedLeaves(spark: SparkSession,
+                                   fs: org.apache.hadoop.fs.FileSystem,
+                                   from: Path, to: Path): Set[String] = {
+    val (fl, tl) = (leafNames(fs, from), leafNames(fs, to))
+    val both = fl.intersect(tl)
+    val oneSided = fl.union(tl) -- both
+    oneSided ++ both.filter(n =>
+      leafSignature(fs, new Path(from, n)) != leafSignature(fs, new Path(to, n)))
+  }
+
+  /** Identity of a leaf dir's data files: name → (inode | length+mtime). */
+  private def leafSignature(fs: org.apache.hadoop.fs.FileSystem,
+                            leaf: Path): Map[String, Any] = {
+    val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    fs.listStatus(leaf).iterator.filter(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      .map { st =>
+        val id: Any =
+          if (local)
+            java.nio.file.Files.readAttributes(
+              java.nio.file.Paths.get(st.getPath.toUri.getPath),
+              classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+          else (st.getLen, st.getModificationTime)
+        st.getPath.getName -> id
+      }.toMap
+  }
+
+  /** Read a subset of a version dir's hive leaves, keeping the partition
+    * column (`basePath`) and resolving mixed schemas after evolution
+    * (`mergeSchema`). An empty subset folds to an empty relation of the
+    * full schema — no files are opened at runtime.
+    */
+  private def readLeaves(spark: SparkSession, versionPath: String,
+                         leaves: Set[String]): DataFrame = {
+    val reader = spark.read.option("basePath", versionPath)
+      .option("mergeSchema", "true")
+    if (leaves.isEmpty) reader.parquet(versionPath).filter(lit(false))
+    else reader.parquet(leaves.toSeq.sorted.map(n => s"$versionPath/$n"): _*)
+  }
+
+  /** Full-outer diff of two same-keyed DataFrames; see [[changeFeed]]. */
+  private[graft] def diff(from: DataFrame, to: DataFrame,
+                          keys: Seq[String]): DataFrame = {
+    val extra = to.columns.filterNot(from.columns.contains)
+    val cols = from.columns.toSeq ++ extra
+    val types = (from.schema ++ to.schema).map(f => f.name -> f.dataType).toMap
+    from.schema.foreach(f => to.schema.find(_.name == f.name).foreach(g =>
+      require(g.dataType == f.dataType,
+        s"changeFeed: column ${f.name} changed type ${f.dataType} -> ${g.dataType}")))
+    require(keys.forall(cols.contains), s"changeFeed: keys $keys not all present")
+    val nonKey = cols.filterNot(keys.contains)
+    // __present anchors the struct when nonKey is empty and distinguishes
+    // "row absent" (null struct) from "all payload fields null".
+    def side(df: DataFrame, tag: String) = {
+      val have = df.columns.toSet
+      val payload = (lit(true).as("__present") +: nonKey.map(c =>
+        (if (have(c)) col(c) else lit(null).cast(types(c))).as(c))): Seq[Column]
+      df.select(keys.map(col) :+ struct(payload: _*).as(tag): _*)
+    }
+    val pre = col("__a")
+    val post = col("__b")
+    val events = when(pre.isNull,
+        array(struct(lit("insert").as("t"), post.as("p"))))
+      .when(post.isNull, array(struct(lit("delete").as("t"), pre.as("p"))))
+      .otherwise(array(struct(lit("update_pre").as("t"), pre.as("p")),
+        struct(lit("update_post").as("t"), post.as("p"))))
+    side(from, "__a").join(side(to, "__b"), keys, "full_outer")
+      .filter(!(pre <=> post))
+      .select(keys.map(col) :+ explode(events).as("__e"): _*)
+      .select(keys.map(col) ++
+        nonKey.map(c => col("__e").getField("p").getField(c).as(c)) :+
+        col("__e").getField("t").as("_change_type"): _*)
   }
 
   /** Delete all version dirs except the newest `keep` (the live one is
