@@ -1381,7 +1381,25 @@ object SparkEntry {
           col("price"), col("item_id"), 3).as("top"))
         .select(col("l_returnflag"), posexplode(col("top")).as(Seq("i", "t")))
         .select(col("l_returnflag"), (col("i") + 1).cast("int").as("rnk"),
-          col("t.id").as("item_id"), col("t.score").as("price")))
+          col("t.id").as("item_id"), col("t.score").as("price"))),
+
+    // --- exact heavy hitters (φ = 1/k frequent items) ---
+    // One hash aggregate per distinct item; the scalar total reuses the
+    // same exchange (ReusedExchange), so the corpus is scanned once.
+    "q130_heavy_hitters" -> ((s, dir) =>
+      Frequency.heavyHitters(Tables.documents(s, dir), col("lang"), k = 8)),
+
+    // --- sketched heavy hitters: MG candidates + exact verify ---
+    // The Misra-Gries candidate set is order-dependent, but it is a
+    // GUARANTEED SUPERSET of the true heavy hitters (capacity >= k-1), and
+    // the verify pass recounts candidates exactly — so the output equals
+    // q130's row-for-row and shares its oracle. O(capacity) aggregate
+    // state regardless of item cardinality: the 100 TB path for URL/
+    // n-gram-sized item spaces where q130's per-distinct-item shuffle
+    // is itself the bottleneck.
+    "q131_heavy_hitters_sketched" -> ((s, dir) =>
+      Frequency.heavyHittersSketched(Tables.documents(s, dir), col("lang"),
+        k = 8, capacity = 32))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -3010,7 +3028,20 @@ object SparkEntry {
           FROM (SELECT l_returnflag,
               l_orderkey || '-' || l_linenumber AS item_id,
               CAST(round(l_extendedprice, 2) AS DECIMAL(12,2)) AS price
-            FROM lineitem)) WHERE rn <= 3"""
+            FROM lineitem)) WHERE rn <= 3""",
+      "q130_heavy_hitters" -> """
+        SELECT lang AS item, count(*) AS cnt
+        FROM documents WHERE lang IS NOT NULL GROUP BY 1
+        HAVING count(*) * 8 > (SELECT count(*) FROM documents
+                               WHERE lang IS NOT NULL)""",
+      // the sketched pipeline verifies candidates exactly, so its contract
+      // is the SAME SQL as q130 — the oracle proves the sketch tier is
+      // invisible in the answer
+      "q131_heavy_hitters_sketched" -> """
+        SELECT lang AS item, count(*) AS cnt
+        FROM documents WHERE lang IS NOT NULL GROUP BY 1
+        HAVING count(*) * 8 > (SELECT count(*) FROM documents
+                               WHERE lang IS NOT NULL)"""
     )
   }
 

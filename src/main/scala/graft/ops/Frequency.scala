@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions.MisraGries
+
+/** Heavy hitters: items appearing more than n/k times (the classic
+  * φ = 1/k frequent-items threshold; reference analog: the category/
+  * status frequency reports of transform.py's groupby counts).
+  *
+  * Two tiers, same contract as the percentile pair (exact `percentile` /
+  * `approx_percentile`):
+  *  - [[heavyHitters]] — EXACT: one hash aggregate over distinct items.
+  *    The shuffle carries one row per distinct item; right whenever the
+  *    distinct set is bounded (languages, event types, status codes).
+  *  - [[heavyHittersSketched]] — O(capacity) aggregation state regardless
+  *    of item cardinality: a Misra–Gries sketch nominates ≤ capacity
+  *    candidates (guaranteed superset of the true heavy hitters when
+  *    capacity ≥ k − 1), then one exact counting pass restricted to those
+  *    candidates (broadcast semi filter — the shuffle carries ≤ capacity
+  *    keys) verifies counts against the threshold. Output is therefore
+  *    EXACTLY [[heavyHitters]]' — sketch in the plan, no sketch error in
+  *    the answer — which is what makes it oracle-checkable (q131) even
+  *    though the sketch itself is order-dependent.
+  */
+object Frequency {
+
+  /** Exact heavy hitters: items of `itemCol` with count · k > n (strict,
+    * nulls excluded). Returns (item, cnt).
+    *
+    * Single corpus scan: the total n comes from an empty-frame window SUM
+    * over the per-item counts — a one-partition pass over O(distinct
+    * items) POST-AGGREGATE rows, which is this tier's stated bound (a
+    * second corpus scan, the join-with-scalar-total alternative, loses to
+    * that whenever the corpus dwarfs the distinct set — and column
+    * pruning breaks exchange reuse between the two scans, so the "free"
+    * shared subtree is not actually free).
+    */
+  def heavyHitters(df: DataFrame, itemCol: Column, k: Int): DataFrame = {
+    require(k >= 2, s"heavyHitters: k must be >= 2, got $k")
+    df.select(itemCol.as("item")).filter(col("item").isNotNull)
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .withColumn("__n", sum(col("cnt")).over(Window.partitionBy()))
+      .filter(col("cnt") * k > col("__n"))
+      .select(col("item"), col("cnt"))
+  }
+
+  /** Candidates-then-verify heavy hitters; see object doc. Two corpus
+    * scans by construction (nominate, then verify); the verify shuffle
+    * carries one row per (candidate × map partition) — non-candidates
+    * fold into a single null-item group per partition that exists only to
+    * make the exact total come out of the same pass. `capacity` must be
+    * ≥ k − 1 for the superset guarantee (use several × k so the MG error
+    * n/(capacity+1) stays well under the n/k threshold).
+    */
+  def heavyHittersSketched(df: DataFrame, itemCol: Column, k: Int,
+                           capacity: Int): DataFrame = {
+    require(k >= 2, s"heavyHittersSketched: k must be >= 2, got $k")
+    require(capacity >= k - 1,
+      s"heavyHittersSketched: capacity $capacity < k-1 loses the superset guarantee")
+    val items = df.select(itemCol.as("item")).filter(col("item").isNotNull)
+    val candidates = items
+      .agg(MisraGries.mgTopK(col("item"), capacity).as("sketch"))
+      .select(explode(col("sketch")).as("e"))
+      .select(col("e").getField("item").as("item"))
+      .withColumn("__cand", lit(true))
+    // one verify pass: candidate rows keep their item, the rest collapse
+    // into the null group — so per-item exact counts AND the exact total
+    // n (= sum over all groups) come from the same aggregate
+    val grouped = items
+      .join(broadcast(candidates), Seq("item"), "left")
+      .groupBy(when(col("__cand"), col("item")).as("item"))
+      .agg(count(lit(1)).as("cnt"))
+    grouped
+      .withColumn("__n", sum(col("cnt")).over(Window.partitionBy()))
+      .filter(col("item").isNotNull && col("cnt") * k > col("__n"))
+      .select(col("item"), col("cnt"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.expressions.{DotProduct, HyperplaneBuckets}
+import graft.functions.expressions.{DotProduct, HyperplaneBuckets, MisraGries, TopKAgg}
 
 /** SparkSessionExtensions entry point: registers graft's native expressions
   * with the SQL function registry so pure-SQL users get them too:
@@ -63,5 +63,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("might_contain"),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "might_contain"),
       (children: Seq[Expression]) => BloomFilterMightContain(children(0), children(1))))
+    // graft's native aggregates, for pure-SQL pipelines. k/capacity
+    // parameterize buffer sizes, so they must be integer literals.
+    def intLit(e: Expression, fn: String, name: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be an integer literal, got $other")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
+      (children: Seq[Expression]) => TopKAgg(children(0), children(1),
+        intLit(children(2), "top_k", "k")).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("mg_topk"),
+      new ExpressionInfo(classOf[MisraGries].getName, "mg_topk"),
+      (children: Seq[Expression]) => MisraGries(children(0),
+        intLit(children(1), "mg_topk", "capacity")).toAggregateExpression()))
   }
 }

@@ -55,6 +55,19 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).toSet
       // no false negatives; false positives bounded far under the full range
       assert((0L until 50L).toSet.subsetOf(hits) && hits.size < 500)
+      // native aggregates from SQL: top_k bounded aggregate...
+      val tk = spark.sql(
+        """SELECT t.id AS winner FROM (SELECT top_k(id * 10, id, 2) AS tops
+             FROM range(0, 100)) LATERAL VIEW explode(tops) AS t""")
+        .collect().map(_.getLong(0)).toSet
+      assert(tk == Set(99L, 98L))
+      // ...and the mg_topk heavy-hitters sketch (hot item must surface)
+      val mg = spark.sql(
+        """SELECT s.item FROM (SELECT mg_topk(CASE WHEN id % 2 = 0 THEN 'hot'
+             ELSE CAST(id AS STRING) END, 5) AS sk FROM range(0, 1000))
+           LATERAL VIEW explode(sk) AS s""")
+        .collect().map(_.getString(0))
+      assert(mg.contains("hot"))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.expressions.MisraGries
+import graft.ops.Frequency
+
+/** Heavy hitters: exact threshold semantics, Misra–Gries sketch
+  * guarantees, and the sketched pipeline's exactness (round 9).
+  */
+class FrequencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"${sf()}/documents.parquet")
+
+  test("heavyHitters: strict n/k threshold, nulls excluded") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d"))
+      .toDF("x") // n = 10
+    // k=3: threshold cnt*3 > 10 → a (15) yes, b (9) NO — strict inequality
+    val hh = Frequency.heavyHitters(df, col("x"), 3)
+      .as[(String, Long)].collect().toSet
+    assert(hh == Set(("a", 5L)))
+    // nulls don't count toward n and never appear as items
+    val withNulls = df.union(Seq.fill(6)(null.asInstanceOf[String]).toDF("x"))
+    assert(Frequency.heavyHitters(withNulls, col("x"), 3)
+      .as[(String, Long)].collect().toSet == Set(("a", 5L)))
+  }
+
+  test("Misra-Gries guarantees: underestimate within n/(cap+1), superset of true HH") {
+    val cap = 4
+    val truth = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    val n = truth.values.sum
+    val est = docs.repartition(7) // force multi-partition merge path
+      .agg(MisraGries.mgTopK(col("lang"), cap).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.item").as("item"), col("e.est_cnt").as("est"))
+      .as[(String, Long)].collect().toMap
+    assert(est.size <= cap)
+    val eps = n.toDouble / (cap + 1)
+    est.foreach { case (item, e) =>
+      val t = truth(item)
+      assert(e <= t, s"$item overestimated: $e > $t")
+      assert(e >= t - eps, s"$item under floor: $e < $t - $eps")
+    }
+    // every item with true count > n/(cap+1) must be present
+    truth.filter(_._2 > eps).keys.foreach(item =>
+      assert(est.contains(item), s"true heavy hitter $item missing"))
+  }
+
+  test("MG guarantees hold regardless of partitioning (merge-order invariance of the BOUNDS)") {
+    // planted skew over a high-cardinality tail: one item at ~20%, rest unique
+    val base = spark.range(0, 4000)
+      .select(when(col("id") % 5 === 0, lit("hot"))
+        .otherwise(concat(lit("u"), col("id"))).as("x"))
+    val truthHot = 800L
+    val n = 4000L
+    for (parts <- Seq(1, 3, 16)) {
+      val cap = 9
+      val est = base.repartition(parts)
+        .agg(MisraGries.mgTopK(col("x"), cap).as("s"))
+        .select(explode(col("s")).as("e"))
+        .select(col("e.item"), col("e.est_cnt")).as[(String, Long)]
+        .collect().toMap
+      val eps = n.toDouble / (cap + 1) // 400
+      assert(est.contains("hot"), s"parts=$parts lost the hot item")
+      assert(est("hot") <= truthHot && est("hot") >= truthHot - eps,
+        s"parts=$parts hot estimate ${est("hot")} outside [${truthHot - eps}, $truthHot]")
+    }
+  }
+
+  test("sketched pipeline is EXACTLY the exact answer (superset + verify)") {
+    val exact = Frequency.heavyHitters(docs, col("lang"), 8)
+      .as[(String, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val sketched = Frequency.heavyHittersSketched(docs, col("lang"), 8, 32)
+      .as[(String, Long)].collect().toSet
+    assert(sketched == exact)
+    // and on the planted high-cardinality set, under several partitionings
+    val base = spark.range(0, 4000)
+      .select(when(col("id") % 5 === 0, lit("hot"))
+        .otherwise(concat(lit("u"), col("id") % 1500)).as("x"))
+    val e2 = Frequency.heavyHitters(base, col("x"), 4)
+      .as[(String, Long)].collect().toSet
+    for (parts <- Seq(2, 11)) {
+      val s2 = Frequency.heavyHittersSketched(base.repartition(parts),
+        col("x"), 4, 16).as[(String, Long)].collect().toSet
+      assert(s2 == e2, s"parts=$parts sketched $s2 != exact $e2")
+    }
+  }
+
+  test("capacity below k-1 is rejected (guarantee would be lost)") {
+    intercept[IllegalArgumentException] {
+      Frequency.heavyHittersSketched(docs, col("lang"), k = 8, capacity = 5)
+    }
+  }
+}
