@@ -1399,7 +1399,22 @@ object SparkEntry {
     // is itself the bottleneck.
     "q131_heavy_hitters_sketched" -> ((s, dir) =>
       Frequency.heavyHittersSketched(Tables.documents(s, dir), col("lang"),
-        k = 8, capacity = 32))
+        k = 8, capacity = 32)),
+
+    // --- weighted sampling (Efraimidis-Spirakis exponential race) ---
+    // Deterministic md5 uniforms make the race re-derivable by any
+    // engine; TakeOrderedAndProject keeps it bounded (no global sort).
+    "q132_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        col("doc_id"), col("n_chars"), n = 50)),
+
+    // --- per-group weighted sample over the native top-k aggregate ---
+    // Same race per language; the TopKAgg shuffle carries <= n pairs per
+    // (stratum x map partition) instead of every candidate row.
+    "q133_weighted_sample_per_key" -> ((s, dir) =>
+      Sampling.weightedSamplePerKey(Tables.documents(s, dir),
+        col("lang"), col("doc_id"), col("n_chars"), n = 5))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -3041,7 +3056,24 @@ object SparkEntry {
         SELECT lang AS item, count(*) AS cnt
         FROM documents WHERE lang IS NOT NULL GROUP BY 1
         HAVING count(*) * 8 > (SELECT count(*) FROM documents
-                               WHERE lang IS NOT NULL)"""
+                               WHERE lang IS NOT NULL)""",
+      "q132_weighted_sample" -> """
+        WITH t AS (SELECT doc_id, n_chars,
+            round(-ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 0.5) / 4294967296.0) / n_chars, 9) AS priority
+          FROM documents WHERE n_chars > 0)
+        SELECT doc_id, n_chars, priority FROM t
+        ORDER BY priority, doc_id LIMIT 50""",
+      "q133_weighted_sample_per_key" -> """
+        WITH t AS (SELECT lang AS stratum, doc_id AS id,
+            round(-ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 0.5) / 4294967296.0) / n_chars, 9) AS priority
+          FROM documents WHERE n_chars > 0)
+        SELECT stratum, CAST(rn AS INT) AS rnk, id, priority
+        FROM (SELECT stratum, id, priority,
+            row_number() OVER (PARTITION BY stratum
+              ORDER BY priority, id) AS rn FROM t)
+        WHERE rn <= 5"""
     )
   }
 

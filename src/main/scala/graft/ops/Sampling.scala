@@ -75,6 +75,60 @@ object Sampling {
           .partitionBy("shard").orderBy(mk, key)).cast("long"))
   }
 
+  /** Weighted sample WITHOUT replacement of `n` rows — inclusion odds
+    * proportional to `weight` — via the Efraimidis–Spirakis exponential
+    * race: each row draws priority −ln(u)/w from a uniform u and the n
+    * SMALLEST priorities win (equivalent to sequential weighted draws
+    * without replacement). u comes from the same md5-of-key uniform as
+    * [[deterministicBucket]], so the sample is deterministic, rerun- and
+    * repartition-stable, and re-derivable by any engine — the priority is
+    * rounded to 9 dp so cross-engine libm jitter in ln() cannot flip an
+    * ordering both engines agree on at that precision (ties break by key).
+    *
+    * Rows with non-positive weight are excluded (they'd never be drawn —
+    * and ANSI mode would throw on the division).
+    *
+    * Scale shape: a pure projection + `orderBy(priority).limit(n)` =
+    * `TakeOrderedAndProject` — each map task keeps its local top-n, the
+    * driver merges O(tasks·n); no global sort of the corpus.
+    *
+    * @return the sampled rows + a `priority` column (ascending = picked
+    *         first; useful for nested sub-samples: the top n' ≤ n rows are
+    *         exactly the weighted sample of size n')
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     n: Int): DataFrame = {
+    val u = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5d)) / lit(4294967296.0d)
+    df.filter(weight > 0)
+      .withColumn("priority", round(-log(u) / weight.cast("double"), 9))
+      .orderBy(col("priority"), key)
+      .limit(n)
+  }
+
+  /** Per-group weighted sample: the [[weightedSample]] race run
+    * independently inside every `stratum` value, with the winners chosen
+    * by the native bounded top-k aggregate ([[graft.functions.expressions.
+    * TopKAgg]], score = −priority) — so the shuffle carries at most n
+    * (id, priority) pairs per (stratum × map partition) instead of every
+    * row, the per-group analog of `TakeOrderedAndProject`. Returns
+    * (stratum, rnk, id, priority); join back on id for payload columns.
+    */
+  def weightedSamplePerKey(df: DataFrame, stratum: Column, key: Column,
+                           weight: Column, n: Int): DataFrame = {
+    val u = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5d)) / lit(4294967296.0d)
+    df.filter(weight > 0)
+      .select(stratum.as("stratum"), key.as("id"),
+        round(-log(u) / weight.cast("double"), 9).as("priority"))
+      .groupBy("stratum")
+      .agg(graft.functions.expressions.TopKAgg.topK(
+        -col("priority"), col("id"), n).as("top"))
+      .select(col("stratum"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("stratum"), (col("i") + 1).cast("int").as("rnk"),
+        col("t.id").as("id"), (-col("t.score")).as("priority"))
+  }
+
   /** Down-sample a corpus to a TOKEN budget with per-source mixture weights
     * — the "60% web, 30% code, 10% books, 500B tokens total" recipe every
     * training run starts from. Source `s` keeps a deterministic
