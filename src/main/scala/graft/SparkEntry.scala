@@ -1414,7 +1414,27 @@ object SparkEntry {
     // (stratum x map partition) instead of every candidate row.
     "q133_weighted_sample_per_key" -> ((s, dir) =>
       Sampling.weightedSamplePerKey(Tables.documents(s, dir),
-        col("lang"), col("doc_id"), col("n_chars"), n = 5))
+        col("lang"), col("doc_id"), col("n_chars"), n = 5)),
+
+    // --- order-independent table digest (reconciliation primitive) ---
+    // The oracle PASS here is literally two engines computing the same
+    // 60-bit-summed content digest over every row — the property the
+    // operator exists to provide. Floats are canonicalized to decimal
+    // and timestamps to date BEFORE digesting (engines disagree on
+    // float/fractional-second spelling; see Audit.tableDigest).
+    "q134_table_digest" -> ((s, dir) =>
+      Audit.tableDigest(
+        Tables.orders(s, dir)
+          .withColumn("o_totalprice",
+            round(col("o_totalprice"), 2).cast("decimal(12,2)"))
+          .withColumn("o_orderdate", col("o_orderdate").cast("date")),
+        groupCols = Seq("o_orderpriority"),
+        digestCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate"))
+        // ship the decimal digest as a string: pandas/fetchdf coerce
+        // DECIMAL(38,0) to lossy float64, and a 60-bit-sum digest is
+        // exactly the value a float round-trip can corrupt
+        .withColumn("content_digest", col("content_digest").cast("string")))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -3073,7 +3093,19 @@ object SparkEntry {
         FROM (SELECT stratum, id, priority,
             row_number() OVER (PARTITION BY stratum
               ORDER BY priority, id) AS rn FROM t)
-        WHERE rn <= 5"""
+        WHERE rn <= 5""",
+      "q134_table_digest" -> """
+        SELECT o_orderpriority, count(*) AS n_rows,
+          CAST(sum(CAST(CAST(('0x' || substring(md5(
+              coalesce(CAST(o_orderkey AS VARCHAR), chr(0)) || chr(1) ||
+              coalesce(CAST(o_custkey AS VARCHAR), chr(0)) || chr(1) ||
+              coalesce(o_orderstatus, chr(0)) || chr(1) ||
+              coalesce(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(12,2))
+                       AS VARCHAR), chr(0)) || chr(1) ||
+              coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), chr(0))
+            ), 1, 15)) AS BIGINT) AS DECIMAL(38,0)))
+            AS VARCHAR) AS content_digest
+        FROM orders GROUP BY 1"""
     )
   }
 

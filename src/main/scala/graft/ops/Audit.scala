@@ -50,4 +50,51 @@ object Audit {
     checks.map { case (name, df) =>
       df.select(lit(name).as("check"), col(df.columns.head).as("n_violations"))
     }.reduce(_ unionByName _)
+
+  /** Order-independent content digest per group — the migration/
+    * replication reconciliation primitive: run the SAME digest on both
+    * sides of a copy (different engine, different cluster, different day)
+    * and compare (n_rows, content_digest) per group instead of moving
+    * 100 TB twice. The row hash is the first 60 bits of md5 over a
+    * canonical encoding (field separator U+0001, null marker U+0000 —
+    * distinguishable from empty strings and from column shifts);
+    * the group digest SUMS row hashes into a decimal(38,0), so it is
+    * insensitive to row order and partitioning, map-side combinable, and
+    * bit-reproducible by any engine with md5 (mirrored verbatim in the
+    * q134 DuckDB oracle — that PASS is two engines agreeing on 60k
+    * digests).
+    *
+    * Columns are digested via CAST(... AS STRING); give float/double
+    * columns an explicit rounding/cast upstream (engines disagree on
+    * float-to-string spelling; integers, strings, dates, timestamps and
+    * decimals are spelled identically).
+    *
+    * Scale shape: one projection + one hash aggregate — the cheapest
+    * possible full-table pass; group by a partition-grained key so a
+    * mismatch localizes the re-copy.
+    */
+  def tableDigest(df: DataFrame, groupCols: Seq[String],
+                  digestCols: Seq[String]): DataFrame = {
+    val canonical = concat_ws("\u0001",
+      digestCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    val rowHash = conv(substring(md5(canonical), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(rowHash).as("content_digest"))
+  }
+
+  /** Compare two tables by group digest: one row per group where the
+    * sides disagree (missing on either side counts as a mismatch, n_rows
+    * null on the absent side). Empty result = tables reconcile.
+    */
+  def reconcile(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+                digestCols: Seq[String]): DataFrame = {
+    val da = tableDigest(a, groupCols, digestCols)
+      .withColumnsRenamed(Map("n_rows" -> "n_rows_a", "content_digest" -> "digest_a"))
+    val db = tableDigest(b, groupCols, digestCols)
+      .withColumnsRenamed(Map("n_rows" -> "n_rows_b", "content_digest" -> "digest_b"))
+    da.join(db, groupCols, "full_outer")
+      .filter(!(col("n_rows_a") <=> col("n_rows_b")) ||
+        !(col("digest_a") <=> col("digest_b")))
+  }
 }

@@ -363,6 +363,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(rep == Seq(("a", 2L), ("b", 2L)))
   }
 
+  test("reconcile: order/partitioning-invariant digest; drift localizes to its group") {
+    import graft.ops.Audit
+    val a = Seq((1L, "g1", "x"), (2L, "g1", "y"), (3L, "g2", "z"),
+      (4L, "g2", null.asInstanceOf[String])).toDF("id", "g", "v")
+    // same content, different order and partitioning → reconciles clean
+    val b = a.orderBy($"id".desc).repartition(7)
+    assert(Audit.reconcile(a, b, Seq("g"), Seq("id", "v")).isEmpty)
+    // null value vs empty string vs missing column must NOT collide
+    val bEmpty = a.withColumn("v", when($"id" === 4, lit("")).otherwise($"v"))
+    val drift = Audit.reconcile(a, bEmpty, Seq("g"), Seq("id", "v"))
+      .select("g").as[String].collect().toSeq
+    assert(drift == Seq("g2"), "null->empty drift must surface, only in g2")
+    // a dropped row changes BOTH n_rows and digest in its group only
+    val bMissing = a.filter($"id" =!= 1)
+    val r = Audit.reconcile(a, bMissing, Seq("g"), Seq("id", "v"))
+      .select($"g", $"n_rows_a", $"n_rows_b").as[(String, Long, Long)]
+      .collect().toSeq
+    assert(r == Seq(("g1", 2L, 1L)))
+    // a group absent on one side entirely surfaces with null counts
+    val bNoG2 = a.filter($"g" =!= "g2")
+    val gone = Audit.reconcile(a, bNoG2, Seq("g"), Seq("id", "v"))
+      .select($"g", $"n_rows_b".isNull).as[(String, Boolean)].collect().toSeq
+    assert(gone == Seq(("g2", true)))
+  }
+
   test("rollingCorr: ±1 on linear series, null on constant side") {
     val up = (1 to 6).map(i => (1L, i.toLong, i.toDouble, i.toDouble + 1))
     val anti = (1 to 6).map(i => (2L, i.toLong, i.toDouble, -i.toDouble))

@@ -208,4 +208,26 @@ class PlanSpec extends SparkSpec {
     // single-partition exchange may exist upstream of the limit
     assert(countOf(p, "Exchange rangepartitioning") == 0, p.take(1500))
   }
+
+  test("q130: exact heavy hitters scans the corpus ONCE") {
+    // the total-n window must ride the aggregated counts, never trigger a
+    // second corpus scan (exchange reuse between twin scans is broken by
+    // column pruning — the reason the operator uses the window shape)
+    val p = plan("q130_heavy_hitters")
+    assert(countOf(p, "Scan parquet") == 1, p.take(1500))
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p.take(1500))
+  }
+
+  test("q132: weighted sample is TakeOrderedAndProject, no global sort") {
+    val p = plan("q132_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(countOf(p, "Exchange rangepartitioning") == 0, p.take(1500))
+  }
+
+  test("q133: per-key weighted sample partial-aggregates on the map side") {
+    val p = plan("q133_weighted_sample_per_key")
+    assert(p.contains("partial_top_k"), p.take(1500))
+    assert(!p.contains("RowNumber") && !p.contains("row_number"),
+      "per-key sample must use the bounded aggregate, not a window")
+  }
 }

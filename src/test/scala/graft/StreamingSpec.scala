@@ -184,6 +184,36 @@ class StreamingSpec extends SparkSpec {
     assert(out.columns.contains("window") && out.columns.contains("n"))
   }
 
+  test("streaming heavy hitters: mg_topk keeps bounded state across micro-batches") {
+    import graft.functions.expressions.MisraGries
+    val dir = Files.createTempDirectory("graft_smg").toString
+    // 300 hot rows / 100 tail rows spread over 3 files → 3 micro-batches
+    // with maxFilesPerTrigger=1, so the sketch must MERGE across batch
+    // boundaries through the state store
+    (0 until 3).foreach { b =>
+      (0 until 100).map(i =>
+        (b * 1000 + i, if (i % 4 != 0) "hot" else s"tail-$b-$i"))
+        .toDF("id", "x").repartition(1)
+        .write.mode("append").parquet(dir)
+    }
+    val schema = Seq((0, "")).toDF("id", "x").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .groupBy().agg(MisraGries.mgTopK(col("x"), 5).as("sk"))
+    val q = stream.writeStream.format("memory").queryName("graft_mg_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 3, "expected one progress per file batch")
+    val est = spark.table("graft_mg_out")
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.est_cnt")).as[(String, Long)]
+      .collect().toMap
+    // n=300, cap=5 → every estimate within n/(cap+1)=50 of truth (225 hot)
+    assert(est.contains("hot"), s"hot item lost across batches: $est")
+    assert(est("hot") <= 225 && est("hot") >= 175, s"hot estimate ${est("hot")}")
+  }
+
   test("stream-stream interval join matches only rows inside the time bound") {
     val ldir = Files.createTempDirectory("graft_ssl").toString
     val rdir = Files.createTempDirectory("graft_ssr").toString
