@@ -23,6 +23,28 @@ class LayoutSkewSpec extends SparkSpec {
       df.filter(year($"o_orderdate") === 1996).count())
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes the fact scan at runtime") {
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    val fact = spark.read.parquet(s"${sf()}/orders.parquet")
+      .withColumn("oyear", year($"o_orderdate"))
+    ParquetIO.writePartitioned(fact, dir, Seq("oyear"))
+    // the pruning years live in DATA of a dim table on disk — a static
+    // PartitionFilter cannot know them (a when()-derived tag would be
+    // constant-folded straight into oyear constraints); DPP must inject
+    // the subquery at runtime
+    val dimDir = Files.createTempDirectory("graft_dpp_dim").toString
+    fact.select($"oyear").distinct()
+      .withColumn("tag", when($"oyear" === 1996, "keep").otherwise("drop"))
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = spark.read.parquet(dir)
+      .join(dim.filter($"tag" === "keep"), Seq("oyear"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic pruning filter:\n${plan.take(1800)}")
+    assert(joined.count() == fact.filter($"oyear" === 1996).count())
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     Seq("graft_b_orders", "graft_b_lineitem").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
