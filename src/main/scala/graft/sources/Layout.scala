@@ -229,9 +229,59 @@ object Layout {
   def compactVersioned(spark: SparkSession, root: String, targetBytes: Long): String = {
     val cur = resolveCurrent(spark, root)
     val fs = new Path(cur).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(leafNames(fs, new Path(cur)).isEmpty,
+      s"$root is a PARTITIONED versioned root — use compactVersionedPartitioned " +
+        "(a flat rewrite would drop the hive layout the key-pruned merge needs)")
     val totalBytes = fs.getContentSummary(new Path(cur)).getLength
     val files = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     writeNextVersion(spark, root, cur, spark.read.parquet(cur).coalesce(files))
+  }
+
+  /** Reader-safe compaction for a PARTITIONED versioned root — the
+    * maintenance pass that pays down the small files a streaming upsert
+    * ([[graft.streaming.StreamingOps.streamMergeVersioned]]) accretes:
+    * every micro-batch rewrites its touched leaves, so a hot partition
+    * ends up with one small file per batch. Only leaves with more than
+    * `maxFiles` data files (or an average file under `targetBytes/2`) are
+    * rewritten, each coalesced to ~`targetBytes` files; every healthy
+    * leaf carries forward as hardlinks, unread — compaction cost tracks
+    * the FRAGMENTED partitions, not the table. Same atomic pointer flip;
+    * old snapshots stay readable until [[vacuumVersions]].
+    *
+    * @return (new live path, number of leaves rewritten)
+    */
+  def compactVersionedPartitioned(spark: SparkSession, root: String,
+                                  targetBytes: Long,
+                                  maxFiles: Int = 8): (String, Int) = {
+    val cur = resolveCurrent(spark, root)
+    val curPath = new Path(cur)
+    val fs = curPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fragmented = fs.listStatus(curPath).filter(_.isDirectory)
+      .filter(_.getPath.getName.contains("=")).flatMap { leaf =>
+        val data = fs.listStatus(leaf.getPath).filter(f => f.isFile &&
+          !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        val bytes = data.map(_.getLen).sum
+        val tooMany = data.length > maxFiles
+        val tooSmall = data.length > 1 && bytes / data.length < targetBytes / 2
+        if (tooMany || tooSmall) Some(leaf.getPath.getName -> bytes) else None
+      }.toMap
+    val (next, nextPath) = nextVersion(root, cur)
+    // one coalesced write per fragmented leaf (hive data files don't
+    // contain pcol — it lives in the dir name — so a direct leaf-to-leaf
+    // rewrite preserves the layout exactly). The driver loop is
+    // O(fragmented leaves) — metadata scale, same class as the listing —
+    // and each leaf's job is independent, so a maintenance fleet can
+    // shard leaves across sessions at 100 TB.
+    fragmented.toSeq.sortBy(_._1).foreach { case (leaf, bytes) =>
+      val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      spark.read.parquet(s"$cur/$leaf").coalesce(files)
+        .write.mode(SaveMode.Overwrite).parquet(s"$nextPath/$leaf")
+    }
+    if (fragmented.isEmpty) fs.mkdirs(new Path(nextPath))
+    carryForward(fs, curPath, new Path(nextPath), fragmented.keySet,
+      spark.sparkContext.hadoopConfiguration)
+    writePointer(spark, root, next)
+    (nextPath, fragmented.size)
   }
 
   /** Storage-layer MERGE (upsert) on a versioned root: rows of `updates`

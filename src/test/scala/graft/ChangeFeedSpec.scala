@@ -121,6 +121,53 @@ class ChangeFeedSpec extends SparkSpec {
     assert(ex2.getMessage.contains("retyped"))
   }
 
+  test("compactVersionedPartitioned heals only fragmented leaves; links the rest") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val root = Files.createTempDirectory("graft_cvp").toString
+    Layout.initVersionedPartitioned(
+      rows((1L, "p1", 1.0), (100L, "p2", 5.0)), root, "part")
+    // ten 1-row merges into p1 → ten tiny files in p1; p2 untouched
+    (2L to 11L).foreach(i => Layout.mergeVersionedPartitioned(spark, root,
+      rows((i, "p1", i.toDouble)), Seq("id"), "part"))
+    def leafFiles(v: String, leaf: String) =
+      new java.io.File(s"$v/$leaf").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val before = Layout.resolveCurrent(spark, root)
+    assert(leafFiles(before, "part=p1").length > 1,
+      "merges should leave p1 with multiple tiny files")
+    val (after, rewritten) =
+      Layout.compactVersionedPartitioned(spark, root, targetBytes = 1L << 30)
+    assert(rewritten == 1, "only p1 is fragmented")
+    assert(leafFiles(after, "part=p1").length == 1, "p1 collapses to one file")
+    // p2 carried forward as the SAME inode
+    def inode(f: java.io.File) =
+      JFiles.readAttributes(Paths.get(f.getPath),
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    val p2b = leafFiles(before, "part=p2").map(inode).toSet
+    val p2a = leafFiles(after, "part=p2").map(inode).toSet
+    assert(p2a == p2b, "healthy leaf must hardlink forward, not copy")
+    // content identical across the flip; pre-compaction snapshot intact
+    val want = (1L to 11L).map(i => (i, "p1", i.toDouble)).toSet + ((100L, "p2", 5.0))
+    assert(Layout.readCurrent(spark, root)
+      .select($"id", $"part", $"v").as[(Long, String, Double)].collect().toSet == want)
+    assert(spark.read.parquet(before).count() == 12)
+    // the change feed across a pure compaction is EMPTY (files moved,
+    // content didn't) — file-identity pruning sees the rewritten leaf,
+    // the row diff then proves it equal
+    assert(Layout.changeFeed(spark, root, 10, 11, Seq("id")).isEmpty)
+    // and a re-run finds nothing left to do
+    assert(Layout.compactVersionedPartitioned(spark, root, 1L << 30)._2 == 0)
+  }
+
+  test("compactVersioned refuses a partitioned root (layout would be lost)") {
+    val root = Files.createTempDirectory("graft_cvp2").toString
+    Layout.initVersionedPartitioned(rows((1L, "p1", 1.0)), root, "part")
+    val ex = intercept[IllegalArgumentException] {
+      Layout.compactVersioned(spark, root, 1L << 20)
+    }
+    assert(ex.getMessage.contains("compactVersionedPartitioned"))
+  }
+
   test("changeFeed between identical versions is empty") {
     val root = history()
     // v1 -> v2 deleted id=3 only; diffing v2 against itself via a no-op
