@@ -641,6 +641,49 @@ object Layout {
         col("__e").getField("t").as("_change_type"): _*)
   }
 
+  /** Version log of a versioned root (the `DESCRIBE HISTORY` surface):
+    * one row per un-vacuumed version dir with its file count, total
+    * bytes, latest file mtime, and whether `_current` points at it.
+    * Driver-side listing only — O(#versions + #files) metadata, no data
+    * read; built as a LocalRelation so it composes with any query.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = resolveCurrent(spark, root)
+      .substring(root.length).dropWhile(_ == '/')
+    val rows = fs.listStatus(rootPath).filter(_.isDirectory)
+      .filter(_.getPath.getName.matches("v\\d{5}")).sortBy(_.getPath.getName)
+      .map { v =>
+        var files = 0L; var bytes = 0L; var mtime = 0L
+        val it = fs.listFiles(v.getPath, true)
+        while (it.hasNext) {
+          val f = it.next()
+          val n = f.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".")) {
+            files += 1; bytes += f.getLen
+            mtime = math.max(mtime, f.getModificationTime)
+          }
+        }
+        org.apache.spark.sql.Row(v.getPath.getName.substring(1).toInt,
+          files, bytes, new java.sql.Timestamp(mtime),
+          v.getPath.getName == current)
+      }
+    spark.createDataFrame(rows.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_files",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("modified",
+          org.apache.spark.sql.types.TimestampType, nullable = false),
+        org.apache.spark.sql.types.StructField("is_current",
+          org.apache.spark.sql.types.BooleanType, nullable = false))))
+  }
+
   /** Delete all version dirs except the newest `keep` (the live one is
     * always within the newest `keep` ≥ 1). Run this on a schedule with a
     * grace period, not inline with the flip — an in-flight reader may still

@@ -168,6 +168,20 @@ class ChangeFeedSpec extends SparkSpec {
     assert(ex.getMessage.contains("compactVersionedPartitioned"))
   }
 
+  test("history lists every live version with the current flagged") {
+    val root = history()
+    val h = Layout.history(spark, root)
+      .select($"version", $"is_current").as[(Int, Boolean)].collect().toSeq
+    assert(h == Seq((0, false), (1, false), (2, true)))
+    val stats = Layout.history(spark, root)
+      .select($"n_files", $"bytes").as[(Long, Long)].collect()
+    assert(stats.forall { case (f, b) => f > 0 && b > 0 })
+    // vacuum drops rows from the log too
+    Layout.vacuumVersions(spark, root, keep = 1)
+    assert(Layout.history(spark, root).select($"version").as[Int]
+      .collect().toSeq == Seq(2))
+  }
+
   test("changeFeed between identical versions is empty") {
     val root = history()
     // v1 -> v2 deleted id=3 only; diffing v2 against itself via a no-op
