@@ -88,6 +88,32 @@ class FrequencySpec extends SparkSpec {
     }
   }
 
+  test("mg_topk per group: the MG bounds hold independently inside each group") {
+    val base = spark.range(0, 3000)
+      .select((col("id") % 3).cast("string").as("g"),
+        when(col("id") % 5 < 2, concat(lit("hot"), col("id") % 3))
+          .otherwise(concat(lit("u"), col("id"))).as("x"))
+    val cap = 6
+    val perGroup = base.repartition(8)
+      .groupBy("g").agg(MisraGries.mgTopK(col("x"), cap).as("s"))
+      .select(col("g"), explode(col("s")).as("e"))
+      .select(col("g"), col("e.item"), col("e.est_cnt"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val truth = base.groupBy("g", "x").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    (0 to 2).map(_.toString).foreach { g =>
+      val n = truth(g).values.sum           // 1000 per group
+      val eps = n.toDouble / (cap + 1)
+      val hot = s"hot$g"                    // 400 per group > eps ≈ 143
+      assert(perGroup(g).contains(hot), s"group $g lost its heavy hitter")
+      val e = perGroup(g)(hot)
+      assert(e <= truth(g)(hot) && e >= truth(g)(hot) - eps,
+        s"group $g estimate $e outside bounds")
+    }
+  }
+
   test("capacity below k-1 is rejected (guarantee would be lost)") {
     intercept[IllegalArgumentException] {
       Frequency.heavyHittersSketched(docs, col("lang"), k = 8, capacity = 5)

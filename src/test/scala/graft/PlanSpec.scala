@@ -230,4 +230,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("RowNumber") && !p.contains("row_number"),
       "per-key sample must use the bounded aggregate, not a window")
   }
+
+  test("q134: table digest is one scan, one map-side-combined shuffle") {
+    val p = plan("q134_table_digest")
+    assert(countOf(p, "Scan parquet") == 1, p.take(1500))
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p.take(1500))
+    assert(p.contains("partial_sum"),
+      "digest sum must combine on the map side — the full-table pass " +
+        "shuffles one row per group, never per input row")
+  }
 }
