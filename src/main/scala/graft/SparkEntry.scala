@@ -1416,6 +1416,19 @@ object SparkEntry {
       Sampling.weightedSamplePerKey(Tables.documents(s, dir),
         col("lang"), col("doc_id"), col("n_chars"), n = 5)),
 
+    // --- HLL sketch rollup (distinct counts that re-aggregate) ---
+    // Build per-(event_type, day) sketches in ONE scan, then roll up to
+    // event_type by unioning sketches — never rescanning events. Like
+    // q42, estimates aren't SQL-hash-oracle-able (rows-only by contract);
+    // SketchesSpec differential-tests them against exact distincts.
+    "q135_distinct_rollup" -> ((s, dir) => {
+      val daily = Sketches.distinctSketches(
+        Tables.events(s, dir).withColumn("day", to_date(col("ts"))),
+        Seq("event_type", "day"), col("user_id"))
+      Sketches.rollupDistinct(daily, Seq("event_type"))
+        .select(col("event_type"), col("n_distinct_est"))
+    }),
+
     // --- order-independent table digest (reconciliation primitive) ---
     // The oracle PASS here is literally two engines computing the same
     // 60-bit-summed content digest over every row — the property the
