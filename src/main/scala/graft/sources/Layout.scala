@@ -250,9 +250,17 @@ object Layout {
     *
     * @return (new live path, number of leaves rewritten)
     */
+  /** Optional `zOrderCols`: cluster each rewritten leaf with
+    * [[writeZOrdered]] while it is being compacted anyway — the rewrite
+    * is already paid for, so multi-dimensional data skipping inside hot
+    * partitions comes at shuffle-of-one-leaf cost (the standard OPTIMIZE
+    * ZORDER maintenance pairing). Healthy leaves keep their existing
+    * clustering (they are not rewritten).
+    */
   def compactVersionedPartitioned(spark: SparkSession, root: String,
                                   targetBytes: Long,
-                                  maxFiles: Int = 8): (String, Int) = {
+                                  maxFiles: Int = 8,
+                                  zOrderCols: Seq[String] = Nil): (String, Int) = {
     val cur = resolveCurrent(spark, root)
     val curPath = new Path(cur)
     val fs = curPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -274,8 +282,12 @@ object Layout {
     // shard leaves across sessions at 100 TB.
     fragmented.toSeq.sortBy(_._1).foreach { case (leaf, bytes) =>
       val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-      spark.read.parquet(s"$cur/$leaf").coalesce(files)
-        .write.mode(SaveMode.Overwrite).parquet(s"$nextPath/$leaf")
+      val data = spark.read.parquet(s"$cur/$leaf")
+      if (zOrderCols.nonEmpty)
+        writeZOrdered(data, s"$nextPath/$leaf", zOrderCols, files = files)
+      else
+        data.coalesce(files)
+          .write.mode(SaveMode.Overwrite).parquet(s"$nextPath/$leaf")
     }
     if (fragmented.isEmpty) fs.mkdirs(new Path(nextPath))
     carryForward(fs, curPath, new Path(nextPath), fragmented.keySet,

@@ -159,6 +159,42 @@ class ChangeFeedSpec extends SparkSpec {
     assert(Layout.compactVersionedPartitioned(spark, root, 1L << 30)._2 == 0)
   }
 
+  test("compaction with zOrderCols clusters the rewritten leaf, same content") {
+    val root = Files.createTempDirectory("graft_cvpz").toString
+    val rnd = new scala.util.Random(7)
+    val init = (1L to 400L).map(i =>
+      (i, "p1", rnd.nextInt(1000).toDouble)).toDF("id", "part", "v")
+    Layout.initVersionedPartitioned(init, root, "part")
+    // fragment p1, then compact with z-ordering on (id, v)
+    (401L to 404L).foreach(i => Layout.mergeVersionedPartitioned(spark, root,
+      Seq((i, "p1", rnd.nextInt(1000).toDouble)).toDF("id", "part", "v"),
+      Seq("id"), "part"))
+    val (after, rewritten) = Layout.compactVersionedPartitioned(spark, root,
+      targetBytes = 6000, zOrderCols = Seq("id", "v"))
+    assert(rewritten == 1)
+    val files = new java.io.File(s"$after/part=p1").listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.length > 1, "target should force multiple clustered files")
+    // content preserved exactly
+    assert(Layout.readCurrent(spark, root)
+      .select($"id", $"v").as[(Long, Double)].collect().toSet ==
+      spark.read.parquet(Layout.resolveVersion(spark, root, 4))
+        .select($"id", $"v").as[(Long, Double)].collect().toSet)
+    // clustering held: a small 2-D box query's (id, v) bounds intersect
+    // only SOME files' bounding boxes (unclustered writes scatter every
+    // box across every file — z-order is exactly the 2-D guarantee, so
+    // don't assert single-dim disjointness, the curve interleaves dims)
+    val boxes = files.map { f =>
+      val d = spark.read.parquet(f.getPath)
+        .agg(min($"id"), max($"id"), min($"v"), max($"v")).head()
+      (d.getLong(0), d.getLong(1), d.getDouble(2), d.getDouble(3))
+    }
+    val hit = boxes.count { case (i1, i2, v1, v2) =>
+      i1 <= 100L && 1L <= i2 && v1 <= 250.0 && 0.0 <= v2 }
+    assert(hit < files.length,
+      s"a corner box should skip at least one clustered file: $boxes")
+  }
+
   test("compactVersioned refuses a partitioned root (layout would be lost)") {
     val root = Files.createTempDirectory("graft_cvp2").toString
     Layout.initVersionedPartitioned(rows((1L, "p1", 1.0)), root, "part")
