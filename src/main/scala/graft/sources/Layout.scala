@@ -264,14 +264,13 @@ object Layout {
     val cur = resolveCurrent(spark, root)
     val curPath = new Path(cur)
     val fs = curPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fragmented = fs.listStatus(curPath).filter(_.isDirectory)
-      .filter(_.getPath.getName.contains("=")).flatMap { leaf =>
-        val data = fs.listStatus(leaf.getPath).filter(f => f.isFile &&
+    val fragmented = leafNames(fs, curPath).toSeq.flatMap { leaf =>
+        val data = fs.listStatus(new Path(curPath, leaf)).filter(f => f.isFile &&
           !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
         val bytes = data.map(_.getLen).sum
         val tooMany = data.length > maxFiles
         val tooSmall = data.length > 1 && bytes / data.length < targetBytes / 2
-        if (tooMany || tooSmall) Some(leaf.getPath.getName -> bytes) else None
+        if (tooMany || tooSmall) Some(leaf -> bytes) else None
       }.toMap
     val (next, nextPath) = nextVersion(root, cur)
     // one coalesced write per fragmented leaf (hive data files don't
@@ -376,9 +375,18 @@ object Layout {
     * hardlink — a 1-row upsert into a 100 TB table costs one partition's
     * rewrite plus O(#partitions) metadata ops, not a 100 TB copy.
     */
-  def initVersionedPartitioned(df: DataFrame, root: String, pcol: String): String = {
+  def initVersionedPartitioned(df: DataFrame, root: String, pcol: String): String =
+    initVersionedPartitioned(df, root, Seq(pcol))
+
+  /** Multi-level variant: `root/vNNNNN/a=1/b=2/part-*.parquet` — the
+    * date+region layout production tables actually use. Every pruning,
+    * carry-forward, change-feed and compaction path works on terminal
+    * leaves at any depth.
+    */
+  def initVersionedPartitioned(df: DataFrame, root: String,
+                               pcols: Seq[String]): String = {
     val v0 = versionName(0)
-    df.write.mode(SaveMode.Overwrite).partitionBy(pcol).parquet(s"$root/$v0")
+    df.write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(s"$root/$v0")
     writePointer(df.sparkSession, root, v0)
     s"$root/$v0"
   }
@@ -416,29 +424,39 @@ object Layout {
     */
   def mergeVersionedPartitioned(spark: SparkSession, root: String,
                                 updates: DataFrame, keys: Seq[String],
-                                pcol: String): String = {
+                                pcol: String): String =
+    mergeVersionedPartitioned(spark, root, updates, keys, Seq(pcol))
+
+  /** Multi-level variant; see the single-column overload for the full
+    * contract (which applies per partition COLUMN TUPLE here).
+    */
+  def mergeVersionedPartitioned(spark: SparkSession, root: String,
+                                updates: DataFrame, keys: Seq[String],
+                                pcols: Seq[String]): String = {
     val cur = resolveCurrent(spark, root)
     val curPath = new Path(cur)
     val fs = curPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val affected = affectedLeaves(updates.select(col(pcol)), pcol, root)
+    val affected = affectedLeaves(
+      updates.select(pcols.map(col): _*), pcols, root)
     val existingAffected = leafNames(fs, curPath).intersect(affected).toSeq.sorted
     val merged =
       if (existingAffected.isEmpty) updates
       else {
-        // basePath keeps pcol as a column; only the touched leaves are read.
-        val existing = spark.read.option("basePath", cur)
+        // basePath keeps pcols as columns; only the touched leaves are read.
+        val existing0 = spark.read.option("basePath", cur)
           .option("mergeSchema", "true")
           .parquet(existingAffected.map(n => s"$cur/$n"): _*)
-          // partition-value inference may narrow the type (long -> int);
-          // align with the caller's schema so unionByName stays exact
-          .withColumn(pcol, col(pcol).cast(updates.schema(pcol).dataType))
+        // partition-value inference may narrow the type (long -> int);
+        // align with the caller's schema so unionByName stays exact
+        val existing = pcols.foldLeft(existing0)((d, c) =>
+          d.withColumn(c, col(c).cast(updates.schema(c).dataType)))
         requireEvolvable(existing, updates)
         updates.unionByName(
           existing.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"),
           allowMissingColumns = true)
       }
     val (next, nextPath) = nextVersion(root, cur)
-    merged.write.mode(SaveMode.Overwrite).partitionBy(pcol).parquet(nextPath)
+    merged.write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
     carryForward(fs, curPath, new Path(nextPath), affected,
       spark.sparkContext.hadoopConfiguration)
     writePointer(spark, root, next)
@@ -454,19 +472,25 @@ object Layout {
     * @return the new live version path
     */
   def deleteVersionedPartitioned(spark: SparkSession, root: String,
-                                 predicate: Column, pcol: String): String = {
+                                 predicate: Column, pcol: String): String =
+    deleteVersionedPartitioned(spark, root, predicate, Seq(pcol))
+
+  /** Multi-level variant of the key-pruned DELETE. */
+  def deleteVersionedPartitioned(spark: SparkSession, root: String,
+                                 predicate: Column, pcols: Seq[String]): String = {
     val cur = resolveCurrent(spark, root)
     val curPath = new Path(cur)
     val fs = curPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val affected = affectedLeaves(
-      spark.read.parquet(cur).filter(predicate).select(col(pcol)), pcol, root)
+      spark.read.parquet(cur).filter(predicate)
+        .select(pcols.map(col): _*), pcols, root)
     val existingAffected = leafNames(fs, curPath).intersect(affected).toSeq.sorted
     val (next, nextPath) = nextVersion(root, cur)
     if (existingAffected.nonEmpty) {
       spark.read.option("basePath", cur)
         .parquet(existingAffected.map(n => s"$cur/$n"): _*)
         .filter(!predicate)
-        .write.mode(SaveMode.Overwrite).partitionBy(pcol).parquet(nextPath)
+        .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
     }
     carryForward(fs, curPath, new Path(nextPath), affected,
       spark.sparkContext.hadoopConfiguration)
@@ -480,11 +504,12 @@ object Layout {
     * back. No row data ever reaches the driver — only partition metadata,
     * O(#distinct values).
     */
-  private def affectedLeaves(df: DataFrame, pcol: String, root: String): Set[String] = {
+  private def affectedLeaves(df: DataFrame, pcols: Seq[String],
+                             root: String): Set[String] = {
     val spark = df.sparkSession
     val tmp = s"$root/.affected-${System.nanoTime()}"
     df.distinct().withColumn("__one", lit(1))
-      .write.mode(SaveMode.Overwrite).partitionBy(pcol).parquet(tmp)
+      .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(tmp)
     val p = new Path(tmp)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val names = leafNames(fs, p)
@@ -492,9 +517,26 @@ object Layout {
     names
   }
 
-  private def leafNames(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Set[String] =
-    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.contains("=")).toSet
+  /** Relative paths of the TERMINAL hive partition dirs under `dir`:
+    * `pcol=v` for single-level layouts, `a=1/b=2/...` for multi-level —
+    * a dir is a leaf when it has no `=`-named subdirectories. Depth-1
+    * layouts get exactly the old single-segment names, so every caller
+    * (merge pruning, carry-forward, change-feed identity, compaction)
+    * generalizes to multi-column partitioning through this one function.
+    */
+  private def leafNames(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Set[String] = {
+    val acc = scala.collection.mutable.Set[String]()
+    def rec(p: Path, prefix: String): Unit = {
+      val parts = fs.listStatus(p).filter(st =>
+        st.isDirectory && st.getPath.getName.contains("="))
+      if (parts.isEmpty) { if (prefix.nonEmpty) acc += prefix }
+      else parts.foreach(st => rec(st.getPath,
+        if (prefix.isEmpty) st.getPath.getName
+        else s"$prefix/${st.getPath.getName}"))
+    }
+    if (fs.exists(dir)) rec(dir, "")
+    acc.toSet
+  }
 
   /** Link (or copy, off local/HDFS-like filesystems) every data file of
     * `cur`'s leaf dirs NOT in `skip` into `next`. Hardlinks mean the bytes
@@ -506,22 +548,19 @@ object Layout {
                            conf: org.apache.hadoop.conf.Configuration): Unit = {
     val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
       fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
-    fs.listStatus(cur).foreach { st =>
-      val name = st.getPath.getName
-      if (st.isDirectory && name.contains("=") && !skip.contains(name)) {
-        val dstDir = new Path(next, name)
-        fs.mkdirs(dstDir)
-        fs.listStatus(st.getPath).foreach { f =>
-          val fn = f.getPath.getName
-          if (f.isFile && !fn.startsWith("_") && !fn.startsWith(".")) {
-            val dst = new Path(dstDir, fn)
-            if (local)
-              java.nio.file.Files.createLink(
-                java.nio.file.Paths.get(dst.toUri.getPath),
-                java.nio.file.Paths.get(f.getPath.toUri.getPath))
-            else
-              org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, dst, false, conf)
-          }
+    (leafNames(fs, cur) -- skip).foreach { leaf =>
+      val dstDir = new Path(next, leaf)
+      fs.mkdirs(dstDir)
+      fs.listStatus(new Path(cur, leaf)).foreach { f =>
+        val fn = f.getPath.getName
+        if (f.isFile && !fn.startsWith("_") && !fn.startsWith(".")) {
+          val dst = new Path(dstDir, fn)
+          if (local)
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(dst.toUri.getPath),
+              java.nio.file.Paths.get(f.getPath.toUri.getPath))
+          else
+            org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, dst, false, conf)
         }
       }
     }

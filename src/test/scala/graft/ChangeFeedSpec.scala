@@ -204,6 +204,53 @@ class ChangeFeedSpec extends SparkSpec {
     assert(ex.getMessage.contains("compactVersionedPartitioned"))
   }
 
+  test("multi-level partitioning: pruning, change feed and compaction work at depth 2") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val root = Files.createTempDirectory("graft_ml").toString
+    def rows2(rs: (Long, String, String, Double)*) =
+      rs.toDF("id", "day", "region", "v")
+    Layout.initVersionedPartitioned(rows2(
+      (1L, "d1", "eu", 1.0), (2L, "d1", "us", 2.0),
+      (3L, "d2", "eu", 3.0), (4L, "d2", "us", 4.0)),
+      root, Seq("day", "region"))
+    // merge touches ONLY day=d1/region=us
+    Layout.mergeVersionedPartitioned(spark, root,
+      rows2((2L, "d1", "us", 99.0), (5L, "d1", "us", 5.0)),
+      Seq("id"), Seq("day", "region"))
+    val v0 = Layout.resolveVersion(spark, root, 0)
+    val v1 = Layout.resolveVersion(spark, root, 1)
+    def inodes(v: String, leaf: String) =
+      new java.io.File(s"$v/$leaf").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => JFiles.readAttributes(Paths.get(f.getPath),
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()).toSet
+    // untouched deep leaves carried forward as the SAME inodes
+    for (leaf <- Seq("day=d1/region=eu", "day=d2/region=eu", "day=d2/region=us"))
+      assert(inodes(v1, leaf) == inodes(v0, leaf), s"$leaf must hardlink")
+    assert(inodes(v1, "day=d1/region=us") != inodes(v0, "day=d1/region=us"))
+    // change feed prunes to exactly the touched deep leaf
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Layout.changedLeaves(spark, fs, new Path(v0), new Path(v1)) ==
+      Set("day=d1/region=us"))
+    assert(Layout.changeFeed(spark, root, 0, 1, Seq("id"))
+      .select($"id", $"_change_type").as[(Long, String)].collect().toSet ==
+      Set((2L, "update_pre"), (2L, "update_post"), (5L, "insert")))
+    // delete pruned by a partition-column predicate
+    Layout.deleteVersionedPartitioned(spark, root,
+      col("region") === "eu" && col("id") === 3, Seq("day", "region"))
+    assert(Layout.readCurrent(spark, root).select($"id").as[Long]
+      .collect().toSet == Set(1L, 2L, 4L, 5L))
+    // fragment d1/us further, then per-leaf compaction heals just it
+    (6L to 9L).foreach(i => Layout.mergeVersionedPartitioned(spark, root,
+      rows2((i, "d1", "us", i.toDouble)), Seq("id"), Seq("day", "region")))
+    val (after, rewritten) =
+      Layout.compactVersionedPartitioned(spark, root, targetBytes = 1L << 30)
+    assert(rewritten == 1)
+    assert(new java.io.File(s"$after/day=d1/region=us").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    assert(Layout.readCurrent(spark, root).count() == 8)
+  }
+
   test("history lists every live version with the current flagged") {
     val root = history()
     val h = Layout.history(spark, root)
