@@ -1429,6 +1429,26 @@ object SparkEntry {
         .select(col("event_type"), col("n_distinct_est"))
     }),
 
+    // --- digest-based reconciliation with planted drift ---
+    // One row dropped from the "replica" side; reconcile must localize
+    // the drift to exactly that row's group, with both sides' counts and
+    // digests. DuckDB mirrors the whole two-table digest compare.
+    "q136_reconcile_drift" -> ((s, dir) => {
+      def canon(df: DataFrame) = df
+        .withColumn("o_totalprice",
+          round(col("o_totalprice"), 2).cast("decimal(12,2)"))
+        .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+      val a = canon(Tables.orders(s, dir))
+      val b = a.filter(col("o_orderkey") =!= 7L)
+      Audit.reconcile(a, b, Seq("o_orderpriority"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate"))
+        .select(col("o_orderpriority"),
+          col("n_rows_a"), col("n_rows_b"),
+          col("digest_a").cast("string").as("digest_a"),
+          col("digest_b").cast("string").as("digest_b"))
+    }),
+
     // --- order-independent table digest (reconciliation primitive) ---
     // The oracle PASS here is literally two engines computing the same
     // 60-bit-summed content digest over every row — the property the
@@ -3107,6 +3127,29 @@ object SparkEntry {
             row_number() OVER (PARTITION BY stratum
               ORDER BY priority, id) AS rn FROM t)
         WHERE rn <= 5""",
+      "q136_reconcile_drift" -> """
+        WITH rh AS (SELECT o_orderpriority, o_orderkey,
+            CAST(CAST(('0x' || substring(md5(
+              coalesce(CAST(o_orderkey AS VARCHAR), chr(0)) || chr(1) ||
+              coalesce(CAST(o_custkey AS VARCHAR), chr(0)) || chr(1) ||
+              coalesce(o_orderstatus, chr(0)) || chr(1) ||
+              coalesce(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(12,2))
+                       AS VARCHAR), chr(0)) || chr(1) ||
+              coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), chr(0))
+            ), 1, 15)) AS BIGINT) AS DECIMAL(38,0)) AS h
+          FROM orders),
+        da AS (SELECT o_orderpriority, count(*) AS n_rows_a,
+            CAST(sum(h) AS DECIMAL(38,0)) AS digest_a
+          FROM rh GROUP BY 1),
+        db AS (SELECT o_orderpriority, count(*) AS n_rows_b,
+            CAST(sum(h) AS DECIMAL(38,0)) AS digest_b
+          FROM rh WHERE o_orderkey <> 7 GROUP BY 1)
+        SELECT o_orderpriority, n_rows_a, n_rows_b,
+          CAST(digest_a AS VARCHAR) AS digest_a,
+          CAST(digest_b AS VARCHAR) AS digest_b
+        FROM da FULL OUTER JOIN db USING (o_orderpriority)
+        WHERE n_rows_a IS DISTINCT FROM n_rows_b
+           OR digest_a IS DISTINCT FROM digest_b""",
       "q134_table_digest" -> """
         SELECT o_orderpriority, count(*) AS n_rows,
           CAST(sum(CAST(CAST(('0x' || substring(md5(
