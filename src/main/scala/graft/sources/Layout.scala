@@ -692,6 +692,46 @@ object Layout {
         col("__e").getField("t").as("_change_type"): _*)
   }
 
+  /** Zero-copy clone: materialize `version` of `root` as version 0 of a
+    * NEW versioned root — every data file hardlinked (copied off local/
+    * HDFS-like filesystems), no bytes duplicated. The dev-branch shape:
+    * experiment with merges/deletes/compaction on the clone while the
+    * source stays untouched, at metadata cost even for a 100 TB table.
+    * Links mean the clone stays readable after the SOURCE vacuums the
+    * cloned version (the filesystem keeps bytes until the last link
+    * drops) — and vice versa.
+    */
+  def cloneVersion(spark: SparkSession, root: String, version: Int,
+                   newRoot: String): String = {
+    val src = new Path(resolveVersion(spark, root, version))
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0 = versionName(0)
+    val dst = new Path(newRoot, v0)
+    require(!fs.exists(new Path(newRoot, CurrentFile)),
+      s"cloneVersion: $newRoot is already a versioned root")
+    val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    def linkTree(from: Path, to: Path): Unit = {
+      fs.mkdirs(to)
+      fs.listStatus(from).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) linkTree(st.getPath, new Path(to, n))
+        else if (!n.startsWith("_") && !n.startsWith(".")) {
+          if (local)
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(new Path(to, n).toUri.getPath),
+              java.nio.file.Paths.get(st.getPath.toUri.getPath))
+          else
+            org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+              new Path(to, n), false, spark.sparkContext.hadoopConfiguration)
+        }
+      }
+    }
+    linkTree(src, dst)
+    writePointer(spark, newRoot, v0)
+    dst.toString
+  }
+
   /** Version log of a versioned root (the `DESCRIBE HISTORY` surface):
     * one row per un-vacuumed version dir with its file count, total
     * bytes, latest file mtime, and whether `_current` points at it.

@@ -251,6 +251,43 @@ class ChangeFeedSpec extends SparkSpec {
     assert(Layout.readCurrent(spark, root).count() == 8)
   }
 
+  test("cloneVersion: zero-copy branch, independent history, vacuum-proof") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val root = history() // 3 versions
+    val branch = Files.createTempDirectory("graft_clone").toString + "/b"
+    Layout.cloneVersion(spark, root, 1, branch)
+    def state(r: String) = Layout.readCurrent(spark, r)
+      .select($"id", $"v").as[(Long, Double)].collect().toSet
+    // the clone IS v1's content, as the new root's v0, byte-shared
+    val v1 = Set((1L, 10.0), (2L, 99.0), (4L, 40.0), (3L, 30.0), (6L, 60.0))
+    assert(state(branch) == v1)
+    def inodes(dir: String): Set[Any] = {
+      val out = scala.collection.mutable.Set[Any]()
+      def rec(f: java.io.File): Unit = f.listFiles().foreach { c =>
+        if (c.isDirectory) rec(c)
+        else if (!c.getName.startsWith("_") && !c.getName.startsWith("."))
+          out += JFiles.readAttributes(Paths.get(c.getPath),
+            classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+      }
+      rec(new java.io.File(dir)); out.toSet
+    }
+    assert(inodes(Layout.resolveCurrent(spark, branch)) ==
+      inodes(Layout.resolveVersion(spark, root, 1)), "clone must be hardlinks")
+    // branch evolves independently of the source
+    Layout.mergeVersionedPartitioned(spark, branch,
+      rows((7L, "p3", 70.0)), Seq("id"), "part")
+    assert(state(branch) == v1 + ((7L, 70.0)))
+    assert(spark.read.parquet(Layout.resolveVersion(spark, root, 1))
+      .count() == 5, "source untouched by branch merge")
+    // source vacuums the cloned version; the branch keeps its bytes
+    Layout.vacuumVersions(spark, root, keep = 1)
+    assert(state(branch) == v1 + ((7L, 70.0)))
+    // refusing to clone ONTO an existing root
+    intercept[IllegalArgumentException] {
+      Layout.cloneVersion(spark, root, 2, branch)
+    }
+  }
+
   test("history lists every live version with the current flagged") {
     val root = history()
     val h = Layout.history(spark, root)
