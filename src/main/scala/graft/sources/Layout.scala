@@ -272,7 +272,7 @@ object Layout {
         val tooSmall = data.length > 1 && bytes / data.length < targetBytes / 2
         if (tooMany || tooSmall) Some(leaf -> bytes) else None
       }.toMap
-    val (next, nextPath) = nextVersion(root, cur)
+    val (next, nextPath) = nextVersion(spark, root, cur)
     // one coalesced write per fragmented leaf (hive data files don't
     // contain pcol — it lives in the dir name — so a direct leaf-to-leaf
     // rewrite preserves the layout exactly). The driver loop is
@@ -353,15 +353,35 @@ object Layout {
 
   private def writeNextVersion(spark: SparkSession, root: String,
                                currentPath: String, df: DataFrame): String = {
-    val (next, nextPath) = nextVersion(root, currentPath)
+    val (next, nextPath) = nextVersion(spark, root, currentPath)
     df.write.mode(SaveMode.Overwrite).parquet(nextPath)
     writePointer(spark, root, next)
     nextPath
   }
 
-  private def nextVersion(root: String, currentPath: String): (String, String) = {
+  /** Advance the version counter under OPTIMISTIC CONCURRENCY CONTROL:
+    * the writer atomically claims `vN+1` by creating `root/vNNNNN.claim`
+    * with `FileSystem.createNewFile` (an atomic create-if-absent on local
+    * and HDFS-like filesystems). Two writers that both resolved the same
+    * base version race for the same claim — exactly one wins; the loser
+    * gets a `ConcurrentModificationException` instead of silently
+    * overwriting the winner's version dir or flipping the pointer over a
+    * commit it never read (the lost-update anomaly). A writer that
+    * resolves AFTER the winner's flip claims the next number and
+    * serializes cleanly behind it. Claim files are tiny tombstones of
+    * committed version numbers; [[vacuumVersions]] sweeps them with their
+    * version dirs.
+    */
+  private def nextVersion(spark: SparkSession, root: String,
+                          currentPath: String): (String, String) = {
     val curN = currentPath.substring(currentPath.lastIndexOf("/v") + 2).toInt
     val next = versionName(curN + 1)
+    val claim = new Path(root, s"$next.claim")
+    val fs = claim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.createNewFile(claim))
+      throw new java.util.ConcurrentModificationException(
+        s"version $next of $root is already claimed by a concurrent writer; " +
+          "re-resolve the current version and retry")
     (next, s"$root/$next")
   }
 
@@ -455,7 +475,7 @@ object Layout {
           existing.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"),
           allowMissingColumns = true)
       }
-    val (next, nextPath) = nextVersion(root, cur)
+    val (next, nextPath) = nextVersion(spark, root, cur)
     merged.write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
     carryForward(fs, curPath, new Path(nextPath), affected,
       spark.sparkContext.hadoopConfiguration)
@@ -485,7 +505,7 @@ object Layout {
       spark.read.parquet(cur).filter(predicate)
         .select(pcols.map(col): _*), pcols, root)
     val existingAffected = leafNames(fs, curPath).intersect(affected).toSeq.sorted
-    val (next, nextPath) = nextVersion(root, cur)
+    val (next, nextPath) = nextVersion(spark, root, cur)
     if (existingAffected.nonEmpty) {
       spark.read.option("basePath", cur)
         .parquet(existingAffected.map(n => s"$cur/$n"): _*)
@@ -788,7 +808,43 @@ object Layout {
       .filter(p => p.getName.matches("v\\d{5}"))
       .sortBy(_.getName)
     val doomed = versions.dropRight(keep)
-    doomed.foreach(p => fs.delete(p, true))
+    doomed.foreach { p =>
+      fs.delete(p, true)
+      // sweep the OCC claim tombstone with its version dir
+      fs.delete(new Path(root, s"${p.getName}.claim"), false)
+    }
     doomed.length
+  }
+
+  /** Recover from a writer that CRASHED between claiming a version and
+    * flipping the pointer: its claim file (and any partial version dir)
+    * blocks every future writer — by design, since an in-flight writer is
+    * indistinguishable from a crashed one without a lease. This sweeps
+    * claims AHEAD of the committed pointer older than `olderThanMs` (the
+    * lease): run it like [[vacuumVersions]], with a horizon longer than
+    * any legitimate commit takes. Claims at or behind the pointer are
+    * commit tombstones and are never touched here.
+    *
+    * @return number of stale claims recovered
+    */
+  def recoverStaleClaims(spark: SparkSession, root: String,
+                         olderThanMs: Long): Int = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = resolveCurrent(spark, root)
+    val curN = committed.substring(committed.lastIndexOf("/v") + 2).toInt
+    val now = System.currentTimeMillis()
+    val stale = fs.listStatus(rootPath).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.matches("v\\d{5}\\.claim") &&
+        n.substring(1, 6).toInt > curN &&
+        now - st.getModificationTime >= olderThanMs
+    }
+    stale.foreach { st =>
+      val version = st.getPath.getName.stripSuffix(".claim")
+      fs.delete(new Path(root, version), true) // partial dir, if any
+      fs.delete(st.getPath, false)
+    }
+    stale.length
   }
 }

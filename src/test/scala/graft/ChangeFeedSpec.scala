@@ -251,6 +251,59 @@ class ChangeFeedSpec extends SparkSpec {
     assert(Layout.readCurrent(spark, root).count() == 8)
   }
 
+  test("optimistic concurrency: a claimed next version rejects the stale writer") {
+    val root = Files.createTempDirectory("graft_occ").toString
+    Layout.initVersionedPartitioned(rows((1L, "p1", 1.0)), root, "part")
+    // another writer has claimed v00001 (crashed mid-commit, or is ahead)
+    new java.io.File(root, "v00001.claim").createNewFile()
+    intercept[java.util.ConcurrentModificationException] {
+      Layout.mergeVersionedPartitioned(spark, root,
+        rows((2L, "p1", 2.0)), Seq("id"), "part")
+    }
+    // the failed merge must not have moved the pointer or the content
+    assert(Layout.readCurrent(spark, root).count() == 1)
+    // a crashed claimer blocks writers until its lease expires; recovery
+    // sweeps only claims AHEAD of the committed pointer
+    assert(Layout.recoverStaleClaims(spark, root, olderThanMs = 0L) == 1)
+    Layout.mergeVersionedPartitioned(spark, root,
+      rows((2L, "p2", 2.0)), Seq("id"), "part")
+    assert(Layout.readCurrent(spark, root).count() == 2)
+    // the committed v1's claim is a tombstone — recovery must NOT touch it
+    assert(Layout.recoverStaleClaims(spark, root, 0L) == 0)
+    assert(new java.io.File(root, "v00001.claim").exists())
+  }
+
+  test("optimistic concurrency: racing writers never lose an update") {
+    val root = Files.createTempDirectory("graft_occ2").toString
+    Layout.initVersionedPartitioned(rows((1L, "p1", 1.0)), root, "part")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val threads = Seq(10L, 20L).map { id =>
+      new Thread(() => {
+        barrier.await()
+        try {
+          Layout.mergeVersionedPartitioned(spark, root,
+            rows((id, "p1", id.toDouble)), Seq("id"), "part")
+          results.put(id, "ok")
+        } catch {
+          case _: java.util.ConcurrentModificationException =>
+            results.put(id, "rejected")
+          case t: Throwable => results.put(id, s"unexpected: $t")
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(results.values().stream().allMatch(v => v == "ok" || v == "rejected"),
+      s"only clean outcomes allowed: $results")
+    val got = Layout.readCurrent(spark, root)
+      .select($"id").as[Long].collect().toSet
+    // every merge that REPORTED success must be present (no lost update)
+    Seq(10L, 20L).filter(id => results.get(id) == "ok").foreach(id =>
+      assert(got.contains(id), s"merge $id reported ok but its row is missing"))
+    assert(results.values().stream().anyMatch(v => v == "ok"),
+      "at least one writer must commit")
+  }
+
   test("cloneVersion: zero-copy branch, independent history, vacuum-proof") {
     import java.nio.file.{Files => JFiles, Paths}
     val root = history() // 3 versions
