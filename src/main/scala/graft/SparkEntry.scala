@@ -1429,6 +1429,30 @@ object SparkEntry {
         .select(col("event_type"), col("n_distinct_est"))
     }),
 
+    // --- MACD: recursive indicator stack on the exact EMA fold ---
+    // Exact-binary alphas (1/4, 1/16, 1/2) keep the whole recursive
+    // series engine-identical; one collect, three folds, no window.
+    "q137_macd" -> ((s, dir) =>
+      Indicators.macd(
+        Tables.events(s, dir).filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id", "value"),
+        Seq("user_id"), Seq("ts", "event_id"), "value")
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("macd"), col("signal"))),
+
+    // --- rolling beta (cov/var) from the q121 moment machinery ---
+    "q138_rolling_beta" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Indicators.rollingBeta(
+          Tables.events(s, dir).filter(col("event_type") === "purchase")
+            .select("user_id", "ts", "event_id", "value")
+            .withColumn("prev_value", lag(col("value"), 1).over(w)),
+          Seq("user_id"), Seq(col("ts"), col("event_id")),
+          "prev_value", "value", n = 5)
+        .select("user_id", "event_id", "value", "beta")
+    }),
+
     // --- digest-based reconciliation with planted drift ---
     // One row dropped from the "replica" side; reconcile must localize
     // the drift to exactly that row's group, with both sides' counts and
@@ -3127,6 +3151,50 @@ object SparkEntry {
             row_number() OVER (PARTITION BY stratum
               ORDER BY priority, id) AS rn FROM t)
         WHERE rn <= 5""",
+      "q137_macd" -> """
+        WITH t AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase'),
+        s AS (SELECT user_id,
+            list(event_id ORDER BY ts, event_id) AS ids,
+            list(value ORDER BY ts, event_id) AS vals
+          FROM t GROUP BY user_id),
+        m AS (SELECT user_id, ids, vals,
+            list_transform(generate_series(1, len(vals)), j ->
+              list_reduce(vals[1:j], (acc, x) -> 0.25*x + 0.75*acc) -
+              list_reduce(vals[1:j], (acc, x) -> 0.0625*x + 0.9375*acc)) AS macds
+          FROM s),
+        e AS (SELECT user_id, unnest(ids) AS event_id,
+            generate_subscripts(ids, 1) AS k, vals, macds
+          FROM m)
+        SELECT user_id, event_id, vals[k] AS value,
+          round(macds[k], 6) AS macd,
+          round(list_reduce(macds[1:k], (acc, x) -> 0.5*x + 0.5*acc), 6) AS signal
+        FROM e""",
+      "q138_rolling_beta" -> """
+        WITH t AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase'),
+        d AS (SELECT user_id, event_id, value, ts,
+            lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+          FROM t),
+        s AS (SELECT user_id, event_id, value,
+            CAST(count(CASE WHEN pv IS NOT NULL AND value IS NOT NULL
+              THEN 1 END) OVER win AS DOUBLE) AS cnt,
+            CAST(sum(CAST(CASE WHEN pv IS NOT NULL AND value IS NOT NULL
+              THEN pv END AS DECIMAL(38,4))) OVER win AS DOUBLE) AS sx,
+            CAST(sum(CAST(CASE WHEN pv IS NOT NULL AND value IS NOT NULL
+              THEN value END AS DECIMAL(38,4))) OVER win AS DOUBLE) AS sy,
+            CAST(sum(CAST(CASE WHEN pv IS NOT NULL AND value IS NOT NULL
+              THEN pv * value END AS DECIMAL(38,6))) OVER win AS DOUBLE) AS sxy,
+            CAST(sum(CAST(CASE WHEN pv IS NOT NULL AND value IS NOT NULL
+              THEN pv * pv END AS DECIMAL(38,6))) OVER win AS DOUBLE) AS sxx
+          FROM d
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        SELECT user_id, event_id, value,
+          CASE WHEN cnt = 5 AND greatest(cnt * sxx - sx * sx, 0.0) > 0
+            THEN round((cnt * sxy - sx * sy) /
+              greatest(cnt * sxx - sx * sx, 0.0), 6) END AS beta
+        FROM s""",
       "q136_reconcile_drift" -> """
         WITH rh AS (SELECT o_orderpriority, o_orderkey,
             CAST(CAST(('0x' || substring(md5(

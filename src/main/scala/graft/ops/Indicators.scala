@@ -116,6 +116,77 @@ object Indicators {
       when(cnt === n && vx > 0 && vy > 0, round(num / sqrt(vx * vy), 6)))
   }
 
+  /** MACD (moving average convergence/divergence): fast EMA − slow EMA,
+    * plus a signal EMA over the MACD line. ONE ordered collect per key
+    * and three array folds — not three separate
+    * [[graft.ops.Windows.ema]] passes (each would re-shuffle and
+    * re-collect the series). Alphas default to exact binary fractions
+    * (1/4, 1/16, 1/2) so `1 − α` is bit-identical in every engine that
+    * parses the literal — the property that lets the full recursive
+    * series hash-match the DuckDB oracle (q137). Rounding happens only
+    * at the OUTPUT: the signal fold runs over unrounded MACD values.
+    *
+    * Scale shape: like [[graft.ops.Windows.ema]], one shuffle by key and
+    * per-key O(series) fold — per-key series must fit a task (ticks per
+    * instrument do; the alternative windowed restatement has no exact
+    * recursive form).
+    *
+    * @return keys ++ orderCols ++ (valueCol, macd, signal)
+    */
+  def macd(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+           valueCol: String, fastAlpha: Double = 0.25,
+           slowAlpha: Double = 0.0625, signalAlpha: Double = 0.5): DataFrame = {
+    def emaFold(src: Column, alpha: Double): Column =
+      aggregate(src, array().cast("array<double>"),
+        (acc, x) => when(size(acc) === 0, array(x.cast("double")))
+          .otherwise(concat(acc, array(
+            lit(alpha) * x + lit(1 - alpha) * element_at(acc, -1)))))
+    val grouped = df.groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(
+        struct(orderCols.map(col): _*).as("__o"),
+        col(valueCol).as("__v")))).as("__s"))
+    val vals = transform(col("__s"), _.getField("__v"))
+    val macdLine = zip_with(emaFold(vals, fastAlpha), emaFold(vals, slowAlpha),
+      (f, sl) => f - sl)
+    grouped
+      .withColumn("__m", macdLine)
+      .withColumn("__g", emaFold(col("__m"), signalAlpha))
+      .select((keys.map(col) :+
+        posexplode(arrays_zip(col("__s"), col("__m"), col("__g")))
+          .as(Seq("__i", "__z"))): _*)
+      .select((keys.map(col) ++
+        orderCols.map(o => col(s"__z.__s.__o.$o").as(o)) ++
+        Seq(col("__z.__s.__v").as(valueCol),
+          round(col("__z.__m"), 6).as("macd"),
+          round(col("__z.__g"), 6).as("signal"))): _*)
+  }
+
+  /** Rolling beta of `yCol` on `xCol` (cov/var over the trailing n rows)
+    * — the hedge-ratio / market-sensitivity companion to
+    * [[rollingCorr]], from the same five exact-decimal window moments
+    * minus one: β = (nΣxy − ΣxΣy) / (nΣxx − (Σx)²). Null on partial
+    * windows and zero-variance x, like rollingCorr.
+    */
+  def rollingBeta(df: DataFrame, keys: Seq[String], orderCols: Seq[Column],
+                  xCol: String, yCol: String, n: Int,
+                  as: String = "beta"): DataFrame = {
+    require(n >= 2, s"rollingBeta needs n >= 2, got $n")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val x = col(xCol)
+    val y = col(yCol)
+    val both = x.isNotNull && y.isNotNull
+    def m(c: Column, t: DecimalType) = sum(when(both, c).cast(t)).over(w).cast("double")
+    val cnt = count(when(both, lit(1))).over(w).cast("double")
+    val sx = m(x, graft.util.Num.Money)
+    val sy = m(y, graft.util.Num.Money)
+    val sxy = m(x * y, Sq)
+    val sxx = m(x * x, Sq)
+    val vx = greatest(cnt * sxx - sx * sx, lit(0.0))
+    df.withColumn(as,
+      when(cnt === n && vx > 0, round((cnt * sxy - sx * sy) / vx, 6)))
+  }
+
   /** Time-weighted average price per (key, bucket) — the irregular-tick
     * companion to VWAP (q44): each observation is weighted by how long it
     * REMAINED the latest value, so a burst of ticks in one second can't

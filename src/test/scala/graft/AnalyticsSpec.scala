@@ -388,6 +388,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(gone == Seq(("g2", true)))
   }
 
+  test("macd: hand-checked recursion; signal folds unrounded macd values") {
+    val bars = Seq((1L, 1L, 10.0), (1L, 2L, 16.0), (1L, 3L, 10.0))
+      .toDF("k", "seq", "v")
+    val out = graft.ops.Indicators.macd(bars, Seq("k"), Seq("seq"), "v")
+      .orderBy("seq").select($"macd", $"signal")
+      .as[(Double, Double)].collect().toSeq
+    // fast (α=.25): 10, 11.5, 11.125 ; slow (α=.0625): 10, 10.375, 10.3515625
+    // macd: 0, 1.125, 0.7734375 ; signal (α=.5): 0, 0.5625, 0.66796875
+    assert(out == Seq((0.0, 0.0), (1.125, 0.5625), (0.773438, 0.667969)))
+    // first row of every key is the seed — macd 0, signal 0
+    val multi = graft.ops.Indicators.macd(
+      bars.union(Seq((2L, 1L, 99.0)).toDF("k", "seq", "v")),
+      Seq("k"), Seq("seq"), "v")
+    assert(multi.filter($"k" === 2).select($"macd").as[Double].head() == 0.0)
+  }
+
+  test("rollingBeta: slope recovered on linear series, null on flat x") {
+    val lin = (1 to 8).map(i => (1L, i.toLong, i.toDouble, 2.0 * i + 3))
+    val flat = (1 to 8).map(i => (2L, i.toLong, 5.0, i.toDouble))
+    val df = (lin ++ flat).toDF("k", "seq", "x", "y")
+    val out = graft.ops.Indicators.rollingBeta(df, Seq("k"), Seq(col("seq")),
+      "x", "y", n = 5)
+      .select($"k", $"seq", $"beta").as[(Long, Long, Option[Double])]
+      .collect().map { case (k, s, b) => ((k, s), b) }.toMap
+    // y = 2x + 3 → beta exactly 2 once the window fills (seq >= 5)
+    (5L to 8L).foreach(s => assert(out((1L, s)).contains(2.0)))
+    (1L to 4L).foreach(s => assert(out((1L, s)).isEmpty, "partial window"))
+    // zero-variance x never divides
+    (1L to 8L).foreach(s => assert(out((2L, s)).isEmpty))
+  }
+
   test("rollingCorr: ±1 on linear series, null on constant side") {
     val up = (1 to 6).map(i => (1L, i.toLong, i.toDouble, i.toDouble + 1))
     val anti = (1 to 6).map(i => (2L, i.toLong, i.toDouble, -i.toDouble))
