@@ -59,28 +59,40 @@ object Bench {
     // (r8 post-mortem: 4 untouched queries regressed in the driver run but
     // were unreproducible in isolation OR a full in-suite rerun — transient
     // co-located load; position + samples would have shown it immediately.)
-    val samples = collection.mutable.LinkedHashMap.empty[String, (Int, Seq[Double])]
-    val results = SparkEntry.queries.zipWithIndex.map { case ((name, fn), idx) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-          }
-        val t = (System.nanoTime() - t0) / 1e9
-        graft.util.Caches.releaseAll()
-        spark.catalog.clearCache()
-        if (ok) t else -1.0
-      }
-      val runs = Seq(once(), once(), once())
-      samples(name) = (idx, runs)
-      name -> runs.min
-    }.toMap
+    // Each sample is additionally stamped with its wall-clock start time and
+    // the 1-min system load (/proc/loadavg) before and after — two rounds
+    // were spent re-litigating whether a slow driver run was environmental;
+    // a contended run must be self-evident FROM the artifact (load ≫ the
+    // bench's own CPU share at that timestamp) without a rerun.
+    val samples =
+      collection.mutable.LinkedHashMap.empty[String, (Int, Seq[BenchSample])]
+    val results: Seq[(String, Double)] =
+      SparkEntry.queries.zipWithIndex.map { case ((name, fn), idx) =>
+        def once(): BenchSample = {
+          val at = java.time.LocalTime.now().toString.take(12)
+          val loadBefore = loadavg()
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+            }
+          val t = (System.nanoTime() - t0) / 1e9
+          graft.util.Caches.releaseAll()
+          spark.catalog.clearCache()
+          BenchSample(if (ok) t else -1.0, at, loadBefore, loadavg())
+        }
+        val runs = Seq(once(), once(), once())
+        samples(name) = (idx, runs)
+        name -> runs.map(_.sec).min
+      }.toSeq
     try {
       val full = samples.map { case (k, (idx, runs)) =>
-        f"$k%-34s pos=$idx%03d min=${r3(runs.min)}%s runs=${runs.map(r3).mkString(",")}"
+        f"$k%-34s pos=$idx%03d min=${r3(runs.map(_.sec).min)}%s " +
+          s"runs=${runs.map(r => r3(r.sec)).mkString(",")} " +
+          s"at=${runs.map(_.at).mkString(",")} " +
+          s"load=${runs.map(r => s"${r.loadBefore}>${r.loadAfter}").mkString(",")}"
       }.mkString("\n")
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.txt"),
         full.getBytes("UTF-8"))
@@ -93,6 +105,21 @@ object Bench {
     println(jsonLine(results, sfDir))
     System.out.flush()
   }
+
+  /** One timed run: wall seconds (-1 on failure), start-of-run wall clock,
+    * and the 1-min loadavg immediately before/after — the contention
+    * evidence the r8/r9 bench post-mortems had to reconstruct by rerunning.
+    */
+  private case class BenchSample(sec: Double, at: String,
+                                 loadBefore: String, loadAfter: String)
+
+  /** First field of /proc/loadavg (1-min run-queue average), "?" where the
+    * proc filesystem is unavailable — attribution data, never a failure.
+    */
+  private def loadavg(): String =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split(" ").head
+    catch { case _: Throwable => "?" }
 
   private def r3(v: Double): String =
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -112,12 +139,14 @@ object Bench {
     * well under the window: qNN keys + 2-decimal seconds (~1.4 KB for 120
     * queries; 3 decimals tripped the margin at 118). Full names AND full
     * precision go to target/bench_full.txt instead. BenchFormatSpec pins
-    * both properties against the real query registry.
+    * both properties against the real query registry. Takes an ordered Seq
+    * (not a Map) so per-query keys print in registry order — a HashMap here
+    * turned every round-over-round artifact diff into hash-order noise.
     */
-  def jsonLine(results: Map[String, Double], sfDir: String): String = {
+  def jsonLine(results: Seq[(String, Double)], sfDir: String): String = {
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
   }
 }

@@ -67,7 +67,12 @@ object SparkEntry {
         davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // ListMap: iteration = registration order, so Bench/Verify artifacts list
+  // queries q01..qNN stably instead of HashMap hash order (ADVICE r9 — the
+  // order noise made round-over-round artifact diffs useless). Lookup is
+  // O(n) but n ≈ 140 and callers look up once per query run.
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap(
     // --- scans, filters, projections (S5, P1-P8) ---
     "q01_pricing_summary" -> ((s, dir) => q01(s, dir)),
 

@@ -50,8 +50,27 @@ case class MisraGries(child: Expression, capacity: Int,
     StructField("item", child.dataType, nullable = false),
     StructField("est_cnt", LongType, nullable = false))), containsNull = false)
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    TypeUtils.checkForOrderingExpr(child.dataType, s"$prettyName item")
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ordered = TypeUtils.checkForOrderingExpr(child.dataType, s"$prettyName item")
+    if (ordered.isFailure) ordered
+    else child.dataType match {
+      // The buffer keys items in a HashMap, which needs value-semantics
+      // equals/hashCode on the RUNTIME value. BinaryType's Array[Byte] has
+      // identity equals (identical items would never merge → the superset
+      // guarantee silently breaks), and nested types can arrive as either
+      // Unsafe* or Generic* representations whose equals are not mutually
+      // compatible. Only flat atomic values are safe map keys.
+      case BinaryType => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName does not support BINARY items (byte arrays lack " +
+          "value-semantics equals/hashCode; hash the column first, e.g. xxhash64)")
+      case _: NumericType => TypeCheckResult.TypeCheckSuccess
+      case StringType | BooleanType | DateType | TimestampType |
+           TimestampNTZType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName does not support ${other.catalogString} items " +
+          "(nested runtime values lack stable value-semantics equals/hashCode)")
+    }
+  }
 
   @transient private lazy val itemOrd: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(child.dataType)
@@ -165,8 +184,9 @@ case class MisraGries(child: Expression, capacity: Int,
 
 /** item → running count; keys are detached copies (Catalyst reuses row
   * buffers). A boxed HashMap is fine here: the map never exceeds
-  * `capacity` entries and every key type Catalyst calls orderable has
-  * value-semantics equals/hashCode (UTF8String, Decimal, boxed numerics).
+  * `capacity` entries, and `checkInputDataTypes` restricts items to flat
+  * atomic non-binary types, whose runtime values (UTF8String, Decimal,
+  * boxed numerics) all have value-semantics equals/hashCode.
   */
 final class MGBuffer {
   val counts = new java.util.HashMap[Any, java.lang.Long]()

@@ -37,6 +37,12 @@ object Frequency {
     * that whenever the corpus dwarfs the distinct set — and column
     * pruning breaks exchange reuse between the two scans, so the "free"
     * shared subtree is not actually free).
+    *
+    * CARDINALITY GUIDANCE: both the shuffle (one row per distinct item)
+    * and the single-partition total-n window are O(distinct). Past ~10⁶
+    * distinct items (URLs, user agents, n-grams) switch to
+    * [[heavyHittersSketched]], whose state is O(capacity) regardless of
+    * cardinality and whose output is still exact.
     */
   def heavyHitters(df: DataFrame, itemCol: Column, k: Int): DataFrame = {
     require(k >= 2, s"heavyHitters: k must be >= 2, got $k")

@@ -118,16 +118,19 @@ object Indicators {
 
   /** MACD (moving average convergence/divergence): fast EMA − slow EMA,
     * plus a signal EMA over the MACD line. ONE ordered collect per key
-    * and three array folds — not three separate
+    * and three native linear scans
+    * ([[graft.functions.expressions.EmaScan]]) — not three separate
     * [[graft.ops.Windows.ema]] passes (each would re-shuffle and
-    * re-collect the series). Alphas default to exact binary fractions
-    * (1/4, 1/16, 1/2) so `1 − α` is bit-identical in every engine that
-    * parses the literal — the property that lets the full recursive
-    * series hash-match the DuckDB oracle (q137). Rounding happens only
-    * at the OUTPUT: the signal fold runs over unrounded MACD values.
+    * re-collect the series), and not the O(series²) `aggregate` +
+    * `concat` folds this replaced (ADVICE r9). Alphas default to exact
+    * binary fractions (1/4, 1/16, 1/2) so `1 − α` is bit-identical in
+    * every engine that parses the literal — the property that lets the
+    * full recursive series hash-match the DuckDB oracle (q137). Rounding
+    * happens only at the OUTPUT: the signal scan runs over unrounded
+    * MACD values.
     *
     * Scale shape: like [[graft.ops.Windows.ema]], one shuffle by key and
-    * per-key O(series) fold — per-key series must fit a task (ticks per
+    * per-key O(series) scan — per-key series must fit a task (ticks per
     * instrument do; the alternative windowed restatement has no exact
     * recursive form).
     *
@@ -136,21 +139,17 @@ object Indicators {
   def macd(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
            valueCol: String, fastAlpha: Double = 0.25,
            slowAlpha: Double = 0.0625, signalAlpha: Double = 0.5): DataFrame = {
-    def emaFold(src: Column, alpha: Double): Column =
-      aggregate(src, array().cast("array<double>"),
-        (acc, x) => when(size(acc) === 0, array(x.cast("double")))
-          .otherwise(concat(acc, array(
-            lit(alpha) * x + lit(1 - alpha) * element_at(acc, -1)))))
+    import graft.functions.expressions.EmaScan
     val grouped = df.groupBy(keys.map(col): _*)
       .agg(array_sort(collect_list(struct(
         struct(orderCols.map(col): _*).as("__o"),
         col(valueCol).as("__v")))).as("__s"))
-    val vals = transform(col("__s"), _.getField("__v"))
-    val macdLine = zip_with(emaFold(vals, fastAlpha), emaFold(vals, slowAlpha),
+    val vals = transform(col("__s"), _.getField("__v").cast("double"))
+    val macdLine = zip_with(EmaScan(vals, fastAlpha), EmaScan(vals, slowAlpha),
       (f, sl) => f - sl)
     grouped
       .withColumn("__m", macdLine)
-      .withColumn("__g", emaFold(col("__m"), signalAlpha))
+      .withColumn("__g", EmaScan(col("__m"), signalAlpha))
       .select((keys.map(col) :+
         posexplode(arrays_zip(col("__s"), col("__m"), col("__g")))
           .as(Seq("__i", "__z"))): _*)

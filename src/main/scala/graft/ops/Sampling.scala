@@ -85,8 +85,11 @@ object Sampling {
     * rounded to 9 dp so cross-engine libm jitter in ln() cannot flip an
     * ordering both engines agree on at that precision (ties break by key).
     *
-    * Rows with non-positive weight are excluded (they'd never be drawn —
-    * and ANSI mode would throw on the division).
+    * Rows with non-positive weight or a null key are excluded (a null key
+    * would yield md5(null)=null → a null priority, which Spark's ascending
+    * sort puts FIRST — preempting real sample slots instead of never being
+    * drawn; non-positive weight would never be drawn, and ANSI mode would
+    * throw on the division).
     *
     * Scale shape: a pure projection + `orderBy(priority).limit(n)` =
     * `TakeOrderedAndProject` — each map task keeps its local top-n, the
@@ -100,7 +103,7 @@ object Sampling {
                      n: Int): DataFrame = {
     val u = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("double") + lit(0.5d)) / lit(4294967296.0d)
-    df.filter(weight > 0)
+    df.filter(weight > 0 && key.isNotNull)
       .withColumn("priority", round(-log(u) / weight.cast("double"), 9))
       .orderBy(col("priority"), key)
       .limit(n)
@@ -118,7 +121,9 @@ object Sampling {
                            weight: Column, n: Int): DataFrame = {
     val u = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("double") + lit(0.5d)) / lit(4294967296.0d)
-    df.filter(weight > 0)
+    // TopKAgg already skips null scores, but filtering null keys here too
+    // keeps the two contracts aligned with [[weightedSample]].
+    df.filter(weight > 0 && key.isNotNull)
       .select(stratum.as("stratum"), key.as("id"),
         round(-log(u) / weight.cast("double"), 9).as("priority"))
       .groupBy("stratum")

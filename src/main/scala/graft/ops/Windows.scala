@@ -72,10 +72,13 @@ object Windows {
   /** Exact exponential moving average per key: e₀ = x₀,
     * eₜ = α·xₜ + (1−α)·eₜ₋₁ — the recursive indicator SQL windows cannot
     * express directly (each row depends on the previous RESULT, not the
-    * previous input). Implemented as one ordered `aggregate` fold per key
-    * emitting the whole running series, then re-exploded — pure Catalyst,
-    * no UDF, and the fold's operation sequence is identical in DuckDB's
-    * `list_reduce`, so the series is oracle-checkable (rounded to 6).
+    * previous input). Implemented as one ordered collect per key and a
+    * native linear scan ([[graft.functions.expressions.EmaScan]]) emitting
+    * the whole running series, then re-exploded. The scan performs the same
+    * left-to-right double ops as DuckDB's `list_reduce`, so the series is
+    * oracle-checkable (rounded to 6). (The previous `aggregate` +
+    * `concat(acc, …)` fold was O(series²) — every append copied the
+    * accumulator array; the native scan is O(series).)
     *
     * Scale shape: one shuffle by key; each key's series materializes as an
     * array on one task (the same bounded-series contract as sessionization
@@ -93,11 +96,8 @@ object Windows {
       .agg(array_sort(collect_list(struct(
         struct(orderCols.map(col): _*).as("__o"),
         col(valueCol).as("__v")))).as("__s"))
-    val emaSeries = aggregate(col("__s"),
-      array().cast("array<double>"),
-      (acc, x) => when(size(acc) === 0, array(x.getField("__v").cast("double")))
-        .otherwise(concat(acc, array(
-          lit(alpha) * x.getField("__v") + lit(1 - alpha) * element_at(acc, -1)))))
+    val emaSeries = graft.functions.expressions.EmaScan(
+      transform(col("__s"), _.getField("__v").cast("double")), alpha)
     grouped.withColumn("__e", emaSeries)
       .select((keys.map(col) :+
         posexplode(arrays_zip(col("__s"), col("__e"))).as(Seq("__i", "__z"))): _*)

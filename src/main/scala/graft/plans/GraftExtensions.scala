@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.expressions.{DotProduct, HyperplaneBuckets, MisraGries, TopKAgg}
+import graft.functions.expressions.{DotProduct, EmaScan, HyperplaneBuckets, MisraGries, TopKAgg}
 
 /** SparkSessionExtensions entry point: registers graft's native expressions
   * with the SQL function registry so pure-SQL users get them too:
@@ -75,6 +75,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
       (children: Seq[Expression]) => TopKAgg(children(0), children(1),
         intLit(children(2), "top_k", "k")).toAggregateExpression()))
+    // ema_scan(array<double>, alpha) — alpha parameterizes plan-time
+    // constants (1−α), so it must be a double literal
+    ext.injectFunction((
+      new FunctionIdentifier("ema_scan"),
+      new ExpressionInfo(classOf[EmaScan].getName, "ema_scan"),
+      (children: Seq[Expression]) => EmaScan(children(0), children(1) match {
+        case Literal(v: Double, _) => v
+        case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+        case other => throw new IllegalArgumentException(
+          s"ema_scan: alpha must be a double literal, got $other")
+      })))
     ext.injectFunction((
       new FunctionIdentifier("mg_topk"),
       new ExpressionInfo(classOf[MisraGries].getName, "mg_topk"),

@@ -187,16 +187,70 @@ object Layout {
     * `mergeSchema` unions the footers — old leaves null-fill the added
     * columns, the exact semantics the merge declared. Schema-stable
     * histories can keep using plain reads on [[resolveVersion]] paths.
+    *
+    * A version that legitimately holds NO data files (a delete whose
+    * predicate matched every row writes only `_SUCCESS`) reads as an empty
+    * DataFrame with the schema of the nearest earlier version that has data
+    * — not a schema-inference AnalysisException (ADVICE r9).
     */
   def readVersion(spark: SparkSession, root: String, version: Int): DataFrame = {
     val p = resolveVersion(spark, root, version)
-    spark.read.option("basePath", p).option("mergeSchema", "true").parquet(p)
+    readVersionDir(spark, root, p)
   }
 
   /** [[readVersion]] for the live version. */
   def readCurrent(spark: SparkSession, root: String): DataFrame = {
     val p = resolveCurrent(spark, root)
-    spark.read.option("basePath", p).option("mergeSchema", "true").parquet(p)
+    readVersionDir(spark, root, p)
+  }
+
+  private def readVersionDir(spark: SparkSession, root: String,
+                             versionPath: String): DataFrame = {
+    val p = new Path(versionPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hasDataFiles(fs, p))
+      spark.read.option("basePath", versionPath)
+        .option("mergeSchema", "true").parquet(versionPath)
+    else
+      emptyWithDonorSchema(spark, root, versionPath)
+  }
+
+  /** Any non-hidden file anywhere under `dir`? (Hive leaf dirs and `v=`-less
+    * flat layouts both reduce to this — schema inference needs one footer.)
+    */
+  private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: Path): Boolean = {
+    if (!fs.exists(dir)) return false
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) return true
+    }
+    false
+  }
+
+  /** Empty DataFrame carrying the schema of the NEWEST other version under
+    * `root` that still has data files — the only place a file-less
+    * version's schema can come from. Fails loudly when no version has data
+    * (an all-empty history has no defined schema).
+    */
+  private def emptyWithDonorSchema(spark: SparkSession, root: String,
+                                   versionPath: String): DataFrame = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val donor = fs.listStatus(rootPath).map(_.getPath)
+      .filter(p => p.getName.matches("v\\d{5}") && p.toString != versionPath)
+      .sortBy(_.getName).reverse
+      .find(hasDataFiles(fs, _))
+    donor match {
+      case Some(d) =>
+        spark.read.option("basePath", d.toString).option("mergeSchema", "true")
+          .parquet(d.toString).filter(lit(false))
+      case None => throw new IllegalArgumentException(
+        s"$versionPath holds no data files and no other version under $root " +
+          "does either — the schema of an all-empty history is undefined")
+    }
   }
 
   /** Path of the live version dir under a versioned root. */
@@ -626,8 +680,11 @@ object Layout {
         (readLeaves(spark, fromPath.toString, fromLeaves.intersect(changed)),
           readLeaves(spark, toPath.toString, toLeaves.intersect(changed)))
       } else
-        (spark.read.option("mergeSchema", "true").parquet(fromPath.toString),
-          spark.read.option("mergeSchema", "true").parquet(toPath.toString))
+        // a side may legitimately hold no data files at all (a delete that
+        // matched every row) — readVersionDir derives its schema from a
+        // sibling version instead of failing schema inference (ADVICE r9)
+        (readVersionDir(spark, root, fromPath.toString),
+          readVersionDir(spark, root, toPath.toString))
     diff(a, b, keys)
   }
 

@@ -12,9 +12,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchFormatSpec extends AnyFunSuite {
 
   test("bench JSON line parses, is single-line, and fits the 2 KB tail") {
-    val results = SparkEntry.queries.keys.map(_ -> 1.2345).toMap
+    val results = SparkEntry.queries.keys.map(_ -> 1.2345).toSeq
     val line = Bench.jsonLine(results, "/root/testdata/sf0.1")
     assert(!line.contains("\n"), "headline must be a single line")
+    // registry order must survive into the JSON line (ADVICE r9: a .toMap
+    // here once turned artifact diffs into hash-order noise)
+    val keyOrder = results.map(_._1.takeWhile(_ != '_'))
+    val inLine = "\"(q\\d+)\":".r.findAllMatchIn(line).map(_.group(1)).toSeq
+    assert(inLine == keyOrder, "per-query keys must print in registry order")
     // margin vs the driver's ~2000-char tail capture: since r7 the line is
     // the LAST output (printed after spark.stop(), sbt success suppressed),
     // so trailing noise is ~0 and 200 chars of slack suffices. At ~12

@@ -61,6 +61,10 @@ class ExtensionsSpec extends AnyFunSuite {
              FROM range(0, 100)) LATERAL VIEW explode(tops) AS t""")
         .collect().map(_.getLong(0)).toSet
       assert(tk == Set(99L, 98L))
+      // ema_scan: SQL call runs the same recursion as the column API
+      val es = spark.sql("SELECT ema_scan(array(1.0D, 2.0D, 3.0D), 0.5D) AS e")
+        .head().getSeq[Double](0)
+      assert(es == Seq(1.0, 1.5, 2.25))
       // ...and the mg_topk heavy-hitters sketch (hot item must surface)
       val mg = spark.sql(
         """SELECT s.item FROM (SELECT mg_topk(CASE WHEN id % 2 = 0 THEN 'hot'

@@ -119,4 +119,27 @@ class FrequencySpec extends SparkSpec {
       Frequency.heavyHittersSketched(docs, col("lang"), k = 8, capacity = 5)
     }
   }
+
+  test("mg_topk rejects BINARY and nested items at analysis time (ADVICE r9)") {
+    // Array[Byte] has identity equals/hashCode — identical binary items
+    // would never merge counts and the superset guarantee would silently
+    // break. Must fail analysis, not return wrong results.
+    val bin = spark.range(0, 10).select(col("id").cast("string").cast("binary").as("b"))
+    val binErr = intercept[org.apache.spark.sql.AnalysisException] {
+      bin.agg(MisraGries.mgTopK(col("b"), 4)).collect()
+    }
+    assert(binErr.getMessage.toLowerCase.contains("binary"))
+    val nested = spark.range(0, 10).select(array(col("id")).as("a"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      nested.agg(MisraGries.mgTopK(col("a"), 4)).collect()
+    }
+    // ...and the documented workaround works: hash the column first (skewed
+    // input — an all-unique stream legitimately drains an MG sketch)
+    val skewed = spark.range(0, 100)
+      .select(when(col("id") % 2 === 0, lit("hot")).otherwise(col("id").cast("string"))
+        .cast("binary").as("b"))
+    val hashed = skewed.agg(MisraGries.mgTopK(xxhash64(col("b")), 4).as("s"))
+      .select(explode(col("s")).as("e")).count()
+    assert(hashed > 0)
+  }
 }
