@@ -439,6 +439,44 @@ object Layout {
     (next, s"$root/$next")
   }
 
+  /** Run a versioned-layout commit under OCC RETRY: when the closure loses
+    * the version-claim race (`ConcurrentModificationException` from
+    * [[nextVersion]]), re-run it after a bounded, jittered backoff — up to
+    * `maxAttempts` total attempts, then rethrow.
+    *
+    * This is correct because every Layout writer ([[mergeVersioned]],
+    * [[deleteVersioned]], the partitioned variants, [[compactVersioned]])
+    * re-resolves `_current` at the TOP of each call: the retry is a genuine
+    * re-read of the new base, a re-run of the merge/delete against it, and
+    * a fresh claim — serialized behind the winner, never a blind re-flip of
+    * the pointer over a commit it did not read. Pass the WHOLE operation as
+    * the closure (not a pre-resolved path), or the re-read guarantee is
+    * lost.
+    *
+    * Backoff is exponential from `baseBackoffMs` with full jitter
+    * (`U[0, base·2^attempt)`, capped at 2 s) — two writers that collided
+    * once shouldn't collide again on the same schedule. Other exceptions
+    * (schema rejection, IO) propagate immediately: only the claim race is
+    * retryable by construction.
+    */
+  def withCommitRetry[T](maxAttempts: Int = 5, baseBackoffMs: Long = 50)
+                        (commit: => T): T = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return commit
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+          val cap = math.min(2000L, baseBackoffMs << math.min(attempt, 5))
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(cap + 1))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   // ------------------------------------------------- partitioned + key-pruned
 
   /** Create a versioned layout whose version dirs are hive-partitioned on

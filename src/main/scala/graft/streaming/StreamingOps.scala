@@ -111,6 +111,11 @@ object StreamingOps {
     * no-op on the final state — the upsert is idempotent by construction —
     * so end-to-end the layout converges to exactly-once CONTENT even when
     * a batch runs twice; only the version count differs.
+    *
+    * Each micro-batch commits under [[graft.sources.Layout.withCommitRetry]]
+    * — a concurrent maintenance job (compaction, vacuum prep, a manual
+    * merge) that wins the version-claim race makes the batch re-merge
+    * against the new base instead of killing the streaming query.
     */
   def streamMergeVersioned(stream: DataFrame, root: String, keys: Seq[String],
                            pcol: String, checkpoint: String): StreamingQuery = {
@@ -118,8 +123,10 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
-          graft.sources.Layout.mergeVersionedPartitioned(
-            batch.sparkSession, root, batch, keys, pcol)
+          graft.sources.Layout.withCommitRetry() {
+            graft.sources.Layout.mergeVersionedPartitioned(
+              batch.sparkSession, root, batch, keys, pcol)
+          }
         ()
       }
       .trigger(Trigger.AvailableNow()).start()

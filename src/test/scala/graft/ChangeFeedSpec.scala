@@ -304,6 +304,49 @@ class ChangeFeedSpec extends SparkSpec {
       "at least one writer must commit")
   }
 
+  test("withCommitRetry: racing writers BOTH commit, serialized, no lost update") {
+    val root = Files.createTempDirectory("graft_occ3").toString
+    Layout.initVersionedPartitioned(rows((1L, "p1", 1.0)), root, "part")
+    val barrier = new java.util.concurrent.CyclicBarrier(3)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(10L, 20L, 30L).map { id =>
+      new Thread(() => {
+        barrier.await()
+        try Layout.withCommitRetry(maxAttempts = 10) {
+          Layout.mergeVersionedPartitioned(spark, root,
+            rows((id, "p1", id.toDouble)), Seq("id"), "part")
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(180000))
+    assert(failures.isEmpty, s"every retried writer must commit: $failures")
+    // all three rows present — serialized commits, no lost update
+    val got = Layout.readCurrent(spark, root).select($"id").as[Long].collect().toSet
+    assert(got == Set(1L, 10L, 20L, 30L))
+    // history is a clean chain: v0 + one version per committed merge
+    assert(Layout.history(spark, root).count() == 4)
+  }
+
+  test("withCommitRetry rethrows after maxAttempts and passes other errors through") {
+    var calls = 0
+    intercept[java.util.ConcurrentModificationException] {
+      Layout.withCommitRetry(maxAttempts = 3, baseBackoffMs = 1) {
+        calls += 1
+        throw new java.util.ConcurrentModificationException("always loses")
+      }
+    }
+    assert(calls == 3)
+    // non-OCC exceptions are not retried
+    var other = 0
+    intercept[IllegalArgumentException] {
+      Layout.withCommitRetry(maxAttempts = 5) {
+        other += 1
+        throw new IllegalArgumentException("schema rejection")
+      }
+    }
+    assert(other == 1)
+  }
+
   test("cloneVersion: zero-copy branch, independent history, vacuum-proof") {
     import java.nio.file.{Files => JFiles, Paths}
     val root = history() // 3 versions
