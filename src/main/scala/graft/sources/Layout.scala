@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Physical data layout beyond directories and buckets: multi-dimensional
   * clustering (Z-order) and small-file compaction. Neither changes query
@@ -174,6 +175,13 @@ object Layout {
     */
   def resolveVersion(spark: SparkSession, root: String, version: Int): String = {
     val p = new Path(root, versionName(version))
+    if (ManifestIndex.isManifestRoot(spark, root)) {
+      // a manifest IS the version; its data may live in other version dirs
+      require(ManifestIndex.exists(spark, root, versionName(version)),
+        s"version $version does not exist under $root " +
+          "(never committed, or already vacuumed)")
+      return p.toString
+    }
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"version $version does not exist under $root " +
       "(never written, or already vacuumed)")
@@ -206,6 +214,11 @@ object Layout {
 
   private def readVersionDir(spark: SparkSession, root: String,
                              versionPath: String): DataFrame = {
+    if (ManifestIndex.isManifestRoot(spark, root)) {
+      val ver = versionPath.substring(versionPath.lastIndexOf('/') + 1)
+      val m = ManifestIndex.read(spark, root, ver)
+      return ManifestIndex.dataFrame(spark, root, m)
+    }
     val p = new Path(versionPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (hasDataFiles(fs, p))
@@ -315,6 +328,8 @@ object Layout {
                                   targetBytes: Long,
                                   maxFiles: Int = 8,
                                   zOrderCols: Seq[String] = Nil): (String, Int) = {
+    if (ManifestIndex.isManifestRoot(spark, root))
+      return compactManifest(spark, root, targetBytes, maxFiles, zOrderCols)
     val cur = resolveCurrent(spark, root)
     val curPath = new Path(cur)
     val fs = curPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -381,9 +396,12 @@ object Layout {
     * rejected loudly; silently nulling existing data is the one thing a
     * lakehouse merge must never do.
     */
-  private def requireEvolvable(current: DataFrame, updates: DataFrame): Unit = {
-    val up = updates.schema.map(f => f.name -> f.dataType).toMap
-    current.schema.foreach { f =>
+  private def requireEvolvable(current: DataFrame, updates: DataFrame): Unit =
+    requireEvolvable(current.schema, updates.schema)
+
+  private def requireEvolvable(current: StructType, updates: StructType): Unit = {
+    val up = updates.map(f => f.name -> f.dataType).toMap
+    current.foreach { f =>
       require(up.contains(f.name),
         s"merge: updates drop live column ${f.name}; evolution may only ADD columns")
       require(up(f.name) == f.dataType,
@@ -503,6 +521,35 @@ object Layout {
     s"$root/$v0"
   }
 
+  /** Create a MANIFEST-MODE partitioned versioned root: same layout and
+    * pointer contract as [[initVersionedPartitioned]], but each version is
+    * additionally described by `root/vNNNNN.manifest` — a file list with
+    * the table's schemas — and every subsequent merge/delete/compact
+    * carries untouched partitions forward as MANIFEST ENTRIES instead of
+    * hardlinks. This is the mode for object stores, where a hardlink
+    * degrades to a physical copy of every untouched leaf
+    * ([[mergeVersionedPartitioned]]'s documented gap); a manifest commit
+    * is O(metadata) there too. All Layout operations auto-detect the mode
+    * from the `_format` marker; callers use the same partitioned API.
+    */
+  def initVersionedManifest(df: DataFrame, root: String,
+                            pcols: Seq[String]): String = {
+    require(pcols.nonEmpty,
+      "manifest mode is for partitioned roots (carry-forward has no meaning " +
+        "unpartitioned — use initVersioned)")
+    val spark = df.sparkSession
+    val v0 = versionName(0)
+    df.write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(s"$root/$v0")
+    ManifestIndex.writeFormatMarker(spark, root)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ManifestIndex.write(spark, root, v0, ManifestIndex.TableManifest(
+      StructType(df.schema.filterNot(f => pcols.contains(f.name))),
+      StructType(pcols.map(c => df.schema(c))),
+      ManifestIndex.listVersionFiles(fs, root, v0)))
+    writePointer(spark, root, v0)
+    s"$root/$v0"
+  }
+
   /** Key-pruned MERGE (upsert) on a partitioned versioned root: only leaf
     * dirs whose `pcol` value appears in `updates` are rewritten (read with
     * partition pruning, anti-joined on `keys`, unioned with the updates);
@@ -545,6 +592,8 @@ object Layout {
   def mergeVersionedPartitioned(spark: SparkSession, root: String,
                                 updates: DataFrame, keys: Seq[String],
                                 pcols: Seq[String]): String = {
+    if (ManifestIndex.isManifestRoot(spark, root))
+      return mergeManifest(spark, root, updates, keys, pcols)
     val cur = resolveCurrent(spark, root)
     val curPath = new Path(cur)
     val fs = curPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -590,6 +639,8 @@ object Layout {
   /** Multi-level variant of the key-pruned DELETE. */
   def deleteVersionedPartitioned(spark: SparkSession, root: String,
                                  predicate: Column, pcols: Seq[String]): String = {
+    if (ManifestIndex.isManifestRoot(spark, root))
+      return deleteManifest(spark, root, predicate, pcols)
     val cur = resolveCurrent(spark, root)
     val curPath = new Path(cur)
     val fs = curPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -609,6 +660,123 @@ object Layout {
     writePointer(spark, root, next)
     nextPath
   }
+
+  // ------------------------------------------------------ manifest-mode impls
+
+  /** MERGE on a manifest root: identical key-pruned semantics to the
+    * hardlink path, but carry-forward of every untouched leaf is a copied
+    * manifest entry — zero filesystem operations per untouched partition
+    * (vs one link/copy per FILE), which is what survives an object store.
+    * Schema evolution is checked against the MANIFEST schema even when no
+    * existing leaf is rewritten (a pure-new-partition merge must not
+    * narrow the table), and the committed manifest's data schema is the
+    * evolved union, so carried old files null-fill added columns by name.
+    */
+  private def mergeManifest(spark: SparkSession, root: String,
+                            updates: DataFrame, keys: Seq[String],
+                            pcols: Seq[String]): String = {
+    val cur = resolveCurrent(spark, root)
+    val curVer = cur.substring(cur.lastIndexOf('/') + 1)
+    val man = ManifestIndex.read(spark, root, curVer)
+    require(man.partitionSchema.fieldNames.toSeq == pcols,
+      s"manifest root $root is partitioned on " +
+        s"${man.partitionSchema.fieldNames.mkString(",")}, not ${pcols.mkString(",")}")
+    requireEvolvable(
+      StructType(man.dataSchema ++ man.partitionSchema), updates.schema)
+    val affected = affectedLeaves(updates.select(pcols.map(col): _*), pcols, root)
+    val existingAffected = man.leaves.intersect(affected)
+    val merged =
+      if (existingAffected.isEmpty) updates
+      else {
+        val existing = ManifestIndex.dataFrame(spark, root, man,
+          Some(existingAffected))
+        updates.unionByName(
+          existing.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"),
+          allowMissingColumns = true)
+      }
+    val (next, nextPath) = nextVersion(spark, root, cur)
+    merged.write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
+    commitManifest(spark, root, next, man.copy(
+      dataSchema = StructType(merged.schema.filterNot(f => pcols.contains(f.name))),
+      entries = ManifestIndex.listVersionFiles(
+        fsOf(spark, root), root, next) ++
+        man.entries.filterNot(e => affected.contains(e.leaf))))
+    nextPath
+  }
+
+  /** DELETE on a manifest root; see [[mergeManifest]] for the carry shape.
+    * A leaf whose every row matches simply has no entries in the new
+    * manifest — the empty-version read needs no schema donor, the manifest
+    * carries the schema.
+    */
+  private def deleteManifest(spark: SparkSession, root: String,
+                             predicate: Column, pcols: Seq[String]): String = {
+    val cur = resolveCurrent(spark, root)
+    val curVer = cur.substring(cur.lastIndexOf('/') + 1)
+    val man = ManifestIndex.read(spark, root, curVer)
+    val full = ManifestIndex.dataFrame(spark, root, man)
+    val affected = affectedLeaves(
+      full.filter(predicate).select(pcols.map(col): _*), pcols, root)
+      .intersect(man.leaves)
+    val (next, nextPath) = nextVersion(spark, root, cur)
+    if (affected.nonEmpty)
+      ManifestIndex.dataFrame(spark, root, man, Some(affected))
+        .filter(!predicate)
+        .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
+    commitManifest(spark, root, next, man.copy(
+      entries = ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++
+        man.entries.filterNot(e => affected.contains(e.leaf))))
+    nextPath
+  }
+
+  /** Compaction on a manifest root: fragmentation is diagnosed FROM the
+    * manifest (no directory listing at all), only fragmented leaves are
+    * rewritten, healthy leaves carry as entries. Rewriting also re-homes a
+    * clone's absolute-path references into this root, one leaf at a time.
+    */
+  private def compactManifest(spark: SparkSession, root: String,
+                              targetBytes: Long, maxFiles: Int,
+                              zOrderCols: Seq[String]): (String, Int) = {
+    val cur = resolveCurrent(spark, root)
+    val curVer = cur.substring(cur.lastIndexOf('/') + 1)
+    val man = ManifestIndex.read(spark, root, curVer)
+    val fragmented = man.byLeaf.flatMap { case (leaf, es) =>
+      val bytes = es.map(_.size).sum
+      val tooMany = es.length > maxFiles
+      val tooSmall = es.length > 1 && bytes / es.length < targetBytes / 2
+      if (tooMany || tooSmall) Some(leaf -> bytes) else None
+    }
+    val (next, nextPath) = nextVersion(spark, root, cur)
+    fragmented.toSeq.sortBy(_._1).foreach { case (leaf, bytes) =>
+      val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      val data = ManifestIndex.dataFrame(spark, root, man, Some(Set(leaf)))
+        .drop(man.partitionSchema.fieldNames: _*)
+      if (zOrderCols.nonEmpty)
+        writeZOrdered(data, s"$nextPath/$leaf", zOrderCols, files = files)
+      else
+        data.coalesce(files)
+          .write.mode(SaveMode.Overwrite).parquet(s"$nextPath/$leaf")
+    }
+    commitManifest(spark, root, next, man.copy(
+      entries = ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++
+        man.entries.filterNot(e => fragmented.contains(e.leaf))))
+    (nextPath, fragmented.size)
+  }
+
+  /** Shared manifest-commit tail: version dir always exists (so
+    * [[history]]'s listing and external tooling see every version), then
+    * manifest, then the atomic pointer flip — a reader that resolves the
+    * new pointer always finds a complete manifest.
+    */
+  private def commitManifest(spark: SparkSession, root: String, version: String,
+                             m: ManifestIndex.TableManifest): Unit = {
+    fsOf(spark, root).mkdirs(new Path(root, version))
+    ManifestIndex.write(spark, root, version, m)
+    writePointer(spark, root, version)
+  }
+
+  private def fsOf(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Distinct `pcol` values of `df` as hive-encoded leaf names
     * (`pcol=value`), derived distributed-side: the values are written
@@ -708,6 +876,21 @@ object Layout {
   def changeFeed(spark: SparkSession, root: String, fromVersion: Int,
                  toVersion: Int, keys: Seq[String]): DataFrame = {
     require(fromVersion != toVersion, "changeFeed: versions must differ")
+    if (ManifestIndex.isManifestRoot(spark, root)) {
+      // pruning by MANIFEST compare: data files are immutable once written,
+      // so equal (path, size) entry sets prove a leaf's bytes are identical
+      // across the two versions — no stat calls, no inode reads, works on
+      // object stores where there is nothing to hardlink
+      val mf = ManifestIndex.read(spark, root, versionName(fromVersion))
+      val mt = ManifestIndex.read(spark, root, versionName(toVersion))
+      def sig(m: ManifestIndex.TableManifest) =
+        m.byLeaf.view.mapValues(_.map(e => (e.path, e.size)).toSet).toMap
+      val (fb, tb) = (sig(mf), sig(mt))
+      val changed = (fb.keySet ++ tb.keySet).filter(l => fb.get(l) != tb.get(l))
+      return diff(
+        ManifestIndex.dataFrame(spark, root, mf, Some(changed)),
+        ManifestIndex.dataFrame(spark, root, mt, Some(changed)), keys)
+    }
     val fromPath = new Path(resolveVersion(spark, root, fromVersion))
     val toPath = new Path(resolveVersion(spark, root, toVersion))
     val fs = fromPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -824,6 +1007,22 @@ object Layout {
     val dst = new Path(newRoot, v0)
     require(!fs.exists(new Path(newRoot, CurrentFile)),
       s"cloneVersion: $newRoot is already a versioned root")
+    if (ManifestIndex.isManifestRoot(spark, root)) {
+      // Manifest clone = a manifest whose entries point (absolutely) into
+      // the source root — zero data ops even on object stores. Unlike the
+      // hardlink clone, the bytes stay owned by the SOURCE: vacuuming the
+      // source can invalidate the clone (shallow-clone semantics; compact
+      // the clone to re-home its data before vacuuming the source).
+      val m = ManifestIndex.read(spark, root, versionName(version))
+      val abs = m.copy(entries = m.entries.map(e =>
+        if (e.path.startsWith("/") || e.path.contains("://")) e
+        else e.copy(path = s"$root/${e.path}")))
+      ManifestIndex.writeFormatMarker(spark, newRoot)
+      fs.mkdirs(dst)
+      ManifestIndex.write(spark, newRoot, v0, abs)
+      writePointer(spark, newRoot, v0)
+      return dst.toString
+    }
     val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
       fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
     def linkTree(from: Path, to: Path): Unit = {
@@ -859,7 +1058,20 @@ object Layout {
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val current = resolveCurrent(spark, root)
       .substring(root.length).dropWhile(_ == '/')
-    val rows = fs.listStatus(rootPath).filter(_.isDirectory)
+    val rows = if (ManifestIndex.isManifestRoot(spark, root)) {
+      // versions ARE manifests: file counts/bytes come from the entries
+      // (no recursive listing), modified = the manifest's own commit mtime
+      fs.listStatus(rootPath).filter(_.isFile)
+        .filter(_.getPath.getName.matches("v\\d{5}\\.manifest"))
+        .sortBy(_.getPath.getName)
+        .map { st =>
+          val v = st.getPath.getName.stripSuffix(".manifest")
+          val m = ManifestIndex.read(spark, root, v)
+          org.apache.spark.sql.Row(v.substring(1).toInt,
+            m.entries.length.toLong, m.entries.map(_.size).sum,
+            new java.sql.Timestamp(st.getModificationTime), v == current)
+        }
+    } else fs.listStatus(rootPath).filter(_.isDirectory)
       .filter(_.getPath.getName.matches("v\\d{5}")).sortBy(_.getPath.getName)
       .map { v =>
         var files = 0L; var bytes = 0L; var mtime = 0L
@@ -897,6 +1109,8 @@ object Layout {
     */
   def vacuumVersions(spark: SparkSession, root: String, keep: Int = 2): Int = {
     require(keep >= 1, "must keep at least the live version")
+    if (ManifestIndex.isManifestRoot(spark, root))
+      return vacuumManifest(spark, root, keep)
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions = fs.listStatus(rootPath).map(_.getPath)
@@ -907,6 +1121,51 @@ object Layout {
       fs.delete(p, true)
       // sweep the OCC claim tombstone with its version dir
       fs.delete(new Path(root, s"${p.getName}.claim"), false)
+    }
+    doomed.length
+  }
+
+  /** Manifest-mode vacuum: a version dir can hold files still REFERENCED by
+    * newer manifests (carry-forward points backward in manifest mode, the
+    * mirror of hardlinks pointing forward), so vacuuming version N deletes
+    * N's manifest and then only the files under `root/vNNNNN/` that no
+    * retained manifest references — a carried data file OUTLIVES its origin
+    * version dir, and the dir itself goes only when emptied. Claim
+    * tombstones sweep with their manifests, as in the hardlink mode.
+    */
+  private def vacuumManifest(spark: SparkSession, root: String,
+                             keep: Int): Int = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(rootPath).map(_.getPath.getName)
+      .filter(_.matches("v\\d{5}\\.manifest")).sorted
+      .map(_.stripSuffix(".manifest"))
+    val (doomed, kept) = versions.splitAt(math.max(0, versions.length - keep))
+    val referenced: Set[String] = kept.flatMap(v =>
+      ManifestIndex.read(spark, root, v).entries.map(_.path)
+        .filterNot(p => p.startsWith("/") || p.contains("://"))).toSet
+    // depth-first sweep: delete unreferenced data files and all hidden
+    // files; a dir empties => delete it; any referenced survivor keeps its
+    // ancestor chain alive
+    def sweep(p: Path, rel: String): Boolean = {
+      var empty = true
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        val childRel = if (rel.isEmpty) n else s"$rel/$n"
+        if (st.isDirectory) {
+          if (sweep(st.getPath, childRel)) fs.delete(st.getPath, false)
+          else empty = false
+        } else if (n.startsWith("_") || n.startsWith(".") ||
+          !referenced.contains(childRel)) fs.delete(st.getPath, false)
+        else empty = false
+      }
+      empty
+    }
+    doomed.foreach { v =>
+      fs.delete(ManifestIndex.manifestPath(root, v), false)
+      fs.delete(new Path(root, s"$v.claim"), false)
+      val vdir = new Path(root, v)
+      if (fs.exists(vdir) && sweep(vdir, v)) fs.delete(vdir, false)
     }
     doomed.length
   }

@@ -26,47 +26,64 @@ class LayoutPropertySpec extends SparkSpec {
     vals <- Gen.listOfN(n, Gen.choose(1, 999).map(_.toDouble))
   } yield Op(isMerge, ids.distinct, vals))
 
-  test("random merge/delete sequences match the Map model; versions immutable") {
-    val prop = Prop.forAll(genOps) { ops =>
-      val root = Files.createTempDirectory("graft_vprop").toString
-      var model = (0L until 12L).map(i => i -> (partOf(i), i.toDouble * 10)).toMap
-      val base = model.toSeq.map { case (id, (p, v)) => (id, p, v) }
-        .toDF("id", "part", "v")
-      Layout.initVersionedPartitioned(base, root, "part")
-      var snapshots = List(model) // index = version number
+  /** The model property, shared by both storage modes (manifest: round 10).
+    * Versions are read through Layout.readVersion — the only reader that is
+    * correct in BOTH modes (a manifest version dir is not self-contained).
+    */
+  private def modelProperty(manifest: Boolean): Prop = Prop.forAll(genOps) { ops =>
+    val root = Files.createTempDirectory("graft_vprop").toString
+    var model = (0L until 12L).map(i => i -> (partOf(i), i.toDouble * 10)).toMap
+    val base = model.toSeq.map { case (id, (p, v)) => (id, p, v) }
+      .toDF("id", "part", "v")
+    if (manifest) Layout.initVersionedManifest(base, root, Seq("part"))
+    else Layout.initVersionedPartitioned(base, root, "part")
+    var snapshots = List(model) // index = version number
 
-      def readVersion(path: String): Map[Long, (String, Double)] =
-        spark.read.parquet(path).select("id", "part", "v")
-          .as[(Long, String, Double)].collect()
-          .map { case (i, p, v) => i -> (p, v) }.toMap
+    def readVersion(v: Int): Map[Long, (String, Double)] =
+      Layout.readVersion(spark, root, v).select("id", "part", "v")
+        .as[(Long, String, Double)].collect()
+        .map { case (i, p, v) => i -> (p, v) }.toMap
 
-      var ok = true
-      ops.foreach { op =>
-        if (op.isMerge) {
-          val rows = op.ids.zip(op.vals).map { case (i, v) => (i, partOf(i), v) }
-          val path = Layout.mergeVersionedPartitioned(spark, root,
-            rows.toDF("id", "part", "v"), Seq("id"), "part")
-          model = model ++ rows.map { case (i, p, v) => i -> (p, v) }
-          ok &&= readVersion(path) == model
-        } else {
-          val doomed = op.ids.toSet
-          val path = Layout.deleteVersionedPartitioned(spark, root,
-            col("id").isin(op.ids: _*), "part")
-          model = model -- doomed
-          ok &&= readVersion(path) == model
-        }
-        snapshots = snapshots :+ model
+    var ok = true
+    var version = 0
+    ops.foreach { op =>
+      if (op.isMerge) {
+        val rows = op.ids.zip(op.vals).map { case (i, v) => (i, partOf(i), v) }
+        Layout.mergeVersionedPartitioned(spark, root,
+          rows.toDF("id", "part", "v"), Seq("id"), "part")
+        model = model ++ rows.map { case (i, p, v) => i -> (p, v) }
+      } else {
+        val doomed = op.ids.toSet
+        Layout.deleteVersionedPartitioned(spark, root,
+          col("id").isin(op.ids: _*), "part")
+        model = model -- doomed
       }
-      // every historical version still reads as exactly its model snapshot
-      ok &&= snapshots.zipWithIndex.forall { case (snap, v) =>
-        readVersion(Layout.resolveVersion(spark, root, v)) == snap
-      }
-      // live pointer resolves to the final state
-      ok &&= readVersion(Layout.resolveCurrent(spark, root)) == model
-      ok
+      version += 1
+      ok &&= readVersion(version) == model
+      snapshots = snapshots :+ model
     }
+    // every historical version still reads as exactly its model snapshot
+    ok &&= snapshots.zipWithIndex.forall { case (snap, v) =>
+      readVersion(v) == snap
+    }
+    // live pointer resolves to the final state
+    ok &&= Layout.readCurrent(spark, root).select("id", "part", "v")
+      .as[(Long, String, Double)].collect()
+      .map { case (i, p, v) => i -> (p, v) }.toMap == model
+    ok
+  }
+
+  test("random merge/delete sequences match the Map model; versions immutable") {
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(4).withWorkers(1), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(4).withWorkers(1),
+      modelProperty(manifest = false))
+    assert(res.passed, res.toString)
+  }
+
+  test("manifest mode: random merge/delete sequences match the Map model too") {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(4).withWorkers(1),
+      modelProperty(manifest = true))
     assert(res.passed, res.toString)
   }
 }

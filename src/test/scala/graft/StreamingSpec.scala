@@ -164,6 +164,27 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(Layout.resolveVersion(spark, root, 0)).count() == 3)
   }
 
+  test("streamMergeVersioned auto-detects a MANIFEST root (r10)") {
+    import graft.sources.{Layout, ManifestIndex}
+    val inDir = Files.createTempDirectory("graft_smv_min").toString
+    val root = Files.createTempDirectory("graft_smv_mroot").toString
+    val ckpt = Files.createTempDirectory("graft_smv_mckpt").toString
+    def rows(rs: (Long, String, Double)*) = rs.toDF("id", "part", "v")
+    Layout.initVersionedManifest(
+      rows((1L, "p1", 10.0), (3L, "p2", 30.0)), root, Seq("part"))
+    rows((2L, "p1", 99.0)).write.mode("append").parquet(inDir)
+    val schema = rows((0L, "", 0.0)).schema
+    StreamingOps.streamMergeVersioned(
+      StreamingOps.fileStream(spark, inDir, schema), root, Seq("id"), "part", ckpt)
+    assert(Layout.readCurrent(spark, root)
+      .select("id", "part", "v").as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "p1", 10.0), (2L, "p1", 99.0), (3L, "p2", 30.0)))
+    // the batch's commit carried p2 as a manifest entry, not a link
+    val m = ManifestIndex.read(spark, root, "v00001")
+    assert(m.byLeaf("part=p2").forall(_.path.startsWith("v00000/")))
+    assert(m.byLeaf("part=p1").forall(_.path.startsWith("v00001/")))
+  }
+
   test("windowed aggregate over a drained stream") {
     val dir = Files.createTempDirectory("graft_stream2").toString
     val batch = Seq(
