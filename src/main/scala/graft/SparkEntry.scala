@@ -1496,7 +1496,50 @@ object SparkEntry {
         // ship the decimal digest as a string: pandas/fetchdf coerce
         // DECIMAL(38,0) to lossy float64, and a 60-bit-sum digest is
         // exactly the value a float round-trip can corrupt
-        .withColumn("content_digest", col("content_digest").cast("string")))
+        .withColumn("content_digest", col("content_digest").cast("string"))),
+
+    // --- incremental materialized-view maintenance under the oracle ---
+    // (S24, r10: the one r9 operator family verified only by ScalaTest.)
+    // Build a deterministic 3-version MANIFEST-mode history from orders
+    // (v0 = snapshot, v1 = merge bumping every key%7==0 price by 1000
+    // cents, v2 = delete of every key%11==0), then maintain the per-
+    // priority (count, sum) rollup INCREMENTALLY: materialize(v0) +
+    // applyFeed(v0->v1) + applyFeed(v1->v2). The oracle computes the
+    // final state directly — incremental ≡ recompute is exactly the
+    // self-maintainable-view claim, now hash-checked cross-engine, and
+    // the feeds flow through the round-10 manifest layer.
+    "q139_incremental_view" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"), col("o_orderpriority").as("g"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q139").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(base, root, Seq("g"))
+      graft.sources.Layout.mergeVersionedPartitioned(s, root,
+        base.filter(col("id") % 7 === 0).withColumn("v", col("v") + 1000L),
+        Seq("id"), "g")
+      graft.sources.Layout.deleteVersionedPartitioned(s, root,
+        col("id") % 11 === 0, "g")
+      val v0 = graft.sources.Layout.readVersion(s, root, 0)
+      val s0 = Incremental.materialize(v0, Seq("g"), Seq("v"))
+      val s1 = Incremental.applyFeed(s0,
+        graft.sources.Layout.changeFeed(s, root, 0, 1, Seq("id")), Seq("g"), Seq("v"))
+      Incremental.applyFeed(s1,
+        graft.sources.Layout.changeFeed(s, root, 1, 2, Seq("id")), Seq("g"), Seq("v"))
+        .select(col("g"), col("n_rows"), col("sum_v").cast("long").as("sum_v"))
+    }),
+
+    // --- per-group sketched heavy hitters: tokens per language ---
+    // The corpus-stats query a training pipeline runs per language: every
+    // token claiming > n(lang)/40 of its language's token mass. Sketch
+    // tier (one MG per group + exact verify) ≡ the exact tier ≡ the
+    // DuckDB oracle — three-way agreement, and the aggregation state is
+    // O(capacity) per language no matter the vocabulary size.
+    "q140_heavy_hitters_by_lang" -> ((s, dir) =>
+      Frequency.heavyHittersSketchedByKey(
+        Tables.documents(s, dir)
+          .select(col("lang"), explode(TF.tokens(col("text"))).as("tok")),
+        Seq("lang"), col("tok"), k = 40, capacity = 160)
+        .select(col("lang"), col("item"), col("cnt")))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -3234,7 +3277,28 @@ object SparkEntry {
               coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), chr(0))
             ), 1, 15)) AS BIGINT) AS DECIMAL(38,0)))
             AS VARCHAR) AS content_digest
-        FROM orders GROUP BY 1"""
+        FROM orders GROUP BY 1""",
+      // direct aggregate of the FINAL version: survivors of the v2 delete,
+      // at their post-v1-merge values — what the incremental fold must equal
+      "q139_incremental_view" -> """
+        SELECT o_orderpriority AS g,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) +
+            CASE WHEN o_orderkey % 7 = 0 THEN 1000 ELSE 0 END) AS BIGINT) AS sum_v
+        FROM orders
+        WHERE o_orderkey % 11 <> 0
+        GROUP BY 1""",
+      // exact per-language heavy hitters — the sketched pipeline must
+      // reproduce this exactly (candidates-then-verify, no sketch error)
+      "q140_heavy_hitters_by_lang" -> """
+        WITH toks AS (SELECT lang,
+            unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+          FROM documents),
+        c AS (SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY 1, 2)
+        SELECT lang, tok AS item, cnt
+        FROM (SELECT lang, tok, cnt,
+                sum(cnt) OVER (PARTITION BY lang) AS n FROM c) t
+        WHERE cnt * 40 > n"""
     )
   }
 

@@ -53,6 +53,63 @@ object Frequency {
       .select(col("item"), col("cnt"))
   }
 
+  /** Per-group exact heavy hitters: [[heavyHitters]] run independently
+    * inside every `groupCols` tuple (items of `itemCol` with
+    * count · k > n(group), strict, nulls excluded). Returns
+    * (groupCols…, item, cnt). The total-n window is PARTITIONED by group —
+    * O(distinct items per group) post-aggregate rows per partition, no
+    * single-partition stage; the same cardinality guidance as the global
+    * tier applies per group.
+    */
+  def heavyHittersByKey(df: DataFrame, groupCols: Seq[String], itemCol: Column,
+                        k: Int): DataFrame = {
+    require(k >= 2, s"heavyHittersByKey: k must be >= 2, got $k")
+    df.select(groupCols.map(col) :+ itemCol.as("item"): _*)
+      .filter(col("item").isNotNull)
+      .groupBy(groupCols.map(col) :+ col("item"): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__n",
+        sum(col("cnt")).over(Window.partitionBy(groupCols.map(col): _*)))
+      .filter(col("cnt") * k > col("__n"))
+      .select(groupCols.map(col) ++ Seq(col("item"), col("cnt")): _*)
+  }
+
+  /** Per-group candidates-then-verify heavy hitters — the per-language /
+    * per-domain corpus-stats query a training-data pipeline actually runs
+    * (tokens per language, URLs per crawl, user agents per day): one MG
+    * sketch PER GROUP (O(capacity) state per group regardless of item
+    * cardinality), then one exact verify pass where non-candidates
+    * collapse into each group's null-item row so per-item counts and the
+    * per-group total n come from the same aggregate. Output is EXACTLY
+    * [[heavyHittersByKey]]'s — oracle-checkable (q140) despite the
+    * order-dependent sketch, same contract as the global pair.
+    */
+  def heavyHittersSketchedByKey(df: DataFrame, groupCols: Seq[String],
+                                itemCol: Column, k: Int,
+                                capacity: Int): DataFrame = {
+    require(k >= 2, s"heavyHittersSketchedByKey: k must be >= 2, got $k")
+    require(capacity >= k - 1,
+      s"heavyHittersSketchedByKey: capacity $capacity < k-1 loses the superset guarantee")
+    val items = df.select(groupCols.map(col) :+ itemCol.as("item"): _*)
+      .filter(col("item").isNotNull)
+    val candidates = items
+      .groupBy(groupCols.map(col): _*)
+      .agg(MisraGries.mgTopK(col("item"), capacity).as("sketch"))
+      .select(groupCols.map(col) :+ explode(col("sketch")).as("e"): _*)
+      .select(groupCols.map(col) :+ col("e").getField("item").as("item"): _*)
+      .withColumn("__cand", lit(true))
+    val grouped = items
+      .join(broadcast(candidates), groupCols :+ "item", "left")
+      .groupBy(groupCols.map(col) :+
+        when(col("__cand"), col("item")).as("item"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    grouped
+      .withColumn("__n",
+        sum(col("cnt")).over(Window.partitionBy(groupCols.map(col): _*)))
+      .filter(col("item").isNotNull && col("cnt") * k > col("__n"))
+      .select(groupCols.map(col) ++ Seq(col("item"), col("cnt")): _*)
+  }
+
   /** Candidates-then-verify heavy hitters; see object doc. Two corpus
     * scans by construction (nominate, then verify); the verify shuffle
     * carries one row per (candidate × map partition) — non-candidates

@@ -55,4 +55,115 @@ object Incremental {
             .as(s"sum_$c")): _*)
     merged.filter(col("n_rows") > 0)
   }
+
+  /** Initial per-group (count, min, max) state from a full snapshot.
+    * Min/max ignore null values, as the aggregates do.
+    */
+  def materializeMinMax(df: DataFrame, keys: Seq[String],
+                        valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as(s"min_$valueCol"),
+        max(col(valueCol)).as(s"max_$valueCol"))
+
+  /** Fold one change feed into a min/max state. Min and max are NOT
+    * self-maintainable under deletion (removing the extremum reveals an
+    * unknown runner-up), so each group carries an implicit INVALIDATION
+    * bit: a feed that removes a value at-or-beyond a group's stored
+    * extremum (`removed_min ≤ stored_min` or `removed_max ≥ stored_max` —
+    * duplicates make equality removal unsafe too) marks the group invalid,
+    * and invalid groups alone are recomputed from `current` (the LIVE
+    * snapshot the feed leads to) via a semi-join-pruned scan. Everything
+    * else — inserts, and deletions strictly inside the (min, max) envelope
+    * — folds incrementally: adds can only extend the envelope, interior
+    * removals cannot move it.
+    *
+    * Scale shape: the delta is one aggregate over the feed; the recompute
+    * scans only the invalidated groups' rows (partition-pruned when `keys`
+    * align with the table layout), which for the typical daily-merge feed
+    * is a handful of groups, not the table.
+    */
+  def applyFeedMinMax(state: DataFrame, feed: DataFrame, keys: Seq[String],
+                      valueCol: String, current: DataFrame): DataFrame = {
+    val mn = s"min_$valueCol"
+    val mx = s"max_$valueCol"
+    val isAdd = col("_change_type").isin("insert", "update_post")
+    val delta = feed.groupBy(keys.map(col): _*).agg(
+      sum(when(isAdd, 1L).otherwise(-1L)).as("__d_n"),
+      min(when(isAdd, col(valueCol))).as("__add_min"),
+      max(when(isAdd, col(valueCol))).as("__add_max"),
+      min(when(!isAdd, col(valueCol))).as("__rm_min"),
+      max(when(!isAdd, col(valueCol))).as("__rm_max"))
+    val joined = state.join(delta, keys, "full_outer")
+      .withColumn("__n",
+        coalesce(col("n_rows"), lit(0L)) + coalesce(col("__d_n"), lit(0L)))
+      // the invalidation bit: some non-null value was removed AND the
+      // group's envelope cannot prove the removal was interior
+      .withColumn("__invalid", col("__rm_min").isNotNull &&
+        (col(mn).isNull || col("__rm_min") <= col(mn) ||
+          col("__rm_max") >= col(mx)))
+    val valid = joined.filter(!col("__invalid"))
+      .select(keys.map(col) ++ Seq(col("__n").as("n_rows"),
+        least(col(mn), col("__add_min")).as(mn),
+        greatest(col(mx), col("__add_max")).as(mx)): _*)
+      .filter(col("n_rows") > 0)
+    val invalidKeys = joined.filter(col("__invalid"))
+      .select(keys.map(col): _*)
+    val recomputed = materializeMinMax(
+      current.join(invalidKeys, keys, "left_semi"), keys, valueCol)
+    valid.unionByName(recomputed)
+  }
+
+  private val AppliedMeta = "_applied_table_version"
+
+  /** Create `viewRoot` as a versioned MATERIALIZED VIEW of `tableRoot`'s
+    * live version: the grouped (count, sums) state plus an atomic
+    * "derived from table version N" watermark
+    * ([[graft.sources.Layout.publishVersion]] metadata). From here on,
+    * [[refreshFollowingView]] advances the view by CHANGE FEED only.
+    */
+  def initFollowingView(spark: org.apache.spark.sql.SparkSession,
+                        tableRoot: String, viewRoot: String,
+                        keys: Seq[String], sumCols: Seq[String]): String = {
+    val n = graft.sources.Layout.currentVersionNumber(spark, tableRoot)
+    graft.sources.Layout.publishVersion(spark, viewRoot,
+      materialize(graft.sources.Layout.readVersion(spark, tableRoot, n),
+        keys, sumCols),
+      Map(AppliedMeta -> n.toString))
+  }
+
+  /** Catch the view up to the table's live version by applying ONE change
+    * feed spanning `(applied, current]` — refresh cost is the feed size,
+    * never the table size. The commit is exactly-once by construction:
+    * state and watermark publish atomically, so a crashed or REPLAYED
+    * refresh (a restarted streaming batch, a second maintenance job) sees
+    * the already-advanced watermark and no-ops instead of double-applying
+    * the feed.
+    *
+    * @param rowKeys the table's row identity (the feed's join keys);
+    *                `keys`/`sumCols` are the VIEW's grouping and measures
+    * @return (fromVersion, toVersion) applied; equal when already current
+    */
+  def refreshFollowingView(spark: org.apache.spark.sql.SparkSession,
+                           tableRoot: String, viewRoot: String,
+                           rowKeys: Seq[String], keys: Seq[String],
+                           sumCols: Seq[String]): (Int, Int) = {
+    val viewVer = graft.sources.Layout.currentVersionNumber(spark, viewRoot)
+    val applied = graft.sources.Layout
+      .versionMeta(spark, viewRoot, viewVer, AppliedMeta)
+      .getOrElse(throw new IllegalStateException(
+        s"$viewRoot v$viewVer has no $AppliedMeta watermark — not a following view"))
+      .trim.toInt
+    val tableVer = graft.sources.Layout.currentVersionNumber(spark, tableRoot)
+    if (tableVer == applied) return (applied, applied)
+    require(tableVer > applied, s"table at v$tableVer is BEHIND the view's " +
+      s"watermark v$applied — was the table rolled back?")
+    val feed = graft.sources.Layout.changeFeed(
+      spark, tableRoot, applied, tableVer, rowKeys)
+    val state = applyFeed(
+      graft.sources.Layout.readCurrent(spark, viewRoot), feed, keys, sumCols)
+    graft.sources.Layout.publishVersion(spark, viewRoot, state,
+      Map(AppliedMeta -> tableVer.toString))
+    (applied, tableVer)
+  }
 }

@@ -286,6 +286,52 @@ object Layout {
     s"$root/$v0"
   }
 
+  /** Version number the live pointer resolves to. */
+  def currentVersionNumber(spark: SparkSession, root: String): Int = {
+    val cur = resolveCurrent(spark, root)
+    cur.substring(cur.lastIndexOf("/v") + 2).toInt
+  }
+
+  /** PUBLISH `df` wholesale as the next version of `root` (creating the
+    * root at v0 when no pointer exists yet), with optional small metadata
+    * files (`name` → UTF-8 content) written INTO the version dir before the
+    * pointer flip — so a reader that resolves the new version always finds
+    * its metadata, and a crash before the flip leaves both state and
+    * metadata at the previous version together. This is the
+    * snapshot-publish primitive incremental view maintenance commits
+    * through: the view's rows and its "derived from table version N"
+    * watermark must move atomically or a crashed refresh double-applies a
+    * feed ([[graft.ops.Incremental.refreshFollowingView]]).
+    */
+  def publishVersion(spark: SparkSession, root: String, df: DataFrame,
+                     meta: Map[String, String] = Map.empty): String = {
+    val fs = fsOf(spark, root)
+    val fresh = !fs.exists(new Path(root, CurrentFile))
+    val (next, nextPath) =
+      if (fresh) (versionName(0), s"$root/${versionName(0)}")
+      else nextVersion(spark, root, resolveCurrent(spark, root))
+    df.write.mode(SaveMode.Overwrite).parquet(nextPath)
+    meta.foreach { case (name, content) =>
+      val out = fs.create(new Path(nextPath, name), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    writePointer(spark, root, next)
+    nextPath
+  }
+
+  /** Read a metadata file written by [[publishVersion]], if present. */
+  def versionMeta(spark: SparkSession, root: String, version: Int,
+                  name: String): Option[String] = {
+    val p = new Path(s"$root/${versionName(version)}", name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
   /** Reader-safe compaction: rewrite the live version into ~`targetBytes`
     * files as a NEW fully-written version dir, then flip `_current` in one
     * atomic rename. Returns the new live path. The old version dir is left

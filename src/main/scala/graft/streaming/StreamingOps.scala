@@ -133,4 +133,37 @@ object StreamingOps {
     q.awaitTermination()
     q
   }
+
+  /** [[streamMergeVersioned]] with a MATERIALIZED VIEW following the table:
+    * each micro-batch (1) upserts into the versioned layout under OCC
+    * retry, then (2) advances the view by the change feed of exactly the
+    * version range the merge produced
+    * ([[graft.ops.Incremental.refreshFollowingView]]). The view's
+    * state+watermark commit atomically, so a batch REPLAYED from the
+    * checkpoint after a crash re-merges idempotently and the view refresh
+    * no-ops on the already-applied range — end-to-end the table AND the
+    * view converge to exactly-once content.
+    */
+  def streamMergeVersionedWithView(stream: DataFrame, root: String,
+                                   keys: Seq[String], pcol: String,
+                                   checkpoint: String, viewRoot: String,
+                                   viewKeys: Seq[String],
+                                   sumCols: Seq[String]): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.Layout.withCommitRetry() {
+            graft.sources.Layout.mergeVersionedPartitioned(
+              batch.sparkSession, root, batch, keys, pcol)
+          }
+          graft.ops.Incremental.refreshFollowingView(
+            batch.sparkSession, root, viewRoot, keys, viewKeys, sumCols)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
 }

@@ -114,6 +114,30 @@ class FrequencySpec extends SparkSpec {
     }
   }
 
+  test("per-group sketched pipeline is EXACTLY the per-group exact answer (r10)") {
+    // per-group skew: each group has its own hot item + a long unique tail
+    val base = spark.range(0, 6000)
+      .select((col("id") % 4).cast("string").as("g"),
+        when(col("id") % 3 < 2, concat(lit("hot"), col("id") % 4))
+          .otherwise(concat(lit("u"), col("id"))).as("x"))
+    val exact = Frequency.heavyHittersByKey(base, Seq("g"), col("x"), 5)
+      .as[(String, String, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    for (parts <- Seq(1, 8)) {
+      val sk = Frequency.heavyHittersSketchedByKey(base.repartition(parts),
+        Seq("g"), col("x"), 5, 20).as[(String, String, Long)].collect().toSet
+      assert(sk == exact, s"parts=$parts sketched $sk != exact $exact")
+    }
+    // per-language token heavy hitters on the corpus (the q140 shape)
+    val toks = docs.select(col("lang"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    val e2 = Frequency.heavyHittersByKey(toks, Seq("lang"), col("tok"), 40)
+      .as[(String, String, Long)].collect().toSet
+    val s2 = Frequency.heavyHittersSketchedByKey(toks, Seq("lang"), col("tok"), 40, 160)
+      .as[(String, String, Long)].collect().toSet
+    assert(e2 == s2 && e2.nonEmpty)
+  }
+
   test("capacity below k-1 is rejected (guarantee would be lost)") {
     intercept[IllegalArgumentException] {
       Frequency.heavyHittersSketched(docs, col("lang"), k = 8, capacity = 5)

@@ -20,6 +20,10 @@ class IncrementalSpec extends SparkSpec {
     df.select($"g", $"n_rows", $"sum_v").as[(String, Long, Long)]
       .collect().toSet
 
+  private def canonMM(df: DataFrame): Set[(String, Long, Option[Long], Option[Long])] =
+    df.select($"g", $"n_rows", $"min_v", $"max_v")
+      .as[(String, Long, Option[Long], Option[Long])].collect().toSet
+
   test("folding the feed chain equals full recompute over a random history") {
     val rnd = new scala.util.Random(4242)
     val root = Files.createTempDirectory("graft_ivm").toString
@@ -29,6 +33,9 @@ class IncrementalSpec extends SparkSpec {
 
     var state = Incremental.materialize(
       Layout.readVersion(spark, root, 0), keys, sums)
+    // min/max state maintained over the SAME history (r10: invalidation bit)
+    var mmState = Incremental.materializeMinMax(
+      Layout.readVersion(spark, root, 0), keys, "v")
     var version = 0
     (1 to 6).foreach { _ =>
       if (rnd.nextBoolean()) {
@@ -46,12 +53,48 @@ class IncrementalSpec extends SparkSpec {
       val feed = Layout.changeFeed(spark, root, version, version + 1, Seq("id"))
       state = Incremental.applyFeed(state, feed, keys, sums)
       version += 1
-      val full = Incremental.materialize(
-        Layout.readVersion(spark, root, version), keys, sums)
+      val live = Layout.readVersion(spark, root, version)
+      mmState = Incremental.applyFeedMinMax(mmState, feed, keys, "v", live)
+      val full = Incremental.materialize(live, keys, sums)
       assert(canon(state) == canon(full),
         s"incremental state diverged from recompute at v$version")
+      assert(canonMM(mmState) == canonMM(
+        Incremental.materializeMinMax(live, keys, "v")),
+        s"min/max state diverged from recompute at v$version")
     }
     assert(version == 6)
+  }
+
+  test("min/max: extremum deletion invalidates and recomputes; interior deletion folds") {
+    val base = Seq((1L, "g1", 5L), (2L, "g1", 9L), (3L, "g1", 7L),
+      (4L, "g2", 1L)).toDF("id", "g", "v")
+    val state = Incremental.materializeMinMax(base, keys, "v")
+    assert(canonMM(state) == Set(("g1", 3L, Some(5L), Some(9L)),
+      ("g2", 1L, Some(1L), Some(1L))))
+    // delete g1's max (9) → recompute path must find runner-up 7
+    val live1 = base.filter($"id" =!= 2L)
+    val f1 = Seq((2L, "g1", 9L, "delete")).toDF("id", "g", "v", "_change_type")
+    assert(canonMM(Incremental.applyFeedMinMax(state, f1, keys, "v", live1)) ==
+      Set(("g1", 2L, Some(5L), Some(7L)), ("g2", 1L, Some(1L), Some(1L))))
+    // interior deletion (7 ∈ (5,9)) folds incrementally — even against a
+    // DELIBERATELY WRONG live snapshot, proving no recompute touched it
+    val wrongLive = Seq((99L, "g1", -100L)).toDF("id", "g", "v")
+    val f2 = Seq((3L, "g1", 7L, "delete")).toDF("id", "g", "v", "_change_type")
+    assert(canonMM(Incremental.applyFeedMinMax(state, f2, keys, "v", wrongLive)) ==
+      Set(("g1", 2L, Some(5L), Some(9L)), ("g2", 1L, Some(1L), Some(1L))))
+    // inserts extend the envelope without any base read
+    val f3 = Seq((5L, "g2", 50L, "insert"), (6L, "g3", 3L, "insert"))
+      .toDF("id", "g", "v", "_change_type")
+    assert(canonMM(Incremental.applyFeedMinMax(state, f3, keys, "v", wrongLive)) ==
+      Set(("g1", 3L, Some(5L), Some(9L)), ("g2", 2L, Some(1L), Some(50L)),
+        ("g3", 1L, Some(3L), Some(3L))))
+    // an update moving the max DOWN is remove-at-extremum → recompute
+    val live4 = Seq((1L, "g1", 5L), (2L, "g1", 2L), (3L, "g1", 7L)).toDF("id", "g", "v")
+    val f4 = Seq((2L, "g1", 9L, "update_pre"), (2L, "g1", 2L, "update_post"))
+      .toDF("id", "g", "v", "_change_type")
+    assert(canonMM(Incremental.applyFeedMinMax(
+      state.filter($"g" === "g1"), f4, keys, "v", live4)) ==
+      Set(("g1", 3L, Some(2L), Some(7L))))
   }
 
   test("groups emptied by deletes leave no tombstone rows in the state") {

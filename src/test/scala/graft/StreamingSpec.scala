@@ -185,6 +185,49 @@ class StreamingSpec extends SparkSpec {
     assert(m.byLeaf("part=p1").forall(_.path.startsWith("v00001/")))
   }
 
+  test("materialized view FOLLOWS a streamed table across checkpoint-resumed drains (r10)") {
+    import graft.sources.Layout
+    import graft.ops.Incremental
+    val inDir = Files.createTempDirectory("graft_smvv_in").toString
+    val root = Files.createTempDirectory("graft_smvv_root").toString
+    val ckpt = Files.createTempDirectory("graft_smvv_ckpt").toString
+    val viewRoot = Files.createTempDirectory("graft_smvv_view").toString + "/view"
+    def rows(rs: (Long, String, Long)*) = rs.toDF("id", "part", "v")
+    Layout.initVersionedManifest(
+      rows((1L, "p1", 10L), (2L, "p1", 20L), (3L, "p2", 30L)), root, Seq("part"))
+    Incremental.initFollowingView(spark, root, viewRoot, Seq("part"), Seq("v"))
+    def view() = Layout.readCurrent(spark, viewRoot)
+      .select($"part", $"n_rows", $"sum_v".cast("long"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(view() == Set(("p1", 2L, 30L), ("p2", 1L, 30L)))
+
+    val schema = rows((0L, "", 0L)).schema
+    // drain 1: update id=2 (+79 in p1), insert id=4 in p3
+    rows((2L, "p1", 99L), (4L, "p3", 40L)).write.mode("append").parquet(inDir)
+    StreamingOps.streamMergeVersionedWithView(
+      StreamingOps.fileStream(spark, inDir, schema), root, Seq("id"), "part",
+      ckpt, viewRoot, Seq("part"), Seq("v"))
+    assert(view() == Set(("p1", 2L, 109L), ("p2", 1L, 30L), ("p3", 1L, 40L)))
+
+    // drain 2 RESUMES the same checkpoint: only the new file merges, and
+    // the view advances by exactly that version range
+    rows((3L, "p2", 77L)).write.mode("append").parquet(inDir)
+    StreamingOps.streamMergeVersionedWithView(
+      StreamingOps.fileStream(spark, inDir, schema), root, Seq("id"), "part",
+      ckpt, viewRoot, Seq("part"), Seq("v"))
+    assert(view() == Set(("p1", 2L, 109L), ("p2", 1L, 77L), ("p3", 1L, 40L)))
+
+    // a stray re-refresh (replayed maintenance) no-ops on the watermark
+    val (from, to) = Incremental.refreshFollowingView(
+      spark, root, viewRoot, Seq("id"), Seq("part"), Seq("v"))
+    assert(from == to)
+    // and the view still equals a full recompute of the live table
+    assert(view() == Incremental.materialize(
+      Layout.readCurrent(spark, root), Seq("part"), Seq("v"))
+      .select($"part", $"n_rows", $"sum_v".cast("long"))
+      .as[(String, Long, Long)].collect().toSet)
+  }
+
   test("windowed aggregate over a drained stream") {
     val dir = Files.createTempDirectory("graft_stream2").toString
     val batch = Seq(
