@@ -305,6 +305,8 @@ object Layout {
     */
   def publishVersion(spark: SparkSession, root: String, df: DataFrame,
                      meta: Map[String, String] = Map.empty): String = {
+    requireNotManifest(spark, root, "publishVersion",
+      "a directory-committed version would be invisible to manifest readers")
     val fs = fsOf(spark, root)
     val fresh = !fs.exists(new Path(root, CurrentFile))
     val (next, nextPath) =
@@ -427,6 +429,8 @@ object Layout {
     */
   def mergeVersioned(spark: SparkSession, root: String, updates: DataFrame,
                      keys: Seq[String]): String = {
+    requireNotManifest(spark, root, "mergeVersioned",
+      "use mergeVersionedPartitioned (manifest roots are partitioned)")
     val cur = resolveCurrent(spark, root)
     val current = spark.read.parquet(cur)
     requireEvolvable(current, updates)
@@ -464,6 +468,8 @@ object Layout {
     */
   def deleteVersioned(spark: SparkSession, root: String,
                       predicate: Column): String = {
+    requireNotManifest(spark, root, "deleteVersioned",
+      "use deleteVersionedPartitioned (manifest roots are partitioned)")
     val cur = resolveCurrent(spark, root)
     val remaining = spark.read.parquet(cur).filter(!predicate)
     writeNextVersion(spark, root, cur, remaining)
@@ -823,6 +829,16 @@ object Layout {
 
   private def fsOf(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The unpartitioned/flat writers commit bare version DIRS; on a manifest
+    * root that version would miss every carried entry on read (or be
+    * invisible to manifest readers entirely). Reject loudly at the write,
+    * not confusingly at the next read.
+    */
+  private def requireNotManifest(spark: SparkSession, root: String,
+                                 op: String, hint: String): Unit =
+    require(!ManifestIndex.isManifestRoot(spark, root),
+      s"$op: $root is a MANIFEST-mode versioned root — $hint")
 
   /** Distinct `pcol` values of `df` as hive-encoded leaf names
     * (`pcol=value`), derived distributed-side: the values are written
@@ -1243,6 +1259,10 @@ object Layout {
     stale.foreach { st =>
       val version = st.getPath.getName.stripSuffix(".claim")
       fs.delete(new Path(root, version), true) // partial dir, if any
+      // manifest-mode debris: a writer that crashed between manifest
+      // commit and pointer flip leaves an orphaned (or torn .tmp) manifest
+      fs.delete(ManifestIndex.manifestPath(root, version), false)
+      fs.delete(new Path(root, s"$version.manifest.tmp"), false)
       fs.delete(st.getPath, false)
     }
     stale.length

@@ -221,6 +221,34 @@ class ManifestLayoutSpec extends SparkSpec {
     assert(Layout.history(spark, root).count() == 3)
   }
 
+  test("flat writers reject manifest roots loudly; stale-claim recovery sweeps manifest debris") {
+    val root = Files.createTempDirectory("graft_man_guard").toString
+    Layout.initVersionedManifest(rows((1L, "p1", 1.0)), root, Seq("part"))
+    val ex = intercept[IllegalArgumentException] {
+      Layout.mergeVersioned(spark, root, rows((2L, "p1", 2.0)), Seq("id"))
+    }
+    assert(ex.getMessage.contains("MANIFEST"))
+    intercept[IllegalArgumentException] {
+      Layout.deleteVersioned(spark, root, col("id") === 1)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.publishVersion(spark, root, rows((2L, "p1", 2.0)))
+    }
+    // simulate a writer that crashed AFTER claiming + committing a manifest
+    // but BEFORE the pointer flip: claim + dir + manifest ahead of _current
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.createNewFile(new Path(root, "v00001.claim"))
+    fs.mkdirs(new Path(root, "v00001"))
+    ManifestIndex.write(spark, root, "v00001",
+      ManifestIndex.read(spark, root, "v00000"))
+    Thread.sleep(20)
+    assert(Layout.recoverStaleClaims(spark, root, olderThanMs = 10) == 1)
+    assert(!ManifestIndex.exists(spark, root, "v00001"))
+    // a fresh writer now commits v00001 cleanly
+    Layout.mergeVersionedPartitioned(spark, root, rows((2L, "p1", 2.0)), Seq("id"), "part")
+    assert(state(root) == Set((1L, "p1", 1.0), (2L, "p1", 2.0)))
+  }
+
   test("history on a manifest root comes from the manifests") {
     val root = history()
     val h = Layout.history(spark, root)

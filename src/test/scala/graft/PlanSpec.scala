@@ -239,4 +239,25 @@ class PlanSpec extends SparkSpec {
       "digest sum must combine on the map side — the full-table pass " +
         "shuffles one row per group, never per input row")
   }
+
+  test("q140: per-group sketch partial-aggregates map-side; verify join broadcasts") {
+    val p = plan("q140_heavy_hitters_by_lang")
+    // the MG sketch must combine on the map side (the whole point: the
+    // shuffle carries one O(capacity) sketch per group × partition, not
+    // one row per token)...
+    assert(p.contains("partial_mg_topk"), p.take(2000))
+    // ...and the ≤capacity-per-group candidate set must broadcast into the
+    // verify pass, never shuffle the token stream for a sort-merge join
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q104/q137: EMA series runs through the native linear scan, not a HOF fold") {
+    for (q <- Seq("q104_ema", "q137_macd")) {
+      val p = plan(q)
+      assert(p.toLowerCase.contains("ema_scan"), s"$q: ${p.take(1200)}")
+      assert(!p.toLowerCase.contains("aggregate(lambda"),
+        s"$q must not fall back to the quadratic HOF fold")
+    }
+  }
 }
