@@ -342,6 +342,10 @@ object Layout {
     * reader's job.
     */
   def compactVersioned(spark: SparkSession, root: String, targetBytes: Long): String = {
+    requireNotManifest(spark, root, "compactVersioned",
+      "use compactVersionedPartitioned (manifest roots are partitioned, and a " +
+        "flat rewrite would read only the version dir's physical files, " +
+        "missing carried entries)")
     val cur = resolveCurrent(spark, root)
     val fs = new Path(cur).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(leafNames(fs, new Path(cur)).isEmpty,

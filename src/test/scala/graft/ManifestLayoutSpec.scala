@@ -249,6 +249,34 @@ class ManifestLayoutSpec extends SparkSpec {
     assert(state(root) == Set((1L, "p1", 1.0), (2L, "p1", 2.0)))
   }
 
+  test("hive-escaped partition values round-trip through the manifest read path") {
+    // values the writer must escape in leaf dir names: space, '=', '/',
+    // '%', ':' — parseLeaf must unescape them back to the originals, and
+    // key-pruned merge must still target the right leaf. Plus a NULL
+    // partition value (the __HIVE_DEFAULT_PARTITION__ leaf) on the read
+    // path.
+    val root = Files.createTempDirectory("graft_man_esc").toString
+    val weird = Seq("a b", "x=y", "p/q", "100%", "c:d")
+    val base = weird.zipWithIndex.map { case (p, i) => (i.toLong, p, 1.0) } :+
+      ((99L, null.asInstanceOf[String], 9.0))
+    Layout.initVersionedManifest(base.toDF("id", "part", "v"), root, Seq("part"))
+    val got = Layout.readCurrent(spark, root)
+      .select($"id", $"part").as[(Long, Option[String])].collect().toMap
+    assert(got == base.map(r => r._1 -> Option(r._2)).toMap)
+    // partition pruning still works on an escaped value
+    val one = Layout.readCurrent(spark, root).filter($"part" === "x=y")
+      .select($"id").as[Long].collect().toSeq
+    assert(one == Seq(1L))
+    // key-pruned merge into the escaped leaf rewrites ONLY that leaf
+    Layout.mergeVersionedPartitioned(spark, root,
+      Seq((1L, "x=y", 7.0)).toDF("id", "part", "v"), Seq("id"), "part")
+    val m = ManifestIndex.read(spark, root, "v00001")
+    val rewritten = m.entries.filter(_.path.startsWith("v00001/")).map(_.leaf).distinct
+    assert(rewritten.length == 1 && rewritten.head.startsWith("part=x"))
+    assert(Layout.readCurrent(spark, root).filter($"id" === 1L)
+      .select($"v").as[Double].head() == 7.0)
+  }
+
   test("history on a manifest root comes from the manifests") {
     val root = history()
     val h = Layout.history(spark, root)
