@@ -110,6 +110,14 @@ class ManifestLayoutSpec extends SparkSpec {
       .map(_.filePath.toString)
     assert(scanned.nonEmpty && scanned.forall(_.contains("part=p3")), scanned.mkString(","))
     assert(pruned.select($"id").as[Long].collect().toSet == Set(6L))
+    // DATA filters reach the parquet scan too (HadoopFsRelation wires the
+    // manifest index into the stock FileSourceStrategy pushdown)
+    val dataFiltered = Layout.readCurrent(spark, root).filter($"id" > 3L)
+    val s2 = dataFiltered.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(s2.metadata("PushedFilters").contains("GreaterThan(id,3)"),
+      s2.metadata("PushedFilters"))
   }
 
   test("delete-all-of-a-leaf leaves no entries; schema comes from the manifest") {
