@@ -285,6 +285,35 @@ class ManifestLayoutSpec extends SparkSpec {
       .select($"v").as[Double].head() == 7.0)
   }
 
+  test("depth-2 partitioning: manifest pruning, carry and feed work on (day, region) leaves") {
+    val root = Files.createTempDirectory("graft_man_d2").toString
+    def r2(rs: (Long, Int, String, Double)*) = rs.toDF("id", "day", "region", "v")
+    Layout.initVersionedManifest(r2(
+      (1L, 1, "eu", 1.0), (2L, 1, "us", 2.0),
+      (3L, 2, "eu", 3.0), (4L, 2, "us", 4.0)), root, Seq("day", "region"))
+    // merge touches ONLY (day=1, region=us)
+    Layout.mergeVersionedPartitioned(spark, root,
+      r2((2L, 1, "us", 99.0), (5L, 1, "us", 5.0)), Seq("id"), Seq("day", "region"))
+    val m1 = ManifestIndex.read(spark, root, "v00001")
+    assert(m1.byLeaf("day=1/region=us").forall(_.path.startsWith("v00001/")))
+    Seq("day=1/region=eu", "day=2/region=eu", "day=2/region=us").foreach(l =>
+      assert(m1.byLeaf(l).forall(_.path.startsWith("v00000/")), l))
+    // feed prunes to the one deep leaf and reports the right images
+    val feed = Layout.changeFeed(spark, root, 0, 1, Seq("id"))
+      .select($"id", $"_change_type").as[(Long, String)].collect().toSet
+    assert(feed == Set((2L, "update_pre"), (2L, "update_post"), (5L, "insert")))
+    // partition pruning on BOTH levels reaches the scan
+    val got = Layout.readCurrent(spark, root)
+      .filter($"day" === 1 && $"region" === "us")
+      .select($"id", $"v").as[(Long, Double)].collect().toSet
+    assert(got == Set((2L, 99.0), (5L, 5.0)))
+    // partition-predicate delete prunes the match scan and drops the leaf
+    Layout.deleteVersionedPartitioned(spark, root, $"day" === 2 && $"region" === "eu",
+      Seq("day", "region"))
+    assert(!ManifestIndex.read(spark, root, "v00002").leaves.contains("day=2/region=eu"))
+    assert(Layout.readCurrent(spark, root).count() == 4)
+  }
+
   test("history on a manifest root comes from the manifests") {
     val root = history()
     val h = Layout.history(spark, root)
