@@ -314,6 +314,25 @@ class ManifestLayoutSpec extends SparkSpec {
     assert(Layout.readCurrent(spark, root).count() == 4)
   }
 
+  test("dynamic partition pruning reaches a manifest-backed fact scan") {
+    // manifest fact table partitioned on part, joined to a filtered dim on
+    // the partition column: the fact scan must carry a dynamicpruning
+    // filter (FileSourceScanExec evaluates it against the manifest index's
+    // partition values at runtime — no listing, no full scan)
+    val root = Files.createTempDirectory("graft_man_dpp").toString
+    val fact = (1L to 400L).map(i => (i, s"p${i % 8}", i.toDouble))
+    Layout.initVersionedManifest(fact.toDF("id", "part", "v"), root, Seq("part"))
+    val dimDir = Files.createTempDirectory("graft_man_dpp_dim").toString
+    Seq(("p3", "keep"), ("p5", "drop")).toDF("part", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val joined = Layout.readCurrent(spark, root)
+      .join(spark.read.parquet(dimDir).filter($"tag" === "keep"), Seq("part"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"manifest fact scan must carry a dynamic pruning filter:\n${plan.take(1800)}")
+    assert(joined.count() == fact.count(_._2 == "p3"))
+  }
+
   test("history on a manifest root comes from the manifests") {
     val root = history()
     val h = Layout.history(spark, root)
