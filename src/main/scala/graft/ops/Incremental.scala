@@ -158,12 +158,27 @@ object Incremental {
     if (tableVer == applied) return (applied, applied)
     require(tableVer > applied, s"table at v$tableVer is BEHIND the view's " +
       s"watermark v$applied — was the table rolled back?")
-    val feed = graft.sources.Layout.changeFeed(
-      spark, tableRoot, applied, tableVer, rowKeys)
-    val state = applyFeed(
-      graft.sources.Layout.readCurrent(spark, viewRoot), feed, keys, sumCols)
+    // Retention loss: if the table vacuumed past the view's watermark, the
+    // (applied, current] feed is gone — fall back to a FULL rebuild from
+    // the live snapshot (the standard CDF-consumer contract: incremental
+    // when retention allows, recompute when it doesn't — never wrong).
+    val state =
+      if (versionReadable(spark, tableRoot, applied)) {
+        val feed = graft.sources.Layout.changeFeed(
+          spark, tableRoot, applied, tableVer, rowKeys)
+        applyFeed(
+          graft.sources.Layout.readCurrent(spark, viewRoot), feed, keys, sumCols)
+      } else
+        materialize(
+          graft.sources.Layout.readVersion(spark, tableRoot, tableVer),
+          keys, sumCols)
     graft.sources.Layout.publishVersion(spark, viewRoot, state,
       Map(AppliedMeta -> tableVer.toString))
     (applied, tableVer)
   }
+
+  private def versionReadable(spark: org.apache.spark.sql.SparkSession,
+                              root: String, version: Int): Boolean =
+    try { graft.sources.Layout.resolveVersion(spark, root, version); true }
+    catch { case _: IllegalArgumentException => false }
 }

@@ -226,6 +226,21 @@ class StreamingSpec extends SparkSpec {
       Layout.readCurrent(spark, root), Seq("part"), Seq("v"))
       .select($"part", $"n_rows", $"sum_v".cast("long"))
       .as[(String, Long, Long)].collect().toSet)
+
+    // retention loss: advance the table twice more, vacuum past the
+    // watermark — refresh must fall back to a full rebuild, not fail
+    Layout.mergeVersionedPartitioned(spark, root,
+      rows((9L, "p1", 1L)), Seq("id"), "part")
+    Layout.mergeVersionedPartitioned(spark, root,
+      rows((9L, "p1", 2L)), Seq("id"), "part")
+    Layout.vacuumVersions(spark, root, keep = 1)
+    val (from2, to2) = Incremental.refreshFollowingView(
+      spark, root, viewRoot, Seq("id"), Seq("part"), Seq("v"))
+    assert(to2 > from2)
+    assert(view() == Incremental.materialize(
+      Layout.readCurrent(spark, root), Seq("part"), Seq("v"))
+      .select($"part", $"n_rows", $"sum_v".cast("long"))
+      .as[(String, Long, Long)].collect().toSet)
   }
 
   test("windowed aggregate over a drained stream") {
