@@ -1539,7 +1539,26 @@ object SparkEntry {
         Tables.documents(s, dir)
           .select(col("lang"), explode(TF.tokens(col("text"))).as("tok")),
         Seq("lang"), col("tok"), k = 40, capacity = 160)
-        .select(col("lang"), col("item"), col("cnt")))
+        .select(col("lang"), col("item"), col("cnt"))),
+
+    // --- manifest data skipping, end-to-end under the oracle ---
+    // lineitem lands in a manifest table (8 range-disjoint files per
+    // l_returnflag leaf, per-file l_orderkey envelopes in the manifest)
+    // and the aggregate reads back through a scan that PLANS only the
+    // files whose envelope intersects `l_orderkey < 1200` — 1 of 8 per
+    // leaf. ManifestStatsSpec pins the planned-file counts; this row
+    // pins that the skipped scan still returns the exact answer.
+    "q141_stats_skipped_scan" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q141").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(
+        li.repartitionByRange(8, col("l_orderkey")), root, Seq("l_returnflag"))
+      graft.sources.Layout.readCurrent(s, root)
+        .filter(col("l_orderkey") < 1200L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+    })
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -3298,7 +3317,11 @@ object SparkEntry {
         SELECT lang, tok AS item, cnt
         FROM (SELECT lang, tok, cnt,
                 sum(cnt) OVER (PARTITION BY lang) AS n FROM c) t
-        WHERE cnt * 40 > n"""
+        WHERE cnt * 40 > n""",
+      "q141_stats_skipped_scan" -> s"""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          ${dsumSql("l_quantity")} AS sum_qty
+        FROM lineitem WHERE l_orderkey < 1200 GROUP BY 1"""
     )
   }
 

@@ -598,10 +598,12 @@ object Layout {
     df.write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(s"$root/$v0")
     ManifestIndex.writeFormatMarker(spark, root)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataSchema = StructType(df.schema.filterNot(f => pcols.contains(f.name)))
     ManifestIndex.write(spark, root, v0, ManifestIndex.TableManifest(
-      StructType(df.schema.filterNot(f => pcols.contains(f.name))),
+      dataSchema,
       StructType(pcols.map(c => df.schema(c))),
-      ManifestIndex.listVersionFiles(fs, root, v0)))
+      ManifestIndex.attachStats(spark, root, v0,
+        ManifestIndex.listVersionFiles(fs, root, v0), dataSchema)))
     writePointer(spark, root, v0)
     s"$root/$v0"
   }
@@ -827,7 +829,10 @@ object Layout {
   private def commitManifest(spark: SparkSession, root: String, version: String,
                              m: ManifestIndex.TableManifest): Unit = {
     fsOf(spark, root).mkdirs(new Path(root, version))
-    ManifestIndex.write(spark, root, version, m)
+    // data-skipping stats for the files THIS commit wrote (carried entries
+    // keep theirs — stats cost tracks rewritten data, never table size)
+    ManifestIndex.write(spark, root, version, m.copy(entries =
+      ManifestIndex.attachStats(spark, root, version, m.entries, m.dataSchema)))
     writePointer(spark, root, version)
   }
 

@@ -1,14 +1,18 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, Expression, GenericInternalRow, Literal, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, EqualNullSafe, EqualTo, Expression, GenericInternalRow, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or, Predicate, StartsWith}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.functions.{col, count, length, lit, max, min, unix_date, unix_micros, when}
+import org.apache.spark.sql.types.{BooleanType, DataType, DateType, NumericType, StringType, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
+import org.json4s.{JInt, JLong, JObject, JString, JValue}
+import org.json4s.jackson.JsonMethods
 
 /** Manifest-mode storage for [[Layout]]'s versioned roots: a version is a
   * FILE LIST, not a directory tree.
@@ -38,9 +42,25 @@ object ManifestIndex {
 
   /** One data file of a version: hive leaf fragment (`a=1/b=2`), path
     * (root-relative, or absolute for cross-root clone references), exact
-    * length in bytes (the parquet reader trusts it for footer location).
+    * length in bytes (the parquet reader trusts it for footer location),
+    * and optional per-column min/max/null-count statistics for FILE-LEVEL
+    * DATA SKIPPING (the Delta/Iceberg prune: a pushed predicate that
+    * cannot hold anywhere in a file's [min, max] envelope drops the file
+    * before a task is ever scheduled for it — parquet row-group skipping
+    * still needs a footer read per file; this doesn't).
     */
-  case class Entry(leaf: String, path: String, size: Long)
+  case class Entry(leaf: String, path: String, size: Long,
+                   stats: Option[FileStats] = None)
+
+  /** `min`/`max` are string-encoded bounds (see [[attachStats]] for the
+    * per-type encoding); ABSENT means unknown (over-long string, or a
+    * column added after this file was written), NOT all-null — all-null is
+    * `nulls == FileStats.rows`. Skipping must treat a missing bound as
+    * unbounded on that side.
+    */
+  case class ColStats(min: Option[String], max: Option[String], nulls: Long)
+
+  case class FileStats(rows: Long, cols: Map[String, ColStats])
 
   case class TableManifest(dataSchema: StructType, partitionSchema: StructType,
                            entries: Seq[Entry]) {
@@ -63,9 +83,13 @@ object ManifestIndex {
     sb.append(FormatTag).append('\n')
     sb.append(m.dataSchema.json).append('\n')
     sb.append(m.partitionSchema.json).append('\n')
-    m.entries.foreach(e =>
-      sb.append(e.leaf).append('\t').append(e.path).append('\t')
-        .append(e.size).append('\n'))
+    m.entries.foreach { e =>
+      sb.append(e.leaf).append('\t').append(e.path).append('\t').append(e.size)
+      // optional 4th field: stats as one-line JSON (Jackson escapes control
+      // chars, so the value can never contain a literal tab or newline)
+      e.stats.foreach(s => sb.append('\t').append(statsToJson(s)))
+      sb.append('\n')
+    }
     val dst = manifestPath(root, version)
     val tmp = new Path(root, s"$version.manifest.tmp")
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -89,8 +113,14 @@ object ManifestIndex {
     val dataSchema = DataType.fromJson(lines(1)).asInstanceOf[StructType]
     val partitionSchema = DataType.fromJson(lines(2)).asInstanceOf[StructType]
     val entries = lines.iterator.drop(3).filter(_.nonEmpty).map { l =>
-      val Array(leaf, path, size) = l.split('\t')
-      Entry(leaf, path, size.toLong)
+      // 3 fields (pre-stats manifests) or 4 (stats JSON) — both valid
+      l.split('\t') match {
+        case Array(leaf, path, size) => Entry(leaf, path, size.toLong)
+        case Array(leaf, path, size, stats) =>
+          Entry(leaf, path, size.toLong, Some(statsFromJson(stats)))
+        case other => throw new IllegalArgumentException(
+          s"malformed manifest line (${other.length} fields): $l")
+      }
     }.toSeq
     TableManifest(dataSchema, partitionSchema, entries)
   }
@@ -139,6 +169,149 @@ object ManifestIndex {
     acc.result().sortBy(_.path)
   }
 
+  // -------------------------------------------------------- per-file stats
+
+  /** Stats are collected for at most this many leading eligible data
+    * columns (Delta's `dataSkippingNumIndexedCols` shape — wide tables
+    * would otherwise pay stats collection and manifest bytes for columns
+    * nobody filters on).
+    */
+  val MaxStatsCols = 32
+
+  /** String min/max longer than this are dropped (bound → unknown) rather
+    * than bloating the manifest with document-sized values.
+    */
+  val MaxStringStatLen = 64
+
+  /** Types whose bounds are collected. Encoding is chosen so the string
+    * round-trips EXACTLY and session-independently: timestamps as epoch
+    * micros and dates as epoch days (a `CAST(ts AS STRING)` would bake the
+    * writer's session zone into the manifest and decode differently under
+    * a reader zone); numerics/booleans/strings via string cast (Java
+    * shortest-round-trip for float/double, `Infinity`/`NaN` specials
+    * included).
+    */
+  private def statsEligible(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
+    case _ => false
+  }
+
+  private def statsToJson(s: FileStats): String = {
+    val cols = JObject(s.cols.toList.sortBy(_._1).map { case (n, c) =>
+      n -> (JObject(List("nulls" -> (JLong(c.nulls): JValue)) ++
+        c.min.map(v => "min" -> (JString(v): JValue)) ++
+        c.max.map(v => "max" -> (JString(v): JValue))): JValue)
+    })
+    JsonMethods.compact(
+      JObject("rows" -> (JLong(s.rows): JValue), "cols" -> (cols: JValue)))
+  }
+
+  private def jLong(j: JValue): Long = j match {
+    case JLong(n) => n
+    case JInt(n) => n.toLong
+    case other => throw new IllegalArgumentException(s"expected number, got $other")
+  }
+
+  private def statsFromJson(s: String): FileStats = {
+    val j = JsonMethods.parse(s)
+    val cols = (j \ "cols") match {
+      case JObject(fields) => fields.map { case (name, c) =>
+        def str(k: String): Option[String] = (c \ k) match {
+          case JString(v) => Some(v)
+          case _ => None
+        }
+        name -> ColStats(str("min"), str("max"), jLong(c \ "nulls"))
+      }.toMap
+      case _ => Map.empty[String, ColStats]
+    }
+    FileStats(jLong(j \ "rows"), cols)
+  }
+
+  /** Compute [[FileStats]] for the entries this commit just wrote (path
+    * under `version/`, no stats yet) with ONE aggregate over ONLY those
+    * files, grouped by `_metadata.file_path` — carried entries keep the
+    * stats they were born with (carry-forward copies the whole entry, so
+    * at any table size the per-commit stats cost is proportional to the
+    * data actually rewritten, never to the table). The result is
+    * O(#new files × #stat columns) of metadata — the same driver-side
+    * class as the manifest itself.
+    */
+  def attachStats(spark: SparkSession, root: String, version: String,
+                  entries: Seq[Entry], dataSchema: StructType): Seq[Entry] = {
+    val fresh = entries.filter(e =>
+      e.stats.isEmpty && e.path.startsWith(version + "/"))
+    val statCols = dataSchema.fields.filter(f => statsEligible(f.dataType))
+      .take(MaxStatsCols)
+    if (fresh.isEmpty || statCols.isEmpty) return entries
+    val paths = fresh.map(e => new Path(root, e.path).toString)
+    val df = spark.read.schema(dataSchema).parquet(paths: _*)
+    val aggs: Seq[Column] = (count(lit(1L)).as("__rows") +:
+      statCols.toSeq.zipWithIndex.flatMap { case (f, i) =>
+        val c = col(s"`${f.name}`")
+        def enc(x: Column): Column = f.dataType match {
+          case StringType => when(length(x) <= MaxStringStatLen, x)
+          case TimestampType => unix_micros(x).cast(StringType)
+          case DateType => unix_date(x).cast(StringType)
+          case _ => x.cast(StringType)
+        }
+        Seq(enc(min(c)).as(s"__min$i"), enc(max(c)).as(s"__max$i"),
+          count(c).as(s"__cnt$i"))
+      })
+    val agg = df.groupBy(col("_metadata.file_path").as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+    // one row per NEW file — O(metadata), not row data (same contract as
+    // the scratch-dir leaf listing in Layout.affectedLeaves)
+    val it = agg.toLocalIterator()
+    val byName = scala.collection.mutable.Map.empty[String, FileStats]
+    while (it.hasNext) {
+      val r = it.next()
+      val rows = r.getAs[Long]("__rows")
+      val cols = statCols.toSeq.zipWithIndex.map { case (f, i) =>
+        val mn = Option(r.getAs[String](s"__min$i"))
+        val mx = Option(r.getAs[String](s"__max$i"))
+        f.name -> ColStats(mn, mx, rows - r.getAs[Long](s"__cnt$i"))
+      }.toMap
+      // key by the path RELATIVE to the version dir — one write task emits
+      // the same basename into every leaf it touches, so the filename alone
+      // collides across leaves
+      val file = r.getAs[String]("__file")
+      val marker = s"/$version/"
+      byName(file.substring(file.lastIndexOf(marker) + marker.length)) =
+        FileStats(rows, cols)
+    }
+    entries.map { e =>
+      if (e.stats.isDefined || !e.path.startsWith(version + "/")) e
+      else e.copy(stats = byName.get(e.path.substring(version.length + 1)))
+    }
+  }
+
+  /** Decoded, directly-comparable form of [[ColStats]]: Catalyst-internal
+    * min/max values for the column's type (UTF8String for strings, micros
+    * for timestamps, ...), ready for the ordering-based envelope checks in
+    * [[ManifestFileIndex.mightMatch]].
+    */
+  private[sources] case class ColSkip(min: Option[Any], max: Option[Any],
+                                      nulls: Long, dataType: DataType)
+  private[sources] case class FileSkip(rows: Long, cols: Map[String, ColSkip])
+
+  private def decodeBound(s: String, dt: DataType, zone: String): Any = dt match {
+    case TimestampType => s.toLong // epoch micros = the internal value
+    case DateType => s.toInt // epoch days = the internal value
+    case _ =>
+      Cast(Literal(UTF8String.fromString(s), StringType), dt, Option(zone)).eval()
+  }
+
+  private def decodeStats(s: FileStats, dataSchema: StructType,
+                          zone: String): FileSkip = {
+    val cols = s.cols.flatMap { case (name, c) =>
+      dataSchema.fields.find(_.name == name).map { f =>
+        name -> ColSkip(c.min.map(decodeBound(_, f.dataType, zone)),
+          c.max.map(decodeBound(_, f.dataType, zone)), c.nulls, f.dataType)
+      }
+    }
+    FileSkip(s.rows, cols)
+  }
+
   // --------------------------------------------------------------- read path
 
   /** Snapshot DataFrame over a manifest (optionally restricted to a leaf
@@ -152,8 +325,17 @@ object ManifestIndex {
       case Some(ls) => m.entries.filter(e => ls.contains(e.leaf))
       case None => m.entries
     }
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val skipByPath: Map[String, FileSkip] = kept.flatMap { e =>
+      e.stats.map { s =>
+        val p = if (e.path.startsWith("/") || e.path.contains("://"))
+          new Path(e.path)
+        else new Path(root, e.path)
+        p.toString -> decodeStats(s, m.dataSchema, zone)
+      }
+    }.toMap
     val index = new ManifestFileIndex(new Path(root), m.partitionSchema,
-      partitionDirectories(spark, root, m.partitionSchema, kept))
+      partitionDirectories(spark, root, m.partitionSchema, kept), skipByPath)
     val relation = HadoopFsRelation(index, m.partitionSchema, m.dataSchema,
       None, new ParquetFileFormat, Map.empty)(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
@@ -212,13 +394,22 @@ object ManifestIndex {
 /** Manifest-backed [[FileIndex]]: the per-leaf file lists and partition
   * values are fixed at construction (a snapshot is immutable), so `listFiles`
   * is pure in-memory partition pruning — the same bound-predicate filter
-  * `InMemoryFileIndex` applies after its directory crawl, minus the crawl.
+  * `InMemoryFileIndex` applies after its directory crawl, minus the crawl —
+  * PLUS file-level data skipping: each surviving partition's files are
+  * checked against the pushed data filters using the manifest's per-file
+  * min/max/null-count envelopes, and files where a conjunct provably holds
+  * for no row are dropped before task planning. Parquet's own row-group
+  * pruning would reject the same files, but only after a footer read and a
+  * scheduled task per file — at 100 TB the difference is the job.
   */
 final class ManifestFileIndex(
     root: Path,
     override val partitionSchema: StructType,
-    partitions: Seq[(InternalRow, Seq[FileStatusWithMetadata])])
+    partitions: Seq[(InternalRow, Seq[FileStatusWithMetadata])],
+    skipByPath: Map[String, ManifestIndex.FileSkip] = Map.empty)
   extends FileIndex {
+
+  import ManifestIndex.{ColSkip, FileSkip}
 
   override def rootPaths: Seq[Path] = Seq(root)
 
@@ -235,8 +426,107 @@ final class ManifestFileIndex(
           })
         partitions.filter { case (values, _) => bound.eval(values) }
       }
-    selected.map { case (values, files) => PartitionDirectory(values, files) }
+    val skipped =
+      if (dataFilters.isEmpty || skipByPath.isEmpty) selected
+      else selected.map { case (values, files) =>
+        (values, files.filter(f => skipByPath.get(f.getPath.toString).forall(
+          st => dataFilters.forall(p => mightMatch(p, st)))))
+      }
+    skipped.map { case (values, files) => PartitionDirectory(values, files) }
   }
+
+  /** Conservative three-valued skipping: `false` ONLY when the predicate
+    * provably holds for no row of the file given its envelope; any
+    * unrecognized shape, type mismatch, or missing bound returns `true`
+    * (keep the file). Comparison/equality conjuncts are null-rejecting, so
+    * an all-null column (nulls == rows) prunes them outright; a missing
+    * bound (over-long string, column added after the file was written)
+    * only un-bounds its own side.
+    */
+  private def mightMatch(e: Expression, f: FileSkip): Boolean = e match {
+    case And(l, r) => mightMatch(l, f) && mightMatch(r, f)
+    case Or(l, r) => mightMatch(l, f) || mightMatch(r, f)
+    case EqualTo(a: AttributeReference, Literal(v, dt)) => eqMight(a, v, dt, f)
+    case EqualTo(Literal(v, dt), a: AttributeReference) => eqMight(a, v, dt, f)
+    case EqualNullSafe(a: AttributeReference, Literal(v, dt)) =>
+      if (v == null) nullMight(a, f) else eqMight(a, v, dt, f)
+    case EqualNullSafe(Literal(v, dt), a: AttributeReference) =>
+      if (v == null) nullMight(a, f) else eqMight(a, v, dt, f)
+    case LessThan(a: AttributeReference, Literal(v, dt)) =>
+      cmpMight(a, v, dt, f)((ord, lo, _) => lo.forall(ord.lt(_, v)))
+    case LessThan(Literal(v, dt), a: AttributeReference) =>
+      cmpMight(a, v, dt, f)((ord, _, hi) => hi.forall(ord.gt(_, v)))
+    case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+      cmpMight(a, v, dt, f)((ord, lo, _) => lo.forall(ord.lteq(_, v)))
+    case LessThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+      cmpMight(a, v, dt, f)((ord, _, hi) => hi.forall(ord.gteq(_, v)))
+    case GreaterThan(a: AttributeReference, Literal(v, dt)) =>
+      cmpMight(a, v, dt, f)((ord, _, hi) => hi.forall(ord.gt(_, v)))
+    case GreaterThan(Literal(v, dt), a: AttributeReference) =>
+      cmpMight(a, v, dt, f)((ord, lo, _) => lo.forall(ord.lt(_, v)))
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+      cmpMight(a, v, dt, f)((ord, _, hi) => hi.forall(ord.gteq(_, v)))
+    case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+      cmpMight(a, v, dt, f)((ord, lo, _) => lo.forall(ord.lteq(_, v)))
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists { case Literal(v, dt) => eqMight(a, v, dt, f) }
+    case InSet(a: AttributeReference, vs) =>
+      vs.exists(v => eqMight(a, v, a.dataType, f))
+    case IsNull(a: AttributeReference) => nullMight(a, f)
+    case IsNotNull(a: AttributeReference) =>
+      f.cols.get(a.name).forall(c => c.nulls < f.rows)
+    case Not(IsNull(a: AttributeReference)) =>
+      f.cols.get(a.name).forall(c => c.nulls < f.rows)
+    case Not(IsNotNull(a: AttributeReference)) => nullMight(a, f)
+    case StartsWith(a: AttributeReference, Literal(p: UTF8String, StringType)) =>
+      prefixMight(a, p, f)
+    case _ => true
+  }
+
+  private def nullMight(a: AttributeReference, f: FileSkip): Boolean =
+    f.cols.get(a.name).forall(_.nulls > 0)
+
+  /** Shared preamble for the null-rejecting comparisons: no stats or type
+    * mismatch → keep; all-null column → prune; else delegate to the bound
+    * check (each side independently optional).
+    */
+  private def cmpMight(a: AttributeReference, v: Any, dt: DataType, f: FileSkip)(
+      check: (Ordering[Any], Option[Any], Option[Any]) => Boolean): Boolean =
+    f.cols.get(a.name) match {
+      case Some(c) if c.dataType == dt =>
+        if (v == null) true // `col < NULL` never matches, but Catalyst
+                            // folds it away — don't reason about it here
+        else if (c.nulls == f.rows) false
+        else check(TypeUtils.getInterpretedOrdering(dt), c.min, c.max)
+      case _ => true
+    }
+
+  private def eqMight(a: AttributeReference, v: Any, dt: DataType,
+                      f: FileSkip): Boolean =
+    cmpMight(a, v, dt, f) { (ord, lo, hi) =>
+      lo.forall(ord.lteq(_, v)) && hi.forall(ord.gteq(_, v))
+    }
+
+  /** `startsWith(p)` via prefix-truncation monotonicity (u <= v implies
+    * u.take(n) <= v.take(n) in code-point order, which is UTF8String's
+    * binary order): the file can hold a match only if p lies between the
+    * length-|p| truncations of min and max.
+    */
+  private def prefixMight(a: AttributeReference, p: UTF8String,
+                          f: FileSkip): Boolean =
+    f.cols.get(a.name) match {
+      case Some(c) if c.dataType == StringType =>
+        if (c.nulls == f.rows) false
+        else {
+          val n = p.numChars()
+          val loOk = c.min.forall(m =>
+            m.asInstanceOf[UTF8String].substring(0, n).compareTo(p) <= 0)
+          val hiOk = c.max.forall(m =>
+            m.asInstanceOf[UTF8String].substring(0, n).compareTo(p) >= 0)
+          loOk && hiOk
+        }
+      case _ => true
+    }
 
   override def inputFiles: Array[String] =
     partitions.flatMap(_._2.map(_.getPath.toString)).toArray

@@ -1,0 +1,220 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.{Layout, ManifestIndex}
+
+/** Round-10 file-level data skipping: the manifest records per-file
+  * min/max/null-count envelopes for eligible data columns, and
+  * `ManifestFileIndex.listFiles` drops files whose envelope cannot satisfy
+  * the pushed data filters — before a task is planned for them. These
+  * tests pin (a) the stats themselves, (b) the skip visible in
+  * `selectedPartitions`, (c) conservative behavior around missing stats,
+  * evolution, all-null columns and over-long strings, and (d) that pruned
+  * results always equal unpruned ones.
+  */
+class ManifestStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Files a read actually plans, after partition pruning AND data skipping. */
+  private def scannedFiles(df: DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.flatMap(_.selectedPartitions.toPartitionArray.map(_.filePath.toString))
+
+  /** One leaf, four files with disjoint id ranges (range partitioning makes
+    * the envelopes tight), ids 0..999.
+    */
+  private def rangedRoot(): String = {
+    val root = Files.createTempDirectory("graft_stats").toString
+    val df = spark.range(1000)
+      .select($"id", lit("p1").as("part"),
+        concat(lit("doc-"), format_string("%04d", $"id")).as("name"),
+        when($"id" % 10 === 0, $"id" * 2.0).as("score"))
+      .repartitionByRange(4, $"id")
+    Layout.initVersionedManifest(df, root, Seq("part"))
+    root
+  }
+
+  test("init records exact per-file stats for eligible columns") {
+    val root = rangedRoot()
+    val m = ManifestIndex.read(spark, root, "v00000")
+    assert(m.entries.size == 4, m.entries.map(_.path).mkString(","))
+    assert(m.entries.forall(_.stats.isDefined))
+    val all = m.entries.flatMap(_.stats)
+    assert(all.map(_.rows).sum == 1000L)
+    // union of per-file id envelopes is the table envelope, and the files
+    // are range-disjoint
+    val idBounds = all.map(s => (s.cols("id").min.get.toLong,
+      s.cols("id").max.get.toLong)).sortBy(_._1)
+    assert(idBounds.head._1 == 0L && idBounds.last._2 == 999L)
+    idBounds.sliding(2).foreach { case Seq((_, hi), (lo, _)) => assert(hi < lo) }
+    // score is null in 9/10 rows — null counts add up
+    assert(all.map(_.cols("score").nulls).sum == 900L)
+    // string bounds present (well under the cap)
+    assert(all.forall(_.cols("name").min.isDefined))
+  }
+
+  test("range predicates skip range-disjoint files before task planning") {
+    val root = rangedRoot()
+    val full = Layout.readCurrent(spark, root)
+    assert(scannedFiles(full).size == 4)
+    val low = full.filter($"id" < 100L)
+    assert(scannedFiles(low).size == 1, scannedFiles(low).mkString(","))
+    assert(low.count() == 100L)
+    val mid = full.filter($"id" >= 400L && $"id" < 600L)
+    assert(scannedFiles(mid).size <= 2)
+    assert(mid.count() == 200L)
+    val eq = full.filter($"id" === 950L)
+    assert(scannedFiles(eq).size == 1)
+    assert(eq.select($"name").as[String].head() == "doc-0950")
+    val in = full.filter($"id".isin(3L, 998L))
+    assert(scannedFiles(in).size == 2)
+    assert(in.count() == 2L)
+    val none = full.filter($"id" > 5000L)
+    assert(scannedFiles(none).isEmpty)
+    assert(none.count() == 0L)
+    // string prefix skipping: names are range-correlated with id
+    val pre = full.filter($"name".startsWith("doc-09"))
+    assert(scannedFiles(pre).size == 1)
+    assert(pre.count() == 100L)
+  }
+
+  test("null-count skipping: IS NOT NULL prunes all-null files, IS NULL prunes no-null files") {
+    val root = Files.createTempDirectory("graft_stats_null").toString
+    // tag is a DATA column: p2's file is all-null, p1's has no nulls —
+    // partition pruning can't see tag, only the stats envelope can
+    val df = Seq.tabulate(100)(i =>
+        (i.toLong, if (i < 50) "p1" else "p2", if (i < 50) Some(s"t$i") else None))
+      .toDF("id", "part", "tag").coalesce(1)
+    Layout.initVersionedManifest(df, root, Seq("part"))
+    val full = Layout.readCurrent(spark, root)
+    assert(scannedFiles(full).size == 2)
+    val notNull = full.filter($"tag".isNotNull)
+    assert(scannedFiles(notNull).size == 1)
+    assert(notNull.count() == 50L)
+    val isNull = full.filter($"tag".isNull)
+    assert(scannedFiles(isNull).size == 1)
+    assert(isNull.count() == 50L)
+    // a comparison is null-rejecting: the all-null file is skipped too
+    val cmp = full.filter($"tag" >= "t0")
+    assert(scannedFiles(cmp).size == 1)
+  }
+
+  test("carried entries keep their stats verbatim and still skip") {
+    val root = rangedRoot()
+    // touch a DIFFERENT partition: p1's four entries must carry, stats and all
+    Layout.mergeVersionedPartitioned(spark, root,
+      Seq((5000L, "p2", "doc-5000", Option.empty[Double]))
+        .toDF("id", "part", "name", "score"),
+      Seq("id"), "part")
+    val m0 = ManifestIndex.read(spark, root, "v00000")
+    val m1 = ManifestIndex.read(spark, root, "v00001")
+    val p1v0 = m0.entries.filter(_.leaf == "part=p1").sortBy(_.path)
+    val p1v1 = m1.entries.filter(_.leaf == "part=p1").sortBy(_.path)
+    assert(p1v0 == p1v1) // identical entries, including stats
+    // the new p2 file got stats of its own
+    assert(m1.entries.filter(_.leaf == "part=p2").forall(_.stats.isDefined))
+    // and skipping still works across carried + fresh entries
+    val low = Layout.readCurrent(spark, root).filter($"id" < 100L)
+    assert(scannedFiles(low).size == 1)
+    assert(low.count() == 100L)
+  }
+
+  test("schema evolution: pre-evolution files have no stats for the new column and are kept") {
+    val root = Files.createTempDirectory("graft_stats_evo").toString
+    Layout.initVersionedManifest(
+      Seq((1L, "p1", 10.0), (2L, "p1", 20.0)).toDF("id", "part", "v"),
+      root, Seq("part"))
+    // merge adds column c — old files null-fill it and carry no c-stats
+    Layout.mergeVersionedPartitioned(spark, root,
+      Seq((3L, "p2", 30.0, "fresh")).toDF("id", "part", "v", "c"),
+      Seq("id"), "part")
+    val m1 = ManifestIndex.read(spark, root, "v00001")
+    val old = m1.entries.filter(_.path.startsWith("v00000/"))
+    assert(old.nonEmpty && old.forall(_.stats.exists(!_.cols.contains("c"))))
+    val full = Layout.readCurrent(spark, root)
+    // conservative: the filter can't prune the old files (no stats for c),
+    // and the answer is right
+    assert(full.filter($"c".isNull).select($"id").as[Long].collect().toSet
+      == Set(1L, 2L))
+    assert(full.filter($"c" === "fresh").select($"id").as[Long].collect().toSet
+      == Set(3L))
+  }
+
+  test("over-long string bounds are dropped (unknown), never truncated into wrong envelopes") {
+    val root = Files.createTempDirectory("graft_stats_long").toString
+    val big = "x" * 200
+    Layout.initVersionedManifest(
+      Seq((1L, "p1", big + "a"), (2L, "p1", big + "b")).toDF("id", "part", "text"),
+      root, Seq("part"))
+    val m = ManifestIndex.read(spark, root, "v00000")
+    val st = m.entries.head.stats.get.cols("text")
+    assert(st.min.isEmpty && st.max.isEmpty && st.nulls == 0L)
+    // unknown bounds keep the file; the filter still answers correctly
+    val hit = Layout.readCurrent(spark, root).filter($"text" === (big + "a"))
+    assert(hit.count() == 1L)
+  }
+
+  test("timestamp bounds are session-zone independent (epoch-micros encoding)") {
+    val zone0 = spark.conf.get("spark.sql.session.timeZone")
+    val root = Files.createTempDirectory("graft_stats_ts").toString
+    val epoch = 1709280000L // 2024-03-01 08:00:00 UTC
+    try {
+      // WRITE under LA: stats bounds are collected in this session
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val df = spark.range(100)
+        .select($"id", lit("p1").as("part"),
+          timestamp_seconds(lit(epoch) + $"id" * 3600L).as("ts"))
+        .repartitionByRange(2, $"id")
+      Layout.initVersionedManifest(df, root, Seq("part"))
+      // READ under Tokyo: epoch-micros bounds decode to the same instants;
+      // a string-cast encoding would have shifted every envelope by the
+      // zone offset and mis-pruned this instant-based filter
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val early = Layout.readCurrent(spark, root)
+        .filter($"ts" < timestamp_seconds(lit(epoch + 10L * 3600L)))
+      assert(early.count() == 10L)
+      assert(scannedFiles(early).size == 1)
+    } finally spark.conf.set("spark.sql.session.timeZone", zone0)
+  }
+
+  test("pre-stats manifests (3-field lines) still read; stats-less entries never skip") {
+    val root = rangedRoot()
+    // rewrite v00000's manifest without stats, as a round-9 writer produced
+    // (commit rename never overwrites, so drop the stats-bearing one first)
+    val m = ManifestIndex.read(spark, root, "v00000")
+    val mp = ManifestIndex.manifestPath(root, "v00000")
+    mp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(mp, false)
+    ManifestIndex.write(spark, root, "v00000",
+      m.copy(entries = m.entries.map(_.copy(stats = None))))
+    val m2 = ManifestIndex.read(spark, root, "v00000")
+    assert(m2.entries.forall(_.stats.isEmpty))
+    val low = Layout.readCurrent(spark, root).filter($"id" < 100L)
+    assert(scannedFiles(low).size == 4) // conservative: nothing skipped
+    assert(low.count() == 100L)
+  }
+
+  test("differential: pruned reads equal in-memory filters for every predicate shape") {
+    val root = rangedRoot()
+    val full = Layout.readCurrent(spark, root)
+    val reference = full.collect().toSeq
+    val preds = Seq(
+      $"id" < 250L, $"id" <= 250L, $"id" > 750L, $"id" >= 750L,
+      $"id" === 500L, $"id".isin(1L, 500L, 999L),
+      lit(250L) > $"id", lit(750L) < $"id",
+      $"name" >= "doc-0990", $"name".startsWith("doc-00"),
+      $"score".isNotNull, $"score".isNull,
+      $"id" < 100L || $"id" > 900L,
+      $"id" > 100L && $"name" < "doc-0200",
+      !($"id" < 500L))
+    preds.foreach { p =>
+      val got = full.filter(p).select($"id").as[Long].collect().toSet
+      val want = spark.createDataFrame(
+          spark.sparkContext.parallelize(reference), full.schema)
+        .filter(p).select($"id").as[Long].collect().toSet
+      assert(got == want, s"predicate $p: got ${got.size}, want ${want.size}")
+    }
+  }
+}
