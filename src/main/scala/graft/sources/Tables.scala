@@ -28,13 +28,17 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright. We read nanos as raw longs
-    * (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds with
-    * integer arithmetic (`div`, not `/` — ns-since-epoch exceeds double's 2^53
-    * exact range). DuckDB's `CAST(ts AS TIMESTAMP)` truncates identically, so
-    * oracle comparisons stay bit-exact. Result is TIMESTAMP_NTZ to match the
-    * tz-naive reference data model (/root/reference/extraction.py:60).
+  /** `events.ts` has shipped in two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) — which Spark's vectorized reader
+    * rejects, so it is read as raw longs
+    * (spark.sql.legacy.parquet.nanosAsLong) and truncated to microseconds
+    * with integer arithmetic (`div`, not `/` — ns-since-epoch exceeds
+    * double's 2^53 exact range) — and plain TIMESTAMP(MICROS), which needs
+    * only an NTZ cast. Both normalize to TIMESTAMP_NTZ to match the
+    * tz-naive reference data model (/root/reference/extraction.py:60);
+    * DuckDB's `CAST(ts AS TIMESTAMP)` lands on the same microsecond values
+    * either way, so oracle comparisons stay bit-exact. The branch is on the
+    * READ schema, not a config: whichever encoding the files carry wins.
     *
     * NOTE: `nanosAsLong` is a SESSION-GLOBAL setting — setting it here (so
     * the read works in any session) also makes every later nanos-timestamp
@@ -45,7 +49,12 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as long
+        df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ => // TIMESTAMP(MICROS), tz-bearing or NTZ
+        df.withColumn("ts", expr("cast(ts as timestamp_ntz)"))
+    }
   }
 }

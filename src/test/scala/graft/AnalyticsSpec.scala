@@ -597,6 +597,11 @@ class AnalyticsSpec extends SparkSpec {
     spark.catalog.clearCache()
     graft.util.Caches.releaseAll()
     val sc = spark.sparkContext
+    // Earlier suites in this JVM may have left localCheckpoint blocks that
+    // only the ContextCleaner (post-GC) reclaims — out of scope here, where
+    // the subject is blocks the FUNNEL queries pin. Drop them so the final
+    // emptiness assert measures this test's queries, not GC timing.
+    sc.getPersistentRDDs.values.foreach(_.unpersist(true))
     SparkEntry.queries("q105_funnel")(spark, sf()).count()
     SparkEntry.queries("q118_funnel_latency")(spark, sf()).count()
     assert(sc.getPersistentRDDs.nonEmpty,
