@@ -1558,6 +1558,29 @@ object SparkEntry {
         .filter(col("l_orderkey") < 1200L)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // --- deletion vectors (merge-on-read deletes), end-to-end ---
+    // lineitem lands in a manifest table; two successive ROW deletes write
+    // only (file, row_index) sidecars — no data file is rewritten — and the
+    // aggregate reads back through the DV anti-join. The oracle is the
+    // direct aggregate over the surviving rows: merge-on-read must be
+    // indistinguishable from copy-on-write in the answer. Accumulation is
+    // under test too: the second delete folds the first delete's positions
+    // forward.
+    "q142_dv_delete" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q142").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(
+        li.repartition(4), root, Seq("l_returnflag"))
+      graft.sources.Layout.deleteVersionedRows(s, root, col("l_quantity") >= 45.0)
+      graft.sources.Layout.deleteVersionedRows(s, root, col("l_orderkey") % 10 === 3)
+      graft.sources.Layout.readCurrent(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_extendedprice")).as("sum_price"))
     })
   )
 
@@ -3321,7 +3344,13 @@ object SparkEntry {
       "q141_stats_skipped_scan" -> s"""
         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
           ${dsumSql("l_quantity")} AS sum_qty
-        FROM lineitem WHERE l_orderkey < 1200 GROUP BY 1"""
+        FROM lineitem WHERE l_orderkey < 1200 GROUP BY 1""",
+      "q142_dv_delete" -> s"""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          ${dsumSql("l_extendedprice")} AS sum_price
+        FROM lineitem
+        WHERE NOT (l_quantity >= 45.0) AND NOT (l_orderkey % 10 = 3)
+        GROUP BY 1"""
     )
   }
 

@@ -719,6 +719,129 @@ object Layout {
     nextPath
   }
 
+  /** Row-level DELETE via DELETION VECTORS (merge-on-read) on a MANIFEST
+    * root: instead of rewriting every file that holds a matching row —
+    * [[deleteVersionedPartitioned]]'s copy-on-write shape, whose cost is
+    * the BYTES of every touched leaf — this writes the matched rows'
+    * `(file, row_index)` coordinates as a small parquet sidecar
+    * (`vNNNNN/_dv/`) and re-points the touched entries' manifest lines at
+    * it. Cost is O(matched rows) written + O(#files) metadata, whatever the
+    * table size: the sparse-delete primitive (GDPR erasure, dedup
+    * kill-lists, late-arriving retractions) a 100 TB table needs, where
+    * deleting 0.1% of rows spread across every file must not cost a table
+    * rewrite. Readers pay one broadcast anti-join (build side = deleted
+    * positions) until [[purgeDeletedRows]] or any leaf rewrite
+    * (merge/compaction) materializes the deletes.
+    *
+    * Successive row-deletes ACCUMULATE: positions already carried by a
+    * touched file's DV are folded into the new commit's sidecar (the read
+    * the predicate ran against had the old DV applied, so the sets are
+    * disjoint). An entry whose every row is deleted — known when stats
+    * carry its row count — is dropped from the manifest outright. A
+    * predicate matching nothing is a NO-OP: no version is committed and
+    * the live path is returned unchanged.
+    *
+    * Time travel, [[changeFeed]] (a DV change marks its leaf changed; the
+    * deleted rows surface as `delete` events), incremental views, OCC
+    * ([[withCommitRetry]]) and [[vacuumVersions]] (DV sidecars are
+    * reference-counted like data files) all compose with this.
+    *
+    * @return the new live version path (or the current one on no-op)
+    */
+  def deleteVersionedRows(spark: SparkSession, root: String,
+                          predicate: Column): String = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      "deleteVersionedRows (deletion vectors) requires a manifest root — " +
+        "hardlink-mode roots delete copy-on-write via deleteVersionedPartitioned")
+    val cur = resolveCurrent(spark, root)
+    val curVer = cur.substring(cur.lastIndexOf('/') + 1)
+    val man = ManifestIndex.read(spark, root, curVer)
+    // current snapshot (existing DVs applied — already-deleted rows can't
+    // re-match) with the file/position coordinates each row lives at
+    val snap = ManifestIndex.dataFrame(spark, root, man, lineage = true)
+    val absToKey = man.entries.map(e =>
+      (ManifestIndex.absEntryPath(root, e.path).toString,
+        ManifestIndex.dvKey(e.path)))
+    require(absToKey.map(_._2).distinct.size == absToKey.size,
+      "dvKey collision: two entries share a version-relative suffix " +
+        "(multi-source clone) — compact to re-home before row-level deletes")
+    val mapDf = spark.createDataFrame(absToKey).toDF("__abs", "__key")
+    val newPos = snap.filter(predicate)
+      .select(col(ManifestIndex.FileCol), col(ManifestIndex.PosCol))
+      .join(broadcast(mapDf), col(ManifestIndex.FileCol) === col("__abs"))
+      .select(col("__key").as("path"), col(ManifestIndex.PosCol).as("pos"))
+    // O(#touched files) driver metadata — the same class as affectedLeaves
+    val newCounts: Map[String, Long] = newPos.groupBy("path").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (newCounts.isEmpty) return cur
+    val entriesByKey = man.entries.map(e => ManifestIndex.dvKey(e.path) -> e).toMap
+    // fold in the positions the touched files already carry, so the new
+    // sidecar is each touched file's COMPLETE deletion vector
+    val oldDirs = newCounts.keySet.toSeq.flatMap(k =>
+      entriesByKey(k).dv.map(d =>
+        ManifestIndex.absEntryPath(root, d.path).toString)).distinct
+    val touchedDf = spark.createDataFrame(newCounts.keySet.toSeq.map(Tuple1(_)))
+      .toDF("__touched")
+    val allPos =
+      if (oldDirs.isEmpty) newPos
+      else newPos.unionByName(
+        spark.read.schema(ManifestIndex.DvSchema).parquet(oldDirs: _*)
+          .join(broadcast(touchedDf), col("path") === col("__touched"),
+            "left_semi"))
+    val (next, nextPath) = nextVersion(spark, root, cur)
+    val total = newCounts.values.sum +
+      newCounts.keysIterator.flatMap(k => entriesByKey(k).dv.map(_.rows)).sum
+    allPos.repartition(math.max(1L, total / 4000000L + 1L).toInt)
+      .write.mode(SaveMode.Overwrite).parquet(s"$nextPath/_dv")
+    val entries = man.entries.flatMap { e =>
+      val k = ManifestIndex.dvKey(e.path)
+      newCounts.get(k) match {
+        case None => Some(e)
+        case Some(n) =>
+          val dvRows = n + e.dv.map(_.rows).getOrElse(0L)
+          if (e.stats.exists(_.rows == dvRows)) None // fully deleted file
+          else Some(e.copy(dv = Some(ManifestIndex.DvRef(s"$next/_dv", dvRows))))
+      }
+    }
+    commitManifest(spark, root, next, man.copy(entries = entries))
+    nextPath
+  }
+
+  /** Materialize every outstanding deletion vector of a manifest root:
+    * leaves holding a DV-bearing entry are rewritten without their deleted
+    * rows (compacted to ~`targetBytes` files), every clean leaf carries
+    * forward as a manifest entry. Run it on the maintenance schedule, like
+    * compaction — the read-side anti-join is cheap, but a file that is
+    * mostly deleted rows still costs its full scan + skew in the
+    * envelope-based skipping (stats describe pre-delete bounds).
+    *
+    * @return (new live version path, number of leaves rewritten) — the
+    *         current path and 0 when no entry carries a DV.
+    */
+  def purgeDeletedRows(spark: SparkSession, root: String,
+                       targetBytes: Long = 128L << 20): (String, Int) = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"purgeDeletedRows requires a manifest root: $root")
+    val cur = resolveCurrent(spark, root)
+    val curVer = cur.substring(cur.lastIndexOf('/') + 1)
+    val man = ManifestIndex.read(spark, root, curVer)
+    val dvLeaves = man.byLeaf.filter(_._2.exists(_.dv.isDefined))
+    if (dvLeaves.isEmpty) return (cur, 0)
+    val (next, nextPath) = nextVersion(spark, root, cur)
+    dvLeaves.toSeq.sortBy(_._1).foreach { case (leaf, es) =>
+      val files = math.max(1L,
+        math.ceil(es.map(_.size).sum.toDouble / targetBytes).toLong).toInt
+      ManifestIndex.dataFrame(spark, root, man, Some(Set(leaf)))
+        .drop(man.partitionSchema.fieldNames: _*)
+        .coalesce(files)
+        .write.mode(SaveMode.Overwrite).parquet(s"$nextPath/$leaf")
+    }
+    commitManifest(spark, root, next, man.copy(
+      entries = ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++
+        man.entries.filterNot(e => dvLeaves.contains(e.leaf))))
+    (nextPath, dvLeaves.size)
+  }
+
   // ------------------------------------------------------ manifest-mode impls
 
   /** MERGE on a manifest root: identical key-pruned semantics to the
@@ -954,8 +1077,11 @@ object Layout {
       // object stores where there is nothing to hardlink
       val mf = ManifestIndex.read(spark, root, versionName(fromVersion))
       val mt = ManifestIndex.read(spark, root, versionName(toVersion))
+      // the DV reference is part of the identity: a row-delete rewrites no
+      // file, but its leaf must still read as changed or the feed misses
+      // the deletions
       def sig(m: ManifestIndex.TableManifest) =
-        m.byLeaf.view.mapValues(_.map(e => (e.path, e.size)).toSet).toMap
+        m.byLeaf.view.mapValues(_.map(e => (e.path, e.size, e.dv)).toSet).toMap
       val (fb, tb) = (sig(mf), sig(mt))
       val changed = (fb.keySet ++ tb.keySet).filter(l => fb.get(l) != tb.get(l))
       return diff(
@@ -1085,9 +1211,11 @@ object Layout {
       // source can invalidate the clone (shallow-clone semantics; compact
       // the clone to re-home its data before vacuuming the source).
       val m = ManifestIndex.read(spark, root, versionName(version))
-      val abs = m.copy(entries = m.entries.map(e =>
-        if (e.path.startsWith("/") || e.path.contains("://")) e
-        else e.copy(path = s"$root/${e.path}")))
+      def absolutize(p: String) =
+        if (p.startsWith("/") || p.contains("://")) p else s"$root/$p"
+      val abs = m.copy(entries = m.entries.map(e => e.copy(
+        path = absolutize(e.path),
+        dv = e.dv.map(d => d.copy(path = absolutize(d.path))))))
       ManifestIndex.writeFormatMarker(spark, newRoot)
       fs.mkdirs(dst)
       ManifestIndex.write(spark, newRoot, v0, abs)
@@ -1212,9 +1340,16 @@ object Layout {
       .filter(_.matches("v\\d{5}\\.manifest")).sorted
       .map(_.stripSuffix(".manifest"))
     val (doomed, kept) = versions.splitAt(math.max(0, versions.length - keep))
-    val referenced: Set[String] = kept.flatMap(v =>
-      ManifestIndex.read(spark, root, v).entries.map(_.path)
-        .filterNot(p => p.startsWith("/") || p.contains("://"))).toSet
+    val keptManifests = kept.map(v => ManifestIndex.read(spark, root, v))
+    val relative = (p: String) => !p.startsWith("/") && !p.contains("://")
+    val referenced: Set[String] =
+      keptManifests.flatMap(_.entries.map(_.path).filter(relative)).toSet
+    // DV sidecars are referenced as DIRECTORIES — any file under one a
+    // retained manifest points at is live (a carried DV outlives its origin
+    // version dir exactly like a carried data file)
+    val dvDirs: Seq[String] = keptManifests
+      .flatMap(_.entries.flatMap(_.dv.map(_.path).filter(relative)))
+      .distinct.map(_ + "/")
     // depth-first sweep: delete unreferenced data files and all hidden
     // files; a dir empties => delete it; any referenced survivor keeps its
     // ancestor chain alive
@@ -1223,11 +1358,13 @@ object Layout {
       fs.listStatus(p).foreach { st =>
         val n = st.getPath.getName
         val childRel = if (rel.isEmpty) n else s"$rel/$n"
+        val live = referenced.contains(childRel) ||
+          dvDirs.exists(childRel.startsWith)
         if (st.isDirectory) {
           if (sweep(st.getPath, childRel)) fs.delete(st.getPath, false)
           else empty = false
-        } else if (n.startsWith("_") || n.startsWith(".") ||
-          !referenced.contains(childRel)) fs.delete(st.getPath, false)
+        } else if (!live && (n.startsWith("_") || n.startsWith(".") ||
+          !referenced.contains(childRel))) fs.delete(st.getPath, false)
         else empty = false
       }
       empty
@@ -1235,9 +1372,24 @@ object Layout {
     doomed.foreach { v =>
       fs.delete(ManifestIndex.manifestPath(root, v), false)
       fs.delete(new Path(root, s"$v.claim"), false)
-      val vdir = new Path(root, v)
-      if (fs.exists(vdir) && sweep(vdir, v)) fs.delete(vdir, false)
     }
+    // Sweep EVERY manifest-less version dir behind the newest retained
+    // manifest — not just this call's doomed set. A file carried out of a
+    // previously-vacuumed dir stays alive while any retained manifest
+    // references it, and that dir must be revisited on the vacuum AFTER the
+    // last reference drops or the file (data or DV sidecar) leaks forever.
+    // Dirs AHEAD of the newest manifest belong to in-flight writers
+    // (claimed, not yet committed) and are never touched here — crashed
+    // ones are [[recoverStaleClaims]]' job.
+    val maxKept = kept.lastOption.map(_.substring(1).toInt).getOrElse(-1)
+    fs.listStatus(rootPath).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n.matches("v\\d{5}") && n.substring(1).toInt < maxKept &&
+        !kept.contains(n))
+      .foreach { v =>
+        val vdir = new Path(root, v)
+        if (sweep(vdir, v)) fs.delete(vdir, false)
+      }
     doomed.length
   }
 

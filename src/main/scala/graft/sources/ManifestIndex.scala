@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Bound
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.functions.{col, count, length, lit, max, min, unix_date, unix_micros, when}
+import org.apache.spark.sql.functions.{broadcast, col, count, length, lit, max, min, unix_date, unix_micros, when}
 import org.apache.spark.sql.types.{BooleanType, DataType, DateType, NumericType, StringType, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.json4s.{JInt, JLong, JObject, JString, JValue}
@@ -43,14 +43,44 @@ object ManifestIndex {
   /** One data file of a version: hive leaf fragment (`a=1/b=2`), path
     * (root-relative, or absolute for cross-root clone references), exact
     * length in bytes (the parquet reader trusts it for footer location),
-    * and optional per-column min/max/null-count statistics for FILE-LEVEL
+    * optional per-column min/max/null-count statistics for FILE-LEVEL
     * DATA SKIPPING (the Delta/Iceberg prune: a pushed predicate that
     * cannot hold anywhere in a file's [min, max] envelope drops the file
     * before a task is ever scheduled for it — parquet row-group skipping
-    * still needs a footer read per file; this doesn't).
+    * still needs a footer read per file; this doesn't), and an optional
+    * DELETION VECTOR reference — rows of this file marked deleted without
+    * rewriting the file (merge-on-read; see [[DvRef]]).
     */
   case class Entry(leaf: String, path: String, size: Long,
-                   stats: Option[FileStats] = None)
+                   stats: Option[FileStats] = None,
+                   dv: Option[DvRef] = None)
+
+  /** Deletion-vector reference: `path` is a parquet dataset (root-relative,
+    * or absolute for clone references) holding `(path: string, pos: long)`
+    * rows — `path` being the [[dvKey]] of a data file and `pos` a 0-based
+    * parquet row index within it — and `rows` the number of positions that
+    * apply to THIS entry's file. The read path drops these positions with
+    * one broadcast anti-join on `(_metadata.file_path, _metadata.row_index)`
+    * — a DELETE costs O(matched rows) written, not a rewrite of every
+    * touched file, which at 100 TB is the difference between a metadata
+    * operation and a table copy. One DV dataset per commit is shared by
+    * every entry that commit touched.
+    */
+  case class DvRef(path: String, rows: Long)
+
+  /** Stable identity of a data file across clone re-pointing: the suffix of
+    * its path from the last `vNNNNN` segment on (`v00003/a=1/part-x.parquet`).
+    * [[cloneVersion]] absolutizes entry paths (`/src/root/v00003/...`), but
+    * the version-dir-relative suffix never changes — data files are
+    * immutable and never re-homed within a root (a rewrite is a NEW file
+    * and drops the DV) — so DV datasets key on this suffix and survive
+    * cloning without rewriting a single position.
+    */
+  def dvKey(path: String): String = {
+    val segs = path.split('/')
+    val i = segs.lastIndexWhere(_.matches("v\\d{5}"))
+    if (i < 0) path else segs.drop(i).mkString("/")
+  }
 
   /** `min`/`max` are string-encoded bounds (see [[attachStats]] for the
     * per-type encoding); ABSENT means unknown (over-long string, or a
@@ -85,9 +115,14 @@ object ManifestIndex {
     sb.append(m.partitionSchema.json).append('\n')
     m.entries.foreach { e =>
       sb.append(e.leaf).append('\t').append(e.path).append('\t').append(e.size)
-      // optional 4th field: stats as one-line JSON (Jackson escapes control
-      // chars, so the value can never contain a literal tab or newline)
+      // optional tail fields, each one-line JSON (Jackson escapes control
+      // chars, so a value can never contain a literal tab or newline):
+      // bare `{...}` = stats (the pre-DV format, kept for back-compat),
+      // `dv:{...}` = deletion-vector reference
       e.stats.foreach(s => sb.append('\t').append(statsToJson(s)))
+      e.dv.foreach(d => sb.append('\t').append("dv:").append(JsonMethods.compact(
+        JObject("path" -> (JString(d.path): JValue),
+          "rows" -> (JLong(d.rows): JValue)))))
       sb.append('\n')
     }
     val dst = manifestPath(root, version)
@@ -113,14 +148,24 @@ object ManifestIndex {
     val dataSchema = DataType.fromJson(lines(1)).asInstanceOf[StructType]
     val partitionSchema = DataType.fromJson(lines(2)).asInstanceOf[StructType]
     val entries = lines.iterator.drop(3).filter(_.nonEmpty).map { l =>
-      // 3 fields (pre-stats manifests) or 4 (stats JSON) — both valid
-      l.split('\t') match {
-        case Array(leaf, path, size) => Entry(leaf, path, size.toLong)
-        case Array(leaf, path, size, stats) =>
-          Entry(leaf, path, size.toLong, Some(statsFromJson(stats)))
-        case other => throw new IllegalArgumentException(
-          s"malformed manifest line (${other.length} fields): $l")
+      // 3 positional fields, then optional tagged tails: bare JSON = stats
+      // (also the whole of the pre-DV 4-field format), `dv:` = DV reference
+      val fields = l.split('\t')
+      require(fields.length >= 3,
+        s"malformed manifest line (${fields.length} fields): $l")
+      var e = Entry(fields(0), fields(1), fields(2).toLong)
+      fields.iterator.drop(3).foreach { f =>
+        if (f.startsWith("dv:")) {
+          val j = JsonMethods.parse(f.substring(3))
+          val path = (j \ "path") match {
+            case JString(p) => p
+            case other => throw new IllegalArgumentException(
+              s"malformed dv reference in manifest line: $l ($other)")
+          }
+          e = e.copy(dv = Some(DvRef(path, jLong(j \ "rows"))))
+        } else e = e.copy(stats = Some(statsFromJson(f)))
       }
+      e
     }.toSeq
     TableManifest(dataSchema, partitionSchema, entries)
   }
@@ -314,34 +359,86 @@ object ManifestIndex {
 
   // --------------------------------------------------------------- read path
 
+  /** Names of the file-lineage columns [[dataFrame]] exposes when asked
+    * (`lineage = true`): the scan file's path and the row's 0-based parquet
+    * row index — the coordinates deletion vectors address rows by.
+    */
+  val FileCol = "__graft_file"
+  val PosCol = "__graft_pos"
+
+  private[sources] def absEntryPath(root: String, p: String): Path =
+    if (p.startsWith("/") || p.contains("://")) new Path(p) else new Path(root, p)
+
   /** Snapshot DataFrame over a manifest (optionally restricted to a leaf
     * subset): one [[HadoopFsRelation]] scan with partition values decoded
     * from leaf names. Output columns = data schema ++ partition schema,
     * the same shape as a hive-discovered read of the hardlink mode.
+    *
+    * Entries carrying a deletion-vector reference get their deleted
+    * positions dropped by ONE broadcast anti-join against the referenced DV
+    * datasets, keyed on `(_metadata.file_path, _metadata.row_index)` — the
+    * join's build side is O(deleted rows), and data filters still push
+    * through the anti-join into the scan (file skipping and partition
+    * pruning are unaffected; envelopes stay conservative supersets of the
+    * live rows). When NO kept entry has a DV, the plan is exactly the bare
+    * scan — zero overhead on DV-free tables.
+    *
+    * `lineage = true` appends [[FileCol]]/[[PosCol]] columns (post-DV) —
+    * the row-delete writer uses this to address the rows a predicate
+    * matched.
     */
   def dataFrame(spark: SparkSession, root: String, m: TableManifest,
-                onlyLeaves: Option[Set[String]] = None): DataFrame = {
+                onlyLeaves: Option[Set[String]] = None,
+                lineage: Boolean = false): DataFrame = {
     val kept = onlyLeaves match {
       case Some(ls) => m.entries.filter(e => ls.contains(e.leaf))
       case None => m.entries
     }
     val zone = spark.sessionState.conf.sessionLocalTimeZone
     val skipByPath: Map[String, FileSkip] = kept.flatMap { e =>
-      e.stats.map { s =>
-        val p = if (e.path.startsWith("/") || e.path.contains("://"))
-          new Path(e.path)
-        else new Path(root, e.path)
-        p.toString -> decodeStats(s, m.dataSchema, zone)
-      }
+      e.stats.map(s =>
+        absEntryPath(root, e.path).toString -> decodeStats(s, m.dataSchema, zone))
     }.toMap
     val index = new ManifestFileIndex(new Path(root), m.partitionSchema,
       partitionDirectories(spark, root, m.partitionSchema, kept), skipByPath)
     val relation = HadoopFsRelation(index, m.partitionSchema, m.dataSchema,
       None, new ParquetFileFormat, Map.empty)(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val base = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(relation)
+    val dvEntries = kept.filter(_.dv.isDefined)
+    if (dvEntries.isEmpty && !lineage) return base
+    val withLin = base.select(base.columns.map(col) ++ Seq(
+      col(s"_metadata.file_path").as(FileCol),
+      col(s"_metadata.row_index").as(PosCol)): _*)
+    val applied =
+      if (dvEntries.isEmpty) withLin
+      else {
+        // dvKey → absolute scan path for the kept DV-bearing entries; the
+        // DV datasets key on dvKey, the scan reports absolute paths
+        val keyToAbs = dvEntries.map(e =>
+          (dvKey(e.path), absEntryPath(root, e.path).toString))
+        require(keyToAbs.map(_._1).distinct.size == keyToAbs.size,
+          "dvKey collision: two DV-bearing entries share a version-relative " +
+            "suffix (multi-source clone) — compact to re-home before reading")
+        val mapDf = spark.createDataFrame(keyToAbs).toDF("__dv_key", "__dv_file")
+        val dirs = dvEntries.flatMap(_.dv.map(d =>
+          absEntryPath(root, d.path).toString)).distinct
+        val dv = spark.read.schema(DvSchema).parquet(dirs: _*)
+          .join(mapDf, col("path") === col("__dv_key"))
+          .select(col("__dv_file"), col("pos").as("__dv_pos"))
+        withLin.join(broadcast(dv),
+          col(FileCol) === col("__dv_file") && col(PosCol) === col("__dv_pos"),
+          "left_anti")
+      }
+    if (lineage) applied else applied.drop(FileCol, PosCol)
   }
+
+  /** Schema of a deletion-vector dataset; see [[DvRef]]. */
+  val DvSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("path", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType, nullable = false)))
 
   private def partitionDirectories(spark: SparkSession, root: String,
                                    partitionSchema: StructType,
@@ -350,13 +447,9 @@ object ManifestIndex {
     val zone = spark.sessionState.conf.sessionLocalTimeZone
     entries.groupBy(_.leaf).toSeq.sortBy(_._1).map { case (leaf, es) =>
       val values = parseLeaf(leaf, partitionSchema, zone)
-      val files = es.map { e =>
-        val p = if (e.path.startsWith("/") || e.path.contains("://"))
-          new Path(e.path)
-        else new Path(root, e.path)
-        FileStatusWithMetadata(
-          new FileStatus(e.size, false, 0, 0, 0L, p), Map.empty)
-      }
+      val files = es.map(e => FileStatusWithMetadata(
+        new FileStatus(e.size, false, 0, 0, 0L, absEntryPath(root, e.path)),
+        Map.empty))
       (values, files)
     }
   }
