@@ -1581,6 +1581,30 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
           dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // --- merge-on-read UPDATE + DELETE composed ---
+    // A row-level UPDATE (old images DV'd, new images appended — no file
+    // rewritten) followed by a row-level DELETE that must see the updated
+    // values and fold the update's positions forward. Oracle: CASE the
+    // update, WHERE the delete — merge-on-read DML must be invisible in
+    // the answer. `+ 5.0` keeps the arithmetic exactly representable so
+    // the decimal sums hash-match cross-engine.
+    "q143_dv_update" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q143").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(
+        li.repartition(4), root, Seq("l_returnflag"))
+      graft.sources.Layout.updateVersionedRows(s, root,
+        col("l_quantity") >= 40.0,
+        Map("l_quantity" -> (col("l_quantity") + 5.0)))
+      graft.sources.Layout.deleteVersionedRows(s, root,
+        col("l_orderkey") % 7 === 0)
+      graft.sources.Layout.readCurrent(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
     })
   )
 
@@ -3350,6 +3374,12 @@ object SparkEntry {
           ${dsumSql("l_extendedprice")} AS sum_price
         FROM lineitem
         WHERE NOT (l_quantity >= 45.0) AND NOT (l_orderkey % 10 = 3)
+        GROUP BY 1""",
+      "q143_dv_update" -> s"""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          ${dsumSql("CASE WHEN l_quantity >= 40.0 THEN l_quantity + 5.0 ELSE l_quantity END")} AS sum_qty
+        FROM lineitem
+        WHERE NOT (l_orderkey % 7 = 0)
         GROUP BY 1"""
     )
   }

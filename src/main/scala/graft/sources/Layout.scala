@@ -759,24 +759,95 @@ object Layout {
     // current snapshot (existing DVs applied — already-deleted rows can't
     // re-match) with the file/position coordinates each row lives at
     val snap = ManifestIndex.dataFrame(spark, root, man, lineage = true)
+    rowLevelPlan(spark, root, man, snap.filter(predicate)) match {
+      case None => cur
+      case Some((counts, allPos)) =>
+        val (next, nextPath) = nextVersion(spark, root, cur)
+        val entries = writeDvSidecar(spark, man, counts, allPos, next, nextPath)
+        commitManifest(spark, root, next, man.copy(entries = entries))
+        nextPath
+    }
+  }
+
+  /** Row-level UPDATE via deletion vectors (merge-on-read) on a MANIFEST
+    * root: the matched rows' old images are DV'd out of their files (see
+    * [[deleteVersionedRows]] — no data file rewritten) and their updated
+    * images are APPENDED as new files in the same leaves, one commit.
+    * Cost is O(matched rows) written + O(#files) metadata — the sparse
+    * UPDATE a 100 TB table needs when a predicate touches a few rows in
+    * many files.
+    *
+    * `set` maps column name → new-value expression (evaluated against the
+    * matched row, so `col("v") * 2` works). Partition columns cannot be
+    * assigned (the row would have to move leaves — delete + merge instead),
+    * and every assigned column must already exist (schema evolution belongs
+    * to merge). A no-match predicate is a NO-OP. The matched set is scanned
+    * twice (positions, then images) — both scans carry the pushed
+    * predicate.
+    *
+    * @return the new live version path (or the current one on no-op)
+    */
+  def updateVersionedRows(spark: SparkSession, root: String,
+                          predicate: Column, set: Map[String, Column]): String = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      "updateVersionedRows (deletion vectors) requires a manifest root — " +
+        "hardlink-mode roots update copy-on-write via mergeVersionedPartitioned")
+    require(set.nonEmpty, "updateVersionedRows: empty assignment set")
+    val cur = resolveCurrent(spark, root)
+    val curVer = cur.substring(cur.lastIndexOf('/') + 1)
+    val man = ManifestIndex.read(spark, root, curVer)
+    val pcols = man.partitionSchema.fieldNames.toSeq
+    set.keys.foreach { k =>
+      require(!pcols.contains(k),
+        s"updateVersionedRows: cannot assign partition column '$k' — the row " +
+          "would have to move leaves; delete the old rows and merge the new ones")
+      require(man.dataSchema.fieldNames.contains(k),
+        s"updateVersionedRows: unknown column '$k' (schema evolution is merge's job)")
+    }
+    val snap = ManifestIndex.dataFrame(spark, root, man, lineage = true)
+    val matched = snap.filter(predicate)
+    rowLevelPlan(spark, root, man, matched) match {
+      case None => cur
+      case Some((counts, allPos)) =>
+        val (next, nextPath) = nextVersion(spark, root, cur)
+        // updated images first (SaveMode.Overwrite targets the version dir;
+        // the sidecar lands inside it afterwards)
+        matched.drop(ManifestIndex.FileCol, ManifestIndex.PosCol)
+          .withColumns(set)
+          .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
+        val carried = writeDvSidecar(spark, man, counts, allPos, next, nextPath)
+        commitManifest(spark, root, next, man.copy(entries =
+          ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++ carried))
+        nextPath
+    }
+  }
+
+  /** Shared head of the row-level writers: key the matched rows'
+    * coordinates by [[ManifestIndex.dvKey]] and fold in the positions the
+    * touched files' existing DVs already carry, so the commit's sidecar is
+    * each touched file's COMPLETE deletion vector. Returns the per-file new
+    * counts (O(#touched files) driver metadata — the same class as
+    * affectedLeaves) and the full position set; `None` when nothing
+    * matched, BEFORE any version is claimed.
+    */
+  private def rowLevelPlan(spark: SparkSession, root: String,
+                           man: ManifestIndex.TableManifest, matched: DataFrame)
+      : Option[(Map[String, Long], DataFrame)] = {
     val absToKey = man.entries.map(e =>
       (ManifestIndex.absEntryPath(root, e.path).toString,
         ManifestIndex.dvKey(e.path)))
     require(absToKey.map(_._2).distinct.size == absToKey.size,
       "dvKey collision: two entries share a version-relative suffix " +
-        "(multi-source clone) — compact to re-home before row-level deletes")
+        "(multi-source clone) — compact to re-home before row-level writes")
     val mapDf = spark.createDataFrame(absToKey).toDF("__abs", "__key")
-    val newPos = snap.filter(predicate)
+    val newPos = matched
       .select(col(ManifestIndex.FileCol), col(ManifestIndex.PosCol))
       .join(broadcast(mapDf), col(ManifestIndex.FileCol) === col("__abs"))
       .select(col("__key").as("path"), col(ManifestIndex.PosCol).as("pos"))
-    // O(#touched files) driver metadata — the same class as affectedLeaves
     val newCounts: Map[String, Long] = newPos.groupBy("path").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (newCounts.isEmpty) return cur
+    if (newCounts.isEmpty) return None
     val entriesByKey = man.entries.map(e => ManifestIndex.dvKey(e.path) -> e).toMap
-    // fold in the positions the touched files already carry, so the new
-    // sidecar is each touched file's COMPLETE deletion vector
     val oldDirs = newCounts.keySet.toSeq.flatMap(k =>
       entriesByKey(k).dv.map(d =>
         ManifestIndex.absEntryPath(root, d.path).toString)).distinct
@@ -788,14 +859,27 @@ object Layout {
         spark.read.schema(ManifestIndex.DvSchema).parquet(oldDirs: _*)
           .join(broadcast(touchedDf), col("path") === col("__touched"),
             "left_semi"))
-    val (next, nextPath) = nextVersion(spark, root, cur)
-    val total = newCounts.values.sum +
-      newCounts.keysIterator.flatMap(k => entriesByKey(k).dv.map(_.rows)).sum
+    Some((newCounts, allPos))
+  }
+
+  /** Shared tail of the row-level writers: write the commit's DV sidecar
+    * (`vNNNNN/_dv/`) and return the prior entries with touched files
+    * re-pointed at it — an entry whose every row is now deleted (row count
+    * known from stats) drops out entirely.
+    */
+  private def writeDvSidecar(spark: SparkSession,
+                             man: ManifestIndex.TableManifest,
+                             counts: Map[String, Long], allPos: DataFrame,
+                             next: String, nextPath: String)
+      : Seq[ManifestIndex.Entry] = {
+    val entriesByKey = man.entries.map(e => ManifestIndex.dvKey(e.path) -> e).toMap
+    val total = counts.values.sum +
+      counts.keysIterator.flatMap(k => entriesByKey(k).dv.map(_.rows)).sum
     allPos.repartition(math.max(1L, total / 4000000L + 1L).toInt)
       .write.mode(SaveMode.Overwrite).parquet(s"$nextPath/_dv")
-    val entries = man.entries.flatMap { e =>
+    man.entries.flatMap { e =>
       val k = ManifestIndex.dvKey(e.path)
-      newCounts.get(k) match {
+      counts.get(k) match {
         case None => Some(e)
         case Some(n) =>
           val dvRows = n + e.dv.map(_.rows).getOrElse(0L)
@@ -803,8 +887,6 @@ object Layout {
           else Some(e.copy(dv = Some(ManifestIndex.DvRef(s"$next/_dv", dvRows))))
       }
     }
-    commitManifest(spark, root, next, man.copy(entries = entries))
-    nextPath
   }
 
   /** Materialize every outstanding deletion vector of a manifest root:

@@ -204,9 +204,12 @@ object ManifestIndex {
     def rec(p: Path, leaf: String): Unit =
       fs.listStatus(p).foreach { st =>
         val n = st.getPath.getName
-        if (st.isDirectory)
+        // hidden names are metadata on both axes: _SUCCESS-style files and
+        // sidecar DIRS (the _dv deletion-vector dataset) are not table data
+        if (n.startsWith("_") || n.startsWith(".")) ()
+        else if (st.isDirectory)
           rec(st.getPath, if (leaf.isEmpty) n else s"$leaf/$n")
-        else if (!n.startsWith("_") && !n.startsWith("."))
+        else
           acc += Entry(leaf, s"$version/${if (leaf.isEmpty) n else s"$leaf/$n"}",
             st.getLen)
       }

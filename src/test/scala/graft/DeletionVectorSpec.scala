@@ -212,6 +212,56 @@ class DeletionVectorSpec extends SparkSpec {
     assert(state(root).exists(_._1 == 6L))
   }
 
+  test("update: old images DV'd out, new images appended to the same leaves") {
+    val root = init()
+    Layout.updateVersionedRows(spark, root, $"id" === 2L, Map("v" -> ($"v" * 10)))
+    assert(state(root) == Set(
+      (1L, "p1", 10.0), (2L, "p1", 200.0), (3L, "p1", 30.0),
+      (4L, "p2", 40.0), (5L, "p2", 50.0), (6L, "p3", 60.0)))
+    val m1 = man(root, 1)
+    val p1 = m1.entries.filter(_.leaf == "part=p1")
+    // original p1 file carries a 1-row DV; the updated image is a NEW file
+    // in the same leaf; p2/p3 carried untouched
+    assert(p1.exists(e => e.path.startsWith("v00000/") && e.dv.exists(_.rows == 1L)))
+    assert(p1.exists(e => e.path.startsWith("v00001/") && e.dv.isEmpty))
+    assert(m1.entries.filterNot(_.leaf == "part=p1").forall(e =>
+      e.path.startsWith("v00000/") && e.dv.isEmpty))
+    // the feed sees a plain update
+    assert(Layout.changeFeed(spark, root, 0, 1, Seq("id"))
+      .select($"id", $"v", $"_change_type").as[(Long, Double, String)]
+      .collect().toSet ==
+      Set((2L, 20.0, "update_pre"), (2L, 200.0, "update_post")))
+  }
+
+  test("update composes with deletes until the original file is fully shadowed") {
+    val root = init()
+    Layout.updateVersionedRows(spark, root, $"id" === 2L, Map("v" -> ($"v" * 10)))
+    Layout.deleteVersionedRows(spark, root, $"id" === 1L)
+    // id=3 is the original p1 file's last live row: updating it makes the
+    // file fully deleted — the entry must drop, its images living on in
+    // the update commits' files
+    Layout.updateVersionedRows(spark, root, $"id" === 3L, Map("v" -> lit(0.0)))
+    assert(state(root) == Set(
+      (2L, "p1", 200.0), (3L, "p1", 0.0),
+      (4L, "p2", 40.0), (5L, "p2", 50.0), (6L, "p3", 60.0)))
+    val m3 = man(root, 3)
+    assert(!m3.entries.exists(_.path.startsWith("v00000/part=p1")),
+      m3.entries.mkString(","))
+  }
+
+  test("update rejects partition-column and unknown-column assignments") {
+    val root = init()
+    intercept[IllegalArgumentException] {
+      Layout.updateVersionedRows(spark, root, $"id" === 1L, Map("part" -> lit("p9")))
+    }
+    intercept[IllegalArgumentException] {
+      Layout.updateVersionedRows(spark, root, $"id" === 1L, Map("nope" -> lit(1)))
+    }
+    // and a no-match update is a no-op
+    assert(Layout.updateVersionedRows(spark, root, $"id" === 99L,
+      Map("v" -> lit(0.0))).endsWith("v00000"))
+  }
+
   test("file skipping composes with DVs: filtered scans match the purged table") {
     val root = Files.createTempDirectory("graft_dv_skip").toString
     val df = (1L to 4000L).map(i => (i, s"p${i % 2}", i * 1.5)).toDF("id", "part", "v")
