@@ -262,6 +262,24 @@ class DeletionVectorSpec extends SparkSpec {
       Map("v" -> lit(0.0))).endsWith("v00000"))
   }
 
+  test("plan: DV-free reads keep the bare scan; DV reads broadcast-anti-join, pushdown intact") {
+    val root = init()
+    val clean = Layout.readCurrent(spark, root).filter($"v" > 15.0)
+    clean.collect()
+    val cleanPlan = clean.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!cleanPlan.contains("Join"), cleanPlan) // zero overhead without DVs
+    Layout.deleteVersionedRows(spark, root, $"id" === 2L)
+    val dv = Layout.readCurrent(spark, root).filter($"v" > 15.0)
+    dv.collect()
+    val p = dv.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // build side = deleted positions; never a shuffle/sort-merge join
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the data filter still reaches the parquet scan THROUGH the anti-join
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(v,15.0)"), p)
+  }
+
   test("file skipping composes with DVs: filtered scans match the purged table") {
     val root = Files.createTempDirectory("graft_dv_skip").toString
     val df = (1L to 4000L).map(i => (i, s"p${i % 2}", i * 1.5)).toDF("id", "part", "v")

@@ -17,20 +17,25 @@ class LayoutPropertySpec extends SparkSpec {
   private val parts = Seq("p0", "p1", "p2")
   private def partOf(id: Long): String = parts((id % 3).toInt)
 
-  private case class Op(isMerge: Boolean, ids: Seq[Long], vals: Seq[Double])
+  /** kind: 0 = merge, 1 = partition-pruned delete (both modes);
+    * 2 = row-level DV delete, 3 = row-level DV update, 4 = DV purge
+    * (manifest mode only — the merge-on-read writers require it).
+    */
+  private case class Op(kind: Int, ids: Seq[Long], vals: Seq[Double])
 
-  private val genOps: Gen[List[Op]] = Gen.listOfN(4, for {
-    isMerge <- Gen.oneOf(true, false)
+  private def genOps(maxKind: Int): Gen[List[Op]] = Gen.listOfN(5, for {
+    kind <- Gen.choose(0, maxKind)
     n <- Gen.choose(1, 5)
     ids <- Gen.listOfN(n, Gen.choose(0L, 17L))
     vals <- Gen.listOfN(n, Gen.choose(1, 999).map(_.toDouble))
-  } yield Op(isMerge, ids.distinct, vals))
+  } yield Op(kind, ids.distinct, vals))
 
   /** The model property, shared by both storage modes (manifest: round 10).
     * Versions are read through Layout.readVersion — the only reader that is
     * correct in BOTH modes (a manifest version dir is not self-contained).
     */
-  private def modelProperty(manifest: Boolean): Prop = Prop.forAll(genOps) { ops =>
+  private def modelProperty(manifest: Boolean): Prop =
+    Prop.forAll(genOps(if (manifest) 4 else 1)) { ops =>
     val root = Files.createTempDirectory("graft_vprop").toString
     var model = (0L until 12L).map(i => i -> (partOf(i), i.toDouble * 10)).toMap
     val base = model.toSeq.map { case (id, (p, v)) => (id, p, v) }
@@ -47,20 +52,39 @@ class LayoutPropertySpec extends SparkSpec {
     var ok = true
     var version = 0
     ops.foreach { op =>
-      if (op.isMerge) {
-        val rows = op.ids.zip(op.vals).map { case (i, v) => (i, partOf(i), v) }
-        Layout.mergeVersionedPartitioned(spark, root,
-          rows.toDF("id", "part", "v"), Seq("id"), "part")
-        model = model ++ rows.map { case (i, p, v) => i -> (p, v) }
-      } else {
-        val doomed = op.ids.toSet
-        Layout.deleteVersionedPartitioned(spark, root,
-          col("id").isin(op.ids: _*), "part")
-        model = model -- doomed
+      // the row-level writers and purge NO-OP (no version committed) when
+      // nothing matches — the model must advance the version only when the
+      // layout did
+      var committed = true
+      op.kind match {
+        case 0 =>
+          val rows = op.ids.zip(op.vals).map { case (i, v) => (i, partOf(i), v) }
+          Layout.mergeVersionedPartitioned(spark, root,
+            rows.toDF("id", "part", "v"), Seq("id"), "part")
+          model = model ++ rows.map { case (i, p, v) => i -> (p, v) }
+        case 1 =>
+          Layout.deleteVersionedPartitioned(spark, root,
+            col("id").isin(op.ids: _*), "part")
+          model = model -- op.ids
+        case 2 =>
+          Layout.deleteVersionedRows(spark, root, col("id").isin(op.ids: _*))
+          committed = op.ids.exists(model.contains)
+          model = model -- op.ids
+        case 3 =>
+          Layout.updateVersionedRows(spark, root,
+            col("id").isin(op.ids: _*), Map("v" -> (col("v") + 1.0)))
+          committed = op.ids.exists(model.contains)
+          model = model ++ op.ids.flatMap(i =>
+            model.get(i).map { case (p, v) => i -> (p, v + 1.0) })
+        case 4 =>
+          val (_, n) = Layout.purgeDeletedRows(spark, root)
+          committed = n > 0
       }
-      version += 1
-      ok &&= readVersion(version) == model
-      snapshots = snapshots :+ model
+      if (committed) {
+        version += 1
+        ok &&= readVersion(version) == model
+        snapshots = snapshots :+ model
+      } else ok &&= readVersion(version) == model
     }
     // every historical version still reads as exactly its model snapshot
     ok &&= snapshots.zipWithIndex.forall { case (snap, v) =>
@@ -80,7 +104,7 @@ class LayoutPropertySpec extends SparkSpec {
     assert(res.passed, res.toString)
   }
 
-  test("manifest mode: random merge/delete sequences match the Map model too") {
+  test("manifest mode: random merge/delete/row-delete/row-update/purge sequences match the Map model") {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(4).withWorkers(1),
       modelProperty(manifest = true))
