@@ -1605,6 +1605,28 @@ object SparkEntry {
       graft.sources.Layout.readCurrent(s, root)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // --- per-file bloom filters: point-lookup skipping under the oracle ---
+    // Files are laid out so l_orderkey INTERLEAVES across every file of a
+    // leaf (repartition by orderkey mod 8): each file's [min, max]
+    // envelope spans the whole key range, so envelope skipping keeps
+    // everything and only the per-file blooms (declared on l_orderkey at
+    // init) prune the IN-list probe — ManifestStatsSpec pins the planned
+    // file counts; this row pins that the bloom-pruned scan still returns
+    // the exact answer.
+    "q144_bloom_skipped_scan" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q144").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(
+        li.repartitionByRange(8, pmod(col("l_orderkey"), lit(8L))),
+        root, Seq("l_returnflag"), Seq("l_orderkey"))
+      graft.sources.Layout.readCurrent(s, root)
+        .filter(col("l_orderkey").isin(1L, 7L, 40L, 100L, 555L, 1200L))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_extendedprice")).as("sum_price"))
     })
   )
 
@@ -3380,6 +3402,12 @@ object SparkEntry {
           ${dsumSql("CASE WHEN l_quantity >= 40.0 THEN l_quantity + 5.0 ELSE l_quantity END")} AS sum_qty
         FROM lineitem
         WHERE NOT (l_orderkey % 7 = 0)
+        GROUP BY 1""",
+      "q144_bloom_skipped_scan" -> s"""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          ${dsumSql("l_extendedprice")} AS sum_price
+        FROM lineitem
+        WHERE l_orderkey IN (1, 7, 40, 100, 555, 1200)
         GROUP BY 1"""
     )
   }

@@ -589,7 +589,16 @@ object Layout {
     * from the `_format` marker; callers use the same partitioned API.
     */
   def initVersionedManifest(df: DataFrame, root: String,
-                            pcols: Seq[String]): String = {
+                            pcols: Seq[String]): String =
+    initVersionedManifest(df, root, pcols, Nil)
+
+  /** Variant declaring per-file BLOOM-FILTER columns from version 0 on
+    * (see [[ManifestIndex.setBloomColumns]]): point lookups (`id = X`)
+    * on high-cardinality columns skip files min/max envelopes can't.
+    */
+  def initVersionedManifest(df: DataFrame, root: String,
+                            pcols: Seq[String],
+                            bloomCols: Seq[String]): String = {
     require(pcols.nonEmpty,
       "manifest mode is for partitioned roots (carry-forward has no meaning " +
         "unpartitioned — use initVersioned)")
@@ -597,13 +606,15 @@ object Layout {
     val v0 = versionName(0)
     df.write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(s"$root/$v0")
     ManifestIndex.writeFormatMarker(spark, root)
+    if (bloomCols.nonEmpty) ManifestIndex.setBloomColumns(spark, root, bloomCols)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataSchema = StructType(df.schema.filterNot(f => pcols.contains(f.name)))
     ManifestIndex.write(spark, root, v0, ManifestIndex.TableManifest(
       dataSchema,
       StructType(pcols.map(c => df.schema(c))),
       ManifestIndex.attachStats(spark, root, v0,
-        ManifestIndex.listVersionFiles(fs, root, v0), dataSchema)))
+        ManifestIndex.listVersionFiles(fs, root, v0), dataSchema,
+        ManifestIndex.bloomColumns(spark, root))))
     writePointer(spark, root, v0)
     s"$root/$v0"
   }
@@ -1037,7 +1048,8 @@ object Layout {
     // data-skipping stats for the files THIS commit wrote (carried entries
     // keep theirs — stats cost tracks rewritten data, never table size)
     ManifestIndex.write(spark, root, version, m.copy(entries =
-      ManifestIndex.attachStats(spark, root, version, m.entries, m.dataSchema)))
+      ManifestIndex.attachStats(spark, root, version, m.entries, m.dataSchema,
+        ManifestIndex.bloomColumns(spark, root))))
     writePointer(spark, root, version)
   }
 

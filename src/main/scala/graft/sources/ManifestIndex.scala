@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Bound
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.functions.{broadcast, col, count, length, lit, max, min, unix_date, unix_micros, when}
+import org.apache.spark.sql.functions.{broadcast, col, collect_set, count, length, lit, max, min, pmod, shiftrightunsigned, unix_date, unix_micros, when, xxhash64}
 import org.apache.spark.sql.types.{BooleanType, DataType, DateType, NumericType, StringType, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.json4s.{JInt, JLong, JObject, JString, JValue}
@@ -86,9 +86,24 @@ object ManifestIndex {
     * per-type encoding); ABSENT means unknown (over-long string, or a
     * column added after this file was written), NOT all-null — all-null is
     * `nulls == FileStats.rows`. Skipping must treat a missing bound as
-    * unbounded on that side.
+    * unbounded on that side. `bloom` is an optional per-file Bloom filter
+    * over the column's values (see [[BloomStat]]) for POINT-LOOKUP
+    * skipping where a [min, max] envelope is useless — a high-cardinality
+    * id column's envelope spans nearly every file, but `id = X` can only
+    * match files whose bloom holds X's bits.
     */
-  case class ColStats(min: Option[String], max: Option[String], nulls: Long)
+  case class ColStats(min: Option[String], max: Option[String], nulls: Long,
+                      bloom: Option[BloomStat] = None)
+
+  /** Per-file Bloom filter: `bits` = base64 of an m-bit bitset (m =
+    * decoded-length × 8), `k` = hash count. Positions are derived
+    * Kirsch–Mitzenmacher style from ONE `xxhash64` of the value —
+    * `h1 = h >>> 32`, `h2 = (h & 0xffffffff) | 1`, `pos_i = (h1 + i·h2)
+    * mod m` — so the literal side can recompute them exactly with the
+    * same Catalyst hash. A set bit can lie (false positive → keep the
+    * file); a missing bit cannot (the value was never inserted → prune).
+    */
+  case class BloomStat(k: Int, bits: String)
 
   case class FileStats(rows: Long, cols: Map[String, ColStats])
 
@@ -231,6 +246,51 @@ object ManifestIndex {
     */
   val MaxStringStatLen = 64
 
+  /** Bloom sizing: 16384 bits = 2 KiB base64 per (file, column). At the
+    * Delta-style default of ~10 bits/distinct value this targets ~1.6k
+    * distinct values per file at ~1% false positives; denser files degrade
+    * gracefully toward "keep everything" (a saturated bloom never prunes
+    * wrongly). Choose bloom columns accordingly: high-cardinality ids
+    * queried by equality, on tables whose files are reasonably clustered
+    * by that id (write order, Z-order, or bucketing).
+    */
+  val BloomBits = 16384
+  val BloomHashes = 4
+  val BloomFile = "_bloom"
+
+  /** Declare which columns get per-file Bloom filters on FUTURE commits of
+    * `root` (one column name per line in `root/_bloom`). Files written
+    * before the declaration keep no bloom — absent blooms never prune, so
+    * the table stays correct and tightens as it rewrites.
+    */
+  def setBloomColumns(spark: SparkSession, root: String,
+                      cols: Seq[String]): Unit = {
+    val p = new Path(root, BloomFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(cols.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  def bloomColumns(spark: SparkSession, root: String): Seq[String] = {
+    val p = new Path(root, BloomFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    text.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Kirsch–Mitzenmacher positions of one xxhash64 value — MUST stay in
+    * lockstep with the Column-side arithmetic in [[attachStats]] (same
+    * longs, same pmod) or literal-side checks diverge from the stored bits.
+    */
+  private[sources] def bloomPositions(h: Long, k: Int, m: Int): Seq[Int] = {
+    val h1 = h >>> 32
+    val h2 = (h & 0xffffffffL) | 1L
+    (0 until k).map(i => (((h1 + i * h2) % m + m) % m).toInt)
+  }
+
   /** Types whose bounds are collected. Encoding is chosen so the string
     * round-trips EXACTLY and session-independently: timestamps as epoch
     * micros and dates as epoch days (a `CAST(ts AS STRING)` would bake the
@@ -248,7 +308,10 @@ object ManifestIndex {
     val cols = JObject(s.cols.toList.sortBy(_._1).map { case (n, c) =>
       n -> (JObject(List("nulls" -> (JLong(c.nulls): JValue)) ++
         c.min.map(v => "min" -> (JString(v): JValue)) ++
-        c.max.map(v => "max" -> (JString(v): JValue))): JValue)
+        c.max.map(v => "max" -> (JString(v): JValue)) ++
+        c.bloom.map(b => "bloom" -> (JObject(
+          "k" -> (JInt(b.k): JValue),
+          "bits" -> (JString(b.bits): JValue)): JValue))): JValue)
     })
     JsonMethods.compact(
       JObject("rows" -> (JLong(s.rows): JValue), "cols" -> (cols: JValue)))
@@ -268,7 +331,14 @@ object ManifestIndex {
           case JString(v) => Some(v)
           case _ => None
         }
-        name -> ColStats(str("min"), str("max"), jLong(c \ "nulls"))
+        val bloom = (c \ "bloom") match {
+          case b: JObject => (b \ "bits") match {
+            case JString(bits) => Some(BloomStat(jLong(b \ "k").toInt, bits))
+            case _ => None
+          }
+          case _ => None
+        }
+        name -> ColStats(str("min"), str("max"), jLong(c \ "nulls"), bloom)
       }.toMap
       case _ => Map.empty[String, ColStats]
     }
@@ -285,16 +355,21 @@ object ManifestIndex {
     * class as the manifest itself.
     */
   def attachStats(spark: SparkSession, root: String, version: String,
-                  entries: Seq[Entry], dataSchema: StructType): Seq[Entry] = {
+                  entries: Seq[Entry], dataSchema: StructType,
+                  bloomCols: Seq[String] = Nil): Seq[Entry] = {
     val fresh = entries.filter(e =>
       e.stats.isEmpty && e.path.startsWith(version + "/"))
     val statCols = dataSchema.fields.filter(f => statsEligible(f.dataType))
       .take(MaxStatsCols)
     if (fresh.isEmpty || statCols.isEmpty) return entries
+    // bloom columns must be within the stats-indexed set (eligible type,
+    // first MaxStatsCols); the per-hash positions share the rows-scan the
+    // envelope aggregates already pay
+    val blooms = bloomCols.flatMap(n => statCols.find(_.name == n))
     val paths = fresh.map(e => new Path(root, e.path).toString)
     val df = spark.read.schema(dataSchema).parquet(paths: _*)
     val aggs: Seq[Column] = (count(lit(1L)).as("__rows") +:
-      statCols.toSeq.zipWithIndex.flatMap { case (f, i) =>
+      (statCols.toSeq.zipWithIndex.flatMap { case (f, i) =>
         val c = col(s"`${f.name}`")
         def enc(x: Column): Column = f.dataType match {
           case StringType => when(length(x) <= MaxStringStatLen, x)
@@ -304,7 +379,17 @@ object ManifestIndex {
         }
         Seq(enc(min(c)).as(s"__min$i"), enc(max(c)).as(s"__max$i"),
           count(c).as(s"__cnt$i"))
-      })
+      } ++
+      blooms.zipWithIndex.flatMap { case (f, j) =>
+        // Kirsch–Mitzenmacher on one xxhash64 — the literal side replays
+        // this exact arithmetic in bloomPositions
+        val h = xxhash64(col(s"`${f.name}`"))
+        val h1 = shiftrightunsigned(h, 32)
+        val h2 = h.bitwiseAND(lit(0xffffffffL)).bitwiseOR(lit(1L))
+        (0 until BloomHashes).map(i =>
+          collect_set(pmod(h1 + lit(i.toLong) * h2, lit(BloomBits.toLong)))
+            .as(s"__bloom${j}_$i"))
+      }))
     val agg = df.groupBy(col("_metadata.file_path").as("__file"))
       .agg(aggs.head, aggs.tail: _*)
     // one row per NEW file — O(metadata), not row data (same contract as
@@ -314,10 +399,21 @@ object ManifestIndex {
     while (it.hasNext) {
       val r = it.next()
       val rows = r.getAs[Long]("__rows")
+      val bloomByName = blooms.zipWithIndex.map { case (f, j) =>
+        val bytes = new Array[Byte](BloomBits / 8)
+        (0 until BloomHashes).foreach { i =>
+          r.getSeq[Long](r.fieldIndex(s"__bloom${j}_$i")).foreach { p =>
+            bytes(p.toInt >> 3) = (bytes(p.toInt >> 3) | (1 << (p.toInt & 7))).toByte
+          }
+        }
+        f.name -> BloomStat(BloomHashes,
+          java.util.Base64.getEncoder.encodeToString(bytes))
+      }.toMap
       val cols = statCols.toSeq.zipWithIndex.map { case (f, i) =>
         val mn = Option(r.getAs[String](s"__min$i"))
         val mx = Option(r.getAs[String](s"__max$i"))
-        f.name -> ColStats(mn, mx, rows - r.getAs[Long](s"__cnt$i"))
+        f.name -> ColStats(mn, mx, rows - r.getAs[Long](s"__cnt$i"),
+          bloomByName.get(f.name))
       }.toMap
       // key by the path RELATIVE to the version dir — one write task emits
       // the same basename into every leaf it touches, so the filename alone
@@ -339,7 +435,8 @@ object ManifestIndex {
     * [[ManifestFileIndex.mightMatch]].
     */
   private[sources] case class ColSkip(min: Option[Any], max: Option[Any],
-                                      nulls: Long, dataType: DataType)
+                                      nulls: Long, dataType: DataType,
+                                      bloom: Option[(Int, Array[Byte])] = None)
   private[sources] case class FileSkip(rows: Long, cols: Map[String, ColSkip])
 
   private def decodeBound(s: String, dt: DataType, zone: String): Any = dt match {
@@ -354,7 +451,8 @@ object ManifestIndex {
     val cols = s.cols.flatMap { case (name, c) =>
       dataSchema.fields.find(_.name == name).map { f =>
         name -> ColSkip(c.min.map(decodeBound(_, f.dataType, zone)),
-          c.max.map(decodeBound(_, f.dataType, zone)), c.nulls, f.dataType)
+          c.max.map(decodeBound(_, f.dataType, zone)), c.nulls, f.dataType,
+          c.bloom.map(b => (b.k, java.util.Base64.getDecoder.decode(b.bits))))
       }
     }
     FileSkip(s.rows, cols)
@@ -601,6 +699,23 @@ final class ManifestFileIndex(
                       f: FileSkip): Boolean =
     cmpMight(a, v, dt, f) { (ord, lo, hi) =>
       lo.forall(ord.lteq(_, v)) && hi.forall(ord.gteq(_, v))
+    } && bloomMight(a, v, dt, f)
+
+  /** Point-lookup bloom check: the file can hold `v` only if all k of v's
+    * bit positions are set. Bits were built from the SAME xxhash64 + KM
+    * derivation over the column, so a clear bit proves absence; any stats
+    * gap (no bloom, type mismatch, null literal) keeps the file.
+    */
+  private def bloomMight(a: AttributeReference, v: Any, dt: DataType,
+                         f: FileSkip): Boolean =
+    f.cols.get(a.name) match {
+      case Some(c) if c.dataType == dt && v != null && c.bloom.isDefined =>
+        val (k, bytes) = c.bloom.get
+        val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(Literal(v, dt))).eval(null).asInstanceOf[Long]
+        ManifestIndex.bloomPositions(h, k, bytes.length * 8).forall(p =>
+          (bytes(p >> 3) & (1 << (p & 7))) != 0)
+      case _ => true
     }
 
   /** `startsWith(p)` via prefix-truncation monotonicity (u <= v implies

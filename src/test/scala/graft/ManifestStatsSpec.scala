@@ -217,4 +217,77 @@ class ManifestStatsSpec extends SparkSpec {
       assert(got == want, s"predicate $p: got ${got.size}, want ${want.size}")
     }
   }
+
+  // ------------------------------------------------------------ bloom filters
+
+  /** Two leaves, ids INTERLEAVED (mod 4) across each leaf's four files, so
+    * every file's [min, max] envelope spans nearly the whole leaf range —
+    * min/max cannot prune a point lookup within a leaf; a per-file bloom can.
+    */
+  private def interleavedRoot(bloom: Boolean): String = {
+    val root = Files.createTempDirectory("graft_bloom").toString
+    val df = spark.range(4000)
+      .select($"id",
+        when($"id" < 2000L, "p1").otherwise("p2").as("part"),
+        ($"id" % 4).as("grp"))
+      .repartitionByRange(4, $"grp")
+      .drop("grp")
+    Layout.initVersionedManifest(df, root, Seq("part"),
+      if (bloom) Seq("id") else Nil)
+    root
+  }
+
+  test("bloom skipping: point lookups prune interleaved files min/max cannot") {
+    val noBloom = interleavedRoot(bloom = false)
+    val withBloom = interleavedRoot(bloom = true)
+    // id=1234 lives in p1 only; min/max prunes p2's leaf but all four
+    // interleaved p1 files overlap the value — without a bloom every one
+    // of them must be planned
+    val nP1 = ManifestIndex.read(spark, noBloom, "v00000")
+      .entries.count(_.leaf == "part=p1")
+    assert(nP1 > 1, s"fixture needs several interleaved files, got $nP1")
+    val q1 = Layout.readCurrent(spark, noBloom).filter($"id" === 1234L)
+    assert(scannedFiles(q1).size == nP1, scannedFiles(q1).mkString(","))
+    assert(q1.count() == 1L)
+    // with blooms only the file whose bits contain 1234 (+ any false
+    // positives) survives — strictly fewer than the overlap set
+    val q2 = Layout.readCurrent(spark, withBloom).filter($"id" === 1234L)
+    assert(scannedFiles(q2).size < nP1, scannedFiles(q2).mkString(","))
+    assert(q2.count() == 1L)
+    // IN-lists prune per value (file kept iff ANY value might be present)
+    val all = ManifestIndex.read(spark, withBloom, "v00000").entries.size
+    val q3 = Layout.readCurrent(spark, withBloom).filter($"id".isin(8L, 9L))
+    assert(scannedFiles(q3).size < all, scannedFiles(q3).mkString(","))
+    assert(q3.count() == 2L)
+    // a value no file holds may plan zero files and must return empty
+    assert(Layout.readCurrent(spark, withBloom).filter($"id" === 99999L)
+      .count() == 0L)
+  }
+
+  test("bloom never lies about absence: every present value's file is planned") {
+    val root = interleavedRoot(bloom = true)
+    val cur = Layout.readCurrent(spark, root)
+    (0 until 50).foreach { i =>
+      val id = (i * 79) % 4000
+      assert(cur.filter($"id" === id.toLong).count() == 1L, s"id $id lost")
+    }
+  }
+
+  test("blooms declared late: new files get them, carried files stay conservative") {
+    val root = interleavedRoot(bloom = false)
+    ManifestIndex.setBloomColumns(spark, root, Seq("id"))
+    // rewrite only p1 — its new files carry blooms; p2's carried entries
+    // keep their bloom-less stats and are still (conservatively) planned
+    Layout.mergeVersionedPartitioned(spark, root,
+      Seq((1234L, "p1")).toDF("id", "part"), Seq("id"), "part")
+    val m = ManifestIndex.read(spark, root, "v00001")
+    val (p1e, p2e) = m.entries.partition(_.leaf == "part=p1")
+    assert(p1e.nonEmpty && p1e.forall(_.stats.exists(
+      _.cols.get("id").exists(_.bloom.isDefined))))
+    assert(p2e.nonEmpty && p2e.forall(_.stats.forall(
+      _.cols.get("id").forall(_.bloom.isEmpty))))
+    // both sides still answer point lookups correctly
+    assert(Layout.readCurrent(spark, root).filter($"id" === 1234L).count() == 1L)
+    assert(Layout.readCurrent(spark, root).filter($"id" === 2500L).count() == 1L)
+  }
 }
