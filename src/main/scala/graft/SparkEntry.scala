@@ -1627,6 +1627,31 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
           dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // --- column mapping: rename without rewrite, then write through it ---
+    // l_quantity is RENAMED to qty (metadata-only — no file rewritten),
+    // then a merge updates rows UNDER THE NEW NAME, writing new files whose
+    // footers still spell the physical name. The final aggregate reads
+    // pre-rename footers and post-rename footers through one mapped scan;
+    // the oracle computes the same answer from the raw table with a CASE —
+    // column mapping must be invisible in the values.
+    "q145_rename_column" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q145").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(
+        li.repartition(4), root, Seq("l_returnflag"))
+      graft.sources.Layout.renameColumn(s, root, "l_quantity", "qty")
+      graft.sources.Layout.mergeVersionedPartitioned(s, root,
+        graft.sources.Layout.readCurrent(s, root)
+          .filter(col("l_orderkey") % 13 === 0)
+          .withColumn("qty", col("qty") + 1.0),
+        Seq("l_orderkey", "l_linenumber"), "l_returnflag")
+      graft.sources.Layout.readCurrent(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("qty")).as("sum_qty"))
     })
   )
 
@@ -3408,6 +3433,11 @@ object SparkEntry {
           ${dsumSql("l_extendedprice")} AS sum_price
         FROM lineitem
         WHERE l_orderkey IN (1, 7, 40, 100, 555, 1200)
+        GROUP BY 1""",
+      "q145_rename_column" -> s"""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          ${dsumSql("CASE WHEN l_orderkey % 13 = 0 THEN l_quantity + 1.0 ELSE l_quantity END")} AS sum_qty
+        FROM lineitem
         GROUP BY 1"""
     )
   }

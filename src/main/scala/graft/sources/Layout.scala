@@ -212,6 +212,38 @@ object Layout {
     readVersionDir(spark, root, p)
   }
 
+  /** Timestamp time travel (`AS OF <ts>`) on a MANIFEST root: the newest
+    * version committed at or before `tsMillis`. The commit instant is the
+    * manifest file's mtime — written once at commit and never touched
+    * again, so the mapping is exact and stable (hardlink-mode version DIRS
+    * get later writes and vacuums into their subtree, which is why this is
+    * manifest-only). Fails loudly when `tsMillis` predates the oldest
+    * retained version (vacuum may have dropped the one that was live then
+    * — answering with a newer version would silently lie).
+    */
+  def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Int = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"versionAsOf requires a manifest root: $root")
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = fs.listStatus(rootPath).filter(_.isFile)
+      .filter(_.getPath.getName.matches("v\\d{5}\\.manifest"))
+      .map(st => (st.getPath.getName.stripSuffix(".manifest").substring(1).toInt,
+        st.getModificationTime))
+      .sortBy(_._1)
+    require(commits.nonEmpty, s"no versions under $root")
+    val atOrBefore = commits.filter(_._2 <= tsMillis)
+    require(atOrBefore.nonEmpty,
+      s"no version of $root existed at or before $tsMillis " +
+        s"(oldest retained commit: ${commits.head._2} — vacuumed history " +
+        "cannot be answered truthfully)")
+    atOrBefore.last._1
+  }
+
+  /** Snapshot as of a wall-clock instant; see [[versionAsOf]]. */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
+    readVersion(spark, root, versionAsOf(spark, root, tsMillis))
+
   private def readVersionDir(spark: SparkSession, root: String,
                              versionPath: String): DataFrame = {
     if (ManifestIndex.isManifestRoot(spark, root)) {
@@ -823,8 +855,9 @@ object Layout {
         val (next, nextPath) = nextVersion(spark, root, cur)
         // updated images first (SaveMode.Overwrite targets the version dir;
         // the sidecar lands inside it afterwards)
-        matched.drop(ManifestIndex.FileCol, ManifestIndex.PosCol)
-          .withColumns(set)
+        ManifestIndex.toPhysical(
+            matched.drop(ManifestIndex.FileCol, ManifestIndex.PosCol)
+              .withColumns(set), man.dataSchema)
           .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
         val carried = writeDvSidecar(spark, man, counts, allPos, next, nextPath)
         commitManifest(spark, root, next, man.copy(entries =
@@ -900,6 +933,51 @@ object Layout {
     }
   }
 
+  /** RENAME a data column of a manifest root — metadata-only (Delta's
+    * column-mapping shape): the new manifest carries the new LOGICAL name
+    * with the column's PHYSICAL name (the one every parquet footer, stats
+    * envelope and bloom uses, fixed at the column's birth) preserved in
+    * field metadata. No file is rewritten, no entry changes; old versions
+    * keep their old names (time travel reads the schema of its day); a
+    * change feed across the rename is EMPTY when the data didn't change
+    * (the from-side is aligned by physical identity). Subsequent writers
+    * keep writing physical names, so files from before and after any
+    * number of renames stay mutually readable.
+    *
+    * Partition columns cannot be renamed (their name is baked into every
+    * leaf path), and the new name must not collide with any existing
+    * column.
+    *
+    * @return the new live version path
+    */
+  def renameColumn(spark: SparkSession, root: String,
+                   oldName: String, newName: String): String = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"renameColumn requires a manifest root: $root")
+    val cur = resolveCurrent(spark, root)
+    val curVer = cur.substring(cur.lastIndexOf('/') + 1)
+    val man = ManifestIndex.read(spark, root, curVer)
+    require(!man.partitionSchema.fieldNames.contains(oldName),
+      s"renameColumn: '$oldName' is a partition column — its name is baked " +
+        "into every leaf path; repartitioning is a rewrite, not a rename")
+    require(man.dataSchema.fieldNames.contains(oldName),
+      s"renameColumn: no column '$oldName' in ${man.dataSchema.fieldNames.mkString(",")}")
+    require(!man.dataSchema.fieldNames.contains(newName) &&
+      !man.partitionSchema.fieldNames.contains(newName),
+      s"renameColumn: '$newName' already exists")
+    val renamed = StructType(man.dataSchema.map { f =>
+      if (f.name != oldName) f
+      else org.apache.spark.sql.types.StructField(newName, f.dataType, f.nullable,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(ManifestIndex.PhysicalKey, ManifestIndex.physicalName(f))
+          .build())
+    })
+    val (next, nextPath) = nextVersion(spark, root, cur)
+    commitManifest(spark, root, next, man.copy(dataSchema = renamed))
+    nextPath
+  }
+
   /** Materialize every outstanding deletion vector of a manifest root:
     * leaves holding a DV-bearing entry are rewritten without their deleted
     * rows (compacted to ~`targetBytes` files), every clean leaf carries
@@ -924,8 +1002,9 @@ object Layout {
     dvLeaves.toSeq.sortBy(_._1).foreach { case (leaf, es) =>
       val files = math.max(1L,
         math.ceil(es.map(_.size).sum.toDouble / targetBytes).toLong).toInt
-      ManifestIndex.dataFrame(spark, root, man, Some(Set(leaf)))
-        .drop(man.partitionSchema.fieldNames: _*)
+      ManifestIndex.toPhysical(
+          ManifestIndex.dataFrame(spark, root, man, Some(Set(leaf)))
+            .drop(man.partitionSchema.fieldNames: _*), man.dataSchema)
         .coalesce(files)
         .write.mode(SaveMode.Overwrite).parquet(s"$nextPath/$leaf")
     }
@@ -969,9 +1048,20 @@ object Layout {
           allowMissingColumns = true)
       }
     val (next, nextPath) = nextVersion(spark, root, cur)
-    merged.write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
+    // the evolved schema keeps each surviving column's PHYSICAL name; new
+    // files are written under physical names so they agree with old footers
+    val newDataSchema = ManifestIndex.carryPhysical(
+      StructType(merged.schema.filterNot(f => pcols.contains(f.name))),
+      man.dataSchema)
+    val physNames = newDataSchema.map(ManifestIndex.physicalName)
+    require(physNames.distinct.length == physNames.length,
+      s"schema evolution would duplicate a PHYSICAL column name " +
+        s"(${physNames.mkString(",")}): an added column may not reuse a " +
+        "renamed column's physical name")
+    ManifestIndex.toPhysical(merged, newDataSchema)
+      .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
     commitManifest(spark, root, next, man.copy(
-      dataSchema = StructType(merged.schema.filterNot(f => pcols.contains(f.name))),
+      dataSchema = newDataSchema,
       entries = ManifestIndex.listVersionFiles(
         fsOf(spark, root), root, next) ++
         man.entries.filterNot(e => affected.contains(e.leaf))))
@@ -994,8 +1084,9 @@ object Layout {
       .intersect(man.leaves)
     val (next, nextPath) = nextVersion(spark, root, cur)
     if (affected.nonEmpty)
-      ManifestIndex.dataFrame(spark, root, man, Some(affected))
-        .filter(!predicate)
+      ManifestIndex.toPhysical(
+          ManifestIndex.dataFrame(spark, root, man, Some(affected))
+            .filter(!predicate), man.dataSchema)
         .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
     commitManifest(spark, root, next, man.copy(
       entries = ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++
@@ -1023,8 +1114,9 @@ object Layout {
     val (next, nextPath) = nextVersion(spark, root, cur)
     fragmented.toSeq.sortBy(_._1).foreach { case (leaf, bytes) =>
       val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-      val data = ManifestIndex.dataFrame(spark, root, man, Some(Set(leaf)))
-        .drop(man.partitionSchema.fieldNames: _*)
+      val data = ManifestIndex.toPhysical(
+        ManifestIndex.dataFrame(spark, root, man, Some(Set(leaf)))
+          .drop(man.partitionSchema.fieldNames: _*), man.dataSchema)
       if (zOrderCols.nonEmpty)
         writeZOrdered(data, s"$nextPath/$leaf", zOrderCols, files = files)
       else
@@ -1047,9 +1139,12 @@ object Layout {
     fsOf(spark, root).mkdirs(new Path(root, version))
     // data-skipping stats for the files THIS commit wrote (carried entries
     // keep theirs — stats cost tracks rewritten data, never table size)
+    // bloom declarations arrive in logical names; stats speak physical
+    val bloomPhys = ManifestIndex.bloomColumns(spark, root).map(n =>
+      m.dataSchema.find(_.name == n).map(ManifestIndex.physicalName).getOrElse(n))
     ManifestIndex.write(spark, root, version, m.copy(entries =
       ManifestIndex.attachStats(spark, root, version, m.entries, m.dataSchema,
-        ManifestIndex.bloomColumns(spark, root))))
+        bloomPhys)))
     writePointer(spark, root, version)
   }
 
@@ -1178,8 +1273,19 @@ object Layout {
         m.byLeaf.view.mapValues(_.map(e => (e.path, e.size, e.dv)).toSet).toMap
       val (fb, tb) = (sig(mf), sig(mt))
       val changed = (fb.keySet ++ tb.keySet).filter(l => fb.get(l) != tb.get(l))
-      return diff(
-        ManifestIndex.dataFrame(spark, root, mf, Some(changed)),
+      // a RENAME between the versions is metadata-only: align the from-side
+      // to the to-side's logical names by PHYSICAL identity, so the feed
+      // compares values instead of reporting every row as changed
+      val toByPhys = mt.dataSchema.map(f =>
+        ManifestIndex.physicalName(f) -> f.name).toMap
+      val fromAligned = mf.dataSchema.foldLeft(
+          ManifestIndex.dataFrame(spark, root, mf, Some(changed))) { (d, f) =>
+        toByPhys.get(ManifestIndex.physicalName(f)) match {
+          case Some(n) if n != f.name => d.withColumnRenamed(f.name, n)
+          case _ => d
+        }
+      }
+      return diff(fromAligned,
         ManifestIndex.dataFrame(spark, root, mt, Some(changed)), keys)
     }
     val fromPath = new Path(resolveVersion(spark, root, fromVersion))

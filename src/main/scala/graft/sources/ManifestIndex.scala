@@ -124,6 +124,14 @@ object ManifestIndex {
     */
   def write(spark: SparkSession, root: String, version: String,
             m: TableManifest): Unit = {
+    // physical names are the on-disk identity — a duplicate (e.g. schema
+    // evolution adding a column spelled like a renamed column's PHYSICAL
+    // name) would make footer resolution ambiguous; refuse at the single
+    // commit choke point
+    val phys = m.dataSchema.map(physicalName)
+    require(phys.distinct.length == phys.length,
+      s"duplicate physical column names ${phys.mkString(",")} — an added " +
+        "column may not reuse a renamed column's physical name")
     val sb = new StringBuilder
     sb.append(FormatTag).append('\n')
     sb.append(m.dataSchema.json).append('\n')
@@ -363,14 +371,16 @@ object ManifestIndex {
       .take(MaxStatsCols)
     if (fresh.isEmpty || statCols.isEmpty) return entries
     // bloom columns must be within the stats-indexed set (eligible type,
-    // first MaxStatsCols); the per-hash positions share the rows-scan the
+    // first MaxStatsCols) — matched by PHYSICAL name, the stable identity
+    // renames never touch; the per-hash positions share the rows-scan the
     // envelope aggregates already pay
-    val blooms = bloomCols.flatMap(n => statCols.find(_.name == n))
+    val blooms = bloomCols.flatMap(n => statCols.find(f => physicalName(f) == n))
     val paths = fresh.map(e => new Path(root, e.path).toString)
-    val df = spark.read.schema(dataSchema).parquet(paths: _*)
+    // fresh files are read (and stats recorded) under PHYSICAL names
+    val df = spark.read.schema(physicalSchema(dataSchema)).parquet(paths: _*)
     val aggs: Seq[Column] = (count(lit(1L)).as("__rows") +:
       (statCols.toSeq.zipWithIndex.flatMap { case (f, i) =>
-        val c = col(s"`${f.name}`")
+        val c = col(s"`${physicalName(f)}`")
         def enc(x: Column): Column = f.dataType match {
           case StringType => when(length(x) <= MaxStringStatLen, x)
           case TimestampType => unix_micros(x).cast(StringType)
@@ -383,7 +393,7 @@ object ManifestIndex {
       blooms.zipWithIndex.flatMap { case (f, j) =>
         // Kirsch–Mitzenmacher on one xxhash64 — the literal side replays
         // this exact arithmetic in bloomPositions
-        val h = xxhash64(col(s"`${f.name}`"))
+        val h = xxhash64(col(s"`${physicalName(f)}`"))
         val h1 = shiftrightunsigned(h, 32)
         val h2 = h.bitwiseAND(lit(0xffffffffL)).bitwiseOR(lit(1L))
         (0 until BloomHashes).map(i =>
@@ -406,14 +416,14 @@ object ManifestIndex {
             bytes(p.toInt >> 3) = (bytes(p.toInt >> 3) | (1 << (p.toInt & 7))).toByte
           }
         }
-        f.name -> BloomStat(BloomHashes,
+        physicalName(f) -> BloomStat(BloomHashes,
           java.util.Base64.getEncoder.encodeToString(bytes))
       }.toMap
       val cols = statCols.toSeq.zipWithIndex.map { case (f, i) =>
         val mn = Option(r.getAs[String](s"__min$i"))
         val mx = Option(r.getAs[String](s"__max$i"))
-        f.name -> ColStats(mn, mx, rows - r.getAs[Long](s"__cnt$i"),
-          bloomByName.get(f.name))
+        physicalName(f) -> ColStats(mn, mx, rows - r.getAs[Long](s"__cnt$i"),
+          bloomByName.get(physicalName(f)))
       }.toMap
       // key by the path RELATIVE to the version dir — one write task emits
       // the same basename into every leaf it touches, so the filename alone
@@ -448,8 +458,10 @@ object ManifestIndex {
 
   private def decodeStats(s: FileStats, dataSchema: StructType,
                           zone: String): FileSkip = {
+    // stats (and the pushed filters they are checked against) live in
+    // PHYSICAL names — resolve the type through the mapping
     val cols = s.cols.flatMap { case (name, c) =>
-      dataSchema.fields.find(_.name == name).map { f =>
+      dataSchema.fields.find(f => physicalName(f) == name).map { f =>
         name -> ColSkip(c.min.map(decodeBound(_, f.dataType, zone)),
           c.max.map(decodeBound(_, f.dataType, zone)), c.nulls, f.dataType,
           c.bloom.map(b => (b.k, java.util.Base64.getDecoder.decode(b.bits))))
@@ -466,6 +478,56 @@ object ManifestIndex {
     */
   val FileCol = "__graft_file"
   val PosCol = "__graft_pos"
+
+  // ------------------------------------------------------ column mapping
+
+  /** StructField metadata key holding a column's PHYSICAL name — the name
+    * it was born with and the one every parquet footer (and every stats /
+    * bloom entry) uses forever. A RENAME changes only the logical name in
+    * the manifest schema; files are never rewritten (Delta's
+    * column-mapping shape). Absent metadata means logical = physical.
+    */
+  val PhysicalKey = "graft.physical"
+
+  def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  /** Schema as the FILES spell it (physical names, metadata dropped). */
+  def physicalSchema(s: StructType): StructType =
+    StructType(s.map(f =>
+      org.apache.spark.sql.types.StructField(physicalName(f), f.dataType,
+        f.nullable)))
+
+  private def hasRenames(s: StructType): Boolean =
+    s.exists(f => physicalName(f) != f.name)
+
+  /** Rename `df`'s logical data columns to their physical names before a
+    * file write — every manifest-root writer funnels through this so new
+    * files always agree with old footers.
+    */
+  def toPhysical(df: DataFrame, dataSchema: StructType): DataFrame =
+    dataSchema.foldLeft(df) { (d, f) =>
+      val p = physicalName(f)
+      if (p != f.name && d.columns.contains(f.name))
+        d.withColumnRenamed(f.name, p)
+      else d
+    }
+
+  /** Carry physical-name metadata from `prior` onto same-named fields of
+    * `next` — a merge/evolution recomputes the data schema from a
+    * DataFrame whose fields lost their metadata; without this a rename
+    * would silently detach from its physical column on the next commit.
+    */
+  def carryPhysical(next: StructType, prior: StructType): StructType =
+    StructType(next.map { f =>
+      prior.find(_.name == f.name) match {
+        case Some(p) if p.metadata.contains(PhysicalKey) =>
+          org.apache.spark.sql.types.StructField(f.name, f.dataType,
+            f.nullable, p.metadata)
+        case _ => f
+      }
+    })
 
   private[sources] def absEntryPath(root: String, p: String): Path =
     if (p.startsWith("/") || p.contains("://")) new Path(p) else new Path(root, p)
@@ -502,11 +564,20 @@ object ManifestIndex {
     }.toMap
     val index = new ManifestFileIndex(new Path(root), m.partitionSchema,
       partitionDirectories(spark, root, m.partitionSchema, kept), skipByPath)
-    val relation = HadoopFsRelation(index, m.partitionSchema, m.dataSchema,
+    // the SCAN speaks physical names (what the footers, stats and blooms
+    // use); renamed columns are aliased back to their logical names above
+    // it — a pure Project that filters still push through
+    val relation = HadoopFsRelation(index, m.partitionSchema,
+      physicalSchema(m.dataSchema),
       None, new ParquetFileFormat, Map.empty)(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
-    val base = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val base0 = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(relation)
+    val base =
+      if (!hasRenames(m.dataSchema)) base0
+      else base0.select(
+        m.dataSchema.map(f => col(s"`${physicalName(f)}`").as(f.name)) ++
+          m.partitionSchema.map(f => col(s"`${f.name}`")): _*)
     val dvEntries = kept.filter(_.dv.isDefined)
     if (dvEntries.isEmpty && !lineage) return base
     val withLin = base.select(base.columns.map(col) ++ Seq(

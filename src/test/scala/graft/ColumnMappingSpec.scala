@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{Layout, ManifestIndex}
+
+/** Column mapping (Delta-shape) on manifest roots: a RENAME changes only
+  * the logical name in the manifest schema — the PHYSICAL name (what every
+  * parquet footer, stats envelope and bloom uses) is fixed at the column's
+  * birth and carried in field metadata. No file rewrite, old versions keep
+  * their old names, writers keep emitting physical names, and every
+  * skipping/DV/feed path keys on physical identity.
+  */
+class ColumnMappingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(rs: (Long, String, Double)*) = rs.toDF("id", "part", "v")
+
+  private def init(): String = {
+    val root = Files.createTempDirectory("graft_cmap").toString
+    Layout.initVersionedManifest(rows(
+      (1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p2", 30.0)).coalesce(1),
+      root, Seq("part"))
+    root
+  }
+
+  test("rename is metadata-only: new name, same values, same files; old versions keep old names") {
+    val root = init()
+    val before = ManifestIndex.read(spark, root, "v00000")
+    Layout.renameColumn(spark, root, "v", "price")
+    val after = ManifestIndex.read(spark, root, "v00001")
+    assert(after.entries.map(e => (e.path, e.size)) ==
+      before.entries.map(e => (e.path, e.size)), "rename must not touch files")
+    val cur = Layout.readCurrent(spark, root)
+    assert(cur.columns.toSeq == Seq("id", "price", "part"))
+    assert(cur.select($"id", $"price").as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // time travel reads the schema of its day
+    assert(Layout.readVersion(spark, root, 0).columns.contains("v"))
+  }
+
+  test("writers after a rename emit physical names: old and new files stay mutually readable") {
+    val root = init()
+    Layout.renameColumn(spark, root, "v", "price")
+    Layout.mergeVersionedPartitioned(spark, root,
+      Seq((2L, "p1", 99.0), (4L, "p2", 40.0)).toDF("id", "part", "price"),
+      Seq("id"), "part")
+    assert(Layout.readCurrent(spark, root)
+      .select($"id", $"price").as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 40.0)))
+    // the new files' FOOTERS spell the physical name, not the logical one
+    val m = ManifestIndex.read(spark, root, "v00002")
+    val fresh = m.entries.filter(_.path.startsWith("v00002/"))
+    assert(fresh.nonEmpty)
+    val footer = spark.read.parquet(s"$root/${fresh.head.path}")
+    assert(footer.columns.contains("v") && !footer.columns.contains("price"),
+      footer.columns.mkString(","))
+    // a second rename chains; rename back to the original name also works
+    Layout.renameColumn(spark, root, "price", "amount")
+    assert(Layout.readCurrent(spark, root).columns.contains("amount"))
+    Layout.renameColumn(spark, root, "amount", "v")
+    assert(Layout.readCurrent(spark, root)
+      .select($"id", $"v").as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 40.0)))
+  }
+
+  test("stats skipping and blooms key on physical identity across renames") {
+    val root = Files.createTempDirectory("graft_cmap_skip").toString
+    val df = spark.range(1000)
+      .select($"id", lit("p1").as("part"), ($"id" * 2.0).as("v"))
+      .repartitionByRange(4, $"id")
+    Layout.initVersionedManifest(df, root, Seq("part"), Seq("id"))
+    Layout.renameColumn(spark, root, "id", "key")
+    def scanned(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.flatMap(_.selectedPartitions.toPartitionArray.map(_.filePath.toString))
+    // range skip through the rename: files are id-range-disjoint
+    val q = Layout.readCurrent(spark, root).filter($"key" < 100L)
+    assert(scanned(q).size == 1, scanned(q).mkString(","))
+    assert(q.count() == 100L)
+    // bloom still consulted (declared as 'id' at init — physical identity)
+    val eq = Layout.readCurrent(spark, root).filter($"key" === 500L)
+    assert(scanned(eq).size == 1)
+    assert(eq.count() == 1L)
+  }
+
+  test("change feed across a rename is empty; later changes report under the new name") {
+    val root = init()
+    Layout.renameColumn(spark, root, "v", "price")
+    assert(Layout.changeFeed(spark, root, 0, 1, Seq("id")).count() == 0L)
+    Layout.updateVersionedRows(spark, root, $"id" === 2L,
+      Map("price" -> lit(25.0)))
+    val feed = Layout.changeFeed(spark, root, 0, 2, Seq("id"))
+    assert(feed.columns.contains("price"))
+    assert(feed.select($"id", $"price", $"_change_type")
+      .as[(Long, Double, String)].collect().toSet ==
+      Set((2L, 20.0, "update_pre"), (2L, 25.0, "update_post")))
+  }
+
+  test("deletion vectors address rows through renamed columns") {
+    val root = init()
+    Layout.renameColumn(spark, root, "v", "price")
+    Layout.deleteVersionedRows(spark, root, $"price" === 20.0)
+    assert(Layout.readCurrent(spark, root)
+      .select($"id").as[Long].collect().toSet == Set(1L, 3L))
+    // the data files were not rewritten by the row delete
+    val m = ManifestIndex.read(spark, root, "v00002")
+    assert(m.entries.forall(_.path.startsWith("v00000/")))
+  }
+
+  test("rejections: partition column, unknown column, collisions (logical and physical)") {
+    val root = init()
+    intercept[IllegalArgumentException] {
+      Layout.renameColumn(spark, root, "part", "region")
+    }
+    intercept[IllegalArgumentException] {
+      Layout.renameColumn(spark, root, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      Layout.renameColumn(spark, root, "v", "id")
+    }
+    Layout.renameColumn(spark, root, "v", "price")
+    // evolution may not add a column spelled like a renamed column's
+    // PHYSICAL name — footer resolution would be ambiguous
+    intercept[IllegalArgumentException] {
+      Layout.mergeVersionedPartitioned(spark, root,
+        Seq((9L, "p1", 1.0, "boom")).toDF("id", "part", "price", "v"),
+        Seq("id"), "part")
+    }
+  }
+}

@@ -280,6 +280,27 @@ class DeletionVectorSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("GreaterThan(v,15.0)"), p)
   }
 
+  test("readAsOf: wall-clock time travel resolves by commit instant") {
+    val root = init()
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(20)
+    Layout.deleteVersionedRows(spark, root, $"id" === 2L)
+    Thread.sleep(20)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    Layout.deleteVersionedRows(spark, root, $"id" === 5L)
+    val t2 = System.currentTimeMillis()
+    assert(Layout.versionAsOf(spark, root, t0) == 0)
+    assert(Layout.versionAsOf(spark, root, t1) == 1)
+    assert(Layout.versionAsOf(spark, root, t2) == 2)
+    assert(Layout.readAsOf(spark, root, t1).count() == 5L)
+    assert(Layout.readAsOf(spark, root, t2).count() == 4L)
+    // a timestamp before the oldest retained commit must fail, not lie
+    intercept[IllegalArgumentException] {
+      Layout.versionAsOf(spark, root, t0 - 3600000L)
+    }
+  }
+
   test("file skipping composes with DVs: filtered scans match the purged table") {
     val root = Files.createTempDirectory("graft_dv_skip").toString
     val df = (1L to 4000L).map(i => (i, s"p${i % 2}", i * 1.5)).toDF("id", "part", "v")
