@@ -1652,6 +1652,30 @@ object SparkEntry {
       graft.sources.Layout.readCurrent(s, root)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"), dsum(col("qty")).as("sum_qty"))
+    }),
+
+    // --- column drop: tombstone, then keep writing through the table ---
+    // l_tax is DROPPED (metadata-only: files untouched, bytes never read
+    // again), then a merge doubles some quantities — its new files simply
+    // don't have the column while carried files still do. The aggregate
+    // over the mixed footers must match DuckDB computing the same thing on
+    // the raw table, never seeing l_tax at all.
+    "q146_drop_column" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), col("l_tax"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q146").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(
+        li.repartition(4), root, Seq("l_returnflag"))
+      graft.sources.Layout.dropColumn(s, root, "l_tax")
+      graft.sources.Layout.mergeVersionedPartitioned(s, root,
+        graft.sources.Layout.readCurrent(s, root)
+          .filter(col("l_orderkey") % 17 === 0)
+          .withColumn("l_quantity", col("l_quantity") * 2.0),
+        Seq("l_orderkey", "l_linenumber"), "l_returnflag")
+      graft.sources.Layout.readCurrent(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
     })
   )
 
@@ -3437,6 +3461,11 @@ object SparkEntry {
       "q145_rename_column" -> s"""
         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
           ${dsumSql("CASE WHEN l_orderkey % 13 = 0 THEN l_quantity + 1.0 ELSE l_quantity END")} AS sum_qty
+        FROM lineitem
+        GROUP BY 1""",
+      "q146_drop_column" -> s"""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          ${dsumSql("CASE WHEN l_orderkey % 17 = 0 THEN l_quantity * 2.0 ELSE l_quantity END")} AS sum_qty
         FROM lineitem
         GROUP BY 1"""
     )

@@ -844,8 +844,9 @@ object Layout {
       require(!pcols.contains(k),
         s"updateVersionedRows: cannot assign partition column '$k' — the row " +
           "would have to move leaves; delete the old rows and merge the new ones")
-      require(man.dataSchema.fieldNames.contains(k),
-        s"updateVersionedRows: unknown column '$k' (schema evolution is merge's job)")
+      require(ManifestIndex.activeSchema(man.dataSchema).fieldNames.contains(k),
+        s"updateVersionedRows: unknown (or dropped) column '$k' " +
+          "(schema evolution is merge's job)")
     }
     val snap = ManifestIndex.dataFrame(spark, root, man, lineage = true)
     val matched = snap.filter(predicate)
@@ -960,8 +961,9 @@ object Layout {
     require(!man.partitionSchema.fieldNames.contains(oldName),
       s"renameColumn: '$oldName' is a partition column — its name is baked " +
         "into every leaf path; repartitioning is a rewrite, not a rename")
-    require(man.dataSchema.fieldNames.contains(oldName),
-      s"renameColumn: no column '$oldName' in ${man.dataSchema.fieldNames.mkString(",")}")
+    require(ManifestIndex.activeSchema(man.dataSchema).fieldNames.contains(oldName),
+      s"renameColumn: no (active) column '$oldName' in " +
+        ManifestIndex.activeSchema(man.dataSchema).fieldNames.mkString(","))
     require(!man.dataSchema.fieldNames.contains(newName) &&
       !man.partitionSchema.fieldNames.contains(newName),
       s"renameColumn: '$newName' already exists")
@@ -975,6 +977,46 @@ object Layout {
     })
     val (next, nextPath) = nextVersion(spark, root, cur)
     commitManifest(spark, root, next, man.copy(dataSchema = renamed))
+    nextPath
+  }
+
+  /** DROP a data column of a manifest root — metadata-only, like
+    * [[renameColumn]]: the field becomes a TOMBSTONE in the manifest
+    * schema (no file rewritten, no bytes read for it ever again), and its
+    * physical name stays claimed forever, so schema evolution that tries
+    * to re-add the name is REJECTED loudly instead of silently resurrecting
+    * the old footers' values. Old versions still show the column (time
+    * travel reads the schema of its day); a change feed across the drop is
+    * empty when the data didn't change. To truly reclaim the bytes,
+    * rewrite (compact) — the tombstone only stops the column from being
+    * read.
+    *
+    * @return the new live version path
+    */
+  def dropColumn(spark: SparkSession, root: String, name: String): String = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"dropColumn requires a manifest root: $root")
+    val cur = resolveCurrent(spark, root)
+    val curVer = cur.substring(cur.lastIndexOf('/') + 1)
+    val man = ManifestIndex.read(spark, root, curVer)
+    require(!man.partitionSchema.fieldNames.contains(name),
+      s"dropColumn: '$name' is a partition column — repartitioning is a " +
+        "rewrite, not a drop")
+    val active = ManifestIndex.activeSchema(man.dataSchema)
+    require(active.fieldNames.contains(name),
+      s"dropColumn: no (active) column '$name' in ${active.fieldNames.mkString(",")}")
+    require(active.length > 1,
+      "dropColumn: refusing to drop the last data column")
+    val dropped = StructType(man.dataSchema.map { f =>
+      if (f.name != name) f
+      else org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putBoolean(ManifestIndex.DroppedKey, true)
+          .build())
+    })
+    val (next, nextPath) = nextVersion(spark, root, cur)
+    commitManifest(spark, root, next, man.copy(dataSchema = dropped))
     nextPath
   }
 
@@ -1035,7 +1077,8 @@ object Layout {
       s"manifest root $root is partitioned on " +
         s"${man.partitionSchema.fieldNames.mkString(",")}, not ${pcols.mkString(",")}")
     requireEvolvable(
-      StructType(man.dataSchema ++ man.partitionSchema), updates.schema)
+      StructType(ManifestIndex.activeSchema(man.dataSchema) ++
+        man.partitionSchema), updates.schema)
     val affected = affectedLeaves(updates.select(pcols.map(col): _*), pcols, root)
     val existingAffected = man.leaves.intersect(affected)
     val merged =
@@ -1047,17 +1090,21 @@ object Layout {
           existing.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"),
           allowMissingColumns = true)
       }
-    val (next, nextPath) = nextVersion(spark, root, cur)
     // the evolved schema keeps each surviving column's PHYSICAL name; new
     // files are written under physical names so they agree with old footers
-    val newDataSchema = ManifestIndex.carryPhysical(
+    // tombstoned (dropped) fields ride along unchanged: they keep their
+    // physical names claimed so a re-add can never resurrect old footers
+    val newDataSchema = StructType(ManifestIndex.carryPhysical(
       StructType(merged.schema.filterNot(f => pcols.contains(f.name))),
-      man.dataSchema)
+      man.dataSchema) ++ man.dataSchema.filter(ManifestIndex.isDropped))
     val physNames = newDataSchema.map(ManifestIndex.physicalName)
+    // validate BEFORE claiming the next version — a rejected merge must
+    // not leave an orphaned claim blocking every later writer
     require(physNames.distinct.length == physNames.length,
       s"schema evolution would duplicate a PHYSICAL column name " +
         s"(${physNames.mkString(",")}): an added column may not reuse a " +
         "renamed column's physical name")
+    val (next, nextPath) = nextVersion(spark, root, cur)
     ManifestIndex.toPhysical(merged, newDataSchema)
       .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
     commitManifest(spark, root, next, man.copy(
@@ -1285,7 +1332,14 @@ object Layout {
           case _ => d
         }
       }
-      return diff(fromAligned,
+      // a column DROPPED between the versions is invisible to the feed
+      // (metadata-only change): keep only from-side columns the to-side
+      // still carries
+      val toCols = (ManifestIndex.activeSchema(mt.dataSchema).map(_.name) ++
+        mt.partitionSchema.map(_.name)).toSet
+      val fromProjected = fromAligned.select(
+        fromAligned.columns.filter(toCols.contains).map(col): _*)
+      return diff(fromProjected,
         ManifestIndex.dataFrame(spark, root, mt, Some(changed)), keys)
     }
     val fromPath = new Path(resolveVersion(spark, root, fromVersion))

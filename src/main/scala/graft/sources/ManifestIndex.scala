@@ -367,8 +367,8 @@ object ManifestIndex {
                   bloomCols: Seq[String] = Nil): Seq[Entry] = {
     val fresh = entries.filter(e =>
       e.stats.isEmpty && e.path.startsWith(version + "/"))
-    val statCols = dataSchema.fields.filter(f => statsEligible(f.dataType))
-      .take(MaxStatsCols)
+    val statCols = activeSchema(dataSchema).fields
+      .filter(f => statsEligible(f.dataType)).take(MaxStatsCols)
     if (fresh.isEmpty || statCols.isEmpty) return entries
     // bloom columns must be within the stats-indexed set (eligible type,
     // first MaxStatsCols) — matched by PHYSICAL name, the stable identity
@@ -377,7 +377,8 @@ object ManifestIndex {
     val blooms = bloomCols.flatMap(n => statCols.find(f => physicalName(f) == n))
     val paths = fresh.map(e => new Path(root, e.path).toString)
     // fresh files are read (and stats recorded) under PHYSICAL names
-    val df = spark.read.schema(physicalSchema(dataSchema)).parquet(paths: _*)
+    val df = spark.read.schema(physicalSchema(activeSchema(dataSchema)))
+      .parquet(paths: _*)
     val aggs: Seq[Column] = (count(lit(1L)).as("__rows") +:
       (statCols.toSeq.zipWithIndex.flatMap { case (f, i) =>
         val c = col(s"`${physicalName(f)}`")
@@ -461,7 +462,7 @@ object ManifestIndex {
     // stats (and the pushed filters they are checked against) live in
     // PHYSICAL names — resolve the type through the mapping
     val cols = s.cols.flatMap { case (name, c) =>
-      dataSchema.fields.find(f => physicalName(f) == name).map { f =>
+      activeSchema(dataSchema).fields.find(f => physicalName(f) == name).map { f =>
         name -> ColSkip(c.min.map(decodeBound(_, f.dataType, zone)),
           c.max.map(decodeBound(_, f.dataType, zone)), c.nulls, f.dataType,
           c.bloom.map(b => (b.k, java.util.Base64.getDecoder.decode(b.bits))))
@@ -492,6 +493,22 @@ object ManifestIndex {
   def physicalName(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
     else f.name
+
+  /** StructField metadata key marking a DROPPED column. The field stays in
+    * the manifest schema as a TOMBSTONE — invisible to reads and writers —
+    * so its physical name remains claimed forever: re-adding a column with
+    * that name would otherwise resolve against old footers and silently
+    * resurrect the dropped values. The write-time physical-collision guard
+    * turns that corruption into a loud rejection.
+    */
+  val DroppedKey = "graft.dropped"
+
+  def isDropped(f: org.apache.spark.sql.types.StructField): Boolean =
+    f.metadata.contains(DroppedKey) && f.metadata.getBoolean(DroppedKey)
+
+  /** The live (non-tombstone) fields — what reads project and writers emit. */
+  def activeSchema(s: StructType): StructType =
+    StructType(s.filterNot(isDropped))
 
   /** Schema as the FILES spell it (physical names, metadata dropped). */
   def physicalSchema(s: StructType): StructType =
@@ -562,21 +579,23 @@ object ManifestIndex {
       e.stats.map(s =>
         absEntryPath(root, e.path).toString -> decodeStats(s, m.dataSchema, zone))
     }.toMap
+    val active = activeSchema(m.dataSchema)
     val index = new ManifestFileIndex(new Path(root), m.partitionSchema,
       partitionDirectories(spark, root, m.partitionSchema, kept), skipByPath)
     // the SCAN speaks physical names (what the footers, stats and blooms
-    // use); renamed columns are aliased back to their logical names above
-    // it — a pure Project that filters still push through
+    // use) and reads only ACTIVE columns (a dropped column's bytes are
+    // never fetched); renamed columns are aliased back to their logical
+    // names above it — a pure Project that filters still push through
     val relation = HadoopFsRelation(index, m.partitionSchema,
-      physicalSchema(m.dataSchema),
+      physicalSchema(active),
       None, new ParquetFileFormat, Map.empty)(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
     val base0 = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(relation)
     val base =
-      if (!hasRenames(m.dataSchema)) base0
+      if (!hasRenames(active)) base0
       else base0.select(
-        m.dataSchema.map(f => col(s"`${physicalName(f)}`").as(f.name)) ++
+        active.map(f => col(s"`${physicalName(f)}`").as(f.name)) ++
           m.partitionSchema.map(f => col(s"`${f.name}`")): _*)
     val dvEntries = kept.filter(_.dv.isDefined)
     if (dvEntries.isEmpty && !lineage) return base

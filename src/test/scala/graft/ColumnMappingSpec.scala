@@ -109,6 +109,70 @@ class ColumnMappingSpec extends SparkSpec {
     assert(m.entries.forall(_.path.startsWith("v00000/")))
   }
 
+  test("dropColumn is metadata-only: invisible to reads and feeds, bytes never fetched") {
+    val root = init()
+    val before = ManifestIndex.read(spark, root, "v00000")
+    Layout.dropColumn(spark, root, "v")
+    val after = ManifestIndex.read(spark, root, "v00001")
+    assert(after.entries.map(e => (e.path, e.size)) ==
+      before.entries.map(e => (e.path, e.size)), "drop must not touch files")
+    val cur = Layout.readCurrent(spark, root)
+    assert(cur.columns.toSeq == Seq("id", "part"))
+    assert(cur.select($"id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // time travel still shows the column
+    assert(Layout.readVersion(spark, root, 0).columns.contains("v"))
+    // data-free drop → empty feed; later data changes report without it
+    assert(Layout.changeFeed(spark, root, 0, 1, Seq("id")).count() == 0L)
+    Layout.deleteVersionedRows(spark, root, $"id" === 2L)
+    val feed = Layout.changeFeed(spark, root, 0, 2, Seq("id"))
+    assert(!feed.columns.contains("v"))
+    assert(feed.select($"id", $"_change_type").as[(Long, String)]
+      .collect().toSet == Set((2L, "delete")))
+  }
+
+  test("a dropped column's name stays claimed: re-adding it is rejected, not resurrected") {
+    val root = init()
+    Layout.dropColumn(spark, root, "v")
+    // evolution re-adding 'v' would resolve old footers' values — reject
+    intercept[IllegalArgumentException] {
+      Layout.mergeVersionedPartitioned(spark, root,
+        Seq((9L, "p1", 77.0)).toDF("id", "part", "v"), Seq("id"), "part")
+    }
+    // updates may not assign a dropped column either
+    intercept[IllegalArgumentException] {
+      Layout.updateVersionedRows(spark, root, $"id" === 1L, Map("v" -> lit(0.0)))
+    }
+    // dropping a RENAMED column claims its PHYSICAL name: price's physical
+    // is 'v2'... (rename v2 would be the birth name) — exercise the chain:
+    val root2 = init()
+    Layout.renameColumn(spark, root2, "v", "price")
+    Layout.dropColumn(spark, root2, "price")
+    // re-adding under the PHYSICAL name 'v' is the resurrection vector —
+    // rejected at merge
+    intercept[IllegalArgumentException] {
+      Layout.mergeVersionedPartitioned(spark, root2,
+        Seq((9L, "p1", 77.0)).toDF("id", "part", "v"), Seq("id"), "part")
+    }
+    // while an unrelated fresh name evolves fine
+    Layout.mergeVersionedPartitioned(spark, root2,
+      Seq((9L, "p1", 77.0)).toDF("id", "part", "w"), Seq("id"), "part")
+    assert(Layout.readCurrent(spark, root2).columns.toSeq == Seq("id", "w", "part"))
+  }
+
+  test("drop rejections: partition column, unknown, last data column") {
+    val root = init()
+    intercept[IllegalArgumentException] {
+      Layout.dropColumn(spark, root, "part")
+    }
+    intercept[IllegalArgumentException] {
+      Layout.dropColumn(spark, root, "nope")
+    }
+    Layout.dropColumn(spark, root, "v")
+    intercept[IllegalArgumentException] {
+      Layout.dropColumn(spark, root, "id") // last active data column
+    }
+  }
+
   test("rejections: partition column, unknown column, collisions (logical and physical)") {
     val root = init()
     intercept[IllegalArgumentException] {
