@@ -850,15 +850,18 @@ object Layout {
     }
     val snap = ManifestIndex.dataFrame(spark, root, man, lineage = true)
     val matched = snap.filter(predicate)
+    val images = matched.drop(ManifestIndex.FileCol, ManifestIndex.PosCol)
+      .withColumns(set)
+    // writer-enforced CHECK constraints on the NEW images, before any
+    // version is claimed
+    requireConstraints(images, man.constraints, "updated rows")
     rowLevelPlan(spark, root, man, matched) match {
       case None => cur
       case Some((counts, allPos)) =>
         val (next, nextPath) = nextVersion(spark, root, cur)
         // updated images first (SaveMode.Overwrite targets the version dir;
         // the sidecar lands inside it afterwards)
-        ManifestIndex.toPhysical(
-            matched.drop(ManifestIndex.FileCol, ManifestIndex.PosCol)
-              .withColumns(set), man.dataSchema)
+        ManifestIndex.toPhysical(images, man.dataSchema)
           .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
         val carried = writeDvSidecar(spark, man, counts, allPos, next, nextPath)
         commitManifest(spark, root, next, man.copy(entries =
@@ -967,6 +970,7 @@ object Layout {
     require(!man.dataSchema.fieldNames.contains(newName) &&
       !man.partitionSchema.fieldNames.contains(newName),
       s"renameColumn: '$newName' already exists")
+    requireNoConstraintReference(spark, man, oldName, "renameColumn")
     val renamed = StructType(man.dataSchema.map { f =>
       if (f.name != oldName) f
       else org.apache.spark.sql.types.StructField(newName, f.dataType, f.nullable,
@@ -1007,6 +1011,7 @@ object Layout {
       s"dropColumn: no (active) column '$name' in ${active.fieldNames.mkString(",")}")
     require(active.length > 1,
       "dropColumn: refusing to drop the last data column")
+    requireNoConstraintReference(spark, man, name, "dropColumn")
     val dropped = StructType(man.dataSchema.map { f =>
       if (f.name != name) f
       else org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable,
@@ -1019,6 +1024,89 @@ object Layout {
     commitManifest(spark, root, next, man.copy(dataSchema = dropped))
     nextPath
   }
+
+  /** Add a CHECK constraint (writer-enforced data quality at the storage
+    * layer, Delta-shape) to a manifest root: `sql` is a boolean SQL
+    * predicate over the table's columns; from this version on, every
+    * MERGE's incoming rows and every row-level UPDATE's new images must
+    * satisfy it or the commit is REJECTED before a version is claimed
+    * (SQL CHECK semantics: only rows where the predicate is FALSE violate
+    * — NULL passes; add an explicit `IS NOT NULL` conjunct for
+    * non-nullability). The CURRENT table must already satisfy the
+    * constraint — that costs one full validation scan here, and is what
+    * lets every reader afterwards trust the invariant without checking.
+    * Constraints live in the manifest's properties line, so time travel
+    * shows exactly which constraints governed which version.
+    *
+    * @return the new live version path
+    */
+  def addCheckConstraint(spark: SparkSession, root: String,
+                         name: String, sql: String): String = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"addCheckConstraint requires a manifest root: $root")
+    require(name.matches("[A-Za-z0-9_.-]+"),
+      s"constraint name '$name' must be [A-Za-z0-9_.-]+")
+    val cur = resolveCurrent(spark, root)
+    val curVer = cur.substring(cur.lastIndexOf('/') + 1)
+    val man = ManifestIndex.read(spark, root, curVer)
+    require(!man.constraints.contains(name),
+      s"constraint '$name' already exists: ${man.constraints(name)}")
+    // existing data must satisfy the new invariant (also resolves the
+    // expression against the schema — unknown columns fail loudly here)
+    requireConstraints(ManifestIndex.dataFrame(spark, root, man),
+      Map(name -> sql), s"existing data of $root")
+    val (next, nextPath) = nextVersion(spark, root, cur)
+    commitManifest(spark, root, next, man.copy(properties =
+      man.properties + (ManifestIndex.ConstraintPrefix + name -> sql)))
+    nextPath
+  }
+
+  /** Remove a CHECK constraint; later writers stop validating it. */
+  def dropCheckConstraint(spark: SparkSession, root: String,
+                          name: String): String = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"dropCheckConstraint requires a manifest root: $root")
+    val cur = resolveCurrent(spark, root)
+    val curVer = cur.substring(cur.lastIndexOf('/') + 1)
+    val man = ManifestIndex.read(spark, root, curVer)
+    require(man.constraints.contains(name),
+      s"no constraint '$name' (have: ${man.constraints.keys.mkString(",")})")
+    val (next, nextPath) = nextVersion(spark, root, cur)
+    commitManifest(spark, root, next, man.copy(properties =
+      man.properties - (ManifestIndex.ConstraintPrefix + name)))
+    nextPath
+  }
+
+  /** Reject `df` if any row makes a constraint predicate FALSE (NULL
+    * passes — SQL CHECK semantics). One short-circuiting job per
+    * constraint, predicate pushed into the scan.
+    */
+  private def requireConstraints(df: DataFrame,
+                                 constraints: Map[String, String],
+                                 what: String): Unit =
+    constraints.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+      if (!df.filter(!expr(sql)).isEmpty)
+        throw new IllegalArgumentException(
+          s"$what violates CHECK constraint '$name' ($sql)")
+    }
+
+  /** Column names an expression references — used to refuse renaming or
+    * dropping a column out from under a stored constraint.
+    */
+  private def referencedColumns(spark: SparkSession, sql: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
+    }.toSet
+
+  private def requireNoConstraintReference(spark: SparkSession,
+                                           man: ManifestIndex.TableManifest,
+                                           col: String, op: String): Unit =
+    man.constraints.foreach { case (name, sql) =>
+      require(!referencedColumns(spark, sql).contains(col),
+        s"$op: column '$col' is referenced by CHECK constraint '$name' " +
+          s"($sql) — drop the constraint first")
+    }
 
   /** Materialize every outstanding deletion vector of a manifest root:
     * leaves holding a DV-bearing entry are rewritten without their deleted
@@ -1079,6 +1167,10 @@ object Layout {
     requireEvolvable(
       StructType(ManifestIndex.activeSchema(man.dataSchema) ++
         man.partitionSchema), updates.schema)
+    // writer-enforced CHECK constraints: incoming rows only — carried rows
+    // satisfied them when they were written (induction), so validation
+    // cost tracks the merge, not the table
+    requireConstraints(updates, man.constraints, "merge updates")
     val affected = affectedLeaves(updates.select(pcols.map(col): _*), pcols, root)
     val existingAffected = man.leaves.intersect(affected)
     val merged =

@@ -39,6 +39,11 @@ object ManifestIndex {
 
   val FormatFile = "_format"
   val FormatTag = "graft-manifest-v1"
+  /** v2 = v1 plus one properties-JSON line between the tag and the
+    * schemas (table properties: CHECK constraints, future knobs). Written
+    * only when properties exist, so plain tables stay v1 on disk.
+    */
+  val FormatTagV2 = "graft-manifest-v2"
 
   /** One data file of a version: hive leaf fragment (`a=1/b=2`), path
     * (root-relative, or absolute for cross-root clone references), exact
@@ -108,11 +113,23 @@ object ManifestIndex {
   case class FileStats(rows: Long, cols: Map[String, ColStats])
 
   case class TableManifest(dataSchema: StructType, partitionSchema: StructType,
-                           entries: Seq[Entry]) {
+                           entries: Seq[Entry],
+                           properties: Map[String, String] = Map.empty) {
     def leaves: Set[String] = entries.iterator.map(_.leaf).toSet
     /** Entries grouped per leaf — the unit of carry-forward and pruning. */
     def byLeaf: Map[String, Seq[Entry]] = entries.groupBy(_.leaf)
+    /** name -> SQL predicate of the table's CHECK constraints (keys strip
+      * the `constraint.` property prefix).
+      */
+    def constraints: Map[String, String] = properties.collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        k.substring(ConstraintPrefix.length) -> v
+    }
   }
+
+  /** Property-key prefix under which CHECK constraints live. */
+  val ConstraintPrefix = "constraint."
+
 
   // ------------------------------------------------------------- file format
 
@@ -133,7 +150,14 @@ object ManifestIndex {
       s"duplicate physical column names ${phys.mkString(",")} — an added " +
         "column may not reuse a renamed column's physical name")
     val sb = new StringBuilder
-    sb.append(FormatTag).append('\n')
+    // v1 manifests (no properties line) are still written when there is
+    // nothing to record, so pre-v2 readers of plain tables keep working
+    if (m.properties.isEmpty) sb.append(FormatTag).append('\n')
+    else {
+      sb.append(FormatTagV2).append('\n')
+      sb.append(JsonMethods.compact(JObject(m.properties.toList.sortBy(_._1)
+        .map { case (k, v) => k -> (JString(v): JValue) }))).append('\n')
+    }
     sb.append(m.dataSchema.json).append('\n')
     sb.append(m.partitionSchema.json).append('\n')
     m.entries.foreach { e =>
@@ -166,11 +190,21 @@ object ManifestIndex {
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
     val lines = text.split('\n')
-    require(lines.nonEmpty && lines(0) == FormatTag,
-      s"$p is not a $FormatTag manifest")
-    val dataSchema = DataType.fromJson(lines(1)).asInstanceOf[StructType]
-    val partitionSchema = DataType.fromJson(lines(2)).asInstanceOf[StructType]
-    val entries = lines.iterator.drop(3).filter(_.nonEmpty).map { l =>
+    require(lines.nonEmpty && (lines(0) == FormatTag || lines(0) == FormatTagV2),
+      s"$p is not a $FormatTag/$FormatTagV2 manifest")
+    // v2 inserts ONE properties-JSON line between the tag and the schemas
+    val (properties, off) =
+      if (lines(0) == FormatTag) (Map.empty[String, String], 1)
+      else (JsonMethods.parse(lines(1)) match {
+        case JObject(fields) => fields.collect {
+          case (k, JString(v)) => k -> v
+        }.toMap
+        case other => throw new IllegalArgumentException(
+          s"malformed properties line in $p: $other")
+      }, 2)
+    val dataSchema = DataType.fromJson(lines(off)).asInstanceOf[StructType]
+    val partitionSchema = DataType.fromJson(lines(off + 1)).asInstanceOf[StructType]
+    val entries = lines.iterator.drop(off + 2).filter(_.nonEmpty).map { l =>
       // 3 positional fields, then optional tagged tails: bare JSON = stats
       // (also the whole of the pre-DV 4-field format), `dv:` = DV reference
       val fields = l.split('\t')
@@ -190,7 +224,7 @@ object ManifestIndex {
       }
       e
     }.toSeq
-    TableManifest(dataSchema, partitionSchema, entries)
+    TableManifest(dataSchema, partitionSchema, entries, properties)
   }
 
   def exists(spark: SparkSession, root: String, version: String): Boolean = {

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{Layout, ManifestIndex}
+
+/** Writer-enforced CHECK constraints on manifest roots (stored in the v2
+  * manifest's properties line): merges and row-level updates validate
+  * incoming rows BEFORE claiming a version; the table must already satisfy
+  * a constraint when it is added; renaming/dropping a referenced column is
+  * refused. Readers never pay anything.
+  */
+class ConstraintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(rs: (Long, String, Double)*) = rs.toDF("id", "part", "v")
+
+  private def init(): String = {
+    val root = Files.createTempDirectory("graft_cons").toString
+    Layout.initVersionedManifest(rows(
+      (1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p2", 30.0)).coalesce(1),
+      root, Seq("part"))
+    root
+  }
+
+  test("constraints gate merges and updates; dropping the constraint ungates") {
+    val root = init()
+    Layout.addCheckConstraint(spark, root, "v_positive", "v > 0")
+    // violating merge rejected, loudly, with NO version claimed
+    val vBefore = Layout.currentVersionNumber(spark, root)
+    intercept[IllegalArgumentException] {
+      Layout.mergeVersionedPartitioned(spark, root,
+        rows((9L, "p1", -5.0)), Seq("id"), "part")
+    }
+    assert(Layout.currentVersionNumber(spark, root) == vBefore)
+    // and a later writer is not blocked by any orphaned claim
+    Layout.mergeVersionedPartitioned(spark, root,
+      rows((9L, "p1", 5.0)), Seq("id"), "part")
+    assert(Layout.readCurrent(spark, root).count() == 4L)
+    // row-level update validates the NEW images
+    intercept[IllegalArgumentException] {
+      Layout.updateVersionedRows(spark, root, $"id" === 1L,
+        Map("v" -> lit(-1.0)))
+    }
+    Layout.updateVersionedRows(spark, root, $"id" === 1L, Map("v" -> lit(1.0)))
+    // NULL passes (SQL CHECK semantics)
+    Layout.mergeVersionedPartitioned(spark, root,
+      Seq((10L, "p2", Option.empty[Double])).toDF("id", "part", "v"),
+      Seq("id"), "part")
+    // dropping the constraint ungates
+    Layout.dropCheckConstraint(spark, root, "v_positive")
+    Layout.mergeVersionedPartitioned(spark, root,
+      rows((11L, "p1", -7.0)), Seq("id"), "part")
+    assert(Layout.readCurrent(spark, root).filter($"v" < 0).count() == 1L)
+  }
+
+  test("adding a constraint the existing data violates is refused") {
+    val root = init()
+    intercept[IllegalArgumentException] {
+      Layout.addCheckConstraint(spark, root, "small", "v < 25")
+    }
+    // and nothing was committed
+    assert(Layout.currentVersionNumber(spark, root) == 0)
+    // unknown column in the predicate fails loudly too
+    intercept[Exception] {
+      Layout.addCheckConstraint(spark, root, "ghost", "no_such_col > 0")
+    }
+  }
+
+  test("constraints version with the table and survive carry/clone") {
+    val root = init()
+    Layout.addCheckConstraint(spark, root, "v_positive", "v > 0")
+    val m1 = ManifestIndex.read(spark, root, "v00001")
+    assert(m1.constraints == Map("v_positive" -> "v > 0"))
+    // v0 predates the constraint — time travel shows none
+    assert(ManifestIndex.read(spark, root, "v00000").constraints.isEmpty)
+    // a data commit carries the properties forward
+    Layout.mergeVersionedPartitioned(spark, root,
+      rows((4L, "p2", 40.0)), Seq("id"), "part")
+    assert(ManifestIndex.read(spark, root, "v00002").constraints.nonEmpty)
+    // clones inherit the constraints
+    val clone = Files.createTempDirectory("graft_cons_clone").toString
+    Layout.cloneVersion(spark, root, 2, clone)
+    intercept[IllegalArgumentException] {
+      Layout.mergeVersionedPartitioned(spark, clone,
+        rows((9L, "p1", -1.0)), Seq("id"), "part")
+    }
+  }
+
+  test("renaming or dropping a constrained column is refused until the constraint goes") {
+    val root = init()
+    Layout.addCheckConstraint(spark, root, "v_positive", "v > 0")
+    intercept[IllegalArgumentException] {
+      Layout.renameColumn(spark, root, "v", "price")
+    }
+    intercept[IllegalArgumentException] {
+      Layout.dropColumn(spark, root, "v")
+    }
+    Layout.dropCheckConstraint(spark, root, "v_positive")
+    Layout.renameColumn(spark, root, "v", "price")
+    assert(Layout.readCurrent(spark, root).columns.contains("price"))
+    // constraints added AFTER a rename speak the new name and gate writes
+    Layout.addCheckConstraint(spark, root, "price_cap", "price < 100")
+    intercept[IllegalArgumentException] {
+      Layout.mergeVersionedPartitioned(spark, root,
+        Seq((9L, "p1", 500.0)).toDF("id", "part", "price"), Seq("id"), "part")
+    }
+  }
+
+  test("plain tables stay v1 on disk; constraint tables round-trip v2") {
+    val root = init()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def firstLine(v: String): String = {
+      val in = fs.open(ManifestIndex.manifestPath(root, v))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
+      finally in.close()
+    }
+    assert(firstLine("v00000") == ManifestIndex.FormatTag)
+    Layout.addCheckConstraint(spark, root, "v_positive", "v > 0")
+    assert(firstLine("v00001") == ManifestIndex.FormatTagV2)
+    val m = ManifestIndex.read(spark, root, "v00001")
+    assert(m.constraints == Map("v_positive" -> "v > 0"))
+    assert(m.entries == ManifestIndex.read(spark, root, "v00000").entries)
+  }
+}
