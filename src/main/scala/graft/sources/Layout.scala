@@ -244,6 +244,31 @@ object Layout {
   def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
     readVersion(spark, root, versionAsOf(spark, root, tsMillis))
 
+  /** Metadata-only EXACT `COUNT(*)` of a manifest root's live version —
+    * O(#files) driver work, zero data read; `None` when some file
+    * predates stats collection (then count the data). See
+    * [[ManifestIndex.rowCount]].
+    */
+  def countRows(spark: SparkSession, root: String): Option[Long] = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"countRows requires a manifest root: $root")
+    val cur = resolveCurrent(spark, root)
+    ManifestIndex.rowCount(ManifestIndex.read(spark, root,
+      cur.substring(cur.lastIndexOf('/') + 1)))
+  }
+
+  /** Metadata-only per-column profile (nulls/min/max) of the live
+    * version, folded from the manifest's file envelopes; see
+    * [[ManifestIndex.columnProfile]] for the exactness contract.
+    */
+  def columnStats(spark: SparkSession, root: String): DataFrame = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"columnStats requires a manifest root: $root")
+    val cur = resolveCurrent(spark, root)
+    ManifestIndex.columnProfile(spark, ManifestIndex.read(spark, root,
+      cur.substring(cur.lastIndexOf('/') + 1)))
+  }
+
   private def readVersionDir(spark: SparkSession, root: String,
                              versionPath: String): DataFrame = {
     if (ManifestIndex.isManifestRoot(spark, root)) {
@@ -646,7 +671,8 @@ object Layout {
       StructType(pcols.map(c => df.schema(c))),
       ManifestIndex.attachStats(spark, root, v0,
         ManifestIndex.listVersionFiles(fs, root, v0), dataSchema,
-        ManifestIndex.bloomColumns(spark, root))))
+        ManifestIndex.bloomColumns(spark, root)),
+      Map(ManifestIndex.OperationKey -> "CREATE")))
     writePointer(spark, root, v0)
     s"$root/$v0"
   }
@@ -807,7 +833,8 @@ object Layout {
       case Some((counts, allPos)) =>
         val (next, nextPath) = nextVersion(spark, root, cur)
         val entries = writeDvSidecar(spark, man, counts, allPos, next, nextPath)
-        commitManifest(spark, root, next, man.copy(entries = entries))
+        commitManifest(spark, root, next, man.copy(entries = entries),
+          "DELETE ROWS")
         nextPath
     }
   }
@@ -865,7 +892,8 @@ object Layout {
           .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
         val carried = writeDvSidecar(spark, man, counts, allPos, next, nextPath)
         commitManifest(spark, root, next, man.copy(entries =
-          ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++ carried))
+          ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++ carried),
+          "UPDATE ROWS")
         nextPath
     }
   }
@@ -980,7 +1008,8 @@ object Layout {
           .build())
     })
     val (next, nextPath) = nextVersion(spark, root, cur)
-    commitManifest(spark, root, next, man.copy(dataSchema = renamed))
+    commitManifest(spark, root, next, man.copy(dataSchema = renamed),
+      "RENAME COLUMN")
     nextPath
   }
 
@@ -1021,7 +1050,8 @@ object Layout {
           .build())
     })
     val (next, nextPath) = nextVersion(spark, root, cur)
-    commitManifest(spark, root, next, man.copy(dataSchema = dropped))
+    commitManifest(spark, root, next, man.copy(dataSchema = dropped),
+      "DROP COLUMN")
     nextPath
   }
 
@@ -1057,7 +1087,8 @@ object Layout {
       Map(name -> sql), s"existing data of $root")
     val (next, nextPath) = nextVersion(spark, root, cur)
     commitManifest(spark, root, next, man.copy(properties =
-      man.properties + (ManifestIndex.ConstraintPrefix + name -> sql)))
+      man.properties + (ManifestIndex.ConstraintPrefix + name -> sql)),
+      "ADD CONSTRAINT")
     nextPath
   }
 
@@ -1073,7 +1104,8 @@ object Layout {
       s"no constraint '$name' (have: ${man.constraints.keys.mkString(",")})")
     val (next, nextPath) = nextVersion(spark, root, cur)
     commitManifest(spark, root, next, man.copy(properties =
-      man.properties - (ManifestIndex.ConstraintPrefix + name)))
+      man.properties - (ManifestIndex.ConstraintPrefix + name)),
+      "DROP CONSTRAINT")
     nextPath
   }
 
@@ -1140,7 +1172,7 @@ object Layout {
     }
     commitManifest(spark, root, next, man.copy(
       entries = ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++
-        man.entries.filterNot(e => dvLeaves.contains(e.leaf))))
+        man.entries.filterNot(e => dvLeaves.contains(e.leaf))), "PURGE")
     (nextPath, dvLeaves.size)
   }
 
@@ -1203,7 +1235,7 @@ object Layout {
       dataSchema = newDataSchema,
       entries = ManifestIndex.listVersionFiles(
         fsOf(spark, root), root, next) ++
-        man.entries.filterNot(e => affected.contains(e.leaf))))
+        man.entries.filterNot(e => affected.contains(e.leaf))), "MERGE")
     nextPath
   }
 
@@ -1229,7 +1261,7 @@ object Layout {
         .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
     commitManifest(spark, root, next, man.copy(
       entries = ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++
-        man.entries.filterNot(e => affected.contains(e.leaf))))
+        man.entries.filterNot(e => affected.contains(e.leaf))), "DELETE")
     nextPath
   }
 
@@ -1264,7 +1296,7 @@ object Layout {
     }
     commitManifest(spark, root, next, man.copy(
       entries = ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++
-        man.entries.filterNot(e => fragmented.contains(e.leaf))))
+        man.entries.filterNot(e => fragmented.contains(e.leaf))), "COMPACT")
     (nextPath, fragmented.size)
   }
 
@@ -1274,16 +1306,20 @@ object Layout {
     * new pointer always finds a complete manifest.
     */
   private def commitManifest(spark: SparkSession, root: String, version: String,
-                             m: ManifestIndex.TableManifest): Unit = {
+                             m: ManifestIndex.TableManifest,
+                             operation: String): Unit = {
     fsOf(spark, root).mkdirs(new Path(root, version))
     // data-skipping stats for the files THIS commit wrote (carried entries
     // keep theirs — stats cost tracks rewritten data, never table size)
     // bloom declarations arrive in logical names; stats speak physical
     val bloomPhys = ManifestIndex.bloomColumns(spark, root).map(n =>
       m.dataSchema.find(_.name == n).map(ManifestIndex.physicalName).getOrElse(n))
-    ManifestIndex.write(spark, root, version, m.copy(entries =
-      ManifestIndex.attachStats(spark, root, version, m.entries, m.dataSchema,
-        bloomPhys)))
+    ManifestIndex.write(spark, root, version, m.copy(
+      // every commit overwrites the key, so each version's manifest names
+      // ITS operation (the DESCRIBE HISTORY surface)
+      properties = m.properties + (ManifestIndex.OperationKey -> operation),
+      entries = ManifestIndex.attachStats(spark, root, version, m.entries,
+        m.dataSchema, bloomPhys)))
     writePointer(spark, root, version)
   }
 
@@ -1614,7 +1650,8 @@ object Layout {
           val m = ManifestIndex.read(spark, root, v)
           org.apache.spark.sql.Row(v.substring(1).toInt,
             m.entries.length.toLong, m.entries.map(_.size).sum,
-            new java.sql.Timestamp(st.getModificationTime), v == current)
+            new java.sql.Timestamp(st.getModificationTime), v == current,
+            m.properties.get(ManifestIndex.OperationKey).orNull)
         }
     } else fs.listStatus(rootPath).filter(_.isDirectory)
       .filter(_.getPath.getName.matches("v\\d{5}")).sortBy(_.getPath.getName)
@@ -1631,7 +1668,8 @@ object Layout {
         }
         org.apache.spark.sql.Row(v.getPath.getName.substring(1).toInt,
           files, bytes, new java.sql.Timestamp(mtime),
-          v.getPath.getName == current)
+          v.getPath.getName == current,
+          null) // hardlink mode records no per-commit operation
       }
     spark.createDataFrame(rows.toSeq.asJava,
       org.apache.spark.sql.types.StructType(Seq(
@@ -1644,7 +1682,9 @@ object Layout {
         org.apache.spark.sql.types.StructField("modified",
           org.apache.spark.sql.types.TimestampType, nullable = false),
         org.apache.spark.sql.types.StructField("is_current",
-          org.apache.spark.sql.types.BooleanType, nullable = false))))
+          org.apache.spark.sql.types.BooleanType, nullable = false),
+        org.apache.spark.sql.types.StructField("operation",
+          org.apache.spark.sql.types.StringType, nullable = true))))
   }
 
   /** Delete all version dirs except the newest `keep` (the live one is

@@ -130,6 +130,12 @@ object ManifestIndex {
   /** Property-key prefix under which CHECK constraints live. */
   val ConstraintPrefix = "constraint."
 
+  /** Property naming the operation that produced this version (MERGE,
+    * DELETE ROWS, COMPACT, ...) — overwritten on every commit, so each
+    * manifest records its own (the DESCRIBE HISTORY surface).
+    */
+  val OperationKey = "commit.operation"
+
 
   // ------------------------------------------------------------- file format
 
@@ -503,6 +509,78 @@ object ManifestIndex {
       }
     }
     FileSkip(s.rows, cols)
+  }
+
+  /** Metadata-only EXACT row count: Σ per-file rows − Σ DV'd positions,
+    * when every entry carries stats (DV counts are exact by
+    * construction); `None` otherwise. O(#files) driver work, zero data
+    * read — `COUNT(*)` on a 100 TB table priced like a directory listing.
+    */
+  def rowCount(m: TableManifest): Option[Long] =
+    if (m.entries.forall(_.stats.isDefined))
+      Some(m.entries.iterator
+        .map(e => e.stats.get.rows - e.dv.map(_.rows).getOrElse(0L)).sum)
+    else None
+
+  /** Metadata-only per-column profile folded from the manifest's file
+    * envelopes: `(column, data_type, nulls, min, max, exact)`. A file
+    * written before a column existed contributes its full row count as
+    * nulls (the read null-fills by name); a bound a file could not record
+    * (over-long string) nulls that bound. `exact = false` when any entry
+    * lacks stats (then nulls/min/max are all null — half a table is not a
+    * profile) or when deletion vectors are outstanding (envelopes and
+    * null counts describe PRE-delete rows — still a superset, never
+    * wrong, but not exact). min/max are the manifest's string encodings
+    * (timestamps = epoch micros, dates = epoch days).
+    */
+  def columnProfile(spark: SparkSession, m: TableManifest): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val allStats = m.entries.forall(_.stats.isDefined)
+    val exact = allStats && !m.entries.exists(_.dv.isDefined)
+    val out = activeSchema(m.dataSchema).map { f =>
+      val phys = physicalName(f)
+      if (!allStats)
+        org.apache.spark.sql.Row(f.name, f.dataType.simpleString,
+          null, null, null, false)
+      else {
+        val ord = TypeUtils.getInterpretedOrdering(f.dataType)
+        var nulls = 0L
+        var minEnc: Option[String] = None; var minVal: Option[Any] = None
+        var maxEnc: Option[String] = None; var maxVal: Option[Any] = None
+        var boundUnknown = false
+        m.entries.foreach { e =>
+          val s = e.stats.get
+          s.cols.get(phys) match {
+            case Some(c) =>
+              nulls += c.nulls
+              val hasValues = c.nulls < s.rows
+              (c.min, c.max) match {
+                case (Some(lo), Some(hi)) =>
+                  val vLo = decodeBound(lo, f.dataType, zone)
+                  val vHi = decodeBound(hi, f.dataType, zone)
+                  if (minVal.forall(ord.lt(vLo, _))) { minVal = Some(vLo); minEnc = Some(lo) }
+                  if (maxVal.forall(ord.gt(vHi, _))) { maxVal = Some(vHi); maxEnc = Some(hi) }
+                case _ => if (hasValues) boundUnknown = true
+              }
+            case None => nulls += s.rows // column born after this file
+          }
+        }
+        org.apache.spark.sql.Row(f.name, f.dataType.simpleString,
+          nulls: java.lang.Long,
+          if (boundUnknown) null else minEnc.orNull,
+          if (boundUnknown) null else maxEnc.orNull,
+          exact)
+      }
+    }
+    spark.createDataFrame(out.asJava, StructType(Seq(
+      org.apache.spark.sql.types.StructField("column", StringType, false),
+      org.apache.spark.sql.types.StructField("data_type", StringType, false),
+      org.apache.spark.sql.types.StructField("nulls",
+        org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("min", StringType, true),
+      org.apache.spark.sql.types.StructField("max", StringType, true),
+      org.apache.spark.sql.types.StructField("exact", BooleanType, false))))
   }
 
   // --------------------------------------------------------------- read path

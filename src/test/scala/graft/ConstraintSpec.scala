@@ -107,7 +107,7 @@ class ConstraintSpec extends SparkSpec {
     }
   }
 
-  test("plain tables stay v1 on disk; constraint tables round-trip v2") {
+  test("v2 properties round-trip: operations stamped per commit, constraints carried") {
     val root = init()
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -116,11 +116,45 @@ class ConstraintSpec extends SparkSpec {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
       finally in.close()
     }
-    assert(firstLine("v00000") == ManifestIndex.FormatTag)
+    assert(firstLine("v00000") == ManifestIndex.FormatTagV2)
+    assert(ManifestIndex.read(spark, root, "v00000")
+      .properties(ManifestIndex.OperationKey) == "CREATE")
     Layout.addCheckConstraint(spark, root, "v_positive", "v > 0")
-    assert(firstLine("v00001") == ManifestIndex.FormatTagV2)
     val m = ManifestIndex.read(spark, root, "v00001")
     assert(m.constraints == Map("v_positive" -> "v > 0"))
+    assert(m.properties(ManifestIndex.OperationKey) == "ADD CONSTRAINT")
     assert(m.entries == ManifestIndex.read(spark, root, "v00000").entries)
+    // each version records ITS operation — the DESCRIBE HISTORY surface
+    Layout.mergeVersionedPartitioned(spark, root,
+      rows((4L, "p2", 40.0)), Seq("id"), "part")
+    Layout.deleteVersionedRows(spark, root, $"id" === 4L)
+    val hist = Layout.history(spark, root)
+      .select($"version", $"operation").as[(Int, String)].collect().toMap
+    assert(hist == Map(0 -> "CREATE", 1 -> "ADD CONSTRAINT",
+      2 -> "MERGE", 3 -> "DELETE ROWS"), hist.toString)
+  }
+
+  test("metadata-only COUNT(*) and column profile from the manifest") {
+    val root = init()
+    assert(Layout.countRows(spark, root).contains(3L))
+    Layout.deleteVersionedRows(spark, root, $"id" === 2L)
+    // DV'd rows subtract exactly
+    assert(Layout.countRows(spark, root).contains(2L))
+    val prof = Layout.columnStats(spark, root)
+      .select($"column", $"nulls", $"min", $"max", $"exact")
+      .as[(String, Option[Long], Option[String], Option[String], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // envelopes fold across files; outstanding DVs make the profile
+    // conservative, not exact
+    assert(prof("v")._3.contains("10.0") && prof("v")._4.contains("30.0"))
+    assert(prof("v")._2.contains(0L) && !prof("v")._5)
+    Layout.purgeDeletedRows(spark, root)
+    assert(Layout.countRows(spark, root).contains(2L))
+    val prof2 = Layout.columnStats(spark, root)
+      .select($"column", $"min", $"max", $"exact")
+      .as[(String, Option[String], Option[String], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(prof2("v")._4, "post-purge profile should be exact")
+    assert(prof2("v")._2.contains("10.0") && prof2("v")._3.contains("30.0"))
   }
 }
