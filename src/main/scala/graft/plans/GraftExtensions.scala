@@ -91,5 +91,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MisraGries].getName, "mg_topk"),
       (children: Seq[Expression]) => MisraGries(children(0),
         intLit(children(1), "mg_topk", "capacity")).toAggregateExpression()))
+    // graft_table('/root'[, version]) — table-valued access to a versioned
+    // layout (manifest or hardlink mode) for pure-SQL pipelines:
+    //   SELECT * FROM graft_table('/data/orders')            -- live
+    //   SELECT * FROM graft_table('/data/orders', 3)         -- time travel
+    // The builder returns the SAME logical plan Layout.readCurrent/
+    // readVersion produce, so deletion vectors, column mapping, stats and
+    // bloom skipping all apply identically in SQL.
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_table"),
+      new ExpressionInfo(graft.sources.Layout.getClass.getName, "graft_table"),
+      (children: Seq[Expression]) => {
+        val root = children.headOption match {
+          case Some(Literal(s: org.apache.spark.unsafe.types.UTF8String, _)) =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_table: first argument must be a string literal path, got $other")
+        }
+        val spark = org.apache.spark.sql.SparkSession.active
+        val df = children match {
+          case Seq(_) => graft.sources.Layout.readCurrent(spark, root)
+          case Seq(_, v) => graft.sources.Layout.readVersion(spark, root,
+            intLit(v, "graft_table", "version"))
+          case other => throw new IllegalArgumentException(
+            s"graft_table takes 1-2 arguments, got ${other.size}")
+        }
+        df.queryExecution.logical
+      }))
   }
 }

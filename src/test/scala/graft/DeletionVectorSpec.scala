@@ -280,6 +280,27 @@ class DeletionVectorSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("GreaterThan(v,15.0)"), p)
   }
 
+  test("OCC: a racing merge and row-delete both commit under withCommitRetry") {
+    val root = init()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val t1 = new Thread(() =>
+      try Layout.withCommitRetry() {
+        Layout.mergeVersionedPartitioned(spark, root,
+          rows((7L, "p3", 70.0)), Seq("id"), "part")
+      } catch { case e: Throwable => errs.add(e) })
+    val t2 = new Thread(() =>
+      try Layout.withCommitRetry() {
+        Layout.deleteVersionedRows(spark, root, $"id" === 2L)
+      } catch { case e: Throwable => errs.add(e) })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(errs.isEmpty, errs.toString)
+    // both effects present, serialized — no lost update in either order
+    assert(state(root) == Set(
+      (1L, "p1", 10.0), (3L, "p1", 30.0), (4L, "p2", 40.0),
+      (5L, "p2", 50.0), (6L, "p3", 60.0), (7L, "p3", 70.0)))
+    assert(Layout.currentVersionNumber(spark, root) == 2)
+  }
+
   test("readAsOf: wall-clock time travel resolves by commit instant") {
     val root = init()
     val t0 = System.currentTimeMillis()

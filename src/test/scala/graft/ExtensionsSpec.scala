@@ -72,6 +72,30 @@ class ExtensionsSpec extends AnyFunSuite {
            LATERAL VIEW explode(sk) AS s""")
         .collect().map(_.getString(0))
       assert(mg.contains("hot"))
+      // graft_table: pure-SQL access to a versioned layout — live and
+      // time-traveled reads, through deletion vectors and renames
+      import spark.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_tvf").toString
+      graft.sources.Layout.initVersionedManifest(
+        Seq((1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p2", 30.0))
+          .toDF("id", "part", "v").coalesce(1), root, Seq("part"))
+      graft.sources.Layout.deleteVersionedRows(spark, root,
+        org.apache.spark.sql.functions.col("id") === 2L)
+      graft.sources.Layout.renameColumn(spark, root, "v", "price")
+      val live = spark.sql(
+        s"SELECT id, price FROM graft_table('$root') ORDER BY id")
+        .as[(Long, Double)].collect().toSeq
+      assert(live == Seq((1L, 10.0), (3L, 30.0)))
+      val v0 = spark.sql(
+        s"SELECT count(*) AS n FROM graft_table('$root', 0)")
+        .head().getLong(0)
+      assert(v0 == 3L)
+      // composes with ordinary SQL (joins, aggregates, pushed filters)
+      val agg = spark.sql(
+        s"""SELECT part, sum(price) AS s FROM graft_table('$root')
+            WHERE price > 5 GROUP BY part ORDER BY part""")
+        .as[(String, Double)].collect().toSeq
+      assert(agg == Seq(("p1", 10.0), ("p2", 30.0)))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
