@@ -1283,13 +1283,18 @@ object Layout {
       if (tooMany || tooSmall) Some(leaf -> bytes) else None
     }
     val (next, nextPath) = nextVersion(spark, root, cur)
+    // callers name z-order columns LOGICALLY; the rewrite runs on the
+    // physically-named frame, so translate through the mapping
+    val zPhys = zOrderCols.map(n =>
+      man.dataSchema.find(_.name == n).map(ManifestIndex.physicalName)
+        .getOrElse(n))
     fragmented.toSeq.sortBy(_._1).foreach { case (leaf, bytes) =>
       val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
       val data = ManifestIndex.toPhysical(
         ManifestIndex.dataFrame(spark, root, man, Some(Set(leaf)))
           .drop(man.partitionSchema.fieldNames: _*), man.dataSchema)
       if (zOrderCols.nonEmpty)
-        writeZOrdered(data, s"$nextPath/$leaf", zOrderCols, files = files)
+        writeZOrdered(data, s"$nextPath/$leaf", zPhys, files = files)
       else
         data.coalesce(files)
           .write.mode(SaveMode.Overwrite).parquet(s"$nextPath/$leaf")

@@ -173,6 +173,31 @@ class ColumnMappingSpec extends SparkSpec {
     }
   }
 
+  test("compaction (with z-order on a renamed column) and purge run through the mapping") {
+    val root = Files.createTempDirectory("graft_cmap_compact").toString
+    val df = spark.range(600)
+      .select($"id", lit("p1").as("part"), ($"id" % 37 * 1.0).as("v"))
+      .repartition(6) // fragment the leaf
+    Layout.initVersionedManifest(df, root, Seq("part"))
+    Layout.renameColumn(spark, root, "v", "price")
+    Layout.deleteVersionedRows(spark, root, $"price" === 0.0)
+    val expect = Layout.readCurrent(spark, root)
+      .select($"id", $"price").as[(Long, Double)].collect().toSet
+    // compact with z-order named by the NEW logical name — must translate
+    val (_, n) = Layout.compactVersionedPartitioned(spark, root,
+      targetBytes = 1L << 26, maxFiles = 2, zOrderCols = Seq("price", "id"))
+    assert(n == 1)
+    val after = Layout.readCurrent(spark, root)
+    assert(after.select($"id", $"price").as[(Long, Double)].collect().toSet
+      == expect)
+    // the rewrite materialized the DV and kept physical footers
+    val m = ManifestIndex.read(spark, root,
+      f"v${Layout.currentVersionNumber(spark, root)}%05d")
+    assert(m.entries.forall(_.dv.isEmpty))
+    val footer = spark.read.parquet(s"$root/${m.entries.head.path}")
+    assert(footer.columns.contains("v") && !footer.columns.contains("price"))
+  }
+
   test("rejections: partition column, unknown column, collisions (logical and physical)") {
     val root = init()
     intercept[IllegalArgumentException] {
