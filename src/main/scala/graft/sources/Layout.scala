@@ -1140,6 +1140,44 @@ object Layout {
           s"($sql) — drop the constraint first")
     }
 
+  /** Re-home a SHALLOW CLONE: rewrite exactly the leaves that still
+    * reference another root's files (absolute entry paths or absolute DV
+    * sidecar paths — what [[cloneVersion]] creates on a manifest root)
+    * into files owned by THIS root; already-local leaves carry as entries.
+    * After this returns, vacuuming the source can no longer invalidate the
+    * clone. Deletion vectors materialize in the rewrite (the rewritten
+    * rows are the post-delete rows).
+    *
+    * @return (new live version path, leaves rewritten) — current path and
+    *         0 when nothing references a foreign root.
+    */
+  def rehomeClone(spark: SparkSession, root: String,
+                  targetBytes: Long = 128L << 20): (String, Int) = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"rehomeClone requires a manifest root: $root")
+    val cur = resolveCurrent(spark, root)
+    val curVer = cur.substring(cur.lastIndexOf('/') + 1)
+    val man = ManifestIndex.read(spark, root, curVer)
+    def foreign(p: String) = p.startsWith("/") || p.contains("://")
+    val alien = man.byLeaf.filter(_._2.exists(e =>
+      foreign(e.path) || e.dv.exists(d => foreign(d.path))))
+    if (alien.isEmpty) return (cur, 0)
+    val (next, nextPath) = nextVersion(spark, root, cur)
+    alien.toSeq.sortBy(_._1).foreach { case (leaf, es) =>
+      val files = math.max(1L,
+        math.ceil(es.map(_.size).sum.toDouble / targetBytes).toLong).toInt
+      ManifestIndex.toPhysical(
+          ManifestIndex.dataFrame(spark, root, man, Some(Set(leaf)))
+            .drop(man.partitionSchema.fieldNames: _*), man.dataSchema)
+        .coalesce(files)
+        .write.mode(SaveMode.Overwrite).parquet(s"$nextPath/$leaf")
+    }
+    commitManifest(spark, root, next, man.copy(
+      entries = ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++
+        man.entries.filterNot(e => alien.contains(e.leaf))), "REHOME")
+    (nextPath, alien.size)
+  }
+
   /** Materialize every outstanding deletion vector of a manifest root:
     * leaves holding a DV-bearing entry are rewritten without their deleted
     * rows (compacted to ~`targetBytes` files), every clean leaf carries

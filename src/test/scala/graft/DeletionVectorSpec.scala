@@ -196,6 +196,27 @@ class DeletionVectorSpec extends SparkSpec {
     assert(Layout.currentVersionNumber(spark, root) == 0)
   }
 
+  test("rehomeClone: a re-homed clone survives source vacuum; local roots no-op") {
+    val root = init()
+    Layout.deleteVersionedRows(spark, root, $"id" === 2L)
+    val clone = Files.createTempDirectory("graft_rehome").toString
+    Layout.cloneVersion(spark, root, 1, clone)
+    val expect = state(clone)
+    val (_, n) = Layout.rehomeClone(spark, clone)
+    assert(n == 3, s"all three leaves referenced the source, rewrote $n")
+    // every reference is now local (entries AND deletion vectors)
+    val m = ManifestIndex.read(spark, clone,
+      f"v${Layout.currentVersionNumber(spark, clone)}%05d")
+    assert(m.entries.forall(e => !e.path.startsWith("/") &&
+      e.dv.forall(d => !d.path.startsWith("/"))))
+    // nuke the source entirely — the clone must not notice
+    val fs = fsOf(root)
+    fs.delete(new Path(root), true)
+    assert(state(clone) == expect)
+    // idempotent: nothing foreign remains
+    assert(Layout.rehomeClone(spark, clone)._2 == 0)
+  }
+
   test("clone carries DVs: the cloned snapshot hides deleted rows and evolves independently") {
     val root = init()
     Layout.deleteVersionedRows(spark, root, $"id" === 2L)
