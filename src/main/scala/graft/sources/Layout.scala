@@ -920,8 +920,14 @@ object Layout {
       .select(col(ManifestIndex.FileCol), col(ManifestIndex.PosCol))
       .join(broadcast(mapDf), col(ManifestIndex.FileCol) === col("__abs"))
       .select(col("__key").as("path"), col(ManifestIndex.PosCol).as("pos"))
-    val newCounts: Map[String, Long] = newPos.groupBy("path").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // one row per TOUCHED file — O(metadata) driver data, streamed like
+    // attachStats's per-file stats rows rather than collect()ed
+    val newCounts: Map[String, Long] = {
+      val it = newPos.groupBy("path").count().toLocalIterator()
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val r = it.next(); b += r.getString(0) -> r.getLong(1) }
+      b.result()
+    }
     if (newCounts.isEmpty) return None
     val entriesByKey = man.entries.map(e => ManifestIndex.dvKey(e.path) -> e).toMap
     val oldDirs = newCounts.keySet.toSeq.flatMap(k =>
