@@ -659,6 +659,11 @@ object Layout {
     require(pcols.nonEmpty,
       "manifest mode is for partitioned roots (carry-forward has no meaning " +
         "unpartitioned — use initVersioned)")
+    // validate BEFORE any write — at this point no manifest exists yet for
+    // setBloomColumns' own late-declaration check to see
+    if (bloomCols.nonEmpty)
+      ManifestIndex.validateBloomColumns(bloomCols,
+        StructType(df.schema.filterNot(f => pcols.contains(f.name))))
     val spark = df.sparkSession
     val v0 = versionName(0)
     df.write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(s"$root/$v0")
@@ -822,13 +827,17 @@ object Layout {
     require(ManifestIndex.isManifestRoot(spark, root),
       "deleteVersionedRows (deletion vectors) requires a manifest root — " +
         "hardlink-mode roots delete copy-on-write via deleteVersionedPartitioned")
-    val cur = resolveCurrent(spark, root)
-    val curVer = cur.substring(cur.lastIndexOf('/') + 1)
-    val man = ManifestIndex.read(spark, root, curVer)
+    val (cur, _, man) = currentManifest(spark, root)
     // current snapshot (existing DVs applied — already-deleted rows can't
-    // re-match) with the file/position coordinates each row lives at
+    // re-match) with the file/position coordinates each row lives at.
+    // The matched set is PINNED so the predicate is evaluated once: the
+    // count action, the sidecar write (and, in the update path, the image
+    // write) must all see the same rows, or a non-deterministic predicate
+    // would commit DV counts inconsistent with the stored positions.
     val snap = ManifestIndex.dataFrame(spark, root, man, lineage = true)
-    rowLevelPlan(spark, root, man, snap.filter(predicate)) match {
+    val matched = snap.filter(predicate)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try rowLevelPlan(spark, root, man, matched) match {
       case None => cur
       case Some((counts, allPos)) =>
         val (next, nextPath) = nextVersion(spark, root, cur)
@@ -836,7 +845,7 @@ object Layout {
         commitManifest(spark, root, next, man.copy(entries = entries),
           "DELETE ROWS")
         nextPath
-    }
+    } finally matched.unpersist(false)
   }
 
   /** Row-level UPDATE via deletion vectors (merge-on-read) on a MANIFEST
@@ -851,8 +860,8 @@ object Layout {
     * matched row, so `col("v") * 2` works). Partition columns cannot be
     * assigned (the row would have to move leaves — delete + merge instead),
     * and every assigned column must already exist (schema evolution belongs
-    * to merge). A no-match predicate is a NO-OP. The matched set is scanned
-    * twice (positions, then images) — both scans carry the pushed
+    * to merge). A no-match predicate is a NO-OP. The matched set is pinned
+    * (persist) so positions and images come from one evaluation of the
     * predicate.
     *
     * @return the new live version path (or the current one on no-op)
@@ -863,9 +872,7 @@ object Layout {
       "updateVersionedRows (deletion vectors) requires a manifest root — " +
         "hardlink-mode roots update copy-on-write via mergeVersionedPartitioned")
     require(set.nonEmpty, "updateVersionedRows: empty assignment set")
-    val cur = resolveCurrent(spark, root)
-    val curVer = cur.substring(cur.lastIndexOf('/') + 1)
-    val man = ManifestIndex.read(spark, root, curVer)
+    val (cur, _, man) = currentManifest(spark, root)
     val pcols = man.partitionSchema.fieldNames.toSeq
     set.keys.foreach { k =>
       require(!pcols.contains(k),
@@ -876,26 +883,31 @@ object Layout {
           "(schema evolution is merge's job)")
     }
     val snap = ManifestIndex.dataFrame(spark, root, man, lineage = true)
+    // pinned: positions AND images must come from ONE evaluation of the
+    // predicate (see deleteVersionedRows)
     val matched = snap.filter(predicate)
-    val images = matched.drop(ManifestIndex.FileCol, ManifestIndex.PosCol)
-      .withColumns(set)
-    // writer-enforced CHECK constraints on the NEW images, before any
-    // version is claimed
-    requireConstraints(images, man.constraints, "updated rows")
-    rowLevelPlan(spark, root, man, matched) match {
-      case None => cur
-      case Some((counts, allPos)) =>
-        val (next, nextPath) = nextVersion(spark, root, cur)
-        // updated images first (SaveMode.Overwrite targets the version dir;
-        // the sidecar lands inside it afterwards)
-        ManifestIndex.toPhysical(images, man.dataSchema)
-          .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
-        val carried = writeDvSidecar(spark, man, counts, allPos, next, nextPath)
-        commitManifest(spark, root, next, man.copy(entries =
-          ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++ carried),
-          "UPDATE ROWS")
-        nextPath
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val images = matched.drop(ManifestIndex.FileCol, ManifestIndex.PosCol)
+        .withColumns(set)
+      // writer-enforced CHECK constraints on the NEW images, before any
+      // version is claimed
+      requireConstraints(images, man.constraints, "updated rows")
+      rowLevelPlan(spark, root, man, matched) match {
+        case None => cur
+        case Some((counts, allPos)) =>
+          val (next, nextPath) = nextVersion(spark, root, cur)
+          // updated images first (SaveMode.Overwrite targets the version
+          // dir; the sidecar lands inside it afterwards)
+          ManifestIndex.toPhysical(images, man.dataSchema)
+            .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
+          val carried = writeDvSidecar(spark, man, counts, allPos, next, nextPath)
+          commitManifest(spark, root, next, man.copy(entries =
+            ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++ carried),
+            "UPDATE ROWS")
+          nextPath
+      }
+    } finally matched.unpersist(false)
   }
 
   /** Shared head of the row-level writers: key the matched rows'
@@ -992,9 +1004,7 @@ object Layout {
                    oldName: String, newName: String): String = {
     require(ManifestIndex.isManifestRoot(spark, root),
       s"renameColumn requires a manifest root: $root")
-    val cur = resolveCurrent(spark, root)
-    val curVer = cur.substring(cur.lastIndexOf('/') + 1)
-    val man = ManifestIndex.read(spark, root, curVer)
+    val (cur, _, man) = currentManifest(spark, root)
     require(!man.partitionSchema.fieldNames.contains(oldName),
       s"renameColumn: '$oldName' is a partition column — its name is baked " +
         "into every leaf path; repartitioning is a rewrite, not a rename")
@@ -1035,9 +1045,7 @@ object Layout {
   def dropColumn(spark: SparkSession, root: String, name: String): String = {
     require(ManifestIndex.isManifestRoot(spark, root),
       s"dropColumn requires a manifest root: $root")
-    val cur = resolveCurrent(spark, root)
-    val curVer = cur.substring(cur.lastIndexOf('/') + 1)
-    val man = ManifestIndex.read(spark, root, curVer)
+    val (cur, _, man) = currentManifest(spark, root)
     require(!man.partitionSchema.fieldNames.contains(name),
       s"dropColumn: '$name' is a partition column — repartitioning is a " +
         "rewrite, not a drop")
@@ -1082,9 +1090,7 @@ object Layout {
       s"addCheckConstraint requires a manifest root: $root")
     require(name.matches("[A-Za-z0-9_.-]+"),
       s"constraint name '$name' must be [A-Za-z0-9_.-]+")
-    val cur = resolveCurrent(spark, root)
-    val curVer = cur.substring(cur.lastIndexOf('/') + 1)
-    val man = ManifestIndex.read(spark, root, curVer)
+    val (cur, _, man) = currentManifest(spark, root)
     require(!man.constraints.contains(name),
       s"constraint '$name' already exists: ${man.constraints(name)}")
     // existing data must satisfy the new invariant (also resolves the
@@ -1103,9 +1109,7 @@ object Layout {
                           name: String): String = {
     require(ManifestIndex.isManifestRoot(spark, root),
       s"dropCheckConstraint requires a manifest root: $root")
-    val cur = resolveCurrent(spark, root)
-    val curVer = cur.substring(cur.lastIndexOf('/') + 1)
-    val man = ManifestIndex.read(spark, root, curVer)
+    val (cur, _, man) = currentManifest(spark, root)
     require(man.constraints.contains(name),
       s"no constraint '$name' (have: ${man.constraints.keys.mkString(",")})")
     val (next, nextPath) = nextVersion(spark, root, cur)
@@ -1139,12 +1143,53 @@ object Layout {
 
   private def requireNoConstraintReference(spark: SparkSession,
                                            man: ManifestIndex.TableManifest,
-                                           col: String, op: String): Unit =
+                                           col: String, op: String): Unit = {
+    // compare with the SESSION resolver — constraint enforcement resolves
+    // case-insensitively by default, so the guard must too, or a rename
+    // slips past it and every later writer fails analysis
+    val resolver = spark.sessionState.analyzer.resolver
     man.constraints.foreach { case (name, sql) =>
-      require(!referencedColumns(spark, sql).contains(col),
+      require(!referencedColumns(spark, sql).exists(resolver(_, col)),
         s"$op: column '$col' is referenced by CHECK constraint '$name' " +
           s"($sql) — drop the constraint first")
     }
+  }
+
+  /** (live version path, version name, manifest) of a manifest root —
+    * the preamble every manifest-mode writer shares.
+    */
+  private def currentManifest(spark: SparkSession, root: String)
+      : (String, String, ManifestIndex.TableManifest) = {
+    val cur = resolveCurrent(spark, root)
+    val ver = cur.substring(cur.lastIndexOf('/') + 1)
+    (cur, ver, ManifestIndex.read(spark, root, ver))
+  }
+
+  /** Shared maintenance rewrite: materialize `leaves` of the live manifest
+    * into the next version (DV-applied read, physically-named write,
+    * ~targetBytes files per leaf), carry every other entry, commit as
+    * `operation`. Purge and re-home differ only in leaf selection;
+    * compaction keeps its own loop for the z-order option.
+    */
+  private def rewriteLeaves(spark: SparkSession, root: String, cur: String,
+                            man: ManifestIndex.TableManifest,
+                            leaves: Map[String, Seq[ManifestIndex.Entry]],
+                            targetBytes: Long, operation: String): String = {
+    val (next, nextPath) = nextVersion(spark, root, cur)
+    leaves.toSeq.sortBy(_._1).foreach { case (leaf, es) =>
+      val files = math.max(1L,
+        math.ceil(es.map(_.size).sum.toDouble / targetBytes).toLong).toInt
+      ManifestIndex.toPhysical(
+          ManifestIndex.dataFrame(spark, root, man, Some(Set(leaf)))
+            .drop(man.partitionSchema.fieldNames: _*), man.dataSchema)
+        .coalesce(files)
+        .write.mode(SaveMode.Overwrite).parquet(s"$nextPath/$leaf")
+    }
+    commitManifest(spark, root, next, man.copy(
+      entries = ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++
+        man.entries.filterNot(e => leaves.contains(e.leaf))), operation)
+    nextPath
+  }
 
   /** Re-home a SHALLOW CLONE: rewrite exactly the leaves that still
     * reference another root's files (absolute entry paths or absolute DV
@@ -1161,27 +1206,13 @@ object Layout {
                   targetBytes: Long = 128L << 20): (String, Int) = {
     require(ManifestIndex.isManifestRoot(spark, root),
       s"rehomeClone requires a manifest root: $root")
-    val cur = resolveCurrent(spark, root)
-    val curVer = cur.substring(cur.lastIndexOf('/') + 1)
-    val man = ManifestIndex.read(spark, root, curVer)
+    val (cur, _, man) = currentManifest(spark, root)
     def foreign(p: String) = p.startsWith("/") || p.contains("://")
     val alien = man.byLeaf.filter(_._2.exists(e =>
       foreign(e.path) || e.dv.exists(d => foreign(d.path))))
     if (alien.isEmpty) return (cur, 0)
-    val (next, nextPath) = nextVersion(spark, root, cur)
-    alien.toSeq.sortBy(_._1).foreach { case (leaf, es) =>
-      val files = math.max(1L,
-        math.ceil(es.map(_.size).sum.toDouble / targetBytes).toLong).toInt
-      ManifestIndex.toPhysical(
-          ManifestIndex.dataFrame(spark, root, man, Some(Set(leaf)))
-            .drop(man.partitionSchema.fieldNames: _*), man.dataSchema)
-        .coalesce(files)
-        .write.mode(SaveMode.Overwrite).parquet(s"$nextPath/$leaf")
-    }
-    commitManifest(spark, root, next, man.copy(
-      entries = ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++
-        man.entries.filterNot(e => alien.contains(e.leaf))), "REHOME")
-    (nextPath, alien.size)
+    (rewriteLeaves(spark, root, cur, man, alien, targetBytes, "REHOME"),
+      alien.size)
   }
 
   /** Materialize every outstanding deletion vector of a manifest root:
@@ -1199,25 +1230,11 @@ object Layout {
                        targetBytes: Long = 128L << 20): (String, Int) = {
     require(ManifestIndex.isManifestRoot(spark, root),
       s"purgeDeletedRows requires a manifest root: $root")
-    val cur = resolveCurrent(spark, root)
-    val curVer = cur.substring(cur.lastIndexOf('/') + 1)
-    val man = ManifestIndex.read(spark, root, curVer)
+    val (cur, _, man) = currentManifest(spark, root)
     val dvLeaves = man.byLeaf.filter(_._2.exists(_.dv.isDefined))
     if (dvLeaves.isEmpty) return (cur, 0)
-    val (next, nextPath) = nextVersion(spark, root, cur)
-    dvLeaves.toSeq.sortBy(_._1).foreach { case (leaf, es) =>
-      val files = math.max(1L,
-        math.ceil(es.map(_.size).sum.toDouble / targetBytes).toLong).toInt
-      ManifestIndex.toPhysical(
-          ManifestIndex.dataFrame(spark, root, man, Some(Set(leaf)))
-            .drop(man.partitionSchema.fieldNames: _*), man.dataSchema)
-        .coalesce(files)
-        .write.mode(SaveMode.Overwrite).parquet(s"$nextPath/$leaf")
-    }
-    commitManifest(spark, root, next, man.copy(
-      entries = ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++
-        man.entries.filterNot(e => dvLeaves.contains(e.leaf))), "PURGE")
-    (nextPath, dvLeaves.size)
+    (rewriteLeaves(spark, root, cur, man, dvLeaves, targetBytes, "PURGE"),
+      dvLeaves.size)
   }
 
   // ------------------------------------------------------ manifest-mode impls
@@ -1234,9 +1251,7 @@ object Layout {
   private def mergeManifest(spark: SparkSession, root: String,
                             updates: DataFrame, keys: Seq[String],
                             pcols: Seq[String]): String = {
-    val cur = resolveCurrent(spark, root)
-    val curVer = cur.substring(cur.lastIndexOf('/') + 1)
-    val man = ManifestIndex.read(spark, root, curVer)
+    val (cur, _, man) = currentManifest(spark, root)
     require(man.partitionSchema.fieldNames.toSeq == pcols,
       s"manifest root $root is partitioned on " +
         s"${man.partitionSchema.fieldNames.mkString(",")}, not ${pcols.mkString(",")}")
@@ -1290,9 +1305,7 @@ object Layout {
     */
   private def deleteManifest(spark: SparkSession, root: String,
                              predicate: Column, pcols: Seq[String]): String = {
-    val cur = resolveCurrent(spark, root)
-    val curVer = cur.substring(cur.lastIndexOf('/') + 1)
-    val man = ManifestIndex.read(spark, root, curVer)
+    val (cur, _, man) = currentManifest(spark, root)
     val full = ManifestIndex.dataFrame(spark, root, man)
     val affected = affectedLeaves(
       full.filter(predicate).select(pcols.map(col): _*), pcols, root)
@@ -1317,9 +1330,7 @@ object Layout {
   private def compactManifest(spark: SparkSession, root: String,
                               targetBytes: Long, maxFiles: Int,
                               zOrderCols: Seq[String]): (String, Int) = {
-    val cur = resolveCurrent(spark, root)
-    val curVer = cur.substring(cur.lastIndexOf('/') + 1)
-    val man = ManifestIndex.read(spark, root, curVer)
+    val (cur, _, man) = currentManifest(spark, root)
     val fragmented = man.byLeaf.flatMap { case (leaf, es) =>
       val bytes = es.map(_.size).sum
       val tooMany = es.length > maxFiles
@@ -1497,26 +1508,21 @@ object Layout {
         m.byLeaf.view.mapValues(_.map(e => (e.path, e.size, e.dv)).toSet).toMap
       val (fb, tb) = (sig(mf), sig(mt))
       val changed = (fb.keySet ++ tb.keySet).filter(l => fb.get(l) != tb.get(l))
-      // a RENAME between the versions is metadata-only: align the from-side
-      // to the to-side's logical names by PHYSICAL identity, so the feed
-      // compares values instead of reporting every row as changed
-      val toByPhys = mt.dataSchema.map(f =>
+      // RENAMES and DROPS between the versions are metadata-only: align
+      // the from-side to the to-side's logical names by PHYSICAL identity
+      // in ONE aliasing projection — a fold of withColumnRenamed would
+      // corrupt chained/swapped renames (renaming a into b while another
+      // column still holds b renames BOTH) — and columns the to-side no
+      // longer carries (drops) simply vanish from the projection
+      val toByPhys = ManifestIndex.activeSchema(mt.dataSchema).map(f =>
         ManifestIndex.physicalName(f) -> f.name).toMap
-      val fromAligned = mf.dataSchema.foldLeft(
-          ManifestIndex.dataFrame(spark, root, mf, Some(changed))) { (d, f) =>
-        toByPhys.get(ManifestIndex.physicalName(f)) match {
-          case Some(n) if n != f.name => d.withColumnRenamed(f.name, n)
-          case _ => d
-        }
-      }
-      // a column DROPPED between the versions is invisible to the feed
-      // (metadata-only change): keep only from-side columns the to-side
-      // still carries
-      val toCols = (ManifestIndex.activeSchema(mt.dataSchema).map(_.name) ++
-        mt.partitionSchema.map(_.name)).toSet
-      val fromProjected = fromAligned.select(
-        fromAligned.columns.filter(toCols.contains).map(col): _*)
-      return diff(fromProjected,
+      val fromAligned = ManifestIndex.dataFrame(spark, root, mf, Some(changed))
+        .select(
+          ManifestIndex.activeSchema(mf.dataSchema).flatMap(f =>
+            toByPhys.get(ManifestIndex.physicalName(f))
+              .map(n => col(s"`${f.name}`").as(n))) ++
+            mf.partitionSchema.map(f => col(s"`${f.name}`")): _*)
+      return diff(fromAligned,
         ManifestIndex.dataFrame(spark, root, mt, Some(changed)), keys)
     }
     val fromPath = new Path(resolveVersion(spark, root, fromVersion))

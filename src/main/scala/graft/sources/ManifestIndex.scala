@@ -40,8 +40,11 @@ object ManifestIndex {
   val FormatFile = "_format"
   val FormatTag = "graft-manifest-v1"
   /** v2 = v1 plus one properties-JSON line between the tag and the
-    * schemas (table properties: CHECK constraints, future knobs). Written
-    * only when properties exist, so plain tables stay v1 on disk.
+    * schemas (table properties: the per-commit operation, CHECK
+    * constraints, future knobs). Since every Layout commit stamps its
+    * operation, every NEW commit is v2; the v1 write branch remains for
+    * raw [[write]] callers with empty properties, and the read path
+    * accepts both forever.
     */
   val FormatTagV2 = "graft-manifest-v2"
 
@@ -267,12 +270,14 @@ object ManifestIndex {
     def rec(p: Path, leaf: String): Unit =
       fs.listStatus(p).foreach { st =>
         val n = st.getPath.getName
-        // hidden names are metadata on both axes: _SUCCESS-style files and
-        // sidecar DIRS (the _dv deletion-vector dataset) are not table data
-        if (n.startsWith("_") || n.startsWith(".")) ()
-        else if (st.isDirectory)
-          rec(st.getPath, if (leaf.isEmpty) n else s"$leaf/$n")
-        else
+        val hidden = n.startsWith("_") || n.startsWith(".")
+        if (st.isDirectory) {
+          // sidecar dirs (_dv) are metadata and skipped — but a HIVE LEAF
+          // always contains '=', so a partition column named '_date' still
+          // lists (Spark's own hidden-path filter makes the same exception)
+          if (!hidden || n.contains('='))
+            rec(st.getPath, if (leaf.isEmpty) n else s"$leaf/$n")
+        } else if (!hidden)
           acc += Entry(leaf, s"$version/${if (leaf.isEmpty) n else s"$leaf/$n"}",
             st.getLen)
       }
@@ -315,8 +320,32 @@ object ManifestIndex {
                       cols: Seq[String]): Unit = {
     val p = new Path(root, BloomFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // validate against the newest manifest when one exists — a misspelled
+    // or ineligible declaration would otherwise be silently ignored by
+    // every future commit (the user believes the index exists)
+    fs.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(_.matches("v\\d{5}\\.manifest")).sorted.lastOption
+      .foreach { mf =>
+        validateBloomColumns(cols,
+          read(spark, root, mf.stripSuffix(".manifest")).dataSchema)
+      }
     val out = fs.create(p, true)
     try out.write(cols.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Every declared bloom column must be stats-indexed: exist (actively),
+    * carry an eligible type, and fall within the first [[MaxStatsCols]]
+    * eligible columns — otherwise [[attachStats]] could never record its
+    * bloom and the declaration would be a silent no-op.
+    */
+  def validateBloomColumns(cols: Seq[String], dataSchema: StructType): Unit = {
+    val eligible = activeSchema(dataSchema).fields
+      .filter(f => statsEligible(f.dataType)).take(MaxStatsCols)
+      .map(_.name).toSet
+    cols.foreach(c => require(eligible.contains(c),
+      s"bloom column '$c' is not stats-indexed (must exist, have an " +
+        s"eligible type, and be within the first $MaxStatsCols eligible " +
+        s"columns); indexable: ${eligible.toSeq.sorted.mkString(",")}"))
   }
 
   def bloomColumns(spark: SparkSession, root: String): Seq[String] = {

@@ -109,6 +109,29 @@ class ColumnMappingSpec extends SparkSpec {
     assert(m.entries.forall(_.path.startsWith("v00000/")))
   }
 
+  test("swapped/chained renames: reads and feeds align by physical identity, no collision") {
+    val root = Files.createTempDirectory("graft_cmap_swap").toString
+    Layout.initVersionedManifest(
+      Seq((1L, "p1", 10.0, 100.0), (2L, "p1", 20.0, 200.0))
+        .toDF("id", "part", "a", "b").coalesce(1), root, Seq("part"))
+    // b -> c, then a -> b: 'b' now means the ORIGINAL a column
+    Layout.renameColumn(spark, root, "b", "c")
+    Layout.renameColumn(spark, root, "a", "b")
+    val cur = Layout.readCurrent(spark, root)
+      .select($"id", $"b", $"c").as[(Long, Double, Double)].collect().toSet
+    assert(cur == Set((1L, 10.0, 100.0), (2L, 20.0, 200.0)))
+    // a feed across BOTH renames (no data change) must be empty — a
+    // pairwise rename would collide mid-way and corrupt or throw
+    assert(Layout.changeFeed(spark, root, 0, 2, Seq("id")).count() == 0L)
+    // and a data change after the swap reports under the final names
+    Layout.updateVersionedRows(spark, root, $"id" === 1L, Map("b" -> lit(11.0)))
+    val feed = Layout.changeFeed(spark, root, 0, 3, Seq("id"))
+      .select($"id", $"b", $"c", $"_change_type")
+      .as[(Long, Double, Double, String)].collect().toSet
+    assert(feed == Set((1L, 10.0, 100.0, "update_pre"),
+      (1L, 11.0, 100.0, "update_post")))
+  }
+
   test("dropColumn is metadata-only: invisible to reads and feeds, bytes never fetched") {
     val root = init()
     val before = ManifestIndex.read(spark, root, "v00000")

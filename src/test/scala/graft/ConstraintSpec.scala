@@ -107,6 +107,19 @@ class ConstraintSpec extends SparkSpec {
     }
   }
 
+  test("the column-pin guard resolves case-insensitively, like enforcement") {
+    val root = init()
+    // the predicate spells the column 'V'; resolution is case-insensitive,
+    // so renaming 'v' must still be refused or every later writer breaks
+    Layout.addCheckConstraint(spark, root, "upper_ref", "V > 0")
+    intercept[IllegalArgumentException] {
+      Layout.renameColumn(spark, root, "v", "w")
+    }
+    Layout.dropCheckConstraint(spark, root, "upper_ref")
+    Layout.renameColumn(spark, root, "v", "w")
+    assert(Layout.readCurrent(spark, root).columns.contains("w"))
+  }
+
   test("v2 properties round-trip: operations stamped per commit, constraints carried") {
     val root = init()
     val fs = new org.apache.hadoop.fs.Path(root)

@@ -273,6 +273,43 @@ class ManifestStatsSpec extends SparkSpec {
     }
   }
 
+  test("underscore-prefixed partition columns are real hive leaves, not hidden metadata") {
+    // the _dv-sidecar skip must NOT swallow a partition column named
+    // '_date' — its leaf dirs contain '=' and are data
+    val root = Files.createTempDirectory("graft_underscore").toString
+    val df = Seq((1L, "2026-01-01", 10.0), (2L, "2026-01-02", 20.0))
+      .toDF("id", "_date", "v")
+    Layout.initVersionedManifest(df, root, Seq("_date"))
+    val m = ManifestIndex.read(spark, root, "v00000")
+    assert(m.entries.nonEmpty && m.entries.forall(_.leaf.startsWith("_date=")),
+      m.entries.mkString(","))
+    assert(Layout.readCurrent(spark, root)
+      .select($"id", $"v").as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (2L, 20.0)))
+    // ...and a row delete (which writes a REAL _dv sidecar next to those
+    // leaves) still works and keeps the sidecar out of the inventory
+    Layout.deleteVersionedRows(spark, root, $"id" === 2L)
+    assert(Layout.readCurrent(spark, root).count() == 1L)
+    assert(ManifestIndex.read(spark, root, "v00001")
+      .entries.forall(_.leaf.startsWith("_date=")))
+  }
+
+  test("misdeclared bloom columns are rejected at declaration, not silently ignored") {
+    val root = rangedRoot()
+    intercept[IllegalArgumentException] {
+      ManifestIndex.setBloomColumns(spark, root, Seq("not_a_column"))
+    }
+    // eligible declaration still works
+    ManifestIndex.setBloomColumns(spark, root, Seq("id"))
+    // and the init-time variant validates against the incoming frame
+    val bad = spark.range(10).select($"id", lit("p").as("part"))
+    intercept[IllegalArgumentException] {
+      Layout.initVersionedManifest(bad,
+        Files.createTempDirectory("graft_badbloom").toString,
+        Seq("part"), Seq("nope"))
+    }
+  }
+
   test("blooms declared late: new files get them, carried files stay conservative") {
     val root = interleavedRoot(bloom = false)
     ManifestIndex.setBloomColumns(spark, root, Seq("id"))
