@@ -1155,6 +1155,31 @@ object Layout {
     }
   }
 
+  /** RESTORE a manifest root to an earlier version — as a NEW commit
+    * whose manifest is the old version's (schema, entries, constraints),
+    * not a pointer rewind: history stays append-only, the bad versions
+    * remain inspectable until vacuum, readers serialize through the same
+    * atomic flip, and a change feed from the bad version to the restore
+    * shows exactly the inverse of the mistake. O(metadata): the restored
+    * entries reference the old files, which the new manifest keeps alive
+    * through vacuum.
+    *
+    * @return the new live version path
+    */
+  def restoreVersion(spark: SparkSession, root: String, version: Int): String = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"restoreVersion requires a manifest root: $root")
+    val old = ManifestIndex.read(spark, root, versionName(version))
+    val (cur, _, _) = currentManifest(spark, root)
+    require(cur != s"$root/${versionName(version)}",
+      s"restoreVersion: version $version is already live")
+    val (next, nextPath) = nextVersion(spark, root, cur)
+    // "the table as it was" — schema, entries, DVs AND constraints come
+    // from the restored version; only the operation stamp is this commit's
+    commitManifest(spark, root, next, old, "RESTORE")
+    nextPath
+  }
+
   /** (live version path, version name, manifest) of a manifest root —
     * the preamble every manifest-mode writer shares.
     */

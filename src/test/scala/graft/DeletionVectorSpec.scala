@@ -196,6 +196,32 @@ class DeletionVectorSpec extends SparkSpec {
     assert(Layout.currentVersionNumber(spark, root) == 0)
   }
 
+  test("restoreVersion: rollback is a new commit; the feed shows the inverse of the mistake") {
+    val root = init()
+    Layout.deleteVersionedRows(spark, root, $"id".isin(2L, 5L))   // the "mistake"
+    Layout.mergeVersionedPartitioned(spark, root,
+      rows((9L, "p3", 90.0)), Seq("id"), "part")                  // more damage
+    Layout.restoreVersion(spark, root, 0)                         // v3 = v0 again
+    assert(Layout.currentVersionNumber(spark, root) == 3)
+    assert(state(root) == Set(
+      (1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p1", 30.0),
+      (4L, "p2", 40.0), (5L, "p2", 50.0), (6L, "p3", 60.0)))
+    // the bad versions stay inspectable (append-only history)
+    assert(Layout.readVersion(spark, root, 2).count() == 5L)
+    // feed(bad -> restored) = the inverse: deleted rows come back as
+    // inserts, the bad merge's row leaves as a delete
+    val feed = Layout.changeFeed(spark, root, 2, 3, Seq("id"))
+      .select($"id", $"_change_type").as[(Long, String)].collect().toSet
+    assert(feed == Set((2L, "insert"), (5L, "insert"), (9L, "delete")))
+    // the restored manifest keeps v0's files alive through vacuum
+    assert(Layout.vacuumVersions(spark, root, keep = 1) == 3)
+    assert(state(root).size == 6)
+    // history records the rollback
+    val ops = Layout.history(spark, root)
+      .select($"version", $"operation").as[(Int, String)].collect().toMap
+    assert(ops(3) == "RESTORE")
+  }
+
   test("rehomeClone: a re-homed clone survives source vacuum; local roots no-op") {
     val root = init()
     Layout.deleteVersionedRows(spark, root, $"id" === 2L)
