@@ -1676,6 +1676,25 @@ object SparkEntry {
       graft.sources.Layout.readCurrent(s, root)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // --- RESTORE under the oracle ---
+    // A destructive row delete followed by a restore to v0: the aggregate
+    // over the restored table must equal DuckDB's aggregate over the RAW
+    // table — rollback has to be byte-faithful, not approximately undone.
+    "q147_restore" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q147").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(
+        li.repartition(4), root, Seq("l_returnflag"))
+      graft.sources.Layout.deleteVersionedRows(s, root,
+        col("l_quantity") < 25.0)
+      graft.sources.Layout.restoreVersion(s, root, 0)
+      graft.sources.Layout.readCurrent(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
     })
   )
 
@@ -3466,6 +3485,11 @@ object SparkEntry {
       "q146_drop_column" -> s"""
         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
           ${dsumSql("CASE WHEN l_orderkey % 17 = 0 THEN l_quantity * 2.0 ELSE l_quantity END")} AS sum_qty
+        FROM lineitem
+        GROUP BY 1""",
+      "q147_restore" -> s"""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          ${dsumSql("l_quantity")} AS sum_qty
         FROM lineitem
         GROUP BY 1"""
     )
