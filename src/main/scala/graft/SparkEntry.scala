@@ -1695,6 +1695,50 @@ object SparkEntry {
       graft.sources.Layout.readCurrent(s, root)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // --- metadata-only table profile under the oracle ---
+    // lineitem lands in a manifest table, a keyed MERGE bumps one
+    // partition's quantities (rewritten leaves get fresh envelopes,
+    // untouched leaves CARRY their init-time stats), and the result is the
+    // manifest-only profile: exact row count + per-column null counts and
+    // decoded min/max bounds — zero data files read by the profiled query
+    // (O(#files) driver metadata, DESCRIBE DETAIL priced like a directory
+    // listing at 100 TB). The oracle recomputes the same numbers the hard
+    // way, over the post-merge table: the fold across carried + fresh
+    // envelopes must equal a full scan.
+    "q148_metadata_profile" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q148").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(
+        li.repartition(4), root, Seq("l_returnflag"))
+      graft.sources.Layout.mergeVersionedPartitioned(s, root,
+        li.filter(col("l_returnflag") === "A")
+          .withColumn("l_quantity", col("l_quantity") + 100.0),
+        Seq("l_orderkey", "l_linenumber"), "l_returnflag")
+      val nRows = graft.sources.Layout.countRows(s, root)
+        .getOrElse(sys.error("q148: manifest lost its stats"))
+      graft.sources.Layout.columnStats(s, root)
+        .filter(col("column").isin("l_orderkey", "l_quantity"))
+        .select(col("column"), col("nulls"),
+          col("min").cast("double").as("min_v"),
+          col("max").cast("double").as("max_v"),
+          lit(nRows).as("n_rows"))
+    }),
+
+    // --- SemDeDup: cluster-then-dedup semantic near-dup pruning ---
+    // The LLM-corpus shape (Abbas et al. 2023): coarse k-means cells
+    // (deterministic centroids, broadcast) confine the quadratic cosine
+    // compare to WITHIN each cell, then every vector with a lower-id
+    // near-duplicate in its cell is dropped. Exercises the same argmin
+    // assignment as q119 and the same dot/norm parity as q39, composed
+    // into the end-to-end dedup decision.
+    "q149_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticDedup(emb, emb.filter(col("vec_id") < 8),
+        threshold = 0.4)
     })
   )
 
@@ -3491,7 +3535,42 @@ object SparkEntry {
         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
           ${dsumSql("l_quantity")} AS sum_qty
         FROM lineitem
-        GROUP BY 1"""
+        GROUP BY 1""",
+      "q148_metadata_profile" -> """
+        WITH t AS (SELECT l_orderkey,
+            CASE WHEN l_returnflag = 'A' THEN l_quantity + 100.0
+                 ELSE l_quantity END AS q
+          FROM lineitem)
+        SELECT 'l_orderkey' AS column,
+          CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS nulls,
+          CAST(MIN(l_orderkey) AS DOUBLE) AS min_v,
+          CAST(MAX(l_orderkey) AS DOUBLE) AS max_v,
+          CAST(count(*) AS BIGINT) AS n_rows
+        FROM t
+        UNION ALL
+        SELECT 'l_quantity',
+          CAST(sum(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(MIN(q) AS DOUBLE), CAST(MAX(q) AS DOUBLE),
+          CAST(count(*) AS BIGINT)
+        FROM t""",
+      "q149_semantic_dedup" -> """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+        a AS (SELECT vec_id, e, centroid_id FROM (
+          SELECT v.vec_id, v.e, c.cid AS centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+              list_dot_product(v.e, v.e) + list_dot_product(c.ce, c.ce)
+                - 2.0 * list_dot_product(v.e, c.ce), c.cid) AS rn
+          FROM v CROSS JOIN cent c) WHERE rn = 1),
+        shadowed AS (SELECT DISTINCT y.vec_id
+          FROM a x JOIN a y
+            ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+          WHERE list_dot_product(x.e, y.e) /
+            (sqrt(list_dot_product(x.e, x.e)) *
+             sqrt(list_dot_product(y.e, y.e))) >= 0.4)
+        SELECT vec_id, centroid_id FROM a
+        WHERE vec_id NOT IN (SELECT vec_id FROM shadowed)"""
     )
   }
 

@@ -254,4 +254,48 @@ object Similarity {
       .select(col("query_id"), col("nn_id"), col("centroid_id"),
         round(col("score"), 6).as("score"), col("rnk").cast("long").as("rnk"))
   }
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus around `centroids` ([[ivfAssign]] — broadcast
+    * centroids, the corpus never shuffles for assignment), then WITHIN each
+    * cluster drop every vector that has a semantically-equivalent
+    * lower-id survivor (cosine >= `threshold` to ANY lower id in the
+    * cluster). Keeps exactly the per-cluster id-minimal representatives —
+    * deterministic, so the whole pipeline is oracle-checkable.
+    *
+    * Scale shape: the quadratic compare is confined to each cluster by a
+    * single equi-join on `centroid_id` (never an all-pairs cross join);
+    * with k centroids the expected compare volume drops k-fold vs
+    * [[thresholdPairs]], which is the entire point of SemDeDup — cheap
+    * coarse clustering buys away most of the O(n²). A pathological
+    * mega-cluster re-concentrates the quadratic cost into one task group;
+    * if cluster sizes are unbounded, split clusters with the deterministic
+    * block-pair trick of [[thresholdPairs]] (same join, composite key
+    * (centroid_id, block_pair)) — at the corpus sizes where SemDeDup is
+    * run, cluster counts are chosen so members-per-cluster stays bounded.
+    *
+    * Pruning is by EXISTENCE of a lower-id near-duplicate (not by
+    * transitive closure): a chain a~b~c with cos(a,c) < threshold keeps a
+    * and c — SemDeDup's epsilon-ball semantics, distinct from
+    * [[graft.ops.MinHashDedup.dupGroups]]' connected components.
+    *
+    * @return one row per KEPT vector: (vec_id, centroid_id)
+    */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
+                    threshold: Double): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    def side(id: String, emb: String, n: String) =
+      assigned.select(col("centroid_id"), col("vec_id").as(id),
+        col("embedding").as(emb), norm(col("embedding")).as(n))
+    val shadowed = side("id_a", "e_a", "n_a")
+      .join(side("id_b", "e_b", "n_b"), Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", when(col("n_a") * col("n_b") === 0.0, 0.0)
+        .otherwise(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b"))))
+      .filter(col("score") >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(shadowed, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("centroid_id"))
+  }
 }
