@@ -1739,6 +1739,35 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.semanticDedup(emb, emb.filter(col("vec_id") < 8),
         threshold = 0.4)
+    }),
+
+    // --- type widening: ALTER COLUMN TYPE as one manifest line ---
+    // lineitem lands with a 32-bit order key; widenColumn promotes it to
+    // BIGINT without rewriting a file (old int32 footers are decoded
+    // natively under the wide schema), and a post-widen merge inserts
+    // keys no int can hold. The final aggregate reads narrow and wide
+    // footers through ONE scan; the oracle computes the same totals from
+    // the raw table + the offset inserts — the widening must be invisible
+    // in the values, which is the entire point of doing it as metadata.
+    "q150_widened_merge" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey").cast("int").as("l_orderkey"),
+        col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q150").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(
+        li.repartition(4), root, Seq("l_returnflag"))
+      graft.sources.Layout.widenColumn(s, root, "l_orderkey",
+        org.apache.spark.sql.types.LongType)
+      graft.sources.Layout.mergeVersionedPartitioned(s, root,
+        li.filter(col("l_orderkey") % 50 === 0)
+          .withColumn("l_orderkey",
+            col("l_orderkey").cast("long") + lit(10000000000L)),
+        Seq("l_orderkey", "l_linenumber"), "l_returnflag")
+      graft.sources.Layout.readCurrent(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_orderkey")).as("sum_key"),
+          dsum(col("l_quantity")).as("sum_qty"))
     })
   )
 
@@ -3570,7 +3599,17 @@ object SparkEntry {
             (sqrt(list_dot_product(x.e, x.e)) *
              sqrt(list_dot_product(y.e, y.e))) >= 0.4)
         SELECT vec_id, centroid_id FROM a
-        WHERE vec_id NOT IN (SELECT vec_id FROM shadowed)"""
+        WHERE vec_id NOT IN (SELECT vec_id FROM shadowed)""",
+      "q150_widened_merge" -> s"""
+        WITH t AS (
+          SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem
+          UNION ALL
+          SELECT l_orderkey + 10000000000, l_returnflag, l_quantity
+          FROM lineitem WHERE l_orderkey % 50 = 0)
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
+          ${dsumSql("l_quantity")} AS sum_qty
+        FROM t GROUP BY 1"""
     )
   }
 

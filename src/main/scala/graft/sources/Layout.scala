@@ -1029,6 +1029,78 @@ object Layout {
     nextPath
   }
 
+  /** WIDEN a data column's type on a manifest root — metadata-only, like
+    * [[renameColumn]]: no data file is rewritten, because Spark 4's
+    * parquet readers natively decode a narrow physical type into the
+    * wide logical one (int32 → long/double, float → double, decimal
+    * precision growth; see [[ManifestIndex.isWidening]] for the exact
+    * lossless set). On a 100 TB table, `ALTER COLUMN i TYPE BIGINT` is one
+    * manifest line plus an O(#files) in-memory stats pass — vs the full
+    * rewrite a rigid schema forces the day a 32-bit id overflows.
+    *
+    * What the commit does beyond the schema line:
+    *  - every carried file's min/max envelope for the column is
+    *    RE-ENCODED under the wide type ([[ManifestIndex.reencodeBound]]) —
+    *    decoded-as-written, widened, re-encoded — so data skipping keeps
+    *    its never-wrong guarantee (a float bound naively re-read as
+    *    double sits BELOW the widened data);
+    *  - the column's per-file BLOOM filters are dropped: bloom bits hash
+    *    the narrow runtime values, and a wide literal hashes differently,
+    *    so stale bits could "prove" a present value absent. Conservative
+    *    and self-healing — files rewritten later (merge/compact) collect
+    *    fresh blooms under the wide type.
+    *
+    * Old versions keep the narrow schema (time travel reads the schema of
+    * its day, and [[restoreVersion]] of a pre-widen version restores it);
+    * a change feed across the widen is empty when the data didn't change
+    * (the from-side is cast up during alignment). Merges after the widen
+    * may keep sending the NARROW type — incoming columns are upcast at
+    * the door ([[mergeVersionedPartitioned]]), so existing producers
+    * don't break. CHECK constraints referencing the column stay valid
+    * (widening preserves values, hence predicate truth), unlike rename /
+    * drop which are pinned by them. Partition columns cannot widen (their
+    * encoded values are baked into every leaf path).
+    *
+    * @return the new live version path
+    */
+  def widenColumn(spark: SparkSession, root: String,
+                  name: String, to: org.apache.spark.sql.types.DataType): String = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"widenColumn requires a manifest root: $root")
+    val (cur, _, man) = currentManifest(spark, root)
+    require(!man.partitionSchema.fieldNames.contains(name),
+      s"widenColumn: '$name' is a partition column — its encoded values " +
+        "are baked into every leaf path; repartitioning is a rewrite")
+    val active = ManifestIndex.activeSchema(man.dataSchema)
+    require(active.fieldNames.contains(name),
+      s"widenColumn: no (active) column '$name' in " +
+        active.fieldNames.mkString(","))
+    val f = active(active.fieldIndex(name))
+    require(ManifestIndex.isWidening(f.dataType, to),
+      s"widenColumn: ${f.dataType.simpleString} -> ${to.simpleString} is " +
+        "not a lossless parquet-reader widening (see ManifestIndex.isWidening)")
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val phys = ManifestIndex.physicalName(f)
+    val widened = StructType(man.dataSchema.map { g =>
+      if (g.name == name && !ManifestIndex.isDropped(g)) g.copy(dataType = to)
+      else g
+    })
+    val entries = man.entries.map { e =>
+      e.stats.flatMap(st => st.cols.get(phys).map { c =>
+        e.copy(stats = Some(st.copy(cols = st.cols.updated(phys, c.copy(
+          min = c.min.flatMap(
+            ManifestIndex.reencodeBound(_, f.dataType, to, zone)),
+          max = c.max.flatMap(
+            ManifestIndex.reencodeBound(_, f.dataType, to, zone)),
+          bloom = None)))))
+      }).getOrElse(e)
+    }
+    val (next, nextPath) = nextVersion(spark, root, cur)
+    commitManifest(spark, root, next,
+      man.copy(dataSchema = widened, entries = entries), "WIDEN COLUMN")
+    nextPath
+  }
+
   /** DROP a data column of a manifest root — metadata-only, like
     * [[renameColumn]]: the field becomes a TOMBSTONE in the manifest
     * schema (no file rewritten, no bytes read for it ever again), and its
@@ -1274,12 +1346,24 @@ object Layout {
     * evolved union, so carried old files null-fill added columns by name.
     */
   private def mergeManifest(spark: SparkSession, root: String,
-                            updates: DataFrame, keys: Seq[String],
+                            updates0: DataFrame, keys: Seq[String],
                             pcols: Seq[String]): String = {
     val (cur, _, man) = currentManifest(spark, root)
     require(man.partitionSchema.fieldNames.toSeq == pcols,
       s"manifest root $root is partitioned on " +
         s"${man.partitionSchema.fieldNames.mkString(",")}, not ${pcols.mkString(",")}")
+    // a producer that still sends the NARROW type after a widenColumn is
+    // upcast at the door (lossless by isWidening) — the schema contract
+    // a type widening must not break is the incoming-writer's
+    val activeTypes = ManifestIndex.activeSchema(man.dataSchema)
+      .map(f => f.name -> f.dataType).toMap
+    val updates = updates0.select(updates0.schema.map { f =>
+      activeTypes.get(f.name) match {
+        case Some(t) if t != f.dataType && ManifestIndex.isWidening(f.dataType, t) =>
+          col(s"`${f.name}`").cast(t).as(f.name)
+        case _ => col(s"`${f.name}`")
+      }
+    }: _*)
     requireEvolvable(
       StructType(ManifestIndex.activeSchema(man.dataSchema) ++
         man.partitionSchema), updates.schema)
@@ -1540,12 +1624,21 @@ object Layout {
       // column still holds b renames BOTH) — and columns the to-side no
       // longer carries (drops) simply vanish from the projection
       val toByPhys = ManifestIndex.activeSchema(mt.dataSchema).map(f =>
-        ManifestIndex.physicalName(f) -> f.name).toMap
+        ManifestIndex.physicalName(f) -> f).toMap
       val fromAligned = ManifestIndex.dataFrame(spark, root, mf, Some(changed))
         .select(
           ManifestIndex.activeSchema(mf.dataSchema).flatMap(f =>
-            toByPhys.get(ManifestIndex.physicalName(f))
-              .map(n => col(s"`${f.name}`").as(n))) ++
+            toByPhys.get(ManifestIndex.physicalName(f)).map { tf =>
+              // a widenColumn between the versions leaves the from-side
+              // narrow; cast UP so the null-safe struct compare sees one
+              // type (lossless — any other mismatch keeps both types and
+              // fails loudly in the diff, as it should)
+              val c = col(s"`${f.name}`")
+              (if (tf.dataType != f.dataType &&
+                   ManifestIndex.isWidening(f.dataType, tf.dataType))
+                 c.cast(tf.dataType)
+               else c).as(tf.name)
+            }) ++
             mf.partitionSchema.map(f => col(s"`${f.name}`")): _*)
       return diff(fromAligned,
         ManifestIndex.dataFrame(spark, root, mt, Some(changed)), keys)

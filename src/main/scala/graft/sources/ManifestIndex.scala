@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.{broadcast, col, collect_set, count, length, lit, max, min, pmod, shiftrightunsigned, unix_date, unix_micros, when, xxhash64}
-import org.apache.spark.sql.types.{BooleanType, DataType, DateType, NumericType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType, StringType, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.json4s.{JInt, JLong, JObject, JString, JValue}
 import org.json4s.jackson.JsonMethods
@@ -524,6 +524,41 @@ object ManifestIndex {
     case DateType => s.toInt // epoch days = the internal value
     case _ =>
       Cast(Literal(UTF8String.fromString(s), StringType), dt, Option(zone)).eval()
+  }
+
+  /** The LOSSLESS type widenings [[graft.sources.Layout.widenColumn]]
+    * accepts as metadata-only schema changes: exactly the promotions
+    * Spark 4's parquet readers (vectorized and parquet-mr) serve natively
+    * — a footer written with the narrow physical type is decoded straight
+    * into the wide logical vector, so not one data file is rewritten.
+    * long → double is deliberately ABSENT (longs above 2⁵³ don't survive
+    * the trip), as is date → timestamp (a zone-semantics change, not a
+    * widening).
+    */
+  def isWidening(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+    case (ShortType, IntegerType | LongType | DoubleType) => true
+    case (IntegerType, LongType | DoubleType) => true
+    case (FloatType, DoubleType) => true
+    case (f: DecimalType, t: DecimalType) =>
+      t.scale == f.scale && t.precision > f.precision
+    case _ => false
+  }
+
+  /** Re-encode a stats bound across a widening: decode under the NARROW
+    * type the file was profiled with, widen the VALUE, re-encode under the
+    * wide type — the same Catalyst casts [[attachStats]] encodes with, so
+    * the round trip is bit-exact. This is not cosmetic: a float bound
+    * "0.1" re-read as double would be 0.1d, but the file's actual values
+    * widen to 0.10000000149…d — ABOVE the envelope — and skipping would
+    * wrongly prune. `None` (unknown bound, never skips) if anything about
+    * the stored string fails to decode.
+    */
+  private[sources] def reencodeBound(s: String, from: DataType, to: DataType,
+                                     zone: String): Option[String] = {
+    val widened = Cast(Cast(Literal(UTF8String.fromString(s), StringType),
+      from, Option(zone)), to, Option(zone))
+    Option(Cast(widened, StringType, Option(zone)).eval()).map(_.toString)
   }
 
   private def decodeStats(s: FileStats, dataSchema: StructType,
