@@ -1768,7 +1768,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_orderkey")).as("sum_key"),
           dsum(col("l_quantity")).as("sum_qty"))
-    })
+    }),
+
+    // --- temperature-reweighted multilingual mix ---
+    // q100's budget mixer with the weights DERIVED from the corpus:
+    // w_lang ∝ tokens_lang^0.3 (the multinomial temperature rule that
+    // lifts low-resource languages without drowning the head). The
+    // alpha-power normalization runs on the per-lang aggregate (a handful
+    // of rows), never the corpus; membership is the same nested md5
+    // bucket as every sampler here.
+    "q151_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMix(Tables.documents(s, dir), "lang", "doc_id",
+          TF.tokenCount(col("text")), alpha = 0.3, targetTokens = 15000L)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -3609,7 +3621,27 @@ object SparkEntry {
         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
           CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
           ${dsumSql("l_quantity")} AS sum_qty
-        FROM t GROUP BY 1"""
+        FROM t GROUP BY 1""",
+      "q151_temperature_mix" -> """
+        WITH t AS (SELECT doc_id, lang, source, n_chars,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+            END AS tok,
+            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000000 AS b
+          FROM documents),
+        tot AS (SELECT lang, CAST(SUM(tok) AS BIGINT) AS total
+          FROM t GROUP BY lang),
+        pw AS (SELECT lang, total,
+            CASE WHEN total <= 0 THEN 0.0
+                 ELSE pow(CAST(total AS DOUBLE), 0.3) END AS p
+          FROM tot),
+        f AS (SELECT lang, CASE WHEN total <= 0 OR z <= 0 THEN 0.0
+              ELSE least(1.0, p / z * 15000.0 / total) END AS frac
+          FROM (SELECT lang, total, p, SUM(p) OVER () AS z FROM pw))
+        SELECT doc_id, lang, source, n_chars
+        FROM t JOIN f USING (lang)
+        WHERE b < frac * 1000000.0"""
     )
   }
 

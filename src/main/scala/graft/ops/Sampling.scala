@@ -167,6 +167,43 @@ object Sampling {
       .drop("__total", "__tok")
   }
 
+  /** Temperature-reweighted corpus mix — [[mixToBudget]]'s sibling where the
+    * per-source weights are not handed in but DERIVED from the corpus:
+    * `w_s ∝ totalTokens_s^alpha`, the multinomial temperature-sampling rule
+    * multilingual training runs use to lift low-resource sources without
+    * drowning the head (alpha = 1 keeps natural proportions; alpha → 0
+    * equalizes all sources; XLM-R ships 0.3). Source `s` then keeps a
+    * deterministic ≈ `w_s·targetTokens`-token slice, capped at what it has.
+    *
+    * Same machinery as [[mixToBudget]]: the md5-bucket membership is
+    * repartition-stable and NESTS across budgets, and both the per-source
+    * totals and the alpha-power normalization are computed IN the plan —
+    * the power/sum runs on the per-source AGGREGATE (a handful of rows;
+    * the single-partition normalization window never sees corpus rows),
+    * then broadcasts back into the row-level filter. One corpus scan for
+    * totals, one for membership; the corpus itself never shuffles.
+    */
+  def temperatureMix(docs: DataFrame, sourceCol: String, idCol: String,
+                     tokenCount: Column, alpha: Double,
+                     targetTokens: Long): DataFrame = {
+    val withTok = docs.withColumn("__tok", tokenCount.cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val totals = withTok.groupBy(col(sourceCol))
+      .agg(sum(col("__tok")).as("__total"))
+      .withColumn("__pw", when(col("__total") <= 0, lit(0.0))
+        .otherwise(pow(col("__total").cast("double"), lit(alpha))))
+      .withColumn("__z", sum(col("__pw")).over(w))
+    val frac = when(col("__total") <= 0 || col("__z") <= 0, lit(0.0))
+      .otherwise(least(lit(1.0),
+        col("__pw") / col("__z") * lit(targetTokens.toDouble) / col("__total")))
+    withTok.join(broadcast(totals), Seq(sourceCol))
+      .filter(deterministicBucket(col(idCol), 1000000) < frac * lit(1000000.0))
+      .drop("__total", "__pw", "__z", "__tok")
+  }
+
   /** Cap rows per key (domain quotas: "at most n documents per source/host",
     * the crawl-balancing rule that stops one giant domain from dominating a
     * training mix). Selection within a key is by md5-of-id — deterministic,

@@ -66,4 +66,42 @@ class SamplingSpec extends SparkSpec {
     assert(packTokens.values.forall(t => t < 12 + 5))
     assert(run(d.repartition(5)) == got, "assignment must not depend on partitioning")
   }
+
+  test("temperatureMix: alpha reweights toward the tail, budgets nest, caps at 1") {
+    import org.apache.spark.sql.functions._
+    val tok = graft.functions.TextFunctions.tokenCount(col("text"))
+    def keptTokens(alpha: Double, target: Long): Map[String, Long] =
+      Sampling.temperatureMix(docs, "lang", "doc_id", tok, alpha, target)
+        .groupBy("lang").agg(sum(tok).as("t"))
+        .as[(String, Long)].collect().toMap
+    val natural = docs.groupBy("lang").agg(sum(tok).as("t"))
+      .as[(String, Long)].collect().toMap
+    val total = natural.values.sum
+    // alpha = 1 ≈ natural proportions: every language keeps ~the same
+    // fraction of its own tokens (one shared frac = target/total)
+    val a1 = keptTokens(1.0, total / 2)
+    natural.keys.foreach { l =>
+      val f = a1.getOrElse(l, 0L).toDouble / natural(l)
+      assert(f > 0.3 && f < 0.7, s"alpha=1 $l kept fraction $f far from 0.5")
+    }
+    // alpha = 0.3 lifts the tail: the smallest language keeps a LARGER
+    // share of its tokens than the largest
+    val a03 = keptTokens(0.3, total / 2)
+    val big = natural.maxBy(_._2)._1
+    val small = natural.minBy(_._2)._1
+    assert(a03(small).toDouble / natural(small) >
+           a03(big).toDouble / natural(big),
+      s"temperature must favor $small over $big: $a03 vs $natural")
+    // budgets NEST (scaling-law ladders): the small mix ⊆ the big mix
+    def ids(target: Long) =
+      Sampling.temperatureMix(docs, "lang", "doc_id", tok, 0.3, target)
+        .select("doc_id").as[Long].collect().toSet
+    assert(ids(total / 10).subsetOf(ids(total / 2)))
+    // a target beyond the corpus caps every fraction at 1 — the full corpus
+    assert(ids(total * 10).size == docs.count())
+    // repartition-stable membership
+    val viaRepart = Sampling.temperatureMix(docs.repartition(7), "lang",
+      "doc_id", tok, 0.3, total / 2).select("doc_id").as[Long].collect().toSet
+    assert(viaRepart == ids(total / 2))
+  }
 }
