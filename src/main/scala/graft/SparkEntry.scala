@@ -1780,7 +1780,32 @@ object SparkEntry {
     "q151_temperature_mix" -> ((s, dir) =>
       Sampling.temperatureMix(Tables.documents(s, dir), "lang", "doc_id",
           TF.tokenCount(col("text")), alpha = 0.3, targetTokens = 15000L)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
+    // --- merge-on-read UPSERT: keyed MERGE via deletion vectors ---
+    // One batch mixes in-place replacements (quantity bumped for existing
+    // keys) and brand-new keys; matched old images are DV'd out of their
+    // files and every incoming row is appended — no data file rewritten,
+    // O(batch) bytes written however many files the keys scatter across.
+    // The aggregate must be indistinguishable from the copy-on-write
+    // answer, which is what the oracle computes.
+    "q152_row_upsert" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q152").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(
+        li.repartition(4), root, Seq("l_returnflag"))
+      val batch = li.filter(col("l_orderkey") % 10 === 1)
+        .withColumn("l_quantity", col("l_quantity") + 7.0)
+        .unionByName(li.filter(col("l_orderkey") % 50 === 0)
+          .withColumn("l_orderkey", col("l_orderkey") + lit(10000000L)))
+      graft.sources.Layout.upsertVersionedRows(s, root, batch,
+        Seq("l_orderkey", "l_linenumber"))
+      graft.sources.Layout.readCurrent(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+    })
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -3641,7 +3666,19 @@ object SparkEntry {
           FROM (SELECT lang, total, p, SUM(p) OVER () AS z FROM pw))
         SELECT doc_id, lang, source, n_chars
         FROM t JOIN f USING (lang)
-        WHERE b < frac * 1000000.0"""
+        WHERE b < frac * 1000000.0""",
+      "q152_row_upsert" -> s"""
+        WITH t AS (
+          SELECT l_returnflag,
+            CASE WHEN l_orderkey % 10 = 1 THEN l_quantity + 7.0
+                 ELSE l_quantity END AS q
+          FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, l_quantity FROM lineitem
+          WHERE l_orderkey % 50 = 0)
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          ${dsumSql("q")} AS sum_qty
+        FROM t GROUP BY 1"""
     )
   }
 

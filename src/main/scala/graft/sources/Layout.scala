@@ -910,6 +910,105 @@ object Layout {
     } finally matched.unpersist(false)
   }
 
+  /** Cast any incoming column whose type WIDENS-TO the manifest's active
+    * type up to it (lossless by [[ManifestIndex.isWidening]]) — how the
+    * write paths keep accepting narrow-typed producers after a
+    * [[widenColumn]]. Everything else passes through untouched, so a
+    * genuine type mismatch still fails loudly downstream.
+    */
+  private def upcastToActive(man: ManifestIndex.TableManifest,
+                             df: DataFrame): DataFrame = {
+    val activeTypes = ManifestIndex.activeSchema(man.dataSchema)
+      .map(f => f.name -> f.dataType).toMap
+    df.select(df.schema.map { f =>
+      activeTypes.get(f.name) match {
+        case Some(t) if t != f.dataType && ManifestIndex.isWidening(f.dataType, t) =>
+          col(s"`${f.name}`").cast(t).as(f.name)
+        case _ => col(s"`${f.name}`")
+      }
+    }: _*)
+  }
+
+  /** Keyed UPSERT via deletion vectors (merge-on-read MERGE) on a MANIFEST
+    * root: live rows whose key appears in `updates` have their old images
+    * DV'd out of their files, and EVERY update row (replacement or brand-new
+    * key) is APPENDED as new files in its leaf — one commit, no data file
+    * rewritten. This is [[mergeVersionedPartitioned]]'s row-level sibling,
+    * and the cost model is the difference: copy-on-write merge re-WRITES
+    * every affected leaf (right when updates cluster into few partitions);
+    * this writes O(|updates|) bytes no matter how many files the matched
+    * keys are scattered across — the sparse-upsert shape a 100 TB table
+    * needs when a batch touches a few rows in many partitions.
+    *
+    * The matching scan reads (not rewrites) the table once, pre-filtered
+    * by the updates' first-key [min, max] range so file-level envelope
+    * skipping still prunes when keys cluster; matching is BY KEY ALONE, so
+    * unlike the leaf-pruned merge a key whose update arrives with a NEW
+    * partition value is handled correctly (old image DV'd wherever it
+    * lives, new image lands in the new leaf) rather than leaving a stale
+    * row behind.
+    *
+    * Contract (shared with merge): `keys` unique and non-null per batch.
+    * Schema must match the active table exactly — no evolution here
+    * (adding columns is [[mergeVersionedPartitioned]]'s job); narrow
+    * producers after a [[widenColumn]] are upcast at the door. CHECK
+    * constraints validate the incoming rows before any version is claimed.
+    * An empty `updates` is a no-op.
+    *
+    * @return the new live version path (or the current one on no-op)
+    */
+  def upsertVersionedRows(spark: SparkSession, root: String,
+                          updates0: DataFrame, keys: Seq[String]): String = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      "upsertVersionedRows (deletion vectors) requires a manifest root — " +
+        "hardlink-mode roots upsert copy-on-write via mergeVersionedPartitioned")
+    require(keys.nonEmpty, "upsertVersionedRows: empty key set")
+    val (cur, _, man) = currentManifest(spark, root)
+    val pcols = man.partitionSchema.fieldNames.toSeq
+    val updates = upcastToActive(man, updates0)
+    val tableCols = (ManifestIndex.activeSchema(man.dataSchema) ++
+      man.partitionSchema).map(f => f.name -> f.dataType).toMap
+    require(updates.schema.forall(f => tableCols.get(f.name).contains(f.dataType)) &&
+        updates.schema.length == tableCols.size,
+      s"upsertVersionedRows: updates schema ${updates.schema.simpleString} " +
+        s"must match the table exactly (${tableCols.keys.mkString(",")}) — " +
+        "schema evolution is mergeVersionedPartitioned's job")
+    requireConstraints(updates, man.constraints, "upsert rows")
+    if (updates.isEmpty) return cur
+    val snap = ManifestIndex.dataFrame(spark, root, man, lineage = true)
+    // key-range prefilter: two scalars off the updates (O(1) driver data)
+    // let the stats envelopes prune files that cannot hold any incoming
+    // key — without it the semi-join would plan every file of the table
+    val k0 = keys.head
+    val bounds = updates.agg(min(col(s"`$k0`")), max(col(s"`$k0`"))).head()
+    val ranged =
+      if (bounds.isNullAt(0)) snap
+      else snap.filter(col(s"`$k0`") >= lit(bounds.get(0)) &&
+        col(s"`$k0`") <= lit(bounds.get(1)))
+    val matched = ranged
+      .join(updates.select(keys.map(k => col(s"`$k`")): _*).distinct(),
+        keys, "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (next, nextPath) = nextVersion(spark, root, cur)
+      // images first with Overwrite (a stale partial dir from a crashed
+      // claimer is wiped, not inventoried), sidecar into it afterwards —
+      // same ordering as updateVersionedRows. The writer emits PHYSICAL
+      // names so new footers agree with old ones across renames.
+      ManifestIndex.toPhysical(updates, man.dataSchema)
+        .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
+      val carried = rowLevelPlan(spark, root, man, matched) match {
+        case None => man.entries
+        case Some((counts, allPos)) =>
+          writeDvSidecar(spark, man, counts, allPos, next, nextPath)
+      }
+      commitManifest(spark, root, next, man.copy(entries =
+        ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++ carried),
+        "UPSERT ROWS")
+      nextPath
+    } finally matched.unpersist(false)
+  }
+
   /** Shared head of the row-level writers: key the matched rows'
     * coordinates by [[ManifestIndex.dvKey]] and fold in the positions the
     * touched files' existing DVs already carry, so the commit's sidecar is
@@ -1355,15 +1454,7 @@ object Layout {
     // a producer that still sends the NARROW type after a widenColumn is
     // upcast at the door (lossless by isWidening) — the schema contract
     // a type widening must not break is the incoming-writer's
-    val activeTypes = ManifestIndex.activeSchema(man.dataSchema)
-      .map(f => f.name -> f.dataType).toMap
-    val updates = updates0.select(updates0.schema.map { f =>
-      activeTypes.get(f.name) match {
-        case Some(t) if t != f.dataType && ManifestIndex.isWidening(f.dataType, t) =>
-          col(s"`${f.name}`").cast(t).as(f.name)
-        case _ => col(s"`${f.name}`")
-      }
-    }: _*)
+    val updates = upcastToActive(man, updates0)
     requireEvolvable(
       StructType(ManifestIndex.activeSchema(man.dataSchema) ++
         man.partitionSchema), updates.schema)
