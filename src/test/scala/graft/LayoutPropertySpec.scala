@@ -18,7 +18,8 @@ class LayoutPropertySpec extends SparkSpec {
   private def partOf(id: Long): String = parts((id % 3).toInt)
 
   /** kind: 0 = merge, 1 = partition-pruned delete (both modes);
-    * 2 = row-level DV delete, 3 = row-level DV update, 4 = DV purge
+    * 2 = row-level DV delete, 3 = row-level DV update, 4 = DV purge,
+    * 5 = row-level DV upsert, 6 = type widening of the id column
     * (manifest mode only — the merge-on-read writers require it).
     */
   private case class Op(kind: Int, ids: Seq[Long], vals: Seq[Double])
@@ -35,13 +36,23 @@ class LayoutPropertySpec extends SparkSpec {
     * correct in BOTH modes (a manifest version dir is not self-contained).
     */
   private def modelProperty(manifest: Boolean): Prop =
-    Prop.forAll(genOps(if (manifest) 4 else 1)) { ops =>
+    Prop.forAll(genOps(if (manifest) 6 else 1)) { ops =>
     val root = Files.createTempDirectory("graft_vprop").toString
     var model = (0L until 12L).map(i => i -> (partOf(i), i.toDouble * 10)).toMap
-    val base = model.toSeq.map { case (id, (p, v)) => (id, p, v) }
+    // manifest tables are born with a NARROW id so a random widen op has
+    // something to widen; writers send int ids until the widen fires
+    // (the model, like any reader, sees longs either way)
+    var widened = !manifest
+    val base0 = model.toSeq.map { case (id, (p, v)) => (id, p, v) }
       .toDF("id", "part", "v")
+    val base = if (manifest) base0.withColumn("id", col("id").cast("int"))
+               else base0
     if (manifest) Layout.initVersionedManifest(base, root, Seq("part"))
     else Layout.initVersionedPartitioned(base, root, "part")
+    def rowsDf(rows: Seq[(Long, String, Double)]) = {
+      val df = rows.toDF("id", "part", "v")
+      if (widened) df else df.withColumn("id", col("id").cast("int"))
+    }
     var snapshots = List(model) // index = version number
 
     def readVersion(v: Int): Map[Long, (String, Double)] =
@@ -60,7 +71,7 @@ class LayoutPropertySpec extends SparkSpec {
         case 0 =>
           val rows = op.ids.zip(op.vals).map { case (i, v) => (i, partOf(i), v) }
           Layout.mergeVersionedPartitioned(spark, root,
-            rows.toDF("id", "part", "v"), Seq("id"), "part")
+            rowsDf(rows), Seq("id"), "part")
           model = model ++ rows.map { case (i, p, v) => i -> (p, v) }
         case 1 =>
           Layout.deleteVersionedPartitioned(spark, root,
@@ -79,6 +90,17 @@ class LayoutPropertySpec extends SparkSpec {
         case 4 =>
           val (_, n) = Layout.purgeDeletedRows(spark, root)
           committed = n > 0
+        case 5 =>
+          val rows = op.ids.zip(op.vals).map { case (i, v) => (i, partOf(i), v) }
+          Layout.upsertVersionedRows(spark, root, rowsDf(rows), Seq("id"))
+          model = model ++ rows.map { case (i, p, v) => i -> (p, v) }
+        case 6 =>
+          if (widened) committed = false // nothing left to widen: no call
+          else {
+            Layout.widenColumn(spark, root, "id",
+              org.apache.spark.sql.types.LongType)
+            widened = true // values unchanged — the model doesn't move
+          }
       }
       if (committed) {
         version += 1
@@ -104,7 +126,7 @@ class LayoutPropertySpec extends SparkSpec {
     assert(res.passed, res.toString)
   }
 
-  test("manifest mode: random merge/delete/row-delete/row-update/purge sequences match the Map model") {
+  test("manifest mode: random merge/delete/row-delete/row-update/purge/upsert/widen sequences match the Map model") {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(4).withWorkers(1),
       modelProperty(manifest = true))
