@@ -134,6 +134,37 @@ object StreamingOps {
     q
   }
 
+  /** [[streamMergeVersioned]]'s merge-on-read sibling: each micro-batch
+    * applies through [[graft.sources.Layout.upsertVersionedRows]] — matched
+    * old images DV'd by key, the batch appended — so a CDC stream whose
+    * keys SCATTER across many files costs O(batch) written per trigger
+    * instead of a rewrite of every touched leaf. The right choice for
+    * high-frequency small batches over a huge table; pair with a scheduled
+    * [[graft.sources.Layout.purgeDeletedRows]] + compaction to fold the
+    * accumulated vectors and appended slivers back into fat files.
+    *
+    * Same delivery contract as [[streamMergeVersioned]]: checkpointed
+    * at-least-once batches, content-idempotent replay (a replayed batch
+    * DVs the images its first run appended and appends identical ones),
+    * OCC commit-retry against concurrent maintenance.
+    */
+  def streamUpsertRows(stream: DataFrame, root: String, keys: Seq[String],
+                       checkpoint: String): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.Layout.withCommitRetry() {
+            graft.sources.Layout.upsertVersionedRows(
+              batch.sparkSession, root, batch, keys)
+          }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
   /** [[streamMergeVersioned]] with a MATERIALIZED VIEW following the table:
     * each micro-batch (1) upserts into the versioned layout under OCC
     * retry, then (2) advances the view by the change feed of exactly the

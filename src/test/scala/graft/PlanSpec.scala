@@ -260,4 +260,25 @@ class PlanSpec extends SparkSpec {
         s"$q must not fall back to the quadratic HOF fold")
     }
   }
+
+  test("q149: SemDeDup assignment broadcasts centroids; compare is a cell equi-join") {
+    val p = plan("q149_semantic_dedup")
+    // the argmin assignment broadcasts the tiny centroid table (the corpus
+    // never shuffles to cluster)...
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      countOf(p, "BroadcastExchange") >= 1, p.take(2000))
+    // ...and the quadratic compare is confined by an equi-join on the cell
+    // id — a shuffled hash/sort join keyed on centroid_id, never an
+    // unkeyed cartesian of the corpus with itself
+    assert(p.contains("centroid_id"), p.take(2000))
+    assert(countOf(p, "CartesianProduct") == 0, p.take(2000))
+  }
+
+  test("q151: temperature mix broadcasts the per-source fractions; corpus never shuffles") {
+    val p = plan("q151_temperature_mix")
+    // the per-lang totals + alpha normalization land row-side via a
+    // broadcast join; the membership filter runs in the corpus scan stage
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
 }

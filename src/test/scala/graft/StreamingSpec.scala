@@ -185,6 +185,48 @@ class StreamingSpec extends SparkSpec {
     assert(m.byLeaf("part=p1").forall(_.path.startsWith("v00001/")))
   }
 
+  test("streamUpsertRows: CDC apply via deletion vectors, resume across drains (r10)") {
+    import graft.sources.{Layout, ManifestIndex}
+    val inDir = Files.createTempDirectory("graft_sur_in").toString
+    val root = Files.createTempDirectory("graft_sur_root").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_sur_ckpt").toString
+    def rows(rs: (Long, String, Double)*) = rs.toDF("id", "part", "v")
+    Layout.initVersionedManifest(
+      rows((1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p2", 30.0)),
+      root, Seq("part"))
+    val before = ManifestIndex.read(spark, root, "v00000")
+      .entries.map(e => (e.path, e.size)).toSet
+    val schema = rows((0L, "", 0.0)).schema
+
+    // drain 1: replace id=2, insert id=4
+    rows((2L, "p1", 99.0), (4L, "p3", 40.0)).write.mode("append").parquet(inDir)
+    StreamingOps.streamUpsertRows(
+      StreamingOps.fileStream(spark, inDir, schema), root, Seq("id"), ckpt)
+    def state() = Layout.readCurrent(spark, root)
+      .select("id", "part", "v").as[(Long, String, Double)].collect().toSet
+    assert(state() == Set((1L, "p1", 10.0), (2L, "p1", 99.0),
+      (3L, "p2", 30.0), (4L, "p3", 40.0)))
+    // merge-on-read: surviving init files are byte-identical (DV'd or
+    // untouched, never rewritten) — id=2's single-row file became fully
+    // deleted and correctly DROPPED from the inventory — and the batch
+    // arrived as appended files
+    val m1 = ManifestIndex.read(spark, root, "v00001")
+    val carried = m1.entries.filter(_.path.startsWith("v00000/"))
+      .map(e => (e.path, e.size)).toSet
+    assert(carried.subsetOf(before) && carried.nonEmpty)
+    assert(m1.entries.exists(_.path.startsWith("v00001/")), "appended images")
+
+    // drain 2 resumes the checkpoint: only the new file applies — and it
+    // DVs the image drain 1 appended (vector-on-appended-sliver path)
+    rows((4L, "p3", 44.0), (5L, "p2", 50.0)).write.mode("append").parquet(inDir)
+    StreamingOps.streamUpsertRows(
+      StreamingOps.fileStream(spark, inDir, schema), root, Seq("id"), ckpt)
+    assert(state() == Set((1L, "p1", 10.0), (2L, "p1", 99.0),
+      (3L, "p2", 30.0), (4L, "p3", 44.0), (5L, "p2", 50.0)))
+    // time travel across stream batches still works
+    assert(Layout.readVersion(spark, root, 0).count() == 3L)
+  }
+
   test("materialized view FOLLOWS a streamed table across checkpoint-resumed drains (r10)") {
     import graft.sources.Layout
     import graft.ops.Incremental
