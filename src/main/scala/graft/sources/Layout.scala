@@ -1991,15 +1991,7 @@ object Layout {
       .map(_.stripSuffix(".manifest"))
     val (doomed, kept) = versions.splitAt(math.max(0, versions.length - keep))
     val keptManifests = kept.map(v => ManifestIndex.read(spark, root, v))
-    val relative = (p: String) => !p.startsWith("/") && !p.contains("://")
-    val referenced: Set[String] =
-      keptManifests.flatMap(_.entries.map(_.path).filter(relative)).toSet
-    // DV sidecars are referenced as DIRECTORIES — any file under one a
-    // retained manifest points at is live (a carried DV outlives its origin
-    // version dir exactly like a carried data file)
-    val dvDirs: Seq[String] = keptManifests
-      .flatMap(_.entries.flatMap(_.dv.map(_.path).filter(relative)))
-      .distinct.map(_ + "/")
+    val (referenced, dvDirs) = liveRefs(keptManifests)
     // depth-first sweep: delete unreferenced data files and all hidden
     // files; a dir empties => delete it; any referenced survivor keeps its
     // ancestor chain alive
@@ -2041,6 +2033,79 @@ object Layout {
         if (sweep(vdir, v)) fs.delete(vdir, false)
       }
     doomed.length
+  }
+
+  /** Root-relative paths a set of retained manifests keeps alive: data
+    * files by exact path, DV sidecars as directory prefixes (any file
+    * under a referenced sidecar dir is live — a carried DV outlives its
+    * origin version dir exactly like a carried data file).
+    */
+  private def liveRefs(kept: Seq[ManifestIndex.TableManifest])
+      : (Set[String], Seq[String]) = {
+    val relative = (p: String) => !p.startsWith("/") && !p.contains("://")
+    (kept.flatMap(_.entries.map(_.path).filter(relative)).toSet,
+      kept.flatMap(_.entries.flatMap(_.dv.map(_.path).filter(relative)))
+        .distinct.map(_ + "/"))
+  }
+
+  /** DRY-RUN of [[vacuumVersions]] on a MANIFEST root: one row per file
+    * the real vacuum WOULD delete — `(path, bytes, kind)` with kind ∈
+    * {manifest, data, sidecar, hidden} — so retention changes can be
+    * priced (and reviewed) before anything is destroyed, the way every
+    * production VACUUM ships. Same reference-counting as the real sweep:
+    * a file is doomed only if NO retained manifest references it (data by
+    * exact path, sidecars by directory). O(#files) driver metadata, zero
+    * data read, nothing touched.
+    */
+  def vacuumPlan(spark: SparkSession, root: String, keep: Int = 2): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    require(keep >= 1, "must keep at least the live version")
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"vacuumPlan requires a manifest root: $root")
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(rootPath).map(_.getPath.getName)
+      .filter(_.matches("v\\d{5}\\.manifest")).sorted
+      .map(_.stripSuffix(".manifest"))
+    val (doomed, kept) = versions.splitAt(math.max(0, versions.length - keep))
+    val (referenced, dvDirs) =
+      liveRefs(kept.map(v => ManifestIndex.read(spark, root, v)).toSeq)
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    doomed.foreach { v =>
+      val mp = ManifestIndex.manifestPath(root, v)
+      out += org.apache.spark.sql.Row(s"$v.manifest", fs.getFileStatus(mp).getLen,
+        "manifest")
+      val claim = new Path(root, s"$v.claim")
+      if (fs.exists(claim))
+        out += org.apache.spark.sql.Row(s"$v.claim",
+          fs.getFileStatus(claim).getLen, "manifest")
+    }
+    def walk(p: Path, rel: String): Unit =
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        val childRel = if (rel.isEmpty) n else s"$rel/$n"
+        if (st.isDirectory) walk(st.getPath, childRel)
+        else if (!referenced.contains(childRel) &&
+          !dvDirs.exists(childRel.startsWith))
+          out += org.apache.spark.sql.Row(childRel, st.getLen,
+            if (childRel.contains("/_dv/")) "sidecar"
+            else if (n.startsWith("_") || n.startsWith(".")) "hidden"
+            else "data")
+      }
+    val maxKept = kept.lastOption.map(_.substring(1).toInt).getOrElse(-1)
+    fs.listStatus(rootPath).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n.matches("v\\d{5}") && n.substring(1).toInt < maxKept &&
+        !kept.contains(n))
+      .sorted
+      .foreach(v => walk(new Path(root, v), v))
+    spark.createDataFrame(out.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType, false),
+      org.apache.spark.sql.types.StructField("bytes",
+        org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType, false))))
   }
 
   /** Recover from a writer that CRASHED between claiming a version and

@@ -339,4 +339,39 @@ class ManifestLayoutSpec extends SparkSpec {
       .select($"version", $"is_current").as[(Int, Boolean)].collect().toMap
     assert(h == Map(0 -> false, 1 -> false, 2 -> true))
   }
+
+  test("vacuumPlan is exactly the real vacuum's deletion set, and deletes nothing") {
+    val root = history()
+    // add a DV commit so sidecar reference-counting is in the picture
+    Layout.deleteVersionedRows(spark, root, col("id") === 4L)
+    def tree(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val base = java.nio.file.Paths.get(root)
+      val s = java.nio.file.Files.walk(base)
+      try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => base.relativize(p).toString -> java.nio.file.Files.size(p))
+        // LocalFileSystem checksum shadows (.name.crc) ride along with
+        // their primaries on delete and don't exist on object stores —
+        // they are filesystem artifacts, not plan entities
+        .filterNot { case (p, _) =>
+          val n = p.substring(p.lastIndexOf('/') + 1)
+          n.startsWith(".") && n.endsWith(".crc")
+        }
+        .toMap
+      finally s.close()
+    }
+    val before = tree()
+    val plan = Layout.vacuumPlan(spark, root, keep = 2)
+      .select($"path", $"bytes").as[(String, Long)].collect().toMap
+    assert(tree() == before, "a dry run must not touch the tree")
+    assert(plan.nonEmpty)
+    Layout.vacuumVersions(spark, root, keep = 2)
+    val after = tree()
+    val deleted = before.view.filterKeys(!after.contains(_)).toMap
+    assert(deleted == plan,
+      s"plan/delete drift: planned-only=${plan.keySet -- deleted.keySet} " +
+        s"deleted-only=${deleted.keySet -- plan.keySet}")
+    // and the live snapshot is intact
+    assert(state(root).map(_._1) == Set(1L, 2L, 6L))
+  }
 }
