@@ -147,6 +147,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // sf prints as its basename ("sf0.1", not the full path): the driver
+    // records it verbatim, and the ~15 saved chars matter — the whole line
+    // must fit the driver's 2000-char tail window (see BenchFormatSpec)
+    val sf = sfDir.stripSuffix("/").split('/').last
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
   }
 }
