@@ -118,5 +118,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         df.queryExecution.logical
       }))
+    // graft_history('/root') — the operation ledger as a table, and
+    // graft_vacuum_plan('/root'[, keep]) — what a vacuum WOULD delete:
+    // the observability trio (with graft_table) that makes the layout
+    // inspectable from pure SQL without a Scala entry point.
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_history"),
+      new ExpressionInfo(graft.sources.Layout.getClass.getName, "graft_history"),
+      (children: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.sources.Layout.history(spark,
+          strLit(children.headOption, "graft_history", "root"))
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_vacuum_plan"),
+      new ExpressionInfo(graft.sources.Layout.getClass.getName, "graft_vacuum_plan"),
+      (children: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val root = strLit(children.headOption, "graft_vacuum_plan", "root")
+        val keep = children match {
+          case Seq(_) => 2
+          case Seq(_, k) => intLit(k, "graft_vacuum_plan", "keep")
+          case other => throw new IllegalArgumentException(
+            s"graft_vacuum_plan takes 1-2 arguments, got ${other.size}")
+        }
+        graft.sources.Layout.vacuumPlan(spark, root, keep)
+          .queryExecution.logical
+      }))
   }
+
+  private def strLit(e: Option[Expression], fn: String, arg: String): String =
+    e match {
+      case Some(Literal(s: org.apache.spark.unsafe.types.UTF8String, _)) =>
+        s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a string literal path, got $other")
+    }
 }

@@ -96,6 +96,20 @@ class ExtensionsSpec extends AnyFunSuite {
             WHERE price > 5 GROUP BY part ORDER BY part""")
         .as[(String, Double)].collect().toSeq
       assert(agg == Seq(("p1", 10.0), ("p2", 30.0)))
+      // graft_history: the operation ledger from pure SQL
+      val ops = spark.sql(
+        s"""SELECT version, operation FROM graft_history('$root')
+            ORDER BY version""").as[(Int, String)].collect().toSeq
+      assert(ops == Seq((0, "CREATE"), (1, "DELETE ROWS"), (2, "RENAME COLUMN")))
+      // graft_vacuum_plan: price a retention change from pure SQL —
+      // keep=1 dooms v0's manifest and v1's sidecar-only leftovers;
+      // nothing is deleted by asking
+      val doomed = spark.sql(
+        s"""SELECT count(*) AS files, sum(bytes) AS bytes
+            FROM graft_vacuum_plan('$root', 1)""").head()
+      assert(doomed.getLong(0) > 0L && doomed.getLong(1) > 0L)
+      assert(spark.sql(s"SELECT count(*) FROM graft_table('$root')")
+        .head().getLong(0) == 2L, "dry run must not touch the table")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
