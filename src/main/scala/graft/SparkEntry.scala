@@ -1782,6 +1782,36 @@ object SparkEntry {
           TF.tokenCount(col("text")), alpha = 0.3, targetTokens = 15000L)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
 
+    // --- min/max incremental view maintenance under the oracle ---
+    // q139's sibling for the NON-self-maintainable aggregates: the same
+    // merge + delete history folds into a min/max state where interior
+    // changes apply incrementally and a deletion at-or-beyond a group's
+    // extremum flips that group's invalidation bit → semi-join-pruned
+    // recompute from the snapshot. The fold must equal DuckDB's direct
+    // min/max of the final version — closing the one operator family that
+    // was verified by ScalaTest alone.
+    "q153_incremental_minmax" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"), col("o_orderpriority").as("g"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q153").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(base, root, Seq("g"))
+      graft.sources.Layout.mergeVersionedPartitioned(s, root,
+        base.filter(col("id") % 7 === 0).withColumn("v", col("v") + 1000L),
+        Seq("id"), "g")
+      graft.sources.Layout.deleteVersionedPartitioned(s, root,
+        col("id") % 11 === 0, "g")
+      val s0 = Incremental.materializeMinMax(
+        graft.sources.Layout.readVersion(s, root, 0), Seq("g"), "v")
+      val s1 = Incremental.applyFeedMinMax(s0,
+        graft.sources.Layout.changeFeed(s, root, 0, 1, Seq("id")),
+        Seq("g"), "v", graft.sources.Layout.readVersion(s, root, 1))
+      Incremental.applyFeedMinMax(s1,
+        graft.sources.Layout.changeFeed(s, root, 1, 2, Seq("id")),
+        Seq("g"), "v", graft.sources.Layout.readVersion(s, root, 2))
+        .select(col("g"), col("n_rows"), col("min_v"), col("max_v"))
+    }),
+
     // --- merge-on-read UPSERT: keyed MERGE via deletion vectors ---
     // One batch mixes in-place replacements (quantity bumped for existing
     // keys) and brand-new keys; matched old images are DV'd out of their
@@ -3678,6 +3708,14 @@ object SparkEntry {
           WHERE l_orderkey % 50 = 0)
         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
           ${dsumSql("q")} AS sum_qty
+        FROM t GROUP BY 1""",
+      "q153_incremental_minmax" -> """
+        WITH t AS (SELECT o_orderpriority AS g,
+            CAST(round(o_totalprice * 100) AS BIGINT) +
+              CASE WHEN o_orderkey % 7 = 0 THEN 1000 ELSE 0 END AS v
+          FROM orders WHERE o_orderkey % 11 <> 0)
+        SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+          MIN(v) AS min_v, MAX(v) AS max_v
         FROM t GROUP BY 1"""
     )
   }
