@@ -1812,6 +1812,36 @@ object SparkEntry {
         .select(col("g"), col("n_rows"), col("min_v"), col("max_v"))
     }),
 
+    // --- BM25 ranked retrieval over the document corpus ---
+    // The targeted-decontamination / corpus-search primitive: rank every
+    // document against a bag of query terms with Okapi BM25 (house
+    // tokenizer, always-positive idf). Term stats broadcast; the corpus
+    // shuffles once on doc_id; the top-k cut is TakeOrderedAndProject
+    // with ties broken on raw doubles then id, so the set is stable.
+    "q155_bm25" -> ((s, dir) =>
+      Retrieval.bm25(Tables.documents(s, dir), "doc_id", "text",
+        Seq("data", "query", "stream", "table"), topK = 25)),
+
+    // --- PageRank over the customer<->supplier co-purchase graph ---
+    // Graph centrality for the link graphs a pipeline builds (near-dup
+    // hubs, reference graphs). Nodes namespace customers as 2k and
+    // suppliers as 2k+1; symmetric edges (every co-purchase both ways)
+    // give a connected bipartite graph with no dangling nodes — the
+    // dangling term then contributes exactly 0.0 and the oracle can
+    // unroll three iterations in plain SQL. Decimal-accumulated sums
+    // make the double ranks partitioning- and engine-independent.
+    "q154_pagerank" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("p"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+      Graph.pageRank(edges, iters = 3, damping = 0.85)
+    }),
+
     // --- merge-on-read UPSERT: keyed MERGE via deletion vectors ---
     // One batch mixes in-place replacements (quantity bumped for existing
     // keys) and brand-new keys; matched old images are DV'd out of their
@@ -3716,7 +3746,69 @@ object SparkEntry {
           FROM orders WHERE o_orderkey % 11 <> 0)
         SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
           MIN(v) AS min_v, MAX(v) AS max_v
-        FROM t GROUP BY 1"""
+        FROM t GROUP BY 1""",
+      "q154_pagerank" -> {
+        // one damped-update round; in_mass decimal-sums r/deg over edges
+        def iter(prev: String, out: String) = s"""
+        $out AS (SELECT nd.node,
+            (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+              + CAST(0.85 AS DOUBLE) *
+                (COALESCE(m.in_mass, CAST(0 AS DOUBLE)) + CAST(0 AS DOUBLE) / nn.n)
+              AS rank
+          FROM nodes nd CROSS JOIN n nn LEFT JOIN (
+            SELECT e.dst AS node,
+              CAST(SUM(CAST(r.rank / d.deg AS DECIMAL(38,12))) AS DOUBLE)
+                AS in_mass
+            FROM $prev r JOIN deg d ON r.node = d.node
+                         JOIN e ON e.src = r.node
+            GROUP BY 1) m ON nd.node = m.node)"""
+        s"""
+        WITH base AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        e AS (SELECT c AS src, p AS dst FROM base
+              UNION ALL SELECT p, c FROM base),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM e GROUP BY 1),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+          FROM nodes CROSS JOIN n nn),
+        ${iter("r0", "r1")},
+        ${iter("r1", "r2")},
+        ${iter("r2", "r3")}
+        SELECT node, round(rank, 10) AS rank FROM r3"""
+      },
+      "q155_bm25" -> """
+        WITH toks AS (SELECT doc_id,
+            unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+          FROM documents),
+        tt AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+          FROM tt GROUP BY 1),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tt
+          WHERE tok IN ('data', 'query', 'stream', 'table') GROUP BY 1, 2),
+        idf AS (SELECT tok,
+            ln(CAST(1.0 AS DOUBLE) +
+              (s.n_docs - df + CAST(0.5 AS DOUBLE)) /
+              (df + CAST(0.5 AS DOUBLE))) AS idf
+          FROM (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tf GROUP BY 1) CROSS JOIN stats s),
+        sc AS (SELECT tf.doc_id,
+            CAST(SUM(CAST(
+              idf.idf * (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+              (tf.tf + CAST(1.2 AS DOUBLE) *
+                (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+                 CAST(0.75 AS DOUBLE) * dl.dl /
+                   (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+              AS DECIMAL(38,12))) AS DOUBLE) AS raw
+          FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                  JOIN idf ON tf.tok = idf.tok
+                  CROSS JOIN stats s
+          GROUP BY 1)
+        SELECT doc_id, round(raw, 6) AS score FROM sc
+        ORDER BY raw DESC, doc_id LIMIT 25"""
     )
   }
 

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Lexical retrieval over a document corpus — the ranked-search primitive
+  * a training-data pipeline uses for targeted decontamination ("find the
+  * documents that look like this benchmark item"), duplicate triage and
+  * corpus exploration, where embedding search ([[Similarity]]) is the
+  * semantic sibling.
+  */
+object Retrieval {
+
+  /** BM25 (Robertson–Spärck Jones) ranking of `docs` against a bag of
+    * query `terms`. Okapi weighting with the always-positive idf variant
+    * `ln(1 + (N − df + ½)/(df + ½))`; `k1`/`b` are the standard knobs.
+    *
+    * Contract: tokenization is the house rule (trim, lower, split on
+    * whitespace — identical to [[graft.functions.TextFunctions.tokenCount]]
+    * and every oracle mirror); `N` and `avgdl` are computed over docs
+    * with ≥ 1 token. Deterministic: per-row double math everywhere, with
+    * the per-document term-score sum routed through a `DECIMAL(38,12)`
+    * accumulator so partitioning cannot reorder additions — and top-k
+    * ties break on the raw doubles then `idCol`, so the cut is stable.
+    *
+    * Scale shape: one corpus tokenize feeds both the length table and the
+    * term-frequency table; `terms` stats (df → idf) are a ≤|terms|-row
+    * aggregate BROADCAST into the scoring join, corpus-global scalars
+    * (N, avgdl) ride a broadcast one-row cross join — the corpus shuffles
+    * once, on `doc_id`, for the per-document fold; the final top-k is
+    * TakeOrderedAndProject, never a global sort.
+    *
+    * @return topK rows: (doc_id, score) — score rounded to 6 decimals
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], topK: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25: empty query")
+    val dec = DecimalType(38, 12)
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // corpus scalars: exact integer sum → one exact double division
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = toks.filter(col("tok").isin(terms.map(lit(_)): _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("tok")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"),
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))).as("idf"))
+    val scored = tf
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(idf), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("s",
+        (col("idf") * (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+          .cast(dec))
+      .groupBy("doc_id")
+      .agg(sum(col("s")).cast("double").as("raw"))
+    scored.orderBy(col("raw").desc, col("doc_id")).limit(topK)
+      .select(col("doc_id"), round(col("raw"), 6).as("score"))
+  }
+}

@@ -281,4 +281,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("q155: BM25 term stats broadcast; the top-k cut is TakeOrderedAndProject") {
+    val p = plan("q155_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must never be a global sort: " + p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }

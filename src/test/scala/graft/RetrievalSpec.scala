@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Retrieval
+
+/** BM25: differential against a driver-side reference, ranking shape
+  * (term frequency up, document length down, rare terms weigh more),
+  * and partitioning invariance of the decimal-accumulated scores.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark query engine"),
+    (2L, "query query query optimizer"),
+    (3L, "a very long document about nothing in particular with many words"),
+    (4L, "query"),
+    (5L, "unrelated text entirely"),
+    (6L, "rare query")).toDF("doc_id", "text")
+
+  private def ref(docs: Seq[(Long, String)], terms: Seq[String],
+                  k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+    val dl = toks.map { case (id, ts) => id -> ts.size }.toMap
+    val n = toks.count(_._2.nonEmpty)
+    val avgdl = toks.map(_._2.size).sum.toDouble / n
+    terms.flatMap { t =>
+      val df = toks.count(_._2.contains(t))
+      if (df == 0) Nil
+      else {
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        toks.collect { case (id, ts) if ts.contains(t) =>
+          val tf = ts.count(_ == t)
+          id -> idf * (tf * (k1 + 1.0)) /
+            (tf + k1 * (1.0 - b + b * dl(id) / avgdl))
+        }
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+  }
+
+  test("bm25 matches the reference scorer; tf up, length down, rarity up") {
+    val got = Retrieval.bm25(corpus, "doc_id", "text",
+        Seq("query", "rare"), topK = 10)
+      .as[(Long, Double)].collect().toMap
+    val want = ref(Seq((1L, "spark query engine"),
+      (2L, "query query query optimizer"),
+      (3L, "a very long document about nothing in particular with many words"),
+      (4L, "query"), (5L, "unrelated text entirely"), (6L, "rare query")),
+      Seq("query", "rare"))
+    assert(got.keySet == want.keySet, s"$got vs $want")
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - want(id)) < 1e-6, s"doc $id: $s vs ${want(id)}")
+    }
+    // rarity: 'rare' (df=1) outweighs one 'query' (df=4) — doc 6 beats doc 1
+    assert(got(6L) > got(1L))
+    // term frequency: doc 2 (3x query) beats doc 1 (1x query)
+    assert(got(2L) > got(1L))
+    // no-match docs don't appear
+    assert(!got.contains(5L) && !got.contains(3L))
+  }
+
+  test("bm25 is partitioning-invariant and the top-k cut is stable") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25(df, "doc_id", "text", Seq("query", "rare"), topK = 3)
+        .as[(Long, Double)].collect().toSeq
+    assert(run(corpus.repartition(7)) == run(corpus.coalesce(1)))
+  }
+}
