@@ -20,11 +20,14 @@ class BenchFormatSpec extends AnyFunSuite {
     val keyOrder = results.map(_._1.takeWhile(_ != '_'))
     val inLine = "\"(q\\d+)\":".r.findAllMatchIn(line).map(_.group(1)).toSeq
     assert(inLine == keyOrder, "per-query keys must print in registry order")
-    // margin vs the driver's ~2000-char tail capture: since r7 the line is
-    // the LAST output (printed after spark.stop(), sbt success suppressed),
-    // so trailing noise is ~0 and 200 chars of slack suffices. At ~12
-    // chars/query this admits ~145 registered queries before tripping.
-    assert(line.length < 1800, s"line is ${line.length} chars; driver tail is ~2000")
+    // margin vs the driver's tail capture: the r9 artifact proves the
+    // window is EXACTLY 2000 chars and ends with this line + "\n" (the
+    // headline is the final bytes of output — nothing prints after it),
+    // so the hard constraint is line ≤ 1999. 50 chars of slack guards a
+    // stray trailing CR or a wider-than-usual total. At ~12 chars/query
+    // this admits ~180 registered queries; past that, shave per-query
+    // decimals (see the r2 scaladoc) rather than weakening this guard.
+    assert(line.length < 1950, s"line is ${line.length} chars; driver tail is exactly 2000")
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
     assert(node.get("metric").asText() == "total")
     assert(node.get("unit").asText() == "sec")
