@@ -36,7 +36,11 @@ object Retrieval {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], topK: Int,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "bm25: empty query")
+    // the house tokenizer lowercases and trims the CORPUS; apply the same
+    // rule to the query or a term with any uppercase silently matches
+    // nothing (review fix)
+    val qTerms = terms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+    require(qTerms.nonEmpty, "bm25: empty query")
     val dec = DecimalType(38, 12)
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
@@ -44,7 +48,7 @@ object Retrieval {
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     // corpus scalars: exact integer sum → one exact double division
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val tf = toks.filter(col("tok").isin(terms.map(lit(_)): _*))
+    val tf = toks.filter(col("tok").isin(qTerms.map(lit(_)): _*))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy("tok")
       .agg(countDistinct(col("doc_id")).as("df"))

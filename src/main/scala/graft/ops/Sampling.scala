@@ -186,7 +186,12 @@ object Sampling {
   def temperatureMix(docs: DataFrame, sourceCol: String, idCol: String,
                      tokenCount: Column, alpha: Double,
                      targetTokens: Long): DataFrame = {
-    val withTok = docs.withColumn("__tok", tokenCount.cast("long"))
+    // a NULL source is unsampleable (the membership join can never match
+    // null == null) — excluding such rows HERE keeps their alpha-weighted
+    // mass out of the normalizer too, or every real source's share would
+    // silently deflate (review fix)
+    val withTok = docs.filter(col(sourceCol).isNotNull)
+      .withColumn("__tok", tokenCount.cast("long"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -226,10 +226,17 @@ object Layout {
       s"versionAsOf requires a manifest root: $root")
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // only manifests AT OR BEHIND the live pointer are commits — a writer
+    // that claimed and wrote its manifest but crashed before the pointer
+    // flip must never be served as committed data (review fix: a crashed
+    // v4 would otherwise answer AS OF queries until recoverStaleClaims
+    // deletes it, and the same query would then change its answer)
+    val curN = committedVersionNumber(spark, root)
     val commits = fs.listStatus(rootPath).filter(_.isFile)
       .filter(_.getPath.getName.matches("v\\d{5}\\.manifest"))
       .map(st => (st.getPath.getName.stripSuffix(".manifest").substring(1).toInt,
         st.getModificationTime))
+      .filter(_._1 <= curN)
       .sortBy(_._1)
     require(commits.nonEmpty, s"no versions under $root")
     val atOrBefore = commits.filter(_._2 <= tsMillis)
@@ -321,6 +328,15 @@ object Layout {
         s"$versionPath holds no data files and no other version under $root " +
           "does either — the schema of an all-empty history is undefined")
     }
+  }
+
+  /** Version NUMBER the live pointer commits to — the boundary between
+    * table history (≤ this) and in-flight/crashed claims (> this), which
+    * time travel, history and vacuum must all respect.
+    */
+  private def committedVersionNumber(spark: SparkSession, root: String): Int = {
+    val cur = resolveCurrent(spark, root)
+    cur.substring(cur.lastIndexOf("/v") + 2).toInt
   }
 
   /** Path of the live version dir under a versioned root. */
@@ -532,7 +548,7 @@ object Layout {
     requireNotManifest(spark, root, "deleteVersioned",
       "use deleteVersionedPartitioned (manifest roots are partitioned)")
     val cur = resolveCurrent(spark, root)
-    val remaining = spark.read.parquet(cur).filter(!predicate)
+    val remaining = spark.read.parquet(cur).filter(!coalesce(predicate, lit(false)))
     writeNextVersion(spark, root, cur, remaining)
   }
 
@@ -659,6 +675,14 @@ object Layout {
     require(pcols.nonEmpty,
       "manifest mode is for partitioned roots (carry-forward has no meaning " +
         "unpartitioned — use initVersioned)")
+    // re-init of a live root is REFUSED, not overwritten: rewriting v00000
+    // would destroy data files newer manifests still reference via
+    // carry-forward — unrecoverable corruption, unlike hardlink mode where
+    // links keep the bytes alive (review fix; same guard as cloneVersion)
+    require(!fsOf(df.sparkSession, root).exists(new Path(root, CurrentFile)),
+      s"initVersionedManifest: $root is already a versioned root " +
+        "(re-initializing would orphan every newer version's " +
+        "carry-forward references) — write to a fresh root, or merge")
     // validate BEFORE any write — at this point no manifest exists yet for
     // setBloomColumns' own late-declaration check to see
     if (bloomCols.nonEmpty)
@@ -780,11 +804,14 @@ object Layout {
       spark.read.parquet(cur).filter(predicate)
         .select(pcols.map(col): _*), pcols, root)
     val existingAffected = leafNames(fs, curPath).intersect(affected).toSeq.sorted
+    // no existing leaf holds a matching row → NO-OP (review fix; see
+    // deleteManifest)
+    if (existingAffected.isEmpty) return cur
     val (next, nextPath) = nextVersion(spark, root, cur)
     if (existingAffected.nonEmpty) {
       spark.read.option("basePath", cur)
         .parquet(existingAffected.map(n => s"$cur/$n"): _*)
-        .filter(!predicate)
+        .filter(!coalesce(predicate, lit(false)))
         .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
     }
     carryForward(fs, curPath, new Path(nextPath), affected,
@@ -890,12 +917,13 @@ object Layout {
     try {
       val images = matched.drop(ManifestIndex.FileCol, ManifestIndex.PosCol)
         .withColumns(set)
-      // writer-enforced CHECK constraints on the NEW images, before any
-      // version is claimed
-      requireConstraints(images, man.constraints, "updated rows")
       rowLevelPlan(spark, root, man, matched) match {
         case None => cur
         case Some((counts, allPos)) =>
+          // writer-enforced CHECK constraints on the NEW images — after
+          // the no-match short-circuit (a no-op must not pay a validation
+          // scan: review fix) but still BEFORE any version is claimed
+          requireConstraints(images, man.constraints, "updated rows")
           val (next, nextPath) = nextVersion(spark, root, cur)
           // updated images first (SaveMode.Overwrite targets the version
           // dir; the sidecar lands inside it afterwards)
@@ -965,7 +993,13 @@ object Layout {
     require(keys.nonEmpty, "upsertVersionedRows: empty key set")
     val (cur, _, man) = currentManifest(spark, root)
     val pcols = man.partitionSchema.fieldNames.toSeq
+    // the incoming plan is executed several times below (empty probe,
+    // constraint validation, key bounds, the semi-join build, the image
+    // write) — PIN it once or a streaming micro-batch's lineage is
+    // recomputed per job (review fix)
     val updates = upcastToActive(man, updates0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val tableCols = (ManifestIndex.activeSchema(man.dataSchema) ++
       man.partitionSchema).map(f => f.name -> f.dataType).toMap
     require(updates.schema.forall(f => tableCols.get(f.name).contains(f.dataType)) &&
@@ -973,8 +1007,10 @@ object Layout {
       s"upsertVersionedRows: updates schema ${updates.schema.simpleString} " +
         s"must match the table exactly (${tableCols.keys.mkString(",")}) — " +
         "schema evolution is mergeVersionedPartitioned's job")
-    requireConstraints(updates, man.constraints, "upsert rows")
+    // empty-batch no-op BEFORE constraint validation — an empty trigger
+    // on a constrained table must not pay a validation job (review fix)
     if (updates.isEmpty) return cur
+    requireConstraints(updates, man.constraints, "upsert rows")
     val snap = ManifestIndex.dataFrame(spark, root, man, lineage = true)
     // key-range prefilter: two scalars off the updates (O(1) driver data)
     // let the stats envelopes prune files that cannot hold any incoming
@@ -1007,6 +1043,7 @@ object Layout {
         "UPSERT ROWS")
       nextPath
     } finally matched.unpersist(false)
+    } finally updates.unpersist(false)
   }
 
   /** Shared head of the row-level writers: key the matched rows'
@@ -1510,11 +1547,15 @@ object Layout {
     val affected = affectedLeaves(
       full.filter(predicate).select(pcols.map(col): _*), pcols, root)
       .intersect(man.leaves)
+    // no leaf holds a matching row → NO-OP, no version claimed (review
+    // fix: the row-level delete documents this; the partition-pruned
+    // path must not churn retention with byte-identical versions)
+    if (affected.isEmpty) return cur
     val (next, nextPath) = nextVersion(spark, root, cur)
     if (affected.nonEmpty)
       ManifestIndex.toPhysical(
           ManifestIndex.dataFrame(spark, root, man, Some(affected))
-            .filter(!predicate), man.dataSchema)
+            .filter(!coalesce(predicate, lit(false))), man.dataSchema)
         .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
     commitManifest(spark, root, next, man.copy(
       entries = ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++
@@ -1537,6 +1578,8 @@ object Layout {
       val tooSmall = es.length > 1 && bytes / es.length < targetBytes / 2
       if (tooMany || tooSmall) Some(leaf -> bytes) else None
     }
+    // nothing fragmented → NO-OP, no version claimed (review fix)
+    if (fragmented.isEmpty) return (cur, 0)
     val (next, nextPath) = nextVersion(spark, root, cur)
     // callers name z-order columns LOGICALLY; the rewrite runs on the
     // physically-named frame, so translate through the mapping
@@ -1905,9 +1948,15 @@ object Layout {
       .substring(root.length).dropWhile(_ == '/')
     val rows = if (ManifestIndex.isManifestRoot(spark, root)) {
       // versions ARE manifests: file counts/bytes come from the entries
-      // (no recursive listing), modified = the manifest's own commit mtime
+      // (no recursive listing), modified = the manifest's own commit mtime.
+      // Manifests AHEAD of the pointer are in-flight or crashed claims,
+      // not history — the ledger must not show phantom versions (review
+      // fix, same boundary as versionAsOf/vacuum)
+      val curN = committedVersionNumber(spark, root)
       fs.listStatus(rootPath).filter(_.isFile)
         .filter(_.getPath.getName.matches("v\\d{5}\\.manifest"))
+        .filter(_.getPath.getName.stripSuffix(".manifest")
+          .substring(1).toInt <= curN)
         .sortBy(_.getPath.getName)
         .map { st =>
           val v = st.getPath.getName.stripSuffix(".manifest")
@@ -1986,10 +2035,7 @@ object Layout {
                              keep: Int): Int = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions = fs.listStatus(rootPath).map(_.getPath.getName)
-      .filter(_.matches("v\\d{5}\\.manifest")).sorted
-      .map(_.stripSuffix(".manifest"))
-    val (doomed, kept) = versions.splitAt(math.max(0, versions.length - keep))
+    val (doomed, kept) = vacuumSplit(spark, fs, root, keep)
     val keptManifests = kept.map(v => ManifestIndex.read(spark, root, v))
     val (referenced, dvDirs) = liveRefs(keptManifests)
     // depth-first sweep: delete unreferenced data files and all hidden
@@ -2035,6 +2081,26 @@ object Layout {
     doomed.length
   }
 
+  /** The retention split both [[vacuumManifest]] and [[vacuumPlan]] use:
+    * only manifests AT OR BEHIND the live pointer participate (a crashed
+    * writer's manifest ahead of the pointer is recoverStaleClaims' job —
+    * counting it once pushed the LIVE manifest into the doomed set and
+    * bricked the table: review fix), and the newest `keep` of the
+    * committed ones are retained — the pointer's own manifest always
+    * among them.
+    */
+  private def vacuumSplit(spark: SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem, root: String,
+                          keep: Int): (Seq[String], Seq[String]) = {
+    val curN = committedVersionNumber(spark, root)
+    val versions = fs.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(_.matches("v\\d{5}\\.manifest")).sorted
+      .map(_.stripSuffix(".manifest"))
+      .filter(_.substring(1).toInt <= curN)
+    val (d, k) = versions.splitAt(math.max(0, versions.length - keep))
+    (d.toSeq, k.toSeq)
+  }
+
   /** Root-relative paths a set of retained manifests keeps alive: data
     * files by exact path, DV sidecars as directory prefixes (any file
     * under a referenced sidecar dir is live — a carried DV outlives its
@@ -2064,12 +2130,9 @@ object Layout {
       s"vacuumPlan requires a manifest root: $root")
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions = fs.listStatus(rootPath).map(_.getPath.getName)
-      .filter(_.matches("v\\d{5}\\.manifest")).sorted
-      .map(_.stripSuffix(".manifest"))
-    val (doomed, kept) = versions.splitAt(math.max(0, versions.length - keep))
+    val (doomed, kept) = vacuumSplit(spark, fs, root, keep)
     val (referenced, dvDirs) =
-      liveRefs(kept.map(v => ManifestIndex.read(spark, root, v)).toSeq)
+      liveRefs(kept.map(v => ManifestIndex.read(spark, root, v)))
     val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     doomed.foreach { v =>
       val mp = ManifestIndex.manifestPath(root, v)

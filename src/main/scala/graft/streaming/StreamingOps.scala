@@ -188,8 +188,14 @@ object StreamingOps {
             graft.sources.Layout.mergeVersionedPartitioned(
               batch.sparkSession, root, batch, keys, pcol)
           }
-          graft.ops.Incremental.refreshFollowingView(
-            batch.sparkSession, root, viewRoot, keys, viewKeys, sumCols)
+          // the view commit races maintenance exactly like the table
+          // commit does — each retry re-resolves the view's watermark, so
+          // a re-run applies only the still-unapplied range (review fix:
+          // an unguarded claim race here killed the whole streaming query)
+          graft.sources.Layout.withCommitRetry() {
+            graft.ops.Incremental.refreshFollowingView(
+              batch.sparkSession, root, viewRoot, keys, viewKeys, sumCols)
+          }
         }
         ()
       }

@@ -76,6 +76,9 @@ class LayoutPropertySpec extends SparkSpec {
         case 1 =>
           Layout.deleteVersionedPartitioned(spark, root,
             col("id").isin(op.ids: _*), "part")
+          // a no-match partition delete is a NO-OP (no version), like the
+          // row-level writers
+          committed = op.ids.exists(model.contains)
           model = model -- op.ids
         case 2 =>
           Layout.deleteVersionedRows(spark, root, col("id").isin(op.ids: _*))
