@@ -41,11 +41,13 @@ object Graph {
                damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "pageRank: at least one iteration")
     val dec = DecimalType(38, 12)
-    val e = edges.select(col("src"), col("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg"))
+    // the loop re-reads all three every round — pin them once or the edge
+    // derivation (often a join+distinct) re-executes per iteration
+    val e = graft.util.Caches.cache(edges.select(col("src"), col("dst")))
+    val nodes = graft.util.Caches.cache(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val outdeg = graft.util.Caches.cache(e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")))
     // N is a scalar the plan needs everywhere; one tiny aggregate joined
     // in by cross-joining a single row (broadcast by size) keeps it
     // in-plan — no driver collect
