@@ -983,15 +983,30 @@ object Layout {
     * constraints validate the incoming rows before any version is claimed.
     * An empty `updates` is a no-op.
     *
+    * `txn = Some((appId, batchId))` makes the commit IDEMPOTENT per
+    * application: the manifest stores `txn.<appId> = batchId` and a later
+    * call presenting a batch id at or below the stored watermark no-ops
+    * WITHOUT reading the updates — a replayed at-least-once batch
+    * (checkpoint recovery, foreachBatch re-run) commits exactly once
+    * instead of churning a content-identical version. The watermark rides
+    * the properties line through every other writer's carry; a
+    * [[restoreVersion]] rolls it back with everything else (a rollback
+    * that un-happens a batch SHOULD re-accept it).
+    *
     * @return the new live version path (or the current one on no-op)
     */
   def upsertVersionedRows(spark: SparkSession, root: String,
-                          updates0: DataFrame, keys: Seq[String]): String = {
+                          updates0: DataFrame, keys: Seq[String],
+                          txn: Option[(String, Long)] = None): String = {
     require(ManifestIndex.isManifestRoot(spark, root),
       "upsertVersionedRows (deletion vectors) requires a manifest root — " +
         "hardlink-mode roots upsert copy-on-write via mergeVersionedPartitioned")
     require(keys.nonEmpty, "upsertVersionedRows: empty key set")
     val (cur, _, man) = currentManifest(spark, root)
+    txn.foreach { case (app, batch) =>
+      val applied = man.properties.get(ManifestIndex.TxnPrefix + app)
+      if (applied.exists(_.toLong >= batch)) return cur // replay: no-op
+    }
     val pcols = man.partitionSchema.fieldNames.toSeq
     // the incoming plan is executed several times below (empty probe,
     // constraint validation, key bounds, the semi-join build, the image
@@ -1038,8 +1053,11 @@ object Layout {
         case Some((counts, allPos)) =>
           writeDvSidecar(spark, man, counts, allPos, next, nextPath)
       }
-      commitManifest(spark, root, next, man.copy(entries =
-        ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++ carried),
+      commitManifest(spark, root, next, man.copy(
+        properties = man.properties ++ txn.map { case (app, batch) =>
+          ManifestIndex.TxnPrefix + app -> batch.toString },
+        entries =
+          ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++ carried),
         "UPSERT ROWS")
       nextPath
     } finally matched.unpersist(false)

@@ -133,6 +133,14 @@ object ManifestIndex {
   /** Property-key prefix under which CHECK constraints live. */
   val ConstraintPrefix = "constraint."
 
+  /** Property-key prefix for idempotent-writer watermarks: `txn.<appId>`
+    * holds the highest batch id that application has committed. A writer
+    * presenting `(appId, batchId)` with `batchId <=` the stored watermark
+    * is a REPLAY and must no-op — the Delta `txn` shape that turns
+    * at-least-once batch delivery into exactly-once commits.
+    */
+  val TxnPrefix = "txn."
+
   /** Property naming the operation that produced this version (MERGE,
     * DELETE ROWS, COMPACT, ...) — overwritten on every commit, so each
     * manifest records its own (the DESCRIBE HISTORY surface).

@@ -152,11 +152,17 @@ object StreamingOps {
                        checkpoint: String): StreamingQuery = {
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           graft.sources.Layout.withCommitRetry() {
+            // the checkpoint path identifies the application, the
+            // foreachBatch id the batch — a replayed batch (crash between
+            // table commit and checkpoint commit) is skipped by the
+            // manifest's txn watermark instead of re-applied: exactly-once
+            // COMMITS, not just exactly-once content
             graft.sources.Layout.upsertVersionedRows(
-              batch.sparkSession, root, batch, keys)
+              batch.sparkSession, root, batch, keys,
+              txn = Some((checkpoint, batchId)))
           }
         ()
       }

@@ -122,6 +122,38 @@ class UpsertSpec extends SparkSpec {
     assert(cur.count() == 101L)
   }
 
+  test("txn watermark: a replayed batch commits exactly once") {
+    val (root, _) = mkRoot("txn")
+    def batch(v: Double) = Seq((7L, v, "p3")).toDF("id", "v", "part")
+    def versions() = Layout.history(spark, root).count()
+    Layout.upsertVersionedRows(spark, root, batch(1.0), Seq("id"),
+      txn = Some(("appA", 0L)))
+    val afterFirst = versions()
+    // exact replay (crash between table commit and checkpoint commit):
+    // skipped without touching the batch, no version claimed
+    Layout.upsertVersionedRows(spark, root, batch(666.0), Seq("id"),
+      txn = Some(("appA", 0L)))
+    assert(versions() == afterFirst, "replay must not commit")
+    assert(Layout.readCurrent(spark, root).filter($"id" === 7L)
+      .select($"v").as[Double].head() == 1.0, "replay payload ignored")
+    // the watermark SURVIVES an interleaved writer's carry
+    Layout.mergeVersionedPartitioned(spark, root,
+      Seq((8L, 8.0, "p0")).toDF("id", "v", "part"), Seq("id"), "part")
+    Layout.upsertVersionedRows(spark, root, batch(667.0), Seq("id"),
+      txn = Some(("appA", 0L)))
+    assert(Layout.readCurrent(spark, root).filter($"id" === 7L)
+      .select($"v").as[Double].head() == 1.0)
+    // a NEW batch id applies; an independent app is unaffected by A's marks
+    Layout.upsertVersionedRows(spark, root, batch(2.0), Seq("id"),
+      txn = Some(("appA", 1L)))
+    assert(Layout.readCurrent(spark, root).filter($"id" === 7L)
+      .select($"v").as[Double].head() == 2.0)
+    Layout.upsertVersionedRows(spark, root, batch(3.0), Seq("id"),
+      txn = Some(("appB", 0L)))
+    assert(Layout.readCurrent(spark, root).filter($"id" === 7L)
+      .select($"v").as[Double].head() == 3.0)
+  }
+
   test("contract edges: empty no-op, schema must match exactly") {
     val (root, df) = mkRoot("edges")
     val cur = Layout.upsertVersionedRows(spark, root,
