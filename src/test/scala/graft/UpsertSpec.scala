@@ -154,6 +154,28 @@ class UpsertSpec extends SparkSpec {
       .select($"v").as[Double].head() == 3.0)
   }
 
+  test("upsert composes with column mapping: writes under the renamed name") {
+    val (root, _) = mkRoot("rename")
+    Layout.renameColumn(spark, root, "v", "price")
+    Layout.upsertVersionedRows(spark, root,
+      Seq((7L, 700.5, "p3"), (500L, 5.0, "p1")).toDF("id", "price", "part"),
+      Seq("id"))
+    val cur = Layout.readCurrent(spark, root)
+    assert(cur.columns.toSeq.sorted == Seq("id", "part", "price"))
+    assert(cur.filter($"id" === 7L).select($"price").as[Double].head() == 700.5)
+    assert(cur.count() == 101L)
+    // the OLD name is rejected (the schema contract speaks logical names)
+    intercept[IllegalArgumentException](
+      Layout.upsertVersionedRows(spark, root,
+        Seq((1L, 1.0, "p1")).toDF("id", "v", "part"), Seq("id")))
+    // feed across rename + upsert: only the genuine changes, new names
+    val feed = Layout.changeFeed(spark, root, 0, 2, Seq("id"))
+      .select($"_change_type", $"id", $"price")
+      .as[(String, Long, Double)].collect().toSet
+    assert(feed == Set(("update_pre", 7L, 70.0), ("update_post", 7L, 700.5),
+      ("insert", 500L, 5.0)))
+  }
+
   test("contract edges: empty no-op, schema must match exactly") {
     val (root, df) = mkRoot("edges")
     val cur = Layout.upsertVersionedRows(spark, root,
