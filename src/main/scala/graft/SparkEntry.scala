@@ -1812,6 +1812,31 @@ object SparkEntry {
         .select(col("g"), col("n_rows"), col("min_v"), col("max_v"))
     }),
 
+    // --- the pure-SQL surface under the oracle ---
+    // A manifest table takes a row-level DELETE (deletion vectors) and a
+    // column RENAME (metadata-only), then the final aggregate runs as a
+    // plain SQL string over the graft_table TVF — the answer must match
+    // DuckDB computing the same thing from the raw table. Pins that the
+    // SQL surface serves the exact same plans (DV anti-join, column
+    // mapping, decimal sums) as the Scala API the other lakehouse rows
+    // exercise.
+    "q156_sql_surface" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q156").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(
+        li.repartition(4), root, Seq("l_returnflag"))
+      graft.sources.Layout.deleteVersionedRows(s, root,
+        col("l_quantity") < 10.0)
+      graft.sources.Layout.renameColumn(s, root, "l_quantity", "qty")
+      s.sql(s"""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(SUM(CAST(qty AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+        FROM graft_table('$root')
+        GROUP BY l_returnflag""")
+    }),
+
     // --- BM25 ranked retrieval over the document corpus ---
     // The targeted-decontamination / corpus-search primitive: rank every
     // document against a bag of query terms with Okapi BM25 (house
@@ -3808,7 +3833,13 @@ object SparkEntry {
                   CROSS JOIN stats s
           GROUP BY 1)
         SELECT doc_id, round(raw, 6) AS score FROM sc
-        ORDER BY raw DESC, doc_id LIMIT 25"""
+        ORDER BY raw DESC, doc_id LIMIT 25""",
+      "q156_sql_surface" -> s"""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          ${dsumSql("l_quantity")} AS sum_qty
+        FROM lineitem
+        WHERE NOT coalesce(l_quantity < 10.0, FALSE)
+        GROUP BY 1"""
     )
   }
 

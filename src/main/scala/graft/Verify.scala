@@ -11,6 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // pinned at build time: events.parquet is TIMESTAMP(NANOS) (see
       // Tables.events scaladoc on the setting's session-global scope)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
