@@ -10,6 +10,9 @@ trait SparkSpec extends AnyFunSuite {
       .master("local[4]")
       .appName(getClass.getSimpleName)
       .config("spark.sql.shuffle.partitions", "4")
+      // same extension set as the driver-facing Verify/Bench sessions, so
+      // SQL-surface queries (q86 bloom ops, q156 graft_table) smoke here too
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
