@@ -114,7 +114,117 @@ object Incremental {
     valid.unionByName(recomputed)
   }
 
+  /** Initial state of a materialized EQUI-JOIN view `V = A ⋈ B` (inner
+    * join on `joinKeys`) from full snapshots of both sides.
+    */
+  def materializeJoin(a: DataFrame, b: DataFrame,
+                      joinKeys: Seq[String]): DataFrame =
+    a.join(b, joinKeys)
+
+  /** Fold change feeds from BOTH sides into a join-view state by
+    * AFFECTED-KEY RECOMPUTE — the standard delta-join maintenance shape
+    * reduced to one rule that is correct for arbitrary multiset changes
+    * (inserts, deletes, updates, on either or both sides at once): any
+    * join-key value appearing in either feed has its entire slice of the
+    * view recomputed from the CURRENT snapshots; every other view row is
+    * untouched (neither side's rows under that key changed, so the join
+    * under it cannot have). Handling the pure insert-only case via
+    * `ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB` would save the recompute read but is wrong
+    * the moment a delete or update appears — and the recompute here is
+    * semi-join PRUNED to the affected keys, so its cost is the changed
+    * keys' rows, never |A|+|B|.
+    *
+    * Scale shape: one distinct over the feeds (tiny), one broadcast-able
+    * anti-join against the view, two semi-join-pruned snapshot reads
+    * (partition-pruned further when `joinKeys` align with either table's
+    * layout), one join of the pruned slices.
+    *
+    * @param currentA/currentB the snapshots the feeds LEAD TO (the same
+    *        contract as [[applyFeedMinMax]]'s `current`)
+    */
+  def applyFeedJoin(view: DataFrame, feedA: DataFrame, feedB: DataFrame,
+                    currentA: DataFrame, currentB: DataFrame,
+                    joinKeys: Seq[String]): DataFrame = {
+    val keyCols = joinKeys.map(col)
+    val touched = feedA.select(keyCols: _*)
+      .unionByName(feedB.select(keyCols: _*)).distinct()
+    val kept = view.join(touched, joinKeys, "left_anti")
+    val recomputed = currentA.join(touched, joinKeys, "left_semi")
+      .join(currentB.join(touched, joinKeys, "left_semi"), joinKeys)
+    kept.unionByName(recomputed)
+  }
+
   private val AppliedMeta = "_applied_table_version"
+  private val AppliedMetaA = "_applied_table_version_a"
+  private val AppliedMetaB = "_applied_table_version_b"
+
+  /** Create `viewRoot` as a versioned materialized JOIN view of two
+    * versioned tables' live versions, with one atomic watermark PER SIDE
+    * (same exactly-once contract as [[initFollowingView]]).
+    */
+  def initFollowingJoinView(spark: org.apache.spark.sql.SparkSession,
+                            tableRootA: String, tableRootB: String,
+                            viewRoot: String, joinKeys: Seq[String]): String = {
+    val na = graft.sources.Layout.currentVersionNumber(spark, tableRootA)
+    val nb = graft.sources.Layout.currentVersionNumber(spark, tableRootB)
+    graft.sources.Layout.publishVersion(spark, viewRoot,
+      materializeJoin(
+        graft.sources.Layout.readVersion(spark, tableRootA, na),
+        graft.sources.Layout.readVersion(spark, tableRootB, nb), joinKeys),
+      Map(AppliedMetaA -> na.toString, AppliedMetaB -> nb.toString))
+  }
+
+  /** Catch a join view up to BOTH tables' live versions in one commit:
+    * one change feed per side spanning `(applied, current]`, folded via
+    * [[applyFeedJoin]]. Either side's retention loss (its watermark
+    * version vacuumed) falls back to a full rebuild from the live
+    * snapshots — incremental when retention allows, recompute when it
+    * doesn't, never wrong. Already-current on both sides no-ops, so a
+    * replayed refresh commits nothing twice.
+    *
+    * @param rowKeysA/rowKeysB each table's ROW identity (its feed's join
+    *                          keys); `joinKeys` is the VIEW's join
+    * @return ((fromA, toA), (fromB, toB)) applied
+    */
+  def refreshFollowingJoinView(spark: org.apache.spark.sql.SparkSession,
+                               tableRootA: String, tableRootB: String,
+                               viewRoot: String,
+                               rowKeysA: Seq[String], rowKeysB: Seq[String],
+                               joinKeys: Seq[String]): ((Int, Int), (Int, Int)) = {
+    val viewVer = graft.sources.Layout.currentVersionNumber(spark, viewRoot)
+    def watermark(key: String): Int = graft.sources.Layout
+      .versionMeta(spark, viewRoot, viewVer, key)
+      .getOrElse(throw new IllegalStateException(
+        s"$viewRoot v$viewVer has no $key watermark — not a following join view"))
+      .trim.toInt
+    val (appliedA, appliedB) = (watermark(AppliedMetaA), watermark(AppliedMetaB))
+    val curA = graft.sources.Layout.currentVersionNumber(spark, tableRootA)
+    val curB = graft.sources.Layout.currentVersionNumber(spark, tableRootB)
+    if (curA == appliedA && curB == appliedB) return ((appliedA, appliedA), (appliedB, appliedB))
+    require(curA >= appliedA && curB >= appliedB,
+      s"a table is BEHIND the view's watermark (A v$curA/w$appliedA, " +
+        s"B v$curB/w$appliedB) — was a table rolled back?")
+    val snapA = graft.sources.Layout.readVersion(spark, tableRootA, curA)
+    val snapB = graft.sources.Layout.readVersion(spark, tableRootB, curB)
+    val state =
+      if (versionReadable(spark, tableRootA, appliedA) &&
+          versionReadable(spark, tableRootB, appliedB)) {
+        def feed(root: String, from: Int, to: Int, rowKeys: Seq[String],
+                 donor: DataFrame) =
+          if (from == to)
+            // empty feed with the feed's shape — only _change_type and the
+            // join keys are read downstream
+            donor.filter(lit(false)).withColumn("_change_type", lit(""))
+          else graft.sources.Layout.changeFeed(spark, root, from, to, rowKeys)
+        applyFeedJoin(graft.sources.Layout.readCurrent(spark, viewRoot),
+          feed(tableRootA, appliedA, curA, rowKeysA, snapA),
+          feed(tableRootB, appliedB, curB, rowKeysB, snapB),
+          snapA, snapB, joinKeys)
+      } else materializeJoin(snapA, snapB, joinKeys)
+    graft.sources.Layout.publishVersion(spark, viewRoot, state,
+      Map(AppliedMetaA -> curA.toString, AppliedMetaB -> curB.toString))
+    ((appliedA, curA), (appliedB, curB))
+  }
 
   /** Create `viewRoot` as a versioned MATERIALIZED VIEW of `tableRoot`'s
     * live version: the grouped (count, sums) state plus an atomic

@@ -106,6 +106,89 @@ class IncrementalSpec extends SparkSpec {
     assert(canon(next) == Set(("g1", 1L, 5L)))
   }
 
+  // ---------------------------------------------------------- join views
+
+  private def canonJoin(df: DataFrame): Set[(Long, Long, Long, String, Long)] =
+    df.select($"ck", $"id", $"fv", $"g", $"dv")
+      .as[(Long, Long, Long, String, Long)].collect().toSet
+
+  test("join view: affected-key recompute handles updates, deletes, inserts") {
+    val facts = Seq((10L, 1L, 100L), (11L, 1L, 200L), (12L, 2L, 300L))
+      .toDF("id", "ck", "fv")
+    val dims = Seq((1L, "a", 7L), (2L, "b", 8L), (3L, "c", 9L))
+      .toDF("ck", "g", "dv")
+    val view = Incremental.materializeJoin(facts, dims, Seq("ck"))
+    // dim ck=1 renamed a→z (update feed), fact id=12 deleted, fact id=13
+    // inserted under the NEW dim ck=3
+    val feedF = Seq((12L, 2L, 300L, "delete"), (13L, 3L, 400L, "insert"))
+      .toDF("id", "ck", "fv", "_change_type")
+    val feedD = Seq((1L, "a", 7L, "update_pre"), (1L, "z", 7L, "update_post"))
+      .toDF("ck", "g", "dv", "_change_type")
+    val curF = Seq((10L, 1L, 100L), (11L, 1L, 200L), (13L, 3L, 400L))
+      .toDF("id", "ck", "fv")
+    val curD = Seq((1L, "z", 7L), (2L, "b", 8L), (3L, "c", 9L))
+      .toDF("ck", "g", "dv")
+    val next = Incremental.applyFeedJoin(view, feedF, feedD, curF, curD, Seq("ck"))
+    assert(canonJoin(next) == canonJoin(
+      Incremental.materializeJoin(curF, curD, Seq("ck"))))
+  }
+
+  test("join view: untouched keys never re-read the snapshots") {
+    val facts = Seq((10L, 1L, 100L), (12L, 2L, 300L)).toDF("id", "ck", "fv")
+    val dims = Seq((1L, "a", 7L), (2L, "b", 8L)).toDF("ck", "g", "dv")
+    val view = Incremental.materializeJoin(facts, dims, Seq("ck"))
+    // feed touches only ck=2; the "current" snapshots carry DELIBERATELY
+    // WRONG rows under ck=1 — if the fold consulted them for untouched
+    // keys, the wrong values would surface
+    val feedF = Seq((12L, 2L, 300L, "delete")).toDF("id", "ck", "fv", "_change_type")
+    val emptyD = dims.filter(lit(false)).withColumn("_change_type", lit(""))
+    val wrongF = Seq((10L, 1L, -999L)).toDF("id", "ck", "fv")
+    val wrongD = Seq((1L, "WRONG", -1L)).toDF("ck", "g", "dv")
+    val next = Incremental.applyFeedJoin(view, feedF, emptyD, wrongF, wrongD, Seq("ck"))
+    assert(canonJoin(next) == Set((1L, 10L, 100L, "a", 7L)))
+  }
+
+  test("following join view tracks two tables through a random history") {
+    val rnd = new scala.util.Random(171717)
+    val tmp = Files.createTempDirectory("graft_jvm").toString
+    val (fRoot, dRoot, vRoot) = (s"$tmp/f", s"$tmp/d", s"$tmp/v")
+    def facts(rs: (Long, Long, Long)*) = rs.toDF("id", "ck", "fv")
+    def dims(rs: (Long, String, Long)*) = rs.toDF("ck", "g", "dv")
+    Layout.initVersionedPartitioned(
+      facts((1L to 30L).map(i => (i, 1L + i % 6, i * 10)): _*), fRoot, "ck")
+    Layout.initVersionedPartitioned(
+      dims((1L to 8L).map(k => (k, s"g${k % 3}", k * 100)): _*), dRoot, "g")
+    Incremental.initFollowingJoinView(spark, fRoot, dRoot, vRoot, Seq("ck"))
+    (1 to 5).foreach { _ =>
+      if (rnd.nextBoolean()) {
+        val ups = (1 to 1 + rnd.nextInt(5)).map { _ =>
+          val id = 1L + rnd.nextInt(40); (id, 1L + id % 6, rnd.nextInt(500).toLong)
+        }
+        Layout.mergeVersionedPartitioned(spark, fRoot, facts(ups: _*), Seq("id"), "ck")
+      } else if (rnd.nextBoolean()) {
+        val cut = 1L + rnd.nextInt(8)
+        // g stays cut%3: the leaf-pruned merge contract keys the partition
+        Layout.mergeVersionedPartitioned(spark, dRoot,
+          dims((cut, s"g${cut % 3}", rnd.nextInt(900).toLong)), Seq("ck"), "g")
+      } else {
+        Layout.deleteVersionedPartitioned(spark, fRoot,
+          col("id") % 9 === lit(rnd.nextInt(9).toLong), "ck")
+      }
+      Incremental.refreshFollowingJoinView(spark, fRoot, dRoot, vRoot,
+        Seq("id"), Seq("ck"), Seq("ck"))
+      val expect = Incremental.materializeJoin(
+        Layout.readCurrent(spark, fRoot), Layout.readCurrent(spark, dRoot),
+        Seq("ck"))
+      assert(canonJoin(Layout.readCurrent(spark, vRoot)) == canonJoin(expect))
+    }
+    // already-current on both sides: the refresh no-ops (no new commit)
+    val before = Layout.currentVersionNumber(spark, vRoot)
+    val spans = Incremental.refreshFollowingJoinView(spark, fRoot, dRoot, vRoot,
+      Seq("id"), Seq("ck"), Seq("ck"))
+    assert(spans._1._1 == spans._1._2 && spans._2._1 == spans._2._2)
+    assert(Layout.currentVersionNumber(spark, vRoot) == before)
+  }
+
   test("update feeds move sums by exactly the value delta; nulls sum as 0") {
     val a = Seq((1L, "g1", 5L), (2L, "g1", 7L)).toDF("id", "g", "v")
     val state = Incremental.materialize(a, keys, sums)
