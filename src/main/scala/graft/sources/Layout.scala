@@ -1064,6 +1064,154 @@ object Layout {
     } finally updates.unpersist(false)
   }
 
+  /** Conditional MERGE INTO (merge-on-read) on a MANIFEST root — the full
+    * three-clause MERGE a CDC/apply pipeline needs, on top of the same
+    * deletion-vector machinery as [[upsertVersionedRows]] (which is the
+    * unconditional replace-by-key special case):
+    *
+    *  - `whenMatchedDelete = Some(cond)`: a target row whose key matches a
+    *    source row AND satisfies `cond` is DV'd out (no file rewritten);
+    *  - `whenMatchedUpdate = Some((cond, set))`: a matched row NOT taken
+    *    by the delete clause, satisfying `cond`, is DV'd out and its
+    *    updated image (columns in `set` reassigned, everything else kept)
+    *    appended as new files in its leaf;
+    *  - `whenNotMatchedInsert = Some(cond)`: a source row matching no
+    *    target row, satisfying `cond`, is appended.
+    *
+    * Clause `cond`s and `set` values are evaluated per (target, source)
+    * pair: target columns by their plain names, the matching source row's
+    * columns as `src_<name>` (so `col("v") < col("src_v")` means "only
+    * when the incoming row is newer" and `"v" -> col("src_v")` assigns
+    * it). `whenNotMatchedInsert`'s cond sees only the source row, plain
+    * names. Clauses fire delete-first (Delta's clause-order semantics,
+    * fixed), each cond NULL-as-false; a matched pair satisfying no clause
+    * leaves the target row untouched. All expressions must be
+    * deterministic (each is evaluated against a pinned snapshot, but a
+    * non-deterministic `set` would still commit values the cond never
+    * saw).
+    *
+    * Contract: `keys` non-null; a target row matching MORE THAN ONE
+    * source row is ambiguous and throws (the standard MERGE cardinality
+    * error — which source row's clauses would apply?). Source schema must
+    * match the active table exactly (narrow producers upcast at the
+    * door); partition columns cannot be assigned in `set` (delete + insert
+    * move a row across leaves — and the insert clause of the SAME call can
+    * do it). CHECK constraints validate every appended image before any
+    * version is claimed. Cost: O(matched + inserted rows) written +
+    * O(#files) metadata, with the matching scan prefiltered by the
+    * source's first-key [min, max] envelope — the sparse-MERGE shape a
+    * 100 TB table needs. A call where no clause fires is a NO-OP.
+    *
+    * @return the new live version path (or the current one on no-op)
+    */
+  def mergeIntoVersionedRows(spark: SparkSession, root: String,
+                             source0: DataFrame, keys: Seq[String],
+                             whenMatchedDelete: Option[Column] = None,
+                             whenMatchedUpdate: Option[(Column, Map[String, Column])] = None,
+                             whenNotMatchedInsert: Option[Column] = None): String = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      "mergeIntoVersionedRows requires a manifest root — hardlink-mode " +
+        "roots merge copy-on-write via mergeVersionedPartitioned")
+    require(keys.nonEmpty, "mergeIntoVersionedRows: empty key set")
+    require(whenMatchedDelete.isDefined || whenMatchedUpdate.isDefined ||
+      whenNotMatchedInsert.isDefined, "mergeIntoVersionedRows: no clauses")
+    val (cur, _, man) = currentManifest(spark, root)
+    val pcols = man.partitionSchema.fieldNames.toSeq
+    whenMatchedUpdate.foreach { case (_, set) =>
+      require(set.nonEmpty, "mergeIntoVersionedRows: empty update set")
+      set.keys.foreach { k =>
+        require(!pcols.contains(k),
+          s"mergeIntoVersionedRows: cannot assign partition column '$k' — " +
+            "the row would have to move leaves; use a delete clause plus an " +
+            "insert clause (or delete + merge) instead")
+        require(ManifestIndex.activeSchema(man.dataSchema).fieldNames.contains(k),
+          s"mergeIntoVersionedRows: unknown (or dropped) column '$k' " +
+            "(schema evolution is mergeVersionedPartitioned's job)")
+      }
+    }
+    val source = upcastToActive(man, source0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tableFields = ManifestIndex.activeSchema(man.dataSchema) ++
+        man.partitionSchema
+      val tableCols = tableFields.map(f => f.name -> f.dataType).toMap
+      require(source.schema.forall(f => tableCols.get(f.name).contains(f.dataType)) &&
+          source.schema.length == tableCols.size,
+        s"mergeIntoVersionedRows: source schema ${source.schema.simpleString} " +
+          s"must match the table exactly (${tableCols.keys.mkString(",")})")
+      if (source.isEmpty) return cur
+      val snap = ManifestIndex.dataFrame(spark, root, man, lineage = true)
+      // key-range prefilter, as in upsertVersionedRows: two scalars off the
+      // source let stats envelopes prune files holding no candidate key
+      val k0 = keys.head
+      val bounds = source.agg(min(col(s"`$k0`")), max(col(s"`$k0`"))).head()
+      val ranged =
+        if (bounds.isNullAt(0)) snap
+        else snap.filter(col(s"`$k0`") >= lit(bounds.get(0)) &&
+          col(s"`$k0`") <= lit(bounds.get(1)))
+      val src = source.select(source.columns.map(c =>
+        col(s"`$c`").as(s"src_$c")): _*)
+      val onKeys = keys.map(k => col(s"`$k`") === col(s"`src_$k`")).reduce(_ && _)
+      // pinned: every clause cond must see ONE evaluation of the match
+      val matched = ranged.join(src, onKeys, "inner")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val multi = matched
+          .groupBy(col(ManifestIndex.FileCol), col(ManifestIndex.PosCol))
+          .count().filter(col("count") > 1L)
+        require(multi.isEmpty, "mergeIntoVersionedRows: a target row matches " +
+          "more than one source row — which row's clauses would apply? " +
+          "Deduplicate the source on the merge keys first")
+        val t = lit(true)
+        val delCond = whenMatchedDelete.map(c => coalesce(c, lit(false)))
+        val delRows = delCond.map(matched.filter).getOrElse(matched.filter(!t))
+        val updRows = whenMatchedUpdate.map { case (c, _) =>
+          matched.filter(delCond.map(d => !d).getOrElse(t) &&
+            coalesce(c, lit(false)))
+        }.getOrElse(matched.filter(!t))
+        val dvRows = delRows.unionByName(updRows)
+          .select(col(ManifestIndex.FileCol), col(ManifestIndex.PosCol))
+        val updImages = whenMatchedUpdate.map { case (_, set) =>
+          updRows.select(tableFields.map(f =>
+            set.getOrElse(f.name, col(s"`${f.name}`")).as(f.name)): _*)
+        }
+        val insImages = whenNotMatchedInsert.map { c =>
+          source.join(ranged.select(keys.map(k => col(s"`$k`")): _*),
+              keys, "left_anti")
+            .filter(coalesce(c, lit(false)))
+            .select(tableFields.map(f => col(s"`${f.name}`")): _*)
+        }
+        val images = (updImages.toSeq ++ insImages.toSeq)
+          .reduceOption(_ unionByName _)
+        val haveImages = images.exists(df => !df.isEmpty)
+        rowLevelPlan(spark, root, man, dvRows) match {
+          case None if !haveImages => cur // no clause fired
+          case plan =>
+            // validate appended images BEFORE any version is claimed
+            if (haveImages)
+              requireConstraints(images.get, man.constraints, "merged rows")
+            val (next, nextPath) = nextVersion(spark, root, cur)
+            if (haveImages)
+              ManifestIndex.toPhysical(images.get, man.dataSchema)
+                .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*)
+                .parquet(nextPath)
+            val carried = plan match {
+              case Some((counts, allPos)) =>
+                writeDvSidecar(spark, man, counts, allPos, next, nextPath)
+              case None => man.entries
+            }
+            val fresh =
+              if (haveImages)
+                ManifestIndex.listVersionFiles(fsOf(spark, root), root, next)
+              else Seq.empty
+            commitManifest(spark, root, next,
+              man.copy(entries = fresh ++ carried), "MERGE INTO")
+            nextPath
+        }
+      } finally matched.unpersist(false)
+    } finally source.unpersist(false)
+  }
+
   /** Shared head of the row-level writers: key the matched rows'
     * coordinates by [[ManifestIndex.dvKey]] and fold in the positions the
     * touched files' existing DVs already carry, so the commit's sidecar is
@@ -1075,8 +1223,11 @@ object Layout {
   private def rowLevelPlan(spark: SparkSession, root: String,
                            man: ManifestIndex.TableManifest, matched: DataFrame)
       : Option[(Map[String, Long], DataFrame)] = {
+    // keyed by the URL-ENCODED form _metadata.file_path reports — a
+    // literal Path string misses every file under a partition value
+    // needing encoding (space, %, …) and the write silently no-ops there
     val absToKey = man.entries.map(e =>
-      (ManifestIndex.absEntryPath(root, e.path).toString,
+      (ManifestIndex.scanPathOf(root, e.path),
         ManifestIndex.dvKey(e.path)))
     require(absToKey.map(_._2).distinct.size == absToKey.size,
       "dvKey collision: two entries share a version-relative suffix " +

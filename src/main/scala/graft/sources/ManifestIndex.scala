@@ -506,7 +506,9 @@ object ManifestIndex {
       // key by the path RELATIVE to the version dir — one write task emits
       // the same basename into every leaf it touches, so the filename alone
       // collides across leaves
-      val file = r.getAs[String]("__file")
+      // _metadata.file_path is URL-encoded; entry paths are literal —
+      // decode before keying or space-bearing leaves silently lose stats
+      val file = literalScanPath(r.getAs[String]("__file"))
       val marker = s"/$version/"
       byName(file.substring(file.lastIndexOf(marker) + marker.length)) =
         FileStats(rows, cols)
@@ -733,6 +735,22 @@ object ManifestIndex {
   private[sources] def absEntryPath(root: String, p: String): Path =
     if (p.startsWith("/") || p.contains("://")) new Path(p) else new Path(root, p)
 
+  /** The URL-ENCODED form `_metadata.file_path` reports for an entry's
+    * absolute path — the ONE canonical key for joining scan lineage
+    * against manifest entries. Hive leaf names may contain characters
+    * (space, `%`, …) that Spark's `SparkPath` URL-encodes in the metadata
+    * column while `Path.toString` keeps them literal; comparing the two
+    * forms directly silently drops every match under such a partition
+    * value (found as missed MERGE deletes under `pri=4-NOT SPECIFIED`).
+    */
+  private[sources] def scanPathOf(root: String, p: String): String =
+    org.apache.spark.paths.SparkPath.fromPath(absEntryPath(root, p)).urlEncoded
+
+  /** Inverse of the encoding above: the literal path of a
+    * `_metadata.file_path` value, comparable to entry paths. */
+  private[sources] def literalScanPath(urlEncoded: String): String =
+    org.apache.spark.paths.SparkPath.fromUrlString(urlEncoded).toPath.toString
+
   /** Snapshot DataFrame over a manifest (optionally restricted to a leaf
     * subset): one [[HadoopFsRelation]] scan with partition values decoded
     * from leaf names. Output columns = data schema ++ partition schema,
@@ -792,7 +810,7 @@ object ManifestIndex {
         // dvKey → absolute scan path for the kept DV-bearing entries; the
         // DV datasets key on dvKey, the scan reports absolute paths
         val keyToAbs = dvEntries.map(e =>
-          (dvKey(e.path), absEntryPath(root, e.path).toString))
+          (dvKey(e.path), scanPathOf(root, e.path)))
         require(keyToAbs.map(_._1).distinct.size == keyToAbs.size,
           "dvKey collision: two DV-bearing entries share a version-relative " +
             "suffix (multi-source clone) — compact to re-home before reading")

@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.{Layout, ManifestIndex}
+
+/** Conditional MERGE INTO (`Layout.mergeIntoVersionedRows`): three-clause
+  * merge-on-read semantics — delete-first clause order, per-clause
+  * conditions over (target, src_) pairs, untouched non-matching rows, the
+  * multi-match cardinality error, no-op behavior, and no-rewrite entry
+  * identity.
+  */
+class MergeIntoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkRoot(tag: String): (String, DataFrame) = {
+    val root = Files.createTempDirectory(s"graft_mi_$tag").toString + "/t"
+    val df = spark.range(20)
+      .select($"id", ($"id" * 10).cast("long").as("v"),
+        concat(lit("p"), ($"id" % 2).cast("string")).as("part"))
+    Layout.initVersionedManifest(df.repartitionByRange(3, $"id"), root, Seq("part"))
+    (root, df)
+  }
+
+  private def state(root: String): Map[Long, (Long, String)] =
+    Layout.readCurrent(spark, root).select($"id", $"v", $"part")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("three clauses fire delete-first; unmatched target rows untouched") {
+    val (root, _) = mkRoot("full")
+    // source: ids 3 (delete), 5 (update: incoming newer), 6 (matched but no
+    // clause fires: incoming older), 100 (insert), 200 (insert blocked)
+    val src = Seq(
+      (3L, -1L, "p1"), (5L, 999L, "p1"), (6L, 1L, "p0"),
+      (100L, 7L, "p0"), (200L, -5L, "p0")).toDF("id", "v", "part")
+    Layout.mergeIntoVersionedRows(spark, root, src, Seq("id"),
+      whenMatchedDelete = Some(col("src_v") < 0L),
+      whenMatchedUpdate = Some((col("src_v") > col("v"),
+        Map("v" -> col("src_v")))),
+      whenNotMatchedInsert = Some(col("v") >= 0L))
+    val s = state(root)
+    assert(!s.contains(3L))                      // deleted
+    assert(s(5L) == (999L, "p1"))                // updated
+    assert(s(6L) == (60L, "p0"))                 // matched, no clause → kept
+    assert(s(100L) == (7L, "p0"))                // inserted
+    assert(!s.contains(200L))                    // insert cond false
+    assert(s(7L) == (70L, "p1"))                 // unmatched target untouched
+    assert(s.size == 20 - 1 + 1)
+  }
+
+  test("delete clause wins over update on the same row") {
+    val (root, _) = mkRoot("order")
+    val src = Seq((4L, 999L, "p0")).toDF("id", "v", "part")
+    Layout.mergeIntoVersionedRows(spark, root, src, Seq("id"),
+      whenMatchedDelete = Some(lit(true)),
+      whenMatchedUpdate = Some((lit(true), Map("v" -> col("src_v")))))
+    assert(!state(root).contains(4L))
+  }
+
+  test("matched ≡ merge-on-read upsert when clauses are unconditional") {
+    val (miRoot, _) = mkRoot("mi")
+    val (upRoot, _) = mkRoot("up")
+    val src = Seq((2L, 21L, "p0"), (9L, 91L, "p1"), (50L, 1L, "p0"))
+      .toDF("id", "v", "part")
+    Layout.mergeIntoVersionedRows(spark, miRoot, src, Seq("id"),
+      whenMatchedUpdate = Some((lit(true),
+        Map("v" -> col("src_v")))),
+      whenNotMatchedInsert = Some(lit(true)))
+    Layout.upsertVersionedRows(spark, upRoot, src, Seq("id"))
+    assert(state(miRoot) == state(upRoot))
+  }
+
+  test("no data file rewritten; no-op claims no version") {
+    val (root, _) = mkRoot("files")
+    val before = ManifestIndex.read(spark, root, "v00000")
+    Layout.mergeIntoVersionedRows(spark, root,
+      Seq((8L, 0L, "p0")).toDF("id", "v", "part"), Seq("id"),
+      whenMatchedUpdate = Some((lit(true), Map("v" -> lit(0L)))))
+    val after = ManifestIndex.read(spark, root, "v00001")
+    val beforeFiles = before.entries.map(e => (e.path, e.size)).toSet
+    val carried = after.entries.filter(e => e.path.startsWith("v00000/"))
+    assert(carried.map(e => (e.path, e.size)).toSet == beforeFiles)
+    assert(carried.exists(_.dv.isDefined))
+    // a merge where no clause fires commits nothing
+    val cur = Layout.currentVersionNumber(spark, root)
+    val p = Layout.mergeIntoVersionedRows(spark, root,
+      Seq((8L, -1L, "p0")).toDF("id", "v", "part"), Seq("id"),
+      whenMatchedUpdate = Some((col("src_v") > col("v"), Map("v" -> col("src_v")))),
+      whenNotMatchedInsert = Some(lit(false)))
+    assert(Layout.currentVersionNumber(spark, root) == cur)
+    assert(p == Layout.resolveCurrent(spark, root))
+  }
+
+  test("delete-only and insert-only merges work without images/DVs") {
+    val (root, _) = mkRoot("sparse")
+    Layout.mergeIntoVersionedRows(spark, root,
+      Seq((1L, 0L, "p1"), (300L, 3L, "p0")).toDF("id", "v", "part"), Seq("id"),
+      whenMatchedDelete = Some(lit(true)))
+    assert(!state(root).contains(1L) && !state(root).contains(300L))
+    Layout.mergeIntoVersionedRows(spark, root,
+      Seq((301L, 3L, "p1")).toDF("id", "v", "part"), Seq("id"),
+      whenNotMatchedInsert = Some(lit(true)))
+    assert(state(root)(301L) == (3L, "p1"))
+  }
+
+  test("partition values needing URL encoding (space) take DVs and stats") {
+    // regression: _metadata.file_path is URL-encoded (`p=NOT%20SPECIFIED`)
+    // while manifest entry paths are literal — the row-level writers
+    // silently missed every row under such leaves (found via q159 on
+    // orders' `4-NOT SPECIFIED` priority), and attachStats silently
+    // skipped them (metadata COUNT degraded to None)
+    val root = Files.createTempDirectory("graft_mi_enc").toString + "/t"
+    val df = Seq((1L, 10L, "NOT SPECIFIED"), (2L, 20L, "NOT SPECIFIED"),
+      (3L, 30L, "P X"), (4L, 40L, "ok")).toDF("id", "v", "part")
+    Layout.initVersionedManifest(df, root, Seq("part"))
+    assert(Layout.countRows(spark, root).contains(4L)) // stats attached
+    Layout.mergeIntoVersionedRows(spark, root,
+      Seq((1L, 0L, "NOT SPECIFIED"), (3L, 99L, "P X")).toDF("id", "v", "part"),
+      Seq("id"),
+      whenMatchedDelete = Some(col("src_v") === 0L),
+      whenMatchedUpdate = Some((lit(true), Map("v" -> col("src_v")))))
+    assert(state(root) == Map(2L -> (20L, "NOT SPECIFIED"),
+      3L -> (99L, "P X"), 4L -> (40L, "ok")))
+  }
+
+  test("a target row matching two source rows throws the cardinality error") {
+    val (root, _) = mkRoot("multi")
+    val src = Seq((5L, 1L, "p1"), (5L, 2L, "p1")).toDF("id", "v", "part")
+    val e = intercept[IllegalArgumentException] {
+      Layout.mergeIntoVersionedRows(spark, root, src, Seq("id"),
+        whenMatchedUpdate = Some((lit(true), Map("v" -> col("src_v")))))
+    }
+    assert(e.getMessage.contains("more than one source row"))
+  }
+
+  test("partition-column assignment and unknown columns are rejected") {
+    val (root, _) = mkRoot("guard")
+    val src = Seq((5L, 1L, "p1")).toDF("id", "v", "part")
+    intercept[IllegalArgumentException] {
+      Layout.mergeIntoVersionedRows(spark, root, src, Seq("id"),
+        whenMatchedUpdate = Some((lit(true), Map("part" -> lit("p0")))))
+    }
+    intercept[IllegalArgumentException] {
+      Layout.mergeIntoVersionedRows(spark, root, src, Seq("id"),
+        whenMatchedUpdate = Some((lit(true), Map("nope" -> lit(1L)))))
+    }
+  }
+
+  test("CHECK constraints validate updated and inserted images") {
+    val (root, _) = mkRoot("check")
+    Layout.addCheckConstraint(spark, root, "v_nonneg", "v >= 0")
+    val e = intercept[IllegalArgumentException] {
+      Layout.mergeIntoVersionedRows(spark, root,
+        Seq((5L, 77L, "p1")).toDF("id", "v", "part"), Seq("id"),
+        whenMatchedUpdate = Some((lit(true), Map("v" -> lit(-1L)))))
+    }
+    assert(e.getMessage.contains("v_nonneg"))
+    // the failed merge must not have committed anything
+    assert(state(root)(5L) == (50L, "p1"))
+  }
+}
