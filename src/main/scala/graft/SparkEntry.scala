@@ -1837,6 +1837,95 @@ object SparkEntry {
         GROUP BY l_returnflag""")
     }),
 
+    // --- incremental JOIN-view maintenance under the oracle ---
+    // Two versioned tables (orders facts keyed by id, customer dims keyed
+    // by ck) each take DML (fact merge + fact delete; dim delete), and the
+    // materialized inner-join view follows BOTH through change feeds:
+    // affected-key recompute (applyFeedJoin) after each commit. The digest
+    // of the final view state must equal DuckDB joining the final
+    // snapshots directly — delta-maintained ≡ recomputed, for the join
+    // shape q139 proved for aggregates.
+    "q158_incremental_join_view" -> ((s, dir) => {
+      val factsBase = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"), col("o_custkey").as("ck"),
+        col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      val dimsBase = Tables.customer(s, dir).select(
+        col("c_custkey").as("ck"), col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100).cast("long").as("bal"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q158").toString
+      val fRoot = s"$tmp/facts"; val dRoot = s"$tmp/dims"
+      graft.sources.Layout.initVersionedManifest(factsBase, fRoot, Seq("pri"))
+      graft.sources.Layout.initVersionedManifest(dimsBase, dRoot, Seq("seg"))
+      def feedF(a: Int, b: Int) =
+        graft.sources.Layout.changeFeed(s, fRoot, a, b, Seq("id"))
+      def feedD(a: Int, b: Int) =
+        graft.sources.Layout.changeFeed(s, dRoot, a, b, Seq("ck"))
+      def snapF(n: Int) = graft.sources.Layout.readVersion(s, fRoot, n)
+      def snapD(n: Int) = graft.sources.Layout.readVersion(s, dRoot, n)
+      val empty = (d: org.apache.spark.sql.DataFrame) =>
+        d.filter(lit(false)).withColumn("_change_type", lit(""))
+      val v0 = Incremental.materializeJoin(snapF(0), snapD(0), Seq("ck"))
+      // commit 1: fact merge (id%7 rows get v+1000)
+      graft.sources.Layout.mergeVersionedPartitioned(s, fRoot,
+        factsBase.filter(col("id") % 7 === 0).withColumn("v", col("v") + 1000L),
+        Seq("id"), "pri")
+      val v1 = Incremental.applyFeedJoin(v0, feedF(0, 1), empty(snapD(0)),
+        snapF(1), snapD(0), Seq("ck"))
+      // commit 2: dim delete (every 13th customer leaves, orphaning facts)
+      graft.sources.Layout.deleteVersionedPartitioned(s, dRoot,
+        col("ck") % 13 === 0, "seg")
+      val v2 = Incremental.applyFeedJoin(v1, empty(snapF(1)), feedD(0, 1),
+        snapF(1), snapD(1), Seq("ck"))
+      // commit 3: fact delete
+      graft.sources.Layout.deleteVersionedPartitioned(s, fRoot,
+        col("id") % 11 === 0, "pri")
+      Incremental.applyFeedJoin(v2, feedF(1, 2), empty(snapD(1)),
+        snapF(2), snapD(1), Seq("ck"))
+        .groupBy(col("pri"), col("seg"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("v")).as("sum_v"), sum(col("bal")).as("sum_bal"))
+    }),
+
+    // --- conditional MERGE INTO (three clauses, merge-on-read) ---
+    // One MERGE against a manifest table where every clause fires on a
+    // disjoint slice: matched ids divisible by 10 delete, matched rows
+    // with a newer incoming value update (older incoming values leave the
+    // target untouched — the no-clause path), unmatched source rows with
+    // even cents insert. DuckDB mirrors the clause algebra with a left
+    // join + CASE; the DV'd/appended result must be indistinguishable.
+    "q159_merge_into" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"), col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q159").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(base, root, Seq("pri"))
+      val srcMatched = base.filter(col("id") % 5 === 0)
+        .withColumn("v", col("v") +
+          when(col("id") % 2 === 0, 500L).otherwise(-500L))
+      val srcNew = base.filter(col("id") % 9 === 0)
+        .withColumn("id", col("id") + 10000000L)
+      graft.sources.Layout.mergeIntoVersionedRows(s, root,
+        srcMatched.unionByName(srcNew), Seq("id"),
+        whenMatchedDelete = Some(col("id") % 10 === 0),
+        whenMatchedUpdate = Some((col("src_v") > col("v"),
+          Map("v" -> col("src_v")))),
+        whenNotMatchedInsert = Some(col("v") % 2 === 0))
+      graft.sources.Layout.readCurrent(s, root)
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+    }),
+
+    // --- exact-substring duplication spans (Lee et al. 2022 mark phase) ---
+    // Every length-20 token window occurring >= 2 times corpus-wide marks
+    // its [pos, pos+20) interval; per-doc interval union = the maximal
+    // duplicated regions. Spark ships (xxhash64, doc, pos) — the text
+    // never shuffles; the oracle compares gram TEXT, so a hash collision
+    // would surface as a mismatch (none at this scale by birthday bound).
+    "q157_substring_dedup" -> ((s, dir) =>
+      SubstringDedup.duplicatedSpans(Tables.documents(s, dir),
+        "doc_id", "text", gramLen = 20)),
+
     // --- BM25 ranked retrieval over the document corpus ---
     // The targeted-decontamination / corpus-search primitive: rank every
     // document against a bag of query terms with Okapi BM25 (house
@@ -3839,7 +3928,80 @@ object SparkEntry {
           ${dsumSql("l_quantity")} AS sum_qty
         FROM lineitem
         WHERE NOT coalesce(l_quantity < 10.0, FALSE)
-        GROUP BY 1"""
+        GROUP BY 1""",
+
+      // direct join of the FINAL table states — what the delta-maintained
+      // view must equal
+      "q158_incremental_join_view" -> """
+        WITH f AS (SELECT o_orderkey AS id, o_custkey AS ck,
+            o_orderpriority AS pri,
+            CAST(round(o_totalprice * 100) AS BIGINT) +
+              CASE WHEN o_orderkey % 7 = 0 THEN 1000 ELSE 0 END AS v
+          FROM orders WHERE o_orderkey % 11 <> 0),
+        d AS (SELECT c_custkey AS ck, c_mktsegment AS seg,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+          FROM customer WHERE c_custkey % 13 <> 0)
+        SELECT pri, seg, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(v) AS BIGINT) AS sum_v,
+          CAST(sum(bal) AS BIGINT) AS sum_bal
+        FROM f JOIN d USING (ck)
+        GROUP BY 1, 2""",
+
+      // the clause algebra as a left join + CASE over the final state
+      "q159_merge_into" -> """
+        WITH base AS (SELECT o_orderkey AS id, o_orderpriority AS pri,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        m AS (SELECT id, v + CASE WHEN id % 2 = 0 THEN 500 ELSE -500 END AS sv
+          FROM base WHERE id % 5 = 0),
+        survivors AS (SELECT b.pri,
+            CASE WHEN m.id IS NOT NULL AND b.id % 10 <> 0 AND m.sv > b.v
+              THEN m.sv ELSE b.v END AS v
+          FROM base b LEFT JOIN m ON b.id = m.id
+          WHERE m.id IS NULL OR b.id % 10 <> 0),
+        inserted AS (SELECT pri, v FROM base WHERE id % 9 = 0 AND v % 2 = 0),
+        final AS (SELECT pri, v FROM survivors
+          UNION ALL SELECT pri, v FROM inserted)
+        SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(v) AS BIGINT) AS sum_v
+        FROM final GROUP BY 1""",
+
+      // grams compared by TEXT here (Spark compares by xxhash64 — identical
+      // answers absent a 64-bit collision); islands merged by interval
+      // union via the same gaps-and-islands window
+      "q157_substring_dedup" -> """
+        WITH t AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+          FROM t WHERE len(toks) >= 20),
+        g AS (SELECT doc_id, n_tokens, toks,
+            unnest(range(0, n_tokens - 20 + 1)) AS pos FROM d),
+        gh AS (SELECT doc_id, n_tokens, pos,
+            array_to_string(list_slice(toks, pos + 1, pos + 20), ' ') AS gram
+          FROM g),
+        c AS (SELECT gram FROM gh GROUP BY gram HAVING count(*) >= 2),
+        dup AS (SELECT gh.doc_id, gh.n_tokens, gh.pos
+          FROM gh JOIN c USING (gram)),
+        heads AS (SELECT doc_id, n_tokens, pos,
+            CASE WHEN pos > coalesce(max(pos + 20) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS head
+          FROM dup),
+        isl AS (SELECT doc_id, n_tokens, pos,
+            sum(head) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS UNBOUNDED PRECEDING) AS island
+          FROM heads),
+        sp AS (SELECT doc_id, n_tokens, island,
+            count(*) AS grams, min(pos) AS s, max(pos) + 20 AS e
+          FROM isl GROUP BY 1, 2, 3)
+        SELECT doc_id, n_tokens,
+          CAST(sum(grams) AS BIGINT) AS n_dup_grams,
+          CAST(count(*) AS BIGINT) AS n_spans,
+          CAST(sum(e - s) AS BIGINT) AS n_dup_tokens,
+          round(CAST(sum(e - s) AS DOUBLE) / any_value(n_tokens), 6)
+            AS dup_frac
+        FROM sp GROUP BY 1, 2"""
     )
   }
 
