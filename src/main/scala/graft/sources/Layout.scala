@@ -394,6 +394,17 @@ object Layout {
     nextPath
   }
 
+  /** Partition column names of a manifest root's live version — the
+    * columns a caller composing row-level DML (e.g. a CDC apply deriving
+    * an update set) must NOT assign.
+    */
+  def partitionColumns(spark: SparkSession, root: String): Seq[String] = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"partitionColumns requires a manifest root: $root")
+    val (_, _, man) = currentManifest(spark, root)
+    man.partitionSchema.fieldNames.toSeq
+  }
+
   /** Read a metadata file written by [[publishVersion]], if present. */
   def versionMeta(spark: SparkSession, root: String, version: Int,
                   name: String): Option[String] = {
@@ -1102,13 +1113,24 @@ object Layout {
     * source's first-key [min, max] envelope — the sparse-MERGE shape a
     * 100 TB table needs. A call where no clause fires is a NO-OP.
     *
+    * The source may carry EXTRA non-table columns (a CDC op code, a
+    * sequence number): clause conditions and `set` values see them as
+    * `src_<name>` like every other source column, and they never land in
+    * the table (images select exactly the table's columns). Every TABLE
+    * column must still be present with its exact type.
+    *
+    * `txn` makes the commit idempotent per application, exactly as on
+    * [[upsertVersionedRows]]: a replayed (appId, batchId) at or below the
+    * stored watermark no-ops without reading the source.
+    *
     * @return the new live version path (or the current one on no-op)
     */
   def mergeIntoVersionedRows(spark: SparkSession, root: String,
                              source0: DataFrame, keys: Seq[String],
                              whenMatchedDelete: Option[Column] = None,
                              whenMatchedUpdate: Option[(Column, Map[String, Column])] = None,
-                             whenNotMatchedInsert: Option[Column] = None): String = {
+                             whenNotMatchedInsert: Option[Column] = None,
+                             txn: Option[(String, Long)] = None): String = {
     require(ManifestIndex.isManifestRoot(spark, root),
       "mergeIntoVersionedRows requires a manifest root — hardlink-mode " +
         "roots merge copy-on-write via mergeVersionedPartitioned")
@@ -1116,6 +1138,10 @@ object Layout {
     require(whenMatchedDelete.isDefined || whenMatchedUpdate.isDefined ||
       whenNotMatchedInsert.isDefined, "mergeIntoVersionedRows: no clauses")
     val (cur, _, man) = currentManifest(spark, root)
+    txn.foreach { case (app, batch) =>
+      val applied = man.properties.get(ManifestIndex.TxnPrefix + app)
+      if (applied.exists(_.toLong >= batch)) return cur // replay: no-op
+    }
     val pcols = man.partitionSchema.fieldNames.toSeq
     whenMatchedUpdate.foreach { case (_, set) =>
       require(set.nonEmpty, "mergeIntoVersionedRows: empty update set")
@@ -1135,10 +1161,14 @@ object Layout {
       val tableFields = ManifestIndex.activeSchema(man.dataSchema) ++
         man.partitionSchema
       val tableCols = tableFields.map(f => f.name -> f.dataType).toMap
-      require(source.schema.forall(f => tableCols.get(f.name).contains(f.dataType)) &&
-          source.schema.length == tableCols.size,
+      // every TABLE column present with its exact type; EXTRA source
+      // columns (CDC op codes, sequence numbers) ride along as clause
+      // inputs and never land in the table
+      val srcTypes = source.schema.map(f => f.name -> f.dataType).toMap
+      require(tableCols.forall { case (n, t) => srcTypes.get(n).contains(t) },
         s"mergeIntoVersionedRows: source schema ${source.schema.simpleString} " +
-          s"must match the table exactly (${tableCols.keys.mkString(",")})")
+          s"must carry every table column (${tableCols.keys.mkString(",")}) " +
+          "with its exact type")
       if (source.isEmpty) return cur
       val snap = ManifestIndex.dataFrame(spark, root, man, lineage = true)
       // key-range prefilter, as in upsertVersionedRows: two scalars off the
@@ -1205,7 +1235,10 @@ object Layout {
                 ManifestIndex.listVersionFiles(fsOf(spark, root), root, next)
               else Seq.empty
             commitManifest(spark, root, next,
-              man.copy(entries = fresh ++ carried), "MERGE INTO")
+              man.copy(entries = fresh ++ carried,
+                properties = man.properties ++ txn.map { case (app, batch) =>
+                  ManifestIndex.TxnPrefix + app -> batch.toString }),
+              "MERGE INTO")
             nextPath
         }
       } finally matched.unpersist(false)

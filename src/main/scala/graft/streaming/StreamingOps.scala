@@ -148,6 +148,56 @@ object StreamingOps {
     * DVs the images its first run appended and appends identical ones),
     * OCC commit-retry against concurrent maintenance.
     */
+  /** Streaming CDC APPLY — the delete-capable sibling of
+    * [[streamUpsertRows]]: each micro-batch carries the table's columns
+    * plus an op-code column (`opCol`: `"D"` = delete, anything else =
+    * upsert) and an ordering column (`seqCol`: the source's LSN /
+    * sequence number), and applies as ONE conditional
+    * [[graft.sources.Layout.mergeIntoVersionedRows]] per trigger — matched
+    * `"D"` rows DV their live images, matched non-deletes update, unmatched
+    * non-deletes insert (a delete for a missing key no-ops, the standard
+    * CDC tolerance).
+    *
+    * The batch is first COMPACTED to its final op per key (keep-last by
+    * `seqCol` — Debezium-style batches legitimately carry
+    * insert→update→delete chains for one key, and MERGE requires unique
+    * source keys), then committed idempotently via the manifest txn
+    * watermark keyed by the checkpoint path: a replayed batch no-ops
+    * WITHOUT reading its data — exactly-once commits over at-least-once
+    * delivery — and OCC commit-retry rides out concurrent maintenance.
+    */
+  def streamApplyCdcRows(stream: DataFrame, root: String, keys: Seq[String],
+                         opCol: String, seqCol: String,
+                         checkpoint: String): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val lastPerKey = graft.ops.Dedup.keepLast(
+            batch, keys, Seq(col(seqCol).desc))
+          val pcols = graft.sources.Layout.partitionColumns(
+            batch.sparkSession, root)
+          val dataCols = lastPerKey.columns.filterNot(c =>
+            keys.contains(c) || pcols.contains(c) || c == opCol || c == seqCol)
+          graft.sources.Layout.withCommitRetry() {
+            graft.sources.Layout.mergeIntoVersionedRows(
+              batch.sparkSession, root, lastPerKey.drop(seqCol), keys,
+              whenMatchedDelete = Some(col(s"src_$opCol") === "D"),
+              whenMatchedUpdate =
+                if (dataCols.isEmpty) None
+                else Some((col(s"src_$opCol") =!= "D",
+                  dataCols.map(c => c -> col(s"src_$c")).toMap)),
+              whenNotMatchedInsert = Some(col(opCol) =!= "D"),
+              txn = Some((checkpoint, batchId)))
+          }
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
   def streamUpsertRows(stream: DataFrame, root: String, keys: Seq[String],
                        checkpoint: String): StreamingQuery = {
     val q = stream.writeStream

@@ -104,6 +104,38 @@ class MergeIntoSpec extends SparkSpec {
     assert(state(root)(301L) == (3L, "p1"))
   }
 
+  test("extra source columns serve clauses but never land in the table") {
+    val (root, _) = mkRoot("extra")
+    val src = Seq((3L, 0L, "p1", "D"), (5L, 999L, "p1", "U"),
+      (100L, 7L, "p0", "U"), (101L, 8L, "p0", "D"))
+      .toDF("id", "v", "part", "op")
+    Layout.mergeIntoVersionedRows(spark, root, src, Seq("id"),
+      whenMatchedDelete = Some(col("src_op") === "D"),
+      whenMatchedUpdate = Some((col("src_op") =!= "D", Map("v" -> col("src_v")))),
+      whenNotMatchedInsert = Some(col("op") =!= "D"))
+    val s = state(root)
+    assert(!s.contains(3L) && s(5L) == (999L, "p1") && s(100L) == (7L, "p0"))
+    assert(!s.contains(101L)) // unmatched delete op no-ops
+    assert(!Layout.readCurrent(spark, root).columns.contains("op"))
+  }
+
+  test("txn watermark makes replayed merges no-op without reading the source") {
+    val (root, _) = mkRoot("txn")
+    Layout.mergeIntoVersionedRows(spark, root,
+      Seq((5L, 999L, "p1")).toDF("id", "v", "part"), Seq("id"),
+      whenMatchedUpdate = Some((lit(true), Map("v" -> col("src_v")))),
+      txn = Some(("app", 1L)))
+    val ver = Layout.currentVersionNumber(spark, root)
+    // replaying batch 1 (even with different content) must not commit
+    Layout.mergeIntoVersionedRows(spark, root,
+      Seq((6L, 1L, "p0")).toDF("id", "v", "part"), Seq("id"),
+      whenMatchedUpdate = Some((lit(true), Map("v" -> col("src_v")))),
+      txn = Some(("app", 1L)))
+    assert(Layout.currentVersionNumber(spark, root) == ver)
+    val s = state(root)
+    assert(s(5L) == (999L, "p1") && s(6L) == (60L, "p0"))
+  }
+
   test("partition values needing URL encoding (space) take DVs and stats") {
     // regression: _metadata.file_path is URL-encoded (`p=NOT%20SPECIFIED`)
     // while manifest entry paths are literal — the row-level writers

@@ -227,6 +227,46 @@ class StreamingSpec extends SparkSpec {
     assert(Layout.readVersion(spark, root, 0).count() == 3L)
   }
 
+  test("streamApplyCdcRows: op-coded CDC with in-batch chains and deletes (r10)") {
+    import graft.sources.Layout
+    val inDir = Files.createTempDirectory("graft_cdc_in").toString
+    val root = Files.createTempDirectory("graft_cdc_root").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_cdc_ckpt").toString
+    def base(rs: (Long, String, Double)*) = rs.toDF("id", "part", "v")
+    def cdc(rs: (Long, String, Double, String, Long)*) =
+      rs.toDF("id", "part", "v", "op", "seq")
+    Layout.initVersionedManifest(
+      base((1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p2", 30.0)),
+      root, Seq("part"))
+    val schema = cdc((0L, "", 0.0, "", 0L)).schema
+    def state() = Layout.readCurrent(spark, root)
+      .select("id", "part", "v").as[(Long, String, Double)].collect().toSet
+
+    // drain 1: delete id=1; id=4 inserts then updates IN the same batch
+    // (keep-last by seq); delete of missing id=9 tolerated
+    cdc((1L, "p1", 10.0, "D", 1L), (4L, "p3", 40.0, "U", 2L),
+      (4L, "p3", 44.0, "U", 3L), (9L, "p2", 0.0, "D", 4L))
+      .write.mode("append").parquet(inDir)
+    StreamingOps.streamApplyCdcRows(
+      StreamingOps.fileStream(spark, inDir, schema), root, Seq("id"),
+      "op", "seq", ckpt)
+    assert(state() == Set((2L, "p1", 20.0), (3L, "p2", 30.0),
+      (4L, "p3", 44.0)))
+
+    // drain 2 resumes: update id=2, then a later delete for it in the same
+    // batch wins (chain compaction); insert id=5
+    cdc((2L, "p1", 99.0, "U", 5L), (2L, "p1", 99.0, "D", 6L),
+      (5L, "p2", 50.0, "U", 7L))
+      .write.mode("append").parquet(inDir)
+    StreamingOps.streamApplyCdcRows(
+      StreamingOps.fileStream(spark, inDir, schema), root, Seq("id"),
+      "op", "seq", ckpt)
+    assert(state() == Set((3L, "p2", 30.0), (4L, "p3", 44.0),
+      (5L, "p2", 50.0)))
+    // idempotent commits: the manifest txn watermark advanced per batch
+    assert(Layout.readVersion(spark, root, 0).count() == 3L) // time travel
+  }
+
   test("materialized view FOLLOWS a streamed table across checkpoint-resumed drains (r10)") {
     import graft.sources.Layout
     import graft.ops.Incremental
