@@ -1887,6 +1887,22 @@ object SparkEntry {
           sum(col("v")).as("sum_v"), sum(col("bal")).as("sum_bal"))
     }),
 
+    // --- product quantization ANN (ADC over PQ codes) ---
+    // The corpus is PQ-encoded (4 subspaces x 8 seeded centroids — codes,
+    // not floats, are what a 100 TB ANN corpus stores) and 5 queries rank
+    // it by asymmetric distance: per-subspace LUT dot products summed,
+    // never touching the original vectors. DuckDB replays the seeded
+    // codebooks as inline literals (the q38 hyperplane scheme), re-derives
+    // every code and CASE-selects the same LUT entries — encode AND
+    // scoring pinned cross-engine. The trained-codebook path (Lloyd) is
+    // differential-tested in QuantizeSpec.
+    "q160_pq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+      Quantize.adcTopK(Quantize.encode(emb, "embedding", cb),
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", cb, topK = 5)
+    }),
+
     // --- conditional MERGE INTO (three clauses, merge-on-read) ---
     // One MERGE against a manifest table where every clause fires on a
     // disjoint slice: matched ids divisible by 10 delete, matched rows
@@ -3947,6 +3963,20 @@ object SparkEntry {
         FROM f JOIN d USING (ck)
         GROUP BY 1, 2""",
 
+      "q160_pq_ann" -> s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        coded AS (SELECT vec_id, ${duckPqCode(4, 8, 16, 7)} AS code FROM v),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+        scored AS (SELECT q.query_id, c.vec_id AS nn_id,
+            ${duckPqScore(4, 8, 16, 7)} AS s
+          FROM coded c JOIN q ON c.vec_id <> q.query_id),
+        ranked AS (SELECT query_id, nn_id, round(s, 6) AS score,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM scored)
+        SELECT query_id, nn_id, score, rnk FROM ranked WHERE rnk <= 5""",
+
       // the clause algebra as a left join + CASE over the final state
       "q159_merge_into" -> """
         WITH base AS (SELECT o_orderkey AS id, o_orderpriority AS pri,
@@ -4011,6 +4041,41 @@ object SparkEntry {
     * inlined as literal arrays (list_dot_product folds left-to-right like the
     * native DotProduct, so the sign decisions agree exactly).
     */
+  /** DuckDB expression computing [[graft.ops.Quantize.encode]]'s PQ code
+    * array bit-identically: the seeded codebooks are regenerated with the
+    * SAME RNG stream and inlined as literal arrays; the argmin key
+    * (−2·x·c + c·c) and its left-to-right `list_dot_product` folds mirror
+    * the native DotProduct exactly, so the chosen centroid indices agree.
+    */
+  private def duckPqCode(m: Int, k: Int, subDim: Int, seed: Int): String = {
+    val cb = Quantize.seededCodebooks(m, k, subDim, seed)
+    (0 until m).map { j =>
+      val dl = cb(j).map { c =>
+        val lit = c.mkString("[", ",", "]")
+        s"(-2 * list_dot_product(list_slice(e, ${j * subDim + 1}, " +
+          s"${(j + 1) * subDim}), $lit) + list_dot_product($lit, $lit))"
+      }.mkString("[", ", ", "]")
+      s"(list_position($dl, list_min($dl)) - 1)"
+    }.mkString("[", ", ", "]")
+  }
+
+  /** DuckDB expression for [[graft.ops.Quantize.adcTopK]]'s ADC score:
+    * per subspace, a CASE over the code picks the centroid and dots it
+    * with the query's subvector — the same doubles the engine's per-row
+    * LUT produces (it computes all k dots and indexes; each dot is
+    * fold-identical, so the selected value matches).
+    */
+  private def duckPqScore(m: Int, k: Int, subDim: Int, seed: Int): String = {
+    val cb = Quantize.seededCodebooks(m, k, subDim, seed)
+    (0 until m).map { j =>
+      val arms = cb(j).zipWithIndex.map { case (c, i) =>
+        s"WHEN $i THEN list_dot_product(list_slice(qe, ${j * subDim + 1}, " +
+          s"${(j + 1) * subDim}), ${c.mkString("[", ",", "]")})"
+      }.mkString(" ")
+      s"(CASE code[${j + 1}] $arms END)"
+    }.mkString(" + ")
+  }
+
   private def duckBucket(nBits: Int, seed: Int, dim: Int): String =
     (0 until nBits).map { j =>
       val rnd = new scala.util.Random(seed.toLong * 7919 + j)

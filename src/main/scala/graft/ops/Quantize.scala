@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => VF}
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011) — the memory-compression leg of the ANN
+  * stack: a d-dim vector splits into `m` subvectors, each quantized to one
+  * of `k` per-subspace centroids, so the corpus is stored as m small codes
+  * (m·log₂k bits) instead of d floats, and approximate distances are
+  * computed from a per-query lookup table without touching the original
+  * vectors (ADC — asymmetric distance computation). At 100 TB of
+  * embeddings this is the difference between scanning codes (bytes/vector)
+  * and scanning floats (KB/vector); compose with the IVF cell router
+  * ([[Similarity]]) for IVF-PQ, the standard billion-scale layout.
+  *
+  * Everything here is expression-only (native [[VF.dot]] + slices over
+  * literal centroid arrays — codegen'd, no UDFs, no shuffle for encode or
+  * scoring beyond the final top-k), and deterministic: seeded codebooks
+  * regenerate bit-identically engine-side and oracle-side (the same
+  * replay-the-RNG-inline-literals scheme as the LSH hyperplanes), and the
+  * Lloyd trainer's per-iteration reduction is numerically fixed-order.
+  */
+object Quantize {
+
+  /** Deterministic seeded codebooks: `m × k` centroids of `subDim` dims,
+    * 3-decimal values in (-1, 1) from a per-(subspace, centroid) RNG
+    * stream — replayable literally by a SQL oracle. A real deployment
+    * refines them with [[trainCodebooks]]; the seeded book is the
+    * deterministic init (k-means++ would be the quality upgrade).
+    */
+  def seededCodebooks(m: Int, k: Int, subDim: Int,
+                      seed: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m, k) { (j, c) =>
+      val rnd = new scala.util.Random(seed.toLong * 1000003 + j * 131 + c)
+      Array.fill(subDim)(math.rint((rnd.nextDouble() * 2 - 1) * 1e3) / 1e3)
+    }
+
+  private def subCol(vec: Column, j: Int, subDim: Int): Column =
+    slice(vec, j * subDim + 1, subDim)
+
+  /** Squared-distance-to-centroid, argmin-equivalent form: `‖x‖²` is
+    * constant across the k candidates of one subspace, so the comparison
+    * key is `-2·x·c + c·c` — two dot products, both mirrored symbolically
+    * by `list_dot_product` on the oracle side (identical left-to-right
+    * folds → identical doubles → identical argmins).
+    */
+  private def distKey(sub: Column, cent: Array[Double]): Column = {
+    val c = typedLit(cent.toSeq)
+    lit(-2.0) * VF.dot(sub, c) + VF.dot(c, c)
+  }
+
+  /** Append an m-byte PQ `code` column (int array, values in [0, k)) for
+    * `vecCol`. Pure projection — zero shuffle; ties in the argmin take the
+    * LOWEST centroid index on both engines (first match of the min).
+    */
+  def encode(df: DataFrame, vecCol: String,
+             codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val subDim = codebooks(0)(0).length
+    val v = col(vecCol).cast("array<double>")
+    val codes = codebooks.zipWithIndex.map { case (book, j) =>
+      val dists = array(book.map(c => distKey(subCol(v, j, subDim), c)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    df.withColumn("code", array(codes: _*))
+  }
+
+  /** ADC top-k: score every PQ-coded corpus row against every query by
+    * summing, per subspace, the dot product of the query's subvector with
+    * the centroid the code names — the corpus' original vectors are never
+    * read. One broadcast of the (tiny) query set against the coded corpus,
+    * per-query ROW_NUMBER cut; scores are approximate (quantized-corpus)
+    * inner products, ranked (score desc, id) for determinism.
+    *
+    * @return (query_id, nn_id, score [rounded 6dp], rnk)
+    */
+  def adcTopK(codedCorpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, codebooks: Array[Array[Array[Double]]],
+              topK: Int): DataFrame = {
+    val subDim = codebooks(0)(0).length
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qe"))
+    val score = codebooks.zipWithIndex.map { case (book, j) =>
+      // per-row LUT: the k dot products of this query subvector with the
+      // subspace's centroids, indexed by the corpus row's code
+      val lut = array(book.map(c =>
+        VF.dot(subCol(col("__qe"), j, subDim), typedLit(c.toSeq))): _*)
+      element_at(lut, col("code").getItem(j) + 1)
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__s").desc, col(idCol))
+    codedCorpus.select(col(idCol), col("code"))
+      .join(broadcast(q), col(idCol) =!= col("query_id"))
+      .withColumn("__s", score)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col(idCol).as("nn_id"),
+        round(col("__s"), 6).as("score"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Refine seeded codebooks with `iters` Lloyd iterations over the
+    * corpus — per-subspace k-means trained in ONE distributed pass per
+    * iteration for all m subspaces at once: explode to (subspace, subvec)
+    * rows, assign by the same argmin expression [[encode]] uses, reduce
+    * per (subspace, centroid) to per-dimension sums + counts (a single
+    * map-side-combined hash aggregate; `m·k` result rows — driver
+    * metadata, like the IVF trainer), recompute means driver-side. An
+    * emptied centroid keeps its previous position (the deterministic
+    * choice; a production k-means++ reseed would inject data dependence).
+    * Quantization error is non-increasing per iteration — pinned by the
+    * spec.
+    */
+  def trainCodebooks(df: DataFrame, vecCol: String, init: Array[Array[Array[Double]]],
+                     iters: Int): Array[Array[Array[Double]]] = {
+    val m = init.length
+    val subDim = init(0)(0).length
+    val v = col(vecCol).cast("array<double>")
+    val subs = df.select(posexplode(array((0 until m).map(j =>
+        subCol(v, j, subDim)): _*)).as(Seq("j", "sub")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var books = init.map(_.map(_.clone()))
+      (1 to iters).foreach { _ =>
+        val assigned = subs.withColumn("c",
+          (0 until m).map(j => (j, {
+            val dists = array(books(j).map(c => distKey(col("sub"), c)): _*)
+            (array_position(dists, array_min(dists)) - 1).cast("int")
+          })).foldLeft(lit(-1)) { case (acc, (j, code)) =>
+            when(col("j") === j, code).otherwise(acc)
+          })
+        val aggCols = count(lit(1)).as("n") +: (0 until subDim).map(d =>
+          sum(element_at(col("sub"), d + 1)).as(s"s$d"))
+        val sums = assigned.groupBy("j", "c")
+          .agg(aggCols.head, aggCols.tail: _*)
+          .collect()
+        val next = books.map(_.map(_.clone()))
+        sums.foreach { r =>
+          val (j, c, n) = (r.getInt(0), r.getInt(1), r.getLong(2))
+          if (n > 0L)
+            next(j)(c) = Array.tabulate(subDim)(d =>
+              r.getDouble(r.fieldIndex(s"s$d")) / n)
+        }
+        books = next
+      }
+      books
+    } finally subs.unpersist(false)
+  }
+
+  /** Mean squared quantization error of `codebooks` over the corpus — the
+    * objective Lloyd descends; exposed for the trainer's invariant test
+    * and for codebook-quality monitoring.
+    */
+  def quantizationMse(df: DataFrame, vecCol: String,
+                      codebooks: Array[Array[Array[Double]]]): Double = {
+    val subDim = codebooks(0)(0).length
+    val v = col(vecCol).cast("array<double>")
+    val err = codebooks.zipWithIndex.map { case (book, j) =>
+      val sub = subCol(v, j, subDim)
+      val dists = array(book.map { c =>
+        val cl = typedLit(c.toSeq)
+        // true squared distance here (not the argmin-equivalent key):
+        // ‖x‖² − 2x·c + ‖c‖²
+        VF.dot(sub, sub) - lit(2.0) * VF.dot(sub, cl) + VF.dot(cl, cl)
+      }: _*)
+      array_min(dists)
+    }.reduce(_ + _)
+    df.agg(avg(err)).head().getDouble(0)
+  }
+}

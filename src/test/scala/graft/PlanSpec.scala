@@ -282,6 +282,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("q157: substring dedup shuffles hashes, not text — two exchanges total") {
+    val p = plan("q157_substring_dedup")
+    // one exchange on the 64-bit gram hash (the count aggregate and the
+    // positions join share it), one on doc_id (both windows and the final
+    // per-doc aggregate share it); the gram text itself never shuffles
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+    assert(p.contains("xxhash64"), "grams must travel as 64-bit hashes")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+  }
+
   test("q155: BM25 term stats broadcast; the top-k cut is TakeOrderedAndProject") {
     val p = plan("q155_bm25")
     assert(p.contains("TakeOrderedAndProject"),

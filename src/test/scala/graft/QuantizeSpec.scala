@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Quantize, Similarity}
+import graft.sources.Tables
+
+/** Product quantization: code validity and partitioning invariance, the
+  * Lloyd trainer's non-increasing objective, ADC scores against a driver
+  * reference, and PQ-vs-exact ranking sanity on the real embeddings.
+  */
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf("0.01"))
+  private val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+
+  test("codes are in [0, k) and invariant under repartitioning") {
+    val a = Quantize.encode(emb, "embedding", cb)
+      .select($"vec_id", $"code").as[(Long, Seq[Int])].collect().toMap
+    assert(a.values.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+    val b = Quantize.encode(emb.repartition(13), "embedding", cb)
+      .select($"vec_id", $"code").as[(Long, Seq[Int])].collect().toMap
+    assert(a == b)
+  }
+
+  test("Lloyd iterations never increase quantization error; training beats the seed") {
+    val mse0 = Quantize.quantizationMse(emb, "embedding", cb)
+    val cb1 = Quantize.trainCodebooks(emb, "embedding", cb, iters = 1)
+    val mse1 = Quantize.quantizationMse(emb, "embedding", cb1)
+    val cb3 = Quantize.trainCodebooks(emb, "embedding", cb, iters = 3)
+    val mse3 = Quantize.quantizationMse(emb, "embedding", cb3)
+    assert(mse1 <= mse0 && mse3 <= mse1)
+    assert(mse3 < mse0, "three Lloyd steps must strictly improve on a random seed")
+  }
+
+  test("ADC scores equal a driver-side reference computation") {
+    val coded = Quantize.encode(emb, "embedding", cb)
+    val out = Quantize.adcTopK(coded, emb.filter($"vec_id" < 3),
+        "vec_id", "embedding", cb, topK = 500)
+      .select($"query_id", $"nn_id", $"score")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    val codes = coded.select($"vec_id", $"code").as[(Long, Seq[Int])]
+      .collect().toMap
+    out.foreach { case ((qid, nid), s) =>
+      val q = vecs(qid).map(_.toDouble)
+      val expected = (0 until 4).map { j =>
+        val cent = cb(j)(codes(nid)(j))
+        (0 until 16).map(d => q(j * 16 + d) * cent(d)).sum
+      }.sum
+      assert(math.abs(s - expected) < 2e-6,
+        s"query $qid nn $nid: $s vs $expected")
+    }
+    assert(out.nonEmpty)
+  }
+
+  test("training tightens the ADC approximation; recall beats chance (ANN sanity)") {
+    // The synthetic embeddings are near-random UNIT vectors: top-10-of-500
+    // neighbors are noise-driven, so absolute recall is capped for ANY
+    // quantizer (a 64-bit numpy PQ measures ~0.3 here). The invariants
+    // that do hold: (1) Lloyd-trained books approximate the true inner
+    // product strictly better than the seeded books, (2) recall@10 is
+    // well above the 10/500 = 0.02 chance floor.
+    val cbBig = Quantize.seededCodebooks(m = 8, k = 16, subDim = 8, seed = 7)
+    val trained = Quantize.trainCodebooks(emb, "embedding", cbBig, iters = 3)
+    val queries = emb.filter($"vec_id" < 10)
+    def approxErr(book: Array[Array[Array[Double]]]): Double = {
+      val coded = Quantize.encode(emb, "embedding", book)
+      val adc = Quantize.adcTopK(coded, queries, "vec_id", "embedding", book,
+          topK = 499)
+        .select($"query_id", $"nn_id", $"score").as[(Long, Long, Double)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+      val vecs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+        .collect().toMap.view.mapValues(_.map(_.toDouble).toArray).toMap
+      adc.map { case ((q, n), s) =>
+        val t = vecs(q).zip(vecs(n)).map { case (a, b) => a * b }.sum
+        math.abs(s - t)
+      }.sum / adc.size
+    }
+    val (seededErr, trainedErr) = (approxErr(cbBig), approxErr(trained))
+    assert(trainedErr < seededErr,
+      s"training must tighten ADC: $trainedErr vs $seededErr")
+    val pq = Quantize.adcTopK(Quantize.encode(emb, "embedding", trained),
+        queries, "vec_id", "embedding", trained, topK = 10)
+      .select($"query_id", $"nn_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select($"query_id", $"nn_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.map { case (q, nn) =>
+      nn.intersect(pq.getOrElse(q, Set.empty)).size.toDouble / nn.size
+    }.sum / exact.size
+    assert(recall > 0.06, s"recall@10 = $recall (chance = 0.02)")
+  }
+}
