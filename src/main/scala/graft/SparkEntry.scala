@@ -1903,6 +1903,20 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), "vec_id", "embedding", cb, topK = 5)
     }),
 
+    // --- IVF-PQ: coarse cells + PQ codes + ADC within probed cells ---
+    // q79's routing composed with q160's quantization — the standard
+    // billion-scale serving layout, deterministic end to end: cell argmin,
+    // code argmin and LUT sums all tie-break on ids and fold in fixed
+    // order, so DuckDB reproduces the full approximate index exactly.
+    "q161_ivfpq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+      Quantize.ivfPqTopK(emb,
+        centroids = emb.filter(col("vec_id") < 8),
+        queries = emb.filter(col("vec_id") >= 10 && col("vec_id") <= 14),
+        cb, nprobe = 3, topK = 5)
+    }),
+
     // --- conditional MERGE INTO (three clauses, merge-on-read) ---
     // One MERGE against a manifest table where every clause fires on a
     // disjoint slice: matched ids divisible by 10 delete, matched rows
@@ -3962,6 +3976,35 @@ object SparkEntry {
           CAST(sum(bal) AS BIGINT) AS sum_bal
         FROM f JOIN d USING (ck)
         GROUP BY 1, 2""",
+
+      "q161_ivfpq_ann" -> s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+        assigned AS (SELECT nn_id, c_emb, centroid_id FROM (
+          SELECT v.vec_id AS nn_id, v.e AS c_emb, c.cid AS centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+              list_dot_product(v.e, v.e) + list_dot_product(c.ce, c.ce)
+                - 2.0 * list_dot_product(v.e, c.ce), c.cid) AS rn
+          FROM v CROSS JOIN cent c) WHERE rn = 1),
+        coded AS (SELECT nn_id, centroid_id, ${duckPqCode(4, 8, 16, 7)} AS code
+          FROM (SELECT nn_id, centroid_id, c_emb AS e FROM assigned) t),
+        probes AS (SELECT query_id, qe, centroid_id FROM (
+          SELECT q.vec_id AS query_id, q.e AS qe, c.cid AS centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              list_dot_product(q.e, q.e) + list_dot_product(c.ce, c.ce)
+                - 2.0 * list_dot_product(q.e, c.ce), c.cid) AS pr
+          FROM v q CROSS JOIN cent c
+          WHERE q.vec_id >= 10 AND q.vec_id <= 14) WHERE pr <= 3),
+        scored AS (SELECT p.query_id, c.nn_id, c.centroid_id,
+            ${duckPqScore(4, 8, 16, 7)} AS s
+          FROM coded c JOIN probes p ON c.centroid_id = p.centroid_id
+          WHERE c.nn_id <> p.query_id)
+        SELECT query_id, nn_id, centroid_id, score, rnk FROM (
+          SELECT query_id, nn_id, centroid_id, round(s, 6) AS score,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM scored) WHERE rnk <= 5""",
 
       "q160_pq_ann" -> s"""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

@@ -101,6 +101,56 @@ object Quantize {
         round(col("__s"), 6).as("score"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** IVF-PQ serving — the standard billion-scale ANN layout, composed
+    * from the two halves this library already pins separately: the corpus
+    * is routed into coarse cells ([[Similarity.ivfAssign]] — broadcast
+    * centroids, the corpus never shuffles) and stored as PQ CODES; a query
+    * probes its `nprobe` nearest cells and ranks ONLY those cells' codes
+    * by ADC — so query cost is (probed fraction of corpus) × (bytes of
+    * codes), neither a full scan nor a float read. Deterministic end to
+    * end (all ties break on ids), hence oracle-checkable.
+    *
+    * @return (query_id, nn_id, centroid_id, score [ADC, 6dp], rnk)
+    */
+  def ivfPqTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+                codebooks: Array[Array[Array[Double]]],
+                nprobe: Int, topK: Int): DataFrame = {
+    val coded = encode(
+      Similarity.ivfAssign(corpus, centroids)
+        .select(col("vec_id").as("nn_id"), col("embedding"),
+          col("centroid_id")),
+      "embedding", codebooks)
+      .select(col("nn_id"), col("centroid_id"), col("code"))
+    val cent = centroids.select(col("vec_id").as("centroid_id"),
+      col("embedding").as("cent_emb"),
+      VF.dot(col("embedding"), col("embedding")).as("c2"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("qdist"), col("centroid_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        VF.dot(col("embedding"), col("embedding")).as("a2"))
+      .crossJoin(broadcast(cent))
+      .withColumn("qdist",
+        col("a2") + col("c2") - lit(2.0) * VF.dot(col("q_emb"), col("cent_emb")))
+      .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= nprobe)
+      .select(col("query_id"),
+        col("q_emb").cast("array<double>").as("__qe"), col("centroid_id"))
+    val subDim = codebooks(0)(0).length
+    val score = codebooks.zipWithIndex.map { case (book, j) =>
+      val lut = array(book.map(c =>
+        VF.dot(subCol(col("__qe"), j, subDim), typedLit(c.toSeq))): _*)
+      element_at(lut, col("code").getItem(j) + 1)
+    }.reduce(_ + _)
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__s").desc, col("nn_id"))
+    coded.join(broadcast(probes), "centroid_id")
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("__s", score)
+      .withColumn("rnk", row_number().over(wK)).filter(col("rnk") <= topK)
+      .select(col("query_id"), col("nn_id"), col("centroid_id"),
+        round(col("__s"), 6).as("score"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Refine seeded codebooks with `iters` Lloyd iterations over the
     * corpus — per-subspace k-means trained in ONE distributed pass per
     * iteration for all m subspaces at once: explode to (subspace, subvec)

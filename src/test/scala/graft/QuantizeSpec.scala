@@ -57,6 +57,26 @@ class QuantizeSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("IVF-PQ scores agree with flat ADC; results stay inside probed cells") {
+    val centroids = emb.filter($"vec_id" < 8)
+    val queries = emb.filter($"vec_id" >= 10 && $"vec_id" <= 14)
+    val out = Quantize.ivfPqTopK(emb, centroids, queries, cb, nprobe = 3, topK = 5)
+      .select($"query_id", $"nn_id", $"centroid_id", $"score")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // flat ADC over the whole corpus: same codes, same LUT — every IVF-PQ
+    // score must match the flat score for that (query, neighbor) pair
+    val flat = Quantize.adcTopK(Quantize.encode(emb, "embedding", cb),
+        queries, "vec_id", "embedding", cb, topK = 499)
+      .select($"query_id", $"nn_id", $"score").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    out.foreach { case (q, n, _, s) => assert(flat((q, n)) == s) }
+    // membership: each neighbor's cell is one of the query's probed cells
+    val cells = graft.ops.Similarity.ivfAssign(emb, centroids)
+      .select($"vec_id", $"centroid_id").as[(Long, Long)].collect().toMap
+    out.foreach { case (_, n, cell, _) => assert(cells(n) == cell) }
+  }
+
   test("training tightens the ADC approximation; recall beats chance (ANN sanity)") {
     // The synthetic embeddings are near-random UNIT vectors: top-10-of-500
     // neighbors are noise-driven, so absolute recall is capped for ANY
