@@ -1903,6 +1903,30 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), "vec_id", "embedding", cb, topK = 5)
     }),
 
+    // --- the change feed under the oracle, via pure SQL ---
+    // A manifest table takes a keyed merge (+1000 cents on every 7th id)
+    // then a delete (every 11th id), and the v0→v2 feed is read back
+    // through the graft_changes TVF: deletes carry the v0 image,
+    // update_pre/update_post carry the before/after pair. DuckDB mirrors
+    // the expected feed algebra directly from the base table.
+    "q162_sql_change_feed" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"), col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q162").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(base, root, Seq("pri"))
+      graft.sources.Layout.mergeVersionedPartitioned(s, root,
+        base.filter(col("id") % 7 === 0).withColumn("v", col("v") + 1000L),
+        Seq("id"), "pri")
+      graft.sources.Layout.deleteVersionedPartitioned(s, root,
+        col("id") % 11 === 0, "pri")
+      s.sql(s"""
+        SELECT _change_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(v) AS BIGINT) AS sum_v
+        FROM graft_changes('$root', 0, 2, 'id')
+        GROUP BY _change_type""")
+    }),
+
     // --- IVF-PQ: coarse cells + PQ codes + ADC within probed cells ---
     // q79's routing composed with q160's quantization — the standard
     // billion-scale serving layout, deterministic end to end: cell argmin,
@@ -3976,6 +4000,22 @@ object SparkEntry {
           CAST(sum(bal) AS BIGINT) AS sum_bal
         FROM f JOIN d USING (ck)
         GROUP BY 1, 2""",
+
+      // the expected v0→v2 feed, derived from the base table: deletes
+      // carry v0 images; surviving merged ids carry a pre/post pair
+      "q162_sql_change_feed" -> """
+        WITH base AS (SELECT o_orderkey AS id,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        fe AS (
+          SELECT 'delete' AS _change_type, v FROM base WHERE id % 11 = 0
+          UNION ALL
+          SELECT 'update_pre', v FROM base WHERE id % 7 = 0 AND id % 11 <> 0
+          UNION ALL
+          SELECT 'update_post', v + 1000 FROM base
+          WHERE id % 7 = 0 AND id % 11 <> 0)
+        SELECT _change_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(v) AS BIGINT) AS sum_v
+        FROM fe GROUP BY 1""",
 
       "q161_ivfpq_ann" -> s"""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

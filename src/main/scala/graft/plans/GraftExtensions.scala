@@ -146,6 +146,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.sources.Layout.vacuumPlan(spark, root, keep)
           .queryExecution.logical
       }))
+    // graft_changes('/root', from, to, 'k1[,k2,…]') — the change data feed
+    // between two committed versions as a table (insert / delete /
+    // update_pre / update_post rows keyed by the given row identity):
+    //   SELECT _change_type, count(*) FROM
+    //     graft_changes('/data/orders', 0, 2, 'id') GROUP BY 1
+    // Completes the pure-SQL observability surface: state (graft_table),
+    // history (graft_history), pending deletion (graft_vacuum_plan), and
+    // now the delta between any two snapshots — same leaf-identity pruning
+    // as the Scala API (the plan IS Layout.changeFeed's).
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(graft.sources.Layout.getClass.getName, "graft_changes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          s"graft_changes takes (root, from, to, keys), got ${children.size} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val root = strLit(children.headOption, "graft_changes", "root")
+        val keys = strLit(Some(children(3)), "graft_changes", "keys")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(keys.nonEmpty, "graft_changes: empty key list")
+        graft.sources.Layout.changeFeed(spark, root,
+          intLit(children(1), "graft_changes", "from"),
+          intLit(children(2), "graft_changes", "to"), keys)
+          .queryExecution.logical
+      }))
   }
 
   private def strLit(e: Option[Expression], fn: String, arg: String): String =
