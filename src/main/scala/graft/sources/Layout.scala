@@ -394,6 +394,51 @@ object Layout {
     nextPath
   }
 
+  /** Export the live version's data-file list for EXTERNAL engines — the
+    * symlink-format-manifest shape (Delta's Presto/Trino/Athena bridge):
+    * one text file of absolute parquet paths, newline-separated, written
+    * atomically (temp + rename), that an engine with no knowledge of the
+    * versioned layout can glob-read directly (DuckDB:
+    * `read_parquet(read_text-list)`; Trino: symlink table). Re-export
+    * after each commit (or from a change-feed trigger) to follow the
+    * table.
+    *
+    * REFUSED whenever plain files would LIE about the snapshot: any live
+    * entry carrying a deletion vector (an external reader would resurrect
+    * the deleted rows — [[purgeDeletedRows]] first), or a schema with
+    * renames/drops pending (footers speak physical names the external
+    * engine would surface — compaction re-homes them). Type-widened
+    * columns export readable-but-narrow footers; the caller owns that
+    * cast, as every symlink-manifest consumer does.
+    *
+    * @return number of data files listed
+    */
+  def exportFileList(spark: SparkSession, root: String, outFile: String): Int = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"exportFileList requires a manifest root: $root")
+    val (_, _, man) = currentManifest(spark, root)
+    require(man.entries.forall(_.dv.isEmpty),
+      "exportFileList: live entries carry deletion vectors — an external " +
+        "reader of the raw files would resurrect deleted rows; run " +
+        "purgeDeletedRows (or compact) first")
+    val active = ManifestIndex.activeSchema(man.dataSchema)
+    require(active.length == man.dataSchema.length &&
+        active.forall(f => ManifestIndex.physicalName(f) == f.name),
+      "exportFileList: schema has pending renames or dropped columns — " +
+        "raw footers would surface physical names; compact to re-home first")
+    val paths = man.entries.map(e =>
+      ManifestIndex.absEntryPath(root, e.path).toString).sorted
+    val out = new Path(outFile)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(outFile + ".tmp")
+    val os = fs.create(tmp, true)
+    try os.write((paths.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally os.close()
+    fs.delete(out, false)
+    require(fs.rename(tmp, out), s"exportFileList: rename failed for $outFile")
+    paths.size
+  }
+
   /** Partition column names of a manifest root's live version — the
     * columns a caller composing row-level DML (e.g. a CDC apply deriving
     * an update set) must NOT assign.

@@ -374,4 +374,48 @@ class ManifestLayoutSpec extends SparkSpec {
     // and the live snapshot is intact
     assert(state(root).map(_._1) == Set(1L, 2L, 6L))
   }
+
+  test("exportFileList: raw-file readers see the exact snapshot; DVs/renames refuse") {
+    val root = history()
+    val listFile = root + "/_export/files.txt"
+    val n = Layout.exportFileList(spark, root, listFile)
+    val paths = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(listFile)), "UTF-8").trim.split("\n").toSeq
+    assert(paths.size == n && n > 0)
+    // an engine with no layout knowledge reads the listed files directly,
+    // deriving the partition column from the hive dir names (what DuckDB's
+    // hive_partitioning does) — exact snapshot
+    def externalRead(ps: Seq[String]) = spark.read.parquet(ps: _*)
+      .withColumn("part",
+        regexp_extract(input_file_name(), "part=([^/]+)", 1))
+      .select($"id", $"part", $"v").as[(Long, String, Double)].collect().toSet
+    assert(externalRead(paths) == state(root))
+    // carried files from older version dirs are listed by absolute path
+    assert(paths.exists(_.contains("/v00000/")) && paths.exists(_.contains("/v00001/")))
+    // a deletion vector makes raw files lie → refuse, purge, export again.
+    // A dedicated root whose p1 leaf is ONE 3-row file, so deleting one
+    // row leaves a DV-bearing entry (a fully-deleted file would just drop
+    // out of the manifest and export would rightly succeed)
+    val root2 = Files.createTempDirectory("graft_man_exp2").toString
+    val listFile2 = root2 + "/_export/files.txt"
+    Layout.initVersionedManifest(
+      rows((1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p1", 30.0),
+        (6L, "p3", 60.0)).coalesce(1), root2, Seq("part"))
+    Layout.deleteVersionedRows(spark, root2, col("id") === 1L)
+    val e = intercept[IllegalArgumentException] {
+      Layout.exportFileList(spark, root2, listFile2)
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+    Layout.purgeDeletedRows(spark, root2)
+    Layout.exportFileList(spark, root2, listFile2)
+    val paths2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(listFile2)), "UTF-8").trim.split("\n").toSeq
+    assert(externalRead(paths2).map(_._1) == Set(2L, 3L, 6L))
+    // pending renames surface physical names → refuse
+    Layout.renameColumn(spark, root2, "v", "value")
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.exportFileList(spark, root2, listFile2)
+    }
+    assert(e2.getMessage.contains("renames"))
+  }
 }
