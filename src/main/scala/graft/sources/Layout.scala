@@ -1391,6 +1391,11 @@ object Layout {
     require(!man.partitionSchema.fieldNames.contains(oldName),
       s"renameColumn: '$oldName' is a partition column — its name is baked " +
         "into every leaf path; repartitioning is a rewrite, not a rename")
+    require(man.entries.forall(e =>
+        !ManifestIndex.leafSpec(e.leaf).contains(oldName)),
+      s"renameColumn: '$oldName' is dir-encoded in historical leaves " +
+        "(written under an earlier partition spec) — compact to re-spec " +
+        "those leaves first, or the dir values would detach from the column")
     require(ManifestIndex.activeSchema(man.dataSchema).fieldNames.contains(oldName),
       s"renameColumn: no (active) column '$oldName' in " +
         ManifestIndex.activeSchema(man.dataSchema).fieldNames.mkString(","))
@@ -1497,6 +1502,78 @@ object Layout {
     *
     * @return the new live version path
     */
+  /** PARTITION-SPEC EVOLUTION on a manifest root — metadata-only, the
+    * Iceberg move: change what future writes partition by WITHOUT touching
+    * a single existing file. One manifest commit swaps `partitionSchema`
+    * to `newPcols` (columns leaving the spec become ordinary data columns;
+    * columns entering it stop being written to payloads); every existing
+    * entry stays exactly as it is, because each leaf path already
+    * dir-encodes ITS OWN spec (`a=1/b=2`) and the read path scans each
+    * spec group with its own partition schema, unioned behind one
+    * canonical projection. On a 100 TB table whose daily partitioning
+    * stopped matching its query pattern, this is one metadata write — vs
+    * the full rewrite a rigid layout forces.
+    *
+    * What still works on the mixed-spec table: every read (filters prune
+    * the new spec's dirs AND the old files' stats envelopes), time travel,
+    * change feeds, row-level DML (delete/update/upsert/merge-into — they
+    * match by key and DV images wherever they live), vacuum, clone,
+    * history. What is REFUSED until compaction converges the layout: the
+    * leaf-pruned copy-on-write merge/delete (their partition pruning
+    * cannot reason across two specs) and rename/drop of a column that old
+    * leaves dir-encode. [[compactVersionedPartitioned]] re-specs every
+    * old-spec leaf as part of its next run, after which the table is
+    * uniform again.
+    *
+    * Contract: `newPcols` must be live, atomic-typed, physical-identity
+    * columns (never renamed — dir names cannot carry a mapping), disjoint
+    * from declared bloom columns, and different from the current spec.
+    *
+    * @return the new live version path
+    */
+  def repartitionTable(spark: SparkSession, root: String,
+                       newPcols: Seq[String]): String = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"repartitionTable requires a manifest root: $root")
+    val (cur, _, man) = currentManifest(spark, root)
+    val active = ManifestIndex.activeSchema(man.dataSchema)
+    val fieldBy = (active ++ man.partitionSchema).map(f => f.name -> f).toMap
+    require(newPcols.nonEmpty && newPcols.distinct == newPcols,
+      s"repartitionTable: partition columns must be non-empty and distinct, " +
+        s"got ${newPcols.mkString(",")}")
+    require(newPcols != man.partitionSchema.fieldNames.toSeq,
+      s"repartitionTable: table is already partitioned by ${newPcols.mkString(",")}")
+    newPcols.foreach { n =>
+      val f = fieldBy.getOrElse(n, throw new IllegalArgumentException(
+        s"repartitionTable: unknown (or dropped) column '$n'"))
+      require(ManifestIndex.physicalName(f) == f.name,
+        s"repartitionTable: column '$n' has been renamed (physical " +
+          s"'${ManifestIndex.physicalName(f)}') — a dir name cannot carry " +
+          "the mapping; partition columns must be physical-identity")
+      require(!f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+          !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] &&
+          !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType],
+        s"repartitionTable: column '$n' has non-atomic type ${f.dataType} — " +
+          "only atomic types can be dir-encoded")
+    }
+    val blooms = ManifestIndex.bloomColumns(spark, root)
+    require(blooms.forall(b => !newPcols.contains(b)),
+      s"repartitionTable: ${blooms.mkString(",")} are declared bloom " +
+        "columns — a dir-encoded column gets no per-file blooms; unset first")
+    val plain = newPcols.map(n =>
+      org.apache.spark.sql.types.StructField(n, fieldBy(n).dataType,
+        fieldBy(n).nullable))
+    val newData = StructType(
+      (active.filterNot(f => newPcols.contains(f.name)) ++
+        man.partitionSchema.filterNot(f => newPcols.contains(f.name))) ++
+        man.dataSchema.filter(ManifestIndex.isDropped))
+    val (next, nextPath) = nextVersion(spark, root, cur)
+    commitManifest(spark, root, next, man.copy(
+      dataSchema = newData, partitionSchema = StructType(plain)),
+      "REPARTITION")
+    nextPath
+  }
+
   def dropColumn(spark: SparkSession, root: String, name: String): String = {
     require(ManifestIndex.isManifestRoot(spark, root),
       s"dropColumn requires a manifest root: $root")
@@ -1504,6 +1581,12 @@ object Layout {
     require(!man.partitionSchema.fieldNames.contains(name),
       s"dropColumn: '$name' is a partition column — repartitioning is a " +
         "rewrite, not a drop")
+    require(man.entries.forall(e =>
+        !ManifestIndex.leafSpec(e.leaf).contains(name)),
+      s"dropColumn: '$name' is dir-encoded in historical leaves (written " +
+        "under an earlier partition spec) — compact to re-spec those " +
+        "leaves first; a tombstone cannot hide dir values the reader " +
+        "still needs to parse")
     val active = ManifestIndex.activeSchema(man.dataSchema)
     require(active.fieldNames.contains(name),
       s"dropColumn: no (active) column '$name' in ${active.fieldNames.mkString(",")}")
@@ -1735,6 +1818,7 @@ object Layout {
     require(man.partitionSchema.fieldNames.toSeq == pcols,
       s"manifest root $root is partitioned on " +
         s"${man.partitionSchema.fieldNames.mkString(",")}, not ${pcols.mkString(",")}")
+    requireUniformSpec(man, "mergeVersionedPartitioned")
     // a producer that still sends the NARROW type after a widenColumn is
     // upcast at the door (lossless by isWidening) — the schema contract
     // a type widening must not break is the incoming-writer's
@@ -1790,6 +1874,10 @@ object Layout {
   private def deleteManifest(spark: SparkSession, root: String,
                              predicate: Column, pcols: Seq[String]): String = {
     val (cur, _, man) = currentManifest(spark, root)
+    require(man.partitionSchema.fieldNames.toSeq == pcols,
+      s"manifest root $root is partitioned on " +
+        s"${man.partitionSchema.fieldNames.mkString(",")}, not ${pcols.mkString(",")}")
+    requireUniformSpec(man, "deleteVersionedPartitioned")
     val full = ManifestIndex.dataFrame(spark, root, man)
     val affected = affectedLeaves(
       full.filter(predicate).select(pcols.map(col): _*), pcols, root)
@@ -1815,18 +1903,44 @@ object Layout {
     * rewritten, healthy leaves carry as entries. Rewriting also re-homes a
     * clone's absolute-path references into this root, one leaf at a time.
     */
+  /** The leaf-pruned copy-on-write writers cannot reason across two
+    * partition specs (their affected-leaf sets are computed in the CURRENT
+    * spec's value space); after a [[repartitionTable]] they are refused
+    * until compaction converges the layout. Row-level DML stays available
+    * throughout — it matches by key, not by leaf.
+    */
+  private def requireUniformSpec(man: ManifestIndex.TableManifest,
+                                 op: String): Unit = {
+    val spec = man.partitionSchema.fieldNames.toSeq
+    require(man.entries.forall(e => ManifestIndex.leafSpec(e.leaf) == spec),
+      s"$op: the table carries leaves from an earlier partition spec " +
+        s"(repartitionTable) — use row-level DML (upsertVersionedRows / " +
+        "mergeIntoVersionedRows / deleteVersionedRows) or run " +
+        "compactVersionedPartitioned to re-spec old leaves first")
+  }
+
   private def compactManifest(spark: SparkSession, root: String,
                               targetBytes: Long, maxFiles: Int,
                               zOrderCols: Seq[String]): (String, Int) = {
     val (cur, _, man) = currentManifest(spark, root)
+    val currentSpec = man.partitionSchema.fieldNames.toSeq
+    // leaves written under an EARLIER partition spec are always selected:
+    // compaction is where a metadata-only repartitionTable converges to a
+    // uniform physical layout (their rows re-land via partitionBy on the
+    // current spec — one old leaf may fan out into many new ones)
+    val respec = man.leaves.filter(l =>
+      ManifestIndex.leafSpec(l) != currentSpec)
     val fragmented = man.byLeaf.flatMap { case (leaf, es) =>
-      val bytes = es.map(_.size).sum
-      val tooMany = es.length > maxFiles
-      val tooSmall = es.length > 1 && bytes / es.length < targetBytes / 2
-      if (tooMany || tooSmall) Some(leaf -> bytes) else None
+      if (respec.contains(leaf)) None
+      else {
+        val bytes = es.map(_.size).sum
+        val tooMany = es.length > maxFiles
+        val tooSmall = es.length > 1 && bytes / es.length < targetBytes / 2
+        if (tooMany || tooSmall) Some(leaf -> bytes) else None
+      }
     }
     // nothing fragmented → NO-OP, no version claimed (review fix)
-    if (fragmented.isEmpty) return (cur, 0)
+    if (fragmented.isEmpty && respec.isEmpty) return (cur, 0)
     val (next, nextPath) = nextVersion(spark, root, cur)
     // callers name z-order columns LOGICALLY; the rewrite runs on the
     // physically-named frame, so translate through the mapping
@@ -1844,10 +1958,22 @@ object Layout {
         data.coalesce(files)
           .write.mode(SaveMode.Overwrite).parquet(s"$nextPath/$leaf")
     }
+    if (respec.nonEmpty) {
+      // APPEND, not overwrite: the fragmented-leaf rewrites above already
+      // landed in nextPath, and a respec'd row may fan into a leaf one of
+      // them (or a carried entry) also owns — multiple files per leaf are
+      // normal manifest state
+      ManifestIndex.toPhysical(
+          ManifestIndex.dataFrame(spark, root, man, Some(respec)),
+          man.dataSchema)
+        .write.mode(SaveMode.Append)
+        .partitionBy(currentSpec: _*).parquet(nextPath)
+    }
     commitManifest(spark, root, next, man.copy(
       entries = ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++
-        man.entries.filterNot(e => fragmented.contains(e.leaf))), "COMPACT")
-    (nextPath, fragmented.size)
+        man.entries.filterNot(e =>
+          fragmented.contains(e.leaf) || respec.contains(e.leaf))), "COMPACT")
+    (nextPath, fragmented.size + respec.size)
   }
 
   /** Shared manifest-commit tail: version dir always exists (so

@@ -769,6 +769,19 @@ object ManifestIndex {
     * the row-delete writer uses this to address the rows a predicate
     * matched.
     */
+  /** The partition COLUMN NAMES a leaf path dir-encodes, in dir order —
+    * every entry is self-describing (`a=1/b=2` ⇒ Seq(a, b)), which is what
+    * lets [[graft.sources.Layout.repartitionTable]] be metadata-only: the
+    * manifest never records a per-entry spec id, the leaf IS the spec.
+    */
+  private[sources] def leafSpec(leaf: String): Seq[String] =
+    if (leaf.isEmpty) Nil
+    else leaf.split('/').toSeq.map { seg =>
+      val i = seg.indexOf('=')
+      require(i > 0, s"malformed hive leaf segment '$seg' in '$leaf'")
+      ExternalCatalogUtils.unescapePathName(seg.substring(0, i))
+    }
+
   def dataFrame(spark: SparkSession, root: String, m: TableManifest,
                 onlyLeaves: Option[Set[String]] = None,
                 lineage: Boolean = false): DataFrame = {
@@ -776,6 +789,9 @@ object ManifestIndex {
       case Some(ls) => m.entries.filter(e => ls.contains(e.leaf))
       case None => m.entries
     }
+    val currentSpec = m.partitionSchema.fieldNames.toSeq
+    if (kept.exists(e => leafSpec(e.leaf) != currentSpec))
+      return mixedSpecDataFrame(spark, root, m, kept, lineage)
     val zone = spark.sessionState.conf.sessionLocalTimeZone
     val skipByPath: Map[String, FileSkip] = kept.flatMap { e =>
       e.stats.map(s =>
@@ -825,6 +841,83 @@ object ManifestIndex {
           "left_anti")
       }
     if (lineage) applied else applied.drop(FileCol, PosCol)
+  }
+
+  /** Read path for a table whose entries span MORE THAN ONE partition
+    * spec — the state a metadata-only [[graft.sources.Layout.repartitionTable]]
+    * leaves behind until compaction re-specs old leaves. One scan branch
+    * per spec: each branch's dir-encoded columns come from its leaf names
+    * and everything else from its files' payload (schema-on-read
+    * null-fills columns added after the file was written), and the
+    * branches union behind one canonical projection (active logical
+    * columns ++ current partition columns). Catalyst pushes data filters
+    * into every union branch; a predicate on a column dir-encoded in one
+    * branch and payload in another partition-prunes the former and
+    * file-skips (stats envelopes) the latter. Uniform-spec tables never
+    * reach this path — they keep [[dataFrame]]'s single-relation plan
+    * bit-for-bit.
+    */
+  private def mixedSpecDataFrame(spark: SparkSession, root: String,
+                                 m: TableManifest, kept: Seq[Entry],
+                                 lineage: Boolean): DataFrame = {
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val skipByPath: Map[String, FileSkip] = kept.flatMap { e =>
+      e.stats.map(s =>
+        absEntryPath(root, e.path).toString -> decodeStats(s, m.dataSchema, zone))
+    }.toMap
+    val active = activeSchema(m.dataSchema)
+    val fieldBy = (active ++ m.partitionSchema).map(f => f.name -> f).toMap
+    val needLin = lineage || kept.exists(_.dv.isDefined)
+    val branches = kept.groupBy(e => leafSpec(e.leaf)).toSeq
+      .sortBy(_._1.mkString("/"))
+      .map { case (spec, es) =>
+        val pSchema = StructType(spec.map { n =>
+          val f = fieldBy.getOrElse(n, throw new IllegalStateException(
+            s"leaf spec column '$n' is not a live table column — the " +
+              "dropColumn/renameColumn dir-encoded guards should have " +
+              "refused the commit that caused this"))
+          org.apache.spark.sql.types.StructField(f.name, f.dataType,
+            nullable = true)
+        })
+        val payload = StructType((active ++ m.partitionSchema)
+          .filterNot(f => spec.contains(f.name)))
+        val index = new ManifestFileIndex(new Path(root), pSchema,
+          partitionDirectories(spark, root, pSchema, es), skipByPath)
+        val relation = HadoopFsRelation(index, pSchema,
+          physicalSchema(payload), None, new ParquetFileFormat, Map.empty)(
+          spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+        val b0 = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .baseRelationToDataFrame(relation)
+        val cols = (active ++ m.partitionSchema).map { f =>
+          if (spec.contains(f.name)) col(s"`${f.name}`")
+          else col(s"`${physicalName(f)}`").as(f.name)
+        } ++ (if (needLin) Seq(col(s"_metadata.file_path").as(FileCol),
+          col(s"_metadata.row_index").as(PosCol)) else Nil)
+        b0.select(cols: _*)
+      }
+    val base = branches.reduce(_ unionByName _)
+    val dvEntries = kept.filter(_.dv.isDefined)
+    val applied =
+      if (dvEntries.isEmpty) base
+      else {
+        val keyToAbs = dvEntries.map(e =>
+          (dvKey(e.path), scanPathOf(root, e.path)))
+        require(keyToAbs.map(_._1).distinct.size == keyToAbs.size,
+          "dvKey collision: two DV-bearing entries share a version-relative " +
+            "suffix (multi-source clone) — compact to re-home before reading")
+        val mapDf = spark.createDataFrame(keyToAbs).toDF("__dv_key", "__dv_file")
+        val dirs = dvEntries.flatMap(_.dv.map(d =>
+          absEntryPath(root, d.path).toString)).distinct
+        val dv = spark.read.schema(DvSchema).parquet(dirs: _*)
+          .join(mapDf, col("path") === col("__dv_key"))
+          .select(col("__dv_file"), col("pos").as("__dv_pos"))
+        base.join(broadcast(dv),
+          col(FileCol) === col("__dv_file") && col(PosCol) === col("__dv_pos"),
+          "left_anti")
+      }
+    if (lineage) applied
+    else if (needLin) applied.drop(FileCol, PosCol)
+    else applied
   }
 
   /** Schema of a deletion-vector dataset; see [[DvRef]]. */
