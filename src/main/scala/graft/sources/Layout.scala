@@ -1962,7 +1962,9 @@ object Layout {
       // APPEND, not overwrite: the fragmented-leaf rewrites above already
       // landed in nextPath, and a respec'd row may fan into a leaf one of
       // them (or a carried entry) also owns — multiple files per leaf are
-      // normal manifest state
+      // normal manifest state. zOrderCols do not apply here (respec'd rows
+      // fan across leaves via partitionBy; cluster them on the NEXT
+      // compaction, once they live in current-spec leaves)
       ManifestIndex.toPhysical(
           ManifestIndex.dataFrame(spark, root, man, Some(respec)),
           man.dataSchema)
