@@ -183,11 +183,14 @@ object Quantize {
           })
         val aggCols = count(lit(1)).as("n") +: (0 until subDim).map(d =>
           sum(element_at(col("sub"), d + 1)).as(s"s$d"))
-        val sums = assigned.groupBy("j", "c")
+        // m·k result rows — driver METADATA, streamed (not collect()ed,
+        // the same contract as rowLevelPlan's per-file counts)
+        val it = assigned.groupBy("j", "c")
           .agg(aggCols.head, aggCols.tail: _*)
-          .collect()
+          .toLocalIterator()
         val next = books.map(_.map(_.clone()))
-        sums.foreach { r =>
+        while (it.hasNext) {
+          val r = it.next()
           val (j, c, n) = (r.getInt(0), r.getInt(1), r.getLong(2))
           if (n > 0L)
             next(j)(c) = Array.tabulate(subDim)(d =>
