@@ -67,6 +67,22 @@ object Quantize {
     df.withColumn("code", array(codes: _*))
   }
 
+  /** Per-row ADC score: Σⱼ lutⱼ[codeⱼ], where lutⱼ holds the k dot
+    * products of the query's j-th subvector with subspace j's centroids.
+    * SHARED by the flat and IVF serving paths — this is the expression
+    * the q160/q161 oracles replay (CASE-selected `list_dot_product`s), so
+    * its fold order and indexing must never diverge between them.
+    */
+  private def adcScore(qe: Column, code: Column,
+                       codebooks: Array[Array[Array[Double]]]): Column = {
+    val subDim = codebooks(0)(0).length
+    codebooks.zipWithIndex.map { case (book, j) =>
+      val lut = array(book.map(c =>
+        VF.dot(subCol(qe, j, subDim), typedLit(c.toSeq))): _*)
+      element_at(lut, code.getItem(j) + 1)
+    }.reduce(_ + _)
+  }
+
   /** ADC top-k: score every PQ-coded corpus row against every query by
     * summing, per subspace, the dot product of the query's subvector with
     * the centroid the code names — the corpus' original vectors are never
@@ -79,16 +95,9 @@ object Quantize {
   def adcTopK(codedCorpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, codebooks: Array[Array[Array[Double]]],
               topK: Int): DataFrame = {
-    val subDim = codebooks(0)(0).length
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qe"))
-    val score = codebooks.zipWithIndex.map { case (book, j) =>
-      // per-row LUT: the k dot products of this query subvector with the
-      // subspace's centroids, indexed by the corpus row's code
-      val lut = array(book.map(c =>
-        VF.dot(subCol(col("__qe"), j, subDim), typedLit(c.toSeq))): _*)
-      element_at(lut, col("code").getItem(j) + 1)
-    }.reduce(_ + _)
+    val score = adcScore(col("__qe"), col("code"), codebooks)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("__s").desc, col(idCol))
@@ -135,12 +144,7 @@ object Quantize {
       .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= nprobe)
       .select(col("query_id"),
         col("q_emb").cast("array<double>").as("__qe"), col("centroid_id"))
-    val subDim = codebooks(0)(0).length
-    val score = codebooks.zipWithIndex.map { case (book, j) =>
-      val lut = array(book.map(c =>
-        VF.dot(subCol(col("__qe"), j, subDim), typedLit(c.toSeq))): _*)
-      element_at(lut, col("code").getItem(j) + 1)
-    }.reduce(_ + _)
+    val score = adcScore(col("__qe"), col("code"), codebooks)
     val wK = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("__s").desc, col("nn_id"))
     coded.join(broadcast(probes), "centroid_id")

@@ -153,7 +153,16 @@ object Layout {
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE))
     try out.write(version.getBytes("UTF-8")) finally out.close()
-    val dst = new Path(root, CurrentFile)
+    atomicReplace(spark, tmp, new Path(root, CurrentFile))
+  }
+
+  /** Rename `tmp` OVER `dst` so a concurrent reader sees the old or the
+    * new file in full, never a missing or torn one — `FileContext.rename
+    * (OVERWRITE)` on HDFS-like filesystems; a true POSIX rename on the
+    * local filesystem (Hadoop's local overwrite is delete-then-rename,
+    * which has a no-file window).
+    */
+  private def atomicReplace(spark: SparkSession, tmp: Path, dst: Path): Unit = {
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
       fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
@@ -164,7 +173,7 @@ object Layout {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     else
-      fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+      fileContext(spark).rename(tmp, dst, Options.Rename.OVERWRITE)
   }
 
   /** Time travel: path of a SPECIFIC version under a versioned root —
@@ -426,22 +435,29 @@ object Layout {
         active.forall(f => ManifestIndex.physicalName(f) == f.name),
       "exportFileList: schema has pending renames or dropped columns — " +
         "raw footers would surface physical names; compact to re-home first")
+    // mixed specs lie too: hive-partitioning discovery over the list sees
+    // inconsistent keys, and without it each file LOSES its dir-encoded
+    // column — same refusal class as the COW writers (review fix)
+    requireUniformSpec(man, "exportFileList")
     val paths = man.entries.map(e =>
       ManifestIndex.absEntryPath(root, e.path).toString).sorted
     val out = new Path(outFile)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(outFile + ".tmp")
+    fs.mkdirs(out.getParent)
+    // unique temp + atomic overwrite-rename: a poller never sees a missing
+    // list, and concurrent exporters cannot publish each other's bytes
+    val tmp = new Path(outFile + s".tmp-${java.util.UUID.randomUUID}")
     val os = fs.create(tmp, true)
     try os.write((paths.mkString("\n") + "\n").getBytes("UTF-8"))
     finally os.close()
-    fs.delete(out, false)
-    require(fs.rename(tmp, out), s"exportFileList: rename failed for $outFile")
+    atomicReplace(spark, tmp, out)
     paths.size
   }
 
-  /** Partition column names of a manifest root's live version — the
-    * columns a caller composing row-level DML (e.g. a CDC apply deriving
-    * an update set) must NOT assign.
+  /** Partition column names of a manifest root's live version — what a
+    * caller composing row-level DML needs to know which assignments move
+    * rows across leaves ([[mergeIntoVersionedRows]] supports that;
+    * [[updateVersionedRows]] refuses it).
     */
   def partitionColumns(spark: SparkSession, root: String): Seq[String] = {
     require(ManifestIndex.isManifestRoot(spark, root),
@@ -1190,12 +1206,16 @@ object Layout {
     val pcols = man.partitionSchema.fieldNames.toSeq
     whenMatchedUpdate.foreach { case (_, set) =>
       require(set.nonEmpty, "mergeIntoVersionedRows: empty update set")
+      // partition columns ARE assignable here (unlike updateVersionedRows):
+      // matching is by key, and the mechanism is delete+insert anyway —
+      // the old image is DV'd wherever it lives and the new image lands in
+      // its (possibly different) leaf via the partitionBy write, the same
+      // move-correctness upsertVersionedRows documents. A CDC apply needs
+      // this or upstream partition moves silently diverge (review fix).
       set.keys.foreach { k =>
-        require(!pcols.contains(k),
-          s"mergeIntoVersionedRows: cannot assign partition column '$k' — " +
-            "the row would have to move leaves; use a delete clause plus an " +
-            "insert clause (or delete + merge) instead")
-        require(ManifestIndex.activeSchema(man.dataSchema).fieldNames.contains(k),
+        require(
+          (ManifestIndex.activeSchema(man.dataSchema).fieldNames ++ pcols)
+            .contains(k),
           s"mergeIntoVersionedRows: unknown (or dropped) column '$k' " +
             "(schema evolution is mergeVersionedPartitioned's job)")
       }
@@ -1247,8 +1267,15 @@ object Layout {
         val dvRows = delRows.unionByName(updRows)
           .select(col(ManifestIndex.FileCol), col(ManifestIndex.PosCol))
         val updImages = whenMatchedUpdate.map { case (_, set) =>
+          // assignments CAST to the target column's type — a mismatched
+          // set expression must never commit files whose physical type
+          // diverges from the table schema (ANSI casts throw loudly on
+          // invalid runtime values, the Delta assignment semantics);
+          // without this an update-only merge with e.g. an int literal
+          // into a bigint column bricked subsequent reads (review fix)
           updRows.select(tableFields.map(f =>
-            set.getOrElse(f.name, col(s"`${f.name}`")).as(f.name)): _*)
+            set.get(f.name).map(_.cast(f.dataType))
+              .getOrElse(col(s"`${f.name}`")).as(f.name)): _*)
         }
         val insImages = whenNotMatchedInsert.map { c =>
           source.join(ranged.select(keys.map(k => col(s"`$k`")): _*),
@@ -1256,36 +1283,42 @@ object Layout {
             .filter(coalesce(c, lit(false)))
             .select(tableFields.map(f => col(s"`${f.name}`")): _*)
         }
+        // pinned: the emptiness probe, every CHECK constraint and the
+        // write must share one evaluation — unpersisted, each would re-run
+        // the insert clause's snapshot anti-join (review fix)
         val images = (updImages.toSeq ++ insImages.toSeq)
           .reduceOption(_ unionByName _)
-        val haveImages = images.exists(df => !df.isEmpty)
-        rowLevelPlan(spark, root, man, dvRows) match {
-          case None if !haveImages => cur // no clause fired
-          case plan =>
-            // validate appended images BEFORE any version is claimed
-            if (haveImages)
-              requireConstraints(images.get, man.constraints, "merged rows")
-            val (next, nextPath) = nextVersion(spark, root, cur)
-            if (haveImages)
-              ManifestIndex.toPhysical(images.get, man.dataSchema)
-                .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*)
-                .parquet(nextPath)
-            val carried = plan match {
-              case Some((counts, allPos)) =>
-                writeDvSidecar(spark, man, counts, allPos, next, nextPath)
-              case None => man.entries
-            }
-            val fresh =
+          .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        try {
+          val haveImages = images.exists(df => !df.isEmpty)
+          rowLevelPlan(spark, root, man, dvRows) match {
+            case None if !haveImages => cur // no clause fired
+            case plan =>
+              // validate appended images BEFORE any version is claimed
               if (haveImages)
-                ManifestIndex.listVersionFiles(fsOf(spark, root), root, next)
-              else Seq.empty
-            commitManifest(spark, root, next,
-              man.copy(entries = fresh ++ carried,
-                properties = man.properties ++ txn.map { case (app, batch) =>
-                  ManifestIndex.TxnPrefix + app -> batch.toString }),
-              "MERGE INTO")
-            nextPath
-        }
+                requireConstraints(images.get, man.constraints, "merged rows")
+              val (next, nextPath) = nextVersion(spark, root, cur)
+              if (haveImages)
+                ManifestIndex.toPhysical(images.get, man.dataSchema)
+                  .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*)
+                  .parquet(nextPath)
+              val carried = plan match {
+                case Some((counts, allPos)) =>
+                  writeDvSidecar(spark, man, counts, allPos, next, nextPath)
+                case None => man.entries
+              }
+              val fresh =
+                if (haveImages)
+                  ManifestIndex.listVersionFiles(fsOf(spark, root), root, next)
+                else Seq.empty
+              commitManifest(spark, root, next,
+                man.copy(entries = fresh ++ carried,
+                  properties = man.properties ++ txn.map { case (app, batch) =>
+                    ManifestIndex.TxnPrefix + app -> batch.toString }),
+                "MERGE INTO")
+              nextPath
+          }
+        } finally images.foreach(_.unpersist(false))
       } finally matched.unpersist(false)
     } finally source.unpersist(false)
   }
@@ -1739,7 +1772,17 @@ object Layout {
                             leaves: Map[String, Seq[ManifestIndex.Entry]],
                             targetBytes: Long, operation: String): String = {
     val (next, nextPath) = nextVersion(spark, root, cur)
-    leaves.toSeq.sortBy(_._1).foreach { case (leaf, es) =>
+    val currentSpec = man.partitionSchema.fieldNames.toSeq
+    // leaves written under an EARLIER partition spec must re-land via
+    // partitionBy on the current spec: the leaf-to-leaf shape below drops
+    // the current partition columns, which for an old-spec file live in
+    // its PAYLOAD (not its dir names) — dropping them would null the
+    // column for every row on the next read (review fix; same re-spec
+    // convergence as compactManifest)
+    val (samespec, oldspec) = leaves.partition { case (l, _) =>
+      ManifestIndex.leafSpec(l) == currentSpec
+    }
+    samespec.toSeq.sortBy(_._1).foreach { case (leaf, es) =>
       val files = math.max(1L,
         math.ceil(es.map(_.size).sum.toDouble / targetBytes).toLong).toInt
       ManifestIndex.toPhysical(
@@ -1748,6 +1791,12 @@ object Layout {
         .coalesce(files)
         .write.mode(SaveMode.Overwrite).parquet(s"$nextPath/$leaf")
     }
+    if (oldspec.nonEmpty)
+      ManifestIndex.toPhysical(
+          ManifestIndex.dataFrame(spark, root, man, Some(oldspec.keySet)),
+          man.dataSchema)
+        .write.mode(SaveMode.Append)
+        .partitionBy(currentSpec: _*).parquet(nextPath)
     commitManifest(spark, root, next, man.copy(
       entries = ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++
         man.entries.filterNot(e => leaves.contains(e.leaf))), operation)

@@ -792,11 +792,7 @@ object ManifestIndex {
     val currentSpec = m.partitionSchema.fieldNames.toSeq
     if (kept.exists(e => leafSpec(e.leaf) != currentSpec))
       return mixedSpecDataFrame(spark, root, m, kept, lineage)
-    val zone = spark.sessionState.conf.sessionLocalTimeZone
-    val skipByPath: Map[String, FileSkip] = kept.flatMap { e =>
-      e.stats.map(s =>
-        absEntryPath(root, e.path).toString -> decodeStats(s, m.dataSchema, zone))
-    }.toMap
+    val skipByPath = skipMapOf(spark, root, m, kept)
     val active = activeSchema(m.dataSchema)
     val index = new ManifestFileIndex(new Path(root), m.partitionSchema,
       partitionDirectories(spark, root, m.partitionSchema, kept), skipByPath)
@@ -820,27 +816,35 @@ object ManifestIndex {
     val withLin = base.select(base.columns.map(col) ++ Seq(
       col(s"_metadata.file_path").as(FileCol),
       col(s"_metadata.row_index").as(PosCol)): _*)
-    val applied =
-      if (dvEntries.isEmpty) withLin
-      else {
-        // dvKey → absolute scan path for the kept DV-bearing entries; the
-        // DV datasets key on dvKey, the scan reports absolute paths
-        val keyToAbs = dvEntries.map(e =>
-          (dvKey(e.path), scanPathOf(root, e.path)))
-        require(keyToAbs.map(_._1).distinct.size == keyToAbs.size,
-          "dvKey collision: two DV-bearing entries share a version-relative " +
-            "suffix (multi-source clone) — compact to re-home before reading")
-        val mapDf = spark.createDataFrame(keyToAbs).toDF("__dv_key", "__dv_file")
-        val dirs = dvEntries.flatMap(_.dv.map(d =>
-          absEntryPath(root, d.path).toString)).distinct
-        val dv = spark.read.schema(DvSchema).parquet(dirs: _*)
-          .join(mapDf, col("path") === col("__dv_key"))
-          .select(col("__dv_file"), col("pos").as("__dv_pos"))
-        withLin.join(broadcast(dv),
-          col(FileCol) === col("__dv_file") && col(PosCol) === col("__dv_pos"),
-          "left_anti")
-      }
+    val applied = applyDvAntiJoin(spark, root, dvEntries, withLin)
     if (lineage) applied else applied.drop(FileCol, PosCol)
+  }
+
+  /** One broadcast anti-join dropping every (file, position) the given
+    * entries' deletion vectors name; `df` must already carry
+    * [[FileCol]]/[[PosCol]]. SHARED by the uniform and mixed-spec read
+    * paths — DV semantics (and the URL-encoded-path keying) must never
+    * diverge between them.
+    */
+  private def applyDvAntiJoin(spark: SparkSession, root: String,
+                              dvEntries: Seq[Entry], df: DataFrame): DataFrame = {
+    if (dvEntries.isEmpty) return df
+    // dvKey → absolute scan path for the kept DV-bearing entries; the
+    // DV datasets key on dvKey, the scan reports absolute paths
+    val keyToAbs = dvEntries.map(e =>
+      (dvKey(e.path), scanPathOf(root, e.path)))
+    require(keyToAbs.map(_._1).distinct.size == keyToAbs.size,
+      "dvKey collision: two DV-bearing entries share a version-relative " +
+        "suffix (multi-source clone) — compact to re-home before reading")
+    val mapDf = spark.createDataFrame(keyToAbs).toDF("__dv_key", "__dv_file")
+    val dirs = dvEntries.flatMap(_.dv.map(d =>
+      absEntryPath(root, d.path).toString)).distinct
+    val dv = spark.read.schema(DvSchema).parquet(dirs: _*)
+      .join(mapDf, col("path") === col("__dv_key"))
+      .select(col("__dv_file"), col("pos").as("__dv_pos"))
+    df.join(broadcast(dv),
+      col(FileCol) === col("__dv_file") && col(PosCol) === col("__dv_pos"),
+      "left_anti")
   }
 
   /** Read path for a table whose entries span MORE THAN ONE partition
@@ -857,14 +861,23 @@ object ManifestIndex {
     * reach this path — they keep [[dataFrame]]'s single-relation plan
     * bit-for-bit.
     */
-  private def mixedSpecDataFrame(spark: SparkSession, root: String,
-                                 m: TableManifest, kept: Seq[Entry],
-                                 lineage: Boolean): DataFrame = {
+  /** Per-file skip envelopes keyed by literal absolute path — shared by
+    * both read paths (the keys must match the FileStatus paths the
+    * manifest index synthesizes, not the URL-encoded scan form).
+    */
+  private def skipMapOf(spark: SparkSession, root: String, m: TableManifest,
+                        kept: Seq[Entry]): Map[String, FileSkip] = {
     val zone = spark.sessionState.conf.sessionLocalTimeZone
-    val skipByPath: Map[String, FileSkip] = kept.flatMap { e =>
+    kept.flatMap { e =>
       e.stats.map(s =>
         absEntryPath(root, e.path).toString -> decodeStats(s, m.dataSchema, zone))
     }.toMap
+  }
+
+  private def mixedSpecDataFrame(spark: SparkSession, root: String,
+                                 m: TableManifest, kept: Seq[Entry],
+                                 lineage: Boolean): DataFrame = {
+    val skipByPath = skipMapOf(spark, root, m, kept)
     val active = activeSchema(m.dataSchema)
     val fieldBy = (active ++ m.partitionSchema).map(f => f.name -> f).toMap
     val needLin = lineage || kept.exists(_.dv.isDefined)
@@ -896,25 +909,7 @@ object ManifestIndex {
         b0.select(cols: _*)
       }
     val base = branches.reduce(_ unionByName _)
-    val dvEntries = kept.filter(_.dv.isDefined)
-    val applied =
-      if (dvEntries.isEmpty) base
-      else {
-        val keyToAbs = dvEntries.map(e =>
-          (dvKey(e.path), scanPathOf(root, e.path)))
-        require(keyToAbs.map(_._1).distinct.size == keyToAbs.size,
-          "dvKey collision: two DV-bearing entries share a version-relative " +
-            "suffix (multi-source clone) — compact to re-home before reading")
-        val mapDf = spark.createDataFrame(keyToAbs).toDF("__dv_key", "__dv_file")
-        val dirs = dvEntries.flatMap(_.dv.map(d =>
-          absEntryPath(root, d.path).toString)).distinct
-        val dv = spark.read.schema(DvSchema).parquet(dirs: _*)
-          .join(mapDf, col("path") === col("__dv_key"))
-          .select(col("__dv_file"), col("pos").as("__dv_pos"))
-        base.join(broadcast(dv),
-          col(FileCol) === col("__dv_file") && col(PosCol) === col("__dv_pos"),
-          "left_anti")
-      }
+    val applied = applyDvAntiJoin(spark, root, kept.filter(_.dv.isDefined), base)
     if (lineage) applied
     else if (needLin) applied.drop(FileCol, PosCol)
     else applied

@@ -175,10 +175,13 @@ object StreamingOps {
         if (!batch.isEmpty) {
           val lastPerKey = graft.ops.Dedup.keepLast(
             batch, keys, Seq(col(seqCol).desc))
-          val pcols = graft.sources.Layout.partitionColumns(
-            batch.sparkSession, root)
+          // partition columns are IN the update set: an upstream partition
+          // move (Debezium update carrying the full new image) must move
+          // the row — mergeInto DVs the old image wherever it lives and
+          // the new image lands in its new leaf (review fix; excluding
+          // them silently diverged from the source of truth)
           val dataCols = lastPerKey.columns.filterNot(c =>
-            keys.contains(c) || pcols.contains(c) || c == opCol || c == seqCol)
+            keys.contains(c) || c == opCol || c == seqCol)
           graft.sources.Layout.withCommitRetry() {
             graft.sources.Layout.mergeIntoVersionedRows(
               batch.sparkSession, root, lastPerKey.drop(seqCol), keys,

@@ -166,17 +166,31 @@ class MergeIntoSpec extends SparkSpec {
     assert(e.getMessage.contains("more than one source row"))
   }
 
-  test("partition-column assignment and unknown columns are rejected") {
+  test("partition-column assignment MOVES the row; unknown columns reject") {
     val (root, _) = mkRoot("guard")
-    val src = Seq((5L, 1L, "p1")).toDF("id", "v", "part")
+    // id=5 lives in p1 (5 % 2 = 1); assigning part moves it: old image
+    // DV'd in p1, new image appended under p0 — exactly one row survives
+    Layout.mergeIntoVersionedRows(spark, root,
+      Seq((5L, 1L, "p1")).toDF("id", "v", "part"), Seq("id"),
+      whenMatchedUpdate = Some((lit(true),
+        Map("part" -> lit("p0"), "v" -> col("src_v")))))
+    assert(state(root)(5L) == (1L, "p0"))
+    assert(Layout.readCurrent(spark, root).filter($"id" === 5L).count() == 1L)
     intercept[IllegalArgumentException] {
-      Layout.mergeIntoVersionedRows(spark, root, src, Seq("id"),
-        whenMatchedUpdate = Some((lit(true), Map("part" -> lit("p0")))))
-    }
-    intercept[IllegalArgumentException] {
-      Layout.mergeIntoVersionedRows(spark, root, src, Seq("id"),
+      Layout.mergeIntoVersionedRows(spark, root,
+        Seq((5L, 1L, "p0")).toDF("id", "v", "part"), Seq("id"),
         whenMatchedUpdate = Some((lit(true), Map("nope" -> lit(1L)))))
     }
+  }
+
+  test("update-set expressions cast to the target column type") {
+    val (root, _) = mkRoot("settype")
+    // an INT literal into the BIGINT column must commit as BIGINT (not
+    // brick the next read with an INT32 footer under a LONG schema)
+    Layout.mergeIntoVersionedRows(spark, root,
+      Seq((5L, 0L, "p1")).toDF("id", "v", "part"), Seq("id"),
+      whenMatchedUpdate = Some((lit(true), Map("v" -> lit(7)))))
+    assert(state(root)(5L) == (7L, "p1"))
   }
 
   test("CHECK constraints validate updated and inserted images") {

@@ -112,6 +112,28 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(Layout.readCurrent(spark, root).columns.contains("geo"))
   }
 
+  test("purge on a mixed layout re-specs touched old leaves, values intact") {
+    val root = evolved()
+    // DV a row in an OLD-spec (region=…) file, then purge: the rewrite
+    // must re-land the leaf under the CURRENT spec with its payload
+    // bucket values preserved (the leaf-to-leaf shape would have dropped
+    // the bucket column and null-filled it on read — review fix)
+    Layout.deleteVersionedRows(spark, root, $"id" === 1L)
+    Layout.purgeDeletedRows(spark, root)
+    assert(state(root) == Set(
+      (2L, "eu", "b2", 99.0), (3L, "us", "b1", 30.0),
+      (4L, "us", "b2", 40.0), (5L, "ap", "b1", 50.0)))
+    assert(Layout.readCurrent(spark, root).filter($"bucket".isNull).isEmpty)
+    // exportFileList refuses the still-mixed layout (raw files would lose
+    // dir-encoded columns), then works after compaction converges it
+    intercept[IllegalArgumentException] {
+      Layout.exportFileList(spark, root, root + "/_export/files.txt")
+    }
+    Layout.compactVersionedPartitioned(spark, root, targetBytes = 128L << 20)
+    assert(Layout.exportFileList(spark, root,
+      root + "/_export/files.txt") > 0)
+  }
+
   test("change feed across the evolution commit is empty; across DML is exact") {
     val root = evolved()
     // v0 -> v1 is the REPARTITION commit: entries unchanged, no changes

@@ -263,6 +263,14 @@ class StreamingSpec extends SparkSpec {
       "op", "seq", ckpt)
     assert(state() == Set((3L, "p2", 30.0), (4L, "p3", 44.0),
       (5L, "p2", 50.0)))
+    // drain 3: an upstream PARTITION MOVE (id=4 p3 -> p1) must move the
+    // row, not silently keep the old leaf's value
+    cdc((4L, "p1", 45.0, "U", 8L)).write.mode("append").parquet(inDir)
+    StreamingOps.streamApplyCdcRows(
+      StreamingOps.fileStream(spark, inDir, schema), root, Seq("id"),
+      "op", "seq", ckpt)
+    assert(state() == Set((3L, "p2", 30.0), (4L, "p1", 45.0),
+      (5L, "p2", 50.0)))
     // idempotent commits: the manifest txn watermark advanced per batch
     assert(Layout.readVersion(spark, root, 0).count() == 3L) // time travel
   }
