@@ -262,4 +262,42 @@ object StreamingOps {
     q.awaitTermination()
     q
   }
+
+  /** Streaming facts with a materialized JOIN view following along: each
+    * micro-batch (1) upserts the fact table merge-on-read (idempotent via
+    * the txn watermark, like [[streamUpsertRows]]), then (2) catches the
+    * join view of (facts ⋈ dims) up to BOTH tables' live versions in one
+    * commit ([[graft.ops.Incremental.refreshFollowingJoinView]]) — so a
+    * dim merge landed by another job between triggers folds into the view
+    * on the next batch, affected-key pruned. Both commits ride OCC
+    * commit-retry; a replayed batch no-ops on the table (txn watermark)
+    * and the view refresh no-ops on its per-side watermarks — end to end
+    * the table AND the view converge to exactly-once content.
+    */
+  def streamUpsertRowsWithJoinView(stream: DataFrame, factRoot: String,
+                                   keys: Seq[String], checkpoint: String,
+                                   dimRoot: String, viewRoot: String,
+                                   rowKeysDim: Seq[String],
+                                   joinKeys: Seq[String]): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.Layout.withCommitRetry() {
+            graft.sources.Layout.upsertVersionedRows(
+              batch.sparkSession, factRoot, batch, keys,
+              txn = Some((checkpoint, batchId)))
+          }
+          graft.sources.Layout.withCommitRetry() {
+            graft.ops.Incremental.refreshFollowingJoinView(
+              batch.sparkSession, factRoot, dimRoot, viewRoot,
+              keys, rowKeysDim, joinKeys)
+          }
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
 }

@@ -333,6 +333,50 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet)
   }
 
+  test("join view FOLLOWS a streamed fact table and a batch-merged dim (r10)") {
+    import graft.sources.Layout
+    import graft.ops.Incremental
+    val inDir = Files.createTempDirectory("graft_sjv_in").toString
+    val tmp = Files.createTempDirectory("graft_sjv").toString
+    val (fRoot, dRoot, vRoot) = (s"$tmp/f", s"$tmp/d", s"$tmp/v")
+    val ckpt = s"$tmp/ckpt"
+    def facts(rs: (Long, Long, Double)*) = rs.toDF("id", "ck", "fv")
+    def dims(rs: (Long, String, String)*) = rs.toDF("ck", "seg", "g")
+    Layout.initVersionedManifest(
+      facts((1L, 1L, 10.0), (2L, 2L, 20.0)), fRoot, Seq("ck"))
+    Layout.initVersionedManifest(
+      dims((1L, "a", "g1"), (2L, "b", "g1"), (3L, "c", "g2")), dRoot, Seq("g"))
+    Incremental.initFollowingJoinView(spark, fRoot, dRoot, vRoot, Seq("ck"))
+    val schema = facts((0L, 0L, 0.0)).schema
+    def viewState() = Layout.readCurrent(spark, vRoot)
+      .select($"ck", $"id", $"fv", $"seg").as[(Long, Long, Double, String)]
+      .collect().toSet
+    def expect() = Incremental.materializeJoin(
+        Layout.readCurrent(spark, fRoot), Layout.readCurrent(spark, dRoot),
+        Seq("ck"))
+      .select($"ck", $"id", $"fv", $"seg").as[(Long, Long, Double, String)]
+      .collect().toSet
+
+    // drain 1: replace fact 2, insert fact 3 under dim ck=3
+    facts((2L, 2L, 99.0), (3L, 3L, 30.0)).write.mode("append").parquet(inDir)
+    StreamingOps.streamUpsertRowsWithJoinView(
+      StreamingOps.fileStream(spark, inDir, schema), fRoot, Seq("id"), ckpt,
+      dRoot, vRoot, Seq("ck"), Seq("ck"))
+    assert(viewState() == expect())
+    assert(viewState().map(_._2) == Set(1L, 2L, 3L))
+
+    // a BATCH dim merge lands between triggers (seg of ck=1 changes) —
+    // the next drain's refresh must fold it in, affected-key pruned
+    Layout.mergeVersionedPartitioned(spark, dRoot,
+      dims((1L, "z", "g1")), Seq("ck"), "g")
+    facts((4L, 1L, 40.0)).write.mode("append").parquet(inDir)
+    StreamingOps.streamUpsertRowsWithJoinView(
+      StreamingOps.fileStream(spark, inDir, schema), fRoot, Seq("id"), ckpt,
+      dRoot, vRoot, Seq("ck"), Seq("ck"))
+    assert(viewState() == expect())
+    assert(viewState().collect { case (1L, _, _, seg) => seg } == Set("z"))
+  }
+
   test("windowed aggregate over a drained stream") {
     val dir = Files.createTempDirectory("graft_stream2").toString
     val batch = Seq(
