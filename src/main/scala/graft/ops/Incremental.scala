@@ -56,6 +56,39 @@ object Incremental {
     merged.filter(col("n_rows") > 0)
   }
 
+  /** Initial per-group MOMENT state — (n, Σv, Σv²) — from which mean,
+    * variance and stddev derive ([[derivedStats]]). Maintained by the
+    * plain [[applyFeed]]: both sums are signed-invertible, so the moment
+    * view is self-maintainable under arbitrary change feeds, unlike
+    * min/max. The squared column is named `__sq_<valueCol>`.
+    */
+  def materializeMoments(df: DataFrame, keys: Seq[String],
+                         valueCol: String): DataFrame =
+    materialize(df.withColumn(s"__sq_$valueCol",
+      col(valueCol) * col(valueCol)), keys, Seq(valueCol, s"__sq_$valueCol"))
+
+  /** Fold one change feed into a moment state; see [[materializeMoments]]. */
+  def applyFeedMoments(state: DataFrame, feed: DataFrame, keys: Seq[String],
+                       valueCol: String): DataFrame =
+    applyFeed(state, feed.withColumn(s"__sq_$valueCol",
+        col(valueCol) * col(valueCol)),
+      keys, Seq(valueCol, s"__sq_$valueCol"))
+
+  /** Mean / population variance / stddev derived from a moment state —
+    * the read-side projection (never stored; deriving keeps the stored
+    * state invertible).
+    */
+  def derivedStats(state: DataFrame, valueCol: String): DataFrame = {
+    val n = col("n_rows").cast("double")
+    val mean = col(s"sum_$valueCol") / n
+    val varPop = col(s"sum___sq_$valueCol") / n - mean * mean
+    // clamp tiny negative values from floating cancellation
+    val v = greatest(varPop, lit(0.0))
+    state.withColumn(s"avg_$valueCol", mean)
+      .withColumn(s"var_$valueCol", v)
+      .withColumn(s"stddev_$valueCol", sqrt(v))
+  }
+
   /** Initial per-group (count, min, max) state from a full snapshot.
     * Min/max ignore null values, as the aggregates do.
     */

@@ -97,6 +97,29 @@ class IncrementalSpec extends SparkSpec {
       Set(("g1", 3L, Some(2L), Some(7L))))
   }
 
+  test("moment views (n, Σv, Σv²) fold incrementally; derived stats match direct") {
+    val base = Seq((1L, "g1", 2.0), (2L, "g1", 4.0), (3L, "g1", 6.0),
+      (4L, "g2", 10.0)).toDF("id", "g", "v")
+    val s0 = Incremental.materializeMoments(base, keys, "v")
+    // delete the 6.0, update 4.0 -> 8.0, insert 12.0 into g2
+    val feed = Seq(
+      (3L, "g1", 6.0, "delete"),
+      (2L, "g1", 4.0, "update_pre"), (2L, "g1", 8.0, "update_post"),
+      (5L, "g2", 12.0, "insert")).toDF("id", "g", "v", "_change_type")
+    val live = Seq((1L, "g1", 2.0), (2L, "g1", 8.0), (4L, "g2", 10.0),
+      (5L, "g2", 12.0)).toDF("id", "g", "v")
+    val s1 = Incremental.applyFeedMoments(s0, feed, keys, "v")
+    val derived = Incremental.derivedStats(s1, "v")
+      .select($"g", $"avg_v", $"var_v").as[(String, Double, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val direct = live.groupBy("g")
+      .agg(avg($"v").as("a"), var_pop($"v").as("s"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    direct.foreach { case (g, (a, s)) =>
+      assert(math.abs(derived(g)._1 - a) < 1e-9 && math.abs(derived(g)._2 - s) < 1e-9)
+    }
+  }
+
   test("groups emptied by deletes leave no tombstone rows in the state") {
     val a = Seq((1L, "g1", 5L), (2L, "g2", 7L)).toDF("id", "g", "v")
     val state = Incremental.materialize(a, keys, sums)

@@ -146,6 +146,21 @@ class PartitionEvolutionSpec extends SparkSpec {
       (5L, 50.0, "insert")))
   }
 
+  test("respec compaction is invisible to the change feed; vacuum reclaims old dirs") {
+    val root = evolved()
+    val vBefore = Layout.currentVersionNumber(spark, root)
+    Layout.compactVersionedPartitioned(spark, root, targetBytes = 128L << 20)
+    val vAfter = Layout.currentVersionNumber(spark, root)
+    // content-identical: the re-spec'd leaves diff by key to an EMPTY feed
+    assert(Layout.changeFeed(spark, root, vBefore, vAfter, Seq("id")).isEmpty)
+    // vacuum keep=1: old version dirs drain; the live snapshot (now fully
+    // self-contained under the new spec) is intact
+    val live = state(root)
+    Layout.vacuumVersions(spark, root, keep = 1)
+    assert(state(root) == live)
+    assert(Layout.readCurrent(spark, root).filter($"bucket".isNull).isEmpty)
+  }
+
   test("guards: dir-encoded rename/drop refuse; bad specs refuse") {
     val root = evolved()
     val e1 = intercept[IllegalArgumentException] {
