@@ -56,34 +56,44 @@ object Incremental {
     merged.filter(col("n_rows") > 0)
   }
 
-  /** Initial per-group MOMENT state — (n, Σv, Σv²) — from which mean,
-    * variance and stddev derive ([[derivedStats]]). Maintained by the
-    * plain [[applyFeed]]: both sums are signed-invertible, so the moment
-    * view is self-maintainable under arbitrary change feeds, unlike
-    * min/max. The squared column is named `__sq_<valueCol>`.
+  /** Initial per-group MOMENT state — (n, Σv, Σv², non-null count) —
+    * from which mean, variance and stddev derive ([[derivedStats]]).
+    * Maintained by the plain [[applyFeed]]: all three sums are
+    * signed-invertible, so the moment view is self-maintainable under
+    * arbitrary change feeds, unlike min/max. The extra columns are
+    * `__sq_<valueCol>` and `__nn_<valueCol>`; the non-null count exists
+    * so the derived stats keep SQL `avg`/`var_pop` semantics (nulls are
+    * IGNORED, not zero-counted — `n_rows` counts every row).
     */
   def materializeMoments(df: DataFrame, keys: Seq[String],
                          valueCol: String): DataFrame =
-    materialize(df.withColumn(s"__sq_$valueCol",
-      col(valueCol) * col(valueCol)), keys, Seq(valueCol, s"__sq_$valueCol"))
+    materialize(withMomentCols(df, valueCol), keys, momentCols(valueCol))
 
   /** Fold one change feed into a moment state; see [[materializeMoments]]. */
   def applyFeedMoments(state: DataFrame, feed: DataFrame, keys: Seq[String],
                        valueCol: String): DataFrame =
-    applyFeed(state, feed.withColumn(s"__sq_$valueCol",
-        col(valueCol) * col(valueCol)),
-      keys, Seq(valueCol, s"__sq_$valueCol"))
+    applyFeed(state, withMomentCols(feed, valueCol), keys, momentCols(valueCol))
+
+  private def momentCols(valueCol: String): Seq[String] =
+    Seq(valueCol, s"__sq_$valueCol", s"__nn_$valueCol")
+
+  private def withMomentCols(df: DataFrame, valueCol: String): DataFrame =
+    df.withColumn(s"__sq_$valueCol", col(valueCol) * col(valueCol))
+      .withColumn(s"__nn_$valueCol",
+        when(col(valueCol).isNotNull, 1L).otherwise(0L))
 
   /** Mean / population variance / stddev derived from a moment state —
     * the read-side projection (never stored; deriving keeps the stored
-    * state invertible).
+    * state invertible). Matches SQL `avg`/`var_pop`/`stddev_pop` exactly:
+    * nulls never contribute, and an all-null group derives null stats.
     */
   def derivedStats(state: DataFrame, valueCol: String): DataFrame = {
-    val n = col("n_rows").cast("double")
-    val mean = col(s"sum_$valueCol") / n
-    val varPop = col(s"sum___sq_$valueCol") / n - mean * mean
+    val n = col(s"sum___nn_$valueCol").cast("double")
+    val mean = when(n > 0, col(s"sum_$valueCol") / n)
+    val varPop = when(n > 0,
+      col(s"sum___sq_$valueCol") / n - mean * mean)
     // clamp tiny negative values from floating cancellation
-    val v = greatest(varPop, lit(0.0))
+    val v = when(varPop.isNotNull, greatest(varPop, lit(0.0)))
     state.withColumn(s"avg_$valueCol", mean)
       .withColumn(s"var_$valueCol", v)
       .withColumn(s"stddev_$valueCol", sqrt(v))

@@ -445,12 +445,20 @@ object Layout {
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(out.getParent)
     // unique temp + atomic overwrite-rename: a poller never sees a missing
-    // list, and concurrent exporters cannot publish each other's bytes
+    // list, and concurrent exporters cannot publish each other's bytes; a
+    // failed attempt deletes its temp (an external engine globbing the
+    // export dir must never pick up an orphaned .tmp as input)
     val tmp = new Path(outFile + s".tmp-${java.util.UUID.randomUUID}")
-    val os = fs.create(tmp, true)
-    try os.write((paths.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally os.close()
-    atomicReplace(spark, tmp, out)
+    try {
+      val os = fs.create(tmp, true)
+      try os.write((paths.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally os.close()
+      atomicReplace(spark, tmp, out)
+    } catch {
+      case e: Throwable =>
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        throw e
+    }
     paths.size
   }
 
@@ -1166,9 +1174,12 @@ object Layout {
     * source row is ambiguous and throws (the standard MERGE cardinality
     * error — which source row's clauses would apply?). Source schema must
     * match the active table exactly (narrow producers upcast at the
-    * door); partition columns cannot be assigned in `set` (delete + insert
-    * move a row across leaves — and the insert clause of the SAME call can
-    * do it). CHECK constraints validate every appended image before any
+    * door). Partition columns ARE assignable in `set` — an assignment
+    * MOVES the row across leaves (old image DV'd wherever it lives, new
+    * image lands in its new leaf), so upstream partition moves apply
+    * directly; `set` values are cast to the target column's type (ANSI —
+    * loud on invalid values). CHECK constraints validate every appended
+    * image before any
     * version is claimed. Cost: O(matched + inserted rows) written +
     * O(#files) metadata, with the matching scan prefiltered by the
     * source's first-key [min, max] envelope — the sparse-MERGE shape a
@@ -1791,12 +1802,7 @@ object Layout {
         .coalesce(files)
         .write.mode(SaveMode.Overwrite).parquet(s"$nextPath/$leaf")
     }
-    if (oldspec.nonEmpty)
-      ManifestIndex.toPhysical(
-          ManifestIndex.dataFrame(spark, root, man, Some(oldspec.keySet)),
-          man.dataSchema)
-        .write.mode(SaveMode.Append)
-        .partitionBy(currentSpec: _*).parquet(nextPath)
+    respecAppend(spark, root, man, oldspec.keySet, nextPath)
     commitManifest(spark, root, next, man.copy(
       entries = ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++
         man.entries.filterNot(e => leaves.contains(e.leaf))), operation)
@@ -1952,6 +1958,25 @@ object Layout {
     * rewritten, healthy leaves carry as entries. Rewriting also re-homes a
     * clone's absolute-path references into this root, one leaf at a time.
     */
+  /** Re-land the given OLD-SPEC leaves' rows under the CURRENT partition
+    * spec, APPENDED into the next version dir — Append because one old
+    * leaf may fan into many new ones, and a target leaf may already be
+    * owned by a same-commit rewrite or a carried entry (multiple files
+    * per leaf are normal manifest state). SHARED by compaction and the
+    * maintenance rewrites (purge, re-home): the convergence semantics
+    * must never diverge between them. No-op on an empty set.
+    */
+  private def respecAppend(spark: SparkSession, root: String,
+                           man: ManifestIndex.TableManifest,
+                           leaves: Set[String], nextPath: String): Unit =
+    if (leaves.nonEmpty)
+      ManifestIndex.toPhysical(
+          ManifestIndex.dataFrame(spark, root, man, Some(leaves)),
+          man.dataSchema)
+        .write.mode(SaveMode.Append)
+        .partitionBy(man.partitionSchema.fieldNames.toSeq: _*)
+        .parquet(nextPath)
+
   /** The leaf-pruned copy-on-write writers cannot reason across two
     * partition specs (their affected-leaf sets are computed in the CURRENT
     * spec's value space); after a [[repartitionTable]] they are refused
@@ -2007,19 +2032,10 @@ object Layout {
         data.coalesce(files)
           .write.mode(SaveMode.Overwrite).parquet(s"$nextPath/$leaf")
     }
-    if (respec.nonEmpty) {
-      // APPEND, not overwrite: the fragmented-leaf rewrites above already
-      // landed in nextPath, and a respec'd row may fan into a leaf one of
-      // them (or a carried entry) also owns — multiple files per leaf are
-      // normal manifest state. zOrderCols do not apply here (respec'd rows
-      // fan across leaves via partitionBy; cluster them on the NEXT
-      // compaction, once they live in current-spec leaves)
-      ManifestIndex.toPhysical(
-          ManifestIndex.dataFrame(spark, root, man, Some(respec)),
-          man.dataSchema)
-        .write.mode(SaveMode.Append)
-        .partitionBy(currentSpec: _*).parquet(nextPath)
-    }
+    // zOrderCols do not apply to respec'd rows (they fan across leaves
+    // via partitionBy; cluster them on the NEXT compaction, once they
+    // live in current-spec leaves)
+    respecAppend(spark, root, man, respec, nextPath)
     commitManifest(spark, root, next, man.copy(
       entries = ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++
         man.entries.filterNot(e =>

@@ -847,6 +847,19 @@ object ManifestIndex {
       "left_anti")
   }
 
+  /** Per-file skip envelopes keyed by literal absolute path — shared by
+    * both read paths (the keys must match the FileStatus paths the
+    * manifest index synthesizes, not the URL-encoded scan form).
+    */
+  private def skipMapOf(spark: SparkSession, root: String, m: TableManifest,
+                        kept: Seq[Entry]): Map[String, FileSkip] = {
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    kept.flatMap { e =>
+      e.stats.map(s =>
+        absEntryPath(root, e.path).toString -> decodeStats(s, m.dataSchema, zone))
+    }.toMap
+  }
+
   /** Read path for a table whose entries span MORE THAN ONE partition
     * spec — the state a metadata-only [[graft.sources.Layout.repartitionTable]]
     * leaves behind until compaction re-specs old leaves. One scan branch
@@ -861,19 +874,6 @@ object ManifestIndex {
     * reach this path — they keep [[dataFrame]]'s single-relation plan
     * bit-for-bit.
     */
-  /** Per-file skip envelopes keyed by literal absolute path — shared by
-    * both read paths (the keys must match the FileStatus paths the
-    * manifest index synthesizes, not the URL-encoded scan form).
-    */
-  private def skipMapOf(spark: SparkSession, root: String, m: TableManifest,
-                        kept: Seq[Entry]): Map[String, FileSkip] = {
-    val zone = spark.sessionState.conf.sessionLocalTimeZone
-    kept.flatMap { e =>
-      e.stats.map(s =>
-        absEntryPath(root, e.path).toString -> decodeStats(s, m.dataSchema, zone))
-    }.toMap
-  }
-
   private def mixedSpecDataFrame(spark: SparkSession, root: String,
                                  m: TableManifest, kept: Seq[Entry],
                                  lineage: Boolean): DataFrame = {

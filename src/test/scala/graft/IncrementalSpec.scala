@@ -98,25 +98,39 @@ class IncrementalSpec extends SparkSpec {
   }
 
   test("moment views (n, Σv, Σv²) fold incrementally; derived stats match direct") {
-    val base = Seq((1L, "g1", 2.0), (2L, "g1", 4.0), (3L, "g1", 6.0),
-      (4L, "g2", 10.0)).toDF("id", "g", "v")
+    // nulls included: SQL avg/var_pop IGNORE them, and so must the view
+    // (n_rows counts every row; the non-null count drives the stats)
+    val base = Seq((1L, "g1", Some(2.0)), (2L, "g1", Some(4.0)),
+      (3L, "g1", Some(6.0)), (4L, "g2", Some(10.0)),
+      (6L, "g1", None: Option[Double]), (7L, "g3", None: Option[Double]))
+      .toDF("id", "g", "v")
     val s0 = Incremental.materializeMoments(base, keys, "v")
-    // delete the 6.0, update 4.0 -> 8.0, insert 12.0 into g2
+    // delete the 6.0, update 4.0 -> 8.0, insert 12.0 and a null into g2
     val feed = Seq(
-      (3L, "g1", 6.0, "delete"),
-      (2L, "g1", 4.0, "update_pre"), (2L, "g1", 8.0, "update_post"),
-      (5L, "g2", 12.0, "insert")).toDF("id", "g", "v", "_change_type")
-    val live = Seq((1L, "g1", 2.0), (2L, "g1", 8.0), (4L, "g2", 10.0),
-      (5L, "g2", 12.0)).toDF("id", "g", "v")
+      (3L, "g1", Some(6.0), "delete"),
+      (2L, "g1", Some(4.0), "update_pre"), (2L, "g1", Some(8.0), "update_post"),
+      (5L, "g2", Some(12.0), "insert"),
+      (8L, "g2", None: Option[Double], "insert"))
+      .toDF("id", "g", "v", "_change_type")
+    val live = Seq((1L, "g1", Some(2.0)), (2L, "g1", Some(8.0)),
+      (4L, "g2", Some(10.0)), (5L, "g2", Some(12.0)),
+      (6L, "g1", None: Option[Double]), (7L, "g3", None: Option[Double]),
+      (8L, "g2", None: Option[Double])).toDF("id", "g", "v")
     val s1 = Incremental.applyFeedMoments(s0, feed, keys, "v")
     val derived = Incremental.derivedStats(s1, "v")
-      .select($"g", $"avg_v", $"var_v").as[(String, Double, Double)]
+      .select($"g", $"avg_v", $"var_v")
+      .as[(String, Option[Double], Option[Double])]
       .collect().map(r => r._1 -> (r._2, r._3)).toMap
     val direct = live.groupBy("g")
       .agg(avg($"v").as("a"), var_pop($"v").as("s"))
-      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      .as[(String, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(derived.keySet == direct.keySet)
     direct.foreach { case (g, (a, s)) =>
-      assert(math.abs(derived(g)._1 - a) < 1e-9 && math.abs(derived(g)._2 - s) < 1e-9)
+      val (da, ds) = derived(g)
+      assert(da.isDefined == a.isDefined && ds.isDefined == s.isDefined, g)
+      a.foreach(x => assert(math.abs(da.get - x) < 1e-9, g))
+      s.foreach(x => assert(math.abs(ds.get - x) < 1e-9, g))
     }
   }
 
