@@ -292,6 +292,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
   }
 
+  test("q160/q161: PQ encode is projection-only; queries broadcast; codes join, floats don't") {
+    val p160 = plan("q160_pq_ann")
+    // the query set broadcasts into the coded corpus — the corpus never
+    // shuffles, and no shuffle exists before the per-query rank window
+    assert(p160.contains("BroadcastExchange"), p160)
+    assert(countOf(p160, "Exchange hashpartitioning") == 1, p160) // rank window only
+    val p161 = plan("q161_ivfpq_ann")
+    assert(!p161.contains("CartesianProduct"))
+    // cell routing + probes are broadcast joins; the corpus side never
+    // hash-shuffles except for its rank windows
+    assert(p161.contains("BroadcastExchange"), p161)
+  }
+
   test("q155: BM25 term stats broadcast; the top-k cut is TakeOrderedAndProject") {
     val p = plan("q155_bm25")
     assert(p.contains("TakeOrderedAndProject"),
