@@ -1903,6 +1903,37 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), "vec_id", "embedding", cb, topK = 5)
     }),
 
+    // --- incremental MOMENT view (avg/variance) under the oracle ---
+    // q139's history replayed into the (n, Σv, Σv², non-null) state; the
+    // derived mean/var_pop of the folded state must equal DuckDB's direct
+    // aggregates of the final version. v stays small (cents % 1000, +1000
+    // on merged ids) so Σv² folds exactly in longs; the derived doubles
+    // are single divisions of exact integers — engine-independent.
+    "q163_incremental_moments" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"), col("o_orderpriority").as("g"),
+        (round(col("o_totalprice")).cast("long") % 1000L).as("v"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q163").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(base, root, Seq("g"))
+      graft.sources.Layout.mergeVersionedPartitioned(s, root,
+        base.filter(col("id") % 7 === 0).withColumn("v", col("v") + 1000L),
+        Seq("id"), "g")
+      graft.sources.Layout.deleteVersionedPartitioned(s, root,
+        col("id") % 11 === 0, "g")
+      val s0 = Incremental.materializeMoments(
+        graft.sources.Layout.readVersion(s, root, 0), Seq("g"), "v")
+      val s1 = Incremental.applyFeedMoments(s0,
+        graft.sources.Layout.changeFeed(s, root, 0, 1, Seq("id")), Seq("g"), "v")
+      val s2 = Incremental.applyFeedMoments(s1,
+        graft.sources.Layout.changeFeed(s, root, 1, 2, Seq("id")), Seq("g"), "v")
+      Incremental.derivedStats(s2, "v")
+        .select(col("g"), col("n_rows"),
+          col("sum_v").cast("long").as("sum_v"),
+          col("sum___sq_v").cast("long").as("sum_sq"),
+          round(col("avg_v"), 6).as("avg_v"),
+          round(col("var_v"), 6).as("var_v"))
+    }),
+
     // --- the change feed under the oracle, via pure SQL ---
     // A manifest table takes a keyed merge (+1000 cents on every 7th id)
     // then a delete (every 11th id), and the v0→v2 feed is read back
@@ -4000,6 +4031,24 @@ object SparkEntry {
           CAST(sum(bal) AS BIGINT) AS sum_bal
         FROM f JOIN d USING (ck)
         GROUP BY 1, 2""",
+
+      // direct aggregates of the FINAL version, sums exact in BIGINT, the
+      // derived doubles mirroring derivedStats' arithmetic term for term
+      "q163_incremental_moments" -> """
+        WITH base AS (SELECT o_orderkey AS id, o_orderpriority AS g,
+            CAST(round(o_totalprice) AS BIGINT) % 1000 AS v FROM orders),
+        fin AS (SELECT g,
+            v + CASE WHEN id % 7 = 0 THEN 1000 ELSE 0 END AS v
+          FROM base WHERE id % 11 <> 0)
+        SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(v) AS BIGINT) AS sum_v,
+          CAST(sum(v * v) AS BIGINT) AS sum_sq,
+          round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS avg_v,
+          round(greatest(
+            CAST(sum(v * v) AS DOUBLE) / count(*) -
+              (CAST(sum(v) AS DOUBLE) / count(*)) *
+              (CAST(sum(v) AS DOUBLE) / count(*)), 0), 6) AS var_v
+        FROM fin GROUP BY 1""",
 
       // the expected v0→v2 feed, derived from the base table: deletes
       // carry v0 images; surviving merged ids carry a pre/post pair
