@@ -19,8 +19,12 @@ class LayoutPropertySpec extends SparkSpec {
 
   /** kind: 0 = merge, 1 = partition-pruned delete (both modes);
     * 2 = row-level DV delete, 3 = row-level DV update, 4 = DV purge,
-    * 5 = row-level DV upsert, 6 = type widening of the id column
+    * 5 = row-level DV upsert, 6 = type widening of the id column,
+    * 7 = partition-spec evolution (toggle part <-> id), 8 = compaction
     * (manifest mode only — the merge-on-read writers require it).
+    * After an evolution the COW writers may refuse (mixed layout) — the
+    * model accepts either outcome, because purge/compact can converge the
+    * layout as a side effect at any point.
     */
   private case class Op(kind: Int, ids: Seq[Long], vals: Seq[Double])
 
@@ -36,7 +40,7 @@ class LayoutPropertySpec extends SparkSpec {
     * correct in BOTH modes (a manifest version dir is not self-contained).
     */
   private def modelProperty(manifest: Boolean): Prop =
-    Prop.forAll(genOps(if (manifest) 6 else 1)) { ops =>
+    Prop.forAll(genOps(if (manifest) 8 else 1)) { ops =>
     val root = Files.createTempDirectory("graft_vprop").toString
     var model = (0L until 12L).map(i => i -> (partOf(i), i.toDouble * 10)).toMap
     // manifest tables are born with a NARROW id so a random widen op has
@@ -62,24 +66,40 @@ class LayoutPropertySpec extends SparkSpec {
 
     var ok = true
     var version = 0
+    var spec = Seq("part") // the CURRENT spec the COW writers must name
     ops.foreach { op =>
       // the row-level writers and purge NO-OP (no version committed) when
       // nothing matches — the model must advance the version only when the
       // layout did
       var committed = true
+      // a COW writer on a layout still carrying old-spec leaves refuses;
+      // whether it is still mixed depends on interleaved purge/compact, so
+      // accept both outcomes (refusal = state and version unchanged)
+      def cowOrRefused(body: => Unit)(onSuccess: => Unit): Unit =
+        try { body; onSuccess } catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("earlier partition spec") =>
+            committed = false
+        }
       op.kind match {
         case 0 =>
           val rows = op.ids.zip(op.vals).map { case (i, v) => (i, partOf(i), v) }
-          Layout.mergeVersionedPartitioned(spark, root,
-            rowsDf(rows), Seq("id"), "part")
-          model = model ++ rows.map { case (i, p, v) => i -> (p, v) }
+          cowOrRefused {
+            Layout.mergeVersionedPartitioned(spark, root,
+              rowsDf(rows), Seq("id"), spec)
+          } {
+            model = model ++ rows.map { case (i, p, v) => i -> (p, v) }
+          }
         case 1 =>
-          Layout.deleteVersionedPartitioned(spark, root,
-            col("id").isin(op.ids: _*), "part")
-          // a no-match partition delete is a NO-OP (no version), like the
-          // row-level writers
-          committed = op.ids.exists(model.contains)
-          model = model -- op.ids
+          cowOrRefused {
+            Layout.deleteVersionedPartitioned(spark, root,
+              col("id").isin(op.ids: _*), spec)
+          } {
+            // a no-match partition delete is a NO-OP (no version), like
+            // the row-level writers
+            committed = op.ids.exists(model.contains)
+            model = model -- op.ids
+          }
         case 2 =>
           Layout.deleteVersionedRows(spark, root, col("id").isin(op.ids: _*))
           committed = op.ids.exists(model.contains)
@@ -98,12 +118,23 @@ class LayoutPropertySpec extends SparkSpec {
           Layout.upsertVersionedRows(spark, root, rowsDf(rows), Seq("id"))
           model = model ++ rows.map { case (i, p, v) => i -> (p, v) }
         case 6 =>
-          if (widened) committed = false // nothing left to widen: no call
+          if (widened || spec == Seq("id"))
+            committed = false // nothing to widen, or id is dir-encoded
           else {
             Layout.widenColumn(spark, root, "id",
               org.apache.spark.sql.types.LongType)
             widened = true // values unchanged — the model doesn't move
           }
+        case 7 =>
+          // toggle the spec — one metadata commit, values unchanged; the
+          // key doubles as the alternate partition column (atomic, never
+          // renamed, so always eligible)
+          spec = if (spec == Seq("part")) Seq("id") else Seq("part")
+          Layout.repartitionTable(spark, root, spec)
+        case 8 =>
+          val (_, n) = Layout.compactVersionedPartitioned(spark, root,
+            targetBytes = 128L << 20)
+          committed = n > 0 // uniform + healthy → no version claimed
       }
       if (committed) {
         version += 1
@@ -129,7 +160,7 @@ class LayoutPropertySpec extends SparkSpec {
     assert(res.passed, res.toString)
   }
 
-  test("manifest mode: random merge/delete/row-delete/row-update/purge/upsert/widen sequences match the Map model") {
+  test("manifest mode: random merge/delete/DV-DML/purge/widen/REPARTITION/compact sequences match the Map model") {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(4).withWorkers(1),
       modelProperty(manifest = true))
