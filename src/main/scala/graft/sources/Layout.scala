@@ -173,7 +173,13 @@ object Layout {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     else
-      fileContext(spark).rename(tmp, dst, Options.Rename.OVERWRITE)
+      // bind the context to the DESTINATION's filesystem, not the default
+      // FS — exportFileList accepts an arbitrary outFile, and a rename
+      // through the default FileContext fails with a wrong-FS error after
+      // the temp write already succeeded (tmp is always a sibling of dst)
+      FileContext.getFileContext(dst.toUri,
+        spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, dst, Options.Rename.OVERWRITE)
   }
 
   /** Time travel: path of a SPECIFIC version under a versioned root —
@@ -1302,6 +1308,26 @@ object Layout {
           .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         try {
           val haveImages = images.exists(df => !df.isEmpty)
+          // the matched-side ambiguity check above cannot see UNMATCHED
+          // source duplicates: two source rows with the same new key both
+          // pass the insert clause's anti-join and would both append,
+          // silently breaking the unique-key-per-snapshot invariant that
+          // changeFeed and upsertVersionedRows document and rely on
+          // (ADVICE r10). Checked over the persisted images (one cached
+          // pass, no anti-join re-run); update images cannot collide among
+          // themselves unless assignments rewrite the keys — which this
+          // catches too — and insert keys are snapshot-disjoint by the
+          // anti-join, so duplicate keys here always mean a real violation.
+          if (haveImages) {
+            val dupKeys = images.get
+              .groupBy(keys.map(k => col(s"`$k`")): _*)
+              .count().filter(col("count") > 1L)
+            require(dupKeys.isEmpty, "mergeIntoVersionedRows: duplicate keys " +
+              "among the rows this merge appends (duplicate source keys " +
+              "feeding the insert clause, or update assignments colliding " +
+              "on the merge keys) — deduplicate the source on the merge " +
+              "keys first")
+          }
           rowLevelPlan(spark, root, man, dvRows) match {
             case None if !haveImages => cur // no clause fired
             case plan =>
@@ -2197,11 +2223,22 @@ object Layout {
       // corrupt chained/swapped renames (renaming a into b while another
       // column still holds b renames BOTH) — and columns the to-side no
       // longer carries (drops) simply vanish from the projection
-      val toByPhys = ManifestIndex.activeSchema(mt.dataSchema).map(f =>
-        ManifestIndex.physicalName(f) -> f).toMap
+      // the to-side's column universe includes its PARTITION spec: a
+      // repartitionTable between the versions moves a column from
+      // dataSchema into partitionSchema (or back), and aligning against
+      // dataSchema alone silently dropped the moved column from the
+      // from-side projection — every unchanged row in a changed leaf then
+      // diffed as a spurious update pair with a null pre-image for that
+      // column (ADVICE r10, high). Spec columns are physical-identity by
+      // construction (repartitionTable refuses renamed columns), so ONE
+      // physical-name map serves both, and from-side partition columns
+      // route through the same alignment instead of passing raw.
+      val toByPhys = (ManifestIndex.activeSchema(mt.dataSchema) ++
+        mt.partitionSchema).map(f => ManifestIndex.physicalName(f) -> f).toMap
       val fromAligned = ManifestIndex.dataFrame(spark, root, mf, Some(changed))
         .select(
-          ManifestIndex.activeSchema(mf.dataSchema).flatMap(f =>
+          (ManifestIndex.activeSchema(mf.dataSchema) ++ mf.partitionSchema)
+            .flatMap(f =>
             toByPhys.get(ManifestIndex.physicalName(f)).map { tf =>
               // a widenColumn between the versions leaves the from-side
               // narrow; cast UP so the null-safe struct compare sees one
@@ -2212,8 +2249,7 @@ object Layout {
                    ManifestIndex.isWidening(f.dataType, tf.dataType))
                  c.cast(tf.dataType)
                else c).as(tf.name)
-            }) ++
-            mf.partitionSchema.map(f => col(s"`${f.name}`")): _*)
+            }): _*)
       return diff(fromAligned,
         ManifestIndex.dataFrame(spark, root, mt, Some(changed)), keys)
     }

@@ -572,11 +572,17 @@ object ManifestIndex {
   }
 
   private def decodeStats(s: FileStats, dataSchema: StructType,
-                          zone: String): FileSkip = {
+                          partitionSchema: StructType, zone: String): FileSkip = {
     // stats (and the pushed filters they are checked against) live in
-    // PHYSICAL names — resolve the type through the mapping
+    // PHYSICAL names — resolve the type through the mapping. Partition
+    // columns resolve too: after a repartitionTable a column that moved
+    // into the partition spec still has stats envelopes on OLD-spec files
+    // (where it was payload), and predicates on it must keep stat-skipping
+    // those files (ADVICE r10). Spec columns are physical-identity by
+    // construction, so the one find covers both.
+    val fields = activeSchema(dataSchema).fields ++ partitionSchema.fields
     val cols = s.cols.flatMap { case (name, c) =>
-      activeSchema(dataSchema).fields.find(f => physicalName(f) == name).map { f =>
+      fields.find(f => physicalName(f) == name).map { f =>
         name -> ColSkip(c.min.map(decodeBound(_, f.dataType, zone)),
           c.max.map(decodeBound(_, f.dataType, zone)), c.nulls, f.dataType,
           c.bloom.map(b => (b.k, java.util.Base64.getDecoder.decode(b.bits))))
@@ -856,7 +862,8 @@ object ManifestIndex {
     val zone = spark.sessionState.conf.sessionLocalTimeZone
     kept.flatMap { e =>
       e.stats.map(s =>
-        absEntryPath(root, e.path).toString -> decodeStats(s, m.dataSchema, zone))
+        absEntryPath(root, e.path).toString ->
+          decodeStats(s, m.dataSchema, m.partitionSchema, zone))
     }.toMap
   }
 

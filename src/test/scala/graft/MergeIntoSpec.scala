@@ -166,6 +166,27 @@ class MergeIntoSpec extends SparkSpec {
     assert(e.getMessage.contains("more than one source row"))
   }
 
+  test("duplicate UNMATCHED source keys feeding the insert clause throw") {
+    val (root, _) = mkRoot("dupins")
+    // both rows miss the target, pass the insert clause, and share a key:
+    // appending both would break the unique-key-per-snapshot invariant
+    // that changeFeed/upsertVersionedRows rely on (ADVICE r10) — the
+    // matched-side cardinality check cannot see them
+    val src = Seq((100L, 1L, "p0"), (100L, 2L, "p0")).toDF("id", "v", "part")
+    val e = intercept[IllegalArgumentException] {
+      Layout.mergeIntoVersionedRows(spark, root, src, Seq("id"),
+        whenNotMatchedInsert = Some(lit(true)))
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // no version claimed, table untouched
+    assert(state(root).size == 20)
+    // duplicates where only ONE row passes the insert condition are legal
+    val src2 = Seq((100L, 1L, "p0"), (100L, -2L, "p0")).toDF("id", "v", "part")
+    Layout.mergeIntoVersionedRows(spark, root, src2, Seq("id"),
+      whenNotMatchedInsert = Some(col("v") >= 0L))
+    assert(state(root)(100L) == (1L, "p0"))
+  }
+
   test("partition-column assignment MOVES the row; unknown columns reject") {
     val (root, _) = mkRoot("guard")
     // id=5 lives in p1 (5 % 2 = 1); assigning part moves it: old image

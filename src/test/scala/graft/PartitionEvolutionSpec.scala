@@ -146,6 +146,30 @@ class PartitionEvolutionSpec extends SparkSpec {
       (5L, 50.0, "insert")))
   }
 
+  test("change feed spanning the evolution commit AND later DML aligns moved columns") {
+    val root = evolved()
+    // v0 -> v2 crosses the repartition (bucket moved dataSchema -> spec,
+    // region spec -> dataSchema) plus the upsert that DV'd an old-spec
+    // leaf. The moved columns must align by PHYSICAL identity on the
+    // from-side: before the fix, bucket was dropped from the from-side
+    // projection, so every surviving row of the touched region=eu leaf
+    // (id=1) emitted a spurious update pair with a null bucket pre-image
+    // (ADVICE r10, high).
+    val feed = Layout.changeFeed(spark, root, 0, 2, Seq("id"))
+      .select($"id", $"region", $"bucket", $"v", $"_change_type")
+      .as[(Long, String, String, Double, String)].collect().toSet
+    assert(feed == Set(
+      (2L, "eu", "b2", 20.0, "update_pre"),
+      (2L, "eu", "b2", 99.0, "update_post"),
+      (5L, "ap", "b1", 50.0, "insert")))
+    // and the reverse direction inverts exactly (no spurious rows either way)
+    val back = Layout.changeFeed(spark, root, 2, 0, Seq("id"))
+      .select($"id", $"v", $"_change_type")
+      .as[(Long, Double, String)].collect().toSet
+    assert(back == Set((2L, 99.0, "update_pre"), (2L, 20.0, "update_post"),
+      (5L, 50.0, "delete")))
+  }
+
   test("respec compaction is invisible to the change feed; vacuum reclaims old dirs") {
     val root = evolved()
     val vBefore = Layout.currentVersionNumber(spark, root)
