@@ -2064,6 +2064,93 @@ object SparkEntry {
       graft.sources.Layout.readCurrent(s, root)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // --- SQL MERGE INTO (r11): q159's three-clause merge in pure SQL ---
+    // The same clause algebra as q159, but driven through the SQL surface:
+    // Spark's parser produces the MergeIntoTable plan, GraftDml lowers it
+    // onto mergeIntoVersionedRows (see plans/GraftDml.scala), and the
+    // final state must be indistinguishable — same oracle as q159. This is
+    // the reference's own load shape (loading.py:159-169 pushes
+    // MERGE-style upsert SQL into PostgreSQL), now against the lakehouse.
+    "q164_sql_merge" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"), col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q164").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(base, root, Seq("pri"))
+      base.filter(col("id") % 5 === 0)
+        .withColumn("v", col("v") +
+          when(col("id") % 2 === 0, 500L).otherwise(-500L))
+        .unionByName(base.filter(col("id") % 9 === 0)
+          .withColumn("id", col("id") + 10000000L))
+        .createOrReplaceTempView("q164_src")
+      s.sql(s"""
+        MERGE INTO graft.`$root` AS t USING q164_src AS src
+        ON t.id = src.id
+        WHEN MATCHED AND t.id % 10 = 0 THEN DELETE
+        WHEN MATCHED AND src.v > t.v THEN UPDATE SET v = src.v
+        WHEN NOT MATCHED AND src.v % 2 = 0 THEN INSERT *""")
+      graft.sources.Layout.readCurrent(s, root)
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+    }),
+
+    // --- SQL UPDATE + DELETE (r11): row-level DML statements ---
+    // A SQL UPDATE (SET expression over the matched row) then a SQL DELETE
+    // that must see the updated values — both lowered onto the DV writers
+    // (GraftDml), so no data file is rewritten. Oracle: CASE the update,
+    // WHERE the delete. `+ 5.0` keeps the arithmetic exactly representable
+    // for the decimal sum.
+    "q165_sql_update_delete" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q165").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(
+        li.repartition(4), root, Seq("l_returnflag"))
+      s.sql(s"UPDATE graft.`$root` SET l_quantity = l_quantity + 5.0 " +
+        "WHERE l_orderkey % 7 = 0")
+      s.sql(s"DELETE FROM graft.`$root` WHERE l_quantity >= 48.0")
+      graft.sources.Layout.readCurrent(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // --- streaming READ of a versioned table (r11) ---
+    // The lakehouse-as-stream pattern end to end: a manifest table is
+    // served AS a stream (GraftChangeSource — offsets are versions,
+    // micro-batches are change feeds), drained snapshot-then-follow across
+    // two AvailableNow runs sharing one checkpoint (run 1 = the v0
+    // snapshot as inserts; run 2 = the collapsed v0→v2 feed after a merge
+    // and a delete committed between drains). The STREAMED events replay
+    // into a sum view with one applyFeed fold over a zero state — and that
+    // view must equal DuckDB's direct aggregate of the final snapshot:
+    // the stream carries exactly the table's deltas, no more, no less.
+    "q166_stream_change_view" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"), col("o_orderpriority").as("g"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q166").toString
+      val (root, out, ckpt) = (tmp + "/t", tmp + "/out", tmp + "/ckpt")
+      graft.sources.Layout.initVersionedManifest(base, root, Seq("g"))
+      def drain(): Unit = {
+        graft.streaming.StreamingOps.drainToParquet(
+          graft.streaming.StreamingOps.readChangeStream(s, root, Seq("id")),
+          out, ckpt)
+        ()
+      }
+      drain()
+      graft.sources.Layout.mergeVersionedPartitioned(s, root,
+        base.filter(col("id") % 7 === 0).withColumn("v", col("v") + 1000L),
+        Seq("id"), "g")
+      graft.sources.Layout.deleteVersionedPartitioned(s, root,
+        col("id") % 11 === 0, "g")
+      drain()
+      val zero = Incremental.materialize(
+        base.filter(lit(false)), Seq("g"), Seq("v"))
+      Incremental.applyFeed(zero, s.read.parquet(out), Seq("g"), Seq("v"))
+        .select(col("g"), col("n_rows"), col("sum_v").cast("long").as("sum_v"))
     })
   )
 
@@ -4163,7 +4250,45 @@ object SparkEntry {
           CAST(sum(e - s) AS BIGINT) AS n_dup_tokens,
           round(CAST(sum(e - s) AS DOUBLE) / any_value(n_tokens), 6)
             AS dup_frac
-        FROM sp GROUP BY 1, 2"""
+        FROM sp GROUP BY 1, 2""",
+
+      // identical algebra to q159 — the SQL statement must land exactly
+      // where the Scala API call does
+      "q164_sql_merge" -> """
+        WITH base AS (SELECT o_orderkey AS id, o_orderpriority AS pri,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        m AS (SELECT id, v + CASE WHEN id % 2 = 0 THEN 500 ELSE -500 END AS sv
+          FROM base WHERE id % 5 = 0),
+        survivors AS (SELECT b.pri,
+            CASE WHEN m.id IS NOT NULL AND b.id % 10 <> 0 AND m.sv > b.v
+              THEN m.sv ELSE b.v END AS v
+          FROM base b LEFT JOIN m ON b.id = m.id
+          WHERE m.id IS NULL OR b.id % 10 <> 0),
+        inserted AS (SELECT pri, v FROM base WHERE id % 9 = 0 AND v % 2 = 0),
+        final AS (SELECT pri, v FROM survivors
+          UNION ALL SELECT pri, v FROM inserted)
+        SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(v) AS BIGINT) AS sum_v
+        FROM final GROUP BY 1""",
+
+      "q165_sql_update_delete" -> s"""
+        WITH u AS (SELECT l_returnflag,
+            l_quantity + CASE WHEN l_orderkey % 7 = 0 THEN 5.0 ELSE 0 END AS q
+          FROM lineitem)
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          ${dsumSql("q")} AS sum_qty
+        FROM u WHERE q < 48.0 GROUP BY 1""",
+
+      // the view folded from the STREAMED feed must equal the direct
+      // aggregate of the final snapshot (same algebra as q139)
+      "q166_stream_change_view" -> """
+        SELECT o_orderpriority AS g,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) +
+            CASE WHEN o_orderkey % 7 = 0 THEN 1000 ELSE 0 END) AS BIGINT) AS sum_v
+        FROM orders
+        WHERE o_orderkey % 11 <> 0
+        GROUP BY 1"""
     )
   }
 

@@ -1,0 +1,309 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.types.StringType
+
+import graft.sources.{Layout, ManifestIndex}
+
+/** SQL DML statements against graft versioned tables — the write-side twin
+  * of the `graft_table`/`graft_changes` read TVFs. The reference's load
+  * step IS SQL DML (`loading.py:159-169` pushes MERGE-shaped upsert SQL
+  * into PostgreSQL); a SQL-first user of this engine expects the same
+  * against the lakehouse layout:
+  *
+  * {{{
+  * DELETE FROM graft.`/data/orders` WHERE o_status = 'X'
+  * UPDATE graft.`/data/orders` SET price = price * 2 WHERE id % 10 = 0
+  * MERGE INTO graft.`/data/orders` AS t USING updates AS s
+  *   ON t.id = s.id
+  *   WHEN MATCHED AND s.op = 'D' THEN DELETE
+  *   WHEN MATCHED THEN UPDATE SET v = s.v
+  *   WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *
+  * }}}
+  *
+  * Spark-first design: NO parser is injected. Spark's own parser already
+  * produces `DeleteFromTable` / `UpdateTable` / `MergeIntoTable` plans for
+  * these statements; the target `graft.`…`` parses as an
+  * `UnresolvedRelation(["graft", path])` that no catalog claims. A
+  * resolution rule ([[GraftDmlRule]], injected by
+  * [[GraftExtensions]]) recognizes that shape and lowers the plan to a
+  * [[LeafRunnableCommand]] invoking the SAME Layout writers the Scala API
+  * uses — `deleteVersionedRows` / `updateVersionedRows` /
+  * `mergeIntoVersionedRows` — so SQL and Scala writes share one
+  * implementation: deletion vectors, CHECK constraints, OCC retry, txn
+  * idempotence, stats and change feeds behave identically. (The
+  * alternative — a DSv2 catalog with SupportsRowLevelOperations — would
+  * re-implement merge-on-read planning Spark-side for no behavioral gain
+  * at this surface; Delta ships the command-lowering shape too.)
+  *
+  * Conditions and assignments are captured as UNRESOLVED column trees and
+  * resolved at execution time against the live snapshot/source DataFrames
+  * (by-name, exactly like the Scala API's `Column` arguments) — the rule
+  * only rewrites QUALIFIERS: in MERGE clauses the target alias drops
+  * (target columns are plain in the joined shape) and the source alias
+  * becomes the `src_` prefix `mergeIntoVersionedRows` documents; in the
+  * NOT MATCHED clause source columns are plain (evaluated against the
+  * source frame itself).
+  *
+  * Surface limits (each refused loudly, never silently misread):
+  * `MERGE … ON` must be a conjunction of `t.k = s.k` equalities (the
+  * layout's merge is keyed); inserts are `INSERT *` (or the trivially
+  * equivalent full-identity column list); `WHEN NOT MATCHED BY SOURCE` and
+  * `WITH SCHEMA EVOLUTION` are not supported; subqueries inside DML
+  * conditions are not supported.
+  */
+object GraftDml {
+  private[plans] val Namespace = "graft"
+
+  /** Match `graft.`path`` targets through an optional alias, yielding
+    * (root path, lower-cased alias qualifiers).
+    */
+  private object Target {
+    def unapply(plan: LogicalPlan): Option[(String, Set[String])] = plan match {
+      case SubqueryAlias(id, child) =>
+        unapply(child).map { case (root, qs) => (root, qs + id.name.toLowerCase) }
+      case r: UnresolvedRelation
+          if r.multipartIdentifier.length == 2 &&
+            r.multipartIdentifier.head.equalsIgnoreCase(Namespace) =>
+        Some((r.multipartIdentifier(1), Set.empty))
+      case _ => None
+    }
+  }
+
+  /** Qualifiers a clause expression may use for the SOURCE side: every
+    * alias wrapped around the source root, or the bare table name.
+    */
+  private def sourceQuals(plan: LogicalPlan): Set[String] = plan match {
+    case SubqueryAlias(id, child) => sourceQuals(child) + id.name.toLowerCase
+    case r: UnresolvedRelation => Set(r.multipartIdentifier.last.toLowerCase)
+    case _ => Set.empty
+  }
+
+  /** Rewrite qualified refs for the JOINED merge shape: source-qualified
+    * `s.v` → `src_v`, target-qualified `t.v` → `v`. Unqualified names pass
+    * through (they resolve against the joined frame, where target columns
+    * are plain — the SQL-standard reading for a target ref; an unqualified
+    * SOURCE ref fails loudly at resolution, as it must, since `src_`
+    * prefixing is how the join disambiguates).
+    */
+  private def toJoined(e: Expression, tgt: Set[String], src: Set[String]): Expression =
+    e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+          src.contains(a.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute(("src_" + a.nameParts(1)) +: a.nameParts.drop(2))
+      case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+          tgt.contains(a.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute(a.nameParts.tail)
+    }
+
+  /** Rewrite refs for clauses evaluated against the SOURCE frame alone
+    * (NOT MATCHED): source qualifier drops; target refs are illegal there
+    * and refuse.
+    */
+  private def toSource(e: Expression, tgt: Set[String], src: Set[String]): Expression =
+    e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+          src.contains(a.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute(a.nameParts.tail)
+      case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+          tgt.contains(a.nameParts.head.toLowerCase) =>
+        throw new IllegalArgumentException(
+          s"graft SQL MERGE: NOT MATCHED clause references the target " +
+            s"(${a.nameParts.mkString(".")}) — only source columns exist there")
+    }
+
+  /** Strip the (single) relation's qualifiers for DELETE/UPDATE conditions:
+    * `t.v` and `graft./path.v` both become `v`.
+    */
+  private def unqualify(e: Expression, quals: Set[String]): Expression =
+    e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+          quals.contains(a.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute(a.nameParts.tail)
+    }
+
+  /** `ON` → merge keys: a conjunction of `t.k = s.k` (any order, any
+    * aliases), the only shape the layout's keyed merge supports.
+    */
+  private def keysOf(cond: Expression, tgt: Set[String], src: Set[String]): Seq[String] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def side(a: UnresolvedAttribute): (String, String) = {
+      require(a.nameParts.length == 2, refusal(a))
+      val q = a.nameParts.head.toLowerCase
+      if (src.contains(q)) ("s", a.nameParts(1))
+      else if (tgt.contains(q)) ("t", a.nameParts(1))
+      else throw new IllegalArgumentException(refusal(a))
+    }
+    def refusal(what: Any): String =
+      "graft SQL MERGE: ON must be a conjunction of qualified key " +
+        s"equalities (t.k = s.k) — the layout merge is keyed; got $what"
+    conjuncts(cond).map {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        (side(a), side(b)) match {
+          case (("t", k1), ("s", k2)) if k1.equalsIgnoreCase(k2) => k1
+          case (("s", k1), ("t", k2)) if k1.equalsIgnoreCase(k2) => k2
+          case other => throw new IllegalArgumentException(refusal(other))
+        }
+      case other => throw new IllegalArgumentException(refusal(other))
+    }
+  }
+
+  private def assignmentName(a: Assignment, tgt: Set[String]): String = {
+    val parts = a.key match {
+      case u: UnresolvedAttribute =>
+        if (u.nameParts.length >= 2 && tgt.contains(u.nameParts.head.toLowerCase))
+          u.nameParts.tail
+        else u.nameParts
+      case ar: AttributeReference => Seq(ar.name)
+      case other => throw new IllegalArgumentException(
+        s"graft SQL DML: unsupported assignment target $other")
+    }
+    require(parts.length == 1,
+      s"graft SQL DML: nested-field assignment ${parts.mkString(".")} is not " +
+        "supported — assign the whole column")
+    parts.head
+  }
+
+  /** The analyzer rule. Fires inside the resolution fixed point, before
+    * CheckAnalysis would reject the never-resolving `graft.` relation.
+    */
+  case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+      case DeleteFromTable(Target((root, quals)), cond) =>
+        GraftDeleteCommand(root, Shim.column(unqualify(cond, quals + Namespace)))
+
+      case UpdateTable(Target((root, quals)), assignments, cond) =>
+        val qs = quals + Namespace
+        val set = assignments.map(a => assignmentName(a, qs) ->
+          Shim.column(unqualify(a.value, qs))).toMap
+        require(set.size == assignments.size,
+          "graft SQL UPDATE: duplicate assignment targets")
+        GraftUpdateCommand(root,
+          cond.map(c => Shim.column(unqualify(c, qs))).getOrElse(lit(true)), set)
+
+      case m: MergeIntoTable =>
+        m.targetTable match {
+          case Target((root, tAliases)) =>
+            val tgt = tAliases + Namespace
+            val src = sourceQuals(m.sourceTable)
+            require(!m.withSchemaEvolution,
+              "graft SQL MERGE: WITH SCHEMA EVOLUTION is not supported — " +
+                "evolve via mergeVersionedPartitioned")
+            require(m.notMatchedBySourceActions.isEmpty,
+              "graft SQL MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
+            val keys = keysOf(m.mergeCondition, tgt, src)
+            var del: Option[Column] = None
+            var upd: Option[(Column, Option[Map[String, Column]])] = None
+            m.matchedActions.foreach {
+              case DeleteAction(c) =>
+                require(del.isEmpty, "graft SQL MERGE: one DELETE clause only")
+                del = Some(Shim.column(
+                  toJoined(c.getOrElse(Literal(true)), tgt, src)))
+              case UpdateAction(c, assigns, _) =>
+                require(upd.isEmpty, "graft SQL MERGE: one UPDATE clause only")
+                val set = assigns.map(a => assignmentName(a, tgt) ->
+                  Shim.column(toJoined(a.value, tgt, src))).toMap
+                upd = Some((Shim.column(
+                  toJoined(c.getOrElse(Literal(true)), tgt, src)), Some(set)))
+              case UpdateStarAction(c) =>
+                require(upd.isEmpty, "graft SQL MERGE: one UPDATE clause only")
+                upd = Some((Shim.column(
+                  toJoined(c.getOrElse(Literal(true)), tgt, src)), None))
+              case other => throw new IllegalArgumentException(
+                s"graft SQL MERGE: unsupported matched action $other")
+            }
+            val ins: Option[Column] = {
+              val actions = m.notMatchedActions
+              require(actions.length <= 1,
+                "graft SQL MERGE: one INSERT clause only")
+              actions.headOption.map {
+                case InsertStarAction(c) =>
+                  Shim.column(toSource(c.getOrElse(Literal(true)), tgt, src))
+                case InsertAction(c, assigns) =>
+                  // only the identity list (INSERT (a,b,…) VALUES (s.a,s.b,…))
+                  // is equivalent to the layout's insert-the-source-row; any
+                  // other shape would silently permute/compute columns
+                  val identity = assigns.forall { a =>
+                    val k = assignmentName(a, tgt)
+                    toSource(a.value, tgt, src) match {
+                      case u: UnresolvedAttribute =>
+                        u.nameParts == Seq(k)
+                      case _ => false
+                    }
+                  }
+                  require(identity,
+                    "graft SQL MERGE: INSERT must be `INSERT *` (or the " +
+                      "identity column list) — the layout inserts the " +
+                      "source row; compute derived columns in the USING query")
+                  Shim.column(toSource(c.getOrElse(Literal(true)), tgt, src))
+                case other => throw new IllegalArgumentException(
+                  s"graft SQL MERGE: unsupported not-matched action $other")
+              }
+            }
+            GraftMergeCommand(root, m.sourceTable, keys, del, upd, ins)
+          case _ => plan
+        }
+
+      case _ => plan
+    }
+  }
+
+  private def pathAttr: Seq[Attribute] =
+    Seq(AttributeReference("version_path", StringType, nullable = false)())
+
+  /** `DELETE FROM graft.`root` WHERE …` → merge-on-read deletion vectors. */
+  case class GraftDeleteCommand(root: String, cond: Column)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = pathAttr
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(Layout.deleteVersionedRows(session, root, cond)))
+  }
+
+  /** `UPDATE graft.`root` SET … WHERE …` → merge-on-read row update. */
+  case class GraftUpdateCommand(root: String, cond: Column,
+                                set: Map[String, Column])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = pathAttr
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(Layout.updateVersionedRows(session, root, cond, set)))
+  }
+
+  /** `MERGE INTO graft.`root` USING …` → keyed merge-on-read merge. The
+    * captured source plan analyzes at run time (temp views, inline
+    * subqueries, even another `graft_table` TVF all work); a star update
+    * expands against the LIVE table schema here, not at parse time.
+    */
+  case class GraftMergeCommand(root: String, source: LogicalPlan,
+                               keys: Seq[String], del: Option[Column],
+                               upd: Option[(Column, Option[Map[String, Column]])],
+                               ins: Option[Column])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = pathAttr
+    override def run(session: SparkSession): Seq[Row] = {
+      val sourceDf = Shim.ofRows(session, source)
+      val updSet = upd.map { case (c, setOpt) =>
+        val set = setOpt.getOrElse {
+          // UPDATE SET * — every current table column from the source side
+          val man = ManifestIndex.read(session, root,
+            f"v${Layout.currentVersionNumber(session, root)}%05d")
+          (ManifestIndex.activeSchema(man.dataSchema) ++ man.partitionSchema)
+            .map(f => f.name -> col(s"`src_${f.name}`")).toMap
+        }
+        (c, set)
+      }
+      Seq(Row(Layout.mergeIntoVersionedRows(session, root, sourceDf, keys,
+        whenMatchedDelete = del, whenMatchedUpdate = updSet,
+        whenNotMatchedInsert = ins)))
+    }
+  }
+}

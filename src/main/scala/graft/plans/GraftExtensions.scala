@@ -25,6 +25,10 @@ import graft.functions.expressions.{DotProduct, EmaScan, HyperplaneBuckets, Misr
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL DML (MERGE INTO / UPDATE / DELETE) against `graft.`…`` targets:
+    // Spark's own parser produces the DML plans; this rule lowers them to
+    // the Layout writers. See GraftDml for the full surface contract.
+    ext.injectResolutionRule(session => GraftDml.GraftDmlRule(session))
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),

@@ -22,6 +22,20 @@ object StreamingOps {
   def fileStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** Stream a VERSIONED ROOT as change feeds — the lakehouse-as-stream
+    * read side; see [[GraftChangeSource]] for the full contract (offsets =
+    * versions, snapshot-then-follow vs `startingVersion`, pinned schema,
+    * retention). Compose with `foreachBatch` +
+    * [[graft.ops.Incremental.applyFeed]] for end-to-end streaming view
+    * maintenance, or any stock streaming sink.
+    */
+  def readChangeStream(spark: SparkSession, root: String, keys: Seq[String],
+                       startingVersion: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.format("graft-changes")
+      .option("path", root).option("keys", keys.mkString(","))
+    startingVersion.fold(r)(v => r.option("startingVersion", v.toString)).load()
+  }
+
   /** File-source stream that CLEANS consumed input files (S10 — the
     * reference's consumed-flag-file deletion, extraction.py:126-127, made
     * transactional): `mode` = "delete" or "archive" (+ `archiveDir`).

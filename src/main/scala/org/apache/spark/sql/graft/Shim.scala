@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Bridge between graft's custom Catalyst expressions and the public Column
@@ -13,4 +14,27 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Analyze-and-wrap a logical plan as a DataFrame (`Dataset.ofRows` went
+    * `private[sql]` with the Spark 4 classic split). Used by the SQL DML
+    * commands to evaluate the MERGE source plan the parser captured.
+    */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Re-brand a (lazily planned) batch DataFrame as a STREAMING one — the
+    * V1 `Source.getBatch` contract requires `isStreaming = true` on the
+    * returned frame (MicroBatchExecution asserts it), and a source whose
+    * batches are computed plans (a change feed, not a file listing) has no
+    * streaming-relation to inherit the bit from. `toRdd` is lazy: no job
+    * runs until the sink consumes the batch. This is the standard shape for
+    * log-replaying lakehouse sources.
+    */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val spark =
+      df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

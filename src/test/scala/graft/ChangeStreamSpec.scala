@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Layout
+import graft.streaming.StreamingOps
+import graft.ops.Incremental
+
+/** Streaming READ of a versioned table (GraftChangeSource, r11): offsets =
+  * versions, micro-batches = change feeds, snapshot-then-follow and
+  * startingVersion modes, checkpoint-resumed drains, short-name
+  * registration, and end-to-end streaming view maintenance via applyFeed.
+  */
+class ChangeStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(rs: (Long, String, Long)*) = rs.toDF("id", "g", "v")
+
+  private def mk(tag: String): (String, String, String) = {
+    val base = Files.createTempDirectory(s"graft_cs_$tag").toString
+    (base + "/t", base + "/out", base + "/ckpt")
+  }
+
+  private def drained(outDir: String): Set[(Long, String, Long, String)] =
+    spark.read.parquet(outDir)
+      .select($"id", $"g", $"v", $"_change_type")
+      .as[(Long, String, Long, String)].collect().toSet
+
+  test("snapshot-then-follow: batch 1 = snapshot as inserts; later drains = feeds") {
+    val (root, out, ckpt) = mk("snap")
+    Layout.initVersionedManifest(
+      rows((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)), root, Seq("g"))
+    StreamingOps.drainToParquet(
+      StreamingOps.readChangeStream(spark, root, Seq("id")), out, ckpt)
+    assert(drained(out) == Set(
+      (1L, "a", 10L, "insert"), (2L, "a", 20L, "insert"), (3L, "b", 30L, "insert")))
+
+    // two commits between drains collapse into ONE feed batch (0 -> 2)
+    Layout.upsertVersionedRows(spark, root,
+      rows((2L, "a", 99L), (4L, "b", 40L)), Seq("id"))
+    Layout.deleteVersionedRows(spark, root, $"id" === 3L)
+    StreamingOps.drainToParquet(
+      StreamingOps.readChangeStream(spark, root, Seq("id")), out, ckpt)
+    val expectedFeed = Layout.changeFeed(spark, root, 0, 2, Seq("id"))
+      .select($"id", $"g", $"v", $"_change_type")
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(drained(out) == Set(
+      (1L, "a", 10L, "insert"), (2L, "a", 20L, "insert"), (3L, "b", 30L, "insert"))
+      ++ expectedFeed)
+    assert(expectedFeed == Set(
+      (2L, "a", 20L, "update_pre"), (2L, "a", 99L, "update_post"),
+      (4L, "b", 40L, "insert"), (3L, "b", 30L, "delete")))
+
+    // nothing new committed -> a further drain adds nothing
+    StreamingOps.drainToParquet(
+      StreamingOps.readChangeStream(spark, root, Seq("id")), out, ckpt)
+    assert(spark.read.parquet(out).count() == 3 + 4)
+  }
+
+  test("startingVersion mode emits feeds only — no initial snapshot") {
+    val (root, out, ckpt) = mk("sv")
+    Layout.initVersionedManifest(rows((1L, "a", 10L), (2L, "b", 20L)), root, Seq("g"))
+    Layout.upsertVersionedRows(spark, root, rows((1L, "a", 11L)), Seq("id"))
+    StreamingOps.drainToParquet(
+      StreamingOps.readChangeStream(spark, root, Seq("id"),
+        startingVersion = Some(0)), out, ckpt)
+    assert(drained(out) == Set(
+      (1L, "a", 10L, "update_pre"), (1L, "a", 11L, "update_post")))
+  }
+
+  test("checkpoint resume survives a NEW reader instance (version watermark)") {
+    val (root, out, ckpt) = mk("resume")
+    Layout.initVersionedManifest(rows((1L, "a", 1L)), root, Seq("g"))
+    StreamingOps.drainToParquet(
+      StreamingOps.readChangeStream(spark, root, Seq("id")), out, ckpt)
+    Layout.upsertVersionedRows(spark, root, rows((2L, "a", 2L)), Seq("id"))
+    // a brand-new stream over the same checkpoint resumes at v0, not the
+    // snapshot — the snapshot must never be re-emitted
+    StreamingOps.drainToParquet(
+      StreamingOps.readChangeStream(spark, root, Seq("id")), out, ckpt)
+    assert(drained(out) == Set((1L, "a", 1L, "insert"), (2L, "a", 2L, "insert")))
+  }
+
+  test("short name 'graft-changes' resolves via DataSourceRegister") {
+    val (root, out, ckpt) = mk("short")
+    Layout.initVersionedManifest(rows((7L, "a", 70L)), root, Seq("g"))
+    val df = spark.readStream.format("graft-changes")
+      .option("path", root).option("keys", "id").load()
+    StreamingOps.drainToParquet(df, out, ckpt)
+    assert(drained(out) == Set((7L, "a", 70L, "insert")))
+  }
+
+  test("option guards: missing path/keys and user schema refuse") {
+    val (root, _, _) = mk("guards")
+    Layout.initVersionedManifest(rows((1L, "a", 1L)), root, Seq("g"))
+    // Spark 4 defers source resolution past load(); forcing the schema (or
+    // starting the query) is what trips the option guards
+    val e1 = intercept[Exception] {
+      spark.readStream.format("graft-changes").option("keys", "id")
+        .load().schema
+    }
+    assert(e1.getMessage.contains("path"))
+    val e2 = intercept[Exception] {
+      StreamingOps.drainToParquet(
+        spark.readStream.format("graft-changes").option("path", root).load(),
+        root + "_out", root + "_ckpt")
+    }
+    assert(e2.getMessage.contains("keys"))
+  }
+
+  test("end-to-end: a sum view maintained from the stream ≡ the live table") {
+    val (root, _, ckpt) = mk("view")
+    Layout.initVersionedManifest(
+      rows((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)), root, Seq("g"))
+    // view state: snapshot batch materializes, feed batches fold
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    def drainIntoView(): Unit = {
+      val q = StreamingOps.readChangeStream(spark, root, Seq("id"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val snap = batch.drop("_change_type")
+            state = Some(state match {
+              case None => Incremental.materialize(snap, Seq("g"), Seq("v"))
+              case Some(st) =>
+                Incremental.applyFeed(st, batch, Seq("g"), Seq("v"))
+            })
+            state.foreach(_.persist().count()) // pin across batches
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainIntoView()
+    Layout.upsertVersionedRows(spark, root,
+      rows((1L, "a", 100L), (4L, "b", 40L)), Seq("id"))
+    Layout.deleteVersionedRows(spark, root, $"id" === 2L)
+    drainIntoView()
+    val got = state.get.select($"g", $"n_rows", $"sum_v".cast("long"))
+      .as[(String, Long, Long)].collect().toSet
+    val want = Layout.readCurrent(spark, root).groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(want == Set(("a", 1L, 100L), ("b", 2L, 70L)))
+  }
+}

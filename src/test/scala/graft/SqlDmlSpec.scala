@@ -1,0 +1,164 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Layout
+
+/** SQL DML statements against graft versioned tables (GraftDml): DELETE /
+  * UPDATE / 3-clause MERGE lowered onto the same Layout writers the Scala
+  * API uses. Pins: value semantics ≡ the Scala calls, alias/qualifier
+  * rewriting, star update expansion, extra source columns as clause
+  * inputs, the refusal surface, and that non-graft SQL is untouched.
+  */
+class SqlDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkRoot(tag: String): String = {
+    val root = Files.createTempDirectory(s"graft_sql_$tag").toString + "/t"
+    val df = spark.range(20)
+      .select($"id", ($"id" * 10).cast("long").as("v"),
+        concat(lit("p"), ($"id" % 2).cast("string")).as("part"))
+    Layout.initVersionedManifest(df.repartitionByRange(3, $"id"), root, Seq("part"))
+    root
+  }
+
+  private def state(root: String): Map[Long, (Long, String)] =
+    Layout.readCurrent(spark, root).select($"id", $"v", $"part")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("SQL DELETE takes deletion vectors; returns the new version path") {
+    val root = mkRoot("del")
+    val out = spark.sql(s"DELETE FROM graft.`$root` WHERE v >= 150 AND id % 2 = 1")
+    assert(out.columns.toSeq == Seq("version_path"))
+    assert(out.head().getString(0).contains("v00001"))
+    assert(state(root).keySet == (0L until 20L).filterNot(i => i * 10 >= 150 && i % 2 == 1).toSet)
+    // no data file rewritten: v1 carries v0's entries + a DV sidecar
+    assert(Layout.history(spark, root).filter($"operation" === "DELETE ROWS").count() == 1L)
+  }
+
+  test("SQL UPDATE evaluates SET expressions against the matched row") {
+    val root = mkRoot("upd")
+    spark.sql(s"UPDATE graft.`$root` SET v = v * 2 + 1 WHERE id < 3")
+    val s = state(root)
+    assert(s(0L)._1 == 1L && s(1L)._1 == 21L && s(2L)._1 == 41L)
+    assert(s(3L)._1 == 30L) // untouched
+    // WHERE-less UPDATE touches every row
+    spark.sql(s"UPDATE graft.`$root` SET v = 7")
+    assert(state(root).values.forall(_._1 == 7L))
+  }
+
+  test("SQL 3-clause MERGE ≡ the Scala mergeIntoVersionedRows semantics") {
+    val root = mkRoot("merge")
+    // op codes ride along as clause inputs and never land in the table
+    Seq((3L, -1L, "p1", "D"), (5L, 999L, "p1", "U"), (6L, 1L, "p0", "U"),
+      (100L, 7L, "p0", "I"), (200L, -5L, "p0", "D"))
+      .toDF("id", "v", "part", "op").createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$root` AS t USING merge_src AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.op = 'D' THEN DELETE
+         |WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *
+         |""".stripMargin)
+    val s = state(root)
+    assert(!s.contains(3L))              // deleted
+    assert(s(5L) == (999L, "p1"))        // updated (incoming newer)
+    assert(s(6L) == (60L, "p0"))         // matched, update cond false → kept
+    assert(s(100L) == (7L, "p0"))        // inserted
+    assert(!s.contains(200L))            // insert cond false
+    assert(s(7L) == (70L, "p1"))         // unmatched target untouched
+    assert(!Layout.readCurrent(spark, root).columns.contains("op"))
+  }
+
+  test("MERGE UPDATE SET * expands against the live table schema") {
+    val root = mkRoot("star")
+    Seq((4L, 444L, "p0"), (50L, 500L, "p0"))
+      .toDF("id", "v", "part").createOrReplaceTempView("star_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$root` t USING star_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    val s = state(root)
+    assert(s(4L) == (444L, "p0"))        // star update moved the row to p0
+    assert(s(50L) == (500L, "p0"))
+  }
+
+  test("MERGE source can be an inline subquery; keys can be reversed in ON") {
+    val root = mkRoot("sub")
+    spark.sql(
+      s"""MERGE INTO graft.`$root` AS t
+         |USING (SELECT id, id * 100 AS v, 'p0' AS part
+         |       FROM range(18, 22)) AS s
+         |ON s.id = t.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v + 1
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    val s = state(root)
+    assert(s(18L)._1 == 1801L && s(19L)._1 == 1901L)
+    assert(s(20L) == (2000L, "p0") && s(21L) == (2100L, "p0"))
+  }
+
+  test("refusals: non-keyed ON, NOT MATCHED BY SOURCE, non-identity INSERT") {
+    val root = mkRoot("guard")
+    Seq((1L, 1L, "p1")).toDF("id", "v", "part").createOrReplaceTempView("g_src")
+    val e1 = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING g_src s ON t.id > s.id
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e1.getMessage.contains("conjunction of qualified key"))
+    val e2 = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING g_src s ON t.id = s.id
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+    assert(e2.getMessage.contains("NOT MATCHED BY SOURCE"))
+    val e3 = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING g_src s ON t.id = s.id
+           |WHEN NOT MATCHED THEN INSERT (id, v, part) VALUES (s.id, s.v + 1, s.part)
+           |""".stripMargin)
+    }
+    assert(e3.getMessage.contains("INSERT *"))
+    // identity column list IS accepted (equivalent to INSERT *)
+    Seq((300L, 3L, "p0")).toDF("id", "v", "part").createOrReplaceTempView("g_src2")
+    spark.sql(
+      s"""MERGE INTO graft.`$root` t USING g_src2 s ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT (id, v, part) VALUES (s.id, s.v, s.part)
+         |""".stripMargin)
+    assert(state(root)(300L) == (3L, "p0"))
+  }
+
+  test("SQL DML composes with graft_changes/graft_table reads and constraints") {
+    val root = mkRoot("compose")
+    Layout.addCheckConstraint(spark, root, "v_nonneg", "v >= 0")
+    // a violating SQL UPDATE is rejected before any version is claimed
+    val before = Layout.currentVersionNumber(spark, root)
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$root` SET v = -1 WHERE id = 0")
+    }
+    assert(e.getMessage.contains("v_nonneg"))
+    assert(Layout.currentVersionNumber(spark, root) == before)
+    // a legal one lands and the change feed reads back in pure SQL
+    spark.sql(s"UPDATE graft.`$root` SET v = v + 1 WHERE id = 0")
+    val v = Layout.currentVersionNumber(spark, root)
+    val feed = spark.sql(
+      s"SELECT id, v, _change_type FROM graft_changes('$root', ${v - 1}, $v, 'id')")
+      .as[(Long, Long, String)].collect().toSet
+    assert(feed == Set((0L, 0L, "update_pre"), (0L, 1L, "update_post")))
+  }
+
+  test("non-graft SQL is untouched by the rule") {
+    // plain reads still work in the same session
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+    // DML against a non-graft relation falls through to Spark's own
+    // handling (not our commands): the error is Spark's, not a graft one
+    spark.range(3).createOrReplaceTempView("plain_view")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM plain_view WHERE id = 1")
+    }
+    assert(!e.getMessage.contains("graft"))
+  }
+}
