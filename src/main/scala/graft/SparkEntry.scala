@@ -2151,6 +2151,22 @@ object SparkEntry {
         base.filter(lit(false)), Seq("g"), Seq("v"))
       Incremental.applyFeed(zero, s.read.parquet(out), Seq("g"), Seq("v"))
         .select(col("g"), col("n_rows"), col("sum_v").cast("long").as("sum_v"))
+    }),
+
+    // --- IVF-PQ with RESIDUAL encoding (true IVFADC, r11) ---
+    // q161's serving layout upgraded to Jégou §V.A: codes quantize the
+    // residual v − c(cell), and the score decomposes as q·c + ADC over the
+    // residual code. DuckDB replays the residual subtraction element-wise
+    // (list_transform) and the same code/LUT folds, so the full
+    // approximate index — cells, residual codes, scores, ranks — agrees
+    // exactly. Recall ≥ the raw-vector variant is pinned in QuantizeSpec.
+    "q167_ivfpq_residual" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+      Quantize.ivfPqResidualTopK(emb,
+        centroids = emb.filter(col("vec_id") < 8),
+        queries = emb.filter(col("vec_id") >= 10 && col("vec_id") <= 14),
+        cb, nprobe = 3, topK = 5)
     })
   )
 
@@ -4288,7 +4304,45 @@ object SparkEntry {
             CASE WHEN o_orderkey % 7 = 0 THEN 1000 ELSE 0 END) AS BIGINT) AS sum_v
         FROM orders
         WHERE o_orderkey % 11 <> 0
-        GROUP BY 1"""
+        GROUP BY 1""",
+
+      // q161's oracle with the residual step: codes quantize e_res =
+      // c_emb − ce (element-wise replay), scores add list_dot_product(qe,
+      // ce) before the PARENTHESIZED ADC sum — the same left-to-right
+      // grouping the engine's `qdotc + reduce(_+_)` produces
+      "q167_ivfpq_residual" -> s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+        assigned AS (SELECT nn_id, c_emb, centroid_id FROM (
+          SELECT v.vec_id AS nn_id, v.e AS c_emb, c.cid AS centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+              list_dot_product(v.e, v.e) + list_dot_product(c.ce, c.ce)
+                - 2.0 * list_dot_product(v.e, c.ce), c.cid) AS rn
+          FROM v CROSS JOIN cent c) WHERE rn = 1),
+        resid AS (SELECT a.nn_id, a.centroid_id,
+            list_transform(range(1, len(a.c_emb) + 1),
+              i -> a.c_emb[i] - c.ce[i]) AS e
+          FROM assigned a JOIN cent c ON a.centroid_id = c.cid),
+        coded AS (SELECT nn_id, centroid_id, ${duckPqCode(4, 8, 16, 7)} AS code
+          FROM resid),
+        probes AS (SELECT query_id, qe, centroid_id, ce FROM (
+          SELECT q.vec_id AS query_id, q.e AS qe, c.cid AS centroid_id,
+            c.ce AS ce,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              list_dot_product(q.e, q.e) + list_dot_product(c.ce, c.ce)
+                - 2.0 * list_dot_product(q.e, c.ce), c.cid) AS pr
+          FROM v q CROSS JOIN cent c
+          WHERE q.vec_id >= 10 AND q.vec_id <= 14) WHERE pr <= 3),
+        scored AS (SELECT p.query_id, c.nn_id, c.centroid_id,
+            list_dot_product(p.qe, p.ce) + (${duckPqScore(4, 8, 16, 7)}) AS s
+          FROM coded c JOIN probes p ON c.centroid_id = p.centroid_id
+          WHERE c.nn_id <> p.query_id)
+        SELECT query_id, nn_id, centroid_id, score, rnk FROM (
+          SELECT query_id, nn_id, centroid_id, round(s, 6) AS score,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM scored) WHERE rnk <= 5"""
     )
   }
 

@@ -155,6 +155,74 @@ object Quantize {
         round(col("__s"), 6).as("score"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** IVF-PQ with RESIDUAL encoding — true IVFADC (Jégou et al. 2011,
+    * §V.A): each corpus vector is stored as the PQ code of its residual
+    * `v − c(cell)` rather than of `v` itself. Residuals concentrate near
+    * the origin (the coarse quantizer has already explained the
+    * between-cell variance), so the same m·log₂k code bits spend their
+    * resolution on the within-cell detail — the accuracy step that makes
+    * IVF-PQ competitive at high compression, and what [[ivfPqTopK]]'s
+    * raw-vector variant leaves on the table (QuantizeSpec pins residual
+    * recall ≥ raw recall on the synthetic corpus).
+    *
+    * Inner-product scoring decomposes exactly:
+    * `q·v = q·c + q·(v−c) ≈ q·c + adc(q, code(v−c))` — one extra dot
+    * against the (already-broadcast) probed centroid per (query, cell),
+    * nothing per corpus row. Same plan shape as [[ivfPqTopK]]: broadcast
+    * centroids route the corpus without shuffling it, codes are the only
+    * per-row storage, queries broadcast against probed cells only.
+    * Deterministic end to end (residual subtraction is element-wise IEEE,
+    * mirrored exactly by the oracle's `list_transform` replay; all ties
+    * break on ids).
+    *
+    * @return (query_id, nn_id, centroid_id, score [q·c + ADC, 6dp], rnk)
+    */
+  def ivfPqResidualTopK(corpus: DataFrame, centroids: DataFrame,
+                        queries: DataFrame,
+                        codebooks: Array[Array[Array[Double]]],
+                        nprobe: Int, topK: Int): DataFrame = {
+    val centVecs = centroids.select(col("vec_id").as("centroid_id"),
+      col("embedding").cast("array<double>").as("__ce"))
+    val coded = encode(
+      Similarity.ivfAssign(corpus, centroids)
+        .select(col("vec_id").as("nn_id"), col("embedding"),
+          col("centroid_id"))
+        .join(broadcast(centVecs), "centroid_id")
+        .withColumn("__res",
+          zip_with(col("embedding").cast("array<double>"), col("__ce"),
+            (a, b) => a - b)),
+      "__res", codebooks)
+      .select(col("nn_id"), col("centroid_id"), col("code"))
+    val cent = centroids.select(col("vec_id").as("centroid_id"),
+      col("embedding").as("cent_emb"),
+      VF.dot(col("embedding"), col("embedding")).as("c2"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("qdist"), col("centroid_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        VF.dot(col("embedding"), col("embedding")).as("a2"))
+      .crossJoin(broadcast(cent))
+      .withColumn("qdist",
+        col("a2") + col("c2") - lit(2.0) * VF.dot(col("q_emb"), col("cent_emb")))
+      .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= nprobe)
+      .select(col("query_id"),
+        col("q_emb").cast("array<double>").as("__qe"), col("centroid_id"),
+        // q·c once per (query, probed cell) — the residual decomposition's
+        // coarse term, shipped with the (tiny) probe set
+        VF.dot(col("q_emb"), col("cent_emb")).as("__qdotc"))
+    // grouping pinned: qdotc + (left-folded ADC terms), matching the
+    // oracle's parenthesization so the doubles agree to the last ulp
+    val score = col("__qdotc") + adcScore(col("__qe"), col("code"), codebooks)
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__s").desc, col("nn_id"))
+    coded.join(broadcast(probes), "centroid_id")
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("__s", score)
+      .withColumn("rnk", row_number().over(wK)).filter(col("rnk") <= topK)
+      .select(col("query_id"), col("nn_id"), col("centroid_id"),
+        round(col("__s"), 6).as("score"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Refine seeded codebooks with `iters` Lloyd iterations over the
     * corpus — per-subspace k-means trained in ONE distributed pass per
     * iteration for all m subspaces at once: explode to (subspace, subvec)
