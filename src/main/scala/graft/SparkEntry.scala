@@ -2167,6 +2167,60 @@ object SparkEntry {
         centroids = emb.filter(col("vec_id") < 8),
         queries = emb.filter(col("vec_id") >= 10 && col("vec_id") <= 14),
         cb, nprobe = 3, topK = 5)
+    }),
+
+    // --- batch BM25: a query TABLE through one corpus pass (r11) ---
+    // The decontamination-at-scale shape: three query bags ranked at once
+    // — the corpus tokenizes and shuffles ONCE, df/idf are shared across
+    // queries, the term→query fan-out is a broadcast, and the per-query
+    // cut is the native bounded TopKAgg (shuffle carries O(queries × k)
+    // pairs). Each query's ranking must equal a standalone bm25 call —
+    // RetrievalSpec pins that; the oracle mirrors the full batch.
+    "q168_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "data query stream table"),
+        (2L, "filter scan column"), (3L, "window batch the"))
+        .toDF("query_id", "qtext")
+      Retrieval.bm25All(Tables.documents(s, dir), "doc_id", "text",
+        qs, "query_id", "qtext", topK = 10)
+    }),
+
+    // --- writer-enforced CHECK constraints under the oracle (r11) ---
+    // S39 graduates from ScalaTest-only to the driver gate: a manifest
+    // table declares `1 ≤ l_quantity ≤ 60`; a batch that would push some
+    // rows past 60 is REJECTED whole (the failed upsert claims no version
+    // — if enforcement ever silently passed, the final state would
+    // diverge and the oracle would catch it), and the constraint-filtered
+    // remainder commits. DuckDB mirrors the surviving-rows algebra with
+    // the same CASE/WHERE.
+    "q169_constraint_gated_merge" -> ((s, dir) => {
+      // the synthetic lineitem is NOT unique on (orderkey, linenumber) —
+      // reduce to a deterministic unique-keyed base first (the upsert
+      // contract requires unique keys; the oracle mirrors the GROUP BY)
+      val li = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(max(col("l_returnflag")).as("l_returnflag"),
+          max(col("l_quantity")).as("l_quantity"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q169").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(
+        li.repartition(4), root, Seq("l_returnflag"))
+      graft.sources.Layout.addCheckConstraint(s, root, "qty_bounds",
+        "l_quantity >= 1.0 AND l_quantity <= 60.0")
+      val bumped = li.filter(col("l_orderkey") % 4 === 1)
+        .withColumn("l_quantity", col("l_quantity") + 20.0)
+      // the raw batch carries violations (quantities up to 70) — the
+      // commit must reject BEFORE any version is claimed
+      try {
+        graft.sources.Layout.upsertVersionedRows(s, root, bumped,
+          Seq("l_orderkey", "l_linenumber"))
+      } catch { case _: IllegalArgumentException => () }
+      // the gated remainder commits
+      graft.sources.Layout.upsertVersionedRows(s, root,
+        bumped.filter(col("l_quantity") <= 60.0),
+        Seq("l_orderkey", "l_linenumber"))
+      graft.sources.Layout.readCurrent(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
     })
   )
 
@@ -4342,7 +4396,67 @@ object SparkEntry {
           SELECT query_id, nn_id, centroid_id, round(s, 6) AS score,
             ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY s DESC, nn_id) AS rnk
-          FROM scored) WHERE rnk <= 5"""
+          FROM scored) WHERE rnk <= 5""",
+
+      // q155's oracle generalized to the query-table fan-out: shared
+      // df/idf over the union of query terms, per-(query, doc) decimal
+      // fold, per-query ROW_NUMBER cut
+      "q168_bm25_batch" -> """
+        WITH qrs AS (SELECT * FROM (VALUES
+            (1, 'data query stream table'),
+            (2, 'filter scan column'),
+            (3, 'window batch the')) AS q(query_id, qtext)),
+        qterms AS (SELECT DISTINCT query_id, tok FROM (
+            SELECT query_id,
+              unnest(string_split_regex(trim(lower(qtext)), '\s+')) AS tok
+            FROM qrs) WHERE tok <> ''),
+        toks AS (SELECT doc_id,
+            unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+          FROM documents),
+        tt AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+          FROM tt GROUP BY 1),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tt
+          WHERE tok IN (SELECT DISTINCT tok FROM qterms) GROUP BY 1, 2),
+        idf AS (SELECT tok,
+            ln(CAST(1.0 AS DOUBLE) +
+              (s.n_docs - df + CAST(0.5 AS DOUBLE)) /
+              (df + CAST(0.5 AS DOUBLE))) AS idf
+          FROM (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tf GROUP BY 1) CROSS JOIN stats s),
+        sc AS (SELECT qt.query_id, tf.doc_id,
+            CAST(SUM(CAST(
+              idf.idf * (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+              (tf.tf + CAST(1.2 AS DOUBLE) *
+                (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+                 CAST(0.75 AS DOUBLE) * dl.dl /
+                   (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+              AS DECIMAL(38,12))) AS DOUBLE) AS raw
+          FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                  JOIN idf ON tf.tok = idf.tok
+                  JOIN qterms qt ON tf.tok = qt.tok
+                  CROSS JOIN stats s
+          GROUP BY 1, 2)
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+          round(raw, 6) AS score, rnk FROM (
+          SELECT query_id, doc_id, raw,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY raw DESC, doc_id) AS rnk
+          FROM sc) WHERE rnk <= 10""",
+
+      "q169_constraint_gated_merge" -> s"""
+        WITH base AS (SELECT l_orderkey, max(l_returnflag) AS l_returnflag,
+            max(l_quantity) AS q0
+          FROM lineitem GROUP BY l_orderkey, l_linenumber),
+        u AS (SELECT l_returnflag,
+            CASE WHEN l_orderkey % 4 = 1 AND q0 + 20.0 <= 60.0
+                 THEN q0 + 20.0 ELSE q0 END AS q
+          FROM base)
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          ${dsumSql("q")} AS sum_qty
+        FROM u GROUP BY 1"""
     )
   }
 

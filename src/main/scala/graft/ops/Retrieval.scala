@@ -71,4 +71,69 @@ object Retrieval {
     scored.orderBy(col("raw").desc, col("doc_id")).limit(topK)
       .select(col("doc_id"), round(col("raw"), 6).as("score"))
   }
+
+  /** Batch BM25 — [[bm25]] for a query TABLE: rank every document against
+    * every query in one pass, the pipeline-scale shape (decontaminating
+    * thousands of benchmark items at once would otherwise loop |queries|
+    * corpus scans of [[bm25]]).
+    *
+    * Same scoring contract as [[bm25]] per query: house tokenization on
+    * BOTH sides, per-query UNIQUE terms, always-positive idf, the
+    * decimal-accumulated per-(query, document) fold, ties on raw doubles
+    * then id. A document scores identically here and in a one-query
+    * [[bm25]] call (RetrievalSpec pins the equivalence).
+    *
+    * Scale shape: the corpus tokenizes ONCE and shuffles once on
+    * (doc, term) for tf; df/idf are computed once per DISTINCT term across
+    * every query (shared — the whole point of batching) and broadcast;
+    * the term→query fan-out is a broadcast of the (small) query bags; and
+    * the per-query cut is the native bounded [[graft.functions.expressions.TopKAgg]]
+    * — map-side k-capped buffers, so the final shuffle carries
+    * O(queries × k) pairs, never a per-query window sort of the corpus.
+    *
+    * @param queries (queryIdCol, queryTextCol) — one bag of terms per row
+    * @return (query_id, doc_id, score [6dp], rnk) — topK rows per query
+    */
+  def bm25All(docs: DataFrame, idCol: String, textCol: String,
+              queries: DataFrame, queryIdCol: String, queryTextCol: String,
+              topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val dec = DecimalType(38, 12)
+    val qTerms = queries.select(col(queryIdCol).as("query_id"),
+        explode(split(trim(lower(col(queryTextCol))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val terms = qTerms.select("tok").distinct()
+    val tf = toks.join(broadcast(terms), Seq("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("tok")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"),
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))).as("idf"))
+    val scored = tf
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(idf), Seq("tok"))
+      .join(broadcast(qTerms), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("s",
+        (col("idf") * (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+          .cast(dec))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("s")).cast("double").as("raw"))
+    scored.groupBy("query_id")
+      .agg(graft.functions.expressions.TopKAgg.topK(
+        col("raw"), col("doc_id"), topK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        round(col("t.score"), 6).as("score"),
+        (col("i") + 1).cast("long").as("rnk"))
+  }
 }

@@ -66,4 +66,32 @@ class RetrievalSpec extends SparkSpec {
         .as[(Long, Double)].collect().toSeq
     assert(run(corpus.repartition(7)) == run(corpus.coalesce(1)))
   }
+
+  test("bm25All ≡ one bm25 call per query, with shared corpus stats (r11)") {
+    val qs = Seq((10L, "query rare"), (20L, "spark optimizer"),
+      (30L, "Query  SPARK"), // case/whitespace normalize like the corpus
+      (40L, "absent tokens only zzz")).toDF("query_id", "qtext")
+    val batch = Retrieval.bm25All(corpus, "doc_id", "text",
+        qs, "query_id", "qtext", topK = 3)
+      .select($"query_id", $"doc_id", $"score", $"rnk")
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    def single(terms: Seq[String]): Seq[(Long, Double)] =
+      Retrieval.bm25(corpus, "doc_id", "text", terms, topK = 3)
+        .as[(Long, Double)].collect().toSeq
+    assert(batch(10L) == single(Seq("query", "rare")))
+    assert(batch(20L) == single(Seq("spark", "optimizer")))
+    assert(batch(30L) == single(Seq("query", "spark")))
+    // a query whose terms miss the corpus entirely ranks nothing
+    assert(!batch.contains(40L))
+    // partitioning invariance carries over to the batch shape
+    val again = Retrieval.bm25All(corpus.repartition(7), "doc_id", "text",
+        qs.repartition(3), "query_id", "qtext", topK = 3)
+      .select($"query_id", $"doc_id", $"score", $"rnk")
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    assert(again == batch)
+  }
 }
