@@ -72,6 +72,7 @@ object Bench {
         def once(): BenchSample = {
           val at = java.time.LocalTime.now().toString.take(12)
           val loadBefore = loadavg()
+          graft.util.DmlTimer.readAndResetSec() // drop stray attribution
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).count(); true }
@@ -80,9 +81,14 @@ object Bench {
               false
             }
           val t = (System.nanoTime() - t0) / 1e9
+          // seconds this run spent inside Layout WRITER entry points —
+          // the "builds its own table history" cost (VERDICT r10 Wrong #2);
+          // query_sec = sec − setup_sec decomposes the headline per entry
+          val setup = graft.util.DmlTimer.readAndResetSec()
           graft.util.Caches.releaseAll()
           spark.catalog.clearCache()
-          BenchSample(if (ok) t else -1.0, at, loadBefore, loadavg())
+          BenchSample(if (ok) t else -1.0, if (ok) setup else 0.0,
+            at, loadBefore, loadavg())
         }
         val runs = Seq(once(), once(), once())
         samples(name) = (idx, runs)
@@ -90,8 +96,12 @@ object Bench {
       }.toSeq
     try {
       val full = samples.map { case (k, (idx, runs)) =>
+        val best = runs.minBy(_.sec)
         f"$k%-34s pos=$idx%03d min=${r3(runs.map(_.sec).min)}%s " +
+          s"setup_sec=${r3(if (best.sec < 0) 0.0 else best.setupSec)} " +
+          s"query_sec=${r3(if (best.sec < 0) best.sec else best.sec - best.setupSec)} " +
           s"runs=${runs.map(r => r3(r.sec)).mkString(",")} " +
+          s"setup=${runs.map(r => r3(r.setupSec)).mkString(",")} " +
           s"at=${runs.map(_.at).mkString(",")} " +
           s"load=${runs.map(r => s"${r.loadBefore}>${r.loadAfter}").mkString(",")}"
       }.mkString("\n")
@@ -107,11 +117,13 @@ object Bench {
     System.out.flush()
   }
 
-  /** One timed run: wall seconds (-1 on failure), start-of-run wall clock,
-    * and the 1-min loadavg immediately before/after — the contention
-    * evidence the r8/r9 bench post-mortems had to reconstruct by rerunning.
+  /** One timed run: wall seconds (-1 on failure), seconds of that spent
+    * inside Layout writer entry points (the per-query table-history
+    * "setup" — see graft.util.DmlTimer), start-of-run wall clock, and the
+    * 1-min loadavg immediately before/after — the contention evidence the
+    * r8/r9 bench post-mortems had to reconstruct by rerunning.
     */
-  private case class BenchSample(sec: Double, at: String,
+  private case class BenchSample(sec: Double, setupSec: Double, at: String,
                                  loadBefore: String, loadAfter: String)
 
   /** First field of /proc/loadavg (1-min run-queue average), "?" where the
@@ -125,14 +137,6 @@ object Bench {
   private def r3(v: Double): String =
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
-  /** 2-decimal seconds with trailing zeros stripped ("0.50"→"0.5",
-    * "1.00"→"1") — pure width shaving for the tail-window budget;
-    * `toPlainString` avoids BigDecimal's "1E+2" scientific form.
-    */
-  private def r2(v: Double): String =
-    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-      .underlying.stripTrailingZeros.toPlainString
-
   /** The driver-facing headline line. The driver captures only the last
     * ~2000 chars of output and parses the JSON line out of that tail, so
     * the line must (a) be bare JSON — build.sbt forks `run` with
@@ -145,13 +149,27 @@ object Bench {
     * turned every round-over-round artifact diff into hash-order noise.
     */
   def jsonLine(results: Seq[(String, Double)], sfDir: String): String = {
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
-      .mkString("{", ",", "}")
+    // Per-query values are INTEGER MILLISECONDS ("qunit":"ms", since r11).
+    // Seconds at 2 decimals stopped fitting at ~165 registered queries:
+    // the window is exactly 2000 chars and "q123":0.25 spends 12 of them;
+    // "q123":250 spends 11 and carries MORE precision (the old 2-decimal
+    // round lost 10 ms). The headline total stays seconds ("unit":"sec").
+    // If the registry ever outgrows even that, the deterministic fallback
+    // drops the "q" prefix from the short keys (another ~entry-count
+    // chars) rather than silently truncating — BenchFormatSpec pins both
+    // representations parse and fit.
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // sf prints as its basename ("sf0.1", not the full path): the driver
-    // records it verbatim, and the ~15 saved chars matter — the whole line
-    // must fit the driver's 2000-char tail window (see BenchFormatSpec)
+    // records it verbatim, and the saved chars matter for the tail window
     val sf = sfDir.stripSuffix("/").split('/').last
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+    def build(key: String => String): String = {
+      val qs = results.map { case (k, v) =>
+        "\"" + key(k.takeWhile(_ != '_')) + "\":" +
+          (if (v < 0) "-1" else math.round(v * 1000).toString)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","qunit":"ms","queries":$qs,"sf":"$sf"}"""
+    }
+    val line = build(identity)
+    if (line.length < 1950) line else build(_.stripPrefix("q"))
   }
 }

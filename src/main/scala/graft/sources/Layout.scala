@@ -367,7 +367,7 @@ object Layout {
   /** Create a versioned layout at `root` with `df` as version 0; returns the
     * live version path. Readers from here on resolve via [[resolveCurrent]].
     */
-  def initVersioned(df: DataFrame, root: String): String = {
+  def initVersioned(df: DataFrame, root: String): String = graft.util.DmlTimer.timed {
     val v0 = versionName(0)
     df.write.mode(SaveMode.Overwrite).parquet(s"$root/$v0")
     writePointer(df.sparkSession, root, v0)
@@ -392,7 +392,7 @@ object Layout {
     * feed ([[graft.ops.Incremental.refreshFollowingView]]).
     */
   def publishVersion(spark: SparkSession, root: String, df: DataFrame,
-                     meta: Map[String, String] = Map.empty): String = {
+                     meta: Map[String, String] = Map.empty): String = graft.util.DmlTimer.timed {
     requireNotManifest(spark, root, "publishVersion",
       "a directory-committed version would be invisible to manifest readers")
     val fs = fsOf(spark, root)
@@ -500,7 +500,7 @@ object Layout {
     * later with [[vacuumVersions]] after a grace period longer than any
     * reader's job.
     */
-  def compactVersioned(spark: SparkSession, root: String, targetBytes: Long): String = {
+  def compactVersioned(spark: SparkSession, root: String, targetBytes: Long): String = graft.util.DmlTimer.timed {
     requireNotManifest(spark, root, "compactVersioned",
       "use compactVersionedPartitioned (manifest roots are partitioned, and a " +
         "flat rewrite would read only the version dir's physical files, " +
@@ -538,7 +538,7 @@ object Layout {
   def compactVersionedPartitioned(spark: SparkSession, root: String,
                                   targetBytes: Long,
                                   maxFiles: Int = 8,
-                                  zOrderCols: Seq[String] = Nil): (String, Int) = {
+                                  zOrderCols: Seq[String] = Nil): (String, Int) = graft.util.DmlTimer.timed {
     if (ManifestIndex.isManifestRoot(spark, root))
       return compactManifest(spark, root, targetBytes, maxFiles, zOrderCols)
     val cur = resolveCurrent(spark, root)
@@ -552,6 +552,9 @@ object Layout {
         val tooSmall = data.length > 1 && bytes / data.length < targetBytes / 2
         if (tooMany || tooSmall) Some(leaf -> bytes) else None
       }.toMap
+    // nothing fragmented → NO-OP, no version claimed (mirrors the manifest
+    // branch's review fix; maintain()'s idempotence relies on it)
+    if (fragmented.isEmpty) return (cur, 0)
     val (next, nextPath) = nextVersion(spark, root, cur)
     // one coalesced write per fragmented leaf (hive data files don't
     // contain pcol — it lives in the dir name — so a direct leaf-to-leaf
@@ -568,7 +571,6 @@ object Layout {
         data.coalesce(files)
           .write.mode(SaveMode.Overwrite).parquet(s"$nextPath/$leaf")
     }
-    if (fragmented.isEmpty) fs.mkdirs(new Path(nextPath))
     carryForward(fs, curPath, new Path(nextPath), fragmented.keySet,
       spark.sparkContext.hadoopConfiguration)
     writePointer(spark, root, next)
@@ -591,7 +593,7 @@ object Layout {
     * @return the new live version path
     */
   def mergeVersioned(spark: SparkSession, root: String, updates: DataFrame,
-                     keys: Seq[String]): String = {
+                     keys: Seq[String]): String = graft.util.DmlTimer.timed {
     requireNotManifest(spark, root, "mergeVersioned",
       "use mergeVersionedPartitioned (manifest roots are partitioned)")
     val cur = resolveCurrent(spark, root)
@@ -729,7 +731,7 @@ object Layout {
     * leaves at any depth.
     */
   def initVersionedPartitioned(df: DataFrame, root: String,
-                               pcols: Seq[String]): String = {
+                               pcols: Seq[String]): String = graft.util.DmlTimer.timed {
     val v0 = versionName(0)
     df.write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(s"$root/$v0")
     writePointer(df.sparkSession, root, v0)
@@ -757,7 +759,7 @@ object Layout {
     */
   def initVersionedManifest(df: DataFrame, root: String,
                             pcols: Seq[String],
-                            bloomCols: Seq[String]): String = {
+                            bloomCols: Seq[String]): String = graft.util.DmlTimer.timed {
     require(pcols.nonEmpty,
       "manifest mode is for partitioned roots (carry-forward has no meaning " +
         "unpartitioned — use initVersioned)")
@@ -833,7 +835,7 @@ object Layout {
     */
   def mergeVersionedPartitioned(spark: SparkSession, root: String,
                                 updates: DataFrame, keys: Seq[String],
-                                pcols: Seq[String]): String = {
+                                pcols: Seq[String]): String = graft.util.DmlTimer.timed {
     if (ManifestIndex.isManifestRoot(spark, root))
       return mergeManifest(spark, root, updates, keys, pcols)
     val cur = resolveCurrent(spark, root)
@@ -880,7 +882,7 @@ object Layout {
 
   /** Multi-level variant of the key-pruned DELETE. */
   def deleteVersionedPartitioned(spark: SparkSession, root: String,
-                                 predicate: Column, pcols: Seq[String]): String = {
+                                 predicate: Column, pcols: Seq[String]): String = graft.util.DmlTimer.timed {
     if (ManifestIndex.isManifestRoot(spark, root))
       return deleteManifest(spark, root, predicate, pcols)
     val cur = resolveCurrent(spark, root)
@@ -936,7 +938,7 @@ object Layout {
     * @return the new live version path (or the current one on no-op)
     */
   def deleteVersionedRows(spark: SparkSession, root: String,
-                          predicate: Column): String = {
+                          predicate: Column): String = graft.util.DmlTimer.timed {
     require(ManifestIndex.isManifestRoot(spark, root),
       "deleteVersionedRows (deletion vectors) requires a manifest root — " +
         "hardlink-mode roots delete copy-on-write via deleteVersionedPartitioned")
@@ -980,7 +982,7 @@ object Layout {
     * @return the new live version path (or the current one on no-op)
     */
   def updateVersionedRows(spark: SparkSession, root: String,
-                          predicate: Column, set: Map[String, Column]): String = {
+                          predicate: Column, set: Map[String, Column]): String = graft.util.DmlTimer.timed {
     require(ManifestIndex.isManifestRoot(spark, root),
       "updateVersionedRows (deletion vectors) requires a manifest root — " +
         "hardlink-mode roots update copy-on-write via mergeVersionedPartitioned")
@@ -1083,7 +1085,7 @@ object Layout {
     */
   def upsertVersionedRows(spark: SparkSession, root: String,
                           updates0: DataFrame, keys: Seq[String],
-                          txn: Option[(String, Long)] = None): String = {
+                          txn: Option[(String, Long)] = None): String = graft.util.DmlTimer.timed {
     require(ManifestIndex.isManifestRoot(spark, root),
       "upsertVersionedRows (deletion vectors) requires a manifest root — " +
         "hardlink-mode roots upsert copy-on-write via mergeVersionedPartitioned")
@@ -1208,7 +1210,7 @@ object Layout {
                              whenMatchedDelete: Option[Column] = None,
                              whenMatchedUpdate: Option[(Column, Map[String, Column])] = None,
                              whenNotMatchedInsert: Option[Column] = None,
-                             txn: Option[(String, Long)] = None): String = {
+                             txn: Option[(String, Long)] = None): String = graft.util.DmlTimer.timed {
     require(ManifestIndex.isManifestRoot(spark, root),
       "mergeIntoVersionedRows requires a manifest root — hardlink-mode " +
         "roots merge copy-on-write via mergeVersionedPartitioned")
@@ -1454,7 +1456,7 @@ object Layout {
     * @return the new live version path
     */
   def renameColumn(spark: SparkSession, root: String,
-                   oldName: String, newName: String): String = {
+                   oldName: String, newName: String): String = graft.util.DmlTimer.timed {
     require(ManifestIndex.isManifestRoot(spark, root),
       s"renameColumn requires a manifest root: $root")
     val (cur, _, man) = currentManifest(spark, root)
@@ -1522,7 +1524,7 @@ object Layout {
     * @return the new live version path
     */
   def widenColumn(spark: SparkSession, root: String,
-                  name: String, to: org.apache.spark.sql.types.DataType): String = {
+                  name: String, to: org.apache.spark.sql.types.DataType): String = graft.util.DmlTimer.timed {
     require(ManifestIndex.isManifestRoot(spark, root),
       s"widenColumn requires a manifest root: $root")
     val (cur, _, man) = currentManifest(spark, root)
@@ -1602,7 +1604,7 @@ object Layout {
     * @return the new live version path
     */
   def repartitionTable(spark: SparkSession, root: String,
-                       newPcols: Seq[String]): String = {
+                       newPcols: Seq[String]): String = graft.util.DmlTimer.timed {
     require(ManifestIndex.isManifestRoot(spark, root),
       s"repartitionTable requires a manifest root: $root")
     val (cur, _, man) = currentManifest(spark, root)
@@ -1644,7 +1646,7 @@ object Layout {
     nextPath
   }
 
-  def dropColumn(spark: SparkSession, root: String, name: String): String = {
+  def dropColumn(spark: SparkSession, root: String, name: String): String = graft.util.DmlTimer.timed {
     require(ManifestIndex.isManifestRoot(spark, root),
       s"dropColumn requires a manifest root: $root")
     val (cur, _, man) = currentManifest(spark, root)
@@ -1693,7 +1695,7 @@ object Layout {
     * @return the new live version path
     */
   def addCheckConstraint(spark: SparkSession, root: String,
-                         name: String, sql: String): String = {
+                         name: String, sql: String): String = graft.util.DmlTimer.timed {
     require(ManifestIndex.isManifestRoot(spark, root),
       s"addCheckConstraint requires a manifest root: $root")
     require(name.matches("[A-Za-z0-9_.-]+"),
@@ -1774,7 +1776,7 @@ object Layout {
     *
     * @return the new live version path
     */
-  def restoreVersion(spark: SparkSession, root: String, version: Int): String = {
+  def restoreVersion(spark: SparkSession, root: String, version: Int): String = graft.util.DmlTimer.timed {
     require(ManifestIndex.isManifestRoot(spark, root),
       s"restoreVersion requires a manifest root: $root")
     val old = ManifestIndex.read(spark, root, versionName(version))
@@ -1871,7 +1873,7 @@ object Layout {
     *         current path and 0 when no entry carries a DV.
     */
   def purgeDeletedRows(spark: SparkSession, root: String,
-                       targetBytes: Long = 128L << 20): (String, Int) = {
+                       targetBytes: Long = 128L << 20): (String, Int) = graft.util.DmlTimer.timed {
     require(ManifestIndex.isManifestRoot(spark, root),
       s"purgeDeletedRows requires a manifest root: $root")
     val (cur, _, man) = currentManifest(spark, root)
@@ -1879,6 +1881,75 @@ object Layout {
     if (dvLeaves.isEmpty) return (cur, 0)
     (rewriteLeaves(spark, root, cur, man, dvLeaves, targetBytes, "PURGE"),
       dvLeaves.size)
+  }
+
+  /** Knobs for [[maintain]] — the defaults are the individual operations'
+    * own defaults, so `maintain(spark, root)` is the no-thought nightly
+    * call.
+    */
+  case class MaintenancePolicy(targetBytes: Long = 128L << 20,
+                               maxFiles: Int = 8,
+                               zOrderCols: Seq[String] = Nil,
+                               keepVersions: Int = 2,
+                               purge: Boolean = true,
+                               compact: Boolean = true,
+                               vacuum: Boolean = true)
+
+  /** What one [[maintain]] run did — all zeros on an already-healthy
+    * table (idempotence: a second run over the same state is a no-op that
+    * claims no version).
+    */
+  case class MaintenanceReport(purgedLeaves: Int, compactedLeaves: Int,
+                               vacuumedVersions: Int, livePath: String)
+
+  /** One-call maintenance for a versioned root — the ops story the
+    * individual primitives spread across five calls, composed in the
+    * order that converges a worked-over table in a single run:
+    *
+    *  1. PURGE ([[purgeDeletedRows]], manifest roots): outstanding
+    *     deletion vectors materialize — DV-bearing leaves rewrite without
+    *     their dead rows, so later steps (and every reader) stop paying
+    *     the anti-join and the pre-delete stats skew.
+    *  2. COMPACT ([[compactVersionedPartitioned]]): fragmented leaves
+    *     coalesce toward `targetBytes` (optionally z-ordered), and leaves
+    *     written under EARLIER partition specs re-land under the current
+    *     spec — this is also where per-file stats and bloom filters
+    *     SELF-HEAL: every rewritten file gets fresh envelopes/blooms at
+    *     commit ([[ManifestIndex.attachStats]]), so blooms dropped by a
+    *     type widening and stats lost to evolution regrow here.
+    *  3. VACUUM ([[vacuumVersions]], `keepVersions`): reclaimable version
+    *     dirs drain, reference-counted so files shared via carry-forward
+    *     survive as long as any kept version names them.
+    *
+    * Each COMMITTING step runs under its own [[withCommitRetry]], so a
+    * concurrent writer landing between steps makes that step re-plan
+    * against the new base instead of failing the whole run — maintenance
+    * must never lose a race to the workload it serves. Vacuum commits no
+    * version (it only deletes unreferenced history) and needs no retry.
+    *
+    * Idempotent by composition: each step is individually a no-op on a
+    * clean table (purge: no DVs → no version; compact: nothing fragmented
+    * → no version; vacuum: nothing reclaimable → 0), so `maintain ∘
+    * maintain ≡ maintain` — MaintenanceSpec pins this on a table with
+    * DVs + fragments + pending renames at once.
+    */
+  def maintain(spark: SparkSession, root: String,
+               policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceReport = {
+    val manifest = ManifestIndex.isManifestRoot(spark, root)
+    val purged =
+      if (policy.purge && manifest)
+        withCommitRetry() { purgeDeletedRows(spark, root, policy.targetBytes)._2 }
+      else 0
+    val compacted =
+      if (policy.compact)
+        withCommitRetry() {
+          compactVersionedPartitioned(spark, root, policy.targetBytes,
+            policy.maxFiles, policy.zOrderCols)._2
+        }
+      else 0
+    val vacuumed =
+      if (policy.vacuum) vacuumVersions(spark, root, policy.keepVersions) else 0
+    MaintenanceReport(purged, compacted, vacuumed, resolveCurrent(spark, root))
   }
 
   // ------------------------------------------------------ manifest-mode impls
@@ -2362,7 +2433,7 @@ object Layout {
     * drops) — and vice versa.
     */
   def cloneVersion(spark: SparkSession, root: String, version: Int,
-                   newRoot: String): String = {
+                   newRoot: String): String = graft.util.DmlTimer.timed {
     val src = new Path(resolveVersion(spark, root, version))
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v0 = versionName(0)
@@ -2481,7 +2552,7 @@ object Layout {
     * grace period, not inline with the flip — an in-flight reader may still
     * be scanning an old version.
     */
-  def vacuumVersions(spark: SparkSession, root: String, keep: Int = 2): Int = {
+  def vacuumVersions(spark: SparkSession, root: String, keep: Int = 2): Int = graft.util.DmlTimer.timed {
     require(keep >= 1, "must keep at least the live version")
     if (ManifestIndex.isManifestRoot(spark, root))
       return vacuumManifest(spark, root, keep)

@@ -12,7 +12,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchFormatSpec extends AnyFunSuite {
 
   test("bench JSON line parses, is single-line, and fits the 2 KB tail") {
-    val results = SparkEntry.queries.keys.map(_ -> 1.2345).toSeq
+    // realistic magnitudes: most queries are sub-second, so ms values are
+    // 3 digits — the representative width for the window-fit assertion
+    val results = SparkEntry.queries.keys.map(_ -> 0.1234).toSeq
     val line = Bench.jsonLine(results, "/root/testdata/sf0.1")
     assert(!line.contains("\n"), "headline must be a single line")
     // registry order must survive into the JSON line (ADVICE r9: a .toMap
@@ -24,14 +26,16 @@ class BenchFormatSpec extends AnyFunSuite {
     // window is EXACTLY 2000 chars and ends with this line + "\n" (the
     // headline is the final bytes of output — nothing prints after it),
     // so the hard constraint is line ≤ 1999. 50 chars of slack guards a
-    // stray trailing CR or a wider-than-usual total. At ~12 chars/query
-    // this admits ~180 registered queries; past that, shave per-query
-    // decimals (see the r2 scaladoc) rather than weakening this guard.
+    // stray trailing CR or a wider-than-usual total. Values are integer
+    // milliseconds since r11 (~11 chars/query); if even that outgrows the
+    // window, jsonLine deterministically drops the "q" key prefix — both
+    // representations must satisfy this bound.
     assert(line.length < 1950, s"line is ${line.length} chars; driver tail is exactly 2000")
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
     assert(node.get("metric").asText() == "total")
     assert(node.get("unit").asText() == "sec")
-    assert(math.abs(node.get("value").asDouble() - 1.2345 * results.size) < 1e-3)
+    assert(node.get("qunit").asText() == "ms")
+    assert(math.abs(node.get("value").asDouble() - 0.1234 * results.size) < 1e-3)
     val qs = node.get("queries")
     assert(qs.size() == SparkEntry.queries.size,
       "qNN short keys must stay unique across the whole registry")
@@ -39,7 +43,22 @@ class BenchFormatSpec extends AnyFunSuite {
     while (it.hasNext) {
       val k = it.next()
       assert(k.matches("q\\d+"), s"unexpected short key $k")
-      assert(math.abs(qs.get(k).asDouble() - 1.234) < 0.01)
+      assert(qs.get(k).asLong() == 123L, s"$k: ${qs.get(k)}") // 0.1234 s -> 123 ms
     }
+    // pathological widths (every query multi-second -> 4-digit ms) trigger
+    // the deterministic fallback: "q" prefix drops, line still fits, still
+    // parses, order preserved
+    val wide = Bench.jsonLine(SparkEntry.queries.keys.map(_ -> 1.2345).toSeq,
+      "/root/testdata/sf0.1")
+    assert(wide.length < 1950, s"fallback line is ${wide.length} chars")
+    val wnode = new com.fasterxml.jackson.databind.ObjectMapper().readTree(wide)
+    assert(wnode.get("queries").size() == SparkEntry.queries.size)
+    val wKeys = "\"(\\d+)\":".r.findAllMatchIn(
+      wide.substring(wide.indexOf("queries"))).map(_.group(1)).toSeq
+    assert(wKeys == keyOrder.map(_.stripPrefix("q")))
+    // failed queries must stay visibly negative in ms form too
+    val failed = Bench.jsonLine(Seq("q01_x" -> -1.0), "/root/testdata/sf0.1")
+    val fnode = new com.fasterxml.jackson.databind.ObjectMapper().readTree(failed)
+    assert(fnode.get("queries").get("q01").asLong() == -1L)
   }
 }
