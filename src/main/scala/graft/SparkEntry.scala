@@ -2221,6 +2221,26 @@ object SparkEntry {
       graft.sources.Layout.readCurrent(s, root)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // --- SQL INSERT INTO: pure append through the statement surface ---
+    // Positional mapping (standard INSERT semantics — the SELECT's output
+    // lands on the table's declared column order), lowered onto
+    // appendVersionedRows: one O(batch) commit, no matching, no DVs.
+    // Oracle: the table ≡ base UNION ALL the inserted slice.
+    "q170_sql_insert" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"), col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q170").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(base, root, Seq("pri"))
+      base.filter(col("id") % 6 === 0).createOrReplaceTempView("q170_src")
+      // table column order is (id, v, pri); the SELECT maps positionally
+      s.sql(s"INSERT INTO graft.`$root` " +
+        "SELECT id + 20000000, v + 1, pri FROM q170_src")
+      graft.sources.Layout.readCurrent(s, root)
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
     })
   )
 
@@ -4456,7 +4476,18 @@ object SparkEntry {
           FROM base)
         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
           ${dsumSql("q")} AS sum_qty
-        FROM u GROUP BY 1"""
+        FROM u GROUP BY 1""",
+
+      "q170_sql_insert" -> """
+        WITH base AS (SELECT o_orderkey AS id, o_orderpriority AS pri,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        ins AS (SELECT id + 20000000 AS id, pri, v + 1 AS v
+          FROM base WHERE id % 6 = 0),
+        final AS (SELECT pri, v FROM base
+          UNION ALL SELECT pri, v FROM ins)
+        SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(v) AS BIGINT) AS sum_v
+        FROM final GROUP BY 1"""
     )
   }
 

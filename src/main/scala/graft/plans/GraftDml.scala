@@ -191,6 +191,19 @@ object GraftDml {
         GraftUpdateCommand(root,
           cond.map(c => Shim.column(unqualify(c, qs))).getOrElse(lit(true)), set)
 
+      case i: InsertIntoStatement =>
+        i.table match {
+          case Target((root, _)) =>
+            require(!i.overwrite,
+              "graft SQL INSERT: INSERT OVERWRITE is not supported — " +
+                "publishVersion/RESTORE are the replace surfaces")
+            require(i.partitionSpec.isEmpty,
+              "graft SQL INSERT: static PARTITION clauses are not " +
+                "supported — partition values ride in the rows")
+            GraftInsertCommand(root, i.query, i.userSpecifiedCols)
+          case _ => plan
+        }
+
       case m: MergeIntoTable =>
         m.targetTable match {
           case Target((root, tAliases)) =>
@@ -276,6 +289,32 @@ object GraftDml {
     override val output: Seq[Attribute] = pathAttr
     override def run(session: SparkSession): Seq[Row] =
       Seq(Row(Layout.updateVersionedRows(session, root, cond, set)))
+  }
+
+  /** `INSERT INTO graft.`root` [(cols)] SELECT …` → pure append
+    * ([[Layout.appendVersionedRows]]: no matching, no DVs, O(batch)
+    * written). A column list maps the query's output POSITIONALLY onto
+    * those names (standard INSERT semantics); with no list the query's
+    * own column names must match the table (checked by the writer).
+    */
+  case class GraftInsertCommand(root: String, query: LogicalPlan,
+                                userCols: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = pathAttr
+    override def run(session: SparkSession): Seq[Row] = {
+      val df0 = Shim.ofRows(session, query)
+      // standard SQL INSERT is POSITIONAL: with no column list the query's
+      // output maps onto the table's declared column order (names the
+      // query happened to produce are irrelevant — `SELECT id + 100, …`
+      // must land); an explicit list names the positions instead
+      val target =
+        if (userCols.nonEmpty) userCols
+        else Layout.readCurrent(session, root).columns.toSeq
+      require(target.length == df0.columns.length,
+        s"graft SQL INSERT: ${target.length} target columns but the " +
+          s"query produces ${df0.columns.length}")
+      Seq(Row(Layout.appendVersionedRows(session, root, df0.toDF(target: _*))))
+    }
   }
 
   /** `MERGE INTO graft.`root` USING …` → keyed merge-on-read merge. The

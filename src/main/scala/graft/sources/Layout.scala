@@ -1152,6 +1152,61 @@ object Layout {
     } finally updates.unpersist(false)
   }
 
+  /** Pure APPEND on a MANIFEST root — `INSERT INTO` semantics: every
+    * incoming row lands, no matching, no deletion vectors, no rewrite of
+    * anything. One commit writes O(|rows|) bytes (partitioned into the
+    * table's leaves) and copies the carried entry list — the cheapest
+    * possible write at any table size, and the right one for fact/event
+    * ingestion where keys are fresh by construction.
+    *
+    * What it deliberately does NOT do: enforce key uniqueness (append has
+    * no keys — a caller feeding [[changeFeed]]/[[upsertVersionedRows]]
+    * consumers owns the unique-key contract) or schema evolution (merge's
+    * job; narrow producers post-widening are upcast at the door like every
+    * writer). CHECK constraints validate the incoming rows before any
+    * version is claimed; `txn` gives exactly-once commits over replays,
+    * exactly as on [[upsertVersionedRows]]. An empty batch is a no-op.
+    *
+    * @return the new live version path (or the current one on no-op)
+    */
+  def appendVersionedRows(spark: SparkSession, root: String, rows0: DataFrame,
+                          txn: Option[(String, Long)] = None): String =
+    graft.util.DmlTimer.timed {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      "appendVersionedRows requires a manifest root — hardlink-mode roots " +
+        "append via mergeVersionedPartitioned with fresh keys")
+    val (cur, _, man) = currentManifest(spark, root)
+    txn.foreach { case (app, batch) =>
+      val applied = man.properties.get(ManifestIndex.TxnPrefix + app)
+      if (applied.exists(_.toLong >= batch)) return cur // replay: no-op
+    }
+    val pcols = man.partitionSchema.fieldNames.toSeq
+    val rows = upcastToActive(man, rows0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tableCols = (ManifestIndex.activeSchema(man.dataSchema) ++
+        man.partitionSchema).map(f => f.name -> f.dataType).toMap
+      require(rows.schema.forall(f => tableCols.get(f.name).contains(f.dataType)) &&
+          rows.schema.length == tableCols.size,
+        s"appendVersionedRows: rows schema ${rows.schema.simpleString} " +
+          s"must match the table exactly (${tableCols.keys.mkString(",")}) — " +
+          "schema evolution is mergeVersionedPartitioned's job")
+      if (rows.isEmpty) return cur
+      requireConstraints(rows, man.constraints, "appended rows")
+      val (next, nextPath) = nextVersion(spark, root, cur)
+      ManifestIndex.toPhysical(rows, man.dataSchema)
+        .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
+      commitManifest(spark, root, next, man.copy(
+        properties = man.properties ++ txn.map { case (app, batch) =>
+          ManifestIndex.TxnPrefix + app -> batch.toString },
+        entries =
+          ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++
+            man.entries),
+        "APPEND")
+      nextPath
+    } finally rows.unpersist(false)
+  }
+
   /** Conditional MERGE INTO (merge-on-read) on a MANIFEST root — the full
     * three-clause MERGE a CDC/apply pipeline needs, on top of the same
     * deletion-vector machinery as [[upsertVersionedRows]] (which is the

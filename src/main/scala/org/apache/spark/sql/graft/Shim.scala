@@ -37,4 +37,17 @@ object Shim {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** Rebase a V1 `Sink.addBatch` micro-batch DataFrame onto its computed
+    * RDD so downstream code can run MULTIPLE actions over it (the layout
+    * writers probe emptiness, validate constraints and then write) without
+    * re-triggering the incremental execution — the exact trick Spark's own
+    * ForeachBatchSink uses.
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val spark =
+      df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.Layout
+import graft.streaming.StreamingOps
+
+/** `writeStream.format("graft-sink")` (r11): micro-batches land as table
+  * versions — upsert mode (keys) vs append mode, txn idempotence across
+  * drains, and the table-to-table loop with the change-feed source.
+  */
+class GraftSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(rs: (Long, String, Long)*) = rs.toDF("id", "g", "v")
+
+  private def mk(tag: String): (String, String, String) = {
+    val base = Files.createTempDirectory(s"graft_sink_$tag").toString
+    (base + "/t", base + "/in", base + "/ckpt")
+  }
+
+  private def state(root: String): Set[(Long, String, Long)] =
+    Layout.readCurrent(spark, root).select($"id", $"g", $"v")
+      .as[(Long, String, Long)].collect().toSet
+
+  private def drain(inDir: String, root: String, ckpt: String,
+                    keys: Option[String]): Unit = {
+    val stream = StreamingOps.fileStream(spark, inDir,
+      rows().schema)
+    val w = stream.writeStream.format("graft-sink")
+      .option("path", root).option("checkpointLocation", ckpt)
+    val q = keys.fold(w)(k => w.option("keys", k))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("upsert mode: micro-batches merge by key; idle drains claim no version") {
+    val (root, in, ckpt) = mk("upsert")
+    Layout.initVersionedManifest(rows((1L, "a", 10L), (2L, "b", 20L)), root, Seq("g"))
+    new java.io.File(in).mkdirs()
+    rows((1L, "a", 11L), (3L, "a", 30L)).coalesce(1)
+      .write.mode("append").parquet(in)
+    drain(in, root, ckpt, Some("id"))
+    assert(state(root) == Set((1L, "a", 11L), (2L, "b", 20L), (3L, "a", 30L)))
+    val v = Layout.currentVersionNumber(spark, root)
+    // nothing new → resumed drain commits nothing
+    drain(in, root, ckpt, Some("id"))
+    assert(Layout.currentVersionNumber(spark, root) == v)
+    // second batch resumes the checkpoint and merges on top
+    rows((3L, "a", 31L)).coalesce(1).write.mode("append").parquet(in)
+    drain(in, root, ckpt, Some("id"))
+    assert(state(root) == Set((1L, "a", 11L), (2L, "b", 20L), (3L, "a", 31L)))
+    assert(Layout.history(spark, root)
+      .filter($"operation" === "UPSERT ROWS").count() >= 2L)
+  }
+
+  test("append mode (no keys): rows accumulate, duplicates allowed") {
+    val (root, in, ckpt) = mk("append")
+    Layout.initVersionedManifest(rows((1L, "a", 10L)), root, Seq("g"))
+    new java.io.File(in).mkdirs()
+    rows((1L, "a", 10L), (2L, "b", 20L)).coalesce(1)
+      .write.mode("append").parquet(in)
+    drain(in, root, ckpt, None)
+    val all = Layout.readCurrent(spark, root).select($"id").as[Long].collect()
+    assert(all.sorted.toSeq == Seq(1L, 1L, 2L)) // duplicate id=1 kept: append
+    assert(Layout.history(spark, root)
+      .filter($"operation" === "APPEND").count() == 1L)
+  }
+
+  test("table-to-table: change-feed source into a graft sink follows the table") {
+    val (src, _, ckpt) = mk("loop")
+    val derived = src + "_derived"
+    Layout.initVersionedManifest(
+      rows((1L, "a", 10L), (2L, "b", 20L)), src, Seq("g"))
+    Layout.initVersionedManifest(rows(), derived, Seq("g"))
+    def follow(): Unit = {
+      val q = StreamingOps.readChangeStream(spark, src, Seq("id"))
+        // keep post-images only (this derived table mirrors upserts; the
+        // delete-capable path is streamApplyCdcRows)
+        .filter($"_change_type".isin("insert", "update_post"))
+        .drop("_change_type")
+        .writeStream.format("graft-sink")
+        .option("path", derived).option("keys", "id")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    follow()
+    assert(state(derived) == state(src))
+    Layout.upsertVersionedRows(spark, src,
+      rows((1L, "a", 100L), (9L, "b", 90L)), Seq("id"))
+    follow()
+    assert(state(derived) == state(src))
+    assert(state(derived) == Set((1L, "a", 100L), (2L, "b", 20L), (9L, "b", 90L)))
+  }
+
+  test("guards: missing path refuses; partitionBy on the stream refuses") {
+    val (root, in, ckpt) = mk("guards")
+    Layout.initVersionedManifest(rows((1L, "a", 1L)), root, Seq("g"))
+    new java.io.File(in).mkdirs()
+    rows((2L, "a", 2L)).coalesce(1).write.mode("append").parquet(in)
+    val stream = StreamingOps.fileStream(spark, in, rows().schema)
+    val e1 = intercept[Exception] {
+      stream.writeStream.format("graft-sink")
+        .option("checkpointLocation", ckpt + "1")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(e1.getMessage.contains("path") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("path"))
+    val e2 = intercept[Exception] {
+      stream.writeStream.format("graft-sink").option("path", root)
+        .partitionBy("g")
+        .option("checkpointLocation", ckpt + "2")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(e2.getMessage.contains("manifest spec") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("manifest spec"))
+  }
+}

@@ -150,6 +150,29 @@ class SqlDmlSpec extends SparkSpec {
     assert(feed == Set((0L, 0L, "update_pre"), (0L, 1L, "update_post")))
   }
 
+  test("SQL INSERT INTO appends; column lists map positionally; guards") {
+    val root = mkRoot("ins")
+    spark.sql(s"INSERT INTO graft.`$root` " +
+      "SELECT id + 100, id AS v, 'p0' AS part FROM range(3)")
+    val s1 = state(root)
+    assert(s1(100L) == (0L, "p0") && s1(101L) == (1L, "p0") && s1(102L) == (2L, "p0"))
+    assert(s1.size == 23)
+    // explicit column list in a DIFFERENT order maps positionally
+    spark.sql(s"INSERT INTO graft.`$root` (v, part, id) VALUES (7, 'p1', 200)")
+    assert(state(root)(200L) == (7L, "p1"))
+    assert(Layout.history(spark, root)
+      .filter($"operation" === "APPEND").count() == 2L)
+    // INSERT OVERWRITE and static partitions refuse
+    val e1 = intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE TABLE graft.`$root` SELECT 1L, 1L, 'p0'")
+    }
+    assert(e1.getMessage.contains("OVERWRITE"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$root` PARTITION (part='p0') SELECT 1L, 1L")
+    }
+    assert(e2.getMessage.contains("PARTITION"))
+  }
+
   test("non-graft SQL is untouched by the rule") {
     // plain reads still work in the same session
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
