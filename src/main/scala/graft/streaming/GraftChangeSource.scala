@@ -44,6 +44,15 @@ import graft.sources.Layout
   *    is `changeFeed(v, current)`) — for consumers that already hold the
   *    v snapshot.
   *
+  * Rate limiting: `maxVersionsPerBatch` (the `maxFilesPerTrigger`
+  * analog) caps each micro-batch's version span, so a consumer resuming
+  * behind a 10 000-commit backlog drains as bounded batches instead of
+  * one unbounded feed plan. Under processing-time triggers batches pace
+  * continuously; under `Trigger.AvailableNow` the V1 wrapper captures one
+  * target per invocation, so each drain advances one capped batch (the
+  * engine-committed watermark carries across reader instances — the
+  * recovery path re-commits the source, ChangeStreamSpec pins it).
+  *
   * Contracts: `keys` must be the table's unique row identity (the
   * [[Layout.changeFeed]] contract); the SCHEMA is pinned at stream start
   * (later batches select/cast to it — a widened column arrives casted, an
@@ -75,7 +84,8 @@ class GraftChangeSourceProvider extends StreamSourceProvider with DataSourceRegi
                             parameters: Map[String, String]): Source =
     new GraftChangeSource(sqlContext.sparkSession, rootOf(parameters),
       keysOf(parameters),
-      parameters.get("startingVersion").map(_.trim.toInt))
+      parameters.get("startingVersion").map(_.trim.toInt),
+      parameters.get("maxVersionsPerBatch").map(_.trim.toInt))
 }
 
 object GraftChangeSource {
@@ -100,10 +110,30 @@ object GraftChangeSource {
 }
 
 class GraftChangeSource(spark: SparkSession, root: String, keys: Seq[String],
-                        startingVersion: Option[Int]) extends Source {
+                        startingVersion: Option[Int],
+                        maxVersionsPerBatch: Option[Int] = None) extends Source {
   import GraftChangeSource._
 
+  maxVersionsPerBatch.foreach(k => require(k >= 1,
+    s"graft-changes: maxVersionsPerBatch must be >= 1, got $k"))
+
   override val schema: StructType = schemaFor(spark, root)
+
+  // Rate limiting (the maxFilesPerTrigger analog): a consumer resuming
+  // behind a LONG history would otherwise diff the whole backlog in one
+  // batch — `maxVersionsPerBatch` caps each batch's version span, so a
+  // 10 000-commit backlog drains as bounded micro-batches instead of one
+  // unbounded feed plan. The watermark tracks the highest version already
+  // served/committed (updated from BOTH getBatch and commit, which covers
+  // engine restart recovery: replayed ranges and the recovered committed
+  // offset both advance it before the next poll), and getOffset offers at
+  // most `watermark + max` — never less than the watermark itself, so the
+  // offered offset stays monotonic for the engine.
+  @volatile private var highWater: Option[Int] = startingVersion
+
+  private def advance(v: Int): Unit = synchronized {
+    if (!highWater.exists(_ >= v)) highWater = Some(v)
+  }
 
   // every batch is SELECTed into the pinned stream schema: stable column
   // order across versions, widened columns cast down the stream's declared
@@ -115,11 +145,21 @@ class GraftChangeSource(spark: SparkSession, root: String, keys: Seq[String],
 
   private def versionOf(o: OffsetV1): Int = o.json.trim.toInt
 
-  override def getOffset: Option[OffsetV1] =
-    Some(LongOffset(Layout.currentVersionNumber(spark, root).toLong))
+  override def getOffset: Option[OffsetV1] = {
+    val cur = Layout.currentVersionNumber(spark, root)
+    val capped = (maxVersionsPerBatch, highWater) match {
+      // never below the watermark (monotonic even if cur regressed)
+      case (Some(k), Some(hw)) => math.max(hw, math.min(cur, hw + k))
+      case _ => cur
+    }
+    Some(LongOffset(capped.toLong))
+  }
+
+  override def commit(end: OffsetV1): Unit = advance(versionOf(end))
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = versionOf(end)
+    advance(endV)
     val batch = start.map(versionOf).orElse(startingVersion) match {
       case None =>
         // snapshot-then-follow: first batch = the full stream-start

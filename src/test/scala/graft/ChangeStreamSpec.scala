@@ -108,6 +108,35 @@ class ChangeStreamSpec extends SparkSpec {
     assert(e2.getMessage.contains("keys"))
   }
 
+  test("maxVersionsPerBatch bounds each batch's version span (backlog drain)") {
+    val (root, out, ckpt) = mk("rate")
+    Layout.initVersionedManifest(rows((0L, "a", 0L)), root, Seq("g"))
+    // a 6-commit backlog before the stream ever starts
+    (1 to 6).foreach(i =>
+      Layout.upsertVersionedRows(spark, root, rows((i.toLong, "a", i.toLong)),
+        Seq("id")))
+    def drainOnce(): Unit = StreamingOps.drainToParquet(
+      spark.readStream.format("graft-changes")
+        .option("path", root).option("keys", "id")
+        .option("startingVersion", 0).option("maxVersionsPerBatch", 2).load(),
+      out, ckpt)
+    // under AvailableNow the V1 wrapper captures ONE target per drain, so
+    // each drain advances exactly one capped batch: ≤ 2 versions — the
+    // backlog NEVER arrives as one unbounded feed plan
+    drainOnce()
+    assert(drained(out) == (1 to 2).map(i =>
+      (i.toLong, "a", i.toLong, "insert")).toSet)
+    // each further drain resumes the engine-committed watermark in a NEW
+    // source instance and advances by at most the cap again
+    drainOnce()
+    assert(drained(out) == (1 to 4).map(i =>
+      (i.toLong, "a", i.toLong, "insert")).toSet)
+    drainOnce()
+    drainOnce() // already caught up: no-op
+    assert(drained(out) == (1 to 6).map(i =>
+      (i.toLong, "a", i.toLong, "insert")).toSet)
+  }
+
   test("end-to-end: a sum view maintained from the stream ≡ the live table") {
     val (root, _, ckpt) = mk("view")
     Layout.initVersionedManifest(
