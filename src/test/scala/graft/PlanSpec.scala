@@ -311,4 +311,26 @@ class PlanSpec extends SparkSpec {
       "top-k must never be a global sort: " + p.take(1500))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("q167: residual IVF-PQ keeps the codes-only broadcast shape (r11)") {
+    val p = plan("q167_ivfpq_residual")
+    // residual subtraction + encode are projection-only over the routed
+    // corpus; probes (with their q·c terms) broadcast — the corpus never
+    // hash-shuffles except for its rank window, and nothing is a cartesian
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q168: batch BM25 cuts per query via map-side top_k, never a window sort (r11)") {
+    val p = plan("q168_bm25_batch")
+    // the per-query cut must be the bounded native aggregate combining on
+    // the map side — a row_number window here would shuffle and sort every
+    // (query, doc) score row
+    assert(p.contains("partial_top_k"), p.take(2000))
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "),
+      "per-query cut must not be a window sort: " + p.take(1500))
+    // shared term stats and the term→query fan-out ride broadcasts
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }
