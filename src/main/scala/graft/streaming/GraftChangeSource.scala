@@ -76,7 +76,8 @@ class GraftChangeSourceProvider extends StreamSourceProvider with DataSourceRegi
                             parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty,
       "graft-changes: the schema comes from the table; do not set one")
-    (shortName(), schemaFor(sqlContext.sparkSession, rootOf(parameters)))
+    (shortName(), schemaFor(sqlContext.sparkSession, rootOf(parameters),
+      parameters.get("includeVersion").exists(_.trim.toBoolean)))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -85,11 +86,13 @@ class GraftChangeSourceProvider extends StreamSourceProvider with DataSourceRegi
     new GraftChangeSource(sqlContext.sparkSession, rootOf(parameters),
       keysOf(parameters),
       parameters.get("startingVersion").map(_.trim.toInt),
-      parameters.get("maxVersionsPerBatch").map(_.trim.toInt))
+      parameters.get("maxVersionsPerBatch").map(_.trim.toInt),
+      parameters.get("includeVersion").exists(_.trim.toBoolean))
 }
 
 object GraftChangeSource {
   val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
 
   private[streaming] def rootOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -103,21 +106,30 @@ object GraftChangeSource {
     keys
   }
 
-  /** Stream schema = the table's live read schema + `_change_type`. */
-  private[streaming] def schemaFor(spark: SparkSession, root: String): StructType =
-    StructType(Layout.readCurrent(spark, root).schema.fields :+
-      StructField(ChangeTypeCol, StringType, nullable = false))
+  /** Stream schema = the table's live read schema + `_change_type`
+    * (+ `_commit_version` when requested).
+    */
+  private[streaming] def schemaFor(spark: SparkSession, root: String,
+                                   includeVersion: Boolean = false): StructType = {
+    val base = Layout.readCurrent(spark, root).schema.fields :+
+      StructField(ChangeTypeCol, StringType, nullable = false)
+    StructType(if (includeVersion)
+      base :+ StructField(CommitVersionCol,
+        org.apache.spark.sql.types.LongType, nullable = false)
+    else base)
+  }
 }
 
 class GraftChangeSource(spark: SparkSession, root: String, keys: Seq[String],
                         startingVersion: Option[Int],
-                        maxVersionsPerBatch: Option[Int] = None) extends Source {
+                        maxVersionsPerBatch: Option[Int] = None,
+                        includeVersion: Boolean = false) extends Source {
   import GraftChangeSource._
 
   maxVersionsPerBatch.foreach(k => require(k >= 1,
     s"graft-changes: maxVersionsPerBatch must be >= 1, got $k"))
 
-  override val schema: StructType = schemaFor(spark, root)
+  override val schema: StructType = schemaFor(spark, root, includeVersion)
 
   // Rate limiting (the maxFilesPerTrigger analog): a consumer resuming
   // behind a LONG history would otherwise diff the whole backlog in one
@@ -135,6 +147,8 @@ class GraftChangeSource(spark: SparkSession, root: String, keys: Seq[String],
     if (!highWater.exists(_ >= v)) highWater = Some(v)
   }
 
+  // (the collapsed no-includeVersion path never carries the column; align
+  // drops/demands columns per the pinned schema, so both paths agree)
   // every batch is SELECTed into the pinned stream schema: stable column
   // order across versions, widened columns cast down the stream's declared
   // type (lossless — the stream declared the WIDER type only if it started
@@ -166,10 +180,22 @@ class GraftChangeSource(spark: SparkSession, root: String, keys: Seq[String],
         // snapshot as inserts
         Layout.readVersion(spark, root, endV)
           .withColumn(ChangeTypeCol, lit("insert"))
+          .withColumn(CommitVersionCol, lit(endV.toLong))
       case Some(fromV) if fromV == endV =>
         // engine replay edge (or startingVersion == current): empty batch
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      case Some(fromV) if includeVersion =>
+        // per-COMMIT attribution (Delta-CDF's `_commit_version`): a batch
+        // spanning several versions unions one pruned feed slice per
+        // commit, each tagged — the ordering column an op-coded CDC apply
+        // downstream needs (a collapsed diff cannot say which change
+        // landed when). Plan count = span; cap it with
+        // `maxVersionsPerBatch` on backlogged consumers.
+        ((fromV + 1) to endV).map(v =>
+          Layout.changeFeed(spark, root, v - 1, v, keys)
+            .withColumn(CommitVersionCol, lit(v.toLong)))
+          .reduce(_ unionByName _)
       case Some(fromV) =>
         Layout.changeFeed(spark, root, fromV, endV, keys)
     }

@@ -6,6 +6,8 @@ import org.apache.spark.sql.graft.Shim
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
 import org.apache.spark.sql.streaming.OutputMode
 
+import org.apache.spark.sql.functions.col
+
 import graft.sources.Layout
 
 /** Streaming SINK into a graft versioned root — the `writeStream` face of
@@ -17,9 +19,19 @@ import graft.sources.Layout
   *   .option("path", root)
   *   .option("keys", "id")            // → merge-on-read UPSERT per batch
   *   //  no "keys"                    // → pure APPEND per batch
+  *   //  + .option("mode", "cdc")     // → delete-capable op-coded apply
+  *   //    .option("opCol", "op").option("seqCol", "seq")
   *   .option("checkpointLocation", ckpt)
   *   .start()
   * }}}
+  *
+  * `mode=cdc` is the delete-capable apply ([[StreamingOps.streamApplyCdcRows]]'
+  * semantics behind the stock API): each batch carries the table's columns
+  * plus an op code (`opCol`: `"D"` deletes, anything else upserts) and an
+  * ordering column (`seqCol`); the batch compacts to its final op per key
+  * (keep-last by `seqCol`) and applies as ONE conditional merge. Paired
+  * with the change source's `includeVersion` column this mirrors a source
+  * table EXACTLY — deletes included (GraftSinkSpec pins the loop).
   *
   * Every micro-batch commits ONE table version under
   * [[Layout.withCommitRetry]] (concurrent maintenance can't kill the
@@ -64,20 +76,48 @@ class GraftSinkProvider extends StreamSinkProvider with DataSourceRegister {
     val appId = parameters.get("txnAppId")
       .orElse(parameters.get("checkpointLocation"))
       .getOrElse(root)
-    new GraftSink(root, keys, appId)
+    val cdc = parameters.get("mode") match {
+      case Some("cdc") =>
+        require(keys.isDefined, "graft sink: mode=cdc requires 'keys'")
+        Some((parameters.getOrElse("opCol", "op"),
+          parameters.getOrElse("seqCol", "seq")))
+      case Some(other) if other != "auto" =>
+        throw new IllegalArgumentException(
+          s"graft sink: unknown mode '$other' (cdc, or omit for upsert/append)")
+      case _ => None
+    }
+    new GraftSink(root, keys, appId, cdc)
   }
 }
 
 private[streaming] class GraftSink(root: String, keys: Option[Seq[String]],
-                                   appId: String) extends Sink {
+                                   appId: String,
+                                   cdc: Option[(String, String)] = None)
+    extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = Shim.asBatch(data)
     Layout.withCommitRetry() {
-      keys match {
-        case Some(ks) =>
+      (cdc, keys) match {
+        case (Some((opCol, seqCol)), Some(ks)) =>
+          // final op per key first (Debezium batches legitimately carry
+          // insert→update→delete chains; MERGE requires unique source keys)
+          val lastPerKey = graft.ops.Dedup.keepLast(
+            batch, ks, Seq(col(seqCol).desc))
+          val dataCols = lastPerKey.columns.filterNot(c =>
+            ks.contains(c) || c == opCol || c == seqCol)
+          Layout.mergeIntoVersionedRows(
+            batch.sparkSession, root, lastPerKey.drop(seqCol), ks,
+            whenMatchedDelete = Some(col(s"src_$opCol") === "D"),
+            whenMatchedUpdate =
+              if (dataCols.isEmpty) None
+              else Some((col(s"src_$opCol") =!= "D",
+                dataCols.map(c => c -> col(s"src_$c")).toMap)),
+            whenNotMatchedInsert = Some(col(opCol) =!= "D"),
+            txn = Some((appId, batchId)))
+        case (_, Some(ks)) =>
           Layout.upsertVersionedRows(batch.sparkSession, root, batch, ks,
             txn = Some((appId, batchId)))
-        case None =>
+        case _ =>
           Layout.appendVersionedRows(batch.sparkSession, root, batch,
             txn = Some((appId, batchId)))
       }

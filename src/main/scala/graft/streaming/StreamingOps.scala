@@ -30,10 +30,12 @@ object StreamingOps {
     * maintenance, or any stock streaming sink.
     */
   def readChangeStream(spark: SparkSession, root: String, keys: Seq[String],
-                       startingVersion: Option[Int] = None): DataFrame = {
-    val r = spark.readStream.format("graft-changes")
+                       startingVersion: Option[Int] = None,
+                       includeVersion: Boolean = false): DataFrame = {
+    val r0 = spark.readStream.format("graft-changes")
       .option("path", root).option("keys", keys.mkString(","))
-    startingVersion.fold(r)(v => r.option("startingVersion", v.toString)).load()
+      .option("includeVersion", includeVersion.toString)
+    startingVersion.fold(r0)(v => r0.option("startingVersion", v.toString)).load()
   }
 
   /** File-source stream that CLEANS consumed input files (S10 — the

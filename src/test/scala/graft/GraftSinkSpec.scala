@@ -95,6 +95,48 @@ class GraftSinkSpec extends SparkSpec {
     assert(state(derived) == Set((1L, "a", 100L), (2L, "b", 20L), (9L, "b", 90L)))
   }
 
+  test("EXACT mirror: includeVersion feed + cdc sink replicates deletes too") {
+    val (src, _, ckpt) = mk("mirror")
+    val derived = src + "_m"
+    Layout.initVersionedManifest(
+      rows((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)), src, Seq("g"))
+    Layout.initVersionedManifest(rows(), derived, Seq("g"))
+    def mirror(): Unit = {
+      val q = StreamingOps.readChangeStream(spark, src, Seq("id"),
+          includeVersion = true)
+        // feed → op codes: deletes apply as D, post-images as upserts,
+        // pre-images drop; _commit_version is the CDC ordering column
+        .filter($"_change_type" =!= "update_pre")
+        .withColumn("op",
+          when($"_change_type" === "delete", "D").otherwise("U"))
+        .withColumnRenamed("_commit_version", "seq")
+        .drop("_change_type")
+        .writeStream.format("graft-sink")
+        .option("path", derived).option("keys", "id")
+        .option("mode", "cdc").option("opCol", "op").option("seqCol", "seq")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    mirror()
+    assert(state(derived) == state(src))
+    // a commit mix including a DELETE — the upsert-only loop cannot mirror
+    // this; the cdc loop must
+    Layout.deleteVersionedRows(spark, src, $"id" === 2L)
+    Layout.upsertVersionedRows(spark, src,
+      rows((1L, "a", 11L), (4L, "b", 40L)), Seq("id"))
+    mirror()
+    assert(state(derived) == state(src))
+    assert(state(derived) == Set((1L, "a", 11L), (3L, "a", 30L), (4L, "b", 40L)))
+    // delete-then-reinsert across commits in ONE drain: _commit_version
+    // ordering must land the reinsert, not the delete
+    Layout.deleteVersionedRows(spark, src, $"id" === 3L)
+    Layout.upsertVersionedRows(spark, src, rows((3L, "a", 33L)), Seq("id"))
+    mirror()
+    assert(state(derived) == state(src))
+    assert(state(derived).contains((3L, "a", 33L)))
+  }
+
   test("guards: missing path refuses; partitionBy on the stream refuses") {
     val (root, in, ckpt) = mk("guards")
     Layout.initVersionedManifest(rows((1L, "a", 1L)), root, Seq("g"))
