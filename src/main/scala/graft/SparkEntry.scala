@@ -2241,6 +2241,50 @@ object SparkEntry {
       graft.sources.Layout.readCurrent(s, root)
         .groupBy("pri")
         .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+    }),
+
+    // --- exact table replication via the streaming surface (r11) ---
+    // The full loop under the oracle: a source table takes a merge AND a
+    // delete; the change stream (per-commit `_commit_version` slices) maps
+    // feed events to op codes and a cdc-mode graft sink applies them to a
+    // DERIVED table — deletes included, commit order preserved. The
+    // derived table's aggregate must equal DuckDB's direct algebra of the
+    // source's final state: replication added nothing, lost nothing.
+    "q171_cdc_mirror" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"), col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q171").toString
+      val (src, derived, ckpt) = (tmp + "/src", tmp + "/derived", tmp + "/ckpt")
+      graft.sources.Layout.initVersionedManifest(base, src, Seq("pri"))
+      graft.sources.Layout.initVersionedManifest(
+        base.filter(lit(false)), derived, Seq("pri"))
+      def mirror(): Unit = {
+        val q = graft.streaming.StreamingOps
+          .readChangeStream(s, src, Seq("id"), includeVersion = true)
+          .filter(col("_change_type") =!= "update_pre")
+          .withColumn("op",
+            when(col("_change_type") === "delete", "D").otherwise("U"))
+          .withColumnRenamed("_commit_version", "seq")
+          .drop("_change_type")
+          .writeStream.format("graft-sink")
+          .option("path", derived).option("keys", "id")
+          .option("mode", "cdc").option("opCol", "op").option("seqCol", "seq")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        ()
+      }
+      mirror() // snapshot
+      graft.sources.Layout.mergeVersionedPartitioned(s, src,
+        base.filter(col("id") % 7 === 0).withColumn("v", col("v") + 1000L),
+        Seq("id"), "pri")
+      graft.sources.Layout.deleteVersionedPartitioned(s, src,
+        col("id") % 11 === 0, "pri")
+      mirror() // the two commits, per-version slices, one drain
+      graft.sources.Layout.readCurrent(s, derived)
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
     })
   )
 
@@ -4487,7 +4531,18 @@ object SparkEntry {
           UNION ALL SELECT pri, v FROM ins)
         SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
           CAST(sum(v) AS BIGINT) AS sum_v
-        FROM final GROUP BY 1"""
+        FROM final GROUP BY 1""",
+
+      // the REPLICA's state ≡ the source's final state, computed directly
+      // (q139/q162's history algebra)
+      "q171_cdc_mirror" -> """
+        SELECT o_orderpriority AS pri,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) +
+            CASE WHEN o_orderkey % 7 = 0 THEN 1000 ELSE 0 END) AS BIGINT) AS sum_v
+        FROM orders
+        WHERE o_orderkey % 11 <> 0
+        GROUP BY 1"""
     )
   }
 
