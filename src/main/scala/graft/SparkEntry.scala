@@ -1988,8 +1988,11 @@ object SparkEntry {
       val srcMatched = base.filter(col("id") % 5 === 0)
         .withColumn("v", col("v") +
           when(col("id") % 2 === 0, 500L).otherwise(-500L))
+      // fresh keys = -(id+1): disjoint from the non-negative key space at
+      // ANY scale factor (a fixed +10M shift collides once orderkeys pass
+      // it — review fix); the oracle never references the synthetic ids
       val srcNew = base.filter(col("id") % 9 === 0)
-        .withColumn("id", col("id") + 10000000L)
+        .withColumn("id", -(col("id") + 1L))
       graft.sources.Layout.mergeIntoVersionedRows(s, root,
         srcMatched.unionByName(srcNew), Seq("id"),
         whenMatchedDelete = Some(col("id") % 10 === 0),
@@ -2058,7 +2061,8 @@ object SparkEntry {
       val batch = li.filter(col("l_orderkey") % 10 === 1)
         .withColumn("l_quantity", col("l_quantity") + 7.0)
         .unionByName(li.filter(col("l_orderkey") % 50 === 0)
-          .withColumn("l_orderkey", col("l_orderkey") + lit(10000000L)))
+          // fresh keys scale-safely (see q159)
+          .withColumn("l_orderkey", -(col("l_orderkey") + lit(1L))))
       graft.sources.Layout.upsertVersionedRows(s, root, batch,
         Seq("l_orderkey", "l_linenumber"))
       graft.sources.Layout.readCurrent(s, root)
@@ -2083,7 +2087,8 @@ object SparkEntry {
         .withColumn("v", col("v") +
           when(col("id") % 2 === 0, 500L).otherwise(-500L))
         .unionByName(base.filter(col("id") % 9 === 0)
-          .withColumn("id", col("id") + 10000000L))
+          // fresh keys scale-safely (see q159)
+          .withColumn("id", -(col("id") + 1L)))
         .createOrReplaceTempView("q164_src")
       s.sql(s"""
         MERGE INTO graft.`$root` AS t USING q164_src AS src
@@ -2237,7 +2242,7 @@ object SparkEntry {
       base.filter(col("id") % 6 === 0).createOrReplaceTempView("q170_src")
       // table column order is (id, v, pri); the SELECT maps positionally
       s.sql(s"INSERT INTO graft.`$root` " +
-        "SELECT id + 20000000, v + 1, pri FROM q170_src")
+        "SELECT -(id + 1), v + 1, pri FROM q170_src")
       graft.sources.Layout.readCurrent(s, root)
         .groupBy("pri")
         .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
@@ -4525,7 +4530,7 @@ object SparkEntry {
       "q170_sql_insert" -> """
         WITH base AS (SELECT o_orderkey AS id, o_orderpriority AS pri,
             CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
-        ins AS (SELECT id + 20000000 AS id, pri, v + 1 AS v
+        ins AS (SELECT -(id + 1) AS id, pri, v + 1 AS v
           FROM base WHERE id % 6 = 0),
         final AS (SELECT pri, v FROM base
           UNION ALL SELECT pri, v FROM ins)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeRefer
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.graft.Shim
 import org.apache.spark.sql.types.StringType
 
@@ -120,13 +120,18 @@ object GraftDml {
     }
 
   /** Strip the (single) relation's qualifiers for DELETE/UPDATE conditions:
-    * `t.v` and `graft./path.v` both become `v`.
+    * `t.v`, `/path`.v and the 3-part `graft`.`/path`.v all become `v` —
+    * stripping LOOPS because transformUp never revisits a rewritten node
+    * (review fix: the 3-part form previously kept a bogus path qualifier).
     */
   private def unqualify(e: Expression, quals: Set[String]): Expression =
     e.transformUp {
       case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
           quals.contains(a.nameParts.head.toLowerCase) =>
-        UnresolvedAttribute(a.nameParts.tail)
+        var parts = a.nameParts.tail
+        while (parts.length >= 2 && quals.contains(parts.head.toLowerCase))
+          parts = parts.tail
+        UnresolvedAttribute(parts)
     }
 
   /** `ON` → merge keys: a conjunction of `t.k = s.k` (any order, any
@@ -180,10 +185,11 @@ object GraftDml {
   case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = plan match {
       case DeleteFromTable(Target((root, quals)), cond) =>
-        GraftDeleteCommand(root, Shim.column(unqualify(cond, quals + Namespace)))
+        GraftDeleteCommand(root, Shim.column(
+          unqualify(cond, quals + Namespace + root.toLowerCase)))
 
       case UpdateTable(Target((root, quals)), assignments, cond) =>
-        val qs = quals + Namespace
+        val qs = quals + Namespace + root.toLowerCase
         val set = assignments.map(a => assignmentName(a, qs) ->
           Shim.column(unqualify(a.value, qs))).toMap
         require(set.size == assignments.size,
@@ -200,7 +206,9 @@ object GraftDml {
             require(i.partitionSpec.isEmpty,
               "graft SQL INSERT: static PARTITION clauses are not " +
                 "supported — partition values ride in the rows")
-            GraftInsertCommand(root, i.query, i.userSpecifiedCols)
+            require(!(i.byName && i.userSpecifiedCols.nonEmpty),
+              "graft SQL INSERT: BY NAME takes no column list")
+            GraftInsertCommand(root, i.query, i.userSpecifiedCols, i.byName)
           case _ => plan
         }
 
@@ -217,9 +225,11 @@ object GraftDml {
             val keys = keysOf(m.mergeCondition, tgt, src)
             var del: Option[Column] = None
             var upd: Option[(Column, Option[Map[String, Column]])] = None
+            var updFirst = false // UPDATE clause written before DELETE?
             m.matchedActions.foreach {
               case DeleteAction(c) =>
                 require(del.isEmpty, "graft SQL MERGE: one DELETE clause only")
+                updFirst = upd.isDefined
                 del = Some(Shim.column(
                   toJoined(c.getOrElse(Literal(true)), tgt, src)))
               case UpdateAction(c, assigns, _) =>
@@ -234,6 +244,17 @@ object GraftDml {
                   toJoined(c.getOrElse(Literal(true)), tgt, src)), None))
               case other => throw new IllegalArgumentException(
                 s"graft SQL MERGE: unsupported matched action $other")
+            }
+            // SQL semantics are FIRST-matching-clause-wins, but the layout
+            // merge evaluates delete-first (Delta's fixed clause order).
+            // DELETE-before-UPDATE coincides (the engine updates only
+            // !delCond rows); UPDATE-before-DELETE must mask the delete
+            // with the update's condition or every matched row satisfying
+            // both clauses would be deleted when SQL says update (review
+            // fix — silent wrong data otherwise).
+            if (updFirst) {
+              val uc = upd.get._1
+              del = del.map(dc => dc && !coalesce(uc, lit(false)))
             }
             val ins: Option[Column] = {
               val actions = m.notMatchedActions
@@ -298,7 +319,7 @@ object GraftDml {
     * own column names must match the table (checked by the writer).
     */
   case class GraftInsertCommand(root: String, query: LogicalPlan,
-                                userCols: Seq[String])
+                                userCols: Seq[String], byName: Boolean)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = pathAttr
     override def run(session: SparkSession): Seq[Row] = {
@@ -306,14 +327,22 @@ object GraftDml {
       // standard SQL INSERT is POSITIONAL: with no column list the query's
       // output maps onto the table's declared column order (names the
       // query happened to produce are irrelevant — `SELECT id + 100, …`
-      // must land); an explicit list names the positions instead
-      val target =
-        if (userCols.nonEmpty) userCols
-        else Layout.readCurrent(session, root).columns.toSeq
-      require(target.length == df0.columns.length,
-        s"graft SQL INSERT: ${target.length} target columns but the " +
-          s"query produces ${df0.columns.length}")
-      Seq(Row(Layout.appendVersionedRows(session, root, df0.toDF(target: _*))))
+      // must land); an explicit list names the positions instead; and
+      // `INSERT … BY NAME` passes the query's own names through to the
+      // writer's by-name schema check (review fix: byName was silently
+      // mapped positionally, permuting same-typed columns)
+      val df =
+        if (byName) df0
+        else {
+          val target =
+            if (userCols.nonEmpty) userCols
+            else Layout.readCurrent(session, root).columns.toSeq
+          require(target.length == df0.columns.length,
+            s"graft SQL INSERT: ${target.length} target columns but the " +
+              s"query produces ${df0.columns.length}")
+          df0.toDF(target: _*)
+        }
+      Seq(Row(Layout.appendVersionedRows(session, root, df)))
     }
   }
 

@@ -1996,11 +1996,29 @@ object Layout {
         withCommitRetry() { purgeDeletedRows(spark, root, policy.targetBytes)._2 }
       else 0
     val compacted =
-      if (policy.compact)
-        withCommitRetry() {
+      if (policy.compact) withCommitRetry() {
+        // FLAT (unpartitioned hardlink) roots have no leaves for the
+        // partitioned compactor to find — dispatch to the flat rewrite,
+        // gated by the same fragmentation test so an idle run stays a
+        // no-op (review fix: maintain silently never compacted flat roots)
+        val curPath = new Path(resolveCurrent(spark, root))
+        val fs = curPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val flat = !manifest && leafNames(fs, curPath).isEmpty
+        if (flat) {
+          val data = fs.listStatus(curPath).filter(f => f.isFile &&
+            !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          val bytes = data.map(_.getLen).sum
+          val want = math.max(1,
+            math.ceil(bytes.toDouble / policy.targetBytes).toInt)
+          if (data.length > math.max(want, policy.maxFiles) ||
+              (data.length > 1 && bytes / data.length < policy.targetBytes / 2)) {
+            compactVersioned(spark, root, policy.targetBytes); 1
+          } else 0
+        } else
           compactVersionedPartitioned(spark, root, policy.targetBytes,
             policy.maxFiles, policy.zOrderCols)._2
-        }
+      }
       else 0
     val vacuumed =
       if (policy.vacuum) vacuumVersions(spark, root, policy.keepVersions) else 0

@@ -73,9 +73,18 @@ class GraftSinkProvider extends StreamSinkProvider with DataSourceRegister {
     require(partitionColumns.isEmpty,
       "graft sink: partitionBy is the table's manifest spec — do not set " +
         "it on the stream")
+    // the idempotence watermark needs a per-QUERY identity: falling back
+    // to the root would make independent queries writing the same table
+    // share one watermark and silently no-op each other's batches (review
+    // fix). checkpointLocation lands in these options only when set via
+    // .option(...); conf-based checkpoints must name a txnAppId.
     val appId = parameters.get("txnAppId")
       .orElse(parameters.get("checkpointLocation"))
-      .getOrElse(root)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft sink: set 'checkpointLocation' as a writer OPTION or give " +
+          "an explicit 'txnAppId' — the idempotent-commit watermark needs " +
+          "a per-query identity, and defaulting to the table would make " +
+          "independent writers skip each other's batch ids"))
     val cdc = parameters.get("mode") match {
       case Some("cdc") =>
         require(keys.isDefined, "graft sink: mode=cdc requires 'keys'")
@@ -101,8 +110,13 @@ private[streaming] class GraftSink(root: String, keys: Option[Seq[String]],
         case (Some((opCol, seqCol)), Some(ks)) =>
           // final op per key first (Debezium batches legitimately carry
           // insert→update→delete chains; MERGE requires unique source keys)
+          // equal-seq ties resolve DETERMINISTICALLY: the delete wins
+          // ('D' sorts before other ops ascending — the destructive final
+          // state; review fix: seq alone left same-key same-seq event
+          // pairs to shuffle order, so a replay could produce a different
+          // table than the first attempt)
           val lastPerKey = graft.ops.Dedup.keepLast(
-            batch, ks, Seq(col(seqCol).desc))
+            batch, ks, Seq(col(seqCol).desc, col(opCol).asc))
           val dataCols = lastPerKey.columns.filterNot(c =>
             ks.contains(c) || c == opCol || c == seqCol)
           Layout.mergeIntoVersionedRows(

@@ -189,8 +189,10 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // equal-seq ties: the delete wins, deterministically (same
+          // contract as the cdc sink mode — see GraftSink)
           val lastPerKey = graft.ops.Dedup.keepLast(
-            batch, keys, Seq(col(seqCol).desc))
+            batch, keys, Seq(col(seqCol).desc, col(opCol).asc))
           // partition columns are IN the update set: an upstream partition
           // move (Debezium update carrying the full new image) must move
           // the row — mergeInto DVs the old image wherever it lives and

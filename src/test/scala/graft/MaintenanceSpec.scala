@@ -93,6 +93,27 @@ class MaintenanceSpec extends SparkSpec {
     assert(m.entries.exists(_.dv.isDefined))
   }
 
+  test("maintain compacts FLAT (unpartitioned) roots too; idle run no-ops") {
+    val root = Files.createTempDirectory("graft_maint_flat").toString
+    Layout.initVersioned(rows(50).drop("part").repartition(6), root)
+    (1 to 3).foreach(k => Layout.mergeVersioned(spark, root,
+      Seq(((100 + k).toLong, k.toDouble)).toDF("id", "v"), Seq("id")))
+    val before = Layout.readCurrent(spark, root)
+      .select($"id", $"v").as[(Long, Double)].collect().toSet
+    // tiny average file size trips the fragmentation test → flat rewrite
+    val r = Layout.maintain(spark, root,
+      Layout.MaintenancePolicy(maxFiles = 2, keepVersions = 2))
+    assert(r.compactedLeaves == 1, r.toString)
+    assert(Layout.readCurrent(spark, root)
+      .select($"id", $"v").as[(Long, Double)].collect().toSet == before)
+    // converged: the next run claims no version
+    val v = Layout.currentVersionNumber(spark, root)
+    val r2 = Layout.maintain(spark, root,
+      Layout.MaintenancePolicy(maxFiles = 2, keepVersions = 2))
+    assert(r2.compactedLeaves == 0)
+    assert(Layout.currentVersionNumber(spark, root) == v)
+  }
+
   test("maintain works on a HARDLINK root too (no purge; compact no-ops clean)") {
     val root = Files.createTempDirectory("graft_maint_hl").toString
     Layout.initVersionedPartitioned(rows(50), root, "part")

@@ -150,6 +150,39 @@ class SqlDmlSpec extends SparkSpec {
     assert(feed == Set((0L, 0L, "update_pre"), (0L, 1L, "update_post")))
   }
 
+  test("MERGE honors SQL first-matching-clause-wins with UPDATE before DELETE") {
+    val root = mkRoot("order2")
+    // ids 2 and 4 match; s.v > t.v holds for id=2 only. SQL: the UPDATE
+    // clause is FIRST, so id=2 updates and only id=4 falls to DELETE. The
+    // engine is delete-first — before the review fix both rows deleted.
+    Seq((2L, 999L, "p0"), (4L, 1L, "p0")).toDF("id", "v", "part")
+      .createOrReplaceTempView("ord_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$root` t USING ord_src s ON t.id = s.id
+         |WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v
+         |WHEN MATCHED THEN DELETE
+         |""".stripMargin)
+    val st = state(root)
+    assert(st(2L) == (999L, "p0"), "first clause (UPDATE) must win for id=2")
+    assert(!st.contains(4L), "id=4 falls through to DELETE")
+  }
+
+  test("3-part qualified refs (graft.`path`.col) and path-qualified refs resolve") {
+    val root = mkRoot("qual3")
+    spark.sql(s"DELETE FROM graft.`$root` WHERE graft.`$root`.id = 5")
+    assert(!state(root).contains(5L))
+    spark.sql(s"UPDATE graft.`$root` SET v = `$root`.v + 1 WHERE `$root`.id = 6")
+    assert(state(root)(6L)._1 == 61L)
+  }
+
+  test("INSERT BY NAME maps by name, not position") {
+    val root = mkRoot("byname")
+    // columns deliberately permuted vs the table's (id, v, part) order
+    spark.sql(s"INSERT INTO graft.`$root` BY NAME " +
+      "SELECT 7L AS v, 'p1' AS part, 500L AS id")
+    assert(state(root)(500L) == (7L, "p1"))
+  }
+
   test("SQL INSERT INTO appends; column lists map positionally; guards") {
     val root = mkRoot("ins")
     spark.sql(s"INSERT INTO graft.`$root` " +
