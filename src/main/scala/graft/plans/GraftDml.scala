@@ -21,12 +21,19 @@ import graft.sources.{Layout, ManifestIndex}
   * {{{
   * DELETE FROM graft.`/data/orders` WHERE o_status = 'X'
   * UPDATE graft.`/data/orders` SET price = price * 2 WHERE id % 10 = 0
+  * INSERT INTO graft.`/data/orders` SELECT ... -- positional; BY NAME works
   * MERGE INTO graft.`/data/orders` AS t USING updates AS s
   *   ON t.id = s.id
   *   WHEN MATCHED AND s.op = 'D' THEN DELETE
   *   WHEN MATCHED THEN UPDATE SET v = s.v
   *   WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *
   * }}}
+  *
+  * MERGE keeps SQL's first-matching-clause-wins semantics regardless of
+  * how the user orders the matched clauses: the layout merge is
+  * delete-first, so an UPDATE written before a DELETE masks the delete
+  * condition with its own (a matched row both clauses accept updates, as
+  * SQL requires).
   *
   * Spark-first design: NO parser is injected. Spark's own parser already
   * produces `DeleteFromTable` / `UpdateTable` / `MergeIntoTable` plans for
@@ -54,9 +61,10 @@ import graft.sources.{Layout, ManifestIndex}
   *
   * Surface limits (each refused loudly, never silently misread):
   * `MERGE … ON` must be a conjunction of `t.k = s.k` equalities (the
-  * layout's merge is keyed); inserts are `INSERT *` (or the trivially
-  * equivalent full-identity column list); `WHEN NOT MATCHED BY SOURCE` and
-  * `WITH SCHEMA EVOLUTION` are not supported; subqueries inside DML
+  * layout's merge is keyed); merge inserts are `INSERT *` (or the
+  * trivially equivalent full-identity column list); `WHEN NOT MATCHED BY
+  * SOURCE`, `WITH SCHEMA EVOLUTION`, `INSERT OVERWRITE` and static
+  * `PARTITION` clauses are not supported; subqueries inside DML
   * conditions are not supported.
   */
 object GraftDml {
