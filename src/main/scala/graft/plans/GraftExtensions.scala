@@ -95,13 +95,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MisraGries].getName, "mg_topk"),
       (children: Seq[Expression]) => MisraGries(children(0),
         intLit(children(1), "mg_topk", "capacity")).toAggregateExpression()))
-    // graft_table('/root'[, version]) — table-valued access to a versioned
-    // layout (manifest or hardlink mode) for pure-SQL pipelines:
+    // graft_table('/root'[, version | 'timestamp']) — table-valued access
+    // to a versioned layout (manifest or hardlink mode) for pure-SQL
+    // pipelines:
     //   SELECT * FROM graft_table('/data/orders')            -- live
-    //   SELECT * FROM graft_table('/data/orders', 3)         -- time travel
+    //   SELECT * FROM graft_table('/data/orders', 3)         -- version
+    //   SELECT * FROM graft_table('/data/orders',
+    //     '2026-08-14 12:00:00')                             -- AS OF time
     // The builder returns the SAME logical plan Layout.readCurrent/
-    // readVersion produce, so deletion vectors, column mapping, stats and
-    // bloom skipping all apply identically in SQL.
+    // readVersion/readAsOf produce, so deletion vectors, column mapping,
+    // stats and bloom skipping all apply identically in SQL.
     ext.injectTableFunction((
       new FunctionIdentifier("graft_table"),
       new ExpressionInfo(graft.sources.Layout.getClass.getName, "graft_table"),
@@ -115,6 +118,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val spark = org.apache.spark.sql.SparkSession.active
         val df = children match {
           case Seq(_) => graft.sources.Layout.readCurrent(spark, root)
+          case Seq(_, Literal(ts: org.apache.spark.unsafe.types.UTF8String, _)) =>
+            // wall-clock AS OF (S37's SQL face): the string is read in the
+            // SESSION time zone (not the JVM default — the driver sessions
+            // pin UTC) → the newest version committed at or before it
+            val zone = java.time.ZoneId.of(
+              spark.sessionState.conf.sessionLocalTimeZone)
+            val t = ts.toString.trim
+            val ldt =
+              try java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+              catch { case _: java.time.format.DateTimeParseException =>
+                java.time.LocalDate.parse(t).atStartOfDay()
+              }
+            graft.sources.Layout.readAsOf(spark, root,
+              ldt.atZone(zone).toInstant.toEpochMilli)
           case Seq(_, v) => graft.sources.Layout.readVersion(spark, root,
             intLit(v, "graft_table", "version"))
           case other => throw new IllegalArgumentException(

@@ -206,6 +206,21 @@ class SqlDmlSpec extends SparkSpec {
     assert(e2.getMessage.contains("PARTITION"))
   }
 
+  test("graft_table AS OF a timestamp string serves the version of that instant") {
+    val root = mkRoot("asof")
+    Thread.sleep(1100) // manifest mtimes can be second-granular
+    val mark = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    Thread.sleep(1100)
+    spark.sql(s"DELETE FROM graft.`$root` WHERE id < 10")
+    // the live table lost 10 rows; AS OF the pre-delete instant still has 20
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_table('$root', '$mark')")
+      .head().getLong(0) == 20L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_table('$root')")
+      .head().getLong(0) == 10L)
+  }
+
   test("non-graft SQL is untouched by the rule") {
     // plain reads still work in the same session
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
