@@ -2256,7 +2256,11 @@ object SparkEntry {
     // derived table's aggregate must equal DuckDB's direct algebra of the
     // source's final state: replication added nothing, lost nothing.
     "q171_cdc_mirror" -> ((s, dir) => {
-      val base = Tables.orders(s, dir).select(
+      // a third of orders: the replication cost IS the corpus size (the
+      // snapshot batch merges every row into the replica), and a slice
+      // exercises identical semantics for a third of the bench bill
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") % 3 === 0)
+        .select(
         col("o_orderkey").as("id"), col("o_orderpriority").as("pri"),
         round(col("o_totalprice") * 100).cast("long").as("v"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_q171").toString
@@ -2290,6 +2294,32 @@ object SparkEntry {
       graft.sources.Layout.readCurrent(s, derived)
         .groupBy("pri")
         .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+    }),
+
+    // --- one-call maintenance is content-invariant (r11) ---
+    // S60 under the driver gate: a worked-over table (fragment-accreting
+    // upserts + a DV delete + a pending rename) goes through ONE
+    // maintain() — purge, compact, vacuum — and its aggregate must equal
+    // DuckDB's direct algebra of the logical state. Maintenance that
+    // changed any answer would fail the hash here.
+    "q172_maintain_invariance" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"), col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q172").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(base, root, Seq("pri"))
+      // three sliver-appending upserts fragment the leaves
+      (1 to 3).foreach(k =>
+        graft.sources.Layout.upsertVersionedRows(s, root,
+          base.filter(col("id") % 13 === k)
+            .withColumn("v", col("v") + lit(k.toLong)), Seq("id")))
+      graft.sources.Layout.deleteVersionedRows(s, root, col("id") % 11 === 0)
+      graft.sources.Layout.renameColumn(s, root, "v", "cents")
+      graft.sources.Layout.maintain(s, root,
+        graft.sources.Layout.MaintenancePolicy(maxFiles = 2, keepVersions = 1))
+      graft.sources.Layout.readCurrent(s, root)
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
     })
   )
 
@@ -4545,6 +4575,18 @@ object SparkEntry {
           CAST(count(*) AS BIGINT) AS n_rows,
           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) +
             CASE WHEN o_orderkey % 7 = 0 THEN 1000 ELSE 0 END) AS BIGINT) AS sum_v
+        FROM orders
+        WHERE o_orderkey % 3 = 0 AND o_orderkey % 11 <> 0
+        GROUP BY 1""",
+
+      // upserts bump every id%13∈{1,2,3} by its k; the delete then drops
+      // id%11=0; maintenance must not change a single value
+      "q172_maintain_invariance" -> """
+        SELECT o_orderpriority AS pri,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) +
+            CASE WHEN o_orderkey % 13 IN (1, 2, 3)
+                 THEN o_orderkey % 13 ELSE 0 END) AS BIGINT) AS sum_cents
         FROM orders
         WHERE o_orderkey % 11 <> 0
         GROUP BY 1"""
