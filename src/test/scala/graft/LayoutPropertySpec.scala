@@ -20,7 +20,10 @@ class LayoutPropertySpec extends SparkSpec {
   /** kind: 0 = merge, 1 = partition-pruned delete (both modes);
     * 2 = row-level DV delete, 3 = row-level DV update, 4 = DV purge,
     * 5 = row-level DV upsert, 6 = type widening of the id column,
-    * 7 = partition-spec evolution (toggle part <-> id), 8 = compaction
+    * 7 = partition-spec evolution (toggle part <-> id), 8 = compaction,
+    * 9 = pure APPEND of fresh keys, 10 = one-call maintain (r11 — may
+    * commit 0, 1 or 2 versions: purge and/or compact; vacuum pinned off
+    * via a huge keepVersions so historical snapshots stay checkable)
     * (manifest mode only — the merge-on-read writers require it).
     * After an evolution the COW writers may refuse (mixed layout) — the
     * model accepts either outcome, because purge/compact can converge the
@@ -40,7 +43,7 @@ class LayoutPropertySpec extends SparkSpec {
     * correct in BOTH modes (a manifest version dir is not self-contained).
     */
   private def modelProperty(manifest: Boolean): Prop =
-    Prop.forAll(genOps(if (manifest) 8 else 1)) { ops =>
+    Prop.forAll(genOps(if (manifest) 10 else 1)) { ops =>
     val root = Files.createTempDirectory("graft_vprop").toString
     var model = (0L until 12L).map(i => i -> (partOf(i), i.toDouble * 10)).toMap
     // manifest tables are born with a NARROW id so a random widen op has
@@ -66,6 +69,7 @@ class LayoutPropertySpec extends SparkSpec {
 
     var ok = true
     var version = 0
+    var nextFresh = 100L // append keys: disjoint from the 0..17 universe
     var spec = Seq("part") // the CURRENT spec the COW writers must name
     ops.foreach { op =>
       // the row-level writers and purge NO-OP (no version committed) when
@@ -135,6 +139,30 @@ class LayoutPropertySpec extends SparkSpec {
           val (_, n) = Layout.compactVersionedPartitioned(spark, root,
             targetBytes = 128L << 20)
           committed = n > 0 // uniform + healthy → no version claimed
+        case 9 =>
+          // append with GUARANTEED-fresh keys: keeps the Map model exact
+          // (append allows duplicates; the random 0..17 ops never touch
+          // the fresh range, so uniqueness holds by construction)
+          val fresh = op.ids.zip(op.vals).map { case (i, v) =>
+            val id = nextFresh + i
+            (id, partOf(id), v)
+          }
+          nextFresh += 100L
+          Layout.appendVersionedRows(spark, root, rowsDf(fresh))
+          model = model ++ fresh.map { case (i, p, v) => i -> (p, v) }
+        case 10 =>
+          val r = Layout.maintain(spark, root,
+            Layout.MaintenancePolicy(keepVersions = 100000))
+          // content-invariant by contract; each committing step (purge,
+          // compact) claims one version whose snapshot equals the model
+          committed = false
+          val commits = (if (r.purgedLeaves > 0) 1 else 0) +
+            (if (r.compactedLeaves > 0) 1 else 0)
+          (1 to commits).foreach { _ =>
+            version += 1
+            ok &&= readVersion(version) == model
+            snapshots = snapshots :+ model
+          }
       }
       if (committed) {
         version += 1
@@ -160,7 +188,7 @@ class LayoutPropertySpec extends SparkSpec {
     assert(res.passed, res.toString)
   }
 
-  test("manifest mode: random merge/delete/DV-DML/purge/widen/REPARTITION/compact sequences match the Map model") {
+  test("manifest mode: random merge/delete/DV-DML/purge/widen/REPARTITION/compact/APPEND/MAINTAIN sequences match the Map model") {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(4).withWorkers(1),
       modelProperty(manifest = true))
