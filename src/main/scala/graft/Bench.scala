@@ -97,9 +97,14 @@ object Bench {
     try {
       val full = samples.map { case (k, (idx, runs)) =>
         val best = runs.minBy(_.sec)
+        // query_sec clamps at 0: DmlTimer sums writer wall time across
+        // THREADS, so a registration running concurrent sinks can
+        // attribute more writer-seconds than wall-seconds (review fix —
+        // a negative decomposition would corrupt the column's meaning)
         f"$k%-34s pos=$idx%03d min=${r3(runs.map(_.sec).min)}%s " +
-          s"setup_sec=${r3(if (best.sec < 0) 0.0 else best.setupSec)} " +
-          s"query_sec=${r3(if (best.sec < 0) best.sec else best.sec - best.setupSec)} " +
+          s"setup_sec=${r3(if (best.sec < 0) 0.0 else math.min(best.setupSec, best.sec))} " +
+          s"query_sec=${r3(if (best.sec < 0) best.sec
+            else math.max(0.0, best.sec - best.setupSec))} " +
           s"runs=${runs.map(r => r3(r.sec)).mkString(",")} " +
           s"setup=${runs.map(r => r3(r.setupSec)).mkString(",")} " +
           s"at=${runs.map(_.at).mkString(",")} " +
@@ -170,6 +175,31 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","qunit":"ms","queries":$qs,"sf":"$sf"}"""
     }
     val line = build(identity)
-    if (line.length < 1950) line else build(_.stripPrefix("q"))
+    if (line.length < 1950) line
+    else {
+      val stripped = build(_.stripPrefix("q"))
+      if (stripped.length < 1950) stripped
+      else {
+        // final tier: the whole map cannot fit — keep the SLOWEST entries
+        // (the ones a round-over-round comparison needs) and mark the
+        // drop loudly rather than let the driver's tail capture truncate
+        // the JSON head into a parse failure (review fix)
+        val keep = results.sortBy(-_._2)
+          .foldLeft((List.empty[(String, Double)], 120)) {
+            case ((acc, budget), kv) =>
+              if (budget > 0) (kv :: acc, budget - 1) else (acc, budget)
+          }._1
+        val keepSet = keep.map(_._1).toSet
+        val partial = results.filter(r => keepSet(r._1))
+        val dropped = results.size - partial.size
+        val qs = partial.map { case (k, v) =>
+          "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" +
+            (if (v < 0) "-1" else math.round(v * 1000).toString)
+        }.mkString("{", ",", "}")
+        val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+        val sf2 = sfDir.stripSuffix("/").split('/').last
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","qunit":"ms","dropped":$dropped,"queries":$qs,"sf":"$sf2"}"""
+      }
+    }
   }
 }

@@ -127,19 +127,32 @@ object GraftDml {
             s"(${a.nameParts.mkString(".")}) — only source columns exist there")
     }
 
+  /** Collapse the 3-part `graft`.`/path`.col prefix to the 2-part
+    * `/path`.col form — the path stays as THE qualifier (it is in every
+    * qualifier set), so the downstream rewrites (key extraction, joined/
+    * source/unqualified) see the same shape an aliased ref has. Shared by
+    * DELETE/UPDATE and the MERGE target side.
+    */
+  private def collapseTargetPrefix(e: Expression, root: String): Expression =
+    e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length >= 3 &&
+          a.nameParts.head.equalsIgnoreCase(Namespace) &&
+          a.nameParts(1).toLowerCase == root.toLowerCase =>
+        UnresolvedAttribute(a.nameParts.tail)
+    }
+
   /** Strip the (single) relation's qualifiers for DELETE/UPDATE conditions:
-    * `t.v`, `/path`.v and the 3-part `graft`.`/path`.v all become `v` —
-    * stripping LOOPS because transformUp never revisits a rewritten node
-    * (review fix: the 3-part form previously kept a bogus path qualifier).
+    * `t.v`, `/path`.v and (via [[collapseTargetPrefix]]) the 3-part
+    * `graft`.`/path`.v all become `v`. EXACTLY one part strips per
+    * attribute here — a loop over arbitrary qualifier-set runs would eat
+    * a struct column that happens to share the alias name (`t.t.f` must
+    * resolve struct `t`'s field, not column `f` — review fix).
     */
   private def unqualify(e: Expression, quals: Set[String]): Expression =
     e.transformUp {
       case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
           quals.contains(a.nameParts.head.toLowerCase) =>
-        var parts = a.nameParts.tail
-        while (parts.length >= 2 && quals.contains(parts.head.toLowerCase))
-          parts = parts.tail
-        UnresolvedAttribute(parts)
+        UnresolvedAttribute(a.nameParts.tail)
     }
 
   /** `ON` → merge keys: a conjunction of `t.k = s.k` (any order, any
@@ -193,17 +206,19 @@ object GraftDml {
   case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = plan match {
       case DeleteFromTable(Target((root, quals)), cond) =>
-        GraftDeleteCommand(root, Shim.column(
-          unqualify(cond, quals + Namespace + root.toLowerCase)))
+        GraftDeleteCommand(root, Shim.column(unqualify(
+          collapseTargetPrefix(cond, root),
+          quals + Namespace + root.toLowerCase)))
 
       case UpdateTable(Target((root, quals)), assignments, cond) =>
         val qs = quals + Namespace + root.toLowerCase
         val set = assignments.map(a => assignmentName(a, qs) ->
-          Shim.column(unqualify(a.value, qs))).toMap
+          Shim.column(unqualify(collapseTargetPrefix(a.value, root), qs))).toMap
         require(set.size == assignments.size,
           "graft SQL UPDATE: duplicate assignment targets")
         GraftUpdateCommand(root,
-          cond.map(c => Shim.column(unqualify(c, qs))).getOrElse(lit(true)), set)
+          cond.map(c => Shim.column(unqualify(collapseTargetPrefix(c, root), qs)))
+            .getOrElse(lit(true)), set)
 
       case i: InsertIntoStatement =>
         i.table match {
@@ -223,14 +238,16 @@ object GraftDml {
       case m: MergeIntoTable =>
         m.targetTable match {
           case Target((root, tAliases)) =>
-            val tgt = tAliases + Namespace
+            val tgt = tAliases + Namespace + root.toLowerCase
             val src = sourceQuals(m.sourceTable)
+            def collapse(e: Expression): Expression =
+              collapseTargetPrefix(e, root)
             require(!m.withSchemaEvolution,
               "graft SQL MERGE: WITH SCHEMA EVOLUTION is not supported — " +
                 "evolve via mergeVersionedPartitioned")
             require(m.notMatchedBySourceActions.isEmpty,
               "graft SQL MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
-            val keys = keysOf(m.mergeCondition, tgt, src)
+            val keys = keysOf(collapse(m.mergeCondition), tgt, src)
             var del: Option[Column] = None
             var upd: Option[(Column, Option[Map[String, Column]])] = None
             var updFirst = false // UPDATE clause written before DELETE?
@@ -239,17 +256,19 @@ object GraftDml {
                 require(del.isEmpty, "graft SQL MERGE: one DELETE clause only")
                 updFirst = upd.isDefined
                 del = Some(Shim.column(
-                  toJoined(c.getOrElse(Literal(true)), tgt, src)))
+                  toJoined(collapse(c.getOrElse(Literal(true))), tgt, src)))
               case UpdateAction(c, assigns, _) =>
                 require(upd.isEmpty, "graft SQL MERGE: one UPDATE clause only")
                 val set = assigns.map(a => assignmentName(a, tgt) ->
-                  Shim.column(toJoined(a.value, tgt, src))).toMap
+                  Shim.column(toJoined(collapse(a.value), tgt, src))).toMap
                 upd = Some((Shim.column(
-                  toJoined(c.getOrElse(Literal(true)), tgt, src)), Some(set)))
+                  toJoined(collapse(c.getOrElse(Literal(true))), tgt, src)),
+                  Some(set)))
               case UpdateStarAction(c) =>
                 require(upd.isEmpty, "graft SQL MERGE: one UPDATE clause only")
                 upd = Some((Shim.column(
-                  toJoined(c.getOrElse(Literal(true)), tgt, src)), None))
+                  toJoined(collapse(c.getOrElse(Literal(true))), tgt, src)),
+                  None))
               case other => throw new IllegalArgumentException(
                 s"graft SQL MERGE: unsupported matched action $other")
             }

@@ -118,6 +118,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val spark = org.apache.spark.sql.SparkSession.active
         val df = children match {
           case Seq(_) => graft.sources.Layout.readCurrent(spark, root)
+          // typed DATE/TIMESTAMP literals are AS OF, never versions — a
+          // DateType literal stores days-since-epoch as Int and would
+          // otherwise be silently read as "version 20678" (review fix)
+          case Seq(_, Literal(days: Int, org.apache.spark.sql.types.DateType)) =>
+            val zone = java.time.ZoneId.of(
+              spark.sessionState.conf.sessionLocalTimeZone)
+            graft.sources.Layout.readAsOf(spark, root,
+              java.time.LocalDate.ofEpochDay(days.toLong).atStartOfDay(zone)
+                .toInstant.toEpochMilli)
+          case Seq(_, Literal(us: Long, org.apache.spark.sql.types.TimestampType)) =>
+            graft.sources.Layout.readAsOf(spark, root,
+              Math.floorDiv(us, 1000L))
           case Seq(_, Literal(ts: org.apache.spark.unsafe.types.UTF8String, _)) =>
             // wall-clock AS OF (S37's SQL face): the string is read in the
             // SESSION time zone (not the JVM default — the driver sessions

@@ -548,7 +548,9 @@ object Layout {
         val data = fs.listStatus(new Path(curPath, leaf)).filter(f => f.isFile &&
           !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
         val bytes = data.map(_.getLen).sum
-        val tooMany = data.length > maxFiles
+        // converge, never oscillate: see the manifest branch (review fix)
+        val want = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)
+        val tooMany = data.length > math.max(maxFiles.toLong, want)
         val tooSmall = data.length > 1 && bytes / data.length < targetBytes / 2
         if (tooMany || tooSmall) Some(leaf -> bytes) else None
       }.toMap
@@ -2178,7 +2180,13 @@ object Layout {
       if (respec.contains(leaf)) None
       else {
         val bytes = es.map(_.size).sum
-        val tooMany = es.length > maxFiles
+        // a leaf whose data genuinely needs ceil(bytes/target) > maxFiles
+        // files is HEALTHY at that count — flagging it by maxFiles alone
+        // made every maintenance run rewrite it forever (review fix:
+        // maintain ∘ maintain ≡ maintain requires the gate to accept the
+        // rewrite's own output)
+        val want = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)
+        val tooMany = es.length > math.max(maxFiles.toLong, want)
         val tooSmall = es.length > 1 && bytes / es.length < targetBytes / 2
         if (tooMany || tooSmall) Some(leaf -> bytes) else None
       }

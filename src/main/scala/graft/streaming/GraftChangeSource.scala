@@ -142,6 +142,7 @@ class GraftChangeSource(spark: SparkSession, root: String, keys: Seq[String],
   // most `watermark + max` — never less than the watermark itself, so the
   // offered offset stays monotonic for the engine.
   @volatile private var highWater: Option[Int] = startingVersion
+  @volatile private var warnedCap = false
 
   private def advance(v: Int): Unit = synchronized {
     if (!highWater.exists(_ >= v)) highWater = Some(v)
@@ -165,6 +166,17 @@ class GraftChangeSource(spark: SparkSession, root: String, keys: Seq[String],
       // never below the watermark (monotonic even if cur regressed)
       case (Some(k), Some(hw)) => math.max(hw, math.min(cur, hw + k))
       case _ => cur
+    }
+    if (capped < cur && !warnedCap) {
+      // loud once: under Trigger.AvailableNow the V1 wrapper captures ONE
+      // target per invocation, so a single run STOPS at the cap with
+      // backlog remaining — a scheduled one-shot job that never catches up
+      // would otherwise look permanently "successful" (review fix)
+      warnedCap = true
+      System.err.println(s"[graft-changes] $root: rate limit active " +
+        s"(offering v$capped of v$cur). Under Trigger.AvailableNow one " +
+        "invocation stops at the cap — schedule repeated runs or use a " +
+        "processing-time trigger to drain the backlog.")
     }
     Some(LongOffset(capped.toLong))
   }

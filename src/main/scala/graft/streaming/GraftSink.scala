@@ -68,7 +68,12 @@ class GraftSinkProvider extends StreamSinkProvider with DataSourceRegister {
       "graft sink: 'path' option (the versioned root) is required"))
     val keys = parameters.get("keys")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .filter(_.nonEmpty)
+    // a PRESENT but empty keys option must not silently flip the sink
+    // into append mode (review fix) — absence selects append, emptiness
+    // is a misconfiguration
+    keys.foreach(ks => require(ks.nonEmpty,
+      "graft sink: 'keys' is set but empty — omit it for append mode, or " +
+        "name the merge keys"))
     // partitioning belongs to the TABLE (its manifest), not the stream
     require(partitionColumns.isEmpty,
       "graft sink: partitionBy is the table's manifest spec — do not set " +

@@ -60,5 +60,13 @@ class BenchFormatSpec extends AnyFunSuite {
     val failed = Bench.jsonLine(Seq("q01_x" -> -1.0), "/root/testdata/sf0.1")
     val fnode = new com.fasterxml.jackson.databind.ObjectMapper().readTree(failed)
     assert(fnode.get("queries").get("q01").asLong() == -1L)
+    // a registry far beyond any tier's capacity still produces a bounded,
+    // parseable line that SAYS what it dropped (never a truncated head)
+    val huge = (1 to 400).map(i => s"q${i}_x" -> 123.456)
+    val hline = Bench.jsonLine(huge, "/root/testdata/sf0.1")
+    assert(hline.length < 1950, s"final tier is ${hline.length} chars")
+    val hnode = new com.fasterxml.jackson.databind.ObjectMapper().readTree(hline)
+    assert(hnode.get("dropped").asInt() == 400 - hnode.get("queries").size())
+    assert(hnode.get("dropped").asInt() > 0)
   }
 }

@@ -137,6 +137,22 @@ class GraftSinkSpec extends SparkSpec {
     assert(state(derived).contains((3L, "a", 33L)))
   }
 
+  test("an empty keys option refuses instead of silently appending") {
+    val (root, in, ckpt) = mk("emptyk")
+    Layout.initVersionedManifest(rows((1L, "a", 1L)), root, Seq("g"))
+    new java.io.File(in).mkdirs()
+    rows((2L, "a", 2L)).coalesce(1).write.mode("append").parquet(in)
+    val e = intercept[Exception] {
+      StreamingOps.fileStream(spark, in, rows().schema)
+        .writeStream.format("graft-sink")
+        .option("path", root).option("keys", " , ")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(e.getMessage.contains("keys") ||
+      e.getCause != null && e.getCause.getMessage.contains("keys"))
+  }
+
   test("guards: missing path refuses; partitionBy on the stream refuses") {
     val (root, in, ckpt) = mk("guards")
     Layout.initVersionedManifest(rows((1L, "a", 1L)), root, Seq("g"))

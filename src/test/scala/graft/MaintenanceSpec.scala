@@ -114,6 +114,27 @@ class MaintenanceSpec extends SparkSpec {
     assert(Layout.currentVersionNumber(spark, root) == v)
   }
 
+  test("a leaf legitimately needing > maxFiles files converges, not oscillates") {
+    val root = Files.createTempDirectory("graft_maint_big").toString + "/t"
+    // one leaf, 6 files; pick targetBytes = bytes/3 so the rewrite yields
+    // ~3 files — MORE than maxFiles=2. The old gate (count > maxFiles)
+    // re-flagged the healthy 3-file leaf forever (review fix).
+    val df = (1 to 600).map(i => (i.toLong, "p0", i.toDouble))
+      .toDF("id", "part", "v")
+    Layout.initVersionedManifest(df.repartition(6), root, Seq("part"))
+    val m0 = graft.sources.ManifestIndex.read(spark, root, "v00000")
+    val bytes = m0.entries.map(_.size).sum
+    val policy = Layout.MaintenancePolicy(
+      targetBytes = math.max(1L, bytes / 3), maxFiles = 2, keepVersions = 100)
+    val r1 = Layout.maintain(spark, root, policy)
+    assert(r1.compactedLeaves == 1, r1.toString)
+    val v = Layout.currentVersionNumber(spark, root)
+    val r2 = Layout.maintain(spark, root, policy)
+    assert(r2.compactedLeaves == 0,
+      s"second run must accept the first run's output: $r2")
+    assert(Layout.currentVersionNumber(spark, root) == v)
+  }
+
   test("maintain works on a HARDLINK root too (no purge; compact no-ops clean)") {
     val root = Files.createTempDirectory("graft_maint_hl").toString
     Layout.initVersionedPartitioned(rows(50), root, "part")

@@ -206,6 +206,18 @@ class SqlDmlSpec extends SparkSpec {
     assert(e2.getMessage.contains("PARTITION"))
   }
 
+  test("MERGE accepts unaliased graft.`path` target qualifiers in ON and clauses") {
+    val root = mkRoot("mq")
+    Seq((5L, 555L, "p1")).toDF("id", "v", "part")
+      .createOrReplaceTempView("mq_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$root` USING mq_src s
+         |ON graft.`$root`.id = s.id
+         |WHEN MATCHED AND s.v > graft.`$root`.v THEN UPDATE SET v = s.v
+         |""".stripMargin)
+    assert(state(root)(5L)._1 == 555L)
+  }
+
   test("graft_table AS OF a timestamp string serves the version of that instant") {
     val root = mkRoot("asof")
     Thread.sleep(1100) // manifest mtimes can be second-granular
@@ -219,6 +231,18 @@ class SqlDmlSpec extends SparkSpec {
       .head().getLong(0) == 20L)
     assert(spark.sql(s"SELECT count(*) AS n FROM graft_table('$root')")
       .head().getLong(0) == 10L)
+    // typed TIMESTAMP literals are AS OF too — never misread as a version
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_table('$root', TIMESTAMP '$mark')")
+      .head().getLong(0) == 20L)
+    // DATE literal: today's midnight precedes v0 -> refused as pre-history
+    // (NOT misread as "version 20000-something")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM graft_table('$root', DATE '1995-01-01')")
+        .collect()
+    }
+    assert(e.getMessage.contains("retained history") ||
+      e.getMessage.toLowerCase.contains("before"), e.getMessage)
   }
 
   test("non-graft SQL is untouched by the rule") {
