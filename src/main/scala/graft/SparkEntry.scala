@@ -2320,6 +2320,37 @@ object SparkEntry {
       graft.sources.Layout.readCurrent(s, root)
         .groupBy("pri")
         .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+    }),
+
+    // --- SQL full-sync MERGE: WHEN NOT MATCHED BY SOURCE (r12) ---
+    // The standard full-sync idiom lands: target rows ABSENT from the
+    // source are deleted (stale, v % 3 = 0) or flagged (v + 7), while
+    // matched rows refresh and fresh source keys insert — five clause
+    // slots in one statement, lowered onto the same DV merge. The
+    // by-source anti-join is keys-only (broadcastable) and writes are
+    // O(affected); the oracle replays the clause algebra directly.
+    "q173_sql_merge_full_sync" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"), col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q173").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(base, root, Seq("pri"))
+      base.filter(col("id") % 4 === 0).withColumn("v", col("v") + 100L)
+        .unionByName(base.filter(col("id") % 4 === 0)
+          // fresh keys scale-safely (see q159)
+          .withColumn("id", -(col("id") + 1L))
+          .withColumn("v", col("v") + 100L))
+        .createOrReplaceTempView("q173_src")
+      s.sql(s"""
+        MERGE INTO graft.`$root` AS t USING q173_src AS src
+        ON t.id = src.id
+        WHEN MATCHED THEN UPDATE SET v = src.v
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.v % 3 = 0 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v + 7""")
+      graft.sources.Layout.readCurrent(s, root)
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
     })
   )
 
@@ -4589,7 +4620,23 @@ object SparkEntry {
                  THEN o_orderkey % 13 ELSE 0 END) AS BIGINT) AS sum_cents
         FROM orders
         WHERE o_orderkey % 11 <> 0
-        GROUP BY 1"""
+        GROUP BY 1""",
+
+      // full-sync clause algebra: matched (id%4=0) refresh to v+100;
+      // by-source rows delete when v%3=0 else flag v+7; fresh negative
+      // keys insert with v+100
+      "q173_sql_merge_full_sync" -> """
+        WITH base AS (SELECT o_orderkey AS id, o_orderpriority AS pri,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        kept AS (SELECT pri,
+            CASE WHEN id % 4 = 0 THEN v + 100 ELSE v + 7 END AS v
+          FROM base WHERE id % 4 = 0 OR v % 3 <> 0),
+        ins AS (SELECT pri, v + 100 AS v FROM base WHERE id % 4 = 0),
+        final AS (SELECT pri, v FROM kept
+          UNION ALL SELECT pri, v FROM ins)
+        SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(v) AS BIGINT) AS sum_v
+        FROM final GROUP BY 1"""
     )
   }
 

@@ -62,8 +62,8 @@ import graft.sources.{Layout, ManifestIndex}
   * Surface limits (each refused loudly, never silently misread):
   * `MERGE … ON` must be a conjunction of `t.k = s.k` equalities (the
   * layout's merge is keyed); merge inserts are `INSERT *` (or the
-  * trivially equivalent full-identity column list); `WHEN NOT MATCHED BY
-  * SOURCE`, `WITH SCHEMA EVOLUTION`, `INSERT OVERWRITE` and static
+  * trivially equivalent full-identity column list); `WITH SCHEMA
+  * EVOLUTION`, `INSERT OVERWRITE` and static
   * `PARTITION` clauses are not supported; subqueries inside DML
   * conditions are not supported.
   */
@@ -109,6 +109,25 @@ object GraftDml {
       case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
           tgt.contains(a.nameParts.head.toLowerCase) =>
         UnresolvedAttribute(a.nameParts.tail)
+    }
+
+  /** Rewrite refs for clauses evaluated against the TARGET side alone
+    * (NOT MATCHED BY SOURCE): target qualifier drops; source refs are
+    * illegal there (no source row exists for those target rows) and
+    * refuse. Unqualified names pass through — only the target frame
+    * exists on that side, so they are unambiguous.
+    */
+  private def toTarget(e: Expression, tgt: Set[String], src: Set[String]): Expression =
+    e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+          tgt.contains(a.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute(a.nameParts.tail)
+      case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+          src.contains(a.nameParts.head.toLowerCase) =>
+        throw new IllegalArgumentException(
+          s"graft SQL MERGE: NOT MATCHED BY SOURCE clause references the " +
+            s"source (${a.nameParts.mkString(".")}) — only target columns " +
+            "exist there")
     }
 
   /** Rewrite refs for clauses evaluated against the SOURCE frame alone
@@ -184,8 +203,13 @@ object GraftDml {
     }
   }
 
-  private def assignmentName(a: Assignment, tgt: Set[String]): String = {
-    val parts = a.key match {
+  private def assignmentName(a: Assignment, tgt: Set[String],
+                             root: String): String = {
+    // the 3-part `graft`.`/path`.col prefix collapses on assignment
+    // TARGETS too, not just values/conditions — without this, `SET
+    // graft.`p`.v = 1` stripped only 'graft' and refused with a
+    // misleading nested-field message (ADVICE r11)
+    val parts = collapseTargetPrefix(a.key, root) match {
       case u: UnresolvedAttribute =>
         if (u.nameParts.length >= 2 && tgt.contains(u.nameParts.head.toLowerCase))
           u.nameParts.tail
@@ -212,7 +236,7 @@ object GraftDml {
 
       case UpdateTable(Target((root, quals)), assignments, cond) =>
         val qs = quals + Namespace + root.toLowerCase
-        val set = assignments.map(a => assignmentName(a, qs) ->
+        val set = assignments.map(a => assignmentName(a, qs, root) ->
           Shim.column(unqualify(collapseTargetPrefix(a.value, root), qs))).toMap
         require(set.size == assignments.size,
           "graft SQL UPDATE: duplicate assignment targets")
@@ -245,9 +269,19 @@ object GraftDml {
             require(!m.withSchemaEvolution,
               "graft SQL MERGE: WITH SCHEMA EVOLUTION is not supported — " +
                 "evolve via mergeVersionedPartitioned")
-            require(m.notMatchedBySourceActions.isEmpty,
-              "graft SQL MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
             val keys = keysOf(collapse(m.mergeCondition), tgt, src)
+            // names the USER wrote unqualified in matched-clause
+            // expressions, recorded BEFORE toJoined rewrites qualifiers
+            // away — the run-time ambiguity check (both-sides columns)
+            // needs to tell these apart from rewritten `t.v` refs
+            var bareRefs = Set.empty[String]
+            def recordBare(e: Expression): Expression = {
+              bareRefs ++= e.collect {
+                case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+                  a.nameParts.head
+              }
+              e
+            }
             var del: Option[Column] = None
             var upd: Option[(Column, Option[Map[String, Column]])] = None
             var updFirst = false // UPDATE clause written before DELETE?
@@ -255,19 +289,20 @@ object GraftDml {
               case DeleteAction(c) =>
                 require(del.isEmpty, "graft SQL MERGE: one DELETE clause only")
                 updFirst = upd.isDefined
-                del = Some(Shim.column(
-                  toJoined(collapse(c.getOrElse(Literal(true))), tgt, src)))
+                del = Some(Shim.column(toJoined(
+                  recordBare(collapse(c.getOrElse(Literal(true)))), tgt, src)))
               case UpdateAction(c, assigns, _) =>
                 require(upd.isEmpty, "graft SQL MERGE: one UPDATE clause only")
-                val set = assigns.map(a => assignmentName(a, tgt) ->
-                  Shim.column(toJoined(collapse(a.value), tgt, src))).toMap
-                upd = Some((Shim.column(
-                  toJoined(collapse(c.getOrElse(Literal(true))), tgt, src)),
+                val set = assigns.map(a => assignmentName(a, tgt, root) ->
+                  Shim.column(toJoined(
+                    recordBare(collapse(a.value)), tgt, src))).toMap
+                upd = Some((Shim.column(toJoined(
+                  recordBare(collapse(c.getOrElse(Literal(true)))), tgt, src)),
                   Some(set)))
               case UpdateStarAction(c) =>
                 require(upd.isEmpty, "graft SQL MERGE: one UPDATE clause only")
-                upd = Some((Shim.column(
-                  toJoined(collapse(c.getOrElse(Literal(true))), tgt, src)),
+                upd = Some((Shim.column(toJoined(
+                  recordBare(collapse(c.getOrElse(Literal(true)))), tgt, src)),
                   None))
               case other => throw new IllegalArgumentException(
                 s"graft SQL MERGE: unsupported matched action $other")
@@ -295,7 +330,7 @@ object GraftDml {
                   // is equivalent to the layout's insert-the-source-row; any
                   // other shape would silently permute/compute columns
                   val identity = assigns.forall { a =>
-                    val k = assignmentName(a, tgt)
+                    val k = assignmentName(a, tgt, root)
                     toSource(a.value, tgt, src) match {
                       case u: UnresolvedAttribute =>
                         u.nameParts == Seq(k)
@@ -311,7 +346,36 @@ object GraftDml {
                   s"graft SQL MERGE: unsupported not-matched action $other")
               }
             }
-            GraftMergeCommand(root, m.sourceTable, keys, del, upd, ins)
+            // WHEN NOT MATCHED BY SOURCE: target-side clauses, same
+            // first-matching-clause-wins masking as the matched pair
+            var bsDel: Option[Column] = None
+            var bsUpd: Option[(Column, Option[Map[String, Column]])] = None
+            var bsUpdFirst = false
+            m.notMatchedBySourceActions.foreach {
+              case DeleteAction(c) =>
+                require(bsDel.isEmpty,
+                  "graft SQL MERGE: one NOT MATCHED BY SOURCE DELETE clause only")
+                bsUpdFirst = bsUpd.isDefined
+                bsDel = Some(Shim.column(
+                  toTarget(collapse(c.getOrElse(Literal(true))), tgt, src)))
+              case UpdateAction(c, assigns, _) =>
+                require(bsUpd.isEmpty,
+                  "graft SQL MERGE: one NOT MATCHED BY SOURCE UPDATE clause only")
+                val set = assigns.map(a => assignmentName(a, tgt, root) ->
+                  Shim.column(toTarget(collapse(a.value), tgt, src))).toMap
+                bsUpd = Some((Shim.column(
+                  toTarget(collapse(c.getOrElse(Literal(true))), tgt, src)),
+                  Some(set)))
+              case other => throw new IllegalArgumentException(
+                s"graft SQL MERGE: unsupported not-matched-by-source action " +
+                  s"$other (UPDATE SET * has no source row to expand from)")
+            }
+            if (bsUpdFirst) {
+              val uc = bsUpd.get._1
+              bsDel = bsDel.map(dc => dc && !coalesce(uc, lit(false)))
+            }
+            GraftMergeCommand(root, m.sourceTable, keys, del, upd, ins,
+              bareRefs, bsDel, bsUpd)
           case _ => plan
         }
 
@@ -381,24 +445,50 @@ object GraftDml {
   case class GraftMergeCommand(root: String, source: LogicalPlan,
                                keys: Seq[String], del: Option[Column],
                                upd: Option[(Column, Option[Map[String, Column]])],
-                               ins: Option[Column])
+                               ins: Option[Column],
+                               bareRefs: Set[String] = Set.empty,
+                               bsDel: Option[Column] = None,
+                               bsUpd: Option[(Column, Option[Map[String, Column]])] = None)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = pathAttr
     override def run(session: SparkSession): Seq[Row] = {
       val sourceDf = Shim.ofRows(session, source)
+      val man = ManifestIndex.read(session, root,
+        f"v${Layout.currentVersionNumber(session, root)}%05d")
+      val tableFields =
+        ManifestIndex.activeSchema(man.dataSchema) ++ man.partitionSchema
+      // SQL-standard ambiguity: a ref the USER wrote unqualified in a
+      // matched-clause expression (`bareRefs`, recorded by the rule BEFORE
+      // qualifier rewriting) that names a column present on BOTH target
+      // and source would silently bind to the target in the joined shape
+      // (target columns are plain, source ones are src_-prefixed) —
+      // Spark's own MERGE resolution raises an error there, so must we
+      // (ADVICE r11). Checked here, where both schemas are known. The
+      // Scala API keeps its documented plain-target/src_-prefix contract.
+      val tableLc = tableFields.map(_.name.toLowerCase).toSet
+      val srcLc = sourceDf.columns.map(_.toLowerCase).toSet
+      val amb = bareRefs.filter(n =>
+        tableLc(n.toLowerCase) && srcLc(n.toLowerCase)).toSeq.sorted
+      require(amb.isEmpty, s"graft SQL MERGE: unqualified reference(s) " +
+        s"${amb.mkString(", ")} in matched-clause expressions exist on " +
+        "BOTH the target table and the source — qualify with the target " +
+        "or source alias")
       val updSet = upd.map { case (c, setOpt) =>
         val set = setOpt.getOrElse {
           // UPDATE SET * — every current table column from the source side
-          val man = ManifestIndex.read(session, root,
-            f"v${Layout.currentVersionNumber(session, root)}%05d")
-          (ManifestIndex.activeSchema(man.dataSchema) ++ man.partitionSchema)
-            .map(f => f.name -> col(s"`src_${f.name}`")).toMap
+          tableFields.map(f => f.name -> col(s"`src_${f.name}`")).toMap
         }
         (c, set)
       }
+      val bsUpdSet = bsUpd.map { case (c, setOpt) =>
+        (c, setOpt.getOrElse(throw new IllegalStateException(
+          "by-source UPDATE always carries an explicit SET")))
+      }
       Seq(Row(Layout.mergeIntoVersionedRows(session, root, sourceDf, keys,
         whenMatchedDelete = del, whenMatchedUpdate = updSet,
-        whenNotMatchedInsert = ins)))
+        whenNotMatchedInsert = ins,
+        whenNotMatchedBySourceDelete = bsDel,
+        whenNotMatchedBySourceUpdate = bsUpdSet)))
     }
   }
 }

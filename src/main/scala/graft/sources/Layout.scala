@@ -1222,6 +1222,19 @@ object Layout {
     *    appended as new files in its leaf;
     *  - `whenNotMatchedInsert = Some(cond)`: a source row matching no
     *    target row, satisfying `cond`, is appended.
+    *  - `whenNotMatchedBySourceDelete = Some(cond)`: a TARGET row whose
+    *    key matches NO source row, satisfying `cond`, is DV'd out — the
+    *    full-sync idiom (drop target rows absent from the source);
+    *  - `whenNotMatchedBySourceUpdate = Some((cond, set))`: a by-source
+    *    row NOT taken by the by-source delete, satisfying `cond`, is
+    *    rewritten with `set` applied (flag-stale-rows full sync). These
+    *    two see TARGET columns only, plain names — there is no source row
+    *    on that side. NOTE an EMPTY source makes EVERY target row "not
+    *    matched by source" (the standard semantics — a full sync against
+    *    an empty upstream clears/flags the whole table), so these clauses
+    *    disable the empty-source fast path, and their anti-join scans the
+    *    full snapshot (no key-envelope prefilter can apply — a row
+    *    OUTSIDE the source's key range is by definition not matched).
     *
     * Clause `cond`s and `set` values are evaluated per (target, source)
     * pair: target columns by their plain names, the matching source row's
@@ -1267,20 +1280,25 @@ object Layout {
                              whenMatchedDelete: Option[Column] = None,
                              whenMatchedUpdate: Option[(Column, Map[String, Column])] = None,
                              whenNotMatchedInsert: Option[Column] = None,
-                             txn: Option[(String, Long)] = None): String = graft.util.DmlTimer.timed {
+                             txn: Option[(String, Long)] = None,
+                             whenNotMatchedBySourceDelete: Option[Column] = None,
+                             whenNotMatchedBySourceUpdate: Option[(Column, Map[String, Column])] = None): String = graft.util.DmlTimer.timed {
     require(ManifestIndex.isManifestRoot(spark, root),
       "mergeIntoVersionedRows requires a manifest root — hardlink-mode " +
         "roots merge copy-on-write via mergeVersionedPartitioned")
     require(keys.nonEmpty, "mergeIntoVersionedRows: empty key set")
+    val hasBySource = whenNotMatchedBySourceDelete.isDefined ||
+      whenNotMatchedBySourceUpdate.isDefined
     require(whenMatchedDelete.isDefined || whenMatchedUpdate.isDefined ||
-      whenNotMatchedInsert.isDefined, "mergeIntoVersionedRows: no clauses")
+      whenNotMatchedInsert.isDefined || hasBySource,
+      "mergeIntoVersionedRows: no clauses")
     val (cur, _, man) = currentManifest(spark, root)
     txn.foreach { case (app, batch) =>
       val applied = man.properties.get(ManifestIndex.TxnPrefix + app)
       if (applied.exists(_.toLong >= batch)) return cur // replay: no-op
     }
     val pcols = man.partitionSchema.fieldNames.toSeq
-    whenMatchedUpdate.foreach { case (_, set) =>
+    (whenMatchedUpdate.toSeq ++ whenNotMatchedBySourceUpdate.toSeq).foreach { case (_, set) =>
       require(set.nonEmpty, "mergeIntoVersionedRows: empty update set")
       // partition columns ARE assignable here (unlike updateVersionedRows):
       // matching is by key, and the mechanism is delete+insert anyway —
@@ -1310,7 +1328,10 @@ object Layout {
         s"mergeIntoVersionedRows: source schema ${source.schema.simpleString} " +
           s"must carry every table column (${tableCols.keys.mkString(",")}) " +
           "with its exact type")
-      if (source.isEmpty) return cur
+      // an EMPTY source is a no-op ONLY without by-source clauses: with
+      // them, every target row is "not matched by source" and the clauses
+      // legitimately apply to the whole table (full sync to empty)
+      if (source.isEmpty && !hasBySource) return cur
       val snap = ManifestIndex.dataFrame(spark, root, man, lineage = true)
       // key-range prefilter, as in upsertVersionedRows: two scalars off the
       // source let stats envelopes prune files holding no candidate key
@@ -1326,6 +1347,18 @@ object Layout {
       // pinned: every clause cond must see ONE evaluation of the match
       val matched = ranged.join(src, onKeys, "inner")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // NOT MATCHED BY SOURCE rows: the anti-join complement over the FULL
+      // snapshot (no key-envelope prefilter can apply — a target row
+      // OUTSIDE the source's key range is by definition unmatched). The
+      // source side is keys-only, so the anti-join broadcasts for small
+      // syncs; pinned because both by-source clauses and the image write
+      // share one evaluation.
+      val bySrc =
+        if (hasBySource)
+          Some(snap.join(source.select(keys.map(k => col(s"`$k`")): _*),
+              keys, "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        else None
       try {
         val multi = matched
           .groupBy(col(ManifestIndex.FileCol), col(ManifestIndex.PosCol))
@@ -1340,8 +1373,19 @@ object Layout {
           matched.filter(delCond.map(d => !d).getOrElse(t) &&
             coalesce(c, lit(false)))
         }.getOrElse(matched.filter(!t))
-        val dvRows = delRows.unionByName(updRows)
-          .select(col(ManifestIndex.FileCol), col(ManifestIndex.PosCol))
+        // by-source clauses fire delete-first too (same fixed order as the
+        // matched side); their conds see TARGET columns only, plain names
+        val bsDelCond = whenNotMatchedBySourceDelete.map(c => coalesce(c, lit(false)))
+        val bsDelRows = bySrc.map(b =>
+          bsDelCond.map(b.filter).getOrElse(b.filter(!t)))
+        val bsUpdRows = bySrc.flatMap(b =>
+          whenNotMatchedBySourceUpdate.map { case (c, _) =>
+            b.filter(bsDelCond.map(d => !d).getOrElse(t) &&
+              coalesce(c, lit(false)))
+          })
+        val dvRows = (Seq(delRows, updRows) ++ bsDelRows.toSeq ++ bsUpdRows.toSeq)
+          .map(_.select(col(ManifestIndex.FileCol), col(ManifestIndex.PosCol)))
+          .reduce(_ unionByName _)
         val updImages = whenMatchedUpdate.map { case (_, set) =>
           // assignments CAST to the target column's type — a mismatched
           // set expression must never commit files whose physical type
@@ -1350,6 +1394,16 @@ object Layout {
           // without this an update-only merge with e.g. an int literal
           // into a bigint column bricked subsequent reads (review fix)
           updRows.select(tableFields.map(f =>
+            set.get(f.name).map(_.cast(f.dataType))
+              .getOrElse(col(s"`${f.name}`")).as(f.name)): _*)
+        }
+        // rewritten by-source images: keys come from the snapshot (unique
+        // per the table contract) and are source-disjoint, so they cannot
+        // collide with matched-update or insert images below — unless the
+        // assignments rewrite the keys, which the duplicate-key check over
+        // the unioned images catches
+        val bsUpdImages = whenNotMatchedBySourceUpdate.map { case (_, set) =>
+          bsUpdRows.get.select(tableFields.map(f =>
             set.get(f.name).map(_.cast(f.dataType))
               .getOrElse(col(s"`${f.name}`")).as(f.name)): _*)
         }
@@ -1362,7 +1416,7 @@ object Layout {
         // pinned: the emptiness probe, every CHECK constraint and the
         // write must share one evaluation — unpersisted, each would re-run
         // the insert clause's snapshot anti-join (review fix)
-        val images = (updImages.toSeq ++ insImages.toSeq)
+        val images = (updImages.toSeq ++ bsUpdImages.toSeq ++ insImages.toSeq)
           .reduceOption(_ unionByName _)
           .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         try {
@@ -1415,7 +1469,10 @@ object Layout {
               nextPath
           }
         } finally images.foreach(_.unpersist(false))
-      } finally matched.unpersist(false)
+      } finally {
+        matched.unpersist(false)
+        bySrc.foreach(_.unpersist(false))
+      }
     } finally source.unpersist(false)
   }
 

@@ -55,8 +55,9 @@ import graft.sources.Layout
   *
   * Contracts: `keys` must be the table's unique row identity (the
   * [[Layout.changeFeed]] contract); the SCHEMA is pinned at stream start
-  * (later batches select/cast to it — a widened column arrives casted, an
-  * added column fails loudly rather than silently dropping); versions a
+  * (later batches select/cast to it — a column widened or added AFTER
+  * stream start fails loudly rather than silently truncating/dropping;
+  * restart the stream to adopt the evolved schema); versions a
   * lagging consumer still needs must not be vacuumed (retention ≥ max lag,
   * the standard lakehouse-streaming contract).
   *
@@ -151,12 +152,28 @@ class GraftChangeSource(spark: SparkSession, root: String, keys: Seq[String],
   // (the collapsed no-includeVersion path never carries the column; align
   // drops/demands columns per the pinned schema, so both paths agree)
   // every batch is SELECTed into the pinned stream schema: stable column
-  // order across versions, widened columns cast down the stream's declared
-  // type (lossless — the stream declared the WIDER type only if it started
-  // after the widening), a column the table no longer carries fails loudly
-  private def align(df: DataFrame): DataFrame =
+  // order across versions, a column the table no longer carries fails
+  // loudly, and a TYPE change since stream start is checked explicitly —
+  // a stream started BEFORE a widenColumn would otherwise cast later wide
+  // values down to the narrower pinned type, which is loud only under
+  // ANSI mode; with spark.sql.ansi.enabled=false the cast silently
+  // overflows and the stream emits corrupt change events (ADVICE r11).
+  // Only lossless up-casts (batch type narrower than pinned) pass.
+  private def align(df: DataFrame): DataFrame = {
+    val have = df.schema.map(f => f.name -> f.dataType).toMap
+    schema.fields.foreach { f =>
+      have.get(f.name).foreach { t =>
+        require(t == f.dataType ||
+          org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(t, f.dataType),
+          s"graft-changes: column '${f.name}' changed type since stream " +
+            s"start (pinned ${f.dataType.simpleString}, batch now " +
+            s"${t.simpleString}) — the table was widened under a running " +
+            "stream; restart the stream to pick up the widened schema")
+      }
+    }
     df.select(schema.fields.map(f => col(s"`${f.name}`").cast(f.dataType)
       .as(f.name)).toIndexedSeq: _*)
+  }
 
   private def versionOf(o: OffsetV1): Int = o.json.trim.toInt
 

@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.OutputMode
 
 import org.apache.spark.sql.functions.col
 
-import graft.sources.Layout
+import graft.sources.{Layout, ManifestIndex}
 
 /** Streaming SINK into a graft versioned root — the `writeStream` face of
   * the foreachBatch helpers ([[StreamingOps.streamUpsertRows]] et al.), so
@@ -113,6 +113,26 @@ private[streaming] class GraftSink(root: String, keys: Option[Seq[String]],
     Layout.withCommitRetry() {
       (cdc, keys) match {
         case (Some((opCol, seqCol)), Some(ks)) =>
+          // opCol/seqCol must NOT name real table columns: insert images
+          // select every table column from the source, so a table column
+          // named like the op code would receive the op STRING for
+          // not-matched rows while being excluded from dataCols (never
+          // updated) — silent divergence. A seqCol collision happened to
+          // fail loudly (the column is dropped pre-merge and the
+          // every-table-column check trips), but refuse both explicitly
+          // like the other misconfiguration guards (ADVICE r11). Checked
+          // per batch against the LIVE schema — evolution can introduce
+          // the collision mid-stream.
+          val man = ManifestIndex.read(batch.sparkSession, root,
+            f"v${Layout.currentVersionNumber(batch.sparkSession, root)}%05d")
+          val tableCols = (ManifestIndex.activeSchema(man.dataSchema) ++
+            man.partitionSchema).map(_.name)
+          Seq("opCol" -> opCol, "seqCol" -> seqCol).foreach { case (opt, c) =>
+            require(!tableCols.exists(_.equalsIgnoreCase(c)),
+              s"graft sink: $opt '$c' collides with a column of the target " +
+                s"table $root — rename the stream's $opt (the op/sequence " +
+                "columns are sink metadata and must not shadow table data)")
+          }
           // final op per key first (Debezium batches legitimately carry
           // insert→update→delete chains; MERGE requires unique source keys)
           // equal-seq ties resolve DETERMINISTICALLY: the delete wins

@@ -174,4 +174,40 @@ class ChangeStreamSpec extends SparkSpec {
     assert(got == want)
     assert(want == Set(("a", 1L, 100L), ("b", 2L, 70L)))
   }
+
+  test("a widenColumn under a RUNNING stream fails loudly, never truncates") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val (root, _, _) = mk("widen")
+    // v starts INT so it can widen to LONG mid-stream
+    Layout.initVersionedManifest(
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "g", "v"), root, Seq("g"))
+    val src = new graft.streaming.GraftChangeSource(
+      spark, root, Seq("id"), startingVersion = Some(0))
+    // schema pinned at stream start: v int
+    assert(src.schema("v").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    Layout.widenColumn(spark, root, "v", org.apache.spark.sql.types.LongType)
+    Layout.upsertVersionedRows(spark, root,
+      Seq((1L, "a", 3000000000L)).toDF("id", "g", "v"), Seq("id"))
+    // the next batch carries LONG values — casting down to the pinned INT
+    // would silently overflow under non-ANSI mode (ADVICE r11): refuse
+    val e = intercept[IllegalArgumentException] {
+      src.getBatch(Some(LongOffset(0L)),
+        LongOffset(Layout.currentVersionNumber(spark, root).toLong))
+    }
+    assert(e.getMessage.contains("changed type"), e.getMessage)
+    // a FRESH stream (restart) pins the widened schema and serves the feed
+    val fresh = new graft.streaming.GraftChangeSource(
+      spark, root, Seq("id"), startingVersion = Some(0))
+    assert(fresh.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val cur = Layout.currentVersionNumber(spark, root)
+    val batch = fresh.getBatch(Some(LongOffset(1L)), LongOffset(cur.toLong))
+    assert(batch.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType) // aligned, no narrowing
+    // the underlying feed carries the wide value intact
+    assert(Layout.changeFeed(spark, root, 1, cur, Seq("id"))
+      .filter($"_change_type" === "update_post")
+      .select($"v").as[Long].collect().toSeq == Seq(3000000000L))
+  }
 }

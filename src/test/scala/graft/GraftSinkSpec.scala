@@ -153,6 +153,32 @@ class GraftSinkSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("keys"))
   }
 
+  test("cdc mode refuses opCol/seqCol colliding with a table column") {
+    val (root, in, ckpt) = mk("collide")
+    // the TABLE has a real column named 'op' — the default opCol; without
+    // the guard, insert images would land the op-code string in it and
+    // updates would silently skip it (ADVICE r11)
+    Layout.initVersionedManifest(
+      Seq((1L, "a", "keep")).toDF("id", "g", "op"), root, Seq("g"))
+    new java.io.File(in).mkdirs()
+    val batch = Seq((2L, "a", "U", 1L)).toDF("id", "g", "op", "seq")
+    batch.coalesce(1).write.mode("append").parquet(in)
+    val e = intercept[Exception] {
+      StreamingOps.fileStream(spark, in, batch.schema)
+        .writeStream.format("graft-sink")
+        .option("path", root).option("keys", "id")
+        .option("mode", "cdc").option("opCol", "op").option("seqCol", "seq")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("collides")), chain(e).mkString(" | "))
+    // nothing committed: the guard fired before any version was claimed
+    assert(Layout.currentVersionNumber(spark, root) == 0)
+  }
+
   test("guards: missing path refuses; partitionBy on the stream refuses") {
     val (root, in, ckpt) = mk("guards")
     Layout.initVersionedManifest(rows((1L, "a", 1L)), root, Seq("g"))

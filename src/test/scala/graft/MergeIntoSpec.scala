@@ -226,4 +226,61 @@ class MergeIntoSpec extends SparkSpec {
     // the failed merge must not have committed anything
     assert(state(root)(5L) == (50L, "p1"))
   }
+
+  test("NOT MATCHED BY SOURCE: full-sync delete + flag, delete-first order") {
+    val (root, _) = mkRoot("bysrc")
+    // source holds ids 0..9 only; target rows 10..19 are "by source".
+    // delete the odd ones among them, flag the rest with v + 1
+    val src = (0L until 10L).map(i => (i, i * 10 + 1, s"p${i % 2}"))
+      .toDF("id", "v", "part")
+    Layout.mergeIntoVersionedRows(spark, root, src, Seq("id"),
+      whenMatchedUpdate = Some((lit(true), Map("v" -> col("src_v")))),
+      whenNotMatchedBySourceDelete = Some(col("id") % 2 === 1),
+      whenNotMatchedBySourceUpdate = Some((lit(true),
+        Map("v" -> (col("v") + 1L)))))
+    val s = state(root)
+    (0L until 10L).foreach(i => assert(s(i)._1 == i * 10 + 1)) // matched upd
+    (10L until 20L).foreach { i =>
+      if (i % 2 == 1) assert(!s.contains(i), s"id $i deleted by source")
+      else assert(s(i)._1 == i * 10 + 1, s"id $i flagged")
+    }
+    assert(s.size == 15)
+  }
+
+  test("NOT MATCHED BY SOURCE against an EMPTY source applies to every row") {
+    val (root, _) = mkRoot("bsempty")
+    val src = Seq.empty[(Long, Long, String)].toDF("id", "v", "part")
+    Layout.mergeIntoVersionedRows(spark, root, src, Seq("id"),
+      whenNotMatchedBySourceDelete = Some(col("v") >= 100L))
+    // full sync to empty upstream: rows v >= 100 dropped, rest kept
+    assert(state(root).keySet == (0L until 10L).toSet)
+    // and without by-source clauses an empty source stays a NO-OP
+    val before = Layout.currentVersionNumber(spark, root)
+    Layout.mergeIntoVersionedRows(spark, root, src, Seq("id"),
+      whenMatchedDelete = Some(lit(true)))
+    assert(Layout.currentVersionNumber(spark, root) == before)
+  }
+
+  test("by-source update images move partitions and honor CHECK constraints") {
+    val (root, _) = mkRoot("bsmove")
+    Layout.addCheckConstraint(spark, root, "v_cap", "v <= 1000")
+    val src = Seq((0L, 0L, "p0")).toDF("id", "v", "part")
+    // partition reassignment through the by-source update: rows absent
+    // from the source move to partition 'px'
+    Layout.mergeIntoVersionedRows(spark, root, src, Seq("id"),
+      whenNotMatchedBySourceUpdate = Some((col("id") >= 18L,
+        Map("part" -> lit("px")))))
+    val s = state(root)
+    assert(s(18L) == (180L, "px") && s(19L) == (190L, "px"))
+    assert(s(17L) == (170L, "p1"))
+    // a violating by-source assignment rejects before any version claims
+    val before = Layout.currentVersionNumber(spark, root)
+    val e = intercept[IllegalArgumentException] {
+      Layout.mergeIntoVersionedRows(spark, root, src, Seq("id"),
+        whenNotMatchedBySourceUpdate = Some((lit(true),
+          Map("v" -> lit(5000L)))))
+    }
+    assert(e.getMessage.contains("v_cap"))
+    assert(Layout.currentVersionNumber(spark, root) == before)
+  }
 }

@@ -112,9 +112,9 @@ class SqlDmlSpec extends SparkSpec {
     val e2 = intercept[Exception] {
       spark.sql(
         s"""MERGE INTO graft.`$root` t USING g_src s ON t.id = s.id
-           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+           |WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE""".stripMargin)
     }
-    assert(e2.getMessage.contains("NOT MATCHED BY SOURCE"))
+    assert(e2.getMessage.contains("only target columns"))
     val e3 = intercept[Exception] {
       spark.sql(
         s"""MERGE INTO graft.`$root` t USING g_src s ON t.id = s.id
@@ -243,6 +243,68 @@ class SqlDmlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("retained history") ||
       e.getMessage.toLowerCase.contains("before"), e.getMessage)
+  }
+
+  test("SQL WHEN NOT MATCHED BY SOURCE: full sync with clause-order masking") {
+    val root = mkRoot("bysrc")
+    // source: ids 0..9 (with part so INSERT * stays legal if added later)
+    spark.range(10)
+      .select($"id", ($"id" * 10 + 1).cast("long").as("v"),
+        concat(lit("p"), ($"id" % 2).cast("string")).as("part"))
+      .createOrReplaceTempView("bysrc_src")
+    // UPDATE written BEFORE DELETE: SQL first-clause-wins means target
+    // rows 10..14 flag (cond true) and only 15..19 fall to DELETE
+    spark.sql(
+      s"""MERGE INTO graft.`$root` t USING bysrc_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED BY SOURCE AND t.id < 15 THEN UPDATE SET v = t.v + 1
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE
+         |""".stripMargin)
+    val s = state(root)
+    (0L until 10L).foreach(i => assert(s(i)._1 == i * 10 + 1))
+    (10L until 15L).foreach(i => assert(s(i)._1 == i * 10 + 1, s"id $i flagged"))
+    (15L until 20L).foreach(i => assert(!s.contains(i), s"id $i deleted"))
+    assert(s.size == 15)
+  }
+
+  test("MERGE refuses unqualified refs that exist on BOTH target and source") {
+    val root = mkRoot("amb")
+    // the source carries 'v' too — an unqualified 'v' in a matched clause
+    // would silently bind to the target (ADVICE r11); refuse instead
+    Seq((2L, 999L)).toDF("id", "v").createOrReplaceTempView("amb_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING amb_src s ON t.id = s.id
+           |WHEN MATCHED AND v > 0 THEN UPDATE SET v = v + 1""".stripMargin)
+    }
+    assert(e.getMessage.contains("BOTH"), e.getMessage)
+    // the qualified form runs (SET target name is unambiguous by nature);
+    // an unqualified ref to a TARGET-ONLY column (part) stays legal
+    Seq((2L, 999L, "p0")).toDF("id", "v", "part")
+      .createOrReplaceTempView("amb_src2")
+    spark.sql(
+      s"""MERGE INTO graft.`$root` t USING amb_src2 s ON t.id = s.id
+         |WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v""".stripMargin)
+    assert(state(root)(2L)._1 == 999L)
+  }
+
+  test("3-part qualified SET targets resolve (UPDATE ... SET graft.`p`.v)") {
+    val root = mkRoot("settgt")
+    spark.sql(s"UPDATE graft.`$root` SET graft.`$root`.v = 1 WHERE id = 2")
+    assert(state(root)(2L)._1 == 1L)
+    // through MERGE too
+    Seq((4L, 777L, "p0")).toDF("id", "v", "part")
+      .createOrReplaceTempView("settgt_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$root` USING settgt_src s
+         |ON graft.`$root`.id = s.id
+         |WHEN MATCHED THEN UPDATE SET graft.`$root`.v = s.v""".stripMargin)
+    assert(state(root)(4L)._1 == 777L)
+    // genuinely nested-field targets still refuse with the accurate message
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$root` SET v.f = 1 WHERE id = 2")
+    }
+    assert(e.getMessage.contains("nested-field"), e.getMessage)
   }
 
   test("non-graft SQL is untouched by the rule") {
