@@ -2351,7 +2351,42 @@ object SparkEntry {
       graft.sources.Layout.readCurrent(s, root)
         .groupBy("pri")
         .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
-    })
+    }),
+
+    // --- SQL DELETE with an IN-subquery condition (r12) ---
+    // The captured condition resolves at run time with the session
+    // catalog in scope, so `WHERE k IN (SELECT …)` plans as a left-semi
+    // join against the snapshot (broadcast when the key list is small)
+    // and the delete still takes DVs only — no file rewrites. Oracle:
+    // the same anti-join algebra in DuckDB.
+    "q174_sql_delete_subquery" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q174").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(
+        li.repartition(4), root, Seq("l_returnflag"))
+      Tables.orders(s, dir).createOrReplaceTempView("q174_orders")
+      s.sql(s"DELETE FROM graft.`$root` WHERE l_orderkey IN " +
+        "(SELECT o_orderkey FROM q174_orders WHERE o_orderpriority = '1-URGENT')")
+      graft.sources.Layout.readCurrent(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // --- exact-substring dedup REMOVAL (Lee et al. 2022, r12) ---
+    // q157's mark phase completed into the paper's actual dedup step: the
+    // marked token regions are EXCISED (all copies — the released tool's
+    // policy) and each document re-joins its survivors. The rewrite is a
+    // per-document codegen'd HOF over the token array; the corpus text
+    // never shuffles (spans join back by id). Oracle: DuckDB replays the
+    // mark algebra by gram TEXT, cuts the covered positions, and the
+    // cleaned text must agree md5-for-md5.
+    "q175_substring_removal" -> ((s, dir) =>
+      SubstringDedup.removeSpans(Tables.documents(s, dir),
+          "doc_id", "text", gramLen = 20)
+        .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5")))
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -4636,7 +4671,51 @@ object SparkEntry {
           UNION ALL SELECT pri, v FROM ins)
         SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
           CAST(sum(v) AS BIGINT) AS sum_v
-        FROM final GROUP BY 1"""
+        FROM final GROUP BY 1""",
+
+      "q174_sql_delete_subquery" -> s"""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          ${dsumSql("l_quantity")} AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey NOT IN
+          (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY 1""",
+
+      // q157's mark CTEs (gram TEXT as the key), then: covered = the
+      // union of marked [pos, pos+20) windows, kept = tokens at
+      // uncovered positions (zipped unnest pairs each token with its
+      // 0-based position), cleaned text re-joined in position order
+      "q175_substring_removal" -> """
+        WITH t AS (SELECT doc_id, trim(lower(text)) AS lt,
+            string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        d AS (SELECT doc_id, toks,
+            CAST(CASE WHEN lt = '' THEN 0 ELSE len(toks) END AS BIGINT)
+              AS n_tokens
+          FROM t),
+        g AS (SELECT doc_id, toks, n_tokens,
+            unnest(range(0, n_tokens - 20 + 1)) AS pos
+          FROM d WHERE n_tokens >= 20),
+        gh AS (SELECT doc_id, pos,
+            array_to_string(list_slice(toks, pos + 1, pos + 20), ' ') AS gram
+          FROM g),
+        c AS (SELECT gram FROM gh GROUP BY gram HAVING count(*) >= 2),
+        dup AS (SELECT gh.doc_id, gh.pos FROM gh JOIN c USING (gram)),
+        cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 20)) AS p
+          FROM dup),
+        tp AS (SELECT doc_id, unnest(range(0, n_tokens)) AS p,
+            unnest(toks) AS tok
+          FROM d WHERE n_tokens > 0),
+        kept AS (SELECT tp.doc_id, tp.p, tp.tok
+          FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+          WHERE cov.p IS NULL),
+        ck AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+            array_to_string(list(tok ORDER BY p), ' ') AS ctext
+          FROM kept GROUP BY 1)
+        SELECT d.doc_id, d.n_tokens,
+          coalesce(ck.n_kept, 0) AS n_kept,
+          md5(coalesce(ck.ctext, '')) AS clean_md5
+        FROM d LEFT JOIN ck USING (doc_id)"""
     )
   }
 

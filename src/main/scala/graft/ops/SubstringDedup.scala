@@ -87,6 +87,60 @@ object SubstringDedup {
         round(col("n_dup_tokens").cast("double") / col("n_tokens"), 6))
   }
 
+  /** The REMOVAL phase of Lee et al. 2022: rewrite each document with its
+    * duplicated token regions excised — every token covered by a length-L
+    * window occurring ≥ 2 times corpus-wide is dropped (all copies, the
+    * released exact-substring tool's policy: both occurrences are marked,
+    * so both are cut), the survivors re-join on single spaces.
+    *
+    * Shape on top of [[dupPositions]]: the marked windows island-merge
+    * per document into maximal spans (same gaps-and-islands pass as
+    * [[duplicatedSpans]]), the spans collect into ONE small array per
+    * document (spans are merged maximal intervals — a document carries
+    * FEW of them, never O(tokens)), and the rewrite is a codegen'd
+    * higher-order `filter((tok, i) -> no span covers i)` over the token
+    * array — per-document work, no extra shuffle beyond the mark phase,
+    * and the corpus text still never shuffles (the spans join back to
+    * the docs BY ID; the heavy text column stays where it was read).
+    * Documents with no duplicated window pass through untouched via the
+    * left join.
+    *
+    * @return (idCol, n_tokens, n_kept, clean_text): original token count,
+    *         surviving token count, and the re-joined cleaned text
+    */
+  def removeSpans(docs: DataFrame, idCol: String, textCol: String,
+                  gramLen: Int): DataFrame = {
+    val L = gramLen.toLong
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + L).over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dupPositions(docs, idCol, textCol, gramLen)
+      .withColumn("__head",
+        when(col("pos") > coalesce(prevEnd, lit(Long.MinValue)), 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__head")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + L).as("e"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("s"), col("e"))).as("__spans"))
+    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(spans, Seq(idCol), "left")
+      .withColumn("__kept",
+        // blank text splits to [""] — normalize to zero kept tokens
+        when(col("n_tokens") === 0L,
+          array().cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))
+          .when(col("__spans").isNull, col("__toks")).otherwise(
+          // 0-based token index i survives iff no span [s, e) covers it
+          expr("filter(__toks, (t, i) -> " +
+            "NOT exists(__spans, sp -> i >= sp.s AND i < sp.e))")))
+      .select(col(idCol), col("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), " ").as("clean_text"))
+  }
+
   /** (idCol, n_tokens, pos) of every length-`gramLen` window whose content
     * occurs ≥ 2 times corpus-wide — the raw mark set [[duplicatedSpans]]
     * merges. Exposed separately so a removal pass (rewrite each doc

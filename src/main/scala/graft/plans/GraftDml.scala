@@ -64,8 +64,13 @@ import graft.sources.{Layout, ManifestIndex}
   * layout's merge is keyed); merge inserts are `INSERT *` (or the
   * trivially equivalent full-identity column list); `WITH SCHEMA
   * EVOLUTION`, `INSERT OVERWRITE` and static
-  * `PARTITION` clauses are not supported; subqueries inside DML
-  * conditions are not supported.
+  * `PARTITION` clauses are not supported. UNCORRELATED subqueries in DML
+  * conditions and SET values (`WHERE id IN (SELECT …)`, scalar
+  * subqueries, `EXISTS`) resolve at run time like any other captured
+  * expression — the condition analyzes against the live snapshot with
+  * the session catalog in scope; CORRELATED subqueries referencing the
+  * target alias fail loudly at resolution (the alias does not exist in
+  * the run-time frame).
   */
 object GraftDml {
   private[plans] val Namespace = "graft"

@@ -267,6 +267,30 @@ class SqlDmlSpec extends SparkSpec {
     assert(s.size == 15)
   }
 
+  test("subqueries in DML conditions and SET values resolve at run time") {
+    val root = mkRoot("subq")
+    spark.range(5).select(($"id" + 3L).as("k")).createOrReplaceTempView("sq_keys")
+    // IN (SELECT …) in DELETE
+    spark.sql(s"DELETE FROM graft.`$root` WHERE id IN (SELECT k FROM sq_keys)")
+    assert(state(root).keySet == (0L until 20L).toSet -- (3L until 8L))
+    // scalar subquery in an UPDATE SET value and a NOT IN condition
+    spark.sql(s"UPDATE graft.`$root` SET v = (SELECT max(k) FROM sq_keys) " +
+      "WHERE id NOT IN (SELECT k FROM sq_keys) AND id < 2")
+    assert(state(root)(0L)._1 == 7L && state(root)(1L)._1 == 7L)
+    assert(state(root)(2L)._1 == 20L)
+    // EXISTS with an uncorrelated body
+    spark.sql(s"DELETE FROM graft.`$root` " +
+      "WHERE id = 19 AND EXISTS (SELECT 1 FROM sq_keys WHERE k = 7)")
+    assert(!state(root).contains(19L))
+    // CORRELATED subqueries (target alias inside the body) fail loudly —
+    // the alias does not exist in the run-time snapshot frame
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM graft.`$root` t " +
+        "WHERE EXISTS (SELECT 1 FROM sq_keys WHERE k = t.id)")
+    }
+    assert(e.getMessage.nonEmpty)
+  }
+
   test("MERGE refuses unqualified refs that exist on BOTH target and source") {
     val root = mkRoot("amb")
     // the source carries 'v' too — an unqualified 'v' in a matched clause

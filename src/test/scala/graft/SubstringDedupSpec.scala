@@ -105,4 +105,44 @@ class SubstringDedupSpec extends SparkSpec {
     assert(byHash.exceptAll(byText).isEmpty && byText.exceptAll(byHash).isEmpty)
     assert(byHash.count() > 0)
   }
+
+  test("removeSpans excises every marked token region (all copies)") {
+    val shared = (1 to 5).map(i => s"tok$i").mkString(" ")
+    val d = docs(
+      1L -> s"alpha beta $shared gamma delta",
+      2L -> s"$shared other words here entirely",
+      3L -> "completely unique text with no repeats at all")
+    val out = SubstringDedup.removeSpans(d, "doc_id", "text", gramLen = 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 9L, 4L, "alpha beta gamma delta"),
+      (2L, 9L, 4L, "other words here entirely"),
+      (3L, 8L, 8L, "completely unique text with no repeats at all")))
+  }
+
+  test("removeSpans drops overlapping-window regions as one maximal cut") {
+    val region = (1 to 7).map(i => s"r$i").mkString(" ")
+    val d = docs(
+      1L -> s"x1 x2 $region y1 y2",
+      2L -> s"z1 $region w1 w2 w3")
+    val out = SubstringDedup.removeSpans(d, "doc_id", "text", gramLen = 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 11L, 4L, "x1 x2 y1 y2"),
+      (2L, 11L, 4L, "z1 w1 w2 w3")))
+  }
+
+  test("removeSpans agrees with duplicatedSpans coverage accounting") {
+    val d = sources.Tables.documents(spark, sf("0.01"))
+    val removed = SubstringDedup.removeSpans(d, "doc_id", "text", gramLen = 20)
+      .select(col("doc_id"), (col("n_tokens") - col("n_kept")).as("cut"))
+      .filter(col("cut") > 0)
+    val marked = SubstringDedup.duplicatedSpans(d, "doc_id", "text", gramLen = 20)
+      .select(col("doc_id"), col("n_dup_tokens").as("cut"))
+    assert(removed.exceptAll(marked).isEmpty &&
+      marked.exceptAll(removed).isEmpty)
+    assert(marked.count() > 0)
+  }
 }
