@@ -2386,7 +2386,36 @@ object SparkEntry {
       SubstringDedup.removeSpans(Tables.documents(s, dir),
           "doc_id", "text", gramLen = 20)
         .select(col("doc_id"), col("n_tokens"), col("n_kept"),
-          md5(col("clean_text")).as("clean_md5")))
+          md5(col("clean_text")).as("clean_md5"))),
+
+    // --- pure-SQL table lifecycle (r12) ---
+    // The reference's DDL-then-load shape (loading.py:44-65) end to end
+    // in statements only: CREATE TABLE (schema + partitioning + inline
+    // CHECK) → INSERT → RENAME COLUMN → UPDATE → DELETE → OPTIMIZE →
+    // VACUUM, read back through graft_table. OPTIMIZE and VACUUM are
+    // content-invariant (the oracle would hash-catch any change);
+    // VACUUM RETAIN 1 leaves exactly one DESCRIBE HISTORY row, folded in
+    // as a column so the ledger surface is under the gate too.
+    "q176_sql_lifecycle" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q176").toString + "/t"
+      Tables.orders(s, dir).createOrReplaceTempView("q176_orders")
+      // the constraint guards a column the rename does NOT touch —
+      // renameColumn refuses renames of constraint-referenced columns
+      s.sql(s"CREATE TABLE graft.`$root` (id BIGINT, v BIGINT, pri STRING, " +
+        "CONSTRAINT id_pos CHECK (id >= 0)) PARTITIONED BY (pri)")
+      s.sql(s"INSERT INTO graft.`$root` SELECT o_orderkey, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT), o_orderpriority " +
+        "FROM q176_orders")
+      s.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN v TO cents")
+      s.sql(s"UPDATE graft.`$root` SET cents = cents + 7 WHERE id % 5 = 0")
+      s.sql(s"DELETE FROM graft.`$root` WHERE id % 11 = 0")
+      s.sql(s"OPTIMIZE graft.`$root`")
+      s.sql(s"VACUUM graft.`$root` RETAIN 1 VERSIONS")
+      val nHist = s.sql(s"DESCRIBE HISTORY graft.`$root`").count()
+      s.sql(s"SELECT pri, CAST(count(*) AS BIGINT) AS n_rows, " +
+        s"sum(cents) AS sum_cents FROM graft_table('$root') GROUP BY pri")
+        .withColumn("n_history", lit(nHist))
+    })
   )
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
@@ -4715,7 +4744,21 @@ object SparkEntry {
         SELECT d.doc_id, d.n_tokens,
           coalesce(ck.n_kept, 0) AS n_kept,
           md5(coalesce(ck.ctext, '')) AS clean_md5
-        FROM d LEFT JOIN ck USING (doc_id)"""
+        FROM d LEFT JOIN ck USING (doc_id)""",
+
+      // the lifecycle's net data effect: +7 cents on id%5=0, id%11=0
+      // deleted; OPTIMIZE/VACUUM must not change a value, and the
+      // post-vacuum ledger holds exactly the one live version
+      "q176_sql_lifecycle" -> """
+        SELECT o_orderpriority AS pri,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) +
+            CASE WHEN o_orderkey % 5 = 0 THEN 7 ELSE 0 END) AS BIGINT)
+            AS sum_cents,
+          CAST(1 AS BIGINT) AS n_history
+        FROM orders
+        WHERE o_orderkey % 11 <> 0
+        GROUP BY 1"""
     )
   }
 

@@ -1,0 +1,412 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedFieldName, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, CheckConstraint}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType}
+
+import graft.sources.Layout
+
+/** Table-by-NAME addressing for the SQL surface. A graft identifier that
+  * LOOKS like a path (contains `/` or a scheme) is used verbatim; a bare
+  * name resolves under the session's graft warehouse directory
+  * (`spark.graft.warehouse`, default `<java.io.tmpdir>/graft-warehouse`),
+  * so a SQL-first user writes `CREATE TABLE graft.orders …` then
+  * `MERGE INTO graft.orders …` without ever handling a filesystem path —
+  * the same name-vs-location split a Hive/Delta warehouse dir gives.
+  * Resolution happens at COMMAND RUN time, so the conf is read per
+  * statement (a session can repoint its warehouse mid-stream).
+  */
+object GraftPaths {
+  val WarehouseConf = "spark.graft.warehouse"
+
+  def resolve(spark: SparkSession, ident: String): String =
+    if (ident.contains("/") || ident.contains("://")) ident
+    else {
+      val wh = spark.conf.get(WarehouseConf,
+        sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-warehouse")
+      s"${wh.stripSuffix("/")}/$ident"
+    }
+}
+
+/** SQL table-lifecycle DDL against graft versioned tables — the management
+  * face of the DML surface ([[GraftDml]]). The reference's load step ships
+  * DDL the same way (`loading.py:44-65` executes CREATE TABLE statements
+  * before its upserts):
+  *
+  * {{{
+  * CREATE TABLE graft.orders (id BIGINT, v BIGINT, part STRING,
+  *   CONSTRAINT v_nonneg CHECK (v >= 0)) PARTITIONED BY (part)
+  * CREATE TABLE graft.dst PARTITIONED BY (part) AS SELECT …   -- CTAS
+  * ALTER TABLE graft.orders RENAME COLUMN v TO cents
+  * ALTER TABLE graft.orders DROP COLUMN note
+  * ALTER TABLE graft.orders ALTER COLUMN id TYPE BIGINT        -- widen
+  * ALTER TABLE graft.orders ADD CONSTRAINT c CHECK (cents >= 0)
+  * ALTER TABLE graft.orders DROP CONSTRAINT c
+  * DROP TABLE graft.orders
+  * DESCRIBE HISTORY graft.orders                               -- parser ext
+  * VACUUM graft.orders RETAIN 3 VERSIONS                       -- parser ext
+  * OPTIMIZE graft.orders [ZORDER BY (c1, c2)]                  -- parser ext
+  * }}}
+  *
+  * Spark-first shape, same as the DML rule: Spark's parser already
+  * produces `CreateTable` / `DropTable` / `RenameColumn` / `DropColumns` /
+  * `AlterColumns` / `AddCheckConstraint` / `DropConstraint` plans whose
+  * identifier is the unclaimed `[graft, name]` pair; [[GraftDdl.lower]]
+  * (invoked from the injected parser, see its scaladoc for why parse
+  * time) lowers them onto the SAME Layout operations the Scala API
+  * exposes
+  * (`initVersionedManifest`, `renameColumn`, `dropColumn`, `widenColumn`,
+  * `addCheckConstraint`, …), so SQL and Scala lifecycle calls share one
+  * implementation. Only the three statements Spark's grammar lacks
+  * (DESCRIBE HISTORY, VACUUM, OPTIMIZE) ride the injected
+  * [[GraftSqlParser]].
+  *
+  * Surface limits, refused loudly: partitioning must be identity columns
+  * (the layout's leaves are literal partition dirs); `CREATE TABLE`
+  * requires `PARTITIONED BY` (manifest mode is for partitioned roots —
+  * `initVersionedManifest` documents why carry-forward needs leaves);
+  * table properties / options / serde / collation / EXTERNAL are not
+  * supported; `ALTER COLUMN` supports TYPE widening only (nullability,
+  * comments, positions and defaults are not table state here);
+  * `DROP TABLE … PURGE` and `DROP CONSTRAINT … CASCADE` have no distinct
+  * meaning and refuse rather than silently equal the plain forms.
+  */
+object GraftDdl {
+
+  /** `[graft, x]` create-style identifier (CREATE/DROP TABLE). */
+  private object Ident {
+    def unapply(plan: LogicalPlan): Option[String] = plan match {
+      case UnresolvedIdentifier(Seq(ns, x), _)
+          if ns.equalsIgnoreCase(GraftDml.Namespace) => Some(x)
+      case _ => None
+    }
+  }
+
+  /** `[graft, x]` ALTER-style identifier (UnresolvedTable child). */
+  private object Tbl {
+    def unapply(plan: LogicalPlan): Option[String] = plan match {
+      case UnresolvedTable(Seq(ns, x), _, _)
+          if ns.equalsIgnoreCase(GraftDml.Namespace) => Some(x)
+      case _ => None
+    }
+  }
+
+  /** The graft relation under ADD CONSTRAINT's validation-scan child. */
+  private object Rel {
+    def unapply(plan: LogicalPlan): Option[String] = plan.collectFirst {
+      case r: UnresolvedRelation
+          if r.multipartIdentifier.length == 2 &&
+            r.multipartIdentifier.head.equalsIgnoreCase(GraftDml.Namespace) =>
+        r.multipartIdentifier(1)
+    }
+  }
+
+  private def fieldName(f: org.apache.spark.sql.catalyst.analysis.FieldName,
+                        what: String): String = f match {
+    case UnresolvedFieldName(Seq(n)) => n
+    case other => throw new IllegalArgumentException(
+      s"graft SQL DDL: $what must be a top-level column, got $other")
+  }
+
+  private def identityCols(
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform])
+      : Seq[String] = partitioning.map { t =>
+    require(t.name == "identity",
+      "graft SQL DDL: only identity PARTITIONED BY columns are supported " +
+        s"(the layout's leaves are literal partition dirs), got $t")
+    val refs = t.references()
+    require(refs.length == 1, s"graft SQL DDL: malformed partition ref $t")
+    val parts = refs(0).fieldNames()
+    require(parts.length == 1,
+      s"graft SQL DDL: nested partition reference ${parts.mkString(".")}")
+    parts.head
+  }
+
+  /** Refuse every table-spec knob the layout has no representation for —
+    * silently dropping a TBLPROPERTIES or LOCATION-vs-name conflict would
+    * diverge from what the user declared. Returns (location, constraints).
+    */
+  private def specOf(spec: TableSpecBase)
+      : (Option[String], Seq[CheckConstraint]) = spec match {
+    case u: UnresolvedTableSpec =>
+      require(u.properties.isEmpty,
+        "graft SQL DDL: TBLPROPERTIES are not supported")
+      require(u.optionExpression.options.isEmpty,
+        "graft SQL DDL: OPTIONS are not supported")
+      require(u.provider.forall(_.equalsIgnoreCase(GraftDml.Namespace)),
+        s"graft SQL DDL: USING ${u.provider.get} on a graft.` ` target — " +
+          "omit USING or write USING graft")
+      require(u.serde.isEmpty && u.collation.isEmpty,
+        "graft SQL DDL: serde/collation clauses are not supported")
+      require(!u.external,
+        "graft SQL DDL: EXTERNAL has no meaning here — every graft table " +
+          "lives at its root path; use LOCATION to choose it")
+      val checks = u.constraints.map {
+        case c: CheckConstraint => c
+        case other => throw new IllegalArgumentException(
+          "graft SQL DDL: only CHECK constraints are supported, got " + other)
+      }
+      (u.location, checks)
+    case other => throw new IllegalArgumentException(
+      s"graft SQL DDL: unsupported table spec $other")
+  }
+
+  /** Lower a graft-addressed DDL plan onto Layout ops; None = not ours.
+    *
+    * Called from [[GraftSqlParser.parsePlan]] right after delegation —
+    * NOT from a resolution rule: Spark's built-in ResolveSessionCatalog
+    * claims `CREATE/ALTER TABLE` identifiers in the same fixed-point
+    * iteration BEFORE any injected resolution rule runs (observed:
+    * `UNSUPPORTED_FEATURE.TABLE_OPERATION` against
+    * `spark_catalog.graft…`), so the DDL surface must intercept at parse
+    * time. The DML rule stays a resolution rule because its
+    * `UnresolvedRelation` target is never claimed by a built-in rule.
+    */
+  def lower(plan: LogicalPlan): Option[LogicalPlan] = Some(plan match {
+      case ct: CreateTable =>
+        ct.name match {
+          case Ident(x) =>
+            val (loc, checks) = specOf(ct.tableSpec)
+            GraftCreateTableCommand(x, loc, ct.tableSchema,
+              identityCols(ct.partitioning),
+              checks.map(c => c.name -> c.condition),
+              ct.ignoreIfExists, query = None)
+          case _ => return None
+        }
+
+      case ctas: CreateTableAsSelect =>
+        ctas.name match {
+          case Ident(x) =>
+            val (loc, checks) = specOf(ctas.tableSpec)
+            GraftCreateTableCommand(x, loc, new StructType(),
+              identityCols(ctas.partitioning),
+              checks.map(c => c.name -> c.condition),
+              ctas.ignoreIfExists, query = Some(ctas.query))
+          case _ => return None
+        }
+
+      case dt: DropTable =>
+        dt.child match {
+          case Ident(x) =>
+            require(!dt.purge,
+              "graft SQL DDL: DROP TABLE … PURGE has no distinct meaning " +
+                "(the drop removes the whole root) — use plain DROP TABLE")
+            GraftDropTableCommand(x, dt.ifExists)
+          case _ => return None
+        }
+
+      case rc: RenameColumn =>
+        rc.table match {
+          case Tbl(x) => GraftRenameColumnCommand(x,
+            fieldName(rc.column, "RENAME COLUMN"), rc.newName)
+          case _ => return None
+        }
+
+      case dc: DropColumns =>
+        dc.table match {
+          case Tbl(x) =>
+            require(dc.columnsToDrop.length == 1,
+              "graft SQL DDL: drop one column per statement (each drop is " +
+                "one metadata commit)")
+            require(!dc.ifExists,
+              "graft SQL DDL: DROP COLUMN IF EXISTS is not supported — " +
+                "the layout refuses unknown columns loudly")
+            GraftDropColumnCommand(x,
+              fieldName(dc.columnsToDrop.head, "DROP COLUMN"))
+          case _ => return None
+        }
+
+      case ac: AlterColumns =>
+        ac.table match {
+          case Tbl(x) =>
+            require(ac.specs.length == 1,
+              "graft SQL DDL: alter one column per statement")
+            val s = ac.specs.head
+            require(s.newDataType.isDefined && s.newNullability.isEmpty &&
+              s.newComment.isEmpty && s.newPosition.isEmpty &&
+              s.newDefaultExpression.isEmpty && !s.dropDefault,
+              "graft SQL DDL: ALTER COLUMN supports TYPE widening only")
+            GraftWidenColumnCommand(x,
+              fieldName(s.column, "ALTER COLUMN"), s.newDataType.get)
+          case _ => return None
+        }
+
+      case acc: AddCheckConstraint =>
+        acc.child match {
+          case Rel(x) =>
+            GraftAddConstraintCommand(x, acc.checkConstraint.name,
+              acc.checkConstraint.condition)
+          case _ => return None
+        }
+
+      case dcst: DropConstraint =>
+        dcst.table match {
+          case Tbl(x) =>
+            require(!dcst.cascade,
+              "graft SQL DDL: DROP CONSTRAINT … CASCADE has no distinct " +
+                "meaning — use the plain form")
+            GraftDropConstraintCommand(x, dcst.name, dcst.ifExists)
+          case _ => return None
+        }
+
+      case _ => return None
+    })
+
+  private def pathAttr: Seq[Attribute] =
+    Seq(AttributeReference("version_path", StringType, nullable = false)())
+
+  /** `CREATE TABLE graft.`x`` — empty (declared schema) or AS SELECT. An
+    * existing root refuses unless IF NOT EXISTS (which then no-ops
+    * WITHOUT schema comparison — the standard semantics). Inline CHECK
+    * constraints land as v1+ metadata commits after the init.
+    */
+  case class GraftCreateTableCommand(ident: String, location: Option[String],
+                                     declared: StructType, pcols: Seq[String],
+                                     checks: Seq[(String, String)],
+                                     ignoreIfExists: Boolean,
+                                     query: Option[LogicalPlan])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = pathAttr
+    override def run(session: SparkSession): Seq[Row] = {
+      val root = location.getOrElse(GraftPaths.resolve(session, ident))
+      if (Layout.isVersionedRoot(session, root)) {
+        if (ignoreIfExists) return Seq(Row(Layout.resolveCurrent(session, root)))
+        throw new IllegalArgumentException(
+          s"graft SQL DDL: table already exists at $root (CREATE TABLE IF " +
+            "NOT EXISTS to tolerate)")
+      }
+      require(pcols.nonEmpty,
+        "graft SQL DDL: CREATE TABLE graft.` ` requires PARTITIONED BY — " +
+          "manifest tables are partitioned (carry-forward commits rewrite " +
+          "only touched leaves; an unpartitioned table has no leaves)")
+      val df = query.map(q => Shim.ofRows(session, q)).getOrElse(
+        session.createDataFrame(
+          session.sparkContext.emptyRDD[Row], declared))
+      pcols.foreach(p => require(df.columns.exists(_.equalsIgnoreCase(p)),
+        s"graft SQL DDL: partition column '$p' is not in the table schema"))
+      val path = Layout.initVersionedManifest(df, root, pcols)
+      checks.foreach { case (n, sql) =>
+        Layout.addCheckConstraint(session, root, n, sql) }
+      Seq(Row(path))
+    }
+  }
+
+  /** `DROP TABLE graft.`x`` — removes the WHOLE versioned root (data,
+    * manifests, history). Refuses on a directory that is not a versioned
+    * root: a mistyped path must never recursively delete arbitrary data.
+    */
+  case class GraftDropTableCommand(ident: String, ifExists: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AttributeReference("dropped", StringType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] = {
+      val root = GraftPaths.resolve(session, ident)
+      if (!Layout.dropTable(session, root, ifExists))
+        return Seq.empty
+      Seq(Row(root))
+    }
+  }
+
+  case class GraftRenameColumnCommand(ident: String, from: String, to: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = pathAttr
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(Layout.renameColumn(session,
+        GraftPaths.resolve(session, ident), from, to)))
+  }
+
+  case class GraftDropColumnCommand(ident: String, name: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = pathAttr
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(Layout.dropColumn(session,
+        GraftPaths.resolve(session, ident), name)))
+  }
+
+  case class GraftWidenColumnCommand(ident: String, name: String,
+                                     to: DataType)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = pathAttr
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(Layout.widenColumn(session,
+        GraftPaths.resolve(session, ident), name, to)))
+  }
+
+  case class GraftAddConstraintCommand(ident: String, name: String,
+                                       conditionSql: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = pathAttr
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(Layout.addCheckConstraint(session,
+        GraftPaths.resolve(session, ident), name, conditionSql)))
+  }
+
+  case class GraftDropConstraintCommand(ident: String, name: String,
+                                        ifExists: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = pathAttr
+    override def run(session: SparkSession): Seq[Row] = {
+      val root = GraftPaths.resolve(session, ident)
+      if (ifExists && !Layout.hasCheckConstraint(session, root, name))
+        return Seq(Row(Layout.resolveCurrent(session, root)))
+      Seq(Row(Layout.dropCheckConstraint(session, root, name)))
+    }
+  }
+
+  /** `DESCRIBE HISTORY graft.`x`` (parser-injected): the operation ledger,
+    * newest first — version, file/byte counts, commit time, the live
+    * marker and the recorded operation. O(#versions) driver metadata, the
+    * same class as [[Layout.history]] itself.
+    */
+  case class GraftDescribeHistoryCommand(ident: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", IntegerType, nullable = false)(),
+      AttributeReference("n_files", org.apache.spark.sql.types.LongType,
+        nullable = false)(),
+      AttributeReference("bytes", org.apache.spark.sql.types.LongType,
+        nullable = false)(),
+      AttributeReference("modified", org.apache.spark.sql.types.TimestampType,
+        nullable = false)(),
+      AttributeReference("is_current", org.apache.spark.sql.types.BooleanType,
+        nullable = false)(),
+      AttributeReference("operation", StringType, nullable = true)())
+    override def run(session: SparkSession): Seq[Row] =
+      Layout.history(session, GraftPaths.resolve(session, ident))
+        .orderBy(org.apache.spark.sql.functions.col("version").desc)
+        .collect().toSeq
+  }
+
+  /** `VACUUM graft.`x` [RETAIN n VERSIONS]` (parser-injected). */
+  case class GraftVacuumCommand(ident: String, keep: Int)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AttributeReference("vacuumed_versions", IntegerType,
+        nullable = false)())
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(Layout.vacuumVersions(session,
+        GraftPaths.resolve(session, ident), keep)))
+  }
+
+  /** `OPTIMIZE graft.`x` [ZORDER BY (c1, …)]` (parser-injected): the
+    * compaction (+ stats/bloom self-heal) step of [[Layout.maintain]],
+    * WITHOUT the purge and vacuum steps — Delta's OPTIMIZE scope.
+    */
+  case class GraftOptimizeCommand(ident: String, zOrderCols: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("compacted_leaves", IntegerType, nullable = false)(),
+      AttributeReference("version_path", StringType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] = {
+      val r = Layout.maintain(session, GraftPaths.resolve(session, ident),
+        Layout.MaintenancePolicy(zOrderCols = zOrderCols,
+          purge = false, vacuum = false))
+      Seq(Row(r.compactedLeaves, r.livePath))
+    }
+  }
+}

@@ -396,7 +396,8 @@ object GraftDml {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = pathAttr
     override def run(session: SparkSession): Seq[Row] =
-      Seq(Row(Layout.deleteVersionedRows(session, root, cond)))
+      Seq(Row(Layout.deleteVersionedRows(session,
+        GraftPaths.resolve(session, root), cond)))
   }
 
   /** `UPDATE graft.`root` SET … WHERE …` → merge-on-read row update. */
@@ -405,7 +406,8 @@ object GraftDml {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = pathAttr
     override def run(session: SparkSession): Seq[Row] =
-      Seq(Row(Layout.updateVersionedRows(session, root, cond, set)))
+      Seq(Row(Layout.updateVersionedRows(session,
+        GraftPaths.resolve(session, root), cond, set)))
   }
 
   /** `INSERT INTO graft.`root` [(cols)] SELECT …` → pure append
@@ -419,6 +421,7 @@ object GraftDml {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = pathAttr
     override def run(session: SparkSession): Seq[Row] = {
+      val rootR = GraftPaths.resolve(session, root)
       val df0 = Shim.ofRows(session, query)
       // standard SQL INSERT is POSITIONAL: with no column list the query's
       // output maps onto the table's declared column order (names the
@@ -432,13 +435,13 @@ object GraftDml {
         else {
           val target =
             if (userCols.nonEmpty) userCols
-            else Layout.readCurrent(session, root).columns.toSeq
+            else Layout.readCurrent(session, rootR).columns.toSeq
           require(target.length == df0.columns.length,
             s"graft SQL INSERT: ${target.length} target columns but the " +
               s"query produces ${df0.columns.length}")
           df0.toDF(target: _*)
         }
-      Seq(Row(Layout.appendVersionedRows(session, root, df)))
+      Seq(Row(Layout.appendVersionedRows(session, rootR, df)))
     }
   }
 
@@ -457,9 +460,10 @@ object GraftDml {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = pathAttr
     override def run(session: SparkSession): Seq[Row] = {
+      val rootR = GraftPaths.resolve(session, root)
       val sourceDf = Shim.ofRows(session, source)
-      val man = ManifestIndex.read(session, root,
-        f"v${Layout.currentVersionNumber(session, root)}%05d")
+      val man = ManifestIndex.read(session, rootR,
+        f"v${Layout.currentVersionNumber(session, rootR)}%05d")
       val tableFields =
         ManifestIndex.activeSchema(man.dataSchema) ++ man.partitionSchema
       // SQL-standard ambiguity: a ref the USER wrote unqualified in a
@@ -489,7 +493,7 @@ object GraftDml {
         (c, setOpt.getOrElse(throw new IllegalStateException(
           "by-source UPDATE always carries an explicit SET")))
       }
-      Seq(Row(Layout.mergeIntoVersionedRows(session, root, sourceDf, keys,
+      Seq(Row(Layout.mergeIntoVersionedRows(session, rootR, sourceDf, keys,
         whenMatchedDelete = del, whenMatchedUpdate = updSet,
         whenNotMatchedInsert = ins,
         whenNotMatchedBySourceDelete = bsDel,

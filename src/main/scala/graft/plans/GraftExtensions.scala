@@ -29,6 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Spark's own parser produces the DML plans; this rule lowers them to
     // the Layout writers. See GraftDml for the full surface contract.
     ext.injectResolutionRule(session => GraftDml.GraftDmlRule(session))
+    // SQL table-lifecycle DDL (CREATE/DROP TABLE, ALTER TABLE …) lowers
+    // at PARSE time inside the delegating parser (ResolveSessionCatalog
+    // would claim the identifiers before a resolution rule could — see
+    // GraftDdl.lower); the parser also grammars DESCRIBE HISTORY /
+    // VACUUM / OPTIMIZE, the three statements Spark's parser lacks.
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
@@ -116,19 +122,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_table: first argument must be a string literal path, got $other")
         }
         val spark = org.apache.spark.sql.SparkSession.active
+        val rootR = GraftPaths.resolve(spark, root)
         val df = children match {
-          case Seq(_) => graft.sources.Layout.readCurrent(spark, root)
+          case Seq(_) => graft.sources.Layout.readCurrent(spark, rootR)
           // typed DATE/TIMESTAMP literals are AS OF, never versions — a
           // DateType literal stores days-since-epoch as Int and would
           // otherwise be silently read as "version 20678" (review fix)
           case Seq(_, Literal(days: Int, org.apache.spark.sql.types.DateType)) =>
             val zone = java.time.ZoneId.of(
               spark.sessionState.conf.sessionLocalTimeZone)
-            graft.sources.Layout.readAsOf(spark, root,
+            graft.sources.Layout.readAsOf(spark, rootR,
               java.time.LocalDate.ofEpochDay(days.toLong).atStartOfDay(zone)
                 .toInstant.toEpochMilli)
           case Seq(_, Literal(us: Long, org.apache.spark.sql.types.TimestampType)) =>
-            graft.sources.Layout.readAsOf(spark, root,
+            graft.sources.Layout.readAsOf(spark, rootR,
               Math.floorDiv(us, 1000L))
           case Seq(_, Literal(ts: org.apache.spark.unsafe.types.UTF8String, _)) =>
             // wall-clock AS OF (S37's SQL face): the string is read in the
@@ -142,9 +149,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               catch { case _: java.time.format.DateTimeParseException =>
                 java.time.LocalDate.parse(t).atStartOfDay()
               }
-            graft.sources.Layout.readAsOf(spark, root,
+            graft.sources.Layout.readAsOf(spark, rootR,
               ldt.atZone(zone).toInstant.toEpochMilli)
-          case Seq(_, v) => graft.sources.Layout.readVersion(spark, root,
+          case Seq(_, v) => graft.sources.Layout.readVersion(spark, rootR,
             intLit(v, "graft_table", "version"))
           case other => throw new IllegalArgumentException(
             s"graft_table takes 1-2 arguments, got ${other.size}")
@@ -160,8 +167,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.sources.Layout.getClass.getName, "graft_history"),
       (children: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
-        graft.sources.Layout.history(spark,
-          strLit(children.headOption, "graft_history", "root"))
+        graft.sources.Layout.history(spark, GraftPaths.resolve(spark,
+          strLit(children.headOption, "graft_history", "root")))
           .queryExecution.logical
       }))
     ext.injectTableFunction((
@@ -176,7 +183,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"graft_vacuum_plan takes 1-2 arguments, got ${other.size}")
         }
-        graft.sources.Layout.vacuumPlan(spark, root, keep)
+        graft.sources.Layout.vacuumPlan(spark,
+          GraftPaths.resolve(spark, root), keep)
           .queryExecution.logical
       }))
     // graft_changes('/root', from, to, 'k1[,k2,…]') — the change data feed
@@ -199,7 +207,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val keys = strLit(Some(children(3)), "graft_changes", "keys")
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         require(keys.nonEmpty, "graft_changes: empty key list")
-        graft.sources.Layout.changeFeed(spark, root,
+        graft.sources.Layout.changeFeed(spark,
+          GraftPaths.resolve(spark, root),
           intLit(children(1), "graft_changes", "from"),
           intLit(children(2), "graft_changes", "to"), keys)
           .queryExecution.logical

@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** The three lakehouse statements Spark's grammar lacks, injected as a
+  * delegating parser (the standard extension shape — Delta ships its SQL
+  * the same way):
+  *
+  * {{{
+  * DESCRIBE HISTORY graft.`/path` | graft.name
+  * VACUUM graft.`/path` [RETAIN n VERSIONS]
+  * OPTIMIZE graft.`/path` [ZORDER BY (c1, c2, …)]
+  * }}}
+  *
+  * Everything that DOESN'T match these three shapes — including every
+  * other DESCRIBE/VACUUM-looking string — falls through to the session
+  * parser verbatim, so the extension is invisible outside its grammar.
+  * (All standard-grammar graft DDL — CREATE/DROP TABLE, ALTER TABLE … —
+  * parses with the session grammar; this parser then hands the parsed
+  * plan to [[GraftDdl.lower]].) The three statements parse straight to the
+  * commands; identifier resolution (name → warehouse path) stays in the
+  * commands, shared with the rule-lowered surface.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseGraftStatement(sqlText).getOrElse {
+      // graft-addressed standard-grammar DDL lowers HERE, at parse time —
+      // Spark's ResolveSessionCatalog would otherwise claim the
+      // identifier before any injected resolution rule fires (see
+      // GraftDdl.lower). Everything else passes through untouched.
+      val plan = delegate.parsePlan(sqlText)
+      GraftDdl.lower(plan).getOrElse(plan)
+    }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+  // graft.`quoted path` or graft.bare_name — two capture groups per use
+  private val Id = "graft\\s*\\.\\s*(?:`([^`]+)`|([A-Za-z0-9_]+))"
+  private val DescribeHistory =
+    ("(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+" + Id + "\\s*;?\\s*$").r
+  private val Vacuum =
+    ("(?is)^\\s*VACUUM\\s+" + Id +
+      "(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*$").r
+  private val Optimize =
+    ("(?is)^\\s*OPTIMIZE\\s+" + Id +
+      "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
+
+  private def ident(quoted: String, bare: String): String =
+    Option(quoted).getOrElse(bare)
+
+  private[plans] def parseGraftStatement(sql: String): Option[LogicalPlan] =
+    sql match {
+      case DescribeHistory(q, b) =>
+        Some(GraftDdl.GraftDescribeHistoryCommand(ident(q, b)))
+      case Vacuum(q, b, n) =>
+        Some(GraftDdl.GraftVacuumCommand(ident(q, b),
+          Option(n).map(_.toInt).getOrElse(2)))
+      case Optimize(q, b, cols) =>
+        Some(GraftDdl.GraftOptimizeCommand(ident(q, b),
+          Option(cols).toSeq.flatMap(_.split(",").toSeq
+            .map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty))))
+      case _ => None
+    }
+}

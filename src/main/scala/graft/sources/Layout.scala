@@ -1828,6 +1828,44 @@ object Layout {
     nextPath
   }
 
+  /** Whether `name` is a declared CHECK constraint on the live version. */
+  def hasCheckConstraint(spark: SparkSession, root: String,
+                         name: String): Boolean = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"hasCheckConstraint requires a manifest root: $root")
+    currentManifest(spark, root)._3.constraints.contains(name)
+  }
+
+  /** Whether `root` is a graft versioned root (hardlink OR manifest mode):
+    * the `_current` pointer is the layout's identity marker.
+    */
+  def isVersionedRoot(spark: SparkSession, root: String): Boolean = {
+    val p = new Path(root, CurrentFile)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Remove an ENTIRE versioned root — data, manifests, history (the SQL
+    * `DROP TABLE graft.`…`` lowering). Refuses on any directory that is
+    * not a versioned root: a mistyped path must never recursively delete
+    * arbitrary data. Returns false (no-op) when the root does not exist
+    * and `ifExists` tolerates it.
+    */
+  def dropTable(spark: SparkSession, root: String,
+                ifExists: Boolean = false): Boolean = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) {
+      require(ifExists,
+        s"dropTable: no table at $root (DROP TABLE IF EXISTS to tolerate)")
+      return false
+    }
+    require(isVersionedRoot(spark, root),
+      s"dropTable: $root is not a graft versioned root — refusing to " +
+        "recursively delete an arbitrary directory")
+    fs.delete(rootPath, true)
+    true
+  }
+
   /** Remove a CHECK constraint; later writers stop validating it. */
   def dropCheckConstraint(spark: SparkSession, root: String,
                           name: String): String = {

@@ -1,0 +1,193 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Layout
+
+/** SQL table-lifecycle DDL (GraftDdl + GraftSqlParser): CREATE/CTAS/DROP
+  * TABLE, ALTER TABLE column ops and constraints, DESCRIBE HISTORY,
+  * VACUUM, OPTIMIZE — lowered onto the same Layout operations the Scala
+  * API uses, with table-by-name addressing through the warehouse conf.
+  */
+class SqlDdlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft_ddl_$tag").toString
+
+  test("CREATE TABLE declares schema, partitioning and inline CHECK") {
+    val root = tmp("create") + "/t"
+    val out = spark.sql(s"CREATE TABLE graft.`$root` " +
+      "(id BIGINT, v BIGINT, part STRING, CONSTRAINT v_nonneg CHECK (v >= 0)) " +
+      "PARTITIONED BY (part)")
+    assert(out.columns.toSeq == Seq("version_path"))
+    // empty table with the declared schema, DML-ready
+    val t = Layout.readCurrent(spark, root)
+    assert(t.columns.toSeq == Seq("id", "v", "part") && t.count() == 0)
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (1, 10, 'a'), (2, 20, 'b')")
+    assert(Layout.readCurrent(spark, root).count() == 2)
+    // the inline constraint is live
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$root` VALUES (3, -5, 'a')")
+    }
+    assert(e.getMessage.contains("v_nonneg"))
+    // IF NOT EXISTS tolerates; plain CREATE refuses
+    spark.sql(s"CREATE TABLE IF NOT EXISTS graft.`$root` (x INT) " +
+      "PARTITIONED BY (x)")
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$root` (x INT) PARTITIONED BY (x)")
+    }
+    assert(e2.getMessage.contains("already exists"))
+  }
+
+  test("CTAS materializes the query; DROP TABLE removes the root") {
+    val root = tmp("ctas") + "/t"
+    spark.range(10)
+      .select($"id", concat(lit("p"), ($"id" % 2).cast("string")).as("part"))
+      .createOrReplaceTempView("ddl_ctas_src")
+    spark.sql(s"CREATE TABLE graft.`$root` PARTITIONED BY (part) " +
+      "AS SELECT * FROM ddl_ctas_src")
+    assert(Layout.readCurrent(spark, root).count() == 10)
+    spark.sql(s"DROP TABLE graft.`$root`")
+    assert(!new java.io.File(root).exists())
+    // IF EXISTS tolerates the now-missing table; plain DROP refuses
+    spark.sql(s"DROP TABLE IF EXISTS graft.`$root`")
+    val e = intercept[Exception] { spark.sql(s"DROP TABLE graft.`$root`") }
+    assert(e.getMessage.contains("no table"))
+    // a directory that is NOT a versioned root refuses the recursive delete
+    val plain = tmp("notaroot")
+    val e2 = intercept[Exception] { spark.sql(s"DROP TABLE graft.`$plain`") }
+    assert(e2.getMessage.contains("not a graft versioned root"))
+    assert(new java.io.File(plain).exists())
+  }
+
+  test("ALTER TABLE: RENAME COLUMN, DROP COLUMN, ALTER COLUMN TYPE widen") {
+    val root = tmp("alter") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$root` (id INT, v INT, note STRING, " +
+      "part STRING) PARTITIONED BY (part)")
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (1, 10, 'n', 'a')")
+    spark.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN v TO cents")
+    spark.sql(s"ALTER TABLE graft.`$root` DROP COLUMN note")
+    spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN cents TYPE BIGINT")
+    val t = Layout.readCurrent(spark, root)
+    assert(t.columns.toSeq == Seq("id", "cents", "part"))
+    assert(t.schema("cents").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(t.select($"cents").as[Long].collect().toSeq == Seq(10L))
+    // a NARROWING alter refuses (widenColumn's contract)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN cents TYPE INT")
+    }
+    assert(e.getMessage.contains("widening"))
+    // non-TYPE alters refuse
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN cents COMMENT 'x'")
+    }
+    assert(e2.getMessage.contains("TYPE widening only"))
+  }
+
+  test("ADD/DROP CONSTRAINT statements share the writer-enforced gate") {
+    val root = tmp("constraint") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$root` (id BIGINT, v BIGINT, part STRING) " +
+      "PARTITIONED BY (part)")
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (1, 5, 'a')")
+    spark.sql(s"ALTER TABLE graft.`$root` ADD CONSTRAINT v_cap CHECK (v <= 100)")
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$root` VALUES (2, 500, 'a')")
+    }
+    assert(e.getMessage.contains("v_cap"))
+    // adding a constraint existing data violates refuses
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` ADD CONSTRAINT v_min CHECK (v > 10)")
+    }
+    assert(e2.getMessage.contains("v_min"))
+    spark.sql(s"ALTER TABLE graft.`$root` DROP CONSTRAINT v_cap")
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (2, 500, 'a')")
+    assert(Layout.readCurrent(spark, root).count() == 2)
+    // IF EXISTS tolerates a missing name; the plain form refuses
+    spark.sql(s"ALTER TABLE graft.`$root` DROP CONSTRAINT IF EXISTS nope")
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` DROP CONSTRAINT nope")
+    }
+    assert(e3.getMessage.contains("no constraint"))
+  }
+
+  test("DESCRIBE HISTORY / VACUUM / OPTIMIZE statements (injected parser)") {
+    val root = tmp("ops") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$root` (id BIGINT, v BIGINT, part STRING) " +
+      "PARTITIONED BY (part)")
+    (1 to 3).foreach(k =>
+      spark.sql(s"INSERT INTO graft.`$root` VALUES ($k, ${k * 10}, 'a')"))
+    spark.sql(s"DELETE FROM graft.`$root` WHERE id = 2")
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.`$root`")
+    assert(hist.columns.toSeq == Seq("version", "n_files", "bytes",
+      "modified", "is_current", "operation"))
+    val ops = hist.orderBy($"version")
+      .select($"operation").as[String].collect().toSeq
+    assert(ops == Seq("CREATE", "APPEND", "APPEND", "APPEND", "DELETE ROWS"))
+    // newest first; exactly one live version
+    assert(hist.first().getInt(0) == 4)
+    assert(hist.filter($"is_current").count() == 1)
+    // OPTIMIZE compacts the accreted single-row files (parser + maintain)
+    val opt = spark.sql(s"OPTIMIZE graft.`$root`").collect()(0)
+    assert(opt.getInt(0) >= 1, s"expected a compacted leaf, got $opt")
+    assert(Layout.readCurrent(spark, root).select($"v").as[Long]
+      .collect().sorted.toSeq == Seq(10L, 30L))
+    // VACUUM RETAIN 1 VERSIONS drains the history
+    val vac = spark.sql(s"VACUUM graft.`$root` RETAIN 1 VERSIONS")
+    assert(vac.first().getInt(0) >= 1)
+    assert(Layout.readCurrent(spark, root).count() == 2)
+    // non-graft statements fall through to Spark's parser untouched
+    val e = intercept[Exception] { spark.sql("VACUUM somewhere.else") }
+    assert(e.getMessage.contains("PARSE_SYNTAX_ERROR"))
+    assert(spark.sql("SELECT 41 + 1 AS x").head().getInt(0) == 42)
+  }
+
+  test("tables address by NAME through spark.graft.warehouse") {
+    val wh = tmp("wh")
+    spark.conf.set(graft.plans.GraftPaths.WarehouseConf, wh)
+    try {
+      spark.sql("CREATE TABLE graft.orders_by_name " +
+        "(id BIGINT, v BIGINT, part STRING) PARTITIONED BY (part)")
+      assert(new java.io.File(s"$wh/orders_by_name").exists())
+      spark.sql("INSERT INTO graft.orders_by_name VALUES (1, 10, 'a'), (2, 20, 'b')")
+      spark.sql("UPDATE graft.orders_by_name SET v = v + 1 WHERE id = 1")
+      // the whole surface resolves the same name: DML, TVFs, lifecycle
+      assert(spark.sql("SELECT sum(v) AS s FROM graft_table('orders_by_name')")
+        .head().getLong(0) == 31L)
+      assert(spark.sql("DESCRIBE HISTORY graft.orders_by_name").count() == 3)
+      spark.sql("ALTER TABLE graft.orders_by_name RENAME COLUMN v TO cents")
+      Seq((2L, 99L, "b")).toDF("id", "cents", "part")
+        .createOrReplaceTempView("byname_src")
+      spark.sql(
+        """MERGE INTO graft.orders_by_name t USING byname_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET cents = s.cents""".stripMargin)
+      assert(spark.sql("SELECT sum(cents) AS s FROM graft_table('orders_by_name')")
+        .head().getLong(0) == 110L)
+      spark.sql("DROP TABLE graft.orders_by_name")
+      assert(!new java.io.File(s"$wh/orders_by_name").exists())
+    } finally spark.conf.unset(graft.plans.GraftPaths.WarehouseConf)
+  }
+
+  test("refusals: unpartitioned create, props/options, non-identity parts") {
+    val root = tmp("refuse") + "/t"
+    val e1 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$root` (id BIGINT)")
+    }
+    assert(e1.getMessage.contains("PARTITIONED BY"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$root` (id BIGINT, p STRING) " +
+        "PARTITIONED BY (p) TBLPROPERTIES ('k' = 'v')")
+    }
+    assert(e2.getMessage.contains("TBLPROPERTIES"))
+    val e3 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$root` (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))")
+    }
+    assert(e3.getMessage.contains("identity"))
+    // non-graft DDL is untouched: the session catalog still works
+    spark.sql("CREATE TABLE ddl_plain_tbl (id INT) USING parquet " +
+      s"LOCATION '${tmp("plain")}/p'")
+    spark.sql("DROP TABLE ddl_plain_tbl")
+  }
+}
