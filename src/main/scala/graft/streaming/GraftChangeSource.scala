@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
@@ -47,11 +48,15 @@ import graft.sources.Layout
   * Rate limiting: `maxVersionsPerBatch` (the `maxFilesPerTrigger`
   * analog) caps each micro-batch's version span, so a consumer resuming
   * behind a 10 000-commit backlog drains as bounded batches instead of
-  * one unbounded feed plan. Under processing-time triggers batches pace
-  * continuously; under `Trigger.AvailableNow` the V1 wrapper captures one
-  * target per invocation, so each drain advances one capped batch (the
-  * engine-committed watermark carries across reader instances — the
-  * recovery path re-commits the source, ChangeStreamSpec pins it).
+  * one unbounded feed plan. The source implements
+  * [[SupportsTriggerAvailableNow]] (which extends admission control), so
+  * ONE `Trigger.AvailableNow` invocation drains the whole backlog as a
+  * SEQUENCE of capped micro-batches up to the target captured at query
+  * start — the scheduled-catch-up semantics the reference's 3×-daily
+  * cron loop wants (before r12 the V1 fallback stopped at the cap with a
+  * warning). Under admission control the ENGINE supplies the start
+  * offset to [[latestOffset]]; the internal watermark only backstops the
+  * first call of a resumed instance.
   *
   * Contracts: `keys` must be the table's unique row identity (the
   * [[Layout.changeFeed]] contract); the SCHEMA is pinned at stream start
@@ -95,6 +100,13 @@ object GraftChangeSource {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
 
+  /** Custom [[ReadLimit]]: at most `versions` commits per micro-batch —
+    * the unit this source rate-limits in (rows/files/bytes are not known
+    * until the feed plan runs). Opaque to the engine, which just hands
+    * it back to [[GraftChangeSource.latestOffset]].
+    */
+  case class ReadMaxVersions(versions: Int) extends ReadLimit
+
   private[streaming] def rootOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-changes: 'path' option (the versioned root) is required"))
@@ -124,7 +136,8 @@ object GraftChangeSource {
 class GraftChangeSource(spark: SparkSession, root: String, keys: Seq[String],
                         startingVersion: Option[Int],
                         maxVersionsPerBatch: Option[Int] = None,
-                        includeVersion: Boolean = false) extends Source {
+                        includeVersion: Boolean = false)
+    extends Source with SupportsTriggerAvailableNow {
   import GraftChangeSource._
 
   maxVersionsPerBatch.foreach(k => require(k >= 1,
@@ -139,14 +152,48 @@ class GraftChangeSource(spark: SparkSession, root: String, keys: Seq[String],
   // unbounded feed plan. The watermark tracks the highest version already
   // served/committed (updated from BOTH getBatch and commit, which covers
   // engine restart recovery: replayed ranges and the recovered committed
-  // offset both advance it before the next poll), and getOffset offers at
-  // most `watermark + max` — never less than the watermark itself, so the
-  // offered offset stays monotonic for the engine.
+  // offset both advance it before the next poll); offered offsets are
+  // never below it, so they stay monotonic for the engine.
   @volatile private var highWater: Option[Int] = startingVersion
-  @volatile private var warnedCap = false
+  // Trigger.AvailableNow target: pinned ONCE at query start (the
+  // SupportsTriggerAvailableNow contract — later offers must not exceed
+  // it, or the one-shot run would chase a moving head forever)
+  @volatile private var availableNowTarget: Option[Int] = None
 
   private def advance(v: Int): Unit = synchronized {
     if (!highWater.exists(_ >= v)) highWater = Some(v)
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(Layout.currentVersionNumber(spark, root))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerBatch.map(n => GraftChangeSource.ReadMaxVersions(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): OffsetV2 =
+    LongOffset(Layout.currentVersionNumber(spark, root).toLong)
+
+  /** Admission-controlled poll: the ENGINE hands back the last batch's
+    * end offset; offer at most `cap` versions past it, clamped to the
+    * AvailableNow target when one is pinned. A `null` start with no
+    * `startingVersion` is the snapshot batch — it spans ONE version
+    * regardless of cap (a snapshot is not a backlog).
+    */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val cur0 = Layout.currentVersionNumber(spark, root)
+    val cur = availableNowTarget.fold(cur0)(t => math.min(t, cur0))
+    val cap = limit match {
+      case ReadMaxVersions(n) => Some(n)
+      case _ => None
+    }
+    val from = Option(startOffset).map(versionOfAny)
+      .orElse(highWater.map(_.toInt))
+    val capped = (cap, from) match {
+      case (Some(k), Some(f)) => math.max(f, math.min(cur, f + k))
+      case _ => cur
+    }
+    LongOffset(capped.toLong)
   }
 
   // (the collapsed no-includeVersion path never carries the column; align
@@ -176,24 +223,17 @@ class GraftChangeSource(spark: SparkSession, root: String, keys: Seq[String],
   }
 
   private def versionOf(o: OffsetV1): Int = o.json.trim.toInt
+  private def versionOfAny(o: OffsetV2): Int = o.json.trim.toInt
 
+  // kept for the V1 Source contract, but under admission control the
+  // engine polls latestOffset(start, limit) instead — this plain form
+  // serves only direct callers and mirrors the uncapped head
   override def getOffset: Option[OffsetV1] = {
     val cur = Layout.currentVersionNumber(spark, root)
     val capped = (maxVersionsPerBatch, highWater) match {
       // never below the watermark (monotonic even if cur regressed)
       case (Some(k), Some(hw)) => math.max(hw, math.min(cur, hw + k))
       case _ => cur
-    }
-    if (capped < cur && !warnedCap) {
-      // loud once: under Trigger.AvailableNow the V1 wrapper captures ONE
-      // target per invocation, so a single run STOPS at the cap with
-      // backlog remaining — a scheduled one-shot job that never catches up
-      // would otherwise look permanently "successful" (review fix)
-      warnedCap = true
-      System.err.println(s"[graft-changes] $root: rate limit active " +
-        s"(offering v$capped of v$cur). Under Trigger.AvailableNow one " +
-        "invocation stops at the cap — schedule repeated runs or use a " +
-        "processing-time trigger to drain the backlog.")
     }
     Some(LongOffset(capped.toLong))
   }

@@ -120,21 +120,36 @@ class ChangeStreamSpec extends SparkSpec {
         .option("path", root).option("keys", "id")
         .option("startingVersion", 0).option("maxVersionsPerBatch", 2).load(),
       out, ckpt)
-    // under AvailableNow the V1 wrapper captures ONE target per drain, so
-    // each drain advances exactly one capped batch: ≤ 2 versions — the
-    // backlog NEVER arrives as one unbounded feed plan
+    // SupportsTriggerAvailableNow (r12): ONE AvailableNow run drains the
+    // WHOLE backlog — as a sequence of ≤2-version micro-batches, never
+    // one unbounded feed plan (the offsets log below proves the pacing)
     drainOnce()
-    assert(drained(out) == (1 to 2).map(i =>
-      (i.toLong, "a", i.toLong, "insert")).toSet)
-    // each further drain resumes the engine-committed watermark in a NEW
-    // source instance and advances by at most the cap again
-    drainOnce()
-    assert(drained(out) == (1 to 4).map(i =>
-      (i.toLong, "a", i.toLong, "insert")).toSet)
-    drainOnce()
-    drainOnce() // already caught up: no-op
     assert(drained(out) == (1 to 6).map(i =>
       (i.toLong, "a", i.toLong, "insert")).toSet)
+    val batches = new java.io.File(ckpt + "/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 3, s"expected >= 3 capped micro-batches, got $batches")
+    drainOnce() // already caught up: no-op
+    assert(spark.read.parquet(out).count() == 6)
+  }
+
+  test("10-commit backlog, cap 2, ONE AvailableNow run: fully caught up") {
+    val (root, out, ckpt) = mk("an10")
+    Layout.initVersionedManifest(rows((0L, "a", 0L)), root, Seq("g"))
+    (1 to 10).foreach(i =>
+      Layout.upsertVersionedRows(spark, root, rows((i.toLong, "a", i.toLong)),
+        Seq("id")))
+    StreamingOps.drainToParquet(
+      spark.readStream.format("graft-changes")
+        .option("path", root).option("keys", "id")
+        .option("startingVersion", 0).option("maxVersionsPerBatch", 2).load(),
+      out, ckpt)
+    assert(drained(out) == (1 to 10).map(i =>
+      (i.toLong, "a", i.toLong, "insert")).toSet)
+    // ≥ 5 bounded batches — the cap held while the one-shot run caught up
+    val batches = new java.io.File(ckpt + "/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 5, s"expected >= 5 capped micro-batches, got $batches")
   }
 
   test("end-to-end: a sum view maintained from the stream ≡ the live table") {
