@@ -2415,6 +2415,39 @@ object SparkEntry {
       s.sql(s"SELECT pri, CAST(count(*) AS BIGINT) AS n_rows, " +
         s"sum(cents) AS sum_cents FROM graft_table('$root') GROUP BY pri")
         .withColumn("n_history", lit(nHist))
+    }),
+
+    // --- MERGE WITH SCHEMA EVOLUTION (r12) ---
+    // The source carries a column the table lacks (`score`); the evolving
+    // merge ADDs it first (nullable, metadata-only — no file rewritten),
+    // then the star clauses land it: matched rows update into it, fresh
+    // keys insert with it, untouched rows read NULL. Score values are
+    // exactly-representable (integers and halves) so the double sum is
+    // order-independent under the oracle hash.
+    "q177_sql_merge_evolution" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"), col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q177").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(base, root, Seq("pri"))
+      val slice = base.filter(col("id") % 6 === 0)
+        .withColumn("v", col("v") + 50L)
+      slice.withColumn("score", (col("id") % 8).cast("double"))
+        .unionByName(slice
+          // fresh keys scale-safely (see q159)
+          .withColumn("id", -(col("id") + 1L))
+          .withColumn("score", lit(1.5)))
+        .createOrReplaceTempView("q177_src")
+      s.sql(s"""
+        MERGE WITH SCHEMA EVOLUTION INTO graft.`$root` AS t
+        USING q177_src AS src
+        ON t.id = src.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      graft.sources.Layout.readCurrent(s, root)
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"),
+          sum(coalesce(col("score"), lit(0.0))).as("sum_score"))
     })
   )
 
@@ -4758,7 +4791,26 @@ object SparkEntry {
           CAST(1 AS BIGINT) AS n_history
         FROM orders
         WHERE o_orderkey % 11 <> 0
-        GROUP BY 1"""
+        GROUP BY 1""",
+
+      // matched (id%6=0) refresh to v+50 and take score id%8; fresh
+      // negative keys insert with score 1.5; untouched rows score NULL
+      "q177_sql_merge_evolution" -> """
+        WITH base AS (SELECT o_orderkey AS id, o_orderpriority AS pri,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        merged AS (SELECT pri,
+            CASE WHEN id % 6 = 0 THEN v + 50 ELSE v END AS v,
+            CASE WHEN id % 6 = 0 THEN CAST(id % 8 AS DOUBLE) ELSE NULL END
+              AS score
+          FROM base),
+        ins AS (SELECT pri, v + 50 AS v, CAST(1.5 AS DOUBLE) AS score
+          FROM base WHERE id % 6 = 0),
+        final AS (SELECT pri, v, score FROM merged
+          UNION ALL SELECT pri, v, score FROM ins)
+        SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(v) AS BIGINT) AS sum_v,
+          CAST(sum(coalesce(score, 0)) AS DOUBLE) AS sum_score
+        FROM final GROUP BY 1"""
     )
   }
 

@@ -43,6 +43,7 @@ object GraftPaths {
   *   CONSTRAINT v_nonneg CHECK (v >= 0)) PARTITIONED BY (part)
   * CREATE TABLE graft.dst PARTITIONED BY (part) AS SELECT …   -- CTAS
   * ALTER TABLE graft.orders RENAME COLUMN v TO cents
+  * ALTER TABLE graft.orders ADD COLUMN score DOUBLE
   * ALTER TABLE graft.orders DROP COLUMN note
   * ALTER TABLE graft.orders ALTER COLUMN id TYPE BIGINT        -- widen
   * ALTER TABLE graft.orders ADD CONSTRAINT c CHECK (cents >= 0)
@@ -236,6 +237,25 @@ object GraftDdl {
           case _ => return None
         }
 
+      case ac: AddColumns =>
+        ac.table match {
+          case Tbl(x) =>
+            require(ac.columnsToAdd.length == 1,
+              "graft SQL DDL: add one column per statement (each add is " +
+                "one metadata commit)")
+            val c = ac.columnsToAdd.head
+            require(c.path.isEmpty,
+              "graft SQL DDL: nested-field ADD COLUMN is not supported")
+            require(c.comment.isEmpty && c.position.isEmpty,
+              "graft SQL DDL: ADD COLUMN takes name and type only — " +
+                "comments/positions are not table state here")
+            require(c.nullable,
+              "graft SQL DDL: an added column must be nullable — every " +
+                "row that predates it reads as NULL")
+            GraftAddColumnCommand(x, c.colName, c.dataType)
+          case _ => return None
+        }
+
       case acc: AddCheckConstraint =>
         acc.child match {
           case Rel(x) =>
@@ -335,6 +355,15 @@ object GraftDdl {
     override def run(session: SparkSession): Seq[Row] =
       Seq(Row(Layout.widenColumn(session,
         GraftPaths.resolve(session, ident), name, to)))
+  }
+
+  case class GraftAddColumnCommand(ident: String, name: String,
+                                   dataType: DataType)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = pathAttr
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(Layout.addColumn(session,
+        GraftPaths.resolve(session, ident), name, dataType)))
   }
 
   case class GraftAddConstraintCommand(ident: String, name: String,

@@ -62,9 +62,13 @@ import graft.sources.{Layout, ManifestIndex}
   * Surface limits (each refused loudly, never silently misread):
   * `MERGE … ON` must be a conjunction of `t.k = s.k` equalities (the
   * layout's merge is keyed); merge inserts are `INSERT *` (or the
-  * trivially equivalent full-identity column list); `WITH SCHEMA
-  * EVOLUTION`, `INSERT OVERWRITE` and static
-  * `PARTITION` clauses are not supported. UNCORRELATED subqueries in DML
+  * trivially equivalent full-identity column list); `INSERT OVERWRITE`
+  * and static `PARTITION` clauses are not supported. `MERGE … WITH
+  * SCHEMA EVOLUTION` adds every source column the table lacks before
+  * merging (nullable, metadata-only ADD COLUMN commits) — note it
+  * therefore consumes the extra-column channel: op codes that normally
+  * ride along as clause inputs would land in the table; drop them in
+  * the USING query when evolving. UNCORRELATED subqueries in DML
   * conditions and SET values (`WHERE id IN (SELECT …)`, scalar
   * subqueries, `EXISTS`) resolve at run time like any other captured
   * expression — the condition analyzes against the live snapshot with
@@ -271,9 +275,6 @@ object GraftDml {
             val src = sourceQuals(m.sourceTable)
             def collapse(e: Expression): Expression =
               collapseTargetPrefix(e, root)
-            require(!m.withSchemaEvolution,
-              "graft SQL MERGE: WITH SCHEMA EVOLUTION is not supported — " +
-                "evolve via mergeVersionedPartitioned")
             val keys = keysOf(collapse(m.mergeCondition), tgt, src)
             // names the USER wrote unqualified in matched-clause
             // expressions, recorded BEFORE toJoined rewrites qualifiers
@@ -380,7 +381,7 @@ object GraftDml {
               bsDel = bsDel.map(dc => dc && !coalesce(uc, lit(false)))
             }
             GraftMergeCommand(root, m.sourceTable, keys, del, upd, ins,
-              bareRefs, bsDel, bsUpd)
+              bareRefs, bsDel, bsUpd, m.withSchemaEvolution)
           case _ => plan
         }
 
@@ -456,12 +457,29 @@ object GraftDml {
                                ins: Option[Column],
                                bareRefs: Set[String] = Set.empty,
                                bsDel: Option[Column] = None,
-                               bsUpd: Option[(Column, Option[Map[String, Column]])] = None)
+                               bsUpd: Option[(Column, Option[Map[String, Column]])] = None,
+                               withSchemaEvolution: Boolean = false)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = pathAttr
     override def run(session: SparkSession): Seq[Row] = {
       val rootR = GraftPaths.resolve(session, root)
       val sourceDf = Shim.ofRows(session, source)
+      if (withSchemaEvolution) {
+        // WITH SCHEMA EVOLUTION: every source column the table lacks is
+        // ADDED first (one metadata commit each, nullable, source order —
+        // the Delta semantics for star-shaped merges; this engine's merge
+        // inserts ARE star-shaped). NOTE this consumes the extra-column
+        // channel: op codes/sequence numbers that normally ride along as
+        // clause inputs would land in the table under evolution — drop
+        // them in the USING query when evolving. Skip-if-present makes a
+        // replayed merge idempotent across the evolution commits.
+        val man0 = ManifestIndex.read(session, rootR,
+          f"v${Layout.currentVersionNumber(session, rootR)}%05d")
+        val have = (man0.dataSchema.fieldNames ++
+          man0.partitionSchema.fieldNames).map(_.toLowerCase).toSet
+        sourceDf.schema.filterNot(f => have(f.name.toLowerCase))
+          .foreach(f => Layout.addColumn(session, rootR, f.name, f.dataType))
+      }
       val man = ManifestIndex.read(session, rootR,
         f"v${Layout.currentVersionNumber(session, rootR)}%05d")
       val tableFields =

@@ -1603,6 +1603,52 @@ object Layout {
     nextPath
   }
 
+  /** ADD a (nullable) data column to a manifest root — metadata-only: the
+    * new manifest carries one more field; no file is rewritten. Files
+    * written BEFORE the add simply lack the column's physical name, and
+    * Spark's parquet reader null-fills a requested-but-absent column — so
+    * every historical row reads as NULL for it, the standard lakehouse
+    * add-column semantics. Old versions keep the old schema (time travel
+    * reads the schema of its day).
+    *
+    * The new column gets a FRESH physical identity: if its name was ever
+    * claimed (a dropped column's tombstone keeps its logical name claimed
+    * and refuses outright; a rename leaves its ORIGINAL physical name
+    * claimed), a suffixed physical name is minted and carried in field
+    * metadata — otherwise old footers would resurrect unrelated values
+    * into the new column. Always nullable: rows that predate the column
+    * have no value for it, and writers upcast at the door.
+    *
+    * @return the new live version path
+    */
+  def addColumn(spark: SparkSession, root: String,
+                name: String, dataType: org.apache.spark.sql.types.DataType): String = graft.util.DmlTimer.timed {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"addColumn requires a manifest root: $root")
+    val (cur, _, man) = currentManifest(spark, root)
+    require(!man.dataSchema.fieldNames.contains(name) &&
+      !man.partitionSchema.fieldNames.contains(name),
+      s"addColumn: '$name' already exists (a dropped column's tombstone " +
+        "keeps its name claimed — re-adding it would ambiguate history)")
+    val claimed = man.dataSchema.map(ManifestIndex.physicalName).toSet ++
+      man.partitionSchema.fieldNames
+    val field =
+      if (!claimed(name))
+        org.apache.spark.sql.types.StructField(name, dataType, nullable = true)
+      else {
+        val phys = Iterator.from(1).map(i => s"${name}_$i")
+          .find(p => !claimed(p)).get
+        org.apache.spark.sql.types.StructField(name, dataType, nullable = true,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(ManifestIndex.PhysicalKey, phys).build())
+      }
+    val (next, nextPath) = nextVersion(spark, root, cur)
+    commitManifest(spark, root, next,
+      man.copy(dataSchema = StructType(man.dataSchema :+ field)),
+      "ADD COLUMN")
+    nextPath
+  }
+
   /** WIDEN a data column's type on a manifest root — metadata-only, like
     * [[renameColumn]]: no data file is rewritten, because Spark 4's
     * parquet readers natively decode a narrow physical type into the

@@ -241,4 +241,48 @@ class ColumnMappingSpec extends SparkSpec {
         Seq("id"), "part")
     }
   }
+
+  test("addColumn is metadata-only: old rows read NULL, new writes carry it") {
+    val root = init()
+    val before = ManifestIndex.read(spark, root, "v00000")
+    Layout.addColumn(spark, root, "score",
+      org.apache.spark.sql.types.DoubleType)
+    val after = ManifestIndex.read(spark, root, "v00001")
+    assert(after.entries.map(e => (e.path, e.size)) ==
+      before.entries.map(e => (e.path, e.size)), "add must not touch files")
+    val cur = Layout.readCurrent(spark, root)
+    assert(cur.columns.toSeq == Seq("id", "v", "score", "part"))
+    assert(cur.filter($"score".isNotNull).count() == 0)
+    // a merge carrying the new column lands values; old rows stay NULL
+    Layout.upsertVersionedRows(spark, root,
+      Seq((1L, "p1", 10.0, 0.5), (4L, "p2", 40.0, 0.9))
+        .toDF("id", "part", "v", "score"), Seq("id"))
+    val got = Layout.readCurrent(spark, root)
+      .select($"id", $"score").as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(1L -> Some(0.5), 2L -> None, 3L -> None, 4L -> Some(0.9)))
+    // time travel reads the schema of its day
+    assert(!Layout.readVersion(spark, root, 0).columns.contains("score"))
+  }
+
+  test("addColumn mints a fresh physical name when the logical one was claimed") {
+    val root = init()
+    // rename v -> price: the ORIGINAL physical name 'v' stays claimed
+    Layout.renameColumn(spark, root, "v", "price")
+    Layout.addColumn(spark, root, "v", org.apache.spark.sql.types.LongType)
+    // re-added 'v' must NOT read the old footers' physical 'v' values
+    val cur = Layout.readCurrent(spark, root)
+    assert(cur.filter($"v".isNotNull).count() == 0,
+      "a reused physical name would resurrect the renamed column's values")
+    val man = ManifestIndex.read(spark, root,
+      f"v${Layout.currentVersionNumber(spark, root)}%05d")
+    val f = man.dataSchema(man.dataSchema.fieldIndex("v"))
+    assert(ManifestIndex.physicalName(f) != "v")
+    // a dropped column's tombstone keeps its NAME claimed: re-add refuses
+    Layout.dropColumn(spark, root, "price")
+    val e = intercept[IllegalArgumentException] {
+      Layout.addColumn(spark, root, "price",
+        org.apache.spark.sql.types.DoubleType)
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
 }

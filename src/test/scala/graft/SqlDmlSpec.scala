@@ -331,6 +331,36 @@ class SqlDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("nested-field"), e.getMessage)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds source columns, then merges") {
+    val root = mkRoot("evolve")
+    // source carries 'score', which the table lacks
+    Seq((2L, 999L, "p0", 0.5), (100L, 7L, "p0", 0.9))
+      .toDF("id", "v", "part", "score").createOrReplaceTempView("evo_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$root` t
+         |USING evo_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val t = Layout.readCurrent(spark, root)
+    assert(t.columns.toSeq == Seq("id", "v", "score", "part"))
+    val got = t.select($"id", $"v", $"score")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(2L) == ((999L, Some(0.5)))) // matched: star update, new col set
+    assert(got(100L) == ((7L, Some(0.9)))) // inserted with the new col
+    assert(got(3L) == ((30L, None)))       // untouched rows read NULL
+    assert(got.size == 21)
+    // withOUT the keyword, an extra source column still rides as a clause
+    // input and never lands in the table
+    Seq((3L, 1L, "p1", 0.0, 0.1)).toDF("id", "v", "part", "score", "extra2")
+      .createOrReplaceTempView("evo_src2")
+    spark.sql(
+      s"""MERGE INTO graft.`$root` t USING evo_src2 s ON t.id = s.id
+         |WHEN MATCHED AND s.extra2 < 1.0 THEN DELETE""".stripMargin)
+    assert(!Layout.readCurrent(spark, root).columns.contains("extra2"))
+    assert(Layout.readCurrent(spark, root).filter($"id" === 3L).count() == 0)
+  }
+
   test("non-graft SQL is untouched by the rule") {
     // plain reads still work in the same session
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
