@@ -2448,6 +2448,25 @@ object SparkEntry {
         .groupBy("pri")
         .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"),
           sum(coalesce(col("score"), lit(0.0))).as("sum_score"))
+    }),
+
+    // --- OPQ-rotated residual IVF-PQ (r12) ---
+    // q167's IVFADC with the optimized-product-quantization rotation (Ge
+    // 2013, RR variant): residuals rotate through a seeded orthogonal R
+    // before coding, queries rotate once on the broadcast side, and the
+    // exact decomposition q·v = q·c + (R·q)·(R·res) keeps scoring
+    // zero-extra-cost per corpus row. DuckDB replays the rotation as
+    // inlined literal rows — cells, rotated codes, scores and ranks must
+    // agree exactly. The recall lift at a fixed bit budget is pinned in
+    // QuantizeSpec (trained books, anisotropic corpus).
+    "q178_ivfpq_opq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+      val rot = Quantize.seededRotation(64, seed = 11)
+      Quantize.ivfPqOpqTopK(emb,
+        centroids = emb.filter(col("vec_id") < 8),
+        queries = emb.filter(col("vec_id") >= 10 && col("vec_id") <= 14),
+        cb, rot, nprobe = 3, topK = 5)
     })
   )
 
@@ -4810,7 +4829,48 @@ object SparkEntry {
         SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
           CAST(sum(v) AS BIGINT) AS sum_v,
           CAST(sum(coalesce(score, 0)) AS DOUBLE) AS sum_score
-        FROM final GROUP BY 1"""
+        FROM final GROUP BY 1""",
+
+      // q167's oracle with the OPQ rotation: residuals rotate through the
+      // inlined literal R before coding, the query rotates once in the
+      // probe set, and the coarse q·c term stays UNROTATED — the same
+      // decomposition and parenthesization the engine pins
+      "q178_ivfpq_opq" -> s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+        assigned AS (SELECT nn_id, c_emb, centroid_id FROM (
+          SELECT v.vec_id AS nn_id, v.e AS c_emb, c.cid AS centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+              list_dot_product(v.e, v.e) + list_dot_product(c.ce, c.ce)
+                - 2.0 * list_dot_product(v.e, c.ce), c.cid) AS rn
+          FROM v CROSS JOIN cent c) WHERE rn = 1),
+        resid AS (SELECT a.nn_id, a.centroid_id,
+            list_transform(range(1, len(a.c_emb) + 1),
+              i -> a.c_emb[i] - c.ce[i]) AS e
+          FROM assigned a JOIN cent c ON a.centroid_id = c.cid),
+        rre AS (SELECT nn_id, centroid_id, ${duckRotate(64, 11, "e")} AS e
+          FROM resid),
+        coded AS (SELECT nn_id, centroid_id, ${duckPqCode(4, 8, 16, 7)} AS code
+          FROM rre),
+        probes AS (SELECT query_id, qraw, centroid_id, ce,
+            ${duckRotate(64, 11, "qraw")} AS qe FROM (
+          SELECT q.vec_id AS query_id, q.e AS qraw, c.cid AS centroid_id,
+            c.ce AS ce,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              list_dot_product(q.e, q.e) + list_dot_product(c.ce, c.ce)
+                - 2.0 * list_dot_product(q.e, c.ce), c.cid) AS pr
+          FROM v q CROSS JOIN cent c
+          WHERE q.vec_id >= 10 AND q.vec_id <= 14) WHERE pr <= 3),
+        scored AS (SELECT p.query_id, c.nn_id, c.centroid_id,
+            list_dot_product(p.qraw, p.ce) + (${duckPqScore(4, 8, 16, 7)}) AS s
+          FROM coded c JOIN probes p ON c.centroid_id = p.centroid_id
+          WHERE c.nn_id <> p.query_id)
+        SELECT query_id, nn_id, centroid_id, score, rnk FROM (
+          SELECT query_id, nn_id, centroid_id, round(s, 6) AS score,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM scored) WHERE rnk <= 5"""
     )
   }
 
@@ -4844,6 +4904,19 @@ object SparkEntry {
     * LUT produces (it computes all k dots and indexes; each dot is
     * fold-identical, so the selected value matches).
     */
+  /** DuckDB expression computing [[graft.ops.Quantize.rotate]]'s `R·v`
+    * bit-identically: the seeded orthogonal rotation regenerates with the
+    * SAME Gram-Schmidt stream and inlines as literal rows; each output
+    * dimension is one `list_dot_product` (left-to-right fold, matching
+    * the native DotProduct).
+    */
+  private def duckRotate(dim: Int, seed: Int, colName: String): String = {
+    val r = Quantize.seededRotation(dim, seed)
+    r.map(row =>
+      s"list_dot_product($colName, ${row.mkString("[", ",", "]")})")
+      .mkString("[", ", ", "]")
+  }
+
   private def duckPqScore(m: Int, k: Int, subDim: Int, seed: Int): String = {
     val cb = Quantize.seededCodebooks(m, k, subDim, seed)
     (0 until m).map { j =>

@@ -223,6 +223,111 @@ object Quantize {
         round(col("__s"), 6).as("score"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Seeded random ORTHOGONAL rotation — the rotation leg of optimized
+    * product quantization (Ge et al., "Optimized Product Quantization for
+    * Approximate Nearest Neighbor Search", CVPR 2013: a rotation R makes
+    * the PQ subspace split respect the data rather than the raw
+    * coordinate order; the seeded-random variant is the paper's RR
+    * baseline, which already captures most of the win when codebooks are
+    * re-trained in the rotated space, because it spreads anisotropic
+    * energy evenly across subspaces). Deterministic modified Gram-Schmidt
+    * over a seeded Gaussian matrix: rows are orthonormal, regenerate
+    * bit-identically from the seed, and inline literally into a SQL
+    * oracle — the same replay scheme as [[seededCodebooks]].
+    */
+  def seededRotation(dim: Int, seed: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed.toLong * 7778777 + 13)
+    val a = Array.fill(dim, dim)(rnd.nextGaussian())
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < i) {
+        var d = 0.0
+        var k = 0
+        while (k < dim) { d += a(i)(k) * a(j)(k); k += 1 }
+        k = 0
+        while (k < dim) { a(i)(k) -= d * a(j)(k); k += 1 }
+        j += 1
+      }
+      var n = 0.0
+      var k = 0
+      while (k < dim) { n += a(i)(k) * a(i)(k); k += 1 }
+      n = math.sqrt(n)
+      k = 0
+      while (k < dim) { a(i)(k) /= n; k += 1 }
+      i += 1
+    }
+    a
+  }
+
+  /** `R·v` as a pure projection: one [[VF.dot]] per output dimension
+    * against a literal rotation row — codegen'd, no shuffle, and each
+    * fold mirrored exactly by the oracle's `list_dot_product`.
+    */
+  def rotate(vec: Column, r: Array[Array[Double]]): Column =
+    array(r.map(row => VF.dot(vec, typedLit(row.toSeq))): _*)
+
+  /** OPQ-rotated residual IVF-PQ — [[ivfPqResidualTopK]] with the
+    * rotation applied to the residuals before coding. Orthogonality keeps
+    * the scoring decomposition exact:
+    * `q·v = q·c + q·res = q·c + (R·q)·(R·res) ≈ q·c + adc(R·q, code(R·res))`
+    * — so the ONLY extra work is d dots per corpus row at ENCODE time
+    * (write-side, once) and d dots per query (broadcast-side, tiny); the
+    * serving plan shape is unchanged: broadcast centroids route the
+    * corpus without shuffling it, codes are the only per-row storage,
+    * queries probe `nprobe` cells. Same-seed codebooks over rotated
+    * residuals spend their bits on evenly-spread energy, which is where
+    * the recall lift at a fixed bit budget comes from (QuantizeSpec pins
+    * it on an anisotropic corpus).
+    *
+    * @return (query_id, nn_id, centroid_id, score [q·c + ADC, 6dp], rnk)
+    */
+  def ivfPqOpqTopK(corpus: DataFrame, centroids: DataFrame,
+                   queries: DataFrame,
+                   codebooks: Array[Array[Array[Double]]],
+                   rotation: Array[Array[Double]],
+                   nprobe: Int, topK: Int): DataFrame = {
+    val centVecs = centroids.select(col("vec_id").as("centroid_id"),
+      col("embedding").cast("array<double>").as("__ce"))
+    val coded = encode(
+      Similarity.ivfAssign(corpus, centroids)
+        .select(col("vec_id").as("nn_id"), col("embedding"),
+          col("centroid_id"))
+        .join(broadcast(centVecs), "centroid_id")
+        .withColumn("__res",
+          zip_with(col("embedding").cast("array<double>"), col("__ce"),
+            (a, b) => a - b))
+        .withColumn("__rres", rotate(col("__res"), rotation)),
+      "__rres", codebooks)
+      .select(col("nn_id"), col("centroid_id"), col("code"))
+    val cent = centroids.select(col("vec_id").as("centroid_id"),
+      col("embedding").as("cent_emb"),
+      VF.dot(col("embedding"), col("embedding")).as("c2"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("qdist"), col("centroid_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        VF.dot(col("embedding"), col("embedding")).as("a2"))
+      .crossJoin(broadcast(cent))
+      .withColumn("qdist",
+        col("a2") + col("c2") - lit(2.0) * VF.dot(col("q_emb"), col("cent_emb")))
+      .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("centroid_id"),
+        // the coarse term q·c uses the UNROTATED pair; the ADC term uses
+        // the rotated query — both ride the (tiny) broadcast probe set
+        VF.dot(col("q_emb"), col("cent_emb")).as("__qdotc"),
+        rotate(col("q_emb").cast("array<double>"), rotation).as("__rqe"))
+    val score = col("__qdotc") + adcScore(col("__rqe"), col("code"), codebooks)
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__s").desc, col("nn_id"))
+    coded.join(broadcast(probes), "centroid_id")
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("__s", score)
+      .withColumn("rnk", row_number().over(wK)).filter(col("rnk") <= topK)
+      .select(col("query_id"), col("nn_id"), col("centroid_id"),
+        round(col("__s"), 6).as("score"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Refine seeded codebooks with `iters` Lloyd iterations over the
     * corpus — per-subspace k-means trained in ONE distributed pass per
     * iteration for all m subspaces at once: explode to (subspace, subvec)

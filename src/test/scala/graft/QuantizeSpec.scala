@@ -132,6 +132,100 @@ class QuantizeSpec extends SparkSpec {
       s"residual recall ($resR) must beat raw-vector recall ($rawR)")
   }
 
+  test("seededRotation is orthonormal and replayable; rotate preserves IPs") {
+    val r = Quantize.seededRotation(16, seed = 11)
+    for (i <- 0 until 16; j <- 0 until 16) {
+      val d = (0 until 16).map(k => r(i)(k) * r(j)(k)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - expect) < 1e-12, s"rows $i,$j: dot = $d")
+    }
+    // same seed regenerates bit-identically (the oracle-replay contract)
+    val r2 = Quantize.seededRotation(16, seed = 11)
+    assert(r.flatten.toSeq == r2.flatten.toSeq)
+    // R preserves inner products (orthogonality, fp-tight)
+    val df = Seq((1L, (1 to 16).map(_.toDouble)),
+      (2L, (1 to 16).map(i => (17 - i).toDouble))).toDF("id", "v")
+    val rot = df.select($"id", Quantize.rotate($"v", r).as("v"))
+    def ip(d: org.apache.spark.sql.DataFrame): Double = {
+      val m = d.as[(Long, Seq[Double])].collect().toMap
+      m(1L).zip(m(2L)).map { case (a, b) => a * b }.sum
+    }
+    assert(math.abs(ip(rot) - ip(df)) < 1e-8)
+  }
+
+  test("OPQ rotation lifts quality at the same bit budget (anisotropic corpus)") {
+    // energy concentrated in the FIRST subspace: unrotated PQ wastes 3 of
+    // its 4 codebooks on near-zero subvectors; the seeded orthogonal
+    // rotation spreads the energy so every subspace carries signal. Both
+    // paths train from the SAME seed with the same Lloyd budget.
+    val scaleExpr = expr("transform(cast(embedding as array<double>), " +
+      "(x, i) -> x * (CASE WHEN i < 16 THEN 4.0D ELSE 0.25D END))")
+    val aniso = emb.select($"vec_id", scaleExpr.as("embedding"))
+    val seedBook = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+    val rot = Quantize.seededRotation(64, seed = 11)
+    val rotated = aniso.select($"vec_id",
+      Quantize.rotate($"embedding", rot).as("embedding"))
+    val cbRaw = Quantize.trainCodebooks(aniso, "embedding", seedBook, iters = 3)
+    val cbRot = Quantize.trainCodebooks(rotated, "embedding", seedBook, iters = 3)
+    val mseRaw = Quantize.quantizationMse(aniso, "embedding", cbRaw)
+    val mseRot = Quantize.quantizationMse(rotated, "embedding", cbRot)
+    // rotation is orthogonal, so both MSEs measure the SAME geometry
+    assert(mseRot < mseRaw,
+      s"rotated-space MSE ($mseRot) must beat raw-space MSE ($mseRaw)")
+  }
+
+  test("OPQ recall >= residual IVFADC recall on the anisotropic clustered corpus") {
+    val bases0 = emb.filter($"vec_id" < 8)
+    val baseVecs = bases0.select($"vec_id".as("j"),
+      $"embedding".cast("array<double>").as("base"))
+    val scale = "(x, i) -> x * (CASE WHEN i < 16 THEN 4.0D ELSE 0.25D END)"
+    val clustered = emb.withColumn("j", $"vec_id" % 8)
+      .join(broadcast(baseVecs), "j")
+      .select($"vec_id", expr("transform(zip_with(base, " +
+        s"cast(embedding as array<double>), (b, a) -> b + 0.05D * a), $scale)")
+        .as("embedding"))
+    val bases = bases0.select($"vec_id",
+      expr(s"transform(cast(embedding as array<double>), $scale)")
+        .as("embedding"))
+    val seedBook = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+    val rot = Quantize.seededRotation(64, seed = 11)
+    val ce = bases.select($"vec_id".as("centroid_id"),
+      $"embedding".cast("array<double>").as("__tce"))
+    val resDf = Similarity.ivfAssign(clustered, bases)
+      .join(broadcast(ce), "centroid_id")
+      .select($"vec_id", zip_with($"embedding".cast("array<double>"),
+        $"__tce", (a, b) => a - b).as("embedding"))
+    val rotResDf = resDf.select($"vec_id",
+      Quantize.rotate($"embedding", rot).as("embedding"))
+    val cbRes = Quantize.trainCodebooks(resDf, "embedding", seedBook, iters = 3)
+    val cbOpq = Quantize.trainCodebooks(rotResDf, "embedding", seedBook, iters = 3)
+    val queries = clustered.filter($"vec_id" >= 100 && $"vec_id" < 110)
+    val q = queries.select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__ip").desc, col("nn_id"))
+    val exact = clustered.select($"vec_id".as("nn_id"), $"embedding".as("ne"))
+      .join(broadcast(q), col("nn_id") =!= col("query_id"))
+      .withColumn("__ip",
+        graft.functions.VectorFunctions.dot(col("ne"), col("qe")))
+      .withColumn("rnk", row_number().over(w)).filter($"rnk" <= 10)
+      .select($"query_id", $"nn_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(out: org.apache.spark.sql.DataFrame): Double = {
+      val got = out.select($"query_id", $"nn_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (qid, nn) =>
+        nn.intersect(got.getOrElse(qid, Set.empty)).size.toDouble / nn.size
+      }.sum / exact.size
+    }
+    val resR = recallOf(Quantize.ivfPqResidualTopK(
+      clustered, bases, queries, cbRes, nprobe = 8, topK = 10))
+    val opqR = recallOf(Quantize.ivfPqOpqTopK(
+      clustered, bases, queries, cbOpq, rot, nprobe = 8, topK = 10))
+    assert(opqR >= resR,
+      s"OPQ recall ($opqR) must not trail residual recall ($resR)")
+    assert(opqR > 0.1, s"OPQ recall ($opqR) must be well above chance")
+  }
+
   test("training tightens the ADC approximation; recall beats chance (ANN sanity)") {
     // The synthetic embeddings are near-random UNIT vectors: top-10-of-500
     // neighbors are noise-driven, so absolute recall is capped for ANY
