@@ -411,6 +411,37 @@ object GraftDdl {
         .collect().toSeq
   }
 
+  /** `RESTORE [TABLE] graft.`x` TO VERSION AS OF n` (parser-injected):
+    * time travel made live — a new version re-pointing at the old state
+    * (history is preserved; the restore itself is an audited commit).
+    */
+  case class GraftRestoreCommand(ident: String, version: Int)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = pathAttr
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(Layout.restoreVersion(session,
+        GraftPaths.resolve(session, ident), version)))
+  }
+
+  /** `CREATE TABLE graft.dst SHALLOW CLONE graft.src [VERSION AS OF n]`
+    * (parser-injected): a zero-copy manifest clone whose entries point
+    * into the source root — the Delta shallow-clone shape. The clone's
+    * bytes stay OWNED by the source (compact the clone to re-home before
+    * vacuuming the source — [[Layout.cloneVersion]] documents the
+    * contract).
+    */
+  case class GraftCloneCommand(destIdent: String, srcIdent: String,
+                               version: Option[Int])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = pathAttr
+    override def run(session: SparkSession): Seq[Row] = {
+      val src = GraftPaths.resolve(session, srcIdent)
+      val v = version.getOrElse(Layout.currentVersionNumber(session, src))
+      Seq(Row(Layout.cloneVersion(session, src, v,
+        GraftPaths.resolve(session, destIdent))))
+    }
+  }
+
   /** `VACUUM graft.`x` [RETAIN n VERSIONS]` (parser-injected). */
   case class GraftVacuumCommand(ident: String, keep: Int)
       extends LeafRunnableCommand {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{DataType, StructType}
 
-/** The three lakehouse statements Spark's grammar lacks, injected as a
+/** The lakehouse statements Spark's grammar lacks, injected as a
   * delegating parser (the standard extension shape — Delta ships its SQL
   * the same way):
   *
@@ -14,9 +14,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * DESCRIBE HISTORY graft.`/path` | graft.name
   * VACUUM graft.`/path` [RETAIN n VERSIONS]
   * OPTIMIZE graft.`/path` [ZORDER BY (c1, c2, …)]
+  * RESTORE [TABLE] graft.`/path` TO VERSION AS OF n
+  * CREATE TABLE graft.dst SHALLOW CLONE graft.src [VERSION AS OF n]
   * }}}
   *
-  * Everything that DOESN'T match these three shapes — including every
+  * Everything that DOESN'T match these shapes — including every
   * other DESCRIBE/VACUUM-looking string — falls through to the session
   * parser verbatim, so the extension is invisible outside its grammar.
   * (All standard-grammar graft DDL — CREATE/DROP TABLE, ALTER TABLE … —
@@ -65,6 +67,12 @@ object GraftSqlParser {
   private val Optimize =
     ("(?is)^\\s*OPTIMIZE\\s+" + Id +
       "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
+  private val Restore =
+    ("(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?" + Id +
+      "\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$").r
+  private val Clone =
+    ("(?is)^\\s*CREATE\\s+TABLE\\s+" + Id + "\\s+SHALLOW\\s+CLONE\\s+" +
+      Id + "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$").r
 
   private def ident(quoted: String, bare: String): String =
     Option(quoted).getOrElse(bare)
@@ -81,6 +89,11 @@ object GraftSqlParser {
           Option(cols).toSeq.flatMap(_.split(",").toSeq
             .map(_.trim.stripPrefix("`").stripSuffix("`"))
             .filter(_.nonEmpty))))
+      case Restore(q, b, v) =>
+        Some(GraftDdl.GraftRestoreCommand(ident(q, b), v.toInt))
+      case Clone(dq, db, sq, sb, v) =>
+        Some(GraftDdl.GraftCloneCommand(ident(dq, db), ident(sq, sb),
+          Option(v).map(_.toInt)))
       case _ => None
     }
 }

@@ -143,6 +143,30 @@ class SqlDdlSpec extends SparkSpec {
     assert(spark.sql("SELECT 41 + 1 AS x").head().getInt(0) == 42)
   }
 
+  test("RESTORE TO VERSION AS OF and SHALLOW CLONE statements") {
+    val root = tmp("restore") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$root` (id BIGINT, v BIGINT, part STRING) " +
+      "PARTITIONED BY (part)")
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (1, 10, 'a'), (2, 20, 'b')")
+    spark.sql(s"DELETE FROM graft.`$root` WHERE id = 2") // v2
+    assert(Layout.readCurrent(spark, root).count() == 1)
+    // clone the PRE-DELETE version into a fresh root, zero-copy
+    val cloned = tmp("clone") + "/c"
+    spark.sql(s"CREATE TABLE graft.`$cloned` SHALLOW CLONE graft.`$root` " +
+      "VERSION AS OF 1")
+    assert(Layout.readCurrent(spark, cloned)
+      .select($"id").as[Long].collect().toSet == Set(1L, 2L))
+    // restore the source itself; history is preserved (restore commits)
+    spark.sql(s"RESTORE TABLE graft.`$root` TO VERSION AS OF 1")
+    assert(Layout.readCurrent(spark, root)
+      .select($"id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(spark.sql(s"DESCRIBE HISTORY graft.`$root`").count() == 4)
+    // default clone (no VERSION AS OF) takes the live version
+    val cloned2 = tmp("clone2") + "/c"
+    spark.sql(s"CREATE TABLE graft.`$cloned2` SHALLOW CLONE graft.`$root`")
+    assert(Layout.readCurrent(spark, cloned2).count() == 2)
+  }
+
   test("tables address by NAME through spark.graft.warehouse") {
     val wh = tmp("wh")
     spark.conf.set(graft.plans.GraftPaths.WarehouseConf, wh)
