@@ -123,37 +123,9 @@ object Quantize {
     */
   def ivfPqTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
                 codebooks: Array[Array[Array[Double]]],
-                nprobe: Int, topK: Int): DataFrame = {
-    val coded = encode(
-      Similarity.ivfAssign(corpus, centroids)
-        .select(col("vec_id").as("nn_id"), col("embedding"),
-          col("centroid_id")),
-      "embedding", codebooks)
-      .select(col("nn_id"), col("centroid_id"), col("code"))
-    val cent = centroids.select(col("vec_id").as("centroid_id"),
-      col("embedding").as("cent_emb"),
-      VF.dot(col("embedding"), col("embedding")).as("c2"))
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("qdist"), col("centroid_id"))
-    val probes = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        VF.dot(col("embedding"), col("embedding")).as("a2"))
-      .crossJoin(broadcast(cent))
-      .withColumn("qdist",
-        col("a2") + col("c2") - lit(2.0) * VF.dot(col("q_emb"), col("cent_emb")))
-      .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= nprobe)
-      .select(col("query_id"),
-        col("q_emb").cast("array<double>").as("__qe"), col("centroid_id"))
-    val score = adcScore(col("__qe"), col("code"), codebooks)
-    val wK = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("__s").desc, col("nn_id"))
-    coded.join(broadcast(probes), "centroid_id")
-      .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("__s", score)
-      .withColumn("rnk", row_number().over(wK)).filter(col("rnk") <= topK)
-      .select(col("query_id"), col("nn_id"), col("centroid_id"),
-        round(col("__s"), 6).as("score"), col("rnk").cast("long").as("rnk"))
-  }
+                nprobe: Int, topK: Int): DataFrame =
+    ivfServe(corpus, centroids, queries, codebooks, nprobe, topK,
+      residual = false, rotation = None)
 
   /** IVF-PQ with RESIDUAL encoding — true IVFADC (Jégou et al. 2011,
     * §V.A): each corpus vector is stored as the PQ code of its residual
@@ -180,39 +152,75 @@ object Quantize {
   def ivfPqResidualTopK(corpus: DataFrame, centroids: DataFrame,
                         queries: DataFrame,
                         codebooks: Array[Array[Array[Double]]],
-                        nprobe: Int, topK: Int): DataFrame = {
-    val centVecs = centroids.select(col("vec_id").as("centroid_id"),
-      col("embedding").cast("array<double>").as("__ce"))
-    val coded = encode(
-      Similarity.ivfAssign(corpus, centroids)
-        .select(col("vec_id").as("nn_id"), col("embedding"),
-          col("centroid_id"))
-        .join(broadcast(centVecs), "centroid_id")
-        .withColumn("__res",
-          zip_with(col("embedding").cast("array<double>"), col("__ce"),
-            (a, b) => a - b)),
-      "__res", codebooks)
+                        nprobe: Int, topK: Int): DataFrame =
+    ivfServe(corpus, centroids, queries, codebooks, nprobe, topK,
+      residual = true, rotation = None)
+
+  /** ONE serving pipeline for the three IVF-PQ variants — raw codes,
+    * residual codes (IVFADC), and OPQ-rotated residual codes. The
+    * cell-routing, probe, ADC and top-k plumbing is identical across
+    * them (a tie-break or parenthesization fix must land exactly once);
+    * the variants differ ONLY in what gets coded (v, v−c, or R·(v−c))
+    * and whether scores carry the coarse q·c term with a rotated ADC
+    * query. Expression shapes are pinned — the q161/q167/q178 oracles
+    * replay them literally.
+    */
+  private def ivfServe(corpus: DataFrame, centroids: DataFrame,
+                       queries: DataFrame,
+                       codebooks: Array[Array[Array[Double]]],
+                       nprobe: Int, topK: Int,
+                       residual: Boolean,
+                       rotation: Option[Array[Array[Double]]]): DataFrame = {
+    require(rotation.isEmpty || residual,
+      "ivfServe: rotation applies to residual coding")
+    val assigned = Similarity.ivfAssign(corpus, centroids)
+      .select(col("vec_id").as("nn_id"), col("embedding"), col("centroid_id"))
+    val toCode =
+      if (!residual) assigned.withColumn("__in",
+        col("embedding").cast("array<double>"))
+      else {
+        val centVecs = centroids.select(col("vec_id").as("centroid_id"),
+          col("embedding").cast("array<double>").as("__ce"))
+        val res = assigned.join(broadcast(centVecs), "centroid_id")
+          .withColumn("__res",
+            zip_with(col("embedding").cast("array<double>"), col("__ce"),
+              (a, b) => a - b))
+        rotation.fold(res.withColumn("__in", col("__res")))(r =>
+          res.withColumn("__in", rotate(col("__res"), r)))
+      }
+    val coded = encode(toCode, "__in", codebooks)
       .select(col("nn_id"), col("centroid_id"), col("code"))
     val cent = centroids.select(col("vec_id").as("centroid_id"),
       col("embedding").as("cent_emb"),
       VF.dot(col("embedding"), col("embedding")).as("c2"))
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("qdist"), col("centroid_id"))
-    val probes = queries
+    val probes0 = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         VF.dot(col("embedding"), col("embedding")).as("a2"))
       .crossJoin(broadcast(cent))
       .withColumn("qdist",
         col("a2") + col("c2") - lit(2.0) * VF.dot(col("q_emb"), col("cent_emb")))
       .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= nprobe)
-      .select(col("query_id"),
-        col("q_emb").cast("array<double>").as("__qe"), col("centroid_id"),
+    val probes =
+      if (!residual)
+        probes0.select(col("query_id"),
+          col("q_emb").cast("array<double>").as("__qe"), col("centroid_id"))
+      else {
         // q·c once per (query, probed cell) — the residual decomposition's
-        // coarse term, shipped with the (tiny) probe set
-        VF.dot(col("q_emb"), col("cent_emb")).as("__qdotc"))
-    // grouping pinned: qdotc + (left-folded ADC terms), matching the
+        // coarse term, shipped with the (tiny) probe set; under rotation
+        // the ADC query rotates too ((R·q)·(R·res) = q·res, orthogonality)
+        val base = probes0.select(col("query_id"), col("centroid_id"),
+          VF.dot(col("q_emb"), col("cent_emb")).as("__qdotc"),
+          col("q_emb").cast("array<double>").as("__qe0"))
+        rotation.fold(base.withColumn("__qe", col("__qe0")))(r =>
+          base.withColumn("__qe", rotate(col("__qe0"), r)))
+          .drop("__qe0")
+      }
+    // grouping pinned: (qdotc +) left-folded ADC terms, matching the
     // oracle's parenthesization so the doubles agree to the last ulp
-    val score = col("__qdotc") + adcScore(col("__qe"), col("code"), codebooks)
+    val adc = adcScore(col("__qe"), col("code"), codebooks)
+    val score = if (residual) col("__qdotc") + adc else adc
     val wK = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("__s").desc, col("nn_id"))
     coded.join(broadcast(probes), "centroid_id")
@@ -286,47 +294,9 @@ object Quantize {
                    queries: DataFrame,
                    codebooks: Array[Array[Array[Double]]],
                    rotation: Array[Array[Double]],
-                   nprobe: Int, topK: Int): DataFrame = {
-    val centVecs = centroids.select(col("vec_id").as("centroid_id"),
-      col("embedding").cast("array<double>").as("__ce"))
-    val coded = encode(
-      Similarity.ivfAssign(corpus, centroids)
-        .select(col("vec_id").as("nn_id"), col("embedding"),
-          col("centroid_id"))
-        .join(broadcast(centVecs), "centroid_id")
-        .withColumn("__res",
-          zip_with(col("embedding").cast("array<double>"), col("__ce"),
-            (a, b) => a - b))
-        .withColumn("__rres", rotate(col("__res"), rotation)),
-      "__rres", codebooks)
-      .select(col("nn_id"), col("centroid_id"), col("code"))
-    val cent = centroids.select(col("vec_id").as("centroid_id"),
-      col("embedding").as("cent_emb"),
-      VF.dot(col("embedding"), col("embedding")).as("c2"))
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("qdist"), col("centroid_id"))
-    val probes = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        VF.dot(col("embedding"), col("embedding")).as("a2"))
-      .crossJoin(broadcast(cent))
-      .withColumn("qdist",
-        col("a2") + col("c2") - lit(2.0) * VF.dot(col("q_emb"), col("cent_emb")))
-      .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("centroid_id"),
-        // the coarse term q·c uses the UNROTATED pair; the ADC term uses
-        // the rotated query — both ride the (tiny) broadcast probe set
-        VF.dot(col("q_emb"), col("cent_emb")).as("__qdotc"),
-        rotate(col("q_emb").cast("array<double>"), rotation).as("__rqe"))
-    val score = col("__qdotc") + adcScore(col("__rqe"), col("code"), codebooks)
-    val wK = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("__s").desc, col("nn_id"))
-    coded.join(broadcast(probes), "centroid_id")
-      .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("__s", score)
-      .withColumn("rnk", row_number().over(wK)).filter(col("rnk") <= topK)
-      .select(col("query_id"), col("nn_id"), col("centroid_id"),
-        round(col("__s"), 6).as("score"), col("rnk").cast("long").as("rnk"))
-  }
+                   nprobe: Int, topK: Int): DataFrame =
+    ivfServe(corpus, centroids, queries, codebooks, nprobe, topK,
+      residual = true, rotation = Some(rotation))
 
   /** Refine seeded codebooks with `iters` Lloyd iterations over the
     * corpus — per-subspace k-means trained in ONE distributed pass per

@@ -23,14 +23,59 @@ import graft.sources.Layout
   */
 object GraftPaths {
   val WarehouseConf = "spark.graft.warehouse"
+  private val LocationFile = "_location"
 
+  def isPath(ident: String): Boolean =
+    ident.contains("/") || ident.contains("://")
+
+  private def warehouseDir(spark: SparkSession, ident: String): String = {
+    val wh = spark.conf.get(WarehouseConf,
+      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-warehouse")
+    s"${wh.stripSuffix("/")}/$ident"
+  }
+
+  /** A name created with an external LOCATION persists the mapping as a
+    * `_location` redirect under the warehouse slot — EVERY later
+    * name-addressed statement (DML, DDL, TVFs) must target the same root
+    * (review fix: an unpersisted mapping silently re-addressed the
+    * warehouse slot, up to and including DROP TABLE deleting an
+    * unrelated table). One metadata read per resolve.
+    */
   def resolve(spark: SparkSession, ident: String): String =
-    if (ident.contains("/") || ident.contains("://")) ident
+    if (isPath(ident)) ident
     else {
-      val wh = spark.conf.get(WarehouseConf,
-        sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-warehouse")
-      s"${wh.stripSuffix("/")}/$ident"
+      val dir = warehouseDir(spark, ident)
+      val marker = new org.apache.hadoop.fs.Path(dir, LocationFile)
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      } else dir
     }
+
+  private[plans] def writeRedirect(spark: SparkSession, ident: String,
+                                   target: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(
+      warehouseDir(spark, ident), LocationFile)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    try out.write(target.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Remove a name's redirect slot (no-op when the name has none). */
+  private[plans] def removeRedirect(spark: SparkSession, ident: String): Unit = {
+    if (isPath(ident)) return
+    val dir = new org.apache.hadoop.fs.Path(warehouseDir(spark, ident))
+    val marker = new org.apache.hadoop.fs.Path(dir, LocationFile)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      fs.delete(marker, false)
+      // the slot held only the redirect; reclaim it if now empty
+      if (fs.listStatus(dir).isEmpty) fs.delete(dir, false)
+    }
+    ()
+  }
 }
 
 /** SQL table-lifecycle DDL against graft versioned tables — the management
@@ -39,13 +84,13 @@ object GraftPaths {
   * before its upserts):
   *
   * {{{
-  * CREATE TABLE graft.orders (id BIGINT, v BIGINT, part STRING,
+  * CREATE TABLE graft.orders (id BIGINT, v INT, part STRING,
   *   CONSTRAINT v_nonneg CHECK (v >= 0)) PARTITIONED BY (part)
   * CREATE TABLE graft.dst PARTITIONED BY (part) AS SELECT …   -- CTAS
   * ALTER TABLE graft.orders RENAME COLUMN v TO cents
   * ALTER TABLE graft.orders ADD COLUMN score DOUBLE
   * ALTER TABLE graft.orders DROP COLUMN note
-  * ALTER TABLE graft.orders ALTER COLUMN id TYPE BIGINT        -- widen
+  * ALTER TABLE graft.orders ALTER COLUMN cents TYPE BIGINT     -- widen INT
   * ALTER TABLE graft.orders ADD CONSTRAINT c CHECK (cents >= 0)
   * ALTER TABLE graft.orders DROP CONSTRAINT c
   * DROP TABLE graft.orders
@@ -63,9 +108,9 @@ object GraftPaths {
   * exposes
   * (`initVersionedManifest`, `renameColumn`, `dropColumn`, `widenColumn`,
   * `addCheckConstraint`, …), so SQL and Scala lifecycle calls share one
-  * implementation. Only the three statements Spark's grammar lacks
-  * (DESCRIBE HISTORY, VACUUM, OPTIMIZE) ride the injected
-  * [[GraftSqlParser]].
+  * implementation. Only the statements Spark's grammar lacks
+  * (DESCRIBE HISTORY, VACUUM, OPTIMIZE, RESTORE, SHALLOW CLONE) ride
+  * the injected [[GraftSqlParser]].
   *
   * Surface limits, refused loudly: partitioning must be identity columns
   * (the layout's leaves are literal partition dirs); `CREATE TABLE`
@@ -293,7 +338,19 @@ object GraftDdl {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = pathAttr
     override def run(session: SparkSession): Seq[Row] = {
-      val root = location.getOrElse(GraftPaths.resolve(session, ident))
+      // a LOCATION on a PATH identifier must agree with it (two different
+      // paths would re-address every later statement); on a bare NAME it
+      // persists as a warehouse redirect below
+      location.foreach(loc => if (GraftPaths.isPath(ident))
+        require(loc == ident,
+          s"graft SQL DDL: LOCATION '$loc' conflicts with the path " +
+            s"identifier '$ident' — use one, or address the table by NAME"))
+      val resolved = GraftPaths.resolve(session, ident)
+      val root = location.getOrElse(resolved)
+      if (root != resolved && Layout.isVersionedRoot(session, resolved))
+        throw new IllegalArgumentException(
+          s"graft SQL DDL: name '$ident' already resolves to a table at " +
+            s"$resolved — drop it before re-creating with a LOCATION")
       if (Layout.isVersionedRoot(session, root)) {
         if (ignoreIfExists) return Seq(Row(Layout.resolveCurrent(session, root)))
         throw new IllegalArgumentException(
@@ -309,10 +366,21 @@ object GraftDdl {
           session.sparkContext.emptyRDD[Row], declared))
       pcols.foreach(p => require(df.columns.exists(_.equalsIgnoreCase(p)),
         s"graft SQL DDL: partition column '$p' is not in the table schema"))
-      val path = Layout.initVersionedManifest(df, root, pcols)
-      checks.foreach { case (n, sql) =>
-        Layout.addCheckConstraint(session, root, n, sql) }
-      Seq(Row(path))
+      // atomic-by-cleanup: a failed inline constraint (CTAS data that
+      // violates it, a CHECK over a missing column) must not strand a
+      // half-created constraint-less table that then refuses re-CREATE
+      // (review fix); the redirect writes LAST, once the table is whole
+      try {
+        val path = Layout.initVersionedManifest(df, root, pcols)
+        checks.foreach { case (n, sql) =>
+          Layout.addCheckConstraint(session, root, n, sql) }
+        if (root != resolved) GraftPaths.writeRedirect(session, ident, root)
+        Seq(Row(path))
+      } catch { case e: Throwable =>
+        try Layout.dropTable(session, root, ifExists = true)
+        catch { case _: Throwable => () }
+        throw e
+      }
     }
   }
 
@@ -326,8 +394,10 @@ object GraftDdl {
       Seq(AttributeReference("dropped", StringType, nullable = false)())
     override def run(session: SparkSession): Seq[Row] = {
       val root = GraftPaths.resolve(session, ident)
-      if (!Layout.dropTable(session, root, ifExists))
-        return Seq.empty
+      val dropped = Layout.dropTable(session, root, ifExists)
+      // the name's redirect slot (if any) dies with the table
+      GraftPaths.removeRedirect(session, ident)
+      if (!dropped) return Seq.empty
       Seq(Row(root))
     }
   }

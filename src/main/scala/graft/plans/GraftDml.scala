@@ -475,7 +475,11 @@ object GraftDml {
         // replayed merge idempotent across the evolution commits.
         val man0 = ManifestIndex.read(session, rootR,
           f"v${Layout.currentVersionNumber(session, rootR)}%05d")
-        val have = (man0.dataSchema.fieldNames ++
+        // ACTIVE schema only: a source column named like a DROPPED
+        // column's tombstone must reach addColumn and refuse LOUDLY
+        // there — a full-dataSchema set would skip it silently and the
+        // merge would discard its values (review fix)
+        val have = (ManifestIndex.activeSchema(man0.dataSchema).fieldNames ++
           man0.partitionSchema.fieldNames).map(_.toLowerCase).toSet
         sourceDf.schema.filterNot(f => have(f.name.toLowerCase))
           .foreach(f => Layout.addColumn(session, rootR, f.name, f.dataType))

@@ -1626,18 +1626,21 @@ object Layout {
     require(ManifestIndex.isManifestRoot(spark, root),
       s"addColumn requires a manifest root: $root")
     val (cur, _, man) = currentManifest(spark, root)
-    require(!man.dataSchema.fieldNames.contains(name) &&
-      !man.partitionSchema.fieldNames.contains(name),
+    // case-INSENSITIVE guards: Spark resolves case-insensitively by
+    // default, so committing both 'v' and 'V' would brick every read
+    // with AMBIGUOUS_REFERENCE (review fix)
+    require(!(man.dataSchema.fieldNames ++ man.partitionSchema.fieldNames)
+        .exists(_.equalsIgnoreCase(name)),
       s"addColumn: '$name' already exists (a dropped column's tombstone " +
         "keeps its name claimed — re-adding it would ambiguate history)")
-    val claimed = man.dataSchema.map(ManifestIndex.physicalName).toSet ++
-      man.partitionSchema.fieldNames
+    val claimed = (man.dataSchema.map(ManifestIndex.physicalName) ++
+      man.partitionSchema.fieldNames).map(_.toLowerCase).toSet
     val field =
-      if (!claimed(name))
+      if (!claimed(name.toLowerCase))
         org.apache.spark.sql.types.StructField(name, dataType, nullable = true)
       else {
         val phys = Iterator.from(1).map(i => s"${name}_$i")
-          .find(p => !claimed(p)).get
+          .find(p => !claimed(p.toLowerCase)).get
         org.apache.spark.sql.types.StructField(name, dataType, nullable = true,
           new org.apache.spark.sql.types.MetadataBuilder()
             .putString(ManifestIndex.PhysicalKey, phys).build())

@@ -285,4 +285,21 @@ class ColumnMappingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("already exists"))
   }
+
+  test("addColumn guards are case-insensitive (Spark resolves that way)") {
+    val root = init()
+    // committing both 'v' and 'V' would brick every read with
+    // AMBIGUOUS_REFERENCE under default case-insensitive resolution
+    val e = intercept[IllegalArgumentException] {
+      Layout.addColumn(spark, root, "V", org.apache.spark.sql.types.LongType)
+    }
+    assert(e.getMessage.contains("already exists"))
+    // and a fresh physical name never collides case-insensitively either
+    Layout.renameColumn(spark, root, "v", "price")
+    Layout.addColumn(spark, root, "V", org.apache.spark.sql.types.LongType)
+    val man = ManifestIndex.read(spark, root,
+      f"v${Layout.currentVersionNumber(spark, root)}%05d")
+    val f = man.dataSchema(man.dataSchema.fieldIndex("V"))
+    assert(!ManifestIndex.physicalName(f).equalsIgnoreCase("v"))
+  }
 }

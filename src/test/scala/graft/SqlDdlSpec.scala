@@ -193,6 +193,49 @@ class SqlDdlSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.GraftPaths.WarehouseConf)
   }
 
+  test("CREATE with LOCATION persists the name mapping (redirect)") {
+    val wh = tmp("whloc")
+    val loc = tmp("external") + "/t"
+    spark.conf.set(graft.plans.GraftPaths.WarehouseConf, wh)
+    try {
+      spark.sql("CREATE TABLE graft.ext_orders (id BIGINT, part STRING) " +
+        s"PARTITIONED BY (part) LOCATION '$loc'")
+      assert(Layout.isVersionedRoot(spark, loc))
+      // every later name-addressed statement targets the LOCATION root
+      spark.sql("INSERT INTO graft.ext_orders VALUES (1, 'a')")
+      assert(spark.sql("SELECT count(*) FROM graft_table('ext_orders')")
+        .head().getLong(0) == 1L)
+      assert(Layout.readCurrent(spark, loc).count() == 1)
+      // DROP removes the external root AND the redirect slot
+      spark.sql("DROP TABLE graft.ext_orders")
+      assert(!new java.io.File(loc).exists())
+      assert(!new java.io.File(s"$wh/ext_orders").exists())
+      // a PATH identifier with a DIFFERENT location refuses
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.`$loc` (id BIGINT, p STRING) " +
+          "PARTITIONED BY (p) LOCATION '/somewhere/else'")
+      }
+      assert(e.getMessage.contains("conflicts"))
+    } finally spark.conf.unset(graft.plans.GraftPaths.WarehouseConf)
+  }
+
+  test("CREATE is atomic-by-cleanup: a failing inline constraint strands nothing") {
+    val root = tmp("atomic") + "/t"
+    // the inline CHECK references a column the table does not have — the
+    // table inits, the constraint add fails, and the cleanup must remove
+    // the half-created root so the corrected CREATE succeeds
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$root` (id BIGINT, part STRING, " +
+        "CONSTRAINT bad CHECK (nope > 0)) PARTITIONED BY (part)")
+    }
+    assert(e.getMessage.nonEmpty)
+    assert(!Layout.isVersionedRoot(spark, root), "failed CREATE must strand nothing")
+    spark.sql(s"CREATE TABLE graft.`$root` (id BIGINT, part STRING, " +
+      "CONSTRAINT ok CHECK (id >= 0)) PARTITIONED BY (part)")
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (1, 'a')")
+    assert(Layout.readCurrent(spark, root).count() == 1)
+  }
+
   test("refusals: unpartitioned create, props/options, non-identity parts") {
     val root = tmp("refuse") + "/t"
     val e1 = intercept[Exception] {

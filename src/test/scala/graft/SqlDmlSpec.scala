@@ -361,6 +361,23 @@ class SqlDmlSpec extends SparkSpec {
     assert(Layout.readCurrent(spark, root).filter($"id" === 3L).count() == 0)
   }
 
+  test("WITH SCHEMA EVOLUTION refuses a source column named like a dropped one") {
+    val root = mkRoot("evotomb")
+    spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMN note STRING")
+    spark.sql(s"ALTER TABLE graft.`$root` DROP COLUMN note")
+    // 'note' is a tombstone now: evolving it back in must refuse LOUDLY
+    // (silently skipping the add would discard every source value)
+    Seq((2L, 1L, "p0", "boom")).toDF("id", "v", "part", "note")
+      .createOrReplaceTempView("evotomb_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$root` t
+           |USING evotomb_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+  }
+
   test("non-graft SQL is untouched by the rule") {
     // plain reads still work in the same session
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
