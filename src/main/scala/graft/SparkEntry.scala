@@ -2386,7 +2386,12 @@ object SparkEntry {
       SubstringDedup.removeSpans(Tables.documents(s, dir),
           "doc_id", "text", gramLen = 20)
         .select(col("doc_id"), col("n_tokens"), col("n_kept"),
-          md5(col("clean_text")).as("clean_md5"))),
+          md5(col("clean_text")).as("clean_md5"))
+        // always-true, but anchors the computed column under COUNT(*)
+        // pruning: without it Catalyst ELIMINATES the spans left-join for
+        // the bench's count() (unique-keyed right side) and the bench
+        // would measure a bare corpus scan, not the removal
+        .filter(col("n_kept") >= 0L)),
 
     // --- pure-SQL table lifecycle (r12) ---
     // The reference's DDL-then-load shape (loading.py:44-65) end to end
