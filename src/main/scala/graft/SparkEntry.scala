@@ -2472,6 +2472,34 @@ object SparkEntry {
         centroids = emb.filter(col("vec_id") < 8),
         queries = emb.filter(col("vec_id") >= 10 && col("vec_id") <= 14),
         cb, rot, nprobe = 3, topK = 5)
+    }),
+
+    // --- plain-SQL reads: by-name relations + time travel (r12) ---
+    // The read side of the by-name story under the oracle: CTAS by NAME,
+    // a DELETE commit, then ONE statement joining the LIVE relation with
+    // `VERSION AS OF 0` — no TVF, no path. The v0 leg must see the
+    // pre-delete counts and the live leg the post-delete counts, per
+    // priority, in the same plan.
+    "q179_sql_read_time_travel" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_q179").toString
+      s.conf.set(graft.plans.GraftPaths.WarehouseConf, wh)
+      try {
+        Tables.orders(s, dir).select(
+            col("o_orderkey").as("id"), col("o_orderpriority").as("pri"),
+            round(col("o_totalprice") * 100).cast("long").as("v"))
+          .createOrReplaceTempView("q179_src")
+        s.sql("CREATE TABLE graft.q179_orders PARTITIONED BY (pri) " +
+          "AS SELECT * FROM q179_src")
+        s.sql("DELETE FROM graft.q179_orders WHERE id % 7 = 0")
+        s.sql("""
+          SELECT live.pri, live.n_live, live.sum_v_live, v0.n_v0
+          FROM (SELECT pri, CAST(count(*) AS BIGINT) AS n_live,
+                  CAST(sum(v) AS BIGINT) AS sum_v_live
+                FROM graft.q179_orders GROUP BY pri) live
+          JOIN (SELECT pri, CAST(count(*) AS BIGINT) AS n_v0
+                FROM graft.q179_orders VERSION AS OF 0 GROUP BY pri) v0
+            ON live.pri = v0.pri""")
+      } finally s.conf.unset(graft.plans.GraftPaths.WarehouseConf)
     })
   )
 
@@ -4875,7 +4903,17 @@ object SparkEntry {
           SELECT query_id, nn_id, centroid_id, round(s, 6) AS score,
             ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY s DESC, nn_id) AS rnk
-          FROM scored) WHERE rnk <= 5"""
+          FROM scored) WHERE rnk <= 5""",
+
+      // live leg = post-delete (id%7<>0), v0 leg = everything
+      "q179_sql_read_time_travel" -> """
+        WITH base AS (SELECT o_orderkey AS id, o_orderpriority AS pri,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders)
+        SELECT pri,
+          CAST(count(CASE WHEN id % 7 <> 0 THEN 1 END) AS BIGINT) AS n_live,
+          CAST(sum(CASE WHEN id % 7 <> 0 THEN v END) AS BIGINT) AS sum_v_live,
+          CAST(count(*) AS BIGINT) AS n_v0
+        FROM base GROUP BY 1"""
     )
   }
 

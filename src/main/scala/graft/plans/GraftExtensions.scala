@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Spark's own parser produces the DML plans; this rule lowers them to
     // the Layout writers. See GraftDml for the full surface contract.
     ext.injectResolutionRule(session => GraftDml.GraftDmlRule(session))
+    // plain-SQL READS of graft tables (SELECT … FROM graft.x, VERSION/
+    // TIMESTAMP AS OF) — injected AFTER the DML rule and inert on plans
+    // still carrying DML statements, so DML targets are never rewritten
+    // into scans. See GraftRead for the ordering contract.
+    ext.injectResolutionRule(session => GraftRead.GraftReadRule(session))
     // SQL table-lifecycle DDL (CREATE/DROP TABLE, ALTER TABLE …) lowers
     // at PARSE time inside the delegating parser (ResolveSessionCatalog
     // would claim the identifiers before a resolution rule could — see
