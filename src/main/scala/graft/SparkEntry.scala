@@ -2500,6 +2500,23 @@ object SparkEntry {
                 FROM graft.q179_orders VERSION AS OF 0 GROUP BY pri) v0
             ON live.pri = v0.pri""")
       } finally s.conf.unset(graft.plans.GraftPaths.WarehouseConf)
+    }),
+
+    // --- fastText-shape quality-classifier inference (r12) ---
+    // The CCNet/LLaMA corpus-gating primitive: a LINEAR bag-of-features
+    // model (unigrams + adjacent bigrams, broadcast weight table, OOV
+    // dilutes at weight 0) scores every document as sigmoid(bias + mean
+    // feature weight). Corpus tokenizes once, model broadcasts, one
+    // map-side-combined decimal aggregate per doc — training is offline,
+    // THIS is the 100 TB job. Oracle: DuckDB replays features, weights
+    // and the sigmoid exactly.
+    "q180_quality_classifier" -> ((s, dir) => {
+      import s.implicits._
+      val w = Seq(("data", 1.25), ("query", -0.75), ("the", 0.5),
+        ("stream", 0.25), ("table", 1.0), ("data_query", 2.0),
+        ("the_data", -1.5)).toDF("term", "wt")
+      TextClassifier.scoreLinear(Tables.documents(s, dir), "doc_id", "text",
+        w, "term", "wt", bias = -0.5)
     })
   )
 
@@ -4913,7 +4930,31 @@ object SparkEntry {
           CAST(count(CASE WHEN id % 7 <> 0 THEN 1 END) AS BIGINT) AS n_live,
           CAST(sum(CASE WHEN id % 7 <> 0 THEN v END) AS BIGINT) AS sum_v_live,
           CAST(count(*) AS BIGINT) AS n_v0
-        FROM base GROUP BY 1"""
+        FROM base GROUP BY 1""",
+
+      // same features (unigrams + '_'-joined bigrams), same decimal
+      // weight fold, same sigmoid
+      "q180_quality_classifier" -> """
+        WITH w AS (SELECT * FROM (VALUES ('data', 1.25), ('query', -0.75),
+            ('the', 0.5), ('stream', 0.25), ('table', 1.0),
+            ('data_query', 2.0), ('the_data', -1.5)) AS w(term, wt)),
+        t AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        d AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 1),
+        uni AS (SELECT doc_id, unnest(toks) AS f FROM d),
+        bi AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+            i -> toks[i] || '_' || toks[i + 1])) AS f
+          FROM d WHERE len(toks) >= 2),
+        feats AS (SELECT doc_id, f FROM uni
+          UNION ALL SELECT doc_id, f FROM bi),
+        sc AS (SELECT feats.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+            CAST(SUM(CAST(coalesce(w.wt, 0) AS DECIMAL(38,12))) AS DOUBLE)
+              AS sw
+          FROM feats LEFT JOIN w ON feats.f = w.term GROUP BY 1)
+        SELECT doc_id, n_features,
+          round(1.0 / (1.0 + exp(-(-0.5 + sw / n_features))), 6) AS score
+        FROM sc"""
     )
   }
 

@@ -333,4 +333,22 @@ class PlanSpec extends SparkSpec {
     // shared term stats and the term→query fan-out ride broadcasts
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("q178: OPQ rotation keeps q167's codes-only broadcast shape (r12)") {
+    val p = plan("q178_ivfpq_opq")
+    // the rotation is a projection (d dots per row) — it must add NO
+    // join, shuffle or cartesian to the residual-IVFADC serving plan
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q180: classifier model broadcasts; one map-side-combined doc agg (r12)") {
+    val p = plan("q180_quality_classifier")
+    // the weight table must NEVER shuffle the corpus against it
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      p.take(2000))
+  }
 }
