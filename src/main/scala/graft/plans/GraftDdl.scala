@@ -481,6 +481,44 @@ object GraftDdl {
         .collect().toSeq
   }
 
+  /** `DESCRIBE DETAIL graft.`x`` (parser-injected): one row of live-state
+    * metadata — layout mode, resolved location, current version, file and
+    * byte counts, partition columns and declared CHECK constraints. All
+    * driver metadata (one manifest read / one history row), never a data
+    * scan.
+    */
+  case class GraftDescribeDetailCommand(ident: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("format", StringType, nullable = false)(),
+      AttributeReference("location", StringType, nullable = false)(),
+      AttributeReference("version", IntegerType, nullable = false)(),
+      AttributeReference("n_files", org.apache.spark.sql.types.LongType,
+        nullable = false)(),
+      AttributeReference("bytes", org.apache.spark.sql.types.LongType,
+        nullable = false)(),
+      AttributeReference("partition_columns", StringType, nullable = false)(),
+      AttributeReference("check_constraints", StringType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] = {
+      val root = GraftPaths.resolve(session, ident)
+      val cur = Layout.currentVersionNumber(session, root)
+      if (graft.sources.ManifestIndex.isManifestRoot(session, root)) {
+        val man = graft.sources.ManifestIndex.read(session, root, f"v$cur%05d")
+        Seq(Row("graft-manifest", root, cur,
+          man.entries.length.toLong, man.entries.map(_.size).sum,
+          man.partitionSchema.fieldNames.mkString(","),
+          man.constraints.toSeq.sortBy(_._1)
+            .map { case (n, sql) => s"$n CHECK ($sql)" }.mkString("; ")))
+      } else {
+        val h = Layout.history(session, root)
+          .filter(org.apache.spark.sql.functions.col("is_current")).head()
+        Seq(Row("graft-hardlink", root, cur,
+          h.getLong(1), h.getLong(2),
+          Layout.partitionColumns(session, root).mkString(","), ""))
+      }
+    }
+  }
+
   /** `RESTORE [TABLE] graft.`x` TO VERSION AS OF n` (parser-injected):
     * time travel made live — a new version re-pointing at the old state
     * (history is preserved; the restore itself is an audited commit).

@@ -12,6 +12,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * {{{
   * DESCRIBE HISTORY graft.`/path` | graft.name
+  * DESCRIBE DETAIL graft.`/path` | graft.name
   * VACUUM graft.`/path` [RETAIN n VERSIONS]
   * OPTIMIZE graft.`/path` [ZORDER BY (c1, c2, …)]
   * RESTORE [TABLE] graft.`/path` TO VERSION AS OF n
@@ -61,6 +62,8 @@ object GraftSqlParser {
   private val Id = "graft\\s*\\.\\s*(?:`([^`]+)`|([A-Za-z0-9_]+))"
   private val DescribeHistory =
     ("(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+" + Id + "\\s*;?\\s*$").r
+  private val DescribeDetail =
+    ("(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+" + Id + "\\s*;?\\s*$").r
   private val Vacuum =
     ("(?is)^\\s*VACUUM\\s+" + Id +
       "(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*$").r
@@ -81,6 +84,8 @@ object GraftSqlParser {
     sql match {
       case DescribeHistory(q, b) =>
         Some(GraftDdl.GraftDescribeHistoryCommand(ident(q, b)))
+      case DescribeDetail(q, b) =>
+        Some(GraftDdl.GraftDescribeDetailCommand(ident(q, b)))
       case Vacuum(q, b, n) =>
         Some(GraftDdl.GraftVacuumCommand(ident(q, b),
           Option(n).map(_.toInt).getOrElse(2)))

@@ -407,4 +407,26 @@ class ChangeFeedSpec extends SparkSpec {
       live.filter($"id" === 1), Seq("id"), "part")
     assert(Layout.changeFeed(spark, root, 2, 3, Seq("id")).isEmpty)
   }
+
+  test("feed across an addColumn: metadata commit empty, data commits null-fill") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cf_addcol").toString + "/t"
+    Layout.initVersionedManifest(
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "v", "g"),
+      root, Seq("g"))
+    Layout.addColumn(spark, root, "score",
+      org.apache.spark.sql.types.DoubleType)
+    // the schema-only commit must produce ZERO change rows (and the feed
+    // reads in the to-side's evolved schema)
+    val f01 = Layout.changeFeed(spark, root, 0, 1, Seq("id"))
+    assert(f01.columns.contains("score") && f01.isEmpty)
+    // a post-add data commit: pre-images null-fill the new column
+    Layout.upsertVersionedRows(spark, root,
+      Seq((1L, 11L, "a", 0.5)).toDF("id", "v", "g", "score"), Seq("id"))
+    val f02 = Layout.changeFeed(spark, root, 0, 2, Seq("id"))
+      .select($"id", $"v", $"score", $"_change_type")
+      .as[(Long, Long, Option[Double], String)].collect().toSet
+    assert(f02 == Set(
+      (1L, 10L, None, "update_pre"), (1L, 11L, Some(0.5), "update_post")))
+  }
 }

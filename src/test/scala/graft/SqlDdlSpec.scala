@@ -143,6 +143,20 @@ class SqlDdlSpec extends SparkSpec {
     assert(spark.sql("SELECT 41 + 1 AS x").head().getInt(0) == 42)
   }
 
+  test("DESCRIBE DETAIL reports live-state metadata (no data scan)") {
+    val root = tmp("detail") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$root` (id BIGINT, v BIGINT, part STRING, " +
+      "CONSTRAINT v_pos CHECK (v >= 0)) PARTITIONED BY (part)")
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (1, 10, 'a'), (2, 20, 'b')")
+    val d = spark.sql(s"DESCRIBE DETAIL graft.`$root`").head()
+    assert(d.getString(0) == "graft-manifest")
+    assert(d.getString(1) == root)
+    assert(d.getInt(2) == 2)             // CREATE + constraint + INSERT
+    assert(d.getLong(3) >= 1L && d.getLong(4) > 0L)
+    assert(d.getString(5) == "part")
+    assert(d.getString(6) == "v_pos CHECK (v >= 0)")
+  }
+
   test("RESTORE TO VERSION AS OF and SHALLOW CLONE statements") {
     val root = tmp("restore") + "/t"
     spark.sql(s"CREATE TABLE graft.`$root` (id BIGINT, v BIGINT, part STRING) " +
