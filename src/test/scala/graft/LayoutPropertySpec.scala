@@ -23,7 +23,11 @@ class LayoutPropertySpec extends SparkSpec {
     * 7 = partition-spec evolution (toggle part <-> id), 8 = compaction,
     * 9 = pure APPEND of fresh keys, 10 = one-call maintain (r11 — may
     * commit 0, 1 or 2 versions: purge and/or compact; vacuum pinned off
-    * via a huge keepVersions so historical snapshots stay checkable)
+    * via a huge keepVersions so historical snapshots stay checkable),
+    * 11 = ADD COLUMN (r12 — metadata-only, at most once; subsequent
+    * writers carry the new nullable column, readers before the add
+    * null-fill, and the model never reads it, so content equality keeps
+    * holding across every interleaving with DML/purge/compact/evolution)
     * (manifest mode only — the merge-on-read writers require it).
     * After an evolution the COW writers may refuse (mixed layout) — the
     * model accepts either outcome, because purge/compact can converge the
@@ -43,13 +47,14 @@ class LayoutPropertySpec extends SparkSpec {
     * correct in BOTH modes (a manifest version dir is not self-contained).
     */
   private def modelProperty(manifest: Boolean): Prop =
-    Prop.forAll(genOps(if (manifest) 10 else 1)) { ops =>
+    Prop.forAll(genOps(if (manifest) 11 else 1)) { ops =>
     val root = Files.createTempDirectory("graft_vprop").toString
     var model = (0L until 12L).map(i => i -> (partOf(i), i.toDouble * 10)).toMap
     // manifest tables are born with a NARROW id so a random widen op has
     // something to widen; writers send int ids until the widen fires
     // (the model, like any reader, sees longs either way)
     var widened = !manifest
+    var extraAdded = false // ADD COLUMN fired? (writers must then carry it)
     val base0 = model.toSeq.map { case (id, (p, v)) => (id, p, v) }
       .toDF("id", "part", "v")
     val base = if (manifest) base0.withColumn("id", col("id").cast("int"))
@@ -57,8 +62,9 @@ class LayoutPropertySpec extends SparkSpec {
     if (manifest) Layout.initVersionedManifest(base, root, Seq("part"))
     else Layout.initVersionedPartitioned(base, root, "part")
     def rowsDf(rows: Seq[(Long, String, Double)]) = {
-      val df = rows.toDF("id", "part", "v")
-      if (widened) df else df.withColumn("id", col("id").cast("int"))
+      val df0 = rows.toDF("id", "part", "v")
+      val df = if (widened) df0 else df0.withColumn("id", col("id").cast("int"))
+      if (extraAdded) df.withColumn("extra", lit(null).cast("double")) else df
     }
     var snapshots = List(model) // index = version number
 
@@ -150,6 +156,13 @@ class LayoutPropertySpec extends SparkSpec {
           nextFresh += 100L
           Layout.appendVersionedRows(spark, root, rowsDf(fresh))
           model = model ++ fresh.map { case (i, p, v) => i -> (p, v) }
+        case 11 =>
+          if (extraAdded) committed = false // the name is claimed — once
+          else {
+            Layout.addColumn(spark, root, "extra",
+              org.apache.spark.sql.types.DoubleType)
+            extraAdded = true // values unchanged — the model doesn't move
+          }
         case 10 =>
           val r = Layout.maintain(spark, root,
             Layout.MaintenancePolicy(keepVersions = 100000))
@@ -188,7 +201,7 @@ class LayoutPropertySpec extends SparkSpec {
     assert(res.passed, res.toString)
   }
 
-  test("manifest mode: random merge/delete/DV-DML/purge/widen/REPARTITION/compact/APPEND/MAINTAIN sequences match the Map model") {
+  test("manifest mode: random merge/delete/DV-DML/purge/widen/REPARTITION/compact/APPEND/MAINTAIN/ADD-COLUMN sequences match the Map model") {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(4).withWorkers(1),
       modelProperty(manifest = true))
