@@ -20,7 +20,7 @@ import graft.sources.Layout
   * {{{
   * spark.readStream.format("graft-changes")
   *   .option("path", root).option("keys", "id")
-  *   [.option("startingVersion", 0)]
+  *   [.option("startingVersion", 0) | .option("startingTimestamp", "…")]
   *   .load()                       // …, _change_type
   * }}}
   *
@@ -88,12 +88,32 @@ class GraftChangeSourceProvider extends StreamSourceProvider with DataSourceRegi
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): Source =
-    new GraftChangeSource(sqlContext.sparkSession, rootOf(parameters),
-      keysOf(parameters),
-      parameters.get("startingVersion").map(_.trim.toInt),
+                            parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    // startingTimestamp (Delta parity): wall-clock → the newest version
+    // committed at or before it, read in the SESSION zone — feeds start
+    // EXCLUSIVE of that version, exactly like startingVersion
+    val fromTs = parameters.get("startingTimestamp").map { t0 =>
+      val zone = java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      val t = t0.trim
+      val ldt =
+        try java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        catch { case _: java.time.format.DateTimeParseException =>
+          java.time.LocalDate.parse(t).atStartOfDay()
+        }
+      Layout.versionAsOf(spark, root,
+        ldt.atZone(zone).toInstant.toEpochMilli)
+    }
+    val fromV = parameters.get("startingVersion").map(_.trim.toInt)
+    require(fromTs.isEmpty || fromV.isEmpty,
+      "graft-changes: set startingVersion OR startingTimestamp, not both")
+    new GraftChangeSource(spark, root, keysOf(parameters),
+      fromV.orElse(fromTs),
       parameters.get("maxVersionsPerBatch").map(_.trim.toInt),
       parameters.get("includeVersion").exists(_.trim.toBoolean))
+  }
 }
 
 object GraftChangeSource {

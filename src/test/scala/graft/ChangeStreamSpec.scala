@@ -81,6 +81,39 @@ class ChangeStreamSpec extends SparkSpec {
     assert(drained(out) == Set((1L, "a", 1L, "insert"), (2L, "a", 2L, "insert")))
   }
 
+  test("startingTimestamp starts feeds after the wall-clock instant") {
+    val (root, out, ckpt) = mk("ts")
+    Layout.initVersionedManifest(rows((1L, "a", 10L)), root, Seq("g"))
+    Thread.sleep(1100) // manifest mtimes can be second-granular
+    val mark = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    Thread.sleep(1100)
+    Layout.upsertVersionedRows(spark, root, rows((2L, "a", 20L)), Seq("id"))
+    // feeds only, starting at the version live at `mark` (v0): the
+    // snapshot is NOT re-emitted, only the post-mark commit streams
+    StreamingOps.drainToParquet(
+      spark.readStream.format("graft-changes")
+        .option("path", root).option("keys", "id")
+        .option("startingTimestamp", mark).load(),
+      out, ckpt)
+    assert(drained(out) == Set((2L, "a", 20L, "insert")))
+    // both starting options together refuse
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-changes")
+        .option("path", root).option("keys", "id")
+        .option("startingVersion", 0).option("startingTimestamp", mark)
+        .load().schema
+      StreamingOps.drainToParquet(
+        spark.readStream.format("graft-changes")
+          .option("path", root).option("keys", "id")
+          .option("startingVersion", 0).option("startingTimestamp", mark)
+          .load(), out + "2", ckpt + "2")
+    }
+    assert(e.getMessage.contains("not both") ||
+      e.getCause != null && e.getCause.getMessage.contains("not both"))
+  }
+
   test("short name 'graft-changes' resolves via DataSourceRegister") {
     val (root, out, ckpt) = mk("short")
     Layout.initVersionedManifest(rows((7L, "a", 70L)), root, Seq("g"))
