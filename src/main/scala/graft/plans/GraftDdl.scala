@@ -63,6 +63,22 @@ object GraftPaths {
     try out.write(target.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Drop a name's redirect when its target is no longer a versioned
+    * root — the leak a DROP-by-PATH leaves behind (it cannot reverse-map
+    * the path to the name). Called by CREATE before resolution so a
+    * recreated name lands in the warehouse, not at the stale location.
+    */
+  private[plans] def healStaleRedirect(spark: SparkSession,
+                                       ident: String): Unit = {
+    if (isPath(ident)) return
+    val dir = warehouseDir(spark, ident)
+    val marker = new org.apache.hadoop.fs.Path(dir, LocationFile)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker) &&
+        !graft.sources.Layout.isVersionedRoot(spark, resolve(spark, ident)))
+      removeRedirect(spark, ident)
+  }
+
   /** Remove a name's redirect slot (no-op when the name has none). */
   private[plans] def removeRedirect(spark: SparkSession, ident: String): Unit = {
     if (isPath(ident)) return
@@ -345,6 +361,11 @@ object GraftDdl {
         require(loc == ident,
           s"graft SQL DDL: LOCATION '$loc' conflicts with the path " +
             s"identifier '$ident' — use one, or address the table by NAME"))
+      // a redirect whose target was dropped BY PATH (so the name's slot
+      // could not be cleaned) is STALE: creating through it would land
+      // the new "warehouse" table at the old external location — and a
+      // later DROP would delete there (review fix). Heal it on create.
+      if (location.isEmpty) GraftPaths.healStaleRedirect(session, ident)
       val resolved = GraftPaths.resolve(session, ident)
       val root = location.getOrElse(resolved)
       if (root != resolved && Layout.isVersionedRoot(session, resolved))
@@ -352,7 +373,14 @@ object GraftDdl {
           s"graft SQL DDL: name '$ident' already resolves to a table at " +
             s"$resolved — drop it before re-creating with a LOCATION")
       if (Layout.isVersionedRoot(session, root)) {
-        if (ignoreIfExists) return Seq(Row(Layout.resolveCurrent(session, root)))
+        if (ignoreIfExists) {
+          // the RE-ATTACH idiom: IF NOT EXISTS over an existing external
+          // root still claims the NAME (review fix — returning without
+          // the redirect left the name pointing at the empty warehouse
+          // slot while reporting success)
+          if (root != resolved) GraftPaths.writeRedirect(session, ident, root)
+          return Seq(Row(Layout.resolveCurrent(session, root)))
+        }
         throw new IllegalArgumentException(
           s"graft SQL DDL: table already exists at $root (CREATE TABLE IF " +
             "NOT EXISTS to tolerate)")
@@ -510,10 +538,22 @@ object GraftDdl {
           man.constraints.toSeq.sortBy(_._1)
             .map { case (n, sql) => s"$n CHECK ($sql)" }.mkString("; ")))
       } else {
-        val h = Layout.history(session, root)
-          .filter(org.apache.spark.sql.functions.col("is_current")).head()
-        Seq(Row("graft-hardlink", root, cur,
-          h.getLong(1), h.getLong(2),
+        // list ONLY the live version dir — history() would recursively
+        // list EVERY retained version for the one row we need (review fix)
+        val live = new org.apache.hadoop.fs.Path(
+          Layout.resolveCurrent(session, root))
+        val fs = live.getFileSystem(session.sparkContext.hadoopConfiguration)
+        var files = 0L
+        var bytes = 0L
+        val it = fs.listFiles(live, true)
+        while (it.hasNext) {
+          val f = it.next()
+          val n = f.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".")) {
+            files += 1; bytes += f.getLen
+          }
+        }
+        Seq(Row("graft-hardlink", root, cur, files, bytes,
           Layout.partitionColumns(session, root).mkString(","), ""))
       }
     }

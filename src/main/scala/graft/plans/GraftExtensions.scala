@@ -146,16 +146,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             // wall-clock AS OF (S37's SQL face): the string is read in the
             // SESSION time zone (not the JVM default — the driver sessions
             // pin UTC) → the newest version committed at or before it
-            val zone = java.time.ZoneId.of(
-              spark.sessionState.conf.sessionLocalTimeZone)
-            val t = ts.toString.trim
-            val ldt =
-              try java.time.LocalDateTime.parse(t.replace(' ', 'T'))
-              catch { case _: java.time.format.DateTimeParseException =>
-                java.time.LocalDate.parse(t).atStartOfDay()
-              }
             graft.sources.Layout.readAsOf(spark, rootR,
-              ldt.atZone(zone).toInstant.toEpochMilli)
+              graft.util.WallClock.millis(ts.toString,
+                graft.util.WallClock.sessionZone(spark)))
           case Seq(_, v) => graft.sources.Layout.readVersion(spark, rootR,
             intLit(v, "graft_table", "version"))
           case other => throw new IllegalArgumentException(

@@ -30,13 +30,14 @@ import graft.sources.Layout
   * `readVersion`/`readAsOf` (version numbers, typed date/timestamp
   * literals, or wall-clock strings read in the SESSION time zone).
   *
-  * Ordering contract: this rule is injected AFTER [[GraftDml.GraftDmlRule]],
-  * and it leaves any plan still carrying a DML statement node untouched —
-  * the DML rule must claim its TARGET relation first (a read-rewritten
-  * target would silently turn `DELETE FROM graft.x` into a scan). Once
-  * the DML rule lowers the statement to a command, the captured source
-  * plans re-enter analysis at command RUN time, where this rule resolves
-  * any graft relations THEY reference (`MERGE … USING graft.y`,
+  * Ordering contract: this rule is injected AFTER [[GraftDml.GraftDmlRule]]
+  * and never rewrites a DML statement's TARGET relation (tracked by node
+  * identity — a read-rewritten target would silently turn `DELETE FROM
+  * graft.x` into a scan); every OTHER graft relation resolves, including
+  * the sources of non-graft-target DML (`INSERT INTO parquet_t SELECT …
+  * FROM graft.x`). Graft-target DML captures its source plans unresolved
+  * and they re-enter analysis at command RUN time, where this rule
+  * resolves any graft relations THEY reference (`MERGE … USING graft.y`,
   * `WHERE id IN (SELECT … FROM graft.z)`).
   */
 object GraftRead {
@@ -47,22 +48,43 @@ object GraftRead {
       Some(r.multipartIdentifier(1))
     else None
 
+  /** The relation under a DML statement's TARGET (through aliases) — the
+    * one node this rule must never rewrite (it belongs to the DML rule;
+    * a read-rewritten target would turn `DELETE FROM graft.x` into a
+    * scan). Only the TARGET is protected: a non-graft-target DML whose
+    * SOURCE reads a graft table (`INSERT INTO parquet_t SELECT … FROM
+    * graft.x`) must still resolve here — blanket whole-plan inertness
+    * broke exactly that (review fix).
+    */
+  private def targetRelOf(plan: LogicalPlan): Option[UnresolvedRelation] =
+    plan match {
+      case SubqueryAlias(_, child) => targetRelOf(child)
+      case r: UnresolvedRelation => Some(r)
+      case _ => None
+    }
+
   case class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = {
-      val carriesDml = plan.exists {
-        case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable |
-             _: InsertIntoStatement => true
-        case _ => false
+      val protectedTargets =
+        java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[UnresolvedRelation, java.lang.Boolean]())
+      plan.foreach {
+        case d: DeleteFromTable => targetRelOf(d.table).foreach(protectedTargets.add)
+        case u: UpdateTable => targetRelOf(u.table).foreach(protectedTargets.add)
+        case m: MergeIntoTable =>
+          targetRelOf(m.targetTable).foreach(protectedTargets.add)
+        case i: InsertIntoStatement =>
+          targetRelOf(i.table).foreach(protectedTargets.add)
+        case _ =>
       }
-      if (carriesDml) plan
-      else plan.resolveOperatorsUp {
+      plan.resolveOperatorsUp {
         case tt: RelationTimeTravel =>
           tt.relation match {
-            case r: UnresolvedRelation =>
+            case r: UnresolvedRelation if !protectedTargets.contains(r) =>
               graftIdent(r).map(x => travel(x, tt)).getOrElse(tt)
             case _ => tt
           }
-        case r: UnresolvedRelation =>
+        case r: UnresolvedRelation if !protectedTargets.contains(r) =>
           graftIdent(r).map { x =>
             Layout.readCurrent(spark, GraftPaths.resolve(spark, x))
               .queryExecution.logical
@@ -72,13 +94,15 @@ object GraftRead {
 
     private def travel(ident: String, tt: RelationTimeTravel): LogicalPlan = {
       val root = GraftPaths.resolve(spark, ident)
-      val zone = java.time.ZoneId.of(
-        spark.sessionState.conf.sessionLocalTimeZone)
+      val zone = graft.util.WallClock.sessionZone(spark)
       val df = (tt.version, tt.timestamp) match {
         case (Some(v), _) =>
-          require(v.nonEmpty && v.forall(_.isDigit),
-            s"graft SQL read: VERSION AS OF takes a version number, got '$v'")
-          Layout.readVersion(spark, root, v.toInt)
+          // toIntOption also bounds the range — an all-digit string past
+          // Int.MaxValue must refuse with THIS message, not a raw
+          // NumberFormatException (review fix)
+          val n = v.toIntOption.getOrElse(throw new IllegalArgumentException(
+            s"graft SQL read: VERSION AS OF takes a version number, got '$v'"))
+          Layout.readVersion(spark, root, n)
         case (_, Some(Literal(days: Int, DateType))) =>
           Layout.readAsOf(spark, root,
             java.time.LocalDate.ofEpochDay(days.toLong).atStartOfDay(zone)
@@ -88,13 +112,8 @@ object GraftRead {
         case (_, Some(Literal(s: org.apache.spark.unsafe.types.UTF8String,
             StringType))) =>
           // wall-clock AS OF in the SESSION zone — graft_table's contract
-          val t = s.toString.trim
-          val ldt =
-            try java.time.LocalDateTime.parse(t.replace(' ', 'T'))
-            catch { case _: java.time.format.DateTimeParseException =>
-              java.time.LocalDate.parse(t).atStartOfDay()
-            }
-          Layout.readAsOf(spark, root, ldt.atZone(zone).toInstant.toEpochMilli)
+          Layout.readAsOf(spark, root,
+            graft.util.WallClock.millis(s.toString, zone))
         case (_, ts) => throw new IllegalArgumentException(
           s"graft SQL read: TIMESTAMP AS OF takes a date/timestamp/string " +
             s"literal, got $ts")

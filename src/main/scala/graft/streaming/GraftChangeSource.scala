@@ -91,28 +91,20 @@ class GraftChangeSourceProvider extends StreamSourceProvider with DataSourceRegi
                             parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
-    // startingTimestamp (Delta parity): wall-clock → the newest version
-    // committed at or before it, read in the SESSION zone — feeds start
-    // EXCLUSIVE of that version, exactly like startingVersion
-    val fromTs = parameters.get("startingTimestamp").map { t0 =>
-      val zone = java.time.ZoneId.of(
-        spark.sessionState.conf.sessionLocalTimeZone)
-      val t = t0.trim
-      val ldt =
-        try java.time.LocalDateTime.parse(t.replace(' ', 'T'))
-        catch { case _: java.time.format.DateTimeParseException =>
-          java.time.LocalDate.parse(t).atStartOfDay()
-        }
-      Layout.versionAsOf(spark, root,
-        ldt.atZone(zone).toInstant.toEpochMilli)
-    }
+    // startingTimestamp: parsed EAGERLY (a malformed option fails at
+    // query start), resolved to a version LAZILY inside the source — a
+    // checkpointed stream far past the timestamp must keep restarting
+    // after the versions around it are vacuumed (review fix)
+    val fromTsMillis = parameters.get("startingTimestamp").map(t =>
+      graft.util.WallClock.millis(t,
+        graft.util.WallClock.sessionZone(spark)))
     val fromV = parameters.get("startingVersion").map(_.trim.toInt)
-    require(fromTs.isEmpty || fromV.isEmpty,
+    require(fromTsMillis.isEmpty || fromV.isEmpty,
       "graft-changes: set startingVersion OR startingTimestamp, not both")
-    new GraftChangeSource(spark, root, keysOf(parameters),
-      fromV.orElse(fromTs),
+    new GraftChangeSource(spark, root, keysOf(parameters), fromV,
       parameters.get("maxVersionsPerBatch").map(_.trim.toInt),
-      parameters.get("includeVersion").exists(_.trim.toBoolean))
+      parameters.get("includeVersion").exists(_.trim.toBoolean),
+      fromTsMillis)
   }
 }
 
@@ -156,12 +148,27 @@ object GraftChangeSource {
 class GraftChangeSource(spark: SparkSession, root: String, keys: Seq[String],
                         startingVersion: Option[Int],
                         maxVersionsPerBatch: Option[Int] = None,
-                        includeVersion: Boolean = false)
+                        includeVersion: Boolean = false,
+                        startingTimestampMillis: Option[Long] = None)
     extends Source with SupportsTriggerAvailableNow {
   import GraftChangeSource._
 
   maxVersionsPerBatch.foreach(k => require(k >= 1,
     s"graft-changes: maxVersionsPerBatch must be >= 1, got $k"))
+
+  /** The starting version, resolved ON FIRST USE only: a stream resuming
+    * from a checkpoint never consults it, so vacuuming the history around
+    * an old `startingTimestamp` cannot kill a restart. Semantics: feeds
+    * start EXCLUSIVE of the newest version committed STRICTLY BEFORE the
+    * instant — so a commit exactly AT the timestamp streams (the at-or-
+    * after contract); a timestamp predating the whole history falls back
+    * to snapshot-then-follow (every row arrives, as the initial snapshot).
+    */
+  private lazy val resolvedStart: Option[Int] =
+    startingVersion.orElse(startingTimestampMillis.flatMap { ms =>
+      try Some(Layout.versionAsOf(spark, root, ms - 1))
+      catch { case _: IllegalArgumentException => None }
+    })
 
   override val schema: StructType = schemaFor(spark, root, includeVersion)
 
@@ -174,7 +181,8 @@ class GraftChangeSource(spark: SparkSession, root: String, keys: Seq[String],
   // engine restart recovery: replayed ranges and the recovered committed
   // offset both advance it before the next poll); offered offsets are
   // never below it, so they stay monotonic for the engine.
-  @volatile private var highWater: Option[Int] = startingVersion
+  @volatile private var highWater: Option[Int] = None
+  private def floor: Option[Int] = highWater.orElse(resolvedStart)
   // Trigger.AvailableNow target: pinned ONCE at query start (the
   // SupportsTriggerAvailableNow contract — later offers must not exceed
   // it, or the one-shot run would chase a moving head forever)
@@ -207,8 +215,7 @@ class GraftChangeSource(spark: SparkSession, root: String, keys: Seq[String],
       case ReadMaxVersions(n) => Some(n)
       case _ => None
     }
-    val from = Option(startOffset).map(versionOfAny)
-      .orElse(highWater.map(_.toInt))
+    val from = Option(startOffset).map(versionOfAny).orElse(floor)
     val capped = (cap, from) match {
       case (Some(k), Some(f)) => math.max(f, math.min(cur, f + k))
       case _ => cur
@@ -250,7 +257,7 @@ class GraftChangeSource(spark: SparkSession, root: String, keys: Seq[String],
   // serves only direct callers and mirrors the uncapped head
   override def getOffset: Option[OffsetV1] = {
     val cur = Layout.currentVersionNumber(spark, root)
-    val capped = (maxVersionsPerBatch, highWater) match {
+    val capped = (maxVersionsPerBatch, floor) match {
       // never below the watermark (monotonic even if cur regressed)
       case (Some(k), Some(hw)) => math.max(hw, math.min(cur, hw + k))
       case _ => cur
@@ -263,7 +270,7 @@ class GraftChangeSource(spark: SparkSession, root: String, keys: Seq[String],
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = versionOf(end)
     advance(endV)
-    val batch = start.map(versionOf).orElse(startingVersion) match {
+    val batch = start.map(versionOf).orElse(resolvedStart) match {
       case None =>
         // snapshot-then-follow: first batch = the full stream-start
         // snapshot as inserts

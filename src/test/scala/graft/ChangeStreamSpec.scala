@@ -114,6 +114,28 @@ class ChangeStreamSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("not both"))
   }
 
+  test("startingTimestamp: at-the-instant commits stream; pre-history falls back") {
+    val (root, out, ckpt) = mk("tsedge")
+    // a timestamp BEFORE the table existed: snapshot-then-follow (every
+    // row arrives as the initial snapshot) instead of a hard failure
+    Layout.initVersionedManifest(rows((1L, "a", 10L)), root, Seq("g"))
+    StreamingOps.drainToParquet(
+      spark.readStream.format("graft-changes")
+        .option("path", root).option("keys", "id")
+        .option("startingTimestamp", "2000-01-01 00:00:00").load(),
+      out, ckpt)
+    assert(drained(out) == Set((1L, "a", 10L, "insert")))
+    // resumed drains use the CHECKPOINT, never re-resolving the timestamp
+    Layout.upsertVersionedRows(spark, root, rows((2L, "a", 20L)), Seq("id"))
+    StreamingOps.drainToParquet(
+      spark.readStream.format("graft-changes")
+        .option("path", root).option("keys", "id")
+        .option("startingTimestamp", "2000-01-01 00:00:00").load(),
+      out, ckpt)
+    assert(drained(out) == Set(
+      (1L, "a", 10L, "insert"), (2L, "a", 20L, "insert")))
+  }
+
   test("short name 'graft-changes' resolves via DataSourceRegister") {
     val (root, out, ckpt) = mk("short")
     Layout.initVersionedManifest(rows((7L, "a", 70L)), root, Seq("g"))

@@ -233,6 +233,38 @@ class SqlDdlSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.GraftPaths.WarehouseConf)
   }
 
+  test("IF NOT EXISTS re-attaches an existing LOCATION; stale redirects heal") {
+    val wh = tmp("whatt")
+    val loc = tmp("extatt") + "/t"
+    spark.conf.set(graft.plans.GraftPaths.WarehouseConf, wh)
+    try {
+      spark.sql("CREATE TABLE graft.att_t (id BIGINT, p STRING) " +
+        s"PARTITIONED BY (p) LOCATION '$loc'")
+      spark.sql("INSERT INTO graft.att_t VALUES (1, 'a')")
+      // drop BY PATH: the name's redirect cannot be cleaned from there…
+      spark.sql(s"DROP TABLE graft.`$loc`")
+      // …but a later by-name CREATE heals the stale redirect and lands in
+      // the WAREHOUSE, never at the detached external location
+      spark.sql("CREATE TABLE graft.att_t (id BIGINT, p STRING) " +
+        "PARTITIONED BY (p)")
+      assert(new java.io.File(s"$wh/att_t").exists())
+      assert(!new java.io.File(loc).exists())
+      spark.sql("DROP TABLE graft.att_t")
+      // RE-ATTACH: IF NOT EXISTS over an existing external root claims
+      // the name (the redirect is written on the tolerated path too)
+      val loc2 = tmp("extatt2") + "/t"
+      spark.sql(s"CREATE TABLE graft.`$loc2` (id BIGINT, p STRING) " +
+        "PARTITIONED BY (p)")
+      spark.sql(s"INSERT INTO graft.`$loc2` VALUES (7, 'a')")
+      spark.sql("CREATE TABLE IF NOT EXISTS graft.att_t (id BIGINT, p STRING) " +
+        s"PARTITIONED BY (p) LOCATION '$loc2'")
+      assert(spark.sql("SELECT sum(id) AS s FROM graft.att_t")
+        .head().getLong(0) == 7L)
+      spark.sql("DROP TABLE graft.att_t")
+      assert(!new java.io.File(loc2).exists())
+    } finally spark.conf.unset(graft.plans.GraftPaths.WarehouseConf)
+  }
+
   test("CREATE is atomic-by-cleanup: a failing inline constraint strands nothing") {
     val root = tmp("atomic") + "/t"
     // the inline CHECK references a column the table does not have — the

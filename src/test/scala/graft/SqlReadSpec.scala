@@ -98,6 +98,31 @@ class SqlReadSpec extends SparkSpec {
     assert(Layout.readCurrent(spark, root).count() == 8L)
   }
 
+  test("non-graft-TARGET DML reads graft sources (only targets are protected)") {
+    val src = mkRoot("dmlsrc")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_read_plain").toString + "/p"
+    spark.sql(s"CREATE TABLE sqlread_plain (id BIGINT) USING parquet " +
+      s"LOCATION '$out'")
+    try {
+      // INSERT with a NON-graft target whose SELECT reads a graft table:
+      // the blanket-inertness version of the rule broke exactly this
+      spark.sql(s"INSERT INTO sqlread_plain SELECT id FROM graft.`$src` " +
+        "WHERE id < 3")
+      assert(spark.sql("SELECT count(*) AS n FROM sqlread_plain")
+        .head().getLong(0) == 3L)
+    } finally spark.sql("DROP TABLE sqlread_plain")
+  }
+
+  test("VERSION AS OF beyond Int range refuses with the curated message") {
+    val root = mkRoot("bigv")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$root` VERSION AS OF '99999999999'")
+        .collect()
+    }
+    assert(e.getMessage.contains("version number"), e.getMessage)
+  }
+
   test("non-graft relations are untouched; unknown graft tables fail loudly") {
     spark.range(3).createOrReplaceTempView("plain_read_view")
     assert(spark.sql("SELECT count(*) AS n FROM plain_read_view")
