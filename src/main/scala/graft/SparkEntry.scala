@@ -2517,6 +2517,27 @@ object SparkEntry {
         ("the_data", -1.5)).toDF("term", "wt")
       TextClassifier.scoreLinear(Tables.documents(s, dir), "doc_id", "text",
         w, "term", "wt", bias = -0.5)
+    }),
+
+    // --- INSERT OVERWRITE: wholesale replace as one commit (r12) ---
+    // The reload idiom: the table's content is REPLACED by the query in
+    // one O(new content) commit (no carry-forward — the manifest names
+    // only the fresh files), previous versions stay time-travelable, and
+    // row-level DML composes on the replaced state (the DELETE after).
+    "q181_sql_overwrite" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"), col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q181").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(base, root, Seq("pri"))
+      base.createOrReplaceTempView("q181_src")
+      // table column order is (id, v, pri): positional mapping
+      s.sql(s"INSERT OVERWRITE TABLE graft.`$root` " +
+        "SELECT id, v + 9, pri FROM q181_src WHERE id % 3 = 0")
+      s.sql(s"DELETE FROM graft.`$root` WHERE id % 5 = 0")
+      graft.sources.Layout.readCurrent(s, root)
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
     })
   )
 
@@ -4954,7 +4975,17 @@ object SparkEntry {
           FROM feats LEFT JOIN w ON feats.f = w.term GROUP BY 1)
         SELECT doc_id, n_features,
           round(1.0 / (1.0 + exp(-(-0.5 + sw / n_features))), 6) AS score
-        FROM sc"""
+        FROM sc""",
+
+      // overwrite keeps id%3=0 with v+9; the DELETE then drops id%5=0
+      "q181_sql_overwrite" -> """
+        SELECT o_orderpriority AS pri,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) + 9) AS BIGINT)
+            AS sum_v
+        FROM orders
+        WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+        GROUP BY 1"""
     )
   }
 

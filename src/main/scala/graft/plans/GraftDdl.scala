@@ -325,6 +325,12 @@ object GraftDdl {
           case _ => return None
         }
 
+      case tt: TruncateTable =>
+        tt.table match {
+          case Tbl(x) => GraftTruncateCommand(x)
+          case _ => return None
+        }
+
       case dcst: DropConstraint =>
         dcst.table match {
           case Tbl(x) =>
@@ -427,6 +433,21 @@ object GraftDdl {
       GraftPaths.removeRedirect(session, ident)
       if (!dropped) return Seq.empty
       Seq(Row(root))
+    }
+  }
+
+  /** `TRUNCATE TABLE graft.`x`` → an empty replace commit: the table
+    * reads empty, the schema/partitioning/constraints stay, and every
+    * previous version remains time-travelable until vacuumed.
+    */
+  case class GraftTruncateCommand(ident: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = pathAttr
+    override def run(session: SparkSession): Seq[Row] = {
+      val root = GraftPaths.resolve(session, ident)
+      val empty = Layout.readCurrent(session, root).filter(
+        org.apache.spark.sql.functions.lit(false))
+      Seq(Row(Layout.replaceVersionedRows(session, root, empty)))
     }
   }
 

@@ -62,8 +62,9 @@ import graft.sources.{Layout, ManifestIndex}
   * Surface limits (each refused loudly, never silently misread):
   * `MERGE … ON` must be a conjunction of `t.k = s.k` equalities (the
   * layout's merge is keyed); merge inserts are `INSERT *` (or the
-  * trivially equivalent full-identity column list); `INSERT OVERWRITE`
-  * and static `PARTITION` clauses are not supported. `MERGE … WITH
+  * trivially equivalent full-identity column list); static `PARTITION`
+  * clauses are not supported (`INSERT OVERWRITE` replaces the WHOLE
+  * table — per-partition overwrite would need a spec clause). `MERGE … WITH
   * SCHEMA EVOLUTION` adds every source column the table lacks before
   * merging (nullable, metadata-only ADD COLUMN commits) — note it
   * therefore consumes the extra-column channel: op codes that normally
@@ -256,15 +257,13 @@ object GraftDml {
       case i: InsertIntoStatement =>
         i.table match {
           case Target((root, _)) =>
-            require(!i.overwrite,
-              "graft SQL INSERT: INSERT OVERWRITE is not supported — " +
-                "publishVersion/RESTORE are the replace surfaces")
             require(i.partitionSpec.isEmpty,
               "graft SQL INSERT: static PARTITION clauses are not " +
                 "supported — partition values ride in the rows")
             require(!(i.byName && i.userSpecifiedCols.nonEmpty),
               "graft SQL INSERT: BY NAME takes no column list")
-            GraftInsertCommand(root, i.query, i.userSpecifiedCols, i.byName)
+            GraftInsertCommand(root, i.query, i.userSpecifiedCols, i.byName,
+              i.overwrite)
           case _ => plan
         }
 
@@ -411,14 +410,16 @@ object GraftDml {
         GraftPaths.resolve(session, root), cond, set)))
   }
 
-  /** `INSERT INTO graft.`root` [(cols)] SELECT …` → pure append
+  /** `INSERT [OVERWRITE] [TABLE] graft.`root` [(cols)] SELECT …` → pure
+    * append, or (OVERWRITE) a wholesale content replace
     * ([[Layout.appendVersionedRows]]: no matching, no DVs, O(batch)
     * written). A column list maps the query's output POSITIONALLY onto
     * those names (standard INSERT semantics); with no list the query's
     * own column names must match the table (checked by the writer).
     */
   case class GraftInsertCommand(root: String, query: LogicalPlan,
-                                userCols: Seq[String], byName: Boolean)
+                                userCols: Seq[String], byName: Boolean,
+                                overwrite: Boolean = false)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = pathAttr
     override def run(session: SparkSession): Seq[Row] = {
@@ -442,7 +443,12 @@ object GraftDml {
               s"query produces ${df0.columns.length}")
           df0.toDF(target: _*)
         }
-      Seq(Row(Layout.appendVersionedRows(session, rootR, df)))
+      // INSERT OVERWRITE replaces the WHOLE table content as one commit
+      // (replaceVersionedRows — previous versions stay time-travelable);
+      // plain INSERT is the pure append
+      Seq(Row(
+        if (overwrite) Layout.replaceVersionedRows(session, rootR, df)
+        else Layout.appendVersionedRows(session, rootR, df)))
     }
   }
 

@@ -1171,6 +1171,56 @@ object Layout {
     *
     * @return the new live version path (or the current one on no-op)
     */
+  /** REPLACE the whole table's content in one commit — the SQL
+    * `INSERT OVERWRITE` / `TRUNCATE` lowering for manifest roots (the
+    * hardlink twin is [[publishVersion]]): the next manifest carries ONLY
+    * the fresh files (no carry-forward), so the snapshot IS `rows`, while
+    * every previous version stays time-travelable/RESTOREable until
+    * vacuumed. Schema is PINNED (the declared table schema must match
+    * exactly — evolution stays a separate, explicit op), CHECK
+    * constraints validate the replacement before any version is claimed,
+    * and an EMPTY frame is a legitimate truncate. O(new content)
+    * written + O(1) metadata at any table size.
+    */
+  def replaceVersionedRows(spark: SparkSession, root: String,
+                           rows0: DataFrame,
+                           txn: Option[(String, Long)] = None): String =
+    graft.util.DmlTimer.timed {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      "replaceVersionedRows requires a manifest root — hardlink-mode " +
+        "roots replace via publishVersion")
+    val (cur, _, man) = currentManifest(spark, root)
+    txn.foreach { case (app, batch) =>
+      val applied = man.properties.get(ManifestIndex.TxnPrefix + app)
+      if (applied.exists(_.toLong >= batch)) return cur // replay: no-op
+    }
+    val pcols = man.partitionSchema.fieldNames.toSeq
+    val rows = upcastToActive(man, rows0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tableCols = (ManifestIndex.activeSchema(man.dataSchema) ++
+        man.partitionSchema).map(f => f.name -> f.dataType).toMap
+      require(rows.schema.forall(f => tableCols.get(f.name).contains(f.dataType)) &&
+          rows.schema.length == tableCols.size,
+        s"replaceVersionedRows: rows schema ${rows.schema.simpleString} " +
+          s"must match the table exactly (${tableCols.keys.mkString(",")}) — " +
+          "schema evolution is a separate, explicit op")
+      requireConstraints(rows, man.constraints, "replacement rows")
+      val (next, nextPath) = nextVersion(spark, root, cur)
+      if (!rows.isEmpty)
+        ManifestIndex.toPhysical(rows, man.dataSchema)
+          .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
+      commitManifest(spark, root, next, man.copy(
+        properties = man.properties ++ txn.map { case (app, batch) =>
+          ManifestIndex.TxnPrefix + app -> batch.toString },
+        entries =
+          if (rows.isEmpty) Seq.empty
+          else ManifestIndex.listVersionFiles(fsOf(spark, root), root, next)),
+        "REPLACE")
+      nextPath
+    } finally rows.unpersist(false)
+  }
+
   def appendVersionedRows(spark: SparkSession, root: String, rows0: DataFrame,
                           txn: Option[(String, Long)] = None): String =
     graft.util.DmlTimer.timed {

@@ -195,15 +195,43 @@ class SqlDmlSpec extends SparkSpec {
     assert(state(root)(200L) == (7L, "p1"))
     assert(Layout.history(spark, root)
       .filter($"operation" === "APPEND").count() == 2L)
-    // INSERT OVERWRITE and static partitions refuse
-    val e1 = intercept[Exception] {
-      spark.sql(s"INSERT OVERWRITE TABLE graft.`$root` SELECT 1L, 1L, 'p0'")
-    }
-    assert(e1.getMessage.contains("OVERWRITE"))
+    // static partitions refuse
     val e2 = intercept[Exception] {
       spark.sql(s"INSERT INTO graft.`$root` PARTITION (part='p0') SELECT 1L, 1L")
     }
     assert(e2.getMessage.contains("PARTITION"))
+  }
+
+  test("INSERT OVERWRITE replaces the table; TRUNCATE empties it; both travel") {
+    val root = mkRoot("ow")
+    val v0 = Layout.currentVersionNumber(spark, root)
+    spark.sql(s"INSERT OVERWRITE TABLE graft.`$root` " +
+      "SELECT id + 1000, id AS v, 'p0' AS part FROM range(3)")
+    assert(state(root).keySet == Set(1000L, 1001L, 1002L))
+    // the pre-overwrite content stays time-travelable
+    assert(Layout.readVersion(spark, root, v0).count() == 20L)
+    // constraints validate the REPLACEMENT before any version claims
+    Layout.addCheckConstraint(spark, root, "v_small", "v < 100")
+    val before = Layout.currentVersionNumber(spark, root)
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE TABLE graft.`$root` " +
+        "SELECT id, id * 1000 AS v, 'p0' AS part FROM range(2)")
+    }
+    assert(e.getMessage.contains("v_small"))
+    assert(Layout.currentVersionNumber(spark, root) == before)
+    // TRUNCATE: empty table, schema + constraints intact, history intact
+    spark.sql(s"TRUNCATE TABLE graft.`$root`")
+    assert(Layout.readCurrent(spark, root).count() == 0)
+    assert(Layout.readCurrent(spark, root).columns.toSeq ==
+      Seq("id", "v", "part"))
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (1, 5, 'p0')")
+    assert(state(root) == Map(1L -> ((5L, "p0"))))
+    val e2 = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$root` VALUES (2, 500, 'p0')")
+    }
+    assert(e2.getMessage.contains("v_small"), "constraints survive TRUNCATE")
+    spark.sql(s"RESTORE TABLE graft.`$root` TO VERSION AS OF $v0")
+    assert(state(root).size == 20)
   }
 
   test("MERGE accepts unaliased graft.`path` target qualifiers in ON and clauses") {
