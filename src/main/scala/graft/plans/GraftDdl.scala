@@ -79,6 +79,35 @@ object GraftPaths {
       removeRedirect(spark, ident)
   }
 
+  /** One row per NAME under the warehouse: (name, location, is_redirect).
+    * Names are dirs that are versioned roots themselves or hold a
+    * `_location` redirect; anything else in the warehouse dir is ignored.
+    */
+  def listTables(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val wh = new org.apache.hadoop.fs.Path(
+      warehouseDir(spark, "x")).getParent
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows: Seq[org.apache.spark.sql.Row] =
+      if (!fs.exists(wh)) Seq.empty
+      else fs.listStatus(wh).filter(_.isDirectory).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        val target = resolve(spark, name)
+        val redirected = target != s"${wh.toString}/$name"
+        if (graft.sources.Layout.isVersionedRoot(spark, target))
+          Some(org.apache.spark.sql.Row(name, target, redirected))
+        else None
+      }.sortBy(_.getString(0))
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("name", StringType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("location", StringType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("is_redirect",
+          org.apache.spark.sql.types.BooleanType, nullable = false))))
+  }
+
   /** Remove a name's redirect slot (no-op when the name has none). */
   private[plans] def removeRedirect(spark: SparkSession, ident: String): Unit = {
     if (isPath(ident)) return

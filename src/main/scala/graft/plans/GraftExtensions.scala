@@ -194,6 +194,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // history (graft_history), pending deletion (graft_vacuum_plan), and
     // now the delta between any two snapshots — same leaf-identity pruning
     // as the Scala API (the plan IS Layout.changeFeed's).
+    // graft_tables() — the WAREHOUSE listing (by-name observability):
+    // one row per name under spark.graft.warehouse, with its resolved
+    // location and whether it is an external-LOCATION redirect. Driver
+    // metadata (one directory listing), never a data scan.
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_tables"),
+      new ExpressionInfo(GraftPaths.getClass.getName, "graft_tables"),
+      (children: Seq[Expression]) => {
+        require(children.isEmpty, "graft_tables takes no arguments")
+        val spark = org.apache.spark.sql.SparkSession.active
+        GraftPaths.listTables(spark).queryExecution.logical
+      }))
     ext.injectTableFunction((
       new FunctionIdentifier("graft_changes"),
       new ExpressionInfo(graft.sources.Layout.getClass.getName, "graft_changes"),

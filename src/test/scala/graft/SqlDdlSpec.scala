@@ -282,6 +282,33 @@ class SqlDdlSpec extends SparkSpec {
     assert(Layout.readCurrent(spark, root).count() == 1)
   }
 
+  test("graft_tables() lists the warehouse; OPTIMIZE ZORDER clusters") {
+    val wh = tmp("whlist")
+    val loc = tmp("extlist") + "/t"
+    spark.conf.set(graft.plans.GraftPaths.WarehouseConf, wh)
+    try {
+      spark.sql("CREATE TABLE graft.list_a (id BIGINT, p STRING) " +
+        "PARTITIONED BY (p)")
+      spark.sql("CREATE TABLE graft.list_b (id BIGINT, p STRING) " +
+        s"PARTITIONED BY (p) LOCATION '$loc'")
+      val rows = spark.sql("SELECT * FROM graft_tables()")
+        .as[(String, String, Boolean)].collect().toSeq
+      assert(rows == Seq(
+        ("list_a", s"$wh/list_a", false), ("list_b", loc, true)))
+      // OPTIMIZE ZORDER BY parses and clusters (the compact step of
+      // maintain with zOrderCols)
+      (1 to 9).foreach(k =>
+        spark.sql(s"INSERT INTO graft.list_a VALUES ($k, 'a')"))
+      val opt = spark.sql("OPTIMIZE graft.list_a ZORDER BY (id)").head()
+      assert(opt.getInt(0) >= 1)
+      assert(spark.sql("SELECT sum(id) AS s FROM graft.list_a")
+        .head().getLong(0) == 45L)
+      spark.sql("DROP TABLE graft.list_a")
+      spark.sql("DROP TABLE graft.list_b")
+      assert(spark.sql("SELECT * FROM graft_tables()").count() == 0)
+    } finally spark.conf.unset(graft.plans.GraftPaths.WarehouseConf)
+  }
+
   test("refusals: unpartitioned create, props/options, non-identity parts") {
     val root = tmp("refuse") + "/t"
     val e1 = intercept[Exception] {
