@@ -354,6 +354,16 @@ object GraftDdl {
           case _ => return None
         }
 
+      case sct: ShowCreateTable =>
+        sct.child match {
+          case v: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+              if v.multipartIdentifier.length == 2 &&
+                v.multipartIdentifier.head
+                  .equalsIgnoreCase(GraftDml.Namespace) =>
+            GraftShowCreateTableCommand(v.multipartIdentifier(1))
+          case _ => return None
+        }
+
       case tt: TruncateTable =>
         tt.table match {
           case Tbl(x) => GraftTruncateCommand(x)
@@ -462,6 +472,38 @@ object GraftDdl {
       GraftPaths.removeRedirect(session, ident)
       if (!dropped) return Seq.empty
       Seq(Row(root))
+    }
+  }
+
+  /** `SHOW CREATE TABLE graft.`x``: reconstruct the DDL from the live
+    * manifest — columns with their CURRENT logical names and types,
+    * declared CHECK constraints, partitioning, and the location when the
+    * table does not live at its warehouse slot. One manifest read.
+    */
+  case class GraftShowCreateTableCommand(ident: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AttributeReference("createtab_stmt", StringType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] = {
+      val root = GraftPaths.resolve(session, ident)
+      val man = graft.sources.ManifestIndex.read(session, root,
+        f"v${Layout.currentVersionNumber(session, root)}%05d")
+      val cols =
+        (graft.sources.ManifestIndex.activeSchema(man.dataSchema) ++
+          man.partitionSchema)
+          .map(f => s"  ${f.name} ${f.dataType.sql}")
+      val checks = man.constraints.toSeq.sortBy(_._1)
+        .map { case (n, sql) => s"  CONSTRAINT $n CHECK ($sql)" }
+      val target =
+        if (GraftPaths.isPath(ident)) s"graft.`$ident`" else s"graft.$ident"
+      val locLine =
+        if (!GraftPaths.isPath(ident) && !root.endsWith(s"/$ident"))
+          s"\nLOCATION '$root'"
+        else ""
+      Seq(Row(
+        s"CREATE TABLE $target (\n${(cols ++ checks).mkString(",\n")}\n) " +
+          s"PARTITIONED BY (${man.partitionSchema.fieldNames.mkString(", ")})" +
+          locLine))
     }
   }
 

@@ -25,6 +25,13 @@ import graft.sources.{Layout, ManifestIndex}
   *   .start()
   * }}}
   *
+  * `mode=replace` serves `outputMode("complete")` aggregates: every
+  * trigger's batch is the WHOLE result, committed as one wholesale
+  * replace (`replaceVersionedRows`) — a versioned table that always
+  * equals the streaming aggregate, with history. Complete mode REFUSES
+  * the other sink modes (upsert would strand vanished groups, append
+  * would duplicate — both silent divergence).
+  *
   * `mode=cdc` is the delete-capable apply ([[StreamingOps.streamApplyCdcRows]]'
   * semantics behind the stock API): each batch carries the table's columns
   * plus an op code (`opCol`: `"D"` deletes, anything else upserts) and an
@@ -90,28 +97,51 @@ class GraftSinkProvider extends StreamSinkProvider with DataSourceRegister {
           "an explicit 'txnAppId' — the idempotent-commit watermark needs " +
           "a per-query identity, and defaulting to the table would make " +
           "independent writers skip each other's batch ids"))
-    val cdc = parameters.get("mode") match {
+    val mode = parameters.get("mode")
+    val cdc = mode match {
       case Some("cdc") =>
         require(keys.isDefined, "graft sink: mode=cdc requires 'keys'")
         Some((parameters.getOrElse("opCol", "op"),
           parameters.getOrElse("seqCol", "seq")))
-      case Some(other) if other != "auto" =>
+      case Some(other) if other != "auto" && other != "replace" =>
         throw new IllegalArgumentException(
-          s"graft sink: unknown mode '$other' (cdc, or omit for upsert/append)")
+          s"graft sink: unknown mode '$other' (cdc, replace, or omit for " +
+            "upsert/append)")
       case _ => None
     }
-    new GraftSink(root, keys, appId, cdc)
+    val replace = mode.contains("replace")
+    // OutputMode.Complete emits the WHOLE result every trigger: upsert
+    // would strand groups that vanished from the aggregate and append
+    // would duplicate everything — only replace semantics are correct.
+    // Refuse the silent-divergence combinations in BOTH directions.
+    if (outputMode == OutputMode.Complete())
+      require(replace,
+        "graft sink: outputMode=complete emits the whole result each " +
+          "trigger — use .option(\"mode\", \"replace\") (upsert would " +
+          "strand deleted groups; append would duplicate)")
+    if (replace)
+      require(keys.isEmpty && cdc.isEmpty,
+        "graft sink: mode=replace takes no 'keys' — each batch IS the " +
+          "whole table")
+    new GraftSink(root, keys, appId, cdc, replace)
   }
 }
 
 private[streaming] class GraftSink(root: String, keys: Option[Seq[String]],
                                    appId: String,
-                                   cdc: Option[(String, String)] = None)
+                                   cdc: Option[(String, String)] = None,
+                                   replace: Boolean = false)
     extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = Shim.asBatch(data)
     Layout.withCommitRetry() {
-      (cdc, keys) match {
+      if (replace)
+        // complete-mode streaming: the batch IS the whole result — one
+        // wholesale replace commit per trigger (old versions stay
+        // time-travelable; txn watermark makes replays no-ops)
+        Layout.replaceVersionedRows(batch.sparkSession, root, batch,
+          txn = Some((appId, batchId)))
+      else (cdc, keys) match {
         case (Some((opCol, seqCol)), Some(ks)) =>
           // opCol/seqCol must NOT name real table columns: insert images
           // select every table column from the source, so a table column

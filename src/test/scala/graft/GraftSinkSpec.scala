@@ -153,6 +153,54 @@ class GraftSinkSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("keys"))
   }
 
+  test("replace mode serves outputMode=complete aggregates exactly") {
+    val (root, in, ckpt) = mk("replace")
+    Layout.initVersionedManifest(
+      Seq((0L, "z")).toDF("n", "g").filter(lit(false)), root, Seq("g"))
+    new java.io.File(in).mkdirs()
+    def drain(): Unit = {
+      val q = StreamingOps.fileStream(spark, in, rows().schema)
+        .groupBy($"g").agg(count(lit(1)).as("n"))
+        .select($"n", $"g")
+        .writeStream.format("graft-sink")
+        .option("path", root).option("mode", "replace")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    rows((1L, "a", 1L), (2L, "a", 2L), (3L, "b", 3L)).coalesce(1)
+      .write.mode("append").parquet(in)
+    drain()
+    def agg(): Map[String, Long] =
+      Layout.readCurrent(spark, root).select($"g", $"n")
+        .as[(String, Long)].collect().toMap
+    assert(agg() == Map("a" -> 2L, "b" -> 1L))
+    val v1 = Layout.currentVersionNumber(spark, root)
+    // more input: the next trigger REPLACES with the recomputed whole
+    rows((4L, "c", 4L), (5L, "a", 5L)).coalesce(1)
+      .write.mode("append").parquet(in)
+    drain()
+    assert(agg() == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    // the previous aggregate stays time-travelable
+    assert(Layout.readVersion(spark, root, v1).select($"g", $"n")
+      .as[(String, Long)].collect().toMap == Map("a" -> 2L, "b" -> 1L))
+    // complete mode into a NON-replace sink refuses (silent divergence)
+    val e = intercept[Exception] {
+      StreamingOps.fileStream(spark, in, rows().schema)
+        .groupBy($"g").agg(count(lit(1)).as("n")).select($"n", $"g")
+        .writeStream.format("graft-sink")
+        .option("path", root).option("keys", "g")
+        .option("checkpointLocation", ckpt + "2")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def chain2(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain2(t.getCause)
+    assert(chain2(e).exists(_.contains("replace")), chain2(e).mkString("|"))
+  }
+
   test("cdc mode refuses opCol/seqCol colliding with a table column") {
     val (root, in, ckpt) = mk("collide")
     // the TABLE has a real column named 'op' — the default opCol; without

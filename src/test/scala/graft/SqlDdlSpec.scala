@@ -282,6 +282,35 @@ class SqlDdlSpec extends SparkSpec {
     assert(Layout.readCurrent(spark, root).count() == 1)
   }
 
+  test("SHOW CREATE TABLE reconstructs the live DDL") {
+    val wh = tmp("whshow")
+    spark.conf.set(graft.plans.GraftPaths.WarehouseConf, wh)
+    try {
+      spark.sql("CREATE TABLE graft.show_t (id BIGINT, v INT, part STRING, " +
+        "CONSTRAINT id_pos CHECK (id >= 0)) PARTITIONED BY (part)")
+      spark.sql("ALTER TABLE graft.show_t RENAME COLUMN v TO cents")
+      spark.sql("ALTER TABLE graft.show_t ALTER COLUMN cents TYPE BIGINT")
+      val stmt = spark.sql("SHOW CREATE TABLE graft.show_t")
+        .head().getString(0)
+      // CURRENT logical names and types, constraints, partitioning
+      assert(stmt.contains("CREATE TABLE graft.show_t ("), stmt)
+      assert(stmt.contains("cents BIGINT"), stmt)
+      assert(!stmt.contains(" v INT"), stmt)
+      assert(stmt.contains("CONSTRAINT id_pos CHECK (id >= 0)"), stmt)
+      assert(stmt.contains("PARTITIONED BY (part)"), stmt)
+      assert(!stmt.contains("LOCATION"), stmt)
+      spark.sql("DROP TABLE graft.show_t")
+      // an external-LOCATION table shows its location
+      val loc = tmp("showext") + "/t"
+      spark.sql("CREATE TABLE graft.show_e (id BIGINT, p STRING) " +
+        s"PARTITIONED BY (p) LOCATION '$loc'")
+      val stmt2 = spark.sql("SHOW CREATE TABLE graft.show_e")
+        .head().getString(0)
+      assert(stmt2.contains(s"LOCATION '$loc'"), stmt2)
+      spark.sql("DROP TABLE graft.show_e")
+    } finally spark.conf.unset(graft.plans.GraftPaths.WarehouseConf)
+  }
+
   test("graft_tables() lists the warehouse; OPTIMIZE ZORDER clusters") {
     val wh = tmp("whlist")
     val loc = tmp("extlist") + "/t"
