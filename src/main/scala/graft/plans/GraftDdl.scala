@@ -54,6 +54,17 @@ object GraftPaths {
       } else dir
     }
 
+  /** Whether `name` has an external-LOCATION redirect marker — THE
+    * definition of a redirected name (string-comparing resolved paths
+    * breaks under Path normalization; review fix).
+    */
+  private[plans] def hasRedirect(spark: SparkSession, ident: String): Boolean = {
+    if (isPath(ident)) return false
+    val marker = new org.apache.hadoop.fs.Path(
+      warehouseDir(spark, ident), LocationFile)
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker)
+  }
+
   private[plans] def writeRedirect(spark: SparkSession, ident: String,
                                    target: String): Unit = {
     val marker = new org.apache.hadoop.fs.Path(
@@ -93,9 +104,9 @@ object GraftPaths {
       else fs.listStatus(wh).filter(_.isDirectory).toSeq.flatMap { st =>
         val name = st.getPath.getName
         val target = resolve(spark, name)
-        val redirected = target != s"${wh.toString}/$name"
         if (graft.sources.Layout.isVersionedRoot(spark, target))
-          Some(org.apache.spark.sql.Row(name, target, redirected))
+          Some(org.apache.spark.sql.Row(name, target,
+            hasRedirect(spark, name)))
         else None
       }.sortBy(_.getString(0))
     spark.createDataFrame(rows.asJava,
@@ -496,9 +507,11 @@ object GraftDdl {
         .map { case (n, sql) => s"  CONSTRAINT $n CHECK ($sql)" }
       val target =
         if (GraftPaths.isPath(ident)) s"graft.`$ident`" else s"graft.$ident"
+      // external iff the name carries a redirect marker — a location
+      // whose last segment happens to equal the table name must still
+      // print its LOCATION (review fix)
       val locLine =
-        if (!GraftPaths.isPath(ident) && !root.endsWith(s"/$ident"))
-          s"\nLOCATION '$root'"
+        if (GraftPaths.hasRedirect(session, ident)) s"\nLOCATION '$root'"
         else ""
       Seq(Row(
         s"CREATE TABLE $target (\n${(cols ++ checks).mkString(",\n")}\n) " +
@@ -516,8 +529,12 @@ object GraftDdl {
     override val output: Seq[Attribute] = pathAttr
     override def run(session: SparkSession): Seq[Row] = {
       val root = GraftPaths.resolve(session, ident)
-      val empty = Layout.readCurrent(session, root).filter(
-        org.apache.spark.sql.functions.lit(false))
+      // schema-only empty frame: filter(lit(false)) over readCurrent
+      // would still PLAN the full DV-applied scan for the emptiness
+      // probes (review fix)
+      val empty = session.createDataFrame(
+        session.sparkContext.emptyRDD[Row],
+        Layout.readCurrent(session, root).schema)
       Seq(Row(Layout.replaceVersionedRows(session, root, empty)))
     }
   }

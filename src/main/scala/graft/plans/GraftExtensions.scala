@@ -185,15 +185,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           GraftPaths.resolve(spark, root), keep)
           .queryExecution.logical
       }))
-    // graft_changes('/root', from, to, 'k1[,k2,…]') — the change data feed
-    // between two committed versions as a table (insert / delete /
-    // update_pre / update_post rows keyed by the given row identity):
-    //   SELECT _change_type, count(*) FROM
-    //     graft_changes('/data/orders', 0, 2, 'id') GROUP BY 1
-    // Completes the pure-SQL observability surface: state (graft_table),
-    // history (graft_history), pending deletion (graft_vacuum_plan), and
-    // now the delta between any two snapshots — same leaf-identity pruning
-    // as the Scala API (the plan IS Layout.changeFeed's).
     // graft_tables() — the WAREHOUSE listing (by-name observability):
     // one row per name under spark.graft.warehouse, with its resolved
     // location and whether it is an external-LOCATION redirect. Driver
@@ -206,6 +197,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val spark = org.apache.spark.sql.SparkSession.active
         GraftPaths.listTables(spark).queryExecution.logical
       }))
+    // graft_changes('/root', from, to, 'k1[,k2,…]') — the change data feed
+    // between two committed versions as a table (insert / delete /
+    // update_pre / update_post rows keyed by the given row identity):
+    //   SELECT _change_type, count(*) FROM
+    //     graft_changes('/data/orders', 0, 2, 'id') GROUP BY 1
+    // Completes the pure-SQL observability surface: state (graft_table),
+    // history (graft_history), pending deletion (graft_vacuum_plan), and
+    // now the delta between any two snapshots — same leaf-identity pruning
+    // as the Scala API (the plan IS Layout.changeFeed's).
     ext.injectTableFunction((
       new FunctionIdentifier("graft_changes"),
       new ExpressionInfo(graft.sources.Layout.getClass.getName, "graft_changes"),

@@ -1186,47 +1186,34 @@ object Layout {
                            rows0: DataFrame,
                            txn: Option[(String, Long)] = None): String =
     graft.util.DmlTimer.timed {
-    require(ManifestIndex.isManifestRoot(spark, root),
-      "replaceVersionedRows requires a manifest root — hardlink-mode " +
-        "roots replace via publishVersion")
-    val (cur, _, man) = currentManifest(spark, root)
-    txn.foreach { case (app, batch) =>
-      val applied = man.properties.get(ManifestIndex.TxnPrefix + app)
-      if (applied.exists(_.toLong >= batch)) return cur // replay: no-op
+      commitFreshRows(spark, root, rows0, txn, "REPLACE",
+        carryForward = false, what = "replaceVersionedRows",
+        evolveHint = "schema evolution is a separate, explicit op")
     }
-    val pcols = man.partitionSchema.fieldNames.toSeq
-    val rows = upcastToActive(man, rows0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val tableCols = (ManifestIndex.activeSchema(man.dataSchema) ++
-        man.partitionSchema).map(f => f.name -> f.dataType).toMap
-      require(rows.schema.forall(f => tableCols.get(f.name).contains(f.dataType)) &&
-          rows.schema.length == tableCols.size,
-        s"replaceVersionedRows: rows schema ${rows.schema.simpleString} " +
-          s"must match the table exactly (${tableCols.keys.mkString(",")}) — " +
-          "schema evolution is a separate, explicit op")
-      requireConstraints(rows, man.constraints, "replacement rows")
-      val (next, nextPath) = nextVersion(spark, root, cur)
-      if (!rows.isEmpty)
-        ManifestIndex.toPhysical(rows, man.dataSchema)
-          .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
-      commitManifest(spark, root, next, man.copy(
-        properties = man.properties ++ txn.map { case (app, batch) =>
-          ManifestIndex.TxnPrefix + app -> batch.toString },
-        entries =
-          if (rows.isEmpty) Seq.empty
-          else ManifestIndex.listVersionFiles(fsOf(spark, root), root, next)),
-        "REPLACE")
-      nextPath
-    } finally rows.unpersist(false)
-  }
 
   def appendVersionedRows(spark: SparkSession, root: String, rows0: DataFrame,
                           txn: Option[(String, Long)] = None): String =
     graft.util.DmlTimer.timed {
+      commitFreshRows(spark, root, rows0, txn, "APPEND",
+        carryForward = true, what = "appendVersionedRows",
+        evolveHint = "schema evolution is mergeVersionedPartitioned's job")
+    }
+
+  /** ONE writer skeleton for the two fresh-files commits — APPEND (fresh
+    * entries join the carried ones; an empty batch is a no-op) and
+    * REPLACE (the manifest names ONLY the fresh files; an empty batch is
+    * a legitimate truncate). Validation, txn replay, constraint gating
+    * and the commit are shared so a fix lands exactly once (review fix —
+    * the two were 25-line near-copies).
+    */
+  private def commitFreshRows(spark: SparkSession, root: String,
+                              rows0: DataFrame, txn: Option[(String, Long)],
+                              op: String, carryForward: Boolean,
+                              what: String, evolveHint: String): String = {
     require(ManifestIndex.isManifestRoot(spark, root),
-      "appendVersionedRows requires a manifest root — hardlink-mode roots " +
-        "append via mergeVersionedPartitioned with fresh keys")
+      s"$what requires a manifest root — hardlink-mode roots use " +
+        (if (carryForward) "mergeVersionedPartitioned with fresh keys"
+         else "publishVersion"))
     val (cur, _, man) = currentManifest(spark, root)
     txn.foreach { case (app, batch) =>
       val applied = man.properties.get(ManifestIndex.TxnPrefix + app)
@@ -1240,21 +1227,24 @@ object Layout {
         man.partitionSchema).map(f => f.name -> f.dataType).toMap
       require(rows.schema.forall(f => tableCols.get(f.name).contains(f.dataType)) &&
           rows.schema.length == tableCols.size,
-        s"appendVersionedRows: rows schema ${rows.schema.simpleString} " +
+        s"$what: rows schema ${rows.schema.simpleString} " +
           s"must match the table exactly (${tableCols.keys.mkString(",")}) — " +
-          "schema evolution is mergeVersionedPartitioned's job")
-      if (rows.isEmpty) return cur
-      requireConstraints(rows, man.constraints, "appended rows")
+          evolveHint)
+      val empty = rows.isEmpty
+      if (empty && carryForward) return cur // append of nothing: no-op
+      if (!empty) requireConstraints(rows, man.constraints, s"$op rows")
       val (next, nextPath) = nextVersion(spark, root, cur)
-      ManifestIndex.toPhysical(rows, man.dataSchema)
-        .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
+      if (!empty)
+        ManifestIndex.toPhysical(rows, man.dataSchema)
+          .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
+      val fresh =
+        if (empty) Seq.empty
+        else ManifestIndex.listVersionFiles(fsOf(spark, root), root, next)
       commitManifest(spark, root, next, man.copy(
         properties = man.properties ++ txn.map { case (app, batch) =>
           ManifestIndex.TxnPrefix + app -> batch.toString },
-        entries =
-          ManifestIndex.listVersionFiles(fsOf(spark, root), root, next) ++
-            man.entries),
-        "APPEND")
+        entries = fresh ++ (if (carryForward) man.entries else Seq.empty)),
+        op)
       nextPath
     } finally rows.unpersist(false)
   }

@@ -119,10 +119,18 @@ class GraftSinkProvider extends StreamSinkProvider with DataSourceRegister {
         "graft sink: outputMode=complete emits the whole result each " +
           "trigger — use .option(\"mode\", \"replace\") (upsert would " +
           "strand deleted groups; append would duplicate)")
-    if (replace)
+    if (replace) {
       require(keys.isEmpty && cdc.isEmpty,
         "graft sink: mode=replace takes no 'keys' — each batch IS the " +
           "whole table")
+      // …and the reverse direction: replace under append/update output
+      // would wholesale-replace the table with a PARTIAL batch (appended
+      // rows or changed groups only) — silent data loss (review fix)
+      require(outputMode == OutputMode.Complete(),
+        "graft sink: mode=replace requires outputMode=complete — under " +
+          "append/update each batch is PARTIAL and a replace would drop " +
+          "everything else")
+    }
     new GraftSink(root, keys, appId, cdc, replace)
   }
 }

@@ -199,6 +199,17 @@ class GraftSinkSpec extends SparkSpec {
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ chain2(t.getCause)
     assert(chain2(e).exists(_.contains("replace")), chain2(e).mkString("|"))
+    // …and the REVERSE: replace under (default) append output would
+    // wholesale-replace the table with a PARTIAL batch — refuse
+    val e2 = intercept[Exception] {
+      StreamingOps.fileStream(spark, in, rows().schema)
+        .writeStream.format("graft-sink")
+        .option("path", root).option("mode", "replace")
+        .option("checkpointLocation", ckpt + "3")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(chain2(e2).exists(_.contains("outputMode=complete")),
+      chain2(e2).mkString("|"))
   }
 
   test("cdc mode refuses opCol/seqCol colliding with a table column") {
