@@ -613,6 +613,9 @@ object GraftDdl {
         nullable = false)(),
       AttributeReference("operation", StringType, nullable = true)())
     override def run(session: SparkSession): Seq[Row] =
+      // O(#versions) driver METADATA by contract — history() itself
+      // builds these rows driver-side from the manifest listing; this is
+      // the ledger, never table data
       Layout.history(session, GraftPaths.resolve(session, ident))
         .orderBy(org.apache.spark.sql.functions.col("version").desc)
         .collect().toSeq
