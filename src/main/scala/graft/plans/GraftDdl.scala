@@ -28,7 +28,19 @@ object GraftPaths {
   def isPath(ident: String): Boolean =
     ident.contains("/") || ident.contains("://")
 
+  /** Bare-name validity: a warehouse slot is EXACTLY ONE directory level
+    * under the warehouse. '.', '..', empty, or separator-bearing "names"
+    * would resolve OUTSIDE it — ``DROP TABLE graft.`..` `` would then
+    * recursively delete the warehouse's PARENT directory (review fix).
+    */
+  private[plans] def isValidName(ident: String): Boolean =
+    ident != "." && ident != ".." && ident.matches("[A-Za-z0-9_.-]+")
+
   private def warehouseDir(spark: SparkSession, ident: String): String = {
+    require(isValidName(ident),
+      s"graft SQL: invalid table name '$ident' — a bare name must match " +
+        "[A-Za-z0-9_.-]+ and may not be '.' or '..' (use a `/path` " +
+        "identifier to address a table by location)")
     val wh = spark.conf.get(WarehouseConf,
       sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-warehouse")
     s"${wh.stripSuffix("/")}/$ident"
@@ -101,7 +113,8 @@ object GraftPaths {
     val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rows: Seq[org.apache.spark.sql.Row] =
       if (!fs.exists(wh)) Seq.empty
-      else fs.listStatus(wh).filter(_.isDirectory).toSeq.flatMap { st =>
+      else fs.listStatus(wh).filter(_.isDirectory).toSeq
+        .filter(st => isValidName(st.getPath.getName)).flatMap { st =>
         val name = st.getPath.getName
         val target = resolve(spark, name)
         if (graft.sources.Layout.isVersionedRoot(spark, target))
@@ -440,6 +453,21 @@ object GraftDdl {
         throw new IllegalArgumentException(
           s"graft SQL DDL: table already exists at $root (CREATE TABLE IF " +
             "NOT EXISTS to tolerate)")
+      }
+      // a pre-existing NON-EMPTY directory is refused BEFORE any write:
+      // initVersionedManifest would otherwise make it a versioned root,
+      // and the failed-create cleanup below would then recursively delete
+      // the pre-existing unrelated files along with it (review fix — the
+      // emptiness gate is what makes the cleanup's dropTable safe: it can
+      // only ever remove artifacts this command created)
+      locally {
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(session.sparkContext.hadoopConfiguration)
+        if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+          throw new IllegalArgumentException(
+            s"graft SQL DDL: CREATE TABLE location $root exists and is " +
+              "not empty — refusing to claim it (a failed create must " +
+              "never delete pre-existing data)")
       }
       require(pcols.nonEmpty,
         "graft SQL DDL: CREATE TABLE graft.` ` requires PARTITIONED BY — " +

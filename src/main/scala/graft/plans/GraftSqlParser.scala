@@ -80,7 +80,25 @@ object GraftSqlParser {
   private def ident(quoted: String, bare: String): String =
     Option(quoted).getOrElse(bare)
 
-  private[plans] def parseGraftStatement(sql: String): Option[LogicalPlan] =
+  /** Split a ZORDER column list on commas OUTSIDE backticks, so a legal
+    * backquoted name containing a comma survives intact instead of being
+    * silently split into two wrong names (review fix).
+    */
+  private[graft] def splitColumnList(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer(new StringBuilder)
+    var inTick = false
+    s.foreach { c =>
+      if (c == '`') { inTick = !inTick; parts.last += c }
+      else if (c == ',' && !inTick) parts += new StringBuilder
+      else parts.last += c
+    }
+    require(!inTick,
+      s"graft SQL: unterminated backtick in ZORDER BY column list ($s)")
+    parts.toSeq.map(_.toString.trim.stripPrefix("`").stripSuffix("`"))
+      .filter(_.nonEmpty)
+  }
+
+  private[graft] def parseGraftStatement(sql: String): Option[LogicalPlan] =
     sql match {
       case DescribeHistory(q, b) =>
         Some(GraftDdl.GraftDescribeHistoryCommand(ident(q, b)))
@@ -91,9 +109,7 @@ object GraftSqlParser {
           Option(n).map(_.toInt).getOrElse(2)))
       case Optimize(q, b, cols) =>
         Some(GraftDdl.GraftOptimizeCommand(ident(q, b),
-          Option(cols).toSeq.flatMap(_.split(",").toSeq
-            .map(_.trim.stripPrefix("`").stripSuffix("`"))
-            .filter(_.nonEmpty))))
+          Option(cols).toSeq.flatMap(splitColumnList)))
       case Restore(q, b, v) =>
         Some(GraftDdl.GraftRestoreCommand(ident(q, b), v.toInt))
       case Clone(dq, db, sq, sb, v) =>

@@ -167,7 +167,17 @@ class GraftChangeSource(spark: SparkSession, root: String, keys: Seq[String],
   private lazy val resolvedStart: Option[Int] =
     startingVersion.orElse(startingTimestampMillis.flatMap { ms =>
       try Some(Layout.versionAsOf(spark, root, ms - 1))
-      catch { case _: IllegalArgumentException => None }
+      catch {
+        // ONLY the pre-history case ("no version … existed at or before")
+        // falls back to snapshot-then-follow; versionAsOf's other
+        // IllegalArgumentExceptions — not a manifest root, no committed
+        // versions — are configuration errors and must fail loudly here,
+        // not degrade silently and defer the real error to a later batch
+        // (review fix)
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.contains("existed at or before") => None
+      }
     })
 
   override val schema: StructType = schemaFor(spark, root, includeVersion)
