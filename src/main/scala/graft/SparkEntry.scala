@@ -329,10 +329,12 @@ object SparkEntry {
           sum(col("n_bpeish")).as("sum_bpeish"),
           count(lit(1)).as("n_docs"))),
 
+    // portable-hash tier (TextFunctions.polyHash): the oracle replays the
+    // fold bit-exactly, so the print is hash-CHECKED, not rows-only
     "q33_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
-        TF.fingerprint(TF.tokens(col("text"))).as("fingerprint"))),
+        TF.fingerprintPortable(TF.tokens(col("text"))).as("fingerprint"))),
 
     // dfCap bounds hot-shingle skew (any index key contributes ≤ C(cap,2)
     // pairs); 64 is far above this corpus's max df (14 at sf0.1), so the
@@ -343,14 +345,16 @@ object SparkEntry {
         shingleN = 3, threshold = 0.3, blockCol = Some("lang"),
         dfCap = Some(64L))),
 
-    // --- hash-based dedup (rows-only: hash functions are engine-specific) ---
+    // --- hash-based dedup, PORTABLE tier: seeded affine permutations over
+    //     polyHash replay in the oracle as inlined literals, so the LSH
+    //     candidate sets (and therefore the verified pairs) hash-match ---
     "q34_minhash_neardup" -> ((s, dir) =>
-      MinHashDedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 3, k = 16, b = 8, threshold = 0.8)),
+      MinHashDedup.nearDupPairsPortable(Tables.documents(s, dir), "doc_id",
+        "text", shingleN = 3, k = 16, b = 8, threshold = 0.8)),
 
     "q35_simhash_neardup" -> ((s, dir) =>
-      SimHashDedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
-        maxDist = 3)),
+      SimHashDedup.nearDupPairsPortable(Tables.documents(s, dir), "doc_id",
+        "text", maxDist = 3)),
 
     // --- similarity search (north star) ---
     "q37_cosine_topk" -> ((s, dir) => {
@@ -620,13 +624,14 @@ object SparkEntry {
         time = "o_orderdate", price = "o_totalprice", tiebreak = "o_orderkey",
         bucket = "month")),
 
-    // --- text -> vector bridge: cosine near-dup over documents (rows-only:
-    //     xxhash64-derived embeddings aren't oracle-expressible) ---
+    // --- text -> vector bridge: cosine near-dup over documents. PORTABLE
+    //     tier: polyHash-derived embeddings + the already-seeded hyperplanes
+    //     replay in the oracle, flipping this from rows-only to hash-checked.
     // threshold 0.95: the synthetic corpus shares one vocabulary, so BoW
     // cosine is high between ALL docs — only true near-dups clear 0.95.
     "q63_text_embed_neardup" -> ((s, dir) =>
       TextEmbed.cosineNearDupDocs(Tables.documents(s, dir), "doc_id", "text",
-        dim = 64, threshold = 0.95)),
+        dim = 64, threshold = 0.95, portable = true)),
 
     // --- deterministic train/val/test splits (md5-bucket, oracle-portable) ---
     "q64_dataset_split" -> ((s, dir) =>
@@ -3196,6 +3201,118 @@ object SparkEntry {
         SELECT id_a, id_b, round(s, 6) AS score FROM sc WHERE s >= 0.4"""
       },
 
+      // portable-hash tier replays: polyHash (per-char fold) and the seeded
+      // affine permutations / bit planes inline as literals, so the LSH
+      // candidate sets — and therefore the exact-verified outputs — match
+      // the engine bit-for-bit (the q160/q178 seeded-replay scheme applied
+      // to the text-hash family).
+      "q33_fingerprint" -> s"""
+        WITH t AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents),
+        h AS (SELECT doc_id,
+            list_transform(toks, tk -> ${duckPolyHash("tk")}) AS hs FROM t)
+        SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+          (acc, x) -> (acc * 1000003 + x) % 1000000007) AS fingerprint
+        FROM h""",
+
+      "q34_minhash_neardup" -> {
+        s"""
+        WITH t AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents),
+        g AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN []
+            ELSE list_distinct(list_transform(range(0, len(toks) - 2),
+              i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END AS sh
+          FROM t),
+        d AS (SELECT doc_id, sh FROM g WHERE len(sh) > 0),
+        hs AS (SELECT doc_id, list_transform(sh, s -> ${duckPolyHash("s")})
+            AS h FROM d),
+        sg AS (SELECT doc_id, ${duckMinhashSig(16, 34)} AS sig FROM hs),
+        b AS (${duckMinhashBands(8, 2, "sg")}),
+        cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM b x JOIN b y
+            ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+        j AS (SELECT c.id_a, c.id_b,
+            len(list_intersect(a.sh, w.sh)) AS inter,
+            len(a.sh) AS na, len(w.sh) AS nb
+          FROM cand c JOIN d a ON a.doc_id = c.id_a
+            JOIN d w ON w.doc_id = c.id_b)
+        SELECT id_a, id_b,
+          round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+        FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8"""
+      },
+
+      "q35_simhash_neardup" -> {
+        val planes = SimHashDedup.bitPlanes(35)
+        val votes = planes.zipWithIndex.map { case ((a, b), j) =>
+          s"sum(CASE WHEN ((h * $a + $b) % 1000000007) % 2 = 1 " +
+            s"THEN cnt ELSE -cnt END) AS v$j"
+        }.mkString(",\n            ")
+        val pack = planes.indices.map(j =>
+          s"(CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        val chunks = (0 until 4).map(i =>
+          s"SELECT doc_id, sh, $i AS ci, (sh // ${1L << (15 * i)}) % 32768 " +
+            s"AS cv FROM p").mkString("\n          UNION ALL ")
+        s"""
+        WITH t AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        hh AS (SELECT doc_id, ${duckPolyHash("tk")} AS h FROM tok),
+        c AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS cnt
+          FROM hh GROUP BY 1, 2),
+        v AS (SELECT doc_id,
+            $votes
+          FROM c GROUP BY 1),
+        p AS (SELECT doc_id, $pack AS sh FROM v),
+        ch AS ($chunks),
+        cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+            x.sh AS sa, y.sh AS sb
+          FROM ch x JOIN ch y
+            ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id)
+        SELECT id_a, id_b,
+          CAST(bit_count(xor(sa, sb)) AS INTEGER) AS dist
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
+      },
+
+      "q63_text_embed_neardup" -> {
+        val buckets = (0 until 24).map(t =>
+          s"SELECT vec_id, $t AS tbl, ${duckBucket(16, t, 64)} AS bkt FROM v")
+          .mkString("\n          UNION ALL ")
+        s"""
+        WITH t AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        hh AS (SELECT doc_id, ${duckPolyHash("tk")} AS h FROM tok),
+        w AS (SELECT doc_id, CAST(h % 64 AS INTEGER) AS pos,
+            CASE WHEN (h // 64) % 2 = 1 THEN 1.0 ELSE -1.0 END AS sgn
+          FROM hh),
+        agg AS (SELECT doc_id, pos, sum(sgn) AS wt FROM w GROUP BY 1, 2),
+        ps AS (SELECT doc_id, list(struct_pack(k := pos, v := wt)) AS kv
+          FROM agg GROUP BY 1),
+        v AS (SELECT doc_id AS vec_id,
+            list_transform(range(0, 64), i -> coalesce(
+              list_sum(list_transform(list_filter(kv, q -> q.k = i),
+                q -> q.v)), 0.0)) AS e
+          FROM ps),
+        b AS ($buckets),
+        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM b x JOIN b y
+            ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+        sc AS (SELECT c.id_a, c.id_b,
+            CASE WHEN sqrt(list_dot_product(a.e, a.e)) *
+                      sqrt(list_dot_product(w2.e, w2.e)) = 0 THEN 0
+                 ELSE list_dot_product(a.e, w2.e) /
+                   (sqrt(list_dot_product(a.e, a.e)) *
+                    sqrt(list_dot_product(w2.e, w2.e)))
+            END AS s
+          FROM cand c JOIN v a ON a.vec_id = c.id_a
+            JOIN v w2 ON w2.vec_id = c.id_b)
+        SELECT id_a, id_b, round(s, 6) AS score FROM sc WHERE s >= 0.95"""
+      },
+
       "q75_quality_repetition" -> """
         WITH t AS (SELECT doc_id, text,
             string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
@@ -5050,4 +5167,32 @@ object SparkEntry {
         .mkString("[", ",", "]")
       s"(CASE WHEN list_dot_product(e, $plane) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** DuckDB expression computing [[graft.functions.TextFunctions.polyHash]]
+    * bit-exactly: the same per-character `h*31 + codepoint (mod P)` fold.
+    */
+  private def duckPolyHash(c: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(" +
+      s"string_split($c, ''), ch -> CAST(ascii(ch) AS BIGINT))), " +
+      s"(h, ch) -> (h * 31 + ch) % 1000000007)"
+
+  /** The 16 portable minhash signature components as DuckDB exprs over a
+    * hash array column `h` — SAME seeded `(a_i, b_i)` stream as
+    * [[graft.ops.MinHashDedup.signaturePortable]], inlined as literals.
+    */
+  private def duckMinhashSig(k: Int, seed: Int): String =
+    MinHashDedup.perms(k, seed).map { case (a, b) =>
+      s"list_min(list_transform(h, x -> (x * $a + $b) % 1000000007))"
+    }.mkString("[", ", ", "]")
+
+  /** One UNION ALL branch per band: the portable band fold
+    * `acc*131 + sig_j (mod P)` mirrored from
+    * [[graft.ops.MinHashDedup.bandsPortable]].
+    */
+  private def duckMinhashBands(b: Int, r: Int, from: String): String =
+    (0 until b).map { i =>
+      val bh = (i * r until (i + 1) * r).foldLeft("CAST(0 AS BIGINT)")(
+        (acc, j) => s"(($acc) * 131 + sig[${j + 1}]) % 1000000007")
+      s"SELECT doc_id, $i AS band, $bh AS bh FROM $from"
+    }.mkString("\n          UNION ALL ")
 }

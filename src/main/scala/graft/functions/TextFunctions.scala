@@ -120,6 +120,37 @@ object TextFunctions {
       (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), p), p))
   }
 
+  /** The modulus every portable-hash operator folds under (a common
+    * 30-bit prime): small enough that affine maps `a*h+b` with `a,b < P`
+    * stay below 2^63 (ANSI-safe), large enough for dedup-grade collision
+    * odds at corpus scale.
+    */
+  val PolyP = 1000000007L
+
+  /** PORTABLE polynomial string hash: fold `h*31 + codepoint (mod P)` over
+    * the characters. Bit-identical in any engine with a fold primitive —
+    * DuckDB computes the same value as
+    * `list_reduce(list_prepend(0, list_transform(string_split(s, ''),
+    * c -> ascii(c))), (h, c) -> (h * 31 + c) % 1000000007)` — which makes
+    * every hash-DERIVED operator built on it (fingerprints, minhash
+    * signatures, simhash prints, hashing-trick embeddings) replayable by
+    * the external oracle. The xxhash64 variants remain the production
+    * tier (one hash call vs a per-char fold, 64 bits vs ~30); the
+    * portable tier is the verification face of the same algebra.
+    */
+  def polyHash(c: Column): Column =
+    aggregate(split(c, ""), lit(0L),
+      (h, ch) => pmod(h * lit(31L) + ascii(ch), lit(PolyP)))
+
+  /** [[fingerprint]] over [[polyHash]] token values — same Rabin-Karp
+    * fold, oracle-replayable (see [[polyHash]]). Intermediates < 1e16.
+    */
+  def fingerprintPortable(toks: Column): Column = {
+    val p = lit(PolyP)
+    aggregate(toks, lit(0L),
+      (acc, t) => pmod(acc * lit(1000003L) + polyHash(t), p))
+  }
+
   /** Heuristic language ID over marker-token hit counts. Deterministic
     * tie-break: first language in `markers` order wins ties.
     */

@@ -39,6 +39,85 @@ object MinHashDedup {
         xxhash64((i * r until (i + 1) * r).map(j => element_at(sig, j + 1)): _*)
           .as("bh"))): _*)
 
+  /** Seeded affine permutation constants `(a_i, b_i)` for the PORTABLE
+    * signature tier — regenerate with the same seed to inline them as
+    * literals in an external oracle's SQL (the [[graft.ops.Quantize]]
+    * seeded-replay scheme). `a_i ∈ [1, P)`, `b_i ∈ [0, P)`.
+    */
+  def perms(k: Int, seed: Int = 34): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed.toLong * 104729 + 17)
+    Seq.fill(k)((1L + rnd.nextInt((TextFunctions.PolyP - 1).toInt).toLong,
+      rnd.nextInt(TextFunctions.PolyP.toInt).toLong))
+  }
+
+  /** PORTABLE k-minhash signature over a PRE-HASHED shingle array
+    * (`array<long>` of [[TextFunctions.polyHash]] values): per permutation
+    * i, `min over shingles of (a_i*h + b_i) mod P`. Products stay < 1e18
+    * (ANSI-safe), and every value replays in DuckDB with the same inlined
+    * `(a_i, b_i)` literals — the oracle-checkable face of [[signature]].
+    * Hashing ONCE then permuting affinely is also the cheaper plan: k
+    * affine maps per shingle instead of k independent hash evaluations.
+    */
+  def signaturePortable(hashCol: Column, k: Int, seed: Int = 34): Column =
+    array(perms(k, seed).map { case (a, b) =>
+      array_min(transform(hashCol,
+        h => pmod(h * lit(a) + lit(b), lit(TextFunctions.PolyP)))) }: _*)
+
+  /** PORTABLE band keys: fold `acc*131 + sig_j (mod P)` over each band's r
+    * signature values — the engine-agnostic stand-in for [[bands]]'
+    * xxhash64 combine. Intermediates < 1.4e11.
+    */
+  def bandsPortable(sig: Column, b: Int, r: Int): Column =
+    array((0 until b).map { i =>
+      val bh = (i * r until (i + 1) * r).foldLeft(lit(0L): Column)((acc, j) =>
+        pmod(acc * lit(131L) + element_at(sig, j + 1), lit(TextFunctions.PolyP)))
+      struct(lit(i).as("band"), bh.as("bh"))
+    }: _*)
+
+  /** [[nearDupPairs]] on the PORTABLE hash tier — same MMDS pipeline
+    * (shingles → k-minhash → b bands → bucket join → exact-Jaccard
+    * verify), every hash value replayable by an external SQL oracle (see
+    * [[TextFunctions.polyHash]]). The exact-Jaccard verification gate is
+    * shared, so both tiers emit only TRUE >=threshold pairs; they differ
+    * only in which candidates the bands surface (recall), which the same
+    * (b, r) analysis governs.
+    */
+  def nearDupPairsPortable(docs: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 3, k: Int = 16, b: Int = 8,
+                           threshold: Double = 0.8, seed: Int = 34): DataFrame = {
+    require(k % b == 0, "signature length must divide into bands")
+    val r = k / b
+    val withShingles = graft.util.Caches.cache(docs
+      .select(col(idCol).as("id"),
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)).toDF
+    // each intermediate materializes behind its own projection, same
+    // rationale as [[nearDupPairs]]' sig: composing hashed→sig→bands as
+    // one expression would duplicate the per-char polyHash fold into
+    // every downstream element_at
+    val hashed = withShingles.select(col("id"),
+      transform(col("sh"), s => TextFunctions.polyHash(s)).as("hs"))
+    val sigs = hashed.select(col("id"),
+      signaturePortable(col("hs"), k, seed).as("sig"))
+    val buckets = graft.util.Caches.cache(
+      sigs.select(col("id"), explode(bandsPortable(col("sig"), b, r)).as("b"))
+        .select(col("id"), col("b.band"), col("b.bh"))).toDF
+    val candidates = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val shA = withShingles.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = withShingles.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Near-duplicate pairs (idA < idB) with exact Jaccard >= `threshold`.
     *
     * @param docs      (id, text)

@@ -63,6 +63,75 @@ object SimHashDedup {
           .reduce(_ bitwiseOR _).as("sh"))
   }
 
+  /** PORTABLE tier width: 60 bits, packed as 4 × 15-bit chunks. 60 (not
+    * 64) so every print is a POSITIVE long — signed-64 packing (bit 63 =
+    * Long.MinValue) and arithmetic-vs-logical right shifts of negative
+    * values are exactly the operations SQL engines disagree on; below
+    * 2^60 every shift/mod/div is engine-agnostic integer arithmetic.
+    */
+  val PortableBits = 60
+  private val PortableChunkBits = 15
+
+  /** Seeded affine bit-derivation constants: portable bit j of a token is
+    * `((a_j * polyHash(tok) + b_j) mod P) mod 2`. Same seeded-literal
+    * replay scheme as [[MinHashDedup.perms]].
+    */
+  def bitPlanes(seed: Int = 35): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed.toLong * 99991 + 7)
+    Seq.fill(PortableBits)(
+      (1L + rnd.nextInt((TextFunctions.PolyP - 1).toInt).toLong,
+        rnd.nextInt(TextFunctions.PolyP.toInt).toLong))
+  }
+
+  /** [[simhashPrints]] on the PORTABLE hash tier: token base hash is
+    * [[TextFunctions.polyHash]], each of the 60 bits derives from a
+    * seeded affine map over it — every vote replayable by an external
+    * SQL oracle with the same inlined `(a_j, b_j)` literals. Same
+    * counted pre-aggregation shape (and therefore the same two even
+    * hash shuffles) as the 64-bit tier.
+    */
+  def simhashPrintsPortable(docs: DataFrame, idCol: String, textCol: String,
+                            seed: Int = 35): DataFrame = {
+    val tokenRows = docs
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("id"), TextFunctions.polyHash(col("tok")).as("h"))
+    val counted = tokenRows.groupBy("id", "h").agg(count(lit(1)).as("cnt"))
+    val planes = bitPlanes(seed)
+    val votes = planes.zipWithIndex.map { case ((a, b), j) =>
+      sum(when(pmod(pmod(col("h") * lit(a) + lit(b), lit(TextFunctions.PolyP)),
+          lit(2L)) === 1L, col("cnt")).otherwise(-col("cnt"))).as(s"v$j")
+    }
+    counted.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until PortableBits).map(j =>
+          when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sh"))
+  }
+
+  /** [[nearDupPairs]] on the PORTABLE tier: 60-bit prints, 4 × 15-bit
+    * chunk pigeonhole (complete for maxDist <= 3, same argument), every
+    * value oracle-replayable. `dist` is cast to int on both sides of the
+    * compare surface.
+    */
+  def nearDupPairsPortable(docs: DataFrame, idCol: String, textCol: String,
+                           maxDist: Int = 3, seed: Int = 35): DataFrame = {
+    val prints = simhashPrintsPortable(docs, idCol, textCol, seed)
+    val chunks = graft.util.Caches.cache(prints.select(col("id"), col("sh"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("ci"),
+            shiftright(col("sh"), i * PortableChunkBits)
+              .bitwiseAND((1L << PortableChunkBits) - 1).as("cv"))): _*)).as("c"))
+      .select(col("id"), col("sh"), col("c.ci"), col("c.cv"))).toDF
+    chunks.as("x").join(chunks.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        hamming(col("x.sh"), col("y.sh")).cast("int").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Pairs (id_a < id_b) whose simhash Hamming distance <= maxDist (<= 15,
     * guaranteed complete by the 4-chunk pigeonhole for maxDist <= 3).
     */

@@ -20,14 +20,30 @@ object TextEmbed {
   /** @return (idCol, embedding: array<double>) — one row per input doc with
     *         at least one token.
     */
-  def hashEmbed(docs: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame = {
-    val tok = docs
-      .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .select(col("id"),
-        pmod(xxhash64(col("tok")), lit(dim)).cast("int").as("pos"),
-        when(shiftright(xxhash64(col("tok")), 32).bitwiseAND(1L) === 1L, 1.0)
-          .otherwise(-1.0).as("sgn"))
-    tok.groupBy("id", "pos").agg(sum(col("sgn")).as("w"))
+  def hashEmbed(docs: DataFrame, idCol: String, textCol: String, dim: Int,
+                portable: Boolean = false): DataFrame = {
+    // portable tier: position and sign derive from TextFunctions.polyHash
+    // (pos = h mod dim, sign bit = (h div dim) mod 2 — div so the sign
+    // source bits are independent of the position bits), each replayable
+    // by the external oracle; h < P < 2^53, so the double-division floor
+    // is exact and matches integer `//` in any engine
+    val hashed =
+      if (portable) {
+        val h = TextFunctions.polyHash(col("tok"))
+        docs.select(col(idCol).as("id"),
+            explode(TextFunctions.tokens(col(textCol))).as("tok"))
+          .select(col("id"), h.as("h"))
+          .select(col("id"),
+            pmod(col("h"), lit(dim.toLong)).cast("int").as("pos"),
+            when(pmod(floor(col("h") / lit(dim.toDouble)).cast("long"),
+              lit(2L)) === 1L, 1.0).otherwise(-1.0).as("sgn"))
+      } else docs
+        .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+        .select(col("id"),
+          pmod(xxhash64(col("tok")), lit(dim)).cast("int").as("pos"),
+          when(shiftright(xxhash64(col("tok")), 32).bitwiseAND(1L) === 1L, 1.0)
+            .otherwise(-1.0).as("sgn"))
+    hashed.groupBy("id", "pos").agg(sum(col("sgn")).as("w"))
       .groupBy("id")
       .agg(map_from_entries(collect_list(struct(col("pos"), col("w")))).as("m"))
       .select(col("id").as(idCol),
@@ -52,23 +68,28 @@ object TextEmbed {
     */
   def cosineNearDupDocs(docs: DataFrame, idCol: String, textCol: String,
                         dim: Int, threshold: Double,
-                        nBits: Int = 16, nTables: Int = 24): DataFrame =
+                        nBits: Int = 16, nTables: Int = 24,
+                        portable: Boolean = false): DataFrame =
     Similarity.lshThresholdPairs(
-      embeddedCorpus(docs, idCol, textCol, dim), threshold, nBits, nTables, dim)
+      embeddedCorpus(docs, idCol, textCol, dim, portable), threshold,
+      nBits, nTables, dim)
 
   /** Exact all-pairs variant (block-partitioned equi-join, Θ(n²) compares) —
     * the correctness oracle for [[cosineNearDupDocs]] and the honest choice
     * at thresholds too low for LSH recall.
     */
   def cosineNearDupDocsExact(docs: DataFrame, idCol: String, textCol: String,
-                             dim: Int, threshold: Double): DataFrame =
-    Similarity.thresholdPairs(embeddedCorpus(docs, idCol, textCol, dim), threshold)
+                             dim: Int, threshold: Double,
+                             portable: Boolean = false): DataFrame =
+    Similarity.thresholdPairs(
+      embeddedCorpus(docs, idCol, textCol, dim, portable), threshold)
 
   private def embeddedCorpus(docs: DataFrame, idCol: String, textCol: String,
-                             dim: Int): DataFrame =
+                             dim: Int, portable: Boolean = false): DataFrame =
     // several joins downstream read the embeddings — don't rebuild the
     // tokenize→hash→aggregate pipeline per consumer (tracked; Caches.releaseAll
     // frees it once the result is materialized)
     graft.util.Caches.cache(
-      hashEmbed(docs, idCol, textCol, dim).withColumnRenamed(idCol, "vec_id")).toDF
+      hashEmbed(docs, idCol, textCol, dim, portable)
+        .withColumnRenamed(idCol, "vec_id")).toDF
 }

@@ -54,6 +54,50 @@ class TextVectorSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
   }
 
+  test("polyHash: deterministic char fold, bounded, empty → 0") {
+    val got = Seq("hello", "", "Ab9").toDF("t")
+      .select(TF.polyHash($"t")).as[Long].collect().toSeq
+    // reference values hand-computed (and replayed in DuckDB by the
+    // oracle helper): fold h*31 + codepoint mod 1e9+7
+    assert(got == Seq(99162322L, 0L, 65560L))
+  }
+
+  test("portable fingerprint: identical docs identical, bounded") {
+    val fp = docs.select($"doc_id",
+        TF.fingerprintPortable(TF.tokens($"text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(4L))
+    assert(fp(1L) != fp(2L))
+    assert(fp.values.forall(v => v >= 0 && v < 1000000007L))
+  }
+
+  test("portable minhash finds the exact-dup pair with jaccard 1.0") {
+    val pairs = MinHashDedup.nearDupPairsPortable(docs, "doc_id", "text",
+        shingleN = 3, k = 16, b = 8, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("portable simhash: identical docs at distance 0, prints in [0, 2^60)") {
+    val pairs = SimHashDedup.nearDupPairsPortable(docs, "doc_id", "text",
+        maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
+    val prints = SimHashDedup.simhashPrintsPortable(docs, "doc_id", "text")
+      .select($"sh").as[Long].collect()
+    assert(prints.forall(p => p >= 0L && p < (1L << 60)))
+  }
+
+  test("portable hashEmbed: exact dup cosine 1.0, disjoint doc excluded") {
+    import graft.ops.TextEmbed
+    val pairs = TextEmbed.cosineNearDupDocs(docs, "doc_id", "text",
+        dim = 32, threshold = 0.8, portable = true)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("cosine: exact on known vectors") {
     val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
       (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
