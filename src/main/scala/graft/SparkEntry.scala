@@ -2543,6 +2543,40 @@ object SparkEntry {
       graft.sources.Layout.readCurrent(s, root)
         .groupBy("pri")
         .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+    }),
+
+    // --- DSv2 catalog lifecycle (r14) ---
+    // q176's algebra routed through the REGISTERED GraftCatalog instead of
+    // the parse-time lowering: CREATE (catalog createTable + TableInfo
+    // CHECK constraint), INSERT (genuine DSv2 write, V1 fallback), ALTER
+    // RENAME COLUMN (catalog TableChange), UPDATE/DELETE (parser-lowered
+    // DML in catalog mode), a self-referential INSERT OVERWRITE (the v2
+    // overwrite path reading the table's own previous version), and a
+    // catalog-resolved read with SHOW TABLES/DESCRIBE HISTORY pinned as
+    // scalar columns. Runs in a newSession so catalog registration never
+    // leaks into the shared Verify session.
+    "q182_catalog_lifecycle" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+      s.conf.set("spark.graft.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_q182_wh").toString)
+      Tables.orders(s, dir).createOrReplaceTempView("q182_orders")
+      s.sql("CREATE TABLE graft.cat182 (id BIGINT, v BIGINT, pri STRING, " +
+        "CONSTRAINT id_pos CHECK (id >= 0)) PARTITIONED BY (pri)")
+      s.sql("INSERT INTO graft.cat182 SELECT o_orderkey, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT), o_orderpriority " +
+        "FROM q182_orders")
+      s.sql("ALTER TABLE graft.cat182 RENAME COLUMN v TO cents")
+      s.sql("UPDATE graft.cat182 SET cents = cents + 7 WHERE id % 5 = 0")
+      s.sql("DELETE FROM graft.cat182 WHERE id % 11 = 0")
+      s.sql("INSERT OVERWRITE graft.cat182 " +
+        "SELECT * FROM graft.cat182 WHERE id % 3 <> 0")
+      val nTables = s.sql("SHOW TABLES IN graft").count()
+      val nHist = s.sql("DESCRIBE HISTORY graft.cat182").count()
+      s.sql("SELECT pri, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "sum(cents) AS sum_cents FROM graft.cat182 GROUP BY pri")
+        .withColumn("n_history", lit(nHist))
+        .withColumn("n_tables", lit(nTables))
     })
   )
 
@@ -5102,7 +5136,24 @@ object SparkEntry {
             AS sum_v
         FROM orders
         WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
-        GROUP BY 1"""
+        GROUP BY 1""",
+
+      // the catalog-routed lifecycle must land exactly where q176's
+      // lowered statements do: update (+7 on id%5), delete (id%11),
+      // overwrite keeping id%3<>0. n_history pins the commit ledger
+      // (create, CHECK metadata commit, insert, RENAME metadata commit,
+      // update, delete, overwrite = 7), n_tables the SHOW TABLES listing.
+      "q182_catalog_lifecycle" -> """
+        WITH base AS (SELECT o_orderkey AS id,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+            o_orderpriority AS pri FROM orders),
+        u AS (SELECT id, v + CASE WHEN id % 5 = 0 THEN 7 ELSE 0 END AS cents,
+            pri FROM base WHERE id % 11 <> 0),
+        o AS (SELECT * FROM u WHERE id % 3 <> 0)
+        SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(cents) AS BIGINT) AS sum_cents,
+          CAST(7 AS BIGINT) AS n_history, CAST(1 AS BIGINT) AS n_tables
+        FROM o GROUP BY 1"""
     )
   }
 

@@ -46,6 +46,13 @@ object GraftPaths {
     s"${wh.stripSuffix("/")}/$ident"
   }
 
+  /** The warehouse SLOT directory for a bare name (redirect marker and
+    * all) — the unit [[GraftCatalog.renameTable]] moves. Validates like
+    * every other resolve.
+    */
+  private[plans] def slotDir(spark: SparkSession, ident: String): String =
+    warehouseDir(spark, ident)
+
   /** A name created with an external LOCATION persists the mapping as a
     * `_location` redirect under the warehouse slot — EVERY later
     * name-addressed statement (DML, DDL, TVFs) must target the same root
@@ -282,7 +289,16 @@ object GraftDdl {
     * time. The DML rule stays a resolution rule because its
     * `UnresolvedRelation` target is never claimed by a built-in rule.
     */
-  def lower(plan: LogicalPlan): Option[LogicalPlan] = Some(plan match {
+  def lower(plan: LogicalPlan): Option[LogicalPlan] = {
+    // CATALOG mode: Spark's grammar + GraftCatalog resolution own these
+    // statements (create/alter/drop/truncate/show-create route through
+    // the catalog's methods); lowering here would silently bypass the
+    // registered catalog. The injected-parser statements (DESCRIBE
+    // HISTORY, VACUUM, OPTIMIZE, RESTORE, SHALLOW CLONE) are unaffected —
+    // they never reach this method.
+    if (GraftDml.catalogMode(org.apache.spark.sql.SparkSession.active))
+      return None
+    Some(plan match {
       case ct: CreateTable =>
         ct.name match {
           case Ident(x) =>
@@ -371,11 +387,9 @@ object GraftDdl {
         }
 
       case acc: AddCheckConstraint =>
-        acc.child match {
-          case Rel(x) =>
-            GraftAddConstraintCommand(x, acc.checkConstraint.name,
-              acc.checkConstraint.condition)
-          case _ => return None
+        lowerAddConstraint(acc) match {
+          case Some(cmd) => cmd
+          case None => return None
         }
 
       case sct: ShowCreateTable =>
@@ -406,6 +420,22 @@ object GraftDdl {
 
       case _ => return None
     })
+  }
+
+  /** `ALTER TABLE … ADD CONSTRAINT … CHECK` lowers at parse time in BOTH
+    * modes (the one statement that does): its plan embeds a validation
+    * SCAN of the target, and in catalog mode Spark's own
+    * ResolveSessionCatalog dereferences that scan's v2 relation after the
+    * read-substitution rule has (correctly) rewritten it — a None.get.
+    * The lowered command validates at RUN time against the same
+    * Layout.readCurrent plan, catalog or not.
+    */
+  private[plans] def lowerAddConstraint(
+      acc: AddCheckConstraint): Option[LogicalPlan] = acc.child match {
+    case Rel(x) => Some(GraftAddConstraintCommand(x, acc.checkConstraint.name,
+      acc.checkConstraint.condition))
+    case _ => None
+  }
 
   private def pathAttr: Seq[Attribute] =
     Seq(AttributeReference("version_path", StringType, nullable = false)())

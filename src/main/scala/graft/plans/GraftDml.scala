@@ -80,6 +80,16 @@ import graft.sources.{Layout, ManifestIndex}
 object GraftDml {
   private[plans] val Namespace = "graft"
 
+  /** Whether this session runs with the DSv2 [[GraftCatalog]] registered
+    * (`spark.sql.catalog.graft`). In catalog mode Spark's own resolution
+    * owns the `graft.` namespace for DDL/reads/INSERT, so the parse-time
+    * DDL lowering steps aside and DML lowers from the parser instead of
+    * the resolution rule — see [[GraftCatalog]]'s division of labor.
+    */
+  private[plans] def catalogMode(
+      spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption(s"spark.sql.catalog.$Namespace").isDefined
+
   /** Match `graft.`path`` targets through an optional alias, yielding
     * (root path, lower-cased alias qualifiers).
     */

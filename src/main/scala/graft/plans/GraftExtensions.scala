@@ -34,12 +34,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // still carrying DML statements, so DML targets are never rewritten
     // into scans. See GraftRead for the ordering contract.
     ext.injectResolutionRule(session => GraftRead.GraftReadRule(session))
+    // CATALOG-mode reads (spark.sql.catalog.graft = GraftCatalog): a
+    // GraftTable relation the catalog resolved substitutes with the same
+    // Layout read plan — see GraftV2Read for the exprId-preserving
+    // contract and the V2WriteCommand target protection. Inert when the
+    // catalog is not registered (no GraftTable relations exist then).
+    ext.injectResolutionRule(session => GraftV2Read.GraftV2ReadRule(session))
     // SQL table-lifecycle DDL (CREATE/DROP TABLE, ALTER TABLE …) lowers
     // at PARSE time inside the delegating parser (ResolveSessionCatalog
     // would claim the identifiers before a resolution rule could — see
     // GraftDdl.lower); the parser also grammars DESCRIBE HISTORY /
     // VACUUM / OPTIMIZE, the three statements Spark's parser lacks.
-    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),

@@ -28,15 +28,37 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * commands; identifier resolution (name → warehouse path) stays in the
   * commands, shared with the rule-lowered surface.
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
+                     delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlParser.parseGraftStatement(sqlText).getOrElse {
-      // graft-addressed standard-grammar DDL lowers HERE, at parse time —
-      // Spark's ResolveSessionCatalog would otherwise claim the
-      // identifier before any injected resolution rule fires (see
-      // GraftDdl.lower). Everything else passes through untouched.
       val plan = delegate.parsePlan(sqlText)
-      GraftDdl.lower(plan).getOrElse(plan)
+      if (GraftDml.catalogMode(session)) {
+        // CATALOG mode (spark.sql.catalog.graft registered): Spark's own
+        // grammar + GraftCatalog resolution carry DDL, reads and INSERT;
+        // only MERGE/UPDATE/DELETE lower here, at parse time, because
+        // their conditions must be captured while still UNRESOLVED (the
+        // catalog would resolve the target — and with it the condition
+        // attrs — in the same fixed-point batch a resolution rule runs
+        // in). Same GraftDmlRule machinery as the non-catalog path.
+        plan match {
+          case _: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable |
+               _: org.apache.spark.sql.catalyst.plans.logical.UpdateTable |
+               _: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+            GraftDml.GraftDmlRule(session).apply(plan)
+          case acc: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>
+            // the one DDL statement that lowers in catalog mode too — see
+            // GraftDdl.lowerAddConstraint for why
+            GraftDdl.lowerAddConstraint(acc).getOrElse(plan)
+          case _ => plan
+        }
+      } else {
+        // graft-addressed standard-grammar DDL lowers HERE, at parse
+        // time — Spark's ResolveSessionCatalog would otherwise claim the
+        // identifier before any injected resolution rule fires (see
+        // GraftDdl.lower). Everything else passes through untouched.
+        GraftDdl.lower(plan).getOrElse(plan)
+      }
     }
 
   override def parseExpression(sqlText: String): Expression =

@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, V2WriteCommand}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** Catalog-mode READ substitution: a [[GraftTable]] relation the catalog
+  * resolved (`SELECT … FROM graft.x`, `… VERSION AS OF n`, a MERGE source,
+  * a subquery) rewrites to the SAME logical plan `Layout.readCurrent` /
+  * `readVersion` / `readAsOf` produce — deletion vectors, column mapping,
+  * stats/bloom skipping and manifest pruning apply identically, and
+  * `sizeInBytes` flows from `ManifestFileIndex` so broadcast planning
+  * works. This is the relation-conversion pattern lakehouse extensions
+  * standardly use instead of re-implementing the custom read machinery as
+  * a DSv2 `Scan`.
+  *
+  * Attribute identity: the substituted plan's output attributes get
+  * re-aliased under the RELATION's exprIds (a straight child swap would
+  * orphan every reference the analyzer already resolved against the v2
+  * relation's output).
+  *
+  * Write-target protection, same contract as [[GraftRead.GraftReadRule]]:
+  * the relation under a `V2WriteCommand` (AppendData / OverwriteByExpr —
+  * the DSv2 INSERT path) must stay a v2 relation for the write exec;
+  * every OTHER occurrence (including the SOURCE of such a write) rewrites.
+  */
+object GraftV2Read {
+
+  case class GraftV2ReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      val protectedRels =
+        java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+      plan.foreach {
+        case w: V2WriteCommand => protectedRels.add(w.table)
+        case _ =>
+      }
+      plan.resolveOperatorsUp {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] &&
+            !protectedRels.contains(r) =>
+          val child = r.table.asInstanceOf[GraftTable]
+            .readPlan().queryExecution.analyzed
+          val byName = child.output.map(a => a.name.toLowerCase -> a).toMap
+          Project(r.output.map { o =>
+            val src = byName.getOrElse(o.name.toLowerCase,
+              throw new IllegalStateException(
+                s"graft catalog read: column '${o.name}' resolved against " +
+                  s"the catalog schema is missing from the layout read of " +
+                  s"${r.table.name()} — concurrent schema change?"))
+            Alias(src, o.name)(exprId = o.exprId)
+          }, child)
+      }
+    }
+  }
+}

@@ -15,6 +15,15 @@ object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** v2 `Column[]` → `StructType` (CatalogV2Util is `private[sql]`) — the
+    * catalog's createTable(columns) overload needs the conversion.
+    */
+  def v2ColumnsToStructType(
+      cols: Array[org.apache.spark.sql.connector.catalog.Column])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util
+      .v2ColumnsToStructType(cols)
+
   /** Analyze-and-wrap a logical plan as a DataFrame (`Dataset.ofRows` went
     * `private[sql]` with the Spark 4 classic split). Used by the SQL DML
     * commands to evaluate the MERGE source plan the parser captured.
