@@ -2577,6 +2577,33 @@ object SparkEntry {
         "sum(cents) AS sum_cents FROM graft.cat182 GROUP BY pri")
         .withColumn("n_history", lit(nHist))
         .withColumn("n_tables", lit(nTables))
+    }),
+
+    // --- perceptual hashes over the binary payload (r14) ---
+    // The multimodal pillar's byte-level prints: one codegen'd pass per
+    // hash over the payload bytes (PerceptualHash), exact integer cell
+    // means — the oracle replays them from the ASCII stand-in corpus
+    // character-by-character.
+    "q183_phash" -> ((s, dir) =>
+      Multimodal.phashes(Multimodal.fromDocuments(Tables.documents(s, dir)))),
+
+    // --- byte-level near-dup assets via dHash hamming banding (r14) ---
+    // SimHashDedup's 4x16-bit chunk pigeonhole applied to the perceptual
+    // print: candidates from a plain equi-join on chunk values (never
+    // all-pairs), exact bit_count verification. The corpus pairs each
+    // asset with a deterministic NOISED copy (every 17th byte +5, clamped
+    // ASCII) — the re-encoded/noised-image scenario perceptual hashing
+    // exists for; text-level near-dups shift bytes and are (correctly)
+    // far under a byte-grid print, which is MinHash's job (q34).
+    "q184_phash_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val perturbed = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        array_join(transform(split(col("text"), ""),
+          (c, i) => when(i % 17 === 0,
+            chr(least(ascii(c) + lit(5), lit(126)).cast("long")))
+            .otherwise(c)), "").as("text"))
+      Multimodal.phashNearDupPairs(
+        Multimodal.fromDocuments(docs.unionByName(perturbed)), maxDist = 3)
     })
   )
 
@@ -5153,9 +5180,78 @@ object SparkEntry {
         SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
           CAST(sum(cents) AS BIGINT) AS sum_cents,
           CAST(7 AS BIGINT) AS n_history, CAST(1 AS BIGINT) AS n_tables
-        FROM o GROUP BY 1"""
+        FROM o GROUP BY 1""",
+
+      // PerceptualHash replay: the ASCII stand-in payload's byte k is the
+      // codepoint of character k+1, and every cell mean compares in EXACT
+      // integer arithmetic, so both prints reproduce bit-for-bit.
+      "q183_phash" -> s"""
+        ${duckPhashCtes("documents")}
+        SELECT asset_id, CAST($duckAHashBits AS BIGINT) AS ahash,
+          CAST($duckDHashBits AS BIGINT) AS dhash
+        FROM g""",
+
+      "q184_phash_neardup" -> {
+        val chunks = (0 until 4).map(i =>
+          s"SELECT asset_id, dh, $i AS ci, (dh >> ${16 * i}) & 65535 AS cv " +
+            "FROM p").mkString("\n          UNION ALL ")
+        s"""
+        WITH noised AS (SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000,
+            array_to_string(list_transform(range(0, length(text)),
+              i -> CASE WHEN i % 17 = 0
+                THEN chr(CAST(least(ascii(text[i+1]) + 5, 126) AS INTEGER))
+                ELSE text[i+1] END), '')
+          FROM documents),
+        ${duckPhashCtes("noised", withKeyword = false)},
+        p AS (SELECT asset_id, CAST($duckDHashBits AS BIGINT) AS dh FROM g),
+        ch AS ($chunks),
+        cand AS (SELECT DISTINCT x.asset_id AS id_a, y.asset_id AS id_b,
+            x.dh AS da, y.dh AS db
+          FROM ch x JOIN ch y
+            ON x.ci = y.ci AND x.cv = y.cv AND x.asset_id < y.asset_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(da, db)) AS INTEGER) AS dist
+        FROM cand WHERE bit_count(xor(da, db)) <= 3"""
+      }
     )
   }
+
+  /** Shared CTEs for the perceptual-hash oracles: payload bytes from the
+    * ASCII text, per-cell sums for the 64-cell (aHash) and 65-cell
+    * (dHash) grids — the same `floor(c·n/cells)` ranges
+    * [[graft.functions.expressions.PerceptualHash]] uses.
+    */
+  private def duckPhashCtes(from: String,
+                            withKeyword: Boolean = true): String =
+    (if (withKeyword) "WITH " else "") + s"""by AS (SELECT doc_id AS asset_id,
+            list_transform(string_split(text, ''),
+              ch -> CAST(ascii(ch) AS BIGINT)) AS b,
+            CAST(length(text) AS BIGINT) AS n
+          FROM $from WHERE length(text) >= 65),
+        g AS (SELECT asset_id, n, list_sum(b) AS tot,
+            list_transform(range(0, 64), c -> coalesce(
+              list_sum(list_slice(b, (c*n)//64 + 1, ((c+1)*n)//64)), 0)) AS s64,
+            list_transform(range(0, 65), c -> coalesce(
+              list_sum(list_slice(b, (c*n)//65 + 1, ((c+1)*n)//65)), 0)) AS s65
+          FROM by)"""
+
+  private def duckPow2(c: Int): String =
+    if (c == 63) "(-9223372036854775807 - 1)" else (1L << c).toString
+
+  /** aHash bit c: `sum_c · n > total · len_c` (exact integers). */
+  private def duckAHashBits: String = (0 until 64).map { c =>
+    s"(CASE WHEN s64[${c + 1}] * n > tot * " +
+      s"((${c + 1}*n)//64 - (${c}*n)//64) THEN ${duckPow2(c)} ELSE 0 END)"
+  }.mkString(" + ")
+
+  /** dHash bit c: `sum_{c+1} · len_c > sum_c · len_{c+1}`. */
+  private def duckDHashBits: String = (0 until 64).map { c =>
+    val lc = s"((${c + 1}*n)//65 - (${c}*n)//65)"
+    val lc1 = s"((${c + 2}*n)//65 - (${c + 1}*n)//65)"
+    s"(CASE WHEN s65[${c + 2}] * $lc > s65[${c + 1}] * $lc1 " +
+      s"THEN ${duckPow2(c)} ELSE 0 END)"
+  }.mkString(" + ")
 
   /** DuckDB expression computing
     * [[graft.functions.VectorFunctions.hyperplaneBucket]] bit-identically:

@@ -74,6 +74,47 @@ object Multimodal {
     assets.select(col("asset_id"), col("kind"),
       col("meta.width"), col("meta.height"), col("meta.codec"))
 
+  /** Perceptual prints of every asset's payload: 64-bit aHash + dHash
+    * ([[graft.functions.expressions.PerceptualHash]] — one codegen'd pass
+    * over the bytes each). Assets whose payload is NULL or shorter than
+    * the grid are dropped (they have no print).
+    */
+  def phashes(assets: DataFrame): DataFrame = {
+    import graft.functions.expressions.PerceptualHash
+    assets.select(col("asset_id"),
+        PerceptualHash.aHash(col("payload")).as("ahash"),
+        PerceptualHash.dHash(col("payload")).as("dhash"))
+      .filter(col("ahash").isNotNull && col("dhash").isNotNull)
+  }
+
+  /** Byte-level near-duplicate asset pairs: dHash prints within Hamming
+    * distance `maxDist`, candidates from the standard 4 × 16-bit chunk
+    * pigeonhole (any pair within distance 3 agrees on at least one chunk,
+    * so an equi-join on (chunk_idx, chunk_value) finds all of them with a
+    * plain hash shuffle — the [[SimHashDedup]] layout applied to the
+    * multimodal pillar; never all-pairs, scales linearly in assets).
+    */
+  def phashNearDupPairs(assets: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3,
+      s"phashNearDupPairs: the 4-chunk pigeonhole is complete only for " +
+        s"maxDist <= 3, got $maxDist — add chunks for a looser radius")
+    val prints = phashes(assets).select(col("asset_id").as("id"), col("dhash"))
+    val chunks = graft.util.Caches.cache(prints.select(col("id"), col("dhash"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("ci"),
+            shiftright(col("dhash"), i * 16).bitwiseAND(0xFFFFL).as("cv"))): _*))
+          .as("c"))
+      .select(col("id"), col("dhash"), col("c.ci"), col("c.cv"))).toDF
+    chunks.as("x").join(chunks.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).cast("int")
+          .as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** STUB — resize plan shape: clamp declared dims to a bounding box
     * preserving aspect ratio and mark the codec. A real implementation
     * would transcode payload bytes; the metadata math, payload passthrough,

@@ -48,4 +48,66 @@ class MultimodalSpec extends SparkSpec {
     val counts = frames.groupBy("asset_id").count().as[(Long, Long)].collect().toMap
     assert(counts.values.forall(n => n >= 1 && n <= 4))
   }
+
+  test("perceptual hashes: deterministic, brightness-invariant, short/null -> dropped") {
+    import graft.functions.expressions.PerceptualHash
+    val base = "x" * 30 + "A" * 40 + "x" * 60 // structured strip, len 130
+    val df = Seq(
+      (1L, base),
+      (2L, base),            // identical bytes → identical prints
+      (3L, "short"),         // < 65 bytes → no print
+      (4L, base.map(c => (c + 2).toChar)) // +2 brightness everywhere
+    ).toDF("doc_id", "text")
+    val out = Multimodal.phashes(Multimodal.fromDocuments(df))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 4L)) // 3 dropped
+    val m = out.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(1L) == m(2L))
+    // uniform brightness shift moves every cell mean AND the global mean
+    // equally → both prints invariant (the property that makes them
+    // perceptual rather than cryptographic)
+    assert(m(1L) == m(4L))
+  }
+
+  test("phash near-dup pairs: noised copy found at small distance, disjoint not") {
+    val a = (0 until 200).map(i => ('a' + (i * 7 % 20)).toChar).mkString
+    val noised = a.zipWithIndex.map { case (c, i) =>
+      if (i % 17 == 0) (c + 1).toChar else c }.mkString
+    val b = (0 until 200).map(i => ('A' + (i * 13 % 26)).toChar).mkString
+    val df = Seq((1L, a), (2L, noised), (3L, b)).toDF("doc_id", "text")
+    val pairs = Multimodal.phashNearDupPairs(Multimodal.fromDocuments(df),
+        maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 <= 3))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("PerceptualHash matches a hand-rolled reference over real payloads") {
+    import graft.functions.expressions.PerceptualHash
+    val df = assets.limit(50).select($"asset_id",
+      PerceptualHash.aHash($"payload").as("ca"),
+      PerceptualHash.dHash($"payload").as("cd"))
+    val rows = df.collect()
+    val ref = assets.limit(50).select($"asset_id", $"payload").collect().map { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      val n = bytes.length
+      val h: java.lang.Long = if (n < 64) null else {
+        val sums = (0 until 64).map { c =>
+          bytes.slice((c.toLong * n / 64).toInt, ((c + 1).toLong * n / 64).toInt)
+            .map(_ & 0xFF).map(_.toLong).sum
+        }
+        val lens = (0 until 64).map(c =>
+          ((c + 1).toLong * n / 64 - c.toLong * n / 64))
+        val tot = sums.sum
+        (0 until 64).foldLeft(0L)((acc, c) =>
+          if (sums(c) * n > tot * lens(c)) acc | (1L << c) else acc)
+      }
+      r.getLong(0) -> h
+    }.toMap
+    rows.foreach { r =>
+      val got = if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))
+      assert(got == ref(r.getLong(0)),
+        s"ahash mismatch for asset ${r.getLong(0)}")
+    }
+  }
 }
