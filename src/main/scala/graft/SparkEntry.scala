@@ -2604,6 +2604,70 @@ object SparkEntry {
             .otherwise(c)), "").as("text"))
       Multimodal.phashNearDupPairs(
         Multimodal.fromDocuments(docs.unionByName(perturbed)), maxDist = 3)
+    }),
+
+    // --- NOT NULL / DEFAULT / GENERATED identity lifecycle (r14) ---
+    // The column-marker surface end-to-end: identity ids are GENERATED
+    // (insert omits the column; values land above the committed
+    // high-water, unique across batches — asserted as invariant columns
+    // the oracle pins to literals, since the id VALUES are
+    // gap-bearing by design and not oracle-replayable), the DEFAULT
+    // fills the omitted tag column, and the NOT NULL gate is part of the
+    // write path that produced every surviving row.
+    "q185_column_markers" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q185").toString + "/t"
+      s.sql(s"CREATE TABLE graft.`$root` (id BIGINT, v BIGINT, " +
+        "tag STRING, pri STRING) PARTITIONED BY (pri)")
+      s.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN v SET NOT NULL")
+      s.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN tag SET DEFAULT 'unk'")
+      graft.sources.Layout.setIdentityColumn(s, root, "id")
+      Tables.orders(s, dir).createOrReplaceTempView("q185_orders")
+      // id omitted → generated; tag omitted → 'unk'
+      s.sql(s"INSERT INTO graft.`$root` (v, pri) " +
+        "SELECT CAST(round(o_totalprice * 100) AS BIGINT), o_orderpriority " +
+        "FROM q185_orders")
+      // second batch continues above the first's high-water
+      s.sql(s"INSERT INTO graft.`$root` (v, tag, pri) " +
+        "SELECT CAST(round(o_totalprice * 100) AS BIGINT) + 11, 'b2', " +
+        "o_orderpriority FROM q185_orders WHERE o_orderkey % 4 = 0")
+      val t = graft.sources.Layout.readCurrent(s, root)
+      // generated-id invariants ride as broadcast scalar columns: the id
+      // VALUES are gap-bearing by design (distributed generation) so the
+      // oracle pins the INVARIANTS to literal TRUE instead
+      val inv = t.agg(
+        (count(col("id")) === countDistinct(col("id"))).as("ids_unique"),
+        (min(col("id")) >= 1L).as("ids_positive"))
+      t.groupBy("pri", "tag")
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+        .crossJoin(broadcast(inv))
+    }),
+
+    // --- COPY INTO: idempotent file ingest (r14) ---
+    // Two drop-zone batches land; the first zone is copied TWICE — the
+    // ingest ledger makes the replay a no-op, so the oracle's plain union
+    // (each batch once) only matches if exactly-once held.
+    "q186_copy_into" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"),
+        round(col("o_totalprice") * 100).cast("long").as("v"),
+        col("o_orderpriority").as("pri"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q186").toString
+      val root = tmp + "/t"
+      base.limit(0).write.parquet(tmp + "/seed") // schema-only seed dir
+      s.sql(s"CREATE TABLE graft.`$root` (id BIGINT, v BIGINT, pri STRING) " +
+        "PARTITIONED BY (pri)")
+      base.filter(col("id") % 2 === 0).coalesce(2)
+        .write.mode("append").parquet(tmp + "/zone1")
+      base.filter(col("id") % 2 === 1 && col("id") % 3 === 0).coalesce(1)
+        .write.mode("append").parquet(tmp + "/zone2")
+      s.sql(s"COPY INTO graft.`$root` FROM '$tmp/zone1'")
+      s.sql(s"COPY INTO graft.`$root` FROM '$tmp/zone2'")
+      // the replay: MUST be a no-op or counts double
+      s.sql(s"COPY INTO graft.`$root` FROM '$tmp/zone1'")
+      graft.sources.Layout.readCurrent(s, root)
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
     })
   )
 
@@ -5213,7 +5277,33 @@ object SparkEntry {
             ON x.ci = y.ci AND x.cv = y.cv AND x.asset_id < y.asset_id)
         SELECT id_a, id_b, CAST(bit_count(xor(da, db)) AS INTEGER) AS dist
         FROM cand WHERE bit_count(xor(da, db)) <= 3"""
-      }
+      },
+
+      // the marker lifecycle's data algebra (defaults + both inserts);
+      // generated-id invariants pinned as literals (see the registration)
+      "q185_column_markers" -> """
+        WITH b1 AS (SELECT o_orderpriority AS pri, 'unk' AS tag,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        b2 AS (SELECT o_orderpriority AS pri, 'b2' AS tag,
+            CAST(round(o_totalprice * 100) AS BIGINT) + 11 AS v
+          FROM orders WHERE o_orderkey % 4 = 0),
+        u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+        SELECT pri, tag, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(v) AS BIGINT) AS sum_v,
+          TRUE AS ids_unique, TRUE AS ids_positive
+        FROM u GROUP BY 1, 2""",
+
+      // each zone exactly once — the replayed zone1 copy must not double
+      "q186_copy_into" -> """
+        WITH rows_in AS (SELECT o_orderkey AS id,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+            o_orderpriority AS pri
+          FROM orders
+          WHERE o_orderkey % 2 = 0
+            OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0))
+        SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(v) AS BIGINT) AS sum_v
+        FROM rows_in GROUP BY 1"""
     )
   }
 

@@ -210,6 +210,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(u.fieldNames().length == 1,
           "graft catalog: nested-field ALTER COLUMN is not supported")
         Layout.widenColumn(spark, root, u.fieldNames().head, u.newDataType())
+      case nn: TableChange.UpdateColumnNullability =>
+        require(nn.fieldNames().length == 1,
+          "graft catalog: nested-field ALTER COLUMN is not supported")
+        if (nn.nullable()) Layout.dropNotNull(spark, root, nn.fieldNames().head)
+        else Layout.setNotNull(spark, root, nn.fieldNames().head)
+      case dv: TableChange.UpdateColumnDefaultValue =>
+        require(dv.fieldNames().length == 1,
+          "graft catalog: nested-field ALTER COLUMN is not supported")
+        val sql = dv.newDefaultValue()
+        if (sql == null || sql.isEmpty)
+          Layout.dropColumnDefault(spark, root, dv.fieldNames().head)
+        else Layout.setColumnDefault(spark, root, dv.fieldNames().head, sql)
       case ac: TableChange.AddConstraint =>
         ac.constraint() match {
           case c: Check =>

@@ -453,12 +453,20 @@ object GraftDml {
               s"query produces ${df0.columns.length}")
           df0.toDF(target: _*)
         }
+      // columns the list omitted fill with their declared DEFAULT, the
+      // GENERATED identity column's next values, or NULL — standard
+      // INSERT column-list semantics (Layout.completeInsertColumns; the
+      // identity high-water rides extraProps into the same commit)
+      val (completed, extraProps) =
+        Layout.completeInsertColumns(session, rootR, df)
       // INSERT OVERWRITE replaces the WHOLE table content as one commit
       // (replaceVersionedRows — previous versions stay time-travelable);
       // plain INSERT is the pure append
       Seq(Row(
-        if (overwrite) Layout.replaceVersionedRows(session, rootR, df)
-        else Layout.appendVersionedRows(session, rootR, df)))
+        if (overwrite) Layout.replaceVersionedRows(session, rootR, completed,
+          extraProps = extraProps)
+        else Layout.appendVersionedRows(session, rootR, completed,
+          extraProps = extraProps)))
     }
   }
 

@@ -47,9 +47,11 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
                _: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
             GraftDml.GraftDmlRule(session).apply(plan)
           case acc: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>
-            // the one DDL statement that lowers in catalog mode too — see
-            // GraftDdl.lowerAddConstraint for why
+            // the DDL statements that lower in catalog mode too — see
+            // GraftDdl.lowerAddConstraint / lowerAlterColumnMarkers for why
             GraftDdl.lowerAddConstraint(acc).getOrElse(plan)
+          case ac: org.apache.spark.sql.catalyst.plans.logical.AlterColumns =>
+            GraftDdl.lowerAlterColumnMarkers(ac).getOrElse(plan)
           case _ => plan
         }
       } else {
@@ -98,6 +100,9 @@ object GraftSqlParser {
   private val Clone =
     ("(?is)^\\s*CREATE\\s+TABLE\\s+" + Id + "\\s+SHALLOW\\s+CLONE\\s+" +
       Id + "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$").r
+  private val CopyInto =
+    ("(?is)^\\s*COPY\\s+INTO\\s+" + Id + "\\s+FROM\\s+'([^']+)'" +
+      "(?:\\s+FILEFORMAT\\s*=\\s*(PARQUET|CSV|JSON))?\\s*;?\\s*$").r
 
   private def ident(quoted: String, bare: String): String =
     Option(quoted).getOrElse(bare)
@@ -137,6 +142,9 @@ object GraftSqlParser {
       case Clone(dq, db, sq, sb, v) =>
         Some(GraftDdl.GraftCloneCommand(ident(dq, db), ident(sq, sb),
           Option(v).map(_.toInt)))
+      case CopyInto(q, b, path, fmt) =>
+        Some(GraftDdl.GraftCopyIntoCommand(ident(q, b), path,
+          Option(fmt).map(_.toLowerCase).getOrElse("parquet")))
       case _ => None
     }
 }

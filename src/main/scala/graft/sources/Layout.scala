@@ -1013,7 +1013,7 @@ object Layout {
           // writer-enforced CHECK constraints on the NEW images — after
           // the no-match short-circuit (a no-op must not pay a validation
           // scan: review fix) but still BEFORE any version is claimed
-          requireConstraints(images, man.constraints, "updated rows")
+          requireConstraints(images, man.writerChecks, "updated rows")
           val (next, nextPath) = nextVersion(spark, root, cur)
           // updated images first (SaveMode.Overwrite targets the version
           // dir; the sidecar lands inside it afterwards)
@@ -1115,7 +1115,7 @@ object Layout {
     // empty-batch no-op BEFORE constraint validation — an empty trigger
     // on a constrained table must not pay a validation job (review fix)
     if (updates.isEmpty) return cur
-    requireConstraints(updates, man.constraints, "upsert rows")
+    requireConstraints(updates, man.writerChecks, "upsert rows")
     val snap = ManifestIndex.dataFrame(spark, root, man, lineage = true)
     // key-range prefilter: two scalars off the updates (O(1) driver data)
     // let the stats envelopes prune files that cannot hold any incoming
@@ -1184,19 +1184,34 @@ object Layout {
     */
   def replaceVersionedRows(spark: SparkSession, root: String,
                            rows0: DataFrame,
-                           txn: Option[(String, Long)] = None): String =
+                           txn: Option[(String, Long)] = None,
+                           extraProps: Map[String, String] = Map.empty,
+                           zOrderCols: Seq[String] = Nil): String =
     graft.util.DmlTimer.timed {
       commitFreshRows(spark, root, rows0, txn, "REPLACE",
         carryForward = false, what = "replaceVersionedRows",
-        evolveHint = "schema evolution is a separate, explicit op")
+        evolveHint = "schema evolution is a separate, explicit op",
+        extraProps = extraProps, zOrderCols = zOrderCols)
     }
 
+  /** Optional `zOrderCols` (WRITE-TIME clustering, S72): the fresh batch
+    * range-partitions and sorts on the interleaved z-value BEFORE landing,
+    * so hot tables cluster on ingest instead of waiting for OPTIMIZE —
+    * per-file min/max stats on the z dimensions are tight from the first
+    * commit and range predicates prune immediately. Cost: one stats pass
+    * over the (already persisted) batch + a range shuffle, paid only when
+    * requested. OPTIMIZE ZORDER remains the way to re-cluster data that
+    * arrived unclustered.
+    */
   def appendVersionedRows(spark: SparkSession, root: String, rows0: DataFrame,
-                          txn: Option[(String, Long)] = None): String =
+                          txn: Option[(String, Long)] = None,
+                          extraProps: Map[String, String] = Map.empty,
+                          zOrderCols: Seq[String] = Nil): String =
     graft.util.DmlTimer.timed {
       commitFreshRows(spark, root, rows0, txn, "APPEND",
         carryForward = true, what = "appendVersionedRows",
-        evolveHint = "schema evolution is mergeVersionedPartitioned's job")
+        evolveHint = "schema evolution is mergeVersionedPartitioned's job",
+        extraProps = extraProps, zOrderCols = zOrderCols)
     }
 
   /** ONE writer skeleton for the two fresh-files commits — APPEND (fresh
@@ -1209,7 +1224,9 @@ object Layout {
   private def commitFreshRows(spark: SparkSession, root: String,
                               rows0: DataFrame, txn: Option[(String, Long)],
                               op: String, carryForward: Boolean,
-                              what: String, evolveHint: String): String = {
+                              what: String, evolveHint: String,
+                              extraProps: Map[String, String] = Map.empty,
+                              zOrderCols: Seq[String] = Nil): String = {
     require(ManifestIndex.isManifestRoot(spark, root),
       s"$what requires a manifest root — hardlink-mode roots use " +
         (if (carryForward) "mergeVersionedPartitioned with fresh keys"
@@ -1232,17 +1249,35 @@ object Layout {
           evolveHint)
       val empty = rows.isEmpty
       if (empty && carryForward) return cur // append of nothing: no-op
-      if (!empty) requireConstraints(rows, man.constraints, s"$op rows")
+      // GENERATED identity: values are assigned by completeInsertColumns
+      // (which stamps the advanced high-water into extraProps) — a batch
+      // arriving with the column but WITHOUT the watermark bypassed
+      // generation and could collide with future generated ids
+      man.identity.foreach { case (c, _) =>
+        require(empty ||
+            extraProps.keys.exists(_.startsWith(ManifestIndex.IdentityPrefix)),
+          s"$what: column '$c' is GENERATED (identity) — route inserts " +
+            "through the INSERT surface / completeInsertColumns so ids are " +
+            "assigned against the committed high-water mark")
+      }
+      if (!empty) requireConstraints(rows, man.writerChecks, s"$op rows")
       val (next, nextPath) = nextVersion(spark, root, cur)
-      if (!empty)
-        ManifestIndex.toPhysical(rows, man.dataSchema)
+      if (!empty) {
+        // write-time clustering happens on the LOGICAL frame (zOrderCols
+        // are logical names; toPhysical is a narrow projection, so the
+        // range partitioning and in-partition order survive it)
+        val placed =
+          if (zOrderCols.isEmpty) rows
+          else clusterForWrite(rows, pcols, zOrderCols, what)
+        ManifestIndex.toPhysical(placed, man.dataSchema)
           .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
+      }
       val fresh =
         if (empty) Seq.empty
         else ManifestIndex.listVersionFiles(fsOf(spark, root), root, next)
       commitManifest(spark, root, next, man.copy(
         properties = man.properties ++ txn.map { case (app, batch) =>
-          ManifestIndex.TxnPrefix + app -> batch.toString },
+          ManifestIndex.TxnPrefix + app -> batch.toString } ++ extraProps,
         entries = fresh ++ (if (carryForward) man.entries else Seq.empty)),
         op)
       nextPath
@@ -1486,7 +1521,7 @@ object Layout {
             case plan =>
               // validate appended images BEFORE any version is claimed
               if (haveImages)
-                requireConstraints(images.get, man.constraints, "merged rows")
+                requireConstraints(images.get, man.writerChecks, "merged rows")
               val (next, nextPath) = nextVersion(spark, root, cur)
               if (haveImages)
                 ManifestIndex.toPhysical(images.get, man.dataSchema)
@@ -1970,18 +2005,297 @@ object Layout {
     nextPath
   }
 
+  /** Declare a column NOT NULL (S69): existing data is validated (one
+    * null-probe scan, predicate pushed down), then every later writer
+    * gates incoming batches on it exactly like a CHECK constraint
+    * ([[ManifestIndex.TableManifest.writerChecks]]). One metadata commit.
+    */
+  def setNotNull(spark: SparkSession, root: String, col: String): String =
+    graft.util.DmlTimer.timed {
+      require(ManifestIndex.isManifestRoot(spark, root),
+        s"setNotNull requires a manifest root: $root")
+      val (cur, _, man) = currentManifest(spark, root)
+      requireTableColumn(spark, man, col, "setNotNull")
+      require(!man.notNullCols.contains(col),
+        s"column '$col' is already NOT NULL")
+      if (!ManifestIndex.dataFrame(spark, root, man)
+          .filter(org.apache.spark.sql.functions.col(col).isNull).isEmpty)
+        throw new IllegalArgumentException(
+          s"setNotNull: existing data of $root has NULLs in '$col'")
+      val (next, nextPath) = nextVersion(spark, root, cur)
+      commitManifest(spark, root, next, man.copy(properties =
+        man.properties + (ManifestIndex.NotNullPrefix + col -> "1")),
+        "SET NOT NULL")
+      nextPath
+    }
+
+  /** Remove a NOT NULL marker; later writers stop validating it. */
+  def dropNotNull(spark: SparkSession, root: String, col: String): String = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"dropNotNull requires a manifest root: $root")
+    val (cur, _, man) = currentManifest(spark, root)
+    require(man.notNullCols.contains(col),
+      s"column '$col' is not declared NOT NULL " +
+        s"(have: ${man.notNullCols.toSeq.sorted.mkString(",")})")
+    val (next, nextPath) = nextVersion(spark, root, cur)
+    commitManifest(spark, root, next, man.copy(properties =
+      man.properties - (ManifestIndex.NotNullPrefix + col)),
+      "DROP NOT NULL")
+    nextPath
+  }
+
+  /** Declare a column DEFAULT (S70): an INSERT that omits the column gets
+    * `defaultSql` instead of NULL ([[completeInsertColumns]]). The
+    * expression must be column-free and cast to the column's type — both
+    * validated HERE with a one-row evaluation, so a bad default fails the
+    * declaration, not some later insert. Existing rows are untouched
+    * (standard SET DEFAULT semantics — it shapes future inserts only).
+    */
+  def setColumnDefault(spark: SparkSession, root: String, col: String,
+                       defaultSql: String): String = graft.util.DmlTimer.timed {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"setColumnDefault requires a manifest root: $root")
+    val (cur, _, man) = currentManifest(spark, root)
+    requireTableColumn(spark, man, col, "setColumnDefault")
+    require(!man.identity.exists(_._1 == col),
+      s"setColumnDefault: '$col' is the GENERATED identity column")
+    val colType = (ManifestIndex.activeSchema(man.dataSchema) ++
+      man.partitionSchema).find(_.name == col).get.dataType
+    // loud validation: unresolvable names, non-castable types, runtime
+    // cast failures (ANSI) all surface now. The probe row carries ZERO
+    // columns (range(1).select()) so any column reference in the default
+    // fails resolution — a default must be column-free (range(1) alone
+    // would silently resolve a default referencing `id`)
+    spark.range(1).select()
+      .select(expr(defaultSql).cast(colType).as("v")).collect()
+    val (next, nextPath) = nextVersion(spark, root, cur)
+    commitManifest(spark, root, next, man.copy(properties =
+      man.properties + (ManifestIndex.DefaultPrefix + col -> defaultSql)),
+      "SET DEFAULT")
+    nextPath
+  }
+
+  /** Remove a column DEFAULT; later inserts fill NULL again. */
+  def dropColumnDefault(spark: SparkSession, root: String,
+                        col: String): String = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"dropColumnDefault requires a manifest root: $root")
+    val (cur, _, man) = currentManifest(spark, root)
+    require(man.defaults.contains(col),
+      s"column '$col' has no DEFAULT " +
+        s"(have: ${man.defaults.keys.toSeq.sorted.mkString(",")})")
+    val (next, nextPath) = nextVersion(spark, root, cur)
+    commitManifest(spark, root, next, man.copy(properties =
+      man.properties - (ManifestIndex.DefaultPrefix + col)),
+      "DROP DEFAULT")
+    nextPath
+  }
+
+  /** Declare a BIGINT column GENERATED (identity, S71): an INSERT that
+    * omits it gets values strictly above the committed high-water mark —
+    * `W + 1 + monotonically_increasing_id()`, so generation is
+    * distributed (no window, no single partition) at the cost of GAPS
+    * between partitions (the documented Delta identity tradeoff: unique
+    * and increasing, not dense). The advanced mark commits in the SAME
+    * manifest write as the rows that consumed it — a crash between jobs
+    * can never replay an id — and explicit values are refused at the
+    * writer ([[commitFreshRows]]'s gate) because a value above the mark
+    * would collide with a future generated one.
+    *
+    * Declaration cost: one `max(col)` scan to seed the mark from data
+    * already present.
+    */
+  def setIdentityColumn(spark: SparkSession, root: String,
+                        col: String): String = graft.util.DmlTimer.timed {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"setIdentityColumn requires a manifest root: $root")
+    val (cur, _, man) = currentManifest(spark, root)
+    requireTableColumn(spark, man, col, "setIdentityColumn")
+    require(man.identity.isEmpty,
+      s"table already has identity column '${man.identity.get._1}'")
+    require(!man.defaults.contains(col),
+      s"setIdentityColumn: '$col' carries a DEFAULT — dropColumnDefault first")
+    val colType = (ManifestIndex.activeSchema(man.dataSchema) ++
+      man.partitionSchema).find(_.name == col).get.dataType
+    require(colType == org.apache.spark.sql.types.LongType,
+      s"setIdentityColumn: '$col' must be BIGINT, got ${colType.sql}")
+    val mx = ManifestIndex.dataFrame(spark, root, man)
+      .agg(max(org.apache.spark.sql.functions.col(col))).first()
+    val hw = if (mx.isNullAt(0)) 0L else math.max(0L, mx.getLong(0))
+    val (next, nextPath) = nextVersion(spark, root, cur)
+    commitManifest(spark, root, next, man.copy(properties =
+      man.properties + (ManifestIndex.IdentityPrefix + col -> hw.toString)),
+      "SET IDENTITY")
+    nextPath
+  }
+
+  /** Complete an INSERT batch that omits table columns: the identity
+    * column gets generated values (see [[setIdentityColumn]]), DEFAULTed
+    * columns their declared expression, anything else NULL — standard
+    * SQL INSERT column-list semantics. Returns the completed frame plus
+    * the extra manifest properties the commit MUST carry (the advanced
+    * identity high-water); pass them to [[appendVersionedRows]] /
+    * [[replaceVersionedRows]] `extraProps`.
+    *
+    * Cost: when the identity column is filled, the batch is materialized
+    * once (tracked cache) to read `max(assigned)` — the id block consumed
+    * must be known before the commit that claims it.
+    */
+  def completeInsertColumns(spark: SparkSession, root: String,
+                            df: DataFrame): (DataFrame, Map[String, String]) = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"completeInsertColumns requires a manifest root: $root")
+    val man = currentManifest(spark, root)._3
+    val resolver = spark.sessionState.analyzer.resolver
+    val tableCols = (ManifestIndex.activeSchema(man.dataSchema) ++
+      man.partitionSchema)
+    def has(c: String) = df.columns.exists(resolver(_, c))
+    man.identity.foreach { case (c, _) =>
+      require(!has(c),
+        s"completeInsertColumns: '$c' is GENERATED — omit it from the " +
+          "insert column list (its values are assigned, not accepted)")
+    }
+    val missing = tableCols.filterNot(f => has(f.name))
+    if (missing.isEmpty) return (df, Map.empty)
+    val withDefaults = missing.foldLeft(df) { (acc, f) =>
+      man.identity match {
+        case Some((c, _)) if resolver(c, f.name) => acc // identity below
+        case _ => acc.withColumn(f.name,
+          expr(man.defaults.getOrElse(f.name, "NULL")).cast(f.dataType))
+      }
+    }
+    man.identity match {
+      case Some((c, hw)) =>
+        val filled = graft.util.Caches.cache(withDefaults.withColumn(c,
+          lit(hw) + 1L + monotonically_increasing_id())).toDF
+        val mxRow = filled.agg(max(org.apache.spark.sql.functions.col(c))).first()
+        val newHw = if (mxRow.isNullAt(0)) hw else mxRow.getLong(0)
+        (filled, Map(ManifestIndex.IdentityPrefix + c -> newHw.toString))
+      case None => (withDefaults, Map.empty)
+    }
+  }
+
+  private def requireTableColumn(spark: SparkSession,
+                                 man: ManifestIndex.TableManifest,
+                                 col: String, op: String): Unit = {
+    val all = (ManifestIndex.activeSchema(man.dataSchema) ++
+      man.partitionSchema).map(_.name)
+    require(all.contains(col),
+      s"$op: no column '$col' (have: ${all.mkString(",")})")
+  }
+
   /** Reject `df` if any row makes a constraint predicate FALSE (NULL
     * passes — SQL CHECK semantics). One short-circuiting job per
     * constraint, predicate pushed into the scan.
     */
+  /** Idempotent batch file ingest (S73, the Databricks `COPY INTO`
+    * shape): load every data file under `source` that the table's ingest
+    * ledger does not already record, append the rows, and mark the files
+    * — ledger and rows in ONE manifest commit (`extraProps`), so
+    * at-least-once delivery of the same files yields exactly-once rows:
+    * a replayed call finds every file marked and no-ops; a crash before
+    * the commit leaves the batch's files unmarked and the retry
+    * re-ingests them whole. The batch-level `txn` watermark (S48) covers
+    * writers that can present a monotone batch id; COPY INTO covers the
+    * other half — drop-a-file-in-a-directory pipelines where the FILE SET
+    * is the only identity there is.
+    *
+    * `format`: parquet (self-describing) or csv/json (read with the
+    * table's schema — headerless columns land positionally for csv).
+    * Subdirectories are not traversed (one ledger entry per FILE; a
+    * partitioned drop zone should COPY each leaf or use a glob).
+    *
+    * @return (live version path, number of files ingested) — (current, 0)
+    *         when everything was already ingested.
+    */
+  def copyInto(spark: SparkSession, root: String, source: String,
+               format: String = "parquet",
+               options: Map[String, String] = Map.empty): (String, Int) =
+    graft.util.DmlTimer.timed {
+      require(ManifestIndex.isManifestRoot(spark, root),
+        s"copyInto requires a manifest root: $root")
+      require(Set("parquet", "csv", "json").contains(format.toLowerCase),
+        s"copyInto: unsupported FILEFORMAT '$format' (parquet|csv|json)")
+      val man = currentManifest(spark, root)._3
+      val srcPath = new Path(source)
+      val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val matched =
+        if (fs.isDirectory(srcPath)) fs.listStatus(srcPath).toSeq
+        else fs.globStatus(srcPath) match {
+          case null => Seq.empty
+          case arr => arr.toSeq
+        }
+      val files = matched.filter(st => st.isFile &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(_.getPath.toUri.getPath).sorted
+      require(files.nonEmpty || matched.nonEmpty,
+        s"copyInto: nothing matches $source")
+      val fresh = files.filterNot(f =>
+        man.properties.contains(ManifestIndex.IngestPrefix + f))
+      if (fresh.isEmpty) return (resolveCurrent(spark, root), 0)
+      val schema = org.apache.spark.sql.types.StructType(
+        ManifestIndex.activeSchema(man.dataSchema) ++ man.partitionSchema)
+      val reader = spark.read.options(options)
+      val df = format.toLowerCase match {
+        case "parquet" => reader.parquet(fresh: _*)
+        case "csv" => reader.schema(schema).csv(fresh: _*)
+        case "json" => reader.schema(schema).json(fresh: _*)
+      }
+      val nextVer = currentVersionNumber(spark, root) + 1
+      val path = appendVersionedRows(spark, root, df,
+        extraProps = fresh.map(f =>
+          ManifestIndex.IngestPrefix + f -> nextVer.toString).toMap)
+      (path, fresh.length)
+    }
+
+  /** Range-place a fresh batch on (partition cols, z-value) and sort
+    * within tasks, so each leaf's files carry tight per-file min/max on
+    * the z dimensions — [[writeZOrdered]]'s clustering applied at the
+    * APPEND boundary (the partition columns join the range key because
+    * `partitionBy` will split each task's output by leaf; without them a
+    * z-range would scatter across every leaf's files).
+    */
+  private def clusterForWrite(rows: DataFrame, pcols: Seq[String],
+                              zCols: Seq[String], what: String,
+                              bits: Int = 8): DataFrame = {
+    zCols.foreach(c => require(!pcols.contains(c),
+      s"$what: z-order column '$c' is a partition column — the leaves " +
+        "already split on it"))
+    val stats = rows.select(zCols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double")))): _*).head()
+    val usable = zCols.indices.flatMap { i =>
+      if (stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1)) None
+      else {
+        val lo = stats.getDouble(2 * i)
+        val hi = stats.getDouble(2 * i + 1)
+        Some((zCols(i), (lo, if (hi > lo) hi else lo + 1.0)))
+      }
+    }
+    if (usable.isEmpty) rows
+    else rows.withColumn("__z", zValue(usable.map(u => col(u._1)),
+        usable.map(_._2), bits))
+      .repartitionByRange((pcols :+ "__z").map(col): _*)
+      .sortWithinPartitions((pcols :+ "__z").map(col): _*)
+      .drop("__z")
+  }
+
   private def requireConstraints(df: DataFrame,
                                  constraints: Map[String, String],
-                                 what: String): Unit =
-    constraints.toSeq.sortBy(_._1).foreach { case (name, sql) =>
-      if (!df.filter(!expr(sql)).isEmpty)
+                                 what: String): Unit = {
+    if (constraints.isEmpty) return
+    // ONE combined pass instead of a probe job per check: a clean batch
+    // scans fully under either shape, so N checks cost N scans the
+    // per-check way — the combined conditional-count aggregate pays one
+    val sorted = constraints.toSeq.sortBy(_._1)
+    val counts = df.select(sorted.map { case (name, sql) =>
+      count(when(!expr(sql), 1)).as(name) }: _*).first()
+    sorted.zipWithIndex.foreach { case ((name, sql), i) =>
+      if (counts.getLong(i) > 0)
         throw new IllegalArgumentException(
           s"$what violates CHECK constraint '$name' ($sql)")
     }
+  }
 
   /** Column names an expression references — used to refuse renaming or
     * dropping a column out from under a stored constraint.
@@ -2004,6 +2318,14 @@ object Layout {
         s"$op: column '$col' is referenced by CHECK constraint '$name' " +
           s"($sql) — drop the constraint first")
     }
+    // the column-keyed markers guard the same way: renaming/dropping the
+    // column out from under them would orphan writer-enforced state
+    require(!man.notNullCols.exists(resolver(_, col)),
+      s"$op: column '$col' is declared NOT NULL — dropNotNull first")
+    require(!man.defaults.keys.exists(resolver(_, col)),
+      s"$op: column '$col' carries a DEFAULT — dropColumnDefault first")
+    require(!man.identity.exists(p => resolver(p._1, col)),
+      s"$op: column '$col' is the GENERATED identity column")
   }
 
   /** RESTORE a manifest root to an earlier version — as a NEW commit
@@ -2240,7 +2562,7 @@ object Layout {
     // writer-enforced CHECK constraints: incoming rows only — carried rows
     // satisfied them when they were written (induction), so validation
     // cost tracks the merge, not the table
-    requireConstraints(updates, man.constraints, "merge updates")
+    requireConstraints(updates, man.writerChecks, "merge updates")
     val affected = affectedLeaves(updates.select(pcols.map(col): _*), pcols, root)
     val existingAffected = man.leaves.intersect(affected)
     val merged =

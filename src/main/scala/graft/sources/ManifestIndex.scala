@@ -128,10 +128,68 @@ object ManifestIndex {
       case (k, v) if k.startsWith(ConstraintPrefix) =>
         k.substring(ConstraintPrefix.length) -> v
     }
+    /** Columns declared NOT NULL (writer-enforced, like CHECKs). */
+    def notNullCols: Set[String] = properties.collect {
+      case (k, _) if k.startsWith(NotNullPrefix) =>
+        k.substring(NotNullPrefix.length)
+    }.toSet
+    /** Everything the WRITERS must validate per batch: declared CHECKs,
+      * each NOT NULL column as a synthesized null probe (`IS NOT NULL`
+      * never evaluates to SQL-NULL, so the CHECK gate's NULL-passes
+      * semantics cannot leak a null through), and a probe per column the
+      * STORED SCHEMA declares non-nullable — without it a NULL written
+      * into such a column is silently coerced to the type's zero by the
+      * physical write (the InternalRow primitive read), which is data
+      * corruption, not a refusal.
+      */
+    def writerChecks: Map[String, String] = constraints ++
+      notNullCols.map(c => s"__not_null_$c" -> s"`$c` IS NOT NULL") ++
+      (activeSchema(dataSchema) ++ partitionSchema).collect {
+        case f if !f.nullable =>
+          s"__schema_not_null_${f.name}" -> s"`${f.name}` IS NOT NULL"
+      }
+    /** column -> DEFAULT expression SQL, applied when an INSERT omits
+      * the column.
+      */
+    def defaults: Map[String, String] = properties.collect {
+      case (k, v) if k.startsWith(DefaultPrefix) =>
+        k.substring(DefaultPrefix.length) -> v
+    }
+    /** The GENERATED identity column and its committed high-water mark,
+      * if declared (at most one per table).
+      */
+    def identity: Option[(String, Long)] = properties.collectFirst {
+      case (k, v) if k.startsWith(IdentityPrefix) =>
+        k.substring(IdentityPrefix.length) -> v.toLong
+    }
   }
 
   /** Property-key prefix under which CHECK constraints live. */
   val ConstraintPrefix = "constraint."
+
+  /** Property-key prefix for NOT NULL column markers (value unused). */
+  val NotNullPrefix = "notnull."
+
+  /** Property-key prefix for column DEFAULT expressions (value = SQL). */
+  val DefaultPrefix = "default."
+
+  /** Property-key prefix of the COPY INTO ingest ledger: `ingest.<path>`
+    * -> the version that ingested the file. Committed in the SAME
+    * manifest write as the rows (extraProps), so a file can never be
+    * half-ingested: a crash before the commit leaves it unmarked and the
+    * retry re-ingests it whole. The ledger is carried in every manifest;
+    * at very large ingested-file counts compact it to per-directory
+    * watermarks (the property line is one JSON object — millions of keys
+    * would dominate manifest bytes).
+    */
+  val IngestPrefix = "ingest."
+
+  /** Property-key prefix for the identity column high-water mark
+    * (`identity.<col>` -> highest value ever GENERATED; values above it
+    * are free). Committed in the SAME manifest write as the rows that
+    * consumed them, so a crash can never replay an id.
+    */
+  val IdentityPrefix = "identity."
 
   /** Property-key prefix for idempotent-writer watermarks: `txn.<appId>`
     * holds the highest batch id that application has committed. A writer

@@ -13,7 +13,12 @@ import graft.sources.{Layout, ManifestIndex}
 class ConstraintSpec extends SparkSpec {
   import spark.implicits._
 
-  private def rows(rs: (Long, String, Double)*) = rs.toDF("id", "part", "v")
+  // v is Option-encoded: the CHECK-NULL-passes test below plants a NULL v,
+  // and a tuple-primitive column would store nullable=false — the writers'
+  // schema-level null gate (the NULL→0 coercion fix) would then correctly
+  // refuse the batch before the CHECK semantics ever apply
+  private def rows(rs: (Long, String, Double)*) =
+    rs.map { case (i, p, v) => (i, p, Option(v)) }.toDF("id", "part", "v")
 
   private def init(): String = {
     val root = Files.createTempDirectory("graft_cons").toString

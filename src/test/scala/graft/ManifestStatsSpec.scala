@@ -327,4 +327,36 @@ class ManifestStatsSpec extends SparkSpec {
     assert(Layout.readCurrent(spark, root).filter($"id" === 1234L).count() == 1L)
     assert(Layout.readCurrent(spark, root).filter($"id" === 2500L).count() == 1L)
   }
+
+  test("write-time z-order clustering: a clustered append prunes range scans") {
+    import graft.sources.Layout
+    def build(zCols: Seq[String]): String = {
+      val root = Files.createTempDirectory("graft_wcluster").toString
+      // seed with a tiny v0 so the append is the interesting commit
+      Layout.initVersionedManifest(
+        spark.range(1).select($"id", ($"id" % 97).as("a"), ($"id" % 89).as("b"),
+          lit("p1").as("part")), root, Seq("part"))
+      // shuffled ids: without clustering every file's (a, b) envelope is
+      // wide; the z-ordered append lands tight per-file min/max instead
+      val batch = spark.range(1, 4000)
+        .select((($"id" * 2654435761L) % 4000).as("id"))
+        .select($"id", ($"id" % 97).as("a"), ($"id" % 89).as("b"),
+          lit("p1").as("part"))
+        .repartition(8)
+      Layout.appendVersionedRows(spark, root, batch, zOrderCols = zCols)
+      root
+    }
+    val plain = build(Nil)
+    val clustered = build(Seq("a", "b"))
+    def planned(root: String): Int = scannedFiles(
+      Layout.readCurrent(spark, root)
+        .filter($"a" >= 10 && $"a" < 15 && $"b" >= 10 && $"b" < 15)).size
+    val (nPlain, nClustered) = (planned(plain), planned(clustered))
+    assert(nClustered < nPlain,
+      s"clustered append should plan fewer files ($nClustered vs $nPlain)")
+    // content identical regardless of placement
+    val a = Layout.readCurrent(spark, plain).orderBy("id").collect().toSeq
+    val c = Layout.readCurrent(spark, clustered).orderBy("id").collect().toSeq
+    assert(a == c)
+  }
 }

@@ -79,11 +79,12 @@ class SqlDdlSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN cents TYPE INT")
     }
     assert(e.getMessage.contains("widening"))
-    // non-TYPE alters refuse
+    // comment/position alters refuse (NOT NULL / DEFAULT are table state
+    // since r14 — ColumnMarkersSpec covers them)
     val e2 = intercept[Exception] {
       spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN cents COMMENT 'x'")
     }
-    assert(e2.getMessage.contains("TYPE widening only"))
+    assert(e2.getMessage.contains("comments/positions are not table state"))
   }
 
   test("ADD/DROP CONSTRAINT statements share the writer-enforced gate") {
