@@ -846,6 +846,71 @@ object ManifestIndex {
       ExternalCatalogUtils.unescapePathName(seg.substring(0, i))
     }
 
+  /** Synthesize plan-level statistics from the kept entries' per-file
+    * stats, as the `CatalogTable` a `LogicalRelation` reads them from —
+    * the S74 ANALYZE-free CBO feed: `rowCount` (Σ per-file rows — the
+    * SCAN's count; deletion-vector filters sit above it and estimate
+    * down from there), per-NUMERIC-column null counts and [min, max]
+    * envelopes (numeric bounds encode as plain decimal strings on both
+    * sides; string/date/timestamp bounds use layout-specific encodings
+    * `CatalogColumnStat` would misparse, so they stay out). Zero extra
+    * IO — the numbers are already in the manifest — and inert unless
+    * `spark.sql.cbo.enabled` / plan-stats is on (`toPlanStats` then
+    * feeds join reorder and build-side choice); with CBO off the
+    * statistics degrade to the same sizeInBytes the FileIndex reports.
+    * Returns None when any kept entry lacks stats (pre-stats files: an
+    * unknown subset makes every aggregate a lie).
+    */
+  private def planStatsTable(m: TableManifest, kept: Seq[Entry])
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog._
+    if (kept.isEmpty || kept.exists(_.stats.isEmpty)) return None
+    val stats = kept.map(_.stats.get)
+    val rowCount = stats.map(_.rows).sum
+    val size = math.max(1L, kept.map(_.size).sum)
+    val active = activeSchema(m.dataSchema)
+    val colStats: Map[String, CatalogColumnStat] = active.fields.flatMap { f =>
+      val phys = physicalName(f)
+      val numeric = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | _: DecimalType => true
+        case _ => false
+      }
+      if (!numeric) None
+      else {
+        val per = stats.map(_.cols.get(phys))
+        if (per.exists(_.isEmpty)) None
+        else {
+          val cs = per.map(_.get)
+          def bound(sel: ColStats => Option[String],
+                    pickMin: Boolean): Option[String] = {
+            val bs = cs.map(sel)
+            if (bs.exists(_.isEmpty)) None
+            else {
+              val ds = bs.map(s => BigDecimal(s.get))
+              Some((if (pickMin) ds.min else ds.max).bigDecimal.toPlainString)
+            }
+          }
+          Some(phys -> CatalogColumnStat(
+            distinctCount = None,
+            min = bound(_.min, pickMin = true),
+            max = bound(_.max, pickMin = false),
+            nullCount = Some(BigInt(cs.map(_.nulls).sum)),
+            avgLen = None, maxLen = None))
+        }
+      }
+    }.toMap
+    Some(CatalogTable(
+      identifier = TableIdentifier("graft_snapshot"),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty,
+      schema = StructType(physicalSchema(active) ++ m.partitionSchema),
+      provider = Some("parquet"),
+      stats = Some(CatalogStatistics(BigInt(size), Some(BigInt(rowCount)),
+        colStats))))
+  }
+
   def dataFrame(spark: SparkSession, root: String, m: TableManifest,
                 onlyLeaves: Option[Set[String]] = None,
                 lineage: Boolean = false): DataFrame = {
@@ -868,8 +933,19 @@ object ManifestIndex {
       physicalSchema(active),
       None, new ParquetFileFormat, Map.empty)(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
-    val base0 = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val base1 = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(relation)
+    // plan stats ride a synthetic CatalogTable on the LogicalRelation —
+    // aliases above propagate them, so renames cost nothing (S74)
+    val base0 = planStatsTable(m, kept) match {
+      case Some(ct) => base1.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          org.apache.spark.sql.graft.Shim.ofRows(spark,
+            lr.copy(catalogTable = Some(ct)))
+        case _ => base1
+      }
+      case None => base1
+    }
     val base =
       if (!hasRenames(active)) base0
       else base0.select(

@@ -132,16 +132,21 @@ object GraftChangeSource {
   }
 
   /** Stream schema = the table's live read schema + `_change_type`
-    * (+ `_commit_version` when requested).
+    * (+ `_commit_version` when requested) — declared ALL-NULLABLE, and
+    * every batch rebrands onto exactly this schema: the snapshot scan and
+    * the feed unions produce different plan-level nullability, and a
+    * stateful consumer's state-store schema check refuses a restart whose
+    * key nullability differs from the one batch 1 wrote (review fix —
+    * the S75 kill-resume pipeline tripped it).
     */
   private[streaming] def schemaFor(spark: SparkSession, root: String,
                                    includeVersion: Boolean = false): StructType = {
     val base = Layout.readCurrent(spark, root).schema.fields :+
       StructField(ChangeTypeCol, StringType, nullable = false)
-    StructType(if (includeVersion)
+    StructType((if (includeVersion)
       base :+ StructField(CommitVersionCol,
         org.apache.spark.sql.types.LongType, nullable = false)
-    else base)
+    else base).map(_.copy(nullable = true)))
   }
 }
 
@@ -305,7 +310,7 @@ class GraftChangeSource(spark: SparkSession, root: String, keys: Seq[String],
       case Some(fromV) =>
         Layout.changeFeed(spark, root, fromV, endV, keys)
     }
-    Shim.asStreaming(align(batch))
+    Shim.asStreaming(align(batch), schema)
   }
 
   override def stop(): Unit = ()

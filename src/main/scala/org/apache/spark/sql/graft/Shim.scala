@@ -47,6 +47,21 @@ object Shim {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** [[asStreaming]] with an explicitly declared schema (types must match
+    * the computed rows; nullability may be RELAXED). A log-replaying
+    * source whose batches come from different plan shapes (snapshot scan
+    * vs feed union) must declare ONE schema across all of them — varying
+    * per-batch nullability breaks downstream state-store schema checks on
+    * restart (the state key written by batch 1 must match batch N's).
+    */
+  def asStreaming(df: DataFrame,
+                  schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val spark =
+      df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, schema, isStreaming = true)
+  }
+
   /** Rebase a V1 `Sink.addBatch` micro-batch DataFrame onto its computed
     * RDD so downstream code can run MULTIPLE actions over it (the layout
     * writers probe emptiness, validate constraints and then write) without

@@ -280,4 +280,79 @@ class ChangeStreamSpec extends SparkSpec {
       .filter($"_change_type" === "update_post")
       .select($"v").as[Long].collect().toSeq == Seq(3000000000L))
   }
+
+  test("S75 kill-resume: watermarked dedup + windowed agg over the change " +
+      "stream into a replace sink survives a restart exactly-once") {
+    val base = Files.createTempDirectory("graft_cs_killres").toString
+    val (src, res, ckpt) = (base + "/src", base + "/res", base + "/ckpt")
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    def srcRows(rs: (Long, java.sql.Timestamp, String, Long)*) =
+      rs.toDF("id", "ts", "g", "v")
+    Layout.initVersionedManifest(
+      srcRows((1L, ts(10, 5), "a", 10L), (2L, ts(10, 20), "a", 20L),
+        (3L, ts(11, 10), "b", 30L)), src, Seq("g"))
+    Layout.initVersionedManifest(
+      Seq((ts(0,0), ts(0,0), "z", 0L, 0L)).toDF("ws", "we", "g", "n_rows", "sum_v")
+        .filter(lit(false)), res, Seq("g"))
+
+    // the pipeline: inserts only → event-time watermark → per-id dedup
+    // within the watermark → hourly windowed aggregate → complete-output
+    // replace sink. Every drain below is a FRESH query over the same
+    // checkpoint — the kill/restart path: state-store recovery (dedup
+    // keys + window state), source offset replay, and the replace sink's
+    // natural idempotency must compose to exactly-once.
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("path", src).option("keys", "id")
+        .option("maxVersionsPerBatch", "1").load()
+        .filter($"_change_type" === "insert")
+        .select($"id", $"ts", $"g", $"v")
+        .withWatermark("ts", "6 hours")
+        .dropDuplicatesWithinWatermark("id")
+        .groupBy(window($"ts", "1 hour"), $"g")
+        .agg(count(lit(1)).as("n_rows"), sum($"v").as("sum_v"))
+        .select($"window.start".as("ws"), $"window.end".as("we"),
+          $"g", $"n_rows", $"sum_v")
+        .writeStream.format("graft-sink")
+        .option("path", res).option("mode", "replace")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain() // snapshot batch
+    def result(): Set[(String, String, Long, Long)] =
+      Layout.readCurrent(spark, res)
+        .select($"ws".cast("string"), $"g", $"n_rows", $"sum_v")
+        .as[(String, String, Long, Long)].collect()
+        .map(r => (r._1, r._2, r._3, r._4)).toSet
+    assert(result() == Set(
+      ("2026-01-01 10:00:00", "a", 2L, 30L),
+      ("2026-01-01 11:00:00", "b", 1L, 30L)))
+
+    // "kill": the query is gone. New commits land, INCLUDING exact
+    // replays of ids 2 and 3 (an at-least-once upstream) and a fresh id —
+    // three versions so the restarted drain crosses several batches
+    // (maxVersionsPerBatch = 1) with state carried between them
+    Layout.appendVersionedRows(spark, src,
+      srcRows((2L, ts(10, 20), "a", 20L), (3L, ts(11, 10), "b", 30L)))
+    Layout.appendVersionedRows(spark, src, srcRows((4L, ts(11, 40), "b", 40L)))
+    Layout.appendVersionedRows(spark, src,
+      srcRows((4L, ts(11, 40), "b", 40L), (5L, ts(12, 5), "a", 50L)))
+    drain() // restart from checkpoint
+    // exactly-once: replayed ids deduped by the RECOVERED state store,
+    // every unique id counted exactly once
+    assert(result() == Set(
+      ("2026-01-01 10:00:00", "a", 2L, 30L),
+      ("2026-01-01 11:00:00", "b", 2L, 70L),
+      ("2026-01-01 12:00:00", "a", 1L, 50L)))
+    // and the batch oracle agrees: distinct-by-id rows of the source
+    val want = Layout.readCurrent(spark, src)
+      .dropDuplicates("id")
+      .groupBy(window($"ts", "1 hour"), $"g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .select($"window.start".cast("string"), $"g", $"n", $"s".cast("long"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(result() == want)
+  }
 }

@@ -359,4 +359,24 @@ class ManifestStatsSpec extends SparkSpec {
     val c = Layout.readCurrent(spark, clustered).orderBy("id").collect().toSeq
     assert(a == c)
   }
+
+  test("S74: manifest stats surface as plan statistics under plan-stats/CBO") {
+    import graft.sources.Layout
+    val root = rangedRoot()
+    val prev = spark.conf.get("spark.sql.cbo.planStats.enabled", "false")
+    spark.conf.set("spark.sql.cbo.planStats.enabled", "true")
+    try {
+      val stats = Layout.readCurrent(spark, root)
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(1000)),
+        s"rowCount from the manifest, got ${stats.rowCount}")
+      val idStat = stats.attributeStats.find(_._1.name == "id").map(_._2)
+      assert(idStat.isDefined, "numeric column stats must surface")
+      assert(idStat.get.min.isDefined && idStat.get.max.isDefined)
+      assert(idStat.get.nullCount.contains(BigInt(0)))
+    } finally spark.conf.set("spark.sql.cbo.planStats.enabled", prev)
+    // CBO off: same read degrades to size-only statistics, no behavior change
+    val off = Layout.readCurrent(spark, root).queryExecution.optimizedPlan.stats
+    assert(off.rowCount.isEmpty)
+  }
 }
