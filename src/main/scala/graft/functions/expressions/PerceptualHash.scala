@@ -78,12 +78,24 @@ case class PerceptualHash(child: Expression, dMode: Boolean)
     var b = 0
     while (b < 64) {
       val set =
-        if (dMode) sums(b + 1) * lens(b) > sums(b) * lens(b + 1)
-        else sums(b) * n > total * lens(b)
+        if (dMode) gt128(sums(b + 1), lens(b), sums(b), lens(b + 1))
+        else gt128(sums(b), n, total, lens(b))
       if (set) h |= (1L << b)
       b += 1
     }
     h
+  }
+
+  /** `a·b > c·d` over non-negative longs WITHOUT overflow: the cross
+    * products reach ~255·n²/64, past Long.Max for payloads beyond ~1.5 GB
+    * — compare the full 128-bit products instead (review fix; a wrapped
+    * compare silently flips hash bits).
+    */
+  @inline private def gt128(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(a * b, c * d) > 0
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -100,9 +112,19 @@ case class PerceptualHash(child: Expression, dMode: Boolean)
       val b = ctx.freshName("b")
       val h = ctx.freshName("h")
       val set = ctx.freshName("set")
+      val hx = ctx.freshName("hx")
+      val hy = ctx.freshName("hy")
+      // 128-bit cross-product compare, mirroring eval's gt128 (overflow
+      // past ~1.5 GB payloads would silently flip bits — review fix)
+      def cmp128(a: String, bb: String, c: String, d: String): String =
+        s"""long $hx = Math.multiplyHigh($a, $bb);
+            long $hy = Math.multiplyHigh($c, $d);
+            boolean $set = $hx != $hy ? $hx > $hy
+              : Long.compareUnsigned($a * $bb, $c * $d) > 0;"""
       val cmp =
-        if (dMode) s"$sums[$b + 1] * $lens[$b] > $sums[$b] * $lens[$b + 1]"
-        else s"$sums[$b] * (long) $n > $total * $lens[$b]"
+        if (dMode) cmp128(s"$sums[$b + 1]", s"$lens[$b]",
+          s"$sums[$b]", s"$lens[$b + 1]")
+        else cmp128(s"$sums[$b]", s"(long) $n", s"$total", s"$lens[$b]")
       s"""
         final int $n = $a.length;
         if ($n < $cells) {
@@ -122,7 +144,7 @@ case class PerceptualHash(child: Expression, dMode: Boolean)
           }
           long $h = 0L;
           for (int $b = 0; $b < 64; $b++) {
-            boolean $set = $cmp;
+            $cmp
             if ($set) $h |= (1L << $b);
           }
           ${ev.value} = $h;

@@ -79,7 +79,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def name(): String = catName
 
   override def capabilities(): util.Set[TableCatalogCapability] =
-    Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT).asJava
+    Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE).asJava
 
   private def spark = SparkSession.active
 
@@ -129,11 +130,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, columns: Array[Column],
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table =
-    doCreate(ident, org.apache.spark.sql.graft.Shim.v2ColumnsToStructType(columns), partitions,
-      properties, Array.empty)
+    doCreate(ident, columns, partitions, properties, Array.empty)
 
   override def createTable(ident: Identifier, info: TableInfo): Table =
-    doCreate(ident, info.schema(), info.partitions(), info.properties(),
+    doCreate(ident, info.columns(), info.partitions(), info.properties(),
       info.constraints())
 
   /** Shared create: validates the spec the same way the non-catalog
@@ -142,11 +142,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * persistence, pre-existing-location refusal and atomic-by-cleanup
     * semantics included.
     */
-  private def doCreate(ident: Identifier, schema: StructType,
+  private def doCreate(ident: Identifier, columns: Array[Column],
                        partitions: Array[Transform],
                        properties: util.Map[String, String],
                        constraints: Array[Constraint]): Table = {
     val n = nameOf(ident)
+    // the schema stored in the manifest is CLEAN name/type/nullability;
+    // column DEFAULTs (capability SUPPORT_COLUMN_DEFAULT_VALUE) land as
+    // the same manifest markers ALTER COLUMN SET DEFAULT writes — one
+    // representation, every INSERT face (catalog, path-SQL, Scala) reads
+    // it. Identity/generation specs have no catalog-mode insert path
+    // (see newWriteBuilder) and refuse at create.
+    columns.foreach { c =>
+      require(c.identityColumnSpec() == null && c.generationExpression() == null,
+        s"graft catalog: identity/generated column '${c.name()}' — declare " +
+          "identity via Layout.setIdentityColumn (no catalog-mode INSERT " +
+          "path exists for generated values)")
+      require(c.comment() == null,
+        "graft catalog: column comments are not table state here")
+    }
+    val schema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(),
+        c.nullable())))
+    val defaults = columns.toSeq.flatMap(c =>
+      Option(c.defaultValue()).map(dv => c.name() -> dv.getSql))
     // Spark auto-injects provider/owner; location is ours; anything ELSE
     // (TBLPROPERTIES, OPTIONS via the option. prefix, comments) has no
     // layout representation and must refuse loudly, mirroring specOf
@@ -182,6 +201,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftDdl.GraftCreateTableCommand(n,
       Option(properties.get(TableCatalog.PROP_LOCATION)), schema, pcols,
       checks, ignoreIfExists = false, query = None).run(spark)
+    val root = GraftPaths.resolve(spark, n)
+    defaults.foreach { case (c, sql) =>
+      Layout.setColumnDefault(spark, root, c, sql) }
     loadTable(ident)
   }
 
@@ -197,6 +219,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             "that predates it reads as NULL")
         require(a.defaultValue() == null,
           "graft catalog: ADD COLUMN DEFAULT is not supported")
+        // refuse-loudly convention: silently appending a column the user
+        // positioned FIRST/AFTER (or commented) would drop their stated
+        // intent (review fix)
+        require(a.position() == null,
+          "graft catalog: ADD COLUMN FIRST/AFTER is not supported — " +
+            "columns append at the end")
+        require(a.comment() == null,
+          "graft catalog: column comments are not table state here")
         Layout.addColumn(spark, root, a.fieldNames().head, a.dataType())
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
@@ -262,18 +292,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val from = nameOf(oldIdent)
     // `RENAME TO graft.x` ships the catalog name as the new identifier's
     // namespace (Spark does not re-resolve the target against the
-    // catalog) — strip it; any OTHER namespace is a real (refused) one
-    val to = nameOf(
+    // catalog) — strip it FIRST; any OTHER namespace is a real (refused)
+    // one. Every later check must use the STRIPPED identifier: probing
+    // tableExists with the namespace-bearing original always answers
+    // false (nameOf throws inside it), which silently disarmed the
+    // target-exists guard and let a rename land INSIDE an existing
+    // table's slot (review fix).
+    val strippedNew =
       if (newIdent.namespace().sameElements(Array(catName)))
         Identifier.of(Array.empty, newIdent.name())
-      else newIdent)
+      else newIdent
+    val to = nameOf(strippedNew)
     require(!GraftPaths.isPath(from) && !GraftPaths.isPath(to),
       "graft catalog: RENAME works on warehouse NAMES — a path-addressed " +
         "table is already at its location")
     resolvedRootOf(oldIdent) // existence check (throws NoSuchTable)
-    if (tableExists(newIdent))
+    if (tableExists(strippedNew))
       throw new org.apache.spark.sql.catalyst.analysis
-        .TableAlreadyExistsException(newIdent)
+        .TableAlreadyExistsException(strippedNew)
     val src = new org.apache.hadoop.fs.Path(GraftPaths.slotDir(spark, from))
     val dst = new org.apache.hadoop.fs.Path(GraftPaths.slotDir(spark, to))
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -336,6 +372,40 @@ case class GraftTable(ident: String, root: String,
 
   override lazy val schema: StructType = readPlan().schema
 
+  private lazy val manifestState
+      : Option[graft.sources.ManifestIndex.TableManifest] =
+    if (!graft.sources.ManifestIndex.isManifestRoot(spark, root)) None
+    else Some(graft.sources.ManifestIndex.read(spark, root,
+      f"v${Layout.currentVersionNumber(spark, root)}%05d"))
+
+  /** Column DEFAULTs surface as v2 column metadata (capability
+    * `SUPPORT_COLUMN_DEFAULT_VALUE` on the catalog), so Spark's OWN
+    * insert resolution fills an omitted column with its declared default
+    * — the catalog INSERT face of [[Layout.completeInsertColumns]]. The
+    * literal value is the default evaluated NOW (defaults are column-free
+    * by [[Layout.setColumnDefault]]'s contract, so this is one driver-side
+    * fold).
+    */
+  override def columns(): Array[org.apache.spark.sql.connector.catalog.Column] = {
+    val dfts = manifestState.map(_.defaults).getOrElse(Map.empty)
+    schema.fields.map { f =>
+      dfts.get(f.name) match {
+        case Some(sql) =>
+          val ext = spark.range(1).select()
+            .select(org.apache.spark.sql.functions.expr(sql)
+              .cast(f.dataType).as("v")).head().get(0)
+          org.apache.spark.sql.connector.catalog.Column.create(
+            f.name, f.dataType, f.nullable, null,
+            new ColumnDefaultValue(sql,
+              org.apache.spark.sql.graft.Shim.v2Literal(ext, f.dataType)),
+            null)
+        case None =>
+          org.apache.spark.sql.connector.catalog.Column.create(
+            f.name, f.dataType, f.nullable)
+      }
+    }
+  }
+
   override def partitioning(): Array[Transform] =
     Layout.partitionColumns(spark, root).map(Expressions.identity).toArray
 
@@ -360,6 +430,19 @@ case class GraftTable(ident: String, root: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty && pinnedTsMillis.isEmpty,
       s"graft catalog: cannot write to a time-travel snapshot of $ident")
+    // a GENERATED identity column cannot ride the DSv2 insert path: Spark
+    // materializes every target column (NULL-filling an omitted one), so
+    // by the time insert() sees the frame the column is present and the
+    // writer's replay-safety gate must refuse it — fail HERE with the
+    // actionable message instead (review fix: the gate's message talks
+    // about completeInsertColumns, which a catalog SQL user cannot reach)
+    manifestState.flatMap(_.identity).foreach { case (c, _) =>
+      throw new IllegalArgumentException(
+        s"graft catalog: '$c' is a GENERATED identity column — catalog-" +
+          "mode INSERT cannot omit it (Spark fills every target column); " +
+          "use the path-addressed INSERT surface or the Scala API, which " +
+          "generate the ids")
+    }
     new WriteBuilder with SupportsTruncate {
       private var replaceAll = false
       override def truncate(): WriteBuilder = { replaceAll = true; this }

@@ -290,14 +290,13 @@ object GraftDdl {
     * `UnresolvedRelation` target is never claimed by a built-in rule.
     */
   def lower(plan: LogicalPlan): Option[LogicalPlan] = {
-    // CATALOG mode: Spark's grammar + GraftCatalog resolution own these
-    // statements (create/alter/drop/truncate/show-create route through
-    // the catalog's methods); lowering here would silently bypass the
-    // registered catalog. The injected-parser statements (DESCRIBE
-    // HISTORY, VACUUM, OPTIMIZE, RESTORE, SHALLOW CLONE) are unaffected —
-    // they never reach this method.
-    if (GraftDml.catalogMode(org.apache.spark.sql.SparkSession.active))
-      return None
+    // CATALOG-mode gating lives at the ONLY call site
+    // (GraftSqlParser.parsePlan, which holds the parsing session): there
+    // Spark's grammar + GraftCatalog resolution own these statements and
+    // this method is never consulted. Re-checking here via
+    // SparkSession.active would consult a possibly-DIFFERENT session in a
+    // multi-session application (review fix — the duplicate check was
+    // dead from the real call site and wrong from any other).
     Some(plan match {
       case ct: CreateTable =>
         ct.name match {

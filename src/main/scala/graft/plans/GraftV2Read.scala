@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, V2WriteCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, Project, SubqueryAlias, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -33,8 +33,21 @@ object GraftV2Read {
       val protectedRels =
         java.util.Collections.newSetFromMap(
           new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+      def targetRelOf(p: LogicalPlan): Option[LogicalPlan] = p match {
+        case SubqueryAlias(_, child) => targetRelOf(child)
+        case r: DataSourceV2Relation => Some(r)
+        case _ => None
+      }
       plan.foreach {
         case w: V2WriteCommand => protectedRels.add(w.table)
+        // an InsertIntoStatement's target resolves to a v2 relation one
+        // fixed-point pass BEFORE ResolveInsertInto converts the whole
+        // statement to AppendData/Overwrite (which needs the query side
+        // resolved too) — rewriting it in that window would strand the
+        // INSERT unresolvable (the same review-fix contract as
+        // GraftRead.GraftReadRule's target protection)
+        case i: InsertIntoStatement =>
+          targetRelOf(i.table).foreach(protectedRels.add)
         case _ =>
       }
       plan.resolveOperatorsUp {

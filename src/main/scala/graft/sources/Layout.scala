@@ -2225,10 +2225,14 @@ object Layout {
           case null => Seq.empty
           case arr => arr.toSeq
         }
+      // FULL uri strings: stripping the scheme would re-resolve the read
+      // against the default filesystem (wrong or missing files on a
+      // cluster whose drop zone lives elsewhere) and collide ledger keys
+      // across filesystems sharing a path (review fix)
       val files = matched.filter(st => st.isFile &&
           !st.getPath.getName.startsWith("_") &&
           !st.getPath.getName.startsWith("."))
-        .map(_.getPath.toUri.getPath).sorted
+        .map(_.getPath.toString).sorted
       require(files.nonEmpty || matched.nonEmpty,
         s"copyInto: nothing matches $source")
       val fresh = files.filterNot(f =>
@@ -2242,10 +2246,22 @@ object Layout {
         case "csv" => reader.schema(schema).csv(fresh: _*)
         case "json" => reader.schema(schema).json(fresh: _*)
       }
-      val nextVer = currentVersionNumber(spark, root) + 1
-      val path = appendVersionedRows(spark, root, df,
-        extraProps = fresh.map(f =>
-          ManifestIndex.IngestPrefix + f -> nextVer.toString).toMap)
+      val before = currentVersionNumber(spark, root)
+      val ledger = fresh.map(f =>
+        ManifestIndex.IngestPrefix + f -> (before + 1).toString).toMap
+      val path = appendVersionedRows(spark, root, df, extraProps = ledger)
+      if (currentVersionNumber(spark, root) == before) {
+        // all-empty fresh files: the append no-opped and DROPPED the
+        // ledger (an empty append discards extraProps by contract) — mark
+        // them with a metadata-only commit or every later call re-reads
+        // the same empty files forever (review fix)
+        val (cur, _, liveMan) = currentManifest(spark, root)
+        val (next, nextPath) = nextVersion(spark, root, cur)
+        commitManifest(spark, root, next,
+          liveMan.copy(properties = liveMan.properties ++ ledger),
+          "COPY INTO")
+        return (nextPath, fresh.length)
+      }
       (path, fresh.length)
     }
 
@@ -2283,11 +2299,24 @@ object Layout {
   private def requireConstraints(df: DataFrame,
                                  constraints: Map[String, String],
                                  what: String): Unit = {
-    if (constraints.isEmpty) return
+    // a synthesized null probe is PROVABLY satisfied when the incoming
+    // batch's own plan schema already declares the column non-nullable
+    // (Catalyst nullability is a guarantee, not a hint) — skip it, so the
+    // schema-level gate costs nothing on the common non-null→non-null
+    // write and a probe job only runs where a null could actually arrive
+    val needed = constraints.filterNot { case (name, _) =>
+      Seq("__schema_not_null_", "__not_null_").exists { p =>
+        name.startsWith(p) && {
+          val c = name.stripPrefix(p)
+          df.schema.find(_.name == c).exists(!_.nullable)
+        }
+      }
+    }
+    if (needed.isEmpty) return
     // ONE combined pass instead of a probe job per check: a clean batch
     // scans fully under either shape, so N checks cost N scans the
     // per-check way — the combined conditional-count aggregate pays one
-    val sorted = constraints.toSeq.sortBy(_._1)
+    val sorted = needed.toSeq.sortBy(_._1)
     val counts = df.select(sorted.map { case (name, sql) =>
       count(when(!expr(sql), 1)).as(name) }: _*).first()
     sorted.zipWithIndex.foreach { case ((name, sql), i) =>

@@ -888,8 +888,16 @@ object ManifestIndex {
             val bs = cs.map(sel)
             if (bs.exists(_.isEmpty)) None
             else {
-              val ds = bs.map(s => BigDecimal(s.get))
-              Some((if (pickMin) ds.min else ds.max).bigDecimal.toPlainString)
+              // double/float bounds can be "NaN"/"Infinity" (min/max order
+              // NaN above every double) — not BigDecimal-parsable; an
+              // unparsable bound means NO envelope, never a crash during
+              // read-plan construction (review fix)
+              val ds = bs.map(s => scala.util.Try(BigDecimal(s.get)))
+              if (ds.exists(_.isFailure)) None
+              else {
+                val vs = ds.map(_.get)
+                Some((if (pickMin) vs.min else vs.max).bigDecimal.toPlainString)
+              }
             }
           }
           Some(phys -> CatalogColumnStat(
@@ -936,8 +944,15 @@ object ManifestIndex {
     val base1 = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(relation)
     // plan stats ride a synthetic CatalogTable on the LogicalRelation —
-    // aliases above propagate them, so renames cost nothing (S74)
-    val base0 = planStatsTable(m, kept) match {
+    // aliases above propagate them, so renames cost nothing (S74). Built
+    // ONLY when the cost model would read them: with CBO/plan-stats off,
+    // toPlanStats discards everything but sizeInBytes (which the
+    // FileIndex already reports), so paying per-entry bound parses on
+    // every read would buy nothing (review fix)
+    val statsWanted =
+      spark.conf.get("spark.sql.cbo.enabled", "false").toBoolean ||
+        spark.conf.get("spark.sql.cbo.planStats.enabled", "false").toBoolean
+    val base0 = (if (statsWanted) planStatsTable(m, kept) else None) match {
       case Some(ct) => base1.queryExecution.logical match {
         case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
           org.apache.spark.sql.graft.Shim.ofRows(spark,

@@ -24,6 +24,17 @@ object Shim {
     org.apache.spark.sql.connector.catalog.CatalogV2Util
       .v2ColumnsToStructType(cols)
 
+  /** A v2 connector `Literal` from an EXTERNAL Scala value
+    * (`LiteralValue` and the Catalyst converters are `private[sql]`) —
+    * the catalog's column-DEFAULT metadata needs one.
+    */
+  def v2Literal(external: Any, dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.connector.expressions.Literal[_] =
+    org.apache.spark.sql.connector.expressions.LiteralValue(
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToCatalyst(external),
+      dt)
+
   /** Analyze-and-wrap a logical plan as a DataFrame (`Dataset.ofRows` went
     * `private[sql]` with the Spark 4 classic split). Used by the SQL DML
     * commands to evaluate the MERGE source plan the parser captured.

@@ -157,6 +157,33 @@ class ColumnMarkersSpec extends SparkSpec {
     s.sql("INSERT INTO graft.mk VALUES (9, NULL, 'z', 'a')")
     assert(s.sql("SELECT count(*) FROM graft.mk WHERE v IS NULL")
       .head().getLong(0) == 1L)
+    // DEFAULT declared through the marker surfaces as v2 column metadata
+    // (SUPPORT_COLUMN_DEFAULT_VALUE), so Spark's OWN insert resolution
+    // fills the omitted column — the catalog INSERT face of defaults
+    s.sql("ALTER TABLE graft.mk ALTER COLUMN tag SET DEFAULT 'dflt'")
+    s.sql("INSERT INTO graft.mk (id, v, part) VALUES (77, 7, 'a')")
+    assert(s.sql("SELECT tag FROM graft.mk WHERE id = 77")
+      .head().getString(0) == "dflt")
     s.sql("DROP TABLE graft.mk")
+  }
+
+  test("catalog mode: CREATE with column DEFAULT; identity refused loudly") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    s.conf.set("spark.graft.warehouse",
+      Files.createTempDirectory("graft-markers-wh2").toString)
+    s.sql("CREATE TABLE graft.mkd (id BIGINT, tag STRING DEFAULT 'unk', " +
+      "part STRING) PARTITIONED BY (part)")
+    s.sql("INSERT INTO graft.mkd (id, part) VALUES (1, 'a')")
+    assert(s.sql("SELECT tag FROM graft.mkd WHERE id = 1")
+      .head().getString(0) == "unk")
+    // identity via the Scala API makes the table catalog-INSERT-refusing
+    // (Spark materializes every target column, so generation cannot run)
+    val root = graft.plans.GraftPaths.resolve(s, "mkd")
+    Layout.setIdentityColumn(s, root, "id")
+    val e = intercept[Exception] {
+      s.sql("INSERT INTO graft.mkd (tag, part) VALUES ('x', 'a')") }
+    assert(e.getMessage.contains("GENERATED identity"))
+    s.sql("DROP TABLE graft.mkd")
   }
 }

@@ -139,6 +139,21 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP TABLE graft.cat_r2")
   }
 
+  test("RENAME TO an existing table refuses (no silent slot nesting)") {
+    sql("CREATE TABLE graft.cat_ra (id BIGINT, part STRING) PARTITIONED BY (part)")
+    sql("CREATE TABLE graft.cat_rb (id BIGINT, part STRING) PARTITIONED BY (part)")
+    sql("INSERT INTO graft.cat_rb SELECT id, 'p' FROM range(3)")
+    val e = intercept[Exception] {
+      sql("ALTER TABLE graft.cat_ra RENAME TO graft.cat_rb") }
+    assert(e.getMessage.contains("already exists") ||
+      e.getMessage.contains("TABLE_OR_VIEW_ALREADY_EXISTS"),
+      s"expected already-exists refusal, got: ${e.getMessage}")
+    // both tables intact
+    assert(sql("SELECT count(*) FROM graft.cat_rb").head().getLong(0) == 3L)
+    assert(sql("SELECT count(*) FROM graft.cat_ra").head().getLong(0) == 0L)
+    sql("DROP TABLE graft.cat_ra"); sql("DROP TABLE graft.cat_rb")
+  }
+
   test("USE graft: bare-name resolution via the current catalog") {
     sql("USE graft")
     try {
