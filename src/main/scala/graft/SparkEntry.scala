@@ -2668,6 +2668,24 @@ object SparkEntry {
       graft.sources.Layout.readCurrent(s, root)
         .groupBy("pri")
         .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+    }),
+
+    // --- incremental corpus dedup: bloom-gated anti-join (r14) ---
+    // A fresh batch (new docs + replays of already-ingested ones) dedupes
+    // against the existing corpus by portable fingerprint: the bloom
+    // prefilter keeps the join to the hit fraction, the anti-join makes
+    // the answer EXACT — so the oracle is the plain NOT IN algebra and
+    // only matches if the sketch lost nothing.
+    "q187_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def fp(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        TF.fingerprintPortable(TF.tokens(col("text"))).as("fp"))
+      val corpus = fp(docs.filter(col("doc_id") < 300))
+      val fresh = fp(docs.filter(col("doc_id") >= 300)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 300 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))))
+      Dedup.incrementalNew(fresh, corpus, "fp")
     })
   )
 
@@ -5303,7 +5321,23 @@ object SparkEntry {
             OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0))
         SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
           CAST(sum(v) AS BIGINT) AS sum_v
-        FROM rows_in GROUP BY 1"""
+        FROM rows_in GROUP BY 1""",
+
+      // the bloom is invisible in the ANSWER: plain anti-join algebra
+      "q187_incremental_dedup" -> s"""
+        WITH t AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents),
+        f AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(toks, tk -> ${duckPolyHash("tk")})),
+            (acc, x) -> (acc * 1000003 + x) % 1000000007) AS fp FROM t),
+        corpus AS (SELECT fp FROM f WHERE doc_id < 300),
+        fresh AS (SELECT doc_id, fp FROM f WHERE doc_id >= 300
+          UNION ALL
+          SELECT doc_id + 100000, fp FROM f
+          WHERE doc_id < 300 AND doc_id % 7 = 0)
+        SELECT doc_id, fp FROM fresh
+        WHERE fp NOT IN (SELECT fp FROM corpus)"""
     )
   }
 

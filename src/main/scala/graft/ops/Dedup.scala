@@ -48,6 +48,40 @@ object Dedup {
   /** D1: order-insensitive vertical union by column name. */
   def unionAll(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_ unionByName _)
 
+  /** D16: INCREMENTAL corpus dedup — the daily-ingest shape at 100 TB:
+    * keep only the `fresh` rows whose content fingerprint the existing
+    * corpus has never seen, WITHOUT a full-width fresh×corpus anti-join.
+    * The corpus's fingerprint set folds into a bloom filter (one pass, a
+    * few MB of bits inlined as a literal — [[BloomPrune]]'s machinery);
+    * fresh rows the bloom rejects are DEFINITELY new and never enter a
+    * join; only the bloom's hits (true replays + false positives) anti-
+    * join against the corpus fingerprints. EXACT: blooms have no false
+    * negatives, and the anti-join discards the false positives — the
+    * filter only moves work, never answers. Cost = one corpus fingerprint
+    * scan + a join over the hit FRACTION; at a replay rate of a few
+    * percent that is the difference between shuffling the whole fresh
+    * batch against the corpus and shuffling a sliver.
+    *
+    * @param expectedItems sizes the sketch to the corpus's distinct
+    *                      fingerprint estimate ([[BloomPrune.bloomAgg]]
+    *                      documents the session caps).
+    */
+  def incrementalNew(fresh: DataFrame, corpus: DataFrame, fpCol: String,
+                     expectedItems: Long = 1000000L): DataFrame = {
+    // both sides are consumed twice (bloom build + anti-join; miss/hit
+    // branches) — materialize once each (tracked caches)
+    val cfp = graft.util.Caches.cache(
+      corpus.select(col(fpCol)).distinct()).toDF
+    val freshC = graft.util.Caches.cache(fresh).toDF
+    val bloomRow = cfp.agg(BloomPrune.bloomAgg(col(fpCol), expectedItems))
+      .head()
+    if (bloomRow.isNullAt(0)) return freshC // empty corpus: everything new
+    val bloomBytes = bloomRow.getAs[Array[Byte]](0)
+    val hit = BloomPrune.mightContain(bloomBytes, col(fpCol))
+    freshC.filter(!hit).unionByName(
+      freshC.filter(hit).join(cfp, Seq(fpCol), "left_anti"))
+  }
+
   /** Collapse near-dup groups to ONE representative each — the curation step
     * after connected components ([[MinHashDedup.dupGroups]]): of every dup
     * group keep the best row under `better` (e.g. longest text, highest

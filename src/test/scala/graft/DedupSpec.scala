@@ -154,4 +154,20 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L)), s"NULL-block docs must not pair: $got")
   }
+
+  test("incrementalNew: bloom-gated anti-join is EXACT vs the plain anti-join") {
+    val corpus = (1L to 400L).map(i => (i, i * 31 % 997)).toDF("doc_id", "fp")
+    // fresh = 100 genuinely new + 40 replays of corpus fingerprints
+    val fresh = ((1000L to 1099L).map(i => (i, 1000 + i)) ++
+      (1L to 40L).map(i => (5000L + i, i * 31 % 997))).toDF("doc_id", "fp")
+    val got = Dedup.incrementalNew(fresh, corpus, "fp")
+      .select($"doc_id").as[Long].collect().toSet
+    val want = fresh.join(corpus.select($"fp").distinct(), Seq("fp"), "left_anti")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == want)
+    assert(got == (1000L to 1099L).toSet)
+    // empty corpus: everything is new
+    val empty = corpus.filter(lit(false))
+    assert(Dedup.incrementalNew(fresh, empty, "fp").count() == fresh.count())
+  }
 }

@@ -171,6 +171,29 @@ class GraftCatalogSpec extends SparkSpec {
     assert(cat.sql("SELECT 1 AS one").head().getInt(0) == 1)
   }
 
+  test("path-addressed identifiers route through the catalog too") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cat-path").toString + "/t"
+    sql(s"CREATE TABLE graft.`$root` (id BIGINT, v BIGINT, part STRING, " +
+      "CONSTRAINT v_ok CHECK (v >= 0)) PARTITIONED BY (part)")
+    sql(s"INSERT INTO graft.`$root` SELECT id, id * 2, 'p' FROM range(20)")
+    assert(sql(s"SELECT count(*) FROM graft.`$root`").head().getLong(0) == 20L)
+    sql(s"UPDATE graft.`$root` SET v = v + 1 WHERE id < 5")
+    sql(s"DELETE FROM graft.`$root` WHERE id >= 15")
+    assert(sql(s"SELECT sum(v) FROM graft.`$root`").head().getLong(0) ==
+      (0 until 15).map(i => i * 2L + (if (i < 5) 1L else 0L)).sum)
+    // constraint gate holds on the path ident
+    val e = intercept[Exception] {
+      sql(s"INSERT INTO graft.`$root` VALUES (99, -1, 'p')") }
+    assert(e.getMessage.contains("v_ok") || e.getMessage.contains("CHECK"))
+    // a path ident never lands in SHOW TABLES (it is not a warehouse name)
+    assert(!sql("SHOW TABLES IN graft").collect()
+      .exists(_.getString(1).contains("graft-cat-path")))
+    sql(s"DESCRIBE HISTORY graft.`$root`") // parser statements compose
+    sql(s"DROP TABLE graft.`$root`")
+    intercept[Exception] { sql(s"SELECT * FROM graft.`$root`").collect() }
+  }
+
   test("drop through the catalog clears the listing") {
     sql("DROP TABLE graft.cat_t")
     assert(!sql("SHOW TABLES IN graft").collect()
