@@ -90,6 +90,27 @@ object GraftDml {
       spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.getOption(s"spark.sql.catalog.$Namespace").isDefined
 
+  /** Under `USE graft`, a DML statement's BARE target name (`DELETE FROM
+    * orders`) means the graft table — but the parse-time lowering keys on
+    * the 2-part `graft.x` shape, so qualify the TARGET with the current
+    * catalog before the rule runs. Sources are untouched: they resolve
+    * through the normal current-catalog path (and the read rule).
+    */
+  private[plans] def qualifyBareTarget(plan: LogicalPlan): LogicalPlan = {
+    def fix(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(id, child) => SubqueryAlias(id, fix(child))
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
+        r.copy(multipartIdentifier = Seq(Namespace, r.multipartIdentifier.head))
+      case other => other
+    }
+    plan match {
+      case d: DeleteFromTable => d.copy(table = fix(d.table))
+      case u: UpdateTable => u.copy(table = fix(u.table))
+      case m: MergeIntoTable => m.copy(targetTable = fix(m.targetTable))
+      case other => other
+    }
+  }
+
   /** Match `graft.`path`` targets through an optional alias, yielding
     * (root path, lower-cased alias qualifiers).
     */

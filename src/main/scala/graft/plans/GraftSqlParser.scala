@@ -45,7 +45,13 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
           case _: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable |
                _: org.apache.spark.sql.catalyst.plans.logical.UpdateTable |
                _: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
-            GraftDml.GraftDmlRule(session).apply(plan)
+            // `USE graft` makes a bare target name a graft table — the
+            // rule keys on the 2-part shape, so qualify it first
+            val qualified =
+              if (session.catalog.currentCatalog() == "graft")
+                GraftDml.qualifyBareTarget(plan)
+              else plan
+            GraftDml.GraftDmlRule(session).apply(qualified)
           case acc: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>
             // the DDL statements that lower in catalog mode too — see
             // GraftDdl.lowerAddConstraint / lowerAlterColumnMarkers for why

@@ -159,6 +159,14 @@ class GraftCatalogSpec extends SparkSpec {
     try {
       assert(sql("SELECT count(*) FROM cat_t").head().getLong(0) > 0L)
       assert(sql("SHOW TABLES").collect().exists(_.getString(1) == "cat_t"))
+      // bare-name DML under the current catalog qualifies to the graft
+      // target before the parse-time lowering
+      val before = sql("SELECT count(*) FROM cat_t").head().getLong(0)
+      sql("DELETE FROM cat_t WHERE id = 1")
+      assert(sql("SELECT count(*) FROM cat_t").head().getLong(0) == before - 1)
+      val v2 = sql("SELECT v FROM cat_t WHERE id = 2").head().getLong(0)
+      sql("UPDATE cat_t SET v = v + 1 WHERE id = 2")
+      assert(sql("SELECT v FROM cat_t WHERE id = 2").head().getLong(0) == v2 + 1)
     } finally sql("USE spark_catalog.default")
   }
 
