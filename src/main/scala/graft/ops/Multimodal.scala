@@ -81,10 +81,17 @@ object Multimodal {
     */
   def phashes(assets: DataFrame): DataFrame = {
     import graft.functions.expressions.PerceptualHash
-    assets.select(col("asset_id"),
+    // the no-print condition expressed on the INPUT (null or shorter than
+    // the 65-cell dHash grid) instead of `ahash.isNotNull`: a filter on
+    // the derived column re-evaluates the whole hash per probe once the
+    // optimizer pushes it through the projection — measured 3x the
+    // per-row hash work for the same rows (PlanSpec pins one
+    // perceptualhash call per print)
+    assets.filter(col("payload").isNotNull &&
+        octet_length(col("payload")) >= 65)
+      .select(col("asset_id"),
         PerceptualHash.aHash(col("payload")).as("ahash"),
         PerceptualHash.dHash(col("payload")).as("dhash"))
-      .filter(col("ahash").isNotNull && col("dhash").isNotNull)
   }
 
   /** Byte-level near-duplicate asset pairs: dHash prints within Hamming

@@ -351,4 +351,56 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       p.take(2000))
   }
+
+  test("q183: perceptual hashes codegen once each, one scan, no shuffle") {
+    val pl = plan("q183_phash")
+    // `*(n)` stages = whole-stage codegen; the expression must not fall
+    // back to an interpreted projection
+    assert(pl.contains("*(1)"), pl.take(800))
+    assert(!pl.contains("Exchange"), "phash must not shuffle")
+    assert(countOf(pl, "FileScan parquet") == 1)
+    // exactly ONE perceptualhash evaluation per print: the no-print
+    // filter runs on payload length, so pushing it down cannot duplicate
+    // the hash work (each extra occurrence is a full per-row byte pass)
+    assert(countOf(pl, "perceptualhash") == 2, pl.take(1200))
+  }
+
+  test("q184: phash near-dup joins on chunk equality, never nested-loop") {
+    val pl = plan("q184_phash_neardup")
+    assert(!pl.contains("BroadcastNestedLoopJoin") &&
+      !pl.contains("CartesianProduct"), pl.take(800))
+  }
+
+  test("q187: bloom prunes before the anti-join; the corpus side broadcasts") {
+    val pl = plan("q187_incremental_dedup")
+    assert(pl.contains("might_contain") || pl.contains("BloomFilterMightContain"),
+      "bloom membership probe must gate the join input: " + pl.take(800))
+    // the hit fraction anti-joins against the (small) corpus fingerprint
+    // set — broadcast, not a shuffled join
+    assert(pl.contains("BroadcastHashJoin") && pl.contains("LeftAnti"),
+      pl.take(1200))
+  }
+
+  test("catalog-mode read plans exactly like the path read (relation substitution)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    s2.conf.set("spark.graft.warehouse",
+      java.nio.file.Files.createTempDirectory("graft-planspec-wh").toString)
+    s2.sql("CREATE TABLE graft.plan_t (id BIGINT, v BIGINT, part STRING) " +
+      "PARTITIONED BY (part)")
+    s2.sql("INSERT INTO graft.plan_t SELECT id, id * 2, 'p' FROM range(100)")
+    val root = graft.plans.GraftPaths.resolve(s2, "plan_t")
+    def shape(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+        .replaceAll("#\\d+L?", "#x").split("== Initial Plan ==")(0)
+    val viaCatalog = shape(s2.sql("SELECT id, v FROM graft.plan_t WHERE id < 10"))
+    val viaPath = shape(graft.sources.Layout.readCurrent(s2, root)
+      .filter(org.apache.spark.sql.functions.col("id") < 10)
+      .select("id", "v"))
+    // the substitution rule must not add operators: same scan, same
+    // filter pushdown, same projection (modulo exprIds)
+    assert(viaCatalog == viaPath,
+      s"catalog plan diverges:\n$viaCatalog\n---\n$viaPath")
+    s2.sql("DROP TABLE graft.plan_t")
+  }
 }
