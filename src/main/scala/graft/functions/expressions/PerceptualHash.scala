@@ -159,6 +159,12 @@ case class PerceptualHash(child: Expression, dMode: Boolean)
 object PerceptualHash {
   import org.apache.spark.sql.graft.Shim
 
+  /** Smallest payload with BOTH prints defined: the dHash grid's 65
+    * cells (aHash needs 64). Input-side pre-filters must reference THIS
+    * — a hardcoded copy silently desyncs if the grid changes.
+    */
+  val MinPayloadBytes = 65
+
   /** 64-bit average hash: cell mean vs global mean over a 64-cell grid. */
   def aHash(payload: Column): Column =
     Shim.column(PerceptualHash(Shim.expression(payload), dMode = false))

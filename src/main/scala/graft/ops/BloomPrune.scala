@@ -62,10 +62,13 @@ object BloomPrune {
     *                      is silent and a saturated filter passes every row,
     *                      so over-cap requests fail fast here instead.
     */
-  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
-                      factKey: String, dimKey: String,
-                      expectedItems: Long = 1000000L): DataFrame = {
-    val conf = dim.sparkSession.conf
+  /** Refuse an `expectedItems` the session's sketch caps would silently
+    * clamp (a saturated filter prunes nothing while looking healthy) —
+    * shared by every caller that builds a filter with [[bloomAgg]].
+    */
+  def requireWithinCaps(spark: org.apache.spark.sql.SparkSession,
+                        expectedItems: Long): Unit = {
+    val conf = spark.conf
     val maxItems =
       conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
     val maxBits =
@@ -76,6 +79,12 @@ object BloomPrune {
         "Spark would silently clamp the sketch and a saturated filter prunes " +
         "nothing — raise spark.sql.optimizer.runtime.bloomFilter.maxNumItems/" +
         "maxNumBits or lower expectedItems")
+  }
+
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
+                      factKey: String, dimKey: String,
+                      expectedItems: Long = 1000000L): DataFrame = {
+    requireWithinCaps(dim.sparkSession, expectedItems)
     val bytes = dim.agg(bloomAgg(col(dimKey), expectedItems).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     fact.filter(mightContain(bytes, col(factKey)))

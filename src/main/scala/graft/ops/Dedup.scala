@@ -68,18 +68,23 @@ object Dedup {
     */
   def incrementalNew(fresh: DataFrame, corpus: DataFrame, fpCol: String,
                      expectedItems: Long = 1000000L): DataFrame = {
-    // both sides are consumed twice (bloom build + anti-join; miss/hit
-    // branches) — materialize once each (tracked caches)
+    // sizing past the session's sketch caps would SILENTLY saturate the
+    // filter and pull the whole batch into the join (BloomPrune's guard)
+    BloomPrune.requireWithinCaps(fresh.sparkSession, expectedItems)
+    // the corpus fingerprint set is consumed twice (bloom build +
+    // anti-join) and is narrow — cache it. The FRESH batch is NOT cached:
+    // at the daily-ingest scale this op exists for, spilling the full
+    // batch to read it twice costs more than recomputing two cheap
+    // scan+filter branches over the source (review fix)
     val cfp = graft.util.Caches.cache(
       corpus.select(col(fpCol)).distinct()).toDF
-    val freshC = graft.util.Caches.cache(fresh).toDF
     val bloomRow = cfp.agg(BloomPrune.bloomAgg(col(fpCol), expectedItems))
       .head()
-    if (bloomRow.isNullAt(0)) return freshC // empty corpus: everything new
+    if (bloomRow.isNullAt(0)) return fresh // empty corpus: everything new
     val bloomBytes = bloomRow.getAs[Array[Byte]](0)
     val hit = BloomPrune.mightContain(bloomBytes, col(fpCol))
-    freshC.filter(!hit).unionByName(
-      freshC.filter(hit).join(cfp, Seq(fpCol), "left_anti"))
+    fresh.filter(!hit).unionByName(
+      fresh.filter(hit).join(cfp, Seq(fpCol), "left_anti"))
   }
 
   /** Collapse near-dup groups to ONE representative each — the curation step

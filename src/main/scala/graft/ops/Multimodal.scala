@@ -88,7 +88,7 @@ object Multimodal {
     // per-row hash work for the same rows (PlanSpec pins one
     // perceptualhash call per print)
     assets.filter(col("payload").isNotNull &&
-        octet_length(col("payload")) >= 65)
+        octet_length(col("payload")) >= PerceptualHash.MinPayloadBytes)
       .select(col("asset_id"),
         PerceptualHash.aHash(col("payload")).as("ahash"),
         PerceptualHash.dHash(col("payload")).as("dhash"))

@@ -95,11 +95,22 @@ object GraftDml {
     * the 2-part `graft.x` shape, so qualify the TARGET with the current
     * catalog before the rule runs. Sources are untouched: they resolve
     * through the normal current-catalog path (and the read rule).
+    *
+    * TEMP-VIEW precedence is preserved (review fix): Spark resolves a
+    * 1-part name to a temp view BEFORE the current catalog, so a name
+    * shadowed by a (local or global) temp view is NOT qualified — the
+    * statement then fails loudly on the view exactly like vanilla Spark,
+    * instead of silently deleting from the base table the view shadows.
     */
-  private[plans] def qualifyBareTarget(plan: LogicalPlan): LogicalPlan = {
+  private[plans] def qualifyBareTarget(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: LogicalPlan): LogicalPlan = {
+    def shadowed(name: String): Boolean =
+      spark.sessionState.catalog.isTempView(Seq(name))
     def fix(p: LogicalPlan): LogicalPlan = p match {
       case SubqueryAlias(id, child) => SubqueryAlias(id, fix(child))
-      case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 1 &&
+          !shadowed(r.multipartIdentifier.head) =>
         r.copy(multipartIdentifier = Seq(Namespace, r.multipartIdentifier.head))
       case other => other
     }

@@ -47,9 +47,10 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
                _: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
             // `USE graft` makes a bare target name a graft table — the
             // rule keys on the 2-part shape, so qualify it first
+            // (temp-view-shadowed names excluded; see qualifyBareTarget)
             val qualified =
-              if (session.catalog.currentCatalog() == "graft")
-                GraftDml.qualifyBareTarget(plan)
+              if (session.catalog.currentCatalog() == GraftDml.Namespace)
+                GraftDml.qualifyBareTarget(session, plan)
               else plan
             GraftDml.GraftDmlRule(session).apply(qualified)
           case acc: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>

@@ -167,6 +167,16 @@ class GraftCatalogSpec extends SparkSpec {
       val v2 = sql("SELECT v FROM cat_t WHERE id = 2").head().getLong(0)
       sql("UPDATE cat_t SET v = v + 1 WHERE id = 2")
       assert(sql("SELECT v FROM cat_t WHERE id = 2").head().getLong(0) == v2 + 1)
+      // a TEMP VIEW shadows the bare name (1-part resolution order) — the
+      // qualification must NOT fire, so the DML fails on the view loudly
+      // instead of silently hitting the base table it shadows
+      cat.range(1).createOrReplaceTempView("cat_t")
+      try {
+        val n = sql("SELECT count(*) FROM graft.cat_t").head().getLong(0)
+        intercept[Exception] { sql("DELETE FROM cat_t WHERE id = 3") }
+        assert(sql("SELECT count(*) FROM graft.cat_t").head().getLong(0) == n,
+          "shadowed DML must not touch the base table")
+      } finally cat.catalog.dropTempView("cat_t")
     } finally sql("USE spark_catalog.default")
   }
 
