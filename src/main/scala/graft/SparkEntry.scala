@@ -2686,6 +2686,24 @@ object SparkEntry {
         .unionByName(docs.filter(col("doc_id") < 300 && col("doc_id") % 7 === 0)
           .select((col("doc_id") + 100000L).as("doc_id"), col("text"))))
       Dedup.incrementalNew(fresh, corpus, "fp")
+    }),
+
+    // --- KMV distinct-count sketch (r14): the oracle-checkable sibling
+    //     of q42's HLL — deterministic, O(k) state per group, portable ---
+    "q188_kmv_distinct" -> ((s, dir) =>
+      Aggregates.kmvDistinct(Tables.events(s, dir), Seq("event_type"),
+        "user_id", k = 64)),
+
+    // --- KMV sketch MERGE (r14): leaf sketches per (event_type, day)
+    //     fold up to event_type without re-reading data; the KMV merge
+    //     property makes the result EXACTLY the direct sketch — the
+    //     oracle computes the direct form, so equality IS the check ---
+    "q189_kmv_rollup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+      Aggregates.kmvMergeEstimate(
+        Aggregates.kmvSketches(ev, Seq("event_type", "day"), "user_id", 64),
+        Seq("event_type"), 64)
     })
   )
 
@@ -5337,7 +5355,38 @@ object SparkEntry {
           SELECT doc_id + 100000, fp FROM f
           WHERE doc_id < 300 AND doc_id % 7 = 0)
         SELECT doc_id, fp FROM fresh
-        WHERE fp NOT IN (SELECT fp FROM corpus)"""
+        WHERE fp NOT IN (SELECT fp FROM corpus)""",
+
+      // KMV estimate replay: distinct portable hashes per group, k-th
+      // smallest drives (k-1)·P/h_k; the oracle can afford the full
+      // sorted list at sf0.01 (the ENGINE keeps O(k) state)
+      "q188_kmv_distinct" -> s"""
+        WITH h AS (SELECT DISTINCT event_type,
+            (${duckPolyHash("CAST(user_id AS VARCHAR)")} *
+              ${Aggregates.KmvPerm._1} + ${Aggregates.KmvPerm._2})
+              % 1000000007 AS ph FROM events),
+        s AS (SELECT event_type, list_sort(list(ph)) AS ls,
+            CAST(count(*) AS BIGINT) AS nd FROM h GROUP BY 1)
+        SELECT event_type,
+          CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+               ELSE round(63.0 * 1000000007 / greatest(ls[64], 1), 4)
+          END AS n_distinct_est
+        FROM s""",
+
+      // the MERGE property: folded leaf sketches ≡ the direct sketch, so
+      // the oracle is the same direct algebra as q188
+      "q189_kmv_rollup" -> s"""
+        WITH h AS (SELECT DISTINCT event_type,
+            (${duckPolyHash("CAST(user_id AS VARCHAR)")} *
+              ${Aggregates.KmvPerm._1} + ${Aggregates.KmvPerm._2})
+              % 1000000007 AS ph FROM events),
+        s AS (SELECT event_type, list_sort(list(ph)) AS ls,
+            CAST(count(*) AS BIGINT) AS nd FROM h GROUP BY 1)
+        SELECT event_type,
+          CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+               ELSE round(63.0 * 1000000007 / greatest(ls[64], 1), 4)
+          END AS n_distinct_est
+        FROM s"""
     )
   }
 

@@ -36,6 +36,93 @@ object Aggregates {
     df.groupBy(keys.map(col): _*)
       .agg(approx_count_distinct(col(of), rsd).as("approx_distinct"))
 
+  /** A18: K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002)
+    * on the PORTABLE hash — the oracle-checkable sibling of
+    * [[approxDistinct]] (whose HLL bytes are engine-internal): keep the k
+    * smallest distinct hash values per group; with hashes ~uniform on
+    * [0, P), `est = (k-1)·P / h_(k)` (exact count when fewer than k
+    * distinct hashes exist). DETERMINISTIC — same data, same estimate,
+    * any partitioning — and replayable by any engine that can sort a
+    * hash list.
+    *
+    * Scale shape: one dedupe shuffle on (group, hash) collapses repeats
+    * (bounded-cardinality reduce keys), then [[TopKAgg]] keeps a k-bounded
+    * buffer per group ON THE MAP SIDE — the second shuffle carries at most
+    * k values per (group × map partition), never the distinct set. That
+    * is the sketch property: O(k) state per group at any cardinality.
+    * MERGEABLE by construction: the k smallest of a union is the k
+    * smallest of the concatenated per-part k-smallest lists —
+    * [[kmvMergeEstimate]] folds leaf sketches upward without re-reading
+    * data (q189 pins merged ≡ direct).
+    *
+    * @return (keys…, n_distinct_est: double [4dp])
+    */
+  def kmvDistinct(df: DataFrame, keys: Seq[String], of: String,
+                  k: Int = 64): DataFrame = {
+    require(k >= 2, s"kmvDistinct: k must be >= 2, got $k")
+    kmvEstimate(kmvSketches(df, keys, of, k), keys, k)
+  }
+
+  /** The seeded affine UNIFORMIZER over the raw polynomial hash
+    * (Carter–Wegman universal hashing): raw polyHash of short strings
+    * concentrates in the low range (a 5-digit id never exceeds ~1e8),
+    * which wrecks the order-statistics estimator — `(A·h + B) mod P` is
+    * a bijection whose image of any set spreads ~uniformly, exactly
+    * minhash's permutation trick. Same seeded-literal replay scheme as
+    * [[MinHashDedup.perms]] (the oracle inlines the same (A, B)).
+    */
+  private[graft] val KmvPerm: (Long, Long) = MinHashDedup.perms(1, seed = 188).head
+
+  /** Per-group KMV sketch: the k smallest distinct uniformized-hash
+    * values, ascending (`array<long>`), as column `kmv`. The building
+    * block [[kmvDistinct]] estimates from and [[kmvMergeEstimate]]
+    * merges.
+    */
+  def kmvSketches(df: DataFrame, keys: Seq[String], of: String,
+                  k: Int): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    import graft.functions.expressions.TopKAgg
+    val (a, b) = KmvPerm
+    val deduped = df
+      .select((keys.map(col) :+
+        pmod(TF.polyHash(col(of).cast("string")) * lit(a) + lit(b),
+          lit(TF.PolyP)).as("__h")): _*)
+      .groupBy((keys :+ "__h").map(col): _*).agg(count(lit(1)).as("__c"))
+    deduped.groupBy(keys.map(col): _*)
+      .agg(TopKAgg.topK(-col("__h"), col("__h"), k).as("__tk"))
+      // topK orders score (-h) DESC = h ascending; project the ids
+      .select((keys.map(col) :+
+        transform(col("__tk"), p => p.getField("id")).as("kmv")): _*)
+  }
+
+  /** Fold LEAF sketches (from [[kmvSketches]] at a finer grouping) up to
+    * `keys` and estimate: merge = k smallest of the concatenated lists —
+    * O(leaves·k) per group, no re-scan of the data. The KMV merge
+    * property makes this EXACTLY the direct sketch of the union.
+    */
+  def kmvMergeEstimate(leafSketches: DataFrame, keys: Seq[String],
+                       k: Int): DataFrame = {
+    val exploded = leafSketches
+      .select((keys.map(col) :+ explode(col("kmv")).as("__h")): _*)
+      .groupBy((keys :+ "__h").map(col): _*).agg(count(lit(1)).as("__c"))
+    kmvEstimate(
+      exploded.groupBy(keys.map(col): _*)
+        .agg(graft.functions.expressions.TopKAgg
+          .topK(-col("__h"), col("__h"), k).as("__tk"))
+        .select((keys.map(col) :+
+          transform(col("__tk"), p => p.getField("id")).as("kmv")): _*),
+      keys, k)
+  }
+
+  private def kmvEstimate(sketches: DataFrame, keys: Seq[String],
+                          k: Int): DataFrame =
+    sketches.select((keys.map(col) :+
+      when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+        .otherwise(round(
+          lit((k - 1).toDouble * graft.functions.TextFunctions.PolyP) /
+            greatest(element_at(col("kmv"), k), lit(1L)), 4))
+        .as("n_distinct_est")): _*)
+
   def rollupCount(df: DataFrame, keys: Seq[String], value: String): DataFrame =
     df.rollup(keys.map(col): _*)
       .agg(count(lit(1)).as("n"), Num.dsum(col(value)).as(s"sum_$value"))

@@ -64,4 +64,31 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(total - exact) <= math.max(4, 0.065 * exact),
       s"stored-sketch total $total vs exact $exact")
   }
+
+  test("KMV distinct sketch: exact under k, ~accurate over, merge = direct") {
+    import graft.ops.Aggregates
+    // small cardinality (< k): exact
+    val small = (1 to 40).map(i => ("g", i.toLong)).toDF("g", "v")
+    val gotSmall = Aggregates.kmvDistinct(small, Seq("g"), "v", k = 64)
+      .head().getDouble(1)
+    assert(gotSmall == 40.0)
+    // large cardinality: within KMV's expected error (~1/sqrt(k) ≈ 12.5%)
+    val big = (1 to 20000).map(i => ("g", (i * 7L) % 100000))
+      .toDF("g", "v")
+    val exact = big.select($"v").distinct().count().toDouble
+    val est = Aggregates.kmvDistinct(big, Seq("g"), "v", k = 64)
+      .head().getDouble(1)
+    assert(math.abs(est - exact) / exact < 0.4,
+      s"KMV est $est too far from exact $exact")
+    // deterministic under partitioning
+    val est2 = Aggregates.kmvDistinct(big.repartition(13), Seq("g"), "v", 64)
+      .head().getDouble(1)
+    assert(est == est2)
+    // leaf-merge ≡ direct (the KMV merge property)
+    val withLeaf = big.withColumn("leaf", $"v" % 5)
+    val merged = Aggregates.kmvMergeEstimate(
+      Aggregates.kmvSketches(withLeaf, Seq("g", "leaf"), "v", 64),
+      Seq("g"), 64).head().getDouble(1)
+    assert(merged == est)
+  }
 }
