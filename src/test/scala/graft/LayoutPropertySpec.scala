@@ -27,8 +27,14 @@ class LayoutPropertySpec extends SparkSpec {
     * 11 = ADD COLUMN (r12 — metadata-only, at most once; subsequent
     * writers carry the new nullable column, readers before the add
     * null-fill, and the model never reads it, so content equality keeps
-    * holding across every interleaving with DML/purge/compact/evolution)
-    * (manifest mode only — the merge-on-read writers require it).
+    * holding across every interleaving with DML/purge/compact/evolution),
+    * 12 = NOT NULL marker toggle, 13 = DEFAULT marker toggle (r14 —
+    * metadata commits; the model's writes always satisfy/supply them),
+    * 14 = COPY INTO fresh keys + replayed no-op (r14 ledger property),
+    * 15 = z-ordered APPEND (r14 — placement-only), 16 = wholesale
+    * REPLACE with the model filtered to the op's ids (r14 — empty =
+    * truncate) (manifest mode only — the merge-on-read writers require
+    * it).
     * After an evolution the COW writers may refuse (mixed layout) — the
     * model accepts either outcome, because purge/compact can converge the
     * layout as a side effect at any point.
@@ -47,7 +53,7 @@ class LayoutPropertySpec extends SparkSpec {
     * correct in BOTH modes (a manifest version dir is not self-contained).
     */
   private def modelProperty(manifest: Boolean): Prop =
-    Prop.forAll(genOps(if (manifest) 11 else 1)) { ops =>
+    Prop.forAll(genOps(if (manifest) 16 else 1)) { ops =>
     val root = Files.createTempDirectory("graft_vprop").toString
     var model = (0L until 12L).map(i => i -> (partOf(i), i.toDouble * 10)).toMap
     // manifest tables are born with a NARROW id so a random widen op has
@@ -77,6 +83,8 @@ class LayoutPropertySpec extends SparkSpec {
     var version = 0
     var nextFresh = 100L // append keys: disjoint from the 0..17 universe
     var spec = Seq("part") // the CURRENT spec the COW writers must name
+    var vNotNull = false   // NOT NULL marker toggled on v (r14)
+    var vDefault = false   // DEFAULT marker toggled on v (r14)
     ops.foreach { op =>
       // the row-level writers and purge NO-OP (no version committed) when
       // nothing matches — the model must advance the version only when the
@@ -163,6 +171,53 @@ class LayoutPropertySpec extends SparkSpec {
               org.apache.spark.sql.types.DoubleType)
             extraAdded = true // values unchanged — the model doesn't move
           }
+        case 12 =>
+          // r14 NOT NULL marker toggle: a metadata commit either way (the
+          // model's v is never null, so declaration always validates and
+          // later writers keep passing the gate)
+          if (vNotNull) Layout.dropNotNull(spark, root, "v")
+          else Layout.setNotNull(spark, root, "v")
+          vNotNull = !vNotNull
+        case 13 =>
+          // r14 DEFAULT marker toggle: inserts in this model always
+          // supply every column, so the marker is pure metadata here
+          if (vDefault) Layout.dropColumnDefault(spark, root, "v")
+          else Layout.setColumnDefault(spark, root, "v", "0.5")
+          vDefault = !vDefault
+        case 14 =>
+          // r14 COPY INTO with guaranteed-fresh keys + an immediate
+          // REPLAY that must no-op (the ledger property), all one version
+          val fresh = op.ids.zip(op.vals).map { case (i, v) =>
+            val id = nextFresh + i
+            (id, partOf(id), v)
+          }
+          nextFresh += 100L
+          val zone = Files.createTempDirectory("graft_vprop_zone").toString
+          rowsDf(fresh).coalesce(1).write.mode("append").parquet(zone)
+          val (_, n1) = Layout.copyInto(spark, root, zone)
+          val vAfter = Layout.currentVersionNumber(spark, root)
+          val (_, n2) = Layout.copyInto(spark, root, zone)
+          ok &&= n1 == 1 && n2 == 0 &&
+            Layout.currentVersionNumber(spark, root) == vAfter
+          model = model ++ fresh.map { case (i, p, v) => i -> (p, v) }
+        case 15 =>
+          // r14 z-ordered append: placement-only — results identical to
+          // a plain append of the same fresh rows
+          val fresh = op.ids.zip(op.vals).map { case (i, v) =>
+            val id = nextFresh + i
+            (id, partOf(id), v)
+          }
+          nextFresh += 100L
+          Layout.appendVersionedRows(spark, root, rowsDf(fresh),
+            zOrderCols = Seq("v"))
+          model = model ++ fresh.map { case (i, p, v) => i -> (p, v) }
+        case 16 =>
+          // r14 wholesale REPLACE with the model filtered to op.ids —
+          // empty result is a legitimate truncate (still one commit)
+          val keep = model.view.filterKeys(op.ids.contains).toMap
+          Layout.replaceVersionedRows(spark, root,
+            rowsDf(keep.toSeq.map { case (i, (p, v)) => (i, p, v) }))
+          model = keep
         case 10 =>
           val r = Layout.maintain(spark, root,
             Layout.MaintenancePolicy(keepVersions = 100000))
@@ -201,7 +256,7 @@ class LayoutPropertySpec extends SparkSpec {
     assert(res.passed, res.toString)
   }
 
-  test("manifest mode: random merge/delete/DV-DML/purge/widen/REPARTITION/compact/APPEND/MAINTAIN/ADD-COLUMN sequences match the Map model") {
+  test("manifest mode: random merge/delete/DV-DML/purge/widen/REPARTITION/compact/APPEND/MAINTAIN/ADD-COLUMN/markers/COPY-INTO/zorder/REPLACE sequences match the Map model") {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(4).withWorkers(1),
       modelProperty(manifest = true))
