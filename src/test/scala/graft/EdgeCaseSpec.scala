@@ -118,4 +118,27 @@ class EdgeCaseSpec extends SparkSpec {
     val out = AsOfJoin.backward(left, right, "k", "t", "rt", Seq("payload"))
     assert(out.count() == 1 && out.head().isNullAt(out.head().fieldIndex("asof_payload")))
   }
+
+  test("r14 edges: phash grid boundary, copyInto on non-manifest root, kmv singleton") {
+    import graft.ops.{Aggregates, Multimodal}
+    import graft.sources.Layout
+    // exactly MinPayloadBytes → both prints defined; one byte fewer → dropped
+    val boundary = Seq(
+      (1L, "x" * graft.functions.expressions.PerceptualHash.MinPayloadBytes),
+      (2L, "x" * (graft.functions.expressions.PerceptualHash.MinPayloadBytes - 1))
+    ).toDF("doc_id", "text")
+    val prints = Multimodal.phashes(Multimodal.fromDocuments(boundary))
+    assert(prints.select($"asset_id").as[Long].collect().toSet == Set(1L))
+    // copyInto demands a manifest root, loudly
+    val hl = java.nio.file.Files.createTempDirectory("graft_edge_hl").toString
+    Layout.initVersionedPartitioned(
+      Seq((1L, "p", 1.0)).toDF("id", "part", "v"), hl, "part")
+    val e = intercept[IllegalArgumentException] {
+      Layout.copyInto(spark, hl, "/nowhere") }
+    assert(e.getMessage.contains("manifest root"))
+    // kmv: single distinct value, k = 2 → exact 1.0
+    val one = Seq(("g", 5L), ("g", 5L), ("g", 5L)).toDF("g", "v")
+    assert(Aggregates.kmvDistinct(one, Seq("g"), "v", k = 2)
+      .head().getDouble(1) == 1.0)
+  }
 }

@@ -403,4 +403,13 @@ class PlanSpec extends SparkSpec {
       s"catalog plan diverges:\n$viaCatalog\n---\n$viaPath")
     s2.sql("DROP TABLE graft.plan_t")
   }
+
+  test("q188: KMV aggregates partially on the map side (bounded shuffle)") {
+    val pl = plan("q188_kmv_distinct")
+    // the k-bounded TopKAgg must plan as an ObjectHashAggregate pair
+    // (partial + final) — a window/sort formulation would shuffle every
+    // distinct hash instead of k per (group x partition)
+    assert(countOf(pl, "ObjectHashAggregate") >= 2, pl.take(1000))
+    assert(!pl.contains("Window"), "KMV must not be a window sort")
+  }
 }
