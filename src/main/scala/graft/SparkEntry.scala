@@ -2704,6 +2704,18 @@ object SparkEntry {
       Aggregates.kmvMergeEstimate(
         Aggregates.kmvSketches(ev, Seq("event_type", "day"), "user_id", 64),
         Seq("event_type"), 64)
+    }),
+
+    // --- SQ8 scalar-quantized ANN (r14): the compression-ladder rung
+    //     below PQ — per-dim [min,max] trained in ONE aggregate, 1-byte
+    //     codes, asymmetric scoring against the dequantized corpus ---
+    "q190_sq8_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (mins, maxs) = Quantize.sqTrain(emb, "embedding", 64)
+      val coded = emb.select(col("vec_id"),
+        Quantize.sqCode(col("embedding"), mins, maxs).as("code"))
+      Quantize.sqTopK(coded, emb.filter(col("vec_id") < 5), "vec_id",
+        "code", "embedding", mins, maxs, k = 5)
     })
   )
 
@@ -5386,7 +5398,39 @@ object SparkEntry {
           CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
                ELSE round(63.0 * 1000000007 / greatest(ls[64], 1), 4)
           END AS n_distinct_est
-        FROM s"""
+        FROM s""",
+
+      // SQ8 replay: bounds are data-dependent but EXACT (min/max of the
+      // same doubles), codes/dequant are explicit floor(x+0.5) integer
+      // arithmetic, scores fold left-to-right like the native dot
+      "q190_sq8_ann" -> """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        b AS (SELECT i, min(e[i+1]) AS mn, max(e[i+1]) AS mx
+          FROM v, range(0, 64) t(i) GROUP BY i),
+        bl AS (SELECT list(mn ORDER BY i) AS mins,
+            list(CASE WHEN mx > mn THEN mx - mn ELSE 0 END ORDER BY i)
+              AS spans
+          FROM b),
+        coded AS (SELECT vec_id,
+            list_transform(range(0, 64), i -> CASE WHEN spans[i+1] = 0
+              THEN 0 ELSE CAST(least(greatest(
+                floor((e[i+1] - mins[i+1]) * 255.0 / spans[i+1] + 0.5),
+                0.0), 255.0) AS INTEGER) END) AS code
+          FROM v, bl),
+        deq AS (SELECT vec_id,
+            list_transform(range(0, 64),
+              i -> code[i+1] * spans[i+1] / 255.0 + mins[i+1]) AS de
+          FROM coded, bl),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+        scored AS (SELECT q.query_id, d.vec_id AS nn_id,
+            list_dot_product(q.qe, d.de) AS s
+          FROM deq d JOIN q ON d.vec_id <> q.query_id),
+        ranked AS (SELECT query_id, nn_id, round(s, 6) AS score,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM scored)
+        SELECT query_id, nn_id, score, rnk FROM ranked WHERE rnk <= 5"""
     )
   }
 

@@ -369,4 +369,87 @@ object Quantize {
     }.reduce(_ + _)
     df.agg(avg(err)).head().getDouble(0)
   }
+
+  // ------------------------------------------------------------ SQ8 (V9)
+
+  /** Train per-dimension SCALAR quantization bounds (SQ8): the [min, max]
+    * envelope of every dimension over the corpus — ONE posexplode
+    * aggregate, `dim` rows to the driver, broadcast back as literals. The
+    * family member PQ does not cover: 4× compression (1 byte/dim vs
+    * float32) with NO codebook training, the standard first rung of the
+    * vector-compression ladder (Faiss's SQ8) before PQ's subspace codes.
+    * Deterministic: exact min/max of the same doubles in any engine.
+    */
+  def sqTrain(corpus: DataFrame, vecCol: String,
+              dim: Int): (Array[Double], Array[Double]) = {
+    val bounds = corpus
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("__d", "__x")))
+      .groupBy("__d").agg(min("__x").as("mn"), max("__x").as("mx"))
+      .collect()
+    require(bounds.length == dim,
+      s"sqTrain: corpus vectors have ${bounds.length} dims, expected $dim")
+    val mins = new Array[Double](dim)
+    val maxs = new Array[Double](dim)
+    bounds.foreach { r =>
+      mins(r.getInt(0)) = r.getDouble(1)
+      maxs(r.getInt(0)) = r.getDouble(2)
+    }
+    (mins, maxs)
+  }
+
+  /** SQ8 encode: `c_d = floor(255·(x_d − min_d)/span_d + 0.5)` clamped to
+    * [0, 255] (`floor(x+0.5)` — an explicit rounding both engines define
+    * identically; a constant dimension codes 0). `array<int>` codes —
+    * the byte-level storage a parquet INT column dictionary-compresses to
+    * ~1 byte/dim.
+    */
+  def sqCode(vec: Column, mins: Array[Double], maxs: Array[Double]): Column = {
+    val spans = mins.zip(maxs).map { case (mn, mx) =>
+      if (mx > mn) mx - mn else 0.0 }
+    zip_with(
+      zip_with(vec.cast("array<double>"), typedLit(mins.toSeq),
+        (x, mn) => x - mn),
+      typedLit(spans.toSeq),
+      (d, s) => when(s === 0.0, lit(0)).otherwise(
+        least(greatest(floor(d * 255.0 / s + 0.5), lit(0.0)), lit(255.0))
+          .cast("int")))
+  }
+
+  /** Dequantized vector from SQ8 codes: `min_d + c_d·span_d/255`. */
+  def sqDecode(code: Column, mins: Array[Double],
+               maxs: Array[Double]): Column = {
+    val spans = mins.zip(maxs).map { case (mn, mx) =>
+      if (mx > mn) mx - mn else 0.0 }
+    zip_with(
+      zip_with(code, typedLit(spans.toSeq),
+        (c, s) => c.cast("double") * s / 255.0),
+      typedLit(mins.toSeq), (x, mn) => x + mn)
+  }
+
+  /** SQ8 brute-force top-k: queries (full precision) score against the
+    * DEQUANTIZED corpus codes — the asymmetric form, like ADC. The corpus
+    * scan reads codes only (a quarter of the float bytes); the bounds are
+    * plan-time literals, so the whole score is one codegen'd projection
+    * and the only shuffle is the final per-query top-k.
+    *
+    * @return (query_id, nn_id, score [6dp], rnk) — q160's serving shape.
+    */
+  def sqTopK(codedCorpus: DataFrame, queries: DataFrame, idCol: String,
+             codeCol: String, queryVecCol: String,
+             mins: Array[Double], maxs: Array[Double], k: Int): DataFrame = {
+    val scored = codedCorpus.as("c")
+      .crossJoin(broadcast(queries.select(col(idCol).as("query_id"),
+        col(queryVecCol).cast("array<double>").as("qe"))))
+      .filter(col("query_id") =!= col(s"c.$idCol"))
+      .select(col("query_id"), col(s"c.$idCol").as("nn_id"),
+        VF.dot(col("qe"), sqDecode(col(s"c.$codeCol"), mins, maxs))
+          .as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("s").desc, col("nn_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("nn_id"), round(col("s"), 6).as("score"),
+        col("rnk"))
+  }
 }

@@ -264,4 +264,35 @@ class QuantizeSpec extends SparkSpec {
     }.sum / exact.size
     assert(recall > 0.06, s"recall@10 = $recall (chance = 0.02)")
   }
+
+  test("SQ8: codes bounded, reconstruction within half a step, deterministic") {
+    import graft.ops.Quantize
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val (mins, maxs) = Quantize.sqTrain(emb, "embedding", 64)
+    assert(mins.zip(maxs).forall { case (mn, mx) => mn <= mx })
+    val coded = emb.select($"vec_id",
+      $"embedding".cast("array<double>").as("e"),
+      Quantize.sqCode($"embedding", mins, maxs).as("code"))
+    val rows = coded.select($"code").collect()
+    assert(rows.forall(_.getSeq[Int](0).forall(c => c >= 0 && c <= 255)))
+    // dequantization error per dim <= span/510 (+ float slack): the
+    // quantizer's defining bound
+    val maxSpan = mins.zip(maxs).map { case (mn, mx) => mx - mn }.max
+    val err = coded.select(org.apache.spark.sql.functions.aggregate(
+        org.apache.spark.sql.functions.zip_with($"e",
+          Quantize.sqDecode($"code", mins, maxs),
+          (x, d) => org.apache.spark.sql.functions.abs(x - d)),
+        org.apache.spark.sql.functions.lit(0.0),
+        (a, x) => org.apache.spark.sql.functions.greatest(a, x)).as("me"))
+      .agg(org.apache.spark.sql.functions.max($"me")).head().getDouble(0)
+    assert(err <= maxSpan / 510.0 + 1e-9, s"reconstruction err $err")
+    // deterministic under repartition
+    val a = Quantize.sqTopK(coded.select($"vec_id", $"code"),
+      emb.filter($"vec_id" < 3), "vec_id", "code", "embedding",
+      mins, maxs, 3).collect().toSet
+    val b = Quantize.sqTopK(coded.repartition(7).select($"vec_id", $"code"),
+      emb.filter($"vec_id" < 3), "vec_id", "code", "embedding",
+      mins, maxs, 3).collect().toSet
+    assert(a == b && a.size == 9)
+  }
 }
