@@ -5372,33 +5372,12 @@ object SparkEntry {
       // KMV estimate replay: distinct portable hashes per group, k-th
       // smallest drives (k-1)·P/h_k; the oracle can afford the full
       // sorted list at sf0.01 (the ENGINE keeps O(k) state)
-      "q188_kmv_distinct" -> s"""
-        WITH h AS (SELECT DISTINCT event_type,
-            (${duckPolyHash("CAST(user_id AS VARCHAR)")} *
-              ${Aggregates.KmvPerm._1} + ${Aggregates.KmvPerm._2})
-              % 1000000007 AS ph FROM events),
-        s AS (SELECT event_type, list_sort(list(ph)) AS ls,
-            CAST(count(*) AS BIGINT) AS nd FROM h GROUP BY 1)
-        SELECT event_type,
-          CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
-               ELSE round(63.0 * 1000000007 / greatest(ls[64], 1), 4)
-          END AS n_distinct_est
-        FROM s""",
+      "q188_kmv_distinct" -> duckKmvDirect,
 
       // the MERGE property: folded leaf sketches ≡ the direct sketch, so
-      // the oracle is the same direct algebra as q188
-      "q189_kmv_rollup" -> s"""
-        WITH h AS (SELECT DISTINCT event_type,
-            (${duckPolyHash("CAST(user_id AS VARCHAR)")} *
-              ${Aggregates.KmvPerm._1} + ${Aggregates.KmvPerm._2})
-              % 1000000007 AS ph FROM events),
-        s AS (SELECT event_type, list_sort(list(ph)) AS ls,
-            CAST(count(*) AS BIGINT) AS nd FROM h GROUP BY 1)
-        SELECT event_type,
-          CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
-               ELSE round(63.0 * 1000000007 / greatest(ls[64], 1), 4)
-          END AS n_distinct_est
-        FROM s""",
+      // the oracle is the SAME direct algebra as q188 (one shared
+      // definition — a hash/estimator tweak cannot desync the pair)
+      "q189_kmv_rollup" -> duckKmvDirect,
 
       // SQ8 replay: bounds are data-dependent but EXACT (min/max of the
       // same doubles), codes/dequant are explicit floor(x+0.5) integer
@@ -5531,6 +5510,24 @@ object SparkEntry {
         .mkString("[", ",", "]")
       s"(CASE WHEN list_dot_product(e, $plane) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** The direct KMV estimate both q188 and q189 replay (q189's engine
+    * side computes it VIA leaf-sketch merge — equality IS the merge-
+    * property check). NULLs excluded on both sides: the engine's sketch
+    * skips null hashes (count-DISTINCT semantics).
+    */
+  private def duckKmvDirect: String = s"""
+        WITH h AS (SELECT DISTINCT event_type,
+            (${duckPolyHash("CAST(user_id AS VARCHAR)")} *
+              ${Aggregates.KmvPerm._1} + ${Aggregates.KmvPerm._2})
+              % 1000000007 AS ph FROM events WHERE user_id IS NOT NULL),
+        s AS (SELECT event_type, list_sort(list(ph)) AS ls,
+            CAST(count(*) AS BIGINT) AS nd FROM h GROUP BY 1)
+        SELECT event_type,
+          CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+               ELSE round(63.0 * 1000000007 / greatest(ls[64], 1), 4)
+          END AS n_distinct_est
+        FROM s"""
 
   /** DuckDB expression computing [[graft.functions.TextFunctions.polyHash]]
     * bit-exactly: the same per-character `h*31 + codepoint (mod P)` fold.

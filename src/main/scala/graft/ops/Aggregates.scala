@@ -74,45 +74,50 @@ object Aggregates {
   private[graft] val KmvPerm: (Long, Long) = MinHashDedup.perms(1, seed = 188).head
 
   /** Per-group KMV sketch: the k smallest distinct uniformized-hash
-    * values, ascending (`array<long>`), as column `kmv`. The building
-    * block [[kmvDistinct]] estimates from and [[kmvMergeEstimate]]
-    * merges.
+    * values, ascending (`array<long>`), as column `kmv`. NULL values are
+    * excluded — the `count(DISTINCT …)` SQL semantics the estimate
+    * stands in for. The building block [[kmvDistinct]] estimates from
+    * and [[kmvMergeEstimate]] merges.
     */
   def kmvSketches(df: DataFrame, keys: Seq[String], of: String,
                   k: Int): DataFrame = {
     import graft.functions.{TextFunctions => TF}
-    import graft.functions.expressions.TopKAgg
     val (a, b) = KmvPerm
-    val deduped = df
+    kmvFold(df
+      .filter(col(of).isNotNull)
       .select((keys.map(col) :+
         pmod(TF.polyHash(col(of).cast("string")) * lit(a) + lit(b),
-          lit(TF.PolyP)).as("__h")): _*)
-      .groupBy((keys :+ "__h").map(col): _*).agg(count(lit(1)).as("__c"))
-    deduped.groupBy(keys.map(col): _*)
-      .agg(TopKAgg.topK(-col("__h"), col("__h"), k).as("__tk"))
-      // topK orders score (-h) DESC = h ascending; project the ids
-      .select((keys.map(col) :+
-        transform(col("__tk"), p => p.getField("id")).as("kmv")): _*)
+          lit(TF.PolyP)).as("__h")): _*), keys, k)
   }
 
   /** Fold LEAF sketches (from [[kmvSketches]] at a finer grouping) up to
     * `keys` and estimate: merge = k smallest of the concatenated lists —
     * O(leaves·k) per group, no re-scan of the data. The KMV merge
-    * property makes this EXACTLY the direct sketch of the union.
+    * property makes this EXACTLY the direct sketch of the union,
+    * PROVIDED `k` does not exceed the k the leaf sketches were built
+    * with (a leaf kept only ITS k smallest — ranks beyond that are gone).
     */
   def kmvMergeEstimate(leafSketches: DataFrame, keys: Seq[String],
                        k: Int): DataFrame = {
-    val exploded = leafSketches
-      .select((keys.map(col) :+ explode(col("kmv")).as("__h")): _*)
-      .groupBy((keys :+ "__h").map(col): _*).agg(count(lit(1)).as("__c"))
-    kmvEstimate(
-      exploded.groupBy(keys.map(col): _*)
-        .agg(graft.functions.expressions.TopKAgg
-          .topK(-col("__h"), col("__h"), k).as("__tk"))
-        .select((keys.map(col) :+
-          transform(col("__tk"), p => p.getField("id")).as("kmv")): _*),
-      keys, k)
+    require(k >= 2, s"kmvMergeEstimate: k must be >= 2, got $k")
+    kmvEstimate(kmvFold(leafSketches
+      .select((keys.map(col) :+ explode(col("kmv")).as("__h")): _*),
+      keys, k), keys, k)
   }
+
+  /** Shared sketch tail: dedupe the (keys, __h) frame, keep the k
+    * smallest per group via the bounded [[TopKAgg]] buffer, project the
+    * ascending hash list as `kmv`.
+    */
+  private def kmvFold(hashed: DataFrame, keys: Seq[String],
+                      k: Int): DataFrame =
+    hashed.dropDuplicates(keys :+ "__h")
+      .groupBy(keys.map(col): _*)
+      .agg(graft.functions.expressions.TopKAgg
+        .topK(-col("__h"), col("__h"), k).as("__tk"))
+      // topK orders score (-h) DESC = h ascending; project the ids
+      .select((keys.map(col) :+
+        transform(col("__tk"), p => p.getField("id")).as("kmv")): _*)
 
   private def kmvEstimate(sketches: DataFrame, keys: Seq[String],
                           k: Int): DataFrame =
