@@ -212,6 +212,22 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { sql(s"SELECT * FROM graft.`$root`").collect() }
   }
 
+  test("catalog-mode observability: DESCRIBE and SHOW CREATE via v2 metadata") {
+    sql("CREATE TABLE graft.cat_obs (id BIGINT, v BIGINT, part STRING, " +
+      "CONSTRAINT v_pos CHECK (v >= 0)) PARTITIONED BY (part)")
+    try {
+      val desc = sql("DESCRIBE TABLE graft.cat_obs").collect()
+        .map(r => r.getString(0)).toSeq
+      assert(desc.contains("id") && desc.contains("v") && desc.contains("part"))
+      val ddl = sql("SHOW CREATE TABLE graft.cat_obs").head().getString(0)
+      assert(ddl.contains("cat_obs"))
+      // the v2 table exposes the CHECK constraint (Table.constraints())
+      assert(ddl.contains("v_pos") || sql("DESCRIBE TABLE EXTENDED graft.cat_obs")
+        .collect().exists(_.toString.contains("v_pos")),
+        s"constraint missing from observability surface: $ddl")
+    } finally sql("DROP TABLE graft.cat_obs")
+  }
+
   test("drop through the catalog clears the listing") {
     sql("DROP TABLE graft.cat_t")
     assert(!sql("SHOW TABLES IN graft").collect()
