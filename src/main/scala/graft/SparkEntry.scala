@@ -2716,6 +2716,123 @@ object SparkEntry {
         Quantize.sqCode(col("embedding"), mins, maxs).as("code"))
       Quantize.sqTopK(coded, emb.filter(col("vec_id") < 5), "vec_id",
         "code", "embedding", mins, maxs, k = 5)
+    }),
+
+    // --- triangle counting (r14): clustering structure of the
+    //     co-purchase graph — parts linked when one order holds both.
+    //     Degree-ordered wedge join (Suri & Vassilvitskii 2011): every
+    //     triangle found once at its lowest-degree corner, oriented
+    //     out-degrees bounded ~O(sqrt(m)) so no celebrity-node wedge
+    //     explosion; the per-order pair fan-out is bounded by order size ---
+    "q191_triangles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val r = li.select(col("ok"), col("pk").as("pk2"))
+      val edges = li.join(r, "ok")
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("src"), col("pk2").as("dst"))
+      Graph.triangleCounts(edges)
+    }),
+
+    // --- Holt linear-trend smoothing (r14): the trend-aware sibling of
+    //     q104's EMA — level+trend recurrences are COUPLED, so this runs
+    //     the native HoltScan expression (one O(series) pass per key);
+    //     the oracle replays the identical IEEE op sequence via a
+    //     recursive CTE. Outputs quantized to micro-units with
+    //     floor(x·1e6 + 0.5) — NOT round(x, 6), whose half-boundary
+    //     mechanics differ between engines (the one-row q192 lesson) ---
+    "q192_holt_forecast" -> ((s, dir) => {
+      def micro(c: org.apache.spark.sql.Column, as: String) =
+        floor(c * lit(1000000.0) + lit(0.5)).cast("long").as(as)
+      Windows.holt(
+          Tables.events(s, dir).filter(col("event_type") === "purchase")
+            .select("user_id", "ts", "event_id", "value"),
+          Seq("user_id"), Seq("ts", "event_id"), "value",
+          alpha = 0.3, beta = 0.1)
+        .select(col("user_id"), col("event_id"), col("value"),
+          micro(col("level"), "level_micro"),
+          micro(col("trend"), "trend_micro"),
+          micro(col("forecast"), "forecast_micro"))
+    }),
+
+    // --- audio silence profile (r14): the audio tier of the multimodal
+    //     pillar — payload bytes as stand-in 8-bit PCM, one codegen'd
+    //     FrameEnergy pass, gaps-and-islands silence runs; every output
+    //     an exact integer. Threshold 60000 ≈ mean-square 1875 × 32
+    //     samples — the corpus' empirical quiet/loud split ---
+    "q193_audio_silence" -> ((s, dir) =>
+      Multimodal.silenceProfile(
+        Multimodal.fromDocuments(Tables.documents(s, dir)),
+        frameLen = 32, threshold = 60000L)),
+
+    // --- GENERATED ALWAYS AS columns (r14): insert-omitted → filled from
+    //     the row's base columns; provided → equality-enforced by the
+    //     writer gate (writerChecks), so the UPDATE below must re-derive
+    //     the column or be refused — every surviving row passed the
+    //     invariant, which is what the oracle's plain algebra checks ---
+    "q194_generated_columns" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q194").toString + "/t"
+      s.sql(s"CREATE TABLE graft.`$root` (id BIGINT, v BIGINT, " +
+        "twice BIGINT, pri STRING) PARTITIONED BY (pri)")
+      graft.sources.Layout.setGeneratedColumn(s, root, "twice", "v * 2 + 1")
+      Tables.orders(s, dir).createOrReplaceTempView("q194_orders")
+      // omitted → generated from v
+      s.sql(s"INSERT INTO graft.`$root` (id, v, pri) " +
+        "SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT), " +
+        "o_orderpriority FROM q194_orders")
+      // provided-and-correct full-schema insert passes the equality gate
+      s.sql(s"INSERT INTO graft.`$root` " +
+        "SELECT o_orderkey + 10000000, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) + 7, " +
+        "(CAST(round(o_totalprice * 100) AS BIGINT) + 7) * 2 + 1, " +
+        "o_orderpriority FROM q194_orders WHERE o_orderkey % 5 = 0")
+      // SET expressions see the OLD row, so the re-derivation tracks the
+      // assignment — dropping the `twice` assignment here is REFUSED by
+      // the writer probe (pinned in GeneratedColumnSpec)
+      s.sql(s"UPDATE graft.`$root` SET v = v + 3, twice = (v + 3) * 2 + 1 " +
+        "WHERE id % 7 = 0")
+      graft.sources.Layout.readCurrent(s, root)
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"),
+          sum(col("twice")).as("sum_twice"))
+    }),
+
+    // --- UNIQUE constraint ingest (r14): the PK-enforced flow — a replay
+    //     batch is REFUSED wholesale (asserted, so the oracle's plain
+    //     union only matches if nothing landed), then a keyed upsert
+    //     updates in place and inserts fresh ids; the final table is
+    //     unique-by-id because every write path proved it ---
+    "q195_unique_ingest" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q195").toString + "/t"
+      s.sql(s"CREATE TABLE graft.`$root` (id BIGINT, v BIGINT, pri STRING) " +
+        "PARTITIONED BY (pri)")
+      graft.sources.Layout.addUniqueConstraint(s, root, "pk", Seq("id"))
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"),
+        round(col("o_totalprice") * 100).cast("long").as("v"),
+        col("o_orderpriority").as("pri"))
+      graft.sources.Layout.appendVersionedRows(s, root, base)
+      // at-least-once delivery replays a slice: the gate must refuse it
+      // WHOLESALE or the oracle counts double
+      val refused =
+        try {
+          graft.sources.Layout.appendVersionedRows(s, root,
+            base.filter(col("id") % 3 === 0))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(refused, "q195: duplicate replay batch was NOT refused")
+      // keyed upsert: updates keep ids, inserts bring fresh ones
+      val ups = base.filter(col("id") % 5 === 0)
+        .select(col("id"), (col("v") + 7L).as("v"), col("pri"))
+        .unionByName(base.filter(col("id") % 4 === 0)
+          .select((col("id") + 10000000L).as("id"), (col("v") + 11L).as("v"),
+            col("pri")))
+      graft.sources.Layout.upsertVersionedRows(s, root, ups, keys = Seq("id"))
+      graft.sources.Layout.readCurrent(s, root)
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
     })
   )
 
@@ -5409,7 +5526,112 @@ object SparkEntry {
             ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY s DESC, nn_id) AS rnk
           FROM scored)
-        SELECT query_id, nn_id, score, rnk FROM ranked WHERE rnk <= 5"""
+        SELECT query_id, nn_id, score, rnk FROM ranked WHERE rnk <= 5""",
+
+      // canonical a<b<c enumeration — the oracle affords the plain
+      // 3-way self-join at sf0.01; the ENGINE orients by degree so the
+      // same answer arrives without the wedge blowup
+      "q191_triangles" -> """
+        WITH e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e0 e1 JOIN e0 e2 ON e1.b = e2.a
+          JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b)
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+        GROUP BY 1""",
+
+      // Holt replay: the recursive CTE computes the SAME left-to-right
+      // IEEE sequence as HoltOps.scan — level inlined twice in the trend
+      // update because SQL can't name it, identical operand order
+      "q192_holt_forecast" -> """
+        WITH RECURSIVE t AS (SELECT user_id, event_id, value,
+            CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase'),
+        s AS (SELECT user_id,
+            list(event_id ORDER BY ts, event_id) AS ids,
+            list(value ORDER BY ts, event_id) AS vals
+          FROM t GROUP BY user_id),
+        r AS (
+          SELECT user_id, 1 AS k, ids, vals,
+            vals[1] AS level, CAST(0 AS DOUBLE) AS trend
+          FROM s
+          UNION ALL
+          SELECT user_id, k + 1, ids, vals,
+            0.3*vals[k+1] + (1-0.3)*(level+trend) AS level,
+            0.1*((0.3*vals[k+1] + (1-0.3)*(level+trend)) - level)
+              + (1-0.1)*trend AS trend
+          FROM r WHERE k < len(vals))
+        SELECT user_id, ids[k] AS event_id, vals[k] AS value,
+          CAST(floor(level * 1000000.0 + 0.5) AS BIGINT) AS level_micro,
+          CAST(floor(trend * 1000000.0 + 0.5) AS BIGINT) AS trend_micro,
+          CAST(floor((level + trend) * 1000000.0 + 0.5) AS BIGINT)
+            AS forecast_micro
+        FROM r""",
+
+      // audio replay: ASCII stand-in payload byte k = codepoint of
+      // character k+1 (the q183 convention); frame sums are exact
+      // integers, runs the same gaps-and-islands algebra as the engine
+      "q193_audio_silence" -> """
+        WITH b AS (SELECT doc_id,
+            list_transform(range(0, length(text)), i -> ascii(text[i+1]) - 128)
+              AS v
+          FROM documents WHERE text IS NOT NULL),
+        el AS (SELECT doc_id, list_transform(range(0, len(v) // 32),
+            i -> list_sum(list_transform(
+              v[CAST(i*32+1 AS INT) : CAST(i*32+32 AS INT)],
+              x -> CAST(x*x AS BIGINT)))) AS es FROM b),
+        fr AS (SELECT doc_id,
+            CAST(generate_subscripts(es, 1) - 1 AS BIGINT) AS frame_no,
+            CAST(unnest(es) AS BIGINT) AS energy FROM el),
+        m AS (SELECT doc_id, frame_no, energy, energy < 60000 AS silent,
+            count(*) FILTER (WHERE energy >= 60000)
+              OVER (PARTITION BY doc_id ORDER BY frame_no) AS grp FROM fr),
+        runs AS (SELECT doc_id, grp, count(*) AS rl FROM m
+          WHERE silent GROUP BY 1, 2),
+        ra AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+            CAST(max(rl) AS BIGINT) AS longest FROM runs GROUP BY 1),
+        pa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+            CAST(count(*) FILTER (WHERE silent) AS BIGINT) AS n_silent,
+            CAST(sum(energy) AS BIGINT) AS sum_energy FROM m GROUP BY 1)
+        SELECT pa.doc_id AS asset_id, n_frames, n_silent,
+          COALESCE(n_runs, 0) AS n_silence_runs,
+          COALESCE(longest, 0) AS longest_silence, sum_energy
+        FROM pa LEFT JOIN ra ON pa.doc_id = ra.doc_id""",
+
+      // the generated column is v*2+1 in EVERY surviving row — fill,
+      // provided-insert, and re-deriving update all preserve it
+      "q194_generated_columns" -> """
+        WITH base AS (SELECT o_orderkey AS id,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+            o_orderpriority AS pri FROM orders),
+        b1 AS (SELECT id, v, v * 2 + 1 AS twice, pri FROM base),
+        b2 AS (SELECT id + 10000000 AS id, v + 7 AS v,
+            (v + 7) * 2 + 1 AS twice, pri FROM base WHERE id % 5 = 0),
+        u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+        upd AS (SELECT id,
+            CASE WHEN id % 7 = 0 THEN v + 3 ELSE v END AS v,
+            CASE WHEN id % 7 = 0 THEN (v + 3) * 2 + 1 ELSE twice END AS twice,
+            pri FROM u)
+        SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(v) AS BIGINT) AS sum_v,
+          CAST(sum(twice) AS BIGINT) AS sum_twice
+        FROM upd GROUP BY 1""",
+
+      // the refused replay contributes NOTHING; upsert = update-in-place
+      // for id%5, plus fresh inserted ids for id%4
+      "q195_unique_ingest" -> """
+        WITH base AS (SELECT o_orderkey AS id,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+            o_orderpriority AS pri FROM orders),
+        u AS (SELECT id, CASE WHEN id % 5 = 0 THEN v + 7 ELSE v END AS v,
+            pri FROM base
+          UNION ALL
+          SELECT id + 10000000, v + 11, pri FROM base WHERE id % 4 = 0)
+        SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(v) AS BIGINT) AS sum_v
+        FROM u GROUP BY 1"""
     )
   }
 

@@ -82,4 +82,92 @@ object Graph {
     }
     ranks.select(col("node"), round(col("rank"), 10).as("rank"))
   }
+
+  /** Per-node triangle participation over an undirected edge table —
+    * the clustering diagnostic for co-occurrence graphs (two parts in
+    * the same order, two docs sharing a shingle): a node in many
+    * triangles sits in a dense community, one in none is a bridge.
+    *
+    * Algorithm: degree-ordered wedge join (Cohen 2009; Suri &
+    * Vassilvitskii 2011, the MR-friendly form of Schank & Wagner's
+    * forward algorithm). Edges are deduped undirected (self-loops
+    * dropped), then ORIENTED from the endpoint with the smaller
+    * (degree, node) pair to the larger. Wedges are the self-join of
+    * oriented edges on their source; a wedge (u→v, u→w) closes iff the
+    * oriented edge v→w exists. Every triangle is found exactly once —
+    * at its lowest-ranked corner — and exploded to all three corners
+    * for the per-node counts.
+    *
+    * Scale shape: orientation is THE point. A raw neighbor self-join
+    * pays sum(deg²) — a single celebrity node with 10M neighbors means
+    * 100T wedges. Ordering by degree caps every oriented out-degree at
+    * O(sqrt(m)) amortized (a node only points at NEIGHBORS AT LEAST AS
+    * HIGH-DEGREE as itself), so wedge count is bounded by m^1.5
+    * worst-case and far less on real graphs. All three steps are
+    * hash-partitioned equi-joins on node keys that AQE sizes; nothing
+    * is collected, no all-pairs anywhere.
+    *
+    * Determinism: counts are integers from exact joins — no float
+    * accumulation, so the result is partition-order independent.
+    *
+    * @param edges undirected edge table `(src, dst)`, duplicates and
+    *              self-loops tolerated
+    * @return one row per node appearing in ≥1 triangle:
+    *         (node, n_triangles)
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // canonical undirected form: (lo, hi), self-loops out, multi-edges
+    // collapsed — a multi-edge would double-count every triangle it rims
+    val undirected = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = undirected.select(col("a").as("node"))
+      .union(undirected.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient lower (deg, node) → higher; the struct comparison gives the
+    // strict total order the wedge bound needs (ties broken by node id).
+    // The hi endpoint's degree RIDES ON THE EDGE: the wedge table is the
+    // big intermediate (m^1.5 worst-case) and must never be joined to
+    // anything node-keyed — two degree joins against it tripled the
+    // shuffled bytes in the first cut (bench: 28 s → the rewrite's cost
+    // is one wedge shuffle for the closing probe, nothing else)
+    val da = deg.select(col("node").as("a"), col("deg").as("dega"))
+    val db = deg.select(col("node").as("b"), col("deg").as("degb"))
+    val ranked = undirected.join(da, "a").join(db, "b")
+    val aFirst = struct(col("dega"), col("a")) < struct(col("degb"), col("b"))
+    val oriented = graft.util.Caches.cache(ranked.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("lo"),
+      when(aFirst, col("b")).otherwise(col("a")).as("hi"),
+      when(aFirst, col("degb")).otherwise(col("dega")).as("hideg")))
+    // wedges at the lowest corner: (u→v, u→w) with v before w in the
+    // SAME orientation order — the closing edge, if any, is exactly v→w.
+    // The self-join shuffles `oriented` on lo once (both sides reuse the
+    // exchange); the rank filter reads only carried columns.
+    val e1 = oriented.select(col("lo").as("u"), col("hi").as("v"),
+      col("hideg").as("degv"))
+    val e2 = oriented.select(col("lo").as("u"), col("hi").as("w"),
+      col("hideg").as("degw"))
+    // plain boolean rank compare (codegen'd long compares; a struct
+    // comparison here ran interpreted inside the join filter)
+    val wedges = e1.join(e2.hint("shuffle_hash"), "u")
+      .filter(col("degv") < col("degw") ||
+        (col("degv") === col("degw") && col("v") < col("w")))
+      .select(col("u"), col("v"), col("w"))
+    // closing probe: SHUFFLE_HASH, not sort-merge — the wedge side is
+    // the m^1.5 intermediate and must stream through unsorted; the edge
+    // side builds a per-partition hash. Measured both alternatives at
+    // sf0.1 (1.2M edges, 41M wedges): sort-merge paid two wedge sorts
+    // (2/3 of the query), an explicit edge broadcast paid more than the
+    // wedge shuffle it saved — and broadcasting the edge SET would cap
+    // the operator at memory-sized graphs anyway.
+    val triangles = wedges.join(
+      oriented.select(col("lo").as("v"), col("hi").as("w"))
+        .hint("shuffle_hash"), Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+    triangles
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

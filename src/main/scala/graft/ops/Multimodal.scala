@@ -122,6 +122,65 @@ object Multimodal {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Per-frame audio energy rows: `(asset_id, frame_no, energy)` from one
+    * codegen'd pass over the payload bytes
+    * ([[graft.functions.expressions.FrameEnergy]]; unsigned-8-bit-PCM
+    * decode contract documented there). Assets with a NULL payload or
+    * fewer bytes than one frame emit no rows — zero frames is the
+    * answer, and the frame grid is where every downstream consumer
+    * (silence runs, envelopes, activity ratios) starts.
+    *
+    * Scale shape: the explode multiplies rows by bytes/frameLen but each
+    * output row is 24 bytes — the heavy payload column is read once and
+    * never shuffled; everything after the projection is frame-grain.
+    */
+  def audioFrameEnergies(assets: DataFrame, frameLen: Int): DataFrame = {
+    import graft.functions.expressions.FrameEnergy
+    assets.filter(col("payload").isNotNull)
+      .select(col("asset_id"),
+        posexplode(FrameEnergy(col("payload"), frameLen)))
+      .withColumnsRenamed(Map("pos" -> "frame_no", "col" -> "energy"))
+  }
+
+  /** Silence profile per asset: frame count, silent-frame count, number
+    * of maximal silence runs, the longest run, and the exact total
+    * energy. A frame is silent when its energy is under `threshold`
+    * (callers size it as meanSquareAmplitude × frameLen). Runs are
+    * delimited with the gaps-and-islands trick over the frame grid —
+    * the running count of LOUD frames is constant exactly while silent,
+    * so it is the island id (same device as [[Windows.underwater]]).
+    *
+    * All outputs are exact integers — no float crosses an engine
+    * boundary. Assets with zero silent frames report 0 runs / 0 longest
+    * (not missing); assets with no frames at all emit no row.
+    *
+    * Scale shape: one window pass partitioned by asset over frame-grain
+    * rows, then two aggregates — payload bytes never shuffle, and the
+    * per-asset frame series is bounded by payload size / frameLen.
+    */
+  def silenceProfile(assets: DataFrame, frameLen: Int,
+                     threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = audioFrameEnergies(assets, frameLen)
+      .withColumn("silent", col("energy") < threshold)
+    val w = Window.partitionBy("asset_id").orderBy("frame_no")
+    val isl = frames.withColumn("grp",
+      count(when(!col("silent"), 1)).over(w))
+    val runs = isl.filter(col("silent"))
+      .groupBy("asset_id", "grp").agg(count(lit(1)).as("run_len"))
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("n_runs"), max(col("run_len")).as("longest"))
+    frames.groupBy("asset_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("silent"), 1L).otherwise(0L)).as("n_silent"),
+        sum(col("energy")).as("sum_energy"))
+      .join(runs, Seq("asset_id"), "left")
+      .select(col("asset_id"), col("n_frames"), col("n_silent"),
+        coalesce(col("n_runs"), lit(0L)).as("n_silence_runs"),
+        coalesce(col("longest"), lit(0L)).as("longest_silence"),
+        col("sum_energy"))
+  }
+
   /** STUB — resize plan shape: clamp declared dims to a bounding box
     * preserving aspect ratio and mark the codec. A real implementation
     * would transcode payload bytes; the metadata math, payload passthrough,

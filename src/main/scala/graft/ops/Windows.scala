@@ -106,6 +106,45 @@ object Windows {
         Seq(col("__z.__s.__v").as(valueCol), round(col("__z.__e"), 6).as(as))): _*)
   }
 
+  /** Holt linear-trend smoothing (double exponential) per key: level,
+    * trend, and the one-step-ahead forecast `level + trend` at every
+    * position of the ordered series — the trend-aware sibling of [[ema]]
+    * for drifting series (spend per account, tokens per day) where a
+    * flat EMA lags the slope.
+    *
+    * Same plan shape as [[ema]]: one groupBy collects the ordered
+    * series (per-key series bounded by the same contract), one
+    * O(series) native scan ([[graft.functions.expressions.HoltScan]] —
+    * the coupled recurrences admit no HOF fold), one posexplode back to
+    * rows. Outputs are RAW doubles — cross-engine hashing must quantize
+    * explicitly (`floor(x·1e6 + 0.5)`, the q190 convention) because
+    * `round(x, 6)` itself diverges between engines at half boundaries
+    * (Spark rounds the shortest decimal repr HALF_UP, DuckDB rounds the
+    * scaled binary double — the q192 lesson: same double, different
+    * 6th digit).
+    *
+    * @return df columns keys ++ orderCols ++ (valueCol, level, trend,
+    *         forecast)
+    */
+  def holt(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+           valueCol: String, alpha: Double, beta: Double): DataFrame = {
+    val grouped = df.groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(
+        struct(orderCols.map(col): _*).as("__o"),
+        col(valueCol).as("__v")))).as("__s"))
+    val holtSeries = graft.functions.expressions.HoltScan(
+      transform(col("__s"), _.getField("__v").cast("double")), alpha, beta)
+    grouped.withColumn("__h", holtSeries)
+      .select((keys.map(col) :+
+        posexplode(arrays_zip(col("__s"), col("__h"))).as(Seq("__i", "__z"))): _*)
+      .select((keys.map(col) ++
+        orderCols.map(o => col(s"__z.__s.__o.$o").as(o)) ++
+        Seq(col("__z.__s.__v").as(valueCol),
+          col("__z.__h.level").as("level"),
+          col("__z.__h.trend").as("trend"),
+          (col("__z.__h.level") + col("__z.__h.trend")).as("forecast"))): _*)
+  }
+
   /** rank / dense_rank / row_number in one projection. */
   def ranked(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[Column]): DataFrame = {
     val w = ordered(partitionBy, orderBy)

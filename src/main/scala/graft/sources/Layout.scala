@@ -999,6 +999,7 @@ object Layout {
         s"updateVersionedRows: unknown (or dropped) column '$k' " +
           "(schema evolution is merge's job)")
     }
+    requireNoUniqueAssignment(spark, man, set.keys, "updateVersionedRows")
     val snap = ManifestIndex.dataFrame(spark, root, man, lineage = true)
     // pinned: positions AND images must come from ONE evaluation of the
     // predicate (see deleteVersionedRows)
@@ -1116,6 +1117,14 @@ object Layout {
     // on a constrained table must not pay a validation job (review fix)
     if (updates.isEmpty) return cur
     requireConstraints(updates, man.writerChecks, "upsert rows")
+    // UNIQUE: replace-by-key preserves key uniqueness exactly when the
+    // constraint IS the key set and the incoming batch is key-unique
+    // (dup source keys would all land — the caller-owned contract
+    // becomes writer-enforced once a constraint is declared)
+    if (man.uniqueConstraints.nonEmpty) {
+      requireUniqueKeysMatch(spark, man, keys, "upsertVersionedRows")
+      requireUniqueBatch(man, updates, None, "upsert rows")
+    }
     val snap = ManifestIndex.dataFrame(spark, root, man, lineage = true)
     // key-range prefilter: two scalars off the updates (O(1) driver data)
     // let the stats envelopes prune files that cannot hold any incoming
@@ -1261,6 +1270,12 @@ object Layout {
             "assigned against the committed high-water mark")
       }
       if (!empty) requireConstraints(rows, man.writerChecks, s"$op rows")
+      // UNIQUE gate: intra-batch always; vs the current snapshot only on
+      // APPEND (REPLACE keeps nothing to collide with)
+      if (!empty && man.uniqueConstraints.nonEmpty)
+        requireUniqueBatch(man, rows,
+          if (carryForward) Some(ManifestIndex.dataFrame(spark, root, man))
+          else None, s"$op rows")
       val (next, nextPath) = nextVersion(spark, root, cur)
       if (!empty) {
         // write-time clustering happens on the LOGICAL frame (zOrderCols
@@ -1388,6 +1403,18 @@ object Layout {
           s"mergeIntoVersionedRows: unknown (or dropped) column '$k' " +
             "(schema evolution is mergeVersionedPartitioned's job)")
       }
+    }
+    // UNIQUE: key-based merge preserves exactly the key set's uniqueness
+    // (inserts are snapshot-disjoint by the anti-join and deduplicated by
+    // the image check below; updates keep their keys once assignments to
+    // constraint columns are refused)
+    if (man.uniqueConstraints.nonEmpty) {
+      requireUniqueKeysMatch(spark, man, keys, "mergeIntoVersionedRows")
+      (whenMatchedUpdate.toSeq ++ whenNotMatchedBySourceUpdate.toSeq)
+        .foreach { case (_, set) =>
+          requireNoUniqueAssignment(spark, man, set.keys,
+            "mergeIntoVersionedRows")
+        }
     }
     val source = upcastToActive(man, source0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2129,9 +2156,232 @@ object Layout {
     nextPath
   }
 
+  /** Declare a column GENERATED ALWAYS AS `exprSql` (S77, the Delta
+    * generated-column shape): an INSERT that omits the column gets the
+    * expression computed from the SAME row's other columns; a write that
+    * PROVIDES it must match — [[ManifestIndex.TableManifest.writerChecks]]
+    * carries the null-safe equality probe, so every write path (append,
+    * replace, upsert, DV update, MERGE) either preserves the invariant or
+    * refuses loudly. There is no silent recompute-on-update: an UPDATE
+    * that changes a referenced base column without re-deriving the
+    * generated one is REFUSED by the probe, which is the safe half of
+    * Delta's behavior and the honest one for an engine whose DML sets
+    * columns explicitly.
+    *
+    * Validated here, loudly: the expression must resolve against the
+    * table's OTHER columns (self-reference and references to other
+    * generated columns are refused — no hidden evaluation order), must be
+    * deterministic, must cast to the column's type, and EXISTING rows
+    * must already satisfy it (one probe scan, the [[setNotNull]]
+    * convention — declaring a lie is refused at declaration time, not at
+    * some later write).
+    */
+  def setGeneratedColumn(spark: SparkSession, root: String, col: String,
+                         exprSql: String): String = graft.util.DmlTimer.timed {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"setGeneratedColumn requires a manifest root: $root")
+    val (cur, _, man) = currentManifest(spark, root)
+    requireTableColumn(spark, man, col, "setGeneratedColumn")
+    val resolver = spark.sessionState.analyzer.resolver
+    require(!man.identity.exists(p => resolver(p._1, col)),
+      s"setGeneratedColumn: '$col' is the GENERATED identity column")
+    require(!man.defaults.keys.exists(resolver(_, col)),
+      s"setGeneratedColumn: '$col' carries a DEFAULT — dropColumnDefault " +
+        "first (a column cannot be both defaulted and generated)")
+    require(!man.generatedCols.keys.exists(resolver(_, col)),
+      s"setGeneratedColumn: '$col' is already generated — " +
+        "dropGeneratedColumn first")
+    val refs = referencedColumns(spark, exprSql)
+    require(!refs.exists(resolver(_, col)),
+      s"setGeneratedColumn: expression references '$col' itself")
+    man.generatedCols.keys.foreach { g =>
+      require(!refs.exists(resolver(_, g)),
+        s"setGeneratedColumn: expression references generated column '$g' " +
+          "— generation expressions see only base columns (no hidden " +
+          "evaluation order)")
+    }
+    val colType = (ManifestIndex.activeSchema(man.dataSchema) ++
+      man.partitionSchema).find(_.name == col).get.dataType
+    // resolve + cast against the table's own schema (zero rows read);
+    // determinism checked on the ANALYZED expressions — rand() in a
+    // generated column would make the writer probe unsatisfiable
+    val probe = ManifestIndex.dataFrame(spark, root, man).limit(0)
+      .select(expr(exprSql).cast(colType).as("v"))
+    require(probe.queryExecution.analyzed.expressions.forall(_.deterministic),
+      s"setGeneratedColumn: expression must be deterministic: $exprSql")
+    probe.collect()
+    // existing rows must already satisfy the invariant the writers will
+    // enforce from now on
+    val bad = ManifestIndex.dataFrame(spark, root, man)
+      .filter(!(org.apache.spark.sql.functions.col(col) <=>
+        expr(exprSql).cast(colType))).limit(1).count()
+    require(bad == 0L,
+      s"setGeneratedColumn: existing data of $root has rows where " +
+        s"'$col' <> ($exprSql)")
+    val (next, nextPath) = nextVersion(spark, root, cur)
+    commitManifest(spark, root, next, man.copy(properties =
+      man.properties + (ManifestIndex.GeneratedPrefix + col -> exprSql)),
+      "SET GENERATED")
+    nextPath
+  }
+
+  /** Remove a GENERATED ALWAYS AS declaration; the column keeps its
+    * current values and later inserts must provide it (or get NULL).
+    */
+  def dropGeneratedColumn(spark: SparkSession, root: String,
+                          col: String): String = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"dropGeneratedColumn requires a manifest root: $root")
+    val (cur, _, man) = currentManifest(spark, root)
+    require(man.generatedCols.contains(col),
+      s"column '$col' is not generated " +
+        s"(have: ${man.generatedCols.keys.toSeq.sorted.mkString(",")})")
+    val (next, nextPath) = nextVersion(spark, root, cur)
+    commitManifest(spark, root, next, man.copy(properties =
+      man.properties - (ManifestIndex.GeneratedPrefix + col)),
+      "DROP GENERATED")
+    nextPath
+  }
+
+  /** Declare a UNIQUE constraint over `cols` (S78) — the hard guarantee
+    * Delta/Iceberg leave "informational", priced honestly: existing data
+    * is validated at declaration (one grouped scan), and every write
+    * path afterwards either PROVES it preserves uniqueness or refuses
+    * loudly:
+    *
+    *  - APPEND / COPY INTO: the batch must be duplicate-free within
+    *    itself AND against the current snapshot — one grouped probe plus
+    *    one semi-join against the key columns (column-pruned scan; at
+    *    100 TB this read is the honest minimum for a hard guarantee,
+    *    and the reason the big lakehouses don't enforce UNIQUE at all).
+    *  - REPLACE / TRUNCATE: intra-batch probe only (nothing survives).
+    *  - UPSERT / MERGE / partitioned merge: allowed when the constraint
+    *    columns EQUAL the operation's keys (replace-by-key preserves key
+    *    uniqueness; sources are probed duplicate-free) and no UPDATE
+    *    assignment targets a constraint column; anything else refuses
+    *    with the reason.
+    *  - UPDATE: allowed unless an assignment targets a constraint column.
+    *  - DELETE: always allowed (removing rows cannot create duplicates).
+    *
+    * SQL semantics: rows with a NULL in ANY constraint column are exempt
+    * (standard UNIQUE — NULLs never conflict). NOT NULL composes when
+    * key-completeness is wanted.
+    */
+  def addUniqueConstraint(spark: SparkSession, root: String, name: String,
+                          cols: Seq[String]): String = graft.util.DmlTimer.timed {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"addUniqueConstraint requires a manifest root: $root")
+    require(cols.nonEmpty, "addUniqueConstraint: empty column list")
+    require(cols.distinct.size == cols.size,
+      s"addUniqueConstraint: duplicate columns in (${cols.mkString(",")})")
+    require(cols.forall(!_.contains(",")),
+      "addUniqueConstraint: column names may not contain ','")
+    val (cur, _, man) = currentManifest(spark, root)
+    cols.foreach(requireTableColumn(spark, man, _, "addUniqueConstraint"))
+    require(!man.uniqueConstraints.contains(name),
+      s"addUniqueConstraint: constraint '$name' already exists")
+    val dup = keyedNonNull(ManifestIndex.dataFrame(spark, root, man), cols)
+      .groupBy(cols.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
+    require(dup.isEmpty,
+      s"addUniqueConstraint: existing data of $root has duplicate " +
+        s"(${cols.mkString(",")}) rows")
+    val (next, nextPath) = nextVersion(spark, root, cur)
+    commitManifest(spark, root, next, man.copy(properties =
+      man.properties +
+        (ManifestIndex.UniquePrefix + name -> cols.mkString(","))),
+      "ADD UNIQUE")
+    nextPath
+  }
+
+  /** Remove a UNIQUE constraint; later writes stop paying its probes. */
+  def dropUniqueConstraint(spark: SparkSession, root: String,
+                           name: String): String = {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      s"dropUniqueConstraint requires a manifest root: $root")
+    val (cur, _, man) = currentManifest(spark, root)
+    require(man.uniqueConstraints.contains(name),
+      s"no UNIQUE constraint '$name' " +
+        s"(have: ${man.uniqueConstraints.keys.toSeq.sorted.mkString(",")})")
+    val (next, nextPath) = nextVersion(spark, root, cur)
+    commitManifest(spark, root, next, man.copy(properties =
+      man.properties - (ManifestIndex.UniquePrefix + name)),
+      "DROP UNIQUE")
+    nextPath
+  }
+
+  /** Rows with every `cols` value non-null — the UNIQUE-relevant subset
+    * (SQL: NULLs never conflict), projected to the constraint columns.
+    */
+  private def keyedNonNull(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.filter(cols.map(c => col(s"`$c`").isNotNull).reduce(_ && _))
+      .select(cols.map(c => col(s"`$c`")): _*)
+
+  /** The UNIQUE write gate: `batch` must be duplicate-free within itself
+    * and (when `existing` is given) against it, per declared constraint.
+    * One grouped probe + optional semi-join per constraint, refused
+    * BEFORE any version is claimed.
+    */
+  private def requireUniqueBatch(man: ManifestIndex.TableManifest,
+                                 batch: DataFrame,
+                                 existing: Option[DataFrame],
+                                 what: String): Unit =
+    man.uniqueConstraints.foreach { case (name, cols) =>
+      val keyed = keyedNonNull(batch, cols)
+      val dup = keyed.groupBy(cols.map(c => col(s"`$c`")): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
+      require(dup.isEmpty,
+        s"$what violates UNIQUE constraint '$name' " +
+          s"(${cols.mkString(",")}): duplicate keys within the batch")
+      existing.foreach { ex =>
+        val hit = keyed.join(keyedNonNull(ex, cols), cols, "left_semi")
+        require(hit.isEmpty,
+          s"$what violates UNIQUE constraint '$name' " +
+            s"(${cols.mkString(",")}): keys already present in the table")
+      }
+    }
+
+  /** Refuse an operation whose keys don't carry a UNIQUE constraint's
+    * guarantee (set equality under the session resolver).
+    */
+  private def requireUniqueKeysMatch(spark: SparkSession,
+                                     man: ManifestIndex.TableManifest,
+                                     keys: Seq[String], op: String): Unit = {
+    val resolver = spark.sessionState.analyzer.resolver
+    man.uniqueConstraints.foreach { case (name, cols) =>
+      require(cols.forall(c => keys.exists(resolver(_, c))) &&
+          keys.forall(k => cols.exists(resolver(k, _))),
+        s"$op: UNIQUE constraint '$name' (${cols.mkString(",")}) must " +
+          s"equal the operation keys (${keys.mkString(",")}) — replace-by-" +
+          "key preserves exactly that key set; for anything else drop the " +
+          "constraint or rewrite via append/replace")
+    }
+  }
+
+  /** Refuse assignments that touch a UNIQUE constraint column — an
+    * updated value could collide with an untouched row, and proving it
+    * doesn't would cost a full probe per assignment.
+    */
+  private def requireNoUniqueAssignment(spark: SparkSession,
+                                        man: ManifestIndex.TableManifest,
+                                        setCols: Iterable[String],
+                                        op: String): Unit = {
+    val resolver = spark.sessionState.analyzer.resolver
+    man.uniqueConstraints.foreach { case (name, cols) =>
+      cols.foreach { c =>
+        require(!setCols.exists(resolver(_, c)),
+          s"$op: cannot assign '$c' — covered by UNIQUE constraint " +
+            s"'$name' (an assigned value could collide with an untouched " +
+            "row); drop the constraint first or delete+insert instead")
+      }
+    }
+  }
+
   /** Complete an INSERT batch that omits table columns: the identity
     * column gets generated values (see [[setIdentityColumn]]), DEFAULTed
-    * columns their declared expression, anything else NULL — standard
+    * columns their declared expression, GENERATED ALWAYS AS columns
+    * their generation expression (computed AFTER defaults and identity,
+    * so it may reference them), anything else NULL — standard
     * SQL INSERT column-list semantics. Returns the completed frame plus
     * the extra manifest properties the commit MUST carry (the advanced
     * identity high-water); pass them to [[appendVersionedRows]] /
@@ -2157,22 +2407,34 @@ object Layout {
     }
     val missing = tableCols.filterNot(f => has(f.name))
     if (missing.isEmpty) return (df, Map.empty)
+    def isGenerated(n: String) = man.generatedCols.keys.exists(resolver(_, n))
     val withDefaults = missing.foldLeft(df) { (acc, f) =>
       man.identity match {
         case Some((c, _)) if resolver(c, f.name) => acc // identity below
+        case _ if isGenerated(f.name) => acc // generated below
         case _ => acc.withColumn(f.name,
           expr(man.defaults.getOrElse(f.name, "NULL")).cast(f.dataType))
       }
     }
-    man.identity match {
+    val (withIdentity, props) = man.identity match {
       case Some((c, hw)) =>
         val filled = graft.util.Caches.cache(withDefaults.withColumn(c,
           lit(hw) + 1L + monotonically_increasing_id())).toDF
         val mxRow = filled.agg(max(org.apache.spark.sql.functions.col(c))).first()
         val newHw = if (mxRow.isNullAt(0)) hw else mxRow.getLong(0)
         (filled, Map(ManifestIndex.IdentityPrefix + c -> newHw.toString))
-      case None => (withDefaults, Map.empty)
+      case None => (withDefaults, Map.empty[String, String])
     }
+    // generated columns LAST: their expressions may reference defaulted
+    // or identity columns (declaration refuses references to other
+    // generated columns, so there is no order among these fills)
+    val complete = missing.filter(f => isGenerated(f.name))
+      .foldLeft(withIdentity) { (acc, f) =>
+        val sql = man.generatedCols
+          .collectFirst { case (k, v) if resolver(k, f.name) => v }.get
+        acc.withColumn(f.name, expr(sql).cast(f.dataType))
+      }
+    (complete, props)
   }
 
   private def requireTableColumn(spark: SparkSession,
@@ -2355,6 +2617,18 @@ object Layout {
       s"$op: column '$col' carries a DEFAULT — dropColumnDefault first")
     require(!man.identity.exists(p => resolver(p._1, col)),
       s"$op: column '$col' is the GENERATED identity column")
+    require(!man.generatedCols.keys.exists(resolver(_, col)),
+      s"$op: column '$col' is GENERATED ALWAYS AS — dropGeneratedColumn first")
+    man.uniqueConstraints.foreach { case (n, cs) =>
+      require(!cs.exists(resolver(_, col)),
+        s"$op: column '$col' is covered by UNIQUE constraint '$n' — " +
+          "dropUniqueConstraint first")
+    }
+    man.generatedCols.foreach { case (g, sql) =>
+      require(!referencedColumns(spark, sql).exists(resolver(_, col)),
+        s"$op: column '$col' is referenced by generated column '$g' " +
+          s"($sql) — dropGeneratedColumn first")
+    }
   }
 
   /** RESTORE a manifest root to an earlier version — as a NEW commit
@@ -2594,6 +2868,17 @@ object Layout {
     requireConstraints(updates, man.writerChecks, "merge updates")
     val affected = affectedLeaves(updates.select(pcols.map(col): _*), pcols, root)
     val existingAffected = man.leaves.intersect(affected)
+    // UNIQUE: replace-by-key is leaf-confined here, so an incoming key
+    // that lives in an UNAFFECTED leaf would survive alongside its new
+    // image — probe those leaves too (key envelopes prune the scan)
+    if (man.uniqueConstraints.nonEmpty) {
+      requireUniqueKeysMatch(spark, man, keys, "mergeVersionedPartitioned")
+      val unaffected = man.leaves.diff(affected)
+      requireUniqueBatch(man, updates,
+        if (unaffected.isEmpty) None
+        else Some(ManifestIndex.dataFrame(spark, root, man, Some(unaffected))),
+        "merge updates")
+    }
     val merged =
       if (existingAffected.isEmpty) updates
       else {

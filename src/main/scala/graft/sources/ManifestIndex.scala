@@ -147,6 +147,14 @@ object ManifestIndex {
       (activeSchema(dataSchema) ++ partitionSchema).collect {
         case f if !f.nullable =>
           s"__schema_not_null_${f.name}" -> s"`${f.name}` IS NOT NULL"
+      } ++
+      // a GENERATED column must EQUAL its expression in every committed
+      // row, whichever write path produced it — null-safe equality, so
+      // the CHECK gate's NULL-passes semantics cannot leak a drifted
+      // value through, and an UPDATE/MERGE that breaks the invariant is
+      // refused loudly instead of committing silent staleness
+      generatedCols.map { case (c, e) =>
+        s"__generated_$c" -> s"`$c` <=> ($e)"
       }
     /** column -> DEFAULT expression SQL, applied when an INSERT omits
       * the column.
@@ -161,6 +169,21 @@ object ManifestIndex {
     def identity: Option[(String, Long)] = properties.collectFirst {
       case (k, v) if k.startsWith(IdentityPrefix) =>
         k.substring(IdentityPrefix.length) -> v.toLong
+    }
+    /** column -> generation expression SQL (GENERATED ALWAYS AS):
+      * filled when an INSERT omits the column, equality-enforced by
+      * [[writerChecks]] when any write provides it.
+      */
+    def generatedCols: Map[String, String] = properties.collect {
+      case (k, v) if k.startsWith(GeneratedPrefix) =>
+        k.substring(GeneratedPrefix.length) -> v
+    }
+    /** name -> columns of the table's UNIQUE constraints (writer-enforced
+      * — see Layout.addUniqueConstraint for the per-path contract).
+      */
+    def uniqueConstraints: Map[String, Seq[String]] = properties.collect {
+      case (k, v) if k.startsWith(UniquePrefix) =>
+        k.substring(UniquePrefix.length) -> v.split(",").toSeq
     }
   }
 
@@ -183,6 +206,20 @@ object ManifestIndex {
     * would dominate manifest bytes).
     */
   val IngestPrefix = "ingest."
+
+  /** Property-key prefix for UNIQUE constraints (`unique.<name>` ->
+    * comma-joined column list). Writer-enforced like CHECKs but NOT a
+    * row-local predicate, so enforcement lives in each write path's own
+    * gate rather than [[TableManifest.writerChecks]].
+    */
+  val UniquePrefix = "unique."
+
+  /** Property-key prefix for expression-GENERATED columns
+    * (`generatedcol.<col>` -> generation expression SQL). Distinct from
+    * [[IdentityPrefix]]: identity is value-assigning state (a high-water
+    * mark), this is a pure function of the row's other columns.
+    */
+  val GeneratedPrefix = "generatedcol."
 
   /** Property-key prefix for the identity column high-water mark
     * (`identity.<col>` -> highest value ever GENERATED; values above it
