@@ -254,7 +254,9 @@ object GraftDdl {
     * diverge from what the user declared. Returns (location, constraints).
     */
   private def specOf(spec: TableSpecBase)
-      : (Option[String], Seq[CheckConstraint]) = spec match {
+      : (Option[String], Seq[CheckConstraint],
+         Seq[org.apache.spark.sql.catalyst.expressions.UniqueConstraint]) =
+    spec match {
     case u: UnresolvedTableSpec =>
       require(u.properties.isEmpty,
         "graft SQL DDL: TBLPROPERTIES are not supported")
@@ -268,12 +270,19 @@ object GraftDdl {
       require(!u.external,
         "graft SQL DDL: EXTERNAL has no meaning here — every graft table " +
           "lives at its root path; use LOCATION to choose it")
-      val checks = u.constraints.map {
-        case c: CheckConstraint => c
-        case other => throw new IllegalArgumentException(
-          "graft SQL DDL: only CHECK constraints are supported, got " + other)
+      val checks = u.constraints.collect { case c: CheckConstraint => c }
+      val uniques = u.constraints.collect {
+        case uq: org.apache.spark.sql.catalyst.expressions.UniqueConstraint =>
+          uq
       }
-      (u.location, checks)
+      u.constraints.foreach {
+        case _: CheckConstraint => ()
+        case _: org.apache.spark.sql.catalyst.expressions.UniqueConstraint => ()
+        case other => throw new IllegalArgumentException(
+          "graft SQL DDL: only CHECK and UNIQUE constraints are " +
+            "supported, got " + other)
+      }
+      (u.location, checks, uniques)
     case other => throw new IllegalArgumentException(
       s"graft SQL DDL: unsupported table spec $other")
   }
@@ -301,22 +310,38 @@ object GraftDdl {
       case ct: CreateTable =>
         ct.name match {
           case Ident(x) =>
-            val (loc, checks) = specOf(ct.tableSpec)
+            val (loc, checks, uniques) = specOf(ct.tableSpec)
             GraftCreateTableCommand(x, loc, ct.tableSchema,
               identityCols(ct.partitioning),
               checks.map(c => c.name -> c.condition),
-              ct.ignoreIfExists, query = None)
+              ct.ignoreIfExists, query = None,
+              uniques = uniques.map(u => u.name -> u.columns))
           case _ => return None
         }
 
       case ctas: CreateTableAsSelect =>
         ctas.name match {
           case Ident(x) =>
-            val (loc, checks) = specOf(ctas.tableSpec)
+            val (loc, checks, uniques) = specOf(ctas.tableSpec)
             GraftCreateTableCommand(x, loc, new StructType(),
               identityCols(ctas.partitioning),
               checks.map(c => c.name -> c.condition),
-              ctas.ignoreIfExists, query = Some(ctas.query))
+              ctas.ignoreIfExists, query = Some(ctas.query),
+              uniques = uniques.map(u => u.name -> u.columns))
+          case _ => return None
+        }
+
+      // `ALTER TABLE … ADD CONSTRAINT n UNIQUE (cols)` — CHECK arrives as
+      // the distinct AddCheckConstraint plan (validation-scan child, see
+      // lowerAddConstraint); every other constraint family lands here
+      case ac: org.apache.spark.sql.catalyst.plans.logical.AddConstraint =>
+        (ac.child, ac.tableConstraint) match {
+          case (Tbl(x),
+              u: org.apache.spark.sql.catalyst.expressions.UniqueConstraint) =>
+            GraftAddUniqueCommand(x, u.name, u.columns)
+          case (Tbl(_), other) => throw new IllegalArgumentException(
+            "graft SQL DDL: only CHECK and UNIQUE constraints are " +
+              "supported, got " + other)
           case _ => return None
         }
 
@@ -486,7 +511,8 @@ object GraftDdl {
                                      declared: StructType, pcols: Seq[String],
                                      checks: Seq[(String, String)],
                                      ignoreIfExists: Boolean,
-                                     query: Option[LogicalPlan])
+                                     query: Option[LogicalPlan],
+                                     uniques: Seq[(String, Seq[String])] = Nil)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = pathAttr
     override def run(session: SparkSession): Seq[Row] = {
@@ -553,6 +579,8 @@ object GraftDdl {
         val path = Layout.initVersionedManifest(df, root, pcols)
         checks.foreach { case (n, sql) =>
           Layout.addCheckConstraint(session, root, n, sql) }
+        uniques.foreach { case (n, cols) =>
+          Layout.addUniqueConstraint(session, root, n, cols) }
         if (root != resolved) GraftPaths.writeRedirect(session, ident, root)
         Seq(Row(path))
       } catch { case e: Throwable =>
@@ -599,7 +627,10 @@ object GraftDdl {
           man.partitionSchema)
           .map(f => s"  ${f.name} ${f.dataType.sql}")
       val checks = man.constraints.toSeq.sortBy(_._1)
-        .map { case (n, sql) => s"  CONSTRAINT $n CHECK ($sql)" }
+        .map { case (n, sql) => s"  CONSTRAINT $n CHECK ($sql)" } ++
+        man.uniqueConstraints.toSeq.sortBy(_._1)
+          .map { case (n, cs) =>
+            s"  CONSTRAINT $n UNIQUE (${cs.mkString(", ")})" }
       val target =
         if (GraftPaths.isPath(ident)) s"graft.`$ident`" else s"graft.$ident"
       // external iff the name carries a redirect marker — a location
@@ -716,10 +747,27 @@ object GraftDdl {
     override val output: Seq[Attribute] = pathAttr
     override def run(session: SparkSession): Seq[Row] = {
       val root = GraftPaths.resolve(session, ident)
+      // one namespace for both families, like the SQL statement itself
+      if (Layout.hasUniqueConstraint(session, root, name))
+        return Seq(Row(Layout.dropUniqueConstraint(session, root, name)))
       if (ifExists && !Layout.hasCheckConstraint(session, root, name))
         return Seq(Row(Layout.resolveCurrent(session, root)))
       Seq(Row(Layout.dropCheckConstraint(session, root, name)))
     }
+  }
+
+  /** `ALTER TABLE graft.`x` ADD CONSTRAINT n UNIQUE (cols)` — the
+    * writer-enforced uniqueness gate (Layout.addUniqueConstraint:
+    * existing data validated at declaration, every later write proves
+    * preservation or refuses).
+    */
+  case class GraftAddUniqueCommand(ident: String, name: String,
+                                   cols: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = pathAttr
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(Layout.addUniqueConstraint(session,
+        GraftPaths.resolve(session, ident), name, cols)))
   }
 
   /** `DESCRIBE HISTORY graft.`x`` (parser-injected): the operation ledger,

@@ -2294,6 +2294,12 @@ object Layout {
     nextPath
   }
 
+  /** Whether the table declares a UNIQUE constraint named `name`. */
+  def hasUniqueConstraint(spark: SparkSession, root: String,
+                          name: String): Boolean =
+    ManifestIndex.isManifestRoot(spark, root) &&
+      currentManifest(spark, root)._3.uniqueConstraints.contains(name)
+
   /** Remove a UNIQUE constraint; later writes stop paying its probes. */
   def dropUniqueConstraint(spark: SparkSession, root: String,
                            name: String): String = {

@@ -145,4 +145,30 @@ class UniqueConstraintSpec extends SparkSpec {
       Seq((1L, Option(10L), "dup", "a")).toDF("id", "v", "tag", "part"))
     assert(Layout.readCurrent(spark, root).filter($"id" === 1L).count() == 2L)
   }
+
+  test("SQL face: inline CREATE, ALTER ADD/DROP CONSTRAINT, SHOW CREATE") {
+    val root = Files.createTempDirectory("graft_uniq_sql").toString + "/t"
+    spark.sql(s"CREATE TABLE graft.`$root` (id BIGINT, v BIGINT, " +
+      "pri STRING, CONSTRAINT pk UNIQUE (id)) PARTITIONED BY (pri)")
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (1, 10, 'a'), (2, 20, 'b')")
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$root` VALUES (1, 99, 'b')") }
+    assert(e.getMessage.contains("UNIQUE") ||
+      e.getCause != null && e.getCause.getMessage.contains("UNIQUE"))
+    val ddl = spark.sql(s"SHOW CREATE TABLE graft.`$root`")
+      .head().getString(0)
+    assert(ddl.contains("CONSTRAINT pk UNIQUE (id)"))
+    // second constraint via ALTER; duplicate v now refuses too
+    spark.sql(s"ALTER TABLE graft.`$root` ADD CONSTRAINT uv UNIQUE (v)")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$root` VALUES (3, 10, 'a')") }
+    spark.sql(s"ALTER TABLE graft.`$root` DROP CONSTRAINT uv")
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (3, 10, 'a')")
+    assert(Layout.readCurrent(spark, root).count() == 3L)
+    // other constraint families refuse loudly, not cryptically
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` ADD CONSTRAINT fk " +
+        s"PRIMARY KEY (id)") }
+    assert(e2.getMessage.contains("only CHECK and UNIQUE"))
+  }
 }
