@@ -2833,8 +2833,24 @@ object SparkEntry {
       graft.sources.Layout.readCurrent(s, root)
         .groupBy("pri")
         .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
-    })
+    }),
+
+    // --- blocklist screening (r14): which of N phrases occur per doc,
+    //     ONE Aho–Corasick pass over the text whatever N is (the rlike
+    //     alternation / per-pattern contains alternatives scan N times);
+    //     overlapping patterns ("data"/"at", "the"/"he") exercise the
+    //     failure links the oracle's per-pattern contains cannot get wrong ---
+    "q196_blocklist_screen" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+          TF.blocklistHits(col("text"), BlocklistPatterns).as("hits"))
+        .withColumn("n_hits", size(col("hits")).cast("long")))
   )
+
+  /** q196's screen list — shared by the registration and the oracle;
+    * includes overlapping patterns and one guaranteed-absent probe.
+    */
+  private val BlocklistPatterns = Seq("data", "at", "stream", "query",
+    "the", "he", "batch window", "xyzzy-nope")
 
   /** q74 LSH knobs — shared by the registration and the mirrored oracle. */
   private val lshBits = 6
@@ -5631,7 +5647,18 @@ object SparkEntry {
           SELECT id + 10000000, v + 11, pri FROM base WHERE id % 4 = 0)
         SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
           CAST(sum(v) AS BIGINT) AS sum_v
-        FROM u GROUP BY 1"""
+        FROM u GROUP BY 1""",
+
+      // declaration-order distinct-hit replay: one contains per pattern
+      // (the oracle affords N scans; the ENGINE pays one)
+      "q196_blocklist_screen" -> {
+        val arr = BlocklistPatterns.map(p => s"'$p'").mkString("[", ", ", "]")
+        s"""
+        WITH h AS (SELECT doc_id,
+            list_filter($arr, p -> contains(text, p)) AS hits
+          FROM documents)
+        SELECT doc_id, hits, CAST(len(hits) AS BIGINT) AS n_hits FROM h"""
+      }
     )
   }
 

@@ -19,6 +19,14 @@ object TextFunctions {
     */
   def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
 
+  /** Which of `patterns` occur in the text (distinct, declaration
+    * order) — one Aho–Corasick pass whatever the list size
+    * ([[graft.functions.expressions.MultiContains]]); the blocklist /
+    * PII-marker / contamination-probe screen.
+    */
+  def blocklistHits(text: Column, patterns: Seq[String]): Column =
+    graft.functions.expressions.MultiContains(text, patterns)
+
   /** Whitespace token count; 0 for blank text. */
   def tokenCount(c: Column): Column =
     when(length(trim(c)) === 0, lit(0)).otherwise(size(tokens(c)))
