@@ -166,19 +166,21 @@ object Multimodal {
     val w = Window.partitionBy("asset_id").orderBy("frame_no")
     val isl = frames.withColumn("grp",
       count(when(!col("silent"), 1)).over(w))
-    val runs = isl.filter(col("silent"))
-      .groupBy("asset_id", "grp").agg(count(lit(1)).as("run_len"))
+    // ONE lineage: island-level then asset-level aggregates — a separate
+    // runs branch re-ran the scan+explode (PlanSpec pins one
+    // frame_energy), and both groupBys reuse the window's asset_id
+    // partitioning, so the whole profile costs a single shuffle
+    isl.groupBy("asset_id", "silent", "grp")
+      .agg(count(lit(1)).as("rl"), sum(col("energy")).as("e"))
       .groupBy("asset_id")
-      .agg(count(lit(1)).as("n_runs"), max(col("run_len")).as("longest"))
-    frames.groupBy("asset_id")
-      .agg(count(lit(1)).as("n_frames"),
-        sum(when(col("silent"), 1L).otherwise(0L)).as("n_silent"),
-        sum(col("energy")).as("sum_energy"))
-      .join(runs, Seq("asset_id"), "left")
-      .select(col("asset_id"), col("n_frames"), col("n_silent"),
-        coalesce(col("n_runs"), lit(0L)).as("n_silence_runs"),
-        coalesce(col("longest"), lit(0L)).as("longest_silence"),
-        col("sum_energy"))
+      .agg(sum(col("rl")).as("n_frames"),
+        coalesce(sum(when(col("silent"), col("rl"))), lit(0L)).as("n_silent"),
+        count(when(col("silent"), 1)).as("n_silence_runs"),
+        coalesce(max(when(col("silent"), col("rl"))), lit(0L))
+          .as("longest_silence"),
+        sum(col("e")).as("sum_energy"))
+      .select("asset_id", "n_frames", "n_silent", "n_silence_runs",
+        "longest_silence", "sum_energy")
   }
 
   /** STUB — resize plan shape: clamp declared dims to a bounding box

@@ -412,4 +412,39 @@ class PlanSpec extends SparkSpec {
     assert(countOf(pl, "ObjectHashAggregate") >= 2, pl.take(1000))
     assert(!pl.contains("Window"), "KMV must not be a window sort")
   }
+
+  test("q191: wedge joins are shuffle-hash, never a wedge-side sort (r14)") {
+    val pl = plan("q191_triangles")
+    // the m^1.5 wedge intermediate must stream unsorted through both its
+    // joins — a SortMergeJoin would pay two 41M-row sorts at sf0.1
+    assert(pl.contains("ShuffledHashJoin"), pl.take(1200))
+    assert(!pl.contains("CartesianProduct") &&
+      !pl.contains("BroadcastNestedLoopJoin"), pl.take(800))
+  }
+
+  test("q192: Holt runs the native scan, no quadratic HOF fold (r14)") {
+    val pl = plan("q192_holt_forecast")
+    assert(pl.contains("holt_scan"), pl.take(1200))
+    // one groupBy collect + one posexplode — exactly two exchanges would
+    // mean a stray repartition; the series collect is the only shuffle
+    assert(countOf(pl, "Exchange hashpartitioning") == 1, pl.take(1200))
+  }
+
+  test("q193: audio profile reads the payload once, frame grain after (r14)") {
+    val pl = plan("q193_audio_silence")
+    // ONE parquet scan: energies, the island window and both aggregates
+    // all derive from the single exploded frame grid
+    assert(countOf(pl, "FileScan parquet") == 1, pl.take(1200))
+    assert(pl.contains("frame_energy"), pl.take(1200))
+    assert(countOf(pl, "frame_energy") == 1,
+      "payload bytes must be scanned once, not per derived column")
+  }
+
+  test("q196: blocklist screen is one codegen'd pass, no shuffle (r14)") {
+    val pl = plan("q196_blocklist_screen")
+    assert(pl.contains("multi_contains"), pl.take(1200))
+    assert(countOf(pl, "multi_contains") == 1,
+      "the size() column must reuse the hits array, not re-walk the text")
+    assert(!pl.contains("Exchange"), "screening must not shuffle")
+  }
 }
