@@ -141,4 +141,34 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Aggregates.kmvDistinct(one, Seq("g"), "v", k = 2)
       .head().getDouble(1) == 1.0)
   }
+
+  test("r14 continuation edges: triangles, holt, audio, blocklist degenerates") {
+    import graft.ops.{Graph, Multimodal, Windows}
+    // empty edge set / self-loops-only / two-node graph: no triangles
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.triangleCounts(emptyEdges).isEmpty)
+    assert(Graph.triangleCounts(
+      Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")).isEmpty)
+    assert(Graph.triangleCounts(
+      Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")).isEmpty)
+    // holt: empty frame flows through; single observation = (x, 0, x)
+    val emptyS = Seq.empty[(String, Long, Double)].toDF("k", "seq", "v")
+    assert(Windows.holt(emptyS, Seq("k"), Seq("seq"), "v", 0.3, 0.1).isEmpty)
+    val single = Windows.holt(Seq(("a", 1L, 7.0)).toDF("k", "seq", "v"),
+      Seq("k"), Seq("seq"), "v", 0.3, 0.1)
+      .select("level", "trend", "forecast").as[(Double, Double, Double)].head()
+    assert(single == ((7.0, 0.0, 7.0)))
+    // audio: empty corpus and all-sub-frame payloads emit no rows
+    val emptyAssets = Seq.empty[(Long, Array[Byte])].toDF("asset_id", "payload")
+    assert(Multimodal.silenceProfile(emptyAssets, 4, 100L).isEmpty)
+    val tiny = Seq((1L, Array[Byte](1, 2, 3))).toDF("asset_id", "payload")
+    assert(Multimodal.silenceProfile(tiny, 4, 100L).isEmpty)
+    // blocklist: empty text matches nothing; pattern longer than text too
+    assert(Seq("").toDF("t")
+      .select(TF.blocklistHits($"t", Seq("x")).as("h"))
+      .as[Seq[String]].head() == Seq.empty)
+    assert(Seq("ab").toDF("t")
+      .select(TF.blocklistHits($"t", Seq("abc")).as("h"))
+      .as[Seq[String]].head() == Seq.empty)
+  }
 }

@@ -33,8 +33,12 @@ class LayoutPropertySpec extends SparkSpec {
     * 14 = COPY INTO fresh keys + replayed no-op (r14 ledger property),
     * 15 = z-ordered APPEND (r14 — placement-only), 16 = wholesale
     * REPLACE with the model filtered to the op's ids (r14 — empty =
-    * truncate) (manifest mode only — the merge-on-read writers require
-    * it).
+    * truncate), 17 = UNIQUE(id) marker toggle (r14 — the model's Map IS
+    * keyed by id, so every interleaved writer provably preserves the
+    * constraint: merges/upserts key on id, appends/COPY INTO use
+    * guaranteed-fresh ids, updates never SET id — the gates must
+    * therefore never fire, which is exactly the property) (manifest
+    * mode only — the merge-on-read writers require it).
     * After an evolution the COW writers may refuse (mixed layout) — the
     * model accepts either outcome, because purge/compact can converge the
     * layout as a side effect at any point.
@@ -53,7 +57,7 @@ class LayoutPropertySpec extends SparkSpec {
     * correct in BOTH modes (a manifest version dir is not self-contained).
     */
   private def modelProperty(manifest: Boolean): Prop =
-    Prop.forAll(genOps(if (manifest) 16 else 1)) { ops =>
+    Prop.forAll(genOps(if (manifest) 17 else 1)) { ops =>
     val root = Files.createTempDirectory("graft_vprop").toString
     var model = (0L until 12L).map(i => i -> (partOf(i), i.toDouble * 10)).toMap
     // manifest tables are born with a NARROW id so a random widen op has
@@ -85,6 +89,7 @@ class LayoutPropertySpec extends SparkSpec {
     var spec = Seq("part") // the CURRENT spec the COW writers must name
     var vNotNull = false   // NOT NULL marker toggled on v (r14)
     var vDefault = false   // DEFAULT marker toggled on v (r14)
+    var vUnique = false    // UNIQUE(id) marker toggled (r14)
     ops.foreach { op =>
       // the row-level writers and purge NO-OP (no version committed) when
       // nothing matches — the model must advance the version only when the
@@ -218,6 +223,14 @@ class LayoutPropertySpec extends SparkSpec {
           Layout.replaceVersionedRows(spark, root,
             rowsDf(keep.toSeq.map { case (i, (p, v)) => (i, p, v) }))
           model = keep
+        case 17 =>
+          // r14 UNIQUE(id) toggle: a metadata commit either way; while
+          // declared, EVERY interleaved writer must keep passing its
+          // gate (the model is id-keyed, so uniqueness holds by
+          // construction — a spurious refusal fails the property)
+          if (vUnique) Layout.dropUniqueConstraint(spark, root, "uid")
+          else Layout.addUniqueConstraint(spark, root, "uid", Seq("id"))
+          vUnique = !vUnique
         case 10 =>
           val r = Layout.maintain(spark, root,
             Layout.MaintenancePolicy(keepVersions = 100000))
