@@ -2843,7 +2843,37 @@ object SparkEntry {
     "q196_blocklist_screen" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
           TF.blocklistHits(col("text"), BlocklistPatterns).as("hits"))
-        .withColumn("n_hits", size(col("hits")).cast("long")))
+        .withColumn("n_hits", size(col("hits")).cast("long"))),
+
+    // --- seasonal decomposition (r14): trend / day-of-week / residual
+    //     over per-priority daily revenue — the ingest-anomaly split
+    //     ("is volume low, or is it just Sunday?"). Window sums and dow
+    //     deviations stay in EXACT longs; only the three final divisions
+    //     are doubles, micro-quantized ---
+    "q197_seasonal_decompose" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("pri"),
+          to_date(col("o_orderdate")).as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      Seasonal.decomposeDaily(daily, Seq("pri"), "d", "cents")
+        // DATE → TIMESTAMP for the driver compare (the q80 convention)
+        .withColumn("day", col("day").cast("timestamp"))
+    }),
+
+    // --- k-core backbone (r14): bounded-round peeling of the
+    //     co-purchase graph — drop parts with < k surviving co-purchase
+    //     partners until the dense backbone remains. Fixed 12 rounds =
+    //     exact replayable function (the oracle unrolls the same peels);
+    //     the spec pins that 12 rounds IS the fixpoint here ---
+    "q198_kcore" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val r = li.select(col("ok"), col("pk").as("pk2"))
+      val edges = li.join(r, "ok")
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("src"), col("pk2").as("dst"))
+      Graph.kCore(edges, k = 80, rounds = 12)
+    })
   )
 
   /** q196's screen list — shared by the registration and the oracle;
@@ -5658,6 +5688,61 @@ object SparkEntry {
             list_filter($arr, p -> contains(text, p)) AS hits
           FROM documents)
         SELECT doc_id, hits, CAST(len(hits) AS BIGINT) AS n_hits FROM h"""
+      },
+
+      // exact-integer core (sum7, 7x−sum7 deviations), three fixed-order
+      // double divisions micro-quantized; dow = epoch_days mod 7 (the
+      // 0/1-based dayofweek builtins differ between engines)
+      "q197_seasonal_decompose" -> """
+        WITH daily AS (SELECT o_orderpriority AS pri,
+            CAST(o_orderdate AS DATE) AS d,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS cents
+          FROM orders GROUP BY 1, 2),
+        t AS (SELECT pri, d, cents,
+            date_diff('day', DATE '1970-01-01', d) % 7 AS dow,
+            CASE WHEN count(cents) OVER w = 7
+              THEN CAST(sum(cents) OVER w AS BIGINT) END AS sum7
+          FROM daily
+          WINDOW w AS (PARTITION BY pri ORDER BY d
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        dev AS (SELECT pri, dow,
+            CAST(sum(7 * cents - sum7) AS BIGINT) AS sdev,
+            count(*) AS n
+          FROM t WHERE sum7 IS NOT NULL GROUP BY 1, 2)
+        SELECT t.pri, CAST(t.d AS TIMESTAMP) AS day, t.cents,
+          CAST(floor(t.sum7 / 7.0 * 1000000.0 + 0.5) AS BIGINT)
+            AS trend_micro,
+          CAST(floor(dev.sdev / (7.0 * dev.n) * 1000000.0 + 0.5) AS BIGINT)
+            AS seasonal_micro,
+          CAST(floor((t.cents - t.sum7 / 7.0 - dev.sdev / (7.0 * dev.n))
+            * 1000000.0 + 0.5) AS BIGINT) AS resid_micro
+        FROM t LEFT JOIN dev ON t.pri = dev.pri AND t.dow = dev.dow""",
+
+      // the same 12 peels, unrolled as MATERIALIZED CTEs (inlined, the
+      // triple self-reference explodes 3^12); deg = the admitting count
+      "q198_kcore" -> {
+        val k = 80
+        val rounds = 12
+        val peels = (1 to rounds).map { i =>
+          val p = s"s${i - 1}"
+          s"""s$i AS MATERIALIZED (
+          SELECT x AS n, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT e0.a AS x FROM e0
+              JOIN $p p1 ON e0.a = p1.n JOIN $p p2 ON e0.b = p2.n
+            UNION ALL
+            SELECT e0.b FROM e0
+              JOIN $p p1 ON e0.a = p1.n JOIN $p p2 ON e0.b = p2.n
+          ) GROUP BY x HAVING count(*) >= $k)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS a,
+            b.l_partkey AS b
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        s0 AS MATERIALIZED (SELECT a AS n FROM e0 UNION SELECT b FROM e0),
+        $peels
+        SELECT n AS node, d AS deg FROM s$rounds"""
       }
     )
   }
