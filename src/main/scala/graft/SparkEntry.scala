@@ -2873,6 +2873,32 @@ object SparkEntry {
         .filter(col("pk") < col("pk2"))
         .select(col("pk").as("src"), col("pk2").as("dst"))
       Graph.kCore(edges, k = 80, rounds = 12)
+    }),
+
+    // --- energy-envelope shot detection (r14): the video-framing face
+    //     of the FrameEnergy grid — a boundary wherever consecutive
+    //     frame energies jump past the threshold (hard-cut detection),
+    //     shots = islands between boundaries. Threshold 12000 ≈ the
+    //     corpus' p80 delta ---
+    "q199_energy_shots" -> ((s, dir) =>
+      Multimodal.energyShots(
+        Multimodal.fromDocuments(Tables.documents(s, dir)),
+        frameLen = 32, threshold = 12000L)),
+
+    // --- CUSUM drift statistic (r14): the change-point detector over
+    //     per-priority daily revenue — q197 explains the rhythm, this
+    //     flags the level shift. Native scan (the max/add recurrence
+    //     has no linear fold); exact-decimal mean; micro-quantized ---
+    "q200_cusum_drift" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("pri"),
+          to_date(col("o_orderdate")).as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      Windows.cusum(daily, Seq("pri"), Seq("d"), "cents", slack = 50000.0)
+        .select(col("pri"), col("d").cast("timestamp").as("day"),
+          col("cents"),
+          floor(col("cusum") * lit(1000000.0) + lit(0.5)).cast("long")
+            .as("cusum_micro"))
     })
   )
 
@@ -5743,7 +5769,61 @@ object SparkEntry {
         s0 AS MATERIALIZED (SELECT a AS n FROM e0 UNION SELECT b FROM e0),
         $peels
         SELECT n AS node, d AS deg FROM s$rounds"""
-      }
+      },
+
+      // same frame grid as q193; boundaries from lag deltas, shots =
+      // running boundary count islands — exact integers end to end
+      "q199_energy_shots" -> """
+        WITH b AS (SELECT doc_id,
+            list_transform(range(0, length(text)), i -> ascii(text[i+1]) - 128)
+              AS v
+          FROM documents WHERE text IS NOT NULL),
+        el AS (SELECT doc_id, list_transform(range(0, len(v) // 32),
+            i -> list_sum(list_transform(
+              v[CAST(i*32+1 AS INT) : CAST(i*32+32 AS INT)],
+              x -> CAST(x*x AS BIGINT)))) AS es FROM b),
+        fr AS (SELECT doc_id,
+            CAST(generate_subscripts(es, 1) - 1 AS BIGINT) AS f,
+            CAST(unnest(es) AS BIGINT) AS e FROM el),
+        m AS (SELECT doc_id, f, e,
+            CASE WHEN abs(e - lag(e) OVER w) > 12000 THEN 1 ELSE 0 END AS bd
+          FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+        sh AS (SELECT doc_id, f,
+            sum(bd) OVER (PARTITION BY doc_id ORDER BY f) AS shot
+          FROM m),
+        runs AS (SELECT doc_id, shot, CAST(count(*) AS BIGINT) AS len
+          FROM sh GROUP BY 1, 2)
+        SELECT doc_id AS asset_id, CAST(sum(len) AS BIGINT) AS n_frames,
+          CAST(count(*) AS BIGINT) AS n_shots,
+          CAST(max(len) AS BIGINT) AS longest_shot
+        FROM runs GROUP BY 1""",
+
+      // CUSUM replay: exact BIGINT daily sums, one double division for
+      // the mean, then the identical left-to-right max/add recursion
+      "q200_cusum_drift" -> """
+        WITH RECURSIVE daily AS (SELECT o_orderpriority AS pri,
+            CAST(o_orderdate AS DATE) AS d,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS cents
+          FROM orders GROUP BY 1, 2),
+        s AS (SELECT pri,
+            list(d ORDER BY d) AS ds,
+            list(cents ORDER BY d) AS vals,
+            CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
+          FROM daily GROUP BY pri),
+        r AS (
+          SELECT pri, 1 AS k, ds, vals, mu,
+            greatest(CAST(0 AS DOUBLE),
+              (CAST(vals[1] AS DOUBLE) - mu) - 50000.0) AS c
+          FROM s
+          UNION ALL
+          SELECT pri, k + 1, ds, vals, mu,
+            greatest(CAST(0 AS DOUBLE),
+              c + ((CAST(vals[k+1] AS DOUBLE) - mu) - 50000.0)) AS c
+          FROM r WHERE k < len(vals))
+        SELECT pri, CAST(ds[k] AS TIMESTAMP) AS day, vals[k] AS cents,
+          CAST(floor(c * 1000000.0 + 0.5) AS BIGINT) AS cusum_micro
+        FROM r"""
     )
   }
 

@@ -183,6 +183,35 @@ object Multimodal {
         "longest_silence", "sum_energy")
   }
 
+  /** Shot/segment detection on the energy envelope: a boundary wherever
+    * consecutive frame energies jump by more than `threshold` (the
+    * classic hard-cut detector — on video frames the same rule fires on
+    * histogram/energy discontinuities; on audio it segments at dynamics
+    * changes). Shots are the islands between boundaries: the running
+    * boundary count IS the shot id, so one window pass and a two-level
+    * aggregate produce the per-asset profile — same single-scan,
+    * single-shuffle shape as [[silenceProfile]], exact integers
+    * throughout.
+    *
+    * @return per asset with ≥1 frame: (asset_id, n_frames, n_shots,
+    *         longest_shot)
+    */
+  def energyShots(assets: DataFrame, frameLen: Int,
+                  threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("asset_id").orderBy("frame_no")
+    audioFrameEnergies(assets, frameLen)
+      .withColumn("boundary",
+        when(abs(col("energy") - lag(col("energy"), 1).over(w))
+          > threshold, 1L).otherwise(0L))
+      .withColumn("shot", sum(col("boundary")).over(w))
+      .groupBy("asset_id", "shot").agg(count(lit(1)).as("len"))
+      .groupBy("asset_id")
+      .agg(sum(col("len")).as("n_frames"),
+        count(lit(1)).as("n_shots"),
+        max(col("len")).as("longest_shot"))
+  }
+
   /** STUB — resize plan shape: clamp declared dims to a bounding box
     * preserving aspect ratio and mark the codec. A real implementation
     * would transcode payload bytes; the metadata math, payload passthrough,

@@ -145,6 +145,45 @@ object Windows {
           (col("__z.__h.level") + col("__z.__h.trend")).as("forecast"))): _*)
   }
 
+  /** One-sided CUSUM drift statistic per key (Page 1954): the running
+    * `max(0, s + (x − μ_key − slack))` over the ordered series, where
+    * μ_key is the key's own mean — the change-point detector that pairs
+    * with [[graft.ops.Seasonal.decomposeDaily]]: seasonality explains
+    * the rhythm, CUSUM flags the level shift. `s > h` downstream is the
+    * alarm; the negative-side detector is this op over the negated
+    * series.
+    *
+    * Determinism: μ comes from an exact DECIMAL sum (order-independent)
+    * divided once in double; deviations and the scan are a fixed
+    * left-to-right IEEE sequence ([[graft.functions.expressions.CusumScan]]
+    * — the coupled max/add recurrence has no linear-time SQL fold).
+    * Callers quantize outputs (micro-units) for cross-engine hashing.
+    *
+    * @return keys ++ orderCols ++ (valueCol, cusum) — cusum RAW doubles
+    */
+  def cusum(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+            valueCol: String, slack: Double): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val grouped = df.groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(
+        struct(orderCols.map(col): _*).as("__o"),
+        col(valueCol).as("__v")))).as("__s"),
+        sum(col(valueCol).cast(dec)).as("__sum"),
+        count(col(valueCol)).as("__n"))
+    val mu = col("__sum").cast("double") / col("__n").cast("double")
+    val scanned = grouped.withColumn("__c",
+      graft.functions.expressions.CusumScan(
+        transform(col("__s"),
+          x => x.getField("__v").cast("double") - mu - lit(slack))))
+    scanned
+      .select((keys.map(col) :+
+        posexplode(arrays_zip(col("__s"), col("__c"))).as(Seq("__i", "__z"))): _*)
+      .select((keys.map(col) ++
+        orderCols.map(o => col(s"__z.__s.__o.$o").as(o)) ++
+        Seq(col("__z.__s.__v").as(valueCol),
+          col("__z.__c").as("cusum"))): _*)
+  }
+
   /** rank / dense_rank / row_number in one projection. */
   def ranked(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[Column]): DataFrame = {
     val w = ordered(partitionBy, orderBy)

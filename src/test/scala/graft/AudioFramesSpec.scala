@@ -75,6 +75,16 @@ class AudioFramesSpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("energyShots: boundaries at energy jumps, shots are the islands") {
+    // frames: x(256) x(256) SPACE(36864) SPACE x — jumps at 1→2 and 3→4
+    // with threshold 1000: shots [x,x], [SP,SP], [x] → 3 shots, longest 2
+    val rows = Seq(asset(1, "xx  x"), asset(2, "xxxx")).toDF("asset_id", "payload")
+    val got = Multimodal.energyShots(rows, frameLen = 4, threshold = 1000L)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 5L, 3L, 2L)))
+    assert(got(2L) == ((2L, 4L, 1L, 4L))) // constant energy: one shot
+  }
+
   test("frame rows: per-frame grain with positions, payload read once") {
     val rows = Seq(asset(1, "xL")).toDF("asset_id", "payload")
     val got = Multimodal.audioFrameEnergies(rows, 4)
