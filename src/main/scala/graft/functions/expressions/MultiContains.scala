@@ -76,9 +76,12 @@ case class MultiContains(child: Expression, patterns: Seq[String])
   * alphabet × nodes).
   */
 final class AhoCorasick(patterns: Array[String]) extends Serializable {
-  // trie: per-node transition map + the pattern indices ending here
-  private val next = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
-  private val ends = mutable.ArrayBuffer(List.empty[Int])
+  // trie: per-node transition map + the pattern indices ending here —
+  // construction scaffolding only (@transient: the walk reads the
+  // frozen arrays below, so the maps need not ship to executors)
+  @transient private val next =
+    mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
+  @transient private val ends = mutable.ArrayBuffer(List.empty[Int])
   for (pi <- patterns.indices) {
     var node = 0
     for (ch <- patterns(pi)) {
@@ -93,7 +96,7 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
   // BFS failure links; output lists merged down the links so a node's
   // `out` is EVERY pattern ending at this text position
   private val fail = Array.fill(next.size)(0)
-  private val out = Array.fill[List[Int]](next.size)(Nil)
+  @transient private val out = Array.fill[List[Int]](next.size)(Nil)
   locally {
     val queue = mutable.Queue.empty[Int]
     for ((_, c) <- next(0)) { queue += c; out(c) = ends(c) }
@@ -111,6 +114,21 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
   private val patternUtf8: Array[UTF8String] =
     patterns.map(UTF8String.fromString)
 
+  // the walk's transition tables FROZEN into sorted parallel arrays:
+  // the construction-time HashMaps cost an Option allocation and two
+  // probes PER CHARACTER on the hot path (review fix) — binary search
+  // over a char array allocates nothing
+  private val transKeys: Array[Array[Char]] =
+    next.map(m => m.keys.toArray.sorted).toArray
+  private val transVals: Array[Array[Int]] =
+    next.zip(transKeys).map { case (m, ks) => ks.map(m) }.toArray
+  private val outArr: Array[Array[Int]] = out.map(_.toArray)
+
+  @inline private def step(node: Int, ch: Char): Int = {
+    val idx = java.util.Arrays.binarySearch(transKeys(node), ch)
+    if (idx >= 0) transVals(node)(idx) else -1
+  }
+
   /** Distinct matched patterns in declaration order. */
   def hits(text: UTF8String): GenericArrayData = {
     val s = text.toString
@@ -121,12 +139,14 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
     val n = s.length
     while (i < n && nSeen < patternUtf8.length) {
       val ch = s.charAt(i)
-      while (node != 0 && !next(node).contains(ch)) node = fail(node)
-      node = next(node).getOrElse(ch, 0)
-      var hs = out(node)
-      while (hs.nonEmpty) {
-        if (!seen(hs.head)) { seen(hs.head) = true; nSeen += 1 }
-        hs = hs.tail
+      var nxt = step(node, ch)
+      while (node != 0 && nxt < 0) { node = fail(node); nxt = step(node, ch) }
+      node = if (nxt >= 0) nxt else 0
+      val hs = outArr(node)
+      var h = 0
+      while (h < hs.length) {
+        if (!seen(hs(h))) { seen(hs(h)) = true; nSeen += 1 }
+        h += 1
       }
       i += 1
     }

@@ -212,12 +212,15 @@ object Graph {
     // dropped in an earlier round can never decrement again (a node
     // drops at most once), and deltas land on the survivor frame, where
     // long-gone nodes simply don't join. Replaces two full-edge
-    // recount/filter passes per round with one broadcast-sized probe
-    // (bench at sf0.1: 25 s → 13 s → ~3 s across the three shapes).
+    // recount/filter passes per round with one bounded probe (measured
+    // at sf0.1: 25 s recount → 13 s shrinking-edge → ~6 s delta).
     // deg_r(v) is by construction the degree within round r−1's
     // survivor set — identical to the fixed-round recount semantics,
     // and an empty dropped set means every later round is a no-op, so
     // the early exit is bit-identical to running all `rounds`.
+    // localCheckpoint pins the edge set + per-round survivors in
+    // executor storage — on a cluster swap for checkpoint() against a
+    // fault-tolerant dir (the pageRank contract).
     val full = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))

@@ -190,17 +190,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"graft catalog: malformed partition ref $t")
       refs(0).fieldNames().head
     }.toSeq
-    val checks = constraints.toSeq.map {
+    val checks = constraints.toSeq.collect {
       case c: Check =>
         require(c.enforced(),
           s"graft catalog: NOT ENFORCED constraints are not supported ($c)")
         c.name() -> c.predicateSql()
+    }
+    // UNIQUE is accepted whatever Spark's enforced flag says — the
+    // layout's writer gates genuinely enforce it (Spark itself treats
+    // UNIQUE as informational, so the flag arrives false)
+    val uniques = constraints.toSeq.collect {
+      case u: org.apache.spark.sql.connector.catalog.constraints.Unique =>
+        u.name() -> u.columns().toSeq.map { r =>
+          require(r.fieldNames().length == 1,
+            s"graft catalog: nested-field UNIQUE column $r")
+          r.fieldNames().head
+        }
+    }
+    constraints.foreach {
+      case _: Check => ()
+      case _: org.apache.spark.sql.connector.catalog.constraints.Unique => ()
       case other => throw new IllegalArgumentException(
-        s"graft catalog: only CHECK constraints are supported, got $other")
+        s"graft catalog: only CHECK and UNIQUE constraints are " +
+          s"supported, got $other")
     }
     GraftDdl.GraftCreateTableCommand(n,
       Option(properties.get(TableCatalog.PROP_LOCATION)), schema, pcols,
-      checks, ignoreIfExists = false, query = None).run(spark)
+      checks, ignoreIfExists = false, query = None,
+      uniques = uniques).run(spark)
     val root = GraftPaths.resolve(spark, n)
     defaults.foreach { case (c, sql) =>
       Layout.setColumnDefault(spark, root, c, sql) }
@@ -256,14 +273,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         ac.constraint() match {
           case c: Check =>
             Layout.addCheckConstraint(spark, root, c.name(), c.predicateSql())
+          case u: org.apache.spark.sql.connector.catalog.constraints.Unique =>
+            Layout.addUniqueConstraint(spark, root, u.name(),
+              u.columns().toSeq.map { r =>
+                require(r.fieldNames().length == 1,
+                  s"graft catalog: nested-field UNIQUE column $r")
+                r.fieldNames().head
+              })
           case other => throw new IllegalArgumentException(
-            s"graft catalog: only CHECK constraints are supported, got $other")
+            s"graft catalog: only CHECK and UNIQUE constraints are " +
+              s"supported, got $other")
         }
       case dc: TableChange.DropConstraint =>
         require(dc.mode() != TableChange.DropConstraint.Mode.CASCADE,
           "graft catalog: DROP CONSTRAINT … CASCADE has no distinct " +
             "meaning — use the plain form")
-        if (!(dc.ifExists() && !Layout.hasCheckConstraint(spark, root, dc.name())))
+        // one namespace for both families, like the SQL statement
+        if (Layout.hasUniqueConstraint(spark, root, dc.name()))
+          Layout.dropUniqueConstraint(spark, root, dc.name())
+        else if (!(dc.ifExists() && !Layout.hasCheckConstraint(spark, root, dc.name())))
           Layout.dropCheckConstraint(spark, root, dc.name())
       case other => throw new IllegalArgumentException(
         s"graft catalog: unsupported ALTER TABLE change $other — the " +

@@ -20,13 +20,16 @@ class BenchFormatSpec extends AnyFunSuite {
     // registry order must survive into the JSON line (ADVICE r9: a .toMap
     // here once turned artifact diffs into hash-order noise)
     val keyOrder = results.map(_._1.takeWhile(_ != '_'))
-    // at 179 registered queries even 3-digit-ms values overflow the
-    // q-prefixed form, so the representation is whichever tier fits —
-    // follow it: q-prefixed keys, else the deterministic stripped form
+    // the representation is whichever tier fits — q-prefixed keys, the
+    // deterministic stripped form, or (from 200 registered queries even
+    // 3-digit-ms values overflow the stripped map) keep-slowest with a
+    // loud "dropped":n; whatever printed must be a registry-order
+    // SUBSEQUENCE and the tier accounting is asserted on `node` below
     val inLine = "\"(q\\d+)\":".r.findAllMatchIn(line).map(_.group(1)).toSeq
     val inLineStripped = "\"(\\d+)\":".r.findAllMatchIn(
       line.substring(line.indexOf("queries"))).map("q" + _.group(1)).toSeq
-    assert(inLine == keyOrder || inLineStripped == keyOrder,
+    val printed = if (inLine.nonEmpty) inLine else inLineStripped
+    assert(printed == keyOrder.filter(printed.toSet),
       "per-query keys must print in registry order")
     // margin vs the driver's tail capture: the r9 artifact proves the
     // window is EXACTLY 2000 chars and ends with this line + "\n" (the
@@ -43,8 +46,11 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(node.get("qunit").asText() == "ms")
     assert(math.abs(node.get("value").asDouble() - 0.1234 * results.size) < 1e-3)
     val qs = node.get("queries")
-    assert(qs.size() == SparkEntry.queries.size,
-      "qNN short keys must stay unique across the whole registry")
+    val droppedHere =
+      if (node.has("dropped")) node.get("dropped").asInt() else 0
+    assert(qs.size() + droppedHere == SparkEntry.queries.size,
+      "kept + dropped must account for every registered query " +
+        "(and qNN short keys must stay unique across the registry)")
     val it = qs.fieldNames()
     while (it.hasNext) {
       val k = it.next()

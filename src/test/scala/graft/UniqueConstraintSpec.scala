@@ -171,4 +171,25 @@ class UniqueConstraintSpec extends SparkSpec {
         s"PRIMARY KEY (id)") }
     assert(e2.getMessage.contains("only CHECK and UNIQUE"))
   }
+
+  test("catalog mode: inline UNIQUE at CREATE, ALTER ADD/DROP, gates fire") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    s2.conf.set("spark.graft.warehouse",
+      Files.createTempDirectory("graft_uniq_cat_wh").toString)
+    s2.sql("CREATE TABLE graft.uq_cat (id BIGINT, v BIGINT, part STRING, " +
+      "CONSTRAINT pk UNIQUE (id)) PARTITIONED BY (part)")
+    s2.sql("INSERT INTO graft.uq_cat VALUES (1, 10, 'a'), (2, 20, 'b')")
+    val e = intercept[Exception] {
+      s2.sql("INSERT INTO graft.uq_cat VALUES (1, 99, 'a')") }
+    assert(e.getMessage.contains("UNIQUE") ||
+      e.getCause != null && e.getCause.getMessage.contains("UNIQUE"))
+    s2.sql("ALTER TABLE graft.uq_cat ADD CONSTRAINT uv UNIQUE (v)")
+    intercept[Exception] {
+      s2.sql("INSERT INTO graft.uq_cat VALUES (3, 10, 'a')") }
+    s2.sql("ALTER TABLE graft.uq_cat DROP CONSTRAINT uv")
+    s2.sql("INSERT INTO graft.uq_cat VALUES (3, 10, 'a')")
+    assert(s2.sql("SELECT count(*) FROM graft.uq_cat").head().getLong(0) == 3L)
+    s2.sql("DROP TABLE graft.uq_cat")
+  }
 }
