@@ -625,7 +625,18 @@ object GraftDdl {
       val cols =
         (graft.sources.ManifestIndex.activeSchema(man.dataSchema) ++
           man.partitionSchema)
-          .map(f => s"  ${f.name} ${f.dataType.sql}")
+          .map { f =>
+            // column markers re-emit as real DDL so the statement
+            // round-trips the table's writer-enforced state
+            val markers =
+              (if (man.notNullCols.contains(f.name)) " NOT NULL" else "") +
+              man.defaults.get(f.name).map(d => s" DEFAULT $d").getOrElse("") +
+              (if (man.identity.exists(_._1 == f.name))
+                " GENERATED ALWAYS AS IDENTITY" else "") +
+              man.generatedCols.get(f.name)
+                .map(g => s" GENERATED ALWAYS AS ($g)").getOrElse("")
+            s"  ${f.name} ${f.dataType.sql}$markers"
+          }
       val checks = man.constraints.toSeq.sortBy(_._1)
         .map { case (n, sql) => s"  CONSTRAINT $n CHECK ($sql)" } ++
         man.uniqueConstraints.toSeq.sortBy(_._1)

@@ -98,6 +98,20 @@ class GeneratedColumnSpec extends SparkSpec {
       Layout.dropGeneratedColumn(spark, root, "g") }
   }
 
+  test("SHOW CREATE re-emits column markers as real DDL") {
+    val root = freshTable()
+    Layout.setGeneratedColumn(spark, root, "g", "v * 2 + 1")
+    Layout.setNotNull(spark, root, "v")
+    Layout.setColumnDefault(spark, root, "id", "0")
+    spark.conf.set("spark.graft.warehouse",
+      Files.createTempDirectory("graft_gen_show_wh").toString)
+    val stmt = spark.sql(s"SHOW CREATE TABLE graft.`$root`")
+      .head().getString(0)
+    assert(stmt.contains("g BIGINT GENERATED ALWAYS AS (v * 2 + 1)"), stmt)
+    assert(stmt.contains("v BIGINT NOT NULL"), stmt)
+    assert(stmt.contains("id BIGINT DEFAULT 0"), stmt)
+  }
+
   test("rename/drop guards: the generated column and its references") {
     val root = freshTable()
     Layout.setGeneratedColumn(spark, root, "g", "v * 2 + 1")
