@@ -2209,6 +2209,15 @@ object Layout {
       .select(expr(exprSql).cast(colType).as("v"))
     require(probe.queryExecution.analyzed.expressions.forall(_.deterministic),
       s"setGeneratedColumn: expression must be deterministic: $exprSql")
+    // a scalar subquery RESOLVES (the session catalog is in scope) and
+    // reports deterministic, but generation would then depend on ANOTHER
+    // table's current state — the writer probe would start refusing
+    // every write the moment that table changes (review fix: refuse the
+    // declaration, not some later insert)
+    require(!probe.queryExecution.analyzed.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])),
+      s"setGeneratedColumn: expression must not contain a subquery — " +
+        s"generation is a pure function of the row's own columns: $exprSql")
     probe.collect()
     // existing rows must already satisfy the invariant the writers will
     // enforce from now on

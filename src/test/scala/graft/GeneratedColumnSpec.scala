@@ -37,6 +37,13 @@ class GeneratedColumnSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException] {
       Layout.setGeneratedColumn(spark, root, "g", "CAST(rand() * 10 AS BIGINT)") }
     assert(e2.getMessage.contains("deterministic"))
+    // a scalar subquery resolves and reports deterministic, but would
+    // couple generation to ANOTHER table's state — refused at declaration
+    spark.range(3).createOrReplaceTempView("gen_other_t")
+    val eSub = intercept[IllegalArgumentException] {
+      Layout.setGeneratedColumn(spark, root, "g",
+        "(SELECT max(id) FROM gen_other_t)") }
+    assert(eSub.getMessage.contains("subquery"))
     // existing data must satisfy the invariant: g = 2v+1 holds, g = v does not
     val e3 = intercept[IllegalArgumentException] {
       Layout.setGeneratedColumn(spark, root, "g", "v") }
