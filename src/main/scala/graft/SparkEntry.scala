@@ -2899,7 +2899,14 @@ object SparkEntry {
           col("cents"),
           floor(col("cusum") * lit(1000000.0) + lit(0.5)).cast("long")
             .as("cusum_micro"))
-    })
+    }),
+
+    // --- burstiness / Fano factor (r14): the bot-and-scraper screen —
+    //     variance/mean of each user's daily event counts, exact
+    //     integer moments, one double division, micro-quantized ---
+    "q201_burstiness" -> ((s, dir) =>
+      Frequency.burstiness(Tables.events(s, dir), Seq("user_id"),
+        to_date(col("ts"))))
   )
 
   /** q196's screen list — shared by the registration and the oracle;
@@ -5823,7 +5830,19 @@ object SparkEntry {
           FROM r WHERE k < len(vals))
         SELECT pri, CAST(ds[k] AS TIMESTAMP) AS day, vals[k] AS cents,
           CAST(floor(c * 1000000.0 + 0.5) AS BIGINT) AS cusum_micro
-        FROM r"""
+        FROM r""",
+
+      // exact integer moments (n·Q − S², n·S), one double division
+      "q201_burstiness" -> """
+        WITH c AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS b,
+            CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_buckets,
+          CAST(sum(c) AS BIGINT) AS n_events,
+          CAST(floor(CAST(count(*) * sum(c*c) - sum(c) * sum(c) AS DOUBLE)
+            * 1000000.0 / CAST(count(*) * sum(c) AS DOUBLE) + 0.5) AS BIGINT)
+            AS fano_micro
+        FROM c GROUP BY 1"""
     )
   }
 

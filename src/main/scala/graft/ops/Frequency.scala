@@ -44,6 +44,42 @@ object Frequency {
     * [[heavyHittersSketched]], whose state is O(capacity) regardless of
     * cardinality and whose output is still exact.
     */
+  /** Burstiness (Fano factor) of per-key activity over calendar buckets:
+    * `variance / mean` of the key's per-bucket counts — the dispersion
+    * diagnostic that separates steady activity (≈1, Poisson-like) from
+    * bursts (≫1) and metronomes (≈0); the classic bot/scraper screen on
+    * an event log, and a data-quality probe on ingest volume.
+    *
+    * Exact integer core: per-bucket counts, then n·Q − S² and n·S
+    * (n = buckets, S = Σc, Q = Σc²) stay in longs, so the Fano factor
+    * is a single double division of two exact operands — emitted as
+    * `floor(x·1e6 + 0.5)` micro-units, hash-stable across engines.
+    * Keys seen in exactly one bucket have zero variance by construction
+    * (fano 0), never a division hazard (S ≥ 1 whenever the key exists).
+    *
+    * Scale shape: two map-side-combinable aggregations (events → bucket
+    * counts → key moments); nothing else.
+    *
+    * @param bucket the calendar bucket column (e.g. `to_date(ts)`)
+    * @return (keys…, n_buckets, n_events, fano_micro)
+    */
+  def burstiness(df: DataFrame, keys: Seq[String],
+                 bucket: Column): DataFrame = {
+    val counts = df.groupBy((keys.map(col) :+ bucket.as("__b")): _*)
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("__c")).as("__s"),
+        sum(col("__c") * col("__c")).as("__q"))
+      .select((keys.map(col) ++ Seq(
+        col("n_buckets"),
+        col("__s").as("n_events"),
+        floor((col("n_buckets") * col("__q") - col("__s") * col("__s"))
+            .cast("double") * lit(1000000.0) /
+            (col("n_buckets") * col("__s")).cast("double") + lit(0.5))
+          .cast("long").as("fano_micro"))): _*)
+  }
+
   def heavyHitters(df: DataFrame, itemCol: Column, k: Int): DataFrame = {
     require(k >= 2, s"heavyHitters: k must be >= 2, got $k")
     df.select(itemCol.as("item")).filter(col("item").isNotNull)

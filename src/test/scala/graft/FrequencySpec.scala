@@ -166,4 +166,21 @@ class FrequencySpec extends SparkSpec {
       .select(explode(col("s")).as("e")).count()
     assert(hashed > 0)
   }
+
+  test("burstiness: metronome ≈ 0, Poisson-ish ≈ 1, bursts ≫ 1") {
+    import java.sql.Date
+    def day(i: Int) = Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    // metronome: exactly 3/day for 10 days → variance 0 → fano 0
+    val metro = (0 until 10).flatMap(i => Seq.fill(3)(("m", day(i))))
+    // burst: 20 events on one day, 1 on each of 9 others
+    val burst = Seq.fill(20)(("b", day(0))) ++ (1 until 10).map(i => ("b", day(i)))
+    val got = Frequency.burstiness(
+        (metro ++ burst).toDF("user_id", "d"), Seq("user_id"), col("d"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("m") == (("m", 10L, 30L, 0L)))
+    // burst moments: n=10, S=29, Q=409 → fano = (10·409 − 841)/(10·29)
+    val want = math.floor((10.0 * 409 - 841) * 1e6 / 290.0 + 0.5).toLong
+    assert(got("b") == (("b", 10L, 29L, want)))
+    assert(got("b")._4 > 1000000L) // ≫ 1 in micro units
+  }
 }

@@ -447,4 +447,22 @@ class PlanSpec extends SparkSpec {
       "the size() column must reuse the hits array, not re-walk the text")
     assert(!pl.contains("Exchange"), "screening must not shuffle")
   }
+
+  test("q200: CUSUM is the native scan; two aggregation shuffles, no join (r14)") {
+    val pl = plan("q200_cusum_drift")
+    assert(pl.contains("cusum_scan"), pl.take(1200))
+    // daily rollup on (pri, d) + the per-pri series collect — a third
+    // exchange would be a stray repartition; the mean rides the SAME
+    // collect aggregate (no separate mu join)
+    assert(countOf(pl, "Exchange hashpartitioning") == 2, pl.take(1200))
+    assert(!pl.contains("Join"), pl.take(800))
+  }
+
+  test("q201: burstiness is two partial-agg shuffles and nothing else (r14)") {
+    val pl = plan("q201_burstiness")
+    // (user, day) counts then per-user moments — each map-side combined
+    assert(countOf(pl, "Exchange hashpartitioning") == 2, pl.take(1200))
+    assert(countOf(pl, "partial_") >= 2, pl.take(1200))
+    assert(!pl.contains("Join"), pl.take(800))
+  }
 }
