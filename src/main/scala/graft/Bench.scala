@@ -90,7 +90,20 @@ object Bench {
           BenchSample(if (ok) t else -1.0, if (ok) setup else 0.0,
             at, loadBefore, loadavg())
         }
-        val runs = Seq(once(), once(), once())
+        val base = Seq(once(), once(), once())
+        // Adaptive widening (r13 post-mortem: q95's "regression" was pure
+        // machine contention — 1.92/4.97/3.54 under load 4.4–4.6): when
+        // the three samples spread past 2× on a non-trivial query, take
+        // two more and report min-of-5, so a single quiet run can rescue
+        // the min and round-over-round comparisons stay trustworthy.
+        // The 0.5 s floor keeps sub-second queries (where JIT/page-cache
+        // jitter legitimately doubles tiny numbers) from paying 2 extra
+        // runs for noise that cannot move the suite total.
+        val secs = base.map(_.sec).filter(_ >= 0)
+        val runs =
+          if (secs.nonEmpty && secs.min > 0.5 && secs.max / secs.min > 2.0)
+            base ++ Seq(once(), once())
+          else base
         samples(name) = (idx, runs)
         name -> runs.map(_.sec).min
       }.toSeq

@@ -384,9 +384,12 @@ object SparkEntry {
           octet_length(col("payload")).cast("long").as("n_bytes")), "asset_id")
     }),
 
-    // --- approximate aggregates (rows-only: HLL is engine-specific) ---
+    // --- approximate distinct counts (r14 flip: HLL → KMV so the oracle
+    //     can hash-check it; k=128 — a tighter estimate than q188's
+    //     k=64, exercising the high-precision end of the sketch) ---
     "q42_approx_distinct" -> ((s, dir) =>
-      Aggregates.approxDistinct(Tables.events(s, dir), Seq("event_type"), "user_id")),
+      Aggregates.kmvDistinct(Tables.events(s, dir), Seq("event_type"),
+        "user_id", k = 128)),
 
     // --- exact percentiles (A-ext) ---
     "q43_percentile" -> ((s, dir) =>
@@ -1426,17 +1429,20 @@ object SparkEntry {
       Sampling.weightedSamplePerKey(Tables.documents(s, dir),
         col("lang"), col("doc_id"), col("n_chars"), n = 5)),
 
-    // --- HLL sketch rollup (distinct counts that re-aggregate) ---
-    // Build per-(event_type, day) sketches in ONE scan, then roll up to
-    // event_type by unioning sketches — never rescanning events. Like
-    // q42, estimates aren't SQL-hash-oracle-able (rows-only by contract);
-    // SketchesSpec differential-tests them against exact distincts.
+    // --- sketch rollup (distinct counts that re-aggregate; r14 flip:
+    //     HLL → KMV so the oracle can hash-check it). Build per-
+    //     (event_type, day) leaf sketches in ONE scan, then fold them up
+    //     to DAY (the orthogonal axis to q189's event_type rollup) —
+    //     never rescanning events. The KMV merge property makes the
+    //     merged estimate EXACTLY the direct per-day sketch, which is
+    //     what the oracle computes — equality IS the merge check. ---
     "q135_distinct_rollup" -> ((s, dir) => {
-      val daily = Sketches.distinctSketches(
-        Tables.events(s, dir).withColumn("day", to_date(col("ts"))),
-        Seq("event_type", "day"), col("user_id"))
-      Sketches.rollupDistinct(daily, Seq("event_type"))
-        .select(col("event_type"), col("n_distinct_est"))
+      val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+      Aggregates.kmvMergeEstimate(
+        Aggregates.kmvSketches(ev, Seq("event_type", "day"), "user_id", 64),
+        Seq("day"), 64)
+        // DATE → TIMESTAMP for the driver compare (the q80 convention)
+        .withColumn("day", col("day").cast("timestamp"))
     }),
 
     // --- MACD: recursive indicator stack on the exact EMA fold ---
@@ -2842,8 +2848,13 @@ object SparkEntry {
     //     failure links the oracle's per-pattern contains cannot get wrong ---
     "q196_blocklist_screen" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
-          TF.blocklistHits(col("text"), BlocklistPatterns).as("hits"))
-        .withColumn("n_hits", size(col("hits")).cast("long"))),
+          // joined to one scalar string: the driver's row-sort/hash can
+          // only key on scalar columns (array<string> broke the r13 run)
+          array_join(TF.blocklistHits(col("text"), BlocklistPatterns), ",")
+            .as("hits"))
+        .withColumn("n_hits",
+          when(col("hits") === "", lit(0L))
+            .otherwise(size(split(col("hits"), ",")).cast("long")))),
 
     // --- seasonal decomposition (r14): trend / day-of-week / residual
     //     over per-priority daily revenue — the ingest-anomaly split
@@ -2906,7 +2917,40 @@ object SparkEntry {
     //     integer moments, one double division, micro-quantized ---
     "q201_burstiness" -> ((s, dir) =>
       Frequency.burstiness(Tables.events(s, dir), Seq("user_id"),
-        to_date(col("ts"))))
+        to_date(col("ts")))),
+
+    // --- catalog-NATIVE row-level MERGE (r15): q164's exact algebra, but
+    //     the target is a catalog table and the statement lowers from the
+    //     RESOLVED plan (GraftDmlResolved) — Spark's own resolution binds
+    //     the clauses, the post-hoc rule lowers onto the same keyed
+    //     merge-on-read writer. Same oracle as q164 ---
+    "q202_catalog_merge" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+      s.conf.set("spark.graft.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_q202_wh").toString)
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"), col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      base.createOrReplaceTempView("q202_base")
+      s.sql("CREATE TABLE graft.cat202 (id BIGINT, v BIGINT, pri STRING) " +
+        "PARTITIONED BY (pri)")
+      s.sql("INSERT INTO graft.cat202 SELECT id, v, pri FROM q202_base")
+      base.filter(col("id") % 5 === 0)
+        .withColumn("v", col("v") +
+          when(col("id") % 2 === 0, 500L).otherwise(-500L))
+        .unionByName(base.filter(col("id") % 9 === 0)
+          .withColumn("id", -(col("id") + 1L)))
+        .createOrReplaceTempView("q202_src")
+      s.sql("""
+        MERGE INTO graft.cat202 AS t USING q202_src AS src
+        ON t.id = src.id
+        WHEN MATCHED AND t.id % 10 = 0 THEN DELETE
+        WHEN MATCHED AND src.v > t.v THEN UPDATE SET v = src.v
+        WHEN NOT MATCHED AND src.v % 2 = 0 THEN INSERT *""")
+      s.sql("SELECT pri, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "sum(v) AS sum_v FROM graft.cat202 GROUP BY pri")
+    })
   )
 
   /** q196's screen list — shared by the registration and the oracle;
@@ -3245,6 +3289,14 @@ object SparkEntry {
         FROM v a JOIN v b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.e, b.e) /
             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4""",
+
+      // r14 flip: KMV (k=128) replaces HLL — deterministic, hash-checkable
+      "q42_approx_distinct" -> duckKmv("event_type", "event_type", 128),
+
+      // r14 flip: day-axis KMV rollup; the engine merges (event_type, day)
+      // leaves up to day — the merge property makes that the direct form
+      "q135_distinct_rollup" ->
+        duckKmv("CAST(CAST(ts AS DATE) AS TIMESTAMP)", "day", 64),
 
       "q43_percentile" -> """
         SELECT l_returnflag,
@@ -5127,22 +5179,10 @@ object SparkEntry {
 
       // identical algebra to q159 — the SQL statement must land exactly
       // where the Scala API call does
-      "q164_sql_merge" -> """
-        WITH base AS (SELECT o_orderkey AS id, o_orderpriority AS pri,
-            CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
-        m AS (SELECT id, v + CASE WHEN id % 2 = 0 THEN 500 ELSE -500 END AS sv
-          FROM base WHERE id % 5 = 0),
-        survivors AS (SELECT b.pri,
-            CASE WHEN m.id IS NOT NULL AND b.id % 10 <> 0 AND m.sv > b.v
-              THEN m.sv ELSE b.v END AS v
-          FROM base b LEFT JOIN m ON b.id = m.id
-          WHERE m.id IS NULL OR b.id % 10 <> 0),
-        inserted AS (SELECT pri, v FROM base WHERE id % 9 = 0 AND v % 2 = 0),
-        final AS (SELECT pri, v FROM survivors
-          UNION ALL SELECT pri, v FROM inserted)
-        SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
-          CAST(sum(v) AS BIGINT) AS sum_v
-        FROM final GROUP BY 1""",
+      "q164_sql_merge" -> mergeAlgebraOracle,
+
+      // the catalog-native resolved lowering must land on the SAME algebra
+      "q202_catalog_merge" -> mergeAlgebraOracle,
 
       "q165_sql_update_delete" -> s"""
         WITH u AS (SELECT l_returnflag,
@@ -5718,9 +5758,10 @@ object SparkEntry {
         val arr = BlocklistPatterns.map(p => s"'$p'").mkString("[", ", ", "]")
         s"""
         WITH h AS (SELECT doc_id,
-            list_filter($arr, p -> contains(text, p)) AS hits
+            list_filter($arr, p -> contains(text, p)) AS hit_list
           FROM documents)
-        SELECT doc_id, hits, CAST(len(hits) AS BIGINT) AS n_hits FROM h"""
+        SELECT doc_id, coalesce(array_to_string(hit_list, ','), '') AS hits,
+          CAST(len(hit_list) AS BIGINT) AS n_hits FROM h"""
       },
 
       // exact-integer core (sum7, 7x−sum7 deviations), three fixed-order
@@ -5944,23 +5985,49 @@ object SparkEntry {
       s"(CASE WHEN list_dot_product(e, $plane) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
-  /** The direct KMV estimate both q188 and q189 replay (q189's engine
-    * side computes it VIA leaf-sketch merge — equality IS the merge-
-    * property check). NULLs excluded on both sides: the engine's sketch
+  /** The keyed-merge outcome q164 (parse-time lowering, path target) and
+    * q202 (catalog-native resolved lowering, named table) both replay —
+    * delete id%10, update on src.v > v, insert even fresh keys.
+    */
+  private def mergeAlgebraOracle: String = """
+        WITH base AS (SELECT o_orderkey AS id, o_orderpriority AS pri,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        m AS (SELECT id, v + CASE WHEN id % 2 = 0 THEN 500 ELSE -500 END AS sv
+          FROM base WHERE id % 5 = 0),
+        survivors AS (SELECT b.pri,
+            CASE WHEN m.id IS NOT NULL AND b.id % 10 <> 0 AND m.sv > b.v
+              THEN m.sv ELSE b.v END AS v
+          FROM base b LEFT JOIN m ON b.id = m.id
+          WHERE m.id IS NULL OR b.id % 10 <> 0),
+        inserted AS (SELECT pri, v FROM base WHERE id % 9 = 0 AND v % 2 = 0),
+        final AS (SELECT pri, v FROM survivors
+          UNION ALL SELECT pri, v FROM inserted)
+        SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(v) AS BIGINT) AS sum_v
+        FROM final GROUP BY 1"""
+
+  /** The direct KMV estimate the whole sketch family replays — q188/q189
+    * (event_type, k=64), q42 (event_type, k=128), q135 (day, k=64, via
+    * leaf merge). The merged engine paths (q189/q135) compute it VIA
+    * leaf-sketch fold — equality with the direct form IS the merge-
+    * property check. NULLs excluded on both sides: the engine's sketch
     * skips null hashes (count-DISTINCT semantics).
     */
-  private def duckKmvDirect: String = s"""
-        WITH h AS (SELECT DISTINCT event_type,
+  private def duckKmv(groupSql: String, groupAlias: String, k: Int): String =
+    s"""
+        WITH h AS (SELECT DISTINCT $groupSql AS $groupAlias,
             (${duckPolyHash("CAST(user_id AS VARCHAR)")} *
               ${Aggregates.KmvPerm._1} + ${Aggregates.KmvPerm._2})
               % 1000000007 AS ph FROM events WHERE user_id IS NOT NULL),
-        s AS (SELECT event_type, list_sort(list(ph)) AS ls,
+        s AS (SELECT $groupAlias, list_sort(list(ph)) AS ls,
             CAST(count(*) AS BIGINT) AS nd FROM h GROUP BY 1)
-        SELECT event_type,
-          CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
-               ELSE round(63.0 * 1000000007 / greatest(ls[64], 1), 4)
+        SELECT $groupAlias,
+          CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
+               ELSE round(${k - 1}.0 * 1000000007 / greatest(ls[$k], 1), 4)
           END AS n_distinct_est
         FROM s"""
+
+  private def duckKmvDirect: String = duckKmv("event_type", "event_type", 64)
 
   /** DuckDB expression computing [[graft.functions.TextFunctions.polyHash]]
     * bit-exactly: the same per-character `h*31 + codepoint (mod P)` fold.

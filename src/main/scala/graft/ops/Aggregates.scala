@@ -36,7 +36,7 @@ object Aggregates {
     df.groupBy(keys.map(col): _*)
       .agg(approx_count_distinct(col(of), rsd).as("approx_distinct"))
 
-  /** A18: K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002)
+  /** A25 (SURVEY §2.18): K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002)
     * on the PORTABLE hash — the oracle-checkable sibling of
     * [[approxDistinct]] (whose HLL bytes are engine-internal): keep the k
     * smallest distinct hash values per group; with hashes ~uniform on

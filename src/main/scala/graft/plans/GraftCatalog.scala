@@ -452,6 +452,14 @@ case class GraftTable(ident: String, root: String,
     }
 
   override def capabilities(): util.Set[TableCapability] =
+    // NO AUTOMATIC_SCHEMA_EVOLUTION: Spark's ResolveMergeIntoSchemaEvolution
+    // expands star actions POSITIONALLY against a table schema it assumes
+    // appends new columns at the END — graft appends data columns BEFORE
+    // the partition columns, so the transition pass mis-wires assignments
+    // (measured: `part ← cast(part as double)` on a PARTITIONED BY (part)
+    // table). Evolution merges lower at parse time instead
+    // (GraftSqlParser), where GraftMergeCommand's own skip-if-present
+    // evolution is partition-layout-aware.
     Set(TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 

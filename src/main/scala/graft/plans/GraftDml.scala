@@ -90,6 +90,14 @@ object GraftDml {
       spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.getOption(s"spark.sql.catalog.$Namespace").isDefined
 
+  /** Whether catalog-mode DML lowers from the RESOLVED plan (the
+    * catalog-native path, [[GraftDmlResolved]]) instead of at parse time.
+    */
+  private[plans] def resolvedDmlLowering(
+      spark: org.apache.spark.sql.SparkSession): Boolean =
+    catalogMode(spark) &&
+      spark.conf.get("spark.graft.catalogDml.resolved", "true") == "true"
+
   /** Under `USE graft`, a DML statement's BARE target name (`DELETE FROM
     * orders`) means the graft table — but the parse-time lowering keys on
     * the 2-part `graft.x` shape, so qualify the TARGET with the current

@@ -40,6 +40,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // contract and the V2WriteCommand target protection. Inert when the
     // catalog is not registered (no GraftTable relations exist then).
     ext.injectResolutionRule(session => GraftV2Read.GraftV2ReadRule(session))
+    // CATALOG-mode row-level DML (MERGE/UPDATE/DELETE on graft.x): lowers
+    // from the fully RESOLVED plan in the post-hoc batch — after Spark's
+    // scoping/star-expansion/schema-evolution, before CheckAnalysis
+    // rejects the scanless v2 relation. See GraftDmlResolved; the
+    // parse-time capture remains the non-catalog path (and the
+    // spark.graft.catalogDml.resolved=false escape hatch).
+    ext.injectPostHocResolutionRule(session =>
+      GraftDmlResolved.GraftDmlResolvedRule(session))
     // SQL table-lifecycle DDL (CREATE/DROP TABLE, ALTER TABLE …) lowers
     // at PARSE time inside the delegating parser (ResolveSessionCatalog
     // would claim the identifiers before a resolution rule could — see

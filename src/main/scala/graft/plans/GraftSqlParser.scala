@@ -41,10 +41,26 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         // catalog would resolve the target — and with it the condition
         // attrs — in the same fixed-point batch a resolution rule runs
         // in). Same GraftDmlRule machinery as the non-catalog path.
+        // resolved-mode carve-out: `MERGE … WITH SCHEMA EVOLUTION` always
+        // lowers at parse time — GraftMergeCommand's skip-if-present
+        // evolution is partition-layout-aware, where Spark's own
+        // ResolveMergeIntoSchemaEvolution mis-expands star actions against
+        // graft's data-before-partition column order (see
+        // GraftCatalog.capabilities)
+        def parseTimeDml(p: org.apache.spark.sql.catalyst.plans.logical
+            .LogicalPlan): Boolean = p match {
+          case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+            !GraftDml.resolvedDmlLowering(session) || m.withSchemaEvolution
+          case _: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable |
+               _: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
+            !GraftDml.resolvedDmlLowering(session)
+          case _ => false
+        }
         plan match {
           case _: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable |
                _: org.apache.spark.sql.catalyst.plans.logical.UpdateTable |
-               _: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+               _: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+              if parseTimeDml(plan) =>
             // `USE graft` makes a bare target name a graft table — the
             // rule keys on the 2-part shape, so qualify it first
             // (temp-view-shadowed names excluded; see qualifyBareTarget)

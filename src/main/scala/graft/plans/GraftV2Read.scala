@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, Project, SubqueryAlias, V2WriteCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -48,6 +48,16 @@ object GraftV2Read {
         // GraftRead.GraftReadRule's target protection)
         case i: InsertIntoStatement =>
           targetRelOf(i.table).foreach(protectedRels.add)
+        // row-level DML targets stay v2 relations so (a) the post-hoc
+        // resolved lowering (GraftDmlResolved) can read the GraftTable's
+        // root + output exprIds off the relation, and (b) Spark's own
+        // ResolveMergeIntoSchemaEvolution sees a v2 relation to evolve
+        // through the catalog. Conditions/assignments resolve against the
+        // relation's output identically either way.
+        case d: DeleteFromTable => targetRelOf(d.table).foreach(protectedRels.add)
+        case u: UpdateTable => targetRelOf(u.table).foreach(protectedRels.add)
+        case m: MergeIntoTable =>
+          targetRelOf(m.targetTable).foreach(protectedRels.add)
         case _ =>
       }
       plan.resolveOperatorsUp {

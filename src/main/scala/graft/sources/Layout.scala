@@ -755,6 +755,16 @@ object Layout {
                             pcols: Seq[String]): String =
     initVersionedManifest(df, root, pcols, Nil)
 
+  /** Declare WRITE-TIME clustering for every future image-appending write
+    * on this root (append, replace, upsert, merge) — the standing-order
+    * form of the per-call `zOrderCols` argument, so hot upserted/merged
+    * tables never decluster between OPTIMIZE passes. Validates loudly
+    * (active numeric data columns only). See [[ManifestIndex.setClusterColumns]].
+    */
+  def declareClustering(spark: SparkSession, root: String,
+                        cols: Seq[String]): Unit =
+    ManifestIndex.setClusterColumns(spark, root, cols)
+
   /** Variant declaring per-file BLOOM-FILTER columns from version 0 on
     * (see [[ManifestIndex.setBloomColumns]]): point lookups (`id = X`)
     * on high-cardinality columns skip files min/max envelopes can't.
@@ -1144,8 +1154,14 @@ object Layout {
       // images first with Overwrite (a stale partial dir from a crashed
       // claimer is wiped, not inventoried), sidecar into it afterwards —
       // same ordering as updateVersionedRows. The writer emits PHYSICAL
-      // names so new footers agree with old ones across renames.
-      ManifestIndex.toPhysical(updates, man.dataSchema)
+      // names so new footers agree with old ones across renames. DECLARED
+      // clustering (S80) places the appended image like every other write
+      // front — without this, hot upserted tables decluster until OPTIMIZE.
+      val zCols = ManifestIndex.clusterColumns(spark, root)
+      val placedUpdates =
+        if (zCols.isEmpty) updates
+        else clusterForWrite(updates, pcols, zCols, "upsertVersionedRows")
+      ManifestIndex.toPhysical(placedUpdates, man.dataSchema)
         .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
       val carried = rowLevelPlan(spark, root, man, matched) match {
         case None => man.entries
@@ -1280,10 +1296,16 @@ object Layout {
       if (!empty) {
         // write-time clustering happens on the LOGICAL frame (zOrderCols
         // are logical names; toPhysical is a narrow projection, so the
-        // range partitioning and in-partition order survive it)
+        // range partitioning and in-partition order survive it). An
+        // explicit argument wins; otherwise the table's DECLARED
+        // clustering (ManifestIndex.ClusterFile, S80) applies — one
+        // sidecar existence check per commit.
+        val zCols =
+          if (zOrderCols.nonEmpty) zOrderCols
+          else ManifestIndex.clusterColumns(spark, root)
         val placed =
-          if (zOrderCols.isEmpty) rows
-          else clusterForWrite(rows, pcols, zOrderCols, what)
+          if (zCols.isEmpty) rows
+          else clusterForWrite(rows, pcols, zCols, what)
         ManifestIndex.toPhysical(placed, man.dataSchema)
           .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
       }
@@ -1550,10 +1572,18 @@ object Layout {
               if (haveImages)
                 requireConstraints(images.get, man.writerChecks, "merged rows")
               val (next, nextPath) = nextVersion(spark, root, cur)
-              if (haveImages)
-                ManifestIndex.toPhysical(images.get, man.dataSchema)
+              if (haveImages) {
+                // DECLARED clustering (S80) on the merge's appended image
+                // — update + insert images land z-placed like appends do
+                val zCols = ManifestIndex.clusterColumns(spark, root)
+                val placedImages =
+                  if (zCols.isEmpty) images.get
+                  else clusterForWrite(images.get, pcols, zCols,
+                    "mergeIntoVersionedRows")
+                ManifestIndex.toPhysical(placedImages, man.dataSchema)
                   .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*)
                   .parquet(nextPath)
+              }
               val carried = plan match {
                 case Some((counts, allPos)) =>
                   writeDvSidecar(spark, man, counts, allPos, next, nextPath)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Bound
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.functions.{broadcast, col, collect_set, count, length, lit, max, min, pmod, shiftrightunsigned, unix_date, unix_micros, when, xxhash64}
+import org.apache.spark.sql.functions.{broadcast, col, collect_set, count, hll_sketch_agg, length, lit, max, min, pmod, shiftrightunsigned, unix_date, unix_micros, when, xxhash64}
 import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType, StringType, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.json4s.{JInt, JLong, JObject, JString, JValue}
@@ -101,7 +101,8 @@ object ManifestIndex {
     * match files whose bloom holds X's bits.
     */
   case class ColStats(min: Option[String], max: Option[String], nulls: Long,
-                      bloom: Option[BloomStat] = None)
+                      bloom: Option[BloomStat] = None,
+                      ndv: Option[String] = None)
 
   /** Per-file Bloom filter: `bits` = base64 of an m-bit bitset (m =
     * decoded-length × 8), `k` = hash count. Positions are derived
@@ -112,6 +113,16 @@ object ManifestIndex {
     * file); a missing bit cannot (the value was never inserted → prune).
     */
   case class BloomStat(k: Int, bits: String)
+
+  /** Per-file NDV sketch width: DataSketches HLL at lgK=8 (256 buckets,
+    * ~6.5% relative error) — a compact sketch is ≲200 B base64 per
+    * (file, column), the same storage class as the bloom bits, and
+    * MERGEABLE: [[planStatsTable]] unions the per-file sketches across
+    * kept entries driver-side, so the TABLE-level `distinctCount` the CBO
+    * sees is the estimate over the union (per-file NDVs would double-count
+    * keys repeated across files).
+    */
+  private[sources] val NdvLgK = 8
 
   case class FileStats(rows: Long, cols: Map[String, ColStats])
 
@@ -461,6 +472,61 @@ object ManifestIndex {
     text.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
   }
 
+  /** Declared write-time clustering (S80) — the sidecar twin of
+    * [[BloomFile]]: once declared, EVERY image-appending write (append,
+    * replace, upsert, merge) range-places its fresh batch on the z-value
+    * of these columns before landing, so per-file min/max envelopes stay
+    * tight without waiting for an OPTIMIZE ZORDER pass. Explicit
+    * `zOrderCols` arguments on append/replace override the declaration
+    * for that call.
+    */
+  val ClusterFile = "_cluster"
+
+  def setClusterColumns(spark: SparkSession, root: String,
+                        cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "setClusterColumns: empty column list")
+    val p = new Path(root, ClusterFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // validate against the newest manifest when one exists — same
+    // loud-at-declaration contract as setBloomColumns
+    fs.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(_.matches("v\\d{5}\\.manifest")).sorted.lastOption
+      .foreach { mf =>
+        val m = read(spark, root, mf.stripSuffix(".manifest"))
+        validateClusterColumns(cols, m.dataSchema, m.partitionSchema)
+      }
+    val out = fs.create(p, true)
+    try out.write(cols.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Cluster columns must be active NUMERIC data columns: the z-value
+    * interleave works on [min, max]-normalized doubles, and a partition
+    * column already splits the leaves.
+    */
+  def validateClusterColumns(cols: Seq[String], dataSchema: StructType,
+                             partitionSchema: StructType): Unit = {
+    val numeric = activeSchema(dataSchema).fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSet
+    cols.foreach { c =>
+      require(!partitionSchema.fieldNames.contains(c),
+        s"cluster column '$c' is a partition column — the leaves already " +
+          "split on it")
+      require(numeric.contains(c),
+        s"cluster column '$c' must be an active numeric data column; " +
+          s"eligible: ${numeric.toSeq.sorted.mkString(",")}")
+    }
+  }
+
+  def clusterColumns(spark: SparkSession, root: String): Seq[String] = {
+    val p = new Path(root, ClusterFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    text.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   /** Kirsch–Mitzenmacher positions of one xxhash64 value — MUST stay in
     * lockstep with the Column-side arithmetic in [[attachStats]] (same
     * longs, same pmod) or literal-side checks diverge from the stored bits.
@@ -489,6 +555,7 @@ object ManifestIndex {
       n -> (JObject(List("nulls" -> (JLong(c.nulls): JValue)) ++
         c.min.map(v => "min" -> (JString(v): JValue)) ++
         c.max.map(v => "max" -> (JString(v): JValue)) ++
+        c.ndv.map(v => "ndv" -> (JString(v): JValue)) ++
         c.bloom.map(b => "bloom" -> (JObject(
           "k" -> (JInt(b.k): JValue),
           "bits" -> (JString(b.bits): JValue)): JValue))): JValue)
@@ -518,7 +585,8 @@ object ManifestIndex {
           }
           case _ => None
         }
-        name -> ColStats(str("min"), str("max"), jLong(c \ "nulls"), bloom)
+        name -> ColStats(str("min"), str("max"), jLong(c \ "nulls"), bloom,
+          str("ndv"))
       }.toMap
       case _ => Map.empty[String, ColStats]
     }
@@ -561,7 +629,14 @@ object ManifestIndex {
           case _ => x.cast(StringType)
         }
         Seq(enc(min(c)).as(s"__min$i"), enc(max(c)).as(s"__max$i"),
-          count(c).as(s"__cnt$i"))
+          count(c).as(s"__cnt$i"),
+          // per-file NDV sketch (S79): hll over ONE xxhash64 of the value
+          // (the sketch aggregate takes int/long/string/binary only; a
+          // 64-bit hash loses nothing at file cardinalities). The isNotNull
+          // guard keeps nulls out — xxhash64(null) would otherwise fold the
+          // seed constant in as a phantom distinct value.
+          hll_sketch_agg(when(c.isNotNull, xxhash64(c)), lit(NdvLgK))
+            .as(s"__ndv$i"))
       } ++
       blooms.zipWithIndex.flatMap { case (f, j) =>
         // Kirsch–Mitzenmacher on one xxhash64 — the literal side replays
@@ -595,8 +670,10 @@ object ManifestIndex {
       val cols = statCols.toSeq.zipWithIndex.map { case (f, i) =>
         val mn = Option(r.getAs[String](s"__min$i"))
         val mx = Option(r.getAs[String](s"__max$i"))
+        val ndv = Option(r.getAs[Array[Byte]](s"__ndv$i"))
+          .map(java.util.Base64.getEncoder.encodeToString)
         physicalName(f) -> ColStats(mn, mx, rows - r.getAs[Long](s"__cnt$i"),
-          bloomByName.get(physicalName(f)))
+          bloomByName.get(physicalName(f)), ndv)
       }.toMap
       // key by the path RELATIVE to the version dir — one write task emits
       // the same basename into every leaf it touches, so the filename alone
@@ -914,36 +991,56 @@ object ManifestIndex {
              FloatType | DoubleType | _: DecimalType => true
         case _ => false
       }
-      if (!numeric) None
+      val per = stats.map(_.cols.get(phys))
+      if (per.exists(_.isEmpty)) None
       else {
-        val per = stats.map(_.cols.get(phys))
-        if (per.exists(_.isEmpty)) None
-        else {
-          val cs = per.map(_.get)
-          def bound(sel: ColStats => Option[String],
-                    pickMin: Boolean): Option[String] = {
-            val bs = cs.map(sel)
-            if (bs.exists(_.isEmpty)) None
+        val cs = per.map(_.get)
+        def bound(sel: ColStats => Option[String],
+                  pickMin: Boolean): Option[String] = {
+          val bs = cs.map(sel)
+          if (bs.exists(_.isEmpty)) None
+          else {
+            // double/float bounds can be "NaN"/"Infinity" (min/max order
+            // NaN above every double) — not BigDecimal-parsable; an
+            // unparsable bound means NO envelope, never a crash during
+            // read-plan construction (review fix)
+            val ds = bs.map(s => scala.util.Try(BigDecimal(s.get)))
+            if (ds.exists(_.isFailure)) None
             else {
-              // double/float bounds can be "NaN"/"Infinity" (min/max order
-              // NaN above every double) — not BigDecimal-parsable; an
-              // unparsable bound means NO envelope, never a crash during
-              // read-plan construction (review fix)
-              val ds = bs.map(s => scala.util.Try(BigDecimal(s.get)))
-              if (ds.exists(_.isFailure)) None
-              else {
-                val vs = ds.map(_.get)
-                Some((if (pickMin) vs.min else vs.max).bigDecimal.toPlainString)
-              }
+              val vs = ds.map(_.get)
+              Some((if (pickMin) vs.min else vs.max).bigDecimal.toPlainString)
             }
           }
-          Some(phys -> CatalogColumnStat(
-            distinctCount = None,
-            min = bound(_.min, pickMin = true),
-            max = bound(_.max, pickMin = false),
-            nullCount = Some(BigInt(cs.map(_.nulls).sum)),
-            avgLen = None, maxLen = None))
         }
+        // distinctCount (S79): driver-side UNION of the per-file HLL
+        // sketches — estimates the union's cardinality, never the sum of
+        // per-file counts (keys repeat across files). Any entry missing a
+        // sketch (pre-S79 file) → no NDV for that column; min/max/nulls
+        // still feed. Clamped to the non-null row count (an estimator can
+        // legally wobble above it; the CBO treats ndv > rows as garbage).
+        val ndv: Option[BigInt] =
+          if (cs.exists(_.ndv.isEmpty)) None
+          else scala.util.Try {
+            val u = new org.apache.datasketches.hll.Union(NdvLgK)
+            cs.foreach { c =>
+              u.update(org.apache.datasketches.hll.HllSketch.heapify(
+                java.util.Base64.getDecoder.decode(c.ndv.get)))
+            }
+            val nonNull = rowCount - cs.map(_.nulls).sum
+            BigInt(math.max(0L,
+              math.min(math.round(u.getResult.getEstimate), nonNull)))
+          }.toOption
+        // numeric columns carry bounds; the rest (string/date/timestamp/
+        // boolean — layout-specific bound encodings CatalogColumnStat
+        // would misparse) still carry nullCount + distinctCount, which is
+        // what join-reorder cardinality needs on key columns
+        if (!numeric && ndv.isEmpty) None
+        else Some(phys -> CatalogColumnStat(
+          distinctCount = ndv,
+          min = if (numeric) bound(_.min, pickMin = true) else None,
+          max = if (numeric) bound(_.max, pickMin = false) else None,
+          nullCount = Some(BigInt(cs.map(_.nulls).sum)),
+          avgLen = None, maxLen = None))
       }
     }.toMap
     Some(CatalogTable(

@@ -360,6 +360,136 @@ class ManifestStatsSpec extends SparkSpec {
     assert(a == c)
   }
 
+  test("S80: declared clustering places upsert/merge appends — no OPTIMIZE needed") {
+    import graft.sources.Layout
+    // two tables, identical merge-heavy history; one declares clustering
+    def build(declare: Boolean): String = {
+      val root = Files.createTempDirectory("graft_declcluster").toString
+      Layout.initVersionedManifest(
+        spark.range(1).select($"id", ($"id" % 97).as("a"), ($"id" % 89).as("b"),
+          lit("p1").as("part")), root, Seq("part"))
+      if (declare) Layout.declareClustering(spark, root, Seq("a", "b"))
+      // three merge batches of SHUFFLED fresh keys: every image is an
+      // insert (ids disjoint from the seed), so this is exactly the
+      // "hot upserted table" shape that used to decluster until OPTIMIZE
+      (0 until 3).foreach { k =>
+        val batch = spark.range(1, 1200)
+          .select((($"id" * 2654435761L) % 1200 + lit(k * 10000L)).as("id"))
+          .select($"id", ($"id" % 97).as("a"), ($"id" % 89).as("b"),
+            lit("p1").as("part"))
+          .repartition(6)
+        Layout.mergeIntoVersionedRows(spark, root, batch, Seq("id"),
+          whenNotMatchedInsert = Some(lit(true)))
+      }
+      // plus one upsert of scattered keys — the other appended-image front
+      Layout.upsertVersionedRows(spark, root,
+        spark.range(1, 600)
+          .select((($"id" * 1327217885L) % 600 + 50000L).as("id"))
+          .select($"id", ($"id" % 97).as("a"), ($"id" % 89).as("b"),
+            lit("p1").as("part")).repartition(4), Seq("id"))
+      root
+    }
+    val plain = build(declare = false)
+    val clustered = build(declare = true)
+    def planned(root: String): Int = scannedFiles(
+      Layout.readCurrent(spark, root)
+        .filter($"a" >= 10 && $"a" < 15 && $"b" >= 10 && $"b" < 15)).size
+    val (nPlain, nClustered) = (planned(plain), planned(clustered))
+    assert(nClustered < nPlain,
+      s"declared clustering should keep merge/upsert appends skippable " +
+        s"($nClustered vs $nPlain planned files)")
+    // content identical regardless of placement
+    val a = Layout.readCurrent(spark, plain).orderBy("id").collect().toSeq
+    val c = Layout.readCurrent(spark, clustered).orderBy("id").collect().toSeq
+    assert(a == c)
+    // declaration validates loudly: partition and non-numeric columns refuse
+    intercept[IllegalArgumentException] {
+      Layout.declareClustering(spark, clustered, Seq("part"))
+    }
+    intercept[IllegalArgumentException] {
+      Layout.declareClustering(spark, clustered, Seq("nope"))
+    }
+  }
+
+  test("S79: per-column NDV folds from per-file sketches into plan stats") {
+    import graft.sources.Layout
+    val root = rangedRoot()
+    val prev = spark.conf.get("spark.sql.cbo.planStats.enabled", "false")
+    spark.conf.set("spark.sql.cbo.planStats.enabled", "true")
+    try {
+      val stats = Layout.readCurrent(spark, root)
+        .queryExecution.optimizedPlan.stats
+      def ndvOf(c: String): Option[BigInt] =
+        stats.attributeStats.find(_._1.name == c).flatMap(_._2.distinctCount)
+      // id: 1000 distinct across 4 files — union estimate within HLL lgK=8
+      // error (~6.5% · a few σ)
+      val idNdv = ndvOf("id")
+      assert(idNdv.isDefined, "id must carry a distinctCount")
+      assert((idNdv.get - 1000).abs <= 200, s"id ndv ≈ 1000, got $idNdv")
+      // score: 100 non-null distinct values, 900 nulls — nulls must NOT
+      // count as a distinct value
+      val scoreNdv = ndvOf("score")
+      assert(scoreNdv.isDefined && (scoreNdv.get - 100).abs <= 25,
+        s"score ndv ≈ 100 (nulls excluded), got $scoreNdv")
+      // name (string): no min/max envelope, but NDV + nullCount surface
+      val nameStat = stats.attributeStats.find(_._1.name == "name").map(_._2)
+      assert(nameStat.exists(_.distinctCount.isDefined),
+        "string columns must carry distinctCount")
+      assert(nameStat.exists(s => s.min.isEmpty && s.max.isEmpty))
+    } finally spark.conf.set("spark.sql.cbo.planStats.enabled", prev)
+  }
+
+  test("S79: NDV drives aggregate estimation → broadcast build side under CBO") {
+    import graft.sources.Layout
+    // facts: 40k rows, ONLY 32 distinct group keys, ~3 MB raw; dims: 40k
+    // distinct ids. group-then-join: with CBO + NDV the aggregate's
+    // estimated output is 32 rows → broadcast side; size-only estimation
+    // sees the multi-MB child and sort-merges.
+    val facts = Files.createTempDirectory("graft_ndv_f").toString
+    Layout.initVersionedManifest(
+      spark.range(40000).select(($"id" % 32).as("k"), $"id".as("v"),
+        concat(lit("pad-"), format_string("%060d", $"id")).as("pad"),
+        lit("p1").as("part")).repartition(4), facts, Seq("part"))
+    val dims = Files.createTempDirectory("graft_ndv_d").toString
+    Layout.initVersionedManifest(
+      spark.range(40000).select($"id".as("k"),
+        concat(lit("name-"), format_string("%060d", $"id")).as("name"),
+        lit("p1").as("part")).repartition(4), dims, Seq("part"))
+    val confs = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.planStats.enabled",
+      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    val prev = confs.map(c => c -> spark.conf.getOption(c)).toMap
+    def joined() = {
+      // max(pad) keeps the 60-char payload in the aggregate's input AND
+      // output, so size-only estimation (≈ child bytes) stays safely above
+      // the broadcast threshold — the contrast then isolates NDV: only the
+      // 32-row cardinality estimate can shrink this below it
+      val agg = Layout.readCurrent(spark, facts)
+        .groupBy("k").agg(sum($"v").as("sum_v"), max($"pad").as("mx"))
+      Layout.readCurrent(spark, dims).join(agg, "k")
+    }
+    def bhjCount(df: DataFrame): Int = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.size
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (256 * 1024).toString)
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.planStats.enabled", "true")
+      assert(bhjCount(joined()) == 1,
+        "with NDV-fed CBO the 32-row aggregate must broadcast")
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.planStats.enabled", "false")
+      assert(bhjCount(joined()) == 0,
+        "size-only estimation must NOT broadcast the multi-MB aggregate " +
+          "(the contrast that proves NDV did it)")
+    } finally prev.foreach { case (c, v) =>
+      v match {
+        case Some(x) => spark.conf.set(c, x)
+        case None => spark.conf.unset(c)
+      }
+    }
+  }
+
   test("S74: manifest stats surface as plan statistics under plan-stats/CBO") {
     import graft.sources.Layout
     val root = rangedRoot()
