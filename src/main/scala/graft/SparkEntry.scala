@@ -2950,6 +2950,79 @@ object SparkEntry {
         WHEN NOT MATCHED AND src.v % 2 = 0 THEN INSERT *""")
       s.sql("SELECT pri, CAST(count(*) AS BIGINT) AS n_rows, " +
         "sum(v) AS sum_v FROM graft.cat202 GROUP BY pri")
+    }),
+
+    // --- hybrid retrieval via reciprocal-rank fusion (r15): the standard
+    //     lexical+vector stack — BM25 top-50 and cosine-over-hashed-
+    //     embeddings top-50 fused by rank (no score calibration), exactly
+    //     how production retrieval combines the two signals. Both
+    //     rankings and the fuse are deterministic and oracle-replayable ---
+    "q203_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val qText = "data stream window batch"
+      val lex = Retrieval.bm25All(docs, "doc_id", "text",
+          Seq((0L, qText)).toDF("qid", "qtext"), "qid", "qtext", topK = 50)
+        .select(col("doc_id"), col("rnk"))
+      val emb = TextEmbed.hashEmbed(docs, "doc_id", "text", 64,
+          portable = true)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      val qv = TextEmbed.hashEmbed(Seq((-1L, qText)).toDF("vec_id", "text"),
+        "vec_id", "text", 64, portable = true)
+      val vec = Similarity.bruteForceTopK(emb, qv, k = 50)
+        .select(col("nn_id").as("doc_id"), col("rnk"))
+      Retrieval.rrfFuse(Seq(lex, vec), "doc_id", "rnk", k0 = 60, topK = 25)
+    }),
+
+    // --- Jaccard-containment join (r15): the sub-document detector —
+    //     a short quote inside a long doc has vanishing symmetric Jaccard
+    //     (q36) but containment ≈ 1; directed |A∩B|/|A| over the same
+    //     inverted-index machinery catches near-verbatim-but-reordered
+    //     inclusion the byte-substring family (q157/q175) cannot ---
+    "q204_containment_join" -> ((s, dir) =>
+      SetSimJoin.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, threshold = 0.5, blockCol = Some("lang"),
+        dfCap = Some(64L))),
+
+    // --- KMV slice-overlap matrix (r15): pairwise distinct-user overlap
+    //     between event types from the SAME O(k) sketches q42/q188 build —
+    //     "which audiences share users" / "which corpus slices share
+    //     documents" without ever joining data-sized sets. Deterministic
+    //     (portable hashes), so the estimates hash-check ---
+    "q205_kmv_overlap" -> ((s, dir) =>
+      Aggregates.kmvOverlapMatrix(Tables.events(s, dir), "event_type",
+        "user_id", k = 64)),
+
+    // --- char-entropy quality screen (r15): one scan flags BOTH junk
+    //     tails — repetitive generator spam sits far below natural text's
+    //     entropy band, base64/compressed blobs far above it ---
+    "q206_char_entropy" -> ((s, dir) =>
+      LmStats.charEntropy(Tables.documents(s, dir), "doc_id", "text")),
+
+    // --- crop-resistant quadrant-print matching (r15): each doc pairs
+    //     with a REGION-EDITED copy (last quarter replaced wholesale) —
+    //     the edit flips far more than 3 bits of the whole-payload dHash,
+    //     so q184's radius correctly misses it; the per-quadrant prints
+    //     still agree on the untouched 3 quarters ---
+    "q207_quadrant_match" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val edited = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        expr("rpad(substring(text, 1, 3 * (length(text) div 4)), " +
+          "length(text), 'z')").as("text"))
+      Multimodal.quadrantMatches(
+        Multimodal.fromDocuments(docs.unionByName(edited)),
+        quads = 4, minShared = 2)
+    }),
+
+    // --- Theil–Sen robust trend (r15): the outlier-proof drift monitor
+    //     over per-priority daily revenue — one corrupted ingest day
+    //     drags OLS arbitrarily far, moves the slope median one rank ---
+    "q208_theil_sen" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("pri"),
+          to_date(col("o_orderdate")).as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      Seasonal.theilSen(daily, Seq("pri"), "d", "cents")
     })
   )
 
@@ -5184,6 +5257,189 @@ object SparkEntry {
       // the catalog-native resolved lowering must land on the SAME algebra
       "q202_catalog_merge" -> mergeAlgebraOracle,
 
+      // BM25 replay (q155's CTEs) + hashed-embedding cosine replay (q63's
+      // CTEs, applied to corpus AND query text) + the rank fusion — every
+      // stage deterministic, so the fused list hash-checks end to end
+      "q203_hybrid_rrf" -> s"""
+        WITH toks AS (SELECT doc_id,
+            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+          FROM documents),
+        tt AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+          FROM tt GROUP BY 1),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tt
+          WHERE tok IN ('data', 'stream', 'window', 'batch') GROUP BY 1, 2),
+        idf AS (SELECT tok,
+            ln(CAST(1.0 AS DOUBLE) +
+              (s.n_docs - df + CAST(0.5 AS DOUBLE)) /
+              (df + CAST(0.5 AS DOUBLE))) AS idf
+          FROM (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tf GROUP BY 1) CROSS JOIN stats s),
+        sc AS (SELECT tf.doc_id,
+            CAST(SUM(CAST(
+              idf.idf * (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+              (tf.tf + CAST(1.2 AS DOUBLE) *
+                (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+                 CAST(0.75 AS DOUBLE) * dl.dl /
+                   (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+              AS DECIMAL(38,12))) AS DOUBLE) AS raw
+          FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                  JOIN idf ON tf.tok = idf.tok
+                  CROSS JOIN stats s
+          GROUP BY 1),
+        lexr AS (SELECT doc_id,
+            ROW_NUMBER() OVER (ORDER BY raw DESC, doc_id) AS r FROM sc),
+        hh AS (SELECT doc_id, ${duckPolyHash("tok")} AS h FROM tt),
+        w AS (SELECT doc_id, CAST(h % 64 AS INTEGER) AS pos,
+            CASE WHEN (h // 64) % 2 = 1 THEN 1.0 ELSE -1.0 END AS sgn
+          FROM hh),
+        agg AS (SELECT doc_id, pos, sum(sgn) AS wt FROM w GROUP BY 1, 2),
+        ps AS (SELECT doc_id, list(struct_pack(k := pos, v := wt)) AS kv
+          FROM agg GROUP BY 1),
+        v AS (SELECT doc_id AS vec_id,
+            list_transform(range(0, 64), i -> coalesce(
+              list_sum(list_transform(list_filter(kv, q -> q.k = i),
+                q -> q.v)), 0.0)) AS e
+          FROM ps),
+        qtok AS (SELECT unnest(string_split_regex(trim(lower(
+            'data stream window batch')), '\\s+')) AS tok),
+        qh AS (SELECT ${duckPolyHash("tok")} AS h FROM qtok WHERE tok <> ''),
+        qw AS (SELECT CAST(h % 64 AS INTEGER) AS pos,
+            CASE WHEN (h // 64) % 2 = 1 THEN 1.0 ELSE -1.0 END AS sgn
+          FROM qh),
+        qagg AS (SELECT pos, sum(sgn) AS wt FROM qw GROUP BY 1),
+        qps AS (SELECT list(struct_pack(k := pos, v := wt)) AS kv FROM qagg),
+        qv AS (SELECT list_transform(range(0, 64), i -> coalesce(
+            list_sum(list_transform(list_filter(kv, q -> q.k = i),
+              q -> q.v)), 0.0)) AS qe FROM qps),
+        cos AS (SELECT v.vec_id,
+            CASE WHEN sqrt(list_dot_product(v.e, v.e)) *
+                      sqrt(list_dot_product(qv.qe, qv.qe)) = 0 THEN 0
+                 ELSE list_dot_product(v.e, qv.qe) /
+                   (sqrt(list_dot_product(v.e, v.e)) *
+                    sqrt(list_dot_product(qv.qe, qv.qe)))
+            END AS s
+          FROM v CROSS JOIN qv),
+        vecr AS (SELECT vec_id AS doc_id,
+            ROW_NUMBER() OVER (ORDER BY s DESC, vec_id) AS r FROM cos),
+        fused AS (SELECT doc_id,
+            coalesce(CAST(1.0 AS DOUBLE) / (60 + l.r), 0) +
+            coalesce(CAST(1.0 AS DOUBLE) / (60 + x.r), 0) AS fs
+          FROM (SELECT doc_id, r FROM lexr WHERE r <= 50) l
+          FULL JOIN (SELECT doc_id, r FROM vecr WHERE r <= 50) x
+            USING (doc_id))
+        SELECT doc_id,
+          CAST(floor(fs * 1000000.0 + 0.5) AS BIGINT) AS rrf_micro
+        FROM fused ORDER BY fs DESC, doc_id LIMIT 25""",
+
+      // directed containment over the same distinct-shingle algebra as q36
+      "q204_containment_join" -> """
+        WITH t AS (SELECT doc_id, lang,
+            string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        s AS (SELECT doc_id, lang,
+            CASE WHEN len(toks) < 3 THEN [] ELSE list_distinct(
+              list_transform(range(0, len(toks) - 2),
+                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+            END AS sh
+          FROM t)
+        SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+            AS containment
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+            >= 0.5""",
+
+      // the Beyer et al. KMV intersection estimator replayed with list
+      // algebra over the same uniformized hashes
+      "q205_kmv_overlap" -> s"""
+        WITH h AS (SELECT DISTINCT event_type,
+            (${duckPolyHash("CAST(user_id AS VARCHAR)")} *
+              ${Aggregates.KmvPerm._1} + ${Aggregates.KmvPerm._2})
+              % 1000000007 AS ph FROM events WHERE user_id IS NOT NULL),
+        s AS (SELECT event_type, list_sort(list(ph))[1:64] AS kmv
+          FROM h GROUP BY 1),
+        p AS (SELECT a.event_type AS key_a, b.event_type AS key_b,
+            a.kmv AS ka, b.kmv AS kb,
+            list_sort(list_distinct(list_concat(a.kmv, b.kmv)))[1:64] AS mg
+          FROM s a JOIN s b ON a.event_type < b.event_type)
+        SELECT key_a, key_b,
+          CASE WHEN len(mg) < 64
+            THEN CAST(len(list_intersect(list_intersect(mg, ka), kb)) AS DOUBLE)
+            ELSE round(
+              CAST(len(list_intersect(list_intersect(mg, ka), kb)) AS DOUBLE)
+                / 64 * (63.0 * 1000000007 / greatest(mg[64], 1)), 4)
+          END AS n_common_est
+        FROM p""",
+
+      // H = ln(n) − (Σ c·ln c)/n over exact char counts; the term sum
+      // rides the DECIMAL(38,12) accumulator (the BM25 discipline)
+      "q206_char_entropy" -> """
+        WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+          FROM documents),
+        cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM ch
+          WHERE ch <> '' GROUP BY 1, 2),
+        ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+            CAST(sum(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,12)))
+              AS DOUBLE) AS s
+          FROM cc GROUP BY 1)
+        SELECT doc_id, n AS n_chars,
+          CAST(floor((ln(CAST(n AS DOUBLE)) - s / n) * 1000000.0 + 0.5)
+            AS BIGINT) AS entropy_micro
+        FROM ag""",
+
+      // per-quadrant dHash replay (the q183 byte algebra over each
+      // quarter), pairs sharing >= 2 byte-identical quadrant prints
+      "q207_quadrant_match" -> s"""
+        WITH edited AS (SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000,
+            rpad(text[1:3 * (length(text) // 4)],
+              CAST(length(text) AS INTEGER), 'z')
+          FROM documents),
+        by AS (SELECT doc_id AS asset_id,
+            list_transform(string_split(text, ''),
+              ch -> CAST(ascii(ch) AS BIGINT)) AS b,
+            length(text) // 4 AS qn
+          FROM edited WHERE length(text) // 4 >= 65),
+        qb AS (SELECT asset_id, q, qn,
+            list_slice(b, q * qn + 1, (q + 1) * qn) AS bq
+          FROM by CROSS JOIN (SELECT unnest(range(0, 4)) AS q)),
+        qg AS (SELECT asset_id, q, qn,
+            list_transform(range(0, 65), c -> coalesce(
+              list_sum(list_slice(bq, (c*qn)//65 + 1, ((c+1)*qn)//65)), 0))
+              AS s65q
+          FROM qb),
+        qp AS (SELECT asset_id, q,
+            CAST(${duckDHashBitsOver("s65q", "qn")} AS BIGINT) AS p
+          FROM qg),
+        pairs AS (SELECT x.asset_id AS id_a, y.asset_id AS id_b,
+            CAST(count(DISTINCT x.q) AS BIGINT) AS n_shared
+          FROM qp x JOIN qp y
+            ON x.q = y.q AND x.p = y.p AND x.asset_id < y.asset_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 2""",
+
+      // median of pairwise slopes over exact integer operands; the same
+      // quantile_cont parity as q43
+      "q208_theil_sen" -> """
+        WITH daily AS (SELECT o_orderpriority AS pri,
+            CAST(o_orderdate AS DATE) AS d,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS cents
+          FROM orders GROUP BY 1, 2),
+        dd AS (SELECT pri, date_diff('day', DATE '1970-01-01', d) AS dn,
+            cents FROM daily),
+        sl AS (SELECT a.pri,
+            CAST(b.cents - a.cents AS DOUBLE) / (b.dn - a.dn) AS s
+          FROM dd a JOIN dd b ON a.pri = b.pri AND a.dn < b.dn)
+        SELECT pri, CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(floor(quantile_cont(s, 0.5) * 1000000.0 + 0.5) AS BIGINT)
+            AS slope_micro
+        FROM sl GROUP BY 1""",
+
       "q165_sql_update_delete" -> s"""
         WITH u AS (SELECT l_returnflag,
             l_quantity + CASE WHEN l_orderkey % 7 = 0 THEN 5.0 ELSE 0 END AS q
@@ -5915,13 +6171,18 @@ object SparkEntry {
       s"((${c + 1}*n)//64 - (${c}*n)//64) THEN ${duckPow2(c)} ELSE 0 END)"
   }.mkString(" + ")
 
-  /** dHash bit c: `sum_{c+1} · len_c > sum_c · len_{c+1}`. */
-  private def duckDHashBits: String = (0 until 64).map { c =>
-    val lc = s"((${c + 1}*n)//65 - (${c}*n)//65)"
-    val lc1 = s"((${c + 2}*n)//65 - (${c + 1}*n)//65)"
-    s"(CASE WHEN s65[${c + 2}] * $lc > s65[${c + 1}] * $lc1 " +
-      s"THEN ${duckPow2(c)} ELSE 0 END)"
-  }.mkString(" + ")
+  /** dHash bit c: `sum_{c+1} · len_c > sum_c · len_{c+1}`, over the
+    * given s65-list / length column names (q207 replays it per quadrant).
+    */
+  private def duckDHashBitsOver(s65: String, n: String): String =
+    (0 until 64).map { c =>
+      val lc = s"((${c + 1}*$n)//65 - (${c}*$n)//65)"
+      val lc1 = s"((${c + 2}*$n)//65 - (${c + 1}*$n)//65)"
+      s"(CASE WHEN $s65[${c + 2}] * $lc > $s65[${c + 1}] * $lc1 " +
+        s"THEN ${duckPow2(c)} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def duckDHashBits: String = duckDHashBitsOver("s65", "n")
 
   /** DuckDB expression computing
     * [[graft.functions.VectorFunctions.hyperplaneBucket]] bit-identically:

@@ -71,22 +71,27 @@ case class MultiContains(child: Expression, patterns: Seq[String])
 }
 
 /** The classic goto/fail/output automaton, built eagerly on the driver
-  * and shipped serialized; `hits` is the per-row walk. Char-based (the
-  * per-node map keeps memory proportional to distinct transitions, not
-  * alphabet × nodes).
+  * and shipped serialized; `hits` is the per-row walk. BYTE-based: the
+  * trie is built over the patterns' UTF-8 bytes and the walk reads the
+  * text's bytes in place (`UTF8String.getByte`) — UTF-8 is
+  * self-synchronizing, so byte-level substring match ≡ char-level
+  * substring match on valid UTF-8, and the per-row `toString` copy the
+  * char walk paid (one String + char[] allocation per document) is gone.
+  * The per-node map keeps memory proportional to distinct transitions,
+  * not alphabet × nodes.
   */
 final class AhoCorasick(patterns: Array[String]) extends Serializable {
   // trie: per-node transition map + the pattern indices ending here —
   // construction scaffolding only (@transient: the walk reads the
   // frozen arrays below, so the maps need not ship to executors)
   @transient private val next =
-    mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
+    mutable.ArrayBuffer(mutable.HashMap.empty[Byte, Int])
   @transient private val ends = mutable.ArrayBuffer(List.empty[Int])
   for (pi <- patterns.indices) {
     var node = 0
-    for (ch <- patterns(pi)) {
-      node = next(node).getOrElseUpdate(ch, {
-        next += mutable.HashMap.empty[Char, Int]
+    for (b <- patterns(pi).getBytes(java.nio.charset.StandardCharsets.UTF_8)) {
+      node = next(node).getOrElseUpdate(b, {
+        next += mutable.HashMap.empty[Byte, Int]
         ends += Nil
         next.size - 1
       })
@@ -102,11 +107,11 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
     for ((_, c) <- next(0)) { queue += c; out(c) = ends(c) }
     while (queue.nonEmpty) {
       val r = queue.dequeue()
-      for ((ch, child) <- next(r)) {
+      for ((b, child) <- next(r)) {
         queue += child
         var f = fail(r)
-        while (f != 0 && !next(f).contains(ch)) f = fail(f)
-        fail(child) = next(f).get(ch).filter(_ != child).getOrElse(0)
+        while (f != 0 && !next(f).contains(b)) f = fail(f)
+        fail(child) = next(f).get(b).filter(_ != child).getOrElse(0)
         out(child) = ends(child) ::: out(fail(child))
       }
     }
@@ -116,31 +121,32 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
 
   // the walk's transition tables FROZEN into sorted parallel arrays:
   // the construction-time HashMaps cost an Option allocation and two
-  // probes PER CHARACTER on the hot path (review fix) — binary search
-  // over a char array allocates nothing
-  private val transKeys: Array[Array[Char]] =
+  // probes PER BYTE on the hot path (review fix) — binary search over a
+  // byte array allocates nothing
+  private val transKeys: Array[Array[Byte]] =
     next.map(m => m.keys.toArray.sorted).toArray
   private val transVals: Array[Array[Int]] =
     next.zip(transKeys).map { case (m, ks) => ks.map(m) }.toArray
   private val outArr: Array[Array[Int]] = out.map(_.toArray)
 
-  @inline private def step(node: Int, ch: Char): Int = {
-    val idx = java.util.Arrays.binarySearch(transKeys(node), ch)
+  @inline private def step(node: Int, b: Byte): Int = {
+    val idx = java.util.Arrays.binarySearch(transKeys(node), b)
     if (idx >= 0) transVals(node)(idx) else -1
   }
 
-  /** Distinct matched patterns in declaration order. */
+  /** Distinct matched patterns in declaration order. Walks the text's
+    * UTF-8 bytes IN PLACE — zero allocation until the result array.
+    */
   def hits(text: UTF8String): GenericArrayData = {
-    val s = text.toString
     val seen = new Array[Boolean](patternUtf8.length)
     var nSeen = 0
     var node = 0
     var i = 0
-    val n = s.length
+    val n = text.numBytes()
     while (i < n && nSeen < patternUtf8.length) {
-      val ch = s.charAt(i)
-      var nxt = step(node, ch)
-      while (node != 0 && nxt < 0) { node = fail(node); nxt = step(node, ch) }
+      val b = text.getByte(i)
+      var nxt = step(node, b)
+      while (node != 0 && nxt < 0) { node = fail(node); nxt = step(node, b) }
       node = if (nxt >= 0) nxt else 0
       val hs = outArr(node)
       var h = 0

@@ -105,6 +105,45 @@ object Aggregates {
       keys, k), keys, k)
   }
 
+  /** Pairwise set-INTERSECTION estimates between every two groups, from
+    * the same KMV sketches — "how many distinct `of` values do slices A
+    * and B share?" (audience overlap between event types, document
+    * overlap between corpus slices). The KMV intersection estimator
+    * (Beyer et al. 2007): with M = the k smallest of S_A ∪ S_B,
+    * `|A∩B| ≈ (|M ∩ S_A ∩ S_B| / |M|) · |A∪B|_est` where the union
+    * estimate is the standard `(k−1)·P / h_k`; when the union has fewer
+    * than k distinct hashes both sketches are complete and the
+    * intersection is EXACT. Deterministic end to end (the same portable
+    * uniformized hashes as [[kmvDistinct]]), so an external engine
+    * replays it with list algebra.
+    *
+    * Scale shape: the data is touched once (the sketch build); the matrix
+    * is |groups|² pairs of O(k) arrays — never data-sized, broadcast-
+    * joined however large the underlying slices are.
+    *
+    * @return (key_a, key_b, n_common_est) for key_a < key_b
+    */
+  def kmvOverlapMatrix(df: DataFrame, key: String, of: String,
+                       k: Int): DataFrame = {
+    require(k >= 2, s"kmvOverlapMatrix: k must be >= 2, got $k")
+    val sk = kmvSketches(df, Seq(key), of, k)
+    val a = sk.select(col(key).as("key_a"), col("kmv").as("kmv_a"))
+    val b = sk.select(col(key).as("key_b"), col("kmv").as("kmv_b"))
+    val p = graft.functions.TextFunctions.PolyP.toDouble
+    a.join(b, col("key_a") < col("key_b"))
+      .withColumn("m",
+        slice(array_sort(array_union(col("kmv_a"), col("kmv_b"))), 1, k))
+      .withColumn("msz", size(col("m")))
+      .withColumn("common", size(array_intersect(
+        array_intersect(col("m"), col("kmv_a")), col("kmv_b"))))
+      .withColumn("n_common_est",
+        when(col("msz") < k, col("common").cast("double"))
+          .otherwise(round(col("common").cast("double") / lit(k.toDouble) *
+            (lit((k - 1).toDouble * p) /
+              greatest(element_at(col("m"), k), lit(1L))), 4)))
+      .select(col("key_a"), col("key_b"), col("n_common_est"))
+  }
+
   /** Shared sketch tail: dedupe the (keys, __h) frame, keep the k
     * smallest per group via the bounded [[TopKAgg]] buffer, project the
     * ascending hash list as `kmv`.

@@ -87,4 +87,37 @@ object LmStats {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("bits_per_bigram"))
   }
+
+  /** Per-document character-unigram entropy — the cheapest content-quality
+    * screen in the corpus toolbox: repetitive generator junk ("aaaa…",
+    * template spam) sits far BELOW natural text's entropy band, base64 /
+    * compressed / hex blobs sit far ABOVE it, so one scan flags both
+    * tails. `H = ln(n) − (Σ c·ln c)/n` over the per-character counts —
+    * algebraically identical to `−Σ p·ln p` but with ONE division instead
+    * of one per character class.
+    *
+    * Deterministic: counts are exact longs; each `c·ln c` term is one
+    * double op pair; the term SUM routes through a `DECIMAL(38,12)`
+    * accumulator (the q155/BM25 discipline) so partitioning cannot
+    * reorder additions; the output is micro-quantized. Scale shape: one
+    * explode + two hash aggregates, alphabet-bounded intermediate per
+    * document — never more than |doc| rows in flight.
+    *
+    * @return (idCol, n_chars, entropy_micro) per document with ≥ 1 char
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    docs.select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col(idCol), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("t",
+        (col("c").cast("double") * log(col("c").cast("double"))).cast(dec))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_chars"), sum(col("t")).cast("double").as("s"))
+      .select(col(idCol), col("n_chars"),
+        floor((log(col("n_chars").cast("double")) -
+          col("s") / col("n_chars")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("entropy_micro"))
+  }
 }

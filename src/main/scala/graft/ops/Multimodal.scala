@@ -122,6 +122,61 @@ object Multimodal {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Per-QUADRANT dHash prints: the payload splits into `quads`
+    * contiguous byte ranges (each `⌊n/quads⌋` bytes — the remainder tail
+    * is dropped, deterministically) and each range gets its own print.
+    * This is the block-hash layout that makes matching CROP/REGION-EDIT
+    * resistant: a whole-payload print spreads a localized edit over the
+    * global cell grid (a replaced quarter flips ~quads·16 bits — far past
+    * any hamming radius), while the untouched quadrants' prints stay
+    * byte-identical.
+    *
+    * Scale shape: one projection computes all `quads` slices + hashes per
+    * row (the payload is read once; each print is one codegen'd pass over
+    * its quarter), and the explode output is (id, q, 8-byte print) — the
+    * heavy payload never shuffles.
+    *
+    * @return (asset_id, q, print) for assets whose quadrants reach the
+    *         65-byte dHash grid
+    */
+  def quadrantPrints(assets: DataFrame, quads: Int = 4): DataFrame = {
+    import graft.functions.expressions.PerceptualHash
+    require(quads >= 2, s"quadrantPrints: quads must be >= 2, got $quads")
+    val qlen = floor(octet_length(col("payload")) / lit(quads)).cast("int")
+    assets.filter(col("payload").isNotNull)
+      .select(col("asset_id"), col("payload"), qlen.as("qlen"))
+      .filter(col("qlen") >= PerceptualHash.MinPayloadBytes)
+      .select(col("asset_id"),
+        explode(array((0 until quads).map(i =>
+          struct(lit(i).as("q"),
+            PerceptualHash.dHash(col("payload")
+              .substr(lit(i) * col("qlen") + lit(1), col("qlen")))
+              .as("print"))): _*)).as("qp"))
+      .select(col("asset_id"), col("qp.q"), col("qp.print"))
+  }
+
+  /** Crop-resistant near-duplicate asset pairs: assets sharing at least
+    * `minShared` byte-identical quadrant prints. The equi-join on
+    * (quadrant, print) is the same banded shape as [[phashNearDupPairs]]
+    * — never all-pairs — but survives edits [[phashNearDupPairs]] cannot:
+    * a replaced/cropped quarter corrupts ONE quadrant's print and the
+    * pair still matches on the remaining `quads − 1`.
+    *
+    * @return (id_a, id_b, n_shared) pairs with id_a < id_b
+    */
+  def quadrantMatches(assets: DataFrame, quads: Int = 4,
+                      minShared: Int = 2): DataFrame = {
+    require(minShared >= 1 && minShared <= quads,
+      s"quadrantMatches: minShared must be in [1, $quads], got $minShared")
+    val prints = graft.util.Caches.cache(quadrantPrints(assets, quads)).toDF
+    prints.as("x").join(prints.as("y"),
+        col("x.q") === col("y.q") && col("x.print") === col("y.print") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .groupBy(col("x.asset_id").as("id_a"), col("y.asset_id").as("id_b"))
+      .agg(countDistinct(col("x.q")).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-frame audio energy rows: `(asset_id, frame_no, energy)` from one
     * codegen'd pass over the payload bytes
     * ([[graft.functions.expressions.FrameEnergy]]; unsigned-8-bit-PCM

@@ -140,4 +140,42 @@ object Retrieval {
         round(col("t.score"), 6).as("score"),
         (col("i") + 1).cast("long").as("rnk"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
+    * standard hybrid-retrieval combiner: fuse N rankings of the same id
+    * space by `score(d) = Σ_i 1/(k0 + rank_i(d))`, an item missing from a
+    * ranking contributing 0. Rank-based fusion needs no score calibration
+    * between a BM25 ranking and a cosine ranking — exactly why hybrid
+    * (lexical + vector) retrieval stacks reach for RRF.
+    *
+    * Deterministic: each summand is ONE exact double division of integer
+    * operands (IEEE division is correctly rounded) and the output is
+    * micro-quantized; ties in the fused score cut on `idCol`, so the topK
+    * boundary is stable and oracle-replayable.
+    *
+    * Scale shape: the inputs are top-N lists — O(N · topN) rows however
+    * large the corpus behind them — so the fuse is N−1 tiny full-outer
+    * joins and a TakeOrderedAndProject; nothing here ever sees corpus
+    * rows.
+    *
+    * @param rankings each (idCol, rankCol) with rank 1-based and unique
+    * @return topK rows: (idCol, rrf_micro) — fused score in 1e-6 units
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              k0: Int = 60, topK: Int = 25): DataFrame = {
+    require(rankings.size >= 2, "rrfFuse: need at least two rankings")
+    require(k0 >= 1, s"rrfFuse: k0 must be >= 1, got $k0")
+    val named = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol), col(rankCol).cast("long").as(s"__r$i")) }
+    val joined = named.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = rankings.indices.map(i =>
+        coalesce(lit(1.0) / (lit(k0.toDouble) + col(s"__r$i")), lit(0.0)))
+      .reduce(_ + _)
+    joined.withColumn("__rrf", score)
+      .orderBy(col("__rrf").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol),
+        floor(col("__rrf") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("rrf_micro"))
+  }
 }

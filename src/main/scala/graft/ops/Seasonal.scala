@@ -68,4 +68,40 @@ object Seasonal {
         micro(col(valueCol) - col("__sum7") / lit(7.0) -
           col("__sdev") / (lit(7.0) * col("__n")), "resid_micro"))): _*)
   }
+
+  /** Theil–Sen robust trend per key over a daily long-valued series: the
+    * MEDIAN of all pairwise slopes `(x_j − x_i)/(d_j − d_i)`, i < j. The
+    * outlier-proof answer to "is this series drifting?" — a single
+    * corrupted ingest day drags an OLS slope arbitrarily far but moves
+    * the slope median by at most one rank (breakdown point ~29%), which
+    * is exactly the robustness an ingest-volume monitor needs.
+    *
+    * Deterministic: each slope is ONE double division of exact integer
+    * operands; the median is an order statistic over that value multiset
+    * (engine-independent, the q43 percentile parity), micro-quantized.
+    *
+    * Scale shape: the pair join is per-key and the series is DATE-grain —
+    * n_days² pairs per key (a year = ~66k pairs), bounded by the calendar
+    * however large the data underneath; the upstream daily aggregation is
+    * where the volume dies. Keys partition the join, so the work spreads.
+    *
+    * @param df one row per (keys…, day) — pre-aggregated
+    * @return keys… , n_pairs, slope_micro (keys with < 2 days drop out)
+    */
+  def theilSen(df: DataFrame, keys: Seq[String], dateCol: String,
+               valueCol: String): DataFrame = {
+    val base = df.select((keys.map(col) :+
+      unix_date(col(dateCol)).cast("long").as("__dn") :+
+      col(valueCol).cast("long").as("__v")): _*)
+    val joinCond = (keys.map(k => col(s"a.$k") === col(s"b.$k")) :+
+      (col("a.__dn") < col("b.__dn"))).reduce(_ && _)
+    base.as("a").join(base.as("b"), joinCond)
+      .select((keys.map(k => col(s"a.$k").as(k)) :+
+        ((col("b.__v") - col("a.__v")).cast("double") /
+          (col("b.__dn") - col("a.__dn")).cast("double")).as("__s")): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        floor(expr("percentile(__s, 0.5)") * lit(1000000.0) + lit(0.5))
+          .cast("long").as("slope_micro"))
+  }
 }

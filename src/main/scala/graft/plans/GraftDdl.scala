@@ -9,7 +9,7 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graft.Shim
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType}
 
-import graft.sources.Layout
+import graft.sources.{Layout, ManifestIndex}
 
 /** Table-by-NAME addressing for the SQL surface. A graft identifier that
   * LOOKS like a path (contains `/` or a scheme) is used verbatim; a bare
@@ -909,6 +909,27 @@ object GraftDdl {
   }
 
   /** `VACUUM graft.`x` [RETAIN n VERSIONS]` (parser-injected). */
+  /** `ALTER TABLE graft.x CLUSTER BY (a, b)` / `CLUSTER BY NONE`
+    * (parser-injected): declare — or drop — the table's S80 write-time
+    * clustering. Once declared, every image-appending write (append /
+    * replace / upsert / merge) range-places its fresh batch on the
+    * z-value of these columns, and OPTIMIZE without an explicit ZORDER
+    * list re-clusters to them. NONE drops the declaration; existing file
+    * layout is untouched either way (OPTIMIZE rewrites).
+    */
+  case class GraftClusterByCommand(ident: String, cols: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AttributeReference("cluster_columns", StringType,
+        nullable = false)())
+    override def run(session: SparkSession): Seq[Row] = {
+      val root = GraftPaths.resolve(session, ident)
+      if (cols.isEmpty) ManifestIndex.dropClusterColumns(session, root)
+      else ManifestIndex.setClusterColumns(session, root, cols)
+      Seq(Row(cols.mkString(",")))
+    }
+  }
+
   case class GraftVacuumCommand(ident: String, keep: Int)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] =

@@ -17,6 +17,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * OPTIMIZE graft.`/path` [ZORDER BY (c1, c2, …)]
   * RESTORE [TABLE] graft.`/path` TO VERSION AS OF n
   * CREATE TABLE graft.dst SHALLOW CLONE graft.src [VERSION AS OF n]
+  * ALTER TABLE graft.x CLUSTER BY (c1, c2, …) | CLUSTER BY NONE
   * }}}
   *
   * Everything that DOESN'T match these shapes — including every
@@ -126,6 +127,9 @@ object GraftSqlParser {
   private val CopyInto =
     ("(?is)^\\s*COPY\\s+INTO\\s+" + Id + "\\s+FROM\\s+'([^']+)'" +
       "(?:\\s+FILEFORMAT\\s*=\\s*(PARQUET|CSV|JSON))?\\s*;?\\s*$").r
+  private val ClusterBy =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + Id +
+      "\\s+CLUSTER\\s+BY\\s*(?:\\(([^)]*)\\)|(NONE))\\s*;?\\s*$").r
 
   private def ident(quoted: String, bare: String): String =
     Option(quoted).getOrElse(bare)
@@ -168,6 +172,11 @@ object GraftSqlParser {
       case CopyInto(q, b, path, fmt) =>
         Some(GraftDdl.GraftCopyIntoCommand(ident(q, b), path,
           Option(fmt).map(_.toLowerCase).getOrElse("parquet")))
+      case ClusterBy(q, b, cols, none) =>
+        // `CLUSTER BY NONE` drops the declaration (empty column list)
+        Some(GraftDdl.GraftClusterByCommand(ident(q, b),
+          if (none != null) Nil
+          else splitColumnList(Option(cols).getOrElse(""))))
       case _ => None
     }
 }

@@ -539,8 +539,14 @@ object Layout {
                                   targetBytes: Long,
                                   maxFiles: Int = 8,
                                   zOrderCols: Seq[String] = Nil): (String, Int) = graft.util.DmlTimer.timed {
+    // no explicit ZORDER list → the table's DECLARED clustering (S80)
+    // applies, so OPTIMIZE / maintain on a declared table re-clusters
+    // rewritten leaves without repeating the column list every call
+    val zCols =
+      if (zOrderCols.nonEmpty) zOrderCols
+      else ManifestIndex.clusterColumns(spark, root)
     if (ManifestIndex.isManifestRoot(spark, root))
-      return compactManifest(spark, root, targetBytes, maxFiles, zOrderCols)
+      return compactManifest(spark, root, targetBytes, maxFiles, zCols)
     val cur = resolveCurrent(spark, root)
     val curPath = new Path(cur)
     val fs = curPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -567,8 +573,8 @@ object Layout {
     fragmented.toSeq.sortBy(_._1).foreach { case (leaf, bytes) =>
       val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
       val data = spark.read.parquet(s"$cur/$leaf")
-      if (zOrderCols.nonEmpty)
-        writeZOrdered(data, s"$nextPath/$leaf", zOrderCols, files = files)
+      if (zCols.nonEmpty)
+        writeZOrdered(data, s"$nextPath/$leaf", zCols, files = files)
       else
         data.coalesce(files)
           .write.mode(SaveMode.Overwrite).parquet(s"$nextPath/$leaf")

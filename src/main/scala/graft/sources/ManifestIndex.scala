@@ -517,6 +517,16 @@ object ManifestIndex {
     }
   }
 
+  /** Drop the clustering declaration (`CLUSTER BY NONE`) — future writes
+    * land unplaced; existing file layout is untouched (OPTIMIZE rewrites).
+    */
+  def dropClusterColumns(spark: SparkSession, root: String): Unit = {
+    val p = new Path(root, ClusterFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+    ()
+  }
+
   def clusterColumns(spark: SparkSession, root: String): Seq[String] = {
     val p = new Path(root, ClusterFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

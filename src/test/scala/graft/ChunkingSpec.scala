@@ -79,6 +79,42 @@ class ChunkingSpec extends SparkSpec {
     assert(cross == self)
   }
 
+  test("containmentPairs: a quote inside a long doc scores ~1 where Jaccard vanishes (r15)") {
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (10 to 20).map(i => s"w$i").mkString(" ") // 11 tokens ⊂ long
+    val corpus = Seq((1L, long), (2L, quote),
+      (3L, "totally different words only here now forever and ever again"))
+      .toDF("doc_id", "text")
+    val cont = SetSimJoin.containmentPairs(corpus, "doc_id", "text",
+        shingleN = 3, threshold = 0.9)
+      .select("contained_id", "container_id").as[(Long, Long)]
+      .collect().toSet
+    // quote's 9 trigrams all occur in long → containment 1.0, one DIRECTION
+    assert(cont == Set((2L, 1L)))
+    // symmetric Jaccard at the same bar misses it (union is the long doc)
+    assert(SetSimJoin.jaccardPairs(corpus, "doc_id", "text",
+      shingleN = 3, threshold = 0.9).count() == 0L)
+    // brute-force differential over the real corpus slice
+    val sl = docs.limit(120)
+    val got = SetSimJoin.containmentPairs(sl, "doc_id", "text",
+        shingleN = 3, threshold = 0.3)
+      .select("contained_id", "container_id", "containment")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val sh = sl.select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val toks = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        id -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.toMap
+    val want = (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq
+      if a != b && sa.nonEmpty
+      c = sa.intersect(sb).size.toDouble / sa.size
+      if c >= 0.3
+    } yield (a, b) -> c).toMap
+    assert(got == want)
+  }
+
   test("stripBoilerplate removes hot lines everywhere, keeps order, blanks, empty docs") {
     val corpus = Seq(
       (1L, "unique a\nFOOTER\nunique b"),

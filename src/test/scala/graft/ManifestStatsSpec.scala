@@ -409,6 +409,13 @@ class ManifestStatsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Layout.declareClustering(spark, clustered, Seq("nope"))
     }
+    // SQL face: CLUSTER BY redeclares, NONE drops; OPTIMIZE with no
+    // explicit ZORDER list re-clusters to the declaration
+    spark.sql(s"ALTER TABLE graft.`$plain` CLUSTER BY (a, b)")
+    assert(graft.sources.ManifestIndex.clusterColumns(spark, plain) ==
+      Seq("a", "b"))
+    spark.sql(s"ALTER TABLE graft.`$plain` CLUSTER BY NONE")
+    assert(graft.sources.ManifestIndex.clusterColumns(spark, plain).isEmpty)
   }
 
   test("S79: per-column NDV folds from per-file sketches into plan stats") {

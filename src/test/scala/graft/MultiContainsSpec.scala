@@ -78,4 +78,23 @@ class MultiContainsSpec extends SparkSpec {
     val got = hits(text, pats)
     assert(got == Seq("needle4", "needle43", "needle437"))
   }
+
+  test("multibyte UTF-8: the byte walk matches exactly, never mid-codepoint") {
+    // 'é' is 0xC3 0xA9, 'ü' is 0xC3 0xBC — shared lead byte; '中' is 3
+    // bytes; '🙂' is 4. UTF-8 self-synchronization means a byte-level
+    // automaton can only match at codepoint boundaries — pinned here
+    // against lookalike prefixes and a differential vs contains.
+    val pats = Seq("café", "cafü", "中文", "🙂!", "naïve")
+    assert(hits("le café de la 中文 zone 🙂! ok", pats) ==
+      Seq("café", "中文", "🙂!"))
+    assert(hits("cafü only", pats) == Seq("cafü"))
+    assert(hits("cafe plain ascii", pats) == Seq.empty)
+    // differential on a mixed corpus
+    val corpus = Seq("naïve café", "中文🙂!", "ascii only", "ü中é",
+      "🙂!🙂!café", "naïve vs naïve")
+    corpus.foreach { t =>
+      assert(hits(t, pats) == pats.filter(t.contains(_)),
+        s"differential mismatch on '$t'")
+    }
+  }
 }

@@ -82,6 +82,37 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("quadrant prints: region edit kills one quadrant, match survives (r15)") {
+    val base = (0 until 400).map(i => ('a' + (i * 7 % 20)).toChar).mkString
+    // replace the LAST quarter wholesale: q0-q2 bytes identical, q3 gone
+    val edited = base.take(300) + ("z" * 100)
+    val other = (0 until 400).map(i => ('A' + (i * 13 % 26)).toChar).mkString
+    val df = Seq((1L, base), (2L, edited), (3L, other)).toDF("doc_id", "text")
+    val assets3 = Multimodal.fromDocuments(df)
+    // whole-payload dHash distance is far past q184's radius — the edit
+    // corrupts a quarter of the cell grid
+    val whole = Multimodal.phashes(assets3)
+      .select("asset_id", "dhash").as[(Long, Long)].collect().toMap
+    assert(java.lang.Long.bitCount(whole(1L) ^ whole(2L)) > 3,
+      "a region edit must defeat the whole-payload radius")
+    // ...but 3 of 4 quadrant prints are byte-identical
+    val prints = Multimodal.quadrantPrints(assets3)
+      .select("asset_id", "q", "print").as[(Long, Int, Long)].collect()
+    val byA = prints.filter(_._1 == 1L).map(r => r._2 -> r._3).toMap
+    val byB = prints.filter(_._1 == 2L).map(r => r._2 -> r._3).toMap
+    assert((0 to 2).forall(q => byA(q) == byB(q)) && byA(3) != byB(3))
+    val pairs = Multimodal.quadrantMatches(assets3, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 3L)), s"got $pairs")
+    // sub-grid quadrants (n/4 < 65) emit nothing
+    assert(Multimodal.quadrantPrints(Multimodal.fromDocuments(
+      Seq((9L, "x" * 200)).toDF("doc_id", "text"))).isEmpty)
+    intercept[IllegalArgumentException] {
+      Multimodal.quadrantMatches(assets3, quads = 4, minShared = 5)
+    }
+    graft.util.Caches.releaseAll()
+  }
+
   test("PerceptualHash matches a hand-rolled reference over real payloads") {
     import graft.functions.expressions.PerceptualHash
     val df = assets.limit(50).select($"asset_id",

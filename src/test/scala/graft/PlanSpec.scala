@@ -465,4 +465,48 @@ class PlanSpec extends SparkSpec {
     assert(countOf(pl, "partial_") >= 2, pl.take(1200))
     assert(!pl.contains("Join"), pl.take(800))
   }
+
+  test("q203: RRF fuses top-N lists with broadcast joins, never corpus-sized (r15)") {
+    val pl = plan("q203_hybrid_rrf")
+    // corpus-side work (BM25 scoring, the query-vector attach) must ride
+    // broadcasts; the ONE allowed SortMergeJoin is the fuse's full-outer
+    // over two <= topN-row rankings (Spark cannot broadcast FULL OUTER —
+    // and need not: both inputs are already top-N cuts)
+    assert(countOf(pl, "SortMergeJoin") <= 1, pl.take(1500))
+    assert(pl.contains("BroadcastHashJoin") ||
+      pl.contains("BroadcastNestedLoopJoin"), pl.take(1500))
+    assert(pl.contains("TakeOrderedAndProject"),
+      "the fused cut must be top-k, not a global sort")
+  }
+
+  test("q204: containment joins on shingle-hash equality, never nested-loop (r15)") {
+    val pl = plan("q204_containment_join")
+    assert(!pl.contains("NestedLoop") && !pl.contains("CartesianProduct"),
+      pl.take(1200))
+    assert(pl.contains("bit") || pl.contains("xxhash64") ||
+      pl.contains("InMemory"), "postings carry hashed shingles")
+    graft.util.Caches.releaseAll()
+  }
+
+  test("q205: the KMV overlap matrix joins sketches, never data (r15)") {
+    val pl = plan("q205_kmv_overlap")
+    // pair side is |groups| rows of O(k) lists — must broadcast; the only
+    // hash exchanges belong to the sketch build (dedupe + fold)
+    assert(pl.contains("BroadcastHashJoin") ||
+      pl.contains("BroadcastNestedLoopJoin"), pl.take(1500))
+    assert(!pl.contains("SortMergeJoin"), pl.take(1500))
+  }
+
+  test("q207: quadrant prints hash once per quadrant, equi-join candidates (r15)") {
+    val pl = plan("q207_quadrant_match")
+    // the prints build is CACHED and both join sides read the same
+    // InMemoryTableScan — the plan text prints the cached build's 4
+    // hashes once per side (8 textual hits), but the hashes compute once
+    assert(pl.contains("InMemoryTableScan"),
+      s"quadrant prints must come from the shared cache: ${pl.take(1200)}")
+    assert(countOf(pl, "perceptualhash") <= 8, pl.take(1200))
+    assert(!pl.contains("NestedLoop") && !pl.contains("CartesianProduct"),
+      pl.take(1200))
+    graft.util.Caches.releaseAll()
+  }
 }

@@ -94,4 +94,26 @@ class RetrievalSpec extends SparkSpec {
       .mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
     assert(again == batch)
   }
+
+  test("rrfFuse: analytic scores, missing-item zero, stable tie cut (r15)") {
+    import graft.ops.Retrieval.rrfFuse
+    val r1 = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rnk")
+    val r2 = Seq((20L, 1L), (40L, 2L), (10L, 3L)).toDF("id", "rnk")
+    val got = rrfFuse(Seq(r1, r2), "id", "rnk", k0 = 60, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def m(ranks: Seq[Long]): Long =
+      math.floor(ranks.map(r => 1.0 / (60.0 + r)).sum * 1e6 + 0.5).toLong
+    assert(got == Map(10L -> m(Seq(1, 3)), 20L -> m(Seq(2, 1)),
+      30L -> m(Seq(3)), 40L -> m(Seq(2))))
+    // the tie between 30 (rank 3 in r1 only) and 40 (rank... different)
+    // — craft an exact tie and pin the id-ordered cut at topK = 1
+    val t1 = Seq((1L, 5L)).toDF("id", "rnk")
+    val t2 = Seq((2L, 5L)).toDF("id", "rnk")
+    val cut = rrfFuse(Seq(t1, t2), "id", "rnk", k0 = 60, topK = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(cut == Seq(1L), "equal scores must cut on the id tiebreak")
+    intercept[IllegalArgumentException] {
+      rrfFuse(Seq(r1), "id", "rnk", topK = 5)
+    }
+  }
 }

@@ -68,4 +68,34 @@ class SeasonalSpec extends SparkSpec {
     assert(out.filter($"trend_micro".isNotNull || $"seasonal_micro".isNotNull
       || $"resid_micro".isNotNull).isEmpty)
   }
+
+  test("theilSen: exact slope on a line, one outlier barely moves it (r15)") {
+    // perfect line v = 7·t + 3: every pairwise slope is exactly 7
+    val line = days("a", (0 until 20).map(i => 7L * i + 3L)).toDF("k", "d", "v")
+    val got = Seasonal.theilSen(line, Seq("k"), "d", "v")
+      .select("k", "n_pairs", "slope_micro").as[(String, Long, Long)].head()
+    assert(got == (("a", 190L, 7000000L)))
+    // corrupt ONE day by 10000x: OLS would swing wildly; the slope median
+    // moves by at most a rank or two
+    val vals = (0 until 20).map(i =>
+      if (i == 10) 9999999L else 7L * i + 3L)
+    val robust = Seasonal.theilSen(days("a", vals).toDF("k", "d", "v"),
+      Seq("k"), "d", "v").select($"slope_micro").as[Long].head()
+    assert(math.abs(robust - 7000000L) < 1000000L,
+      s"one outlier must not drag the Theil–Sen slope: $robust")
+    // reference differential: median of all pairwise slopes, driver-side
+    val slopes = (for {
+      i <- vals.indices; j <- vals.indices if i < j
+    } yield (vals(j) - vals(i)).toDouble / (j - i)).sorted
+    val med =
+      if (slopes.length % 2 == 1) slopes(slopes.length / 2)
+      else (slopes(slopes.length / 2 - 1) + slopes(slopes.length / 2)) / 2.0
+    assert(robust == math.floor(med * 1e6 + 0.5).toLong)
+    // keys with < 2 days drop out; keys partition independently
+    val multi = (days("a", Seq(1L, 3L, 5L)) ++ days("solo", Seq(42L)))
+      .toDF("k", "d", "v")
+    val byKey = Seasonal.theilSen(multi, Seq("k"), "d", "v")
+      .select("k", "slope_micro").as[(String, Long)].collect().toMap
+    assert(byKey == Map("a" -> 2000000L))
+  }
 }

@@ -91,4 +91,33 @@ class SketchesSpec extends SparkSpec {
       Seq("g"), 64).head().getDouble(1)
     assert(merged == est)
   }
+
+  test("KMV overlap matrix: exact under k, ~accurate over, repartition-stable (r15)") {
+    import graft.ops.Aggregates
+    // small slices (union < k): the intersection is EXACT
+    val small = ((1 to 30).map(i => ("a", i.toLong)) ++
+      (21 to 50).map(i => ("b", i.toLong))).toDF("g", "v")
+    val gotSmall = Aggregates.kmvOverlapMatrix(small, "g", "v", k = 64)
+      .head().getDouble(2)
+    assert(gotSmall == 10.0, s"exact-under-k overlap, got $gotSmall")
+    // large slices: |A| = |B| = 3000, |A∩B| = 1000 — within the
+    // estimator's band (union + ratio error compounds; 3/sqrt(k) is
+    // a generous envelope at k = 256)
+    val big = ((1 to 3000).map(i => ("a", i.toLong)) ++
+      (2001 to 5000).map(i => ("b", i.toLong))).toDF("g", "v")
+    val gotBig = Aggregates.kmvOverlapMatrix(big, "g", "v", k = 256)
+      .head().getDouble(2)
+    assert(math.abs(gotBig - 1000.0) <= 3000.0 * 3.0 / 16.0,
+      s"overlap estimate $gotBig vs true 1000")
+    // determinism: the estimate is a pure function of the value sets
+    val shuffled = Aggregates.kmvOverlapMatrix(big.repartition(7), "g", "v",
+      k = 256).head().getDouble(2)
+    assert(shuffled == gotBig)
+    // disjoint slices: estimate is exactly 0 at any size (no common hash
+    // can enter both sketches)
+    val disj = ((1 to 2000).map(i => ("a", i.toLong)) ++
+      (10001 to 12000).map(i => ("b", i.toLong))).toDF("g", "v")
+    assert(Aggregates.kmvOverlapMatrix(disj, "g", "v", k = 64)
+      .head().getDouble(2) == 0.0)
+  }
 }

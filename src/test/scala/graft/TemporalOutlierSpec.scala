@@ -181,6 +181,35 @@ class TemporalOutlierSpec extends SparkSpec {
     graft.util.Caches.releaseAll()
   }
 
+  test("charEntropy: analytic truths, both junk tails flagged (r15)") {
+    val docs = Seq(
+      (1L, "aaaaaaaa"),              // one symbol: H = 0
+      (2L, "abcdefgh"),              // 8 distinct once each: H = ln 8
+      (3L, "aabb"),                  // two symbols, even: H = ln 2
+      (4L, "the cat sat on the mat") // natural-ish: between the tails
+    ).toDF("doc_id", "text")
+    val out = graft.ops.LmStats.charEntropy(docs, "doc_id", "text")
+      .select("doc_id", "n_chars", "entropy_micro")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def micro(h: Double): Long = math.floor(h * 1e6 + 0.5).toLong
+    assert(out(1L) == ((8L, 0L)))
+    assert(out(2L) == ((8L, micro(math.log(8.0)))))
+    assert(out(3L) == ((4L, micro(math.log(2.0)))))
+    // natural text sits well above the repetitive tail (0); the
+    // random-blob tail is a RELATIVE property — a doc approaching
+    // uniform-over-alphabet for its length maxes out, as doc 2 does
+    assert(out(1L)._2 < out(4L)._2, s"natural above repetitive: $out")
+    // partitioning cannot move the decimal-accumulated term sum
+    val big = spark.range(1000)
+      .selectExpr("id % 7 AS doc_id",
+        "concat(repeat('x', CAST(id % 13 AS INT)), ' word ', CAST(id AS STRING)) AS text")
+    val a = graft.ops.LmStats.charEntropy(big, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = graft.ops.LmStats.charEntropy(big.repartition(11), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("bigram conditionals: counts exact, P(.|w1) sums to 1") {
     val docs = Seq("a b a c", "a b").toDF("text")
     val out = graft.ops.LmStats.bigramConditionals(docs, "text", minCount = 1L)
