@@ -3014,6 +3014,14 @@ object SparkEntry {
         quads = 4, minShared = 2)
     }),
 
+    // --- deterministic sampled quantiles (r15): the percentile_approx
+    //     tier made a pure function of the data — bottom-k-by-hash row
+    //     sample, exact percentiles of the sample, hash-checkable ---
+    "q209_sampled_quantiles" -> ((s, dir) =>
+      Aggregates.hashSampleQuantiles(Tables.events(s, dir),
+        Seq("event_type"), "value", "event_id", k = 256,
+        qs = Seq(0.5, 0.9, 0.99))),
+
     // --- Theil–Sen robust trend (r15): the outlier-proof drift monitor
     //     over per-priority daily revenue — one corrupted ingest day
     //     drags OLS arbitrarily far, moves the slope median one rank ---
@@ -5439,6 +5447,26 @@ object SparkEntry {
           CAST(floor(quantile_cont(s, 0.5) * 1000000.0 + 0.5) AS BIGINT)
             AS slope_micro
         FROM sl GROUP BY 1""",
+
+      // bottom-256-by-hash row sample per type, exact percentiles of the
+      // sample — the estimator is a pure function of the data
+      "q209_sampled_quantiles" -> s"""
+        WITH h AS (SELECT event_type, value AS v,
+            (${duckPolyHash("CAST(event_id AS VARCHAR)")} *
+              ${Aggregates.KmvPerm._1} + ${Aggregates.KmvPerm._2})
+              % 1000000007 AS hh
+          FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        r AS (SELECT event_type, v,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh, v) AS rn
+          FROM h)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
+          CAST(floor(quantile_cont(v, 0.5) * 1000000.0 + 0.5) AS BIGINT)
+            AS p50_micro,
+          CAST(floor(quantile_cont(v, 0.9) * 1000000.0 + 0.5) AS BIGINT)
+            AS p90_micro,
+          CAST(floor(quantile_cont(v, 0.99) * 1000000.0 + 0.5) AS BIGINT)
+            AS p99_micro
+        FROM r WHERE rn <= 256 GROUP BY 1""",
 
       "q165_sql_update_delete" -> s"""
         WITH u AS (SELECT l_returnflag,

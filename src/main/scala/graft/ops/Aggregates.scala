@@ -144,6 +144,53 @@ object Aggregates {
       .select(col("key_a"), col("key_b"), col("n_common_est"))
   }
 
+  /** Deterministic SAMPLED quantiles: per group, the k rows whose
+    * uniformized row-id hash is smallest form a uniform sample (the hash
+    * rank is independent of the values — the same bottom-k-by-hash trick
+    * as [[kmvSketches]], applied to ROWS), and the quantiles are exact
+    * percentiles OF THE SAMPLE. This is the approximate-percentile tier
+    * `percentile_approx` occupies, made a pure function of the data:
+    * same rows → same sample → same estimate, any partitioning, any
+    * engine — so unlike a t-digest the estimates hash-check against an
+    * external oracle, and groups with ≤ k rows are EXACT.
+    *
+    * Scale shape: the [[TopKAgg]] buffer is map-side k-capped, so the
+    * shuffle carries ≤ k (hash, value) pairs per (group × partition) —
+    * the full-sort cost of exact percentiles never happens; estimator
+    * error is the standard sampling bound (~1/√k on the rank).
+    *
+    * @param rowId a unique row identity column (hash input; values never
+    *              enter the hash, so duplicates are sampled fairly)
+    * @return keys… , n_sample, p<q·100>… (micro-quantized doubles)
+    */
+  def hashSampleQuantiles(df: DataFrame, keys: Seq[String], of: String,
+                          rowId: String, k: Int,
+                          qs: Seq[Double]): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    require(k >= 2, s"hashSampleQuantiles: k must be >= 2, got $k")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"hashSampleQuantiles: quantiles must be in [0, 1], got $qs")
+    val (a, b) = KmvPerm
+    val h = pmod(TF.polyHash(col(rowId).cast("string")) * lit(a) + lit(b),
+      lit(TF.PolyP))
+    val sample = df.filter(col(of).isNotNull && col(rowId).isNotNull)
+      .select((keys.map(col) :+ h.as("__h") :+
+        col(of).cast("double").as("__v")): _*)
+      .groupBy(keys.map(col): _*)
+      // score −h: smallest hashes win; hash-collision ties break on the
+      // value, mirrored by the oracle's ORDER BY (h, v)
+      .agg(graft.functions.expressions.TopKAgg
+        .topK(-col("__h"), col("__v"), k).as("__tk"))
+      .select((keys.map(col) :+
+        explode(col("__tk")).as("__p")): _*)
+      .select((keys.map(col) :+ col("__p.id").as("__v")): _*)
+    def pName(q: Double): String = s"p${math.round(q * 100)}"
+    sample.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_sample"),
+        qs.map(q => floor(expr(s"percentile(__v, $q)") * lit(1000000.0) +
+          lit(0.5)).cast("long").as(pName(q) + "_micro")): _*)
+  }
+
   /** Shared sketch tail: dedupe the (keys, __h) frame, keep the k
     * smallest per group via the bounded [[TopKAgg]] buffer, project the
     * ascending hash list as `kmv`.

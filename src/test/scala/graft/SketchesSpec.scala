@@ -120,4 +120,38 @@ class SketchesSpec extends SparkSpec {
     assert(Aggregates.kmvOverlapMatrix(disj, "g", "v", k = 64)
       .head().getDouble(2) == 0.0)
   }
+
+  test("hashSampleQuantiles: exact under k, ~accurate over, deterministic (r15)") {
+    import graft.ops.Aggregates
+    def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    // group smaller than k: the sample IS the group — exact percentiles
+    val small = (1 to 99).map(i => ("g", i.toLong, i.toDouble))
+      .toDF("g", "rid", "v")
+    val gotSmall = Aggregates.hashSampleQuantiles(small, Seq("g"), "v",
+      "rid", k = 256, qs = Seq(0.5, 0.9)).head()
+    assert(gotSmall.getLong(1) == 99L)
+    // interpolated: index 0.9·(99−1) = 88.2 → 89 + 0.2 = 89.2
+    assert(gotSmall.getLong(2) == micro(50.0) &&
+      gotSmall.getLong(3) == micro(89.2))
+    // 20k uniform values, k=512 sample: the p50/p90 estimates land within
+    // the sampling band (~3/sqrt(k) of the rank ≈ 13% of the range here)
+    val big = (1 to 20000).map(i => ("g", i.toLong, i.toDouble))
+      .toDF("g", "rid", "v")
+    val gotBig = Aggregates.hashSampleQuantiles(big, Seq("g"), "v",
+      "rid", k = 512, qs = Seq(0.5, 0.9)).head()
+    assert(gotBig.getLong(1) == 512L)
+    assert(math.abs(gotBig.getLong(2) - micro(10000.0)) < micro(2700.0),
+      s"p50 estimate ${gotBig.getLong(2)}")
+    assert(math.abs(gotBig.getLong(3) - micro(18000.0)) < micro(2700.0),
+      s"p90 estimate ${gotBig.getLong(3)}")
+    // pure function of the data: partitioning cannot move the estimate
+    val re = Aggregates.hashSampleQuantiles(big.repartition(13), Seq("g"),
+      "v", "rid", k = 512, qs = Seq(0.5, 0.9)).head()
+    assert(re.getLong(2) == gotBig.getLong(2) &&
+      re.getLong(3) == gotBig.getLong(3))
+    intercept[IllegalArgumentException] {
+      Aggregates.hashSampleQuantiles(small, Seq("g"), "v", "rid", k = 1,
+        qs = Seq(0.5))
+    }
+  }
 }
