@@ -3022,6 +3022,17 @@ object SparkEntry {
         Seq("event_type"), "value", "event_id", k = 256,
         qs = Seq(0.5, 0.9, 0.99))),
 
+    // --- cross-corpus LM novelty (r15): odd docs scored under the
+    //     bigram LM of the EVEN half — high bits/bigram = content the
+    //     reference has not seen; the fresh-crawl triage / distribution-
+    //     shift probe (and, against an eval set, a contamination score) ---
+    "q210_novelty_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      LmStats.scoreDocsAgainst(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        docs.filter(col("doc_id") % 2 === 0), "text")
+    }),
+
     // --- Theil–Sen robust trend (r15): the outlier-proof drift monitor
     //     over per-priority daily revenue — one corrupted ingest day
     //     drags OLS arbitrarily far, moves the slope median one rank ---
@@ -5467,6 +5478,30 @@ object SparkEntry {
           CAST(floor(quantile_cont(v, 0.99) * 1000000.0 + 0.5) AS BIGINT)
             AS p99_micro
         FROM r WHERE rn <= 256 GROUP BY 1""",
+
+      // the q96 replay split across corpora: LM counts from the even
+      // half, odd docs score with the two-level unseen backoff
+      "q210_novelty_score" -> """
+        WITH t AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        g AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1),
+            i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+          FROM t WHERE len(toks) >= 2),
+        b AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1,
+            string_split(bg, ' ')[2] AS w2 FROM g),
+        rb AS (SELECT w1, w2 FROM b WHERE doc_id % 2 = 0),
+        c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+          FROM rb GROUP BY 1, 2),
+        cx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM rb GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT w2) AS v FROM rb),
+        sb AS (SELECT doc_id, w1, w2 FROM b WHERE doc_id % 2 = 1)
+        SELECT sb.doc_id, COUNT(*) AS n_bigrams,
+          round(CAST(SUM(CAST(round(-log2(
+              (coalesce(c12, 0) + 0.5) / (coalesce(c1, 0) + 0.5 * v)), 12)
+              AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6) AS bits_per_bigram
+        FROM sb LEFT JOIN c USING (w1, w2) LEFT JOIN cx USING (w1)
+          CROSS JOIN v
+        GROUP BY sb.doc_id""",
 
       "q165_sql_update_delete" -> s"""
         WITH u AS (SELECT l_returnflag,

@@ -88,6 +88,55 @@ object LmStats {
         round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("bits_per_bigram"))
   }
 
+  /** Cross-corpus NOVELTY scoring: bits/bigram of `docs` under a bigram
+    * LM trained on a REFERENCE corpus — high = content the reference has
+    * not seen (distribution shift, fresh-crawl triage); low against an
+    * eval-set reference is a contamination signal ([[scoreDocs]] is the
+    * self-trained sibling, where this cross-corpus direction is the
+    * operator a mixing pipeline actually runs). Laplace-α smoothing keeps
+    * unseen mass finite and DISTINGUISHES the two unseen cases: an unseen
+    * successor in a SEEN context pays `(0+α)/(c1+αV)` (the context count
+    * joins separately — folding it to 0 would overestimate novelty mass),
+    * an unseen context pays the uniform `1/V`.
+    *
+    * Determinism and scale shape are [[scoreDocs]]'s: per-bigram nll
+    * rounded to 12dp then DECIMAL-summed (no float accumulation order),
+    * one explode per corpus, the LM aggregates broadcast-joined back.
+    *
+    * @return (idCol, n_bigrams, bits_per_bigram) for scored docs with ≥ 1
+    *         bigram
+    */
+  def scoreDocsAgainst(docs: DataFrame, idCol: String, textCol: String,
+                       ref: DataFrame, refTextCol: String,
+                       alpha: Double = 0.5): DataFrame = {
+    def bigrams(df: DataFrame, textC: String, idCols: Seq[String]): DataFrame = {
+      val toks = TextFunctions.tokens(col(textC))
+      val pairs = zip_with(toks,
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+      df.select((idCols.map(col) :+ explode(pairs).as("bg")): _*)
+        .filter(col("bg.w2").isNotNull)
+        .select((idCols.map(col) :+ col("bg.w1").as("w1")) :+
+          col("bg.w2").as("w2"): _*)
+    }
+    val refBg = graft.util.Caches.cache(bigrams(ref, refTextCol, Nil)).toDF
+    val pairLm = refBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctxLm = refBg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = refBg.agg(countDistinct(col("w2")).as("v"))
+    bigrams(docs, textCol, Seq(idCol))
+      .join(pairLm, Seq("w1", "w2"), "left")
+      .join(ctxLm, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll",
+        round(-log2((coalesce(col("c12"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("c1"), lit(0L)) + lit(alpha) * col("v"))), 12)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6)
+          .as("bits_per_bigram"))
+  }
+
   /** Per-document character-unigram entropy — the cheapest content-quality
     * screen in the corpus toolbox: repetitive generator junk ("aaaa…",
     * template spam) sits far BELOW natural text's entropy band, base64 /

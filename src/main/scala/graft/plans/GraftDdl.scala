@@ -825,17 +825,21 @@ object GraftDdl {
       AttributeReference("bytes", org.apache.spark.sql.types.LongType,
         nullable = false)(),
       AttributeReference("partition_columns", StringType, nullable = false)(),
-      AttributeReference("check_constraints", StringType, nullable = false)())
+      AttributeReference("check_constraints", StringType, nullable = false)(),
+      AttributeReference("cluster_columns", StringType, nullable = false)())
     override def run(session: SparkSession): Seq[Row] = {
       val root = GraftPaths.resolve(session, ident)
       val cur = Layout.currentVersionNumber(session, root)
+      // S80 observability: the declared write-time clustering, "" if none
+      val cluster = ManifestIndex.clusterColumns(session, root).mkString(",")
       if (graft.sources.ManifestIndex.isManifestRoot(session, root)) {
         val man = graft.sources.ManifestIndex.read(session, root, f"v$cur%05d")
         Seq(Row("graft-manifest", root, cur,
           man.entries.length.toLong, man.entries.map(_.size).sum,
           man.partitionSchema.fieldNames.mkString(","),
           man.constraints.toSeq.sortBy(_._1)
-            .map { case (n, sql) => s"$n CHECK ($sql)" }.mkString("; ")))
+            .map { case (n, sql) => s"$n CHECK ($sql)" }.mkString("; "),
+          cluster))
       } else {
         // list ONLY the live version dir — history() would recursively
         // list EVERY retained version for the one row we need (review fix)
@@ -853,7 +857,7 @@ object GraftDdl {
           }
         }
         Seq(Row("graft-hardlink", root, cur, files, bytes,
-          Layout.partitionColumns(session, root).mkString(","), ""))
+          Layout.partitionColumns(session, root).mkString(","), "", cluster))
       }
     }
   }

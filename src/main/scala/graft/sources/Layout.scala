@@ -1727,6 +1727,13 @@ object Layout {
       !man.partitionSchema.fieldNames.contains(newName),
       s"renameColumn: '$newName' already exists")
     requireNoConstraintReference(spark, man, oldName, "renameColumn")
+    // a declared CLUSTER BY column rides the sidecar by LOGICAL name —
+    // renaming underneath it would brick every subsequent write (the
+    // placement selects a column that no longer exists); refuse loudly,
+    // the same contract as constraint references
+    require(!ManifestIndex.clusterColumns(spark, root).contains(oldName),
+      s"renameColumn: '$oldName' is a declared CLUSTER BY column — " +
+        "redeclare the clustering (or CLUSTER BY NONE) first")
     val renamed = StructType(man.dataSchema.map { f =>
       if (f.name != oldName) f
       else org.apache.spark.sql.types.StructField(newName, f.dataType, f.nullable,
@@ -1933,6 +1940,11 @@ object Layout {
     require(blooms.forall(b => !newPcols.contains(b)),
       s"repartitionTable: ${blooms.mkString(",")} are declared bloom " +
         "columns — a dir-encoded column gets no per-file blooms; unset first")
+    val clustered = ManifestIndex.clusterColumns(spark, root)
+    require(clustered.forall(c => !newPcols.contains(c)),
+      s"repartitionTable: ${clustered.mkString(",")} are declared CLUSTER " +
+        "BY columns — the leaves would already split on them and every " +
+        "subsequent write would refuse; CLUSTER BY NONE (or redeclare) first")
     val plain = newPcols.map(n =>
       org.apache.spark.sql.types.StructField(n, fieldBy(n).dataType,
         fieldBy(n).nullable))
@@ -1966,6 +1978,9 @@ object Layout {
     require(active.length > 1,
       "dropColumn: refusing to drop the last data column")
     requireNoConstraintReference(spark, man, name, "dropColumn")
+    require(!ManifestIndex.clusterColumns(spark, root).contains(name),
+      s"dropColumn: '$name' is a declared CLUSTER BY column — " +
+        "redeclare the clustering (or CLUSTER BY NONE) first")
     val dropped = StructType(man.dataSchema.map { f =>
       if (f.name != name) f
       else org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable,

@@ -416,6 +416,16 @@ class ManifestStatsSpec extends SparkSpec {
       Seq("a", "b"))
     spark.sql(s"ALTER TABLE graft.`$plain` CLUSTER BY NONE")
     assert(graft.sources.ManifestIndex.clusterColumns(spark, plain).isEmpty)
+    // rename/drop of a declared cluster column refuses loudly — the
+    // sidecar rides logical names, silent drift would brick future writes
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.renameColumn(spark, clustered, "a", "a2")
+    }
+    assert(e1.getMessage.contains("CLUSTER BY"))
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.dropColumn(spark, clustered, "b")
+    }
+    assert(e2.getMessage.contains("CLUSTER BY"))
   }
 
   test("S79: per-column NDV folds from per-file sketches into plan stats") {

@@ -156,6 +156,10 @@ class SqlDdlSpec extends SparkSpec {
     assert(d.getLong(3) >= 1L && d.getLong(4) > 0L)
     assert(d.getString(5) == "part")
     assert(d.getString(6) == "v_pos CHECK (v >= 0)")
+    assert(d.getString(7) == "")               // no declared clustering
+    spark.sql(s"ALTER TABLE graft.`$root` CLUSTER BY (v)")
+    assert(spark.sql(s"DESCRIBE DETAIL graft.`$root`").head().getString(7)
+      == "v")
   }
 
   test("RESTORE TO VERSION AS OF and SHALLOW CLONE statements") {

@@ -181,6 +181,33 @@ class TemporalOutlierSpec extends SparkSpec {
     graft.util.Caches.releaseAll()
   }
 
+  test("scoreDocsAgainst: cross-corpus novelty with two-level backoff (r15)") {
+    // ref bigrams: (a,b)×2, (b,c)×2, (c,a)×1 — V = |{b,c,a}| = 3
+    val ref = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"),  // seen pair:        p = 2.5/3.5
+      (2L, "x y"),  // unseen CONTEXT:   p = 0.5/1.5 = 1/3 (uniform)
+      (3L, "a z")   // seen context, unseen successor: p = 0.5/3.5 — the
+                    // two-level backoff: c1=2 must join even when the
+                    // (w1,w2) pair misses
+    ).toDF("doc_id", "text")
+    val out = graft.ops.LmStats.scoreDocsAgainst(docs, "doc_id", "text",
+        ref, "text")
+      .select("doc_id", "n_bigrams", "bits_per_bigram")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def bits(p: Double): Double =
+      math.round(-math.log(p) / math.log(2.0) * 1e12) / 1e12
+    def r6(x: Double): Double = math.round(x * 1e6) / 1e6
+    assert(out(1L) == ((1L, r6(bits(2.5 / 3.5)))))
+    assert(out(2L) == ((1L, r6(bits(0.5 / 1.5)))))
+    assert(out(3L) == ((1L, r6(bits(0.5 / 3.5)))), s"got ${out(3L)}")
+    // novelty orders: in-distribution < uniform-unseen < ... and the
+    // seen-context unseen-successor is the MOST surprising here (its
+    // denominator carries the context mass)
+    assert(out(1L)._2 < out(2L)._2 && out(2L)._2 < out(3L)._2)
+    graft.util.Caches.releaseAll()
+  }
+
   test("charEntropy: analytic truths, both junk tails flagged (r15)") {
     val docs = Seq(
       (1L, "aaaaaaaa"),              // one symbol: H = 0
