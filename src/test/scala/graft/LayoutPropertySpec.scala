@@ -37,7 +37,11 @@ class LayoutPropertySpec extends SparkSpec {
     * keyed by id, so every interleaved writer provably preserves the
     * constraint: merges/upserts key on id, appends/COPY INTO use
     * guaranteed-fresh ids, updates never SET id — the gates must
-    * therefore never fire, which is exactly the property) (manifest
+    * therefore never fire, which is exactly the property), 18 = declared
+    * CLUSTER BY toggle on v (r15 — a sidecar write, NO version commit;
+    * while declared, EVERY subsequent write front places its images on
+    * the z-value, and the property is that placement NEVER changes
+    * content) (manifest
     * mode only — the merge-on-read writers require it).
     * After an evolution the COW writers may refuse (mixed layout) — the
     * model accepts either outcome, because purge/compact can converge the
@@ -57,7 +61,7 @@ class LayoutPropertySpec extends SparkSpec {
     * correct in BOTH modes (a manifest version dir is not self-contained).
     */
   private def modelProperty(manifest: Boolean): Prop =
-    Prop.forAll(genOps(if (manifest) 17 else 1)) { ops =>
+    Prop.forAll(genOps(if (manifest) 18 else 1)) { ops =>
     val root = Files.createTempDirectory("graft_vprop").toString
     var model = (0L until 12L).map(i => i -> (partOf(i), i.toDouble * 10)).toMap
     // manifest tables are born with a NARROW id so a random widen op has
@@ -231,6 +235,14 @@ class LayoutPropertySpec extends SparkSpec {
           if (vUnique) Layout.dropUniqueConstraint(spark, root, "uid")
           else Layout.addUniqueConstraint(spark, root, "uid", Seq("id"))
           vUnique = !vUnique
+        case 18 =>
+          // r15 declared-clustering toggle: a sidecar write, no version;
+          // placement-only — content equality after every later op IS
+          // the property
+          if (graft.sources.ManifestIndex.clusterColumns(spark, root).nonEmpty)
+            graft.sources.ManifestIndex.dropClusterColumns(spark, root)
+          else Layout.declareClustering(spark, root, Seq("v"))
+          committed = false
         case 10 =>
           val r = Layout.maintain(spark, root,
             Layout.MaintenancePolicy(keepVersions = 100000))
