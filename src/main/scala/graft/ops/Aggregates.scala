@@ -170,6 +170,11 @@ object Aggregates {
     require(k >= 2, s"hashSampleQuantiles: k must be >= 2, got $k")
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"hashSampleQuantiles: quantiles must be in [0, 1], got $qs")
+    // column names are p<q·100>: a non-integral percent (0.999 → "p100")
+    // would LIE in the name — refuse rather than round
+    require(qs.forall(q => (q * 100) == math.round(q * 100).toDouble),
+      s"hashSampleQuantiles: quantiles must be whole percents " +
+        s"(the output column is named p<q*100>), got $qs")
     val (a, b) = KmvPerm
     val h = pmod(TF.polyHash(col(rowId).cast("string")) * lit(a) + lit(b),
       lit(TF.PolyP))

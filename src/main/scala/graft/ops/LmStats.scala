@@ -102,6 +102,9 @@ object LmStats {
     * Determinism and scale shape are [[scoreDocs]]'s: per-bigram nll
     * rounded to 12dp then DECIMAL-summed (no float accumulation order),
     * one explode per corpus, the LM aggregates broadcast-joined back.
+    * A reference with NO bigrams has no vocabulary to smooth over —
+    * scoring then fails loudly (ANSI division by zero), which is the
+    * right answer to "score against nothing".
     *
     * @return (idCol, n_bigrams, bits_per_bigram) for scored docs with ≥ 1
     *         bigram

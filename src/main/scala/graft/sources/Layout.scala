@@ -1860,7 +1860,14 @@ object Layout {
             ManifestIndex.reencodeBound(_, f.dataType, to, zone)),
           max = c.max.flatMap(
             ManifestIndex.reencodeBound(_, f.dataType, to, zone)),
-          bloom = None)))))
+          // bloom AND ndv hash the STORED type: xxhash64(int 5) ≠
+          // xxhash64(long 5), so a sketch built under the old type must
+          // not union with new-type sketches (the same reason the bloom
+          // drops) — it would double-count every value present on both
+          // sides of the widen. Fresh files regrow both at the next
+          // compaction/commit.
+          bloom = None,
+          ndv = None)))))
       }).getOrElse(e)
     }
     val (next, nextPath) = nextVersion(spark, root, cur)

@@ -485,16 +485,22 @@ object ManifestIndex {
   def setClusterColumns(spark: SparkSession, root: String,
                         cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "setClusterColumns: empty column list")
+    // clustering only steers the MANIFEST write paths — declaring it on a
+    // hardlink root (or a path that is no table at all) would silently do
+    // nothing forever, and skip validation entirely; refuse loudly
+    require(isManifestRoot(spark, root),
+      s"setClusterColumns: $root is not a manifest root — declared " +
+        "clustering steers the manifest write paths only")
     val p = new Path(root, ClusterFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // validate against the newest manifest when one exists — same
-    // loud-at-declaration contract as setBloomColumns
-    fs.listStatus(new Path(root)).map(_.getPath.getName)
+    // validate against the newest manifest — same loud-at-declaration
+    // contract as setBloomColumns
+    val mf = fs.listStatus(new Path(root)).map(_.getPath.getName)
       .filter(_.matches("v\\d{5}\\.manifest")).sorted.lastOption
-      .foreach { mf =>
-        val m = read(spark, root, mf.stripSuffix(".manifest"))
-        validateClusterColumns(cols, m.dataSchema, m.partitionSchema)
-      }
+      .getOrElse(throw new IllegalArgumentException(
+        s"setClusterColumns: no manifest found under $root"))
+    val m = read(spark, root, mf.stripSuffix(".manifest"))
+    validateClusterColumns(cols, m.dataSchema, m.partitionSchema)
     val out = fs.create(p, true)
     try out.write(cols.mkString("\n").getBytes("UTF-8")) finally out.close()
   }

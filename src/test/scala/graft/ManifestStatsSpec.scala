@@ -456,6 +456,33 @@ class ManifestStatsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.cbo.planStats.enabled", prev)
   }
 
+  test("S79: widening drops the column's NDV sketches (stored-type hashes), compaction regrows") {
+    import graft.sources.Layout
+    val root = Files.createTempDirectory("graft_ndv_widen").toString
+    Layout.initVersionedManifest(
+      spark.range(500).select($"id".cast("int").as("v"), $"id".as("k"),
+        lit("p1").as("part")).repartition(3), root, Seq("part"))
+    val prev = spark.conf.get("spark.sql.cbo.planStats.enabled", "false")
+    spark.conf.set("spark.sql.cbo.planStats.enabled", "true")
+    def ndvOf(c: String): Option[BigInt] = Layout.readCurrent(spark, root)
+      .queryExecution.optimizedPlan.stats.attributeStats
+      .find(_._1.name == c).flatMap(_._2.distinctCount)
+    try {
+      assert(ndvOf("v").isDefined)
+      Layout.widenColumn(spark, root, "v", org.apache.spark.sql.types.LongType)
+      // int-hash sketches must NOT survive into the long-typed column —
+      // unioning them with future long-hash sketches would double-count
+      assert(ndvOf("v").isEmpty, "widen must drop the stale ndv sketches")
+      assert(ndvOf("k").isDefined, "untouched columns keep theirs")
+      // the compaction rewrite re-records stats under the wide type
+      Layout.compactVersionedPartitioned(spark, root, targetBytes = 1L << 26,
+        maxFiles = 1)
+      val regrown = ndvOf("v")
+      assert(regrown.isDefined && (regrown.get - 500).abs <= 100,
+        s"compaction must regrow ndv under the wide type, got $regrown")
+    } finally spark.conf.set("spark.sql.cbo.planStats.enabled", prev)
+  }
+
   test("S79: NDV drives aggregate estimation → broadcast build side under CBO") {
     import graft.sources.Layout
     // facts: 40k rows, ONLY 32 distinct group keys, ~3 MB raw; dims: 40k
