@@ -3022,6 +3022,24 @@ object SparkEntry {
         Seq("event_type"), "value", "event_id", k = 256,
         qs = Seq(0.5, 0.9, 0.99))),
 
+    // --- personalized PageRank (r15): random walk with restart to a
+    //     seed set — "related to THESE items" over the co-purchase
+    //     graph, where q154's global walk measures importance ---
+    "q211_ppr" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("p"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+      val seeds = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      Graph.personalizedPageRank(edges, seeds, iters = 3, damping = 0.85)
+    }),
+
     // --- cross-corpus LM novelty (r15): odd docs scored under the
     //     bigram LM of the EVEN half — high bits/bigram = content the
     //     reference has not seen; the fresh-crawl triage / distribution-
@@ -5081,6 +5099,45 @@ object SparkEntry {
         ${iter("r2", "r3")}
         SELECT node, round(rank, 10) AS rank FROM r3"""
       },
+      "q211_ppr" -> {
+        // one PPR round: teleport to seeds (node % 194 = 0 in node space
+        // — even customer nodes whose custkey % 97 = 0), dangling mass 0
+        // on the symmetric bipartite graph (every node has out-edges)
+        def iter(prev: String, out: String) = s"""
+        $out AS (SELECT nd.node,
+            (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * nd.t
+              + CAST(0.85 AS DOUBLE) *
+                (COALESCE(m.in_mass, CAST(0 AS DOUBLE))
+                  + CAST(0 AS DOUBLE) * nd.t)
+              AS rank
+          FROM tele nd LEFT JOIN (
+            SELECT e.dst AS node,
+              CAST(SUM(CAST(r.rank / d.deg AS DECIMAL(38,12))) AS DOUBLE)
+                AS in_mass
+            FROM $prev r JOIN deg d ON r.node = d.node
+                         JOIN e ON e.src = r.node
+            GROUP BY 1) m ON nd.node = m.node)"""
+        s"""
+        WITH base AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        e AS (SELECT c AS src, p AS dst FROM base
+              UNION ALL SELECT p, c FROM base),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        s AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM nodes
+          WHERE node % 194 = 0),
+        deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM e GROUP BY 1),
+        tele AS (SELECT node,
+            CASE WHEN node % 194 = 0 THEN CAST(1.0 AS DOUBLE) / ss.s
+                 ELSE CAST(0.0 AS DOUBLE) END AS t
+          FROM nodes CROSS JOIN s ss),
+        r0 AS (SELECT node, t AS rank FROM tele),
+        ${iter("r0", "r1")},
+        ${iter("r1", "r2")},
+        ${iter("r2", "r3")}
+        SELECT node, round(rank, 10) AS rank FROM r3"""
+      },
+
       "q155_bm25" -> """
         WITH toks AS (SELECT doc_id,
             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok

@@ -83,6 +83,74 @@ object Graph {
     ranks.select(col("node"), round(col("rank"), 10).as("rank"))
   }
 
+  /** PERSONALIZED PageRank (the random walk with restart to a SEED SET):
+    * teleportation goes uniformly to `seeds` instead of to every node,
+    * so the stationary mass measures proximity TO THE SEEDS — the
+    * "related items" / "more like these" ranker over co-purchase,
+    * citation and near-dup link graphs, where global [[pageRank]]
+    * measures importance. Dangling mass restarts at the seeds too (the
+    * standard PPR convention — mass must never leak back to the uniform
+    * pool or the walk stops being personalized).
+    *
+    * Seeds outside the graph carry no edges and get no mass (they are
+    * dropped by the node semi-join); an EMPTY effective seed set refuses
+    * loudly — an all-zero teleport would silently rank everything 0.
+    *
+    * Determinism and scale shape are [[pageRank]]'s: decimal-accumulated
+    * contribution sums, one edge shuffle + node joins per bounded
+    * iteration, the teleport vector rides the node table as a column
+    * (never driver-side), lineage cut per round.
+    *
+    * @param seeds one `node` column; duplicates tolerated
+    * @return one row per node: (node, rank) — ranks sum to ~1
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "personalizedPageRank: at least one iteration")
+    val dec = DecimalType(38, 12)
+    val e = graft.util.Caches.cache(edges.select(col("src"), col("dst")))
+    val nodes = graft.util.Caches.cache(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val seedNodes = graft.util.Caches.cache(
+      nodes.join(seeds.select(col("node")).distinct(), Seq("node"),
+        "left_semi"))
+    require(!seedNodes.isEmpty,
+      "personalizedPageRank: no seed appears in the graph — an all-zero " +
+        "teleport would rank every node 0")
+    val sRow = seedNodes.agg(count(lit(1)).as("s"))
+    val tele = graft.util.Caches.cache(nodes
+      .join(seedNodes.withColumn("__is", lit(1)), Seq("node"), "left")
+      .crossJoin(broadcast(sRow))
+      .select(col("node"),
+        when(col("__is").isNotNull, lit(1.0) / col("s"))
+          .otherwise(lit(0.0)).as("t")))
+    val outdeg = graft.util.Caches.cache(e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")))
+    var ranks = tele.select(col("node"), col("t").as("rank"))
+    for (_ <- 0 until iters) {
+      val withDeg = ranks.join(outdeg, Seq("node"), "left")
+      val dangling = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("rank").cast(dec)), lit(0).cast(dec))
+          .as("dangle"))
+      val contribs = withDeg.filter(col("deg").isNotNull)
+        .join(e, withDeg("node") === e("src"))
+        .select(col("dst").as("node"),
+          (col("rank") / col("deg")).cast(dec).as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("in_mass"))
+      ranks = tele
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          ((lit(1.0) - lit(damping)) * col("t") +
+            lit(damping) *
+              (coalesce(col("in_mass"), lit(0).cast(dec)).cast("double") +
+                col("dangle").cast("double") * col("t"))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), round(col("rank"), 10).as("rank"))
+  }
+
   /** Per-node triangle participation over an undirected edge table —
     * the clustering diagnostic for co-occurrence graphs (two parts in
     * the same order, two docs sharing a shingle): a node in many
