@@ -2847,14 +2847,17 @@ object SparkEntry {
     //     overlapping patterns ("data"/"at", "the"/"he") exercise the
     //     failure links the oracle's per-pattern contains cannot get wrong ---
     "q196_blocklist_screen" -> ((s, dir) =>
+      // two-step select: the hit ARRAY computes once (CollapseProject
+      // keeps the non-cheap automaton single-eval), n_hits comes from
+      // size() of the array — never from re-splitting the joined string,
+      // which would miscount the day a pattern carries a comma (review
+      // fix); the scalar join is for the driver's row hash (array<string>
+      // broke the r13 run)
       Tables.documents(s, dir).select(col("doc_id"),
-          // joined to one scalar string: the driver's row-sort/hash can
-          // only key on scalar columns (array<string> broke the r13 run)
-          array_join(TF.blocklistHits(col("text"), BlocklistPatterns), ",")
-            .as("hits"))
-        .withColumn("n_hits",
-          when(col("hits") === "", lit(0L))
-            .otherwise(size(split(col("hits"), ",")).cast("long")))),
+          TF.blocklistHits(col("text"), BlocklistPatterns).as("hit_arr"))
+        .select(col("doc_id"),
+          array_join(col("hit_arr"), ",").as("hits"),
+          size(col("hit_arr")).cast("long").as("n_hits"))),
 
     // --- seasonal decomposition (r14): trend / day-of-week / residual
     //     over per-priority daily revenue — the ingest-anomaly split

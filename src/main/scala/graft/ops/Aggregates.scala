@@ -126,7 +126,10 @@ object Aggregates {
   def kmvOverlapMatrix(df: DataFrame, key: String, of: String,
                        k: Int): DataFrame = {
     require(k >= 2, s"kmvOverlapMatrix: k must be >= 2, got $k")
-    val sk = kmvSketches(df, Seq(key), of, k)
+    // the sketch build (data scan + dedupe shuffle + TopK fold) feeds
+    // BOTH sides of a non-equi self-join no exchange reuse can share —
+    // cache it or the data-sized work runs twice (review fix)
+    val sk = graft.util.Caches.cache(kmvSketches(df, Seq(key), of, k)).toDF
     val a = sk.select(col(key).as("key_a"), col("kmv").as("kmv_a"))
     val b = sk.select(col(key).as("key_b"), col("kmv").as("kmv_b"))
     val p = graft.functions.TextFunctions.PolyP.toDouble
@@ -171,8 +174,10 @@ object Aggregates {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"hashSampleQuantiles: quantiles must be in [0, 1], got $qs")
     // column names are p<q·100>: a non-integral percent (0.999 → "p100")
-    // would LIE in the name — refuse rather than round
-    require(qs.forall(q => (q * 100) == math.round(q * 100).toDouble),
+    // would LIE in the name — refuse rather than round. Tolerance-based:
+    // 0.29*100 is 28.999999999999996 in IEEE double and must still count
+    // as the whole percent it is (review fix)
+    require(qs.forall(q => math.abs(q * 100 - math.round(q * 100)) < 1e-9),
       s"hashSampleQuantiles: quantiles must be whole percents " +
         s"(the output column is named p<q*100>), got $qs")
     val (a, b) = KmvPerm

@@ -912,7 +912,6 @@ object GraftDdl {
     }
   }
 
-  /** `VACUUM graft.`x` [RETAIN n VERSIONS]` (parser-injected). */
   /** `ALTER TABLE graft.x CLUSTER BY (a, b)` / `CLUSTER BY NONE`
     * (parser-injected): declare — or drop — the table's S80 write-time
     * clustering. Once declared, every image-appending write (append /
@@ -934,6 +933,7 @@ object GraftDdl {
     }
   }
 
+  /** `VACUUM graft.`x` [RETAIN n VERSIONS]` (parser-injected). */
   case class GraftVacuumCommand(ident: String, keep: Int)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] =

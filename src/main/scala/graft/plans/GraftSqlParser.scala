@@ -173,10 +173,19 @@ object GraftSqlParser {
         Some(GraftDdl.GraftCopyIntoCommand(ident(q, b), path,
           Option(fmt).map(_.toLowerCase).getOrElse("parquet")))
       case ClusterBy(q, b, cols, none) =>
-        // `CLUSTER BY NONE` drops the declaration (empty column list)
-        Some(GraftDdl.GraftClusterByCommand(ident(q, b),
+        // ONLY the NONE keyword drops the declaration; an empty column
+        // group `CLUSTER BY ()` (a templating bug's favorite rendering)
+        // must refuse loudly, never silently decluster (review fix)
+        val parsed =
           if (none != null) Nil
-          else splitColumnList(Option(cols).getOrElse(""))))
+          else {
+            val cs = splitColumnList(Option(cols).getOrElse(""))
+            require(cs.nonEmpty,
+              "graft SQL: CLUSTER BY () has no columns — write CLUSTER " +
+                "BY NONE to drop the declaration")
+            cs
+          }
+        Some(GraftDdl.GraftClusterByCommand(ident(q, b), parsed))
       case _ => None
     }
 }
