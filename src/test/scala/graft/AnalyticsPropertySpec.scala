@@ -125,4 +125,84 @@ class AnalyticsPropertySpec extends SparkSpec {
         })
     }, samples = 4)
   }
+
+  test("containment dominates Jaccard and is bounded by 1 on every corpus (r15)") {
+    import graft.ops.SetSimJoin
+    val genDocs: Gen[Seq[(Long, String)]] = for {
+      n <- Gen.choose(2, 12)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(0, 20)
+        toks <- Gen.listOfN(len, Gen.oneOf(
+          "alpha", "beta", "gamma", "delta", "eps", "zeta"))
+      } yield toks.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    check("containment", Prop.forAll(genDocs) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val cont = SetSimJoin.containmentPairs(df, "doc_id", "text",
+          shingleN = 2, threshold = 0.0 + 1e-9)
+        .select("contained_id", "container_id", "containment")
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, c) => (a, b) -> c }.toMap
+      val jac = SetSimJoin.jaccardPairs(df, "doc_id", "text",
+          shingleN = 2, threshold = 0.0 + 1e-9)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b) -> j }.toMap
+      // for every Jaccard pair, BOTH directed containments exist and each
+      // dominates the symmetric score: C(A→B) = |∩|/|A| ≥ |∩|/|∪| = J
+      val dominated = jac.forall { case ((a, b), j) =>
+        cont.get((a, b)).exists(c => c >= j - 1e-12 && c <= 1.0 + 1e-12) &&
+          cont.get((b, a)).exists(c => c >= j - 1e-12 && c <= 1.0 + 1e-12)
+      }
+      val bounded = cont.values.forall(c => c > 0.0 && c <= 1.0 + 1e-12)
+      graft.util.Caches.releaseAll()
+      dominated && bounded
+    }, samples = 4)
+  }
+
+  test("kmvOverlapMatrix never exceeds either slice's distinct count under k (r15)") {
+    import graft.ops.Aggregates
+    val genSlices: Gen[(Seq[Long], Seq[Long])] = for {
+      na <- Gen.choose(1, 50)
+      nb <- Gen.choose(1, 50)
+      a <- Gen.listOfN(na, Gen.choose(0L, 60L))
+      b <- Gen.listOfN(nb, Gen.choose(0L, 60L))
+    } yield (a, b)
+    check("overlap", Prop.forAll(genSlices) { case (a, b) =>
+      // universe ≤ 61 distinct < k = 64 → the estimator is EXACT: it must
+      // equal the true intersection on every draw
+      val df = (a.map(("s1", _)) ++ b.map(("s2", _))).toDF("g", "v")
+      val want = a.toSet.intersect(b.toSet).size.toDouble
+      val got = Aggregates.kmvOverlapMatrix(df, "g", "v", k = 64)
+        .head().getDouble(2)
+      graft.util.Caches.releaseAll()
+      got == want
+    }, samples = 5)
+  }
+
+  test("rrfFuse totals: every output score is the exact sum of its rank terms (r15)") {
+    import graft.ops.Retrieval
+    val genRanks: Gen[(Seq[Long], Seq[Long])] = for {
+      n1 <- Gen.choose(1, 10)
+      n2 <- Gen.choose(1, 10)
+      ids1 <- Gen.pick(n1, 0L to 14L)
+      ids2 <- Gen.pick(n2, 0L to 14L)
+    } yield (ids1.toSeq, ids2.toSeq)
+    check("rrf", Prop.forAll(genRanks) { case (ids1, ids2) =>
+      val r1 = ids1.zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) }
+        .toDF("id", "rnk")
+      val r2 = ids2.zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) }
+        .toDF("id", "rnk")
+      val got = Retrieval.rrfFuse(Seq(r1, r2), "id", "rnk", k0 = 60,
+          topK = 50).as[(Long, Long)].collect().toMap
+      val rank1 = ids1.zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+      val rank2 = ids2.zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+      val want = (ids1 ++ ids2).distinct.map { id =>
+        val sc = rank1.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+          rank2.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+        id -> math.floor(sc * 1e6 + 0.5).toLong
+      }.toMap
+      got == want
+    }, samples = 5)
+  }
 }

@@ -208,6 +208,51 @@ class CatalogDmlSpec extends SparkSpec {
     assert(parts == Set("p0", "p1"))
   }
 
+  test("NOT MATCHED BY SOURCE UPDATE routes catalog-native; masking holds") {
+    val t = mkTable()
+    // source covers ids 0-9; rows 10+ are "not matched by source":
+    // UPDATE written first masks the DELETE for ids 10-14
+    sql(s"""MERGE INTO graft.$t AS t
+      USING (SELECT id, id * 10 AS v,
+               concat('p', CAST(id % 2 AS STRING)) AS part
+             FROM range(10)) AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v + 1
+      WHEN NOT MATCHED BY SOURCE AND t.id < 15 THEN UPDATE SET v = -1
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val st = state(t)
+    assert(st(0L) == 1L && st(9L) == 91L, "matched rows updated")
+    assert(st(10L) == -1L && st(14L) == -1L,
+      "by-source UPDATE wins where both clauses match")
+    assert(!st.contains(15L) && !st.contains(19L),
+      "unmasked by-source rows fall to DELETE")
+  }
+
+  test("UPDATE SET value may be a scalar subquery (resolved capture)") {
+    val t = mkTable()
+    cat.range(1).selectExpr("CAST(7 AS BIGINT) AS bump")
+      .createOrReplaceTempView("cdml_bump")
+    sql(s"UPDATE graft.$t SET v = v + (SELECT max(bump) FROM cdml_bump) " +
+      "WHERE id = 3")
+    assert(state(t)(3L) == 37L)
+  }
+
+  test("catalog DML composes with time travel reads and the change feed") {
+    val t = mkTable()
+    sql(s"DELETE FROM graft.$t WHERE id >= 10") // v2
+    sql(s"UPDATE graft.$t SET v = -5 WHERE id = 1") // v3
+    // the pre-DML snapshot still reads complete
+    assert(sql(s"SELECT count(*) FROM graft.$t VERSION AS OF 1")
+      .head().getLong(0) == 20L)
+    assert(sql(s"SELECT count(*) FROM graft.$t").head().getLong(0) == 10L)
+    val root = graft.plans.GraftPaths.resolve(cat, t)
+    val changes = graft.sources.Layout.changeFeed(cat, root, 1, 3, Seq("id"))
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(changes.getOrElse("delete", 0L) == 10L)
+    assert(changes.getOrElse("update_post", 0L) == 1L)
+  }
+
   test("escape hatch: spark.graft.catalogDml.resolved=false → parse path") {
     val t = mkTable()
     cat.conf.set("spark.graft.catalogDml.resolved", "false")
