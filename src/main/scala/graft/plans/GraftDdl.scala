@@ -882,14 +882,16 @@ object GraftDdl {
     * contract).
     */
   case class GraftCloneCommand(destIdent: String, srcIdent: String,
-                               version: Option[Int])
+                               version: Option[Int], deep: Boolean = false)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = pathAttr
     override def run(session: SparkSession): Seq[Row] = {
       val src = GraftPaths.resolve(session, srcIdent)
-      val v = version.getOrElse(Layout.currentVersionNumber(session, src))
-      Seq(Row(Layout.cloneVersion(session, src, v,
-        GraftPaths.resolve(session, destIdent))))
+      val dst = GraftPaths.resolve(session, destIdent)
+      Seq(Row(
+        if (deep) Layout.deepClone(session, src, dst, version)
+        else Layout.cloneVersion(session, src,
+          version.getOrElse(Layout.currentVersionNumber(session, src)), dst)))
     }
   }
 

@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * VACUUM graft.`/path` [RETAIN n VERSIONS]
   * OPTIMIZE graft.`/path` [ZORDER BY (c1, c2, …)]
   * RESTORE [TABLE] graft.`/path` TO VERSION AS OF n
-  * CREATE TABLE graft.dst SHALLOW CLONE graft.src [VERSION AS OF n]
+  * CREATE TABLE graft.dst SHALLOW|DEEP CLONE graft.src [VERSION AS OF n]
   * ALTER TABLE graft.x CLUSTER BY (c1, c2, …) | CLUSTER BY NONE
   * }}}
   *
@@ -122,7 +122,7 @@ object GraftSqlParser {
     ("(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?" + Id +
       "\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$").r
   private val Clone =
-    ("(?is)^\\s*CREATE\\s+TABLE\\s+" + Id + "\\s+SHALLOW\\s+CLONE\\s+" +
+    ("(?is)^\\s*CREATE\\s+TABLE\\s+" + Id + "\\s+(SHALLOW|DEEP)\\s+CLONE\\s+" +
       Id + "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$").r
   private val CopyInto =
     ("(?is)^\\s*COPY\\s+INTO\\s+" + Id + "\\s+FROM\\s+'([^']+)'" +
@@ -166,9 +166,9 @@ object GraftSqlParser {
           Option(cols).toSeq.flatMap(splitColumnList)))
       case Restore(q, b, v) =>
         Some(GraftDdl.GraftRestoreCommand(ident(q, b), v.toInt))
-      case Clone(dq, db, sq, sb, v) =>
+      case Clone(dq, db, depth, sq, sb, v) =>
         Some(GraftDdl.GraftCloneCommand(ident(dq, db), ident(sq, sb),
-          Option(v).map(_.toInt)))
+          Option(v).map(_.toInt), deep = depth.equalsIgnoreCase("DEEP")))
       case CopyInto(q, b, path, fmt) =>
         Some(GraftDdl.GraftCopyIntoCommand(ident(q, b), path,
           Option(fmt).map(_.toLowerCase).getOrElse("parquet")))

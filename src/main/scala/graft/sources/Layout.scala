@@ -3397,6 +3397,61 @@ object Layout {
         col("__e").getField("t").as("_change_type"): _*)
   }
 
+  /** DEEP clone (S81): a SELF-CONTAINED copy of one version of a manifest
+    * root — the backup/migration sibling of [[cloneVersion]]'s shallow
+    * manifest clone, whose entries keep pointing into the source (a
+    * source vacuum can invalidate it). Here the snapshot's LIVE rows
+    * rewrite into the clone's own v00000 — deletion vectors materialize
+    * away, column mapping collapses to the live logical schema with fresh
+    * physical identities — and the table's DECLARED STATE carries
+    * wholesale: CHECK and UNIQUE constraints, NOT NULL / DEFAULT /
+    * GENERATED markers, the identity high-water (generated ids continue
+    * above it — no replay collision on the clone), txn and ingest ledgers
+    * (a streaming producer or COPY INTO source resuming against the clone
+    * stays exactly-once), bloom and cluster declarations. After this,
+    * nothing the source does — vacuum, drop, rewrite — can touch the
+    * clone.
+    *
+    * What deliberately does NOT carry: version HISTORY (a backup of one
+    * snapshot, not the timeline) and dropped-column tombstones (the clone
+    * rewrites data, so no old footer exists to resurrect a name from).
+    *
+    * Cost: one full write of the LIVE rows (the honest minimum for
+    * self-containment) + O(1) metadata; the clone lands z-placed if the
+    * source declared clustering (the declaration copies first in spirit —
+    * the init write itself is placed by the carried declaration only for
+    * subsequent writes, and OPTIMIZE re-clusters).
+    */
+  def deepClone(spark: SparkSession, root: String, newRoot: String,
+                version: Option[Int] = None): String = graft.util.DmlTimer.timed {
+    require(ManifestIndex.isManifestRoot(spark, root),
+      "deepClone requires a manifest root — hardlink roots already " +
+        "deep-copy via cloneVersion on non-local filesystems")
+    val fs = fsOf(spark, root)
+    require(!fs.exists(new Path(newRoot, CurrentFile)),
+      s"deepClone: $newRoot is already a versioned root")
+    val v = version.getOrElse(currentVersionNumber(spark, root))
+    val man = ManifestIndex.read(spark, root, versionName(v))
+    val snap = readVersion(spark, root, v)
+    initVersionedManifest(snap, newRoot,
+      man.partitionSchema.fieldNames.toSeq,
+      ManifestIndex.bloomColumns(spark, root))
+    // declared state carries WHOLESALE: every marker family lives in the
+    // manifest properties, so one copy moves constraints, markers,
+    // identity high-water and both ledgers together (a field-by-field
+    // copy would silently drop the next marker family added). The commit
+    // write refuses to overwrite (rename-based safety), so the freshly
+    // minted v00000 manifest is deleted first — safe here and only here:
+    // the clone root is seconds old and nothing else can reference it yet
+    val dman = ManifestIndex.read(spark, newRoot, versionName(0))
+    fs.delete(new Path(newRoot, versionName(0) + ".manifest"), false)
+    ManifestIndex.write(spark, newRoot, versionName(0),
+      dman.copy(properties = man.properties))
+    val cl = ManifestIndex.clusterColumns(spark, root)
+    if (cl.nonEmpty) ManifestIndex.setClusterColumns(spark, newRoot, cl)
+    resolveCurrent(spark, newRoot)
+  }
+
   /** Zero-copy clone: materialize `version` of `root` as version 0 of a
     * NEW versioned root — every data file hardlinked (copied off local/
     * HDFS-like filesystems), no bytes duplicated. The dev-branch shape:

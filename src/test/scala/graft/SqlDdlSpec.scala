@@ -186,6 +186,48 @@ class SqlDdlSpec extends SparkSpec {
     assert(Layout.readCurrent(spark, cloned2).count() == 2)
   }
 
+  test("DEEP CLONE: self-contained backup carrying the declared state (r15)") {
+    val root = tmp("deep") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$root` (id BIGINT, v BIGINT, part STRING, " +
+      "CONSTRAINT v_pos CHECK (v >= 0)) PARTITIONED BY (part)")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT id, id * 10, " +
+      "concat('p', CAST(id % 2 AS STRING)) FROM range(20)")
+    spark.sql(s"ALTER TABLE graft.`$root` CLUSTER BY (v)")
+    spark.sql(s"DELETE FROM graft.`$root` WHERE id = 7") // DV, not rewrite
+    val dst = tmp("deepdst") + "/c"
+    spark.sql(s"CREATE TABLE graft.`$dst` DEEP CLONE graft.`$root`")
+    // content equals the live snapshot, DVs materialized away
+    assert(Layout.readCurrent(spark, dst).select($"id").as[Long]
+      .collect().toSet == (0L until 20L).toSet - 7L)
+    // one self-owned version; no entry points into the source
+    assert(spark.sql(s"DESCRIBE HISTORY graft.`$dst`").count() == 1)
+    // declared state carried: the CHECK gate fires on the clone, the
+    // clustering declaration reads back
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$dst` VALUES (999, -1, 'p0')")
+    }
+    assert(e.getMessage.contains("v_pos") || e.getMessage.contains("CHECK"))
+    assert(graft.sources.ManifestIndex.clusterColumns(spark, dst) == Seq("v"))
+    // SELF-CONTAINED: drop the source wholesale; the clone still reads
+    spark.sql(s"DROP TABLE graft.`$root`")
+    assert(Layout.readCurrent(spark, dst).count() == 19)
+    // versioned deep clone takes the named snapshot (pre-delete)
+    val root2 = tmp("deep2") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$root2` (id BIGINT, v BIGINT, part STRING) " +
+      "PARTITIONED BY (part)")
+    spark.sql(s"INSERT INTO graft.`$root2` VALUES (1, 10, 'a'), (2, 20, 'b')")
+    spark.sql(s"DELETE FROM graft.`$root2` WHERE id = 2")
+    val dst2 = tmp("deepdst2") + "/c"
+    spark.sql(s"CREATE TABLE graft.`$dst2` DEEP CLONE graft.`$root2` " +
+      "VERSION AS OF 1")
+    assert(Layout.readCurrent(spark, dst2).select($"id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+    // cloning ONTO an existing root refuses
+    intercept[IllegalArgumentException] {
+      Layout.deepClone(spark, root2, dst2)
+    }
+  }
+
   test("tables address by NAME through spark.graft.warehouse") {
     val wh = tmp("wh")
     spark.conf.set(graft.plans.GraftPaths.WarehouseConf, wh)
