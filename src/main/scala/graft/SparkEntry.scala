@@ -3025,6 +3025,31 @@ object SparkEntry {
         Seq("event_type"), "value", "event_id", k = 256,
         qs = Seq(0.5, 0.9, 0.99))),
 
+    // --- DEEP CLONE lifecycle (r15): DML history → self-contained
+    //     backup → DROP the source — the aggregate must read from the
+    //     clone alone, with exactly one self-owned version ---
+    "q212_deep_clone" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q212").toString + "/t"
+      graft.sources.Layout.initVersionedManifest(
+        li.repartition(4), root, Seq("l_returnflag"))
+      s.sql(s"UPDATE graft.`$root` SET l_quantity = l_quantity + 5.0 " +
+        "WHERE l_orderkey % 7 = 0")
+      s.sql(s"DELETE FROM graft.`$root` WHERE l_quantity >= 48.0")
+      val dst = java.nio.file.Files
+        .createTempDirectory("graft_q212c").toString + "/c"
+      graft.sources.Layout.deepClone(s, root, dst)
+      s.sql(s"DROP TABLE graft.`$root`")
+      val nHist = graft.sources.Layout.history(s, dst).count()
+      graft.sources.Layout.readCurrent(s, dst)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .withColumn("n_history", lit(nHist))
+    }),
+
     // --- personalized PageRank (r15): random walk with restart to a
     //     seed set — "related to THESE items" over the co-purchase
     //     graph, where q154's global walk measures importance ---
@@ -5102,6 +5127,15 @@ object SparkEntry {
         ${iter("r2", "r3")}
         SELECT node, round(rank, 10) AS rank FROM r3"""
       },
+      // the q165 algebra read FROM THE CLONE, plus the self-owned history
+      "q212_deep_clone" -> s"""
+        WITH u AS (SELECT l_returnflag,
+            l_quantity + CASE WHEN l_orderkey % 7 = 0 THEN 5.0 ELSE 0 END AS q
+          FROM lineitem)
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          ${dsumSql("q")} AS sum_qty, CAST(1 AS BIGINT) AS n_history
+        FROM u WHERE q < 48.0 GROUP BY 1""",
+
       "q211_ppr" -> {
         // one PPR round: teleport to seeds (node % 194 = 0 in node space
         // — even customer nodes whose custkey % 97 = 0), dangling mass 0
