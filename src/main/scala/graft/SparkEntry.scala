@@ -3006,7 +3006,13 @@ object SparkEntry {
     //     with a REGION-EDITED copy (last quarter replaced wholesale) —
     //     the edit flips far more than 3 bits of the whole-payload dHash,
     //     so q184's radius correctly misses it; the per-quadrant prints
-    //     still agree on the untouched 3 quarters ---
+    //     still agree on the untouched 3 quarters. printCap=64 is the
+    //     hot-bucket guard: every edited doc's fourth quadrant is the
+    //     same 'zzz…' fill (a constant region always prints 0), so
+    //     without the cap that ONE (q, print) bucket holds the whole
+    //     edited corpus and the self-join goes quadratic on it —
+    //     C(|docs|, 2) candidate pairs from a degenerate region that is
+    //     pure noise (those pairs share 1 quadrant < minShared anyway) ---
     "q207_quadrant_match" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val edited = docs.select((col("doc_id") + 100000L).as("doc_id"),
@@ -3014,7 +3020,7 @@ object SparkEntry {
           "length(text), 'z')").as("text"))
       Multimodal.quadrantMatches(
         Multimodal.fromDocuments(docs.unionByName(edited)),
-        quads = 4, minShared = 2)
+        quads = 4, minShared = 2, printCap = Some(64L))
     }),
 
     // --- deterministic sampled quantiles (r15): the percentile_approx
@@ -5504,7 +5510,9 @@ object SparkEntry {
         FROM ag""",
 
       // per-quadrant dHash replay (the q183 byte algebra over each
-      // quarter), pairs sharing >= 2 byte-identical quadrant prints
+      // quarter), pairs sharing >= 2 byte-identical quadrant prints;
+      // the hot-print cap (df > 64 buckets dropped) mirrors the Spark
+      // side's printCap guard exactly
       "q207_quadrant_match" -> s"""
         WITH edited AS (SELECT doc_id, text FROM documents
           UNION ALL
@@ -5528,9 +5536,12 @@ object SparkEntry {
         qp AS (SELECT asset_id, q,
             CAST(${duckDHashBitsOver("s65q", "qn")} AS BIGINT) AS p
           FROM qg),
+        hot AS (SELECT q, p FROM qp GROUP BY q, p HAVING count(*) > 64),
+        qk AS (SELECT qp.* FROM qp ANTI JOIN hot
+          ON qp.q = hot.q AND qp.p = hot.p),
         pairs AS (SELECT x.asset_id AS id_a, y.asset_id AS id_b,
             CAST(count(DISTINCT x.q) AS BIGINT) AS n_shared
-          FROM qp x JOIN qp y
+          FROM qk x JOIN qk y
             ON x.q = y.q AND x.p = y.p AND x.asset_id < y.asset_id
           GROUP BY 1, 2)
         SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 2""",

@@ -162,13 +162,41 @@ object Multimodal {
     * a replaced/cropped quarter corrupts ONE quadrant's print and the
     * pair still matches on the remaining `quads − 1`.
     *
+    * `printCap` is the hot-bucket guard (the [[SetSimJoin]] dfCap applied
+    * to the multimodal pillar): a CONSTANT-content quadrant — letterbox
+    * bars, solid fills, padding — always dHashes to the same print
+    * (equal cell means ⇒ every gradient bit false ⇒ print 0), so every
+    * asset sharing a degenerate region lands in ONE (q, print) bucket and
+    * the self-join goes quadratic on it (C(df, 2) pairs from that key
+    * alone). With the cap, prints whose per-quadrant frequency exceeds
+    * `cap` are dropped from BOTH join sides via a broadcast anti-join
+    * against the (tiny, ≤ |prints|/cap keys) over-cap set, bounding every
+    * join key's match group to `cap` rows. Conservative direction: a pair
+    * agreeing only on a print shared by hundreds of assets is noise, not
+    * evidence of shared provenance — legit near-dups still agree on
+    * `minShared` DISCRIMINATING quadrants; the only loss is pairs whose
+    * qualifying overlap depends on degenerate regions.
+    *
+    * @param printCap drop (quadrant, print) buckets whose asset frequency
+    *                 exceeds the cap; None = exact (unsafe on payloads
+    *                 with shared constant regions).
     * @return (id_a, id_b, n_shared) pairs with id_a < id_b
     */
   def quadrantMatches(assets: DataFrame, quads: Int = 4,
-                      minShared: Int = 2): DataFrame = {
+                      minShared: Int = 2,
+                      printCap: Option[Long] = None): DataFrame = {
     require(minShared >= 1 && minShared <= quads,
       s"quadrantMatches: minShared must be in [1, $quads], got $minShared")
-    val prints = graft.util.Caches.cache(quadrantPrints(assets, quads)).toDF
+    val all = graft.util.Caches.cache(quadrantPrints(assets, quads)).toDF
+    val prints = printCap match {
+      case Some(cap) =>
+        require(cap >= 1, s"quadrantMatches: printCap must be >= 1, got $cap")
+        val hot = all.groupBy(col("q"), col("print"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > cap)
+          .select(col("q"), col("print"))
+        all.join(broadcast(hot), Seq("q", "print"), "left_anti")
+      case None => all
+    }
     prints.as("x").join(prints.as("y"),
         col("x.q") === col("y.q") && col("x.print") === col("y.print") &&
           col("x.asset_id") < col("y.asset_id"))

@@ -113,6 +113,41 @@ class MultimodalSpec extends SparkSpec {
     graft.util.Caches.releaseAll()
   }
 
+  test("quadrant hot-print cap: a shared constant quadrant across 1k " +
+      "assets is dropped, legit pairs survive (r16)") {
+    // 1000 assets all ending in the SAME solid fill (letterbox-bar
+    // analog): the fourth quadrant of every asset prints identically, so
+    // the uncapped (q, print) self-join has one bucket with C(1000, 2) ≈
+    // 500k candidate pairs. Asset texts are otherwise distinct; ONE pair
+    // (1, 2) shares its first three quadrants byte-identically.
+    val base = (0 until 300).map(i => ('a' + (i * 7 % 20)).toChar).mkString
+    def mixed(id: Long): String = (0 until 300).map { i =>
+      val h = (i * 1315423911L) ^ (id * 2654435761L) ^ ((i + id) * 97L)
+      ('a' + math.floorMod(h * 0x9E3779B97F4A7C15L >>> 33, 26L).toInt).toChar
+    }.mkString
+    val rows = (1L to 1000L).map { id =>
+      val head = if (id <= 2L) base else mixed(id)
+      (id, head + ("z" * 100))
+    }
+    val df = rows.toDF("doc_id", "text")
+    val assets = Multimodal.fromDocuments(df)
+    val capped = Multimodal.quadrantMatches(assets, quads = 4,
+        minShared = 2, printCap = Some(64L))
+      .as[(Long, Long, Long)].collect().toSeq
+    // the legit pair still matches on its 3 discriminating quadrants —
+    // the hot q3 bucket contributes nothing (its pairs share only the
+    // degenerate region, under minShared anyway)
+    assert(capped == Seq((1L, 2L, 3L)), s"got $capped")
+    // the cap is what bounds the candidate set: without it the hot
+    // bucket alone yields C(1000, 2) join rows; with it the join's
+    // biggest key group is <= 64. Assert via the print table directly.
+    val prints = Multimodal.quadrantPrints(assets, quads = 4)
+    val maxDf = prints.groupBy($"q", $"print").count()
+      .agg(max($"count")).as[Long].head()
+    assert(maxDf >= 1000L, "test corpus must actually have a hot bucket")
+    graft.util.Caches.releaseAll()
+  }
+
   test("PerceptualHash matches a hand-rolled reference over real payloads") {
     import graft.functions.expressions.PerceptualHash
     val df = assets.limit(50).select($"asset_id",
