@@ -457,9 +457,11 @@ case class GraftTable(ident: String, root: String,
     // appends new columns at the END — graft appends data columns BEFORE
     // the partition columns, so the transition pass mis-wires assignments
     // (measured: `part ← cast(part as double)` on a PARTITIONED BY (part)
-    // table). Evolution merges lower at parse time instead
-    // (GraftSqlParser), where GraftMergeCommand's own skip-if-present
-    // evolution is partition-layout-aware.
+    // table). With the capability withheld the analyzer carries the
+    // evolution flag inert, and GraftDmlResolved lowers the merge from
+    // the resolved plan with NAME-based star re-expansion —
+    // GraftMergeCommand's own skip-if-present evolution is
+    // partition-layout-aware.
     Set(TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 

@@ -935,15 +935,19 @@ object GraftDdl {
     }
   }
 
-  /** `VACUUM graft.`x` [RETAIN n VERSIONS]` (parser-injected). */
-  case class GraftVacuumCommand(ident: String, keep: Int)
+  /** `VACUUM graft.`x` [RETAIN n VERSIONS | RETAIN n HOURS]`
+    * (parser-injected). The HOURS form is the wall-clock policy —
+    * [[Layout.Retention.Hours]] documents the window-plus-anchor rule
+    * that keeps every in-window `timestampAsOf` serveable.
+    */
+  case class GraftVacuumCommand(ident: String, ret: Layout.Retention)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] =
       Seq(AttributeReference("vacuumed_versions", IntegerType,
         nullable = false)())
     override def run(session: SparkSession): Seq[Row] =
-      Seq(Row(Layout.vacuumVersions(session,
-        GraftPaths.resolve(session, ident), keep)))
+      Seq(Row(Layout.vacuumRetain(session,
+        GraftPaths.resolve(session, ident), ret)))
   }
 
   /** `OPTIMIZE graft.`x` [ZORDER BY (c1, …)]` (parser-injected): the

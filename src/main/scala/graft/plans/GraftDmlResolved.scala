@@ -31,11 +31,15 @@ import org.apache.spark.sql.graft.Shim
   *  - `UPDATE SET *` / `INSERT *` arrive pre-expanded against the real
   *    schemas.
   *
-  * `MERGE … WITH SCHEMA EVOLUTION` stays on the parse-time path even in
-  * catalog mode (see [[GraftSqlParser]]): Spark's own evolution machinery
-  * expands star actions positionally against a schema it assumes appends
-  * new columns LAST, which graft's data-before-partition column order
-  * breaks — the command's own skip-if-present evolution is layout-aware.
+  * `MERGE … WITH SCHEMA EVOLUTION` lowers HERE too (since r15): the
+  * AUTOMATIC_SCHEMA_EVOLUTION capability stays withheld (Spark's own
+  * ResolveMergeIntoSchemaEvolution expands star actions positionally
+  * against a schema it assumes appends new columns LAST, which graft's
+  * data-before-partition column order breaks), so analysis carries the
+  * flag inert and expands `SET *` / `INSERT *` against the PRE-evolution
+  * schema; the lowering detects the star shape by name and re-expands it
+  * at execution against the live post-evolution schema — name-based, not
+  * positional, so the partition column can never mis-wire.
   *
   * The lowering target is the SAME command trio the parse-time path
   * produces ([[GraftDml.GraftDeleteCommand]]/[[GraftDml.GraftUpdateCommand]]/
@@ -235,8 +239,28 @@ object GraftDmlResolved {
         require(upd.isEmpty, "graft SQL MERGE: one UPDATE clause only")
         val set = assigns.map(a => keyName(a.key, tgt) ->
           joined(a.value, "MERGE UPDATE SET")).toMap
+        // `UPDATE SET *` under WITH SCHEMA EVOLUTION: analysis expanded
+        // the star against the PRE-evolution target schema (the evolved
+        // columns do not exist yet — the capability is withheld, so
+        // Spark's own evolution never fired). A star-shaped SET (every
+        // target column ← the same-named source column) is converted back
+        // to an execution-time star, which GraftMergeCommand re-expands
+        // against the LIVE post-evolution schema — evolved columns land
+        // with source values on updated rows, the Delta star semantics.
+        // An explicit (non-star) SET passes through as written: evolved
+        // columns stay NULL on updated rows, same as the parse-time path.
+        val starShaped = assigns.length == out.length &&
+          assigns.forall { a =>
+            a.value match {
+              case ar: AttributeReference => src.get(ar.exprId)
+                .exists(_.equalsIgnoreCase(keyName(a.key, tgt)))
+              case _ => false
+            }
+          }
+        val setOpt =
+          if (m.withSchemaEvolution && starShaped) None else Some(set)
         upd = Some((joined(c.getOrElse(Literal.TrueLiteral), "MERGE UPDATE"),
-          Some(set)))
+          setOpt))
       case other => throw new IllegalArgumentException(
         s"graft SQL MERGE: unsupported matched action $other")
     }
@@ -301,9 +325,11 @@ object GraftDmlResolved {
       bsDel = bsDel.map(dc => dc && !coalesce(uc, lit(false)))
     }
 
-    // withSchemaEvolution is always false here — evolution merges lower
-    // at parse time (GraftSqlParser's carve-out); passed through for
-    // defensive completeness only.
+    // withSchemaEvolution rides through to GraftMergeCommand, whose
+    // layout-aware skip-if-present evolution runs at execution (adds each
+    // missing source column nullable, source order, before the merge) —
+    // see the UpdateAction star re-expansion above for how SET * reaches
+    // the evolved columns.
     GraftDml.GraftMergeCommand(g.root, m.sourceTable, keys, del, upd, ins,
       bareRefs = Set.empty, bsDel, bsUpd, m.withSchemaEvolution)
   }

@@ -42,18 +42,18 @@ class GraftSqlParser(session: org.apache.spark.sql.SparkSession,
         // catalog would resolve the target — and with it the condition
         // attrs — in the same fixed-point batch a resolution rule runs
         // in). Same GraftDmlRule machinery as the non-catalog path.
-        // resolved-mode carve-out: `MERGE … WITH SCHEMA EVOLUTION` always
-        // lowers at parse time — GraftMergeCommand's skip-if-present
-        // evolution is partition-layout-aware, where Spark's own
-        // ResolveMergeIntoSchemaEvolution mis-expands star actions against
-        // graft's data-before-partition column order (see
-        // GraftCatalog.capabilities)
+        // `MERGE … WITH SCHEMA EVOLUTION` flows through the resolved path
+        // too (since r15): the AUTOMATIC_SCHEMA_EVOLUTION capability stays
+        // withheld (GraftTable.capabilities), so Spark's own positional
+        // ResolveMergeIntoSchemaEvolution never fires, analysis carries
+        // the flag inert, and GraftDmlResolved re-expands star-shaped SET
+        // against the live post-evolution schema at execution — the
+        // layout-aware evolution GraftMergeCommand always had.
         def parseTimeDml(p: org.apache.spark.sql.catalyst.plans.logical
             .LogicalPlan): Boolean = p match {
-          case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
-            !GraftDml.resolvedDmlLowering(session) || m.withSchemaEvolution
           case _: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable |
-               _: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
+               _: org.apache.spark.sql.catalyst.plans.logical.UpdateTable |
+               _: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
             !GraftDml.resolvedDmlLowering(session)
           case _ => false
         }
@@ -114,7 +114,7 @@ object GraftSqlParser {
     ("(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+" + Id + "\\s*;?\\s*$").r
   private val Vacuum =
     ("(?is)^\\s*VACUUM\\s+" + Id +
-      "(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*$").r
+      "(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS|HOURS))?\\s*;?\\s*$").r
   private val Optimize =
     ("(?is)^\\s*OPTIMIZE\\s+" + Id +
       "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
@@ -158,9 +158,15 @@ object GraftSqlParser {
         Some(GraftDdl.GraftDescribeHistoryCommand(ident(q, b)))
       case DescribeDetail(q, b) =>
         Some(GraftDdl.GraftDescribeDetailCommand(ident(q, b)))
-      case Vacuum(q, b, n) =>
-        Some(GraftDdl.GraftVacuumCommand(ident(q, b),
-          Option(n).map(_.toInt).getOrElse(2)))
+      case Vacuum(q, b, n, unit) =>
+        val ret = (Option(n), Option(unit).map(_.toUpperCase)) match {
+          case (Some(v), Some("HOURS")) =>
+            graft.sources.Layout.Retention.Hours(v.toDouble)
+          case (Some(v), _) =>
+            graft.sources.Layout.Retention.Versions(v.toInt)
+          case _ => graft.sources.Layout.Retention.Versions(2)
+        }
+        Some(GraftDdl.GraftVacuumCommand(ident(q, b), ret))
       case Optimize(q, b, cols) =>
         Some(GraftDdl.GraftOptimizeCommand(ident(q, b),
           Option(cols).toSeq.flatMap(splitColumnList)))

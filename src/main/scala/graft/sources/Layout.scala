@@ -675,7 +675,23 @@ object Layout {
     val next = versionName(curN + 1)
     val claim = new Path(root, s"$next.claim")
     val fs = claim.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.createNewFile(claim))
+    // createNewFile's contract is return-false-if-present, but its
+    // implementation is exists-then-create: two racers can BOTH pass the
+    // exists check and the loser then gets the create's raw
+    // FileAlreadyExistsException instead of `false`. Both outcomes are
+    // the same event — lost the claim — and must surface as the SAME
+    // retryable signal, or withCommitRetry propagates the raced loss as
+    // a hard failure (observed under load; also the object-store
+    // behavior, where conditional creates throw rather than return).
+    val created =
+      try fs.createNewFile(claim)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException
+            if e.getMessage != null &&
+              e.getMessage.contains("already exists") => false
+      }
+    if (!created)
       throw new java.util.ConcurrentModificationException(
         s"version $next of $root is already claimed by a concurrent writer; " +
           "re-resolve the current version and retry")
@@ -777,7 +793,22 @@ object Layout {
     */
   def initVersionedManifest(df: DataFrame, root: String,
                             pcols: Seq[String],
-                            bloomCols: Seq[String]): String = graft.util.DmlTimer.timed {
+                            bloomCols: Seq[String]): String =
+    initVersionedManifest(df, root, pcols, bloomCols, None)
+
+  /** Variant seeding the initial manifest's PROPERTIES verbatim (the
+    * [[deepClone]] carry: constraints, markers, identity high-water,
+    * ledgers, declarations all live there). Plumbing them into the v00000
+    * commit itself — instead of deleting and rewriting the fresh manifest
+    * — means the clone root is never observable in a broken state: a
+    * crash mid-clone leaves either no `_current` at all (clean retry) or
+    * a complete v00000 (ADVICE r14: the delete-then-rewrite window left
+    * an unrecoverable half-clone).
+    */
+  def initVersionedManifest(df: DataFrame, root: String,
+                            pcols: Seq[String],
+                            bloomCols: Seq[String],
+                            initProperties: Option[Map[String, String]]): String = graft.util.DmlTimer.timed {
     require(pcols.nonEmpty,
       "manifest mode is for partitioned roots (carry-forward has no meaning " +
         "unpartitioned — use initVersioned)")
@@ -807,7 +838,7 @@ object Layout {
       ManifestIndex.attachStats(spark, root, v0,
         ManifestIndex.listVersionFiles(fs, root, v0), dataSchema,
         ManifestIndex.bloomColumns(spark, root)),
-      Map(ManifestIndex.OperationKey -> "CREATE")))
+      initProperties.getOrElse(Map(ManifestIndex.OperationKey -> "CREATE"))))
     writePointer(spark, root, v0)
     s"$root/$v0"
   }
@@ -3433,20 +3464,18 @@ object Layout {
     val v = version.getOrElse(currentVersionNumber(spark, root))
     val man = ManifestIndex.read(spark, root, versionName(v))
     val snap = readVersion(spark, root, v)
-    initVersionedManifest(snap, newRoot,
-      man.partitionSchema.fieldNames.toSeq,
-      ManifestIndex.bloomColumns(spark, root))
     // declared state carries WHOLESALE: every marker family lives in the
     // manifest properties, so one copy moves constraints, markers,
     // identity high-water and both ledgers together (a field-by-field
-    // copy would silently drop the next marker family added). The commit
-    // write refuses to overwrite (rename-based safety), so the freshly
-    // minted v00000 manifest is deleted first — safe here and only here:
-    // the clone root is seconds old and nothing else can reference it yet
-    val dman = ManifestIndex.read(spark, newRoot, versionName(0))
-    fs.delete(new Path(newRoot, versionName(0) + ".manifest"), false)
-    ManifestIndex.write(spark, newRoot, versionName(0),
-      dman.copy(properties = man.properties))
+    // copy would silently drop the next marker family added). The carry
+    // rides the v00000 commit itself — the clone root is never
+    // observable with a missing or propertyless manifest (ADVICE r14:
+    // the old delete-then-rewrite left a crash window whose half-clone
+    // refused both reads and retries)
+    initVersionedManifest(snap, newRoot,
+      man.partitionSchema.fieldNames.toSeq,
+      ManifestIndex.bloomColumns(spark, root),
+      Some(man.properties))
     val cl = ManifestIndex.clusterColumns(spark, root)
     if (cl.nonEmpty) ManifestIndex.setClusterColumns(spark, newRoot, cl)
     resolveCurrent(spark, newRoot)
@@ -3581,22 +3610,39 @@ object Layout {
     * grace period, not inline with the flip — an in-flight reader may still
     * be scanning an old version.
     */
-  def vacuumVersions(spark: SparkSession, root: String, keep: Int = 2): Int = graft.util.DmlTimer.timed {
-    require(keep >= 1, "must keep at least the live version")
+  def vacuumVersions(spark: SparkSession, root: String, keep: Int = 2): Int =
+    vacuumRetain(spark, root, Retention.Versions(keep))
+
+  /** Wall-clock retention (`VACUUM … RETAIN n HOURS`): keep what the last
+    * `n` hours of `timestampAsOf` reads need — see [[Retention.Hours]] for
+    * the window-plus-anchor rule. Same grace-period caveat as the
+    * versions policy: in-flight readers of an out-of-window snapshot are
+    * only safe if `n` exceeds the longest running read.
+    */
+  def vacuumRetainHours(spark: SparkSession, root: String,
+                        hours: Double): Int =
+    vacuumRetain(spark, root, Retention.Hours(hours))
+
+  def vacuumRetain(spark: SparkSession, root: String,
+                   ret: Retention): Int = graft.util.DmlTimer.timed {
     if (ManifestIndex.isManifestRoot(spark, root))
-      return vacuumManifest(spark, root, keep)
+      return vacuumManifest(spark, root, ret)
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions = fs.listStatus(rootPath).map(_.getPath)
       .filter(p => p.getName.matches("v\\d{5}"))
       .sortBy(_.getName)
-    val doomed = versions.dropRight(keep)
-    doomed.foreach { p =>
-      fs.delete(p, true)
+    // hardlink-mode commit instants are the version DIRS' mtimes (there
+    // is no manifest file; the dir is written once and never touched)
+    val byName = versions.map(p => p.getName -> p).toMap
+    val (doomedNames, _) = splitByRetention(versions.map(_.getName).toSeq,
+      ret, n => fs.getFileStatus(byName(n)).getModificationTime)
+    doomedNames.foreach { n =>
+      fs.delete(byName(n), true)
       // sweep the OCC claim tombstone with its version dir
-      fs.delete(new Path(root, s"${p.getName}.claim"), false)
+      fs.delete(new Path(root, s"$n.claim"), false)
     }
-    doomed.length
+    doomedNames.length
   }
 
   /** Manifest-mode vacuum: a version dir can hold files still REFERENCED by
@@ -3608,10 +3654,10 @@ object Layout {
     * tombstones sweep with their manifests, as in the hardlink mode.
     */
   private def vacuumManifest(spark: SparkSession, root: String,
-                             keep: Int): Int = {
+                             ret: Retention): Int = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (doomed, kept) = vacuumSplit(spark, fs, root, keep)
+    val (doomed, kept) = vacuumSplit(spark, fs, root, ret)
     val keptManifests = kept.map(v => ManifestIndex.read(spark, root, v))
     val (referenced, dvDirs) = liveRefs(keptManifests)
     // depth-first sweep: delete unreferenced data files and all hidden
@@ -3657,24 +3703,65 @@ object Layout {
     doomed.length
   }
 
+  /** Vacuum retention policy: keep the newest `n` VERSIONS, or keep the
+    * wall-clock window needed to serve `timestampAsOf` reads over the
+    * last `n` HOURS — every commit whose instant falls inside the window
+    * PLUS the newest commit at-or-before the horizon (the table STATE as
+    * of the horizon itself stays travelable — dropping that anchor would
+    * break `timestampAsOf(now − n·1h)` even though it names a time inside
+    * the advertised window; the Delta `RETAIN n HOURS` semantics). Commit
+    * instants are the manifest mtimes — the same clock `timestampAsOf`
+    * resolution reads, so retention and travel can never disagree.
+    */
+  sealed trait Retention
+  object Retention {
+    case class Versions(n: Int) extends Retention {
+      require(n >= 1, "must keep at least the live version")
+    }
+    case class Hours(n: Double) extends Retention {
+      require(n >= 0.0, s"RETAIN hours must be >= 0, got $n")
+    }
+  }
+
   /** The retention split both [[vacuumManifest]] and [[vacuumPlan]] use:
     * only manifests AT OR BEHIND the live pointer participate (a crashed
     * writer's manifest ahead of the pointer is recoverStaleClaims' job —
     * counting it once pushed the LIVE manifest into the doomed set and
-    * bricked the table: review fix), and the newest `keep` of the
-    * committed ones are retained — the pointer's own manifest always
-    * among them.
+    * bricked the table: review fix), and of the committed ones the policy
+    * retains either the newest `n` or the `n`-hour travel window — the
+    * pointer's own manifest always among them.
     */
   private def vacuumSplit(spark: SparkSession,
                           fs: org.apache.hadoop.fs.FileSystem, root: String,
-                          keep: Int): (Seq[String], Seq[String]) = {
+                          ret: Retention): (Seq[String], Seq[String]) = {
     val curN = committedVersionNumber(spark, root)
     val versions = fs.listStatus(new Path(root)).map(_.getPath.getName)
       .filter(_.matches("v\\d{5}\\.manifest")).sorted
       .map(_.stripSuffix(".manifest"))
       .filter(_.substring(1).toInt <= curN)
-    val (d, k) = versions.splitAt(math.max(0, versions.length - keep))
-    (d.toSeq, k.toSeq)
+    splitByRetention(versions.toSeq, ret,
+      v => fs.getFileStatus(ManifestIndex.manifestPath(root, v))
+        .getModificationTime)
+  }
+
+  /** Policy split over an ASCENDING version list; `mtime` is consulted
+    * only for the hours policy. Returns (doomed, kept), both ascending.
+    */
+  private def splitByRetention(versions: Seq[String], ret: Retention,
+                               mtime: String => Long)
+      : (Seq[String], Seq[String]) = ret match {
+    case Retention.Versions(keep) =>
+      val (d, k) = versions.splitAt(math.max(0, versions.length - keep))
+      (d, k)
+    case Retention.Hours(h) =>
+      val cutoff = System.currentTimeMillis() - (h * 3600 * 1000).toLong
+      val ts = versions.map(v => v -> mtime(v))
+      // the horizon anchor: the newest commit at-or-before the cutoff
+      val anchor = ts.filter(_._2 <= cutoff).lastOption.map(_._1)
+      val keptSet = (ts.filter(_._2 > cutoff).map(_._1) ++ anchor).toSet
+      // the live version (newest) is always within the window or IS the
+      // anchor, so keptSet is never empty for a non-empty list
+      (versions.filterNot(keptSet), versions.filter(keptSet))
   }
 
   /** Root-relative paths a set of retained manifests keeps alive: data
@@ -3699,14 +3786,22 @@ object Layout {
     * exact path, sidecars by directory). O(#files) driver metadata, zero
     * data read, nothing touched.
     */
-  def vacuumPlan(spark: SparkSession, root: String, keep: Int = 2): DataFrame = {
+  def vacuumPlan(spark: SparkSession, root: String, keep: Int = 2): DataFrame =
+    vacuumPlan(spark, root, Retention.Versions(keep))
+
+  /** Dry-run of the HOURS policy — same pricing contract. */
+  def vacuumPlanHours(spark: SparkSession, root: String,
+                      hours: Double): DataFrame =
+    vacuumPlan(spark, root, Retention.Hours(hours))
+
+  def vacuumPlan(spark: SparkSession, root: String,
+                 ret: Retention): DataFrame = {
     import scala.jdk.CollectionConverters._
-    require(keep >= 1, "must keep at least the live version")
     require(ManifestIndex.isManifestRoot(spark, root),
       s"vacuumPlan requires a manifest root: $root")
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (doomed, kept) = vacuumSplit(spark, fs, root, keep)
+    val (doomed, kept) = vacuumSplit(spark, fs, root, ret)
     val (referenced, dvDirs) =
       liveRefs(kept.map(v => ManifestIndex.read(spark, root, v)))
     val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]

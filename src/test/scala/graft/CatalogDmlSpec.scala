@@ -187,8 +187,14 @@ class CatalogDmlSpec extends SparkSpec {
       s"expected time-travel write refusal, got: ${e3.getMessage}")
   }
 
-  test("MERGE WITH SCHEMA EVOLUTION takes the parse-time carve-out") {
+  test("MERGE WITH SCHEMA EVOLUTION lowers from the resolved plan") {
     val t = mkTable()
+    // Routes through GraftDmlResolved (since r15): the capability is
+    // withheld so Spark's positional evolution never fires; analysis
+    // expands SET * against the pre-evolution schema and the lowering
+    // re-expands it by NAME at execution. Were the resolved rule to miss
+    // the evolution merge, CheckAnalysis would reject the unrewritten
+    // MergeIntoTable outright — success IS the routing pin.
     sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graft.$t AS t
       USING (SELECT id, id * 10 AS v,
                concat('p', CAST(id % 2 AS STRING)) AS part,
@@ -200,12 +206,35 @@ class CatalogDmlSpec extends SparkSpec {
     val rows = sql(s"SELECT id, score FROM graft.$t").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
       .toMap
-    // evolved column landed with source values for every merged row, and
-    // the partition column was NOT mis-wired by positional expansion
+    // evolved column landed with source values for every merged row —
+    // UPDATED rows (id<20, only reachable via the star re-expansion
+    // against the live post-evolution schema) and INSERTED rows alike —
+    // and the partition column was NOT mis-wired by positional expansion
     assert(rows(20L).contains(20.0) && rows(3L).contains(3.0))
     val parts = sql(s"SELECT DISTINCT part FROM graft.$t").collect()
       .map(_.getString(0)).toSet
     assert(parts == Set("p0", "p1"))
+  }
+
+  test("evolution merge: explicit SET leaves evolved columns NULL on " +
+      "updated rows; identity INSERT carries them (resolved path)") {
+    val t = mkTable()
+    sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graft.$t AS t
+      USING (SELECT id, id * 10 AS v,
+               concat('p', CAST(id % 2 AS STRING)) AS part,
+               id + 1000 AS extra
+             FROM range(21)) AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v + 1
+      WHEN NOT MATCHED THEN INSERT *""")
+    val rows = sql(s"SELECT id, v, extra FROM graft.$t").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    // the column evolved (exists for everyone), explicit SET touched only
+    // v, the inserted row carries the source value — parse-time parity
+    assert(rows(3L) == ((31L, None)))
+    assert(rows(20L) == ((200L, Some(1020L))))
   }
 
   test("NOT MATCHED BY SOURCE UPDATE routes catalog-native; masking holds") {

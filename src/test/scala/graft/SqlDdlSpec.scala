@@ -162,6 +162,52 @@ class SqlDdlSpec extends SparkSpec {
       == "v")
   }
 
+  test("VACUUM RETAIN n HOURS: wall-clock window plus the horizon " +
+      "anchor; vacuumPlan parity (r15)") {
+    val root = tmp("vach") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$root` (id BIGINT, v BIGINT, part STRING) " +
+      "PARTITIONED BY (part)")                                       // v0
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (1, 10, 'a'), (2, 20, 'b')") // v1
+    spark.sql(s"DELETE FROM graft.`$root` WHERE id = 2")             // v2
+    spark.sql(s"UPDATE graft.`$root` SET v = 11 WHERE id = 1")       // v3
+    // age the commit instants: v0 at −3h, v1 at −2h, v2 at −30min, v3 live
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    Seq(0 -> 180L, 1 -> 120L, 2 -> 30L).foreach { case (v, m) =>
+      fs.setTimes(graft.sources.ManifestIndex.manifestPath(root,
+        f"v$v%05d"), now - m * 60 * 1000, -1)
+    }
+    // dry-run parity: the hours plan prices exactly the versions the
+    // real sweep would drop (v0; v1 is the −1h horizon's ANCHOR)
+    val planned = graft.sources.Layout.vacuumPlanHours(spark, root, 1.0)
+      .select("path").as[String].collect()
+    assert(planned.exists(_.startsWith("v00000")) &&
+      !planned.exists(_.startsWith("v00001")), planned.mkString(","))
+    val removed = spark.sql(s"VACUUM graft.`$root` RETAIN 1 HOURS")
+      .head().getInt(0)
+    assert(removed == 1, s"only v0 is past the window+anchor, got $removed")
+    // every timestampAsOf inside the advertised window still serves —
+    // including the horizon itself, which resolves to the ANCHOR v1
+    val atHorizon = graft.sources.Layout.readAsOf(spark, root,
+      now - 60 * 60 * 1000)
+    assert(atHorizon.count() == 2L, "horizon state (v1, pre-delete) serves")
+    assert(graft.sources.Layout.readAsOf(spark, root, now - 20 * 60 * 1000)
+      .count() == 1L, "in-window v2 (post-delete) serves")
+    assert(graft.sources.Layout.readCurrent(spark, root)
+      .select($"v").as[Long].collect().toSeq == Seq(11L))
+    // the pre-anchor state is gone
+    intercept[Exception] {
+      graft.sources.Layout.readAsOf(spark, root, now - 150 * 60 * 1000)
+        .count()
+    }
+    // RETAIN 0 HOURS degenerates to keep-the-live-state only (anchor =
+    // the live commit); history collapses to 1
+    assert(spark.sql(s"VACUUM graft.`$root` RETAIN 0 HOURS")
+      .head().getInt(0) == 2)
+    assert(spark.sql(s"DESCRIBE HISTORY graft.`$root`").count() == 1L)
+  }
+
   test("RESTORE TO VERSION AS OF and SHALLOW CLONE statements") {
     val root = tmp("restore") + "/t"
     spark.sql(s"CREATE TABLE graft.`$root` (id BIGINT, v BIGINT, part STRING) " +
