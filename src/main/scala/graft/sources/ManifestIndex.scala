@@ -8,10 +8,10 @@ import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Bound
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.functions.{broadcast, col, collect_set, count, hll_sketch_agg, length, lit, max, min, pmod, shiftrightunsigned, unix_date, unix_micros, when, xxhash64}
+import org.apache.spark.sql.functions.{array, broadcast, col, collect_set, count, hll_sketch_agg, length, lit, max, min, percentile_approx, pmod, shiftrightunsigned, unix_date, unix_micros, when, xxhash64}
 import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType, StringType, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
-import org.json4s.{JInt, JLong, JObject, JString, JValue}
+import org.json4s.{JArray, JInt, JLong, JObject, JString, JValue}
 import org.json4s.jackson.JsonMethods
 
 /** Manifest-mode storage for [[Layout]]'s versioned roots: a version is a
@@ -102,7 +102,8 @@ object ManifestIndex {
     */
   case class ColStats(min: Option[String], max: Option[String], nulls: Long,
                       bloom: Option[BloomStat] = None,
-                      ndv: Option[String] = None)
+                      ndv: Option[String] = None,
+                      hist: Option[Seq[String]] = None)
 
   /** Per-file Bloom filter: `bits` = base64 of an m-bit bitset (m =
     * decoded-length × 8), `k` = hash count. Positions are derived
@@ -123,6 +124,19 @@ object ManifestIndex {
     * keys repeated across files).
     */
   private[sources] val NdvLgK = 8
+
+  /** Equi-height histogram bins per NUMERIC column (S82): the per-file
+    * stats pass records `HistBins + 1` quantile fences (percentile_approx
+    * over the same one-aggregate scan min/max/NDV already ride), and
+    * [[planStatsTable]] merges them into the table-level
+    * `CatalogColumnStat.histogram` by summing the per-file piecewise-
+    * linear CDFs (row-count weighted) and inverting at the global
+    * equi-height targets — the selectivity half of the CBO feed S79's NDV
+    * left open: a range predicate on a SKEWED column estimates from where
+    * the rows actually sit, not from uniform min/max interpolation.
+    * `spark.graft.stats.histogramBins` (write-time; 0 disables) overrides.
+    */
+  private[sources] val HistBins = 16
 
   case class FileStats(rows: Long, cols: Map[String, ColStats])
 
@@ -566,12 +580,26 @@ object ManifestIndex {
     case _ => false
   }
 
+  /** Columns that carry equi-height quantile fences (and whose bounds
+    * [[planStatsTable]] encodes for the CBO): plain numerics. Catalyst's
+    * `Histogram` speaks doubles, so the fences cast through double — the
+    * lossy-above-2⁵³ long corner is acceptable for an ESTIMATOR (bounds
+    * and NDV stay exact-typed).
+    */
+  private def histEligible(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | _: DecimalType => true
+    case _ => false
+  }
+
   private def statsToJson(s: FileStats): String = {
     val cols = JObject(s.cols.toList.sortBy(_._1).map { case (n, c) =>
       n -> (JObject(List("nulls" -> (JLong(c.nulls): JValue)) ++
         c.min.map(v => "min" -> (JString(v): JValue)) ++
         c.max.map(v => "max" -> (JString(v): JValue)) ++
         c.ndv.map(v => "ndv" -> (JString(v): JValue)) ++
+        c.hist.map(h => "hist" ->
+          (JArray(h.toList.map(JString(_): JValue)): JValue)) ++
         c.bloom.map(b => "bloom" -> (JObject(
           "k" -> (JInt(b.k): JValue),
           "bits" -> (JString(b.bits): JValue)): JValue))): JValue)
@@ -601,8 +629,13 @@ object ManifestIndex {
           }
           case _ => None
         }
+        val hist = (c \ "hist") match {
+          case JArray(vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[JString]) =>
+            Some(vs.map(_.asInstanceOf[JString].s))
+          case _ => None
+        }
         name -> ColStats(str("min"), str("max"), jLong(c \ "nulls"), bloom,
-          str("ndv"))
+          str("ndv"), hist)
       }.toMap
       case _ => Map.empty[String, ColStats]
     }
@@ -631,6 +664,10 @@ object ManifestIndex {
     // renames never touch; the per-hash positions share the rows-scan the
     // envelope aggregates already pay
     val blooms = bloomCols.flatMap(n => statCols.find(f => physicalName(f) == n))
+    // write-time override for the per-file histogram fences; 0 disables
+    val histBins = scala.util.Try(spark.conf
+      .get("spark.graft.stats.histogramBins", HistBins.toString).toInt)
+      .getOrElse(HistBins)
     val paths = fresh.map(e => new Path(root, e.path).toString)
     // fresh files are read (and stats recorded) under PHYSICAL names
     val df = spark.read.schema(physicalSchema(activeSchema(dataSchema)))
@@ -652,7 +689,18 @@ object ManifestIndex {
           // guard keeps nulls out — xxhash64(null) would otherwise fold the
           // seed constant in as a phantom distinct value.
           hll_sketch_agg(when(c.isNotNull, xxhash64(c)), lit(NdvLgK))
-            .as(s"__ndv$i"))
+            .as(s"__ndv$i")) ++
+          // per-file equi-height fences (S82): histBins+1 quantiles of the
+          // double view, riding the SAME grouped scan (percentile_approx
+          // is a per-group sketch, so the cost is one more accumulator,
+          // not another pass). All-null files yield a NULL array → no
+          // fences, which planStatsTable treats as "no rows to histogram".
+          (if (histBins > 0 && histEligible(f.dataType))
+            Seq(percentile_approx(c.cast("double"),
+              array((0 to histBins).map(j =>
+                lit(j.toDouble / histBins)): _*),
+              lit(2500)).as(s"__hist$i"))
+          else Nil)
       } ++
       blooms.zipWithIndex.flatMap { case (f, j) =>
         // Kirsch–Mitzenmacher on one xxhash64 — the literal side replays
@@ -688,8 +736,13 @@ object ManifestIndex {
         val mx = Option(r.getAs[String](s"__max$i"))
         val ndv = Option(r.getAs[Array[Byte]](s"__ndv$i"))
           .map(java.util.Base64.getEncoder.encodeToString)
+        val hist =
+          if (histBins > 0 && histEligible(f.dataType))
+            Option(r.getAs[scala.collection.Seq[Double]](s"__hist$i"))
+              .map(_.toSeq.map(_.toString))
+          else None
         physicalName(f) -> ColStats(mn, mx, rows - r.getAs[Long](s"__cnt$i"),
-          bloomByName.get(physicalName(f)), ndv)
+          bloomByName.get(physicalName(f)), ndv, hist)
       }.toMap
       // key by the path RELATIVE to the version dir — one write task emits
       // the same basename into every leaf it touches, so the filename alone
@@ -991,6 +1044,87 @@ object ManifestIndex {
     * Returns None when any kept entry lacks stats (pre-stats files: an
     * unknown subset makes every aggregate a lie).
     */
+  /** Merge per-file equi-height fences into ONE table-level equi-height
+    * [[org.apache.spark.sql.catalyst.plans.logical.Histogram]] (S82).
+    *
+    * Each file's fences define a piecewise-linear CDF (mass `n_i / k` per
+    * bin, uniform within; a zero-width bin is a point mass). The merged
+    * CDF is their row-count-weighted sum — built as a slope/jump sweep
+    * over the sorted union of fences, O(F log F) in total fence count,
+    * never per-row — and the global fences come from inverting it at the
+    * equi-height targets `j·N/bins`. Per-bin NDV is the crude
+    * proportional split `max(1, ndv/bins)` (the exact per-bin count needs
+    * a per-bin pass ANALYZE pays and a write-time stats pass cannot);
+    * range estimates read bin BOUNDARIES, so the approximation costs
+    * little where histograms matter most.
+    */
+  private def mergeHistogram(files: Seq[(Long, Seq[Double])], ndv: Long)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.Histogram] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Histogram, HistogramBin}
+    if (files.isEmpty ||
+        files.exists { case (_, f) =>
+          f.length < 2 || f.exists(d => d.isNaN || d.isInfinite) ||
+            f.zip(f.tail).exists { case (a, b) => a > b } })
+      return None
+    val n = files.map(_._1).sum.toDouble
+    // sweep events: slope changes at linear-bin edges, jumps at point masses
+    val slopeAt = scala.collection.mutable.Map.empty[Double, Double]
+    val jumpAt = scala.collection.mutable.Map.empty[Double, Double]
+    files.foreach { case (ni, f) =>
+      val mass = ni.toDouble / (f.length - 1)
+      f.zip(f.tail).foreach { case (lo, hi) =>
+        if (hi > lo) {
+          slopeAt(lo) = slopeAt.getOrElse(lo, 0.0) + mass / (hi - lo)
+          slopeAt(hi) = slopeAt.getOrElse(hi, 0.0) - mass / (hi - lo)
+        } else jumpAt(lo) = jumpAt.getOrElse(lo, 0.0) + mass
+      }
+    }
+    val knots = (slopeAt.keySet ++ jumpAt.keySet).toArray.sorted
+    // cumAfter(i) = CDF just after knot i's jump; slope applies to the
+    // segment (knot i, knot i+1)
+    val cumAfter = new Array[Double](knots.length)
+    var cum = 0.0; var slope = 0.0
+    knots.zipWithIndex.foreach { case (x, i) =>
+      if (i > 0) cum += slope * (x - knots(i - 1))
+      cum += jumpAt.getOrElse(x, 0.0)
+      slope += slopeAt.getOrElse(x, 0.0)
+      cumAfter(i) = cum
+    }
+    def invert(t: Double): Double = {
+      var i = java.util.Arrays.binarySearch(cumAfter, t)
+      if (i < 0) i = -i - 1 // first index with cumAfter >= t
+      if (i <= 0) knots.head
+      else if (i >= knots.length) knots.last
+      else {
+        val c0 = cumAfter(i - 1)
+        val cBeforeJump = c0 + slope0(i) * (knots(i) - knots(i - 1))
+        if (t >= cBeforeJump) knots(i)
+        else knots(i - 1) +
+          (knots(i) - knots(i - 1)) * (t - c0) / (cBeforeJump - c0)
+      }
+    }
+    // slope on the segment entering knot i (recomputed by prefix — cheap
+    // relative to the sort above)
+    lazy val slopes: Array[Double] = {
+      val out = new Array[Double](knots.length)
+      var s = 0.0
+      knots.zipWithIndex.foreach { case (x, i) =>
+        s += slopeAt.getOrElse(x, 0.0); out(i) = s
+      }
+      out
+    }
+    def slope0(i: Int): Double = slopes(i - 1)
+    val fences = (0.0 +: (1 until HistBins).map(j => invert(n * j / HistBins))
+      .scanLeft(knots.head)(math.max).tail :+ knots.last).toArray match {
+      case a => a.drop(1) // drop the 0.0 seed; keep monotone targets
+    }
+    val all = (knots.head +: fences.toSeq).toArray
+    val binNdv = math.max(1L, math.round(ndv.toDouble / HistBins))
+    val bins = (0 until HistBins).map(j =>
+      HistogramBin(all(j), all(j + 1), binNdv)).toArray
+    Some(Histogram(n / HistBins, bins))
+  }
+
   private def planStatsTable(m: TableManifest, kept: Seq[Entry])
       : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] = {
     import org.apache.spark.sql.catalyst.TableIdentifier
@@ -1046,6 +1180,24 @@ object ManifestIndex {
             BigInt(math.max(0L,
               math.min(math.round(u.getResult.getEstimate), nonNull)))
           }.toOption
+        val minB = if (numeric) bound(_.min, pickMin = true) else None
+        val maxB = if (numeric) bound(_.max, pickMin = false) else None
+        // equi-height histogram (S82): merged from the per-file fences
+        // when EVERY row-bearing entry carries them (pre-S82 files → no
+        // histogram; min/max/NDV still feed) — and only alongside a full
+        // [min, max] envelope, which the estimator reads in tandem
+        val histogram =
+          if (minB.isEmpty || maxB.isEmpty || ndv.isEmpty) None
+          else {
+            val pairs = stats.zip(cs).map { case (fss, c) =>
+              (fss.rows - c.nulls, c.hist) }
+            val bearing = pairs.filter(_._1 > 0)
+            if (bearing.isEmpty || bearing.exists(_._2.isEmpty)) None
+            else scala.util.Try(mergeHistogram(
+              bearing.map { case (nn, h) =>
+                (nn, h.get.map(_.toDouble)) }, ndv.get.toLong))
+              .toOption.flatten
+          }
         // numeric columns carry bounds; the rest (string/date/timestamp/
         // boolean — layout-specific bound encodings CatalogColumnStat
         // would misparse) still carry nullCount + distinctCount, which is
@@ -1053,10 +1205,11 @@ object ManifestIndex {
         if (!numeric && ndv.isEmpty) None
         else Some(phys -> CatalogColumnStat(
           distinctCount = ndv,
-          min = if (numeric) bound(_.min, pickMin = true) else None,
-          max = if (numeric) bound(_.max, pickMin = false) else None,
+          min = minB,
+          max = maxB,
           nullCount = Some(BigInt(cs.map(_.nulls).sum)),
-          avgLen = None, maxLen = None))
+          avgLen = None, maxLen = None,
+          histogram = histogram))
       }
     }.toMap
     Some(CatalogTable(

@@ -534,6 +534,82 @@ class ManifestStatsSpec extends SparkSpec {
     }
   }
 
+  test("S82: equi-height histograms fix range selectivity on skewed " +
+      "columns and flip a join build side") {
+    import graft.sources.Layout
+    // HEAVILY skewed v: 95% of rows at v < 100, the 5% tail spread to 1e6.
+    // Uniform min/max interpolation estimates `v > 500000` at ~50% of
+    // rows; the histogram puts nearly all mass in the low bins and
+    // estimates the tail correctly (a few percent).
+    def skewed(hist: Boolean): String = {
+      val root = Files.createTempDirectory("graft_hist").toString
+      val prev = spark.conf.getOption("spark.graft.stats.histogramBins")
+      if (!hist) spark.conf.set("spark.graft.stats.histogramBins", "0")
+      try Layout.initVersionedManifest(
+        spark.range(40000).select($"id",
+          when($"id" % 20 < 19, $"id" % 100)
+            .otherwise(($"id" % 100) * 10000 + 100).cast("double").as("v"),
+          concat(lit("pad-"), format_string("%060d", $"id")).as("pad"),
+          lit("p1").as("part")).repartition(4), root, Seq("part"))
+      finally prev match {
+        case Some(x) => spark.conf.set("spark.graft.stats.histogramBins", x)
+        case None => spark.conf.unset("spark.graft.stats.histogramBins")
+      }
+      root
+    }
+    val withHist = skewed(hist = true)
+    val noHist = skewed(hist = false)
+    // the fences landed in the manifest only when enabled
+    val m = ManifestIndex.read(spark, withHist, "v00000")
+    assert(m.entries.forall(_.stats.get.cols("v").hist.exists(_.size == 17)))
+    assert(ManifestIndex.read(spark, noHist, "v00000")
+      .entries.forall(_.stats.get.cols("v").hist.isEmpty))
+    val confs = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.planStats.enabled",
+      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    val prev = confs.map(c => c -> spark.conf.getOption(c)).toMap
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.planStats.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (512 * 1024).toString)
+      def estRows(root: String): BigInt =
+        Layout.readCurrent(spark, root).filter($"v" > 500000.0)
+          .queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1))
+      val (eh, eu) = (estRows(withHist), estRows(noHist))
+      val truth = Layout.readCurrent(spark, withHist)
+        .filter($"v" > 500000.0).count()
+      // uniform interpolation lands wildly high; the histogram estimate
+      // is within 3x of the ~1000-row truth
+      assert(eu > BigInt(10000), s"uniform estimate should be huge, got $eu")
+      assert(eh < BigInt(truth * 3) && eh > BigInt(0),
+        s"histogram estimate should be near $truth, got $eh")
+      // ...and the better estimate changes a PLAN: the filtered side is
+      // small enough to broadcast only under the histogram
+      def bhj(root: String): Int = {
+        val dims = Layout.readCurrent(spark, root)
+          .filter($"v" > 500000.0).select($"id", $"pad")
+        val facts = Layout.readCurrent(spark, withHist)
+          .select($"id".as("fid"), $"pad".as("fpad"))
+        facts.join(dims, $"fid" === dims("id"))
+          .queryExecution.executedPlan.collect {
+            case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+          }.size
+      }
+      assert(bhj(withHist) == 1,
+        "histogram selectivity must shrink the filtered side under the " +
+          "broadcast threshold")
+      assert(bhj(noHist) == 0,
+        "uniform selectivity must NOT broadcast (the contrast that " +
+          "proves the histogram did it)")
+    } finally prev.foreach { case (c, v) =>
+      v match {
+        case Some(x) => spark.conf.set(c, x)
+        case None => spark.conf.unset(c)
+      }
+    }
+  }
+
   test("S74: manifest stats surface as plan statistics under plan-stats/CBO") {
     import graft.sources.Layout
     val root = rangedRoot()
