@@ -114,7 +114,16 @@ object Bench {
         // THREADS, so a registration running concurrent sinks can
         // attribute more writer-seconds than wall-seconds (review fix —
         // a negative decomposition would corrupt the column's meaning)
-        f"$k%-34s pos=$idx%03d min=${r3(runs.map(_.sec).min)}%s " +
+        //
+        // n= / min3= make the adaptive widening auditable (ADVICE r14):
+        // min-of-N is monotonically non-increasing in N, so a round-over-
+        // round comparison on a widened (n=5) query against a prior
+        // round's min-of-3 carries a one-sided bias — min3 is the
+        // LIKE-FOR-LIKE number (min of the first three samples, the same
+        // statistic every round reports for non-widened queries)
+        f"$k%-34s pos=$idx%03d n=${runs.length}%d " +
+          s"min=${r3(runs.map(_.sec).min)} " +
+          s"min3=${r3(runs.take(3).map(_.sec).min)} " +
           s"setup_sec=${r3(if (best.sec < 0) 0.0 else math.min(best.setupSec, best.sec))} " +
           s"query_sec=${r3(if (best.sec < 0) best.sec
             else math.max(0.0, best.sec - best.setupSec))} " +

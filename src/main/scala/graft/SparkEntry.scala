@@ -1523,7 +1523,7 @@ object SparkEntry {
       val base = Tables.orders(s, dir).select(
         col("o_orderkey").as("id"), col("o_orderpriority").as("g"),
         round(col("o_totalprice") * 100).cast("long").as("v"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q139").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q139") + "/t"
       graft.sources.Layout.initVersionedManifest(base, root, Seq("g"))
       graft.sources.Layout.mergeVersionedPartitioned(s, root,
         base.filter(col("id") % 7 === 0).withColumn("v", col("v") + 1000L),
@@ -1562,7 +1562,7 @@ object SparkEntry {
     "q141_stats_skipped_scan" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q141").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q141") + "/t"
       graft.sources.Layout.initVersionedManifest(
         li.repartitionByRange(8, col("l_orderkey")), root, Seq("l_returnflag"))
       graft.sources.Layout.readCurrent(s, root)
@@ -1583,7 +1583,7 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir).select(
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_quantity"), col("l_extendedprice"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q142").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q142") + "/t"
       graft.sources.Layout.initVersionedManifest(
         li.repartition(4), root, Seq("l_returnflag"))
       graft.sources.Layout.deleteVersionedRows(s, root, col("l_quantity") >= 45.0)
@@ -1605,7 +1605,7 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir).select(
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_quantity"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q143").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q143") + "/t"
       graft.sources.Layout.initVersionedManifest(
         li.repartition(4), root, Seq("l_returnflag"))
       graft.sources.Layout.updateVersionedRows(s, root,
@@ -1629,7 +1629,7 @@ object SparkEntry {
     "q144_bloom_skipped_scan" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select(
         col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q144").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q144") + "/t"
       graft.sources.Layout.initVersionedManifest(
         li.repartitionByRange(8, pmod(col("l_orderkey"), lit(8L))),
         root, Seq("l_returnflag"), Seq("l_orderkey"))
@@ -1651,7 +1651,7 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir).select(
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_quantity"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q145").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q145") + "/t"
       graft.sources.Layout.initVersionedManifest(
         li.repartition(4), root, Seq("l_returnflag"))
       graft.sources.Layout.renameColumn(s, root, "l_quantity", "qty")
@@ -1675,7 +1675,7 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir).select(
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_quantity"), col("l_tax"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q146").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q146") + "/t"
       graft.sources.Layout.initVersionedManifest(
         li.repartition(4), root, Seq("l_returnflag"))
       graft.sources.Layout.dropColumn(s, root, "l_tax")
@@ -1697,7 +1697,7 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir).select(
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_quantity"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q147").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q147") + "/t"
       graft.sources.Layout.initVersionedManifest(
         li.repartition(4), root, Seq("l_returnflag"))
       graft.sources.Layout.deleteVersionedRows(s, root,
@@ -1722,7 +1722,7 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir).select(
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_quantity"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q148").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q148") + "/t"
       graft.sources.Layout.initVersionedManifest(
         li.repartition(4), root, Seq("l_returnflag"))
       graft.sources.Layout.mergeVersionedPartitioned(s, root,
@@ -1764,7 +1764,7 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir).select(
         col("l_orderkey").cast("int").as("l_orderkey"),
         col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q150").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q150") + "/t"
       graft.sources.Layout.initVersionedManifest(
         li.repartition(4), root, Seq("l_returnflag"))
       graft.sources.Layout.widenColumn(s, root, "l_orderkey",
@@ -1805,7 +1805,7 @@ object SparkEntry {
       val base = Tables.orders(s, dir).select(
         col("o_orderkey").as("id"), col("o_orderpriority").as("g"),
         round(col("o_totalprice") * 100).cast("long").as("v"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q153").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q153") + "/t"
       graft.sources.Layout.initVersionedManifest(base, root, Seq("g"))
       graft.sources.Layout.mergeVersionedPartitioned(s, root,
         base.filter(col("id") % 7 === 0).withColumn("v", col("v") + 1000L),
@@ -1835,7 +1835,7 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir).select(
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_quantity"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q156").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q156") + "/t"
       graft.sources.Layout.initVersionedManifest(
         li.repartition(4), root, Seq("l_returnflag"))
       graft.sources.Layout.deleteVersionedRows(s, root,
@@ -1864,7 +1864,7 @@ object SparkEntry {
       val dimsBase = Tables.customer(s, dir).select(
         col("c_custkey").as("ck"), col("c_mktsegment").as("seg"),
         round(col("c_acctbal") * 100).cast("long").as("bal"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q158").toString
+      val tmp = graft.util.TempRoots.create("graft_q158")
       val fRoot = s"$tmp/facts"; val dRoot = s"$tmp/dims"
       graft.sources.Layout.initVersionedManifest(factsBase, fRoot, Seq("pri"))
       graft.sources.Layout.initVersionedManifest(dimsBase, dRoot, Seq("seg"))
@@ -1924,7 +1924,7 @@ object SparkEntry {
       val base = Tables.orders(s, dir).select(
         col("o_orderkey").as("id"), col("o_orderpriority").as("g"),
         (round(col("o_totalprice")).cast("long") % 1000L).as("v"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q163").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q163") + "/t"
       graft.sources.Layout.initVersionedManifest(base, root, Seq("g"))
       graft.sources.Layout.mergeVersionedPartitioned(s, root,
         base.filter(col("id") % 7 === 0).withColumn("v", col("v") + 1000L),
@@ -1955,7 +1955,7 @@ object SparkEntry {
       val base = Tables.orders(s, dir).select(
         col("o_orderkey").as("id"), col("o_orderpriority").as("pri"),
         round(col("o_totalprice") * 100).cast("long").as("v"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q162").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q162") + "/t"
       graft.sources.Layout.initVersionedManifest(base, root, Seq("pri"))
       graft.sources.Layout.mergeVersionedPartitioned(s, root,
         base.filter(col("id") % 7 === 0).withColumn("v", col("v") + 1000L),
@@ -1994,7 +1994,7 @@ object SparkEntry {
       val base = Tables.orders(s, dir).select(
         col("o_orderkey").as("id"), col("o_orderpriority").as("pri"),
         round(col("o_totalprice") * 100).cast("long").as("v"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q159").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q159") + "/t"
       graft.sources.Layout.initVersionedManifest(base, root, Seq("pri"))
       val srcMatched = base.filter(col("id") % 5 === 0)
         .withColumn("v", col("v") +
@@ -2066,7 +2066,7 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir).select(
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_quantity"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q152").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q152") + "/t"
       graft.sources.Layout.initVersionedManifest(
         li.repartition(4), root, Seq("l_returnflag"))
       val batch = li.filter(col("l_orderkey") % 10 === 1)
@@ -2092,7 +2092,7 @@ object SparkEntry {
       val base = Tables.orders(s, dir).select(
         col("o_orderkey").as("id"), col("o_orderpriority").as("pri"),
         round(col("o_totalprice") * 100).cast("long").as("v"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q164").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q164") + "/t"
       graft.sources.Layout.initVersionedManifest(base, root, Seq("pri"))
       base.filter(col("id") % 5 === 0)
         .withColumn("v", col("v") +
@@ -2122,7 +2122,7 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir).select(
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_quantity"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q165").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q165") + "/t"
       graft.sources.Layout.initVersionedManifest(
         li.repartition(4), root, Seq("l_returnflag"))
       s.sql(s"UPDATE graft.`$root` SET l_quantity = l_quantity + 5.0 " +
@@ -2147,7 +2147,7 @@ object SparkEntry {
       val base = Tables.orders(s, dir).select(
         col("o_orderkey").as("id"), col("o_orderpriority").as("g"),
         round(col("o_totalprice") * 100).cast("long").as("v"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q166").toString
+      val tmp = graft.util.TempRoots.create("graft_q166")
       val (root, out, ckpt) = (tmp + "/t", tmp + "/out", tmp + "/ckpt")
       graft.sources.Layout.initVersionedManifest(base, root, Seq("g"))
       def drain(): Unit = {
@@ -2217,7 +2217,7 @@ object SparkEntry {
         .groupBy(col("l_orderkey"), col("l_linenumber"))
         .agg(max(col("l_returnflag")).as("l_returnflag"),
           max(col("l_quantity")).as("l_quantity"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q169").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q169") + "/t"
       graft.sources.Layout.initVersionedManifest(
         li.repartition(4), root, Seq("l_returnflag"))
       graft.sources.Layout.addCheckConstraint(s, root, "qty_bounds",
@@ -2248,7 +2248,7 @@ object SparkEntry {
       val base = Tables.orders(s, dir).select(
         col("o_orderkey").as("id"), col("o_orderpriority").as("pri"),
         round(col("o_totalprice") * 100).cast("long").as("v"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q170").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q170") + "/t"
       graft.sources.Layout.initVersionedManifest(base, root, Seq("pri"))
       base.filter(col("id") % 6 === 0).createOrReplaceTempView("q170_src")
       // table column order is (id, v, pri); the SELECT maps positionally
@@ -2274,7 +2274,7 @@ object SparkEntry {
         .select(
         col("o_orderkey").as("id"), col("o_orderpriority").as("pri"),
         round(col("o_totalprice") * 100).cast("long").as("v"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q171").toString
+      val tmp = graft.util.TempRoots.create("graft_q171")
       val (src, derived, ckpt) = (tmp + "/src", tmp + "/derived", tmp + "/ckpt")
       graft.sources.Layout.initVersionedManifest(base, src, Seq("pri"))
       graft.sources.Layout.initVersionedManifest(
@@ -2317,7 +2317,7 @@ object SparkEntry {
       val base = Tables.orders(s, dir).select(
         col("o_orderkey").as("id"), col("o_orderpriority").as("pri"),
         round(col("o_totalprice") * 100).cast("long").as("v"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q172").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q172") + "/t"
       graft.sources.Layout.initVersionedManifest(base, root, Seq("pri"))
       // three sliver-appending upserts fragment the leaves
       (1 to 3).foreach(k =>
@@ -2344,7 +2344,7 @@ object SparkEntry {
       val base = Tables.orders(s, dir).select(
         col("o_orderkey").as("id"), col("o_orderpriority").as("pri"),
         round(col("o_totalprice") * 100).cast("long").as("v"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q173").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q173") + "/t"
       graft.sources.Layout.initVersionedManifest(base, root, Seq("pri"))
       base.filter(col("id") % 4 === 0).withColumn("v", col("v") + 100L)
         .unionByName(base.filter(col("id") % 4 === 0)
@@ -2374,7 +2374,7 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir).select(
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_quantity"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q174").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q174") + "/t"
       graft.sources.Layout.initVersionedManifest(
         li.repartition(4), root, Seq("l_returnflag"))
       Tables.orders(s, dir).createOrReplaceTempView("q174_orders")
@@ -2413,7 +2413,7 @@ object SparkEntry {
     // VACUUM RETAIN 1 leaves exactly one DESCRIBE HISTORY row, folded in
     // as a column so the ledger surface is under the gate too.
     "q176_sql_lifecycle" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q176").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q176") + "/t"
       Tables.orders(s, dir).createOrReplaceTempView("q176_orders")
       // the constraint guards a column the rename does NOT touch —
       // renameColumn refuses renames of constraint-referenced columns
@@ -2444,7 +2444,7 @@ object SparkEntry {
       val base = Tables.orders(s, dir).select(
         col("o_orderkey").as("id"), col("o_orderpriority").as("pri"),
         round(col("o_totalprice") * 100).cast("long").as("v"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q177").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q177") + "/t"
       graft.sources.Layout.initVersionedManifest(base, root, Seq("pri"))
       val slice = base.filter(col("id") % 6 === 0)
         .withColumn("v", col("v") + 50L)
@@ -2492,7 +2492,7 @@ object SparkEntry {
     // pre-delete counts and the live leg the post-delete counts, per
     // priority, in the same plan.
     "q179_sql_read_time_travel" -> ((s, dir) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft_q179").toString
+      val wh = graft.util.TempRoots.create("graft_q179")
       s.conf.set(graft.plans.GraftPaths.WarehouseConf, wh)
       try {
         Tables.orders(s, dir).select(
@@ -2539,7 +2539,7 @@ object SparkEntry {
       val base = Tables.orders(s, dir).select(
         col("o_orderkey").as("id"), col("o_orderpriority").as("pri"),
         round(col("o_totalprice") * 100).cast("long").as("v"))
-      val root = java.nio.file.Files.createTempDirectory("graft_q181").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q181") + "/t"
       graft.sources.Layout.initVersionedManifest(base, root, Seq("pri"))
       base.createOrReplaceTempView("q181_src")
       // table column order is (id, v, pri): positional mapping
@@ -2565,7 +2565,7 @@ object SparkEntry {
       val s = s0.newSession()
       s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
       s.conf.set("spark.graft.warehouse",
-        java.nio.file.Files.createTempDirectory("graft_q182_wh").toString)
+        graft.util.TempRoots.create("graft_q182_wh"))
       Tables.orders(s, dir).createOrReplaceTempView("q182_orders")
       s.sql("CREATE TABLE graft.cat182 (id BIGINT, v BIGINT, pri STRING, " +
         "CONSTRAINT id_pos CHECK (id >= 0)) PARTITIONED BY (pri)")
@@ -2621,8 +2621,7 @@ object SparkEntry {
     // fills the omitted tag column, and the NOT NULL gate is part of the
     // write path that produced every surviving row.
     "q185_column_markers" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q185").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q185") + "/t"
       s.sql(s"CREATE TABLE graft.`$root` (id BIGINT, v BIGINT, " +
         "tag STRING, pri STRING) PARTITIONED BY (pri)")
       s.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN v SET NOT NULL")
@@ -2658,7 +2657,7 @@ object SparkEntry {
         col("o_orderkey").as("id"),
         round(col("o_totalprice") * 100).cast("long").as("v"),
         col("o_orderpriority").as("pri"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q186").toString
+      val tmp = graft.util.TempRoots.create("graft_q186")
       val root = tmp + "/t"
       base.limit(0).write.parquet(tmp + "/seed") // schema-only seed dir
       s.sql(s"CREATE TABLE graft.`$root` (id BIGINT, v BIGINT, pri STRING) " +
@@ -2777,8 +2776,7 @@ object SparkEntry {
     //     the column or be refused — every surviving row passed the
     //     invariant, which is what the oracle's plain algebra checks ---
     "q194_generated_columns" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q194").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q194") + "/t"
       s.sql(s"CREATE TABLE graft.`$root` (id BIGINT, v BIGINT, " +
         "twice BIGINT, pri STRING) PARTITIONED BY (pri)")
       graft.sources.Layout.setGeneratedColumn(s, root, "twice", "v * 2 + 1")
@@ -2810,8 +2808,7 @@ object SparkEntry {
     //     updates in place and inserts fresh ids; the final table is
     //     unique-by-id because every write path proved it ---
     "q195_unique_ingest" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q195").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q195") + "/t"
       s.sql(s"CREATE TABLE graft.`$root` (id BIGINT, v BIGINT, pri STRING) " +
         "PARTITIONED BY (pri)")
       graft.sources.Layout.addUniqueConstraint(s, root, "pk", Seq("id"))
@@ -2931,7 +2928,7 @@ object SparkEntry {
       val s = s0.newSession()
       s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
       s.conf.set("spark.graft.warehouse",
-        java.nio.file.Files.createTempDirectory("graft_q202_wh").toString)
+        graft.util.TempRoots.create("graft_q202_wh"))
       val base = Tables.orders(s, dir).select(
         col("o_orderkey").as("id"), col("o_orderpriority").as("pri"),
         round(col("o_totalprice") * 100).cast("long").as("v"))
@@ -3038,15 +3035,13 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir).select(
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_quantity"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q212").toString + "/t"
+      val root = graft.util.TempRoots.create("graft_q212") + "/t"
       graft.sources.Layout.initVersionedManifest(
         li.repartition(4), root, Seq("l_returnflag"))
       s.sql(s"UPDATE graft.`$root` SET l_quantity = l_quantity + 5.0 " +
         "WHERE l_orderkey % 7 = 0")
       s.sql(s"DELETE FROM graft.`$root` WHERE l_quantity >= 48.0")
-      val dst = java.nio.file.Files
-        .createTempDirectory("graft_q212c").toString + "/c"
+      val dst = graft.util.TempRoots.create("graft_q212c") + "/c"
       graft.sources.Layout.deepClone(s, root, dst)
       s.sql(s"DROP TABLE graft.`$root`")
       val nHist = graft.sources.Layout.history(s, dst).count()
@@ -3094,6 +3089,136 @@ object SparkEntry {
           to_date(col("o_orderdate")).as("d"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
       Seasonal.theilSen(daily, Seq("pri"), "d", "cents")
+    }),
+
+    // --- catalog-native MERGE WITH SCHEMA EVOLUTION (r15): q177's exact
+    //     algebra, but the target is a catalog table and the statement
+    //     lowers from the RESOLVED plan — the capability stays withheld,
+    //     so Spark's positional evolution never fires; GraftDmlResolved
+    //     detects the analyzer's pre-evolution star expansion by NAME and
+    //     re-expands it at execution against the evolved schema. Same
+    //     oracle as q177 ---
+    "q213_catalog_evolution" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+      s.conf.set("spark.graft.warehouse",
+        graft.util.TempRoots.create("graft_q213_wh"))
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"), col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      base.createOrReplaceTempView("q213_base")
+      s.sql("CREATE TABLE graft.cat213 (id BIGINT, v BIGINT, pri STRING) " +
+        "PARTITIONED BY (pri)")
+      s.sql("INSERT INTO graft.cat213 SELECT id, v, pri FROM q213_base")
+      val slice = base.filter(col("id") % 6 === 0)
+        .withColumn("v", col("v") + 50L)
+      slice.withColumn("score", (col("id") % 8).cast("double"))
+        .unionByName(slice
+          .withColumn("id", -(col("id") + 1L))
+          .withColumn("score", lit(1.5)))
+        .createOrReplaceTempView("q213_src")
+      s.sql("""
+        MERGE WITH SCHEMA EVOLUTION INTO graft.cat213 AS t
+        USING q213_src AS src
+        ON t.id = src.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      s.sql("SELECT pri, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "sum(v) AS sum_v, CAST(sum(coalesce(score, 0.0)) AS DOUBLE) " +
+        "AS sum_score FROM graft.cat213 GROUP BY pri")
+    }),
+
+    // --- BATCH reciprocal-rank fusion (r15): rrfFuse for a TABLE of
+    //     queries — the serving shape where N workloads ride one corpus
+    //     pass and the fuse is one plan (full-outer on (query, id) + a
+    //     TopKAgg cut), not a per-query driver loop. The two rankings
+    //     here are exact-integer (micro-cents / counts), so every rank is
+    //     deterministic and the fused list hash-checks ---
+    "q214_batch_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(round(col("value") * 1000000).cast("long")).as("sv"),
+          count(lit(1)).as("cnt"))
+      val byVal = per.withColumn("rnk", row_number().over(Window
+          .partitionBy("event_type")
+          .orderBy(col("sv").desc, col("user_id"))))
+        .filter(col("rnk") <= 50).select("event_type", "user_id", "rnk")
+      val byCnt = per.withColumn("rnk", row_number().over(Window
+          .partitionBy("event_type")
+          .orderBy(col("cnt").desc, col("user_id"))))
+        .filter(col("rnk") <= 50).select("event_type", "user_id", "rnk")
+      Retrieval.rrfFuseAll(Seq(byVal, byCnt), "event_type", "user_id",
+        "rnk", k0 = 60, topK = 10)
+    }),
+
+    // --- PSI ingest-drift monitor (r15): "did this slice's value
+    //     distribution change shape?" — even-day reference vs odd-day
+    //     current per event_type, 10 reference-envelope bins, Laplace
+    //     smoothing; per-bin terms nano-quantized BEFORE the sum so
+    //     partitioning cannot reorder a double accumulation ---
+    "q215_psi_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 1000000).cast("long").as("vm"),
+          (unix_date(to_date(col("ts"))) % 2).as("par"))
+      Drift.psiDrift(ev.filter(col("par") === 0), ev.filter(col("par") === 1),
+        Seq("event_type"), "vm", bins = 10)
+    }),
+
+    // --- classical OLS trend (r15): theilSen's least-squares sibling —
+    //     slope/intercept/R² from five exact DECIMAL moment sums, ONE
+    //     aggregate, no pair join; monitors alarm when OLS and Theil–Sen
+    //     DISAGREE (that disagreement IS the outlier signal) ---
+    "q216_ols_trend" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("pri"),
+          to_date(col("o_orderdate")).as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      Seasonal.olsTrend(daily, Seq("pri"), "d", "cents")
+    }),
+
+    // --- two-sample KS drift (r15): the sharpest single-number
+    //     distributional distance — max CDF gap over the value union,
+    //     EXACT (integer cross-multiplied numerator, one double division
+    //     after the max); the unbinned check PSI's bins smooth over ---
+    "q217_ks_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 1000000).cast("long").as("vm"),
+          (unix_date(to_date(col("ts"))) % 2).as("par"))
+      Drift.ksDrift(ev.filter(col("par") === 0), ev.filter(col("par") === 1),
+        Seq("event_type"), "vm")
+    }),
+
+    // --- rolling-window distinct users (r15): 7-day trailing distinct
+    //     per event_type by MERGING day-grain KMV sketches — one scan
+    //     into day sketches, every window O(7k) list algebra; the
+    //     count(DISTINCT) OVER (RANGE 6 PRECEDING) that warehouses
+    //     re-scan per window, made compositional ---
+    "q218_rolling_distinct" -> ((s, dir) =>
+      Aggregates.kmvRollingDistinct(Tables.events(s, dir),
+        Seq("event_type"), "ts", "user_id", windowDays = 7, k = 64)),
+
+    // --- leakage-safe train/val/test split (r15): the split keyed by
+    //     the near-dup GROUP representative, so paraphrase/boilerplate
+    //     clusters can never straddle the train/test boundary — the
+    //     guard a per-document split structurally cannot give; composes
+    //     q70's connected components with q64's md5 bucket ---
+    "q219_leakage_safe_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val jac = SetSimJoin.jaccardPairs(docs, "doc_id", "text",
+          shingleN = 3, threshold = 0.1, blockCol = Some("lang"),
+          dfCap = Some(64L))
+        .select("id_a", "id_b")
+      val chain = docs.filter(col("doc_id") % 100 < 2)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      val groups = MinHashDedup.dupGroups(jac.unionByName(chain))
+      Sampling.groupAwareSplit(docs, "doc_id", groups,
+          trainPerMille = 800, valPerMille = 100)
+        .select(col("doc_id"), col("group_rep"), col("split"))
     })
   )
 
@@ -5453,6 +5578,201 @@ object SparkEntry {
           CAST(floor(fs * 1000000.0 + 0.5) AS BIGINT) AS rrf_micro
         FROM fused ORDER BY fs DESC, doc_id LIMIT 25""",
 
+      // batch RRF: two exact-integer per-type rankings, full join on
+      // (type, user), Σ 1/(60+r), top-10 per type with ties on user_id
+      "q214_batch_rrf" -> """
+        WITH per AS (SELECT event_type, user_id,
+            CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+              AS sv,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2),
+        a AS (SELECT event_type, user_id,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY sv DESC, user_id) AS r FROM per),
+        b AS (SELECT event_type, user_id,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY cnt DESC, user_id) AS r FROM per),
+        fused AS (SELECT event_type, user_id,
+            coalesce(CAST(1.0 AS DOUBLE) / (60 + a.r), 0) +
+            coalesce(CAST(1.0 AS DOUBLE) / (60 + b.r), 0) AS fs
+          FROM (SELECT * FROM a WHERE r <= 50) a
+          FULL JOIN (SELECT * FROM b WHERE r <= 50) b
+            USING (event_type, user_id)),
+        ranked AS (SELECT event_type, user_id,
+            CAST(floor(fs * 1000000.0 + 0.5) AS BIGINT) AS rrf_micro,
+            CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY fs DESC, user_id) AS BIGINT) AS rnk
+          FROM fused)
+        SELECT event_type, user_id, rrf_micro, rnk
+        FROM ranked WHERE rnk <= 10""",
+
+      // the KMV merge property makes the rolling merge ≡ a direct sketch
+      // of each trailing 7-day union — the oracle computes the direct form
+      "q218_rolling_distinct" -> s"""
+        WITH h AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS d,
+            (${duckPolyHash("CAST(user_id AS VARCHAR)")} *
+              ${Aggregates.KmvPerm._1} + ${Aggregates.KmvPerm._2})
+              % 1000000007 AS ph
+          FROM events WHERE user_id IS NOT NULL),
+        days AS (SELECT DISTINCT event_type, d FROM h),
+        win AS (SELECT DISTINCT days.event_type, days.d, x.ph
+          FROM days JOIN h x ON x.event_type = days.event_type
+            AND x.d <= days.d AND x.d > days.d - 7),
+        s AS (SELECT event_type, d, list_sort(list(ph)) AS ls,
+            CAST(count(*) AS BIGINT) AS nd FROM win GROUP BY 1, 2)
+        SELECT event_type, CAST(d AS TIMESTAMP) AS day,
+          CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+               ELSE round(63.0 * 1000000007 / greatest(ls[64], 1), 4)
+          END AS n_distinct_est
+        FROM s""",
+
+      // q70's recursive components + q64's md5 bucket, keyed by the
+      // group representative — one split label per near-dup cluster
+      "q219_leakage_safe_split" -> """
+        WITH RECURSIVE t AS (SELECT doc_id, lang,
+            string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        s AS (SELECT doc_id, lang,
+            CASE WHEN len(toks) < 3 THEN [] ELSE list_distinct(
+              list_transform(range(0, len(toks) - 2),
+                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+            END AS sh
+          FROM t),
+        jac AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE len(a.sh) > 0 AND len(b.sh) > 0
+            AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1),
+        chain AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+                  WHERE doc_id % 100 < 2),
+        p AS (SELECT id_a, id_b FROM jac UNION SELECT id_a, id_b FROM chain),
+        e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+        reach(id, r) AS (SELECT s, s FROM e
+          UNION SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.id),
+        comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        lab AS (SELECT d.doc_id,
+            coalesce(c.component, d.doc_id) AS group_rep
+          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        b AS (SELECT doc_id, group_rep,
+            CAST(('0x' || substring(md5(CAST(group_rep AS VARCHAR)), 1, 8))
+              AS BIGINT) % 1000 AS bkt
+          FROM lab)
+        SELECT doc_id, group_rep,
+          CASE WHEN bkt < 800 THEN 'train'
+               WHEN bkt < 900 THEN 'val' ELSE 'test' END AS split
+        FROM b""",
+
+      // PSI over 10 reference-envelope bins, Laplace +0.5, per-bin terms
+      // nano-quantized before the integer sum — the Spark algebra replayed
+      "q215_psi_drift" -> """
+        WITH e AS (SELECT event_type,
+            CAST(round(value * 1000000) AS BIGINT) AS vm,
+            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 2 AS par
+          FROM events WHERE value IS NOT NULL),
+        env AS (SELECT event_type, min(vm) AS lo, max(vm) AS hi,
+            CAST(count(*) AS BIGINT) AS n_ref
+          FROM e WHERE par = 0 GROUP BY 1),
+        nc AS (SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_cur
+          FROM e JOIN env USING (event_type) WHERE par = 1 GROUP BY 1),
+        binned AS (SELECT e.event_type, par,
+            CASE WHEN hi = lo THEN 0
+                 ELSE least(greatest(CAST(floor(
+                   (CAST(vm AS DOUBLE) - CAST(lo AS DOUBLE)) /
+                   (CAST(hi - lo AS DOUBLE) / 10.0)) AS INTEGER), 0), 9)
+            END AS b
+          FROM e JOIN env USING (event_type)),
+        cr AS (SELECT event_type, b, CAST(count(*) AS BIGINT) AS c
+          FROM binned WHERE par = 0 GROUP BY 1, 2),
+        cc AS (SELECT event_type, b, CAST(count(*) AS BIGINT) AS c
+          FROM binned WHERE par = 1 GROUP BY 1, 2),
+        grid AS (SELECT event_type, CAST(unnest(range(0, 10)) AS INTEGER)
+            AS b FROM env),
+        terms AS (SELECT g.event_type, n_ref, n_cur,
+            CAST(floor((p - q) * ln(p / q) * 1e9 + 0.5) AS BIGINT) AS t
+          FROM (SELECT g.event_type, g.b,
+              (coalesce(cr.c, 0) + 0.5) /
+                (CAST(env.n_ref AS DOUBLE) + 5.0) AS p,
+              (coalesce(cc.c, 0) + 0.5) /
+                (CAST(nc.n_cur AS DOUBLE) + 5.0) AS q
+            FROM grid g
+            LEFT JOIN cr ON g.event_type = cr.event_type AND g.b = cr.b
+            LEFT JOIN cc ON g.event_type = cc.event_type AND g.b = cc.b
+            JOIN env ON g.event_type = env.event_type
+            JOIN nc ON g.event_type = nc.event_type) g
+          JOIN env ON g.event_type = env.event_type
+          JOIN nc ON g.event_type = nc.event_type)
+        SELECT event_type, n_ref, n_cur,
+          CAST(sum(t) AS BIGINT) AS psi_nano
+        FROM terms GROUP BY 1, 2, 3""",
+
+      // five exact HUGEINT moment sums → the identical closed-form double
+      // tree (slope, intercept, R²), micro-quantized; NULL on degenerate
+      "q216_ols_trend" -> """
+        WITH daily AS (SELECT o_orderpriority AS pri,
+            CAST(o_orderdate AS DATE) AS d,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS cents
+          FROM orders GROUP BY 1, 2),
+        m AS (SELECT pri, CAST(count(*) AS BIGINT) AS n_days,
+            sum(CAST(date_diff('day', DATE '1970-01-01', d) AS HUGEINT))
+              AS sx,
+            sum(CAST(cents AS HUGEINT)) AS sy,
+            sum(CAST(date_diff('day', DATE '1970-01-01', d) * cents
+              AS HUGEINT)) AS sxy,
+            sum(CAST(date_diff('day', DATE '1970-01-01', d) *
+              date_diff('day', DATE '1970-01-01', d) AS HUGEINT)) AS sxx,
+            sum(CAST(cents * cents AS HUGEINT)) AS syy
+          FROM daily GROUP BY 1),
+        f AS (SELECT pri, n_days,
+            CAST(n_days AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS dsx,
+            CAST(sy AS DOUBLE) AS dsy, CAST(sxy AS DOUBLE) AS dsxy,
+            CAST(sxx AS DOUBLE) AS dsxx, CAST(syy AS DOUBLE) AS dsyy
+          FROM m),
+        g AS (SELECT pri, n_days,
+            n * dsxx - dsx * dsx AS dxx,
+            n * dsyy - dsy * dsy AS dyy,
+            n * dsxy - dsx * dsy AS num, n, dsx, dsy
+          FROM f),
+        h AS (SELECT pri, n_days,
+            CASE WHEN dxx = 0 THEN NULL ELSE num / dxx END AS slope,
+            dxx, dyy, num, n, dsx, dsy
+          FROM g)
+        SELECT pri, n_days,
+          CAST(floor(slope * 1000000.0 + 0.5) AS BIGINT) AS slope_micro,
+          CAST(floor((dsy - slope * dsx) / n * 1000000.0 + 0.5) AS BIGINT)
+            AS intercept_micro,
+          CAST(floor(CASE WHEN dxx = 0 OR dyy = 0 THEN NULL
+            ELSE num * num / (dxx * dyy) END * 1000000.0 + 0.5) AS BIGINT)
+            AS r2_micro
+        FROM h""",
+
+      // exact KS: integer cross-multiplied CDF gap maxed over the value
+      // union, ONE double division after the max
+      "q217_ks_drift" -> """
+        WITH e AS (SELECT event_type,
+            CAST(CAST(round(value * 1000000) AS BIGINT) AS DOUBLE) AS v,
+            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 2 AS par
+          FROM events WHERE value IS NOT NULL),
+        c AS (SELECT event_type, v,
+            CAST(sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(sum(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+          FROM e GROUP BY 1, 2),
+        cum AS (SELECT event_type, v, a, b,
+            CAST(sum(a) OVER (PARTITION BY event_type ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+            CAST(sum(b) OVER (PARTITION BY event_type ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+          FROM c),
+        tot AS (SELECT event_type, CAST(sum(a) AS BIGINT) AS n_ref,
+            CAST(sum(b) AS BIGINT) AS n_cur
+          FROM c GROUP BY 1 HAVING sum(a) > 0 AND sum(b) > 0),
+        mx AS (SELECT cum.event_type, n_ref, n_cur,
+            max(abs(ca * n_cur - cb * n_ref)) AS m
+          FROM cum JOIN tot USING (event_type) GROUP BY 1, 2, 3)
+        SELECT event_type, n_ref, n_cur,
+          CAST(floor(CAST(m AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE) *
+            1000000.0 + 0.5) AS BIGINT) AS ks_micro
+        FROM mx""",
+
       // directed containment over the same distinct-shingle algebra as q36
       "q204_containment_join" -> """
         WITH t AS (SELECT doc_id, lang,
@@ -5836,6 +6156,25 @@ object SparkEntry {
       // matched (id%6=0) refresh to v+50 and take score id%8; fresh
       // negative keys insert with score 1.5; untouched rows score NULL
       "q177_sql_merge_evolution" -> """
+        WITH base AS (SELECT o_orderkey AS id, o_orderpriority AS pri,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        merged AS (SELECT pri,
+            CASE WHEN id % 6 = 0 THEN v + 50 ELSE v END AS v,
+            CASE WHEN id % 6 = 0 THEN CAST(id % 8 AS DOUBLE) ELSE NULL END
+              AS score
+          FROM base),
+        ins AS (SELECT pri, v + 50 AS v, CAST(1.5 AS DOUBLE) AS score
+          FROM base WHERE id % 6 = 0),
+        final AS (SELECT pri, v, score FROM merged
+          UNION ALL SELECT pri, v, score FROM ins)
+        SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(v) AS BIGINT) AS sum_v,
+          CAST(sum(coalesce(score, 0)) AS DOUBLE) AS sum_score
+        FROM final GROUP BY 1""",
+
+      // q177's algebra verbatim — the catalog-resolved evolution merge
+      // must land on the identical final state
+      "q213_catalog_evolution" -> """
         WITH base AS (SELECT o_orderkey AS id, o_orderpriority AS pri,
             CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
         merged AS (SELECT pri,

@@ -105,6 +105,48 @@ object Aggregates {
       keys, k), keys, k)
   }
 
+  /** ROLLING-WINDOW distinct estimate per key and day — "7-day rolling
+    * distinct users" — by merging the DAY-grain KMV sketches over a
+    * trailing `windowDays` window. The KMV merge property (q189/q135's
+    * pin: k smallest of a union = k smallest of the concatenated
+    * k-smallest lists) makes the merged estimate EXACTLY the direct
+    * sketch of the window's union — so the data is scanned ONCE into
+    * |keys|×|days| sketches and every window is O(windowDays · k) list
+    * algebra, never a re-count. The alternative every warehouse user
+    * knows and dreads — `count(DISTINCT) OVER (RANGE 6 PRECEDING)` —
+    * re-scans each window because distinct counts do not compose;
+    * sketches do.
+    *
+    * Deterministic (portable uniformized hashes), so the estimates
+    * hash-check. Emits one row per (keys, day PRESENT in the data);
+    * windows reach back across absent days (calendar window, not
+    * row window).
+    *
+    * @return keys… , day (timestamp), n_distinct_est
+    */
+  def kmvRollingDistinct(df: DataFrame, keys: Seq[String], dateCol: String,
+                         of: String, windowDays: Int,
+                         k: Int = 64): DataFrame = {
+    require(windowDays >= 1,
+      s"kmvRollingDistinct: windowDays must be >= 1, got $windowDays")
+    val withDn = df.withColumn("__dn", unix_date(to_date(col(dateCol))))
+    val leaf = kmvSketches(withDn, keys :+ "__dn", of, k)
+    // a day's sketch contributes to the windows ENDING on each of the
+    // next windowDays days — the explode is over sketches (days × k),
+    // never over data rows
+    val contrib = leaf.select((keys.map(col) :+
+      explode(sequence(col("__dn"), col("__dn") + lit(windowDays - 1)))
+        .as("__td") :+ col("kmv")): _*)
+    val observed = withDn.filter(col(of).isNotNull)
+      .select((keys.map(col) :+ col("__dn").as("__td")): _*).distinct()
+    kmvMergeEstimate(contrib, keys :+ "__td", k)
+      .join(observed, keys :+ "__td")
+      .select((keys.map(col) :+
+        date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+          col("__td").cast("int")).cast("timestamp").as("day") :+
+        col("n_distinct_est")): _*)
+  }
+
   /** Pairwise set-INTERSECTION estimates between every two groups, from
     * the same KMV sketches — "how many distinct `of` values do slices A
     * and B share?" (audience overlap between event types, document

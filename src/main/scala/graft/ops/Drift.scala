@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitors between two slices of a corpus — the
+  * ingest-health face of the text-analysis pillar: "did this week's
+  * crawl change shape against last week's?" asked per key, answered
+  * with the two standard statistics (PSI for the binned magnitude of
+  * drift, Kolmogorov–Smirnov D for the sharpest distributional
+  * distance), both computed from EXACT integer counts so the numbers
+  * hash-check across engines.
+  *
+  * Reference analog: the reference pipeline's transform step recomputes
+  * summary statistics per load (`transformation.py:9-21`) — these are
+  * the monitors a production version of that step alarms on.
+  */
+object Drift {
+
+  /** Population Stability Index per key between a REFERENCE slice and a
+    * CURRENT slice: `PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)` over
+    * `bins` equal-width bins whose edges come from the REFERENCE's
+    * per-key [min, max] envelope (the industry convention — the monitor
+    * asks how far CURRENT strayed from where REFERENCE lived; current
+    * values outside the envelope clamp into the edge bins). Counts are
+    * Laplace-smoothed (+0.5 per bin) so an empty bin contributes a
+    * finite term instead of ±∞.
+    *
+    * Deterministic: bin edges are one double division of exact integer
+    * bounds, every p/q is a ratio of exact integer counts, and the
+    * per-bin terms are NANO-quantized to longs BEFORE the final sum —
+    * integer addition commutes, so partitioning cannot reorder a double
+    * accumulation (the q155 discipline). Rule of thumb: PSI < 0.1 ≈
+    * stable, > 0.25 ≈ action.
+    *
+    * Scale shape: two scans die into (key, bin) count tables of at most
+    * `|keys| × bins` rows; everything after is broadcast-sized algebra.
+    * A constant reference (min = max) puts all mass in bin 0 — defined,
+    * not an error (PSI then measures current's mass outside that point).
+    *
+    * @param ref,cur one row per observation (keys… , valueCol)
+    * @return keys… , n_ref, n_cur, psi_nano (PSI in 1e-9 units; keys
+    *         present only in one slice drop out — no reference, no PSI)
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, keys: Seq[String],
+               valueCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"psiDrift: bins must be >= 2, got $bins")
+    val k = keys.map(col)
+    // reference envelope per key: exact long bounds (callers pass an
+    // integer-grained value — cents, counts, micro-units)
+    val env = ref.groupBy(k: _*)
+      .agg(min(col(valueCol)).cast("long").as("__lo"),
+        max(col(valueCol)).cast("long").as("__hi"),
+        count(col(valueCol)).as("n_ref"))
+    def binned(df: DataFrame, nCol: String): DataFrame = {
+      val w = (col("__hi") - col("__lo")).cast("double") / lit(bins)
+      val raw = floor((col(valueCol).cast("double") - col("__lo")) / w)
+        .cast("int")
+      val b = when(col("__hi") === col("__lo"), lit(0))
+        .otherwise(least(greatest(raw, lit(0)), lit(bins - 1)))
+      df.join(env.select((k :+ col("__lo") :+ col("__hi")): _*), keys)
+        .filter(col(valueCol).isNotNull)
+        .select((k :+ b.as("__bin")): _*)
+        .groupBy((k :+ col("__bin")): _*)
+        .agg(count(lit(1)).as(nCol))
+    }
+    val rc = binned(ref, "__cr")
+    val cc = binned(cur, "__cc")
+    // the bin grid must be COMPLETE per key (an empty bin still owes its
+    // smoothed term) — cross the keys with the 0..bins-1 grid
+    val grid = env.select(k: _*)
+      .crossJoin(broadcast(spark_range(bins).toDF("__bin")
+        .select(col("__bin").cast("int").as("__bin"))))
+    val nRef = env.select((k :+ col("n_ref")): _*)
+    val nCur = cur.join(env.select(k: _*), keys).filter(col(valueCol).isNotNull)
+      .groupBy(k: _*).agg(count(lit(1)).as("n_cur"))
+    val terms = grid
+      .join(rc, keys :+ "__bin", "left")
+      .join(cc, keys :+ "__bin", "left")
+      .join(nRef, keys).join(nCur, keys)
+      .select((k ++ Seq(col("n_ref"), col("n_cur"),
+        ((coalesce(col("__cr"), lit(0L)).cast("double") + lit(0.5)) /
+          (col("n_ref").cast("double") + lit(0.5) * bins)).as("__p"),
+        ((coalesce(col("__cc"), lit(0L)).cast("double") + lit(0.5)) /
+          (col("n_cur").cast("double") + lit(0.5) * bins)).as("__q"))): _*)
+      // nano-quantize BEFORE summing: integer addition commutes
+      .withColumn("__t", floor((col("__p") - col("__q")) *
+        log(col("__p") / col("__q")) * lit(1e9) + lit(0.5)).cast("long"))
+    terms.groupBy(k: _*)
+      .agg(first(col("n_ref")).as("n_ref"), first(col("n_cur")).as("n_cur"),
+        sum(col("__t")).as("psi_nano"))
+  }
+
+  // spark.range needs a session; build the tiny bin grid from a literal
+  // sequence instead so the operator stays session-agnostic
+  private def spark_range(n: Int) = {
+    val s = org.apache.spark.sql.SparkSession.active
+    import s.implicits._
+    (0 until n).map(_.toLong).toDF("__bin")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic per key:
+    * `D = max_v |F_ref(v) − F_cur(v)|` — the sharpest single-number
+    * distributional distance, the classic "same distribution?" test the
+    * binned PSI smooths over.
+    *
+    * EXACT: D is computed as `max |c_ref(v)·n_cur − c_cur(v)·n_ref|`
+    * over the sorted union of distinct values (cumulative counts are
+    * integers, the cross-multiplied numerator is an integer, and the
+    * max of integers needs no tolerance); the ONE double division by
+    * `n_ref · n_cur` happens after the max, micro-quantized.
+    *
+    * Scale shape: one union scan dies into a (key, value) count table;
+    * the cumulative pass is a per-key window over DISTINCT values —
+    * bounded by value cardinality, not row count — and keys partition
+    * the sort.
+    *
+    * @return keys… , n_ref, n_cur, ks_micro (keys missing either slice
+    *         drop out — D needs both samples)
+    */
+  def ksDrift(ref: DataFrame, cur: DataFrame, keys: Seq[String],
+              valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = keys.map(col)
+    def side(df: DataFrame, tag: Int) =
+      df.filter(col(valueCol).isNotNull)
+        .select((k :+ col(valueCol).cast("double").as("__v") :+
+          lit(tag).as("__tag")): _*)
+    val counts = side(ref, 0).unionByName(side(cur, 1))
+      .groupBy((k :+ col("__v")): _*)
+      .agg(sum(when(col("__tag") === 0, 1L).otherwise(0L)).as("__a"),
+        sum(when(col("__tag") === 1, 1L).otherwise(0L)).as("__b"))
+    val w = Window.partitionBy(k: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("__ca", sum(col("__a")).over(w))
+      .withColumn("__cb", sum(col("__b")).over(w))
+    val tot = counts.groupBy(k: _*)
+      .agg(sum(col("__a")).as("n_ref"), sum(col("__b")).as("n_cur"))
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+    cum.join(tot, keys)
+      .select((k ++ Seq(col("n_ref"), col("n_cur"),
+        abs(col("__ca") * col("n_cur") - col("__cb") * col("n_ref"))
+          .as("__num"))): _*)
+      .groupBy(k: _*)
+      .agg(first(col("n_ref")).as("n_ref"), first(col("n_cur")).as("n_cur"),
+        max(col("__num")).as("__mx"))
+      .withColumn("ks_micro",
+        floor(col("__mx").cast("double") /
+          (col("n_ref") * col("n_cur")).cast("double") * lit(1000000.0) +
+          lit(0.5)).cast("long"))
+      .drop("__mx")
+  }
+}

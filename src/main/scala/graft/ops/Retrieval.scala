@@ -178,4 +178,47 @@ object Retrieval {
         floor(col("__rrf") * lit(1000000.0) + lit(0.5)).cast("long")
           .as("rrf_micro"))
   }
+
+  /** BATCH reciprocal-rank fusion: [[rrfFuse]] for a TABLE of queries —
+    * the 100 TB serving shape, where N query workloads ride ONE corpus
+    * pass each ([[bm25All]] symmetry) and the fuse handles every query in
+    * one plan instead of a per-query driver loop.
+    *
+    * Same algebra per query as [[rrfFuse]] (score `Σ 1/(k0 + rank)`,
+    * missing rankings contribute 0, ties cut on `idCol` — TopKAgg's
+    * score-desc/id-asc is exactly [[rrfFuse]]'s orderBy), equivalence
+    * pinned in RetrievalSpec.
+    *
+    * Scale shape: inputs are per-query top-N lists — O(#queries · topN)
+    * rows — so the fuse is N−1 full-outer joins ON (query, id) plus ONE
+    * hash aggregate whose per-group state is a k-capped buffer
+    * ([[graft.functions.expressions.TopKAgg]]: map-side combine, never a
+    * global or per-group sort). Nothing here ever sees corpus rows.
+    *
+    * @param rankings each (queryIdCol, idCol, rankCol), rank 1-based and
+    *                 unique per query
+    * @return topK rows per query: (queryIdCol, idCol, rrf_micro, rnk)
+    */
+  def rrfFuseAll(rankings: Seq[DataFrame], queryIdCol: String, idCol: String,
+                 rankCol: String, k0: Int = 60, topK: Int = 25): DataFrame = {
+    require(rankings.size >= 2, "rrfFuseAll: need at least two rankings")
+    require(k0 >= 1, s"rrfFuseAll: k0 must be >= 1, got $k0")
+    val named = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(queryIdCol), col(idCol),
+        col(rankCol).cast("long").as(s"__r$i")) }
+    val joined = named.reduce((a, b) =>
+      a.join(b, Seq(queryIdCol, idCol), "full_outer"))
+    val score = rankings.indices.map(i =>
+        coalesce(lit(1.0) / (lit(k0.toDouble) + col(s"__r$i")), lit(0.0)))
+      .reduce(_ + _)
+    joined.withColumn("__rrf", score)
+      .groupBy(col(queryIdCol))
+      .agg(graft.functions.expressions.TopKAgg.topK(
+        col("__rrf"), col(idCol), topK).as("top"))
+      .select(col(queryIdCol), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col(queryIdCol), col("t.id").as(idCol),
+        floor(col("t.score") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("rrf_micro"),
+        (col("i") + 1).cast("long").as("rnk"))
+  }
 }

@@ -34,6 +34,37 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** LEAKAGE-SAFE dataset split: [[split]] keyed by each document's
+    * near-dup GROUP representative instead of its own id, so every member
+    * of a near-duplicate cluster lands in the SAME split — the guard
+    * against train/test leakage through paraphrases and boilerplate
+    * copies, which a per-document split structurally cannot give (two
+    * near-identical docs hash independently and straddle the boundary).
+    * Docs in no group are their own singleton representative.
+    *
+    * Deterministic end to end: the group table is itself a pure function
+    * of the data (connected components over the dedup pair set,
+    * [[MinHashDedup.dupGroups]]) and the bucket is the md5 device every
+    * split/sample in this file uses — same corpus, same split, any
+    * partitioning, any engine.
+    *
+    * Scale shape: one left join of the corpus against the (much smaller)
+    * group mapping, then a projection — the split itself adds no shuffle
+    * beyond that join, and the join key is the doc id both sides.
+    *
+    * @param groups (id, component) — [[MinHashDedup.dupGroups]] output
+    * @return df plus (group_rep, split)
+    */
+  def groupAwareSplit(df: DataFrame, idCol: String, groups: DataFrame,
+                      trainPerMille: Int, valPerMille: Int): DataFrame = {
+    val g = groups.select(col("id").as(idCol), col("component"))
+    val joined = df.join(g, Seq(idCol), "left")
+      .withColumn("group_rep",
+        coalesce(col("component"), col(idCol).cast("long")))
+      .drop("component")
+    split(joined, col("group_rep"), trainPerMille, valPerMille)
+  }
+
   /** Stratified deterministic sampling: keep a per-stratum fraction of rows,
     * selected by the same md5 key bucket as [[sampleByKey]] — so membership
     * is stable under reruns/repartitioning AND a row kept at fraction f stays

@@ -104,4 +104,55 @@ object Seasonal {
         floor(expr("percentile(__s, 0.5)") * lit(1000000.0) + lit(0.5))
           .cast("long").as("slope_micro"))
   }
+
+  /** Classical OLS trend per key over a daily long-valued series — the
+    * least-squares counterpart of [[theilSen]] (efficient on clean data
+    * where Theil–Sen is robust to corrupt days; a monitor typically
+    * alarms when the two DISAGREE, because that is what an outlier looks
+    * like). Reports slope, intercept, and R² — how much of the variance
+    * the trend explains.
+    *
+    * Deterministic: the five moment sums accumulate as DECIMAL(38,0)
+    * (exact integer addition — partitioning cannot reorder a float sum),
+    * and the closed-form estimates are a fixed tree of IEEE double
+    * operations over those exact sums — same sums, same doubles, any
+    * engine. Degenerate keys (one day, or zero x/y variance) yield NULL
+    * estimates rather than a division error (ANSI-safe).
+    *
+    * Scale shape: ONE aggregate over the date-grain input — no pair
+    * join at all (the n_days² cost is [[theilSen]]'s price for
+    * robustness, not trend-fitting's).
+    *
+    * @param df one row per (keys… , day) — pre-aggregated
+    * @return keys… , n_days, slope_micro, intercept_micro, r2_micro
+    */
+  def olsTrend(df: DataFrame, keys: Seq[String], dateCol: String,
+               valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val x = unix_date(col(dateCol)).cast("long")
+    val y = col(valueCol).cast("long")
+    val agg = df
+      .select((keys.map(col) :+ x.as("__x") :+ y.as("__y")): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum((col("__x") * col("__y")).cast(dec)).as("__sxy"),
+        sum((col("__x") * col("__x")).cast(dec)).as("__sxx"),
+        sum((col("__y") * col("__y")).cast(dec)).as("__syy"))
+    val n = col("n_days").cast("double")
+    def d(c: Column) = c.cast("double")
+    val dxx = n * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))
+    val dyy = n * d(col("__syy")) - d(col("__sy")) * d(col("__sy"))
+    val num = n * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))
+    val slope = when(dxx === 0.0, lit(null)).otherwise(num / dxx)
+    val intercept = (d(col("__sy")) - slope * d(col("__sx"))) / n
+    val r2 = when(dxx === 0.0 || dyy === 0.0, lit(null))
+      .otherwise(num * num / (dxx * dyy))
+    def micro(c: Column, as: String) =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("long").as(as)
+    agg.select((keys.map(col) :+ col("n_days") :+
+      micro(slope, "slope_micro") :+ micro(intercept, "intercept_micro") :+
+      micro(r2, "r2_micro")): _*)
+  }
 }

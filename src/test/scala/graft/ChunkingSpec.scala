@@ -115,6 +115,53 @@ class ChunkingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("containmentPairs dfCap: denominator is the KEPT shingle universe " +
+      "— a quote wrapped in boilerplate survives the cap (r15)") {
+    // every doc carries the same hot boilerplate prefix; doc 2 is that
+    // prefix + a verbatim quote from doc 1. With dfCap engaged the
+    // boilerplate shingles drop from the index; dividing by the FULL
+    // shingle count would report |quote∩doc1| / |boiler+quote| ≈ 0.48
+    // and the true containment pair would vanish at threshold 0.8 — the
+    // kept-universe denominator keeps it at 11/13 (the quote trigrams
+    // plus the two boundary trigrams only doc 2 has; ADVICE r14).
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val quote = (10 to 22).map(i => s"w$i").mkString(" ")
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val filler = (1 to 30).map { id =>
+      (100L + id, s"$boiler only filler${id}a filler${id}b filler${id}c")
+    }
+    val corpus = (Seq((1L, long), (2L, s"$boiler $quote")) ++ filler)
+      .toDF("doc_id", "text")
+    val capped = SetSimJoin.containmentPairs(corpus, "doc_id", "text",
+        shingleN = 3, threshold = 0.8, dfCap = Some(10L))
+      .select("contained_id", "container_id", "containment")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    // brute-force over the SAME capped universe: drop shingles with
+    // df > 10, then exact directed containment on what is kept
+    val sh = corpus.select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val toks = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        id -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.toMap
+    val df = sh.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val keptSh = sh.view.mapValues(_.filter(df(_) <= 10)).toMap
+    val want = (for {
+      (a, sa) <- keptSh.toSeq; (b, sb) <- keptSh.toSeq
+      if a != b && sa.nonEmpty
+      c = sa.intersect(sb).size.toDouble / sa.size
+      if c >= 0.8
+    } yield (a, b) -> c).toMap
+    assert(capped == want, s"got $capped want $want")
+    // the motivating pair is present at the kept-universe score
+    assert(capped.get((2L, 1L)).exists(c => math.abs(c - 11.0 / 13.0) < 1e-12),
+      s"quote-in-boilerplate pair must survive the cap: $capped")
+    // and WITHOUT the resize the full-size denominator would have sunk
+    // it below the threshold
+    assert(keptSh(2L).intersect(sh(1L)).size.toDouble / sh(2L).size < 0.8)
+    graft.util.Caches.releaseAll()
+  }
+
   test("stripBoilerplate removes hot lines everywhere, keeps order, blanks, empty docs") {
     val corpus = Seq(
       (1L, "unique a\nFOOTER\nunique b"),

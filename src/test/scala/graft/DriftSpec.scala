@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Drift
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: (String, Long)*) = rows.toDF("k", "v")
+
+  test("psiDrift: identical slices score exactly 0; a shift scores big") {
+    val ref = df((1L to 100L).map(i => ("a", i)): _*)
+    val same = Drift.psiDrift(ref, ref, Seq("k"), "v", bins = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // identical counts bin-for-bin → p = q in every bin → every term is
+    // exactly 0 before quantization
+    assert(same == Seq(("a", 100L, 100L, 0L)), s"got $same")
+    // current shifted wholly outside the reference envelope clamps into
+    // the top bin — a textbook "action" PSI (> 0.25 → > 250_000_000 nano)
+    val shifted = df((1L to 100L).map(i => ("a", i + 1000L)): _*)
+    val psi = Drift.psiDrift(ref, shifted, Seq("k"), "v", bins = 10)
+      .select($"psi_nano").as[Long].head()
+    assert(psi > 250000000L, s"wholesale shift must alarm, got $psi")
+  }
+
+  test("psiDrift: hand-computed two-bin case; cur-only keys drop; " +
+      "constant reference defined") {
+    // ref: 8×5, 2×15; cur reversed. bins=2 over envelope [5,15]: width 5
+    // — value 5→bin0, value 15→raw bin 2, clamped into bin 1
+    val ref = df((Seq.fill(8)(5L) ++ Seq.fill(2)(15L)).map(("a", _)) ++
+      Seq(("const", 7L), ("const", 7L)): _*)
+    val cur = df((Seq.fill(2)(5L) ++ Seq.fill(8)(15L)).map(("a", _)) ++
+      Seq(("curonly", 1L)) ++ Seq(("const", 7L)): _*)
+    val got = Drift.psiDrift(ref, cur, Seq("k"), "v", bins = 2)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // per bin: p = (c+0.5)/(n+1), smoothed; replicate exactly
+    def psi(cr: Seq[Long], cc: Seq[Long], nR: Long, nC: Long): Long = {
+      val terms = cr.zip(cc).map { case (a, b) =>
+        val p = (a + 0.5) / (nR + 1.0); val q = (b + 0.5) / (nC + 1.0)
+        math.floor((p - q) * math.log(p / q) * 1e9 + 0.5).toLong
+      }
+      terms.sum
+    }
+    assert(got("a") == ((10L, 10L, psi(Seq(8, 2), Seq(2, 8), 10, 10))))
+    assert(!got.contains("curonly"), "keys with no reference drop out")
+    // constant reference: all mass in bin 0 both sides → exactly 0
+    assert(got("const") == ((2L, 1L,
+      psi(Seq(2, 0), Seq(1, 0), 2, 1))))
+  }
+
+  test("ksDrift: identical → 0, disjoint → 1, hand case exact") {
+    val ref = df((1L to 50L).map(i => ("a", i)): _*)
+    assert(Drift.ksDrift(ref, ref, Seq("k"), "v")
+      .select($"ks_micro").as[Long].head() == 0L)
+    val far = df((1L to 50L).map(i => ("a", i + 100L)): _*)
+    assert(Drift.ksDrift(ref, far, Seq("k"), "v")
+      .select($"ks_micro").as[Long].head() == 1000000L)
+    // hand case: ref {1,2,3,4}, cur {3,4,5,6} → D = 1/2 at v=2 (2/4 vs 0)
+    val a = df(("h", 1L), ("h", 2L), ("h", 3L), ("h", 4L))
+    val b = df(("h", 3L), ("h", 4L), ("h", 5L), ("h", 6L))
+    val r = Drift.ksDrift(a, b, Seq("k"), "v")
+      .as[(String, Long, Long, Long)].head()
+    assert(r == (("h", 4L, 4L, 500000L)), s"got $r")
+    // keys missing either slice drop out
+    val lop = df(("only", 1L))
+    assert(Drift.ksDrift(lop, df(("other", 1L)), Seq("k"), "v").isEmpty)
+  }
+
+  test("ksDrift and psiDrift are partitioning-invariant (exact-integer " +
+      "accumulation)") {
+    val ref = df((1L to 200L).map(i => ("a", i * 7 % 97)): _*)
+    val cur = df((1L to 150L).map(i => ("a", i * 13 % 89 + 5)): _*)
+    def runK(rp: Int) = Drift.ksDrift(ref.repartition(rp), cur.repartition(rp),
+      Seq("k"), "v").select($"ks_micro").as[Long].head()
+    def runP(rp: Int) = Drift.psiDrift(ref.repartition(rp), cur.repartition(rp),
+      Seq("k"), "v").select($"psi_nano").as[Long].head()
+    assert(runK(1) == runK(7) && runP(1) == runP(7))
+  }
+}

@@ -114,7 +114,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("quadrant hot-print cap: a shared constant quadrant across 1k " +
-      "assets is dropped, legit pairs survive (r16)") {
+      "assets is dropped, legit pairs survive (r15)") {
     // 1000 assets all ending in the SAME solid fill (letterbox-bar
     // analog): the fourth quadrant of every asset prints identically, so
     // the uncapped (q, print) self-join has one bucket with C(1000, 2) ≈

@@ -499,14 +499,21 @@ class PlanSpec extends SparkSpec {
 
   test("q207: quadrant prints hash once per quadrant, equi-join candidates (r15)") {
     val pl = plan("q207_quadrant_match")
-    // the prints build is CACHED and both join sides read the same
-    // InMemoryTableScan — the plan text prints the cached build's 4
-    // hashes once per side (8 textual hits), but the hashes compute once
+    // the prints build is CACHED and every consumer (both join sides +
+    // the hot-print count each side's anti-join broadcasts) reads the
+    // same InMemoryTableScan — the plan TEXT prints the cached build's 4
+    // hashes once per consumer subtree (≤ 16 textual hits: x, y, and the
+    // hot aggregate under each side's broadcast), but the hashes compute
+    // once
     assert(pl.contains("InMemoryTableScan"),
       s"quadrant prints must come from the shared cache: ${pl.take(1200)}")
-    assert(countOf(pl, "perceptualhash") <= 8, pl.take(1200))
+    assert(countOf(pl, "perceptualhash") <= 16, pl.take(1200))
     assert(!pl.contains("NestedLoop") && !pl.contains("CartesianProduct"),
       pl.take(1200))
+    // the hot-print guard is a BROADCAST anti-join — the cap must never
+    // shuffle the print table to drop a handful of degenerate keys
+    assert(pl.contains("BroadcastHashJoin") && pl.contains("LeftAnti"),
+      pl.take(1500))
     graft.util.Caches.releaseAll()
   }
 }

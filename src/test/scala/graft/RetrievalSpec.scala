@@ -116,4 +116,34 @@ class RetrievalSpec extends SparkSpec {
       rrfFuse(Seq(r1), "id", "rnk", topK = 5)
     }
   }
+
+  test("rrfFuseAll ≡ one rrfFuse per query; one TopKAgg plan, no per-" +
+      "query sort (r15)") {
+    // three queries with overlapping-but-distinct rankings, including a
+    // query present in only one ranking table and an exact tie
+    val a = Seq(("q1", 10L, 1L), ("q1", 20L, 2L), ("q1", 30L, 3L),
+      ("q2", 20L, 1L), ("q2", 10L, 2L),
+      ("q3", 7L, 5L)).toDF("qid", "id", "rnk")
+    val b = Seq(("q1", 20L, 1L), ("q1", 40L, 2L), ("q1", 10L, 3L),
+      ("q2", 30L, 1L),
+      ("q4", 8L, 5L)).toDF("qid", "id", "rnk")
+    val batch = Retrieval.rrfFuseAll(Seq(a, b), "qid", "id", "rnk",
+        k0 = 60, topK = 3)
+      .select("qid", "id", "rrf_micro", "rnk")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val perQuery = Seq("q1", "q2", "q3", "q4").flatMap { q =>
+      val ra = a.filter($"qid" === q).select("id", "rnk")
+      val rb = b.filter($"qid" === q).select("id", "rnk")
+      Retrieval.rrfFuse(Seq(ra, rb), "id", "rnk", k0 = 60, topK = 3)
+        .collect().zipWithIndex
+        .map { case (r, i) => (q, r.getLong(0), r.getLong(1), i + 1L) }
+    }.toSet
+    assert(batch == perQuery, s"batch $batch vs perQuery $perQuery")
+    // the plan cuts per query with ONE TopKAgg hash aggregate — never a
+    // per-query Window sort over the fused rows
+    val pl = Retrieval.rrfFuseAll(Seq(a, b), "qid", "id", "rnk")
+      .queryExecution.executedPlan.toString
+    assert(pl.contains("top_k"), pl.take(800))
+    assert(!pl.contains("Window"), pl.take(800))
+  }
 }

@@ -18,6 +18,47 @@ class SamplingSpec extends SparkSpec {
     assert(a.size == docs.count())
   }
 
+  test("groupAwareSplit: a near-dup cluster can NEVER straddle the " +
+      "train/test boundary; singletons split like Sampling.split (r15)") {
+    // 300 docs in 50 six-member groups + 100 singletons
+    val ids = (1L to 400L)
+    val df = ids.map(i => (i, s"doc-$i")).toDF("doc_id", "text")
+    val groups = ids.filter(_ <= 300L)
+      .map(i => (i, ((i - 1) / 6) * 6 + 1)) // component = group min id
+      .toDF("id", "component")
+    val out = Sampling.groupAwareSplit(df, "doc_id", groups, 800, 100)
+      .select("doc_id", "group_rep", "split")
+      .as[(Long, Long, String)].collect()
+    val byDoc = out.map(r => r._1 -> r).toMap
+    // every member of a group shares rep AND split — the guarantee
+    (1L to 300L).grouped(6).foreach { g =>
+      val splits = g.map(byDoc(_)._3).toSet
+      val reps = g.map(byDoc(_)._2).toSet
+      assert(splits.size == 1 && reps == Set(g.head),
+        s"group $g split $splits reps $reps")
+    }
+    // singletons: rep = own id, label identical to the plain split
+    val plain = Sampling.split(df.filter($"doc_id" > 300L), $"doc_id",
+        800, 100)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    (301L to 400L).foreach { i =>
+      assert(byDoc(i)._2 == i && byDoc(i)._3 == plain(i))
+    }
+    // the CONTRAST that motivates the operator: per-doc split puts at
+    // least one 6-member group across the boundary on this corpus
+    val perDoc = Sampling.split(df, $"doc_id", 800, 100)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val straddled = (1L to 300L).grouped(6)
+      .count(g => g.map(perDoc(_)).toSet.size > 1)
+    assert(straddled > 0,
+      "per-doc split must demonstrate the leakage groupAwareSplit prevents")
+    // deterministic under repartitioning
+    val again = Sampling.groupAwareSplit(df.repartition(7), "doc_id",
+        groups.repartition(3), 800, 100)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(again == out.map(r => r._1 -> r._3).toMap)
+  }
+
   test("sampleByKey keeps a stable subset of roughly the right size") {
     val s1 = Sampling.sampleByKey(docs, $"doc_id", 0.3)
       .select("doc_id").as[Long].collect().toSet

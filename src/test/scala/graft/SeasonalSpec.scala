@@ -98,4 +98,46 @@ class SeasonalSpec extends SparkSpec {
       .select("k", "slope_micro").as[(String, Long)].collect().toMap
     assert(byKey == Map("a" -> 2000000L))
   }
+
+  test("olsTrend: exact fit on a line (R²=1), outlier sensitivity is the " +
+      "theilSen CONTRAST, degenerate keys null (r15)") {
+    // v = 7·t + 3 exactly → slope 7, R² = 1; the intercept is at epoch
+    // day 0, far left of the series — recover it from the closed form
+    val line = days("a", (0 until 20).map(i => 7L * i + 3L)).toDF("k", "d", "v")
+    val got = Seasonal.olsTrend(line, Seq("k"), "d", "v")
+      .select("k", "n_days", "slope_micro", "r2_micro")
+      .as[(String, Long, Long, Long)].head()
+    assert(got == (("a", 20L, 7000000L, 1000000L)), s"got $got")
+    // ONE corrupted day drags OLS far where theilSen barely moved — the
+    // disagreement between the two IS the outlier alarm
+    val vals = (0 until 20).map(i =>
+      if (i == 10) 9999999L else 7L * i + 3L)
+    val corrupted = days("a", vals).toDF("k", "d", "v")
+    val ols = Seasonal.olsTrend(corrupted, Seq("k"), "d", "v")
+      .select($"slope_micro").as[Long].head()
+    val ts = Seasonal.theilSen(corrupted, Seq("k"), "d", "v")
+      .select($"slope_micro").as[Long].head()
+    assert(math.abs(ols - 7000000L) > 50 * 1000000L,
+      s"OLS must swing on the outlier: $ols")
+    assert(math.abs(ts - 7000000L) < 1000000L)
+    // driver-side closed-form differential over the corrupted series
+    val xs = line.select(unix_date($"d").cast("long")).as[Long].collect()
+      .sorted.map(_.toDouble)
+    val ys = vals.map(_.toDouble)
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(ols / 1e6 - slope) < 1e-4, s"$ols vs $slope")
+    // a single-day key has zero x-variance → null estimates, not a crash
+    val solo = days("solo", Seq(42L)).toDF("k", "d", "v")
+    val r = Seasonal.olsTrend(solo, Seq("k"), "d", "v")
+      .select("n_days", "slope_micro", "r2_micro").collect().head
+    assert(r.getLong(0) == 1L && r.isNullAt(1) && r.isNullAt(2))
+    // partitioning-invariant: exact DECIMAL moments
+    val rep = Seasonal.olsTrend(corrupted.repartition(7), Seq("k"), "d", "v")
+      .select($"slope_micro").as[Long].head()
+    assert(rep == ols)
+  }
 }

@@ -121,6 +121,52 @@ class SketchesSpec extends SparkSpec {
       .head().getDouble(2) == 0.0)
   }
 
+  test("kmvRollingDistinct: window merge ≡ direct window sketch, exact " +
+      "under k, calendar windows reach across absent days (r15)") {
+    import graft.ops.Aggregates
+    import java.sql.Timestamp
+    // two keys; key "a" has a GAP (days 1-3 then 8-9) so the calendar
+    // window must reach back across absent days
+    val rows =
+      (1 to 3).flatMap(d => (1 to 10).map(u =>
+        ("a", Timestamp.valueOf(f"2024-01-0$d 10:00:00"), s"u${d * 100 + u}"))) ++
+      (8 to 9).flatMap(d => (1 to 5).map(u =>
+        ("a", Timestamp.valueOf(f"2024-01-0$d 10:00:00"), s"u${d * 100 + u}"))) ++
+      (1 to 2).map(d =>
+        ("b", Timestamp.valueOf(f"2024-01-0$d 10:00:00"), "same_user"))
+    val df = rows.toDF("k", "ts", "uid")
+    val got = Aggregates.kmvRollingDistinct(df, Seq("k"), "ts", "uid",
+        windowDays = 7, k = 64)
+      .select($"k", $"day".cast("string"), $"n_distinct_est")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2.take(10)) -> r._3).toMap
+    // all groups are far under k=64 → estimates are EXACT counts
+    assert(got(("a", "2024-01-01")) == 10.0)
+    assert(got(("a", "2024-01-02")) == 20.0)
+    assert(got(("a", "2024-01-03")) == 30.0)
+    // day 8's window [Jan 2, Jan 8] spans the gap: days 2, 3 and 8
+    assert(got(("a", "2024-01-08")) == 25.0)
+    // day 9's window [Jan 3, Jan 9]: days 3, 8, 9
+    assert(got(("a", "2024-01-09")) == 20.0)
+    // repeated user counts once per window
+    assert(got(("b", "2024-01-01")) == 1.0 && got(("b", "2024-01-02")) == 1.0)
+    // only observed (key, day) pairs emit
+    assert(got.size == 7)
+    // over k: merged window ≡ direct sketch of the window's union (the
+    // merge property, at the rolling grain)
+    val big = (1 to 2).flatMap(d => (1 to 300).map(u =>
+      ("x", Timestamp.valueOf(f"2024-02-0$d 10:00:00"), s"v${d * 1000 + u}")))
+      .toDF("k", "ts", "uid")
+    val rolled = Aggregates.kmvRollingDistinct(big, Seq("k"), "ts", "uid",
+        windowDays = 7, k = 64)
+      .filter($"day".cast("string").startsWith("2024-02-02"))
+      .select($"n_distinct_est").as[Double].head()
+    val direct = Aggregates.kmvDistinct(big, Seq("k"), "uid", k = 64)
+      .select($"n_distinct_est").as[Double].head()
+    assert(rolled == direct, s"merge property at the rolling grain: " +
+      s"$rolled vs $direct")
+  }
+
   test("hashSampleQuantiles: exact under k, ~accurate over, deterministic (r15)") {
     import graft.ops.Aggregates
     def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
