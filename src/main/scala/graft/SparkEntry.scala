@@ -5716,22 +5716,20 @@ object SparkEntry {
             sum(CAST(date_diff('day', DATE '1970-01-01', d) AS HUGEINT))
               AS sx,
             sum(CAST(cents AS HUGEINT)) AS sy,
-            sum(CAST(date_diff('day', DATE '1970-01-01', d) * cents
-              AS HUGEINT)) AS sxy,
-            sum(CAST(date_diff('day', DATE '1970-01-01', d) *
-              date_diff('day', DATE '1970-01-01', d) AS HUGEINT)) AS sxx,
-            sum(CAST(cents * cents AS HUGEINT)) AS syy
+            sum(CAST(date_diff('day', DATE '1970-01-01', d) AS HUGEINT) *
+              CAST(cents AS HUGEINT)) AS sxy,
+            sum(CAST(date_diff('day', DATE '1970-01-01', d) AS HUGEINT) *
+              CAST(date_diff('day', DATE '1970-01-01', d) AS HUGEINT))
+              AS sxx,
+            sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS syy
           FROM daily GROUP BY 1),
-        f AS (SELECT pri, n_days,
-            CAST(n_days AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS dsx,
-            CAST(sy AS DOUBLE) AS dsy, CAST(sxy AS DOUBLE) AS dsxy,
-            CAST(sxx AS DOUBLE) AS dsxx, CAST(syy AS DOUBLE) AS dsyy
-          FROM m),
         g AS (SELECT pri, n_days,
-            n * dsxx - dsx * dsx AS dxx,
-            n * dsyy - dsy * dsy AS dyy,
-            n * dsxy - dsx * dsy AS num, n, dsx, dsy
-          FROM f),
+            CAST(CAST(n_days AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS dxx,
+            CAST(CAST(n_days AS HUGEINT) * syy - sy * sy AS DOUBLE) AS dyy,
+            CAST(CAST(n_days AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS num,
+            CAST(n_days AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS dsx,
+            CAST(sy AS DOUBLE) AS dsy
+          FROM m),
         h AS (SELECT pri, n_days,
             CASE WHEN dxx = 0 THEN NULL ELSE num / dxx END AS slope,
             dxx, dyy, num, n, dsx, dsy
@@ -5766,10 +5764,12 @@ object SparkEntry {
             CAST(sum(b) AS BIGINT) AS n_cur
           FROM c GROUP BY 1 HAVING sum(a) > 0 AND sum(b) > 0),
         mx AS (SELECT cum.event_type, n_ref, n_cur,
-            max(abs(ca * n_cur - cb * n_ref)) AS m
+            max(abs(CAST(ca AS HUGEINT) * CAST(n_cur AS HUGEINT) -
+              CAST(cb AS HUGEINT) * CAST(n_ref AS HUGEINT))) AS m
           FROM cum JOIN tot USING (event_type) GROUP BY 1, 2, 3)
         SELECT event_type, n_ref, n_cur,
-          CAST(floor(CAST(m AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE) *
+          CAST(floor(CAST(m AS DOUBLE) /
+            CAST(CAST(n_ref AS HUGEINT) * CAST(n_cur AS HUGEINT) AS DOUBLE) *
             1000000.0 + 0.5) AS BIGINT) AS ks_micro
         FROM mx""",
 

@@ -72,8 +72,11 @@ object Drift {
       .crossJoin(broadcast(spark_range(bins).toDF("__bin")
         .select(col("__bin").cast("int").as("__bin"))))
     val nRef = env.select((k :+ col("n_ref")): _*)
-    val nCur = cur.join(env.select(k: _*), keys).filter(col(valueCol).isNotNull)
-      .groupBy(k: _*).agg(count(lit(1)).as("n_cur"))
+    // n_cur comes from the per-bin counts already built — every non-null
+    // current row landed in exactly one clamped bin, so the tiny
+    // (key, bin) table carries the total and the huge current slice is
+    // never re-scanned for a count (review fix)
+    val nCur = cc.groupBy(k: _*).agg(sum(col("__cc")).as("n_cur"))
     val terms = grid
       .join(rc, keys :+ "__bin", "left")
       .join(cc, keys :+ "__bin", "left")
@@ -138,17 +141,23 @@ object Drift {
     val tot = counts.groupBy(k: _*)
       .agg(sum(col("__a")).as("n_ref"), sum(col("__b")).as("n_cur"))
       .filter(col("n_ref") > 0 && col("n_cur") > 0)
+    // the cross-products form in DECIMAL, never Long: per-key samples
+    // past ~3e9 rows each (the 100 TB grain) would wrap ca·n_cur in a
+    // Long and silently corrupt the max the doc promises is exact
+    // (review fix)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     cum.join(tot, keys)
       .select((k ++ Seq(col("n_ref"), col("n_cur"),
-        abs(col("__ca") * col("n_cur") - col("__cb") * col("n_ref"))
+        abs(col("__ca").cast(dec) * col("n_cur").cast(dec) -
+          col("__cb").cast(dec) * col("n_ref").cast(dec))
           .as("__num"))): _*)
       .groupBy(k: _*)
       .agg(first(col("n_ref")).as("n_ref"), first(col("n_cur")).as("n_cur"),
         max(col("__num")).as("__mx"))
       .withColumn("ks_micro",
         floor(col("__mx").cast("double") /
-          (col("n_ref") * col("n_cur")).cast("double") * lit(1000000.0) +
-          lit(0.5)).cast("long"))
+          (col("n_ref").cast(dec) * col("n_cur").cast(dec)).cast("double") *
+          lit(1000000.0) + lit(0.5)).cast("long"))
       .drop("__mx")
   }
 }

@@ -131,24 +131,35 @@ object Seasonal {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val x = unix_date(col(dateCol)).cast("long")
     val y = col(valueCol).cast("long")
+    // products form in DECIMAL, never Long: a daily value near 3.04e9
+    // squares past Long.MaxValue, and a Long product would wrap (or
+    // throw under ANSI) BEFORE the exact-decimal cast could save it —
+    // the documented exactness must hold at the 100 TB grain, where
+    // per-key daily sums reach 1e10+ (review fix)
     val agg = df
-      .select((keys.map(col) :+ x.as("__x") :+ y.as("__y")): _*)
+      .select((keys.map(col) :+ x.cast(dec).as("__x") :+
+        y.cast(dec).as("__y")): _*)
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_days"),
-        sum(col("__x").cast(dec)).as("__sx"),
-        sum(col("__y").cast(dec)).as("__sy"),
-        sum((col("__x") * col("__y")).cast(dec)).as("__sxy"),
-        sum((col("__x") * col("__x")).cast(dec)).as("__sxx"),
-        sum((col("__y") * col("__y")).cast(dec)).as("__syy"))
+        sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
     val n = col("n_days").cast("double")
     def d(c: Column) = c.cast("double")
-    val dxx = n * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))
-    val dyy = n * d(col("__syy")) - d(col("__sy")) * d(col("__sy"))
-    val num = n * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))
-    val slope = when(dxx === 0.0, lit(null)).otherwise(num / dxx)
+    // the DISCRIMINANTS form in exact DECIMAL too: n·Σy² and (Σy)² agree
+    // to ~15 digits at a 4e9 value scale, so a double subtraction
+    // catastrophically cancels (measured: R² = 0.037 on a perfect line)
+    // — subtract exactly, divide once in double (review-fix follow-on)
+    val nD = col("n_days").cast(dec)
+    val dxx = nD * col("__sxx") - col("__sx") * col("__sx")
+    val dyy = nD * col("__syy") - col("__sy") * col("__sy")
+    val num = nD * col("__sxy") - col("__sx") * col("__sy")
+    val slope = when(dxx === 0, lit(null)).otherwise(d(num) / d(dxx))
     val intercept = (d(col("__sy")) - slope * d(col("__sx"))) / n
-    val r2 = when(dxx === 0.0 || dyy === 0.0, lit(null))
-      .otherwise(num * num / (dxx * dyy))
+    val r2 = when(dxx === 0 || dyy === 0, lit(null))
+      .otherwise(d(num) * d(num) / (d(dxx) * d(dyy)))
     def micro(c: Column, as: String) =
       floor(c * lit(1000000.0) + lit(0.5)).cast("long").as(as)
     agg.select((keys.map(col) :+ col("n_days") :+

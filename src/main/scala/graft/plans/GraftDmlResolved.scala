@@ -243,15 +243,28 @@ object GraftDmlResolved {
         // the star against the PRE-evolution target schema (the evolved
         // columns do not exist yet — the capability is withheld, so
         // Spark's own evolution never fired). A star-shaped SET (every
-        // target column ← the same-named source column) is converted back
-        // to an execution-time star, which GraftMergeCommand re-expands
-        // against the LIVE post-evolution schema — evolved columns land
-        // with source values on updated rows, the Delta star semantics.
-        // An explicit (non-star) SET passes through as written: evolved
-        // columns stay NULL on updated rows, same as the parse-time path.
+        // target column ← the same-named source column, possibly behind
+        // the coercion casts the analyzer inserts for type-mismatched
+        // columns — a cast-wrapped star is still a star, or a widened
+        // column would silently lose its evolved values) is converted
+        // back to an execution-time star, which GraftMergeCommand
+        // re-expands against the LIVE post-evolution schema — evolved
+        // columns land with source values on updated rows, the Delta
+        // star semantics. An explicit (non-star) SET passes through as
+        // written: evolved columns stay NULL on updated rows. CAVEAT,
+        // documented: an explicit SET that lists every target column as
+        // its same-named source column is textually indistinguishable
+        // from the star AFTER resolution (Spark's expansion produces the
+        // identical tree), so it gets star semantics too — write derived
+        // values or omit a column to opt out.
+        def stripCasts(e: Expression): Expression = e match {
+          case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+            stripCasts(c.child)
+          case other => other
+        }
         val starShaped = assigns.length == out.length &&
           assigns.forall { a =>
-            a.value match {
+            stripCasts(a.value) match {
               case ar: AttributeReference => src.get(ar.exprId)
                 .exists(_.equalsIgnoreCase(keyName(a.key, tgt)))
               case _ => false

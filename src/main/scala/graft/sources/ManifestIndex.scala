@@ -1080,15 +1080,17 @@ object ManifestIndex {
       }
     }
     val knots = (slopeAt.keySet ++ jumpAt.keySet).toArray.sorted
-    // cumAfter(i) = CDF just after knot i's jump; slope applies to the
-    // segment (knot i, knot i+1)
+    // one sweep records, per knot: the CDF just after its jump and the
+    // slope of the segment leaving it
     val cumAfter = new Array[Double](knots.length)
+    val slopeOut = new Array[Double](knots.length)
     var cum = 0.0; var slope = 0.0
     knots.zipWithIndex.foreach { case (x, i) =>
       if (i > 0) cum += slope * (x - knots(i - 1))
       cum += jumpAt.getOrElse(x, 0.0)
       slope += slopeAt.getOrElse(x, 0.0)
       cumAfter(i) = cum
+      slopeOut(i) = slope
     }
     def invert(t: Double): Double = {
       var i = java.util.Arrays.binarySearch(cumAfter, t)
@@ -1097,28 +1099,17 @@ object ManifestIndex {
       else if (i >= knots.length) knots.last
       else {
         val c0 = cumAfter(i - 1)
-        val cBeforeJump = c0 + slope0(i) * (knots(i) - knots(i - 1))
+        val cBeforeJump = c0 + slopeOut(i - 1) * (knots(i) - knots(i - 1))
         if (t >= cBeforeJump) knots(i)
         else knots(i - 1) +
           (knots(i) - knots(i - 1)) * (t - c0) / (cBeforeJump - c0)
       }
     }
-    // slope on the segment entering knot i (recomputed by prefix — cheap
-    // relative to the sort above)
-    lazy val slopes: Array[Double] = {
-      val out = new Array[Double](knots.length)
-      var s = 0.0
-      knots.zipWithIndex.foreach { case (x, i) =>
-        s += slopeAt.getOrElse(x, 0.0); out(i) = s
-      }
-      out
-    }
-    def slope0(i: Int): Double = slopes(i - 1)
-    val fences = (0.0 +: (1 until HistBins).map(j => invert(n * j / HistBins))
-      .scanLeft(knots.head)(math.max).tail :+ knots.last).toArray match {
-      case a => a.drop(1) // drop the 0.0 seed; keep monotone targets
-    }
-    val all = (knots.head +: fences.toSeq).toArray
+    // global fences: knots.head, the monotonized equi-height inversions,
+    // knots.last
+    val inner = (1 until HistBins).map(j => invert(n * j / HistBins))
+      .scanLeft(knots.head)(math.max).tail
+    val all = (knots.head +: inner :+ knots.last).toArray
     val binNdv = math.max(1L, math.round(ndv.toDouble / HistBins))
     val bins = (0 until HistBins).map(j =>
       HistogramBin(all(j), all(j + 1), binNdv)).toArray

@@ -216,6 +216,31 @@ class CatalogDmlSpec extends SparkSpec {
     assert(parts == Set("p0", "p1"))
   }
 
+  test("evolution merge: SET * stays a star behind analyzer coercion " +
+      "casts — a type-widened column keeps its evolved values") {
+    // source v is INT where the target declares BIGINT: Spark's star
+    // expansion wraps the assignment in a cast, and a shape check that
+    // stops at AttributeReference would silently demote the star to an
+    // explicit SET — evolved `score` would stay NULL on UPDATED rows.
+    // (No INSERT clause: the identity-INSERT gate refuses coercion casts
+    // by documented design — compute them in the USING query.)
+    val t = mkTable()
+    sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graft.$t AS t
+      USING (SELECT id, CAST(id * 10 AS INT) AS v,
+               concat('p', CAST(id % 2 AS STRING)) AS part,
+               CAST(id AS DOUBLE) AS score
+             FROM range(10)) AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *""")
+    val rows = sql(s"SELECT id, v, score FROM graft.$t").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(rows(3L) == ((30L, Some(3.0))),
+      s"updated row must carry the evolved column: ${rows(3L)}")
+    assert(rows(15L) == ((150L, None)), "unmatched rows keep NULL")
+  }
+
   test("evolution merge: explicit SET leaves evolved columns NULL on " +
       "updated rows; identity INSERT carries them (resolved path)") {
     val t = mkTable()

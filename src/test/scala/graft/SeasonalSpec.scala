@@ -139,5 +139,13 @@ class SeasonalSpec extends SparkSpec {
     val rep = Seasonal.olsTrend(corrupted.repartition(7), Seq("k"), "d", "v")
       .select($"slope_micro").as[Long].head()
     assert(rep == ols)
+    // values whose SQUARE exceeds Long.MaxValue: the moment products
+    // must form in DECIMAL, not wrap (or ANSI-throw) in Long first —
+    // v ≈ 4e9 ⇒ v² ≈ 1.6e19 > 9.2e18 (review fix)
+    val big = days("big", (0 until 5).map(i => 4000000000L + 7L * i))
+      .toDF("k", "d", "v")
+    val bs = Seasonal.olsTrend(big, Seq("k"), "d", "v")
+      .select("slope_micro", "r2_micro").as[(Long, Long)].head()
+    assert(bs == ((7000000L, 1000000L)), s"exact line at 4e9 scale: $bs")
   }
 }
