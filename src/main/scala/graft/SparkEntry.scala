@@ -3219,6 +3219,31 @@ object SparkEntry {
       Sampling.groupAwareSplit(docs, "doc_id", groups,
           trainPerMille = 800, valPerMille = 100)
         .select(col("doc_id"), col("group_rep"), col("split"))
+    }),
+
+    // --- HITS hubs & authorities (r15): the two-sided ranking over the
+    //     DIRECTED buyer→supplier graph — hubs are buyers concentrating
+    //     on good suppliers, authorities the suppliers good buyers pick;
+    //     L1-normalized halves keep the q154 decimal determinism ---
+    "q220_hits" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      Graph.hits(edges, iters = 2)
+    }),
+
+    // --- classifier audit (r15): per-class precision/recall/F1 of the
+    //     q30 language-ID gate against the corpus labels — the
+    //     evaluation half of every inference pipeline; one count-matrix
+    //     aggregate, broadcast-sized algebra after ---
+    "q221_class_report" -> ((s, dir) => {
+      val toks = TF.tokens(col("text"))
+      val preds = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TF.langId(toks, langMarkers).as("predicted"))
+      Eval.classReport(preds, "lang", "predicted")
     })
   )
 
@@ -5605,6 +5630,93 @@ object SparkEntry {
           FROM fused)
         SELECT event_type, user_id, rrf_micro, rnk
         FROM ranked WHERE rnk <= 10""",
+
+      // q30's langid replay + the confusion-matrix algebra: per-class
+      // counts exact, one double division per ratio, micro-quantized;
+      // prediction-only classes report with zero support, undefined
+      // ratios NULL
+      "q221_class_report" -> """
+        WITH t AS (SELECT doc_id, lang,
+          len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              x -> x IN ('the','a'))) AS s0,
+          len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              x -> x IN ('query','scan','filter'))) AS s1,
+          len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              x -> x IN ('data','table','column'))) AS s2,
+          len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              x -> x IN ('stream','batch','window'))) AS s3
+          FROM documents),
+        preds AS (SELECT doc_id, lang,
+          CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 AND s0 > 0 THEN 'en'
+               WHEN s1 > s0 AND s1 >= s2 AND s1 >= s3 AND s1 > 0 THEN 'query'
+               WHEN s2 > s0 AND s2 > s1 AND s2 >= s3 AND s2 > 0 THEN 'data'
+               WHEN s3 > s0 AND s3 > s1 AND s3 > s2 AND s3 > 0 THEN 'stream'
+               ELSE 'und' END AS predicted
+          FROM t WHERE lang IS NOT NULL),
+        m AS (SELECT lang AS label, predicted,
+            CAST(count(*) AS BIGINT) AS n
+          FROM preds GROUP BY 1, 2),
+        cls AS (SELECT label AS cls FROM m
+                UNION SELECT predicted FROM m),
+        nt AS (SELECT label AS cls, CAST(sum(n) AS BIGINT) AS n_true
+          FROM m GROUP BY 1),
+        np AS (SELECT predicted AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+          FROM m GROUP BY 1),
+        tp AS (SELECT label AS cls, n AS n_correct FROM m
+          WHERE label = predicted),
+        b AS (SELECT cls.cls,
+            coalesce(nt.n_true, 0) AS n_true,
+            coalesce(np.n_pred, 0) AS n_pred,
+            coalesce(tp.n_correct, 0) AS n_correct
+          FROM cls LEFT JOIN nt ON cls.cls = nt.cls
+                   LEFT JOIN np ON cls.cls = np.cls
+                   LEFT JOIN tp ON cls.cls = tp.cls),
+        r AS (SELECT cls, n_true, n_pred, n_correct,
+            CASE WHEN n_pred = 0 THEN NULL
+                 ELSE CAST(n_correct AS DOUBLE) / CAST(n_pred AS DOUBLE)
+            END AS p,
+            CASE WHEN n_true = 0 THEN NULL
+                 ELSE CAST(n_correct AS DOUBLE) / CAST(n_true AS DOUBLE)
+            END AS rr
+          FROM b)
+        SELECT cls, n_true, n_pred, n_correct,
+          CAST(floor(p * 1000000.0 + 0.5) AS BIGINT) AS precision_micro,
+          CAST(floor(rr * 1000000.0 + 0.5) AS BIGINT) AS recall_micro,
+          CAST(floor(CASE WHEN p IS NULL OR rr IS NULL OR p + rr = 0
+            THEN NULL ELSE 2.0 * p * rr / (p + rr) END * 1000000.0 + 0.5)
+            AS BIGINT) AS f1_micro
+        FROM r""",
+
+      // HITS unrolled: two L1-normalized half-steps per round, DECIMAL
+      // contribution sums, one double division per node — q154's replay
+      // discipline on the two-sided walk
+      "q220_hits" -> {
+        def halfStep(prev: String, joinCol: String, outCol: String,
+                     out: String) = s"""
+        ${out}r AS (SELECT b.$outCol AS node,
+            SUM(CAST(h.s AS DECIMAL(38,12))) AS raw
+          FROM base b JOIN $prev h ON b.$joinCol = h.node GROUP BY 1),
+        ${out}t AS (SELECT SUM(raw) AS tot FROM ${out}r),
+        $out AS (SELECT n.node,
+            CASE WHEN t.tot IS NULL OR t.tot = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE CAST(COALESCE(r.raw, CAST(0 AS DECIMAL(38,12)))
+                     AS DOUBLE) / CAST(t.tot AS DOUBLE)
+            END AS s
+          FROM nodes n LEFT JOIN ${out}r r ON n.node = r.node
+          CROSS JOIN ${out}t t)"""
+        s"""
+        WITH base AS (SELECT DISTINCT o_custkey * 2 AS src,
+            l_suppkey * 2 + 1 AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        nodes AS (SELECT src AS node FROM base UNION SELECT dst FROM base),
+        h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS s FROM nodes),
+        ${halfStep("h0", "src", "dst", "a1")},
+        ${halfStep("a1", "dst", "src", "h1")},
+        ${halfStep("h1", "src", "dst", "a2")},
+        ${halfStep("a2", "dst", "src", "h2")}
+        SELECT h2.node, round(h2.s, 10) AS hub, round(a2.s, 10) AS auth
+        FROM h2 JOIN a2 ON h2.node = a2.node"""
+      },
 
       // the KMV merge property makes the rolling merge ≡ a direct sketch
       // of each trailing 7-day union — the oracle computes the direct form

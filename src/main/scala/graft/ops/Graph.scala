@@ -325,4 +325,61 @@ object Graph {
     }
     s
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge set:
+    * authority(v) ← Σ_{u→v} hub(u), hub(u) ← Σ_{u→v} authority(v), each
+    * half-step L1-normalized. The two-sided companion to [[pageRank]]'s
+    * one-score walk — on a buyer→supplier graph, hubs are the buyers
+    * whose purchases concentrate on good suppliers and authorities the
+    * suppliers bought by good buyers; the classic query/curation split
+    * (good lists vs good pages) PageRank's single score conflates.
+    *
+    * L1 (not the textbook L2) normalization, deliberately: the norm is
+    * then an EXACT decimal sum of the contribution masses and the only
+    * float op per node per half-step is one IEEE division — the q154
+    * determinism discipline, bit-stable across partitionings and
+    * replayable by the oracle without sqrt parity concerns. Rankings are
+    * identical under any positive rescaling, so nothing is lost.
+    *
+    * Scale shape: per half-step, one edge join + a decimal-accumulated
+    * hash aggregate at node grain + a one-row broadcast norm — the
+    * [[pageRank]] cost model exactly; fixed `iters` bounds the rounds
+    * and the per-round `localCheckpoint` cuts lineage (swap for
+    * `checkpoint` on a cluster).
+    *
+    * @return one row per node: (node, hub, auth), each column L1-summing
+    *         to ~1 over the graph
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "hits: at least one iteration")
+    val dec = DecimalType(38, 12)
+    val e = graft.util.Caches.cache(edges.select(col("src"), col("dst")))
+    val nodes = graft.util.Caches.cache(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    // initial hub mass 1 per node — the first normalization washes the
+    // scale out, so no N is needed anywhere
+    var hub = nodes.select(col("node"), lit(1.0).as("hub"))
+    var auth = nodes.select(col("node"), lit(0.0).as("auth"))
+    def half(scores: DataFrame, scoreCol: String, inCol: String,
+             outCol: String, outName: String): DataFrame = {
+      val raw = e.join(scores, e(inCol) === scores("node"))
+        .select(col(outCol).as("node"), col(scoreCol).cast(dec).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("raw"))
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          when(col("tot").isNull || col("tot") === 0, lit(0.0))
+            .otherwise(coalesce(col("raw"), lit(0).cast(dec)).cast("double") /
+              col("tot").cast("double")).as(outName))
+        .localCheckpoint(true)
+    }
+    for (_ <- 0 until iters) {
+      auth = half(hub, "hub", "src", "dst", "auth")
+      hub = half(auth, "auth", "dst", "src", "hub")
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"), round(col("hub"), 10).as("hub"),
+        round(col("auth"), 10).as("auth"))
+  }
 }

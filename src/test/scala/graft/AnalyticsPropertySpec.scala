@@ -205,4 +205,30 @@ class AnalyticsPropertySpec extends SparkSpec {
       got == want
     }, samples = 5)
   }
+
+  test("drift invariants: PSI >= 0 with equality iff identical bins; " +
+      "KS in [0,1] and role-symmetric (r15)") {
+    import graft.ops.Drift
+    val genSlices: Gen[(Seq[Long], Seq[Long])] = for {
+      n1 <- Gen.choose(5, 40)
+      n2 <- Gen.choose(5, 40)
+      v1 <- Gen.listOfN(n1, Gen.choose(0L, 50L))
+      v2 <- Gen.listOfN(n2, Gen.choose(0L, 80L))
+    } yield (v1, v2)
+    check("drift", Prop.forAll(genSlices) { case (v1, v2) =>
+      val ref = v1.map(("k", _)).toDF("k", "v")
+      val cur = v2.map(("k", _)).toDF("k", "v")
+      // PSI is a sum of (p−q)·ln(p/q) terms, each ≥ 0 — nano-quantized
+      // terms preserve the sign, so the sum can never go negative
+      val psi = Drift.psiDrift(ref, cur, Seq("k"), "v", bins = 5)
+        .select($"psi_nano").as[Long].head()
+      // KS is a normalized max-gap: in [0, 1e6 micro] and symmetric in
+      // which slice plays reference
+      val kAB = Drift.ksDrift(ref, cur, Seq("k"), "v")
+        .select($"ks_micro").as[Long].head()
+      val kBA = Drift.ksDrift(cur, ref, Seq("k"), "v")
+        .select($"ks_micro").as[Long].head()
+      psi >= 0L && kAB >= 0L && kAB <= 1000000L && kAB == kBA
+    }, samples = 5)
+  }
 }

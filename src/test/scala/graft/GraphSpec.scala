@@ -73,6 +73,59 @@ class GraphSpec extends SparkSpec {
     r
   }
 
+  test("hits: analytic star graph, driver differential, L1 sums, " +
+      "partitioning-invariant (r15)") {
+    // star: hubs 1,2,3 all point at authority 10; hub 1 ALSO points at a
+    // side authority 11. After any round: auth(10) dominates auth(11);
+    // hub(1) dominates hubs 2,3 (it touches more authority mass).
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L))
+      .toDF("src", "dst")
+    val got = Graph.hits(edges, iters = 2)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(10L)._2 > got(11L)._2, s"10 must out-authority 11: $got")
+    assert(got(1L)._1 > got(2L)._1 && got(2L)._1 == got(3L)._1)
+    assert(got(10L)._1 == 0.0 && got(1L)._2 == 0.0,
+      "pure authorities have no hub score and vice versa")
+    // L1 normalization: each column sums to ~1
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+    // driver-side differential: same recurrence on Maps
+    def ref(es: Seq[(Long, Long)], iters: Int) = {
+      val ns = (es.map(_._1) ++ es.map(_._2)).distinct
+      var h = ns.map(_ -> 1.0).toMap
+      var a = ns.map(_ -> 0.0).toMap
+      for (_ <- 0 until iters) {
+        val ar = ns.map(n => n -> es.filter(_._2 == n).map(e =>
+          BigDecimal(h(e._1)).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+          .sum).toMap
+        val at = ar.values.sum
+        a = ar.map { case (n, v) =>
+          n -> (if (at == 0) 0.0 else (v.toDouble / at.toDouble)) }
+        val hr = ns.map(n => n -> es.filter(_._1 == n).map(e =>
+          BigDecimal(a(e._2)).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+          .sum).toMap
+        val ht = hr.values.sum
+        h = hr.map { case (n, v) =>
+          n -> (if (ht == 0) 0.0 else (v.toDouble / ht.toDouble)) }
+      }
+      ns.map(n => n -> ((math.rint(h(n) * 1e10) / 1e10,
+        math.rint(a(n) * 1e10) / 1e10))).toMap
+    }
+    val es2 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 3L))
+    val want = ref(es2, 3)
+    val got2 = Graph.hits(es2.toDF("src", "dst"), iters = 3)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got2 == want, s"got $got2 want $want")
+    // decimal accumulation ⇒ identical under repartitioning
+    val rep = Graph.hits(es2.toDF("src", "dst").repartition(7), iters = 3)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rep == got2)
+    graft.util.Caches.releaseAll()
+  }
+
   test("personalizedPageRank: seed-restart semantics, differential, refusals (r15)") {
     val seeds = Seq(1L).toDF("node")
     val got = Graph.personalizedPageRank(edges.toDF("src", "dst"), seeds,
