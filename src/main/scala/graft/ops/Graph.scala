@@ -372,6 +372,12 @@ object Graph {
           when(col("tot").isNull || col("tot") === 0, lit(0.0))
             .otherwise(coalesce(col("raw"), lit(0).cast(dec)).cast("double") /
               col("tot").cast("double")).as(outName))
+        // lineage cut per HALF-step: the auth frame feeds both the next
+        // hub half AND the final output, so an uncheckpointed half
+        // re-executes its join+agg at every consumer — measured 6.0 s
+        // (per-half) vs 8.6 s (per-round) at sf0.1; eager materialization
+        // is the cheaper side of that trade at every scale where the
+        // node table fits storage memory
         .localCheckpoint(true)
     }
     for (_ <- 0 until iters) {
