@@ -3244,6 +3244,24 @@ object SparkEntry {
         col("doc_id"), col("lang"),
         TF.langId(toks, langMarkers).as("predicted"))
       Eval.classReport(preds, "lang", "predicted")
+    }),
+
+    // --- calibration bins (r15): the reliability diagram of the q180
+    //     quality classifier against a deterministic truth column — the
+    //     confidently-wrong-gate audit, one bin-grain aggregate with the
+    //     per-bin |accuracy − confidence| ECE term ---
+    "q222_calibration" -> ((s, dir) => {
+      import s.implicits._
+      val w = Seq(("data", 1.25), ("query", -0.75), ("the", 0.5),
+        ("stream", 0.25), ("table", 1.0), ("data_query", 2.0),
+        ("the_data", -1.5)).toDF("term", "wt")
+      val docs = Tables.documents(s, dir)
+      val scores = TextClassifier.scoreLinear(docs, "doc_id", "text",
+        w, "term", "wt", bias = -0.5)
+      val labeled = scores.join(
+        docs.select(col("doc_id"),
+          col("text").contains("data").as("label")), Seq("doc_id"))
+      Eval.calibration(labeled, "score", "label", bins = 10)
     })
   )
 
@@ -5630,6 +5648,45 @@ object SparkEntry {
           FROM fused)
         SELECT event_type, user_id, rrf_micro, rnk
         FROM ranked WHERE rnk <= 10""",
+
+      // q180's scorer replay + the reliability binning: decimal score
+      // sums, exact positive counts, one division per ratio
+      "q222_calibration" -> """
+        WITH w AS (SELECT * FROM (VALUES ('data', 1.25), ('query', -0.75),
+            ('the', 0.5), ('stream', 0.25), ('table', 1.0),
+            ('data_query', 2.0), ('the_data', -1.5)) AS w(term, wt)),
+        t AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        d AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 1),
+        uni AS (SELECT doc_id, unnest(toks) AS f FROM d),
+        bi AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+            i -> toks[i] || '_' || toks[i + 1])) AS f
+          FROM d WHERE len(toks) >= 2),
+        feats AS (SELECT doc_id, f FROM uni
+          UNION ALL SELECT doc_id, f FROM bi),
+        sc AS (SELECT feats.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+            CAST(SUM(CAST(coalesce(w.wt, 0) AS DECIMAL(38,12))) AS DOUBLE)
+              AS sw
+          FROM feats LEFT JOIN w ON feats.f = w.term GROUP BY 1),
+        scored AS (SELECT doc_id,
+            round(1.0 / (1.0 + exp(-(-0.5 + sw / n_features))), 6) AS score
+          FROM sc),
+        lab AS (SELECT s.doc_id, s.score,
+            CASE WHEN contains(doc.text, 'data') THEN 1 ELSE 0 END AS y
+          FROM scored s JOIN documents doc ON s.doc_id = doc.doc_id),
+        g AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(y) AS BIGINT) AS n_pos,
+            CAST(sum(CAST(score AS DECIMAL(38,12))) AS DOUBLE) AS ss
+          FROM lab GROUP BY 1)
+        SELECT bin, n, n_pos,
+          CAST(floor(ss / n * 1000000.0 + 0.5) AS BIGINT) AS conf_micro,
+          CAST(floor(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) *
+            1000000.0 + 0.5) AS BIGINT) AS acc_micro,
+          CAST(floor(abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) -
+            ss / n) * 1000000.0 + 0.5) AS BIGINT) AS gap_micro
+        FROM g""",
 
       // q30's langid replay + the confusion-matrix algebra: per-class
       // counts exact, one double division per ratio, micro-quantized;

@@ -66,4 +66,48 @@ object Eval {
         micro(when(p.isNull || r.isNull || (p + r) === 0.0, lit(null))
           .otherwise(lit(2.0) * p * r / (p + r)), "f1_micro"))
   }
+
+  /** Reliability diagram / calibration bins for a probabilistic binary
+    * classifier: scores in [0, 1] bucket into `bins` equal-width bins;
+    * each bin reports its size, positive count, mean CONFIDENCE (mean
+    * score) and mean ACCURACY (positive rate) — the |accuracy −
+    * confidence| gap column is the per-bin term of Expected Calibration
+    * Error (`ECE = Σ n_b/N · gap_b`, left to the caller as one weighted
+    * sum so the bins stay inspectable). A well-calibrated scorer's gaps
+    * sit near 0; a confidently-wrong quality gate is exactly what this
+    * audit catches before a corpus is filtered with it.
+    *
+    * Deterministic: scores accumulate as DECIMAL(38,12) (partitioning
+    * cannot reorder the mean's sum), counts are exact, and each reported
+    * ratio is one IEEE division, micro-quantized. Score exactly 1.0
+    * clamps into the top bin. NULL scores/labels are excluded.
+    *
+    * Scale shape: ONE aggregate at (bin) grain — `bins` rows out,
+    * however large the scored corpus.
+    *
+    * @param labelCol boolean or 0/1 numeric truth column
+    * @return (bin, n, n_pos, conf_micro, acc_micro, gap_micro), bins
+    *         with no rows absent
+    */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"calibration: bins must be >= 2, got $bins")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
+    val b = least(floor(col(scoreCol).cast("double") * bins),
+      lit(bins - 1)).cast("long")
+    def micro(c: org.apache.spark.sql.Column, as: String) =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("long").as(as)
+    val agg = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(b.as("bin"), col(scoreCol).cast(dec).as("__s"),
+        col(labelCol).cast("boolean").cast("int").cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("__s")).as("__ss"))
+    val conf = col("__ss").cast("double") / col("n").cast("double")
+    val acc = col("n_pos").cast("double") / col("n").cast("double")
+    agg.select(col("bin"), col("n"), col("n_pos"),
+      micro(conf, "conf_micro"), micro(acc, "acc_micro"),
+      micro(abs(acc - conf), "gap_micro"))
+  }
 }

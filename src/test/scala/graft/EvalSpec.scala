@@ -42,6 +42,32 @@ class EvalSpec extends SparkSpec {
     graft.util.Caches.releaseAll()
   }
 
+  test("calibration: hand-computed bins, top-bin clamp, ECE term (r15)") {
+    val df = Seq(
+      (0.05, false), (0.08, true),            // bin 0: conf .065, acc .5
+      (0.95, true), (0.97, true), (0.99, false), // bin 9: conf .97, acc 2/3
+      (1.0, true)                             // exactly 1.0 clamps to bin 9
+    ).toDF("score", "label")
+    val got = Eval.calibration(df, "score", "label", bins = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def micro(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val b0 = got(0L)
+    assert((b0.getLong(1), b0.getLong(2)) == ((2L, 1L)))
+    assert(b0.getLong(3) == micro(0.065) && b0.getLong(4) == micro(0.5))
+    assert(b0.getLong(5) == micro(math.abs(0.5 - 0.065)))
+    val b9 = got(9L)
+    assert((b9.getLong(1), b9.getLong(2)) == ((4L, 3L)),
+      "score 1.0 must clamp into the top bin")
+    val conf9 = (0.95 + 0.97 + 0.99 + 1.0) / 4
+    assert(b9.getLong(3) == micro(conf9) && b9.getLong(4) == micro(0.75))
+    // empty bins absent; only the two populated bins report
+    assert(got.keySet == Set(0L, 9L))
+    // partitioning-invariant (decimal score sums)
+    val rep = Eval.calibration(df.repartition(5), "score", "label", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rep == got.view.mapValues(_.getLong(3)).toMap)
+  }
+
   test("classReport consistency on the real corpus: supports sum to the " +
       "labeled row count on BOTH axes; tp bounded by both") {
     import graft.functions.{TextFunctions => TF}
