@@ -3262,8 +3262,74 @@ object SparkEntry {
         docs.select(col("doc_id"),
           col("text").contains("data").as("label")), Seq("doc_id"))
       Eval.calibration(labeled, "score", "label", bins = 10)
+    }),
+
+    // --- sessionization (r15): gap-based session assignment + session
+    //     rollup over the event log — ONE entity-grain shuffle, the lag
+    //     and the running flag-sum share a single Window node; 8 h gap
+    //     splits near this corpus's median inter-event gap (~7.3 h) ---
+    "q223_sessionize" -> ((s, dir) =>
+      Sessionize.sessionStats(Tables.events(s, dir), "user_id", "ts",
+        gapSeconds = 8L * 3600)),
+
+    // --- ROC curve (r15): language-ID marker-count score vs the 'en'
+    //     truth — thresholds are exact small-integer scores (engine-stable
+    //     group keys); one score-grain aggregate + one bounded window ---
+    "q224_roc_curve" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = docs.select(
+        TF.markerHits(TF.tokens(col("text")), Seq("the", "a"))
+          .cast("double").as("score"),
+        (col("lang") === "en").as("label"))
+      Eval.rocCurve(scored, "score", "label")
+    }),
+
+    // --- exact ROC-AUC (r15): the Mann–Whitney rank statistic with tie
+    //     mid-rank correction over the same scored set — products form in
+    //     DECIMAL(38,0) (the ksDrift overflow class), one division out ---
+    "q225_roc_auc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = docs.select(
+        TF.markerHits(TF.tokens(col("text")), Seq("the", "a"))
+          .cast("double").as("score"),
+        (col("lang") === "en").as("label"))
+      Eval.rocAuc(scored, "score", "label")
+    }),
+
+    // --- average precision (r15): the class-imbalance-honest companion
+    //     to q225 over the same scored set — block-tie AP, nano-quantized
+    //     per-block terms summed in decimal ---
+    "q227_avg_precision" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = docs.select(
+        TF.markerHits(TF.tokens(col("text")), Seq("the", "a"))
+          .cast("double").as("score"),
+        (col("lang") === "en").as("label"))
+      Eval.averagePrecision(scored, "score", "label")
+    }),
+
+    // --- count–min sketch (r15): token-frequency summary in 4×512
+    //     integers built in ONE aggregate, point estimates for a probe
+    //     list via min-over-seeds against the BROADCAST sketch; portable
+    //     seeded hashes (D15 tier) so build→estimate hash-oracles ---
+    "q226_count_min" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+      val sk = Sketches.CountMin.build(toks, col("tok"),
+        depth = cmDepth, width = cmWidth)
+      Sketches.CountMin.estimate(sk, cmProbes.toDF("term"), "term",
+        depth = cmDepth, width = cmWidth)
     })
   )
+
+  /** q226 CMS knobs + probe terms — shared by the registration and the
+    * inlined oracle literals. Probes mix heavy tokens, rare ones and one
+    * guaranteed-absent key (estimates 0 unless all 4 rows collide).
+    */
+  private val cmDepth = 4
+  private val cmWidth = 512
+  private val cmProbes = Seq("data", "the", "query", "stream", "xyzzy-nope")
 
   /** q196's screen list — shared by the registration and the oracle;
     * includes overlapping patterns and one guaranteed-absent probe.
@@ -6815,7 +6881,134 @@ object SparkEntry {
           CAST(floor(CAST(count(*) * sum(c*c) - sum(c) * sum(c) AS DOUBLE)
             * 1000000.0 / CAST(count(*) * sum(c) AS DOUBLE) + 0.5) AS BIGINT)
             AS fano_micro
-        FROM c GROUP BY 1"""
+        FROM c GROUP BY 1""",
+
+      // gap-based sessionization replay: lag → start flag → running sum;
+      // ties cannot split a session (gap 0), so the (entity, session_seq)
+      // key is engine-stable however the tie sorts
+      "q223_sessionize" -> """
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        g AS (SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) -
+              epoch_us(lag(ts) OVER w) > 28800000000 THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (SELECT user_id, ts, CAST(sum(ns) OVER (PARTITION BY user_id
+            ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+          FROM g)
+        SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+          min(ts) AS start_ts, max(ts) AS end_ts,
+          epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        FROM s GROUP BY 1, 2""",
+
+      // ROC curve: integer marker-count scores (engine-stable group
+      // keys), exact cumulative counts, one division per rate
+      "q224_roc_curve" -> """
+        WITH t AS (SELECT CAST(len(list_filter(
+              string_split_regex(trim(lower(text)), '\s+'),
+              x -> x IN ('the', 'a'))) AS DOUBLE) AS score,
+            (lang = 'en') AS y
+          FROM documents),
+        f AS (SELECT score, y FROM t
+          WHERE score IS NOT NULL AND y IS NOT NULL),
+        g AS (SELECT score,
+            CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos_at,
+            CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg_at
+          FROM f GROUP BY 1),
+        c AS (SELECT score, pos_at, neg_at,
+            CAST(sum(pos_at) OVER w AS BIGINT) AS cum_pos,
+            CAST(sum(neg_at) OVER w AS BIGINT) AS cum_neg
+          FROM g WINDOW w AS (ORDER BY score ROWS UNBOUNDED PRECEDING)),
+        tot AS (SELECT CAST(sum(pos_at) AS BIGINT) AS p,
+            CAST(sum(neg_at) AS BIGINT) AS n FROM g)
+        SELECT score AS threshold,
+          p - cum_pos + pos_at AS tp,
+          n - cum_neg + neg_at AS fp,
+          CAST(floor(CAST(p - cum_pos + pos_at AS DOUBLE) / CAST(p AS DOUBLE)
+            * 1000000.0 + 0.5) AS BIGINT) AS tpr_micro,
+          CAST(floor(CAST(n - cum_neg + neg_at AS DOUBLE) / CAST(n AS DOUBLE)
+            * 1000000.0 + 0.5) AS BIGINT) AS fpr_micro
+        FROM c CROSS JOIN tot""",
+
+      // Mann–Whitney with tie mid-ranks: U·2 forms in HUGEINT (the
+      // DECIMAL(38,0) mirror), ONE double division, micro-quantized
+      "q225_roc_auc" -> """
+        WITH t AS (SELECT CAST(len(list_filter(
+              string_split_regex(trim(lower(text)), '\s+'),
+              x -> x IN ('the', 'a'))) AS DOUBLE) AS score,
+            (lang = 'en') AS y
+          FROM documents),
+        f AS (SELECT score, y FROM t
+          WHERE score IS NOT NULL AND y IS NOT NULL),
+        g AS (SELECT score,
+            CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos_at,
+            CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg_at
+          FROM f GROUP BY 1),
+        c AS (SELECT score, pos_at, neg_at,
+            CAST(sum(neg_at) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_neg
+          FROM g)
+        SELECT CAST(sum(pos_at) AS BIGINT) AS n_pos,
+          CAST(sum(neg_at) AS BIGINT) AS n_neg,
+          CAST(floor(CAST(sum(CAST(pos_at AS HUGEINT) *
+              (2 * CAST(cum_neg - neg_at AS HUGEINT) + neg_at)) AS DOUBLE) /
+            (2.0 * CAST(sum(pos_at) AS DOUBLE) * CAST(sum(neg_at) AS DOUBLE))
+            * 1000000.0 + 0.5) AS BIGINT) AS auc_micro
+        FROM c""",
+
+      // block-tie AP replay: descending-cut cumulatives, per-block term
+      // nano-quantized BEFORE the sum, one division by P at the end
+      "q227_avg_precision" -> """
+        WITH t AS (SELECT CAST(len(list_filter(
+              string_split_regex(trim(lower(text)), '\s+'),
+              x -> x IN ('the', 'a'))) AS DOUBLE) AS score,
+            (lang = 'en') AS y
+          FROM documents),
+        f AS (SELECT score, y FROM t
+          WHERE score IS NOT NULL AND y IS NOT NULL),
+        g AS (SELECT score,
+            CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos_at,
+            CAST(count(*) AS BIGINT) AS n_at
+          FROM f GROUP BY 1),
+        c AS (SELECT score, pos_at, n_at,
+            CAST(sum(pos_at) OVER w AS BIGINT) AS cum_tp,
+            CAST(sum(n_at) OVER w AS BIGINT) AS cum_n
+          FROM g WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING))
+        SELECT CAST(sum(pos_at) AS BIGINT) AS n_pos,
+          CAST(sum(n_at) - sum(pos_at) AS BIGINT) AS n_neg,
+          CAST(floor(CAST(sum(CAST(floor(CAST(pos_at AS DOUBLE) *
+              (CAST(cum_tp AS DOUBLE) / CAST(cum_n AS DOUBLE)) *
+              1000000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 1000000000.0 /
+            CAST(sum(pos_at) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+            AS ap_micro
+        FROM c""",
+
+      // count–min replay: polyHash per token occurrence, the 4 seeded
+      // affine buckets inlined as literals, bucket counts, min-of-rows
+      "q226_count_min" -> {
+        val perms = Sketches.CountMin.perms(cmDepth).zipWithIndex
+        val buildRows = perms.map { case ((a, b), i) =>
+          s"SELECT $i AS seed, ((ph * $a + $b) % 1000000007) % $cmWidth" +
+            s" AS bucket FROM h"
+        }.mkString("\n          UNION ALL ")
+        val probeRows = perms.map { case ((a, b), i) =>
+          s"SELECT term, $i AS seed, ((ph * $a + $b) % 1000000007) %" +
+            s" $cmWidth AS bucket FROM hp"
+        }.mkString("\n          UNION ALL ")
+        val probeVals = cmProbes.map(t => s"('$t')").mkString(", ")
+        s"""
+        WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)),
+            '\\s+')) AS tk FROM documents),
+        h AS (SELECT ${duckPolyHash("tk")} AS ph FROM tok),
+        bk AS ($buildRows),
+        sk AS (SELECT seed, bucket, CAST(count(*) AS BIGINT) AS cnt
+          FROM bk GROUP BY 1, 2),
+        probes AS (SELECT term FROM (VALUES $probeVals) AS p(term)),
+        hp AS (SELECT term, ${duckPolyHash("term")} AS ph FROM probes),
+        pb AS ($probeRows)
+        SELECT term, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_cnt
+        FROM pb LEFT JOIN sk USING (seed, bucket) GROUP BY 1"""
+      }
     )
   }
 

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classifier-audit operators — the evaluation half every inference
@@ -109,5 +110,130 @@ object Eval {
     agg.select(col("bin"), col("n"), col("n_pos"),
       micro(conf, "conf_micro"), micro(acc, "acc_micro"),
       micro(abs(acc - conf), "gap_micro"))
+  }
+
+  private val Dec38 =
+    org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+
+  /** Per-distinct-score positive/negative counts with running totals —
+    * the shared core of [[rocCurve]] and [[rocAuc]]. One aggregate at
+    * score grain, then one UNPARTITIONED window ordered by score over
+    * the distinct-score rows. The global sort is at DISTINCT-SCORE
+    * cardinality, not corpus cardinality — the bounded-distinct-scores
+    * contract (model scores are quantized floats; a corpus of any size
+    * reduces to at most |score codomain| rows before the sort), the same
+    * class as [[Funnels.sequenceMatch]]'s bounded-per-entity contract.
+    */
+  private def scoreGrain(df: DataFrame, scoreCol: String,
+                         labelCol: String): DataFrame = {
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("score"),
+        col(labelCol).cast("boolean").cast("int").cast("long").as("__y"))
+      .groupBy(col("score"))
+      .agg(sum(col("__y")).as("pos_at"),
+        (count(lit(1)) - sum(col("__y"))).as("neg_at"))
+      .withColumn("cum_pos", sum(col("pos_at")).over(w))
+      .withColumn("cum_neg", sum(col("neg_at")).over(w))
+  }
+
+  /** ROC curve at distinct-score grain: one row per threshold (each
+    * observed score, predicting positive when `score >= threshold`),
+    * with exact cumulative counts and micro-quantized TPR / FPR. Rows
+    * order from the strictest threshold down — the usual (0,0)→(1,1)
+    * sweep. All counts exact integers; each rate is ONE double division,
+    * micro-quantized — hash-checkable anywhere.
+    *
+    * @return (threshold, tp, fp, tpr_micro, fpr_micro)
+    */
+  def rocCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = scoreGrain(df, scoreCol, labelCol)
+    def micro(c: org.apache.spark.sql.Column, as: String) =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("long").as(as)
+    // one-row totals broadcast onto the curve rows (house scalar-attach)
+    val tot = g.agg(sum(col("pos_at")).as("__p"), sum(col("neg_at")).as("__n"))
+    g.crossJoin(broadcast(tot))
+      .select(col("score").as("threshold"),
+        (col("__p") - col("cum_pos") + col("pos_at")).as("tp"),
+        (col("__n") - col("cum_neg") + col("neg_at")).as("fp"),
+        col("__p"), col("__n"))
+      .select(col("threshold"), col("tp"), col("fp"),
+        micro(when(col("__p") === 0, lit(null))
+          .otherwise(col("tp").cast("double") / col("__p").cast("double")),
+          "tpr_micro"),
+        micro(when(col("__n") === 0, lit(null))
+          .otherwise(col("fp").cast("double") / col("__n").cast("double")),
+          "fpr_micro"))
+  }
+
+  /** Exact ROC-AUC via the rank statistic (Mann–Whitney U with the
+    * standard tie mid-rank correction): over distinct scores s,
+    * `U·2 = Σ pos_at(s) · (2·neg_below(s) + neg_at(s))`, and
+    * `AUC = U·2 / (2·P·N)` — a tied positive/negative pair counts ½.
+    * This IS the trapezoid area under [[rocCurve]], computed without
+    * floating intermediates: every product forms in DECIMAL(38,0)
+    * BEFORE multiplying (at 100 TB grain `pos_at · neg_below` passes
+    * Long past ~3e9 rows per side — the [[Drift.ksDrift]] overflow
+    * class), one IEEE division at the end, micro-quantized. Degenerate
+    * corpora (no positives or no negatives) report NULL, never 0 — "AUC
+    * undefined" is not "worst classifier".
+    *
+    * Scale shape: one score-grain aggregate + one bounded window (see
+    * [[scoreGrain]]) + one one-row aggregate. The corpus shuffles once.
+    *
+    * @return one row: (n_pos, n_neg, auc_micro)
+    */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = scoreGrain(df, scoreCol, labelCol)
+    val negBelow = (col("cum_neg") - col("neg_at")).cast(Dec38)
+    val u2 = sum(col("pos_at").cast(Dec38) *
+      (negBelow * lit(2).cast(Dec38) + col("neg_at").cast(Dec38)))
+    val agg = g.agg(sum(col("pos_at")).as("n_pos"),
+      sum(col("neg_at")).as("n_neg"), u2.as("__u2"))
+    agg.select(col("n_pos"), col("n_neg"),
+      floor(when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
+        .otherwise(col("__u2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+        * lit(1000000.0) + lit(0.5)).cast("long").as("auc_micro"))
+  }
+
+  /** Average precision (PR-AUC) with ties processed as BLOCKS: sweeping
+    * thresholds from the strictest down, each distinct score contributes
+    * `pos_at(s) · precision@cut(s)`, where the cut includes the whole tie
+    * block — `AP = Σ_s pos_at·(cum_tp/cum_n) / P` (the step-wise AP
+    * retrieval evaluation uses; block semantics make it tie-order-free).
+    * Class-imbalance-honest where ROC-AUC is not: a screen for a 0.1%
+    * positive class can hold AUC ≈ 0.99 while AP collapses — run both.
+    *
+    * Determinism: per-block terms are exact-integer products quantized to
+    * NANO units after their single division, then summed in DECIMAL
+    * (integer-grain addition commutes — the [[Drift.psiDrift]] pattern),
+    * one final division by P. No positives → NULL, never 0.
+    *
+    * Scale shape: same as [[rocAuc]] — one score-grain aggregate, one
+    * bounded window, one one-row aggregate.
+    *
+    * @return one row: (n_pos, n_neg, ap_micro)
+    */
+  def averagePrecision(df: DataFrame, scoreCol: String,
+                       labelCol: String): DataFrame = {
+    val g = scoreGrain(df, scoreCol, labelCol)
+    val tot = g.agg(sum(col("pos_at")).as("__p"), sum(col("neg_at")).as("__n"))
+    // descending-threshold cumulatives from the ascending ones the grain
+    // carries: cum_tp(s) = P − cum_pos(s) + pos_at(s), same for n
+    val cumTp = col("__p") - col("cum_pos") + col("pos_at")
+    val cumN = cumTp + (col("__n") - col("cum_neg") + col("neg_at"))
+    val termNano = floor(col("pos_at").cast("double") *
+      (cumTp.cast("double") / cumN.cast("double")) *
+      lit(1000000000.0) + lit(0.5)).cast(Dec38)
+    g.crossJoin(broadcast(tot))
+      .agg(max(col("__p")).as("n_pos"), max(col("__n")).as("n_neg"),
+        sum(termNano).as("__ap_nano"))
+      .select(col("n_pos"), col("n_neg"),
+        floor(when(col("n_pos") === 0, lit(null))
+          .otherwise(col("__ap_nano").cast("double") / lit(1000000000.0) /
+            col("n_pos").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("ap_micro"))
   }
 }

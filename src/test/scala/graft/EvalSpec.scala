@@ -86,4 +86,127 @@ class EvalSpec extends SparkSpec {
     }
     graft.util.Caches.releaseAll()
   }
+
+  // ------------------------------------------------------------- ROC-AUC
+
+  private def auc(rows: Seq[(Double, Boolean)]): Option[Long] = {
+    val df = rows.toDF("score", "label")
+    val r = Eval.rocAuc(df, "score", "label").collect().head
+    if (r.isNullAt(2)) None else Some(r.getLong(2))
+  }
+
+  test("rocAuc: hand cases — perfect, random-ties, 3-of-4 pairs (r15)") {
+    // perfect separation
+    assert(auc(Seq((0.9, true), (0.8, true), (0.7, false), (0.1, false)))
+      .contains(1000000L))
+    // one tied pair only → AUC 1/2
+    assert(auc(Seq((0.5, true), (0.5, false))).contains(500000L))
+    // pairs: (.8,.6)✓ (.8,.2)✓ (.4,.6)✗ (.4,.2)✓ → 3/4
+    assert(auc(Seq((0.8, true), (0.4, true), (0.6, false), (0.2, false)))
+      .contains(750000L))
+  }
+
+  test("rocAuc: degenerate corpora (single-class) report NULL, not 0") {
+    assert(auc(Seq((0.9, true), (0.1, true))).isEmpty)
+    assert(auc(Seq((0.9, false), (0.1, false))).isEmpty)
+  }
+
+  test("rocAuc: differential vs brute-force pair counting, with ties") {
+    val rnd = new scala.util.Random(4242)
+    val rows = Seq.fill(400)(
+      (math.floor(rnd.nextDouble() * 20) / 20.0, rnd.nextBoolean()))
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val want = math.floor(wins / (pos.size.toDouble * neg.size) * 1e6 + 0.5)
+      .toLong
+    assert(auc(rows).contains(want))
+  }
+
+  test("rocAuc: partitioning invariance") {
+    val rnd = new scala.util.Random(7)
+    val df = Seq.fill(500)((rnd.nextDouble(), rnd.nextBoolean()))
+      .toDF("score", "label")
+    val a = Eval.rocAuc(df, "score", "label").collect().head
+    val b = Eval.rocAuc(df.repartition(13), "score", "label").collect().head
+    assert(a == b)
+  }
+
+  test("rocCurve: hand case — thresholds sweep (0,0)→(1,1), exact counts") {
+    val df = Seq((0.8, true), (0.4, true), (0.6, false), (0.2, false))
+      .toDF("score", "label")
+    val got = Eval.rocCurve(df, "score", "label")
+      .orderBy($"threshold".desc)
+      .select("threshold", "tp", "fp", "tpr_micro", "fpr_micro")
+      .as[(Double, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0.8, 1L, 0L, 500000L, 0L),
+      (0.6, 1L, 1L, 500000L, 500000L),
+      (0.4, 2L, 1L, 1000000L, 500000L),
+      (0.2, 2L, 2L, 1000000L, 1000000L)))
+  }
+
+  test("rocCurve ≡ rocAuc: trapezoid area under the curve matches the " +
+      "rank statistic") {
+    val rnd = new scala.util.Random(99)
+    val rows = Seq.fill(300)(
+      (math.floor(rnd.nextDouble() * 10) / 10.0, rnd.nextInt(3) == 0))
+    val df = rows.toDF("score", "label")
+    val curve = Eval.rocCurve(df, "score", "label")
+      .orderBy("threshold").select("tp", "fp")
+      .as[(Long, Long)].collect().toSeq.reverse // ascending fp sweep
+    val p = rows.count(_._2).toDouble
+    val n = rows.size - p
+    val pts = ((0L, 0L) +: curve).map { case (tp, fp) => (fp / n, tp / p) }
+    val area = pts.sliding(2).map { case Seq((x0, y0), (x1, y1)) =>
+      (x1 - x0) * (y0 + y1) / 2.0 }.sum
+    val want = math.floor(area * 1e6 + 0.5).toLong
+    assert(auc(rows).contains(want))
+  }
+
+  // --------------------------------------------------- average precision
+
+  private def ap(rows: Seq[(Double, Boolean)]): Option[Long] = {
+    val r = Eval.averagePrecision(rows.toDF("score", "label"),
+      "score", "label").collect().head
+    if (r.isNullAt(2)) None else Some(r.getLong(2))
+  }
+
+  test("averagePrecision: hand cases — perfect, interleaved, tie block " +
+      "(r15)") {
+    // perfect ranking → AP 1
+    assert(ap(Seq((0.9, true), (0.8, true), (0.2, false)))
+      .contains(1000000L))
+    // ranking pos,neg,pos: terms 1·(1/1) + 1·(2/3) → AP = 5/6 ≈ 833333µ
+    assert(ap(Seq((0.9, true), (0.5, false), (0.4, true)))
+      .contains(833333L))
+    // one tie block of 1 pos + 1 neg → AP = 1·(1/2)/1 = 0.5
+    assert(ap(Seq((0.5, true), (0.5, false))).contains(500000L))
+  }
+
+  test("averagePrecision: no positives → NULL; all positives → 1") {
+    assert(ap(Seq((0.9, false), (0.1, false))).isEmpty)
+    assert(ap(Seq((0.9, true), (0.1, true))).contains(1000000L))
+  }
+
+  test("averagePrecision: differential vs a driver-side block replay, " +
+      "and repartition invariance") {
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.fill(500)(
+      (math.floor(rnd.nextDouble() * 15) / 15.0, rnd.nextInt(4) == 0))
+    val p = rows.count(_._2).toDouble
+    val blocks = rows.groupBy(_._1).toSeq.sortBy(-_._1)
+    var cumTp = 0L; var cumN = 0L; var acc = 0.0
+    blocks.foreach { case (_, b) =>
+      val posAt = b.count(_._2)
+      cumTp += posAt; cumN += b.size
+      acc += math.floor(posAt * (cumTp.toDouble / cumN) * 1e9 + 0.5) / 1e9
+    }
+    val want = math.floor(acc / p * 1e6 + 0.5).toLong
+    assert(ap(rows).contains(want))
+    val df = rows.toDF("score", "label").repartition(11)
+    assert(Eval.averagePrecision(df, "score", "label").collect().head
+      .getLong(2) == want)
+  }
 }

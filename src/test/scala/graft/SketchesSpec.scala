@@ -200,4 +200,80 @@ class SketchesSpec extends SparkSpec {
         qs = Seq(0.5))
     }
   }
+
+  // ---------------------------------------------------------- count–min
+
+  test("countMin: estimates never undercount, and match exactly at " +
+      "collision-free width (r15)") {
+    val df = (Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++
+      Seq.fill(3)("gamma") ++ Seq("delta")).toDF("k")
+    val sk = Sketches.CountMin.build(df, $"k", depth = 4, width = 8192)
+    val probes = Seq("alpha", "beta", "gamma", "delta", "absent").toDF("k")
+    val est = Sketches.CountMin.estimate(sk, probes, "k",
+      depth = 4, width = 8192)
+      .as[(String, Long)].collect().toMap
+    val exact = Map("alpha" -> 40L, "beta" -> 25L, "gamma" -> 3L,
+      "delta" -> 1L, "absent" -> 0L)
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS undercounted $k: ${est(k)} < $n")
+    }
+    // 4 keys into 8192 buckets × 4 independent rows: no collision in at
+    // least one row (deterministic seeds — pinned by running it)
+    assert(est == exact, s"collision-free width should be exact: $est")
+  }
+
+  test("countMin: slice sketches MERGE to the full-corpus sketch exactly") {
+    val full = (1 to 300).map(i => s"k${i % 17}").toDF("k")
+    val a = full.limit(140)
+    val b = full.exceptAll(a)
+    val skFull = Sketches.CountMin.build(full, $"k", depth = 3, width = 64)
+    val skMerged = Sketches.CountMin.merge(
+      Sketches.CountMin.build(a, $"k", depth = 3, width = 64)
+        .unionByName(Sketches.CountMin.build(b, $"k", depth = 3, width = 64)))
+    assert(skMerged.orderBy("seed", "bucket").collect().toSeq ==
+      skFull.orderBy("seed", "bucket").collect().toSeq)
+  }
+
+  test("countMin: weighted build ≡ per-row build on the expanded data") {
+    val weighted = Seq(("a", 7L), ("b", 2L), ("c", 11L)).toDF("k", "n")
+    val expanded = Seq.fill(7)("a") ++ Seq.fill(2)("b") ++ Seq.fill(11)("c")
+    val sw = Sketches.CountMin.build(weighted, $"k", depth = 3, width = 32,
+      weight = $"n")
+    val se = Sketches.CountMin.build(expanded.toDF("k"), $"k",
+      depth = 3, width = 32)
+    assert(sw.orderBy("seed", "bucket").collect().toSeq ==
+      se.orderBy("seed", "bucket").collect().toSeq)
+  }
+
+  test("countMin: repartition invariance; null keys skipped; knob guard") {
+    val df = (Seq.fill(9)(Some("x")) ++ Seq(None, Some("y"))).toDF("k")
+    val a = Sketches.CountMin.build(df, $"k", depth = 2, width = 16)
+    val b = Sketches.CountMin.build(df.repartition(5), $"k",
+      depth = 2, width = 16)
+    assert(a.orderBy("seed", "bucket").collect().toSeq ==
+      b.orderBy("seed", "bucket").collect().toSeq)
+    assert(a.agg(sum($"cnt")).head().getLong(0) == 2 * 10L,
+      "each non-null row lands once per seed row")
+    intercept[IllegalArgumentException] {
+      Sketches.CountMin.build(df, $"k", depth = 0, width = 16)
+    }
+  }
+
+  test("countMin: error stays within εN on a skewed corpus (tight width)") {
+    val rnd = new scala.util.Random(5)
+    // zipf-ish: key j with frequency ~ 1/j
+    val rows = (1 to 4000).map(_ => s"w${(1 / math.max(rnd.nextDouble(), 1e-3)).toInt % 97}")
+    val df = rows.toDF("k")
+    val w = 128
+    val sk = Sketches.CountMin.build(df, $"k", depth = 4, width = w)
+    val probes = rows.distinct.toDF("k")
+    val est = Sketches.CountMin.estimate(sk, probes, "k", depth = 4, width = w)
+      .as[(String, Long)].collect().toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val epsN = math.ceil(math.E / w * rows.size).toLong
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n && est(k) <= n + 2 * epsN,
+        s"$k: est ${est(k)} vs exact $n (εN=$epsN)")
+    }
+  }
 }
