@@ -3308,6 +3308,27 @@ object SparkEntry {
       Eval.averagePrecision(scored, "score", "label")
     }),
 
+    // --- MMR diversity re-rank (r15): greedy λ·rel − (1−λ)·max-sim over a
+    //     bounded candidate pool (the post-retrieval stage); k−1 rounds of
+    //     (query, candidate)-grain joins, the corpus never appears ---
+    "q229_mmr_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pool = emb.filter(col("vec_id") < 40)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val cands = pool.join(broadcast(qs), col("id") =!= col("query_id"))
+        .withColumn("rel", VF.cosine(col("q_emb"), col("vec")))
+      Similarity.mmrSelect(cands, "query_id", "id", "rel", "vec",
+        k = 4, lambda = 0.75)
+    }),
+
+    // --- c-TF-IDF cluster keywords (r15): which terms are DISCRIMINATIVE
+    //     per language slice — one tokenize scan, one (class, term)
+    //     shuffle, broadcast class totals, TopKAgg cut ---
+    "q228_ctfidf_keywords" -> ((s, dir) =>
+      Keywords.cTfIdf(Tables.documents(s, dir), "lang", "text", topK = 8)),
+
     // --- count–min sketch (r15): token-frequency summary in 4×512
     //     integers built in ONE aggregate, point estimates for a probe
     //     list via min-over-seeds against the BROADCAST sketch; portable
@@ -6982,6 +7003,82 @@ object SparkEntry {
             CAST(sum(pos_at) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
             AS ap_micro
         FROM c""",
+
+      // greedy MMR unrolled to k=4 steps (the q220 unroll pattern):
+      // identical cosine trees, identical 0.75·rel − 0.25·div ordering
+      // expressions (argmax on the PRODUCT, as the engine orders), ties
+      // on id; micro-quantized output only
+      "q229_mmr_rerank" -> {
+        def cos(a: String, b: String) =
+          s"CASE WHEN sqrt(list_dot_product($a, $a)) * " +
+            s"sqrt(list_dot_product($b, $b)) = 0 THEN 0.0 " +
+            s"ELSE list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a))" +
+            s" * sqrt(list_dot_product($b, $b))) END"
+        val steps = (2 to 4).map { i =>
+          val prev = (1 until i).map(j => s"SELECT qid, id FROM s$j")
+            .mkString(" UNION ALL ")
+          s"""selu$i AS ($prev),
+        r$i AS (SELECT c.qid, c.id, c.rel, c.e FROM cand c
+          WHERE NOT EXISTS (SELECT 1 FROM selu$i u
+            WHERE u.qid = c.qid AND u.id = c.id)),
+        d$i AS (SELECT r.qid, r.id, max(${cos("r.e", "sv.e")}) AS dv
+          FROM r$i r JOIN (SELECT u.qid, u.id, c.e FROM selu$i u
+            JOIN cand c ON u.qid = c.qid AND u.id = c.id) sv
+            ON r.qid = sv.qid
+          GROUP BY r.qid, r.id),
+        s$i AS (SELECT qid, id, mmr FROM (
+            SELECT d.qid, d.id, 0.75 * c.rel - 0.25 * d.dv AS mmr,
+              ROW_NUMBER() OVER (PARTITION BY d.qid
+                ORDER BY 0.75 * c.rel - 0.25 * d.dv DESC, d.id) AS rn
+            FROM d$i d JOIN cand c ON d.qid = c.qid AND d.id = c.id)
+          WHERE rn = 1)"""
+        }.mkString(",\n        ")
+        val out = (1 to 4).map(i =>
+          s"SELECT qid AS query_id, id, CAST($i AS BIGINT) AS step, " +
+            s"CAST(floor(mmr * 1000000.0 + 0.5) AS BIGINT) AS mmr_micro " +
+            s"FROM s$i").mkString("\n        UNION ALL ")
+        s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        p AS (SELECT vec_id AS id, e FROM v WHERE vec_id < 40),
+        q AS (SELECT vec_id AS qid, e AS qe FROM v
+          WHERE vec_id IN (1, 2, 3)),
+        cand AS (SELECT q.qid, p.id, ${cos("q.qe", "p.e")} AS rel, p.e
+          FROM p JOIN q ON p.id <> q.qid),
+        s1 AS (SELECT qid, id, 0.75 * rel AS mmr FROM (
+            SELECT qid, id, rel, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY 0.75 * rel DESC, id) AS rn FROM cand)
+          WHERE rn = 1),
+        $steps
+        $out"""
+      },
+
+      // c-TF-IDF replay: exact (class, term) counts, the fixed IEEE score
+      // tree (two divisions, one ln, one multiply), raw-double-then-term
+      // rank discipline, micro-quantized output
+      "q228_ctfidf_keywords" -> """
+        WITH tok AS (SELECT lang AS cls,
+            unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+        ntc AS (SELECT cls, term, CAST(count(*) AS BIGINT) AS n_tc
+          FROM tok GROUP BY 1, 2),
+        nc AS (SELECT cls, CAST(sum(n_tc) AS BIGINT) AS n_c
+          FROM ntc GROUP BY 1),
+        ft AS (SELECT term, CAST(sum(n_tc) AS BIGINT) AS f_t
+          FROM ntc GROUP BY 1),
+        a AS (SELECT CAST(sum(n_c) AS BIGINT) AS tot,
+            CAST(count(*) AS BIGINT) AS k FROM nc),
+        s AS (SELECT ntc.cls, ntc.term,
+            (CAST(n_tc AS DOUBLE) / CAST(n_c AS DOUBLE)) *
+              ln(1.0 + (CAST(tot AS DOUBLE) / CAST(k AS DOUBLE))
+                / CAST(f_t AS DOUBLE)) AS raw
+          FROM ntc JOIN nc USING (cls) JOIN ft USING (term) CROSS JOIN a),
+        r AS (SELECT cls, term, raw, ROW_NUMBER() OVER (PARTITION BY cls
+            ORDER BY raw DESC, term) AS rnk FROM s)
+        SELECT cls, term,
+          CAST(floor(raw * 1000000.0 + 0.5) AS BIGINT) AS score_micro,
+          CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 8""",
 
       // count–min replay: polyHash per token occurrence, the 4 seeded
       // affine buckets inlined as literals, bucket counts, min-of-rows

@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   * or interaction-log pipeline (reference domain: per-entity time
   * series, /root/reference/extraction.py:105) runs first: group an
   * entity's events into sessions separated by inactivity gaps longer
-  * than a threshold.
+  * than a threshold. The BATCH face of
+  * [[graft.streaming.Sessionize]] (flatMapGroupsWithState) — the same
+  * boundary-inclusive convention (an event at exactly the gap continues
+  * the session), so backfills and the live stream agree on session keys.
   *
   * Semantics: events of one entity, ordered by timestamp; a NEW session
   * starts at the first event and at every event whose gap from the

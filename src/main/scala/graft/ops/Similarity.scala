@@ -298,4 +298,76 @@ object Similarity {
     assigned.join(shadowed, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("centroid_id"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998) —
+    * the diversity selector every retrieval-augmented / few-shot-example
+    * pipeline runs AFTER similarity search: from each query's CANDIDATE
+    * list, greedily pick `k` items maximizing
+    * `λ·rel − (1−λ)·max_{s∈selected} cos(c, s)` — relevant, but not
+    * redundant with what's already picked. The first pick maximizes pure
+    * relevance (empty selected set ⇒ diversity term 0).
+    *
+    * Input contract: `cands` is per-query BOUNDED (the top-N cut of a
+    * prior retrieval stage — [[bruteForceTopK]], [[lshTopK]], BM25, RRF).
+    * The greedy loop is inherently sequential in k, so the operator runs
+    * k−1 rounds of joins at (query, candidate) grain: each round is ≤ N·i
+    * pairs per query (i = picks so far), the CORPUS never appears, and
+    * the per-round tables are cached ([[graft.util.Caches]]) to cut
+    * lineage. At 100 TB the queries×N candidate table is the small output
+    * of the scale-path retrieval — millions of rows, not the corpus.
+    *
+    * Determinism: cosine is the native left-to-right [[dot]] over norms
+    * computed once per row; every argmax breaks ties on id ascending; the
+    * MMR combine is one fixed IEEE tree, micro-quantized on output only.
+    * λ must be exactly representable (0.75, 0.5 …) for oracle replay —
+    * callers own that, as q37 owns its thresholds.
+    *
+    * @param k      picks per query (fewer if the candidate list is shorter)
+    * @param lambda relevance weight in [0, 1]
+    * @return (queryCol, idCol, step, mmr_micro) — step 1 is the first pick
+    */
+  def mmrSelect(cands: DataFrame, queryCol: String, idCol: String,
+                relCol: String, vecCol: String, k: Int,
+                lambda: Double): DataFrame = {
+    require(k >= 1, s"mmrSelect: k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmrSelect: lambda must be in [0, 1], got $lambda")
+    import graft.util.Caches
+    val base = Caches.cache(cands
+      .filter(col(queryCol).isNotNull && col(idCol).isNotNull &&
+        col(relCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(queryCol).as("__q"), col(idCol).as("__id"),
+        col(relCol).cast("double").as("__rel"), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__n"))).toDF
+    def pick(scored: DataFrame, mmr: org.apache.spark.sql.Column): DataFrame = {
+      val w = Window.partitionBy(col("__q"))
+        .orderBy(mmr.desc, col("__id"))
+      scored.withColumn("__mmr", mmr)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__q"), col("__id"), col("__mmr"))
+    }
+    var selected = Caches.cache(
+      pick(base, lit(lambda) * col("__rel")).withColumn("step", lit(1))).toDF
+    for (step <- 2 to k) {
+      val selVec = base.join(selected.select("__q", "__id"), Seq("__q", "__id"))
+        .select(col("__q"), col("__v").as("__sv"), col("__n").as("__sn"))
+      val remaining = base.join(selected.select("__q", "__id"),
+        Seq("__q", "__id"), "left_anti")
+      val divs = remaining.join(selVec, Seq("__q"))
+        .withColumn("__sim", when(col("__n") * col("__sn") === 0.0, 0.0)
+          .otherwise(dot(col("__v"), col("__sv")) /
+            (col("__n") * col("__sn"))))
+        .groupBy(col("__q"), col("__id"), col("__rel"))
+        .agg(max(col("__sim")).as("__div"))
+      val next = pick(divs,
+        lit(lambda) * col("__rel") - lit(1.0 - lambda) * col("__div"))
+        .withColumn("step", lit(step))
+      selected = Caches.cache(selected.unionByName(next)).toDF
+    }
+    selected.select(col("__q").as(queryCol), col("__id").as(idCol),
+      col("step").cast("long").as("step"),
+      floor(col("__mmr") * lit(1000000.0) + lit(0.5)).cast("long")
+        .as("mmr_micro"))
+  }
 }
