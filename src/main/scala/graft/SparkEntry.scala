@@ -3308,6 +3308,32 @@ object SparkEntry {
       Eval.averagePrecision(scored, "score", "label")
     }),
 
+    // --- mutual kNN (r15): the reciprocal filter over a kNN edge table —
+    //     one semi-join at edge grain, hub artifacts drop ---
+    "q230_mutual_knn" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mutualPairs(
+        Similarity.bruteForceTopK(emb, emb, k = 5), "query_id", "nn_id")
+    }),
+
+    // --- Benford first-digit audit (r15): the forensic screen on the
+    //     money column — exact cents, string first digit (no float
+    //     log10 binning), inlined Benford expectation literals ---
+    "q231_benford" -> ((s, dir) =>
+      Audit.benford(Tables.orders(s, dir),
+        round(col("o_totalprice") * 100).cast("long"))),
+
+    // --- vocabulary JSD (r15): token-distribution drift between the
+    //     even- and odd-id document slices per language — the categorical
+    //     companion of q215's PSI / q217's KS ---
+    "q232_jsd_vocab" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("lang").isNotNull)
+      def toks(f: Column) = docs.filter(f)
+        .select(col("lang"), explode(TF.tokens(col("text"))).as("tok"))
+      Drift.jsDrift(toks(col("doc_id") % 2 === 0),
+        toks(col("doc_id") % 2 === 1), Seq("lang"), "tok")
+    }),
+
     // --- MMR diversity re-rank (r15): greedy λ·rel − (1−λ)·max-sim over a
     //     bounded candidate pool (the post-retrieval stage); k−1 rounds of
     //     (query, candidate)-grain joins, the corpus never appears ---
@@ -7003,6 +7029,86 @@ object SparkEntry {
             CAST(sum(pos_at) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
             AS ap_micro
         FROM c""",
+
+      // mutual kNN: the q37 cosine-ranking replay at k=5, then the
+      // reciprocal self-join, each unordered pair once
+      "q230_mutual_knn" -> """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        scored AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+            list_dot_product(c.e, q.e) / (sqrt(list_dot_product(c.e, c.e))
+              * sqrt(list_dot_product(q.e, q.e))) AS s
+          FROM v c JOIN v q ON c.vec_id <> q.vec_id),
+        knn AS (SELECT qid, nid FROM (SELECT qid, nid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+          FROM scored) WHERE rn <= 5)
+        SELECT a.qid AS id_a, a.nid AS id_b
+        FROM knn a JOIN knn b ON a.qid = b.nid AND a.nid = b.qid
+        WHERE a.qid < a.nid""",
+
+      // Benford replay: identical exact-cents derivation (q179's), string
+      // first digit, the same inlined log10 expectation literals
+      "q231_benford" -> {
+        val pexp = (1 to 9)
+          .map(d => s"($d, ${math.log10(1.0 + 1.0 / d)})").mkString(", ")
+        s"""
+        WITH m AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders),
+        obs AS (SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INT)
+              AS digit, CAST(count(*) AS BIGINT) AS n
+          FROM m WHERE v > 0 GROUP BY 1),
+        grid AS (SELECT * FROM (VALUES $pexp) AS g(digit, p_exp)),
+        tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS nn FROM obs)
+        SELECT g.digit, CAST(coalesce(o.n, 0) AS BIGINT) AS n,
+          CAST(floor(CASE WHEN nn = 0 THEN NULL
+            ELSE CAST(coalesce(o.n, 0) AS DOUBLE) / CAST(nn AS DOUBLE) END
+            * 1000000.0 + 0.5) AS BIGINT) AS p_obs_micro,
+          CAST(floor(p_exp * 1000000.0 + 0.5) AS BIGINT) AS p_exp_micro,
+          CAST(floor(CASE WHEN nn = 0 THEN NULL ELSE
+            (CAST(coalesce(o.n, 0) AS DOUBLE) - CAST(nn AS DOUBLE) * p_exp)
+            * (CAST(coalesce(o.n, 0) AS DOUBLE) - CAST(nn AS DOUBLE) * p_exp)
+            / (CAST(nn AS DOUBLE) * p_exp) END
+            * 1000000.0 + 0.5) AS BIGINT) AS chi_micro
+        FROM grid g LEFT JOIN obs o ON g.digit = o.digit CROSS JOIN tot"""
+      },
+
+      // vocabulary JSD replay: per-slice token counts, full-outer vocab
+      // join, the identical guarded p·ln(p/m)+q·ln(q/m) tree nano-floored
+      // per term, halved once
+      "q232_jsd_vocab" -> """
+        WITH base AS (SELECT doc_id, lang,
+            string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+        r AS (SELECT lang, unnest(toks) AS tok FROM base WHERE doc_id % 2 = 0),
+        c AS (SELECT lang, unnest(toks) AS tok FROM base WHERE doc_id % 2 = 1),
+        rc AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cr
+          FROM r GROUP BY 1, 2),
+        cc AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS ccnt
+          FROM c GROUP BY 1, 2),
+        nr AS (SELECT lang, CAST(sum(cr) AS BIGINT) AS n_ref
+          FROM rc GROUP BY 1),
+        ncur AS (SELECT lang, CAST(sum(ccnt) AS BIGINT) AS n_cur
+          FROM cc GROUP BY 1),
+        j AS (SELECT coalesce(rc.lang, cc.lang) AS lang,
+            coalesce(cr, 0) AS cr, coalesce(ccnt, 0) AS ccnt
+          FROM rc FULL JOIN cc ON rc.lang = cc.lang AND rc.tok = cc.tok),
+        probs AS (SELECT j.lang, cr, ccnt, n_ref, n_cur,
+            CAST(cr AS DOUBLE) / CAST(n_ref AS DOUBLE) AS p,
+            CAST(ccnt AS DOUBLE) / CAST(n_cur AS DOUBLE) AS q
+          FROM j JOIN nr ON j.lang = nr.lang JOIN ncur ON j.lang = ncur.lang),
+        t AS (SELECT lang, n_ref, n_cur,
+            CAST(floor((CASE WHEN cr > 0
+                THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END +
+              CASE WHEN ccnt > 0
+                THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)
+              * 1000000000.0 + 0.5) AS BIGINT) AS tn
+          FROM probs)
+        SELECT lang, CAST(max(n_ref) AS BIGINT) AS n_ref,
+          CAST(max(n_cur) AS BIGINT) AS n_cur,
+          CAST(count(*) AS BIGINT) AS n_categories,
+          CAST(floor(CAST(sum(tn) AS DOUBLE) / 2.0 + 0.5) AS BIGINT)
+            AS jsd_nano
+        FROM t GROUP BY 1""",
 
       // greedy MMR unrolled to k=4 steps (the q220 unroll pattern):
       // identical cosine trees, identical 0.75·rel − 0.25·div ordering

@@ -160,4 +160,60 @@ object Drift {
           lit(1000000.0) + lit(0.5)).cast("long"))
       .drop("__mx")
   }
+
+  /** Jensen–Shannon divergence between two slices' CATEGORICAL
+    * distributions per key — the drift number for discrete spaces
+    * ([[psiDrift]] and [[ksDrift]] cover numerics): token vocabularies
+    * between corpus snapshots, event-type mixes between deploys, source
+    * mixes between crawl batches. Symmetric and BOUNDED (0 ≤ JSD ≤ ln 2
+    * in nats), unlike raw KL, which is infinite the moment one slice has
+    * a category the other lacks — exactly the vocabulary-shift case this
+    * monitors; under JSD a one-sided category contributes a finite
+    * `(c/n)·ln 2` mass.
+    *
+    * `JSD = ½·Σ_v p·ln(p/m) + q·ln(q/m)` with `m = (p+q)/2`; a side's
+    * term is 0 where its probability is 0 (the 0·ln 0 limit). Per-category
+    * terms are one fixed IEEE tree each, NANO-quantized before the sum
+    * (integer addition commutes — partitioning cannot reorder a double
+    * accumulation), halved once at the end.
+    *
+    * Scale shape: each slice dies into a (key, category) count table in
+    * ONE map-side-combinable aggregate; the join grain after is
+    * vocabulary-sized, never corpus-sized; per-key totals derive from the
+    * count tables (no re-scan). Keys present in only one slice drop — no
+    * comparison, no number.
+    *
+    * @return keys… , n_ref, n_cur, n_categories, jsd_nano (1e-9 nats)
+    */
+  def jsDrift(ref: DataFrame, cur: DataFrame, keys: Seq[String],
+              catCol: String): DataFrame = {
+    val k = keys.map(col)
+    def cnt(df: DataFrame, nCol: String): DataFrame =
+      df.filter(col(catCol).isNotNull)
+        .groupBy((k :+ col(catCol).as("__cat")): _*)
+        .agg(count(lit(1)).as(nCol))
+    val rc = cnt(ref, "__cr")
+    val cc = cnt(cur, "__cc")
+    val nRef = rc.groupBy(k: _*).agg(sum(col("__cr")).as("n_ref"))
+    val nCur = cc.groupBy(k: _*).agg(sum(col("__cc")).as("n_cur"))
+    // using-column full outer: Spark coalesces the join columns itself
+    val joined = rc.join(cc, keys :+ "__cat", "full_outer")
+      .select((k ++ Seq(col("__cat"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__cc"), lit(0L)).as("__cc"))): _*)
+    val p = col("__cr").cast("double") / col("n_ref").cast("double")
+    val q = col("__cc").cast("double") / col("n_cur").cast("double")
+    val m = (p + q) / lit(2.0)
+    val term =
+      when(col("__cr") > 0, p * log(p / m)).otherwise(lit(0.0)) +
+        when(col("__cc") > 0, q * log(q / m)).otherwise(lit(0.0))
+    joined
+      .join(nRef, keys).join(nCur, keys)
+      .withColumn("__t", floor(term * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(k: _*)
+      .agg(first(col("n_ref")).as("n_ref"), first(col("n_cur")).as("n_cur"),
+        count(lit(1)).as("n_categories"),
+        floor(sum(col("__t")).cast("double") / lit(2.0) + lit(0.5))
+          .cast("long").as("jsd_nano"))
+  }
 }

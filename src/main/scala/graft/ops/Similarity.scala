@@ -299,6 +299,25 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"))
   }
 
+  /** Mutual-kNN pairs from a kNN EDGE TABLE (any tier's output —
+    * [[bruteForceTopK]], [[lshTopK]], IVF probes): keep (a, b) iff
+    * a ∈ kNN(b) AND b ∈ kNN(a). The reciprocal filter that turns a noisy
+    * kNN graph into the high-precision edge set clustering / near-dup /
+    * manifold pipelines build on — one-sided neighbors are typically hub
+    * artifacts (a vector near the centroid of everything is in everyone's
+    * list, but almost no one is in its).
+    *
+    * Scale shape: ONE semi-join of the edge table against its own swap,
+    * at EDGE grain (n·k rows) — the corpus and its vectors never appear.
+    * Each unordered pair emits once (id_a < id_b).
+    */
+  def mutualPairs(knn: DataFrame, queryCol: String, nnCol: String): DataFrame = {
+    val e = knn.select(col(queryCol).as("id_a"), col(nnCol).as("id_b"))
+    val swapped = e.select(col("id_b").as("id_a"), col("id_a").as("id_b"))
+    e.join(swapped, Seq("id_a", "id_b"), "left_semi")
+      .filter(col("id_a") < col("id_b"))
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998) —
     * the diversity selector every retrieval-augmented / few-shot-example
     * pipeline runs AFTER similarity search: from each query's CANDIDATE

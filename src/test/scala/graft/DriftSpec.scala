@@ -77,4 +77,63 @@ class DriftSpec extends SparkSpec {
       Seq("k"), "v").select($"psi_nano").as[Long].head()
     assert(runK(1) == runK(7) && runP(1) == runP(7))
   }
+
+  // -------------------------------------------------------- JS divergence
+
+  private def jsd(ref: Seq[(String, String)],
+                  cur: Seq[(String, String)]): Map[String, (Long, Long, Long, Long)] =
+    Drift.jsDrift(ref.toDF("k", "cat"), cur.toDF("k", "cat"), Seq("k"), "cat")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+  test("jsDrift: identical distributions = exactly 0; disjoint = ln 2 " +
+      "(r15)") {
+    val same = Seq(("k", "a"), ("k", "a"), ("k", "b"))
+    assert(jsd(same, same)("k") == ((3L, 3L, 2L, 0L)))
+    val d = jsd(Seq(("k", "a")), Seq(("k", "b")))("k")
+    // two disjoint categories: each side contributes ln 2 per unit mass
+    assert(d._3 == 2L &&
+      d._4 == math.floor(math.log(2.0) * 1e9 + 0.5).toLong)
+  }
+
+  test("jsDrift: hand case matches the closed form, with a one-sided " +
+      "category finite") {
+    // ref: a,a,b  cur: a,b,b,c — c is cur-only (raw KL would be infinite)
+    val got = jsd(Seq(("k", "a"), ("k", "a"), ("k", "b")),
+      Seq(("k", "a"), ("k", "b"), ("k", "b"), ("k", "c")))("k")
+    def term(p: Double, q: Double): Double = {
+      val m = (p + q) / 2.0
+      val tp = if (p > 0) p * math.log(p / m) else 0.0
+      val tq = if (q > 0) q * math.log(q / m) else 0.0
+      math.floor((tp + tq) * 1e9 + 0.5)
+    }
+    val want = math.floor((term(2.0 / 3, 1.0 / 4) + term(1.0 / 3, 2.0 / 4) +
+      term(0.0, 1.0 / 4)) / 2.0 + 0.5).toLong
+    assert(got == ((3L, 4L, 3L, want)))
+  }
+
+  test("jsDrift: keys missing a slice drop; null categories excluded; " +
+      "repartition invariance") {
+    val ref = Seq(("k1", "a"), ("k2", "a"), ("k1", null.asInstanceOf[String]))
+    val cur = Seq(("k1", "a"), ("k3", "a"))
+    val got = jsd(ref, cur)
+    assert(got.keySet == Set("k1") && got("k1") == ((1L, 1L, 1L, 0L)))
+    val rnd = new scala.util.Random(3)
+    val big = Seq.fill(2000)(("k", s"c${rnd.nextInt(30)}"))
+    val bigCur = Seq.fill(2000)(("k", s"c${rnd.nextInt(40)}"))
+    def run(rp: Int) = Drift.jsDrift(big.toDF("k", "cat").repartition(rp),
+      bigCur.toDF("k", "cat").repartition(rp), Seq("k"), "cat")
+      .select($"jsd_nano").as[Long].head()
+    assert(run(1) == run(7))
+  }
+
+  test("jsDrift: bounded by ln 2 and symmetric") {
+    val rnd = new scala.util.Random(9)
+    val a = Seq.fill(500)(("k", s"c${rnd.nextInt(12)}"))
+    val b = Seq.fill(300)(("k", s"c${rnd.nextInt(18)}"))
+    val ab = jsd(a, b)("k")._4
+    val ba = jsd(b, a)("k")._4
+    assert(ab == ba, "JSD is symmetric")
+    assert(ab >= 0 && ab <= math.ceil(math.log(2.0) * 1e9).toLong)
+  }
 }

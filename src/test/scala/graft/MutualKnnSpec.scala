@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Mutual-kNN reciprocal filter: hand case with a hub, symmetry/ordering
+  * invariants against the real embedding table, edge-grain plan.
+  */
+class MutualKnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mutualPairs: hand case — one-sided hub edges drop, reciprocal " +
+      "pairs keep, a<b once (r15)") {
+    // kNN edge list: 1↔2 reciprocal; 3→1 one-sided (1 does not list 3);
+    // 2↔3 reciprocal, emitted once despite both directions present
+    val knn = Seq((1L, 2L), (2L, 1L), (3L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("query_id", "nn_id")
+    val got = Similarity.mutualPairs(knn, "query_id", "nn_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (2L, 3L)))
+  }
+
+  test("mutualPairs over bruteForceTopK: every pair is reciprocal in the " +
+      "kNN table and appears once, ordered") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+      .filter($"vec_id" < 100)
+    val knn = Similarity.bruteForceTopK(emb, emb, k = 4)
+      .select($"query_id", $"nn_id")
+    val edges = knn.as[(Long, Long)].collect().toSet
+    val got = Similarity.mutualPairs(knn, "query_id", "nn_id")
+      .as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size, "each pair once")
+    got.foreach { case (a, b) =>
+      assert(a < b, s"ordering violated: ($a, $b)")
+      assert(edges.contains((a, b)) && edges.contains((b, a)),
+        s"($a, $b) not reciprocal in the kNN table")
+    }
+    // and the count matches a driver-side reciprocal filter
+    val want = edges.count { case (a, b) => a < b && edges.contains((b, a)) }
+    assert(got.length == want)
+  }
+}
