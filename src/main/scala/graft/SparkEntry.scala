@@ -3308,6 +3308,44 @@ object SparkEntry {
       Eval.averagePrecision(scored, "score", "label")
     }),
 
+    // --- embedding covariance (r15): exact raw-moment matrix, ONE
+    //     aggregate (d² accumulators after partial combine) ---
+    "q233_embed_cov" -> ((s, dir) =>
+      Pca.covariance(Tables.embeddings(s, dir), "embedding")
+        .select(col("i"), col("j"), col("n"),
+          floor(col("cov") * lit(1e9) + lit(0.5)).cast("long")
+            .as("cov_nano"))),
+
+    // --- dominant direction (r15): 8 fixed power-iteration rounds over
+    //     the d² covariance table — corpus-free after the one stats scan;
+    //     anisotropy readout for the embedding space ---
+    "q234_dominant_direction" -> ((s, dir) => {
+      val cov = Pca.covariance(Tables.embeddings(s, dir), "embedding")
+      Pca.topDirection(cov, dim = 64)
+        .select(col("i"),
+          floor(col("v") * lit(1000000.0) + lit(0.5)).cast("long")
+            .as("v_micro"))
+    }),
+
+    // --- variance share (r15): Rayleigh quotient of the dominant
+    //     direction over trace — the anisotropy number ---
+    "q235_variance_share" -> ((s, dir) => {
+      val cov = graft.util.Caches.cache(
+        Pca.covariance(Tables.embeddings(s, dir), "embedding")).toDF
+      Pca.dominantShare(cov, Pca.topDirection(cov, dim = 64))
+    }),
+
+    // --- rendezvous sharding (r15): highest-random-weight routing —
+    //     growing the shard count moves only the new shard's keys ---
+    "q236_rendezvous" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TF.polyHash(col("doc_id").cast("string")).as("__h"))
+        .select(col("doc_id"),
+          Sampling.rendezvousShard(col("__h"), 5).as("shard5"),
+          Sampling.rendezvousShard(col("__h"), 6).as("shard6"))
+        .withColumn("moved", col("shard5") =!= col("shard6"))),
+
     // --- mutual kNN (r15): the reciprocal filter over a kNN edge table —
     //     one semi-join at edge grain, hub artifacts drop ---
     "q230_mutual_knn" -> ((s, dir) => {
@@ -7029,6 +7067,128 @@ object SparkEntry {
             CAST(sum(pos_at) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
             AS ap_micro
         FROM c""",
+
+      // exact covariance replay: same decimal moment sums (double→decimal
+      // casts round to nearest in both engines; dyadic doubles can never
+      // tie at scale 12, so the tie rule is unreachable), same IEEE tree
+      "q233_embed_cov" -> """
+        WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          WHERE embedding IS NOT NULL),
+        idx AS (SELECT unnest(range(64)) AS k),
+        p AS (SELECT a.k AS i, b.k AS j, e[a.k + 1] AS xi, e[b.k + 1] AS xj
+          FROM v CROSS JOIN idx a CROSS JOIN idx b),
+        g AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(xi * xj AS DECIMAL(38,12))) AS sij,
+            sum(CAST(xi AS DECIMAL(38,12))) AS si,
+            sum(CAST(xj AS DECIMAL(38,12))) AS sj
+          FROM p GROUP BY 1, 2)
+        SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n,
+          CAST(floor((CAST(sij AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(si AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(sj AS DOUBLE) / CAST(n AS DOUBLE)))
+            * 1.0E9 + 0.5) AS BIGINT) AS cov_nano
+        FROM g""",
+
+      // power iteration unrolled to 8 rounds (the q220/q229 pattern):
+      // identical nano-floored in-round sums, identical norm/guard tree
+      "q234_dominant_direction" -> {
+        val rounds = (1 to 8).map { t =>
+          s"""w$t AS (SELECT c.i,
+            CAST(sum(CAST(floor(c.cov * v${t - 1}.val * 1.0E9 + 0.5)
+              AS BIGINT)) AS DOUBLE) / 1.0E9 AS w
+          FROM cov c JOIN v${t - 1} ON c.j = v${t - 1}.i GROUP BY c.i),
+        n$t AS (SELECT sqrt(CAST(sum(CAST(floor(w * w * 1.0E9 + 0.5)
+            AS BIGINT)) AS DOUBLE) / 1.0E9) AS nrm FROM w$t),
+        v$t AS (SELECT i, CASE WHEN nrm = 0 THEN 0.0 ELSE w / nrm END AS val
+          FROM w$t CROSS JOIN n$t)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          WHERE embedding IS NOT NULL),
+        idx AS (SELECT unnest(range(64)) AS k),
+        p AS (SELECT a.k AS i, b.k AS j, e[a.k + 1] AS xi, e[b.k + 1] AS xj
+          FROM v CROSS JOIN idx a CROSS JOIN idx b),
+        g AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(xi * xj AS DECIMAL(38,12))) AS sij,
+            sum(CAST(xi AS DECIMAL(38,12))) AS si,
+            sum(CAST(xj AS DECIMAL(38,12))) AS sj
+          FROM p GROUP BY 1, 2),
+        cov AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+            CAST(sij AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(si AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sj AS DOUBLE) / CAST(n AS DOUBLE)) AS cov
+          FROM g),
+        v0 AS (SELECT unnest(range(64)) AS i, 0.125 AS val),
+        $rounds
+        SELECT CAST(i AS BIGINT) AS i,
+          CAST(floor(val * 1000000.0 + 0.5) AS BIGINT) AS v_micro
+        FROM v8"""
+      },
+
+      // variance share: the q234 unroll + Rayleigh/trace nano sums
+      "q235_variance_share" -> {
+        val rounds = (1 to 8).map { t =>
+          s"""w$t AS (SELECT c.i,
+            CAST(sum(CAST(floor(c.cov * v${t - 1}.val * 1.0E9 + 0.5)
+              AS BIGINT)) AS DOUBLE) / 1.0E9 AS w
+          FROM cov c JOIN v${t - 1} ON c.j = v${t - 1}.i GROUP BY c.i),
+        n$t AS (SELECT sqrt(CAST(sum(CAST(floor(w * w * 1.0E9 + 0.5)
+            AS BIGINT)) AS DOUBLE) / 1.0E9) AS nrm FROM w$t),
+        v$t AS (SELECT i, CASE WHEN nrm = 0 THEN 0.0 ELSE w / nrm END AS val
+          FROM w$t CROSS JOIN n$t)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          WHERE embedding IS NOT NULL),
+        idx AS (SELECT unnest(range(64)) AS k),
+        p AS (SELECT a.k AS i, b.k AS j, e[a.k + 1] AS xi, e[b.k + 1] AS xj
+          FROM v CROSS JOIN idx a CROSS JOIN idx b),
+        g AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(xi * xj AS DECIMAL(38,12))) AS sij,
+            sum(CAST(xi AS DECIMAL(38,12))) AS si,
+            sum(CAST(xj AS DECIMAL(38,12))) AS sj
+          FROM p GROUP BY 1, 2),
+        cov AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+            CAST(sij AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(si AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sj AS DOUBLE) / CAST(n AS DOUBLE)) AS cov
+          FROM g),
+        v0 AS (SELECT unnest(range(64)) AS i, 0.125 AS val),
+        $rounds,
+        lam AS (SELECT CAST(sum(CAST(floor(c.cov * a.val * b.val * 1.0E9
+              + 0.5) AS BIGINT)) AS BIGINT) AS l
+          FROM cov c JOIN v8 a ON c.i = a.i JOIN v8 b ON c.j = b.i),
+        tr AS (SELECT CAST(sum(CAST(floor(cov * 1.0E9 + 0.5) AS BIGINT))
+            AS BIGINT) AS t
+          FROM cov WHERE i = j)
+        SELECT l AS lambda_nano, t AS trace_nano,
+          CAST(floor(CASE WHEN t = 0 THEN NULL
+            ELSE CAST(l AS DOUBLE) / CAST(t AS DOUBLE) END
+            * 1000000.0 + 0.5) AS BIGINT) AS share_micro
+        FROM lam CROSS JOIN tr"""
+      },
+
+      // rendezvous: the same seeded affine hashes inlined; argmax =
+      // ROW_NUMBER over (h DESC, s DESC) — the max-struct tie order
+      "q236_rendezvous" -> {
+        val perms = MinHashDedup.perms(6, seed = 53).zipWithIndex
+        def vals(n: Int) = perms.take(n)
+          .map { case ((a, b), s) => s"($s, $a, $b)" }.mkString(", ")
+        def arg(n: Int, name: String) =
+          s"""$name AS (SELECT doc_id, s FROM (
+          SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY (ph * a + b) % 1000000007 DESC, s DESC) AS rn
+          FROM h CROSS JOIN (VALUES ${vals(n)}) AS p$n(s, a, b)) WHERE rn = 1)"""
+        s"""
+        WITH h AS (SELECT doc_id,
+            ${duckPolyHash("CAST(doc_id AS VARCHAR)")} AS ph FROM documents),
+        ${arg(5, "s5")},
+        ${arg(6, "s6")}
+        SELECT h.doc_id, CAST(s5.s AS BIGINT) AS shard5,
+          CAST(s6.s AS BIGINT) AS shard6, (s5.s <> s6.s) AS moved
+        FROM h JOIN s5 ON h.doc_id = s5.doc_id
+          JOIN s6 ON h.doc_id = s6.doc_id"""
+      },
 
       // mutual kNN: the q37 cosine-ranking replay at k=5, then the
       // reciprocal self-join, each unordered pair once

@@ -20,6 +20,34 @@ object Sampling {
     pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
       lit(buckets.toLong))
 
+  /** Rendezvous (highest-random-weight) shard assignment — Thaler &
+    * Ravishankar 1996: `shard(key) = argmax_s h(key, s)`. The property
+    * [[deterministicBucket]]'s mod-hash lacks: growing the shard count
+    * S → S+1 moves ONLY the keys the new shard wins (expected fraction
+    * 1/(S+1)), where mod-hashing moves nearly everything — the stable
+    * routing primitive for incremental pipelines (stateful shards, cache
+    * affinity, bucketed layouts that must survive re-sharding).
+    *
+    * `h(key, s)` is the seeded affine permutation of a PRE-HASHED key
+    * column — pass [[graft.functions.TextFunctions.polyHash]] output, the
+    * [[MinHashDedup.signaturePortable]] hash-once-permute-affinely
+    * discipline (hashing inside the argmax would re-fold the key S
+    * times). Engine-replayable (the D15 tier); argmax ties
+    * (P-collisions, measure ~1/P) break toward the HIGHER shard id (the
+    * max-struct order), documented and mirrored by the oracle. Pure
+    * projection: no shuffle, pushdown-friendly.
+    */
+  def rendezvousShard(hashCol: Column, shards: Int): Column = {
+    require(shards >= 1, s"rendezvousShard: shards must be >= 1, got $shards")
+    val hs = MinHashDedup.perms(shards, seed = 53).zipWithIndex.map {
+      case ((a, b), s) =>
+        struct(pmod(hashCol * lit(a) + lit(b),
+          lit(graft.functions.TextFunctions.PolyP)).as("h"),
+          lit(s.toLong).as("shard"))
+    }
+    array_max(array(hs: _*)).getField("shard")
+  }
+
   /** Keep a stable `fraction` of rows by key. */
   def sampleByKey(df: DataFrame, key: Column, fraction: Double): DataFrame =
     df.filter(deterministicBucket(key, 1000000) < (fraction * 1000000).toLong)

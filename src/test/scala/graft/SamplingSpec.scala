@@ -145,4 +145,45 @@ class SamplingSpec extends SparkSpec {
       "doc_id", tok, 0.3, total / 2).select("doc_id").as[Long].collect().toSet
     assert(viaRepart == ids(total / 2))
   }
+
+  // ------------------------------------------------------ rendezvous hash
+
+  test("rendezvousShard: growing S→S+1 moves only the new shard's keys " +
+      "(r15)") {
+    import graft.functions.{TextFunctions => TF}
+    val keys = (1 to 5000).map(i => s"key-$i").toDF("k")
+      .withColumn("h", TF.polyHash($"k"))
+    val assigned = keys
+      .withColumn("s8", Sampling.rendezvousShard($"h", 8))
+      .withColumn("s9", Sampling.rendezvousShard($"h", 9))
+      .select("s8", "s9").as[(Long, Long)].collect()
+    // every mover moved TO the new shard — no key changed between old shards
+    assigned.foreach { case (a, b) =>
+      assert(a == b || b == 8L, s"illegal move $a → $b")
+    }
+    val moved = assigned.count { case (a, b) => a != b }.toDouble / assigned.length
+    assert(moved > 0.06 && moved < 0.17, s"expected ~1/9 movers, got $moved")
+    // rough balance at S=8: every shard gets between half and double fair share
+    val byShard = assigned.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byShard.size == 8)
+    byShard.values.foreach(n => assert(n > 5000 / 16 && n < 5000 / 4, s"$byShard"))
+  }
+
+  test("rendezvousShard: deterministic, repartition-stable, single-shard " +
+      "degenerate, knob guard") {
+    import graft.functions.{TextFunctions => TF}
+    val df = (1 to 500).map(_.toString).toDF("k")
+      .withColumn("h", TF.polyHash($"k"))
+    val a = df.withColumn("s", Sampling.rendezvousShard($"h", 5))
+      .select("k", "s").as[(String, Long)].collect().toMap
+    val b = df.repartition(7)
+      .withColumn("s", Sampling.rendezvousShard($"h", 5))
+      .select("k", "s").as[(String, Long)].collect().toMap
+    assert(a == b)
+    assert(df.withColumn("s", Sampling.rendezvousShard($"h", 1))
+      .select("s").distinct().as[Long].collect().toSeq == Seq(0L))
+    intercept[IllegalArgumentException] {
+      Sampling.rendezvousShard($"h", 0)
+    }
+  }
 }
