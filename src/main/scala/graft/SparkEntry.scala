@@ -3327,6 +3327,30 @@ object SparkEntry {
             .as("v_micro"))
     }),
 
+    // --- retrieval eval (r15): MRR/NDCG/P@k/recall of the exact cosine
+    //     kNN run against same-label judgments — the numbers that decide
+    //     whether a retrieval-stack change helped ---
+    "q237_rank_metrics" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val runs = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 10), k = 5)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("__ql"))
+      val qrels = q.join(
+        emb.select(col("vec_id").as("nn_id"), col("label").as("__dl")),
+        col("nn_id") =!= col("query_id"))
+        .select(col("query_id"), col("nn_id"),
+          when(col("__ql") === col("__dl"), lit(1.0)).otherwise(lit(0.0))
+            .as("rel"))
+      Eval.rankMetrics(runs, qrels, "query_id", "nn_id", "rnk", "rel", k = 5)
+    }),
+
+    // --- PMI collocations (r15): phrase mining over the corpus — one
+    //     tokenize scan, vocab-grain joins, TakeOrderedAndProject cut ---
+    "q238_pmi_collocations" -> ((s, dir) =>
+      Keywords.pmiCollocations(Tables.documents(s, dir), "text",
+        minCount = 5, topK = 20)),
+
     // --- variance share (r15): Rayleigh quotient of the dominant
     //     direction over trace — the anisotropy number ---
     "q235_variance_share" -> ((s, dir) => {
@@ -7124,6 +7148,83 @@ object SparkEntry {
           CAST(floor(val * 1000000.0 + 0.5) AS BIGINT) AS v_micro
         FROM v8"""
       },
+
+      // ranking metrics: q37's cosine run at k=5, same-label judgments,
+      // nano-floored DCG/IDCG terms with ln/ln2 (the inlined-constant
+      // log2 — native log2 may differ from ln/ln2 by an ulp)
+      "q237_rank_metrics" -> s"""
+        WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, label AS ql, e AS qe FROM v
+          WHERE vec_id < 10),
+        scored AS (SELECT q.qid, c.vec_id AS nid,
+            list_dot_product(c.e, q.qe) / (sqrt(list_dot_product(c.e, c.e))
+              * sqrt(list_dot_product(q.qe, q.qe))) AS s
+          FROM v c JOIN q ON c.vec_id <> q.qid),
+        knn AS (SELECT qid, nid, rn AS rnk FROM (SELECT qid, nid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+          FROM scored) WHERE rn <= 5),
+        rel AS (SELECT q.qid, c.vec_id AS nid FROM v c
+          JOIN q ON c.vec_id <> q.qid WHERE c.label = q.ql),
+        nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel
+          FROM rel GROUP BY 1),
+        idcg AS (SELECT qid, CAST(sum(CASE WHEN ir <= 5 THEN
+              CAST(floor(1.0 / (ln(ir + 1.0) / ${math.log(2.0)})
+                * 1.0E9 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS inano
+          FROM (SELECT qid, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY nid) AS ir FROM rel) GROUP BY 1),
+        run AS (SELECT k.qid, k.rnk,
+            CASE WHEN r.nid IS NOT NULL THEN 1.0 ELSE 0.0 END AS rr
+          FROM knn k LEFT JOIN rel r ON k.qid = r.qid AND k.nid = r.nid),
+        g AS (SELECT qid,
+            CAST(sum(CAST(floor(rr / (ln(rnk + 1.0) / ${math.log(2.0)})
+              * 1.0E9 + 0.5) AS BIGINT)) AS BIGINT) AS dnano,
+            CAST(sum(CASE WHEN rr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_hits,
+            min(CASE WHEN rr > 0 THEN rnk END) AS fh
+          FROM run GROUP BY 1)
+        SELECT g.qid AS query_id, coalesce(nrel.n_rel, 0) AS n_rel, n_hits,
+          CAST(floor(CASE WHEN fh IS NULL THEN 0.0
+            ELSE 1.0 / CAST(fh AS DOUBLE) END * 1000000.0 + 0.5) AS BIGINT)
+            AS mrr_micro,
+          CAST(floor(CASE WHEN idcg.inano IS NULL OR idcg.inano = 0
+            THEN NULL ELSE CAST(g.dnano AS DOUBLE)
+              / CAST(idcg.inano AS DOUBLE) END * 1000000.0 + 0.5) AS BIGINT)
+            AS ndcg_micro,
+          CAST(floor(CAST(n_hits AS DOUBLE) / 5.0 * 1000000.0 + 0.5)
+            AS BIGINT) AS p_at_k_micro,
+          CAST(floor(CASE WHEN coalesce(nrel.n_rel, 0) = 0 THEN NULL
+            ELSE CAST(n_hits AS DOUBLE) / CAST(nrel.n_rel AS DOUBLE) END
+            * 1000000.0 + 0.5) AS BIGINT) AS recall_micro
+        FROM g LEFT JOIN nrel ON g.qid = nrel.qid
+          LEFT JOIN idcg ON g.qid = idcg.qid""",
+
+      // PMI: exact unigram/bigram counts, one ln per pair, raw-PMI cut
+      "q238_pmi_collocations" -> """
+        WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+')
+            AS toks FROM documents WHERE text IS NOT NULL),
+        d AS (SELECT toks FROM t WHERE len(toks) >= 1),
+        uni AS (SELECT unnest(toks) AS w FROM d),
+        cu AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM uni GROUP BY 1),
+        nu AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM cu),
+        bi AS (SELECT
+            unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+            unnest(list_transform(range(1, len(toks)), i -> toks[i + 1]))
+              AS w2
+          FROM d WHERE len(toks) >= 2),
+        cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS np
+          FROM bi GROUP BY 1, 2),
+        nb AS (SELECT CAST(sum(np) AS BIGINT) AS n FROM cb),
+        s AS (SELECT cb.w1, cb.w2, cb.np,
+            ln((CAST(np AS DOUBLE) / CAST(nb.n AS DOUBLE)) /
+              ((CAST(c1.cw AS DOUBLE) / CAST(nu.n AS DOUBLE))
+                * (CAST(c2.cw AS DOUBLE) / CAST(nu.n AS DOUBLE)))) AS pmi
+          FROM cb JOIN cu c1 ON cb.w1 = c1.w JOIN cu c2 ON cb.w2 = c2.w
+          CROSS JOIN nu CROSS JOIN nb
+          WHERE cb.np >= 5)
+        SELECT w1, w2, np AS n_pair,
+          CAST(floor(pmi * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+        FROM s ORDER BY pmi DESC, w1, w2 LIMIT 20""",
 
       // variance share: the q234 unroll + Rayleigh/trace nano sums
       "q235_variance_share" -> {

@@ -62,4 +62,58 @@ object Keywords {
           .as("score_micro"),
         (col("i") + 1).cast("long").as("rnk"))
   }
+
+  /** PMI collocations (Church & Hanks 1990): rank adjacent word pairs by
+    * `ln( p(w1,w2) / (p(w1)·p(w2)) )` — pairs that co-occur far more than
+    * their parts predict. THE phrase-mining primitive (tokenizer-vocab
+    * candidates, multi-word entities, domain jargon discovery).
+    * `minCount` gates the known PMI failure mode — hapax pairs maximize
+    * it — while the probabilities stay those of the FULL corpus (the
+    * gate selects reportable pairs; it must not bias their scores).
+    *
+    * Determinism: all counts exact; one fixed IEEE tree per pair (three
+    * divisions, one ln), ranked on the RAW double with (w1, w2) ties
+    * (q155 discipline), micro-quantized on output.
+    *
+    * Scale shape: ONE tokenize scan feeds both count tables (unigram and
+    * bigram grains, both map-side combinable); totals ride one-row
+    * broadcasts; the bigram→unigram probability joins are vocab-grain;
+    * the final cut is `TakeOrderedAndProject` (no global sort).
+    *
+    * @return top `topK`: (w1, w2, n_pair, pmi_micro)
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String, minCount: Long = 5,
+                      topK: Int = 20): DataFrame = {
+    require(minCount >= 1, s"pmiCollocations: minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"pmiCollocations: topK must be >= 1, got $topK")
+    val base = graft.util.Caches.cache(docs
+      .filter(col(textCol).isNotNull)
+      .select(TF.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 1)).toDF
+    val uni = graft.util.Caches.cache(
+      base.select(explode(col("__toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("__cw"))).toDF
+    val pairExpr = zip_with(col("__toks"),
+      slice(col("__toks"), lit(2), greatest(size(col("__toks")) - 1, lit(0))),
+      (a, b) => when(b.isNotNull, struct(a.as("w1"), b.as("w2"))))
+    val bi = base.select(explode(pairExpr).as("__p"))
+      .filter(col("__p").isNotNull)
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val nUni = uni.agg(sum(col("__cw")).as("__nu"))
+    val nBi = bi.agg(sum(col("n_pair")).as("__nb"))
+    val pmi = log((col("n_pair").cast("double") / col("__nb").cast("double")) /
+      ((col("__c1").cast("double") / col("__nu").cast("double")) *
+        (col("__c2").cast("double") / col("__nu").cast("double"))))
+    bi.filter(col("n_pair") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("__cw").as("__c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("__cw").as("__c2")), Seq("w2"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .withColumn("__pmi", pmi)
+      .orderBy(col("__pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("n_pair"),
+        floor(col("__pmi") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("pmi_micro"))
+  }
 }

@@ -165,6 +165,61 @@ class EvalSpec extends SparkSpec {
     assert(auc(rows).contains(want))
   }
 
+  // ------------------------------------------------------ ranking metrics
+
+  test("rankMetrics: hand case — MRR, NDCG with an unretrieved best doc, " +
+      "p@k, recall (r15)") {
+    val runs = Seq((1L, "A", 1L), (1L, "B", 2L), (1L, "C", 3L), (1L, "D", 4L))
+      .toDF("q", "doc", "rnk")
+    val qrels = Seq((1L, "B", 2.0), (1L, "D", 1.0), (1L, "E", 3.0))
+      .toDF("q", "doc", "rel")
+    val r = Eval.rankMetrics(runs, qrels, "q", "doc", "rnk", "rel", k = 4)
+      .collect().head
+    def nano(x: Double) = math.floor(x * 1e9 + 0.5)
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val dcg = nano(2.0 / log2(3.0)) + nano(1.0 / log2(5.0))
+    val idcg = nano(3.0 / log2(2.0)) + nano(2.0 / log2(3.0)) +
+      nano(1.0 / log2(4.0))
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 500000L, "MRR: first hit at rank 2")
+    assert(r.getLong(4) == math.floor(dcg / idcg * 1e6 + 0.5).toLong)
+    assert(r.getLong(5) == 500000L, "p@4 = 2/4")
+    assert(r.getLong(6) == math.floor(2.0 / 3 * 1e6 + 0.5).toLong)
+  }
+
+  test("rankMetrics: perfect ranking scores NDCG 1; judgment-free query " +
+      "reports NULL ndcg/recall, zero MRR; hits beyond k ignored") {
+    val runs = Seq((1L, "A", 1L), (1L, "B", 2L),
+      (2L, "X", 1L), (2L, "Y", 2L),
+      (3L, "P", 1L), (3L, "Q", 2L), (3L, "R", 3L)).toDF("q", "doc", "rnk")
+    val qrels = Seq((1L, "A", 3.0), (1L, "B", 1.0),
+      (3L, "R", 1.0)).toDF("q", "doc", "rel")
+    val got = Eval.rankMetrics(runs, qrels, "q", "doc", "rnk", "rel", k = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(4) == 1000000L, "best-first run is NDCG 1")
+    val q2 = got(2L)
+    assert(q2.getLong(1) == 0L && q2.getLong(3) == 0L &&
+      q2.isNullAt(4) && q2.isNullAt(6))
+    // q3's only relevant doc sits at rank 3 > k=2: no hits at the cut
+    val q3 = got(3L)
+    assert(q3.getLong(2) == 0L && q3.getLong(3) == 0L && q3.getLong(4) == 0L)
+  }
+
+  test("rankMetrics: repartition invariance") {
+    val rnd = new scala.util.Random(13)
+    val runs = (for (q <- 1 to 20; r <- 1 to 10)
+      yield (q.toLong, s"d${rnd.nextInt(50)}-$q-$r", r.toLong))
+      .toDF("q", "doc", "rnk")
+    val qrels = (for (q <- 1 to 20; d <- 1 to 30)
+      yield (q.toLong, s"d$d-$q-${rnd.nextInt(10) + 1}",
+        rnd.nextInt(3).toDouble)).distinct.toDF("q", "doc", "rel")
+    val a = Eval.rankMetrics(runs, qrels, "q", "doc", "rnk", "rel", 10)
+      .collect().toSet
+    val b = Eval.rankMetrics(runs.repartition(7), qrels.repartition(5),
+      "q", "doc", "rnk", "rel", 10).collect().toSet
+    assert(a == b)
+  }
+
   // --------------------------------------------------- average precision
 
   private def ap(rows: Seq[(Double, Boolean)]): Option[Long] = {

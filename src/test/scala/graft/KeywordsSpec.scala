@@ -72,6 +72,54 @@ class KeywordsSpec extends SparkSpec {
     graft.util.Caches.releaseAll()
   }
 
+  // --------------------------------------------------- PMI collocations
+
+  test("pmiCollocations: hand corpus — the glued pair tops, scores " +
+      "replicate exactly (r15)") {
+    val docs = Seq(
+      "new york is big", "new york is old", "in new york tonight",
+      "the city is new", "york minster is old"
+    ).toDF("text")
+    val got = Keywords.pmiCollocations(docs, "text", minCount = 2, topK = 5)
+      .as[(String, String, Long, Long)].collect()
+    // replicate: unigrams and adjacent bigrams over the same tokenization
+    val toks = Seq("new york is big", "new york is old",
+      "in new york tonight", "the city is new", "york minster is old")
+      .map(_.split("\\s+").toSeq)
+    val cu = toks.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val nu = toks.map(_.size).sum.toDouble
+    val cb = toks.flatMap(t => t.zip(t.tail)).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val nb = toks.map(_.size - 1).sum.toDouble
+    def pmi(a: String, b: String) = math.floor(math.log(
+      (cb((a, b)) / nb) / ((cu(a) / nu) * (cu(b) / nu))) * 1e6 + 0.5).toLong
+    val nyRow = got.find(r => r._1 == "new" && r._2 == "york").get
+    assert(nyRow._3 == 3L && nyRow._4 == pmi("new", "york"))
+    assert(got.head._4 == got.map(_._4).max, "ranked by PMI descending")
+    // every reported pair clears minCount and replicates
+    got.foreach { case (a, b, n, p) =>
+      assert(n >= 2 && p == pmi(a, b), s"($a, $b)")
+    }
+  }
+
+  test("pmiCollocations: minCount gates hapax pairs; knob guards; " +
+      "repartition invariance on the real corpus") {
+    val docs = Seq("alpha beta", "alpha beta", "gamma delta").toDF("text")
+    val got = Keywords.pmiCollocations(docs, "text", minCount = 2, topK = 10)
+      .as[(String, String, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == Set(("alpha", "beta")),
+      "hapax (gamma, delta) must not report")
+    intercept[IllegalArgumentException] {
+      Keywords.pmiCollocations(docs, "text", minCount = 0)
+    }
+    val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
+    val a = Keywords.pmiCollocations(corpus, "text", 5, 15).collect().toSeq
+    val b = Keywords.pmiCollocations(corpus.repartition(9), "text", 5, 15)
+      .collect().toSeq
+    assert(a.toSet == b.toSet && a.size == 15)
+    graft.util.Caches.releaseAll()
+  }
+
   test("plan: the top-k cut is the bounded TopKAgg hash aggregate, " +
       "never a Window sort; class totals broadcast") {
     val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
