@@ -3327,6 +3327,28 @@ object SparkEntry {
             .as("v_micro"))
     }),
 
+    // --- ACF (r15): seasonality detector over daily event counts per
+    //     type — |lags| keyed self-joins at series grain ---
+    "q239_acf" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      Seasonal.autoCorrelation(daily, Seq("event_type"), "day", "n",
+        maxLag = 7)
+    }),
+
+    // --- lead–lag CCF (r15): does click activity anticipate purchases —
+    //     the classic cross-series diagnostic, exact decimal moments ---
+    "q240_ccf_leadlag" -> ((s, dir) => {
+      def daily(t: String) = Tables.events(s, dir)
+        .filter(col("event_type") === t && col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      Seasonal.crossCorrelation(daily("click"), daily("purchase"),
+        "day", "n", maxLag = 5)
+    }),
+
     // --- retrieval eval (r15): MRR/NDCG/P@k/recall of the exact cosine
     //     kNN run against same-label judgments — the numbers that decide
     //     whether a retrieval-stack change helped ---
@@ -7148,6 +7170,65 @@ object SparkEntry {
           CAST(floor(val * 1000000.0 + 0.5) AS BIGINT) AS v_micro
         FROM v8"""
       },
+
+      // ACF: HUGEINT moments per (type, lag), exact discriminants, one
+      // sqrt·sqrt division — the olsTrend arithmetic discipline
+      "q239_acf" -> """
+        WITH daily AS (SELECT event_type,
+            CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+            CAST(count(*) AS BIGINT) AS n
+          FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2),
+        lags AS (SELECT unnest(range(1, 8)) AS lag),
+        p AS (SELECT a.event_type, l.lag, a.n AS va, b.n AS vb
+          FROM daily a CROSS JOIN lags l
+          JOIN daily b ON b.event_type = a.event_type
+            AND b.day = a.day + CAST(l.lag AS INT)),
+        g AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+            sum(CAST(va AS HUGEINT)) AS sa, sum(CAST(vb AS HUGEINT)) AS sb,
+            sum(CAST(va AS HUGEINT) * vb) AS sab,
+            sum(CAST(va AS HUGEINT) * va) AS saa,
+            sum(CAST(vb AS HUGEINT) * vb) AS sbb
+          FROM p GROUP BY 1, 2)
+        SELECT event_type, lag, n_pairs,
+          CAST(floor(CASE WHEN n_pairs < 2
+              OR (n_pairs * saa - sa * sa) = 0
+              OR (n_pairs * sbb - sb * sb) = 0 THEN NULL
+            ELSE CAST(n_pairs * sab - sa * sb AS DOUBLE) /
+              (sqrt(CAST(n_pairs * saa - sa * sa AS DOUBLE))
+                * sqrt(CAST(n_pairs * sbb - sb * sb AS DOUBLE))) END
+            * 1000000.0 + 0.5) AS BIGINT) AS corr_micro
+        FROM g""",
+
+      // CCF: the same moment core over two series, lags −5..5
+      "q240_ccf_leadlag" -> """
+        WITH a AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+            CAST(count(*) AS BIGINT) AS n
+          FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+          GROUP BY 1),
+        b AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+            CAST(count(*) AS BIGINT) AS n
+          FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+          GROUP BY 1),
+        lags AS (SELECT unnest(range(-5, 6)) AS lag),
+        p AS (SELECT l.lag, a.n AS va, b.n AS vb
+          FROM a CROSS JOIN lags l
+          JOIN b ON b.day = a.day + CAST(l.lag AS INT)),
+        g AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+            sum(CAST(va AS HUGEINT)) AS sa, sum(CAST(vb AS HUGEINT)) AS sb,
+            sum(CAST(va AS HUGEINT) * vb) AS sab,
+            sum(CAST(va AS HUGEINT) * va) AS saa,
+            sum(CAST(vb AS HUGEINT) * vb) AS sbb
+          FROM p GROUP BY 1)
+        SELECT lag, n_pairs,
+          CAST(floor(CASE WHEN n_pairs < 2
+              OR (n_pairs * saa - sa * sa) = 0
+              OR (n_pairs * sbb - sb * sb) = 0 THEN NULL
+            ELSE CAST(n_pairs * sab - sa * sb AS DOUBLE) /
+              (sqrt(CAST(n_pairs * saa - sa * sa AS DOUBLE))
+                * sqrt(CAST(n_pairs * sbb - sb * sb AS DOUBLE))) END
+            * 1000000.0 + 0.5) AS BIGINT) AS corr_micro
+        FROM g""",
 
       // ranking metrics: q37's cosine run at k=5, same-label judgments,
       // nano-floored DCG/IDCG terms with ln/ln2 (the inlined-constant

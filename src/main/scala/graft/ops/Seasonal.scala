@@ -166,4 +166,92 @@ object Seasonal {
       micro(slope, "slope_micro") :+ micro(intercept, "intercept_micro") :+
       micro(r2, "r2_micro")): _*)
   }
+
+  /** Pearson correlation over an exact-integer pair table at (group,
+    * lag) grain — the shared moment core of [[autoCorrelation]] and
+    * [[crossCorrelation]]. All five moments and BOTH discriminants form
+    * in exact DECIMAL (the [[olsTrend]] cancellation lesson), sqrt and
+    * one division in double, micro-quantized; pairs-too-few or
+    * zero-variance groups report NULL, never 0.
+    */
+  private def corrByLag(pairs: DataFrame, groupCols: Seq[Column]): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val agg = pairs
+      .select((groupCols :+ col("__a").cast(dec).as("__a") :+
+        col("__b").cast(dec).as("__b")): _*)
+      .groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__a")).as("__sa"), sum(col("__b")).as("__sb"),
+        sum(col("__a") * col("__b")).as("__sab"),
+        sum(col("__a") * col("__a")).as("__saa"),
+        sum(col("__b") * col("__b")).as("__sbb"))
+    val nD = col("n_pairs").cast(dec)
+    def d(c: Column) = c.cast("double")
+    val daa = nD * col("__saa") - col("__sa") * col("__sa")
+    val dbb = nD * col("__sbb") - col("__sb") * col("__sb")
+    val num = nD * col("__sab") - col("__sa") * col("__sb")
+    val corr = when(col("n_pairs") < 2 || daa === 0 || dbb === 0, lit(null))
+      .otherwise(d(num) / (sqrt(d(daa)) * sqrt(d(dbb))))
+    agg.select((groupCols :+ col("n_pairs") :+
+      floor(corr * lit(1000000.0) + lit(0.5)).cast("long").as("corr_micro")): _*)
+  }
+
+  /** Autocorrelation function per key: `corr(x_t, x_{t+lag})` for lags
+    * 1..`maxLag` over the key's DAY-grain series — the seasonality
+    * detector (a weekly cycle spikes lag 7; white noise sits near 0 at
+    * every lag). Callers pass integer-grained values (cents, counts).
+    *
+    * Scale shape: the series is already at (key, day) grain (callers
+    * aggregate first — the q201 discipline); each lag is one equi-join
+    * of the series against itself on (key, day + lag) — |lags| keyed
+    * joins at series grain, never the event log. Overlap windows shrink
+    * with lag; lags with under 2 overlapping days report NULL.
+    *
+    * @return (keys…, lag, n_pairs, corr_micro)
+    */
+  def autoCorrelation(df: DataFrame, keys: Seq[String], dateCol: String,
+                      valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"autoCorrelation: maxLag must be >= 1, got $maxLag")
+    val k = keys.map(col)
+    val base = df.select((k :+ col(dateCol).cast("date").as("__d") :+
+      col(valueCol).cast("long").as("__v")): _*)
+      .filter(col("__d").isNotNull && col("__v").isNotNull)
+    val lagged = base.select((k :+ col("__d") :+ col("__v").as("__b")): _*)
+    val pairs = base
+      .crossJoin(broadcast(
+        df.sparkSession.range(1, maxLag + 1).select(col("id").as("lag"))))
+      .select((k :+ col("lag") :+ col("__v").as("__a") :+
+        date_add(col("__d"), col("lag").cast("int")).as("__d")): _*)
+      .join(lagged, keys :+ "__d")
+    corrByLag(pairs, k :+ col("lag"))
+  }
+
+  /** Lead–lag cross-correlation between TWO day-grain series:
+    * `corr(a_t, b_{t+lag})` for lags −`maxLag`..+`maxLag` — positive-lag
+    * peaks mean A LEADS B (today's A co-moves with B `lag` days later),
+    * the classic "does X anticipate Y" diagnostic; lag 0 is plain
+    * contemporaneous correlation ([[graft.ops/Indicators]]' pairwise
+    * grain, kept here for the sweep's completeness).
+    *
+    * Scale shape: 2·maxLag+1 keyed equi-joins of two series tables on the
+    * shifted day — series grain, never the event log.
+    *
+    * @param a,b (dateCol, valueCol) day-grain integer series
+    * @return (lag, n_pairs, corr_micro)
+    */
+  def crossCorrelation(a: DataFrame, b: DataFrame, dateCol: String,
+                       valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"crossCorrelation: maxLag must be >= 0, got $maxLag")
+    def side(df: DataFrame, as: String) =
+      df.select(col(dateCol).cast("date").as("__d"),
+        col(valueCol).cast("long").as(as))
+        .filter(col("__d").isNotNull && col(as).isNotNull)
+    val pairs = side(a, "__a")
+      .crossJoin(broadcast(a.sparkSession
+        .range(-maxLag.toLong, maxLag + 1L).select(col("id").as("lag"))))
+      .select(col("lag"), col("__a"),
+        date_add(col("__d"), col("lag").cast("int")).as("__d"))
+      .join(side(b, "__b"), Seq("__d"))
+    corrByLag(pairs, Seq(col("lag")))
+  }
 }

@@ -148,4 +148,83 @@ class SeasonalSpec extends SparkSpec {
       .select("slope_micro", "r2_micro").as[(Long, Long)].head()
     assert(bs == ((7000000L, 1000000L)), s"exact line at 4e9 scale: $bs")
   }
+
+  // ------------------------------------------------------------- ACF/CCF
+
+  private def dayRows(k: String, vs: Seq[Long]) =
+    vs.zipWithIndex.map { case (v, i) =>
+      (k, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i.toLong)), v)
+    }
+
+  test("autoCorrelation: alternating series — lag 1 = −1, lag 2 = +1; " +
+      "period-3 cycle spikes lag 3 (r15)") {
+    import spark.implicits._
+    val alt = dayRows("alt", Seq(5L, -5L, 5L, -5L, 5L, -5L, 5L, -5L))
+      .toDF("k", "d", "v")
+    val got = Seasonal.autoCorrelation(alt, Seq("k"), "d", "v", maxLag = 2)
+      .select("lag", "corr_micro").as[(Long, Long)].collect().toMap
+    assert(got(1L) == -1000000L && got(2L) == 1000000L)
+    val cyc = dayRows("c", Seq.tabulate(12)(i => Seq(10L, 2L, 7L)(i % 3)))
+      .toDF("k", "d", "v")
+    val g3 = Seasonal.autoCorrelation(cyc, Seq("k"), "d", "v", maxLag = 3)
+      .select("lag", "corr_micro").as[(Long, Long)].collect().toMap
+    assert(g3(3L) == 1000000L, s"period-3 cycle must be exact at lag 3: $g3")
+  }
+
+  test("autoCorrelation: constant series and overlap-starved lags report " +
+      "NULL; driver-side exact-moment differential; repartition stable") {
+    import spark.implicits._
+    val const = dayRows("c", Seq.fill(6)(4L)).toDF("k", "d", "v")
+    val rows = Seasonal.autoCorrelation(const, Seq("k"), "d", "v", 2)
+      .collect()
+    assert(rows.forall(_.isNullAt(3)), "zero variance → NULL")
+    val rnd = new scala.util.Random(77)
+    val vs = Seq.fill(40)(rnd.nextInt(2000).toLong - 1000)
+    val df = dayRows("r", vs).toDF("k", "d", "v")
+    val got = Seasonal.autoCorrelation(df, Seq("k"), "d", "v", 5)
+      .select("lag", "n_pairs", "corr_micro")
+      .as[(Long, Long, Long)].collect()
+      .map { case (l, n, c) => l -> ((n, c)) }.toMap
+    for (lag <- 1 to 5) {
+      val a = vs.dropRight(lag); val b = vs.drop(lag)
+      val n = a.size
+      def bi(x: Seq[Long]) = x.map(BigInt(_))
+      val (sa, sb) = (bi(a).sum, bi(b).sum)
+      val sab = (bi(a), bi(b)).zipped.map(_ * _).sum
+      val saa = bi(a).map(x => x * x).sum
+      val sbb = bi(b).map(x => x * x).sum
+      val num = (BigInt(n) * sab - sa * sb).toDouble
+      val daa = (BigInt(n) * saa - sa * sa).toDouble
+      val dbb = (BigInt(n) * sbb - sb * sb).toDouble
+      val want = math.floor(num / (math.sqrt(daa) * math.sqrt(dbb)) * 1e6
+        + 0.5).toLong
+      assert(got(lag.toLong) == ((n.toLong, want)), s"lag $lag")
+    }
+    val re = Seasonal.autoCorrelation(df.repartition(7), Seq("k"), "d", "v", 5)
+      .select("lag", "n_pairs", "corr_micro")
+      .as[(Long, Long, Long)].collect()
+      .map { case (l, n, c) => l -> ((n, c)) }.toMap
+    assert(re == got)
+  }
+
+  test("crossCorrelation: a 2-day-shifted copy peaks exactly at lag +2; " +
+      "knob guard (r15)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vs = Seq.fill(30)(rnd.nextInt(1000).toLong)
+    val a = dayRows("a", vs).toDF("k", "d", "v").drop("k")
+    // b(day) = a(day − 2): B repeats A two days LATER → A leads B
+    val b = vs.zipWithIndex.map { case (v, i) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 3)
+        .plusDays(i.toLong)), v)
+    }.toDF("d", "v")
+    val got = Seasonal.crossCorrelation(a, b, "d", "v", maxLag = 4)
+      .select("lag", "corr_micro").as[(Long, Long)].collect().toMap
+    assert(got(2L) == 1000000L, s"peak must sit at +2: $got")
+    assert(got.filter(_._1 != 2L).values.forall(_ < 1000000L))
+    intercept[IllegalArgumentException] {
+      Seasonal.crossCorrelation(a, b, "d", "v", maxLag = -1)
+    }
+  }
 }
