@@ -7124,14 +7124,14 @@ object SparkEntry {
         p AS (SELECT a.k AS i, b.k AS j, e[a.k + 1] AS xi, e[b.k + 1] AS xj
           FROM v CROSS JOIN idx a CROSS JOIN idx b),
         g AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
-            sum(CAST(xi * xj AS DECIMAL(38,12))) AS sij,
-            sum(CAST(xi AS DECIMAL(38,12))) AS si,
-            sum(CAST(xj AS DECIMAL(38,12))) AS sj
+            sum(CAST(floor(xi * xj * 1.0E12 + 0.5) AS BIGINT)) AS sij,
+            sum(CAST(floor(xi * 1.0E12 + 0.5) AS BIGINT)) AS si,
+            sum(CAST(floor(xj * 1.0E12 + 0.5) AS BIGINT)) AS sj
           FROM p GROUP BY 1, 2)
         SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n,
-          CAST(floor((CAST(sij AS DOUBLE) / CAST(n AS DOUBLE)
-            - (CAST(si AS DOUBLE) / CAST(n AS DOUBLE))
-              * (CAST(sj AS DOUBLE) / CAST(n AS DOUBLE)))
+          CAST(floor((CAST(sij AS DOUBLE) / 1.0E12 / CAST(n AS DOUBLE)
+            - (CAST(si AS DOUBLE) / 1.0E12 / CAST(n AS DOUBLE))
+              * (CAST(sj AS DOUBLE) / 1.0E12 / CAST(n AS DOUBLE)))
             * 1.0E9 + 0.5) AS BIGINT) AS cov_nano
         FROM g""",
 
@@ -7155,14 +7155,14 @@ object SparkEntry {
         p AS (SELECT a.k AS i, b.k AS j, e[a.k + 1] AS xi, e[b.k + 1] AS xj
           FROM v CROSS JOIN idx a CROSS JOIN idx b),
         g AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
-            sum(CAST(xi * xj AS DECIMAL(38,12))) AS sij,
-            sum(CAST(xi AS DECIMAL(38,12))) AS si,
-            sum(CAST(xj AS DECIMAL(38,12))) AS sj
+            sum(CAST(floor(xi * xj * 1.0E12 + 0.5) AS BIGINT)) AS sij,
+            sum(CAST(floor(xi * 1.0E12 + 0.5) AS BIGINT)) AS si,
+            sum(CAST(floor(xj * 1.0E12 + 0.5) AS BIGINT)) AS sj
           FROM p GROUP BY 1, 2),
         cov AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-            CAST(sij AS DOUBLE) / CAST(n AS DOUBLE)
-              - (CAST(si AS DOUBLE) / CAST(n AS DOUBLE))
-                * (CAST(sj AS DOUBLE) / CAST(n AS DOUBLE)) AS cov
+            CAST(sij AS DOUBLE) / 1.0E12 / CAST(n AS DOUBLE)
+              - (CAST(si AS DOUBLE) / 1.0E12 / CAST(n AS DOUBLE))
+                * (CAST(sj AS DOUBLE) / 1.0E12 / CAST(n AS DOUBLE)) AS cov
           FROM g),
         v0 AS (SELECT unnest(range(64)) AS i, 0.125 AS val),
         $rounds
@@ -7326,14 +7326,14 @@ object SparkEntry {
         p AS (SELECT a.k AS i, b.k AS j, e[a.k + 1] AS xi, e[b.k + 1] AS xj
           FROM v CROSS JOIN idx a CROSS JOIN idx b),
         g AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
-            sum(CAST(xi * xj AS DECIMAL(38,12))) AS sij,
-            sum(CAST(xi AS DECIMAL(38,12))) AS si,
-            sum(CAST(xj AS DECIMAL(38,12))) AS sj
+            sum(CAST(floor(xi * xj * 1.0E12 + 0.5) AS BIGINT)) AS sij,
+            sum(CAST(floor(xi * 1.0E12 + 0.5) AS BIGINT)) AS si,
+            sum(CAST(floor(xj * 1.0E12 + 0.5) AS BIGINT)) AS sj
           FROM p GROUP BY 1, 2),
         cov AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-            CAST(sij AS DOUBLE) / CAST(n AS DOUBLE)
-              - (CAST(si AS DOUBLE) / CAST(n AS DOUBLE))
-                * (CAST(sj AS DOUBLE) / CAST(n AS DOUBLE)) AS cov
+            CAST(sij AS DOUBLE) / 1.0E12 / CAST(n AS DOUBLE)
+              - (CAST(si AS DOUBLE) / 1.0E12 / CAST(n AS DOUBLE))
+                * (CAST(sj AS DOUBLE) / 1.0E12 / CAST(n AS DOUBLE)) AS cov
           FROM g),
         v0 AS (SELECT unnest(range(64)) AS i, 0.125 AS val),
         $rounds,

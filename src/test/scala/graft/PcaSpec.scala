@@ -30,13 +30,14 @@ class PcaSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> r._4).toMap
     val n = rows.size
     for (i <- 0 until 6; j <- 0 until 6) {
-      var sij = BigDecimal(0); var si = BigDecimal(0); var sj = BigDecimal(0)
+      var sij = BigInt(0); var si = BigInt(0); var sj = BigInt(0)
       rows.foreach { v =>
         val (xi, xj) = (v(i).toDouble, v(j).toDouble)
-        def dec(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
-        sij += dec(xi * xj); si += dec(xi); sj += dec(xj)
+        def pico(x: Double) = BigInt(math.floor(x * 1e12 + 0.5).toLong)
+        sij += pico(xi * xj); si += pico(xi); sj += pico(xj)
       }
-      val want = sij.toDouble / n - (si.toDouble / n) * (sj.toDouble / n)
+      val want = sij.toDouble / 1e12 / n -
+        (si.toDouble / 1e12 / n) * (sj.toDouble / 1e12 / n)
       assert(got((i.toLong, j.toLong)) == want, s"cell ($i, $j)")
     }
     val re = Pca.covariance(df.repartition(7), "vec")
@@ -98,6 +99,34 @@ class PcaSpec extends SparkSpec {
     val z = Pca.dominantShare(zero, Pca.topDirection(zero, 2, 2))
       .collect().head
     assert(z.getLong(1) == 0L && z.isNullAt(2))
+    graft.util.Caches.releaseAll()
+  }
+
+  test("removeDominant: hand case — the e₁ component vanishes; computed " +
+      "direction leaves residuals orthogonal (r15)") {
+    val dir = Seq((0L, 1.0), (1L, 0.0)).toDF("i", "v")
+    val df = Seq((7L, Array(3.0f, 4.0f))).toDF("vec_id", "vec")
+    val got = Pca.removeDominant(df, "vec_id", "vec", dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((7L, 0L, 0L), (7L, 1L, 4000000L)))
+    // with the real dominant direction the corrected vectors are (near-)
+    // orthogonal to it: dot(x', v) ≈ 0 for every row
+    val rnd = new scala.util.Random(8)
+    val rows = (1 to 100).map { id =>
+      val a = rnd.nextGaussian() * 5
+      (id.toLong, Array.tabulate(6)(k =>
+        (if (k == 2) a else rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val data = rows.toDF("vec_id", "vec")
+    val d2 = Pca.topDirection(Pca.covariance(data, "vec"), dim = 6)
+    val v = d2.as[(Long, Double)].collect().sortBy(_._1).map(_._2)
+    val corrected = Pca.removeDominant(data, "vec_id", "vec", d2)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3 / 1e6)).toMap
+    corrected.values.foreach { x =>
+      val dot = x.zip(v).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot) < 1e-3, s"residual not orthogonal: $dot")
+    }
     graft.util.Caches.releaseAll()
   }
 
