@@ -3327,6 +3327,34 @@ object SparkEntry {
             .as("v_micro"))
     }),
 
+    // --- all-but-the-top (r15): remove the dominant direction from every
+    //     embedding — one broadcast array, one corpus scan, no shuffle ---
+    "q241_debias_embeddings" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val direction = Pca.topDirection(Pca.covariance(emb, "embedding"),
+        dim = 64)
+      Pca.removeDominant(emb, "vec_id", "embedding", direction)
+    }),
+
+    // --- Zipf fit (r15): rank-frequency law over the token table — the
+    //     corpus-health readout; top-200 cut, nano-ln moment OLS ---
+    "q242_zipf" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      Frequency.zipfFit(counts, "tok", "n", topN = 200)
+    }),
+
+    // --- Gini concentration (r15): token-mass balance across sources —
+    //     the mix-skew number before a training recipe freezes ---
+    "q243_gini_sources" -> ((s, dir) => {
+      val mass = Tables.documents(s, dir)
+        .filter(col("source").isNotNull)
+        .groupBy("source")
+        .agg(sum(TF.tokenCount(col("text")).cast("long")).as("tok_mass"))
+      Frequency.gini(mass, "tok_mass")
+    }),
+
     // --- ACF (r15): seasonality detector over daily event counts per
     //     type — |lags| keyed self-joins at series grain ---
     "q239_acf" -> ((s, dir) => {
@@ -7170,6 +7198,93 @@ object SparkEntry {
           CAST(floor(val * 1000000.0 + 0.5) AS BIGINT) AS v_micro
         FROM v8"""
       },
+
+      // all-but-the-top: the q234 unroll feeds a list-assembled direction;
+      // per row one dot + per dim x − proj·v, micro-quantized
+      "q241_debias_embeddings" -> {
+        val rounds = (1 to 8).map { t =>
+          s"""w$t AS (SELECT c.i,
+            CAST(sum(CAST(floor(c.cov * v${t - 1}.val * 1.0E9 + 0.5)
+              AS BIGINT)) AS DOUBLE) / 1.0E9 AS w
+          FROM cov c JOIN v${t - 1} ON c.j = v${t - 1}.i GROUP BY c.i),
+        n$t AS (SELECT sqrt(CAST(sum(CAST(floor(w * w * 1.0E9 + 0.5)
+            AS BIGINT)) AS DOUBLE) / 1.0E9) AS nrm FROM w$t),
+        v$t AS (SELECT i, CASE WHEN nrm = 0 THEN 0.0 ELSE w / nrm END AS val
+          FROM w$t CROSS JOIN n$t)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE embedding IS NOT NULL),
+        v AS (SELECT e FROM ve),
+        idx AS (SELECT unnest(range(64)) AS k),
+        p AS (SELECT a.k AS i, b.k AS j, e[a.k + 1] AS xi, e[b.k + 1] AS xj
+          FROM v CROSS JOIN idx a CROSS JOIN idx b),
+        g AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(floor(xi * xj * 1.0E12 + 0.5) AS BIGINT)) AS sij,
+            sum(CAST(floor(xi * 1.0E12 + 0.5) AS BIGINT)) AS si,
+            sum(CAST(floor(xj * 1.0E12 + 0.5) AS BIGINT)) AS sj
+          FROM p GROUP BY 1, 2),
+        cov AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+            CAST(sij AS DOUBLE) / 1.0E12 / CAST(n AS DOUBLE)
+              - (CAST(si AS DOUBLE) / 1.0E12 / CAST(n AS DOUBLE))
+                * (CAST(sj AS DOUBLE) / 1.0E12 / CAST(n AS DOUBLE)) AS cov
+          FROM g),
+        v0 AS (SELECT unnest(range(64)) AS i, 0.125 AS val),
+        $rounds,
+        dir AS (SELECT list(val ORDER BY i) AS dv FROM v8),
+        pr AS (SELECT vec_id, e, list_dot_product(e, dv) AS proj, dv
+          FROM ve CROSS JOIN dir)
+        SELECT vec_id, CAST(k AS BIGINT) AS i,
+          CAST(floor((e[k + 1] - proj * dv[k + 1]) * 1000000.0 + 0.5)
+            AS BIGINT) AS v_micro
+        FROM pr CROSS JOIN idx"""
+      },
+
+      // Zipf: identical top-200 cut (count desc, token asc), nano-floored
+      // lns, HUGEINT moments, the olsTrend discriminant discipline
+      "q242_zipf" -> """
+        WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)),
+            '\s+')) AS tok FROM documents WHERE text IS NOT NULL),
+        c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+        top AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS r
+          FROM c WHERE n > 0),
+        xy AS (SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1.0E9 + 0.5)
+              AS HUGEINT) AS x,
+            CAST(floor(ln(CAST(n AS DOUBLE)) * 1.0E9 + 0.5) AS HUGEINT) AS y
+          FROM top WHERE r <= 200),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS nf,
+            sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+            sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM xy)
+        SELECT nf AS n_fit,
+          CAST(floor(-(CAST(nf * sxy - sx * sy AS DOUBLE)
+            / CAST(nf * sxx - sx * sx AS DOUBLE)) * 1000000.0 + 0.5)
+            AS BIGINT) AS alpha_micro,
+          CAST(floor(CASE WHEN (nf * sxx - sx * sx) = 0
+              OR (nf * syy - sy * sy) = 0 THEN NULL
+            ELSE CAST(nf * sxy - sx * sy AS DOUBLE)
+              * CAST(nf * sxy - sx * sy AS DOUBLE)
+              / (CAST(nf * sxx - sx * sx AS DOUBLE)
+                * CAST(nf * syy - sy * sy AS DOUBLE)) END
+            * 1000000.0 + 0.5) AS BIGINT) AS r2_micro
+        FROM m""",
+
+      // Gini: rank-weighted exact numerator over source token masses
+      "q243_gini_sources" -> """
+        WITH m AS (SELECT source, CAST(sum(CASE WHEN len(trim(text)) = 0
+              THEN 0 ELSE len(string_split_regex(trim(lower(text)),
+                '\s+')) END) AS BIGINT) AS mass
+          FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        r AS (SELECT mass, ROW_NUMBER() OVER (ORDER BY mass) AS rk
+          FROM m WHERE mass IS NOT NULL AND mass >= 0)
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+          CAST(sum(mass) AS BIGINT) AS total,
+          CAST(floor(CASE WHEN sum(mass) = 0 THEN NULL
+            ELSE CAST(sum((2 * CAST(rk AS HUGEINT) - 1) * mass)
+                - count(*) * CAST(sum(mass) AS HUGEINT) AS DOUBLE)
+              / (CAST(count(*) AS DOUBLE) * CAST(sum(mass) AS DOUBLE)) END
+            * 1000000.0 + 0.5) AS BIGINT) AS gini_micro
+        FROM r""",
 
       // ACF: HUGEINT moments per (type, lag), exact discriminants, one
       // sqrt·sqrt division — the olsTrend arithmetic discipline

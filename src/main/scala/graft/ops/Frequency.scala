@@ -177,4 +177,87 @@ object Frequency {
       .filter(col("item").isNotNull && col("cnt") * k > col("__n"))
       .select(col("item"), col("cnt"))
   }
+
+  private val Dec0 =
+    org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+
+  /** Gini concentration of a non-negative integer measure across groups:
+    * `G = Σ_i (2i − n − 1)·x_(i) / (n·Σx)` over the ascending-sorted
+    * group values — the data-balance readout (0 = perfectly even mix,
+    * →1 = one group holds everything) for source/language/label shares
+    * before a training mix is frozen. Input is the GROUP-grain count
+    * table (one corpus aggregate upstream), so the sort is over groups —
+    * the bounded-groups contract (sources and languages number in the
+    * thousands, not the corpus); the weighted sum forms in exact DECIMAL
+    * (rank·count products pass Long at 100 TB token masses), ONE double
+    * division, micro-quantized. All-zero mass reports NULL, never 0.
+    *
+    * @param grouped (groupCol?, measureCol) — one row per group
+    * @return one row: (n_groups, total, gini_micro)
+    */
+  def gini(grouped: DataFrame, measureCol: String): DataFrame = {
+    val x = col(measureCol).cast("long")
+    val w = Window.orderBy(x, monotonically_increasing_id())
+    val ranked = grouped.filter(x.isNotNull && x >= 0)
+      .withColumn("__r", row_number().over(w).cast("long"))
+    ranked
+      .agg(count(lit(1)).as("n_groups"), sum(x).as("total"),
+        sum((lit(2).cast(Dec0) * col("__r").cast(Dec0) -
+          lit(1).cast(Dec0)) * x.cast(Dec0)).as("__m"))
+      // Σ(2i−n−1)x = Σ(2i−1)x − n·Σx: the numerator SUBTRACTS two
+      // near-equal exacts — form it in DECIMAL (the olsTrend
+      // cancellation lesson), divide once in double
+      .select(col("n_groups"), col("total"),
+        floor(when(col("total") === 0, lit(null)).otherwise(
+          (col("__m") - col("n_groups").cast(Dec0) * col("total").cast(Dec0))
+            .cast("double")
+            / (col("n_groups").cast("double") * col("total").cast("double")))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("gini_micro"))
+  }
+
+  /** Zipf-law fit of a frequency table: OLS of `ln(count)` on `ln(rank)`
+    * over the top `topN` items — the corpus-health readout (natural
+    * language sits near α ≈ 1; α far off flags templated/boilerplate or
+    * deduplication-starved corpora; R² far below 1 flags a broken
+    * tokenizer). Returns α = −slope with the fit quality.
+    *
+    * Rank = count-desc, item-asc over the top-N cut
+    * (TakeOrderedAndProject — no global sort); the N-row window after is
+    * bounded by construction. ln values NANO-quantize to longs BEFORE
+    * the moment sums (commuting integers — the psiDrift discipline),
+    * moments and discriminants form in exact DECIMAL over those longs
+    * (the olsTrend cancellation lesson), two divisions out.
+    *
+    * @param counts (itemCol, countCol) — item-grain frequency table
+    * @return one row: (n_fit, alpha_micro, r2_micro)
+    */
+  def zipfFit(counts: DataFrame, itemCol: String, countCol: String,
+              topN: Int = 200): DataFrame = {
+    require(topN >= 3, s"zipfFit: topN must be >= 3, got $topN")
+    val top = counts
+      .filter(col(countCol).isNotNull && col(countCol) > 0)
+      .orderBy(col(countCol).desc, col(itemCol))
+      .limit(topN)
+    val w = Window.orderBy(col(countCol).desc, col(itemCol))
+    def nano(c: Column) = floor(c * lit(1e9) + lit(0.5)).cast("long")
+    val xy = top.withColumn("__rank", row_number().over(w).cast("long"))
+      .select(nano(log(col("__rank").cast("double"))).cast(Dec0).as("__x"),
+        nano(log(col(countCol).cast("double"))).cast(Dec0).as("__y"))
+    val agg = xy.agg(count(lit(1)).as("n_fit"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    val nD = col("n_fit").cast(Dec0)
+    def d(c: Column) = c.cast("double")
+    val dxx = nD * col("__sxx") - col("__sx") * col("__sx")
+    val dyy = nD * col("__syy") - col("__sy") * col("__sy")
+    val num = nD * col("__sxy") - col("__sx") * col("__sy")
+    val slope = when(dxx === 0, lit(null)).otherwise(d(num) / d(dxx))
+    val r2 = when(dxx === 0 || dyy === 0, lit(null))
+      .otherwise(d(num) * d(num) / (d(dxx) * d(dyy)))
+    agg.select(col("n_fit"),
+      floor(-slope * lit(1000000.0) + lit(0.5)).cast("long").as("alpha_micro"),
+      floor(r2 * lit(1000000.0) + lit(0.5)).cast("long").as("r2_micro"))
+  }
 }

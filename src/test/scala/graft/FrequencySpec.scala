@@ -183,4 +183,64 @@ class FrequencySpec extends SparkSpec {
     assert(got("b") == (("b", 10L, 29L, want)))
     assert(got("b")._4 > 1000000L) // ≫ 1 in micro units
   }
+
+  // ------------------------------------------------------------ gini/zipf
+
+  test("gini: even mix = 0, total concentration = (n−1)/n, hand case " +
+      "exact; zero mass NULL; tie-order invariant (r15)") {
+    import graft.ops.Frequency
+    def g(xs: Seq[Long]) = Frequency.gini(
+      xs.zipWithIndex.map { case (x, i) => (s"g$i", x) }.toDF("g", "m"), "m")
+      .collect().head
+    assert(g(Seq(25L, 25L, 25L, 25L)).getLong(2) == 0L)
+    assert(g(Seq(0L, 0L, 0L, 100L)).getLong(2) == 750000L)
+    // [1,2,3,4]: Σ(2i−1)x = 50, n·T = 40 → G = 10/40
+    assert(g(Seq(4L, 2L, 1L, 3L)).getLong(2) == 250000L)
+    assert(g(Seq(0L, 0L)).isNullAt(2))
+    // ties: permuting equal values cannot move the statistic
+    val tied = Seq(5L, 5L, 5L, 20L)
+    val a = g(tied).getLong(2)
+    val df = tied.zipWithIndex.map { case (x, i) => (s"g$i", x) }
+      .toDF("g", "m").repartition(7)
+    assert(Frequency.gini(df, "m").collect().head.getLong(2) == a)
+  }
+
+  test("zipfFit: an exact c·r = C law fits α = 1 with R² ≈ 1; flat " +
+      "counts degenerate; driver-side moment differential (r15)") {
+    import graft.ops.Frequency
+    // counts {12, 6, 4, 3}: count · rank = 12 exactly → α = 1 line
+    val law = Seq(("a", 12L), ("b", 6L), ("c", 4L), ("d", 3L))
+      .toDF("item", "n")
+    val r = Frequency.zipfFit(law, "item", "n", topN = 4).collect().head
+    assert(r.getLong(0) == 4L)
+    assert(math.abs(r.getLong(1) - 1000000L) < 10, s"alpha: $r")
+    assert(r.getLong(2) > 999990L, s"r2: $r")
+    // flat: zero y-variance → NULL r2, zero slope
+    val flat = Seq(("a", 5L), ("b", 5L), ("c", 5L)).toDF("item", "n")
+    val f = Frequency.zipfFit(flat, "item", "n", topN = 3).collect().head
+    assert(f.getLong(1) == 0L && f.isNullAt(2))
+    // random differential vs a BigInt replay of the nano-moment algebra
+    val rnd = new scala.util.Random(3)
+    val items = (1 to 60).map(i => (s"w$i", rnd.nextInt(5000).toLong + 1))
+    val got = Frequency.zipfFit(items.toDF("item", "n"), "item", "n",
+      topN = 25).collect().head
+    val top = items.sortBy { case (it, n) => (-n, it) }.take(25)
+    def nano(x: Double) = BigInt(math.floor(x * 1e9 + 0.5).toLong)
+    val xs = top.indices.map(i => nano(math.log((i + 1).toDouble)))
+    val ys = top.map(t => nano(math.log(t._2.toDouble)))
+    val n = BigInt(25)
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val syy = ys.map(a => a * a).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val r2 = (n * sxy - sx * sy).toDouble * (n * sxy - sx * sy).toDouble /
+      ((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+    assert(got.getLong(0) == 25L)
+    assert(got.getLong(1) == math.floor(-slope * 1e6 + 0.5).toLong)
+    assert(got.getLong(2) == math.floor(r2 * 1e6 + 0.5).toLong)
+    intercept[IllegalArgumentException] {
+      Frequency.zipfFit(flat, "item", "n", topN = 2)
+    }
+  }
 }
