@@ -3355,6 +3355,32 @@ object SparkEntry {
       Frequency.gini(mass, "tok_mass")
     }),
 
+    // --- Kaplan–Meier (r15): time-to-first-purchase WITH administrative
+    //     censoring at a 7-day window — a user who hasn't converted by
+    //     day 7 is at-risk mass, not a never-converter ---
+    "q245_kaplan_meier" -> ((s, dir) => {
+      val spans = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("__f"),
+          max(to_date(col("ts"))).as("__l"),
+          min(when(col("event_type") === "purchase", to_date(col("ts"))))
+            .as("__fp"))
+      val off = datediff(col("__fp"), col("__f"))
+      val observed = col("__fp").isNotNull && off <= 7
+      val subjects = spans.select(
+        when(observed, off)
+          .otherwise(least(datediff(col("__l"), col("__f")), lit(7)))
+          .cast("long").as("dur"),
+        observed.as("event"))
+      Survival.kaplanMeier(subjects, "dur", "event")
+    }),
+
+    // --- Heaps' law (r15): vocabulary-growth fit via token first-
+    //     occurrence positions — no running-distinct scan ---
+    "q244_heaps" -> ((s, dir) =>
+      Frequency.heapsFit(Tables.documents(s, dir), "doc_id", "text")),
+
     // --- ACF (r15): seasonality detector over daily event counts per
     //     type — |lags| keyed self-joins at series grain ---
     "q239_acf" -> ((s, dir) => {
@@ -7285,6 +7311,85 @@ object SparkEntry {
               / (CAST(count(*) AS DOUBLE) * CAST(sum(mass) AS DOUBLE)) END
             * 1000000.0 + 0.5) AS BIGINT) AS gini_micro
         FROM r""",
+
+      // Kaplan–Meier: reverse-cumulative at-risk, nano-floored ln terms,
+      // ascending cumulative, absorption flag — exp once per output row
+      "q245_kaplan_meier" -> """
+        WITH spans AS (SELECT user_id,
+            min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS f,
+            max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS l,
+            min(CASE WHEN event_type = 'purchase'
+              THEN CAST(CAST(ts AS TIMESTAMP) AS DATE) END) AS fp
+          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          GROUP BY 1),
+        subj AS (SELECT
+            CAST(CASE WHEN fp IS NOT NULL AND fp - f <= 7 THEN fp - f
+              ELSE least(l - f, 7) END AS BIGINT) AS t,
+            CASE WHEN fp IS NOT NULL AND fp - f <= 7 THEN 1 ELSE 0 END AS e
+          FROM spans),
+        byt AS (SELECT t, CAST(count(*) AS BIGINT) AS alln,
+            CAST(sum(e) AS BIGINT) AS n_events
+          FROM subj GROUP BY 1),
+        risky AS (SELECT t, n_events,
+            CAST(sum(alln) OVER (ORDER BY t DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+          FROM byt),
+        terms AS (SELECT t, n_events, n_risk,
+            (n_events = n_risk) AS dd,
+            CASE WHEN n_events = n_risk OR n_events = 0 THEN 0
+              ELSE CAST(floor(ln(1.0 - CAST(n_events AS DOUBLE)
+                / CAST(n_risk AS DOUBLE)) * 1.0E9 + 0.5) AS BIGINT)
+            END AS trm
+          FROM risky),
+        cum AS (SELECT t, n_events, n_risk,
+            CAST(sum(trm) OVER w AS BIGINT) AS c,
+            max(CASE WHEN dd THEN 1 ELSE 0 END) OVER w = 1 AS anydead
+          FROM terms WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING))
+        SELECT t, n_risk, n_events,
+          CASE WHEN anydead THEN 0
+            ELSE CAST(floor(exp(CAST(c AS DOUBLE) / 1.0E9) * 1000000.0
+              + 0.5) AS BIGINT) END AS surv_micro
+        FROM cum WHERE n_events > 0""",
+
+      // Heaps: first-occurrence ranks, geometric checkpoints + the final
+      // count, nano-ln HUGEINT moments — the q242 fit core
+      "q244_heaps" -> """
+        WITH d AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        r AS (SELECT toks, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk FROM d),
+        fs AS (SELECT tok, CAST(min(rk) AS BIGINT) AS first FROM
+          (SELECT rk, unnest(toks) AS tok FROM r) GROUP BY 1),
+        nd AS (SELECT CAST(max(rk) AS BIGINT) AS n FROM r),
+        cps AS (SELECT DISTINCT least(CAST(pow(2.0, k) AS BIGINT), n) AS cp
+            FROM nd, unnest(range(1, greatest(CAST(floor(log2(
+              CAST(n AS DOUBLE))) AS BIGINT), 1) + 1)) AS t(k)
+          UNION SELECT n FROM nd),
+        g AS (SELECT cp, CAST(count(*) AS BIGINT) AS v
+          FROM fs CROSS JOIN cps WHERE first <= cp GROUP BY 1),
+        xy AS (SELECT
+            CAST(floor(ln(CAST(cp AS DOUBLE)) * 1.0E9 + 0.5) AS HUGEINT)
+              AS x,
+            CAST(floor(ln(CAST(v AS DOUBLE)) * 1.0E9 + 0.5) AS HUGEINT)
+              AS y
+          FROM g),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS nf,
+            sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+            sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM xy)
+        SELECT (SELECT n FROM nd) AS n_docs, nf AS n_checkpoints,
+          CAST(floor(CASE WHEN (nf * sxx - sx * sx) = 0 THEN NULL
+            ELSE CAST(nf * sxy - sx * sy AS DOUBLE)
+              / CAST(nf * sxx - sx * sx AS DOUBLE) END
+            * 1000000.0 + 0.5) AS BIGINT) AS beta_micro,
+          CAST(floor(CASE WHEN (nf * sxx - sx * sx) = 0
+              OR (nf * syy - sy * sy) = 0 THEN NULL
+            ELSE CAST(nf * sxy - sx * sy AS DOUBLE)
+              * CAST(nf * sxy - sx * sy AS DOUBLE)
+              / (CAST(nf * sxx - sx * sx AS DOUBLE)
+                * CAST(nf * syy - sy * sy AS DOUBLE)) END
+            * 1000000.0 + 0.5) AS BIGINT) AS r2_micro
+        FROM m""",
 
       // ACF: HUGEINT moments per (type, lag), exact discriminants, one
       // sqrt·sqrt division — the olsTrend arithmetic discipline

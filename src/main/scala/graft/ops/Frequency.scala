@@ -215,6 +215,72 @@ object Frequency {
           * lit(1000000.0) + lit(0.5)).cast("long").as("gini_micro"))
   }
 
+  /** Heaps'-law fit of vocabulary growth: `V(n) ≈ K·n^β` — how fast the
+    * distinct-token count grows with corpus size, T34's companion (Zipf
+    * describes the frequency profile, Heaps the vocabulary's scaling; a
+    * β far from the 0.4–0.6 natural-language band flags templated or
+    * truncated corpora, β ≈ 1 flags near-unique noise/IDs).
+    *
+    * Exact growth curve WITHOUT a running-distinct scan: each token's
+    * FIRST-occurrence position (min over the doc-rank of its carriers —
+    * one token-grain aggregate), then `V(n) = #{tokens: first ≤ n}`
+    * evaluated at geometric checkpoints n = 2, 4, …, N via one bounded
+    * join; the ln–ln OLS reuses the nano-quantized exact-moment core.
+    * Doc rank = position in `orderCol` order (ties broken by the column
+    * itself — pass a unique id).
+    *
+    * Scale shape: the doc-rank window is ONE global sort at DOC grain
+    * (not token grain) — the operator's stated bound, same class as the
+    * exact tier of heavy hitters; everything after is token-grain
+    * aggregates and a |checkpoints|-row fit.
+    *
+    * @return one row: (n_docs, n_checkpoints, beta_micro, r2_micro)
+    */
+  def heapsFit(docs: DataFrame, orderCol: String, textCol: String): DataFrame = {
+    val ranked = docs
+      .filter(col(textCol).isNotNull && col(orderCol).isNotNull)
+      .withColumn("__r", row_number().over(Window.orderBy(col(orderCol)))
+        .cast("long"))
+    val firstSeen = ranked
+      .select(col("__r"), explode(graft.functions.TextFunctions
+        .tokens(col(textCol))).as("__tok"))
+      .groupBy("__tok").agg(min(col("__r")).as("__first"))
+    val nDocs = ranked.agg(max(col("__r")).as("__n"))
+    // geometric checkpoints 2, 4, … up to the doc count (bounded: ~log₂ N
+    // rows) — built from the one-row total, joined at token grain once
+    val checkpoints = nDocs.select(explode(sequence(lit(1),
+        greatest(floor(log2(col("__n").cast("double"))).cast("int"),
+          lit(1)))).as("__k"), col("__n"))
+      .select(least(pow(lit(2.0), col("__k")).cast("long"), col("__n"))
+        .as("__cp"))
+      .unionByName(nDocs.select(col("__n").as("__cp")))
+      .distinct()
+    val growth = firstSeen.crossJoin(broadcast(checkpoints))
+      .filter(col("__first") <= col("__cp"))
+      .groupBy(col("__cp")).agg(count(lit(1)).as("__v"))
+    def nano(c: Column) = floor(c * lit(1e9) + lit(0.5)).cast("long")
+    val xy = growth.select(
+      nano(log(col("__cp").cast("double"))).cast(Dec0).as("__x"),
+      nano(log(col("__v").cast("double"))).cast(Dec0).as("__y"))
+    val agg = xy.agg(count(lit(1)).as("n_checkpoints"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    val nD = col("n_checkpoints").cast(Dec0)
+    def d(c: Column) = c.cast("double")
+    val dxx = nD * col("__sxx") - col("__sx") * col("__sx")
+    val dyy = nD * col("__syy") - col("__sy") * col("__sy")
+    val num = nD * col("__sxy") - col("__sx") * col("__sy")
+    val beta = when(dxx === 0, lit(null)).otherwise(d(num) / d(dxx))
+    val r2 = when(dxx === 0 || dyy === 0, lit(null))
+      .otherwise(d(num) * d(num) / (d(dxx) * d(dyy)))
+    agg.crossJoin(broadcast(nDocs))
+      .select(col("__n").as("n_docs"), col("n_checkpoints"),
+        floor(beta * lit(1000000.0) + lit(0.5)).cast("long").as("beta_micro"),
+        floor(r2 * lit(1000000.0) + lit(0.5)).cast("long").as("r2_micro"))
+  }
+
   /** Zipf-law fit of a frequency table: OLS of `ln(count)` on `ln(rank)`
     * over the top `topN` items — the corpus-health readout (natural
     * language sits near α ≈ 1; α far off flags templated/boilerplate or

@@ -243,4 +243,50 @@ class FrequencySpec extends SparkSpec {
       Frequency.zipfFit(flat, "item", "n", topN = 2)
     }
   }
+
+  test("heapsFit: linear vocab growth fits β = 1; constant vocab " +
+      "degenerates; driver differential incl. checkpoints (r15)") {
+    import graft.ops.Frequency
+    // every doc brings exactly 3 NEW tokens → V(n) = 3n, β = 1
+    val linear = (1 to 64).map(i =>
+      (i.toLong, s"w${i}a w${i}b w${i}c")).toDF("doc_id", "text")
+    val r = Frequency.heapsFit(linear, "doc_id", "text").collect().head
+    assert(r.getLong(0) == 64L)
+    assert(math.abs(r.getLong(2) - 1000000L) < 10, s"beta: $r")
+    assert(r.getLong(3) > 999990L, s"r2: $r")
+    // constant vocabulary: V(n) flat → zero y-variance, NULL r2, beta 0
+    val const = (1 to 32).map(i => (i.toLong, "same tokens here"))
+      .toDF("doc_id", "text")
+    val c = Frequency.heapsFit(const, "doc_id", "text").collect().head
+    assert(c.getLong(2) == 0L && c.isNullAt(3))
+    // random corpus: replicate first-occurrence + checkpoints + moments
+    val rnd = new scala.util.Random(6)
+    val docs = (1 to 100).map(i =>
+      (i.toLong, Seq.fill(8)(s"t${rnd.nextInt(150)}").mkString(" ")))
+    val got = Frequency.heapsFit(docs.toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    val first = scala.collection.mutable.Map[String, Int]()
+    docs.foreach { case (id, t) =>
+      t.split("\\s+").foreach(tok =>
+        if (!first.contains(tok)) first(tok) = id.toInt)
+    }
+    val n = 100
+    val cps = ((1 to math.floor(math.log(n) / math.log(2)).toInt)
+      .map(k => math.min(math.pow(2.0, k).toLong, n)) :+ n.toLong).distinct
+    def nano(x: Double) = BigInt(math.floor(x * 1e9 + 0.5).toLong)
+    val pts = cps.map(cp =>
+      (nano(math.log(cp.toDouble)),
+        nano(math.log(first.values.count(_ <= cp).toDouble))))
+    val m = BigInt(pts.size)
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val beta = (m * sxy - sx * sy).toDouble / (m * sxx - sx * sx).toDouble
+    assert(got.getLong(1) == pts.size.toLong)
+    assert(got.getLong(2) == math.floor(beta * 1e6 + 0.5).toLong)
+    // doc-rank order is a pure function of orderCol: repartition-stable
+    val re = Frequency.heapsFit(docs.toDF("doc_id", "text").repartition(7),
+      "doc_id", "text").collect().head
+    assert(re == got)
+  }
 }

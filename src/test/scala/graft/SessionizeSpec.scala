@@ -70,6 +70,41 @@ class SessionizeSpec extends SparkSpec {
     assert(base == shuffled)
   }
 
+  test("batch sessionize ≡ streaming Sessionize: every closed streaming " +
+      "session is a batch session; batch adds exactly the open tails") {
+    import graft.streaming.{Sessionize => SSess, StreamingOps}
+    import graft.streaming.Sessionize.Event
+    val min = 60L * 1000000
+    val rnd = new scala.util.Random(19)
+    val events = for (u <- 1L to 5L; _ <- 1 to 30) yield
+      Event(u, rnd.nextInt(3000).toLong * min, 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_par").toString
+    events.toDF().write.mode("overwrite").parquet(dir)
+    val stream = StreamingOps.fileStream(spark, dir,
+      Seq.empty[Event].toDS().schema).as[Event]
+    StreamingOps.drainToMemory(
+      SSess(stream, gapMicros = 30 * min).toDF, "graft_sess_parity")
+    val closed = spark.table("graft_sess_parity").as[SSess.Session]
+      .collect().map(s => (s.user_id, s.startMicros, s.endMicros, s.n_events))
+      .toSet
+    val batch = Sessionize.sessionStats(
+      events.toDF().select(col("user_id"),
+        expr("cast(timestamp_micros(tsMicros) as timestamp_ntz)").as("ts")),
+      "user_id", "ts", gapSeconds = 30 * 60)
+      .select(col("user_id"), unix_micros(col("start_ts")),
+        unix_micros(col("end_ts")), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(closed.subsetOf(batch),
+      s"streaming closed sessions missing from batch: ${closed.diff(batch)}")
+    // per user the batch sees one extra session — the open tail
+    val closedPerUser = closed.groupBy(_._1).view.mapValues(_.size).toMap
+    val batchPerUser = batch.groupBy(_._1).view.mapValues(_.size).toMap
+    (1L to 5L).foreach { u =>
+      assert(batchPerUser(u) == closedPerUser.getOrElse(u, 0) + 1,
+        s"user $u: batch ${batchPerUser(u)} vs closed ${closedPerUser.get(u)}")
+    }
+  }
+
   test("plan: two Window passes share ONE sort and ONE shuffle") {
     val df = Sessionize.sessionize(hand, "user_id", "ts", 50)
     df.collect()
