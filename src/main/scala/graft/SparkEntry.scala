@@ -3355,6 +3355,22 @@ object SparkEntry {
       Frequency.gini(mass, "tok_mass")
     }),
 
+    // --- Platt scaling (r15): the calibration FIX after q222's audit —
+    //     clipped fixed-round Newton refit of the q180-style gate ---
+    "q246_platt_fit" -> ((s, dir) => {
+      import s.implicits._
+      val w = Seq(("data", 1.25), ("query", -0.75), ("the", 0.5),
+        ("stream", 0.25), ("table", 1.0), ("data_query", 2.0),
+        ("the_data", -1.5)).toDF("term", "wt")
+      val docs = Tables.documents(s, dir)
+      val scores = TextClassifier.scoreLinear(docs, "doc_id", "text",
+        w, "term", "wt", bias = -0.5)
+      val labeled = scores.join(
+        docs.select(col("doc_id"),
+          col("text").contains("data").as("label")), Seq("doc_id"))
+      Eval.plattFit(labeled, "score", "label")
+    }),
+
     // --- Kaplan–Meier (r15): time-to-first-purchase WITH administrative
     //     censoring at a 7-day window — a user who hasn't converted by
     //     day 7 is at-risk mass, not a never-converter ---
@@ -7311,6 +7327,82 @@ object SparkEntry {
               / (CAST(count(*) AS DOUBLE) * CAST(sum(mass) AS DOUBLE)) END
             * 1000000.0 + 0.5) AS BIGINT) AS gini_micro
         FROM r""",
+
+      // Platt: the q222 scorer replay to score grain, then 8 clipped
+      // Newton rounds unrolled — identical clamp literals, identical
+      // nano-floored gradient/Hessian sums, identical 2×2 solve tree
+      "q246_platt_fit" -> {
+        val hi = s"${1.0 - 1e-15}"
+        val pEx = s"least(greatest(1.0 / (1.0 + exp(-(r.a * g.s + r.b)))," +
+          s" 1e-15), $hi)"
+        val rounds = (1 to 8).map { t =>
+          s"""sd$t AS (SELECT
+            CAST(sum(CAST(floor((P * n - y) * 1.0E9 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1.0E9 AS g1,
+            CAST(sum(CAST(floor(g.s * (P * n - y) * 1.0E9 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1.0E9 AS g2,
+            CAST(sum(CAST(floor(n * P * (1.0 - P) * 1.0E9 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1.0E9 AS h11,
+            CAST(sum(CAST(floor(g.s * (n * P * (1.0 - P)) * 1.0E9 + 0.5)
+              AS BIGINT)) AS DOUBLE) / 1.0E9 AS h12,
+            CAST(sum(CAST(floor(g.s * g.s * (n * P * (1.0 - P)) * 1.0E9
+              + 0.5) AS BIGINT)) AS DOUBLE) / 1.0E9 AS h22
+          FROM (SELECT g.s, CAST(g.n AS DOUBLE) AS n, CAST(g.y AS DOUBLE)
+              AS y, $pEx AS P
+            FROM g CROSS JOIN r${t - 1} r) g),
+        r$t AS (SELECT
+            CASE WHEN abs(h11 * h22 - h12 * h12) > 1e-12
+              THEN a - least(greatest((g2 * h11 - g1 * h12)
+                / (h11 * h22 - h12 * h12), -1.0), 1.0)
+              ELSE a END AS a,
+            CASE WHEN abs(h11 * h22 - h12 * h12) > 1e-12
+              THEN b - least(greatest((g1 * h22 - g2 * h12)
+                / (h11 * h22 - h12 * h12), -1.0), 1.0)
+              ELSE b END AS b
+          FROM r${t - 1} CROSS JOIN sd$t)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH w AS (SELECT * FROM (VALUES ('data', 1.25), ('query', -0.75),
+            ('the', 0.5), ('stream', 0.25), ('table', 1.0),
+            ('data_query', 2.0), ('the_data', -1.5)) AS w(term, wt)),
+        t AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents),
+        d AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 1),
+        uni AS (SELECT doc_id, unnest(toks) AS f FROM d),
+        bi AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+            i -> toks[i] || '_' || toks[i + 1])) AS f
+          FROM d WHERE len(toks) >= 2),
+        feats AS (SELECT doc_id, f FROM uni
+          UNION ALL SELECT doc_id, f FROM bi),
+        sc AS (SELECT feats.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+            CAST(SUM(CAST(coalesce(w.wt, 0) AS DECIMAL(38,12))) AS DOUBLE)
+              AS sw
+          FROM feats LEFT JOIN w ON feats.f = w.term GROUP BY 1),
+        scored AS (SELECT doc_id,
+            round(1.0 / (1.0 + exp(-(-0.5 + sw / n_features))), 6) AS score
+          FROM sc),
+        g AS (SELECT s.score AS s, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN contains(doc.text, 'data') THEN 1 ELSE 0
+              END) AS BIGINT) AS y
+          FROM scored s JOIN documents doc ON s.doc_id = doc.doc_id
+          GROUP BY 1),
+        r0 AS (SELECT 0.0 AS a, 0.0 AS b),
+        $rounds,
+        fin AS (SELECT
+            CAST(sum(CAST(floor(-(CAST(g.y AS DOUBLE) * ln(P)
+              + CAST(g.n - g.y AS DOUBLE) * ln(1.0 - P)) * 1.0E9 + 0.5)
+              AS BIGINT)) AS DOUBLE) AS nllsum
+          FROM (SELECT g.n, g.y, $pEx AS P FROM g CROSS JOIN r8 r) g)
+        SELECT (SELECT CAST(sum(n) AS BIGINT) FROM g) AS n,
+          (SELECT CAST(sum(y) AS BIGINT) FROM g) AS n_pos,
+          CAST(floor(a * 1000000.0 + 0.5) AS BIGINT) AS a_micro,
+          CAST(floor(b * 1000000.0 + 0.5) AS BIGINT) AS b_micro,
+          (SELECT CAST(floor(nllsum /
+            CAST((SELECT sum(n) FROM g) AS DOUBLE) + 0.5) AS BIGINT)
+            FROM fin) AS nll_nano
+        FROM r8"""
+      },
 
       // Kaplan–Meier: reverse-cumulative at-risk, nano-floored ln terms,
       // ascending cumulative, absorption flag — exp once per output row

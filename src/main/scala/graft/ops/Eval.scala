@@ -198,6 +198,80 @@ object Eval {
         * lit(1000000.0) + lit(0.5)).cast("long").as("auc_micro"))
   }
 
+  /** Platt scaling (Platt 1999) — the calibration FIX that follows
+    * [[calibration]]'s audit: fit `p = σ(a·s + b)` to the (score, label)
+    * data by FIXED-round CLIPPED Newton on the logistic NLL, so a
+    * confidently-wrong gate's scores can be remapped before the corpus
+    * is filtered with them. Fixed rounds + fixed (0, 0) start + each
+    * step component clipped to ±1 = deterministic and replayable; the
+    * clip is what tames Newton's classic overshoot on near-separable
+    * data (the unclipped MLE diverges as separation sharpens — measured:
+    * a 95/5 separated corpus sent unguarded steps to a ≈ −126), while
+    * near the optimum Newton's quadratic steps are far inside the clip,
+    * so 8 rounds resolve any realistic calibration slope.
+    *
+    * Each round is ONE aggregate over the DISTINCT-SCORE grain (the
+    * [[scoreGrain]] bounded-codomain contract): gradient and Hessian
+    * terms are fixed IEEE trees per score row, NANO-floored before the
+    * decimal sums (commuting integers); the 2×2 solve runs driver-side
+    * on the collected one-row sums (bounded metadata). A near-singular
+    * Hessian stops the iteration (parameters keep their last value)
+    * rather than dividing by ~0. Probabilities clamp to
+    * [1e-15, 1 − 1e-15] (replayable literals) so the NLL never meets a
+    * log of 0.
+    *
+    * @return one row: (n, n_pos, a_micro, b_micro, nll_nano — final
+    *         per-observation negative log-likelihood)
+    */
+  def plattFit(df: DataFrame, scoreCol: String, labelCol: String,
+               iters: Int = 8): DataFrame = {
+    require(iters >= 1, s"plattFit: iters must be >= 1, got $iters")
+    val g = graft.util.Caches.cache(
+      df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+        .select(col(scoreCol).cast("double").as("s"),
+          col(labelCol).cast("boolean").cast("int").cast("long").as("__y"))
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("n"), sum(col("__y")).as("y"))).toDF
+    def nano(term: org.apache.spark.sql.Column) =
+      sum(floor(term * lit(1e9) + lit(0.5)).cast("long").cast(Dec38))
+    def p(a: Double, b: Double): org.apache.spark.sql.Column = {
+      val z = lit(a) * col("s") + lit(b)
+      val sig = lit(1.0) / (lit(1.0) + exp(-z))
+      least(greatest(sig, lit(1e-15)), lit(1.0 - 1e-15))
+    }
+    var (a, b) = (0.0, 0.0)
+    for (_ <- 1 to iters) {
+      val pc = p(a, b)
+      val w = col("n").cast("double") * pc * (lit(1.0) - pc)
+      val r = g.agg(
+        nano(pc * col("n").cast("double") - col("y").cast("double")).as("g1"),
+        nano(col("s") * (pc * col("n").cast("double") -
+          col("y").cast("double"))).as("g2"),
+        nano(w).as("h11"), nano(col("s") * w).as("h12"),
+        nano(col("s") * col("s") * w).as("h22")).collect().head
+      def d(i: Int): Double = r.getDecimal(i).doubleValue() / 1e9
+      val (g1, g2, h11, h12, h22) = (d(0), d(1), d(2), d(3), d(4))
+      val det = h11 * h22 - h12 * h12
+      if (math.abs(det) > 1e-12) {
+        def clip(x: Double) = math.min(math.max(x, -1.0), 1.0)
+        // H = [[h22, h12], [h12, h11]] in (a, b) order: Δa uses h11,
+        // Δb uses h22 — the mixed terms share h12
+        a -= clip((g2 * h11 - g1 * h12) / det)
+        b -= clip((g1 * h22 - g2 * h12) / det)
+      }
+    }
+    val pf = p(a, b)
+    g.agg(sum(col("n")).as("n"), sum(col("y")).as("n_pos"),
+        nano(-(col("y").cast("double") * log(pf) +
+          (col("n") - col("y")).cast("double") * log(lit(1.0) - pf)))
+          .as("__nll"))
+      .select(col("n"), col("n_pos"),
+        lit(math.floor(a * 1e6 + 0.5).toLong).as("a_micro"),
+        lit(math.floor(b * 1e6 + 0.5).toLong).as("b_micro"),
+        floor(col("__nll").cast("double") /
+          col("n").cast("double") + lit(0.5)).cast("long").as("nll_nano"))
+  }
+
   /** Ranking-quality metrics per query — the RETRIEVAL evaluation half
     * next to the classifier half ([[classReport]]/[[rocAuc]]): given a
     * RUN (query, doc, 1-based rank — any retrieval tier's top-k output)

@@ -165,6 +165,73 @@ class EvalSpec extends SparkSpec {
     assert(auc(rows).contains(want))
   }
 
+  // -------------------------------------------------------- Platt scaling
+
+  test("plattFit: separable data fits a steep positive slope and cuts " +
+      "NLL far below the coin-flip ln 2; driver Newton replicate (r15)") {
+    val rnd = new scala.util.Random(21)
+    val rows = Seq.fill(600) {
+      val s = math.floor(rnd.nextDouble() * 40) / 40.0
+      (s, rnd.nextDouble() < (if (s > 0.5) 0.95 else 0.05))
+    }
+    val got = Eval.plattFit(rows.toDF("score", "label"), "score", "label")
+      .collect().head
+    assert(got.getLong(2) > 2000000L, s"slope must be steep: $got")
+    assert(got.getLong(4) < math.log(2.0) * 1e9 / 2, s"nll: $got")
+    // full driver replicate of the quantized Newton
+    val grain = rows.groupBy(_._1).toSeq.map { case (s, xs) =>
+      (s, xs.size.toLong, xs.count(_._2).toLong) }
+    def nanoSum(f: ((Double, Long, Long)) => Double): Double =
+      grain.map(t => math.floor(f(t) * 1e9 + 0.5).toLong).sum / 1e9
+    var (a, b) = (0.0, 0.0)
+    def pOf(s: Double) = {
+      val sig = 1.0 / (1.0 + math.exp(-(a * s + b)))
+      math.min(math.max(sig, 1e-15), 1.0 - 1e-15)
+    }
+    for (_ <- 1 to 8) {
+      val g1 = nanoSum { case (s, n, y) => pOf(s) * n - y }
+      val g2 = nanoSum { case (s, n, y) => s * (pOf(s) * n - y) }
+      val h11 = nanoSum { case (s, n, _) => n * pOf(s) * (1.0 - pOf(s)) }
+      val h12 = nanoSum { case (s, n, _) => s * (n * pOf(s) * (1.0 - pOf(s))) }
+      val h22 = nanoSum { case (s, n, _) =>
+        s * s * (n * pOf(s) * (1.0 - pOf(s))) }
+      val det = h11 * h22 - h12 * h12
+      if (math.abs(det) > 1e-12) {
+        def clip(x: Double) = math.min(math.max(x, -1.0), 1.0)
+        val na = a - clip((g2 * h11 - g1 * h12) / det)
+        val nb = b - clip((g1 * h22 - g2 * h12) / det)
+        a = na; b = nb
+      }
+    }
+    assert(got.getLong(2) == math.floor(a * 1e6 + 0.5).toLong)
+    assert(got.getLong(3) == math.floor(b * 1e6 + 0.5).toLong)
+    val nll = nanoSum { case (s, n, y) =>
+      -(y * math.log(pOf(s)) + (n - y) * math.log(1.0 - pOf(s))) }
+    assert(got.getLong(4) ==
+      math.floor(nll * 1e9 / rows.size + 0.5).toLong)
+    graft.util.Caches.releaseAll()
+  }
+
+  test("plattFit: single-class input converges without a crash (clamped " +
+      "probabilities); repartition invariance; knob guard") {
+    val onesided = Seq.fill(50)((0.3, true)) ++ Seq.fill(30)((0.8, true))
+    val r = Eval.plattFit(onesided.toDF("score", "label"), "score", "label")
+      .collect().head
+    assert(r.getLong(1) == 80L && r.getLong(4) >= 0L)
+    val rnd = new scala.util.Random(14)
+    val rows = Seq.fill(300)(
+      (math.floor(rnd.nextDouble() * 20) / 20.0, rnd.nextBoolean()))
+    val x = Eval.plattFit(rows.toDF("score", "label"), "score", "label")
+      .collect().head
+    val y = Eval.plattFit(rows.toDF("score", "label").repartition(9),
+      "score", "label").collect().head
+    assert(x == y)
+    intercept[IllegalArgumentException] {
+      Eval.plattFit(rows.toDF("score", "label"), "score", "label", iters = 0)
+    }
+    graft.util.Caches.releaseAll()
+  }
+
   // ------------------------------------------------------ ranking metrics
 
   test("rankMetrics: hand case — MRR, NDCG with an unretrieved best doc, " +

@@ -39,4 +39,23 @@ class MutualKnnSpec extends SparkSpec {
     val want = edges.count { case (a, b) => a < b && edges.contains((b, a)) }
     assert(got.length == want)
   }
+
+  test("mutualPairs composes with the LSH tier — the 100 TB path: " +
+      "sub-quadratic edges in, the same edge-grain filter") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val lshEdges = Similarity.lshTopK(emb, emb, k = 4, nBits = 6,
+      nTables = 6).select($"query_id", $"nn_id")
+    val es = lshEdges.as[(Long, Long)].collect().toSet
+    val got = Similarity.mutualPairs(lshEdges, "query_id", "nn_id")
+      .as[(Long, Long)].collect().toSet
+    val want = es.filter { case (a, b) => a < b && es.contains((b, a)) }
+    assert(got == want && got.nonEmpty,
+      s"LSH-edge mutual filter must replicate: ${got.size} vs ${want.size}")
+    // the LSH mutual set is a biased-but-overlapping shadow of the exact
+    // tier's — same operator, cheaper edges; verify a real overlap
+    val exact = Similarity.mutualPairs(
+      Similarity.bruteForceTopK(emb, emb, k = 4), "query_id", "nn_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got.intersect(exact).nonEmpty)
+  }
 }
