@@ -300,8 +300,11 @@ object Eval {
     * its JUDGED docs only (bounded-judgments contract). The corpus never
     * appears.
     *
-    * @param runs  (queryCol, docCol, rankCol)
-    * @param qrels (queryCol, docCol, relCol) — graded, 0/NULL = irrelevant
+    * @param runs  (queryCol, docCol, rankCol) — one row per retrieved
+    *              doc per query (ranked lists are unique by construction;
+    *              a duplicated (query, doc) row would double-count)
+    * @param qrels (queryCol, docCol, relCol) — graded, 0/NULL = irrelevant;
+    *              one judgment per (query, doc)
     * @return (queryCol, n_rel, n_hits, mrr_micro, ndcg_micro,
     *         p_at_k_micro, recall_micro)
     */
