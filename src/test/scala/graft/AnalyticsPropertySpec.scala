@@ -231,4 +231,64 @@ class AnalyticsPropertySpec extends SparkSpec {
       psi >= 0L && kAB >= 0L && kAB <= 1000000L && kAB == kBA
     }, samples = 5)
   }
+
+  test("eval invariants: AUC label-flip anti-symmetry, AP within [0,1], " +
+      "ROC curve monotone (r15)") {
+    import graft.ops.Eval
+    val genScored: Gen[Seq[(Double, Boolean)]] = for {
+      n <- Gen.choose(8, 120)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.choose(0, 19).map(_ / 19.0)
+        y <- Gen.oneOf(true, false)
+      } yield (s, y))
+      // force both classes present so AUC is defined
+      withPos = (0.91, true) +: (0.13, false) +: rows
+    } yield withPos
+    check("auc/ap/curve", Prop.forAll(genScored) { rows =>
+      val df = rows.toDF("score", "label")
+      val flipped = rows.map { case (s, y) => (s, !y) }
+        .toDF("score", "label")
+      val a = Eval.rocAuc(df, "score", "label").head().getLong(2)
+      val af = Eval.rocAuc(flipped, "score", "label").head().getLong(2)
+      val ap = Eval.averagePrecision(df, "score", "label").head().getLong(2)
+      val curve = Eval.rocCurve(df, "score", "label")
+        .orderBy($"threshold".desc).select($"tp", $"fp")
+        .as[(Long, Long)].collect()
+      // flipping labels mirrors the rank statistic: AUC + AUC' = 1
+      // (exact in micro units — the same tie mass mirrors too)
+      (a + af == 1000000L) &&
+        a >= 0L && a <= 1000000L && ap >= 0L && ap <= 1000000L &&
+        curve.map(_._1).sameElements(curve.map(_._1).sorted) &&
+        curve.map(_._2).sameElements(curve.map(_._2).sorted)
+    }, samples = 5)
+  }
+
+  test("concentration/drift invariants: gini within [0, (n−1)/n], JSD " +
+      "within [0, ln 2] and symmetric (r15)") {
+    import graft.ops.{Drift, Frequency}
+    val genCounts: Gen[Seq[Long]] = for {
+      n <- Gen.choose(2, 30)
+      xs <- Gen.listOfN(n, Gen.choose(0L, 500L))
+    } yield if (xs.sum == 0) xs.updated(0, 1L) else xs
+    check("gini bounds", Prop.forAll(genCounts) { xs =>
+      val g = Frequency.gini(
+        xs.zipWithIndex.map { case (x, i) => (s"g$i", x) }.toDF("g", "m"),
+        "m").head().getLong(2)
+      g >= 0L && g <= math.round((xs.size - 1).toDouble / xs.size * 1e6)
+    }, samples = 5)
+    val genCats: Gen[(Seq[String], Seq[String])] = for {
+      na <- Gen.choose(1, 80); nb <- Gen.choose(1, 80)
+      a <- Gen.listOfN(na, Gen.choose(0, 9).map(i => s"c$i"))
+      b <- Gen.listOfN(nb, Gen.choose(0, 14).map(i => s"c$i"))
+    } yield (a, b)
+    check("jsd bounds + symmetry", Prop.forAll(genCats) { case (a, b) =>
+      def df(xs: Seq[String]) = xs.map(("k", _)).toDF("k", "cat")
+      val ab = Drift.jsDrift(df(a), df(b), Seq("k"), "cat")
+        .select($"jsd_nano").as[Long].head()
+      val ba = Drift.jsDrift(df(b), df(a), Seq("k"), "cat")
+        .select($"jsd_nano").as[Long].head()
+      ab == ba && ab >= 0L &&
+        ab <= math.ceil(math.log(2.0) * 1e9).toLong
+    }, samples = 5)
+  }
 }
