@@ -194,7 +194,7 @@ object Bench {
         "\"" + key(k.takeWhile(_ != '_')) + "\":" +
           (if (v < 0) "-1" else math.round(v * 1000).toString)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","qunit":"ms","queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","qunit":"ms","n_queries":${results.size},"queries":$qs,"sf":"$sf"}"""
     }
     val line = build(identity)
     if (line.length < 1950) line
@@ -220,7 +220,7 @@ object Bench {
         }.mkString("{", ",", "}")
         val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
         val sf2 = sfDir.stripSuffix("/").split('/').last
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","qunit":"ms","dropped":$dropped,"queries":$qs,"sf":"$sf2"}"""
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","qunit":"ms","n_queries":${results.size},"dropped":$dropped,"queries":$qs,"sf":"$sf2"}"""
       }
     }
   }

@@ -3463,11 +3463,24 @@ object SparkEntry {
         .withColumn("moved", col("shard5") =!= col("shard6"))),
 
     // --- mutual kNN (r15): the reciprocal filter over a kNN edge table —
-    //     one semi-join at edge grain, hub artifacts drop ---
+    //     one semi-join at edge grain, hub artifacts drop. EXACT tier:
+    //     O(n²) edge build — the bounded differential anchor for q247 ---
     "q230_mutual_knn" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.mutualPairs(
         Similarity.bruteForceTopK(emb, emb, k = 5), "query_id", "nn_id")
+    }),
+
+    // --- mutual kNN, LSH tier (r16): the SCALE path — edges from the
+    //     bucket self-join kNN graph (sub-quadratic: Σ|bucket|² candidate
+    //     pairs, no broadcast of the corpus), the same reciprocal
+    //     semi-join on top. Seeded hyperplanes replay in DuckDB (the q38
+    //     scheme), so the full approximate composition is hash-checked ---
+    "q247_mutual_knn_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mutualPairs(
+        Similarity.lshKnnEdges(emb, k = 5, nBits = 6, nTables = 6),
+        "query_id", "nn_id")
     }),
 
     // --- Benford first-digit audit (r15): the forensic screen on the
@@ -7125,9 +7138,11 @@ object SparkEntry {
         SELECT score AS threshold,
           p - cum_pos + pos_at AS tp,
           n - cum_neg + neg_at AS fp,
-          CAST(floor(CAST(p - cum_pos + pos_at AS DOUBLE) / CAST(p AS DOUBLE)
+          CAST(floor(CASE WHEN p = 0 THEN NULL
+            ELSE CAST(p - cum_pos + pos_at AS DOUBLE) / CAST(p AS DOUBLE) END
             * 1000000.0 + 0.5) AS BIGINT) AS tpr_micro,
-          CAST(floor(CAST(n - cum_neg + neg_at AS DOUBLE) / CAST(n AS DOUBLE)
+          CAST(floor(CASE WHEN n = 0 THEN NULL
+            ELSE CAST(n - cum_neg + neg_at AS DOUBLE) / CAST(n AS DOUBLE) END
             * 1000000.0 + 0.5) AS BIGINT) AS fpr_micro
         FROM c CROSS JOIN tot""",
 
@@ -7299,8 +7314,9 @@ object SparkEntry {
             sum(x * x) AS sxx, sum(y * y) AS syy
           FROM xy)
         SELECT nf AS n_fit,
-          CAST(floor(-(CAST(nf * sxy - sx * sy AS DOUBLE)
-            / CAST(nf * sxx - sx * sx AS DOUBLE)) * 1000000.0 + 0.5)
+          CAST(floor(CASE WHEN (nf * sxx - sx * sx) = 0 THEN NULL
+            ELSE -(CAST(nf * sxy - sx * sy AS DOUBLE)
+              / CAST(nf * sxx - sx * sx AS DOUBLE)) END * 1000000.0 + 0.5)
             AS BIGINT) AS alpha_micro,
           CAST(floor(CASE WHEN (nf * sxx - sx * sx) = 0
               OR (nf * syy - sy * sy) = 0 THEN NULL
@@ -7699,6 +7715,37 @@ object SparkEntry {
         SELECT a.qid AS id_a, a.nid AS id_b
         FROM knn a JOIN knn b ON a.qid = b.nid AND a.nid = b.qid
         WHERE a.qid < a.nid""",
+
+      // mutual kNN over the LSH tier: the q38 seeded-hyperplane bucket
+      // replay generates candidates (self-join, both orientations), exact
+      // cosine + per-query top-5 rebuilds the approximate edge table
+      // bit-for-bit, then the same reciprocal join as q230
+      "q247_mutual_knn_lsh" -> {
+        val buckets = (0 until 6).map(t =>
+          s"SELECT vec_id, $t AS tbl, ${duckBucket(6, t, 64)} AS bkt FROM v")
+          .mkString("\n          UNION ALL ")
+        s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        b AS ($buckets),
+        cand AS (SELECT DISTINCT y.vec_id AS qid, x.vec_id AS nid
+          FROM b x JOIN b y
+            ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id <> y.vec_id),
+        scored AS (SELECT c.qid, c.nid,
+            CASE WHEN sqrt(list_dot_product(a.e, a.e)) *
+                      sqrt(list_dot_product(q.e, q.e)) = 0 THEN 0
+                 ELSE list_dot_product(a.e, q.e) /
+                   (sqrt(list_dot_product(a.e, a.e)) *
+                    sqrt(list_dot_product(q.e, q.e))) END AS s
+          FROM cand c JOIN v a ON a.vec_id = c.nid
+                      JOIN v q ON q.vec_id = c.qid),
+        knn AS (SELECT qid, nid FROM (SELECT qid, nid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+          FROM scored) WHERE rn <= 5)
+        SELECT a.qid AS id_a, a.nid AS id_b
+        FROM knn a JOIN knn b ON a.qid = b.nid AND a.nid = b.qid
+        WHERE a.qid < a.nid"""
+      },
 
       // Benford replay: identical exact-cents derivation (q179's), string
       // first digit, the same inlined log10 expectation literals

@@ -229,18 +229,64 @@ object Frequency {
     * Doc rank = position in `orderCol` order (ties broken by the column
     * itself — pass a unique id).
     *
-    * Scale shape: the doc-rank window is ONE global sort at DOC grain
-    * (not token grain) — the operator's stated bound, same class as the
-    * exact tier of heavy hitters; everything after is token-grain
-    * aggregates and a |checkpoints|-row fit.
+    * Scale shape (r16): the doc rank is SHARD-BOUNDED — no corpus-grain
+    * single-partition window. [[shardedRank]] range-buckets `orderCol`
+    * into equal-width shards (pure arithmetic on a broadcast min/max
+    * row — no sampled RangePartitioner, so the shard of a row is a pure
+    * function of its value and the result replays on any engine), ranks
+    * within shards in parallel, and composes global ranks from broadcast
+    * per-shard offsets. The only unpartitioned window left runs over the
+    * ≤`shards`-row offset table (the bounded-grain class). Everything
+    * after is token-grain aggregates and a |checkpoints|-row fit.
+    *
+    * `orderCol` must be NUMERIC and unique (the doc-id contract the
+    * ranking always had — ties now additionally land in one shard, where
+    * the global sort's intra-tie order was engine-chosen).
     *
     * @return one row: (n_docs, n_checkpoints, beta_micro, r2_micro)
     */
+  /** Global 1-based rank of `orderCol` (numeric, unique by contract)
+    * WITHOUT a single-partition corpus window: equal-width range shards
+    * from one broadcast (min, max) row — shard-of-row is pure arithmetic,
+    * deterministic on any engine and any partitioning (no sampled
+    * RangePartitioner bounds) — then per-shard `row_number` in parallel
+    * and one bounded offsets table (≤ `shards` rows; ITS cumulative
+    * window is the bounded-grain class) broadcast back. Rank values are
+    * identical to `row_number() OVER (ORDER BY orderCol)` because shards
+    * are range-contiguous. Equal-width sharding concentrates skewed id
+    * distributions; ids are uniform-ish by construction in every caller
+    * (the `deterministicShuffle` discipline), and AQE splits stragglers.
+    *
+    * @return the input plus `__r` (long, 1-based)
+    */
+  private def shardedRank(df: DataFrame, orderCol: String,
+                          shards: Int = 64): DataFrame = {
+    val v = col(orderCol).cast("long")
+    val bounds = df.agg(min(v).as("__lo"), max(v).as("__hi"))
+    // width = floor((hi−lo)/S) + 1 in EXACT decimal (ids may exceed the
+    // 2^53 double grid); max lands in shard ≤ S−1 by construction
+    val width = floor((col("__hi") - col("__lo")).cast(Dec0) /
+      lit(shards).cast(Dec0)).cast("long") + lit(1L)
+    val sharded = df.crossJoin(broadcast(bounds))
+      .withColumn("__shard",
+        floor((v - col("__lo")).cast(Dec0) / width.cast(Dec0)).cast("int"))
+      .drop("__lo", "__hi")
+    val local = sharded.withColumn("__lr", row_number().over(
+      Window.partitionBy(col("__shard")).orderBy(col(orderCol))).cast("long"))
+    val offsets = local.groupBy(col("__shard")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        Window.orderBy(col("__shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__shard"), col("__off"))
+    local.join(broadcast(offsets), Seq("__shard"))
+      .withColumn("__r", col("__off") + col("__lr"))
+      .drop("__shard", "__lr", "__off")
+  }
+
   def heapsFit(docs: DataFrame, orderCol: String, textCol: String): DataFrame = {
-    val ranked = docs
-      .filter(col(textCol).isNotNull && col(orderCol).isNotNull)
-      .withColumn("__r", row_number().over(Window.orderBy(col(orderCol)))
-        .cast("long"))
+    val ranked = shardedRank(
+      docs.filter(col(textCol).isNotNull && col(orderCol).isNotNull),
+      orderCol)
     val firstSeen = ranked
       .select(col("__r"), explode(graft.functions.TextFunctions
         .tokens(col(textCol))).as("__tok"))

@@ -25,8 +25,13 @@ import org.apache.spark.sql.functions._
   * Determinism under timestamp ties: the gap between equal timestamps is
   * 0, so tied events never start a session and every member of a tie
   * group lands in the same session regardless of intra-tie sort order —
-  * the output is unique however Spark (or the oracle engine) breaks the
-  * tie.
+  * `session_seq` and [[sessionStats]] are therefore tie-invariant (the
+  * deterministic public contract). The per-row `is_session_start` flag is
+  * NOT: when a session's FIRST timestamp is shared by several rows that
+  * differ in other columns, which physical row carries `true` depends on
+  * the engine's intra-tie order. Consumers needing a tie-stable start
+  * row should pick it themselves from the session key (e.g. min over a
+  * total order within `(entity, session_seq)`).
   *
   * Scale shape: ONE shuffle at entity grain and ONE sort. The running
   * flag-sum must consume the MATERIALIZED start flag (a window function

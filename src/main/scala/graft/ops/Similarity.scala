@@ -168,6 +168,49 @@ object Similarity {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** All-corpus approximate kNN EDGE TABLE — the sub-quadratic feeder for
+    * [[mutualPairs]] (and any kNN-graph consumer: manifold clustering,
+    * hub detection, graph-based dedup). Same hyperplane-LSH tier as
+    * [[lshTopK]], but the corpus plays BOTH sides: a (tbl, bkt) bucket
+    * SELF-equi-join generates candidates (nothing broadcasts — unlike
+    * [[lshTopK]]'s small-query contract, both sides here are corpus-
+    * sized), exact cosine scores them inside the join, and a per-query
+    * window keeps the top k.
+    *
+    * Scale shape: one corpus scan → nTables bucket rows per vector →
+    * ONE shuffled equi-join on (tbl, bkt) — candidate volume is
+    * Σ_buckets |bucket|², tuned by nBits (more bits → smaller buckets),
+    * never the n² of [[bruteForceTopK]] with queries = corpus. Scores
+    * are orientation-symmetric bit-for-bit (per-element products
+    * commute, the fold order is the element order), so the (a→b) and
+    * (b→a) edges this emits carry identical doubles — which is what
+    * makes [[mutualPairs]]' reciprocal semi-join exact on top of it.
+    *
+    * Approximation contract: a true neighbor sharing NO bucket with its
+    * query is missed (recall follows the [[lshThresholdPairs]] collision
+    * algebra) — and missed edges can PROMOTE the next candidate into the
+    * top k. The exact tier ([[bruteForceTopK]] + [[mutualPairs]]) is the
+    * bounded differential anchor; this is the 100 TB path.
+    */
+  def lshKnnEdges(corpus: DataFrame, k: Int,
+                  nBits: Int = 12, nTables: Int = 4, dim: Int = 64): DataFrame = {
+    val buckets = corpus.select(col("vec_id").as("id"), col("embedding").as("e"),
+      posexplode(graft.functions.expressions.HyperplaneBuckets(
+        col("embedding"), nBits, nTables, dim)).as(Seq("tbl", "bkt")))
+    val cands = buckets.as("x").join(buckets.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
+          col("x.id") =!= col("y.id"))
+      // query side = y (the q38 oracle orientation); same-pair edges from
+      // several tables carry bit-identical scores, either occurrence kept
+      .select(col("y.id").as("query_id"), col("x.id").as("nn_id"),
+        cosine(col("x.e"), col("y.e")).as("score"))
+      .dropDuplicates("query_id", "nn_id")
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("nn_id"))
+    cands.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("nn_id"), round(col("score"), 6).as("score"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** IVF-style clustered search: assign every corpus vector to its nearest
     * centroid (broadcast centroids), then search only the query's probe
     * cluster(s). Centroids here are caller-provided (e.g. sampled vectors) —

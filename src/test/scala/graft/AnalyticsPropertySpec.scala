@@ -254,9 +254,12 @@ class AnalyticsPropertySpec extends SparkSpec {
       val curve = Eval.rocCurve(df, "score", "label")
         .orderBy($"threshold".desc).select($"tp", $"fp")
         .as[(Long, Long)].collect()
-      // flipping labels mirrors the rank statistic: AUC + AUC' = 1
-      // (exact in micro units — the same tie mass mirrors too)
-      (a + af == 1000000L) &&
+      // flipping labels mirrors the rank statistic: AUC + AUC' = 1.
+      // NOT exact in micro units: when AUC·1e6 lands exactly on a
+      // half-integer (P·N a power of two with an odd tied-pair count),
+      // floor(x + 0.5) rounds BOTH mirrored values up and the sum is
+      // 1000001 — so the invariant is |a + a' − 1e6| ≤ 1 (ADVICE r15)
+      (math.abs(a + af - 1000000L) <= 1L) &&
         a >= 0L && a <= 1000000L && ap >= 0L && ap <= 1000000L &&
         curve.map(_._1).sameElements(curve.map(_._1).sorted) &&
         curve.map(_._2).sameElements(curve.map(_._2).sorted)

@@ -289,4 +289,31 @@ class FrequencySpec extends SparkSpec {
       "doc_id", "text").collect().head
     assert(re == got)
   }
+
+  test("heapsFit doc ranking is shard-bounded: the doc-grain window is " +
+      "partitioned (no corpus-wide single-partition sort), ranks match " +
+      "the global sort on sparse/clustered/huge ids (r16)") {
+    import graft.ops.Frequency
+    // the doc-grain window must carry a partition key now — the only
+    // unpartitioned windowspec left is the ≤64-row shard-offset one
+    val plan = Frequency.heapsFit(
+      (1 to 50).map(i => (i.toLong, s"w$i")).toDF("doc_id", "text"),
+      "doc_id", "text").queryExecution.analyzed.toString
+    assert(plan.contains("windowspecdefinition(__shard"),
+      s"doc window lost its shard partitioning:\n$plan")
+    // rank equality vs the plain global sort, on id distributions that
+    // stress the equal-width sharding: sparse with a huge outlier,
+    // clustered runs, negatives
+    for (ids <- Seq(
+        Seq(5L, 7L, 9L, 1000000000000L, -3L, 0L, 12L),
+        (1 to 200).map(_.toLong * 3 + 1000000L),
+        Seq(Long.MinValue / 4, -1L, 1L, Long.MaxValue / 4))) {
+      val docs = ids.map(i => (i, s"tok$i")).toDF("doc_id", "text")
+      val a = Frequency.heapsFit(docs, "doc_id", "text").collect().head
+      val b = Frequency.heapsFit(docs.repartition(5), "doc_id", "text")
+        .collect().head
+      assert(a == b, s"repartition changed the fit on ids=$ids")
+      assert(a.getLong(0) == ids.size.toLong)
+    }
+  }
 }

@@ -58,4 +58,32 @@ class MutualKnnSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(got.intersect(exact).nonEmpty)
   }
+
+  test("lshKnnEdges ≡ lshTopK with queries = corpus (same buckets, same " +
+      "scores, same cut) — without the corpus-broadcast contract (r16)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val self = Similarity.lshKnnEdges(emb, k = 4, nBits = 6, nTables = 6)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val bcast = Similarity.lshTopK(emb, emb, k = 4, nBits = 6, nTables = 6)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(self == bcast && self.nonEmpty,
+      s"self-join tier diverged from the broadcast tier: " +
+        s"${self.size} vs ${bcast.size}")
+  }
+
+  test("lshKnnEdges plan: bucket EQUI-join, no nested-loop and no " +
+      "mandated corpus broadcast (r16)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val plan = Similarity.lshKnnEdges(emb, k = 4, nBits = 6, nTables = 6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"candidate generation must be the (tbl, bkt) equi-join:\n$plan")
+    // the logical plan carries no broadcast() mandate: at small SF the
+    // optimizer MAY size-pick BHJ, but at 100 TB the same plan shuffles
+    val logical = Similarity.lshKnnEdges(emb, k = 4, nBits = 6, nTables = 6)
+      .queryExecution.logical.toString
+    assert(!logical.toLowerCase.contains("broadcast"),
+      s"no broadcast hint in the self-join tier:\n$logical")
+  }
 }
