@@ -32,18 +32,39 @@ object Pca {
     * Contract: |x_i·x_j| ≤ 9e6 (pico-scaled must fit a long) — embedding
     * coordinates are O(1); loudly out of range for general ledgers.
     *
-    * Scale shape: the chained posexplode expands each row to d² (i, j)
-    * products IN the mapper, and the hash aggregate's partial combine
-    * collapses them to d² accumulators per task BEFORE the shuffle — the
-    * exchange carries d² rows per task, never corpus×d². (The expansion
-    * is mapper CPU, the [[Similarity.kmeansStep]] corpus×d contract one
-    * power higher; a native moment aggregate would cut that constant and
-    * is the upgrade path if profiles demand.) The corpus never shuffles.
+    * Scale shape (r16): ONE native moment aggregate
+    * ([[graft.functions.expressions.CovMomentsAgg]]) walks each vector
+    * once inside a single buffer — d²/2 multiply+floor+add on primitive
+    * long arrays per row, NO intermediate (i, j, xᵢ, xⱼ) rows — and the
+    * shuffle carries one buffer per map partition. The moments are the
+    * SAME pico-quantized integer sums the previous chained-posexplode
+    * form accumulated (now in signed 128-bit hi/lo pairs, which also
+    * removes that form's implicit ~9e6-row overflow headroom bound), so
+    * every derived cell is bit-identical and q233/q234/q235 replay
+    * unchanged; [[covarianceExploded]] keeps the row-expansion form as
+    * the differential anchor. The corpus never shuffles.
     *
     * @return (i, j, n, cov) — d² rows, `cov` the raw double (feed to
     *         [[topDirection]]); micro-quantize for storage/compare
     */
   def covariance(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val upper = df.filter(v.isNotNull)
+      .agg(graft.functions.expressions.CovMomentsAgg.covMoments(v).as("__m"))
+      .select(explode(col("__m")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.n").as("n"),
+        col("c.sij").as("__sij"), col("c.si").as("__si"),
+        col("c.sj").as("__sj"))
+    derive(upper)
+  }
+
+  /** The pre-r16 chained-posexplode covariance — identical output, d²
+    * expanded rows per input row in the mapper. Kept as the differential
+    * anchor for the native moment aggregate (PcaSpec pins equality) and
+    * as the formulation an engine without imperative aggregates would
+    * replay.
+    */
+  def covarianceExploded(df: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     def pico(c: Column) = floor(c * lit(1e12) + lit(0.5)).cast("long").cast(Dec0)
     // symmetry: generate and aggregate the UPPER TRIANGLE only (the
@@ -55,13 +76,20 @@ object Pca {
       .select(col("i"), col("xi"),
         posexplode(slice(col("__v"), col("i") + lit(1),
           size(col("__v")) - col("i"))).as(Seq("jr", "xj")))
-    val upper = pairs
+    derive(pairs
       .groupBy(col("i").cast("long").as("i"),
         (col("i") + col("jr")).cast("long").as("j"))
       .agg(count(lit(1)).as("n"),
         sum(pico(col("xi") * col("xj"))).as("__sij"),
         sum(pico(col("xi"))).as("__si"),
-        sum(pico(col("xj"))).as("__sj"))
+        sum(pico(col("xj"))).as("__sj")))
+  }
+
+  /** Upper-triangle moment cells (i, j, n, __sij, __si, __sj) → the full
+    * d² covariance table. ONE fixed IEEE tree per cell, shared by both
+    * moment producers so the arithmetic can never fork.
+    */
+  private def derive(upper: DataFrame): DataFrame = {
     def cell(si: Column, sj: Column) =
       (col("__sij").cast("double") / lit(1e12) / col("n").cast("double") -
         (si.cast("double") / lit(1e12) / col("n").cast("double")) *

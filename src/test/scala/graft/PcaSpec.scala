@@ -130,6 +130,40 @@ class PcaSpec extends SparkSpec {
     graft.util.Caches.releaseAll()
   }
 
+  test("native moment aggregate ≡ the exploded form bit-for-bit, on " +
+      "random floats and under repartitioning (r16)") {
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.fill(300)(Array.fill(8)(rnd.nextFloat() * 4 - 2))
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("vec").repartition(parts)
+      val native = Pca.covariance(df, "vec")
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+      val exploded = Pca.covarianceExploded(df, "vec")
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+      assert(native == exploded,
+        s"native diverged from the exploded anchor at parts=$parts")
+    }
+  }
+
+  test("native moment aggregate: 128-bit accumulators survive sums past " +
+      "the long range; ragged dims and null elements fail loudly (r16)") {
+    // |xi·xj| = 9e6 (the stated per-term bound) → pico term 9e18, within
+    // one long; THREE rows push the cell sum to 2.7e19 > 2^63 — the
+    // regime the old long-path would have wrapped in, exact here
+    val hot = Seq.fill(3)(Array(3000.0f, 3000.0f)).toDF("vec")
+    val native = Pca.covariance(hot, "vec")
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val exploded = Pca.covarianceExploded(hot, "vec")
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(native == exploded && native.forall(_._4 == 0.0))
+    val ragged = Seq(Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)).toDF("vec")
+    val e = intercept[Exception] { Pca.covariance(ragged, "vec").collect() }
+    assert(e.getMessage != null)
+    val withNull = Seq(Seq[Option[Double]](Some(1.0), None)).toDF("vec")
+    val e2 = intercept[Exception] { Pca.covariance(withNull, "vec").collect() }
+    assert(e2.getMessage != null)
+  }
+
   test("topDirection: zero matrix reports the zero vector, not a crash; " +
       "knob guards") {
     val cov = Seq((0L, 0L, 0.0), (0L, 1L, 0.0), (1L, 0L, 0.0), (1L, 1L, 0.0))
