@@ -1914,6 +1914,27 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), "vec_id", "embedding", cb, topK = 5)
     }),
 
+    // --- PERSISTED ANN artifacts (r16): build-once / probe-many — the
+    //     codebooks AND the encoded corpus publish into versioned roots
+    //     (atomic pointer flip, metadata rides the version dir), then
+    //     serving loads the stored books as literals and scans ONLY the
+    //     codes table: zero corpus floats, zero training scans in the
+    //     probe plan (AnnArtifactSpec pins both). Stored == seeded here,
+    //     so the oracle replays the same literals as q160 ---
+    "q248_ann_artifact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+      val root = graft.util.TempRoots.create("graft_q248")
+      graft.model.AnnIndex.publishCodebooks(s, root + "/books", cb,
+        extraMeta = Map("seed" -> "7"))
+      graft.model.AnnIndex.publishCodes(s, root + "/codes",
+        Quantize.encode(emb, "embedding", cb), "vec_id",
+        extraMeta = Map("books_version" -> "0"))
+      graft.model.AnnIndex.serveAdcTopK(s, root + "/books", root + "/codes",
+        emb.filter(col("vec_id") >= 20 && col("vec_id") <= 24),
+        "vec_id", "embedding", topK = 5)
+    }),
+
     // --- incremental MOMENT view (avg/variance) under the oracle ---
     // q139's history replayed into the (n, Σv, Σv², non-null) state; the
     // derived mean/var_pop of the folded state must equal DuckDB's direct
@@ -5752,6 +5773,24 @@ object SparkEntry {
           FROM embeddings),
         coded AS (SELECT vec_id, ${duckPqCode(4, 8, 16, 7)} AS code FROM v),
         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+        scored AS (SELECT q.query_id, c.vec_id AS nn_id,
+            ${duckPqScore(4, 8, 16, 7)} AS s
+          FROM coded c JOIN q ON c.vec_id <> q.query_id),
+        ranked AS (SELECT query_id, nn_id, round(s, 6) AS score,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM scored)
+        SELECT query_id, nn_id, score, rnk FROM ranked WHERE rnk <= 5""",
+
+      // artifact-served ADC: the stored codebooks equal the seeded ones
+      // (the publish→load roundtrip is exact — AnnArtifactSpec), so the
+      // replay is q160's literal scheme over the probe query slice
+      "q248_ann_artifact" -> s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        coded AS (SELECT vec_id, ${duckPqCode(4, 8, 16, 7)} AS code FROM v),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM v
+          WHERE vec_id BETWEEN 20 AND 24),
         scored AS (SELECT q.query_id, c.vec_id AS nn_id,
             ${duckPqScore(4, 8, 16, 7)} AS s
           FROM coded c JOIN q ON c.vec_id <> q.query_id),

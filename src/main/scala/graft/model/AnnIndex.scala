@@ -1,0 +1,131 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Layout
+
+/** Persisted ANN index artifacts — the build-once / probe-many split the
+  * in-plan ANN queries (q160/q161/q167/q178/q190 train or seed codebooks
+  * inside the query) deliberately defer: at 100 TB, codebook/centroid
+  * training is an offline job measured in hours, and SERVING must read a
+  * published artifact, never re-derive it. This module stores both halves
+  * of a PQ index in the versioned layout ([[Layout.publishVersion]] — the
+  * same atomic snapshot-publish primitive the incremental views commit
+  * through), so an index retrain is just the next version: time-travelable,
+  * crash-safe (pointer flips after data + metadata land), and vacuumable.
+  *
+  *  - CODEBOOKS: m×k centroid rows `(subspace, centroid, center)` plus an
+  *    `_ann_index.json` metadata file (underscore-prefixed — parquet readers skip it) carried INTO the version directory —
+  *    bounded driver metadata by contract (m·k rows at any corpus size,
+  *    the [[graft.ops.Pca.topDirection]] class), so serving loads them
+  *    with one bounded collect and inlines them as plan literals — the
+  *    exact shape the q160-family oracles replay.
+  *  - CODES: the encoded corpus `(id, code)` — m small ints per vector
+  *    instead of d floats. Publishing the codes table is what makes
+  *    serving corpus-float-free: the probe plan scans ONLY this table
+  *    (AnnArtifactSpec pins the read schema), the original embedding
+  *    column never appears.
+  *
+  * Reference analog: the staging-table pattern
+  * (/root/reference/loading.py:143-151) — materialize the expensive
+  * intermediate once, serve many reads from it.
+  */
+object AnnIndex {
+
+  private val MetaFile = "_ann_index.json"
+
+  /** Publish PQ codebooks as the next version of `root` (v0 when fresh).
+    * Rows are `(subspace, centroid, center: array<double>)`; metadata
+    * records the shape plus caller extras. Atomic: data + metadata land
+    * before the pointer flip ([[Layout.publishVersion]]'s contract).
+    *
+    * @return the published version directory
+    */
+  def publishCodebooks(spark: SparkSession, root: String,
+                       codebooks: Array[Array[Array[Double]]],
+                       extraMeta: Map[String, String] = Map.empty): String = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "publishCodebooks: empty codebook")
+    val m = codebooks.length
+    val k = codebooks(0).length
+    val subDim = codebooks(0)(0).length
+    require(codebooks.forall(b => b.length == k && b.forall(_.length == subDim)),
+      "publishCodebooks: ragged codebook (every subspace needs k centroids " +
+        "of one subDim)")
+    import spark.implicits._
+    val rows = for {
+      (book, j) <- codebooks.zipWithIndex
+      (cent, c) <- book.zipWithIndex
+    } yield (j, c, cent.toSeq)
+    val df = rows.toSeq.toDF("subspace", "centroid", "center")
+    val meta = Map("kind" -> "pq_codebooks", "m" -> m.toString,
+      "k" -> k.toString, "subDim" -> subDim.toString) ++ extraMeta
+    val json = meta.toSeq.sortBy(_._1)
+      .map { case (a, b) => s""""$a":"$b"""" }.mkString("{", ",", "}")
+    Layout.publishVersion(spark, root, df, Map(MetaFile -> json))
+  }
+
+  /** Load the LIVE codebook version back into the literal array form the
+    * serving expressions inline. ONE bounded collect (m·k rows — driver
+    * metadata by the publish contract); deterministic reassembly by
+    * (subspace, centroid).
+    */
+  def loadCodebooks(spark: SparkSession, root: String): Array[Array[Array[Double]]] =
+    assemble(Layout.readCurrent(spark, root))
+
+  /** [[loadCodebooks]] pinned to a historical version — serving a frozen
+    * index while a retrain publishes, or auditing what version n served.
+    */
+  def loadCodebooksAt(spark: SparkSession, root: String,
+                      version: Int): Array[Array[Array[Double]]] =
+    assemble(Layout.readVersion(spark, root, version))
+
+  private def assemble(df: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = df.select(col("subspace").cast("int"),
+        col("centroid").cast("int"), col("center").cast("array<double>"))
+      .collect()
+    require(rows.nonEmpty, "loadCodebooks: empty codebook table")
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val out = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { r =>
+      out(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    require(out.forall(_.forall(_ != null)),
+      "loadCodebooks: sparse codebook table — missing (subspace, centroid) cells")
+    out
+  }
+
+  /** Publish the ENCODED corpus `(idCol, code)` as the next version of
+    * `root` — the float-free half of the index. Pass
+    * [[graft.ops.Quantize.encode]]'s output projected to id + code; the
+    * metadata records which codebook version produced it so a reader can
+    * refuse a books/codes version skew.
+    */
+  def publishCodes(spark: SparkSession, root: String, coded: DataFrame,
+                   idCol: String,
+                   extraMeta: Map[String, String] = Map.empty): String = {
+    val df = coded.select(col(idCol), col("code"))
+    val meta = Map("kind" -> "pq_codes") ++ extraMeta
+    val json = meta.toSeq.sortBy(_._1)
+      .map { case (a, b) => s""""$a":"$b"""" }.mkString("{", ",", "}")
+    Layout.publishVersion(spark, root, df, Map(MetaFile -> json))
+  }
+
+  /** SERVE ADC top-k from the published artifacts: codebooks load once as
+    * plan literals (bounded collect), codes stream from the versioned
+    * root, queries broadcast. ZERO corpus floats and ZERO training scans
+    * in the probe plan — the only corpus-sized input is the codes table
+    * (AnnArtifactSpec pins both properties on the executed plan). Results
+    * are identical to [[graft.ops.Quantize.adcTopK]] over the same
+    * codebooks by construction (it IS that call over the loaded books).
+    */
+  def serveAdcTopK(spark: SparkSession, booksRoot: String, codesRoot: String,
+                   queries: DataFrame, idCol: String, vecCol: String,
+                   topK: Int): DataFrame = {
+    val books = loadCodebooks(spark, booksRoot)
+    val codes = Layout.readCurrent(spark, codesRoot)
+    graft.ops.Quantize.adcTopK(codes, queries, idCol, vecCol, books, topK)
+  }
+}
