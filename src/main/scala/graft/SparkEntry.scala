@@ -3317,6 +3317,19 @@ object SparkEntry {
       Eval.rocAuc(scored, "score", "label")
     }),
 
+    // --- the analytics-TVF SQL face under the oracle (r16): q225's AUC
+    //     driven through PURE SQL — the scored view registers, then
+    //     `SELECT * FROM graft_roc_auc(...)` plans the IDENTICAL Eval
+    //     tree (one arithmetic implementation, two entry points) ---
+    "q249_sql_roc_auc" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        TF.markerHits(TF.tokens(col("text")), Seq("the", "a"))
+          .cast("double").as("score"),
+        (col("lang") === "en").as("label"))
+        .createOrReplaceTempView("q249_scored")
+      s.sql("SELECT * FROM graft_roc_auc('q249_scored', 'score', 'label')")
+    }),
+
     // --- average precision (r15): the class-imbalance-honest companion
     //     to q225 over the same scored set — block-tie AP, nano-quantized
     //     per-block terms summed in decimal ---
@@ -7188,6 +7201,32 @@ object SparkEntry {
       // Mann–Whitney with tie mid-ranks: U·2 forms in HUGEINT (the
       // DECIMAL(38,0) mirror), ONE double division, micro-quantized
       "q225_roc_auc" -> """
+        WITH t AS (SELECT CAST(len(list_filter(
+              string_split_regex(trim(lower(text)), '\s+'),
+              x -> x IN ('the', 'a'))) AS DOUBLE) AS score,
+            (lang = 'en') AS y
+          FROM documents),
+        f AS (SELECT score, y FROM t
+          WHERE score IS NOT NULL AND y IS NOT NULL),
+        g AS (SELECT score,
+            CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos_at,
+            CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg_at
+          FROM f GROUP BY 1),
+        c AS (SELECT score, pos_at, neg_at,
+            CAST(sum(neg_at) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_neg
+          FROM g)
+        SELECT CAST(sum(pos_at) AS BIGINT) AS n_pos,
+          CAST(sum(neg_at) AS BIGINT) AS n_neg,
+          CAST(floor(CAST(sum(CAST(pos_at AS HUGEINT) *
+              (2 * CAST(cum_neg - neg_at AS HUGEINT) + neg_at)) AS DOUBLE) /
+            (2.0 * CAST(sum(pos_at) AS DOUBLE) * CAST(sum(neg_at) AS DOUBLE))
+            * 1000000.0 + 0.5) AS BIGINT) AS auc_micro
+        FROM c""",
+
+      // the SQL-face replay IS q225's: same scorer, same Mann-Whitney
+      // algebra -- the TVF plans the identical Eval tree
+      "q249_sql_roc_auc" -> """
         WITH t AS (SELECT CAST(len(list_filter(
               string_split_regex(trim(lower(text)), '\s+'),
               x -> x IN ('the', 'a'))) AS DOUBLE) AS score,

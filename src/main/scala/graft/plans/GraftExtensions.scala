@@ -292,6 +292,72 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(children(2), "graft_changes", "to"), keys)
           .queryExecution.logical
       }))
+    injectAnalytics(ext)
+  }
+
+  /** Analytics TVFs — SQL faces for the high-traffic evaluation / drift /
+    * concentration / survival operators (r16, the r15 verdict's item 5).
+    * Each takes TABLE NAMES as string literals (temp views or catalog
+    * tables, resolved through the session catalog at plan-build time) plus
+    * column-name literals, and returns the EXACT logical plan the Scala
+    * surface builds — one arithmetic tree, two entry points, so the SQL
+    * face can never drift from the oracled Scala face:
+    *
+    *   SELECT * FROM graft_roc_auc('scored', 'score', 'label')
+    *   SELECT * FROM graft_calibration('scored', 'score', 'label', 10)
+    *   SELECT * FROM graft_drift_psi('ref', 'cur', 'k1,k2', 'v', 10)
+    *   SELECT * FROM graft_drift_ks('ref', 'cur', '', 'v')
+    *   SELECT * FROM graft_drift_js('ref', 'cur', 'lang', 'tok')
+    *   SELECT * FROM graft_kaplan_meier('cohort', 'dur', 'event')
+    *   SELECT * FROM graft_gini('grouped', 'measure')
+    *
+    * Key lists follow the graft_changes comma convention; an EMPTY key
+    * string means ungrouped (one global row).
+    */
+  private def injectAnalytics(ext: SparkSessionExtensions): Unit = {
+    def table(name: String): org.apache.spark.sql.DataFrame =
+      org.apache.spark.sql.SparkSession.active.table(name)
+    def keysOf(s: String): Seq[String] =
+      s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    def tvf(name: String, arity: Range)(
+        build: Seq[String] => org.apache.spark.sql.DataFrame): Unit =
+      ext.injectTableFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(graft.ops.Eval.getClass.getName, name),
+        (children: Seq[Expression]) => {
+          require(arity.contains(children.size),
+            s"$name takes ${arity.min}-${arity.max} arguments, " +
+              s"got ${children.size}")
+          // trailing INT knobs pass through as literal strings too
+          val args = children.zipWithIndex.map {
+            case (Literal(s: org.apache.spark.unsafe.types.UTF8String, _), _) =>
+              s.toString
+            case (Literal(i: Int, org.apache.spark.sql.types.IntegerType), _) =>
+              i.toString
+            case (other, i) => throw new IllegalArgumentException(
+              s"$name: argument ${i + 1} must be a string or int literal, " +
+                s"got $other")
+          }
+          build(args).queryExecution.logical
+        }))
+    tvf("graft_roc_auc", 3 to 3) { a =>
+      graft.ops.Eval.rocAuc(table(a(0)), a(1), a(2)) }
+    tvf("graft_roc_curve", 3 to 3) { a =>
+      graft.ops.Eval.rocCurve(table(a(0)), a(1), a(2)) }
+    tvf("graft_calibration", 3 to 4) { a =>
+      graft.ops.Eval.calibration(table(a(0)), a(1), a(2),
+        if (a.size > 3) a(3).toInt else 10) }
+    tvf("graft_drift_psi", 4 to 5) { a =>
+      graft.ops.Drift.psiDrift(table(a(0)), table(a(1)), keysOf(a(2)), a(3),
+        if (a.size > 4) a(4).toInt else 10) }
+    tvf("graft_drift_ks", 4 to 4) { a =>
+      graft.ops.Drift.ksDrift(table(a(0)), table(a(1)), keysOf(a(2)), a(3)) }
+    tvf("graft_drift_js", 4 to 4) { a =>
+      graft.ops.Drift.jsDrift(table(a(0)), table(a(1)), keysOf(a(2)), a(3)) }
+    tvf("graft_kaplan_meier", 3 to 3) { a =>
+      graft.ops.Survival.kaplanMeier(table(a(0)), a(1), a(2)) }
+    tvf("graft_gini", 2 to 2) { a =>
+      graft.ops.Frequency.gini(table(a(0)), a(1)) }
   }
 
   private def strLit(e: Option[Expression], fn: String, arg: String): String =
