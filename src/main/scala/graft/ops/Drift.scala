@@ -43,8 +43,25 @@ object Drift {
     *         present only in one slice drop out — no reference, no PSI)
     */
   def psiDrift(ref: DataFrame, cur: DataFrame, keys: Seq[String],
-               valueCol: String, bins: Int = 10): DataFrame = {
-    require(bins >= 2, s"psiDrift: bins must be >= 2, got $bins")
+               valueCol: String, bins: Int = 10): DataFrame =
+    psiAgainstReference(referenceHistogram(ref, keys, valueCol, bins),
+      cur, keys, valueCol, bins)
+
+  /** The PRECOMPUTABLE half of [[psiDrift]]: the reference slice dies
+    * into its per-(key, bin) histogram — envelope bounds, n_ref and bin
+    * counts at `|keys| × bins` grain. Persist/publish THIS (it is
+    * broadcast-sized) and feed [[psiAgainstReference]] per comparison:
+    * a monitor that scores every incoming micro-batch then scans the
+    * reference corpus ONCE at setup, not once per batch — the
+    * [[graft.streaming.StreamingOps.streamDriftMonitor]] contract.
+    *
+    * @return keys… , __bin, __cr (bin count), __lo, __hi, n_ref — bins
+    *         with no reference rows are ABSENT (the grid completes in
+    *         the scoring half)
+    */
+  def referenceHistogram(ref: DataFrame, keys: Seq[String],
+                         valueCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"referenceHistogram: bins must be >= 2, got $bins")
     val k = keys.map(col)
     // reference envelope per key: exact long bounds (callers pass an
     // integer-grained value — cents, counts, micro-units)
@@ -52,20 +69,42 @@ object Drift {
       .agg(min(col(valueCol)).cast("long").as("__lo"),
         max(col(valueCol)).cast("long").as("__hi"),
         count(col(valueCol)).as("n_ref"))
-    def binned(df: DataFrame, nCol: String): DataFrame = {
-      val w = (col("__hi") - col("__lo")).cast("double") / lit(bins)
-      val raw = floor((col(valueCol).cast("double") - col("__lo")) / w)
-        .cast("int")
-      val b = when(col("__hi") === col("__lo"), lit(0))
-        .otherwise(least(greatest(raw, lit(0)), lit(bins - 1)))
-      df.join(env.select((k :+ col("__lo") :+ col("__hi")): _*), keys)
-        .filter(col(valueCol).isNotNull)
-        .select((k :+ b.as("__bin")): _*)
-        .groupBy((k :+ col("__bin")): _*)
-        .agg(count(lit(1)).as(nCol))
-    }
-    val rc = binned(ref, "__cr")
-    val cc = binned(cur, "__cc")
+    binAgainst(env, ref, keys, valueCol, bins, "__cr")
+      .join(env, keys)
+  }
+
+  private def binAgainst(env: DataFrame, df: DataFrame, keys: Seq[String],
+                         valueCol: String, bins: Int,
+                         nCol: String): DataFrame = {
+    val k = keys.map(col)
+    val w = (col("__hi") - col("__lo")).cast("double") / lit(bins)
+    val raw = floor((col(valueCol).cast("double") - col("__lo")) / w)
+      .cast("int")
+    val b = when(col("__hi") === col("__lo"), lit(0))
+      .otherwise(least(greatest(raw, lit(0)), lit(bins - 1)))
+    df.join(env.select((k :+ col("__lo") :+ col("__hi")): _*), keys)
+      .filter(col(valueCol).isNotNull)
+      .select((k :+ b.as("__bin")): _*)
+      .groupBy((k :+ col("__bin")): _*)
+      .agg(count(lit(1)).as(nCol))
+  }
+
+  /** The SCORING half of [[psiDrift]]: PSI of `cur` against a stored
+    * [[referenceHistogram]]. Identical algebra and output to
+    * [[psiDrift]] (it IS psiDrift's second half — one implementation),
+    * with the reference corpus replaced by its bounded histogram.
+    */
+  def psiAgainstReference(refHist: DataFrame, cur: DataFrame,
+                          keys: Seq[String], valueCol: String,
+                          bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"psiAgainstReference: bins must be >= 2, got $bins")
+    val k = keys.map(col)
+    val env = refHist
+      .groupBy(k: _*)
+      .agg(first(col("__lo")).as("__lo"), first(col("__hi")).as("__hi"),
+        first(col("n_ref")).as("n_ref"))
+    val rc = refHist.select((k :+ col("__bin") :+ col("__cr")): _*)
+    val cc = binAgainst(env, cur, keys, valueCol, bins, "__cc")
     // the bin grid must be COMPLETE per key (an empty bin still owes its
     // smoothed term) — cross the keys with the 0..bins-1 grid
     val grid = env.select(k: _*)

@@ -114,6 +114,78 @@ object StreamingOps {
     q
   }
 
+  /** STREAMING DRIFT MONITOR — the production shape of the reference's
+    * ingest-then-validate loop (`transformation.py:52`'s emptiness check,
+    * grown into a distribution test): every micro-batch of `stream`
+    * (typically [[readChangeStream]] over the ingested table) scores its
+    * per-key PSI against a PRECOMPUTED reference histogram
+    * ([[graft.ops.Drift.referenceHistogram]] — the reference corpus is
+    * scanned once at setup, never per batch), and keys whose PSI reaches
+    * `alarmNanos` land as ALERT ROWS in a versioned manifest table.
+    * Quiet batches (no key at threshold) append NOTHING — the alert
+    * table is a true exception feed, not a readout log.
+    *
+    * Change-feed inputs score their POST-images only (`insert` +
+    * `update_post` rows — a delete or pre-image is not new data drifting
+    * in); plain streams score every row.
+    *
+    * Delivery: alerts append under the manifest TXN watermark keyed by
+    * (checkpoint, batchId) — a batch replayed after a crash between
+    * table commit and checkpoint commit no-ops instead of double-alerting
+    * (exactly-once alerts over at-least-once delivery), and OCC
+    * commit-retry rides out concurrent maintenance on the alert table.
+    * The alert root self-initializes (empty v0, partitioned by batch_id)
+    * so downstream readers/streams can attach before the first alarm.
+    *
+    * Scale shape: per batch, the work is the batch's own bin counts
+    * (one aggregate at batch grain) joined against the broadcast-sized
+    * histogram — `|keys| × bins` algebra; the reference corpus and the
+    * monitored table never re-scan.
+    *
+    * @param refHist [[graft.ops.Drift.referenceHistogram]] output —
+    *                persist/cache it; it is read every micro-batch
+    * @param alarmNanos PSI threshold in 1e-9 units (industry rule of
+    *                thumb: 0.25 ≈ 250000000L = action)
+    * @return the drained query (AvailableNow — invoke per schedule)
+    */
+  def streamDriftMonitor(stream: DataFrame, refHist: DataFrame,
+                         keys: Seq[String], valueCol: String,
+                         alarmNanos: Long, alertRoot: String,
+                         checkpoint: String, bins: Int = 10): StreamingQuery = {
+    val spark = stream.sparkSession
+    if (!graft.sources.ManifestIndex.isManifestRoot(spark, alertRoot)) {
+      val empty = refHist.select(keys.map(col): _*).limit(0)
+        .withColumn("n_ref", lit(0L)).withColumn("n_cur", lit(0L))
+        .withColumn("psi_nano", lit(0L)).withColumn("batch_id", lit(0L))
+      graft.sources.Layout.initVersionedManifest(empty, alertRoot,
+        Seq("batch_id"))
+    }
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fresh =
+          if (batch.columns.contains("_change_type"))
+            batch.filter(col("_change_type").isin("insert", "update_post"))
+          else batch
+        if (!fresh.isEmpty) {
+          val alerts = graft.ops.Drift
+            .psiAgainstReference(refHist, fresh, keys, valueCol, bins)
+            .filter(col("psi_nano") >= alarmNanos)
+            .withColumn("batch_id", lit(batchId))
+          if (!alerts.isEmpty)
+            graft.sources.Layout.withCommitRetry() {
+              graft.sources.Layout.appendVersionedRows(
+                batch.sparkSession, alertRoot, alerts,
+                txn = Some((checkpoint, batchId)))
+            }
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming UPSERT into a key-pruned partitioned versioned layout
     * ([[graft.sources.Layout.mergeVersionedPartitioned]]): each micro-batch
     * merges by key, rewriting only the partitions it touches, and flips the

@@ -453,4 +453,53 @@ class StreamingSpec extends SparkSpec {
       .select("order_id", "click_id").as[(Long, Long)].collect().toSet
     assert(out == Set((10L, 100L)))
   }
+
+  test("streamDriftMonitor over the change source: a planted shift alarms " +
+      "once, no-drift batches stay quiet, checkpoint resume never " +
+      "double-alerts (r16)") {
+    import graft.sources.Layout
+    import graft.ops.Drift
+    val root = Files.createTempDirectory("graft_drift_tbl").toString + "/t"
+    val alertRoot = Files.createTempDirectory("graft_drift_al").toString + "/a"
+    val ckpt = Files.createTempDirectory("graft_drift_ck").toString
+    def rows(ids: Range, k: String, v: Int => Long) =
+      ids.map(i => (i.toLong, k, v(i))).toDF("id", "k", "v")
+    // reference: uniform 0..49 per key — histogram precomputed ONCE
+    val ref = rows(0 until 200, "a", i => (i % 50).toLong)
+      .unionByName(rows(200 until 400, "b", i => (i % 50).toLong))
+    val refHist = graft.util.Caches.cache(
+      Drift.referenceHistogram(ref, Seq("k"), "v", bins = 10)).toDF
+    // monitored table starts as a ref-shaped snapshot
+    Layout.initVersionedManifest(
+      rows(0 until 100, "a", i => (i % 50).toLong)
+        .unionByName(rows(100 until 200, "b", i => (i % 50).toLong)),
+      root, Seq("k"))
+    def monitor() = StreamingOps.streamDriftMonitor(
+      StreamingOps.readChangeStream(spark, root, Seq("id")),
+      refHist, Seq("k"), "v", alarmNanos = 250000000L,
+      alertRoot = alertRoot, checkpoint = ckpt)
+    def alerts() = Layout.readCurrent(spark, alertRoot)
+      .select($"k", $"batch_id", $"psi_nano").as[(String, Long, Long)]
+      .collect().toSet
+    // drain 1: the snapshot batch matches the reference — quiet
+    monitor()
+    assert(alerts().isEmpty, s"snapshot must not alarm: ${alerts()}")
+    // planted shift: key 'a' jumps to 90..99 (clamps into the top bin)
+    Layout.mergeVersionedPartitioned(spark, root,
+      rows(1000 until 1100, "a", i => 90L + i % 10), Seq("id"), "k")
+    monitor()
+    val afterShift = alerts()
+    assert(afterShift.map(_._1) == Set("a"),
+      s"exactly the shifted key alarms: $afterShift")
+    assert(afterShift.forall(_._3 >= 250000000L))
+    // no-drift follow-up: key 'b' gets more uniform values — quiet
+    Layout.mergeVersionedPartitioned(spark, root,
+      rows(2000 until 2100, "b", i => (i % 50).toLong), Seq("id"), "k")
+    monitor()
+    assert(alerts() == afterShift, "a uniform batch must not alarm")
+    // resume with nothing new: no duplicate alerts
+    monitor()
+    assert(alerts() == afterShift)
+    graft.util.Caches.releaseAll()
+  }
 }
