@@ -3317,6 +3317,63 @@ object SparkEntry {
       Eval.rocAuc(scored, "score", "label")
     }),
 
+    // --- PR curve (r16): rocCurve's class-imbalance-honest sibling over
+    //     the same scorer — score-grain sweep, exact counts, micro
+    //     precision/recall ---
+    "q250_pr_curve" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(
+        TF.markerHits(TF.tokens(col("text")), Seq("the", "a"))
+          .cast("double").as("score"),
+        (col("lang") === "en").as("label"))
+      Eval.prCurve(scored, "score", "label")
+    }),
+
+    // --- Brier + Murphy decomposition (r16): the calibration audit's
+    //     scalar summary over the q222 scorer — reliability − resolution
+    //     + uncertainty, bin terms nano-floored, exact direct mean too ---
+    "q251_brier" -> ((s, dir) => {
+      import s.implicits._
+      val w = Seq(("data", 1.25), ("query", -0.75), ("the", 0.5),
+        ("stream", 0.25), ("table", 1.0), ("data_query", 2.0),
+        ("the_data", -1.5)).toDF("term", "wt")
+      val docs = Tables.documents(s, dir)
+      val labeled = TextClassifier.scoreLinear(docs, "doc_id", "text",
+        w, "term", "wt", bias = -0.5)
+        .join(docs.select(col("doc_id"),
+          col("text").contains("data").as("label")), Seq("doc_id"))
+      Eval.brierDecomposition(labeled, "score", "label", bins = 10)
+    }),
+
+    // --- log-loss (r16): the unbounded proper-scoring companion — the
+    //     q222 scorer's cross-entropy, clamped to replayable literals ---
+    "q252_log_loss" -> ((s, dir) => {
+      import s.implicits._
+      val w = Seq(("data", 1.25), ("query", -0.75), ("the", 0.5),
+        ("stream", 0.25), ("table", 1.0), ("data_query", 2.0),
+        ("the_data", -1.5)).toDF("term", "wt")
+      val docs = Tables.documents(s, dir)
+      val labeled = TextClassifier.scoreLinear(docs, "doc_id", "text",
+        w, "term", "wt", bias = -0.5)
+        .join(docs.select(col("doc_id"),
+          col("text").contains("data").as("label")), Seq("doc_id"))
+      Eval.logLoss(labeled, "score", "label")
+    }),
+
+    // --- Cohen's kappa (r16): chance-corrected agreement over the q221
+    //     langid predictions — the skew-honest accuracy ---
+    "q253_kappa" -> ((s, dir) => {
+      val preds = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TF.langId(TF.tokens(col("text")), langMarkers).as("predicted"))
+      Eval.cohenKappa(preds, "lang", "predicted")
+    }),
+
+    // --- chi-square association + Cramér's V (r16): are priority and
+    //     status entangled — the stratification-trust audit ---
+    "q254_chi2_assoc" -> ((s, dir) =>
+      Audit.chiSquareAssociation(Tables.orders(s, dir),
+        "o_orderpriority", "o_orderstatus")),
+
     // --- the analytics-TVF SQL face under the oracle (r16): q225's AUC
     //     driven through PURE SQL — the scored view registers, then
     //     `SELECT * FROM graft_roc_auc(...)` plans the IDENTICAL Eval
@@ -7249,6 +7306,212 @@ object SparkEntry {
             (2.0 * CAST(sum(pos_at) AS DOUBLE) * CAST(sum(neg_at) AS DOUBLE))
             * 1000000.0 + 0.5) AS BIGINT) AS auc_micro
         FROM c""",
+
+      // PR curve: the q224 grain with precision/recall rates; precision's
+      // denominator is the at-or-above count (never 0 at an observed
+      // threshold), recall NULL-guards the positives-free corpus
+      "q250_pr_curve" -> """
+        WITH t AS (SELECT CAST(len(list_filter(
+              string_split_regex(trim(lower(text)), '\s+'),
+              x -> x IN ('the', 'a'))) AS DOUBLE) AS score,
+            (lang = 'en') AS y
+          FROM documents),
+        f AS (SELECT score, y FROM t
+          WHERE score IS NOT NULL AND y IS NOT NULL),
+        g AS (SELECT score,
+            CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos_at,
+            CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg_at
+          FROM f GROUP BY 1),
+        c AS (SELECT score, pos_at, neg_at,
+            CAST(sum(pos_at) OVER w AS BIGINT) AS cum_pos,
+            CAST(sum(neg_at) OVER w AS BIGINT) AS cum_neg
+          FROM g WINDOW w AS (ORDER BY score ROWS UNBOUNDED PRECEDING)),
+        tot AS (SELECT CAST(sum(pos_at) AS BIGINT) AS p,
+            CAST(sum(neg_at) AS BIGINT) AS n FROM g)
+        SELECT score AS threshold,
+          p - cum_pos + pos_at AS tp,
+          n - cum_neg + neg_at AS fp,
+          CAST(floor(CAST(p - cum_pos + pos_at AS DOUBLE) /
+            CAST((p - cum_pos + pos_at) + (n - cum_neg + neg_at) AS DOUBLE)
+            * 1000000.0 + 0.5) AS BIGINT) AS precision_micro,
+          CAST(floor(CASE WHEN p = 0 THEN NULL
+            ELSE CAST(p - cum_pos + pos_at AS DOUBLE) / CAST(p AS DOUBLE) END
+            * 1000000.0 + 0.5) AS BIGINT) AS recall_micro
+        FROM c CROSS JOIN tot""",
+
+      // Brier + Murphy decomposition: the q222 scorer replay, per-row
+      // squared-error nano-floored, bin terms nano-floored over the
+      // same DECIMAL(38,12) score sums as q222's conf
+      "q251_brier" -> """
+        WITH w AS (SELECT * FROM (VALUES ('data', 1.25), ('query', -0.75),
+            ('the', 0.5), ('stream', 0.25), ('table', 1.0),
+            ('data_query', 2.0), ('the_data', -1.5)) AS w(term, wt)),
+        t AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        d AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 1),
+        uni AS (SELECT doc_id, unnest(toks) AS f FROM d),
+        bi AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+            i -> toks[i] || '_' || toks[i + 1])) AS f
+          FROM d WHERE len(toks) >= 2),
+        feats AS (SELECT doc_id, f FROM uni
+          UNION ALL SELECT doc_id, f FROM bi),
+        sc AS (SELECT feats.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+            CAST(SUM(CAST(coalesce(w.wt, 0) AS DECIMAL(38,12))) AS DOUBLE)
+              AS sw
+          FROM feats LEFT JOIN w ON feats.f = w.term GROUP BY 1),
+        scored AS (SELECT doc_id,
+            round(1.0 / (1.0 + exp(-(-0.5 + sw / n_features))), 6) AS score
+          FROM sc),
+        lab AS (SELECT s.doc_id, s.score,
+            CASE WHEN contains(doc.text, 'data') THEN 1 ELSE 0 END AS y
+          FROM scored s JOIN documents doc ON s.doc_id = doc.doc_id),
+        g AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS b,
+            CAST(count(*) AS BIGINT) AS nb,
+            CAST(sum(y) AS BIGINT) AS pb,
+            CAST(sum(CAST(score AS DECIMAL(38,12))) AS DOUBLE) AS ssb,
+            sum(CAST(floor((score - y) * (score - y) * 1.0E9 + 0.5)
+              AS HUGEINT)) AS sq
+          FROM lab GROUP BY 1),
+        tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n,
+            CAST(sum(pb) AS BIGINT) AS p FROM g),
+        terms AS (SELECT nb, sq,
+            CAST(floor(CAST(nb AS DOUBLE) *
+              ((ssb / CAST(nb AS DOUBLE)) - (CAST(pb AS DOUBLE) / CAST(nb AS DOUBLE))) *
+              ((ssb / CAST(nb AS DOUBLE)) - (CAST(pb AS DOUBLE) / CAST(nb AS DOUBLE)))
+              * 1.0E9 + 0.5) AS HUGEINT) AS rel,
+            CAST(floor(CAST(nb AS DOUBLE) *
+              ((CAST(pb AS DOUBLE) / CAST(nb AS DOUBLE)) - (CAST(p AS DOUBLE) / CAST(n AS DOUBLE))) *
+              ((CAST(pb AS DOUBLE) / CAST(nb AS DOUBLE)) - (CAST(p AS DOUBLE) / CAST(n AS DOUBLE)))
+              * 1.0E9 + 0.5) AS HUGEINT) AS res,
+            n, p
+          FROM g CROSS JOIN tot)
+        SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(p) AS BIGINT) AS n_pos,
+          CAST(floor(CAST(sum(sq) AS DOUBLE) / CAST(max(n) AS DOUBLE) + 0.5)
+            AS BIGINT) AS brier_nano,
+          CAST(floor(CAST(sum(rel) AS DOUBLE) / CAST(max(n) AS DOUBLE) + 0.5)
+            AS BIGINT) AS reliability_nano,
+          CAST(floor(CAST(sum(res) AS DOUBLE) / CAST(max(n) AS DOUBLE) + 0.5)
+            AS BIGINT) AS resolution_nano,
+          CAST(max(CAST(floor((CAST(p AS DOUBLE) / CAST(n AS DOUBLE)) *
+            (1.0 - (CAST(p AS DOUBLE) / CAST(n AS DOUBLE))) * 1.0E9 + 0.5)
+            AS BIGINT)) AS BIGINT) AS uncertainty_nano
+        FROM terms""",
+
+      // log-loss: the q222 scorer replay, clamped to the same literals,
+      // per-row nats nano-floored before the sum
+      "q252_log_loss" -> """
+        WITH w AS (SELECT * FROM (VALUES ('data', 1.25), ('query', -0.75),
+            ('the', 0.5), ('stream', 0.25), ('table', 1.0),
+            ('data_query', 2.0), ('the_data', -1.5)) AS w(term, wt)),
+        t AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        d AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 1),
+        uni AS (SELECT doc_id, unnest(toks) AS f FROM d),
+        bi AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+            i -> toks[i] || '_' || toks[i + 1])) AS f
+          FROM d WHERE len(toks) >= 2),
+        feats AS (SELECT doc_id, f FROM uni
+          UNION ALL SELECT doc_id, f FROM bi),
+        sc AS (SELECT feats.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+            CAST(SUM(CAST(coalesce(w.wt, 0) AS DECIMAL(38,12))) AS DOUBLE)
+              AS sw
+          FROM feats LEFT JOIN w ON feats.f = w.term GROUP BY 1),
+        scored AS (SELECT doc_id,
+            round(1.0 / (1.0 + exp(-(-0.5 + sw / n_features))), 6) AS score
+          FROM sc),
+        lab AS (SELECT s.doc_id, s.score,
+            CASE WHEN contains(doc.text, 'data') THEN 1 ELSE 0 END AS y
+          FROM scored s JOIN documents doc ON s.doc_id = doc.doc_id),
+        cl AS (SELECT least(greatest(score, 1e-15), 1.0 - 1e-15) AS p, y
+          FROM lab)
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(y) AS BIGINT) AS n_pos,
+          CAST(floor(CAST(sum(CAST(floor(-(CAST(y AS DOUBLE) * ln(p) +
+              CAST(1 - y AS DOUBLE) * ln(1.0 - p)) * 1.0E9 + 0.5)
+              AS HUGEINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5)
+            AS BIGINT) AS logloss_nano
+        FROM cl""",
+
+      // Cohen's kappa: the q221 langid replay, margins x margins chance
+      // agreement in HUGEINT, the same (po - pe)/(1 - pe) tree
+      "q253_kappa" -> """
+        WITH t AS (SELECT doc_id, lang,
+          len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              x -> x IN ('the','a'))) AS s0,
+          len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              x -> x IN ('query','scan','filter'))) AS s1,
+          len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              x -> x IN ('data','table','column'))) AS s2,
+          len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              x -> x IN ('stream','batch','window'))) AS s3
+          FROM documents),
+        preds AS (SELECT doc_id, lang,
+          CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 AND s0 > 0 THEN 'en'
+               WHEN s1 > s0 AND s1 >= s2 AND s1 >= s3 AND s1 > 0 THEN 'query'
+               WHEN s2 > s0 AND s2 > s1 AND s2 >= s3 AND s2 > 0 THEN 'data'
+               WHEN s3 > s0 AND s3 > s1 AND s3 > s2 AND s3 > 0 THEN 'stream'
+               ELSE 'und' END AS predicted
+          FROM t WHERE lang IS NOT NULL),
+        m AS (SELECT lang AS label, predicted,
+            CAST(count(*) AS BIGINT) AS n
+          FROM preds GROUP BY 1, 2),
+        nt AS (SELECT label AS cls, CAST(sum(n) AS BIGINT) AS r FROM m
+          GROUP BY 1),
+        np AS (SELECT predicted AS cls, CAST(sum(n) AS BIGINT) AS c FROM m
+          GROUP BY 1),
+        dg AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS d FROM m
+          WHERE label = predicted),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM m),
+        pen AS (SELECT coalesce(sum(CAST(nt.r AS HUGEINT) *
+            CAST(np.c AS HUGEINT)), 0) AS penum
+          FROM nt JOIN np ON nt.cls = np.cls),
+        rates AS (SELECT nn,
+            CAST(d AS DOUBLE) / CAST(nn AS DOUBLE) AS po,
+            CAST(penum AS DOUBLE) /
+              (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) AS pe
+          FROM tot CROSS JOIN dg CROSS JOIN pen)
+        SELECT nn AS n,
+          CAST(floor(po * 1000000.0 + 0.5) AS BIGINT) AS po_micro,
+          CAST(floor(pe * 1000000.0 + 0.5) AS BIGINT) AS pe_micro,
+          CAST(floor(CASE WHEN pe = 1.0 THEN NULL
+            ELSE (po - pe) / (1.0 - pe) END * 1000000.0 + 0.5)
+            AS BIGINT) AS kappa_micro
+        FROM rates""",
+
+      // chi-square independence + Cramer's V: complete R x C grid from
+      // crossed margins (absent cells owe e), HUGEINT margin products,
+      // per-cell terms nano-floored, the same sqrt tree
+      "q254_chi2_assoc" -> """
+        WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+            CAST(count(*) AS BIGINT) AS nij
+          FROM orders
+          WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+          GROUP BY 1, 2),
+        ra AS (SELECT a, CAST(sum(nij) AS BIGINT) AS r FROM cells GROUP BY 1),
+        cb AS (SELECT b, CAST(sum(nij) AS BIGINT) AS c FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(sum(r) AS BIGINT) AS n,
+            CAST(count(*) AS BIGINT) AS n_a FROM ra),
+        totb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM cb),
+        grid AS (SELECT ra.r, cb.c, coalesce(cells.nij, 0) AS nij
+          FROM ra CROSS JOIN cb
+          LEFT JOIN cells ON ra.a = cells.a AND cb.b = cells.b),
+        terms AS (SELECT CAST(floor(
+            (CAST(nij AS DOUBLE) - e) * (CAST(nij AS DOUBLE) - e) / e
+            * 1.0E9 + 0.5) AS HUGEINT) AS t
+          FROM (SELECT nij,
+              CAST(CAST(r AS HUGEINT) * CAST(c AS HUGEINT) AS DOUBLE) /
+                CAST(n AS DOUBLE) AS e
+            FROM grid CROSS JOIN tot))
+        SELECT n, n_a, n_b,
+          CAST(sum(t) AS BIGINT) AS chi2_nano,
+          CAST(floor(CASE WHEN least(n_a, n_b) <= 1 THEN NULL
+            ELSE sqrt((CAST(sum(t) AS DOUBLE) / 1.0E9) /
+              (CAST(n AS DOUBLE) * (CAST(least(n_a, n_b) AS DOUBLE) - 1.0)))
+            END * 1000000.0 + 0.5) AS BIGINT) AS cramers_v_micro
+        FROM terms CROSS JOIN tot CROSS JOIN totb
+        GROUP BY n, n_a, n_b""",
 
       // block-tie AP replay: descending-cut cumulatives, per-block term
       // nano-quantized BEFORE the sum, one division by P at the end

@@ -154,4 +154,59 @@ object Audit {
           (col("n").cast("double") - e) * (col("n").cast("double") - e) / e
         }, "chi_micro"))
   }
+
+  private val Dec38 =
+    org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns, with Cramér's V — the "are these two attributes entangled"
+    * audit (label vs source, language vs license, split vs topic) run
+    * before a stratified sample or a leakage claim is trusted:
+    * `χ² = Σ_ij (n_ij − e_ij)²/e_ij`, `e_ij = r_i·c_j/N`,
+    * `V = √(χ²/(N·(min(R,C)−1)))` — the [0, 1] effect size χ²'s raw
+    * magnitude hides.
+    *
+    * Exact-count core: the contingency cells, both margins and N come
+    * from ONE (a, b) aggregate; the COMPLETE R×C grid (absent cells owe
+    * their (0−e)²/e = e term) forms by crossing the margins — the
+    * bounded-cardinality contract (categorical columns, not ids).
+    * Expected counts are fixed IEEE trees of exact integers (r·c forms
+    * in DECIMAL first — margin products pass Long at corpus scale);
+    * per-cell terms NANO-floor before the decimal sum. Degenerate
+    * min(R,C) = 1 reports NULL V (no association is measurable), never 0.
+    *
+    * @return one row: (n, n_a, n_b, chi2_nano, cramers_v_micro)
+    */
+  def chiSquareAssociation(df: DataFrame, colA: String,
+                           colB: String): DataFrame = {
+    val cells = graft.util.Caches.cache(
+      df.filter(col(colA).isNotNull && col(colB).isNotNull)
+        .groupBy(col(colA).as("__a"), col(colB).as("__b"))
+        .agg(count(lit(1)).as("__nij"))).toDF
+    val ra = cells.groupBy(col("__a")).agg(sum(col("__nij")).as("__r"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("__nij")).as("__c"))
+    val tot = ra.agg(sum(col("__r")).as("__n"),
+      count(lit(1)).as("n_a"))
+      .crossJoin(cb.agg(count(lit(1)).as("n_b")))
+    val grid = ra.crossJoin(cb)
+      .join(cells, Seq("__a", "__b"), "left")
+      .crossJoin(broadcast(tot))
+    val e = (col("__r").cast(Dec38) * col("__c").cast(Dec38)).cast("double") /
+      col("__n").cast("double")
+    val d = coalesce(col("__nij"), lit(0L)).cast("double") - e
+    val terms = grid.select(col("__n"), col("n_a"), col("n_b"),
+      floor(d * d / e * lit(1e9) + lit(0.5)).cast("long").cast(Dec38)
+        .as("__t"))
+    terms.groupBy(col("__n"), col("n_a"), col("n_b"))
+      .agg(sum(col("__t")).as("__chi"))
+      .select(col("__n").as("n"), col("n_a"), col("n_b"),
+        // the sum of nano-longs is an exact integer already — cast, don't
+        // re-round through double (precision ends at 2^53 there)
+        col("__chi").cast("long").as("chi2_nano"),
+        floor(when(least(col("n_a"), col("n_b")) <= 1, lit(null))
+          .otherwise(sqrt((col("__chi").cast("double") / lit(1e9)) /
+            (col("__n").cast("double") *
+              (least(col("n_a"), col("n_b")).cast("double") - lit(1.0)))))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("cramers_v_micro"))
+  }
 }

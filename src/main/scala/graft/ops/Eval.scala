@@ -392,4 +392,162 @@ object Eval {
             col("n_pos").cast("double"))
           * lit(1000000.0) + lit(0.5)).cast("long").as("ap_micro"))
   }
+
+  /** Precision–recall curve at distinct-score grain — [[rocCurve]]'s
+    * class-imbalance-honest sibling (and the curve [[averagePrecision]]
+    * summarizes): one row per threshold (predict positive when
+    * `score >= threshold`), exact tp/fp counts, micro-quantized
+    * precision and recall. Precision's denominator is never 0 (every
+    * observed threshold retains at least its own tie block); recall is
+    * NULL on a positives-free corpus, never 0.
+    *
+    * Scale shape: identical to [[rocCurve]] — one score-grain aggregate,
+    * one bounded-codomain window, one-row totals broadcast on.
+    *
+    * @return (threshold, tp, fp, precision_micro, recall_micro)
+    */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = scoreGrain(df, scoreCol, labelCol)
+    def micro(c: org.apache.spark.sql.Column, as: String) =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("long").as(as)
+    val tot = g.agg(sum(col("pos_at")).as("__p"), sum(col("neg_at")).as("__n"))
+    g.crossJoin(broadcast(tot))
+      .select(col("score").as("threshold"),
+        (col("__p") - col("cum_pos") + col("pos_at")).as("tp"),
+        (col("__n") - col("cum_neg") + col("neg_at")).as("fp"),
+        col("__p"))
+      .select(col("threshold"), col("tp"), col("fp"),
+        micro(col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double"), "precision_micro"),
+        micro(when(col("__p") === 0, lit(null))
+          .otherwise(col("tp").cast("double") / col("__p").cast("double")),
+          "recall_micro"))
+  }
+
+  /** Brier score with the Murphy (1973) reliability–resolution–
+    * uncertainty decomposition — the calibration audit's scalar summary:
+    * `brier = reliability − resolution + uncertainty` over `bins`
+    * equal-width score bins (up to binning error on the exact term,
+    * which is reported separately from the DIRECT per-row mean so the
+    * decomposition's approximation is itself visible).
+    *
+    *  - brier: mean (s − y)² — per-row terms NANO-floored before the
+    *    decimal sum (commuting integers), one division.
+    *  - reliability: Σ n_b·(conf_b − acc_b)²/N — how far each bin's
+    *    confidence sits from its accuracy (what [[calibration]] plots).
+    *  - resolution: Σ n_b·(acc_b − ȳ)²/N — how much the bins separate
+    *    the base rate (higher = more informative scorer).
+    *  - uncertainty: ȳ·(1 − ȳ) — the corpus' irreducible term.
+    *
+    * Bin means are single IEEE divisions of exact sums; per-bin terms
+    * nano-floor before the (≤ bins)-row sum. Scores must live in [0, 1]
+    * (the [[calibration]] contract; 1.0 clamps into the top bin).
+    *
+    * @return one row: (n, n_pos, brier_nano, reliability_nano,
+    *         resolution_nano, uncertainty_nano)
+    */
+  def brierDecomposition(df: DataFrame, scoreCol: String, labelCol: String,
+                         bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"brierDecomposition: bins must be >= 2, got $bins")
+    val b = least(floor(col(scoreCol).cast("double") * bins),
+      lit(bins - 1)).cast("long")
+    def nanoSum(term: org.apache.spark.sql.Column) =
+      sum(floor(term * lit(1e9) + lit(0.5)).cast("long").cast(Dec38))
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
+    val perBin = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(b.as("__b"), col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("boolean").cast("int").cast("long").as("__y"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__nb"), sum(col("__y")).as("__pb"),
+        sum(col("__s").cast(dec)).as("__ssb"),
+        nanoSum((col("__s") - col("__y").cast("double")) *
+          (col("__s") - col("__y").cast("double"))).as("__sq"))
+    val tot = perBin.agg(sum(col("__nb")).as("__n"), sum(col("__pb")).as("__p"))
+    val conf = col("__ssb").cast("double") / col("__nb").cast("double")
+    val acc = col("__pb").cast("double") / col("__nb").cast("double")
+    val base = col("__p").cast("double") / col("__n").cast("double")
+    perBin.crossJoin(broadcast(tot))
+      .agg(max(col("__n")).as("n"), max(col("__p")).as("n_pos"),
+        sum(col("__sq")).as("__sqs"),
+        nanoSum(col("__nb").cast("double") * (conf - acc) * (conf - acc))
+          .as("__rel"),
+        nanoSum(col("__nb").cast("double") * (acc - base) * (acc - base))
+          .as("__res"),
+        max(floor(base * (lit(1.0) - base) * lit(1e9) + lit(0.5))
+          .cast("long")).as("uncertainty_nano"))
+      .select(col("n"), col("n_pos"),
+        floor(col("__sqs").cast("double") / col("n").cast("double") +
+          lit(0.5)).cast("long").as("brier_nano"),
+        floor(col("__rel").cast("double") / col("n").cast("double") +
+          lit(0.5)).cast("long").as("reliability_nano"),
+        floor(col("__res").cast("double") / col("n").cast("double") +
+          lit(0.5)).cast("long").as("resolution_nano"),
+        col("uncertainty_nano"))
+  }
+
+  /** Logarithmic loss (binary cross-entropy) of a probabilistic scorer:
+    * mean `−(y·ln p + (1−y)·ln(1−p))` with p clamped to the replayable
+    * [1e-15, 1 − 1e-15] literals (the [[plattFit]] convention — the loss
+    * never meets ln 0). Per-row terms NANO-floored before the decimal
+    * sum, ONE division. The proper-scoring companion to
+    * [[brierDecomposition]]: log-loss punishes confident wrongness
+    * without bound, Brier caps it — a gate that fails one and not the
+    * other is overconfident in its tails.
+    *
+    * @return one row: (n, n_pos, logloss_nano — per-observation nats)
+    */
+  def logLoss(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val p0 = col(scoreCol).cast("double")
+    val p = least(greatest(p0, lit(1e-15)), lit(1.0 - 1e-15))
+    def nanoSum(term: org.apache.spark.sql.Column) =
+      sum(floor(term * lit(1e9) + lit(0.5)).cast("long").cast(Dec38))
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(p.as("__p"),
+        col(labelCol).cast("boolean").cast("int").cast("long").as("__y"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        nanoSum(-(col("__y").cast("double") * log(col("__p")) +
+          (lit(1L) - col("__y")).cast("double") *
+            log(lit(1.0) - col("__p")))).as("__ll"))
+      .select(col("n"), col("n_pos"),
+        floor(col("__ll").cast("double") / col("n").cast("double") +
+          lit(0.5)).cast("long").as("logloss_nano"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between labels and
+    * predictions: `κ = (p_o − p_e)/(1 − p_e)` with observed agreement
+    * `p_o = Σ_c n_cc / N` and chance agreement
+    * `p_e = Σ_c (row_c/N)·(col_c/N)`. The number [[classReport]]'s raw
+    * accuracy overstates on skewed corpora (a 95%-one-class corpus gives
+    * any constant predictor 95% accuracy but κ = 0).
+    *
+    * Exact: margins and the diagonal come from the ONE confusion-matrix
+    * aggregate; the p_e numerator forms in DECIMAL (row·col products
+    * pass Long at corpus scale); p_o, p_e are single IEEE divisions and
+    * κ one fixed tree of them, micro-quantized. Degenerate p_e = 1
+    * (both sides constant) reports NULL, never 0.
+    *
+    * @return one row: (n, po_micro, pe_micro, kappa_micro)
+    */
+  def cohenKappa(df: DataFrame, labelCol: String,
+                 predCol: String): DataFrame = {
+    val m = graft.util.Caches.cache(confusion(df, labelCol, predCol)).toDF
+    val rows = m.groupBy(col("label").as("cls")).agg(sum(col("n")).as("__r"))
+    val cols = m.groupBy(col("predicted").as("cls")).agg(sum(col("n")).as("__c"))
+    val diag = m.filter(col("label") === col("predicted"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("__d"))
+    val tot = m.agg(sum(col("n")).as("__n"))
+    val peNum = rows.join(cols, Seq("cls"))
+      .agg(coalesce(sum(col("__r").cast(Dec38) * col("__c").cast(Dec38)),
+        lit(0).cast(Dec38)).as("__pe_num"))
+    val po = col("__d").cast("double") / col("__n").cast("double")
+    val pe = col("__pe_num").cast("double") /
+      (col("__n").cast("double") * col("__n").cast("double"))
+    def micro(c: org.apache.spark.sql.Column, as: String) =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("long").as(as)
+    tot.crossJoin(diag).crossJoin(peNum)
+      .select(col("__n").as("n"), micro(po, "po_micro"), micro(pe, "pe_micro"),
+        micro(when(pe === 1.0, lit(null))
+          .otherwise((po - pe) / (lit(1.0) - pe)), "kappa_micro"))
+  }
 }

@@ -63,4 +63,34 @@ class BenfordSpec extends SparkSpec {
     val b = Audit.benford(orders.repartition(7), cents).collect().toSet
     assert(a == b && a.size == 9)
   }
+
+  test("chiSquareAssociation: a deterministic mapping scores V = 1, an " +
+      "exactly-independent table scores χ² = 0; hand case; single-level " +
+      "column → NULL V (r16)") {
+    import spark.implicits._
+    // b = f(a), balanced: perfect association
+    val dep = Seq(("x", "1"), ("x", "1"), ("y", "2"), ("y", "2"))
+      .toDF("a", "b")
+    val d = Audit.chiSquareAssociation(dep, "a", "b").collect().head
+    assert(d.getLong(4) == 1000000L, s"V must be 1: $d")
+    // product table: n_ij = r_i·c_j/N exactly → every term 0
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("1", "2", "3");
+      _ <- 1 to 4 } yield (a, b)).toDF("a", "b")
+    val i = Audit.chiSquareAssociation(ind, "a", "b").collect().head
+    assert(i.getLong(3) == 0L && i.getLong(4) == 0L)
+    // hand case: 2×2 [[3,1],[1,3]] → χ² = 2, V = √(2/8) = 0.5
+    val hand = Seq.fill(3)(("x", "1")) ++ Seq(("x", "2")) ++
+      Seq(("y", "1")) ++ Seq.fill(3)(("y", "2"))
+    val h = Audit.chiSquareAssociation(hand.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(h.getLong(3) == 2000000000L && h.getLong(4) == 500000L, s"$h")
+    // degenerate: one level on a side — V undefined, χ² still 0
+    val degen = Seq(("x", "1"), ("x", "2")).toDF("a", "b")
+    val g = Audit.chiSquareAssociation(degen, "a", "b").collect().head
+    assert(g.isNullAt(4))
+    // repartition invariance
+    assert(Audit.chiSquareAssociation(hand.toDF("a", "b").repartition(5),
+      "a", "b").collect().head == h)
+    graft.util.Caches.releaseAll()
+  }
 }

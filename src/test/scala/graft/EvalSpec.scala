@@ -331,4 +331,94 @@ class EvalSpec extends SparkSpec {
     assert(Eval.averagePrecision(df, "score", "label").collect().head
       .getLong(2) == want)
   }
+
+  test("prCurve: hand case — exact counts and rates per threshold, " +
+      "recall monotone along the sweep (r16)") {
+    val df = Seq((0.9, true), (0.8, false), (0.8, true), (0.5, false),
+      (0.3, true)).toDF("score", "label")
+    val got = Eval.prCurve(df, "score", "label")
+      .orderBy($"threshold".desc)
+      .as[(Double, Long, Long, Long, Long)].collect()
+    // threshold 0.9: tp=1 fp=0 → P=1.0 R=1/3; 0.8: tp=2 fp=1; 0.5: tp=2
+    // fp=2; 0.3: tp=3 fp=2
+    assert(got.toSeq == Seq(
+      (0.9, 1L, 0L, 1000000L, 333333L),
+      (0.8, 2L, 1L, 666667L, 666667L),
+      (0.5, 2L, 2L, 500000L, 666667L),
+      (0.3, 3L, 2L, 600000L, 1000000L)))
+    val recalls = got.map(_._5)
+    assert(recalls.sameElements(recalls.sorted))
+    // positives-free corpus: recall NULL, precision still defined
+    val neg = Seq((0.9, false), (0.1, false)).toDF("score", "label")
+    assert(Eval.prCurve(neg, "score", "label").collect()
+      .forall(r => r.isNullAt(4) && !r.isNullAt(3)))
+  }
+
+  test("brierDecomposition: perfect scorer → 0; constant base-rate " +
+      "scorer → brier = uncertainty, resolution 0; identity holds on a " +
+      "mixed corpus within binning error (r16)") {
+    val perfect = Seq((1.0, true), (0.0, false), (1.0, true), (0.0, false))
+      .toDF("score", "label")
+    val p = Eval.brierDecomposition(perfect, "score", "label").collect().head
+    assert(p.getLong(2) == 0L && p.getLong(3) == 0L)
+    // constant 0.5 on a 50/50 corpus: brier = 0.25 = uncertainty, rel 0
+    val const = Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false))
+      .toDF("score", "label")
+    val c = Eval.brierDecomposition(const, "score", "label").collect().head
+    assert(c.getLong(2) == 250000000L && c.getLong(3) == 0L &&
+      c.getLong(4) == 0L && c.getLong(5) == 250000000L)
+    val rnd = new scala.util.Random(17)
+    val mixed = Seq.fill(500) {
+      val s = rnd.nextDouble(); (s, rnd.nextDouble() < s)
+    }.toDF("score", "label")
+    val m = Eval.brierDecomposition(mixed, "score", "label").collect().head
+    val (brier, rel, res, unc) =
+      (m.getLong(2), m.getLong(3), m.getLong(4), m.getLong(5))
+    // Murphy identity up to within-bin variance (binning error ≤ ~1/bins²)
+    assert(math.abs(brier - (rel - res + unc)) < 15000000L,
+      s"decomposition off: $brier vs ${rel - res + unc}")
+    // repartition invariance on every reported value
+    assert(Eval.brierDecomposition(mixed.repartition(7), "score", "label")
+      .collect().head == m)
+  }
+
+  test("logLoss: near-perfect scorer ≈ 0; constant 0.5 = ln 2; certainty " +
+      "on the wrong side clamps finite (r16)") {
+    val good = Seq((1.0, true), (0.0, false)).toDF("score", "label")
+    // clamp leaves -ln(1 - 1e-15) ≈ 1e-15 → 0 nanos
+    assert(Eval.logLoss(good, "score", "label").collect().head
+      .getLong(2) == 0L)
+    val const = Seq((0.5, true), (0.5, false), (0.5, true))
+      .toDF("score", "label")
+    assert(Eval.logLoss(const, "score", "label").collect().head
+      .getLong(2) == math.floor(math.log(2.0) * 1e9 + 0.5).toLong)
+    val wrong = Seq((0.0, true)).toDF("score", "label")
+    val w = Eval.logLoss(wrong, "score", "label").collect().head.getLong(2)
+    assert(w > 0L && w == math.floor(-math.log(1e-15) * 1e9 + 0.5).toLong)
+  }
+
+  test("cohenKappa: perfect agreement κ = 1; a constant predictor κ = 0; " +
+      "hand case matches the closed form (r16)") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a"))
+      .toDF("label", "predicted")
+    assert(Eval.cohenKappa(perfect, "label", "predicted").collect().head
+      .getLong(3) == 1000000L)
+    val const = Seq(("a", "a"), ("b", "a"), ("a", "a"), ("b", "a"))
+      .toDF("label", "predicted")
+    assert(Eval.cohenKappa(const, "label", "predicted").collect().head
+      .getLong(3) == 0L)
+    // hand case: po = 3/5, pe = (3*3 + 2*2)/25 = 13/25
+    val hand = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "a"))
+      .toDF("label", "predicted")
+    val h = Eval.cohenKappa(hand, "label", "predicted").collect().head
+    val (po, pe) = (3.0 / 5.0, 13.0 / 25.0)
+    assert(h.getLong(1) == 600000L && h.getLong(2) == 520000L)
+    assert(h.getLong(3) ==
+      math.floor((po - pe) / (1.0 - pe) * 1e6 + 0.5).toLong)
+    // both sides constant and equal: pe = 1 → NULL, not 0/0
+    val degen = Seq(("a", "a"), ("a", "a")).toDF("label", "predicted")
+    assert(Eval.cohenKappa(degen, "label", "predicted").collect().head
+      .isNullAt(3))
+    graft.util.Caches.releaseAll()
+  }
 }
