@@ -3317,6 +3317,43 @@ object SparkEntry {
       Eval.rocAuc(scored, "score", "label")
     }),
 
+    // --- QQ comparison (r16): exact type-1 quantiles of the even/odd
+    //     order-key slices at the 5%-grid — WHERE the distributions
+    //     diverge, ksDrift's triage companion ---
+    "q256_qq_compare" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Drift.qqCompare(o.filter(col("o_orderkey") % 2 === 0),
+        o.filter(col("o_orderkey") % 2 === 1), "cents", points = 20)
+    }),
+
+    // --- Fleiss' kappa (r16): three deterministic heuristic "raters"
+    //     vote pos/neg per document — the multi-annotator agreement
+    //     number a labeling campaign gates on ---
+    "q257_fleiss" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def rater(c: org.apache.spark.sql.Column) =
+        docs.select(col("doc_id").as("item"),
+          when(c, "pos").otherwise("neg").as("cat"))
+      Eval.fleissKappa(
+        rater(col("text").contains("data"))
+          .unionByName(rater(col("text").contains("the")))
+          .unionByName(rater(size(TF.tokens(col("text"))) > 40)),
+        "item", "cat")
+    }),
+
+    // --- label propagation (r16): 2 synchronous rounds over the
+    //     buyer–supplier graph (q220's edge set, undirected) — exact
+    //     integer votes, smallest-label ties, fixed rounds replayed ---
+    "q258_label_prop" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      Graph.labelPropagation(edges, iters = 2)
+    }),
+
     // --- PR curve (r16): rocCurve's class-imbalance-honest sibling over
     //     the same scorer — score-grain sweep, exact counts, micro
     //     precision/recall ---
@@ -7338,6 +7375,105 @@ object SparkEntry {
             ELSE CAST(p - cum_pos + pos_at AS DOUBLE) / CAST(p AS DOUBLE) END
             * 1000000.0 + 0.5) AS BIGINT) AS recall_micro
         FROM c CROSS JOIN tot""",
+
+      // QQ table: exact type-1 quantiles per slice via distinct-value
+      // cumulatives and the integer ceiling rank, 5%-grid join
+      "q256_qq_compare" -> """
+        WITH o AS (SELECT o_orderkey,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        grid AS (SELECT CAST(unnest(range(1, 21)) AS BIGINT) AS i),
+        rcnt AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM o
+          WHERE o_orderkey % 2 = 0 GROUP BY 1),
+        rcum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM rcnt),
+        rn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM rcnt),
+        rq AS (SELECT i, min(v) AS ref_q
+          FROM rcum CROSS JOIN rn CROSS JOIN grid
+          WHERE cum >= (i * n + 19) // 20 GROUP BY 1),
+        ccnt AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM o
+          WHERE o_orderkey % 2 = 1 GROUP BY 1),
+        ccum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM ccnt),
+        cn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ccnt),
+        cq AS (SELECT i, min(v) AS cur_q
+          FROM ccum CROSS JOIN cn CROSS JOIN grid
+          WHERE cum >= (i * n + 19) // 20 GROUP BY 1)
+        SELECT CAST(i * 50 AS BIGINT) AS p_permille, ref_q, cur_q,
+          cur_q - ref_q AS diff
+        FROM rq JOIN cq USING (i)""",
+
+      // Fleiss: three deterministic raters replayed, per-item agreement
+      // nano-floored before the item sum, category shares squared
+      "q257_fleiss" -> """
+        WITH d AS (SELECT doc_id, text,
+            len(string_split_regex(trim(lower(text)), '\s+')) AS ntok
+          FROM documents),
+        votes AS (
+          SELECT doc_id AS item,
+            CASE WHEN contains(text, 'data') THEN 'pos' ELSE 'neg' END AS cat
+          FROM d
+          UNION ALL SELECT doc_id,
+            CASE WHEN contains(text, 'the') THEN 'pos' ELSE 'neg' END FROM d
+          UNION ALL SELECT doc_id,
+            CASE WHEN ntok > 40 THEN 'pos' ELSE 'neg' END FROM d),
+        cells AS (SELECT item, cat, CAST(count(*) AS BIGINT) AS nij
+          FROM votes WHERE item IS NOT NULL AND cat IS NOT NULL
+          GROUP BY 1, 2),
+        items AS (SELECT item, CAST(sum(nij) AS BIGINT) AS n,
+            sum(CAST(nij AS HUGEINT) * CAST(nij AS HUGEINT)) AS sq
+          FROM cells GROUP BY 1),
+        panel AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+            CAST(min(n) AS BIGINT) AS nmin,
+            CAST(max(n) AS BIGINT) AS nmax FROM items),
+        pbar AS (SELECT coalesce(sum(CAST(floor(
+              (CAST(sq AS DOUBLE) - CAST(n AS DOUBLE)) /
+              (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+              * 1.0E9 + 0.5) AS HUGEINT)), 0) AS pn
+          FROM items CROSS JOIN panel WHERE n = nmax AND nmax > 1),
+        tot AS (SELECT CAST(sum(nij) AS BIGINT) AS t FROM cells),
+        pe AS (SELECT coalesce(sum(CAST(floor(
+              (CAST(cj AS DOUBLE) / CAST(t AS DOUBLE)) *
+              (CAST(cj AS DOUBLE) / CAST(t AS DOUBLE)) * 1.0E9 + 0.5)
+              AS HUGEINT)), 0) AS pen
+          FROM (SELECT cat, CAST(sum(nij) AS BIGINT) AS cj FROM cells
+            GROUP BY 1) CROSS JOIN tot),
+        r AS (SELECT n_items, nmax, nmin,
+            CAST(pn AS DOUBLE) / 1.0E9 / CAST(n_items AS DOUBLE) AS pbarv,
+            CAST(pen AS DOUBLE) / 1.0E9 AS pev
+          FROM panel CROSS JOIN pbar CROSS JOIN pe)
+        SELECT n_items, nmax AS n_raters, (nmin = nmax) AS raters_constant,
+          CAST(floor(pbarv * 1000000.0 + 0.5) AS BIGINT) AS pbar_micro,
+          CAST(floor(pev * 1000000.0 + 0.5) AS BIGINT) AS pe_micro,
+          CAST(floor(CASE WHEN nmin <> nmax OR nmax <= 1 OR pev = 1.0
+            THEN NULL ELSE (pbarv - pev) / (1.0 - pev) END
+            * 1000000.0 + 0.5) AS BIGINT) AS kappa_micro
+        FROM r""",
+
+      // LPA: 2 synchronous rounds unrolled over the undirected
+      // buyer-supplier graph — exact votes, (count desc, label) argmax
+      "q258_label_prop" -> """
+        WITH e0 AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+            CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        e AS (SELECT src AS a, dst AS b FROM e0
+          UNION SELECT dst, src FROM e0),
+        nodes AS (SELECT DISTINCT a AS node FROM e),
+        l0 AS (SELECT node, node AS label FROM nodes),
+        v1 AS (SELECT e.a AS node, l0.label, CAST(count(*) AS BIGINT) AS c
+          FROM e JOIN l0 ON e.b = l0.node GROUP BY 1, 2),
+        a1 AS (SELECT node, label FROM (SELECT node, label,
+            ROW_NUMBER() OVER (PARTITION BY node
+              ORDER BY c DESC, label) AS rn FROM v1) WHERE rn = 1),
+        l1 AS (SELECT nodes.node, coalesce(a1.label, nodes.node) AS label
+          FROM nodes LEFT JOIN a1 ON nodes.node = a1.node),
+        v2 AS (SELECT e.a AS node, l1.label, CAST(count(*) AS BIGINT) AS c
+          FROM e JOIN l1 ON e.b = l1.node GROUP BY 1, 2),
+        a2 AS (SELECT node, label FROM (SELECT node, label,
+            ROW_NUMBER() OVER (PARTITION BY node
+              ORDER BY c DESC, label) AS rn FROM v2) WHERE rn = 1),
+        l2 AS (SELECT nodes.node, coalesce(a2.label, nodes.node) AS label
+          FROM nodes LEFT JOIN a2 ON nodes.node = a2.node)
+        SELECT node, label FROM l2""",
 
       // Brier + Murphy decomposition: the q222 scorer replay, per-row
       // squared-error nano-floored, bin terms nano-floored over the

@@ -255,4 +255,53 @@ object Drift {
         floor(sum(col("__t")).cast("double") / lit(2.0) + lit(0.5))
           .cast("long").as("jsd_nano"))
   }
+
+  private val Dec0 =
+    org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+
+  /** Quantile–quantile comparison table between two slices: the EXACT
+    * type-1 quantile of each slice at a shared permille grid
+    * `p ∈ {i/points}` — where [[ksDrift]] reports the single worst CDF
+    * gap, the QQ table shows WHERE the distributions diverge (tails vs
+    * body), the plot every drift triage starts from. Integer-grained
+    * values (the [[psiDrift]] contract: cents, counts, micro-units), so
+    * every quantile is an exact table value, no interpolation floats.
+    *
+    * `q_p = min{v : cum(v) ≥ ⌈p·n⌉}` — cumulative counts over DISTINCT
+    * values (the [[ksDrift]] bounded-codomain window), the ceiling in
+    * exact integer arithmetic, one broadcast grid join per side.
+    *
+    * @return (p_permille, ref_q, cur_q, diff) — one row per grid point,
+    *         ordered by the caller; empty side ⇒ no rows (a quantile of
+    *         nothing is not 0)
+    */
+  def qqCompare(ref: DataFrame, cur: DataFrame, valueCol: String,
+                points: Int = 20): DataFrame = {
+    require(points >= 2, s"qqCompare: points must be >= 2, got $points")
+    require(1000 % points == 0,
+      s"qqCompare: points must divide 1000 (permille grid), got $points")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val grid = (1 to points).map(_.toLong).toDF("__i")
+    def side(df: DataFrame, as: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val counts = df.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).cast("long").as("__v"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(Window.orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val n = counts.agg(sum(col("__c")).as("__n"))
+      // target rank ⌈i·n/points⌉ in exact decimal: floor((i·n + points−1)/points)
+      counts.crossJoin(broadcast(n)).crossJoin(broadcast(grid))
+        .filter(col("__cum") >= floor(
+          (col("__i").cast(Dec0) * col("__n").cast(Dec0) +
+            lit(points - 1).cast(Dec0)) / lit(points).cast(Dec0))
+          .cast("long"))
+        .groupBy(col("__i"))
+        .agg(min(col("__v")).as(as))
+    }
+    side(ref, "ref_q").join(side(cur, "cur_q"), Seq("__i"))
+      .select((col("__i") * lit(1000L / points)).as("p_permille"),
+        col("ref_q"), col("cur_q"), (col("cur_q") - col("ref_q")).as("diff"))
+  }
 }

@@ -550,4 +550,66 @@ object Eval {
         micro(when(pe === 1.0, lit(null))
           .otherwise((po - pe) / (lit(1.0) - pe)), "kappa_micro"))
   }
+
+  /** Fleiss' kappa — chance-corrected agreement among MANY raters
+    * ([[cohenKappa]] handles exactly two sides): over assignments
+    * `(item, rater-assigned category)` with a CONSTANT `n` raters per
+    * item, `κ = (P̄ − P̄e)/(1 − P̄e)` with per-item agreement
+    * `P_i = (Σ_j n_ij² − n)/(n(n−1))` and chance agreement
+    * `P̄e = Σ_j p_j²`. The multi-annotator QA number a labeling
+    * campaign gates on before its labels train anything.
+    *
+    * Exact core: ONE (item, category) count aggregate; Σn_ij² forms in
+    * DECIMAL; each P_i is a fixed tree of exact integers NANO-floored
+    * before the item sum (commuting integers); p_j and their squares
+    * nano-floor at category grain (bounded). `raters_constant` reports
+    * whether every item saw the same rater count — when false, κ is
+    * NULL (Fleiss is undefined; fix the panel, don't average over the
+    * hole). Items with one rater (n ≤ 1) make P_i undefined → NULL κ
+    * likewise.
+    *
+    * @param df one row per (item, single rater's category) assignment
+    * @return one row: (n_items, n_raters, raters_constant, pbar_micro,
+    *         pe_micro, kappa_micro)
+    */
+  def fleissKappa(df: DataFrame, itemCol: String,
+                  catCol: String): DataFrame = {
+    def micro(c: org.apache.spark.sql.Column, as: String) =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("long").as(as)
+    val cells = graft.util.Caches.cache(
+      df.filter(col(itemCol).isNotNull && col(catCol).isNotNull)
+        .groupBy(col(itemCol).as("__it"), col(catCol).as("__cat"))
+        .agg(count(lit(1)).as("__nij"))).toDF
+    val items = cells.groupBy(col("__it"))
+      .agg(sum(col("__nij")).as("__n"),
+        sum(col("__nij").cast(Dec38) * col("__nij").cast(Dec38)).as("__sq"))
+    val panel = items.agg(count(lit(1)).as("n_items"),
+      min(col("__n")).as("__nmin"), max(col("__n")).as("__nmax"))
+    // per-item P_i nano-floored, then the decimal item sum
+    val pbarNano = items.crossJoin(broadcast(panel))
+      .filter(col("__n") === col("__nmax") && col("__nmax") > 1)
+      .select(floor((col("__sq").cast("double") - col("__n").cast("double")) /
+        (col("__n").cast("double") * (col("__n").cast("double") - lit(1.0))) *
+        lit(1e9) + lit(0.5)).cast("long").cast(Dec38).as("__pi"))
+      .agg(coalesce(sum(col("__pi")), lit(0).cast(Dec38)).as("__pbar_nano"))
+    // category shares over the full assignment mass
+    val totAssign = cells.agg(sum(col("__nij")).as("__tot"))
+    val peNano = cells.groupBy(col("__cat"))
+      .agg(sum(col("__nij")).as("__cj"))
+      .crossJoin(broadcast(totAssign))
+      .select(floor((col("__cj").cast("double") / col("__tot").cast("double")) *
+        (col("__cj").cast("double") / col("__tot").cast("double")) *
+        lit(1e9) + lit(0.5)).cast("long").cast(Dec38).as("__pj2"))
+      .agg(coalesce(sum(col("__pj2")), lit(0).cast(Dec38)).as("__pe_nano"))
+    val pbar = col("__pbar_nano").cast("double") / lit(1e9) /
+      col("n_items").cast("double")
+    val pe = col("__pe_nano").cast("double") / lit(1e9)
+    val constant = col("__nmin") === col("__nmax")
+    panel.crossJoin(pbarNano).crossJoin(peNano)
+      .select(col("n_items"), col("__nmax").as("n_raters"),
+        constant.as("raters_constant"),
+        micro(pbar, "pbar_micro"), micro(pe, "pe_micro"),
+        micro(when(!constant || col("__nmax") <= 1 || pe === 1.0, lit(null))
+          .otherwise((pbar - pe) / (lit(1.0) - pe)), "kappa_micro"))
+  }
 }

@@ -388,4 +388,65 @@ object Graph {
       .select(col("node"), round(col("hub"), 10).as("hub"),
         round(col("auth"), 10).as("auth"))
   }
+
+  /** SYNCHRONOUS label propagation (Raghavan et al. 2007) over an
+    * UNDIRECTED edge set — the cheap community detector next to
+    * [[connectedComponents]] (components answer "reachable at all?",
+    * LPA answers "densely knit together?"): every node starts as its own
+    * label (its id), and each round simultaneously adopts the most
+    * frequent label among its neighbors — ties break to the SMALLEST
+    * label, and an isolated node keeps its own. Fixed `iters` rounds
+    * from a fixed start = deterministic and replayable (the
+    * asynchronous/random-order variants of the literature are
+    * deliberately not offered — they are irreproducible by design);
+    * exact integer counts, no floats anywhere. Known synchronous-LPA
+    * caveat, inherited deliberately: BIPARTITE structures can oscillate
+    * between two label assignments round over round (the classic
+    * example: an isolated edge swaps labels every round) — consumers
+    * wanting a fixed point run an even/odd round pair or break ties by
+    * the node's own current label; the fixed-round contract keeps either
+    * choice replayable.
+    *
+    * Scale shape: per round, ONE edge-grain join (labels onto both
+    * orientations) + one (node, label) count aggregate (map-side
+    * combinable) + one argmax window partitioned BY NODE (bounded by
+    * per-node degree — the [[Funnels.sequenceMatch]] class);
+    * `localCheckpoint` cuts the iterated lineage per round (the
+    * [[pageRank]] discipline). Labels-per-round state is one row per
+    * node, never corpus-squared.
+    *
+    * @param edges (src, dst) — each undirected edge ONCE (orientation
+    *              irrelevant; both are expanded internally)
+    * @return (node, label) — the community label after `iters` rounds
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "labelPropagation: at least one iteration")
+    val e = graft.util.Caches.cache(
+      edges.select(col("src").cast("long").as("a"),
+          col("dst").cast("long").as("b"))
+        .unionByName(edges.select(col("dst").cast("long").as("a"),
+          col("src").cast("long").as("b")))
+        .distinct()).toDF
+    val nodes = graft.util.Caches.cache(
+      e.select(col("a").as("node")).distinct()).toDF
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      val votes = e.join(labels, e("b") === labels("node"))
+        .select(col("a").as("node"), col("label"))
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node"))
+        .orderBy(col("__c").desc, col("label"))
+      val adopted = votes
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("label"))
+      labels = nodes.join(adopted, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("label"), col("node")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
 }

@@ -136,4 +136,28 @@ class DriftSpec extends SparkSpec {
     assert(ab == ba, "JSD is symmetric")
     assert(ab >= 0 && ab <= math.ceil(math.log(2.0) * 1e9).toLong)
   }
+
+  test("qqCompare: identical slices diff 0 everywhere; a constant shift " +
+      "reports itself at every grid point; guards (r16)") {
+    import graft.ops.Drift
+    val rnd = new scala.util.Random(4)
+    val base = Seq.fill(400)(rnd.nextInt(1000).toLong).toDF("v")
+    val same = Drift.qqCompare(base, base, "v", points = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(same.length == 10 && same.forall(_._4 == 0L))
+    assert(same.map(_._1).toSeq.sorted == (1 to 10).map(_ * 100L))
+    val shifted = base.select((col("v") + 37L).as("v"))
+    val sh = Drift.qqCompare(base, shifted, "v", points = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(sh.forall(_._4 == 37L), "a pure shift is 37 at every quantile")
+    // hand case: 1..10 at the 4-point grid -> type-1 quantiles 3,5,8,10
+    val ten = (1 to 10).map(_.toLong).toDF("v")
+    val h = Drift.qqCompare(ten, ten, "v", points = 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(h.map(r => (r._1, r._2)).toSeq ==
+      Seq((250L, 3L), (500L, 5L), (750L, 8L), (1000L, 10L)))
+    intercept[IllegalArgumentException] {
+      Drift.qqCompare(base, base, "v", points = 7)
+    }
+  }
 }

@@ -153,4 +153,34 @@ class GraphSpec extends SparkSpec {
     }
     graft.util.Caches.releaseAll()
   }
+
+  test("labelPropagation: two triangles joined by a bridge keep their " +
+      "min labels; isolated pair collapses; fixed rounds deterministic " +
+      "under repartitioning (r16)") {
+    import graft.ops.Graph
+    // triangle {1,2,3} — bridge 3–4 — triangle {4,5,6}; pair {10,11}
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (10L, 11L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // min-tie-break drives triangle labels to their smallest member;
+    // after 3 rounds label 1 has propagated through the bridge
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    // the isolated PAIR oscillates under synchronous updates (the known
+    // sync-LPA bipartite behavior — documented): odd rounds swap labels
+    assert(got(10L) == 11L && got(11L) == 10L)
+    // the full assignment is partitioning-invariant
+    val re = Graph.labelPropagation(edges.repartition(5), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(re == got)
+    // one round: a node adopts its neighbourhood majority — node 5's
+    // neighbours {4, 6} tie at one vote each, smallest label wins
+    val one = Graph.labelPropagation(edges, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one(5L) == 4L)
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(edges, iters = 0)
+    }
+    graft.util.Caches.releaseAll()
+  }
 }
