@@ -3214,6 +3214,19 @@ object SparkEntry {
         Seq("event_type"), "vm")
     }),
 
+    // --- Mann–Whitney U drift (r16): the q217 slices under the rank
+    //     test — tie-mid-rank 2U in exact decimal, common-language
+    //     effect size, tie-corrected z ---
+    "q259_u_test" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 1000000).cast("long").as("vm"),
+          (unix_date(to_date(col("ts"))) % 2).as("par"))
+      Drift.uTest(ev.filter(col("par") === 0), ev.filter(col("par") === 1),
+        Seq("event_type"), "vm")
+    }),
+
     // --- rolling-window distinct users (r15): 7-day trailing distinct
     //     per event_type by MERGING day-grain KMV sketches — one scan
     //     into day sketches, every window O(7k) list algebra; the
@@ -6367,6 +6380,48 @@ object SparkEntry {
             CAST(CAST(n_ref AS HUGEINT) * CAST(n_cur AS HUGEINT) AS DOUBLE) *
             1000000.0 + 0.5) AS BIGINT) AS ks_micro
         FROM mx""",
+
+      // Mann-Whitney U over the same slices: 2U block form in HUGEINT,
+      // tie-corrected variance, identical z/CLES trees
+      "q259_u_test" -> """
+        WITH e AS (SELECT event_type,
+            CAST(round(value * 1000000) AS BIGINT) AS v,
+            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 2 AS par
+          FROM events WHERE value IS NOT NULL),
+        c AS (SELECT event_type, v,
+            CAST(sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+            CAST(sum(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cc
+          FROM e GROUP BY 1, 2),
+        cum AS (SELECT event_type, v, cr, cc,
+            CAST(coalesce(sum(cr) OVER (PARTITION BY event_type ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS crb
+          FROM c),
+        agg AS (SELECT event_type,
+            CAST(sum(cr) AS BIGINT) AS n_ref,
+            CAST(sum(cc) AS BIGINT) AS n_cur,
+            sum(CAST(cc AS HUGEINT) * (CAST(crb AS HUGEINT) * 2 +
+              CAST(cr AS HUGEINT))) AS u2,
+            sum(CAST(cr + cc AS HUGEINT) * CAST(cr + cc AS HUGEINT) *
+              CAST(cr + cc AS HUGEINT) - CAST(cr + cc AS HUGEINT)) AS ties
+          FROM cum GROUP BY 1 HAVING sum(cr) > 0 AND sum(cc) > 0),
+        sg AS (SELECT *,
+            CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) / 12.0 *
+              ((CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE) + 1.0) -
+                CAST(ties AS DOUBLE) /
+                ((CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE)) *
+                 (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE) - 1.0)))
+              AS sig2
+          FROM agg)
+        SELECT event_type, n_ref, n_cur,
+          CAST(floor(CAST(u2 AS DOUBLE) /
+            (2.0 * CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))
+            * 1000000.0 + 0.5) AS BIGINT) AS cles_micro,
+          CAST(floor(CASE WHEN sig2 <= 0.0 THEN NULL
+            ELSE (CAST(u2 AS DOUBLE) / 2.0 -
+              CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) / 2.0)
+              / sqrt(sig2) END * 1000000.0 + 0.5) AS BIGINT) AS z_micro
+        FROM sg""",
 
       // directed containment over the same distinct-shingle algebra as q36
       "q204_containment_join" -> """

@@ -259,6 +259,70 @@ object Drift {
   private val Dec0 =
     org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
 
+  /** Mann–Whitney U test per key — the SIGNIFICANCE sibling of
+    * [[ksDrift]] (KS reports the sharpest CDF gap; U asks "does one
+    * slice stochastically dominate, and is the shift bigger than
+    * chance"): tie-mid-rank U via the exact-integer block form
+    * `2U = Σ_v c_cur(v)·(2·c_ref_below(v) + c_ref(v))` (the
+    * [[graft.ops.Eval.rocAuc]] rank statistic — AUC and U are the same
+    * number in different clothes), the common-language effect size
+    * `CLES = U/(m·n)` (= P(cur > ref) + ½·P(tie)), and the normal
+    * z-score with the standard tie-corrected variance
+    * `σ² = mn/12·((N+1) − Σ(t³−t)/(N(N−1)))`.
+    *
+    * Exact core: all counts, 2U and Σ(t³−t) form in DECIMAL (products
+    * pass Long at corpus scale); z and CLES are single fixed IEEE trees
+    * of those exacts, micro-quantized. An all-tied pool has σ = 0 →
+    * NULL z (no test), never a division crash. Keys missing either
+    * slice drop (U needs both samples).
+    *
+    * Scale shape: [[ksDrift]]'s — two scans die into a (key, value)
+    * count table, one per-key window over DISTINCT values
+    * (bounded-codomain contract), one per-key aggregate.
+    *
+    * @return keys… , n_ref, n_cur, cles_micro, z_micro (z > 0 ⇔ cur
+    *         tends larger)
+    */
+  def uTest(ref: DataFrame, cur: DataFrame, keys: Seq[String],
+            valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = keys.map(col)
+    def cnt(df: DataFrame, as: String): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .groupBy((k :+ col(valueCol).cast("long").as("__v")): _*)
+        .agg(count(lit(1)).as(as))
+    val pooled = cnt(ref, "__cr").join(cnt(cur, "__cc"),
+        keys :+ "__v", "full_outer")
+      .select((k ++ Seq(col("__v"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__cc"), lit(0L)).as("__cc"))): _*)
+    val w = Window.partitionBy(k: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = (col("__cr") + col("__cc")).cast(Dec0)
+    val perKey = pooled
+      .withColumn("__crb", coalesce(sum(col("__cr")).over(w), lit(0L)))
+      .groupBy(k: _*)
+      .agg(sum(col("__cr")).as("n_ref"), sum(col("__cc")).as("n_cur"),
+        sum(col("__cc").cast(Dec0) *
+          (col("__crb").cast(Dec0) * lit(2).cast(Dec0) +
+            col("__cr").cast(Dec0))).as("__u2"),
+        sum(t * t * t - t).as("__ties"))
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+    val m = col("n_ref").cast("double")
+    val n = col("n_cur").cast("double")
+    val bigN = m + n
+    val sigma2 = m * n / lit(12.0) *
+      ((bigN + lit(1.0)) - col("__ties").cast("double") /
+        (bigN * (bigN - lit(1.0))))
+    val u = col("__u2").cast("double") / lit(2.0)
+    def micro(c: Column, as: String) =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("long").as(as)
+    perKey.select((k ++ Seq(col("n_ref"), col("n_cur"),
+      micro(col("__u2").cast("double") / (lit(2.0) * m * n), "cles_micro"),
+      micro(when(sigma2 <= 0.0, lit(null))
+        .otherwise((u - m * n / lit(2.0)) / sqrt(sigma2)), "z_micro"))): _*)
+  }
+
   /** Quantile–quantile comparison table between two slices: the EXACT
     * type-1 quantile of each slice at a shared permille grid
     * `p ∈ {i/points}` — where [[ksDrift]] reports the single worst CDF

@@ -160,4 +160,26 @@ class DriftSpec extends SparkSpec {
       Drift.qqCompare(base, base, "v", points = 7)
     }
   }
+
+  test("uTest: separated samples give CLES 1 and the closed-form z; " +
+      "side swap mirrors; all-tied pool reports NULL z, CLES 1/2 (r16)") {
+    import graft.ops.Drift
+    def df(vs: Long*) = vs.map(v => ("k", v)).toDF("k", "v")
+    val sep = Drift.uTest(df(1L, 2L), df(3L, 4L), Seq("k"), "v")
+      .collect().head
+    // U = 4 (every cur beats every ref) -> CLES = 1; no ties:
+    // sigma^2 = (2*2/12)*(4+1) = 5/3, z = (4 - 2)/sqrt(5/3)
+    assert(sep.getLong(3) == 1000000L)
+    val wantZ = math.floor(2.0 / math.sqrt(5.0 / 3.0) * 1e6 + 0.5).toLong
+    assert(sep.getLong(4) == wantZ, s"z: ${sep.getLong(4)} vs $wantZ")
+    val swapped = Drift.uTest(df(3L, 4L), df(1L, 2L), Seq("k"), "v")
+      .collect().head
+    assert(swapped.getLong(3) == 0L && swapped.getLong(4) == -wantZ)
+    val tied = Drift.uTest(df(5L, 5L), df(5L, 5L, 5L), Seq("k"), "v")
+      .collect().head
+    assert(tied.getLong(3) == 500000L && tied.isNullAt(4))
+    // a key present in only one slice drops
+    assert(Drift.uTest(df(1L), Seq(("other", 2L)).toDF("k", "v"),
+      Seq("k"), "v").count() == 0L)
+  }
 }
