@@ -1260,6 +1260,25 @@ object SparkEntry {
       Funnels.funnelLatency(Tables.events(s, dir), "user_id", "ts",
         "event_type", Seq("view", "click", "purchase"))),
 
+    // --- one-way ANOVA F (r16): does ANY event_type's value mean differ
+    //     — the k-arm gate before pairwise t-tests eat the α budget;
+    //     exact moments, one (arm) aggregate ---
+    "q260_anova_f" -> ((s, dir) =>
+      Experiments.anovaF(
+        Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("vc")),
+        Seq.empty, "event_type", "vc")),
+
+    // --- Kruskal–Wallis H (r16): the rank-based k-arm sibling — heavy
+    //     tails can't fake or mask the shift; doubled mid-ranks exact ---
+    "q261_kruskal_wallis" -> ((s, dir) =>
+      Experiments.kruskalWallis(
+        Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("vc")),
+        Seq.empty, "event_type", "vc")),
+
     // --- one k-means Lloyd iteration over the embedding corpus ---
     // Composes q41's argmin assignment with q57's exact-decimal means —
     // the trainable-clustering step behind the IVF serving path, under
@@ -6422,6 +6441,76 @@ object SparkEntry {
               CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) / 2.0)
               / sqrt(sig2) END * 1000000.0 + 0.5) AS BIGINT) AS z_micro
         FROM sg""",
+
+      // one-way ANOVA: per-arm exact decimal moments, the sum-of-squares
+      // identity with the explained term nano-floored per arm, the same
+      // F tree and NULL guards
+      "q260_anova_f" -> """
+        WITH e AS (SELECT event_type AS arm,
+            CAST(round(value * 100) AS BIGINT) AS vc
+          FROM events WHERE value IS NOT NULL),
+        pa AS (SELECT arm, CAST(count(*) AS BIGINT) AS na,
+            sum(CAST(vc AS DECIMAL(38,4))) AS sa,
+            sum(CAST(vc * vc AS DECIMAL(38,6))) AS qa
+          FROM e GROUP BY 1),
+        pg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+            CAST(sum(na) AS BIGINT) AS n,
+            CAST(sum(sa) AS DOUBLE) AS s,
+            CAST(sum(qa) AS DOUBLE) AS q,
+            sum(CAST(floor(CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) /
+              CAST(na AS DOUBLE) * 1000000.0 + 0.5) AS HUGEINT)) AS sbn
+          FROM pa),
+        r AS (SELECT k, n,
+            CAST(sbn AS DOUBLE) / 1000000.0 AS expl, s, q FROM pg),
+        r2 AS (SELECT k, n,
+            expl - s * s / CAST(n AS DOUBLE) AS ssb,
+            greatest(q - expl, 0.0) AS ssw FROM r)
+        SELECT k, n,
+          CAST(floor(ssb * 1000000.0 + 0.5) AS BIGINT) AS ssb_micro,
+          CAST(floor(ssw * 1000000.0 + 0.5) AS BIGINT) AS ssw_micro,
+          CAST(floor(CASE WHEN k < 2 OR n <= k OR ssw = 0.0 THEN NULL
+            ELSE (ssb / (CAST(k AS DOUBLE) - 1.0)) /
+              (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) END
+            * 1000000.0 + 0.5) AS BIGINT) AS f_micro
+        FROM r2""",
+
+      // Kruskal-Wallis: doubled mid-ranks (2 x below + t + 1, exact
+      // longs), rank-sum identity over HUGEINT, tie correction, the 12
+      // folded to 3 by the doubling
+      "q261_kruskal_wallis" -> """
+        WITH e AS (SELECT event_type AS arm,
+            CAST(round(value * 100) AS BIGINT) AS vc
+          FROM events WHERE value IS NOT NULL),
+        cells AS (SELECT arm, vc AS v, CAST(count(*) AS BIGINT) AS c
+          FROM e GROUP BY 1, 2),
+        vals AS (SELECT v, t,
+            CAST(coalesce(b, 0) AS BIGINT) * 2 + t + 1 AS r2
+          FROM (SELECT v, CAST(sum(c) AS BIGINT) AS t,
+              sum(sum(c)) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b
+            FROM cells GROUP BY 1)),
+        pa AS (SELECT arm, CAST(sum(c) AS BIGINT) AS na,
+            sum(CAST(c AS HUGEINT) * CAST(r2 AS HUGEINT)) AS r2a
+          FROM cells JOIN vals ON cells.v = vals.v GROUP BY 1),
+        pg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+            CAST(sum(na) AS BIGINT) AS n,
+            sum(CAST(floor(CAST(r2a AS DOUBLE) * CAST(r2a AS DOUBLE) /
+              CAST(na AS DOUBLE) * 1000000.0 + 0.5) AS HUGEINT)) AS rr
+          FROM pa),
+        tsum AS (SELECT sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) *
+            CAST(t AS HUGEINT) - CAST(t AS HUGEINT)) AS ties FROM vals),
+        r AS (SELECT k, n,
+            3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) *
+              (CAST(rr AS DOUBLE) / 1000000.0) -
+              3.0 * (CAST(n AS DOUBLE) + 1.0) AS hraw,
+            1.0 - CAST(ties AS DOUBLE) /
+              (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) -
+                CAST(n AS DOUBLE)) AS corr
+          FROM pg CROSS JOIN tsum)
+        SELECT k, n,
+          CAST(floor(CASE WHEN k < 2 OR n < 2 OR corr <= 0.0 THEN NULL
+            ELSE hraw / corr END * 1000000.0 + 0.5) AS BIGINT) AS h_micro
+        FROM r""",
 
       // directed containment over the same distinct-shingle algebra as q36
       "q204_containment_join" -> """

@@ -99,4 +99,115 @@ object Experiments {
         y - theta * (x - col("__sx") / col("__n")))
       .drop("__n", "__sx", "__sy", "__sxy", "__sxx")
   }
+
+  /** One-way ANOVA F — [[welchT]]'s k-ARM generalization: does ANY arm's
+    * mean differ, before k·(k−1)/2 pairwise t-tests eat the α budget.
+    * `F = (SSB/(k−1)) / (SSW/(N−k))` from the between/within sum-of-
+    * squares identity over per-arm exact moments: SSB = Σ nₐ(x̄ₐ − x̄)²
+    * = Σ Sₐ²/nₐ − S²/N, SSW = ΣQ − Σ Sₐ²/nₐ — every Σ an exact DECIMAL,
+    * the identity terms a fixed double tree, SSW clamped at 0 (the
+    * [[welchT]] variance-clamp convention).
+    *
+    * Scale shape: ONE (group, arm) hash aggregate then bounded per-group
+    * algebra — the metric table never shuffles beyond its keys.
+    * Degenerate cases are NULL, never a crash: k < 2 (nothing to
+    * compare), N ≤ k (no within-variance df), SSW = 0 with SSB > 0
+    * (infinite separation — report NULL and let the caller read
+    * ssb/ssw).
+    *
+    * @param armCol categorical arm label (any type)
+    * @return per group: (groupCols…, k, n, ssb_micro, ssw_micro,
+    *         f_micro)
+    */
+  def anovaF(df: DataFrame, groupCols: Seq[String], armCol: String,
+             valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val g = groupCols.map(col)
+    val perArm = df.filter(v.isNotNull && col(armCol).isNotNull)
+      .groupBy((g :+ col(armCol)): _*)
+      .agg(count(lit(1)).as("__na"),
+        sum(v.cast(graft.util.Num.Money)).as("__sa"),
+        sum((v * v).cast(Sq)).as("__qa"))
+    val perGroup = perArm.groupBy(g: _*)
+      .agg(count(lit(1)).as("k"), sum(col("__na")).as("n"),
+        sum(col("__sa")).cast("double").as("__s"),
+        sum(col("__qa")).cast("double").as("__q"),
+        // Σ Sₐ²/nₐ: per-arm double terms summed — each a single division
+        // of exact decimals; nano-floored before the sum (commuting)
+        sum(floor(col("__sa").cast("double") * col("__sa").cast("double") /
+          col("__na").cast("double") * lit(1e6) + lit(0.5)).cast("long")
+          .cast(DecimalType(38, 0))).as("__sbn"))
+    val explained = col("__sbn").cast("double") / lit(1e6)
+    val ssb = explained - col("__s") * col("__s") / col("n").cast("double")
+    val ssw = greatest(col("__q") - explained, lit(0.0))
+    val f = (ssb / (col("k").cast("double") - lit(1.0))) /
+      (ssw / (col("n").cast("double") - col("k").cast("double")))
+    def micro(c: Column, as: String) =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("long").as(as)
+    perGroup.select((g ++ Seq(col("k"), col("n"),
+      micro(ssb, "ssb_micro"), micro(ssw, "ssw_micro"),
+      micro(when(col("k") < 2 || col("n") <= col("k") || ssw === 0.0,
+        lit(null)).otherwise(f), "f_micro"))): _*)
+  }
+
+  /** Kruskal–Wallis H — [[anovaF]]'s RANK-based sibling (and
+    * [[graft.ops.Drift.uTest]]'s k-group generalization): compares arm
+    * rank means instead of value means, so heavy tails and outliers
+    * cannot fake or mask a shift. Tie-mid-ranks in DOUBLED integer
+    * units (`2·midrank(v) = 2·below(v) + t(v) + 1` — exact longs, no
+    * half floats), `H = 12/(N(N+1))·Σ nₐ(r̄ₐ − r̄)²` via the rank-sum
+    * identity `Σ Rₐ²/nₐ` over exact decimal rank sums, divided by the
+    * tie correction `1 − Σ(t³−t)/(N³−N)`. All-tied pools (correction 0)
+    * report NULL, never a division crash.
+    *
+    * Scale shape: one (group, value) count aggregate, one per-group
+    * window over DISTINCT values (the bounded-codomain contract), one
+    * per-group reduce.
+    *
+    * @return per group: (groupCols…, k, n, h_micro)
+    */
+  def kruskalWallis(df: DataFrame, groupCols: Seq[String], armCol: String,
+                    valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Dec = DecimalType(38, 0)
+    val g = groupCols.map(col)
+    val v = col(valueCol).cast("long")
+    val cells = df.filter(v.isNotNull && col(armCol).isNotNull)
+      .groupBy((g :+ col(armCol).as("__arm") :+ v.as("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+    // per distinct value: total tie size and the doubled mid-rank
+    val w = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vals = cells.groupBy((g :+ col("__v")): _*)
+      .agg(sum(col("__c")).as("__t"))
+      .withColumn("__below", coalesce(sum(col("__t")).over(w), lit(0L)))
+      .select((g ++ Seq(col("__v"), col("__t"),
+        (col("__below") * 2 + col("__t") + 1).as("__r2"))): _*)
+    val perArm = cells.join(vals, groupCols :+ "__v")
+      .groupBy((g :+ col("__arm")): _*)
+      .agg(sum(col("__c")).as("__na"),
+        sum(col("__c").cast(Dec) * col("__r2").cast(Dec)).as("__R2a"))
+    val perGroup = perArm.groupBy(g: _*)
+      .agg(count(lit(1)).as("k"), sum(col("__na")).as("n"),
+        // Σ (2Rₐ)²/nₐ in nano-floored doubles of exact decimals
+        sum(floor(col("__R2a").cast("double") * col("__R2a").cast("double") /
+          col("__na").cast("double") * lit(1e6) + lit(0.5)).cast("long")
+          .cast(Dec)).as("__rr"))
+    val ties = vals.groupBy(g: _*)
+      .agg(sum(col("__t").cast(Dec) * col("__t").cast(Dec) *
+        col("__t").cast(Dec) - col("__t").cast(Dec)).as("__ties"))
+    val n = col("n").cast("double")
+    // H with doubled ranks: Σ(2Rₐ)²/nₐ = 4·ΣRₐ²/nₐ, so the 12 becomes 3
+    val hRaw = lit(3.0) / (n * (n + lit(1.0))) *
+      (col("__rr").cast("double") / lit(1e6)) - lit(3.0) * (n + lit(1.0))
+    val corr = lit(1.0) - col("__ties").cast("double") / (n * n * n - n)
+    def micro(c: Column, as: String) =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("long").as(as)
+    val withTies = if (groupCols.isEmpty) perGroup.crossJoin(broadcast(ties))
+      else perGroup.join(ties, groupCols)
+    withTies
+      .select((g ++ Seq(col("k"), col("n"),
+        micro(when(col("k") < 2 || col("n") < 2 || corr <= 0.0, lit(null))
+          .otherwise(hRaw / corr), "h_micro"))): _*)
+  }
 }

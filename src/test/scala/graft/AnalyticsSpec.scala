@@ -638,4 +638,66 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Long, Option[Double])].head()
     assert(t == ((0L, None)))
   }
+
+  test("anovaF: two separated arms match the closed form; one arm / " +
+      "zero within-variance are NULL; k-arm F agrees with a driver " +
+      "replicate (r16)") {
+    import graft.ops.Experiments
+    // arms {1,2} vs {5,6}: SSB = 16, SSW = 1, F = (16/1)/(1/2) = 32
+    val ab = Seq(("a", 1L), ("a", 2L), ("b", 5L), ("b", 6L))
+      .toDF("arm", "v")
+    val r = Experiments.anovaF(ab, Seq.empty, "arm", "v").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 16000000L && r.getLong(3) == 1000000L)
+    assert(r.getLong(4) == 32000000L, s"F: $r")
+    // single arm: F undefined
+    assert(Experiments.anovaF(ab.filter($"arm" === "a"), Seq.empty,
+      "arm", "v").collect().head.isNullAt(4))
+    // identical constant arms: SSW = 0 -> NULL (infinite separation
+    // guard fires only when SSB > 0; here both are 0 -> still NULL)
+    val const = Seq(("a", 3L), ("a", 3L), ("b", 3L), ("b", 3L))
+      .toDF("arm", "v")
+    assert(Experiments.anovaF(const, Seq.empty, "arm", "v")
+      .collect().head.isNullAt(4))
+    // 3 arms vs driver replicate
+    val rnd = new scala.util.Random(8)
+    val data = Seq.tabulate(300)(i =>
+      (s"g${i % 3}", (rnd.nextInt(50) + 10 * (i % 3)).toLong))
+    val got = Experiments.anovaF(data.toDF("arm", "v"), Seq.empty,
+      "arm", "v").collect().head
+    val byArm = data.groupBy(_._1).view.mapValues(_.map(_._2.toDouble))
+    val ex = byArm.values.map(vs => {
+      val s = vs.sum; math.floor(s * s / vs.size * 1e6 + 0.5) / 1e6
+    }).sum
+    val n = data.size.toDouble; val stot = data.map(_._2.toDouble).sum
+    val q = data.map(x => x._2.toDouble * x._2).sum
+    val ssb = ex - stot * stot / n
+    val ssw = math.max(q - ex, 0.0)
+    val f = (ssb / 2.0) / (ssw / (n - 3.0))
+    assert(got.getLong(4) == math.floor(f * 1e6 + 0.5).toLong)
+  }
+
+  test("kruskalWallis: separated pair matches the closed form H = 2.4; " +
+      "all-tied pool NULL; rank test ignores a monotone transform (r16)") {
+    import graft.ops.Experiments
+    val ab = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L))
+      .toDF("arm", "v")
+    val r = Experiments.kruskalWallis(ab, Seq.empty, "arm", "v")
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 2400000L, s"H: $r")
+    val tied = Seq(("a", 7L), ("a", 7L), ("b", 7L)).toDF("arm", "v")
+    assert(Experiments.kruskalWallis(tied, Seq.empty, "arm", "v")
+      .collect().head.isNullAt(2))
+    // H is rank-based: squaring the (positive) values changes nothing
+    val rnd = new scala.util.Random(12)
+    val data = Seq.tabulate(200)(i =>
+      (s"g${i % 2}", (rnd.nextInt(30) + 5 * (i % 2) + 1).toLong))
+    val h1 = Experiments.kruskalWallis(data.toDF("arm", "v"), Seq.empty,
+      "arm", "v").collect().head.getLong(2)
+    val h2 = Experiments.kruskalWallis(
+      data.map { case (a, v) => (a, v * v) }.toDF("arm", "v"), Seq.empty,
+      "arm", "v").collect().head.getLong(2)
+    assert(h1 == h2, s"monotone transform moved H: $h1 vs $h2")
+  }
 }
