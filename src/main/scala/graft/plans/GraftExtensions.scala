@@ -358,6 +358,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.ops.Survival.kaplanMeier(table(a(0)), a(1), a(2)) }
     tvf("graft_gini", 2 to 2) { a =>
       graft.ops.Frequency.gini(table(a(0)), a(1)) }
+    tvf("graft_pr_curve", 3 to 3) { a =>
+      graft.ops.Eval.prCurve(table(a(0)), a(1), a(2)) }
+    tvf("graft_log_loss", 3 to 3) { a =>
+      graft.ops.Eval.logLoss(table(a(0)), a(1), a(2)) }
+    tvf("graft_brier", 3 to 4) { a =>
+      graft.ops.Eval.brierDecomposition(table(a(0)), a(1), a(2),
+        if (a.size > 3) a(3).toInt else 10) }
+    tvf("graft_cohen_kappa", 3 to 3) { a =>
+      graft.ops.Eval.cohenKappa(table(a(0)), a(1), a(2)) }
+    tvf("graft_fleiss_kappa", 3 to 3) { a =>
+      graft.ops.Eval.fleissKappa(table(a(0)), a(1), a(2)) }
+    tvf("graft_chi2_assoc", 3 to 3) { a =>
+      graft.ops.Audit.chiSquareAssociation(table(a(0)), a(1), a(2)) }
+    tvf("graft_u_test", 4 to 4) { a =>
+      graft.ops.Drift.uTest(table(a(0)), table(a(1)), keysOf(a(2)), a(3)) }
+    tvf("graft_qq", 3 to 4) { a =>
+      graft.ops.Drift.qqCompare(table(a(0)), table(a(1)), a(2),
+        if (a.size > 3) a(3).toInt else 20) }
+    tvf("graft_anova_f", 4 to 4) { a =>
+      graft.ops.Experiments.anovaF(table(a(0)), keysOf(a(1)), a(2), a(3)) }
+    tvf("graft_kruskal_wallis", 4 to 4) { a =>
+      graft.ops.Experiments.kruskalWallis(table(a(0)), keysOf(a(1)),
+        a(2), a(3)) }
   }
 
   private def strLit(e: Option[Expression], fn: String, arg: String): String =

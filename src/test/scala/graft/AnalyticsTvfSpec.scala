@@ -81,4 +81,64 @@ class AnalyticsTvfSpec extends SparkSpec {
         .collect()
     }
   }
+
+  test("round-16 TVF faces (pr_curve/log_loss/brier/kappas/chi2/u_test/" +
+      "qq/anova/kruskal) ≡ the Scala surface (r16)") {
+    import graft.ops.{Audit, Drift, Eval, Experiments}
+    scoredView()
+    val t = spark.table("tvf_scored")
+    assert(spark.sql(
+        "SELECT * FROM graft_pr_curve('tvf_scored', 'score', 'label')")
+      .collect().toSet == Eval.prCurve(t, "score", "label").collect().toSet)
+    assert(spark.sql(
+        "SELECT * FROM graft_log_loss('tvf_scored', 'score', 'label')")
+      .collect().toSeq == Eval.logLoss(t, "score", "label").collect().toSeq)
+    val rnd = new scala.util.Random(21)
+    Seq.fill(300)((rnd.nextDouble(), rnd.nextBoolean()))
+      .toDF("score", "label").createOrReplaceTempView("tvf_prob")
+    assert(spark.sql(
+        "SELECT * FROM graft_brier('tvf_prob', 'score', 'label', 5)")
+      .collect().toSeq == Eval.brierDecomposition(spark.table("tvf_prob"),
+        "score", "label", bins = 5).collect().toSeq)
+    Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"))
+      .toDF("label", "predicted").createOrReplaceTempView("tvf_preds")
+    assert(spark.sql(
+        "SELECT * FROM graft_cohen_kappa('tvf_preds', 'label', 'predicted')")
+      .collect().toSeq == Eval.cohenKappa(spark.table("tvf_preds"),
+        "label", "predicted").collect().toSeq)
+    Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "y"), (2L, "y"), (2L, "y"))
+      .toDF("item", "cat").createOrReplaceTempView("tvf_votes")
+    assert(spark.sql(
+        "SELECT * FROM graft_fleiss_kappa('tvf_votes', 'item', 'cat')")
+      .collect().toSeq == Eval.fleissKappa(spark.table("tvf_votes"),
+        "item", "cat").collect().toSeq)
+    Seq(("x", "1"), ("x", "2"), ("y", "1"), ("y", "2"))
+      .toDF("a", "b").createOrReplaceTempView("tvf_ab")
+    assert(spark.sql(
+        "SELECT * FROM graft_chi2_assoc('tvf_ab', 'a', 'b')")
+      .collect().toSeq == Audit.chiSquareAssociation(spark.table("tvf_ab"),
+        "a", "b").collect().toSeq)
+    Seq.fill(100)(("k", rnd.nextInt(40).toLong)).toDF("k", "v")
+      .createOrReplaceTempView("tvf_r")
+    Seq.fill(100)(("k", (rnd.nextInt(40) + 5).toLong)).toDF("k", "v")
+      .createOrReplaceTempView("tvf_c")
+    assert(spark.sql(
+        "SELECT * FROM graft_u_test('tvf_r', 'tvf_c', 'k', 'v')")
+      .collect().toSet == Drift.uTest(spark.table("tvf_r"),
+        spark.table("tvf_c"), Seq("k"), "v").collect().toSet)
+    assert(spark.sql(
+        "SELECT * FROM graft_qq('tvf_r', 'tvf_c', 'v', 10)")
+      .collect().toSet == Drift.qqCompare(spark.table("tvf_r"),
+        spark.table("tvf_c"), "v", points = 10).collect().toSet)
+    Seq.fill(120)((s"g${rnd.nextInt(3)}", rnd.nextInt(30).toLong))
+      .toDF("arm", "v").createOrReplaceTempView("tvf_arms")
+    assert(spark.sql(
+        "SELECT * FROM graft_anova_f('tvf_arms', '', 'arm', 'v')")
+      .collect().toSeq == Experiments.anovaF(spark.table("tvf_arms"),
+        Seq.empty, "arm", "v").collect().toSeq)
+    assert(spark.sql(
+        "SELECT * FROM graft_kruskal_wallis('tvf_arms', '', 'arm', 'v')")
+      .collect().toSeq == Experiments.kruskalWallis(spark.table("tvf_arms"),
+        Seq.empty, "arm", "v").collect().toSeq)
+  }
 }
