@@ -1260,6 +1260,31 @@ object SparkEntry {
       Funnels.funnelLatency(Tables.events(s, dir), "user_id", "ts",
         "event_type", Seq("view", "click", "purchase"))),
 
+    // --- BLEU (r16): generation eval over adjacent-doc pairs — clipped
+    //     n-gram precisions, brevity penalty, geometric mean; NULL where
+    //     an order has no grams or a precision is 0 (no silent smoothing) ---
+    "q262_bleu" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+      val pairs = d.as("a").join(d.as("b"),
+          col("a.doc_id") + 1 === col("b.doc_id"))
+        .select(col("a.doc_id").as("id"), col("a.text").as("cand"),
+          col("b.text").as("ref"))
+      GenMetrics.bleu(pairs, "id", "cand", "ref")
+    }),
+
+    // --- ROUGE-2 (r16): the recall-oriented companion over the same
+    //     pairs — clipped bigram matches over reference/candidate totals ---
+    "q263_rouge2" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+      val pairs = d.as("a").join(d.as("b"),
+          col("a.doc_id") + 1 === col("b.doc_id"))
+        .select(col("a.doc_id").as("id"), col("a.text").as("cand"),
+          col("b.text").as("ref"))
+      GenMetrics.rougeN(pairs, "id", "cand", "ref", n = 2)
+    }),
+
     // --- one-way ANOVA F (r16): does ANY event_type's value mean differ
     //     — the k-arm gate before pairwise t-tests eat the α budget;
     //     exact moments, one (arm) aggregate ---
@@ -6511,6 +6536,115 @@ object SparkEntry {
           CAST(floor(CASE WHEN k < 2 OR n < 2 OR corr <= 0.0 THEN NULL
             ELSE hraw / corr END * 1000000.0 + 0.5) AS BIGINT) AS h_micro
         FROM r""",
+
+      // BLEU: per-order gram tables unrolled (the q93 n-gram precedent),
+      // clipped matches, the same pn/bp/geometric-mean trees with the
+      // no-smoothing NULL semantics
+      "q262_bleu" -> """
+        WITH d AS (SELECT doc_id, text FROM documents
+          WHERE text IS NOT NULL),
+        pairs AS (SELECT a.doc_id AS id, a.text AS cand, b.text AS ref
+          FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id),
+        base AS (SELECT id,
+            string_split_regex(trim(lower(cand)), '\s+') AS ct,
+            string_split_regex(trim(lower(ref)), '\s+') AS rt
+          FROM pairs),
+        cg0 AS (SELECT id, 1 AS nn, unnest(ct) AS g FROM base
+          UNION ALL SELECT id, 2 AS nn, unnest(list_transform(range(1, greatest(len(ct) - 2 + 2, 1)), i -> ct[i] || ' ' || ct[i+1])) AS g FROM base
+          UNION ALL SELECT id, 3 AS nn, unnest(list_transform(range(1, greatest(len(ct) - 3 + 2, 1)), i -> ct[i] || ' ' || ct[i+1] || ' ' || ct[i+2])) AS g FROM base
+          UNION ALL SELECT id, 4 AS nn, unnest(list_transform(range(1, greatest(len(ct) - 4 + 2, 1)), i -> ct[i] || ' ' || ct[i+1] || ' ' || ct[i+2] || ' ' || ct[i+3])) AS g FROM base),
+        rg0 AS (SELECT id, 1 AS nn, unnest(rt) AS g FROM base
+          UNION ALL SELECT id, 2 AS nn, unnest(list_transform(range(1, greatest(len(rt) - 2 + 2, 1)), i -> rt[i] || ' ' || rt[i+1])) AS g FROM base
+          UNION ALL SELECT id, 3 AS nn, unnest(list_transform(range(1, greatest(len(rt) - 3 + 2, 1)), i -> rt[i] || ' ' || rt[i+1] || ' ' || rt[i+2])) AS g FROM base
+          UNION ALL SELECT id, 4 AS nn, unnest(list_transform(range(1, greatest(len(rt) - 4 + 2, 1)), i -> rt[i] || ' ' || rt[i+1] || ' ' || rt[i+2] || ' ' || rt[i+3])) AS g FROM base),
+        cg AS (SELECT id, nn, g, CAST(count(*) AS BIGINT) AS cc
+          FROM cg0 GROUP BY 1, 2, 3),
+        rg AS (SELECT id, nn, g, CAST(count(*) AS BIGINT) AS rc
+          FROM rg0 GROUP BY 1, 2, 3),
+        po AS (SELECT cg.id, cg.nn,
+            CAST(sum(least(cc, coalesce(rc, 0))) AS BIGINT) AS m,
+            CAST(sum(cc) AS BIGINT) AS t
+          FROM cg LEFT JOIN rg ON cg.id = rg.id AND cg.nn = rg.nn
+            AND cg.g = rg.g
+          GROUP BY 1, 2),
+        pv AS (SELECT id,
+            sum(CASE WHEN nn = 1 THEN m END) AS m1,
+            sum(CASE WHEN nn = 1 THEN t END) AS t1,
+            sum(CASE WHEN nn = 2 THEN m END) AS m2,
+            sum(CASE WHEN nn = 2 THEN t END) AS t2,
+            sum(CASE WHEN nn = 3 THEN m END) AS m3,
+            sum(CASE WHEN nn = 3 THEN t END) AS t3,
+            sum(CASE WHEN nn = 4 THEN m END) AS m4,
+            sum(CASE WHEN nn = 4 THEN t END) AS t4
+          FROM po GROUP BY 1),
+        lens AS (SELECT id, CAST(len(ct) AS BIGINT) AS c_len,
+            CAST(len(rt) AS BIGINT) AS r_len FROM base),
+        rates AS (SELECT lens.id, c_len, r_len,
+            CASE WHEN t1 IS NULL OR t1 = 0 THEN NULL
+              ELSE CAST(coalesce(m1, 0) AS DOUBLE) / CAST(t1 AS DOUBLE) END AS p1,
+            CASE WHEN t2 IS NULL OR t2 = 0 THEN NULL
+              ELSE CAST(coalesce(m2, 0) AS DOUBLE) / CAST(t2 AS DOUBLE) END AS p2,
+            CASE WHEN t3 IS NULL OR t3 = 0 THEN NULL
+              ELSE CAST(coalesce(m3, 0) AS DOUBLE) / CAST(t3 AS DOUBLE) END AS p3,
+            CASE WHEN t4 IS NULL OR t4 = 0 THEN NULL
+              ELSE CAST(coalesce(m4, 0) AS DOUBLE) / CAST(t4 AS DOUBLE) END AS p4,
+            CASE WHEN CAST(c_len AS DOUBLE) >= CAST(r_len AS DOUBLE) THEN 1.0
+              ELSE exp(1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE))
+            END AS bp
+          FROM lens LEFT JOIN pv ON lens.id = pv.id)
+        SELECT id, c_len, r_len,
+          CAST(floor(p1 * 1000000.0 + 0.5) AS BIGINT) AS p1_micro,
+          CAST(floor(p2 * 1000000.0 + 0.5) AS BIGINT) AS p2_micro,
+          CAST(floor(p3 * 1000000.0 + 0.5) AS BIGINT) AS p3_micro,
+          CAST(floor(p4 * 1000000.0 + 0.5) AS BIGINT) AS p4_micro,
+          CAST(floor(bp * 1000000.0 + 0.5) AS BIGINT) AS bp_micro,
+          CAST(floor(CASE WHEN p1 IS NULL OR p1 <= 0.0 OR p2 IS NULL
+              OR p2 <= 0.0 OR p3 IS NULL OR p3 <= 0.0 OR p4 IS NULL
+              OR p4 <= 0.0 THEN NULL
+            ELSE bp * exp((ln(p1) + ln(p2) + ln(p3) + ln(p4)) / 4.0) END
+            * 1000000.0 + 0.5) AS BIGINT) AS bleu_micro
+        FROM rates""",
+
+      // ROUGE-2: the same pair table, clipped bigram overlap over a
+      // full outer gram join, recall/precision/F1 with the NULL sides
+      "q263_rouge2" -> """
+        WITH d AS (SELECT doc_id, text FROM documents
+          WHERE text IS NOT NULL),
+        pairs AS (SELECT a.doc_id AS id, a.text AS cand, b.text AS ref
+          FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id),
+        base AS (SELECT id,
+            string_split_regex(trim(lower(cand)), '\s+') AS ct,
+            string_split_regex(trim(lower(ref)), '\s+') AS rt
+          FROM pairs),
+        cg AS (SELECT id, g, CAST(count(*) AS BIGINT) AS cc FROM
+          (SELECT id, unnest(list_transform(range(1, greatest(len(ct) - 2 + 2, 1)), i -> ct[i] || ' ' || ct[i+1])) AS g FROM base) GROUP BY 1, 2),
+        rg AS (SELECT id, g, CAST(count(*) AS BIGINT) AS rc FROM
+          (SELECT id, unnest(list_transform(range(1, greatest(len(rt) - 2 + 2, 1)), i -> rt[i] || ' ' || rt[i+1])) AS g FROM base) GROUP BY 1, 2),
+        j AS (SELECT coalesce(cg.id, rg.id) AS id,
+            CAST(sum(least(coalesce(cc, 0), coalesce(rc, 0))) AS BIGINT)
+              AS n_match,
+            CAST(sum(coalesce(cc, 0)) AS BIGINT) AS n_cand,
+            CAST(sum(coalesce(rc, 0)) AS BIGINT) AS n_ref
+          FROM cg FULL OUTER JOIN rg ON cg.id = rg.id AND cg.g = rg.g
+          GROUP BY 1),
+        f AS (SELECT base.id,
+            coalesce(n_match, 0) AS n_match,
+            coalesce(n_cand, 0) AS n_cand,
+            coalesce(n_ref, 0) AS n_ref
+          FROM base LEFT JOIN j ON base.id = j.id),
+        rr AS (SELECT id, n_match, n_cand, n_ref,
+            CASE WHEN n_ref = 0 THEN NULL
+              ELSE CAST(n_match AS DOUBLE) / CAST(n_ref AS DOUBLE) END AS r,
+            CASE WHEN n_cand = 0 THEN NULL
+              ELSE CAST(n_match AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS p
+          FROM f)
+        SELECT id, n_match, n_cand, n_ref,
+          CAST(floor(r * 1000000.0 + 0.5) AS BIGINT) AS recall_micro,
+          CAST(floor(p * 1000000.0 + 0.5) AS BIGINT) AS precision_micro,
+          CAST(floor(CASE WHEN r IS NULL OR p IS NULL OR (r + p) = 0.0
+            THEN NULL ELSE 2.0 * r * p / (r + p) END
+            * 1000000.0 + 0.5) AS BIGINT) AS f1_micro
+        FROM rr""",
 
       // directed containment over the same distinct-shingle algebra as q36
       "q204_containment_join" -> """
