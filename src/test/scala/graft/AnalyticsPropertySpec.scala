@@ -294,4 +294,73 @@ class AnalyticsPropertySpec extends SparkSpec {
         ab <= math.ceil(math.log(2.0) * 1e9).toLong
     }, samples = 5)
   }
+
+  test("r16 invariants: U-test CLES antisymmetry and bounds, F/H/chi2 " +
+      "non-negative, kappa <= 1, BLEU/ROUGE within [0, 1]") {
+    import graft.ops.{Audit, Drift, Eval, Experiments, GenMetrics}
+    val genVals: Gen[(Seq[Long], Seq[Long])] = for {
+      n1 <- Gen.choose(3, 40); n2 <- Gen.choose(3, 40)
+      a <- Gen.listOfN(n1, Gen.choose(0L, 25L))
+      b <- Gen.listOfN(n2, Gen.choose(5L, 30L))
+    } yield (a, b)
+    check("uTest", Prop.forAll(genVals) { case (a, b) =>
+      def df(vs: Seq[Long]) = vs.map(("k", _)).toDF("k", "v")
+      val ab = Drift.uTest(df(a), df(b), Seq("k"), "v").collect().head
+      val ba = Drift.uTest(df(b), df(a), Seq("k"), "v").collect().head
+      val clesOk = ab.getLong(3) >= 0L && ab.getLong(3) <= 1000000L &&
+        math.abs(ab.getLong(3) + ba.getLong(3) - 1000000L) <= 1L
+      val zOk = (ab.isNullAt(4) && ba.isNullAt(4)) ||
+        math.abs(ab.getLong(4) + ba.getLong(4)) <= 1L
+      clesOk && zOk
+    }, samples = 5)
+    val genArms: Gen[Seq[(String, Long)]] = for {
+      k <- Gen.choose(2, 4)
+      n <- Gen.choose(12, 60)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, k - 1); v <- Gen.choose(0L, 40L)
+      } yield (s"g$g", v))
+    } yield rows
+    check("anova/kw", Prop.forAll(genArms) { rows =>
+      val df = rows.toDF("arm", "v")
+      val f = Experiments.anovaF(df, Seq.empty, "arm", "v").collect().head
+      val h = Experiments.kruskalWallis(df, Seq.empty, "arm", "v")
+        .collect().head
+      (f.isNullAt(4) || f.getLong(4) >= 0L) &&
+        f.getLong(2) >= -1L && f.getLong(3) >= 0L &&
+        (h.isNullAt(2) || h.getLong(2) >= -1L)
+    }, samples = 5)
+    val genCat: Gen[Seq[(String, String)]] = for {
+      n <- Gen.choose(10, 80)
+      rows <- Gen.listOfN(n, for {
+        a <- Gen.oneOf("x", "y", "z"); b <- Gen.oneOf("1", "2")
+      } yield (a, b))
+    } yield rows
+    check("chi2/kappa", Prop.forAll(genCat) { rows =>
+      val df = rows.toDF("a", "b")
+      val c = Audit.chiSquareAssociation(df, "a", "b").collect().head
+      val k = Eval.cohenKappa(df, "a", "b").collect().head
+      graft.util.Caches.releaseAll()
+      c.getLong(3) >= 0L &&
+        (c.isNullAt(4) || (c.getLong(4) >= 0L && c.getLong(4) <= 1000000L)) &&
+        (k.isNullAt(3) || k.getLong(3) <= 1000000L)
+    }, samples = 5)
+    val genTexts: Gen[Seq[(Long, String, String)]] = for {
+      n <- Gen.choose(2, 10)
+      rows <- Gen.listOfN(n, for {
+        l1 <- Gen.choose(4, 15); l2 <- Gen.choose(4, 15)
+        ws1 <- Gen.listOfN(l1, Gen.choose(0, 8))
+        ws2 <- Gen.listOfN(l2, Gen.choose(0, 8))
+      } yield (ws1.map("w" + _).mkString(" "), ws2.map("w" + _).mkString(" ")))
+    } yield rows.zipWithIndex.map { case ((c, r), i) => (i.toLong, c, r) }
+    check("bleu/rouge", Prop.forAll(genTexts) { rows =>
+      val df = rows.toDF("id", "cand", "ref")
+      val b = GenMetrics.bleu(df, "id", "cand", "ref").collect()
+      val r = GenMetrics.rougeN(df, "id", "cand", "ref", 2).collect()
+      graft.util.Caches.releaseAll()
+      b.forall(x => (3 to 8).forall(i =>
+        x.isNullAt(i) || (x.getLong(i) >= 0L && x.getLong(i) <= 1000000L))) &&
+      r.forall(x => Seq(4, 5, 6).forall(i =>
+        x.isNullAt(i) || (x.getLong(i) >= 0L && x.getLong(i) <= 1000000L)))
+    }, samples = 4)
+  }
 }
