@@ -225,13 +225,39 @@ object Drift {
     * @return keys… , n_ref, n_cur, n_categories, jsd_nano (1e-9 nats)
     */
   def jsDrift(ref: DataFrame, cur: DataFrame, keys: Seq[String],
-              catCol: String): DataFrame = {
+              catCol: String): DataFrame =
+    jsAgainstReference(referenceCategories(ref, keys, catCol), cur,
+      keys, catCol)
+
+  /** The PRECOMPUTABLE half of [[jsDrift]] — the categorical sibling of
+    * [[referenceHistogram]]: the reference slice dies into per-(key,
+    * category) counts (broadcast-sized by the bounded-categories
+    * contract). Persist THIS and feed [[jsAgainstReference]] per
+    * comparison — the streaming monitor's categorical mode scans the
+    * reference corpus once at setup, never per micro-batch.
+    *
+    * @return keys… , __cat, __cr
+    */
+  def referenceCategories(ref: DataFrame, keys: Seq[String],
+                          catCol: String): DataFrame = {
+    val k = keys.map(col)
+    ref.filter(col(catCol).isNotNull)
+      .groupBy((k :+ col(catCol).as("__cat")): _*)
+      .agg(count(lit(1)).as("__cr"))
+  }
+
+  /** The SCORING half of [[jsDrift]]: JS divergence of `cur` against a
+    * stored [[referenceCategories]] table — identical algebra and
+    * output (jsDrift IS this composition; q232 unchanged).
+    */
+  def jsAgainstReference(refCats: DataFrame, cur: DataFrame,
+                         keys: Seq[String], catCol: String): DataFrame = {
     val k = keys.map(col)
     def cnt(df: DataFrame, nCol: String): DataFrame =
       df.filter(col(catCol).isNotNull)
         .groupBy((k :+ col(catCol).as("__cat")): _*)
         .agg(count(lit(1)).as(nCol))
-    val rc = cnt(ref, "__cr")
+    val rc = refCats
     val cc = cnt(cur, "__cc")
     val nRef = rc.groupBy(k: _*).agg(sum(col("__cr")).as("n_ref"))
     val nCur = cc.groupBy(k: _*).agg(sum(col("__cc")).as("n_cur"))

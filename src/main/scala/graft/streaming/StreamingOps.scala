@@ -186,6 +186,54 @@ object StreamingOps {
     q
   }
 
+  /** [[streamDriftMonitor]]'s CATEGORICAL mode: per-micro-batch
+    * Jensen–Shannon divergence of a category column against a stored
+    * [[graft.ops.Drift.referenceCategories]] table (language mix, source
+    * mix, label mix — the shape PSI's numeric bins can't ask about).
+    * Same delivery contract: post-images only, at-threshold keys append
+    * under the txn watermark, quiet batches write nothing, the alert
+    * root self-initializes. `alarmNanos` is JSD in 1e-9 nats (ln 2 ≈
+    * 6.93e8 is the maximum).
+    */
+  def streamDriftMonitorJs(stream: DataFrame, refCats: DataFrame,
+                           keys: Seq[String], catCol: String,
+                           alarmNanos: Long, alertRoot: String,
+                           checkpoint: String): StreamingQuery = {
+    val spark = stream.sparkSession
+    if (!graft.sources.ManifestIndex.isManifestRoot(spark, alertRoot)) {
+      val empty = refCats.select(keys.map(col): _*).limit(0)
+        .withColumn("n_ref", lit(0L)).withColumn("n_cur", lit(0L))
+        .withColumn("n_categories", lit(0L))
+        .withColumn("jsd_nano", lit(0L)).withColumn("batch_id", lit(0L))
+      graft.sources.Layout.initVersionedManifest(empty, alertRoot,
+        Seq("batch_id"))
+    }
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fresh =
+          if (batch.columns.contains("_change_type"))
+            batch.filter(col("_change_type").isin("insert", "update_post"))
+          else batch
+        if (!fresh.isEmpty) {
+          val alerts = graft.ops.Drift
+            .jsAgainstReference(refCats, fresh, keys, catCol)
+            .filter(col("jsd_nano") >= alarmNanos)
+            .withColumn("batch_id", lit(batchId))
+          if (!alerts.isEmpty)
+            graft.sources.Layout.withCommitRetry() {
+              graft.sources.Layout.appendVersionedRows(
+                batch.sparkSession, alertRoot, alerts,
+                txn = Some((checkpoint, batchId)))
+            }
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming UPSERT into a key-pruned partitioned versioned layout
     * ([[graft.sources.Layout.mergeVersionedPartitioned]]): each micro-batch
     * merges by key, rewriting only the partitions it touches, and flips the

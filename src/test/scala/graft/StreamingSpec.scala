@@ -502,4 +502,42 @@ class StreamingSpec extends SparkSpec {
     assert(alerts() == afterShift)
     graft.util.Caches.releaseAll()
   }
+
+  test("streamDriftMonitorJs: a category-mix shift alarms once, " +
+      "matching-mix batches stay quiet (r16)") {
+    import graft.sources.Layout
+    import graft.ops.Drift
+    val root = Files.createTempDirectory("graft_jsd_tbl").toString + "/t"
+    val alertRoot = Files.createTempDirectory("graft_jsd_al").toString + "/a"
+    val ckpt = Files.createTempDirectory("graft_jsd_ck").toString
+    def rows(ids: Range, cat: Int => String) =
+      ids.map(i => (i.toLong, "k", cat(i))).toDF("id", "k", "cat")
+    // reference mix: four categories evenly
+    val ref = rows(0 until 200, i => s"c${i % 4}")
+    val refCats = graft.util.Caches.cache(
+      Drift.referenceCategories(ref, Seq("k"), "cat")).toDF
+    Layout.initVersionedManifest(
+      rows(0 until 100, i => s"c${i % 4}"), root, Seq("k"))
+    def monitor() = StreamingOps.streamDriftMonitorJs(
+      StreamingOps.readChangeStream(spark, root, Seq("id")),
+      refCats, Seq("k"), "cat", alarmNanos = 100000000L,
+      alertRoot = alertRoot, checkpoint = ckpt)
+    def alerts() = Layout.readCurrent(spark, alertRoot)
+      .select($"k", $"batch_id", $"jsd_nano").as[(String, Long, Long)]
+      .collect().toSet
+    monitor()
+    assert(alerts().isEmpty, "matching mix must not alarm")
+    // shift: a batch entirely of one NEW category
+    Layout.mergeVersionedPartitioned(spark, root,
+      rows(1000 until 1100, _ => "c9"), Seq("id"), "k")
+    monitor()
+    val after = alerts()
+    assert(after.size == 1 && after.head._3 >= 100000000L, s"$after")
+    // back to the reference mix: quiet again
+    Layout.mergeVersionedPartitioned(spark, root,
+      rows(2000 until 2100, i => s"c${i % 4}"), Seq("id"), "k")
+    monitor()
+    assert(alerts() == after)
+    graft.util.Caches.releaseAll()
+  }
 }
