@@ -3258,6 +3258,20 @@ object SparkEntry {
         Seq("event_type"), "vm")
     }),
 
+
+    // --- exact 1-D Wasserstein drift (r16): the drift number in VALUE
+    //     units — Σ |CDF gap| × value gap along sorted distinct values,
+    //     decimal terms, ONE division; q217's slices replayed ---
+    "q264_wasserstein" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 1000000).cast("long").as("vm"),
+          (unix_date(to_date(col("ts"))) % 2).as("par"))
+      Drift.wasserstein1(ev.filter(col("par") === 0),
+        ev.filter(col("par") === 1), Seq("event_type"), "vm")
+    }),
+
     // --- Mann–Whitney U drift (r16): the q217 slices under the rank
     //     test — tie-mid-rank 2U in exact decimal, common-language
     //     effect size, tie-corrected z ---
@@ -6466,6 +6480,38 @@ object SparkEntry {
               CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) / 2.0)
               / sqrt(sig2) END * 1000000.0 + 0.5) AS BIGINT) AS z_micro
         FROM sg""",
+
+      // Wasserstein-1: the q217 cumulative machinery + lead gaps, decimal
+      // term products, one division — W1 in micro-value units
+      "q264_wasserstein" -> """
+        WITH e AS (SELECT event_type,
+            CAST(round(value * 1000000) AS BIGINT) AS v,
+            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 2 AS par
+          FROM events WHERE value IS NOT NULL),
+        c AS (SELECT event_type, v,
+            CAST(sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(sum(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+          FROM e GROUP BY 1, 2),
+        cum AS (SELECT event_type, v, a, b,
+            CAST(sum(a) OVER w AS BIGINT) AS ca,
+            CAST(sum(b) OVER w AS BIGINT) AS cb,
+            lead(v) OVER (PARTITION BY event_type ORDER BY v) - v AS gap
+          FROM c WINDOW w AS (PARTITION BY event_type ORDER BY v
+            ROWS UNBOUNDED PRECEDING)),
+        tot AS (SELECT event_type, CAST(sum(a) AS BIGINT) AS n_ref,
+            CAST(sum(b) AS BIGINT) AS n_cur
+          FROM c GROUP BY 1 HAVING sum(a) > 0 AND sum(b) > 0),
+        terms AS (SELECT cum.event_type,
+            sum(abs(CAST(ca AS HUGEINT) * CAST(n_cur AS HUGEINT) -
+              CAST(cb AS HUGEINT) * CAST(n_ref AS HUGEINT)) *
+              CAST(gap AS HUGEINT)) AS s
+          FROM cum JOIN tot USING (event_type)
+          WHERE gap IS NOT NULL GROUP BY 1)
+        SELECT tot.event_type, n_ref, n_cur,
+          CAST(floor(CAST(coalesce(s, 0) AS DOUBLE) /
+            CAST(CAST(n_ref AS HUGEINT) * CAST(n_cur AS HUGEINT) AS DOUBLE) *
+            1000000.0 + 0.5) AS BIGINT) AS w1_micro
+        FROM tot LEFT JOIN terms ON tot.event_type = terms.event_type""",
 
       // one-way ANOVA: per-arm exact decimal moments, the sum-of-squares
       // identity with the explained term nano-floored per arm, the same

@@ -200,6 +200,70 @@ object Drift {
       .drop("__mx")
   }
 
+  /** EXACT 1-D Wasserstein-1 (earth mover's) distance per key — the
+    * drift number with VALUE UNITS ([[ksDrift]] caps at 1 however far
+    * the mass moved; W₁ says "the typical observation shifted by ~37
+    * cents"): `W₁ = ∫ |F_ref − F_cur| dv`, which over a discrete sample
+    * is the exact sum `Σᵢ |F_ref(vᵢ) − F_cur(vᵢ)| · (vᵢ₊₁ − vᵢ)` along
+    * the sorted distinct values.
+    *
+    * Exact core (the [[ksDrift]] discipline): each term's numerator
+    * `|ca·n_cur − cb·n_ref| · gap` forms in DECIMAL from exact integer
+    * cumulatives and integer-grained value gaps (the psiDrift cents/
+    * counts/micro-units contract), the terms SUM in decimal, and ONE
+    * double division by `n_ref·n_cur` lands at the end — so W₁ is an
+    * exactly-computed rational, micro-quantized. Keys missing either
+    * slice drop.
+    *
+    * Scale shape: identical to [[ksDrift]] — one union scan to a
+    * (key, value) count table, a per-key bounded-codomain window (plus
+    * one `lead` over the same sort — no extra shuffle), a per-key
+    * reduce.
+    *
+    * @return keys… , n_ref, n_cur, w1_micro (value units × 1e-6)
+    */
+  def wasserstein1(ref: DataFrame, cur: DataFrame, keys: Seq[String],
+                   valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = keys.map(col)
+    def side(df: DataFrame, tag: Int) =
+      df.filter(col(valueCol).isNotNull)
+        .select((k :+ col(valueCol).cast("long").as("__v") :+
+          lit(tag).as("__tag")): _*)
+    val counts = side(ref, 0).unionByName(side(cur, 1))
+      .groupBy((k :+ col("__v")): _*)
+      .agg(sum(when(col("__tag") === 0, 1L).otherwise(0L)).as("__a"),
+        sum(when(col("__tag") === 1, 1L).otherwise(0L)).as("__b"))
+    val ws = Window.partitionBy(k: _*).orderBy(col("__v"))
+    val cum = counts
+      .withColumn("__ca", sum(col("__a")).over(
+        ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__cb", sum(col("__b")).over(
+        ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__gap", lead(col("__v"), 1).over(ws) - col("__v"))
+    val tot = counts.groupBy(k: _*)
+      .agg(sum(col("__a")).as("n_ref"), sum(col("__b")).as("n_cur"))
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+    val terms = cum.filter(col("__gap").isNotNull)
+      .join(tot, keys)
+      .select((k :+
+        (abs(col("__ca").cast(Dec0) * col("n_cur").cast(Dec0) -
+          col("__cb").cast(Dec0) * col("n_ref").cast(Dec0)) *
+          col("__gap").cast(Dec0)).as("__t")): _*)
+      .groupBy(k: _*)
+      .agg(sum(col("__t")).as("__s"))
+    // a single-distinct-value key has no gaps but a defined W₁ of 0 —
+    // keep it via the totals side, never drop it
+    val joined = if (keys.isEmpty) tot.crossJoin(broadcast(terms))
+      else tot.join(terms, keys, "left")
+    joined
+      .withColumn("w1_micro",
+        floor(coalesce(col("__s"), lit(0).cast(Dec0)).cast("double") /
+          (col("n_ref").cast(Dec0) * col("n_cur").cast(Dec0)).cast("double") *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+      .drop("__s")
+  }
+
   /** Jensen–Shannon divergence between two slices' CATEGORICAL
     * distributions per key — the drift number for discrete spaces
     * ([[psiDrift]] and [[ksDrift]] cover numerics): token vocabularies

@@ -182,4 +182,28 @@ class DriftSpec extends SparkSpec {
     assert(Drift.uTest(df(1L), Seq(("other", 2L)).toDF("k", "v"),
       Seq("k"), "v").count() == 0L)
   }
+
+  test("wasserstein1: a constant shift IS the distance; identical slices " +
+      "0; hand case exact; single-value key kept at 0 (r16)") {
+    import graft.ops.Drift
+    def df(vs: Seq[Long]) = vs.map(("k", _)).toDF("k", "v")
+    val rnd = new scala.util.Random(6)
+    val base = Seq.fill(300)(rnd.nextInt(500).toLong)
+    assert(Drift.wasserstein1(df(base), df(base), Seq("k"), "v")
+      .collect().head.getLong(3) == 0L)
+    // W1 between X and X + c is exactly c
+    assert(Drift.wasserstein1(df(base), df(base.map(_ + 37L)), Seq("k"), "v")
+      .collect().head.getLong(3) == 37000000L)
+    // hand case: {0, 0} vs {1, 3} → CDF gaps 1 on [0,1), 1/2 on [1,3)
+    // → W1 = 1 + 2·(1/2) = 2
+    assert(Drift.wasserstein1(df(Seq(0L, 0L)), df(Seq(1L, 3L)),
+      Seq("k"), "v").collect().head.getLong(3) == 2000000L)
+    // both slices on ONE value: W1 defined and 0, the key is not dropped
+    val one = Drift.wasserstein1(df(Seq(5L, 5L)), df(Seq(5L)),
+      Seq("k"), "v").collect()
+    assert(one.length == 1 && one.head.getLong(3) == 0L)
+    // ungrouped face
+    assert(Drift.wasserstein1(base.toDF("v"), base.map(_ + 7L).toDF("v"),
+      Seq.empty, "v").collect().head.getLong(2) == 7000000L)
+  }
 }
