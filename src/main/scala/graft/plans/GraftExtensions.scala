@@ -381,6 +381,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     tvf("graft_kruskal_wallis", 4 to 4) { a =>
       graft.ops.Experiments.kruskalWallis(table(a(0)), keysOf(a(1)),
         a(2), a(3)) }
+    tvf("graft_wasserstein", 4 to 4) { a =>
+      graft.ops.Drift.wasserstein1(table(a(0)), table(a(1)),
+        keysOf(a(2)), a(3)) }
+    tvf("graft_bleu", 4 to 5) { a =>
+      graft.ops.GenMetrics.bleu(table(a(0)), a(1), a(2), a(3),
+        if (a.size > 4) a(4).toInt else 4) }
+    tvf("graft_rouge", 5 to 5) { a =>
+      graft.ops.GenMetrics.rougeN(table(a(0)), a(1), a(2), a(3),
+        a(4).toInt) }
   }
 
   private def strLit(e: Option[Expression], fn: String, arg: String): String =

@@ -141,4 +141,30 @@ class AnalyticsTvfSpec extends SparkSpec {
       .collect().toSeq == Experiments.kruskalWallis(spark.table("tvf_arms"),
         Seq.empty, "arm", "v").collect().toSeq)
   }
+
+  test("graft_wasserstein / graft_bleu / graft_rouge ≡ the Scala " +
+      "surface (r16)") {
+    import graft.ops.{Drift, GenMetrics}
+    val rnd = new scala.util.Random(33)
+    Seq.fill(100)(("k", rnd.nextInt(50).toLong)).toDF("k", "v")
+      .createOrReplaceTempView("tvf_w_r")
+    Seq.fill(100)(("k", (rnd.nextInt(50) + 9).toLong)).toDF("k", "v")
+      .createOrReplaceTempView("tvf_w_c")
+    assert(spark.sql(
+        "SELECT * FROM graft_wasserstein('tvf_w_r', 'tvf_w_c', 'k', 'v')")
+      .collect().toSet == Drift.wasserstein1(spark.table("tvf_w_r"),
+        spark.table("tvf_w_c"), Seq("k"), "v").collect().toSet)
+    Seq((1L, "the quick brown fox", "the quick red fox"),
+      (2L, "a b c d e", "a b c x y"))
+      .toDF("id", "cand", "ref").createOrReplaceTempView("tvf_pairs")
+    assert(spark.sql(
+        "SELECT * FROM graft_bleu('tvf_pairs', 'id', 'cand', 'ref', 2)")
+      .collect().toSet == GenMetrics.bleu(spark.table("tvf_pairs"),
+        "id", "cand", "ref", maxN = 2).collect().toSet)
+    assert(spark.sql(
+        "SELECT * FROM graft_rouge('tvf_pairs', 'id', 'cand', 'ref', 2)")
+      .collect().toSet == GenMetrics.rougeN(spark.table("tvf_pairs"),
+        "id", "cand", "ref", n = 2).collect().toSet)
+    graft.util.Caches.releaseAll()
+  }
 }
