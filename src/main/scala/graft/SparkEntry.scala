@@ -1285,6 +1285,20 @@ object SparkEntry {
       GenMetrics.rougeN(pairs, "id", "cand", "ref", n = 2)
     }),
 
+
+    // --- chrF (r16): the character-level member of the generation trio —
+    //     tokenizer-free F_2 over char n-gram orders 1..6, whitespace
+    //     removed (the Popović convention) ---
+    "q265_chrf" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+      val pairs = d.as("a").join(d.as("b"),
+          col("a.doc_id") + 1 === col("b.doc_id"))
+        .select(col("a.doc_id").as("id"), col("a.text").as("cand"),
+          col("b.text").as("ref"))
+      GenMetrics.chrF(pairs, "id", "cand", "ref")
+    }),
+
     // --- one-way ANOVA F (r16): does ANY event_type's value mean differ
     //     — the k-arm gate before pairwise t-tests eat the α budget;
     //     exact moments, one (arm) aggregate ---
@@ -6691,6 +6705,69 @@ object SparkEntry {
             THEN NULL ELSE 2.0 * r * p / (r + p) END
             * 1000000.0 + 0.5) AS BIGINT) AS f1_micro
         FROM rr""",
+
+      // chrF: char grams per order (range() is empty below n in DuckDB —
+      // no junk-gram hazard), nano-floored per-order rates, the same
+      // beta=2 F tree
+      "q265_chrf" -> """
+        WITH d AS (SELECT doc_id, text FROM documents
+          WHERE text IS NOT NULL),
+        pairs AS (SELECT a.doc_id AS id, a.text AS cand, b.text AS ref
+          FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id),
+        base AS (SELECT id,
+            regexp_replace(lower(trim(cand)), '\s+', '', 'g') AS cs,
+            regexp_replace(lower(trim(ref)), '\s+', '', 'g') AS rs
+          FROM pairs),
+        cg0 AS (SELECT id, 1 AS nn, unnest(list_transform(range(1, greatest(len(cs) - 1 + 2, 1)), i -> substr(cs, i, 1))) AS g FROM base
+          UNION ALL SELECT id, 2 AS nn, unnest(list_transform(range(1, greatest(len(cs) - 2 + 2, 1)), i -> substr(cs, i, 2))) AS g FROM base
+          UNION ALL SELECT id, 3 AS nn, unnest(list_transform(range(1, greatest(len(cs) - 3 + 2, 1)), i -> substr(cs, i, 3))) AS g FROM base
+          UNION ALL SELECT id, 4 AS nn, unnest(list_transform(range(1, greatest(len(cs) - 4 + 2, 1)), i -> substr(cs, i, 4))) AS g FROM base
+          UNION ALL SELECT id, 5 AS nn, unnest(list_transform(range(1, greatest(len(cs) - 5 + 2, 1)), i -> substr(cs, i, 5))) AS g FROM base
+          UNION ALL SELECT id, 6 AS nn, unnest(list_transform(range(1, greatest(len(cs) - 6 + 2, 1)), i -> substr(cs, i, 6))) AS g FROM base),
+        rg0 AS (SELECT id, 1 AS nn, unnest(list_transform(range(1, greatest(len(rs) - 1 + 2, 1)), i -> substr(rs, i, 1))) AS g FROM base
+          UNION ALL SELECT id, 2 AS nn, unnest(list_transform(range(1, greatest(len(rs) - 2 + 2, 1)), i -> substr(rs, i, 2))) AS g FROM base
+          UNION ALL SELECT id, 3 AS nn, unnest(list_transform(range(1, greatest(len(rs) - 3 + 2, 1)), i -> substr(rs, i, 3))) AS g FROM base
+          UNION ALL SELECT id, 4 AS nn, unnest(list_transform(range(1, greatest(len(rs) - 4 + 2, 1)), i -> substr(rs, i, 4))) AS g FROM base
+          UNION ALL SELECT id, 5 AS nn, unnest(list_transform(range(1, greatest(len(rs) - 5 + 2, 1)), i -> substr(rs, i, 5))) AS g FROM base
+          UNION ALL SELECT id, 6 AS nn, unnest(list_transform(range(1, greatest(len(rs) - 6 + 2, 1)), i -> substr(rs, i, 6))) AS g FROM base),
+        cg AS (SELECT id, nn, g, CAST(count(*) AS BIGINT) AS cc
+          FROM cg0 GROUP BY 1, 2, 3),
+        rg AS (SELECT id, nn, g, CAST(count(*) AS BIGINT) AS rc
+          FROM rg0 GROUP BY 1, 2, 3),
+        po AS (SELECT coalesce(cg.id, rg.id) AS id,
+            coalesce(cg.nn, rg.nn) AS nn,
+            CAST(sum(least(coalesce(cc, 0), coalesce(rc, 0))) AS BIGINT) AS m,
+            CAST(sum(coalesce(cc, 0)) AS BIGINT) AS tc,
+            CAST(sum(coalesce(rc, 0)) AS BIGINT) AS tr
+          FROM cg FULL OUTER JOIN rg ON cg.id = rg.id AND cg.nn = rg.nn
+            AND cg.g = rg.g
+          GROUP BY 1, 2),
+        rates AS (SELECT id,
+            sum(CASE WHEN tc > 0 THEN CAST(floor(
+              CAST(m AS DOUBLE) / CAST(tc AS DOUBLE) * 1.0E9 + 0.5)
+              AS HUGEINT) END) AS ps,
+            CAST(count(CASE WHEN tc > 0 THEN 1 END) AS BIGINT) AS pn,
+            sum(CASE WHEN tr > 0 THEN CAST(floor(
+              CAST(m AS DOUBLE) / CAST(tr AS DOUBLE) * 1.0E9 + 0.5)
+              AS HUGEINT) END) AS rrs,
+            CAST(count(CASE WHEN tr > 0 THEN 1 END) AS BIGINT) AS rn
+          FROM po GROUP BY 1),
+        fin AS (SELECT base.id,
+            CAST(len(cs) AS BIGINT) AS c_chars,
+            CAST(len(rs) AS BIGINT) AS r_chars,
+            CASE WHEN pn = 0 OR pn IS NULL THEN NULL
+              ELSE CAST(ps AS DOUBLE) / 1.0E9 / CAST(pn AS DOUBLE) END AS pbar,
+            CASE WHEN rn = 0 OR rn IS NULL THEN NULL
+              ELSE CAST(rrs AS DOUBLE) / 1.0E9 / CAST(rn AS DOUBLE) END AS rbar
+          FROM base LEFT JOIN rates ON base.id = rates.id)
+        SELECT id, c_chars, r_chars,
+          CAST(floor(pbar * 1000000.0 + 0.5) AS BIGINT) AS pbar_micro,
+          CAST(floor(rbar * 1000000.0 + 0.5) AS BIGINT) AS rbar_micro,
+          CAST(floor(CASE WHEN pbar IS NULL OR rbar IS NULL
+              OR (4.0 * pbar + rbar) = 0.0 THEN NULL
+            ELSE (1.0 + 4.0) * pbar * rbar / (4.0 * pbar + rbar) END
+            * 1000000.0 + 0.5) AS BIGINT) AS chrf_micro
+        FROM fin""",
 
       // directed containment over the same distinct-shingle algebra as q36
       "q204_containment_join" -> """

@@ -110,6 +110,87 @@ object GenMetrics {
           .otherwise(lit(2.0) * r * p / (r + p)), "f1_micro"))
   }
 
+  /** chrF_β per pair (Popović 2015) — the CHARACTER n-gram F-score that
+    * survives tokenizer disagreements BLEU/ROUGE inherit (morphology,
+    * hyphenation, CJK): per order n = 1..`maxN`, clipped char-gram
+    * precision and recall; chrF = `(1+β²)·P̄·R̄ / (β²·P̄ + R̄)` over the
+    * MEANS of the per-order rates (β = 2 weights recall double — the
+    * paper's choice). Characters come from `lower(trim(text))` with ALL
+    * whitespace removed (the standard convention: chrF ignores word
+    * boundaries); orders longer than the shorter side simply contribute
+    * no rate to the mean (absent, not zero). Both means empty → NULL.
+    *
+    * Determinism: per-order rates are single divisions of exact counts,
+    * nano-floored before the (≤ maxN)-term mean sums (commuting
+    * integers), the F combine one fixed IEEE tree, micro-quantized.
+    *
+    * @return (idCol, c_chars, r_chars, pbar_micro, rbar_micro,
+    *         chrf_micro)
+    */
+  def chrF(df: DataFrame, idCol: String, candCol: String, refCol: String,
+           maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"chrF: maxN must be in [1, 8], got $maxN")
+    require(beta > 0.0, s"chrF: beta must be > 0, got $beta")
+    def chars(c: Column) =
+      regexp_replace(lower(trim(c)), "\\s+", "")
+    val base = graft.util.Caches.cache(
+      df.filter(col(candCol).isNotNull && col(refCol).isNotNull)
+        .select(col(idCol), chars(col(candCol)).as("__cs"),
+          chars(col(refCol)).as("__rs"))).toDF
+    // char grams via transform over start positions; `substring(str,
+    // pos, len)`'s Scala face takes literal ints only, so the position-
+    // as-column form goes through the expr face (still codegen'd)
+    // the length guard matters: Spark's sequence(1, 0) DESCENDS ([1, 0])
+    // instead of being empty, which would mint junk grams for orders
+    // longer than the string — an explicit emptiness branch, not greatest
+    def grams(scol: String, as: String): DataFrame =
+      (1 to maxN).map(n =>
+        base.select(col(idCol), lit(n).as("__n"),
+          explode(expr(
+            s"if(length($scol) >= $n, transform(sequence(1, " +
+              s"length($scol) - ${n - 1}), i -> substring($scol, i, $n)), " +
+              "array())")).as("__g")))
+        .reduce(_ unionByName _)
+        .groupBy(col(idCol), col("__n"), col("__g")).agg(count(lit(1)).as(as))
+    val perOrder = grams("__cs", "__cc")
+      .join(grams("__rs", "__rc"), Seq(idCol, "__n", "__g"), "full_outer")
+      .groupBy(col(idCol), col("__n"))
+      .agg(sum(least(coalesce(col("__cc"), lit(0L)),
+          coalesce(col("__rc"), lit(0L)))).as("__m"),
+        sum(coalesce(col("__cc"), lit(0L))).as("__tc"),
+        sum(coalesce(col("__rc"), lit(0L))).as("__tr"))
+    def nanoSum(c: Column) =
+      sum(floor(c * lit(1e9) + lit(0.5)).cast("long"))
+    val rates = perOrder.groupBy(col(idCol))
+      .agg(
+        nanoSum(when(col("__tc") > 0,
+          col("__m").cast("double") / col("__tc").cast("double")))
+          .as("__ps"),
+        count(when(col("__tc") > 0, lit(1))).as("__pn"),
+        nanoSum(when(col("__tr") > 0,
+          col("__m").cast("double") / col("__tr").cast("double")))
+          .as("__rs"),
+        count(when(col("__tr") > 0, lit(1))).as("__rn"))
+    val pbar = when(col("__pn") === 0, lit(null))
+      .otherwise(col("__ps").cast("double") / lit(1e9) /
+        col("__pn").cast("double"))
+    val rbar = when(col("__rn") === 0, lit(null))
+      .otherwise(col("__rs").cast("double") / lit(1e9) /
+        col("__rn").cast("double"))
+    val b2 = lit(beta * beta)
+    val f = when(pbar.isNull || rbar.isNull ||
+        (b2 * pbar + rbar) === 0.0, lit(null))
+      .otherwise((lit(1.0) + b2) * pbar * rbar / (b2 * pbar + rbar))
+    def micro(c: Column, as: String) =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("long").as(as)
+    base.select(col(idCol), length(col("__cs")).cast("long").as("c_chars"),
+        length(col("__rs")).cast("long").as("r_chars"))
+      .join(rates, Seq(idCol), "left")
+      .select(col(idCol), col("c_chars"), col("r_chars"),
+        micro(pbar, "pbar_micro"), micro(rbar, "rbar_micro"),
+        micro(f, "chrf_micro"))
+  }
+
   /** Per-(pair, order) clipped matches and candidate totals, pivoted to
     * one row per pair with `__m1..__m{maxN}` / `__t1..__t{maxN}`.
     */

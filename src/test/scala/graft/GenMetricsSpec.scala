@@ -69,4 +69,30 @@ class GenMetricsSpec extends SparkSpec {
     assert(c == d)
     graft.util.Caches.releaseAll()
   }
+
+  test("chrF: identity = 1; hand case replicates the nano-mean arithmetic; " +
+      "whitespace removal; both-empty NULL (r16)") {
+    val same = Seq((1L, "ab cd", "abcd")).toDF("id", "cand", "ref")
+    // whitespace ignored: "ab cd" and "abcd" are the same char stream
+    val r = GenMetrics.chrF(same, "id", "cand", "ref").collect().head
+    assert(r.getLong(1) == 4L && r.getLong(2) == 4L)
+    assert(r.getLong(3) == 1000000L && r.getLong(4) == 1000000L &&
+      r.getLong(5) == 1000000L, s"$r")
+    // hand case: cand "ab", ref "abc" — P̄ over orders {1, 2} = 1;
+    // R̄ over orders {1, 2, 3} = (2/3 + 1/2 + 0)/3, same nano floors
+    val h = GenMetrics.chrF(Seq((1L, "ab", "abc")).toDF("id", "cand", "ref"),
+      "id", "cand", "ref").collect().head
+    val rbarNano = (math.floor(2.0 / 3.0 * 1e9 + 0.5).toLong +
+      math.floor(0.5 * 1e9 + 0.5).toLong) // order-3 term is 0
+    val rbar = rbarNano.toDouble / 1e9 / 3.0
+    val f = 5.0 * 1.0 * rbar / (4.0 * 1.0 + rbar)
+    assert(h.getLong(3) == 1000000L)
+    assert(h.getLong(4) == math.floor(rbar * 1e6 + 0.5).toLong)
+    assert(h.getLong(5) == math.floor(f * 1e6 + 0.5).toLong, s"$h")
+    // an empty-after-whitespace pair: no grams either side -> NULLs
+    val e = GenMetrics.chrF(Seq((1L, "   ", " ")).toDF("id", "cand", "ref"),
+      "id", "cand", "ref").collect().head
+    assert(e.isNullAt(3) && e.isNullAt(4) && e.isNullAt(5))
+    graft.util.Caches.releaseAll()
+  }
 }
