@@ -390,6 +390,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     tvf("graft_rouge", 5 to 5) { a =>
       graft.ops.GenMetrics.rougeN(table(a(0)), a(1), a(2), a(3),
         a(4).toInt) }
+    tvf("graft_chrf", 4 to 5) { a =>
+      graft.ops.GenMetrics.chrF(table(a(0)), a(1), a(2), a(3),
+        if (a.size > 4) a(4).toInt else 6) }
   }
 
   private def strLit(e: Option[Expression], fn: String, arg: String): String =

@@ -165,6 +165,10 @@ class AnalyticsTvfSpec extends SparkSpec {
         "SELECT * FROM graft_rouge('tvf_pairs', 'id', 'cand', 'ref', 2)")
       .collect().toSet == GenMetrics.rougeN(spark.table("tvf_pairs"),
         "id", "cand", "ref", n = 2).collect().toSet)
+    assert(spark.sql(
+        "SELECT * FROM graft_chrf('tvf_pairs', 'id', 'cand', 'ref')")
+      .collect().toSet == GenMetrics.chrF(spark.table("tvf_pairs"),
+        "id", "cand", "ref").collect().toSet)
     graft.util.Caches.releaseAll()
   }
 }
