@@ -7829,7 +7829,8 @@ object SparkEntry {
         pbar AS (SELECT coalesce(sum(CAST(floor(
               (CAST(sq AS DOUBLE) - CAST(n AS DOUBLE)) /
               (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
-              * 1.0E9 + 0.5) AS HUGEINT)), 0) AS pn
+              * 1.0E9 + 0.5) AS HUGEINT)), 0) AS pn,
+            CAST(count(*) AS BIGINT) AS pc
           FROM items CROSS JOIN panel WHERE n = nmax AND nmax > 1),
         tot AS (SELECT CAST(sum(nij) AS BIGINT) AS t FROM cells),
         pe AS (SELECT coalesce(sum(CAST(floor(
@@ -7839,7 +7840,9 @@ object SparkEntry {
           FROM (SELECT cat, CAST(sum(nij) AS BIGINT) AS cj FROM cells
             GROUP BY 1) CROSS JOIN tot),
         r AS (SELECT n_items, nmax, nmin,
-            CAST(pn AS DOUBLE) / 1.0E9 / CAST(n_items AS DOUBLE) AS pbarv,
+            CASE WHEN pc = 0 THEN NULL
+              ELSE CAST(pn AS DOUBLE) / 1.0E9 / CAST(pc AS DOUBLE) END
+              AS pbarv,
             CAST(pen AS DOUBLE) / 1.0E9 AS pev
           FROM panel CROSS JOIN pbar CROSS JOIN pe)
         SELECT n_items, nmax AS n_raters, (nmin = nmax) AS raters_constant,

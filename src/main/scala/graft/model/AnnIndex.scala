@@ -35,6 +35,13 @@ object AnnIndex {
 
   private val MetaFile = "_ann_index.json"
 
+  // minimal JSON string escaping for metadata keys/values — a quote or
+  // backslash in caller extras must not corrupt the artifact file
+  // (review fix r16)
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+
   /** Publish PQ codebooks as the next version of `root` (v0 when fresh).
     * Rows are `(subspace, centroid, center: array<double>)`; metadata
     * records the shape plus caller extras. Atomic: data + metadata land
@@ -62,7 +69,7 @@ object AnnIndex {
     val meta = Map("kind" -> "pq_codebooks", "m" -> m.toString,
       "k" -> k.toString, "subDim" -> subDim.toString) ++ extraMeta
     val json = meta.toSeq.sortBy(_._1)
-      .map { case (a, b) => s""""$a":"$b"""" }.mkString("{", ",", "}")
+      .map { case (a, b) => s""""${esc(a)}":"${esc(b)}"""" }.mkString("{", ",", "}")
     Layout.publishVersion(spark, root, df, Map(MetaFile -> json))
   }
 
@@ -109,7 +116,7 @@ object AnnIndex {
     val df = coded.select(col(idCol), col("code"))
     val meta = Map("kind" -> "pq_codes") ++ extraMeta
     val json = meta.toSeq.sortBy(_._1)
-      .map { case (a, b) => s""""$a":"$b"""" }.mkString("{", ",", "}")
+      .map { case (a, b) => s""""${esc(a)}":"${esc(b)}"""" }.mkString("{", ",", "}")
     Layout.publishVersion(spark, root, df, Map(MetaFile -> json))
   }
 

@@ -194,11 +194,14 @@ object Audit {
     val e = (col("__r").cast(Dec38) * col("__c").cast(Dec38)).cast("double") /
       col("__n").cast("double")
     val d = coalesce(col("__nij"), lit(0L)).cast("double") - e
-    val terms = grid.select(col("__n"), col("n_a"), col("n_b"),
-      floor(d * d / e * lit(1e9) + lit(0.5)).cast("long").cast(Dec38)
-        .as("__t"))
-    terms.groupBy(col("__n"), col("n_a"), col("n_b"))
-      .agg(sum(col("__t")).as("__chi"))
+    // GLOBAL aggregate + crossJoin, not a groupBy on the scalar totals:
+    // an empty/all-null input must still honour the one-row contract
+    // (n NULL, counts 0, χ² 0) instead of vanishing (review fix r16)
+    val chi = grid.select(
+        floor(d * d / e * lit(1e9) + lit(0.5)).cast("long").cast(Dec38)
+          .as("__t"))
+      .agg(coalesce(sum(col("__t")), lit(0).cast(Dec38)).as("__chi"))
+    tot.crossJoin(chi)
       .select(col("__n").as("n"), col("n_a"), col("n_b"),
         // the sum of nano-longs is an exact integer already — cast, don't
         // re-round through double (precision ends at 2^53 there)

@@ -69,8 +69,12 @@ object Drift {
       .agg(min(col(valueCol)).cast("long").as("__lo"),
         max(col(valueCol)).cast("long").as("__hi"),
         count(col(valueCol)).as("n_ref"))
+    // RIGHT join: a key whose reference slice holds only NULL values has
+    // an env row (n_ref = 0) but no bin counts — it must stay in the
+    // histogram (null __bin/__cr row) so the scoring half still emits
+    // its smoothing-only PSI row, exactly as the pre-split psiDrift did
     binAgainst(env, ref, keys, valueCol, bins, "__cr")
-      .join(env, keys)
+      .join(env, keys, "right")
   }
 
   private def binAgainst(env: DataFrame, df: DataFrame, keys: Seq[String],

@@ -591,7 +591,12 @@ object Eval {
       .select(floor((col("__sq").cast("double") - col("__n").cast("double")) /
         (col("__n").cast("double") * (col("__n").cast("double") - lit(1.0))) *
         lit(1e9) + lit(0.5)).cast("long").cast(Dec38).as("__pi"))
-      .agg(coalesce(sum(col("__pi")), lit(0).cast(Dec38)).as("__pbar_nano"))
+      // the mean divides by the COUNT OF CONTRIBUTING items, not n_items:
+      // on a non-constant panel the two differ and dividing by n_items
+      // understates the diagnostic (review fix r16); on a constant panel
+      // they coincide, so the oracle replay is unchanged there
+      .agg(coalesce(sum(col("__pi")), lit(0).cast(Dec38)).as("__pbar_nano"),
+        count(lit(1)).as("__pbar_n"))
     // category shares over the full assignment mass
     val totAssign = cells.agg(sum(col("__nij")).as("__tot"))
     val peNano = cells.groupBy(col("__cat"))
@@ -601,8 +606,9 @@ object Eval {
         (col("__cj").cast("double") / col("__tot").cast("double")) *
         lit(1e9) + lit(0.5)).cast("long").cast(Dec38).as("__pj2"))
       .agg(coalesce(sum(col("__pj2")), lit(0).cast(Dec38)).as("__pe_nano"))
-    val pbar = col("__pbar_nano").cast("double") / lit(1e9) /
-      col("n_items").cast("double")
+    val pbar = when(col("__pbar_n") === 0, lit(null))
+      .otherwise(col("__pbar_nano").cast("double") / lit(1e9) /
+        col("__pbar_n").cast("double"))
     val pe = col("__pe_nano").cast("double") / lit(1e9)
     val constant = col("__nmin") === col("__nmax")
     panel.crossJoin(pbarNano).crossJoin(peNano)

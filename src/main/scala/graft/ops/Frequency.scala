@@ -261,6 +261,17 @@ object Frequency {
     */
   private def shardedRank(df: DataFrame, orderCol: String,
                           shards: Int = 64): DataFrame = {
+    // fail LOUDLY on a non-numeric order column: a silent cast-to-long
+    // would NULL every shard key and the offsets equi-join would drop
+    // the whole corpus (empty fit, no error) — the pre-r16 global
+    // window accepted any orderable type, so the narrowing must be told
+    df.schema(orderCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case other => throw new IllegalArgumentException(
+        s"shardedRank: orderCol '$orderCol' must be numeric (shard " +
+          s"arithmetic), got ${other.catalogString} — pass a numeric " +
+          "unique id")
+    }
     val v = col(orderCol).cast("long")
     val bounds = df.agg(min(v).as("__lo"), max(v).as("__hi"))
     // width = floor((hi−lo)/S) + 1 in EXACT decimal (ids may exceed the

@@ -207,13 +207,9 @@ object GenMetrics {
       .groupBy(col(idCol), col("__n"))
       .agg(sum(least(col("__cc"), coalesce(col("__rc"), lit(0L)))).as("__m"),
         sum(col("__cc")).as("__t"))
-    perOrder.groupBy(col(idCol))
-      .agg(
-        (1 to maxN).flatMap(n => Seq(
-          sum(when(col("__n") === n, col("__m"))).as(s"__m$n"),
-          sum(when(col("__n") === n, col("__t"))).as(s"__t$n"))).head,
-        (1 to maxN).flatMap(n => Seq(
-          sum(when(col("__n") === n, col("__m"))).as(s"__m$n"),
-          sum(when(col("__n") === n, col("__t"))).as(s"__t$n"))).tail: _*)
+    val aggs = (1 to maxN).flatMap(n => Seq(
+      sum(when(col("__n") === n, col("__m"))).as(s"__m$n"),
+      sum(when(col("__n") === n, col("__t"))).as(s"__t$n")))
+    perOrder.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 }

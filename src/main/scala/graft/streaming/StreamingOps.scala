@@ -151,63 +151,53 @@ object StreamingOps {
   def streamDriftMonitor(stream: DataFrame, refHist: DataFrame,
                          keys: Seq[String], valueCol: String,
                          alarmNanos: Long, alertRoot: String,
-                         checkpoint: String, bins: Int = 10): StreamingQuery = {
-    val spark = stream.sparkSession
-    if (!graft.sources.ManifestIndex.isManifestRoot(spark, alertRoot)) {
-      val empty = refHist.select(keys.map(col): _*).limit(0)
+                         checkpoint: String, bins: Int = 10): StreamingQuery =
+    monitorLoop(stream, alertRoot, checkpoint,
+      emptyAlerts = refHist.select(keys.map(col): _*).limit(0)
         .withColumn("n_ref", lit(0L)).withColumn("n_cur", lit(0L))
-        .withColumn("psi_nano", lit(0L)).withColumn("batch_id", lit(0L))
-      graft.sources.Layout.initVersionedManifest(empty, alertRoot,
-        Seq("batch_id"))
-    }
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val fresh =
-          if (batch.columns.contains("_change_type"))
-            batch.filter(col("_change_type").isin("insert", "update_post"))
-          else batch
-        if (!fresh.isEmpty) {
-          val alerts = graft.ops.Drift
-            .psiAgainstReference(refHist, fresh, keys, valueCol, bins)
-            .filter(col("psi_nano") >= alarmNanos)
-            .withColumn("batch_id", lit(batchId))
-          if (!alerts.isEmpty)
-            graft.sources.Layout.withCommitRetry() {
-              graft.sources.Layout.appendVersionedRows(
-                batch.sparkSession, alertRoot, alerts,
-                txn = Some((checkpoint, batchId)))
-            }
-        }
-        ()
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    q
-  }
+        .withColumn("psi_nano", lit(0L)),
+      score = batch => graft.ops.Drift
+        .psiAgainstReference(refHist, batch, keys, valueCol, bins)
+        .filter(col("psi_nano") >= alarmNanos))
 
   /** [[streamDriftMonitor]]'s CATEGORICAL mode: per-micro-batch
     * Jensen–Shannon divergence of a category column against a stored
     * [[graft.ops.Drift.referenceCategories]] table (language mix, source
     * mix, label mix — the shape PSI's numeric bins can't ask about).
-    * Same delivery contract: post-images only, at-threshold keys append
-    * under the txn watermark, quiet batches write nothing, the alert
-    * root self-initializes. `alarmNanos` is JSD in 1e-9 nats (ln 2 ≈
+    * Same delivery contract — ONE loop implementation serves both modes
+    * ([[monitorLoop]]), so a delivery fix can never land on one monitor
+    * and not the other. `alarmNanos` is JSD in 1e-9 nats (ln 2 ≈
     * 6.93e8 is the maximum).
     */
   def streamDriftMonitorJs(stream: DataFrame, refCats: DataFrame,
                            keys: Seq[String], catCol: String,
                            alarmNanos: Long, alertRoot: String,
-                           checkpoint: String): StreamingQuery = {
-    val spark = stream.sparkSession
-    if (!graft.sources.ManifestIndex.isManifestRoot(spark, alertRoot)) {
-      val empty = refCats.select(keys.map(col): _*).limit(0)
+                           checkpoint: String): StreamingQuery =
+    monitorLoop(stream, alertRoot, checkpoint,
+      emptyAlerts = refCats.select(keys.map(col): _*).limit(0)
         .withColumn("n_ref", lit(0L)).withColumn("n_cur", lit(0L))
         .withColumn("n_categories", lit(0L))
-        .withColumn("jsd_nano", lit(0L)).withColumn("batch_id", lit(0L))
-      graft.sources.Layout.initVersionedManifest(empty, alertRoot,
+        .withColumn("jsd_nano", lit(0L)),
+      score = batch => graft.ops.Drift
+        .jsAgainstReference(refCats, batch, keys, catCol)
+        .filter(col("jsd_nano") >= alarmNanos))
+
+  /** The ONE alert-delivery loop both drift monitors run (review fix
+    * r16 — the two modes were 40-line near-copies whose exactly-once
+    * semantics could have diverged under a one-sided fix): self-init the
+    * alert root from the empty alert schema (+ batch_id partitioning),
+    * score each micro-batch's post-images, and append at-threshold rows
+    * under the manifest txn watermark with OCC commit-retry. Quiet
+    * batches write nothing; a replayed batch no-ops.
+    */
+  private def monitorLoop(stream: DataFrame, alertRoot: String,
+                          checkpoint: String, emptyAlerts: DataFrame,
+                          score: DataFrame => DataFrame): StreamingQuery = {
+    val spark = stream.sparkSession
+    if (!graft.sources.ManifestIndex.isManifestRoot(spark, alertRoot))
+      graft.sources.Layout.initVersionedManifest(
+        emptyAlerts.withColumn("batch_id", lit(0L)), alertRoot,
         Seq("batch_id"))
-    }
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -216,10 +206,7 @@ object StreamingOps {
             batch.filter(col("_change_type").isin("insert", "update_post"))
           else batch
         if (!fresh.isEmpty) {
-          val alerts = graft.ops.Drift
-            .jsAgainstReference(refCats, fresh, keys, catCol)
-            .filter(col("jsd_nano") >= alarmNanos)
-            .withColumn("batch_id", lit(batchId))
+          val alerts = score(fresh).withColumn("batch_id", lit(batchId))
           if (!alerts.isEmpty)
             graft.sources.Layout.withCommitRetry() {
               graft.sources.Layout.appendVersionedRows(

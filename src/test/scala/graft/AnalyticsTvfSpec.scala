@@ -171,4 +171,21 @@ class AnalyticsTvfSpec extends SparkSpec {
         "id", "cand", "ref").collect().toSet)
     graft.util.Caches.releaseAll()
   }
+
+  test("fleissKappa on a NON-constant panel: pbar averages over the " +
+      "contributing (max-count) items only, kappa NULL (r16 review fix)") {
+    import graft.ops.Eval
+    // items: 1 has 3 raters (2 agree 'x' + 1 'y'), 2 has 2 raters — only
+    // item 1 contributes; P_1 = (5 − 3)/(3·2) = 1/3, so pbar = 1/3, not
+    // the n_items-diluted 1/6
+    val votes = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "x"), (2L, "x"))
+      .toDF("item", "cat")
+    val r = Eval.fleissKappa(votes, "item", "cat").collect().head
+    assert(!r.getBoolean(2), "panel is not constant")
+    assert(r.isNullAt(5), "kappa undefined on an unequal panel")
+    assert(r.getLong(3) == math.floor(
+      math.floor(1.0 / 3.0 * 1e9 + 0.5) / 1e9 * 1e6 + 0.5).toLong,
+      s"pbar must average over contributing items: $r")
+    graft.util.Caches.releaseAll()
+  }
 }
