@@ -1993,6 +1993,27 @@ object SparkEntry {
         "vec_id", "embedding", topK = 5)
     }),
 
+
+    // --- PERSISTED IVF-PQ artifacts (r16): the full billion-scale index
+    //     layout published once — cell-partitioned codes (centroid_id
+    //     partitions → probe pruning is PARTITION pruning), books + cells
+    //     versioned; serving collects the bounded probe-cell list, pushes
+    //     a static IN filter, and reads nprobe/nlist of the index with
+    //     zero corpus floats and zero assignment/training scans ---
+    "q266_ivfpq_artifact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+      val root = graft.util.TempRoots.create("graft_q266")
+      graft.model.AnnIndex.publishCodebooks(s, root + "/books", cb)
+      val cents = emb.filter(col("vec_id") < 8)
+      graft.model.AnnIndex.publishIvfPqCodes(s, root + "/codes", emb,
+        cents, cb)
+      graft.model.AnnIndex.serveIvfPqTopK(s, root + "/codes",
+        root + "/books", cents,
+        emb.filter(col("vec_id") >= 15 && col("vec_id") <= 19),
+        nprobe = 3, topK = 5)
+    }),
+
     // --- incremental MOMENT view (avg/variance) under the oracle ---
     // q139's history replayed into the (n, Σv, Σv², non-null) state; the
     // derived mean/var_pop of the folded state must equal DuckDB's direct
@@ -5950,6 +5971,36 @@ object SparkEntry {
                 - 2.0 * list_dot_product(q.e, c.ce), c.cid) AS pr
           FROM v q CROSS JOIN cent c
           WHERE q.vec_id >= 10 AND q.vec_id <= 14) WHERE pr <= 3),
+        scored AS (SELECT p.query_id, c.nn_id, c.centroid_id,
+            ${duckPqScore(4, 8, 16, 7)} AS s
+          FROM coded c JOIN probes p ON c.centroid_id = p.centroid_id
+          WHERE c.nn_id <> p.query_id)
+        SELECT query_id, nn_id, centroid_id, score, rnk FROM (
+          SELECT query_id, nn_id, centroid_id, round(s, 6) AS score,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM scored) WHERE rnk <= 5""",
+
+      // artifact-served IVF-PQ: the q161 replay over the stored layout
+      "q266_ivfpq_artifact" -> s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+        assigned AS (SELECT nn_id, c_emb, centroid_id FROM (
+          SELECT v.vec_id AS nn_id, v.e AS c_emb, c.cid AS centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+              list_dot_product(v.e, v.e) + list_dot_product(c.ce, c.ce)
+                - 2.0 * list_dot_product(v.e, c.ce), c.cid) AS rn
+          FROM v CROSS JOIN cent c) WHERE rn = 1),
+        coded AS (SELECT nn_id, centroid_id, ${duckPqCode(4, 8, 16, 7)} AS code
+          FROM (SELECT nn_id, centroid_id, c_emb AS e FROM assigned) t),
+        probes AS (SELECT query_id, qe, centroid_id FROM (
+          SELECT q.vec_id AS query_id, q.e AS qe, c.cid AS centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              list_dot_product(q.e, q.e) + list_dot_product(c.ce, c.ce)
+                - 2.0 * list_dot_product(q.e, c.ce), c.cid) AS pr
+          FROM v q CROSS JOIN cent c
+          WHERE q.vec_id >= 15 AND q.vec_id <= 19) WHERE pr <= 3),
         scored AS (SELECT p.query_id, c.nn_id, c.centroid_id,
             ${duckPqScore(4, 8, 16, 7)} AS s
           FROM coded c JOIN probes p ON c.centroid_id = p.centroid_id

@@ -120,6 +120,81 @@ object AnnIndex {
     Layout.publishVersion(spark, root, df, Map(MetaFile -> json))
   }
 
+  /** Publish the full IVF-PQ index layout: every corpus vector assigned
+    * to its coarse cell ([[graft.ops.Similarity.ivfAssign]] — broadcast
+    * centroids, the corpus never shuffles) and stored as
+    * `(nn_id, centroid_id, code)` in a MANIFEST root PARTITIONED BY
+    * `centroid_id` — so serving's probed-cells filter becomes partition
+    * pruning and a query physically reads `nprobe/nlist` of the index,
+    * the billion-scale layout's defining property. Retrain = wholesale
+    * [[Layout.replaceVersionedRows]] into the same root (time-travelable
+    * like every manifest commit).
+    *
+    * @return the published root (manifest v0)
+    */
+  def publishIvfPqCodes(spark: SparkSession, root: String,
+                        corpus: DataFrame, centroids: DataFrame,
+                        codebooks: Array[Array[Array[Double]]]): String = {
+    val assigned = graft.ops.Similarity.ivfAssign(corpus, centroids)
+      .select(col("vec_id").as("nn_id"),
+        col("embedding").cast("array<double>").as("__in"),
+        col("centroid_id"))
+    val coded = graft.ops.Quantize.encode(assigned, "__in", codebooks)
+      .select(col("nn_id"), col("centroid_id"), col("code"))
+    Layout.initVersionedManifest(coded, root, Seq("centroid_id"))
+    root
+  }
+
+  /** SERVE IVF-PQ top-k from the published artifacts — the probe-many
+    * half of [[publishIvfPqCodes]]: queries route to their `nprobe`
+    * nearest cells (broadcast centroids, the q161 argmin/tie discipline
+    * exactly), the PROBED CELL SET — bounded at |queries|·nprobe,
+    * driver metadata by contract — collects once and pushes down as a
+    * static `centroid_id IN (…)` filter, so the manifest reader PRUNES
+    * every unprobed cell's files before any IO; ADC then scores only
+    * the surviving codes. Zero corpus floats, zero assignment or
+    * training scans at serve time (AnnArtifactSpec pins the plan);
+    * results ≡ [[graft.ops.Quantize.ivfPqTopK]] bit-for-bit.
+    *
+    * @return (query_id, nn_id, centroid_id, score [ADC, 6dp], rnk)
+    */
+  def serveIvfPqTopK(spark: SparkSession, codesRoot: String,
+                     booksRoot: String, centroids: DataFrame,
+                     queries: DataFrame, nprobe: Int, topK: Int): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val books = loadCodebooks(spark, booksRoot)
+    val cent = centroids.select(col("vec_id").as("centroid_id"),
+      col("embedding").as("cent_emb"),
+      VF.dot(col("embedding"), col("embedding")).as("c2"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("qdist"), col("centroid_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        VF.dot(col("embedding"), col("embedding")).as("a2"))
+      .crossJoin(broadcast(cent))
+      .withColumn("qdist",
+        col("a2") + col("c2") - lit(2.0) * VF.dot(col("q_emb"), col("cent_emb")))
+      .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= nprobe)
+      .select(col("query_id"),
+        col("q_emb").cast("array<double>").as("__qe"), col("centroid_id"))
+    // bounded collect (|queries|·nprobe cell ids) → STATIC partition
+    // pruning on the codes root; without it the join alone would leave
+    // pruning to runtime DPP heuristics
+    val cells = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.get(0))
+    val codes = Layout.readCurrent(spark, codesRoot)
+      .filter(col("centroid_id").isin(cells: _*))
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__s").desc, col("nn_id"))
+    codes.join(broadcast(probes), "centroid_id")
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("__s",
+        graft.ops.Quantize.adcScore(col("__qe"), col("code"), books))
+      .withColumn("rnk", row_number().over(wK)).filter(col("rnk") <= topK)
+      .select(col("query_id"), col("nn_id"), col("centroid_id"),
+        round(col("__s"), 6).as("score"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** SERVE ADC top-k from the published artifacts: codebooks load once as
     * plan literals (bounded collect), codes stream from the versioned
     * root, queries broadcast. ZERO corpus floats and ZERO training scans

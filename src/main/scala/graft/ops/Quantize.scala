@@ -73,7 +73,7 @@ object Quantize {
     * the q160/q161 oracles replay (CASE-selected `list_dot_product`s), so
     * its fold order and indexing must never diverge between them.
     */
-  private def adcScore(qe: Column, code: Column,
+  private[graft] def adcScore(qe: Column, code: Column,
                        codebooks: Array[Array[Array[Double]]]): Column = {
     val subDim = codebooks(0)(0).length
     codebooks.zipWithIndex.map { case (book, j) =>

@@ -75,4 +75,32 @@ class AnnArtifactSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate") && !plan.contains("ObjectHashAggregate"),
       s"serving must not train (no aggregates in the probe plan):\n$plan")
   }
+
+  test("publishIvfPqCodes + serveIvfPqTopK ≡ in-plan ivfPqTopK; the " +
+      "plan prunes to the probed cells and reads zero corpus floats (r16)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+    val root = freshRoot()
+    AnnIndex.publishCodebooks(spark, root + "/books", cb)
+    val cents = emb.filter($"vec_id" < 8)
+    AnnIndex.publishIvfPqCodes(spark, root + "/codes", emb, cents, cb)
+    val queries = emb.filter($"vec_id" >= 10 && $"vec_id" <= 12)
+    val served = AnnIndex.serveIvfPqTopK(spark, root + "/codes",
+      root + "/books", cents, queries, nprobe = 2, topK = 4)
+    val inPlan = Quantize.ivfPqTopK(emb, cents, queries, cb,
+      nprobe = 2, topK = 4)
+    assert(served.collect().toSet == inPlan.collect().toSet)
+    // plan pins: the codes scan carries the static cell filter (partition
+    // pruning), reads no embedding column, and no aggregate (assignment/
+    // training) appears anywhere in the probe plan
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("centroid_id"), plan)
+    val codesSchema = plan.linesIterator
+      .filter(_.contains("ReadSchema")).filter(_.contains("code")).toSeq
+    assert(codesSchema.nonEmpty && codesSchema.forall(!_.contains("embedding")),
+      s"the codes scan must not read floats:\n$plan")
+    assert(!plan.contains("HashAggregate") &&
+      !plan.contains("ObjectHashAggregate"),
+      s"serving must not assign or train:\n$plan")
+  }
 }
