@@ -2014,6 +2014,24 @@ object SparkEntry {
         nprobe = 3, topK = 5)
     }),
 
+
+    // --- residual IVF-PQ artifacts (r16): the IVFADC quality tier from
+    //     the stored layout — codes quantize v − c(cell) at build, the
+    //     coarse q·c term re-enters at serve; same cell-pruned plan ---
+    "q267_ivfadc_artifact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+      val root = graft.util.TempRoots.create("graft_q267")
+      graft.model.AnnIndex.publishCodebooks(s, root + "/books", cb)
+      val cents = emb.filter(col("vec_id") < 8)
+      graft.model.AnnIndex.publishIvfPqCodes(s, root + "/codes", emb,
+        cents, cb, residual = true)
+      graft.model.AnnIndex.serveIvfPqTopK(s, root + "/codes",
+        root + "/books", cents,
+        emb.filter(col("vec_id") >= 20 && col("vec_id") <= 24),
+        nprobe = 3, topK = 5, residual = true)
+    }),
+
     // --- incremental MOMENT view (avg/variance) under the oracle ---
     // q139's history replayed into the (n, Σv, Σv², non-null) state; the
     // derived mean/var_pop of the folded state must equal DuckDB's direct
@@ -7022,6 +7040,41 @@ object SparkEntry {
                 - 2.0 * list_dot_product(q.e, c.ce), c.cid) AS pr
           FROM v q CROSS JOIN cent c
           WHERE q.vec_id >= 10 AND q.vec_id <= 14) WHERE pr <= 3),
+        scored AS (SELECT p.query_id, c.nn_id, c.centroid_id,
+            list_dot_product(p.qe, p.ce) + (${duckPqScore(4, 8, 16, 7)}) AS s
+          FROM coded c JOIN probes p ON c.centroid_id = p.centroid_id
+          WHERE c.nn_id <> p.query_id)
+        SELECT query_id, nn_id, centroid_id, score, rnk FROM (
+          SELECT query_id, nn_id, centroid_id, round(s, 6) AS score,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM scored) WHERE rnk <= 5""",
+
+      // artifact-served IVFADC: the q167 replay over the stored layout
+      "q267_ivfadc_artifact" -> s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+        assigned AS (SELECT nn_id, c_emb, centroid_id FROM (
+          SELECT v.vec_id AS nn_id, v.e AS c_emb, c.cid AS centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+              list_dot_product(v.e, v.e) + list_dot_product(c.ce, c.ce)
+                - 2.0 * list_dot_product(v.e, c.ce), c.cid) AS rn
+          FROM v CROSS JOIN cent c) WHERE rn = 1),
+        resid AS (SELECT a.nn_id, a.centroid_id,
+            list_transform(range(1, len(a.c_emb) + 1),
+              i -> a.c_emb[i] - c.ce[i]) AS e
+          FROM assigned a JOIN cent c ON a.centroid_id = c.cid),
+        coded AS (SELECT nn_id, centroid_id, ${duckPqCode(4, 8, 16, 7)} AS code
+          FROM resid),
+        probes AS (SELECT query_id, qe, centroid_id, ce FROM (
+          SELECT q.vec_id AS query_id, q.e AS qe, c.cid AS centroid_id,
+            c.ce AS ce,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              list_dot_product(q.e, q.e) + list_dot_product(c.ce, c.ce)
+                - 2.0 * list_dot_product(q.e, c.ce), c.cid) AS pr
+          FROM v q CROSS JOIN cent c
+          WHERE q.vec_id >= 20 AND q.vec_id <= 24) WHERE pr <= 3),
         scored AS (SELECT p.query_id, c.nn_id, c.centroid_id,
             list_dot_product(p.qe, p.ce) + (${duckPqScore(4, 8, 16, 7)}) AS s
           FROM coded c JOIN probes p ON c.centroid_id = p.centroid_id

@@ -134,11 +134,24 @@ object AnnIndex {
     */
   def publishIvfPqCodes(spark: SparkSession, root: String,
                         corpus: DataFrame, centroids: DataFrame,
-                        codebooks: Array[Array[Array[Double]]]): String = {
-    val assigned = graft.ops.Similarity.ivfAssign(corpus, centroids)
+                        codebooks: Array[Array[Array[Double]]],
+                        residual: Boolean = false): String = {
+    val assigned0 = graft.ops.Similarity.ivfAssign(corpus, centroids)
       .select(col("vec_id").as("nn_id"),
-        col("embedding").cast("array<double>").as("__in"),
+        col("embedding").cast("array<double>").as("__e"),
         col("centroid_id"))
+    // residual mode codes v − c(cell) (true IVFADC, Jégou §V.A) — the
+    // same branch ivfServe takes; the SERVE side must be called with the
+    // matching flag (q167's coarse q·c term re-enters there)
+    val assigned =
+      if (!residual) assigned0.withColumn("__in", col("__e"))
+      else {
+        val centVecs = centroids.select(col("vec_id").as("centroid_id"),
+          col("embedding").cast("array<double>").as("__ce"))
+        assigned0.join(broadcast(centVecs), "centroid_id")
+          .withColumn("__in",
+            zip_with(col("__e"), col("__ce"), (a, b) => a - b))
+      }
     val coded = graft.ops.Quantize.encode(assigned, "__in", codebooks)
       .select(col("nn_id"), col("centroid_id"), col("code"))
     Layout.initVersionedManifest(coded, root, Seq("centroid_id"))
@@ -160,7 +173,8 @@ object AnnIndex {
     */
   def serveIvfPqTopK(spark: SparkSession, codesRoot: String,
                      booksRoot: String, centroids: DataFrame,
-                     queries: DataFrame, nprobe: Int, topK: Int): DataFrame = {
+                     queries: DataFrame, nprobe: Int, topK: Int,
+                     residual: Boolean = false): DataFrame = {
     import graft.functions.{VectorFunctions => VF}
     val books = loadCodebooks(spark, booksRoot)
     val cent = centroids.select(col("vec_id").as("centroid_id"),
@@ -168,15 +182,19 @@ object AnnIndex {
       VF.dot(col("embedding"), col("embedding")).as("c2"))
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("qdist"), col("centroid_id"))
-    val probes = queries
+    val probes0 = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         VF.dot(col("embedding"), col("embedding")).as("a2"))
       .crossJoin(broadcast(cent))
       .withColumn("qdist",
         col("a2") + col("c2") - lit(2.0) * VF.dot(col("q_emb"), col("cent_emb")))
       .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= nprobe)
-      .select(col("query_id"),
+    val probes =
+      if (!residual) probes0.select(col("query_id"),
         col("q_emb").cast("array<double>").as("__qe"), col("centroid_id"))
+      else probes0.select(col("query_id"),
+        col("q_emb").cast("array<double>").as("__qe"), col("centroid_id"),
+        VF.dot(col("q_emb"), col("cent_emb")).as("__qdotc"))
     // bounded collect (|queries|·nprobe cell ids) → STATIC partition
     // pruning on the codes root; without it the join alone would leave
     // pruning to runtime DPP heuristics
@@ -186,10 +204,10 @@ object AnnIndex {
       .filter(col("centroid_id").isin(cells: _*))
     val wK = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("__s").desc, col("nn_id"))
+    val adc = graft.ops.Quantize.adcScore(col("__qe"), col("code"), books)
     codes.join(broadcast(probes), "centroid_id")
       .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("__s",
-        graft.ops.Quantize.adcScore(col("__qe"), col("code"), books))
+      .withColumn("__s", if (residual) col("__qdotc") + adc else adc)
       .withColumn("rnk", row_number().over(wK)).filter(col("rnk") <= topK)
       .select(col("query_id"), col("nn_id"), col("centroid_id"),
         round(col("__s"), 6).as("score"), col("rnk").cast("long").as("rnk"))

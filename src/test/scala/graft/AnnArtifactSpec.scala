@@ -103,4 +103,29 @@ class AnnArtifactSpec extends SparkSpec {
       !plan.contains("ObjectHashAggregate"),
       s"serving must not assign or train:\n$plan")
   }
+
+  test("residual (IVFADC) artifact mode ≡ in-plan ivfPqResidualTopK; a " +
+      "build/serve flag mismatch is a visible score shift, not silence " +
+      "(r16)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+    val root = freshRoot()
+    AnnIndex.publishCodebooks(spark, root + "/books", cb)
+    val cents = emb.filter($"vec_id" < 8)
+    AnnIndex.publishIvfPqCodes(spark, root + "/codes", emb, cents, cb,
+      residual = true)
+    val queries = emb.filter($"vec_id" >= 10 && $"vec_id" <= 12)
+    val served = AnnIndex.serveIvfPqTopK(spark, root + "/codes",
+      root + "/books", cents, queries, nprobe = 2, topK = 4,
+      residual = true).collect().toSet
+    val inPlan = Quantize.ivfPqResidualTopK(emb, cents, queries, cb,
+      nprobe = 2, topK = 4).collect().toSet
+    assert(served == inPlan)
+    // mismatched serve flag scores WITHOUT the coarse term — different
+    // numbers, never a silent equality
+    val mismatched = AnnIndex.serveIvfPqTopK(spark, root + "/codes",
+      root + "/books", cents, queries, nprobe = 2, topK = 4,
+      residual = false).collect().toSet
+    assert(mismatched != served)
+  }
 }
