@@ -133,7 +133,9 @@ object Experiments {
         sum(col("__sa")).cast("double").as("__s"),
         sum(col("__qa")).cast("double").as("__q"),
         // Σ Sₐ²/nₐ: per-arm double terms summed — each a single division
-        // of exact decimals; nano-floored before the sum (commuting)
+        // of exact decimals; MICRO-floored (1e6, matching the q260
+        // oracle's grain) before the sum (commuting) — ADVICE r16: the
+        // old comment said nano
         sum(floor(col("__sa").cast("double") * col("__sa").cast("double") /
           col("__na").cast("double") * lit(1e6) + lit(0.5)).cast("long")
           .cast(DecimalType(38, 0))).as("__sbn"))
@@ -189,7 +191,8 @@ object Experiments {
         sum(col("__c").cast(Dec) * col("__r2").cast(Dec)).as("__R2a"))
     val perGroup = perArm.groupBy(g: _*)
       .agg(count(lit(1)).as("k"), sum(col("__na")).as("n"),
-        // Σ (2Rₐ)²/nₐ in nano-floored doubles of exact decimals
+        // Σ (2Rₐ)²/nₐ in MICRO-floored (1e6 — the oracle's grain, not
+        // nano; ADVICE r16) doubles of exact decimals
         sum(floor(col("__R2a").cast("double") * col("__R2a").cast("double") /
           col("__na").cast("double") * lit(1e6) + lit(0.5)).cast("long")
           .cast(Dec)).as("__rr"))

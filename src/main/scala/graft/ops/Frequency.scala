@@ -275,12 +275,15 @@ object Frequency {
     val v = col(orderCol).cast("long")
     val bounds = df.agg(min(v).as("__lo"), max(v).as("__hi"))
     // width = floor((hi−lo)/S) + 1 in EXACT decimal (ids may exceed the
-    // 2^53 double grid); max lands in shard ≤ S−1 by construction
-    val width = floor((col("__hi") - col("__lo")).cast(Dec0) /
-      lit(shards).cast(Dec0)).cast("long") + lit(1L)
+    // 2^53 double grid). Subtract in DECIMAL too: a long-first (hi − lo)
+    // wraps silently in non-ANSI mode when the id span crosses 2^63
+    // (ids near both Long.MinValue and Long.MaxValue), which would mint
+    // wrong shards and wrong global ranks (ADVICE r16)
+    val width = floor((col("__hi").cast(Dec0) - col("__lo").cast(Dec0)) /
+      lit(shards).cast(Dec0)).cast(Dec0) + lit(1).cast(Dec0)
     val sharded = df.crossJoin(broadcast(bounds))
       .withColumn("__shard",
-        floor((v - col("__lo")).cast(Dec0) / width.cast(Dec0)).cast("int"))
+        floor((v.cast(Dec0) - col("__lo").cast(Dec0)) / width).cast("int"))
       .drop("__lo", "__hi")
     val local = sharded.withColumn("__lr", row_number().over(
       Window.partitionBy(col("__shard")).orderBy(col(orderCol))).cast("long"))

@@ -6,7 +6,9 @@ import graft.ops.Quantize
 
 /** Persisted ANN artifacts: publish→load roundtrip exactness, the
   * corpus-float-free / training-free serving plan, retrain-as-new-version
-  * time travel, and serve ≡ in-plan ADC.
+  * time travel, serve ≡ in-plan, version-skew REFUSAL on every serve path
+  * (r17), OPQ/SQ8 artifact modes, exact-refine serving, and incremental
+  * index append ≡ rebuild.
   */
 class AnnArtifactSpec extends SparkSpec {
   import spark.implicits._
@@ -34,6 +36,19 @@ class AnnArtifactSpec extends SparkSpec {
     }
   }
 
+  test("metadata JSON survives control characters and quotes in extras, " +
+      "and parses back exactly (ADVICE r16: full C0 escaping)") {
+    val nasty = "a\"b\\c\nd\tefg\rh"
+    val cb = Quantize.seededCodebooks(m = 1, k = 2, subDim = 4, seed = 3)
+    val root = freshRoot() + "/books"
+    AnnIndex.publishCodebooks(spark, root, cb,
+      extraMeta = Map("note" -> nasty))
+    val meta = AnnIndex.readMeta(spark, root)
+    assert(meta("note") == nasty,
+      s"control-character roundtrip broke: ${meta("note")}")
+    assert(meta("kind") == "pq_codebooks")
+  }
+
   test("retrain publishes a NEW version: readCurrent serves the retrain, " +
       "loadCodebooksAt time-travels to the frozen index (r16)") {
     val root = freshRoot() + "/books"
@@ -54,7 +69,7 @@ class AnnArtifactSpec extends SparkSpec {
     val root = freshRoot()
     AnnIndex.publishCodebooks(spark, root + "/books", cb)
     AnnIndex.publishCodes(spark, root + "/codes",
-      Quantize.encode(emb, "embedding", cb), "vec_id")
+      Quantize.encode(emb, "embedding", cb), "vec_id", booksVersion = 0)
     val queries = emb.filter($"vec_id" < 5)
     val served = AnnIndex.serveAdcTopK(spark, root + "/books",
       root + "/codes", queries, "vec_id", "embedding", topK = 5)
@@ -74,6 +89,24 @@ class AnnArtifactSpec extends SparkSpec {
       s"the codes scan must not read floats:\n$plan")
     assert(!plan.contains("HashAggregate") && !plan.contains("ObjectHashAggregate"),
       s"serving must not train (no aggregates in the probe plan):\n$plan")
+  }
+
+  test("serveAdcTopK REFUSES a books/codes version skew: retrained books " +
+      "cannot silently score stale codes (r17)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+    val root = freshRoot()
+    AnnIndex.publishCodebooks(spark, root + "/books", cb)
+    AnnIndex.publishCodes(spark, root + "/codes",
+      Quantize.encode(emb, "embedding", cb), "vec_id", booksVersion = 0)
+    // retrain: books flip to v1, codes still record books_version=0
+    AnnIndex.publishCodebooks(spark, root + "/books",
+      Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 99))
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.serveAdcTopK(spark, root + "/books", root + "/codes",
+        emb.filter($"vec_id" < 3), "vec_id", "embedding", topK = 5)
+    }
+    assert(ex.getMessage.contains("VERSION SKEW"), ex.getMessage)
   }
 
   test("publishIvfPqCodes + serveIvfPqTopK ≡ in-plan ivfPqTopK; the " +
@@ -105,8 +138,8 @@ class AnnArtifactSpec extends SparkSpec {
   }
 
   test("residual (IVFADC) artifact mode ≡ in-plan ivfPqResidualTopK; a " +
-      "build/serve flag mismatch is a visible score shift, not silence " +
-      "(r16)") {
+      "build/serve flag mismatch is REFUSED, and so is a books retrain " +
+      "(r17: refusal replaces the r16 visible-divergence contract)") {
     val emb = graft.sources.Tables.embeddings(spark, sf())
     val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
     val root = freshRoot()
@@ -121,11 +154,169 @@ class AnnArtifactSpec extends SparkSpec {
     val inPlan = Quantize.ivfPqResidualTopK(emb, cents, queries, cb,
       nprobe = 2, topK = 4).collect().toSet
     assert(served == inPlan)
-    // mismatched serve flag scores WITHOUT the coarse term — different
-    // numbers, never a silent equality
-    val mismatched = AnnIndex.serveIvfPqTopK(spark, root + "/codes",
-      root + "/books", cents, queries, nprobe = 2, topK = 4,
-      residual = false).collect().toSet
-    assert(mismatched != served)
+    // a mismatched residual flag would silently drop the coarse q·c term
+    // — REFUSED at the metadata gate, never a quiet wrong answer
+    val exFlag = intercept[IllegalArgumentException] {
+      AnnIndex.serveIvfPqTopK(spark, root + "/codes", root + "/books",
+        cents, queries, nprobe = 2, topK = 4, residual = false)
+    }
+    assert(exFlag.getMessage.contains("RESIDUAL-FLAG SKEW"),
+      exFlag.getMessage)
+    // books retrain without re-encode: refused
+    AnnIndex.publishCodebooks(spark, root + "/books",
+      Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 50))
+    val exSkew = intercept[IllegalArgumentException] {
+      AnnIndex.serveIvfPqTopK(spark, root + "/codes", root + "/books",
+        cents, queries, nprobe = 2, topK = 4, residual = true)
+    }
+    assert(exSkew.getMessage.contains("VERSION SKEW"), exSkew.getMessage)
+  }
+
+  test("OPQ artifacts: rotation roundtrips exactly; serveIvfPqOpqTopK ≡ " +
+      "in-plan ivfPqOpqTopK; rotation retrain and the plain-serve route " +
+      "are both refused (r17)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+    val rot = Quantize.seededRotation(64, seed = 11)
+    val root = freshRoot()
+    AnnIndex.publishRotation(spark, root + "/rot", rot)
+    val back = AnnIndex.loadRotation(spark, root + "/rot")
+    assert(back.length == 64 &&
+      back.indices.forall(i => back(i).sameElements(rot(i))),
+      "rotation did not roundtrip bit-exactly")
+    AnnIndex.publishCodebooks(spark, root + "/books", cb)
+    val cents = emb.filter($"vec_id" < 8)
+    AnnIndex.publishIvfPqCodes(spark, root + "/codes", emb, cents, cb,
+      residual = true, rotation = Some(rot), rotationVersion = Some(0))
+    val queries = emb.filter($"vec_id" >= 10 && $"vec_id" <= 12)
+    val served = AnnIndex.serveIvfPqOpqTopK(spark, root + "/codes",
+      root + "/books", root + "/rot", cents, queries, nprobe = 2, topK = 4)
+    val inPlan = Quantize.ivfPqOpqTopK(emb, cents, queries, cb, rot,
+      nprobe = 2, topK = 4)
+    assert(served.collect().toSet == inPlan.collect().toSet)
+    // serving a ROTATED index through the unrotated path: refused
+    val exRoute = intercept[IllegalArgumentException] {
+      AnnIndex.serveIvfPqTopK(spark, root + "/codes", root + "/books",
+        cents, queries, nprobe = 2, topK = 4, residual = true)
+    }
+    assert(exRoute.getMessage.contains("OPQ-ROTATED"), exRoute.getMessage)
+    // rotation retrain without re-encode: refused
+    AnnIndex.publishRotation(spark, root + "/rot",
+      Quantize.seededRotation(64, seed = 12))
+    val exSkew = intercept[IllegalArgumentException] {
+      AnnIndex.serveIvfPqOpqTopK(spark, root + "/codes", root + "/books",
+        root + "/rot", cents, queries, nprobe = 2, topK = 4)
+    }
+    assert(exSkew.getMessage.contains("VERSION SKEW"), exSkew.getMessage)
+  }
+
+  test("SQ8 artifacts: bounds roundtrip exactly; serveSqTopK ≡ in-plan " +
+      "sqTopK; a bounds retrain without re-encode is refused (r17)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val (mins, maxs) = Quantize.sqTrain(emb, "embedding", 64)
+    val root = freshRoot()
+    AnnIndex.publishSqBounds(spark, root + "/bounds", mins, maxs)
+    val (bm, bx) = AnnIndex.loadSqBounds(spark, root + "/bounds")
+    assert(bm.sameElements(mins) && bx.sameElements(maxs),
+      "bounds did not roundtrip bit-exactly")
+    val coded = emb.select($"vec_id",
+      Quantize.sqCode($"embedding", mins, maxs).as("code"))
+    AnnIndex.publishSqCodes(spark, root + "/codes", coded, "vec_id",
+      boundsVersion = 0)
+    val queries = emb.filter($"vec_id" < 4)
+    val served = AnnIndex.serveSqTopK(spark, root + "/bounds",
+      root + "/codes", queries, "vec_id", "embedding", topK = 5)
+    val inPlan = Quantize.sqTopK(coded, queries, "vec_id", "code",
+      "embedding", mins, maxs, k = 5)
+    assert(served.collect().toSet == inPlan.collect().toSet)
+    // bounds retrain (here: a second publish of shifted bounds) → skew
+    AnnIndex.publishSqBounds(spark, root + "/bounds",
+      mins.map(_ - 1.0), maxs.map(_ + 1.0))
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.serveSqTopK(spark, root + "/bounds", root + "/codes",
+        queries, "vec_id", "embedding", topK = 5)
+    }
+    assert(ex.getMessage.contains("VERSION SKEW"), ex.getMessage)
+  }
+
+  test("exact-refine serving: the float read is CANDIDATE-BOUNDED (static " +
+      "IN pushdown), refined recall ≥ ADC recall, and refine=|corpus| " +
+      "degenerates to the exact answer (r17)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+    val root = freshRoot()
+    AnnIndex.publishCodebooks(spark, root + "/books", cb)
+    val cents = emb.filter($"vec_id" < 8)
+    AnnIndex.publishIvfPqCodes(spark, root + "/codes", emb, cents, cb)
+    val queries = emb.filter($"vec_id" >= 10 && $"vec_id" <= 12)
+    val refined = AnnIndex.serveIvfPqTopKRefined(spark, root + "/codes",
+      root + "/books", cents, emb, "vec_id", "embedding", queries,
+      nprobe = 2, topK = 4, refine = 3)
+    // plan pin: the corpus-float scan carries the candidate IN filter —
+    // the refine stage never full-scans the float table
+    val plan = refined.queryExecution.executedPlan.toString
+    assert(plan.contains("vec_id IN ") || plan.contains("In(vec_id"),
+      s"candidate pushdown missing from the refine plan:\n$plan")
+    // ground truth: exact top-4 within the probed cells' rows (refine
+    // reranks ADC candidates, so truth here = exact order of the ADC
+    // candidate universe at maximal refine)
+    val adc = AnnIndex.serveIvfPqTopK(spark, root + "/codes",
+      root + "/books", cents, queries, nprobe = 2, topK = 4)
+    val full = AnnIndex.serveIvfPqTopKRefined(spark, root + "/codes",
+      root + "/books", cents, emb, "vec_id", "embedding", queries,
+      nprobe = 2, topK = 4, refine = 1000)
+    def recallVs(got: org.apache.spark.sql.DataFrame,
+                 truth: org.apache.spark.sql.DataFrame): Double = {
+      val t = truth.select("query_id", "nn_id").collect()
+        .map(r => (r.get(0), r.get(1))).toSet
+      val g = got.select("query_id", "nn_id").collect()
+        .map(r => (r.get(0), r.get(1))).toSet
+      (g intersect t).size.toDouble / t.size
+    }
+    val rAdc = recallVs(adc, full)
+    val rRef = recallVs(refined, full)
+    assert(rRef >= rAdc,
+      s"refined recall $rRef fell below ADC recall $rAdc")
+  }
+
+  test("incremental appendIvfPqCodes: append-batch index ≡ full rebuild " +
+      "bit-for-bit, the served answer matches, and a books retrain " +
+      "refuses the append (r17)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+    val cents = emb.filter($"vec_id" < 8)
+    val rootInc = freshRoot()
+    AnnIndex.publishCodebooks(spark, rootInc + "/books", cb)
+    AnnIndex.publishIvfPqCodes(spark, rootInc + "/codes",
+      emb.filter($"vec_id" % 2 === 0), cents, cb, residual = true)
+    AnnIndex.appendIvfPqCodes(spark, rootInc + "/codes",
+      rootInc + "/books", emb.filter($"vec_id" % 2 === 1), cents)
+    val rootFull = freshRoot()
+    AnnIndex.publishCodebooks(spark, rootFull + "/books", cb)
+    AnnIndex.publishIvfPqCodes(spark, rootFull + "/codes", emb, cents, cb,
+      residual = true)
+    def rows(root: String) = graft.sources.Layout
+      .readCurrent(spark, root + "/codes")
+      .select($"nn_id", $"centroid_id", $"code".cast("array<int>"))
+      .collect().map(r => (r.getLong(0), r.get(1).toString,
+        r.getSeq[Int](2).toList)).toSet
+    assert(rows(rootInc) == rows(rootFull),
+      "append-built index content diverged from the wholesale rebuild")
+    val queries = emb.filter($"vec_id" >= 10 && $"vec_id" <= 12)
+    val servedInc = AnnIndex.serveIvfPqTopK(spark, rootInc + "/codes",
+      rootInc + "/books", cents, queries, nprobe = 2, topK = 4,
+      residual = true).collect().toSet
+    val servedFull = AnnIndex.serveIvfPqTopK(spark, rootFull + "/codes",
+      rootFull + "/books", cents, queries, nprobe = 2, topK = 4,
+      residual = true).collect().toSet
+    assert(servedInc == servedFull)
+    // retrained books: the append must refuse, not mix codeword spaces
+    AnnIndex.publishCodebooks(spark, rootInc + "/books",
+      Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 42))
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.appendIvfPqCodes(spark, rootInc + "/codes",
+        rootInc + "/books", emb.filter($"vec_id" < 2), cents)
+    }
+    assert(ex.getMessage.contains("VERSION SKEW"), ex.getMessage)
   }
 }
