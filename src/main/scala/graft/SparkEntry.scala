@@ -2129,6 +2129,34 @@ object SparkEntry {
         nprobe = 3, topK = 5, residual = true)
     }),
 
+
+    // --- BPE merge-table TRAINING (r17): the tokenizer-construction
+    //     operator — 6 merge rounds over the word-frequency table
+    //     (vocabulary-bounded work; the corpus is tokenized ONCE), each
+    //     round one freq-weighted pair count + a 1-row argmax + a
+    //     window-resolved greedy merge pass; ties break (count DESC,
+    //     lhs, rhs) so the oracle's unrolled CTEs replay bit-for-bit ---
+    "q272_bpe_train" -> ((s, dir) =>
+      graft.ops.Bpe.trainMerges(Tables.documents(s, dir), "text",
+        rounds = 6)),
+
+
+    // --- BPE tokenizer APPLICATION (r17): the trained merge table
+    //     publishes as a versioned artifact (tokenizers are models — a
+    //     drifting tokenizer silently changes every downstream token
+    //     count), loads back in training order, and re-segments the
+    //     corpus: per-doc whitespace vs BPE token counts — the number a
+    //     packing/mixing pipeline actually budgets with ---
+    "q273_bpe_tokenize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = graft.util.TempRoots.memo(s"graft_q273_${dir.hashCode}") { r =>
+        graft.ops.Bpe.publishMerges(s, r + "/merges",
+          graft.ops.Bpe.trainMerges(docs, "text", rounds = 6))
+      }
+      val merges = graft.ops.Bpe.loadMerges(s, root + "/merges")
+      graft.ops.Bpe.bpeTokenCounts(docs, "doc_id", "text", merges)
+    }),
+
     // --- incremental MOMENT view (avg/variance) under the oracle ---
     // q139's history replayed into the (n, Σv, Σv², non-null) state; the
     // derived mean/var_pop of the folded state must equal DuckDB's direct
@@ -7333,6 +7361,34 @@ object SparkEntry {
               ORDER BY s DESC, nn_id) AS rnk
           FROM scored) WHERE rnk <= 5""",
 
+      // BPE training: six unrolled merge rounds — pair counts, (count
+      // DESC, a, b) argmax, window-resolved greedy merge — identical
+      // algebra to the engine's per-round loop
+      "q272_bpe_train" -> s"""
+        WITH ${duckBpeCtes(6)}
+        SELECT round, lhs, rhs, lhs || rhs AS merged, pair_count FROM (
+          SELECT CAST(1 AS BIGINT) AS round, a AS lhs, b AS rhs,
+            c AS pair_count FROM best1
+          UNION ALL SELECT 2, a, b, c FROM best2
+          UNION ALL SELECT 3, a, b, c FROM best3
+          UNION ALL SELECT 4, a, b, c FROM best4
+          UNION ALL SELECT 5, a, b, c FROM best5
+          UNION ALL SELECT 6, a, b, c FROM best6)""",
+
+      // BPE application: the final segmentation's per-word symbol count
+      // joined back to the token stream — per-doc whitespace vs BPE
+      // token totals
+      "q273_bpe_tokenize" -> s"""
+        WITH ${duckBpeCtes(6)},
+        toks AS (SELECT doc_id,
+            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+          FROM documents),
+        tw AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+        wn AS (SELECT word, CAST(len(syms) AS BIGINT) AS n FROM seg6)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(sum(n) AS BIGINT) AS n_bpe_tokens
+        FROM tw JOIN wn USING (word) GROUP BY 1""",
+
       // q155's oracle generalized to the query-table fan-out: shared
       // df/idf over the union of query terms, per-(query, doc) decimal
       // fold, per-query ROW_NUMBER cut
@@ -9245,6 +9301,65 @@ object SparkEntry {
       }.mkString(" ")
       s"(CASE code[${j + 1}] $arms END)"
     }.mkString(" + ")
+  }
+
+  /** DuckDB CTE chain replaying [[graft.ops.Bpe.trainMerges]] for
+    * `rounds` unrolled rounds (the q220/q229 unrolled-loop oracle
+    * pattern): seg0 = per-word char lists over the house tokens, then per
+    * round — freq-weighted adjacent-pair counts, the (count DESC, a, b)
+    * argmax as a 1-row CTE, and the greedy non-overlapping merge apply
+    * resolved with the SAME window algebra as the engine (runs of
+    * consecutive match positions take every other position from the run
+    * start; a taken position emits a||b and consumes its right
+    * neighbor). Returns the chain WITHOUT the `WITH` keyword; the caller
+    * selects from `best1..best$rounds` (the merge table) or
+    * `seg$rounds` (the final segmentation).
+    */
+  private def duckBpeCtes(rounds: Int): String = {
+    // every multiply-referenced CTE is AS MATERIALIZED: DuckDB inlines
+    // CTEs by default, and with each round referencing the previous
+    // round's segmentation 2–4 times the inlined plan grows ~4^rounds —
+    // the 6-round chain never finishes without materialization
+    val head = s"""
+        t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+            AS word FROM documents),
+        wc AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM t
+          WHERE word <> '' GROUP BY 1),
+        seg0 AS MATERIALIZED (SELECT word, freq,
+            list_transform(range(1, length(word) + 1),
+              i -> substr(word, CAST(i AS INTEGER), 1)) AS syms
+          FROM wc)"""
+    val steps = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""
+        pr$i AS (SELECT freq, syms[p] AS a, syms[p + 1] AS b
+          FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS p
+            FROM seg$p)),
+        best$i AS MATERIALIZED (SELECT a, b, c FROM (SELECT a, b,
+            CAST(sum(freq) AS BIGINT) AS c
+          FROM pr$i GROUP BY 1, 2 ORDER BY c DESC, a, b LIMIT 1)),
+        e$i AS MATERIALIZED (SELECT word, freq, p AS pos, syms[p] AS sym,
+            CASE WHEN p < len(syms) THEN syms[p + 1] END AS nxt
+          FROM (SELECT word, freq, syms,
+              unnest(range(1, len(syms) + 1)) AS p
+            FROM seg$p)),
+        h$i AS (SELECT e.word, e.pos, e.pos - row_number()
+              OVER (PARTITION BY e.word ORDER BY e.pos) AS grp
+          FROM e$i e, best$i bb WHERE e.sym = bb.a AND e.nxt = bb.b),
+        tk$i AS MATERIALIZED (SELECT word, pos FROM (SELECT word, pos,
+            min(pos) OVER (PARTITION BY word, grp) AS st FROM h$i)
+          WHERE (pos - st) % 2 = 0),
+        seg$i AS MATERIALIZED (SELECT e.word, e.freq,
+            list(CASE WHEN tkn.pos IS NOT NULL THEN bb.a || bb.b
+              ELSE e.sym END ORDER BY e.pos) AS syms
+          FROM e$i e
+          CROSS JOIN best$i bb
+          LEFT JOIN tk$i tkn ON e.word = tkn.word AND e.pos = tkn.pos
+          LEFT JOIN tk$i cns ON e.word = cns.word AND e.pos = cns.pos + 1
+          WHERE cns.pos IS NULL
+          GROUP BY e.word, e.freq)"""
+    }
+    (head +: steps).mkString(",")
   }
 
   private def duckBucket(nBits: Int, seed: Int, dim: Int): String =

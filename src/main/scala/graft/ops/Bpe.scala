@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Layout
+
+/** Byte-pair-encoding merge-table TRAINING and APPLICATION (Sennrich et
+  * al., "Neural Machine Translation of Rare Words with Subword Units",
+  * ACL 2016) — the tokenizer-construction half a training-data pipeline
+  * runs before any token count, pack or mixture decision is meaningful:
+  * learn the `rounds` most frequent adjacent symbol pairs from the
+  * corpus, then segment text by replaying those merges in order.
+  *
+  * SCALE SHAPE — the defining trick is that BPE training never touches
+  * the corpus after one tokenize pass: it operates on the WORD-FREQUENCY
+  * table (`(word, freq)` — vocabulary-bounded, millions of rows at 100 TB
+  * of text, not trillions), so each merge round is a handful of
+  * vocab-sized shuffles plus a ONE-ROW argmax collect (bounded driver
+  * metadata, the [[Quantize.trainCodebooks]] class). Application is the
+  * same per-word replay joined back to the corpus token stream — the
+  * corpus pays one explode + one broadcast-ish join per use, never a
+  * per-round pass.
+  *
+  * Everything is deterministic and oracle-replayable: the argmax breaks
+  * ties (count DESC, left ASC, right ASC); the greedy left-to-right
+  * non-overlapping merge pass is resolved with windows (runs of
+  * consecutive match positions — only possible when left == right — take
+  * every OTHER position from the run start, exactly the sequential
+  * scanner's behavior), so the unrolled-CTE oracle (q220/q229 pattern)
+  * computes the identical segmentation.
+  */
+object Bpe {
+
+  /** `(word, freq)` over the house whitespace tokens — the vocabulary
+    * table every training round operates on.
+    */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(
+        graft.functions.TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** A word's round-0 symbol sequence: its characters, in order. */
+  def charSyms(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** ONE greedy left-to-right merge pass of pair (a, b) over `symsCol`,
+    * non-overlapping exactly like the sequential BPE scanner: among the
+    * match positions of one key, runs of CONSECUTIVE positions (possible
+    * only when a == b, e.g. "aaaa") take every other position from the
+    * run start; a taken position emits the merged symbol and consumes
+    * its right neighbor. Per-key windows only (word- or doc-grain — the
+    * bounded-grain class), no corpus-grain state.
+    */
+  private[graft] def applyMerge(seg: DataFrame, keyCols: Seq[String],
+                                a: String, b: String): DataFrame = {
+    val ks = keyCols.map(col)
+    val others = seg.columns.filterNot(_ == "syms").map(col).toSeq
+    val ex = seg.select(
+      others :+ posexplode(col("syms")).as(Seq("__pos", "__sym")): _*)
+    val wOrd = Window.partitionBy(ks: _*).orderBy(col("__pos"))
+    val m = ex.withColumn("__nxt", lead(col("__sym"), 1).over(wOrd))
+    val hits = m.filter(col("__sym") === lit(a) && col("__nxt") === lit(b))
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__grp", col("__pos") - col("__rn"))
+    val wGrp = Window.partitionBy(ks :+ col("__grp"): _*)
+    val taken = hits
+      .withColumn("__start", min(col("__pos")).over(wGrp))
+      .filter(((col("__pos") - col("__start")) % 2) === 0)
+      .select(ks :+ col("__pos"): _*)
+    val tk = taken.withColumn("__tk", lit(true))
+    val cons = taken
+      .select(ks :+ (col("__pos") + 1).as("__pos"): _*)
+      .withColumn("__cons", lit(true))
+    m.join(tk, keyCols :+ "__pos", "left")
+      .join(cons, keyCols :+ "__pos", "left")
+      .filter(col("__cons").isNull)
+      .withColumn("__out",
+        when(col("__tk"), lit(a + b)).otherwise(col("__sym")))
+      .groupBy(others: _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__out")))),
+        s => s.getField("__out")).as("syms"))
+  }
+
+  /** Learn `rounds` BPE merges from the corpus: per round, the
+    * most-frequent adjacent symbol pair over the word-frequency table
+    * (freq-weighted; ties break (count DESC, left ASC, right ASC)) is
+    * recorded and applied. Stops early if no pair remains (every word
+    * fully merged). The per-round state persists and the previous round
+    * unpersists — lineage stays one round deep, the graph-loop
+    * discipline.
+    *
+    * @return (round, left, right, merged, pair_count) — `rounds` rows
+    */
+  def trainMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(rounds >= 1, "trainMerges: rounds must be ≥ 1")
+    var seg = wordCounts(docs, textCol)
+      .withColumn("syms", charSyms(col("word")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    try {
+      var r = 1
+      var dry = false
+      while (r <= rounds && !dry) {
+        val pairs = seg.select(col("freq"),
+            slice(col("syms"), lit(1), size(col("syms")) - 1).as("__l"),
+            slice(col("syms"), lit(2), size(col("syms")) - 1).as("__r"))
+          .select(col("freq"),
+            explode(arrays_zip(col("__l"), col("__r"))).as("__p"))
+          .select(col("freq"), col("__p.__l").as("a"), col("__p.__r").as("b"))
+        // ONE row to the driver — the argmax is bounded metadata
+        val best = pairs.groupBy(col("a"), col("b"))
+          .agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (best.isEmpty) dry = true
+        else {
+          val a = best(0).getString(0)
+          val b = best(0).getString(1)
+          val c = best(0).getLong(2)
+          out += ((r.toLong, a, b, a + b, c))
+          val next = applyMerge(seg, Seq("word"), a, b)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize BEFORE cutting the previous round
+          seg.unpersist(false)
+          seg = next
+          r += 1
+        }
+      }
+      out.toSeq.toDF("round", "lhs", "rhs", "merged", "pair_count")
+    } finally seg.unpersist(false)
+  }
+
+  /** Segment a word table with an ORDERED merge list: round-0 chars,
+    * then each merge replayed in training order — the application half
+    * of the tokenizer. `df` keeps its other columns.
+    */
+  def segmentWords(df: DataFrame, wordCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val start = df.withColumn("syms", charSyms(col(wordCol)))
+    merges.foldLeft(start) { case (acc, (a, b)) =>
+      applyMerge(acc, Seq(wordCol), a, b)
+    }
+  }
+
+  /** BPE token count per document: tokenize, segment the DISTINCT words
+    * once (vocabulary-bounded work), join the per-word symbol counts
+    * back to the token stream, sum per doc. The corpus is touched by one
+    * explode + one join — never by the per-merge replay.
+    *
+    * @return (idCol, n_tokens, n_bpe_tokens)
+    */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val toks = docs.select(col(idCol), explode(
+        graft.functions.TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+    val perWord = segmentWords(toks.select(col("word")).distinct(),
+        "word", merges)
+      .select(col("word"), size(col("syms")).cast("long").as("__n"))
+    toks.join(broadcast(perWord), "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__n")).as("n_bpe_tokens"))
+  }
+
+  /** Publish a trained merge table as a VERSIONED artifact (the
+    * [[graft.model.AnnIndex]] discipline: tokenizers are models — a
+    * retrain is the next version, serving replays a pinned one; a
+    * tokenizer that drifts under a live corpus silently changes every
+    * downstream token count).
+    */
+  def publishMerges(spark: SparkSession, root: String,
+                    merges: DataFrame): String =
+    Layout.publishVersion(spark, root,
+      merges.select(col("round").cast("long"), col("lhs"), col("rhs"),
+        col("merged"), col("pair_count").cast("long")))
+
+  /** Load the LIVE merge table back in training order — bounded collect
+    * (`rounds` rows).
+    */
+  def loadMerges(spark: SparkSession, root: String): Seq[(String, String)] =
+    Layout.readCurrent(spark, root)
+      .select(col("round").cast("long"), col("lhs"), col("rhs"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+}
