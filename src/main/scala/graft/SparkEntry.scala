@@ -3664,6 +3664,16 @@ object SparkEntry {
     //     driven through PURE SQL — the scored view registers, then
     //     `SELECT * FROM graft_roc_auc(...)` plans the IDENTICAL Eval
     //     tree (one arithmetic implementation, two entry points) ---
+    // --- pure-SQL event analytics (r17): the sessionize face drives the
+    //     whole path through the TVF — same plan the Scala surface builds
+    //     (AnalyticsTvfSpec ≡-pins all five event faces); 6 h gap
+    //     distinguishes it from q223's 8 h Scala-driven entry ---
+    "q274_sql_sessionize" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("q274_events")
+      s.sql("SELECT * FROM graft_sessionize('q274_events', 'user_id', " +
+        "'ts', 21600)")
+    }),
+
     "q249_sql_roc_auc" -> ((s, dir) => {
       Tables.documents(s, dir).select(
         TF.markerHits(TF.tokens(col("text")), Seq("the", "a"))
@@ -8061,6 +8071,23 @@ object SparkEntry {
         g AS (SELECT user_id, ts,
             CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) -
               epoch_us(lag(ts) OVER w) > 28800000000 THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (SELECT user_id, ts, CAST(sum(ns) OVER (PARTITION BY user_id
+            ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+          FROM g)
+        SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+          min(ts) AS start_ts, max(ts) AS end_ts,
+          epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        FROM s GROUP BY 1, 2""",
+
+      // the TVF face plans the identical tree — q223's algebra at a 6 h
+      // (21600000000 µs) gap
+      "q274_sql_sessionize" -> """
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        g AS (SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) -
+              epoch_us(lag(ts) OVER w) > 21600000000 THEN 1 ELSE 0 END AS ns
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         s AS (SELECT user_id, ts, CAST(sum(ns) OVER (PARTITION BY user_id
             ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq

@@ -393,6 +393,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     tvf("graft_chrf", 4 to 5) { a =>
       graft.ops.GenMetrics.chrF(table(a(0)), a(1), a(2), a(3),
         if (a.size > 4) a(4).toInt else 6) }
+    // event-analytics family (r17, the r16 verdict's item 8): sessionize /
+    // funnel / retention / growth accounting get the same pure-SQL faces —
+    // step lists ride the comma convention, gap/within/periods are int
+    // literals
+    tvf("graft_sessionize", 4 to 4) { a =>
+      graft.ops.Sessionize.sessionStats(table(a(0)), a(1), a(2),
+        a(3).toLong) }
+    tvf("graft_funnel", 5 to 6) { a =>
+      graft.ops.Funnels.funnel(table(a(0)), a(1), a(2), a(3), keysOf(a(4)),
+        if (a.size > 5) Some(a(5).toLong) else None) }
+    tvf("graft_funnel_latency", 5 to 6) { a =>
+      graft.ops.Funnels.funnelLatency(table(a(0)), a(1), a(2), a(3),
+        keysOf(a(4)), if (a.size > 5) Some(a(5).toLong) else None) }
+    tvf("graft_retention", 3 to 4) { a =>
+      graft.ops.Funnels.cohortRetention(table(a(0)), a(1), a(2),
+        if (a.size > 3) a(3) else "week") }
+    tvf("graft_growth", 3 to 4) { a =>
+      graft.ops.Funnels.growthAccounting(table(a(0)), a(1), a(2),
+        if (a.size > 3) a(3) else "week") }
   }
 
   private def strLit(e: Option[Expression], fn: String, arg: String): String =

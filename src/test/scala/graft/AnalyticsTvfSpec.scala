@@ -188,4 +188,48 @@ class AnalyticsTvfSpec extends SparkSpec {
       s"pbar must average over contributing items: $r")
     graft.util.Caches.releaseAll()
   }
+
+  test("graft_sessionize / graft_funnel / graft_funnel_latency / " +
+      "graft_retention / graft_growth ≡ the Scala surface (r17)") {
+    import graft.ops.{Funnels, Sessionize}
+    val rnd = new scala.util.Random(17)
+    val types = Seq("view", "click", "purchase")
+    Seq.fill(600)((rnd.nextInt(40).toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-${1 + rnd.nextInt(28)}%02d " +
+          f"${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"),
+        types(rnd.nextInt(3))))
+      .toDF("user_id", "ts", "event_type")
+      .createOrReplaceTempView("tvf_events")
+    val ev = spark.table("tvf_events")
+    assert(spark.sql(
+        "SELECT * FROM graft_sessionize('tvf_events', 'user_id', 'ts', " +
+          "21600)").collect().toSet ==
+      Sessionize.sessionStats(ev, "user_id", "ts", gapSeconds = 21600L)
+        .collect().toSet)
+    assert(spark.sql(
+        "SELECT * FROM graft_funnel('tvf_events', 'user_id', 'ts', " +
+          "'event_type', 'view,click,purchase')").collect().toSet ==
+      Funnels.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase")).collect().toSet)
+    assert(spark.sql(
+        "SELECT * FROM graft_funnel('tvf_events', 'user_id', 'ts', " +
+          "'event_type', 'view,click,purchase', 86400)")
+        .collect().toSet ==
+      Funnels.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), Some(86400L)).collect().toSet)
+    assert(spark.sql(
+        "SELECT * FROM graft_funnel_latency('tvf_events', 'user_id', " +
+          "'ts', 'event_type', 'view,click')").collect().toSet ==
+      Funnels.funnelLatency(ev, "user_id", "ts", "event_type",
+        Seq("view", "click")).collect().toSet)
+    assert(spark.sql(
+        "SELECT * FROM graft_retention('tvf_events', 'user_id', 'ts')")
+        .collect().toSet ==
+      Funnels.cohortRetention(ev, "user_id", "ts", "week").collect().toSet)
+    assert(spark.sql(
+        "SELECT * FROM graft_growth('tvf_events', 'user_id', 'ts', 'day')")
+        .collect().toSet ==
+      Funnels.growthAccounting(ev, "user_id", "ts", "day").collect().toSet)
+    graft.util.Caches.releaseAll()
+  }
 }
