@@ -134,6 +134,13 @@ object Bench {
       }.mkString("\n")
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.txt"),
         full.getBytes("UTF-8"))
+      // ALSO land the full table at a TRACKED path (target/ is
+      // gitignored): BENCH_r16.json carried "dropped":145 — over half the
+      // registry invisible to committed round-over-round comparison
+      // (VERDICT r16 Wrong #2). The driver commits uncommitted work each
+      // round, so this file rides along with the headline JSON.
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.txt"),
+        full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // The JSON line prints AFTER spark.stop() (log level ERROR first) so no
     // executor/shutdown stderr can land after it in the driver's combined
