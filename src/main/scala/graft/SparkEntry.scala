@@ -2130,6 +2130,25 @@ object SparkEntry {
     }),
 
 
+    // --- two-stage refine on the FLAT ADC artifact (r17): same recall
+    //     lift as q270 over the q248-style index — stage 1 ADC at k·r
+    //     over the whole codes table, stage 2 candidate-bounded exact
+    //     rerank ---
+    "q276_adc_refined" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+      val root = graft.util.TempRoots.memo(s"graft_q276_${dir.hashCode}") { r =>
+        graft.model.AnnIndex.publishCodebooks(s, r + "/books", cb)
+        graft.model.AnnIndex.publishCodes(s, r + "/codes",
+          Quantize.encode(emb, "embedding", cb), "vec_id", booksVersion = 0)
+      }
+      graft.model.AnnIndex.serveAdcTopKRefined(s, root + "/books",
+        root + "/codes", emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") >= 45 && col("vec_id") <= 49),
+        topK = 5, refine = 3)
+    }),
+
+
     // --- BPE merge-table TRAINING (r17): the tokenizer-construction
     //     operator — 6 merge rounds over the word-frequency table
     //     (vocabulary-bounded work; the corpus is tokenized ONCE), each
@@ -2155,6 +2174,24 @@ object SparkEntry {
       }
       val merges = graft.ops.Bpe.loadMerges(s, root + "/merges")
       graft.ops.Bpe.bpeTokenCounts(docs, "doc_id", "text", merges)
+    }),
+
+
+    // --- cross-corpus tokenizer TRANSFER (r17): merges train on the
+    //     EVEN half, the frozen table applies to the ODD half (chars
+    //     segment any OOV word — no unk holes), and per-language
+    //     fertility (BPE tokens per word) reads out where the tokenizer
+    //     fragments — the multilingual mixture-budget number ---
+    "q275_bpe_transfer" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = graft.util.TempRoots.memo(s"graft_q275_${dir.hashCode}") { r =>
+        graft.ops.Bpe.publishMerges(s, r + "/merges",
+          graft.ops.Bpe.trainMerges(docs.filter(col("doc_id") % 2 === 0),
+            "text", rounds = 6))
+      }
+      val merges = graft.ops.Bpe.loadMerges(s, root + "/merges")
+      graft.ops.Bpe.fertility(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", "lang", merges)
     }),
 
     // --- incremental MOMENT view (avg/variance) under the oracle ---
@@ -7399,6 +7436,58 @@ object SparkEntry {
           CAST(sum(n) AS BIGINT) AS n_bpe_tokens
         FROM tw JOIN wn USING (word) GROUP BY 1""",
 
+      // tokenizer transfer: the train chain runs on the EVEN half only;
+      // the apply-only chain replays best1..best6 over the ODD half's
+      // vocabulary (chars segment OOV words); fertility is a
+      // micro-floored ratio of exact longs per language
+      "q275_bpe_transfer" -> s"""
+        WITH ${duckBpeCtes(6, "WHERE doc_id % 2 = 0")},
+        otoks AS (SELECT doc_id,
+            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+          FROM documents WHERE doc_id % 2 = 1),
+        otw AS (SELECT doc_id, word FROM otoks WHERE word <> ''),
+        aseg0 AS MATERIALIZED (SELECT word,
+            list_transform(range(1, length(word) + 1),
+              i -> substr(word, CAST(i AS INTEGER), 1)) AS syms
+          FROM (SELECT DISTINCT word FROM otw)),
+        ${duckBpeApplyCtes(6)},
+        wn AS (SELECT word, CAST(len(syms) AS BIGINT) AS n FROM aseg6),
+        perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(n) AS BIGINT) AS n_bpe
+          FROM otw JOIN wn USING (word) GROUP BY 1)
+        SELECT d.lang, CAST(sum(p.n_tokens) AS BIGINT) AS n_words,
+          CAST(sum(p.n_bpe) AS BIGINT) AS n_bpe_tokens,
+          CAST(floor(CAST(sum(p.n_bpe) AS DOUBLE) /
+            CAST(sum(p.n_tokens) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+            AS fertility_micro
+        FROM perdoc p JOIN documents d USING (doc_id) GROUP BY 1""",
+
+      // flat-ADC refine: q248's chain cut at 15 candidates → exact
+      // rerank to 5 over only those ids
+      "q276_adc_refined" -> s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        coded AS (SELECT vec_id, ${duckPqCode(4, 8, 16, 7)} AS code FROM v),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM v
+          WHERE vec_id BETWEEN 45 AND 49),
+        scored AS (SELECT q.query_id, c.vec_id AS nn_id,
+            ${duckPqScore(4, 8, 16, 7)} AS s
+          FROM coded c JOIN q ON c.vec_id <> q.query_id),
+        cand AS (SELECT query_id, nn_id FROM (
+          SELECT query_id, nn_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM scored) WHERE rnk <= 15),
+        ex AS (SELECT cd.query_id, cd.nn_id,
+            list_dot_product(qv.e, n.e) AS s
+          FROM cand cd JOIN v qv ON qv.vec_id = cd.query_id
+          JOIN v n ON n.vec_id = cd.nn_id)
+        SELECT query_id, nn_id, score, rnk FROM (
+          SELECT query_id, nn_id, round(s, 6) AS score,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM ex) WHERE rnk <= 5""",
+
       // q155's oracle generalized to the query-table fan-out: shared
       // df/idf over the union of query terms, per-(query, doc) decimal
       // fold, per-query ROW_NUMBER cut
@@ -9342,14 +9431,14 @@ object SparkEntry {
     * selects from `best1..best$rounds` (the merge table) or
     * `seg$rounds` (the final segmentation).
     */
-  private def duckBpeCtes(rounds: Int): String = {
+  private def duckBpeCtes(rounds: Int, where: String = ""): String = {
     // every multiply-referenced CTE is AS MATERIALIZED: DuckDB inlines
     // CTEs by default, and with each round referencing the previous
     // round's segmentation 2–4 times the inlined plan grows ~4^rounds —
     // the 6-round chain never finishes without materialization
     val head = s"""
         t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
-            AS word FROM documents),
+            AS word FROM documents $where),
         wc AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM t
           WHERE word <> '' GROUP BY 1),
         seg0 AS MATERIALIZED (SELECT word, freq,
@@ -9388,6 +9477,37 @@ object SparkEntry {
     }
     (head +: steps).mkString(",")
   }
+
+  /** APPLY-only unrolled rounds: replay `best1..best$rounds` (from a
+    * [[duckBpeCtes]] chain in the same WITH) over a DIFFERENT vocabulary
+    * — the caller defines `aseg0` (word, syms) and reads `aseg$rounds`.
+    * This is the cross-corpus tokenizer-transfer replay: merges learned
+    * on one slice, segmentation applied to another (q275).
+    */
+  private def duckBpeApplyCtes(rounds: Int): String =
+    (1 to rounds).map { i =>
+      val p = i - 1
+      s"""
+        ae$i AS MATERIALIZED (SELECT word, p AS pos, syms[p] AS sym,
+            CASE WHEN p < len(syms) THEN syms[p + 1] END AS nxt
+          FROM (SELECT word, syms, unnest(range(1, len(syms) + 1)) AS p
+            FROM aseg$p)),
+        ah$i AS (SELECT e.word, e.pos, e.pos - row_number()
+              OVER (PARTITION BY e.word ORDER BY e.pos) AS grp
+          FROM ae$i e, best$i bb WHERE e.sym = bb.a AND e.nxt = bb.b),
+        atk$i AS MATERIALIZED (SELECT word, pos FROM (SELECT word, pos,
+            min(pos) OVER (PARTITION BY word, grp) AS st FROM ah$i)
+          WHERE (pos - st) % 2 = 0),
+        aseg$i AS MATERIALIZED (SELECT e.word,
+            list(CASE WHEN tkn.pos IS NOT NULL THEN bb.a || bb.b
+              ELSE e.sym END ORDER BY e.pos) AS syms
+          FROM ae$i e
+          CROSS JOIN best$i bb
+          LEFT JOIN atk$i tkn ON e.word = tkn.word AND e.pos = tkn.pos
+          LEFT JOIN atk$i cns ON e.word = cns.word AND e.pos = cns.pos + 1
+          WHERE cns.pos IS NULL
+          GROUP BY e.word)"""
+    }.mkString(",")
 
   private def duckBucket(nBits: Int, seed: Int, dim: Int): String =
     (0 until nBits).map { j =>

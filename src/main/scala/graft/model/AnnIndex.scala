@@ -536,13 +536,40 @@ object AnnIndex {
     require(!meta.contains("rotation_version"),
       "serveIvfPqTopKRefined: OPQ indexes refine through their own " +
         "candidates — serve stage 1 with serveIvfPqOpqTopK semantics")
-    import graft.functions.{VectorFunctions => VF}
     val candidates = ivfServeArtifact(spark, codesRoot, booksRoot,
       centroids, queries, nprobe, topK * refine, residual, rotation = None)
       .select(col("query_id"), col("nn_id"))
-    // bounded collect: |queries|·topK·refine candidate ids → STATIC
-    // pushdown on the float corpus (same discipline as the probed-cell
-    // IN filter) — the refine stage physically reads candidate rows only
+    exactRefine(candidates, corpus, idCol, vecCol, queries, topK)
+  }
+
+  /** [[serveIvfPqTopKRefined]] for the FLAT ADC artifact path (r17): the
+    * same two-stage recall lift over a [[publishCodes]] index — stage 1
+    * ADC-ranks the whole codes table to k·refine candidates (float-free),
+    * stage 2 exact-reranks only the candidate rows. Same skew gates as
+    * [[serveAdcTopK]] (it IS stage 1).
+    */
+  def serveAdcTopKRefined(spark: SparkSession, booksRoot: String,
+                          codesRoot: String, corpus: DataFrame,
+                          idCol: String, vecCol: String, queries: DataFrame,
+                          topK: Int, refine: Int): DataFrame = {
+    require(refine >= 1, "serveAdcTopKRefined: refine must be ≥ 1")
+    val candidates = serveAdcTopK(spark, booksRoot, codesRoot, queries,
+      idCol, vecCol, topK * refine)
+      .select(col("query_id"), col("nn_id"))
+    exactRefine(candidates, corpus, idCol, vecCol, queries, topK)
+  }
+
+  /** The shared stage-2 exact rerank: collect the BOUNDED candidate id
+    * set (|queries|·topK·refine — driver metadata by the tiny-query
+    * contract), push it down as a static `IN` filter on the float corpus
+    * (parquet stats skip every other row group — AnnArtifactSpec pins
+    * the filter on the executed plan), join the per-query candidates
+    * broadcast-side, and rerank by EXACT inner product.
+    */
+  private def exactRefine(candidates: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String,
+                          queries: DataFrame, topK: Int): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
     val ids = candidates.select(col("nn_id")).distinct()
       .collect().map(_.get(0))
     val floats = corpus

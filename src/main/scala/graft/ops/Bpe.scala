@@ -169,6 +169,29 @@ object Bpe {
       .agg(count(lit(1)).as("n_tokens"), sum(col("__n")).as("n_bpe_tokens"))
   }
 
+  /** Tokenizer FERTILITY per group (BPE tokens per whitespace word) —
+    * the cross-corpus transfer readout: a tokenizer trained on one slice
+    * and applied to another shows where it fragments (high fertility =
+    * the merge table never saw this group's vocabulary — the budget
+    * number a multilingual mixture decision runs on). Composition of
+    * [[bpeTokenCounts]] + one group-grain aggregate; the ratio is a
+    * micro-floored double of exact longs (engine-stable).
+    *
+    * @return (groupCol, n_words, n_bpe_tokens, fertility_micro)
+    */
+  def fertility(docs: DataFrame, idCol: String, textCol: String,
+                groupCol: String, merges: Seq[(String, String)]): DataFrame =
+    bpeTokenCounts(docs, idCol, textCol, merges)
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(sum(col("n_tokens")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      // n_words ≥ 1 by construction: a doc with no tokens never reaches
+      // bpeTokenCounts' inner join, so no ANSI division guard is needed
+      .withColumn("fertility_micro",
+        floor(col("n_bpe_tokens").cast("double") /
+          col("n_words").cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+
   /** Publish a trained merge table as a VERSIONED artifact (the
     * [[graft.model.AnnIndex]] discipline: tokenizers are models — a
     * retrain is the next version, serving replays a pinned one; a

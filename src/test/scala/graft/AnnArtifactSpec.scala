@@ -279,6 +279,43 @@ class AnnArtifactSpec extends SparkSpec {
       s"refined recall $rRef fell below ADC recall $rAdc")
   }
 
+  test("flat-ADC refine: serveAdcTopKRefined carries the candidate IN " +
+      "pushdown, and a corpus-covering refine degenerates to the exact " +
+      "brute-force answer (r17)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+    val root = freshRoot()
+    AnnIndex.publishCodebooks(spark, root + "/books", cb)
+    AnnIndex.publishCodes(spark, root + "/codes",
+      Quantize.encode(emb, "embedding", cb), "vec_id", booksVersion = 0)
+    val queries = emb.filter($"vec_id" < 4)
+    val refined = AnnIndex.serveAdcTopKRefined(spark, root + "/books",
+      root + "/codes", emb, "vec_id", "embedding", queries,
+      topK = 4, refine = 3)
+    val plan = refined.queryExecution.executedPlan.toString
+    assert(plan.contains("vec_id IN ") || plan.contains("In(vec_id"),
+      s"candidate pushdown missing from the refine plan:\n$plan")
+    // refine spanning the corpus ≡ exact brute-force cosine-free top-k
+    val full = AnnIndex.serveAdcTopKRefined(spark, root + "/books",
+      root + "/codes", emb, "vec_id", "embedding", queries,
+      topK = 4, refine = 10000).collect().toSet
+    import graft.functions.{VectorFunctions => VF}
+    val brute = emb.as("c")
+      .crossJoin(broadcast(queries.select($"vec_id".as("query_id"),
+        $"embedding".cast("array<double>").as("qe"))))
+      .filter($"query_id" =!= $"c.vec_id")
+      .select($"query_id", $"c.vec_id".as("nn_id"),
+        VF.dot($"qe", $"c.embedding".cast("array<double>")).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy($"s".desc, $"nn_id")
+    val bruteTop = brute.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 4)
+      .select($"query_id", $"nn_id", round($"s", 6).as("score"),
+        $"rnk".cast("long").as("rnk")).collect().toSet
+    assert(full == bruteTop,
+      "corpus-covering refine must equal the exact brute-force top-k")
+  }
+
   test("incremental appendIvfPqCodes: append-batch index ≡ full rebuild " +
       "bit-for-bit, the served answer matches, and a books retrain " +
       "refuses the append (r17)") {

@@ -88,6 +88,24 @@ class BpeSpec extends SparkSpec {
     assert(graft.sources.Layout.readVersion(spark, root, 0).count() == 3L)
   }
 
+  test("fertility: per-group BPE-tokens-per-word of a FROZEN tokenizer — " +
+      "seen vocabulary merges, unseen vocabulary stays char-fragmented") {
+    // tokenizer knows "low" (fully merged); group b's "cat" is OOV and
+    // segments to 3 chars per word
+    val docs = Seq(
+      (1L, "low low", "a"), (2L, "low", "a"), (3L, "cat cat", "b"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.ops.Bpe.fertility(docs, "doc_id", "text", "lang",
+        Seq(("l", "o"), ("lo", "w")))
+      .orderBy("lang").collect()
+    // a: 3 words → 3 BPE tokens → fertility 1.0
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 3L &&
+      out(0).getLong(3) == 1000000L, out(0).toString)
+    // b: 2 words → 6 BPE tokens → fertility 3.0
+    assert(out(1).getLong(1) == 2L && out(1).getLong(2) == 6L &&
+      out(1).getLong(3) == 3000000L, out(1).toString)
+  }
+
   test("trainMerges stops early when no pair remains (single-char words " +
       "never mint a merge), returning the rounds it could learn") {
     val docs = Seq((1L, "a b a b c")).toDF("doc_id", "text")
