@@ -99,42 +99,42 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     require(rounds >= 1, "trainMerges: rounds must be ≥ 1")
+    // localCheckpoint, NOT persist: applyMerge's plan references its
+    // input ~4 times (explode, taken, consumed, rebuild), so an
+    // un-truncated LOGICAL plan grows ~4× per round and the OPTIMIZER —
+    // not execution — goes exponential (measured 56 s for 6 rounds with
+    // persist-only vs ~2 s checkpointed, on a 31-word vocabulary). The
+    // checkpoint also cuts the corpus tokenize out of every later round.
     var seg = wordCounts(docs, textCol)
       .withColumn("syms", charSyms(col("word")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
-    try {
-      var r = 1
-      var dry = false
-      while (r <= rounds && !dry) {
-        val pairs = seg.select(col("freq"),
-            slice(col("syms"), lit(1), size(col("syms")) - 1).as("__l"),
-            slice(col("syms"), lit(2), size(col("syms")) - 1).as("__r"))
-          .select(col("freq"),
-            explode(arrays_zip(col("__l"), col("__r"))).as("__p"))
-          .select(col("freq"), col("__p.__l").as("a"), col("__p.__r").as("b"))
-        // ONE row to the driver — the argmax is bounded metadata
-        val best = pairs.groupBy(col("a"), col("b"))
-          .agg(sum(col("freq")).as("c"))
-          .orderBy(col("c").desc, col("a"), col("b"))
-          .limit(1).collect()
-        if (best.isEmpty) dry = true
-        else {
-          val a = best(0).getString(0)
-          val b = best(0).getString(1)
-          val c = best(0).getLong(2)
-          out += ((r.toLong, a, b, a + b, c))
-          val next = applyMerge(seg, Seq("word"), a, b)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          next.count() // materialize BEFORE cutting the previous round
-          seg.unpersist(false)
-          seg = next
-          r += 1
-        }
+    var r = 1
+    var dry = false
+    while (r <= rounds && !dry) {
+      val pairs = seg.select(col("freq"),
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("__l"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("__r"))
+        .select(col("freq"),
+          explode(arrays_zip(col("__l"), col("__r"))).as("__p"))
+        .select(col("freq"), col("__p.__l").as("a"), col("__p.__r").as("b"))
+      // ONE row to the driver — the argmax is bounded metadata
+      val best = pairs.groupBy(col("a"), col("b"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) dry = true
+      else {
+        val a = best(0).getString(0)
+        val b = best(0).getString(1)
+        val c = best(0).getLong(2)
+        out += ((r.toLong, a, b, a + b, c))
+        seg = applyMerge(seg, Seq("word"), a, b).localCheckpoint(true)
+        r += 1
       }
-      out.toSeq.toDF("round", "lhs", "rhs", "merged", "pair_count")
-    } finally seg.unpersist(false)
+    }
+    out.toSeq.toDF("round", "lhs", "rhs", "merged", "pair_count")
   }
 
   /** Segment a word table with an ORDERED merge list: round-0 chars,
@@ -143,9 +143,15 @@ object Bpe {
     */
   def segmentWords(df: DataFrame, wordCol: String,
                    merges: Seq[(String, String)]): DataFrame = {
+    // per-merge localCheckpoint — the same ~4×-per-merge logical-plan
+    // blowup as [[trainMerges]] (a 6-merge uncheckpointed fold measured
+    // 36 s of pure optimizer time at sf0.1); eager per-merge jobs are
+    // the cost, bounded by the merge-table length over a
+    // vocabulary-sized frame
     val start = df.withColumn("syms", charSyms(col(wordCol)))
+      .localCheckpoint(true)
     merges.foldLeft(start) { case (acc, (a, b)) =>
-      applyMerge(acc, Seq(wordCol), a, b)
+      applyMerge(acc, Seq(wordCol), a, b).localCheckpoint(true)
     }
   }
 
