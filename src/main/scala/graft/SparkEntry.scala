@@ -2130,6 +2130,29 @@ object SparkEntry {
     }),
 
 
+    // --- BPE-budgeted sequence packing (r17): q81's greedy shard-cumsum
+    //     packer fed by REAL tokenizer counts instead of whitespace
+    //     counts — the composition a training-data pipeline actually
+    //     runs (pack to the model's context length in ITS tokens);
+    //     zero-token docs drop with the counts frame ---
+    "q277_bpe_packing" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = graft.util.TempRoots.memo(s"graft_q277_${dir.hashCode}") { r =>
+        graft.ops.Bpe.publishMerges(s, r + "/merges",
+          graft.ops.Bpe.trainMerges(docs, "text", rounds = 6))
+      }
+      val merges = graft.ops.Bpe.loadMerges(s, root + "/merges")
+      val counts = graft.ops.Bpe.bpeTokenCounts(docs, "doc_id", "text",
+        merges)
+      Sampling.packDocs(counts, "doc_id", col("n_bpe_tokens"),
+          seqLen = 512, shards = 8)
+        .groupBy("shard", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"))
+    }),
+
+
     // --- two-stage refine on the FLAT ADC artifact (r17): same recall
     //     lift as q270 over the q248-style index — stage 1 ADC at k·r
     //     over the whole codes table, stage 2 candidate-bounded exact
@@ -7461,6 +7484,29 @@ object SparkEntry {
             CAST(sum(p.n_tokens) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
             AS fertility_micro
         FROM perdoc p JOIN documents d USING (doc_id) GROUP BY 1""",
+
+      // BPE-budgeted packing: the q273 per-doc BPE counts feed q81's
+      // shard-cumsum greedy fill at a 512-token budget
+      "q277_bpe_packing" -> s"""
+        WITH ${duckBpeCtes(6)},
+        toks AS (SELECT doc_id,
+            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+          FROM documents),
+        tw AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+        wn AS (SELECT word, CAST(len(syms) AS BIGINT) AS n FROM seg6),
+        perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+            CAST(sum(n) AS BIGINT) AS n_tokens
+          FROM tw JOIN wn USING (word) GROUP BY 1),
+        packed AS (SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+            CAST((SUM(n_tokens) OVER (PARTITION BY doc_id % 8
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+              // 512 AS BIGINT) AS pack_id
+          FROM perdoc)
+        SELECT shard, pack_id, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+          MIN(doc_id) AS first_doc
+        FROM packed GROUP BY shard, pack_id""",
 
       // flat-ADC refine: q248's chain cut at 15 candidates → exact
       // rerank to 5 over only those ids

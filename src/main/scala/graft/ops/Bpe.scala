@@ -53,6 +53,12 @@ object Bpe {
     * run start; a taken position emits the merged symbol and consumes
     * its right neighbor. Per-key windows only (word- or doc-grain — the
     * bounded-grain class), no corpus-grain state.
+    *
+    * CONTRACT: `keyCols` must uniquely key the rows — two rows sharing a
+    * key would interleave their exploded positions under one window and
+    * merge across each other. Every internal caller guarantees it
+    * (trainMerges groups by word; bpeTokenCounts segments DISTINCT
+    * words); external [[segmentWords]] callers own the same guarantee.
     */
   private[graft] def applyMerge(seg: DataFrame, keyCols: Seq[String],
                                 a: String, b: String): DataFrame = {
@@ -139,7 +145,10 @@ object Bpe {
 
   /** Segment a word table with an ORDERED merge list: round-0 chars,
     * then each merge replayed in training order — the application half
-    * of the tokenizer. `df` keeps its other columns.
+    * of the tokenizer. `df` keeps its other columns. `wordCol` values
+    * must be UNIQUE in `df` ([[applyMerge]]'s keying contract —
+    * segment the distinct vocabulary, then join counts back, as
+    * [[bpeTokenCounts]] does).
     */
   def segmentWords(df: DataFrame, wordCol: String,
                    merges: Seq[(String, String)]): DataFrame = {
@@ -170,6 +179,10 @@ object Bpe {
     val perWord = segmentWords(toks.select(col("word")).distinct(),
         "word", merges)
       .select(col("word"), size(col("syms")).cast("long").as("__n"))
+    // vocabulary-bounded broadcast keeps the corpus token stream
+    // unshuffled; a vocabulary past the executor broadcast budget
+    // (hundreds of millions of distinct words) would drop the hint and
+    // take the word-partitioned shuffle join instead
     toks.join(broadcast(perWord), "word")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("__n")).as("n_bpe_tokens"))
