@@ -2010,11 +2010,12 @@ object SparkEntry {
       val cents = emb.filter(col("vec_id") < 8)
       val root = graft.util.TempRoots.memo(s"graft_q266_${dir.hashCode}") { r =>
         graft.model.AnnIndex.publishCodebooks(s, r + "/books", cb)
+        graft.model.AnnIndex.publishCentroids(s, r + "/cents", cents)
         graft.model.AnnIndex.publishIvfPqCodes(s, r + "/codes", emb,
           cents, cb)
       }
       graft.model.AnnIndex.serveIvfPqTopK(s, root + "/codes",
-        root + "/books", cents,
+        root + "/books", root + "/cents",
         emb.filter(col("vec_id") >= 15 && col("vec_id") <= 19),
         nprobe = 3, topK = 5)
     }),
@@ -2029,11 +2030,12 @@ object SparkEntry {
       val cents = emb.filter(col("vec_id") < 8)
       val root = graft.util.TempRoots.memo(s"graft_q267_${dir.hashCode}") { r =>
         graft.model.AnnIndex.publishCodebooks(s, r + "/books", cb)
+        graft.model.AnnIndex.publishCentroids(s, r + "/cents", cents)
         graft.model.AnnIndex.publishIvfPqCodes(s, r + "/codes", emb,
           cents, cb, residual = true)
       }
       graft.model.AnnIndex.serveIvfPqTopK(s, root + "/codes",
-        root + "/books", cents,
+        root + "/books", root + "/cents",
         emb.filter(col("vec_id") >= 20 && col("vec_id") <= 24),
         nprobe = 3, topK = 5, residual = true)
     }),
@@ -2052,12 +2054,13 @@ object SparkEntry {
       val root = graft.util.TempRoots.memo(s"graft_q268_${dir.hashCode}") { r =>
         graft.model.AnnIndex.publishCodebooks(s, r + "/books", cb)
         graft.model.AnnIndex.publishRotation(s, r + "/rot", rot)
+        graft.model.AnnIndex.publishCentroids(s, r + "/cents", cents)
         graft.model.AnnIndex.publishIvfPqCodes(s, r + "/codes", emb,
           cents, cb, residual = true, rotation = Some(rot),
           rotationVersion = Some(0))
       }
       graft.model.AnnIndex.serveIvfPqOpqTopK(s, root + "/codes",
-        root + "/books", root + "/rot", cents,
+        root + "/books", root + "/rot", root + "/cents",
         emb.filter(col("vec_id") >= 25 && col("vec_id") <= 29),
         nprobe = 3, topK = 5)
     }),
@@ -2096,11 +2099,12 @@ object SparkEntry {
       val cents = emb.filter(col("vec_id") < 8)
       val root = graft.util.TempRoots.memo(s"graft_q270_${dir.hashCode}") { r =>
         graft.model.AnnIndex.publishCodebooks(s, r + "/books", cb)
+        graft.model.AnnIndex.publishCentroids(s, r + "/cents", cents)
         graft.model.AnnIndex.publishIvfPqCodes(s, r + "/codes", emb,
           cents, cb)
       }
       graft.model.AnnIndex.serveIvfPqTopKRefined(s, root + "/codes",
-        root + "/books", cents, emb, "vec_id", "embedding",
+        root + "/books", root + "/cents", emb, "vec_id", "embedding",
         emb.filter(col("vec_id") >= 35 && col("vec_id") <= 39),
         nprobe = 3, topK = 5, refine = 3)
     }),
@@ -2118,13 +2122,14 @@ object SparkEntry {
       val cents = emb.filter(col("vec_id") < 8)
       val root = graft.util.TempRoots.memo(s"graft_q271_${dir.hashCode}") { r =>
         graft.model.AnnIndex.publishCodebooks(s, r + "/books", cb)
+        graft.model.AnnIndex.publishCentroids(s, r + "/cents", cents)
         graft.model.AnnIndex.publishIvfPqCodes(s, r + "/codes",
           emb.filter(col("vec_id") % 2 === 0), cents, cb, residual = true)
         graft.model.AnnIndex.appendIvfPqCodes(s, r + "/codes", r + "/books",
-          emb.filter(col("vec_id") % 2 === 1), cents)
+          r + "/cents", emb.filter(col("vec_id") % 2 === 1))
       }
       graft.model.AnnIndex.serveIvfPqTopK(s, root + "/codes",
-        root + "/books", cents,
+        root + "/books", root + "/cents",
         emb.filter(col("vec_id") >= 40 && col("vec_id") <= 44),
         nprobe = 3, topK = 5, residual = true)
     }),

@@ -336,6 +336,36 @@ object AnnIndex {
     Layout.publishVersion(spark, root, df, Map(MetaFile -> metaJson(meta)))
   }
 
+  // ------------------------------------------------ IVF centroids (r17)
+
+  /** Publish the coarse-quantizer centroids as a VERSIONED artifact:
+    * nlist rows of `(vec_id, embedding)` — the third leg of the IVF-PQ
+    * lineage (books encode, centroids ROUTE; a retrained coarse
+    * quantizer moves every cell boundary, so codes assigned under old
+    * centroids served under new ones probe the wrong cells silently).
+    * Serve and append paths load centroids from here and refuse a
+    * centroids/codes version skew like every other artifact.
+    */
+  def publishCentroids(spark: SparkSession, root: String,
+                       centroids: DataFrame,
+                       extraMeta: Map[String, String] = Map.empty): String = {
+    val df = centroids.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val meta = Map("kind" -> "ivf_centroids") ++ extraMeta
+    Layout.publishVersion(spark, root, df, Map(MetaFile -> metaJson(meta)))
+  }
+
+  /** The LIVE centroid table back as a DataFrame (nlist rows — small,
+    * but kept distributed: every consumer broadcasts it itself).
+    */
+  def loadCentroids(spark: SparkSession, root: String): DataFrame = {
+    val meta = readMeta(spark, root)
+    require(meta.get("kind").contains("ivf_centroids"),
+      s"loadCentroids: $root is not an ivf_centroids artifact root " +
+        s"(kind = ${meta.getOrElse("kind", "<absent>")})")
+    Layout.readCurrent(spark, root).select(col("vec_id"), col("embedding"))
+  }
+
   // --------------------------------------------- cell-partitioned IVF-PQ
 
   /** Publish the full IVF-PQ index layout: every corpus vector assigned
@@ -362,7 +392,8 @@ object AnnIndex {
                         booksVersion: Int = 0,
                         residual: Boolean = false,
                         rotation: Option[Array[Array[Double]]] = None,
-                        rotationVersion: Option[Int] = None): String = {
+                        rotationVersion: Option[Int] = None,
+                        centroidsVersion: Int = 0): String = {
     require(rotation.isEmpty || residual,
       "publishIvfPqCodes: OPQ rotation applies to residual coding")
     require(rotation.isDefined == rotationVersion.isDefined,
@@ -372,6 +403,7 @@ object AnnIndex {
     val props = Map(
       "ann.kind" -> "ivfpq_codes",
       "ann.books_version" -> booksVersion.toString,
+      "ann.centroids_version" -> centroidsVersion.toString,
       "ann.residual" -> residual.toString) ++
       rotationVersion.map(v => "ann.rotation_version" -> v.toString)
     Layout.initVersionedManifest(coded, root, Seq("centroid_id"), Nil,
@@ -429,13 +461,17 @@ object AnnIndex {
     * @return the new live version path
     */
   def appendIvfPqCodes(spark: SparkSession, codesRoot: String,
-                       booksRoot: String, batch: DataFrame,
-                       centroids: DataFrame,
+                       booksRoot: String, centroidsRoot: String,
+                       batch: DataFrame,
                        rotationRoot: Option[String] = None): String = {
     val meta = manifestAnnProps(spark, codesRoot)
     requireVersion(meta, "books_version",
       Layout.currentVersionNumber(spark, booksRoot),
       "appendIvfPqCodes", "codebook")
+    requireVersion(meta, "centroids_version",
+      Layout.currentVersionNumber(spark, centroidsRoot),
+      "appendIvfPqCodes", "centroids")
+    val centroids = loadCentroids(spark, centroidsRoot)
     val residual = meta.getOrElse("residual", "false").toBoolean
     val rotation = meta.get("rotation_version").map { rv =>
       val root = rotationRoot.getOrElse(throw new IllegalArgumentException(
@@ -473,16 +509,17 @@ object AnnIndex {
     * @return (query_id, nn_id, centroid_id, score [ADC, 6dp], rnk)
     */
   def serveIvfPqTopK(spark: SparkSession, codesRoot: String,
-                     booksRoot: String, centroids: DataFrame,
+                     booksRoot: String, centroidsRoot: String,
                      queries: DataFrame, nprobe: Int, topK: Int,
                      residual: Boolean = false): DataFrame = {
-    val meta = checkIvfMeta(spark, codesRoot, booksRoot, residual,
-      "serveIvfPqTopK")
+    val meta = checkIvfMeta(spark, codesRoot, booksRoot, centroidsRoot,
+      residual, "serveIvfPqTopK")
     require(!meta.contains("rotation_version"),
       "serveIvfPqTopK: this index stores OPQ-ROTATED residual codes — " +
         "serve it through serveIvfPqOpqTopK (scoring unrotated queries " +
         "against rotated codes is silently wrong)")
-    ivfServeArtifact(spark, codesRoot, booksRoot, centroids, queries,
+    ivfServeArtifact(spark, codesRoot, booksRoot,
+      loadCentroids(spark, centroidsRoot), queries,
       nprobe, topK, residual, rotation = None)
   }
 
@@ -497,15 +534,16 @@ object AnnIndex {
     */
   def serveIvfPqOpqTopK(spark: SparkSession, codesRoot: String,
                         booksRoot: String, rotationRoot: String,
-                        centroids: DataFrame, queries: DataFrame,
+                        centroidsRoot: String, queries: DataFrame,
                         nprobe: Int, topK: Int): DataFrame = {
-    val meta = checkIvfMeta(spark, codesRoot, booksRoot, residual = true,
-      "serveIvfPqOpqTopK")
+    val meta = checkIvfMeta(spark, codesRoot, booksRoot, centroidsRoot,
+      residual = true, "serveIvfPqOpqTopK")
     requireVersion(meta, "rotation_version",
       Layout.currentVersionNumber(spark, rotationRoot),
       "serveIvfPqOpqTopK", "rotation")
     val rotation = loadRotation(spark, rotationRoot)
-    ivfServeArtifact(spark, codesRoot, booksRoot, centroids, queries,
+    ivfServeArtifact(spark, codesRoot, booksRoot,
+      loadCentroids(spark, centroidsRoot), queries,
       nprobe, topK, residual = true, rotation = Some(rotation))
   }
 
@@ -525,19 +563,20 @@ object AnnIndex {
     * @return (query_id, nn_id, score [EXACT dot, 6dp], rnk) — rnk ≤ topK
     */
   def serveIvfPqTopKRefined(spark: SparkSession, codesRoot: String,
-                            booksRoot: String, centroids: DataFrame,
+                            booksRoot: String, centroidsRoot: String,
                             corpus: DataFrame, idCol: String, vecCol: String,
                             queries: DataFrame, nprobe: Int, topK: Int,
                             refine: Int,
                             residual: Boolean = false): DataFrame = {
     require(refine >= 1, "serveIvfPqTopKRefined: refine must be ≥ 1")
-    val meta = checkIvfMeta(spark, codesRoot, booksRoot, residual,
-      "serveIvfPqTopKRefined")
+    val meta = checkIvfMeta(spark, codesRoot, booksRoot, centroidsRoot,
+      residual, "serveIvfPqTopKRefined")
     require(!meta.contains("rotation_version"),
       "serveIvfPqTopKRefined: OPQ indexes refine through their own " +
         "candidates — serve stage 1 with serveIvfPqOpqTopK semantics")
     val candidates = ivfServeArtifact(spark, codesRoot, booksRoot,
-      centroids, queries, nprobe, topK * refine, residual, rotation = None)
+      loadCentroids(spark, centroidsRoot), queries, nprobe, topK * refine,
+      residual, rotation = None)
       .select(col("query_id"), col("nn_id"))
     exactRefine(candidates, corpus, idCol, vecCol, queries, topK)
   }
@@ -587,11 +626,15 @@ object AnnIndex {
         round(col("__s"), 6).as("score"), col("rnk").cast("long").as("rnk"))
   }
 
-  /** Shared skew gate for the IVF family: kind, books version, residual
-    * flag — every serve/append path funnels through it.
+  /** Shared skew gate for the IVF family: kind, books version, centroids
+    * version (r17 — retrained centroids move every cell boundary, so
+    * routing queries with them against old-centroid cell assignments
+    * probes the wrong cells silently), residual flag — every serve/append
+    * path funnels through it.
     */
   private def checkIvfMeta(spark: SparkSession, codesRoot: String,
-                           booksRoot: String, residual: Boolean,
+                           booksRoot: String, centroidsRoot: String,
+                           residual: Boolean,
                            what: String): Map[String, String] = {
     val meta = manifestAnnProps(spark, codesRoot)
     require(meta.get("kind").contains("ivfpq_codes"),
@@ -599,6 +642,8 @@ object AnnIndex {
         s"(ann.kind = ${meta.getOrElse("kind", "<absent>")})")
     requireVersion(meta, "books_version",
       Layout.currentVersionNumber(spark, booksRoot), what, "codebook")
+    requireVersion(meta, "centroids_version",
+      Layout.currentVersionNumber(spark, centroidsRoot), what, "centroids")
     val stored = meta.getOrElse("residual", "false").toBoolean
     require(stored == residual,
       s"$what: RESIDUAL-FLAG SKEW — the index was built with residual=" +

@@ -116,10 +116,11 @@ class AnnArtifactSpec extends SparkSpec {
     val root = freshRoot()
     AnnIndex.publishCodebooks(spark, root + "/books", cb)
     val cents = emb.filter($"vec_id" < 8)
+    AnnIndex.publishCentroids(spark, root + "/cents", cents)
     AnnIndex.publishIvfPqCodes(spark, root + "/codes", emb, cents, cb)
     val queries = emb.filter($"vec_id" >= 10 && $"vec_id" <= 12)
     val served = AnnIndex.serveIvfPqTopK(spark, root + "/codes",
-      root + "/books", cents, queries, nprobe = 2, topK = 4)
+      root + "/books", root + "/cents", queries, nprobe = 2, topK = 4)
     val inPlan = Quantize.ivfPqTopK(emb, cents, queries, cb,
       nprobe = 2, topK = 4)
     assert(served.collect().toSet == inPlan.collect().toSet)
@@ -145,11 +146,12 @@ class AnnArtifactSpec extends SparkSpec {
     val root = freshRoot()
     AnnIndex.publishCodebooks(spark, root + "/books", cb)
     val cents = emb.filter($"vec_id" < 8)
+    AnnIndex.publishCentroids(spark, root + "/cents", cents)
     AnnIndex.publishIvfPqCodes(spark, root + "/codes", emb, cents, cb,
       residual = true)
     val queries = emb.filter($"vec_id" >= 10 && $"vec_id" <= 12)
     val served = AnnIndex.serveIvfPqTopK(spark, root + "/codes",
-      root + "/books", cents, queries, nprobe = 2, topK = 4,
+      root + "/books", root + "/cents", queries, nprobe = 2, topK = 4,
       residual = true).collect().toSet
     val inPlan = Quantize.ivfPqResidualTopK(emb, cents, queries, cb,
       nprobe = 2, topK = 4).collect().toSet
@@ -158,16 +160,26 @@ class AnnArtifactSpec extends SparkSpec {
     // — REFUSED at the metadata gate, never a quiet wrong answer
     val exFlag = intercept[IllegalArgumentException] {
       AnnIndex.serveIvfPqTopK(spark, root + "/codes", root + "/books",
-        cents, queries, nprobe = 2, topK = 4, residual = false)
+        root + "/cents", queries, nprobe = 2, topK = 4, residual = false)
     }
     assert(exFlag.getMessage.contains("RESIDUAL-FLAG SKEW"),
       exFlag.getMessage)
+    // CENTROIDS retrain without re-encode: refused (r17 — moved cell
+    // boundaries would route queries into the wrong cells silently)
+    AnnIndex.publishCentroids(spark, root + "/cents",
+      emb.filter($"vec_id" >= 2 && $"vec_id" < 10))
+    val exCent = intercept[IllegalArgumentException] {
+      AnnIndex.serveIvfPqTopK(spark, root + "/codes", root + "/books",
+        root + "/cents", queries, nprobe = 2, topK = 4, residual = true)
+    }
+    assert(exCent.getMessage.contains("VERSION SKEW") &&
+      exCent.getMessage.contains("centroids"), exCent.getMessage)
     // books retrain without re-encode: refused
     AnnIndex.publishCodebooks(spark, root + "/books",
       Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 50))
     val exSkew = intercept[IllegalArgumentException] {
       AnnIndex.serveIvfPqTopK(spark, root + "/codes", root + "/books",
-        cents, queries, nprobe = 2, topK = 4, residual = true)
+        root + "/cents", queries, nprobe = 2, topK = 4, residual = true)
     }
     assert(exSkew.getMessage.contains("VERSION SKEW"), exSkew.getMessage)
   }
@@ -186,18 +198,20 @@ class AnnArtifactSpec extends SparkSpec {
       "rotation did not roundtrip bit-exactly")
     AnnIndex.publishCodebooks(spark, root + "/books", cb)
     val cents = emb.filter($"vec_id" < 8)
+    AnnIndex.publishCentroids(spark, root + "/cents", cents)
     AnnIndex.publishIvfPqCodes(spark, root + "/codes", emb, cents, cb,
       residual = true, rotation = Some(rot), rotationVersion = Some(0))
     val queries = emb.filter($"vec_id" >= 10 && $"vec_id" <= 12)
     val served = AnnIndex.serveIvfPqOpqTopK(spark, root + "/codes",
-      root + "/books", root + "/rot", cents, queries, nprobe = 2, topK = 4)
+      root + "/books", root + "/rot", root + "/cents", queries,
+      nprobe = 2, topK = 4)
     val inPlan = Quantize.ivfPqOpqTopK(emb, cents, queries, cb, rot,
       nprobe = 2, topK = 4)
     assert(served.collect().toSet == inPlan.collect().toSet)
     // serving a ROTATED index through the unrotated path: refused
     val exRoute = intercept[IllegalArgumentException] {
       AnnIndex.serveIvfPqTopK(spark, root + "/codes", root + "/books",
-        cents, queries, nprobe = 2, topK = 4, residual = true)
+        root + "/cents", queries, nprobe = 2, topK = 4, residual = true)
     }
     assert(exRoute.getMessage.contains("OPQ-ROTATED"), exRoute.getMessage)
     // rotation retrain without re-encode: refused
@@ -205,7 +219,7 @@ class AnnArtifactSpec extends SparkSpec {
       Quantize.seededRotation(64, seed = 12))
     val exSkew = intercept[IllegalArgumentException] {
       AnnIndex.serveIvfPqOpqTopK(spark, root + "/codes", root + "/books",
-        root + "/rot", cents, queries, nprobe = 2, topK = 4)
+        root + "/rot", root + "/cents", queries, nprobe = 2, topK = 4)
     }
     assert(exSkew.getMessage.contains("VERSION SKEW"), exSkew.getMessage)
   }
@@ -247,11 +261,12 @@ class AnnArtifactSpec extends SparkSpec {
     val root = freshRoot()
     AnnIndex.publishCodebooks(spark, root + "/books", cb)
     val cents = emb.filter($"vec_id" < 8)
+    AnnIndex.publishCentroids(spark, root + "/cents", cents)
     AnnIndex.publishIvfPqCodes(spark, root + "/codes", emb, cents, cb)
     val queries = emb.filter($"vec_id" >= 10 && $"vec_id" <= 12)
     val refined = AnnIndex.serveIvfPqTopKRefined(spark, root + "/codes",
-      root + "/books", cents, emb, "vec_id", "embedding", queries,
-      nprobe = 2, topK = 4, refine = 3)
+      root + "/books", root + "/cents", emb, "vec_id", "embedding",
+      queries, nprobe = 2, topK = 4, refine = 3)
     // plan pin: the corpus-float scan carries the candidate IN filter —
     // the refine stage never full-scans the float table
     val plan = refined.queryExecution.executedPlan.toString
@@ -261,10 +276,10 @@ class AnnArtifactSpec extends SparkSpec {
     // reranks ADC candidates, so truth here = exact order of the ADC
     // candidate universe at maximal refine)
     val adc = AnnIndex.serveIvfPqTopK(spark, root + "/codes",
-      root + "/books", cents, queries, nprobe = 2, topK = 4)
+      root + "/books", root + "/cents", queries, nprobe = 2, topK = 4)
     val full = AnnIndex.serveIvfPqTopKRefined(spark, root + "/codes",
-      root + "/books", cents, emb, "vec_id", "embedding", queries,
-      nprobe = 2, topK = 4, refine = 1000)
+      root + "/books", root + "/cents", emb, "vec_id", "embedding",
+      queries, nprobe = 2, topK = 4, refine = 1000)
     def recallVs(got: org.apache.spark.sql.DataFrame,
                  truth: org.apache.spark.sql.DataFrame): Double = {
       val t = truth.select("query_id", "nn_id").collect()
@@ -324,12 +339,15 @@ class AnnArtifactSpec extends SparkSpec {
     val cents = emb.filter($"vec_id" < 8)
     val rootInc = freshRoot()
     AnnIndex.publishCodebooks(spark, rootInc + "/books", cb)
+    AnnIndex.publishCentroids(spark, rootInc + "/cents", cents)
     AnnIndex.publishIvfPqCodes(spark, rootInc + "/codes",
       emb.filter($"vec_id" % 2 === 0), cents, cb, residual = true)
     AnnIndex.appendIvfPqCodes(spark, rootInc + "/codes",
-      rootInc + "/books", emb.filter($"vec_id" % 2 === 1), cents)
+      rootInc + "/books", rootInc + "/cents",
+      emb.filter($"vec_id" % 2 === 1))
     val rootFull = freshRoot()
     AnnIndex.publishCodebooks(spark, rootFull + "/books", cb)
+    AnnIndex.publishCentroids(spark, rootFull + "/cents", cents)
     AnnIndex.publishIvfPqCodes(spark, rootFull + "/codes", emb, cents, cb,
       residual = true)
     def rows(root: String) = graft.sources.Layout
@@ -341,18 +359,18 @@ class AnnArtifactSpec extends SparkSpec {
       "append-built index content diverged from the wholesale rebuild")
     val queries = emb.filter($"vec_id" >= 10 && $"vec_id" <= 12)
     val servedInc = AnnIndex.serveIvfPqTopK(spark, rootInc + "/codes",
-      rootInc + "/books", cents, queries, nprobe = 2, topK = 4,
-      residual = true).collect().toSet
+      rootInc + "/books", rootInc + "/cents", queries, nprobe = 2,
+      topK = 4, residual = true).collect().toSet
     val servedFull = AnnIndex.serveIvfPqTopK(spark, rootFull + "/codes",
-      rootFull + "/books", cents, queries, nprobe = 2, topK = 4,
-      residual = true).collect().toSet
+      rootFull + "/books", rootFull + "/cents", queries, nprobe = 2,
+      topK = 4, residual = true).collect().toSet
     assert(servedInc == servedFull)
     // retrained books: the append must refuse, not mix codeword spaces
     AnnIndex.publishCodebooks(spark, rootInc + "/books",
       Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 42))
     val ex = intercept[IllegalArgumentException] {
       AnnIndex.appendIvfPqCodes(spark, rootInc + "/codes",
-        rootInc + "/books", emb.filter($"vec_id" < 2), cents)
+        rootInc + "/books", rootInc + "/cents", emb.filter($"vec_id" < 2))
     }
     assert(ex.getMessage.contains("VERSION SKEW"), ex.getMessage)
   }
