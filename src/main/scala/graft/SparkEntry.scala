@@ -2188,6 +2188,16 @@ object SparkEntry {
         rounds = 6)),
 
 
+    // --- BPE with the END-OF-WORD marker (r17): Sennrich's `</w>`
+    //     appended as a round-0 symbol — word-final subwords become
+    //     distinct vocabulary ("er" inside a word vs "er</w>" closing
+    //     one), the property a detokenizer needs to reconstruct word
+    //     boundaries; the learned table visibly diverges from q272's ---
+    "q278_bpe_eow" -> ((s, dir) =>
+      graft.ops.Bpe.trainMerges(Tables.documents(s, dir), "text",
+        rounds = 6, eow = true)),
+
+
     // --- BPE tokenizer APPLICATION (r17): the trained merge table
     //     publishes as a versioned artifact (tokenizers are models — a
     //     drifting tokenizer silently changes every downstream token
@@ -7450,6 +7460,19 @@ object SparkEntry {
           UNION ALL SELECT 5, a, b, c FROM best5
           UNION ALL SELECT 6, a, b, c FROM best6)""",
 
+      // end-of-word-marker training: seg0 appends '</w>' as its own
+      // symbol; the unrolled rounds are otherwise q272's chain
+      "q278_bpe_eow" -> s"""
+        WITH ${duckBpeCtes(6, eow = true)}
+        SELECT round, lhs, rhs, lhs || rhs AS merged, pair_count FROM (
+          SELECT CAST(1 AS BIGINT) AS round, a AS lhs, b AS rhs,
+            c AS pair_count FROM best1
+          UNION ALL SELECT 2, a, b, c FROM best2
+          UNION ALL SELECT 3, a, b, c FROM best3
+          UNION ALL SELECT 4, a, b, c FROM best4
+          UNION ALL SELECT 5, a, b, c FROM best5
+          UNION ALL SELECT 6, a, b, c FROM best6)""",
+
       // BPE application: the final segmentation's per-word symbol count
       // joined back to the token stream — per-doc whitespace vs BPE
       // token totals
@@ -9482,19 +9505,21 @@ object SparkEntry {
     * selects from `best1..best$rounds` (the merge table) or
     * `seg$rounds` (the final segmentation).
     */
-  private def duckBpeCtes(rounds: Int, where: String = ""): String = {
+  private def duckBpeCtes(rounds: Int, where: String = "",
+                          eow: Boolean = false): String = {
     // every multiply-referenced CTE is AS MATERIALIZED: DuckDB inlines
     // CTEs by default, and with each round referencing the previous
     // round's segmentation 2–4 times the inlined plan grows ~4^rounds —
     // the 6-round chain never finishes without materialization
+    val chars = "list_transform(range(1, length(word) + 1), " +
+      "i -> substr(word, CAST(i AS INTEGER), 1))"
+    val syms0 = if (eow) s"list_append($chars, '</w>')" else chars
     val head = s"""
         t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
             AS word FROM documents $where),
         wc AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM t
           WHERE word <> '' GROUP BY 1),
-        seg0 AS MATERIALIZED (SELECT word, freq,
-            list_transform(range(1, length(word) + 1),
-              i -> substr(word, CAST(i AS INTEGER), 1)) AS syms
+        seg0 AS MATERIALIZED (SELECT word, freq, $syms0 AS syms
           FROM wc)"""
     val steps = (1 to rounds).map { i =>
       val p = i - 1

@@ -42,9 +42,24 @@ object Bpe {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
-  /** A word's round-0 symbol sequence: its characters, in order. */
-  def charSyms(word: Column): Column =
-    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+  /** The end-of-word marker symbol (Sennrich 2016's `</w>`): appended as
+    * its own round-0 symbol when `eow = true`, it makes word-FINAL
+    * subwords distinct vocabulary entries ("er" inside a word vs "er</w>"
+    * ending one), which is what lets a detokenizer reconstruct word
+    * boundaries from a flat token stream. Angle brackets cannot appear in
+    * the house whitespace tokens' characters, so the marker never
+    * collides with a real symbol.
+    */
+  val EowMarker = "</w>"
+
+  /** A word's round-0 symbol sequence: its characters, in order; with
+    * `eow`, [[EowMarker]] appended as a final symbol.
+    */
+  def charSyms(word: Column, eow: Boolean = false): Column = {
+    val chars = transform(sequence(lit(1), length(word)),
+      i => word.substr(i, lit(1)))
+    if (eow) concat(chars, array(lit(EowMarker))) else chars
+  }
 
   /** ONE greedy left-to-right merge pass of pair (a, b) over `symsCol`,
     * non-overlapping exactly like the sequential BPE scanner: among the
@@ -101,7 +116,8 @@ object Bpe {
     *
     * @return (round, left, right, merged, pair_count) — `rounds` rows
     */
-  def trainMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def trainMerges(docs: DataFrame, textCol: String, rounds: Int,
+                  eow: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(rounds >= 1, "trainMerges: rounds must be ≥ 1")
@@ -112,7 +128,7 @@ object Bpe {
     // persist-only vs ~2 s checkpointed, on a 31-word vocabulary). The
     // checkpoint also cuts the corpus tokenize out of every later round.
     var seg = wordCounts(docs, textCol)
-      .withColumn("syms", charSyms(col("word")))
+      .withColumn("syms", charSyms(col("word"), eow))
       .localCheckpoint(true)
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
@@ -151,13 +167,14 @@ object Bpe {
     * [[bpeTokenCounts]] does).
     */
   def segmentWords(df: DataFrame, wordCol: String,
-                   merges: Seq[(String, String)]): DataFrame = {
+                   merges: Seq[(String, String)],
+                   eow: Boolean = false): DataFrame = {
     // per-merge localCheckpoint — the same ~4×-per-merge logical-plan
     // blowup as [[trainMerges]] (a 6-merge uncheckpointed fold measured
     // 36 s of pure optimizer time at sf0.1); eager per-merge jobs are
     // the cost, bounded by the merge-table length over a
     // vocabulary-sized frame
-    val start = df.withColumn("syms", charSyms(col(wordCol)))
+    val start = df.withColumn("syms", charSyms(col(wordCol), eow))
       .localCheckpoint(true)
     merges.foldLeft(start) { case (acc, (a, b)) =>
       applyMerge(acc, Seq(wordCol), a, b).localCheckpoint(true)
@@ -172,12 +189,13 @@ object Bpe {
     * @return (idCol, n_tokens, n_bpe_tokens)
     */
   def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
-                     merges: Seq[(String, String)]): DataFrame = {
+                     merges: Seq[(String, String)],
+                     eow: Boolean = false): DataFrame = {
     val toks = docs.select(col(idCol), explode(
         graft.functions.TextFunctions.tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "")
     val perWord = segmentWords(toks.select(col("word")).distinct(),
-        "word", merges)
+        "word", merges, eow)
       .select(col("word"), size(col("syms")).cast("long").as("__n"))
     // vocabulary-bounded broadcast keeps the corpus token stream
     // unshuffled; a vocabulary past the executor broadcast budget

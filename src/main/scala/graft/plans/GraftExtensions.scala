@@ -412,6 +412,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     tvf("graft_growth", 3 to 4) { a =>
       graft.ops.Funnels.growthAccounting(table(a(0)), a(1), a(2),
         if (a.size > 3) a(3) else "week") }
+    // tokenizer application from SQL: counts per doc under the merge
+    // table stored at the given artifact root (the versioned-tokenizer
+    // contract — the root pins WHICH tokenizer budgeted these numbers)
+    tvf("graft_bpe_tokens", 4 to 4) { a =>
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.ops.Bpe.bpeTokenCounts(table(a(0)), a(1), a(2),
+        graft.ops.Bpe.loadMerges(spark, GraftPaths.resolve(spark, a(3)))) }
   }
 
   private def strLit(e: Option[Expression], fn: String, arg: String): String =

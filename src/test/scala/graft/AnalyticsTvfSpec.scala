@@ -232,4 +232,20 @@ class AnalyticsTvfSpec extends SparkSpec {
       Funnels.growthAccounting(ev, "user_id", "ts", "day").collect().toSet)
     graft.util.Caches.releaseAll()
   }
+
+  test("graft_bpe_tokens ≡ the Scala surface over a published merge " +
+      "table (r17)") {
+    import graft.ops.Bpe
+    val docs = Seq((1L, "low low lower"), (2L, "newest low"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("tvf_bpe_docs")
+    val root = graft.util.TempRoots.create("graft_tvfbpe") + "/merges"
+    Bpe.publishMerges(spark, root, Bpe.trainMerges(docs, "text", 3))
+    val merges = Bpe.loadMerges(spark, root)
+    assert(spark.sql(
+        s"SELECT * FROM graft_bpe_tokens('tvf_bpe_docs', 'doc_id', " +
+          s"'text', '$root')").collect().toSet ==
+      Bpe.bpeTokenCounts(docs, "doc_id", "text", merges).collect().toSet)
+    graft.util.Caches.releaseAll()
+  }
 }

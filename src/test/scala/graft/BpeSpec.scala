@@ -73,6 +73,29 @@ class BpeSpec extends SparkSpec {
     assert(counts(1).getLong(1) == 1L && counts(1).getLong(2) == 3L)
   }
 
+  test("end-of-word marker: '</w>' is a round-0 symbol, word-final " +
+      "merges become distinct vocabulary, and the learned table diverges " +
+      "from the unmarked one") {
+    // "low low lower": unmarked round 1 learns (l,o) ×3; marked corpus
+    // has pairs (l,o)×3, (o,w)×3, (w,</w>)×2, (w,e)… — (l,o) still wins,
+    // but the marker ends up mergeable: after (l,o),(lo,w) the pair
+    // (low,</w>) ×2 exists ONLY in eow mode
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val plain = Bpe.trainMerges(docs, "text", rounds = 4).collect()
+      .map(_.getString(3)).toSet
+    val marked = Bpe.trainMerges(docs, "text", rounds = 4, eow = true)
+      .collect().map(_.getString(3)).toSet
+    assert(marked.exists(_.endsWith(Bpe.EowMarker)),
+      s"no word-final merge learned: $marked")
+    assert(!plain.exists(_.contains(Bpe.EowMarker)))
+    // segmentation under the marked table keeps the marker attached to
+    // the final subword — the detokenization property
+    val seg = Bpe.segmentWords(Seq(("low", 1L)).toDF("word", "freq"),
+      "word", Seq(("l", "o"), ("lo", "w"), ("low", Bpe.EowMarker)),
+      eow = true).select("syms").head().getSeq[String](0).toList
+    assert(seg == List("low" + Bpe.EowMarker), seg.toString)
+  }
+
   test("publishMerges → loadMerges roundtrips in training order, and a " +
       "retrain is the next version (readCurrent serves it)") {
     val docs = Seq((1L, "low low low lower newest")).toDF("doc_id", "text")
