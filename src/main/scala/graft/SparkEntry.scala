@@ -2177,6 +2177,26 @@ object SparkEntry {
     }),
 
 
+    // --- SQ8 exact-refine (r17): the refine tier completed across every
+    //     quantized layout — dequantized-code candidates at k·r, then
+    //     the candidate-bounded exact rerank ---
+    "q279_sq8_refined" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val root = graft.util.TempRoots.memo(s"graft_q279_${dir.hashCode}") { r =>
+        val (mins, maxs) = Quantize.sqTrain(emb, "embedding", 64)
+        graft.model.AnnIndex.publishSqBounds(s, r + "/bounds", mins, maxs)
+        graft.model.AnnIndex.publishSqCodes(s, r + "/codes",
+          emb.select(col("vec_id"),
+            Quantize.sqCode(col("embedding"), mins, maxs).as("code")),
+          "vec_id", boundsVersion = 0)
+      }
+      graft.model.AnnIndex.serveSqTopKRefined(s, root + "/bounds",
+        root + "/codes", emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") >= 50 && col("vec_id") <= 54),
+        topK = 5, refine = 3)
+    }),
+
+
     // --- BPE merge-table TRAINING (r17): the tokenizer-construction
     //     operator — 6 merge rounds over the word-frequency table
     //     (vocabulary-bounded work; the corpus is tokenized ONCE), each
@@ -7367,6 +7387,47 @@ object SparkEntry {
               ORDER BY s DESC, nn_id) AS rnk
           FROM scored)
         SELECT query_id, nn_id, score, rnk FROM ranked WHERE rnk <= 5""",
+
+      // SQ8 refine: q269's dequantized chain cut at 15 candidates →
+      // exact rerank to 5 over only those ids
+      "q279_sq8_refined" -> """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        b AS (SELECT i, min(e[i+1]) AS mn, max(e[i+1]) AS mx
+          FROM v, range(0, 64) t(i) GROUP BY i),
+        bl AS (SELECT list(mn ORDER BY i) AS mins,
+            list(CASE WHEN mx > mn THEN mx - mn ELSE 0 END ORDER BY i)
+              AS spans
+          FROM b),
+        coded AS (SELECT vec_id,
+            list_transform(range(0, 64), i -> CASE WHEN spans[i+1] = 0
+              THEN 0 ELSE CAST(least(greatest(
+                floor((e[i+1] - mins[i+1]) * 255.0 / spans[i+1] + 0.5),
+                0.0), 255.0) AS INTEGER) END) AS code
+          FROM v, bl),
+        deq AS (SELECT vec_id,
+            list_transform(range(0, 64),
+              i -> code[i+1] * spans[i+1] / 255.0 + mins[i+1]) AS de
+          FROM coded, bl),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM v
+          WHERE vec_id BETWEEN 50 AND 54),
+        scored AS (SELECT q.query_id, d.vec_id AS nn_id,
+            list_dot_product(q.qe, d.de) AS s
+          FROM deq d JOIN q ON d.vec_id <> q.query_id),
+        cand AS (SELECT query_id, nn_id FROM (
+          SELECT query_id, nn_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM scored) WHERE rnk <= 15),
+        ex AS (SELECT cd.query_id, cd.nn_id,
+            list_dot_product(qv.e, n.e) AS s
+          FROM cand cd JOIN v qv ON qv.vec_id = cd.query_id
+          JOIN v n ON n.vec_id = cd.nn_id)
+        SELECT query_id, nn_id, score, rnk FROM (
+          SELECT query_id, nn_id, round(s, 6) AS score,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM ex) WHERE rnk <= 5""",
 
       // two-stage refine: q266's ADC chain cut at topK·refine = 15
       // candidates, then the EXACT inner product over only those ids,

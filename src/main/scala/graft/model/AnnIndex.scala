@@ -598,6 +598,23 @@ object AnnIndex {
     exactRefine(candidates, corpus, idCol, vecCol, queries, topK)
   }
 
+  /** [[serveAdcTopKRefined]] for the SQ8 artifact path (r17): stage 1
+    * ranks dequantized-code scores to k·refine candidates (¼ of the
+    * float bytes, bounds-skew-gated — it IS [[serveSqTopK]]), stage 2
+    * exact-reranks only the candidate rows. Completes the refine tier
+    * across every quantized layout (flat PQ, IVF-PQ, SQ8).
+    */
+  def serveSqTopKRefined(spark: SparkSession, boundsRoot: String,
+                         codesRoot: String, corpus: DataFrame,
+                         idCol: String, vecCol: String, queries: DataFrame,
+                         topK: Int, refine: Int): DataFrame = {
+    require(refine >= 1, "serveSqTopKRefined: refine must be ≥ 1")
+    val candidates = serveSqTopK(spark, boundsRoot, codesRoot, queries,
+      idCol, vecCol, topK * refine)
+      .select(col("query_id"), col("nn_id"))
+    exactRefine(candidates, corpus, idCol, vecCol, queries, topK)
+  }
+
   /** The shared stage-2 exact rerank: collect the BOUNDED candidate id
     * set (|queries|·topK·refine — driver metadata by the tiny-query
     * contract), push it down as a static `IN` filter on the float corpus

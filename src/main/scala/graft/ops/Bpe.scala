@@ -229,6 +229,18 @@ object Bpe {
         floor(col("n_bpe_tokens").cast("double") /
           col("n_words").cast("double") * lit(1e6) + lit(0.5)).cast("long"))
 
+  /** Detokenize an eow-marked BPE token stream back to text: concatenate
+    * the tokens and turn each [[EowMarker]] into a word boundary — the
+    * inverse [[EowMarker]] exists to make possible (an unmarked stream
+    * cannot tell "ing" + "est" across a boundary from within one word).
+    * Pure expression: one `concat_ws` + one `replace` + a trim, no
+    * shuffle. Exact inverse of eow segmentation by construction
+    * (BpeSpec pins the roundtrip).
+    */
+  def detokenize(tokens: Column): Column =
+    rtrim(regexp_replace(concat_ws("", tokens),
+      java.util.regex.Pattern.quote(EowMarker), " "))
+
   /** Publish a trained merge table as a VERSIONED artifact (the
     * [[graft.model.AnnIndex]] discipline: tokenizers are models — a
     * retrain is the next version, serving replays a pinned one; a

@@ -243,6 +243,31 @@ class AnnArtifactSpec extends SparkSpec {
     val inPlan = Quantize.sqTopK(coded, queries, "vec_id", "code",
       "embedding", mins, maxs, k = 5)
     assert(served.collect().toSet == inPlan.collect().toSet)
+    // SQ8 refine (r17): candidate IN pushdown + corpus-covering refine
+    // ≡ exact brute-force — the same contract as the PQ refine tiers
+    val refined = AnnIndex.serveSqTopKRefined(spark, root + "/bounds",
+      root + "/codes", emb, "vec_id", "embedding", queries,
+      topK = 4, refine = 3)
+    val plan = refined.queryExecution.executedPlan.toString
+    assert(plan.contains("vec_id IN ") || plan.contains("In(vec_id"),
+      s"candidate pushdown missing from the SQ8 refine plan:\n$plan")
+    import graft.functions.{VectorFunctions => VF}
+    val full = AnnIndex.serveSqTopKRefined(spark, root + "/bounds",
+      root + "/codes", emb, "vec_id", "embedding", queries,
+      topK = 4, refine = 10000).collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy($"s".desc, $"nn_id")
+    val bruteTop = emb.as("c")
+      .crossJoin(broadcast(queries.select($"vec_id".as("query_id"),
+        $"embedding".cast("array<double>").as("qe"))))
+      .filter($"query_id" =!= $"c.vec_id")
+      .select($"query_id", $"c.vec_id".as("nn_id"),
+        VF.dot($"qe", $"c.embedding".cast("array<double>")).as("s"))
+      .withColumn("rnk", row_number().over(w)).filter($"rnk" <= 4)
+      .select($"query_id", $"nn_id", round($"s", 6).as("score"),
+        $"rnk".cast("long").as("rnk")).collect().toSet
+    assert(full == bruteTop,
+      "corpus-covering SQ8 refine must equal the exact brute-force top-k")
     // bounds retrain (here: a second publish of shifted bounds) → skew
     AnnIndex.publishSqBounds(spark, root + "/bounds",
       mins.map(_ - 1.0), maxs.map(_ + 1.0))

@@ -96,6 +96,26 @@ class BpeSpec extends SparkSpec {
     assert(seg == List("low" + Bpe.EowMarker), seg.toString)
   }
 
+  test("detokenize inverts eow segmentation: segment → detokenize " +
+      "reconstructs the word sequence exactly") {
+    val docs = Seq((1L, "low lower newest")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", rounds = 5, eow = true)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // segment the doc's words in order, concatenate all tokens with the
+    // markers intact, detokenize → the original lowercased text
+    val toks = docs.select(explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .withColumn("ord", monotonically_increasing_id())
+    val seg = Bpe.segmentWords(toks.select("word").distinct(), "word",
+      merges, eow = true)
+    val stream = toks.join(seg, "word").orderBy("ord")
+      .agg(flatten(collect_list(col("syms"))).as("tokens"))
+    val back = stream.select(Bpe.detokenize(col("tokens")).as("t"))
+      .head().getString(0)
+    assert(back == "low lower newest", s"roundtrip broke: '$back'")
+  }
+
   test("publishMerges → loadMerges roundtrips in training order, and a " +
       "retrain is the next version (readCurrent serves it)") {
     val docs = Seq((1L, "low low low lower newest")).toDF("doc_id", "text")
