@@ -1986,7 +1986,7 @@ object SparkEntry {
     "q248_ann_artifact" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
-      val root = graft.util.TempRoots.memo(s"graft_q248_${dir.hashCode}") { r =>
+      val root = graft.util.TempRoots.memo(s"graft_q248_$dir") { r =>
         graft.model.AnnIndex.publishCodebooks(s, r + "/books", cb,
           extraMeta = Map("seed" -> "7"))
         graft.model.AnnIndex.publishCodes(s, r + "/codes",
@@ -2008,7 +2008,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
       val cents = emb.filter(col("vec_id") < 8)
-      val root = graft.util.TempRoots.memo(s"graft_q266_${dir.hashCode}") { r =>
+      val root = graft.util.TempRoots.memo(s"graft_q266_$dir") { r =>
         graft.model.AnnIndex.publishCodebooks(s, r + "/books", cb)
         graft.model.AnnIndex.publishCentroids(s, r + "/cents", cents)
         graft.model.AnnIndex.publishIvfPqCodes(s, r + "/codes", emb,
@@ -2028,7 +2028,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
       val cents = emb.filter(col("vec_id") < 8)
-      val root = graft.util.TempRoots.memo(s"graft_q267_${dir.hashCode}") { r =>
+      val root = graft.util.TempRoots.memo(s"graft_q267_$dir") { r =>
         graft.model.AnnIndex.publishCodebooks(s, r + "/books", cb)
         graft.model.AnnIndex.publishCentroids(s, r + "/cents", cents)
         graft.model.AnnIndex.publishIvfPqCodes(s, r + "/codes", emb,
@@ -2051,7 +2051,7 @@ object SparkEntry {
       val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
       val rot = Quantize.seededRotation(64, seed = 11)
       val cents = emb.filter(col("vec_id") < 8)
-      val root = graft.util.TempRoots.memo(s"graft_q268_${dir.hashCode}") { r =>
+      val root = graft.util.TempRoots.memo(s"graft_q268_$dir") { r =>
         graft.model.AnnIndex.publishCodebooks(s, r + "/books", cb)
         graft.model.AnnIndex.publishRotation(s, r + "/rot", rot)
         graft.model.AnnIndex.publishCentroids(s, r + "/cents", cents)
@@ -2073,7 +2073,7 @@ object SparkEntry {
     //     without re-encode is refused ---
     "q269_sq8_artifact" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val root = graft.util.TempRoots.memo(s"graft_q269_${dir.hashCode}") { r =>
+      val root = graft.util.TempRoots.memo(s"graft_q269_$dir") { r =>
         val (mins, maxs) = Quantize.sqTrain(emb, "embedding", 64)
         graft.model.AnnIndex.publishSqBounds(s, r + "/bounds", mins, maxs)
         graft.model.AnnIndex.publishSqCodes(s, r + "/codes",
@@ -2097,7 +2097,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
       val cents = emb.filter(col("vec_id") < 8)
-      val root = graft.util.TempRoots.memo(s"graft_q270_${dir.hashCode}") { r =>
+      val root = graft.util.TempRoots.memo(s"graft_q270_$dir") { r =>
         graft.model.AnnIndex.publishCodebooks(s, r + "/books", cb)
         graft.model.AnnIndex.publishCentroids(s, r + "/cents", cents)
         graft.model.AnnIndex.publishIvfPqCodes(s, r + "/codes", emb,
@@ -2120,7 +2120,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
       val cents = emb.filter(col("vec_id") < 8)
-      val root = graft.util.TempRoots.memo(s"graft_q271_${dir.hashCode}") { r =>
+      val root = graft.util.TempRoots.memo(s"graft_q271_$dir") { r =>
         graft.model.AnnIndex.publishCodebooks(s, r + "/books", cb)
         graft.model.AnnIndex.publishCentroids(s, r + "/cents", cents)
         graft.model.AnnIndex.publishIvfPqCodes(s, r + "/codes",
@@ -2142,7 +2142,7 @@ object SparkEntry {
     //     zero-token docs drop with the counts frame ---
     "q277_bpe_packing" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val root = graft.util.TempRoots.memo(s"graft_q277_${dir.hashCode}") { r =>
+      val root = graft.util.TempRoots.memo(s"graft_q277_$dir") { r =>
         graft.ops.Bpe.publishMerges(s, r + "/merges",
           graft.ops.Bpe.trainMerges(docs, "text", rounds = 6))
       }
@@ -2165,7 +2165,7 @@ object SparkEntry {
     "q276_adc_refined" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
-      val root = graft.util.TempRoots.memo(s"graft_q276_${dir.hashCode}") { r =>
+      val root = graft.util.TempRoots.memo(s"graft_q276_$dir") { r =>
         graft.model.AnnIndex.publishCodebooks(s, r + "/books", cb)
         graft.model.AnnIndex.publishCodes(s, r + "/codes",
           Quantize.encode(emb, "embedding", cb), "vec_id", booksVersion = 0)
@@ -2182,7 +2182,7 @@ object SparkEntry {
     //     the candidate-bounded exact rerank ---
     "q279_sq8_refined" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val root = graft.util.TempRoots.memo(s"graft_q279_${dir.hashCode}") { r =>
+      val root = graft.util.TempRoots.memo(s"graft_q279_$dir") { r =>
         val (mins, maxs) = Quantize.sqTrain(emb, "embedding", 64)
         graft.model.AnnIndex.publishSqBounds(s, r + "/bounds", mins, maxs)
         graft.model.AnnIndex.publishSqCodes(s, r + "/codes",
@@ -2226,7 +2226,7 @@ object SparkEntry {
     //     packing/mixing pipeline actually budgets with ---
     "q273_bpe_tokenize" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val root = graft.util.TempRoots.memo(s"graft_q273_${dir.hashCode}") { r =>
+      val root = graft.util.TempRoots.memo(s"graft_q273_$dir") { r =>
         graft.ops.Bpe.publishMerges(s, r + "/merges",
           graft.ops.Bpe.trainMerges(docs, "text", rounds = 6))
       }
@@ -2242,7 +2242,7 @@ object SparkEntry {
     //     fragments — the multilingual mixture-budget number ---
     "q275_bpe_transfer" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val root = graft.util.TempRoots.memo(s"graft_q275_${dir.hashCode}") { r =>
+      val root = graft.util.TempRoots.memo(s"graft_q275_$dir") { r =>
         graft.ops.Bpe.publishMerges(s, r + "/merges",
           graft.ops.Bpe.trainMerges(docs.filter(col("doc_id") % 2 === 0),
             "text", rounds = 6))
@@ -9564,7 +9564,12 @@ object SparkEntry {
     * start; a taken position emits a||b and consumes its right
     * neighbor). Returns the chain WITHOUT the `WITH` keyword; the caller
     * selects from `best1..best$rounds` (the merge table) or
-    * `seg$rounds` (the final segmentation).
+    * `seg$rounds` (the final segmentation). When training goes DRY
+    * before round i (best$i empty — every word fully merged), seg$i
+    * falls back to seg$(i-1) via the LEFT JOIN ON TRUE (ADVICE r17: a
+    * CROSS JOIN emptied every later seg CTE, so seg$rounds-consuming
+    * oracles returned zero rows on a low-vocabulary corpus while the
+    * engine kept segmenting with the merges it did learn).
     */
   private def duckBpeCtes(rounds: Int, where: String = "",
                           eow: Boolean = false): String = {
@@ -9606,7 +9611,7 @@ object SparkEntry {
             list(CASE WHEN tkn.pos IS NOT NULL THEN bb.a || bb.b
               ELSE e.sym END ORDER BY e.pos) AS syms
           FROM e$i e
-          CROSS JOIN best$i bb
+          LEFT JOIN best$i bb ON TRUE
           LEFT JOIN tk$i tkn ON e.word = tkn.word AND e.pos = tkn.pos
           LEFT JOIN tk$i cns ON e.word = cns.word AND e.pos = cns.pos + 1
           WHERE cns.pos IS NULL
@@ -9639,7 +9644,7 @@ object SparkEntry {
             list(CASE WHEN tkn.pos IS NOT NULL THEN bb.a || bb.b
               ELSE e.sym END ORDER BY e.pos) AS syms
           FROM ae$i e
-          CROSS JOIN best$i bb
+          LEFT JOIN best$i bb ON TRUE
           LEFT JOIN atk$i tkn ON e.word = tkn.word AND e.pos = tkn.pos
           LEFT JOIN atk$i cns ON e.word = cns.word AND e.pos = cns.pos + 1
           WHERE cns.pos IS NULL

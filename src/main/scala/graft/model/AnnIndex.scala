@@ -578,7 +578,10 @@ object AnnIndex {
       loadCentroids(spark, centroidsRoot), queries, nprobe, topK * refine,
       residual, rotation = None)
       .select(col("query_id"), col("nn_id"))
-    exactRefine(candidates, corpus, idCol, vecCol, queries, topK)
+    // stage 1 (ivfServeArtifact) requires the (vec_id, embedding) query
+    // convention, so stage 2 reads the same columns
+    exactRefine(candidates, corpus, idCol, vecCol, queries,
+      "vec_id", "embedding", topK)
   }
 
   /** [[serveIvfPqTopKRefined]] for the FLAT ADC artifact path (r17): the
@@ -595,7 +598,10 @@ object AnnIndex {
     val candidates = serveAdcTopK(spark, booksRoot, codesRoot, queries,
       idCol, vecCol, topK * refine)
       .select(col("query_id"), col("nn_id"))
-    exactRefine(candidates, corpus, idCol, vecCol, queries, topK)
+    // stage 1 applied idCol/vecCol to the queries frame too — stage 2
+    // reads the same names (ADVICE r17)
+    exactRefine(candidates, corpus, idCol, vecCol, queries, idCol, vecCol,
+      topK)
   }
 
   /** [[serveAdcTopKRefined]] for the SQ8 artifact path (r17): stage 1
@@ -612,7 +618,10 @@ object AnnIndex {
     val candidates = serveSqTopK(spark, boundsRoot, codesRoot, queries,
       idCol, vecCol, topK * refine)
       .select(col("query_id"), col("nn_id"))
-    exactRefine(candidates, corpus, idCol, vecCol, queries, topK)
+    // stage 1 applied idCol/vecCol to the queries frame too — stage 2
+    // reads the same names (ADVICE r17)
+    exactRefine(candidates, corpus, idCol, vecCol, queries, idCol, vecCol,
+      topK)
   }
 
   /** The shared stage-2 exact rerank: collect the BOUNDED candidate id
@@ -620,11 +629,16 @@ object AnnIndex {
     * contract), push it down as a static `IN` filter on the float corpus
     * (parquet stats skip every other row group — AnnArtifactSpec pins
     * the filter on the executed plan), join the per-query candidates
-    * broadcast-side, and rerank by EXACT inner product.
+    * broadcast-side, and rerank by EXACT inner product. The query frame's
+    * id/vector columns are THREADED from the caller (ADVICE r17: they were
+    * hard-coded vec_id/embedding while stage 1 honored the caller's names
+    * — a non-default caller passed stage 1 and broke, or silently misread,
+    * stage 2).
     */
   private def exactRefine(candidates: DataFrame, corpus: DataFrame,
                           idCol: String, vecCol: String,
-                          queries: DataFrame, topK: Int): DataFrame = {
+                          queries: DataFrame, queryIdCol: String,
+                          queryVecCol: String, topK: Int): DataFrame = {
     import graft.functions.{VectorFunctions => VF}
     val ids = candidates.select(col("nn_id")).distinct()
       .collect().map(_.get(0))
@@ -632,8 +646,8 @@ object AnnIndex {
       .filter(col(idCol).isin(ids: _*))
       .select(col(idCol).as("nn_id"),
         col(vecCol).cast("array<double>").as("__ve"))
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").cast("array<double>").as("__qe"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).cast("array<double>").as("__qe"))
     val wK = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("__s").desc, col("nn_id"))
     floats.join(broadcast(candidates.join(q, "query_id")), "nn_id")

@@ -46,20 +46,37 @@ object Bpe {
     * its own round-0 symbol when `eow = true`, it makes word-FINAL
     * subwords distinct vocabulary entries ("er" inside a word vs "er</w>"
     * ending one), which is what lets a detokenizer reconstruct word
-    * boundaries from a flat token stream. Angle brackets cannot appear in
-    * the house whitespace tokens' characters, so the marker never
-    * collides with a real symbol.
+    * boundaries from a flat token stream. A raw word CAN contain the
+    * literal marker substring (markup text) — and merges could even
+    * assemble a real "</w>" symbol from the adjacent chars '<','/','w','>'
+    * (only possible when the word contains the substring) — either way
+    * colliding with the boundary marker and breaking detokenize, so
+    * [[charSyms]] STRIPS the substring from the input word in eow mode
+    * (a documented normalization: the roundtrip is exact for marker-free
+    * text; marker substrings drop on ingest).
     */
   val EowMarker = "</w>"
 
   /** A word's round-0 symbol sequence: its characters, in order; with
-    * `eow`, [[EowMarker]] appended as a final symbol.
+    * `eow`, [[EowMarker]] appended as a final symbol — after stripping
+    * any literal marker substring from the word (see [[EowMarker]]; a
+    * word that was ONLY the marker contributes just the boundary symbol).
     */
-  def charSyms(word: Column, eow: Boolean = false): Column = {
-    val chars = transform(sequence(lit(1), length(word)),
-      i => word.substr(i, lit(1)))
-    if (eow) concat(chars, array(lit(EowMarker))) else chars
-  }
+  def charSyms(word: Column, eow: Boolean = false): Column =
+    if (!eow)
+      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+    else {
+      val w = regexp_replace(word,
+        java.util.regex.Pattern.quote(EowMarker), "")
+      // greatest(len, 1) keeps sequence() ascending when the strip left an
+      // empty word (sequence(1, 0) would run DESCENDING and fabricate
+      // symbols); the lone out-of-range substr yields "" and filters out
+      val chars = filter(
+        transform(sequence(lit(1), greatest(length(w), lit(1))),
+          i => w.substr(i, lit(1))),
+        s => s =!= "")
+      concat(chars, array(lit(EowMarker)))
+    }
 
   /** ONE greedy left-to-right merge pass of pair (a, b) over `symsCol`,
     * non-overlapping exactly like the sequential BPE scanner: among the

@@ -44,7 +44,11 @@ object TempRoots {
   def memo(key: String)(build: String => Unit): String =
     memoized.synchronized {
       memoized.getOrElseUpdate(key, {
-        val root = create(key)
+        // the map keys on the FULL string (callers pass full paths — a
+        // 32-bit hashCode in the key collided two sf dirs into serving
+        // the wrong dataset's artifacts, ADVICE r17); only the cosmetic
+        // temp-dir prefix is sanitized for the filesystem
+        val root = create(key.replaceAll("[^A-Za-z0-9_.-]", "_"))
         build(root)
         root
       })
