@@ -2252,6 +2252,81 @@ object SparkEntry {
         "doc_id", "text", "lang", merges)
     }),
 
+
+    // --- DRIVER-SIDE BPE training (r18): the production-merge-count
+    //     trainer — the word-frequency table collects ONCE
+    //     (vocabulary-bounded driver metadata, the file's own scale
+    //     contract) and the classic in-memory algorithm (incremental
+    //     pair counts + lazy-deletion heap) learns the IDENTICAL merge
+    //     table to q272's per-round job loop, at ~3 orders of magnitude
+    //     more merges/sec (SCALE.md receipt; BpeSpec pins ≡ plain and
+    //     eow). Oracle: q272's unrolled chain, unchanged ---
+    "q280_bpe_train_local" -> ((s, dir) =>
+      graft.ops.Bpe.trainMergesLocal(Tables.documents(s, dir), "text",
+        rounds = 6)),
+
+
+    // --- CHAR-LEVEL round-0 fallback for unsegmented scripts (r18): a
+    //     corpus slice with CJK-like unsegmented runs (ascii words
+    //     deterministically transliterated into CJK codepoints, spaces
+    //     removed — replayable in both engines) tokenizes with every
+    //     CJK char its OWN token (BERT's WordPiece normalization), so
+    //     the vocabulary table stays charset-bounded instead of
+    //     sentence-bounded and token budgets for those scripts are
+    //     honest; merges train on the SAME mode and re-segment per doc ---
+    "q281_bpe_cjk" -> ((s, dir) => {
+      val mixed = cjkMixedDocs(Tables.documents(s, dir))
+      val merges = graft.ops.Bpe.trainMergesLocal(mixed, "text",
+          rounds = 4, cjkCharSplit = true)
+        .select(col("round"), col("lhs"), col("rhs"))
+        .collect().sortBy(_.getLong(0)) // rounds rows — bounded metadata
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ops.Bpe.bpeTokenCounts(mixed, "doc_id", "text", merges,
+        cjkCharSplit = true)
+    }),
+
+
+    // --- ANN recall/cost SELECTION sweep (r18): every ladder rung
+    //     (flat ADC / IVF-PQ / SQ8, each ± exact refine) measured in one
+    //     call against the exact inner-product top-k — recall@k plus the
+    //     physical code-bytes / float-rows cost, all exact integer
+    //     algebra over replayable ranks, so a rung can be CHOSEN for a
+    //     target recall instead of just served ---
+    "q282_ann_recall_sweep" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+      val (mins, maxs) = Quantize.sqTrain(emb, "embedding", 64)
+      graft.model.AnnSweep.recallCostSweep(emb,
+        emb.filter(col("vec_id") >= 60 && col("vec_id") <= 64),
+        cb, emb.filter(col("vec_id") < 8), nprobe = 3,
+        mins, maxs, k = 5, refine = 3)
+    }),
+
+
+    // --- BLOOM-PRUNED refine corpus (r18): the stage-2 float corpus
+    //     published as a manifest root, range-clustered on vec_id with
+    //     per-file id BLOOMS — exactRefine's static candidate IN(…)
+    //     becomes file-level point-lookup pruning (AnnArtifactSpec pins
+    //     the planned-file drop vs a raw-parquet twin); results are
+    //     bit-identical to serving the refine against raw floats ---
+    "q283_refine_bloom" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+      val root = graft.util.TempRoots.memo(s"graft_q283_$dir") { r =>
+        graft.model.AnnIndex.publishCodebooks(s, r + "/books", cb)
+        graft.model.AnnIndex.publishCodes(s, r + "/codes",
+          Quantize.encode(emb, "embedding", cb), "vec_id", booksVersion = 0)
+        graft.model.AnnIndex.publishRefineCorpus(s, r + "/floats", emb,
+          "vec_id", "embedding", files = 16)
+      }
+      graft.model.AnnIndex.serveAdcTopKRefined(s, root + "/books",
+        root + "/codes",
+        graft.sources.Layout.readCurrent(s, root + "/floats"),
+        "vec_id", "embedding",
+        emb.filter(col("vec_id") >= 55 && col("vec_id") <= 59),
+        topK = 5, refine = 3)
+    }),
+
     // --- incremental MOMENT view (avg/variance) under the oracle ---
     // q139's history replayed into the (n, Σv, Σv², non-null) state; the
     // derived mean/var_pop of the folded state must equal DuckDB's direct
@@ -7521,6 +7596,206 @@ object SparkEntry {
           UNION ALL SELECT 5, a, b, c FROM best5
           UNION ALL SELECT 6, a, b, c FROM best6)""",
 
+      // driver-side trainer ≡ the distributed per-round loop (BpeSpec
+      // pins it), so the oracle is q272's unrolled chain verbatim
+      "q280_bpe_train_local" -> s"""
+        WITH ${duckBpeCtes(6)}
+        SELECT round, lhs, rhs, lhs || rhs AS merged, pair_count FROM (
+          SELECT CAST(1 AS BIGINT) AS round, a AS lhs, b AS rhs,
+            c AS pair_count FROM best1
+          UNION ALL SELECT 2, a, b, c FROM best2
+          UNION ALL SELECT 3, a, b, c FROM best3
+          UNION ALL SELECT 4, a, b, c FROM best4
+          UNION ALL SELECT 5, a, b, c FROM best5
+          UNION ALL SELECT 6, a, b, c FROM best6)""",
+
+      // char-split fallback: the mixed corpus derives deterministically
+      // (transliterated unsegmented runs), the tokenizer injects spaces
+      // around every CJK char before the whitespace split, and the
+      // 4-round train + per-doc BPE counts replay q273's shape over it
+      "q281_bpe_cjk" -> s"""
+        WITH ${duckBpeCtes(4, from = duckCjkMixedFrom,
+          textExpr = duckCjkTok)},
+        toks AS (SELECT doc_id,
+            unnest(string_split_regex($duckCjkTok, '\\s+')) AS word
+          FROM $duckCjkMixedFrom),
+        tw AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+        wn AS (SELECT word, CAST(len(syms) AS BIGINT) AS n FROM seg4)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(sum(n) AS BIGINT) AS n_bpe_tokens
+        FROM tw JOIN wn USING (word) GROUP BY 1""",
+
+      // the recall/cost sweep: every rung's candidate chain is the
+      // corresponding serving oracle (q160 flat ADC / q270 IVF probe /
+      // q279 SQ8) cut at k·refine = 15, the refined variants exact-rerank
+      // those candidates, and each rung's hits count against the exact
+      // inner-product top-5; costs are exact counts (corpus rows × code
+      // width; probed-cell rows; distinct candidate ids)
+      "q282_ann_recall_sweep" -> s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM v
+          WHERE vec_id BETWEEN 60 AND 64),
+        exact AS MATERIALIZED (SELECT query_id, nn_id FROM (
+          SELECT q.query_id, c.vec_id AS nn_id,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id
+              ORDER BY list_dot_product(q.qe, c.e) DESC, c.vec_id) AS rnk
+          FROM v c JOIN q ON c.vec_id <> q.query_id) WHERE rnk <= 5),
+        coded AS (SELECT vec_id, ${duckPqCode(4, 8, 16, 7)} AS code FROM v),
+        adcs AS (SELECT q.query_id, c.vec_id AS nn_id,
+            ${duckPqScore(4, 8, 16, 7)} AS s
+          FROM coded c JOIN q ON c.vec_id <> q.query_id),
+        adck AS MATERIALIZED (SELECT query_id, nn_id, rnk FROM (
+          SELECT query_id, nn_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM adcs) WHERE rnk <= 15),
+        cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+        assigned AS MATERIALIZED (SELECT nn_id, c_emb, centroid_id FROM (
+          SELECT v.vec_id AS nn_id, v.e AS c_emb, c.cid AS centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+              list_dot_product(v.e, v.e) + list_dot_product(c.ce, c.ce)
+                - 2.0 * list_dot_product(v.e, c.ce), c.cid) AS rn
+          FROM v CROSS JOIN cent c) WHERE rn = 1),
+        icoded AS (SELECT nn_id, centroid_id, ${duckPqCode(4, 8, 16, 7)}
+            AS code
+          FROM (SELECT nn_id, centroid_id, c_emb AS e FROM assigned) t),
+        probes AS MATERIALIZED (SELECT query_id, qe, centroid_id FROM (
+          SELECT q.vec_id AS query_id, q.e AS qe, c.cid AS centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              list_dot_product(q.e, q.e) + list_dot_product(c.ce, c.ce)
+                - 2.0 * list_dot_product(q.e, c.ce), c.cid) AS pr
+          FROM v q CROSS JOIN cent c
+          WHERE q.vec_id BETWEEN 60 AND 64) WHERE pr <= 3),
+        ivfs AS (SELECT p.query_id, c.nn_id,
+            ${duckPqScore(4, 8, 16, 7)} AS s
+          FROM icoded c JOIN probes p ON c.centroid_id = p.centroid_id
+          WHERE c.nn_id <> p.query_id),
+        ivfk AS MATERIALIZED (SELECT query_id, nn_id, rnk FROM (
+          SELECT query_id, nn_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM ivfs) WHERE rnk <= 15),
+        b AS (SELECT i, min(e[i+1]) AS mn, max(e[i+1]) AS mx
+          FROM v, range(0, 64) t(i) GROUP BY i),
+        bl AS (SELECT list(mn ORDER BY i) AS mins,
+            list(CASE WHEN mx > mn THEN mx - mn ELSE 0 END ORDER BY i)
+              AS spans
+          FROM b),
+        sqcoded AS (SELECT vec_id,
+            list_transform(range(0, 64), i -> CASE WHEN spans[i+1] = 0
+              THEN 0 ELSE CAST(least(greatest(
+                floor((e[i+1] - mins[i+1]) * 255.0 / spans[i+1] + 0.5),
+                0.0), 255.0) AS INTEGER) END) AS code
+          FROM v, bl),
+        deq AS (SELECT vec_id,
+            list_transform(range(0, 64),
+              i -> code[i+1] * spans[i+1] / 255.0 + mins[i+1]) AS de
+          FROM sqcoded, bl),
+        sqs AS (SELECT q.query_id, d.vec_id AS nn_id,
+            list_dot_product(q.qe, d.de) AS s
+          FROM deq d JOIN q ON d.vec_id <> q.query_id),
+        sqk AS MATERIALIZED (SELECT query_id, nn_id, rnk FROM (
+          SELECT query_id, nn_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM sqs) WHERE rnk <= 15),
+        adcr AS (SELECT query_id, nn_id FROM (
+          SELECT cd.query_id, cd.nn_id,
+            ROW_NUMBER() OVER (PARTITION BY cd.query_id
+              ORDER BY list_dot_product(qv.e, n.e) DESC, cd.nn_id) AS rnk
+          FROM adck cd JOIN v qv ON qv.vec_id = cd.query_id
+          JOIN v n ON n.vec_id = cd.nn_id) WHERE rnk <= 5),
+        ivfr AS (SELECT query_id, nn_id FROM (
+          SELECT cd.query_id, cd.nn_id,
+            ROW_NUMBER() OVER (PARTITION BY cd.query_id
+              ORDER BY list_dot_product(qv.e, n.e) DESC, cd.nn_id) AS rnk
+          FROM ivfk cd JOIN v qv ON qv.vec_id = cd.query_id
+          JOIN v n ON n.vec_id = cd.nn_id) WHERE rnk <= 5),
+        sqr AS (SELECT query_id, nn_id FROM (
+          SELECT cd.query_id, cd.nn_id,
+            ROW_NUMBER() OVER (PARTITION BY cd.query_id
+              ORDER BY list_dot_product(qv.e, n.e) DESC, cd.nn_id) AS rnk
+          FROM sqk cd JOIN v qv ON qv.vec_id = cd.query_id
+          JOIN v n ON n.vec_id = cd.nn_id) WHERE rnk <= 5),
+        nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM q),
+        nc AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM v),
+        ivfrows AS (SELECT CAST(count(*) AS BIGINT) AS ivf_rows
+          FROM assigned WHERE centroid_id IN
+            (SELECT DISTINCT centroid_id FROM probes)),
+        fa AS (SELECT CAST(count(DISTINCT nn_id) AS BIGINT) AS fr
+          FROM adck),
+        fi AS (SELECT CAST(count(DISTINCT nn_id) AS BIGINT) AS fr
+          FROM ivfk),
+        fs AS (SELECT CAST(count(DISTINCT nn_id) AS BIGINT) AS fr
+          FROM sqk),
+        h AS (
+          SELECT 'flat_adc' AS rung, CAST(1 AS BIGINT) AS refine,
+            (SELECT CAST(count(*) AS BIGINT) FROM adck s
+              JOIN exact USING (query_id, nn_id) WHERE s.rnk <= 5) AS hits,
+            (SELECT n_corpus * 4 FROM nc) AS code_bytes,
+            CAST(0 AS BIGINT) AS float_rows
+          UNION ALL
+          SELECT 'flat_adc', 3,
+            (SELECT CAST(count(*) AS BIGINT) FROM adcr
+              JOIN exact USING (query_id, nn_id)),
+            (SELECT n_corpus * 4 FROM nc), (SELECT fr FROM fa)
+          UNION ALL
+          SELECT 'ivfpq', 1,
+            (SELECT CAST(count(*) AS BIGINT) FROM ivfk s
+              JOIN exact USING (query_id, nn_id) WHERE s.rnk <= 5),
+            (SELECT ivf_rows * 4 FROM ivfrows), CAST(0 AS BIGINT)
+          UNION ALL
+          SELECT 'ivfpq', 3,
+            (SELECT CAST(count(*) AS BIGINT) FROM ivfr
+              JOIN exact USING (query_id, nn_id)),
+            (SELECT ivf_rows * 4 FROM ivfrows), (SELECT fr FROM fi)
+          UNION ALL
+          SELECT 'sq8', 1,
+            (SELECT CAST(count(*) AS BIGINT) FROM sqk s
+              JOIN exact USING (query_id, nn_id) WHERE s.rnk <= 5),
+            (SELECT n_corpus * 64 FROM nc), CAST(0 AS BIGINT)
+          UNION ALL
+          SELECT 'sq8', 3,
+            (SELECT CAST(count(*) AS BIGINT) FROM sqr
+              JOIN exact USING (query_id, nn_id)),
+            (SELECT n_corpus * 64 FROM nc), (SELECT fr FROM fs))
+        SELECT rung, refine, hits,
+          (SELECT n_q * 5 FROM nq) AS n_eval,
+          CAST(floor(CAST(hits AS DOUBLE) /
+            CAST((SELECT n_q * 5 FROM nq) AS DOUBLE) * 1000000.0 + 0.5)
+            AS BIGINT) AS recall_micro,
+          code_bytes, float_rows
+        FROM h""",
+
+      // bloom-root refine: the manifest-stored float corpus serves the
+      // SAME bytes as raw parquet (storage is invisible to results —
+      // AnnArtifactSpec pins the planned-file drop), so the oracle is
+      // q276's two-stage chain over the 55–59 query slice
+      "q283_refine_bloom" -> s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        coded AS (SELECT vec_id, ${duckPqCode(4, 8, 16, 7)} AS code FROM v),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM v
+          WHERE vec_id BETWEEN 55 AND 59),
+        scored AS (SELECT q.query_id, c.vec_id AS nn_id,
+            ${duckPqScore(4, 8, 16, 7)} AS s
+          FROM coded c JOIN q ON c.vec_id <> q.query_id),
+        cand AS (SELECT query_id, nn_id FROM (
+          SELECT query_id, nn_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM scored) WHERE rnk <= 15),
+        ex AS (SELECT cd.query_id, cd.nn_id,
+            list_dot_product(qv.e, n.e) AS s
+          FROM cand cd JOIN v qv ON qv.vec_id = cd.query_id
+          JOIN v n ON n.vec_id = cd.nn_id)
+        SELECT query_id, nn_id, score, rnk FROM (
+          SELECT query_id, nn_id, round(s, 6) AS score,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM ex) WHERE rnk <= 5""",
+
       // end-of-word-marker training: seg0 appends '</w>' as its own
       // symbol; the unrolled rounds are otherwise q272's chain
       "q278_bpe_eow" -> s"""
@@ -9543,6 +9818,40 @@ object SparkEntry {
       .mkString("[", ", ", "]")
   }
 
+  /** The q281 corpus slice: the first 24 chars of each doc stay
+    * whitespace-segmented ascii; the NEXT 16 chars transliterate (letters
+    * only, other chars dropped) into CJK codepoints via a fixed 26-char
+    * alphabet — a deterministic, both-engine-replayable way to
+    * manufacture UNSEGMENTED runs from the house corpus without
+    * synthesizing data.
+    */
+  private val CjkAlphabet =
+    "一二三四五六七八九十百千万上下左右中大小山川日月水火"
+  private def cjkMixedDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(
+        substring(lower(col("text")), 1, 24), lit(" "),
+        translate(
+          regexp_replace(substring(lower(col("text")), 25, 16),
+            "[^a-z]", ""),
+          "abcdefghijklmnopqrstuvwxyz", CjkAlphabet)).as("text"))
+
+  /** [[cjkMixedDocs]] as a DuckDB FROM-clause subquery. */
+  private val duckCjkMixedFrom =
+    "(SELECT doc_id, substr(lower(text), 1, 24) || ' ' || " +
+      "translate(regexp_replace(substr(lower(text), 25, 16), '[^a-z]', " +
+      "'', 'g'), 'abcdefghijklmnopqrstuvwxyz', '" + CjkAlphabet +
+      "') AS text FROM documents) mixed_docs"
+
+  /** [[graft.functions.TextFunctions.tokensCjkSplit]]'s pre-split text
+    * expression in DuckDB (RE2 `\x{…}` ranges; the engine side uses the
+    * same BMP blocks as Java ranges).
+    */
+  private val duckCjkTok =
+    "trim(regexp_replace(lower(text), " +
+      "'([\\x{3040}-\\x{30ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}" +
+      "\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'))"
+
   private def duckPqScore(m: Int, k: Int, subDim: Int, seed: Int): String = {
     val cb = Quantize.seededCodebooks(m, k, subDim, seed)
     (0 until m).map { j =>
@@ -9572,7 +9881,9 @@ object SparkEntry {
     * engine kept segmenting with the merges it did learn).
     */
   private def duckBpeCtes(rounds: Int, where: String = "",
-                          eow: Boolean = false): String = {
+                          eow: Boolean = false,
+                          from: String = "documents",
+                          textExpr: String = "trim(lower(text))"): String = {
     // every multiply-referenced CTE is AS MATERIALIZED: DuckDB inlines
     // CTEs by default, and with each round referencing the previous
     // round's segmentation 2–4 times the inlined plan grows ~4^rounds —
@@ -9581,8 +9892,8 @@ object SparkEntry {
       "i -> substr(word, CAST(i AS INTEGER), 1))"
     val syms0 = if (eow) s"list_append($chars, '</w>')" else chars
     val head = s"""
-        t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
-            AS word FROM documents $where),
+        t AS (SELECT unnest(string_split_regex($textExpr, '\\s+'))
+            AS word FROM $from $where),
         wc AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM t
           WHERE word <> '' GROUP BY 1),
         seg0 AS MATERIALIZED (SELECT word, freq, $syms0 AS syms

@@ -19,6 +19,30 @@ object TextFunctions {
     */
   def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
 
+  /** The character class of UNSEGMENTED scripts — writing systems with no
+    * whitespace word boundaries: CJK Unified Ideographs (+ext A), kana,
+    * and precomposed hangul. BMP-only on purpose: Spark's `regexp_replace`
+    * runs Java regex over UTF-16, where a supplementary character is two
+    * code units, so a lone `\\uD840`-style range member would corrupt the
+    * class; the BMP blocks cover the scripts that actually lack spacing.
+    */
+  private[graft] val UnsegmentedScriptClass =
+    "[\\u3040-\\u30ff\\u3400-\\u4dbf\\u4e00-\\u9fff\\uac00-\\ud7a3]"
+
+  /** [[tokens]] with the char-level fallback for unsegmented scripts:
+    * every CJK/kana/hangul character becomes its OWN token (spaces are
+    * injected around each before the whitespace split — BERT's WordPiece
+    * normalization). Whitespace-segmented text tokenizes exactly as
+    * [[tokens]]; an unsegmented run stops being one giant
+    * vocabulary-exploding "word" and degrades to the honest char-level
+    * baseline instead (each char one token — fertility and token budgets
+    * become meaningful, and BPE's word-frequency table stays bounded by
+    * the charset, not the sentence space).
+    */
+  def tokensCjkSplit(c: Column): Column =
+    split(trim(regexp_replace(lower(c),
+      s"($UnsegmentedScriptClass)", " $1 ")), "\\s+")
+
   /** Which of `patterns` occur in the text (distinct, declaration
     * order) — one Aho–Corasick pass whatever the list size
     * ([[graft.functions.expressions.MultiContains]]); the blocklist /

@@ -624,6 +624,34 @@ object AnnIndex {
       topK)
   }
 
+  /** Publish the FLOAT corpus as the stage-2 refine target (r18): a
+    * manifest root, range-clustered into `files` files on `idCol` and
+    * with per-file `idCol` BLOOMS declared — so [[exactRefine]]'s static
+    * candidate `IN (…)` pushdown becomes FILE-level point-lookup pruning
+    * in the manifest reader (min/max envelopes prune by the range
+    * clustering, blooms prune the in-range non-members), and a refine
+    * touches O(candidate files), not every row group of the corpus.
+    * Pass [[graft.sources.Layout.readCurrent]] of this root as the
+    * `corpus` argument of any Refined serve. AnnArtifactSpec pins the
+    * planned-file drop against a raw-parquet twin.
+    */
+  def publishRefineCorpus(spark: SparkSession, root: String,
+                          corpus: DataFrame, idCol: String, vecCol: String,
+                          files: Int): String = {
+    require(files >= 1, "publishRefineCorpus: files must be ≥ 1")
+    // __slab is a PHYSICAL tag (one id-range chunk per file), not a
+    // semantic column: manifest roots are partitioned by contract, and
+    // the slab dir gives each range chunk its own file so the per-FILE
+    // min/max + bloom envelopes have one contiguous id range each — the
+    // grain the candidate-IN skipping works at
+    Layout.initVersionedManifest(
+      corpus.select(col(idCol), col(vecCol))
+        .repartitionByRange(files, col(idCol))
+        .withColumn("__slab", spark_partition_id()),
+      root, Seq("__slab"), Seq(idCol))
+    root
+  }
+
   /** The shared stage-2 exact rerank: collect the BOUNDED candidate id
     * set (|queries|·topK·refine — driver metadata by the tiny-query
     * contract), push it down as a static `IN` filter on the float corpus

@@ -35,12 +35,26 @@ object Bpe {
 
   /** `(word, freq)` over the house whitespace tokens — the vocabulary
     * table every training round operates on.
+    *
+    * `cjkCharSplit` is the char-level round-0 fallback for UNSEGMENTED
+    * scripts (r18): pure whitespace tokenization makes a CJK run one
+    * giant "word" per distinct run — the vocabulary table stops being
+    * vocabulary-bounded (every distinct sentence is a distinct word) and
+    * BPE/fertility numbers for those groups mislead. The standard fix
+    * (BERT's WordPiece normalization; SentencePiece's char fallback) is
+    * to make each unsegmented-script character its own round-0 token —
+    * see [[graft.functions.TextFunctions.tokensCjkSplit]].
     */
-  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(
-        graft.functions.TextFunctions.tokens(col(textCol))).as("word"))
+  def wordCounts(docs: DataFrame, textCol: String,
+                 cjkCharSplit: Boolean = false): DataFrame = {
+    val toks =
+      if (cjkCharSplit)
+        graft.functions.TextFunctions.tokensCjkSplit(col(textCol))
+      else graft.functions.TextFunctions.tokens(col(textCol))
+    docs.select(explode(toks).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
+  }
 
   /** The end-of-word marker symbol (Sennrich 2016's `</w>`): appended as
     * its own round-0 symbol when `eow = true`, it makes word-FINAL
@@ -134,7 +148,8 @@ object Bpe {
     * @return (round, left, right, merged, pair_count) — `rounds` rows
     */
   def trainMerges(docs: DataFrame, textCol: String, rounds: Int,
-                  eow: Boolean = false): DataFrame = {
+                  eow: Boolean = false,
+                  cjkCharSplit: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(rounds >= 1, "trainMerges: rounds must be ≥ 1")
@@ -144,7 +159,7 @@ object Bpe {
     // not execution — goes exponential (measured 56 s for 6 rounds with
     // persist-only vs ~2 s checkpointed, on a 31-word vocabulary). The
     // checkpoint also cuts the corpus tokenize out of every later round.
-    var seg = wordCounts(docs, textCol)
+    var seg = wordCounts(docs, textCol, cjkCharSplit)
       .withColumn("syms", charSyms(col("word"), eow))
       .localCheckpoint(true)
     val out = scala.collection.mutable.ArrayBuffer
@@ -174,6 +189,157 @@ object Bpe {
       }
     }
     out.toSeq.toDF("round", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Learn `rounds` BPE merges DRIVER-SIDE over the collected
+    * word-frequency table — the production-vocabulary trainer (r18). The
+    * distributed [[trainMerges]] is the oracle tier: correct and
+    * cross-engine-replayable, but each merge is one Spark job + a 1-row
+    * collect, so a 32k-merge production vocabulary means 32k sequential
+    * driver rounds of pure scheduling overhead. This path collects the
+    * `(word, freq)` table ONCE — vocabulary-bounded driver metadata by
+    * this file's own scale argument (millions of rows at 100 TB of text,
+    * not trillions; the same boundedness contract as
+    * [[graft.ops.Quantize.trainCodebooks]]'s sampled floats) — and runs
+    * the classic in-memory algorithm: incremental pair-count maintenance
+    * (a merge re-counts only the words containing its pair) plus a
+    * lazy-deletion max-heap for the argmax, so per-round cost is
+    * O(affected words), not O(vocabulary). Identical output to
+    * [[trainMerges]] by construction — same greedy left-to-right
+    * non-overlapping apply, same (count DESC, lhs, rhs) tie-break with
+    * code-point string order (= the engines' UTF-8 binary order; Java's
+    * UTF-16 `compareTo` would disagree on supplementary characters) —
+    * BpeSpec pins the equivalence, plain and eow. Measured (SCALE.md):
+    * ~3 orders of magnitude more merges/sec than the per-round job loop.
+    *
+    * @return (round, lhs, rhs, merged, pair_count) — ≤ `rounds` rows
+    */
+  def trainMergesLocal(docs: DataFrame, textCol: String, rounds: Int,
+                       eow: Boolean = false,
+                       cjkCharSplit: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(rounds >= 1, "trainMergesLocal: rounds must be ≥ 1")
+    // ONE bounded collect: the vocabulary-sized (word, freq) table — the
+    // whole point of the BPE scale shape is that this is driver metadata
+    val vocab = wordCounts(docs, textCol, cjkCharSplit)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    trainLocal(vocab, rounds, eow)
+      .toDF("round", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** [[trainMergesLocal]]'s in-memory core, exposed for the spec. */
+  private[graft] def trainLocal(
+      vocab: Array[(String, Long)], rounds: Int,
+      eow: Boolean): Seq[(Long, String, String, String, Long)] = {
+    import scala.collection.mutable
+    // round-0 symbols, exactly charSyms: code-point chars (Spark substr
+    // counts characters, not UTF-16 units); eow strips the marker
+    // substring then appends the marker symbol
+    def syms0(word: String): Array[String] = {
+      val w = if (eow) word.replace(EowMarker, "") else word
+      val chars = w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      if (eow) chars :+ EowMarker else chars
+    }
+    val words: Array[Array[String]] = vocab.map(v => syms0(v._1))
+    val freqs: Array[Long] = vocab.map(_._2)
+
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    val touched = mutable.HashSet.empty[(String, String)]
+    def addPairs(idx: Int, syms: Array[String], sign: Long): Unit = {
+      var i = 0
+      while (i + 1 < syms.length) {
+        val p = (syms(i), syms(i + 1))
+        val c = counts.getOrElse(p, 0L) + sign * freqs(idx)
+        if (c <= 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0L) where.getOrElseUpdate(p, mutable.BitSet.empty) += idx
+        touched += p
+        i += 1
+      }
+    }
+    words.indices.foreach(i => addPairs(i, words(i), 1L))
+
+    // lazy-deletion max-heap: ties break (count DESC, lhs ASC, rhs ASC)
+    // in CODE-POINT order; entries go stale when a count moves — a popped
+    // entry is valid iff it matches the live count
+    def cpCompare(x: String, y: String): Int = {
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val cx = x.codePointAt(i)
+        val cy = y.codePointAt(i)
+        if (cx != cy) return Integer.compare(cx, cy)
+        i += Character.charCount(cx)
+      }
+      Integer.compare(x.length, y.length)
+    }
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String),
+                  b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val l = cpCompare(b._2, a._2) // smaller lhs wins the tie
+          if (l != 0) l else cpCompare(b._3, a._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    counts.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+
+    // the sequential greedy scanner — the semantics applyMerge's window
+    // algebra reproduces distributedly
+    def applyLocal(syms: Array[String], a: String,
+                   b: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+
+    val out = mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var r = 1
+    var dry = false
+    while (r <= rounds && !dry) {
+      var best: (Long, String, String) = null
+      while (best == null && heap.nonEmpty) {
+        val cand = heap.dequeue()
+        if (counts.get((cand._2, cand._3)).contains(cand._1)) best = cand
+      }
+      if (best == null) dry = true
+      else {
+        val (c, a, b) = best
+        out += ((r.toLong, a, b, a + b, c))
+        touched.clear()
+        // only words CONTAINING (a, b) re-count — `where` may hold stale
+        // indices (the word merged past the pair earlier); the unchanged-
+        // array check makes those a no-op
+        where.remove((a, b)).foreach(_.foreach { idx =>
+          val next = applyLocal(words(idx), a, b)
+          if (next.length != words(idx).length) {
+            addPairs(idx, words(idx), -1L)
+            addPairs(idx, next, 1L)
+            words(idx) = next
+          }
+        })
+        // one full greedy pass leaves no (a, b) adjacency behind (a
+        // surviving one would imply a consumed symbol re-appearing), so
+        // dropping its where-set is safe; every touched pair re-enqueues
+        // its LIVE count
+        counts.remove((a, b))
+        touched.foreach { p =>
+          counts.get(p).foreach(c2 => heap.enqueue((c2, p._1, p._2)))
+        }
+        r += 1
+      }
+    }
+    out.toSeq
   }
 
   /** Segment a word table with an ORDERED merge list: round-0 chars,
@@ -207,9 +373,13 @@ object Bpe {
     */
   def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
                      merges: Seq[(String, String)],
-                     eow: Boolean = false): DataFrame = {
-    val toks = docs.select(col(idCol), explode(
-        graft.functions.TextFunctions.tokens(col(textCol))).as("word"))
+                     eow: Boolean = false,
+                     cjkCharSplit: Boolean = false): DataFrame = {
+    val tok =
+      if (cjkCharSplit)
+        graft.functions.TextFunctions.tokensCjkSplit(col(textCol))
+      else graft.functions.TextFunctions.tokens(col(textCol))
+    val toks = docs.select(col(idCol), explode(tok).as("word"))
       .filter(col("word") =!= "")
     val perWord = segmentWords(toks.select(col("word")).distinct(),
         "word", merges, eow)

@@ -399,4 +399,55 @@ class AnnArtifactSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("VERSION SKEW"), ex.getMessage)
   }
+
+  test("publishRefineCorpus: the candidate IN plans FEWER files than the " +
+      "raw-parquet twin (range stats + id blooms prune at file grain), " +
+      "with bit-identical served results (r18)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+    val root = freshRoot()
+    AnnIndex.publishCodebooks(spark, root + "/books", cb)
+    AnnIndex.publishCodes(spark, root + "/codes",
+      Quantize.encode(emb, "embedding", cb), "vec_id", booksVersion = 0)
+    AnnIndex.publishRefineCorpus(spark, root + "/floats", emb,
+      "vec_id", "embedding", files = 64)
+    assert(graft.sources.ManifestIndex.bloomColumns(spark,
+      root + "/floats") == Seq("vec_id"))
+    // twin: identical floats, identical 64-file range layout, NO manifest
+    val rawDir = root + "/raw"
+    emb.select($"vec_id", $"embedding")
+      .repartitionByRange(64, $"vec_id").write.parquet(rawDir)
+    // ONE query → ≤ topK·refine = 15 candidate ids; over 64 range-
+    // clustered files the static IN can touch at most 15
+    val queries = emb.filter($"vec_id" === 10)
+    def serve(corpus: org.apache.spark.sql.DataFrame) =
+      AnnIndex.serveAdcTopKRefined(spark, root + "/books", root + "/codes",
+        corpus, "vec_id", "embedding", queries, topK = 5, refine = 3)
+    val viaRoot = serve(
+      graft.sources.Layout.readCurrent(spark, root + "/floats"))
+    val viaRaw = serve(spark.read.parquet(rawDir))
+    assert(viaRoot.collect().toSet == viaRaw.collect().toSet)
+    def plannedFloatFiles(df: org.apache.spark.sql.DataFrame,
+                          dir: String): Int = {
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(s)
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => scansOf(q.plan)
+        }.flatten
+      scansOf(df.queryExecution.executedPlan)
+        .flatMap(_.selectedPartitions.toPartitionArray)
+        .map(_.filePath.toString).distinct.count(_.contains(dir))
+    }
+    val rootFiles = plannedFloatFiles(viaRoot, "/floats")
+    val rawFiles = plannedFloatFiles(viaRaw, "/raw")
+    assert(rawFiles == 64, s"raw twin planned $rawFiles files, wanted 64")
+    assert(rootFiles <= 15 && rootFiles >= 1,
+      s"bloom/range pruning planned $rootFiles of 64 files " +
+        "(wanted ≤ 15 — one per candidate id at most)")
+  }
 }

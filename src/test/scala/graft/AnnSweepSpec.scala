@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.AnnSweep
+import graft.ops.Quantize
+
+/** The recall/cost selection sweep: shape, the refined-≥-stage-1 recall
+  * law (exact reranking of a candidate superset can only add ground-truth
+  * members), candidate-bounded float rows, and the probed-fraction cost
+  * accounting that makes a rung CHOOSABLE.
+  */
+class AnnSweepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("recallCostSweep: 6 rows; refined recall ≥ stage-1 per rung; " +
+      "float rows 0 without refine and candidate-bounded with; code " +
+      "bytes count the probed fraction for IVF and the full corpus for " +
+      "flat/SQ8") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+    val (mins, maxs) = Quantize.sqTrain(emb, "embedding", 64)
+    val out = AnnSweep.recallCostSweep(emb, emb.filter($"vec_id" < 3),
+      cb, emb.filter($"vec_id" < 8), nprobe = 2, mins, maxs,
+      k = 4, refine = 3).collect()
+    assert(out.length == 6, out.mkString("; "))
+    val byKey = out.map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    for (rung <- Seq("flat_adc", "ivfpq", "sq8")) {
+      val s1 = byKey((rung, 1L))
+      val s3 = byKey((rung, 3L))
+      assert(s3.getAs[Long]("recall_micro") >=
+        s1.getAs[Long]("recall_micro"),
+        s"$rung: refine lowered recall — $s1 vs $s3")
+      assert(s1.getAs[Long]("float_rows") == 0L)
+      // distinct candidate ids ≤ nQ·k·refine = 3·4·3
+      val fr = s3.getAs[Long]("float_rows")
+      assert(fr > 0L && fr <= 36L, s"$rung float_rows $fr")
+      assert(s1.getAs[Long]("n_eval") == 12L)
+      assert(s1.getAs[Long]("recall_micro") <= 1000000L &&
+        s1.getAs[Long]("hits") <= 12L)
+    }
+    val n = emb.count()
+    assert(byKey(("flat_adc", 1L)).getAs[Long]("code_bytes") == n * 4)
+    assert(byKey(("sq8", 1L)).getAs[Long]("code_bytes") == n * 64)
+    val ivfBytes = byKey(("ivfpq", 1L)).getAs[Long]("code_bytes")
+    assert(ivfBytes > 0 && ivfBytes < n * 4,
+      s"IVF must scan the probed FRACTION: $ivfBytes vs full ${n * 4}")
+  }
+}

@@ -149,6 +149,104 @@ class BpeSpec extends SparkSpec {
       out(1).getLong(3) == 3000000L, out(1).toString)
   }
 
+  test("trainMergesLocal ≡ trainMerges: identical merge tables, plain " +
+      "and eow (including a marker-bearing word), and early-stop parity") {
+    val docs = Seq(
+      (1L, "low low low lower lowest newest new news"),
+      (2L, "the newest news is the lowest low"),
+      (3L, "wider wide widest low lower"),
+      (4L, "markup</w>text low")).toDF("doc_id", "text")
+    for (eow <- Seq(false, true)) {
+      val dist = Bpe.trainMerges(docs, "text", rounds = 10, eow = eow)
+        .orderBy("round").collect().map(_.toSeq).toSeq
+      val local = Bpe.trainMergesLocal(docs, "text", rounds = 10,
+          eow = eow)
+        .orderBy("round").collect().map(_.toSeq).toSeq
+      assert(local == dist,
+        s"eow=$eow diverged:\nlocal = $local\ndist  = $dist")
+      assert(local.length == 10)
+    }
+    val tiny = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val d2 = Bpe.trainMerges(tiny, "text", rounds = 6)
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    val l2 = Bpe.trainMergesLocal(tiny, "text", rounds = 6)
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    assert(l2 == d2 && l2.length == 2, s"early-stop parity broke: $l2")
+  }
+
+  test("trainMergesLocal drains the sf0.001 corpus to a fully-merged " +
+      "vocabulary in one call and its prefix matches the distributed " +
+      "trainer") {
+    val docs = graft.sources.Tables.documents(spark, sf())
+    // ask for far more rounds than the vocabulary can mint: the trainer
+    // must return EVERY learnable merge (each word one symbol at the
+    // end) and stop — the budget a 6-round job loop could never drain
+    val local = graft.ops.Bpe.trainMergesLocal(docs, "text", rounds = 2000)
+      .orderBy("round").collect()
+    assert(local.length >= 80 && local.length < 2000,
+      s"expected a drained vocabulary (≥80, <2000), got ${local.length}")
+    // the sequential algorithm's first k merges are invariant to the
+    // total round budget, so the 6-round distributed table must be the
+    // exact prefix
+    val dist6 = Bpe.trainMerges(docs, "text", rounds = 6)
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    assert(local.take(6).map(_.toSeq).toSeq == dist6)
+  }
+
+  test("eow marker collision (ADVICE r17): literal '</w>' substrings " +
+      "strip on ingest, so merges can never assemble a fake boundary") {
+    val words = Seq(("a</w>b", 1L), ("</w>", 1L), ("plain", 1L))
+      .toDF("word", "freq")
+    val out = words.select(col("word"),
+        Bpe.charSyms(col("word"), eow = true).as("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList)
+      .toMap
+    assert(out("a</w>b") == List("a", "b", Bpe.EowMarker), out.toString)
+    assert(out("</w>") == List(Bpe.EowMarker), out.toString)
+    assert(out("plain") ==
+      List("p", "l", "a", "i", "n", Bpe.EowMarker))
+    // detokenize sees only TRUE boundary markers: the stream of the
+    // stripped words reconstructs "ab" (no spurious split inside it)
+    val back = words.filter(col("word") === "a</w>b")
+      .select(Bpe.detokenize(Bpe.charSyms(col("word"), eow = true)).as("t"))
+      .head().getString(0)
+    assert(back == "ab", s"spurious boundary: '$back'")
+  }
+
+  test("cjkCharSplit mixed-script: unsegmented runs tokenize per " +
+      "character (charset-bounded vocabulary), whitespace text unchanged") {
+    val docs = Seq(
+      (1L, "hello 世界和平 world"),
+      (2L, "世界 again 世界和平")).toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(docs, "text", cjkCharSplit = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wc("世") == 3L && wc("界") == 3L && wc("和") == 2L &&
+      wc("平") == 2L, wc.toString)
+    assert(wc("hello") == 1L && wc("world") == 1L && wc("again") == 1L)
+    assert(!wc.contains("世界和平"),
+      "the unsegmented run leaked through as one giant word")
+    // plain mode keeps the giant word — the failure mode the fallback fixes
+    val plain = Bpe.wordCounts(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain.contains("世界和平"))
+    // token budgets under a frozen tokenizer: CJK chars count one each
+    val counts = Bpe.bpeTokenCounts(docs, "doc_id", "text",
+        Seq(("h", "e")), cjkCharSplit = true)
+      .orderBy("doc_id").collect()
+    // doc 1: hello + 4 chars + world = 6 tokens; he|l|l|o=4, 4×1, 5 → 13
+    assert(counts(0).getLong(1) == 6L && counts(0).getLong(2) == 13L,
+      counts(0).toString)
+    // doc 2: 世,界,again,世,界,和,平 = 7 tokens; 1+1+5+1+1+1+1 = 11
+    assert(counts(1).getLong(1) == 7L && counts(1).getLong(2) == 11L,
+      counts(1).toString)
+    // trainers agree on the mode too
+    val dist = Bpe.trainMerges(docs, "text", rounds = 2,
+      cjkCharSplit = true).orderBy("round").collect().map(_.toSeq).toSeq
+    val local = Bpe.trainMergesLocal(docs, "text", rounds = 2,
+      cjkCharSplit = true).orderBy("round").collect().map(_.toSeq).toSeq
+    assert(dist == local && dist.nonEmpty)
+  }
+
   test("trainMerges stops early when no pair remains (single-char words " +
       "never mint a merge), returning the rounds it could learn") {
     val docs = Seq((1L, "a b a b c")).toDF("doc_id", "text")
