@@ -246,7 +246,15 @@ object Bpe {
     val freqs: Array[Long] = vocab.map(_._2)
 
     val counts = mutable.HashMap.empty[(String, String), Long]
-    val where = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // pair → indices of words that contained it when last counted. A
+    // compact append-only buffer, NOT a BitSet: BitSets are dense (bytes
+    // ∝ max index), and one per distinct pair over a production
+    // vocabulary is O(|pairs|·|vocab|) memory — measured OOM at 200k
+    // words. Duplicate/stale entries are fine (the apply loop dedups per
+    // merge and no-ops words that moved past the pair); total appended
+    // entries are bounded by total counting work.
+    val where =
+      mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
     val touched = mutable.HashSet.empty[(String, String)]
     def addPairs(idx: Int, syms: Array[String], sign: Long): Unit = {
       var i = 0
@@ -254,7 +262,8 @@ object Bpe {
         val p = (syms(i), syms(i + 1))
         val c = counts.getOrElse(p, 0L) + sign * freqs(idx)
         if (c <= 0L) counts.remove(p) else counts(p) = c
-        if (sign > 0L) where.getOrElseUpdate(p, mutable.BitSet.empty) += idx
+        if (sign > 0L)
+          where.getOrElseUpdate(p, mutable.ArrayBuffer.empty[Int]) += idx
         touched += p
         i += 1
       }
@@ -318,16 +327,22 @@ object Bpe {
         out += ((r.toLong, a, b, a + b, c))
         touched.clear()
         // only words CONTAINING (a, b) re-count — `where` may hold stale
-        // indices (the word merged past the pair earlier); the unchanged-
-        // array check makes those a no-op
-        where.remove((a, b)).foreach(_.foreach { idx =>
-          val next = applyLocal(words(idx), a, b)
-          if (next.length != words(idx).length) {
-            addPairs(idx, words(idx), -1L)
-            addPairs(idx, next, 1L)
-            words(idx) = next
+        // or duplicate indices (the word merged past the pair earlier, or
+        // was recounted several times); the per-merge BitSet dedups and
+        // the unchanged-array check no-ops the stale ones
+        where.remove((a, b)).foreach { idxs =>
+          val seen = new mutable.BitSet(words.length)
+          idxs.foreach { idx =>
+            if (seen.add(idx)) {
+              val next = applyLocal(words(idx), a, b)
+              if (next.length != words(idx).length) {
+                addPairs(idx, words(idx), -1L)
+                addPairs(idx, next, 1L)
+                words(idx) = next
+              }
+            }
           }
-        })
+        }
         // one full greedy pass leaves no (a, b) adjacency behind (a
         // surviving one would imply a consumed symbol re-appearing), so
         // dropping its where-set is safe; every touched pair re-enqueues
