@@ -71,45 +71,54 @@ object AnnSweep {
       .orderBy(col("__s").desc, col("nn_id"))
 
     // EXACT inner-product top-k — the labeled ground truth every rung's
-    // recall reads against (the metric the quantized scores approximate)
+    // recall reads against (the metric the quantized scores approximate).
+    // Checkpointed: two downstream hit-counts read it, and the frame is
+    // |queries|·k rows (bounded).
     val exact = fl.join(broadcast(q), col("nn_id") =!= col("query_id"))
       .withColumn("__s", VF.dot(col("__qe"), col("__ve")))
       .withColumn("rnk", row_number().over(wK)).filter(col("rnk") <= k)
       .select("query_id", "nn_id")
+      .localCheckpoint(true)
 
-    // stage-1 candidate lists at k·refine — the pinned serving shapes;
-    // rnk ≤ k of the same list IS the unrefined rung (identical ranking)
+    // stage-1 candidate lists at k·refine — the pinned serving shapes,
+    // all three rungs in ONE tagged frame and ONE materialization (the
+    // 6-row assembly reads the candidates 3× — served cut, refined
+    // rerank, float-rows count — and per-row checkpoints measured
+    // SLOWER than the naive lazy form: 6+ serialized jobs; the union
+    // runs all three scoring chains in one job and is ≤ 3·|q|·k·refine
+    // rows). rnk ≤ k of a list IS the unrefined rung (identical ranking).
     val coded = Quantize.encode(corpus, "embedding", codebooks)
       .select(col("vec_id"), col("code"))
-    val adcKr = Quantize.adcTopK(coded, queries, "vec_id", "embedding",
-        codebooks, k * refine)
-      .select(col("query_id"), col("nn_id"), col("rnk"))
-    val ivfKr = Quantize.ivfPqTopK(corpus, centroids, queries, codebooks,
-        nprobe, k * refine)
-      .select(col("query_id"), col("nn_id"), col("rnk"))
     val sqCoded = corpus.select(col("vec_id"),
       Quantize.sqCode(col("embedding"), sqMins, sqMaxs).as("code"))
-    val sqKr = Quantize.sqTopK(sqCoded, queries, "vec_id", "code",
-        "embedding", sqMins, sqMaxs, k * refine)
-      .select(col("query_id"), col("nn_id"), col("rnk"))
+    def tag(df: DataFrame, rung: String): DataFrame =
+      df.select(lit(rung).as("rung"), col("query_id"), col("nn_id"),
+        col("rnk").cast("long").as("rnk"))
+    val cands = tag(Quantize.adcTopK(coded, queries, "vec_id", "embedding",
+        codebooks, k * refine), "flat_adc")
+      .unionAll(tag(Quantize.ivfPqTopK(corpus, centroids, queries,
+        codebooks, nprobe, k * refine), "ivfpq"))
+      .unionAll(tag(Quantize.sqTopK(sqCoded, queries, "vec_id", "code",
+        "embedding", sqMins, sqMaxs, k * refine), "sq8"))
+      .localCheckpoint(true)
 
-    // stage-2 exact rerank of a candidate list (in-plan join form — the
-    // eval twin of AnnIndex.exactRefine's static-IN serve path)
-    def refined(cands: DataFrame): DataFrame =
-      fl.join(broadcast(cands.select("query_id", "nn_id")), Seq("nn_id"))
-        .join(broadcast(q), Seq("query_id"))
-        .withColumn("__s", VF.dot(col("__qe"), col("__ve")))
-        .withColumn("__r", row_number().over(
-          Window.partitionBy("query_id")
-            .orderBy(col("__s").desc, col("nn_id"))))
-        .filter(col("__r") <= k)
-        .select("query_id", "nn_id")
+    // ONE stage-2 exact rerank over the tagged union, per (rung, query)
+    // — the eval twin of AnnIndex.exactRefine's static-IN serve path
+    val refined = fl
+      .join(broadcast(cands.select("rung", "query_id", "nn_id")),
+        Seq("nn_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("__s", VF.dot(col("__qe"), col("__ve")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("rung", "query_id")
+          .orderBy(col("__s").desc, col("nn_id"))))
+      .filter(col("__r") <= k)
+      .select("rung", "query_id", "nn_id")
 
-    // shared 1-row stats frames (cross-joined into every output row)
-    val nQ = queries.agg(count(lit(1)).as("n_q"))
-    val nCorpus = corpus.agg(count(lit(1)).as("n_corpus"))
-    // rows the IVF probe physically scans: codes in the UNION of probed
-    // cells — the partition-pruning fraction, counted exactly
+    // ONE 1-row stats frame: query/corpus counts plus the rows the IVF
+    // probe physically scans (codes in the UNION of probed cells — the
+    // partition-pruning fraction, counted exactly); checkpointed so the
+    // corpus count and the IVF assignment run once, not per output row
     val cent = centroids.select(col("vec_id").as("centroid_id"),
       col("embedding").as("cent_emb"),
       VF.dot(col("embedding"), col("embedding")).as("c2"))
@@ -124,44 +133,43 @@ object AnnSweep {
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
       .select("centroid_id").distinct()
-    val ivfRows = Similarity.ivfAssign(corpus, centroids)
-      .select(col("centroid_id"))
-      .join(broadcast(probedCells), Seq("centroid_id"))
-      .agg(count(lit(1)).as("ivf_rows"))
+    val stats = queries.agg(count(lit(1)).as("n_q"))
+      .crossJoin(corpus.agg(count(lit(1)).as("n_corpus")))
+      .crossJoin(Similarity.ivfAssign(corpus, centroids)
+        .select(col("centroid_id"))
+        .join(broadcast(probedCells), Seq("centroid_id"))
+        .agg(count(lit(1)).as("ivf_rows")))
+      .localCheckpoint(true)
 
-    val zeroFloat = spark.range(1).select(lit(0L).as("float_rows"))
-    def floatRowsOf(cands: DataFrame): DataFrame =
-      cands.select("nn_id").distinct()
-        .agg(count(lit(1)).cast("long").as("float_rows"))
-
-    def row(rung: String, refineN: Int, served: DataFrame,
-            codeBytes: Column, fr: DataFrame): DataFrame =
-      served.select("query_id", "nn_id")
-        .join(exact, Seq("query_id", "nn_id"))
-        .agg(count(lit(1)).as("hits"))
-        .crossJoin(nQ).crossJoin(nCorpus).crossJoin(ivfRows).crossJoin(fr)
-        .select(lit(rung).as("rung"), lit(refineN.toLong).as("refine"),
-          col("hits").cast("long").as("hits"),
-          (col("n_q") * lit(k.toLong)).cast("long").as("n_eval"),
-          floor(col("hits").cast("double") /
-            (col("n_q") * lit(k.toLong)).cast("double") * lit(1e6)
-            + lit(0.5)).cast("long").as("recall_micro"),
-          codeBytes.cast("long").as("code_bytes"),
-          col("float_rows").cast("long").as("float_rows"))
-
-    val mB = lit(m.toLong)
-    val dimB = lit(dim.toLong)
-    row("flat_adc", 1, adcKr.filter(col("rnk") <= k),
-        col("n_corpus") * mB, zeroFloat)
-      .unionAll(row("flat_adc", refine, refined(adcKr),
-        col("n_corpus") * mB, floatRowsOf(adcKr)))
-      .unionAll(row("ivfpq", 1, ivfKr.filter(col("rnk") <= k),
-        col("ivf_rows") * mB, zeroFloat))
-      .unionAll(row("ivfpq", refine, refined(ivfKr),
-        col("ivf_rows") * mB, floatRowsOf(ivfKr)))
-      .unionAll(row("sq8", 1, sqKr.filter(col("rnk") <= k),
-        col("n_corpus") * dimB, zeroFloat))
-      .unionAll(row("sq8", refine, refined(sqKr),
-        col("n_corpus") * dimB, floatRowsOf(sqKr)))
+    // per-rung aggregates LEFT-joined onto the rung dimension (a groupBy
+    // alone would drop a zero-hit rung's row)
+    import spark.implicits._
+    val rungs = Seq("flat_adc", "ivfpq", "sq8").toDF("rung")
+    val h1 = cands.filter(col("rnk") <= k)
+      .join(exact, Seq("query_id", "nn_id"))
+      .groupBy("rung").agg(count(lit(1)).as("h1"))
+    val hr = refined.join(exact, Seq("query_id", "nn_id"))
+      .groupBy("rung").agg(count(lit(1)).as("hr"))
+    val fr = cands.select("rung", "nn_id").distinct()
+      .groupBy("rung").agg(count(lit(1)).as("fr"))
+    val base = rungs.join(h1, Seq("rung"), "left")
+      .join(hr, Seq("rung"), "left")
+      .join(fr, Seq("rung"), "left")
+      .crossJoin(stats)
+    val codeBytes =
+      when(col("rung") === "flat_adc", col("n_corpus") * lit(m.toLong))
+        .when(col("rung") === "ivfpq", col("ivf_rows") * lit(m.toLong))
+        .otherwise(col("n_corpus") * lit(dim.toLong))
+    def outRows(refineN: Int, hits: Column, floatRows: Column): DataFrame =
+      base.select(col("rung"), lit(refineN.toLong).as("refine"),
+        coalesce(hits, lit(0L)).cast("long").as("hits"),
+        (col("n_q") * lit(k.toLong)).cast("long").as("n_eval"),
+        floor(coalesce(hits, lit(0L)).cast("double") /
+          (col("n_q") * lit(k.toLong)).cast("double") * lit(1e6)
+          + lit(0.5)).cast("long").as("recall_micro"),
+        codeBytes.cast("long").as("code_bytes"),
+        floatRows.cast("long").as("float_rows"))
+    outRows(1, col("h1"), lit(0L))
+      .unionAll(outRows(refine, col("hr"), coalesce(col("fr"), lit(0L))))
   }
 }
