@@ -2286,19 +2286,20 @@ object SparkEntry {
     }),
 
 
-    // --- ANN recall/cost SELECTION sweep (r18): every ladder rung
-    //     (flat ADC / IVF-PQ / SQ8, each ± exact refine) measured in one
-    //     call against the exact inner-product top-k — recall@k plus the
-    //     physical code-bytes / float-rows cost, all exact integer
-    //     algebra over replayable ranks, so a rung can be CHOSEN for a
-    //     target recall instead of just served ---
+    // --- ANN recall/cost SELECTION sweep (r18): the FULL ladder
+    //     (flat ADC / IVF-PQ / +residual / +OPQ / SQ8, each ± exact
+    //     refine) measured in one call against the exact inner-product
+    //     top-k — recall@k plus the physical code-bytes / float-rows
+    //     cost, all exact integer algebra over replayable ranks, so a
+    //     rung can be CHOSEN for a target recall instead of just served ---
     "q282_ann_recall_sweep" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+      val rot = Quantize.seededRotation(64, seed = 11)
       val (mins, maxs) = Quantize.sqTrain(emb, "embedding", 64)
       graft.model.AnnSweep.recallCostSweep(emb,
         emb.filter(col("vec_id") >= 60 && col("vec_id") <= 64),
-        cb, emb.filter(col("vec_id") < 8), nprobe = 3,
+        cb, emb.filter(col("vec_id") < 8), nprobe = 3, rot,
         mins, maxs, k = 5, refine = 3)
     }),
 
@@ -7660,8 +7661,10 @@ object SparkEntry {
         icoded AS (SELECT nn_id, centroid_id, ${duckPqCode(4, 8, 16, 7)}
             AS code
           FROM (SELECT nn_id, centroid_id, c_emb AS e FROM assigned) t),
-        probes AS MATERIALIZED (SELECT query_id, qe, centroid_id FROM (
-          SELECT q.vec_id AS query_id, q.e AS qe, c.cid AS centroid_id,
+        probes AS MATERIALIZED (SELECT query_id, qe, ce, centroid_id,
+            ${duckRotate(64, 11, "qe")} AS qeo FROM (
+          SELECT q.vec_id AS query_id, q.e AS qe, c.ce AS ce,
+            c.cid AS centroid_id,
             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
               list_dot_product(q.e, q.e) + list_dot_product(c.ce, c.ce)
                 - 2.0 * list_dot_product(q.e, c.ce), c.cid) AS pr
@@ -7676,6 +7679,41 @@ object SparkEntry {
             ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY s DESC, nn_id) AS rnk
           FROM ivfs) WHERE rnk <= 15),
+        resid AS (SELECT a.nn_id, a.centroid_id,
+            list_transform(range(1, len(a.c_emb) + 1),
+              i -> a.c_emb[i] - c.ce[i]) AS e
+          FROM assigned a JOIN cent c ON a.centroid_id = c.cid),
+        rcoded AS (SELECT nn_id, centroid_id,
+            ${duckPqCode(4, 8, 16, 7)} AS code
+          FROM resid),
+        ress AS (SELECT p.query_id, c.nn_id,
+            list_dot_product(p.qe, p.ce) +
+              (${duckPqScore(4, 8, 16, 7)}) AS s
+          FROM rcoded c JOIN probes p ON c.centroid_id = p.centroid_id
+          WHERE c.nn_id <> p.query_id),
+        resk AS MATERIALIZED (SELECT query_id, nn_id, rnk FROM (
+          SELECT query_id, nn_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM ress) WHERE rnk <= 15),
+        rre AS (SELECT nn_id, centroid_id,
+            ${duckRotate(64, 11, "e")} AS e
+          FROM resid),
+        ocoded AS (SELECT nn_id, centroid_id,
+            ${duckPqCode(4, 8, 16, 7)} AS code
+          FROM rre),
+        opqs AS (SELECT p.query_id, c.nn_id,
+            list_dot_product(p.qraw, p.ce) +
+              (${duckPqScore(4, 8, 16, 7)}) AS s
+          FROM ocoded c JOIN (SELECT query_id, centroid_id, ce,
+            qe AS qraw, qeo AS qe FROM probes) p
+            ON c.centroid_id = p.centroid_id
+          WHERE c.nn_id <> p.query_id),
+        opqk AS MATERIALIZED (SELECT query_id, nn_id, rnk FROM (
+          SELECT query_id, nn_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM opqs) WHERE rnk <= 15),
         b AS (SELECT i, min(e[i+1]) AS mn, max(e[i+1]) AS mx
           FROM v, range(0, 64) t(i) GROUP BY i),
         bl AS (SELECT list(mn ORDER BY i) AS mins,
@@ -7712,6 +7750,18 @@ object SparkEntry {
               ORDER BY list_dot_product(qv.e, n.e) DESC, cd.nn_id) AS rnk
           FROM ivfk cd JOIN v qv ON qv.vec_id = cd.query_id
           JOIN v n ON n.vec_id = cd.nn_id) WHERE rnk <= 5),
+        resr AS (SELECT query_id, nn_id FROM (
+          SELECT cd.query_id, cd.nn_id,
+            ROW_NUMBER() OVER (PARTITION BY cd.query_id
+              ORDER BY list_dot_product(qv.e, n.e) DESC, cd.nn_id) AS rnk
+          FROM resk cd JOIN v qv ON qv.vec_id = cd.query_id
+          JOIN v n ON n.vec_id = cd.nn_id) WHERE rnk <= 5),
+        opqr AS (SELECT query_id, nn_id FROM (
+          SELECT cd.query_id, cd.nn_id,
+            ROW_NUMBER() OVER (PARTITION BY cd.query_id
+              ORDER BY list_dot_product(qv.e, n.e) DESC, cd.nn_id) AS rnk
+          FROM opqk cd JOIN v qv ON qv.vec_id = cd.query_id
+          JOIN v n ON n.vec_id = cd.nn_id) WHERE rnk <= 5),
         sqr AS (SELECT query_id, nn_id FROM (
           SELECT cd.query_id, cd.nn_id,
             ROW_NUMBER() OVER (PARTITION BY cd.query_id
@@ -7727,6 +7777,10 @@ object SparkEntry {
           FROM adck),
         fi AS (SELECT CAST(count(DISTINCT nn_id) AS BIGINT) AS fr
           FROM ivfk),
+        fres AS (SELECT CAST(count(DISTINCT nn_id) AS BIGINT) AS fr
+          FROM resk),
+        fopq AS (SELECT CAST(count(DISTINCT nn_id) AS BIGINT) AS fr
+          FROM opqk),
         fs AS (SELECT CAST(count(DISTINCT nn_id) AS BIGINT) AS fr
           FROM sqk),
         h AS (
@@ -7750,6 +7804,26 @@ object SparkEntry {
             (SELECT CAST(count(*) AS BIGINT) FROM ivfr
               JOIN exact USING (query_id, nn_id)),
             (SELECT ivf_rows * 4 FROM ivfrows), (SELECT fr FROM fi)
+          UNION ALL
+          SELECT 'ivfpq_res', 1,
+            (SELECT CAST(count(*) AS BIGINT) FROM resk s
+              JOIN exact USING (query_id, nn_id) WHERE s.rnk <= 5),
+            (SELECT ivf_rows * 4 FROM ivfrows), CAST(0 AS BIGINT)
+          UNION ALL
+          SELECT 'ivfpq_res', 3,
+            (SELECT CAST(count(*) AS BIGINT) FROM resr
+              JOIN exact USING (query_id, nn_id)),
+            (SELECT ivf_rows * 4 FROM ivfrows), (SELECT fr FROM fres)
+          UNION ALL
+          SELECT 'ivfpq_opq', 1,
+            (SELECT CAST(count(*) AS BIGINT) FROM opqk s
+              JOIN exact USING (query_id, nn_id) WHERE s.rnk <= 5),
+            (SELECT ivf_rows * 4 FROM ivfrows), CAST(0 AS BIGINT)
+          UNION ALL
+          SELECT 'ivfpq_opq', 3,
+            (SELECT CAST(count(*) AS BIGINT) FROM opqr
+              JOIN exact USING (query_id, nn_id)),
+            (SELECT ivf_rows * 4 FROM ivfrows), (SELECT fr FROM fopq)
           UNION ALL
           SELECT 'sq8', 1,
             (SELECT CAST(count(*) AS BIGINT) FROM sqk s

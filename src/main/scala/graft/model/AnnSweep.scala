@@ -9,9 +9,10 @@ import graft.ops.{Quantize, Similarity}
 
 /** Recall/cost SELECTION sweep over the ANN compression ladder (r18) —
   * the operational loop the served ladder was missing: every rung
-  * (flat ADC, IVF-PQ, SQ8; each with and without exact refine) serves
-  * correctly, but nothing measured which rung meets a target recall at
-  * what byte cost. One call emits, per (rung, refine), recall@k against
+  * (flat ADC, IVF-PQ, +residual, +OPQ, SQ8; each with and without exact
+  * refine) serves correctly, but nothing measured which rung meets a
+  * target recall at what byte cost. One call emits, per (rung, refine),
+  * recall@k against
   * the EXACT inner-product top-k plus the two physical cost numbers a
   * capacity decision runs on:
   *
@@ -38,22 +39,27 @@ import graft.ops.{Quantize, Similarity}
   */
 object AnnSweep {
 
-  /** Sweep the three quantized layouts at refine ∈ {1 (stage-1 only),
-    * `refine`} against the exact top-`k` ground truth.
+  /** Sweep the FULL quantized ladder — flat-ADC, IVF-PQ, IVF-PQ
+    * +residual (IVFADC), IVF-PQ +OPQ (rotated residual), SQ8 — at
+    * refine ∈ {1 (stage-1 only), `refine`} against the exact top-`k`
+    * ground truth.
     *
     * @param corpus    (vec_id, embedding) float corpus
     * @param queries   the labeled evaluation slice (vec_id, embedding);
     *                  self-matches are excluded on every rung and in the
     *                  ground truth
-    * @param codebooks PQ codebooks for the flat-ADC and IVF-PQ rungs
-    * @param centroids coarse cells for the IVF rung
+    * @param codebooks PQ codebooks for the PQ rungs
+    * @param centroids coarse cells for the IVF rungs
+    * @param rotation  the OPQ rotation ([[Quantize.seededRotation]] or a
+    *                  trained R) for the +OPQ rung
     * @param sqMins    SQ8 per-dimension bounds ([[Quantize.sqTrain]])
     * @return (rung, refine, hits, n_eval, recall_micro, code_bytes,
-    *         float_rows) — 6 rows
+    *         float_rows) — 10 rows
     */
   def recallCostSweep(corpus: DataFrame, queries: DataFrame,
                       codebooks: Array[Array[Array[Double]]],
                       centroids: DataFrame, nprobe: Int,
+                      rotation: Array[Array[Double]],
                       sqMins: Array[Double], sqMaxs: Array[Double],
                       k: Int, refine: Int): DataFrame = {
     require(k >= 1 && refine >= 2,
@@ -98,6 +104,10 @@ object AnnSweep {
         codebooks, k * refine), "flat_adc")
       .unionAll(tag(Quantize.ivfPqTopK(corpus, centroids, queries,
         codebooks, nprobe, k * refine), "ivfpq"))
+      .unionAll(tag(Quantize.ivfPqResidualTopK(corpus, centroids, queries,
+        codebooks, nprobe, k * refine), "ivfpq_res"))
+      .unionAll(tag(Quantize.ivfPqOpqTopK(corpus, centroids, queries,
+        codebooks, rotation, nprobe, k * refine), "ivfpq_opq"))
       .unionAll(tag(Quantize.sqTopK(sqCoded, queries, "vec_id", "code",
         "embedding", sqMins, sqMaxs, k * refine), "sq8"))
       .localCheckpoint(true)
@@ -144,7 +154,8 @@ object AnnSweep {
     // per-rung aggregates LEFT-joined onto the rung dimension (a groupBy
     // alone would drop a zero-hit rung's row)
     import spark.implicits._
-    val rungs = Seq("flat_adc", "ivfpq", "sq8").toDF("rung")
+    val rungs = Seq("flat_adc", "ivfpq", "ivfpq_res", "ivfpq_opq", "sq8")
+      .toDF("rung")
     val h1 = cands.filter(col("rnk") <= k)
       .join(exact, Seq("query_id", "nn_id"))
       .groupBy("rung").agg(count(lit(1)).as("h1"))
@@ -156,9 +167,12 @@ object AnnSweep {
       .join(hr, Seq("rung"), "left")
       .join(fr, Seq("rung"), "left")
       .crossJoin(stats)
+    // the three IVF variants share the routing, so they scan the same
+    // probed-cell rows — only their recall differs
     val codeBytes =
       when(col("rung") === "flat_adc", col("n_corpus") * lit(m.toLong))
-        .when(col("rung") === "ivfpq", col("ivf_rows") * lit(m.toLong))
+        .when(col("rung").startsWith("ivfpq"),
+          col("ivf_rows") * lit(m.toLong))
         .otherwise(col("n_corpus") * lit(dim.toLong))
     def outRows(refineN: Int, hits: Column, floatRows: Column): DataFrame =
       base.select(col("rung"), lit(refineN.toLong).as("refine"),

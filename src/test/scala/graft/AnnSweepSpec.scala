@@ -12,19 +12,21 @@ import graft.ops.Quantize
 class AnnSweepSpec extends SparkSpec {
   import spark.implicits._
 
-  test("recallCostSweep: 6 rows; refined recall ≥ stage-1 per rung; " +
-      "float rows 0 without refine and candidate-bounded with; code " +
-      "bytes count the probed fraction for IVF and the full corpus for " +
-      "flat/SQ8") {
+  test("recallCostSweep: 10 rows (5 rungs × ±refine); refined recall ≥ " +
+      "stage-1 per rung; float rows 0 without refine and " +
+      "candidate-bounded with; code bytes count the probed fraction for " +
+      "the IVF variants and the full corpus for flat/SQ8") {
     val emb = graft.sources.Tables.embeddings(spark, sf())
     val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+    val rot = Quantize.seededRotation(64, seed = 11)
     val (mins, maxs) = Quantize.sqTrain(emb, "embedding", 64)
     val out = AnnSweep.recallCostSweep(emb, emb.filter($"vec_id" < 3),
-      cb, emb.filter($"vec_id" < 8), nprobe = 2, mins, maxs,
+      cb, emb.filter($"vec_id" < 8), nprobe = 2, rot, mins, maxs,
       k = 4, refine = 3).collect()
-    assert(out.length == 6, out.mkString("; "))
+    assert(out.length == 10, out.mkString("; "))
     val byKey = out.map(r => (r.getString(0), r.getLong(1)) -> r).toMap
-    for (rung <- Seq("flat_adc", "ivfpq", "sq8")) {
+    for (rung <- Seq("flat_adc", "ivfpq", "ivfpq_res", "ivfpq_opq",
+        "sq8")) {
       val s1 = byKey((rung, 1L))
       val s3 = byKey((rung, 3L))
       assert(s3.getAs[Long]("recall_micro") >=
@@ -44,5 +46,8 @@ class AnnSweepSpec extends SparkSpec {
     val ivfBytes = byKey(("ivfpq", 1L)).getAs[Long]("code_bytes")
     assert(ivfBytes > 0 && ivfBytes < n * 4,
       s"IVF must scan the probed FRACTION: $ivfBytes vs full ${n * 4}")
+    // the three IVF variants share the routing → identical scan bytes
+    assert(byKey(("ivfpq_res", 1L)).getAs[Long]("code_bytes") == ivfBytes)
+    assert(byKey(("ivfpq_opq", 1L)).getAs[Long]("code_bytes") == ivfBytes)
   }
 }
