@@ -2286,6 +2286,22 @@ object SparkEntry {
     }),
 
 
+    // --- TOKEN-ID sequences (r18): the terminal artifact a pretraining
+    //     pipeline materializes — the vocabulary (round-0 chars + merged
+    //     subwords, dense ids in code-point order) turns the merge table
+    //     into a model-ready encoder, and every doc becomes its ordered
+    //     id stream; one tokenize + two vocabulary-bounded broadcast
+    //     joins, per-doc stream positions ---
+    "q284_bpe_token_ids" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.ops.Bpe.trainMergesLocal(docs, "text", rounds = 6)
+        .select(col("round"), col("lhs"), col("rhs"))
+        .collect().sortBy(_.getLong(0)) // rounds rows — bounded metadata
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ops.Bpe.encodeIds(docs, "doc_id", "text", merges)
+    }),
+
+
     // --- ANN recall/cost SELECTION sweep (r18): the FULL ladder
     //     (flat ADC / IVF-PQ / +residual / +OPQ / SQ8, each ± exact
     //     refine) measured in one call against the exact inner-product
@@ -7625,6 +7641,33 @@ object SparkEntry {
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
           CAST(sum(n) AS BIGINT) AS n_bpe_tokens
         FROM tw JOIN wn USING (word) GROUP BY 1""",
+
+      // token-id sequences: the trained chain's segmentation, the
+      // vocabulary id'd by ROW_NUMBER in binary string order, and the
+      // per-doc stream position over (word pos, symbol pos)
+      "q284_bpe_token_ids" -> s"""
+        WITH ${duckBpeCtes(6)},
+        dt AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents),
+        dtoks AS (SELECT doc_id, p AS wpos, toks[p] AS word
+          FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p
+            FROM dt)),
+        tw AS (SELECT doc_id, wpos, word FROM dtoks WHERE word <> ''),
+        vocab AS (SELECT symbol,
+            CAST(ROW_NUMBER() OVER (ORDER BY symbol) - 1 AS BIGINT)
+              AS token_id
+          FROM (SELECT DISTINCT unnest(syms) AS symbol FROM seg6)),
+        sy AS (SELECT word, p AS spos, syms[p] AS symbol
+          FROM (SELECT word, syms, unnest(range(1, len(syms) + 1)) AS p
+            FROM seg6)),
+        ids AS (SELECT t.doc_id, t.wpos, s.spos, v.token_id
+          FROM tw t JOIN sy s USING (word) JOIN vocab v USING (symbol))
+        SELECT doc_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY wpos, spos) - 1 AS BIGINT) AS pos,
+          token_id
+        FROM ids""",
 
       // the recall/cost sweep: every rung's candidate chain is the
       // corresponding serving oracle (q160 flat ADC / q270 IVF probe /

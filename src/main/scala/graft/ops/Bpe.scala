@@ -431,6 +431,67 @@ object Bpe {
         floor(col("n_bpe_tokens").cast("double") /
           col("n_words").cast("double") * lit(1e6) + lit(0.5)).cast("long"))
 
+  /** The tokenizer's VOCABULARY with stable integer ids (r18): every
+    * distinct symbol the merge table produces over this corpus's words —
+    * round-0 characters plus merged subwords — id'd by dense rank in
+    * code-point order (= both engines' binary string order, so the
+    * mapping is oracle-replayable with a plain ROW_NUMBER). Model
+    * training consumes TOKEN IDS, not symbol strings — this is the table
+    * that turns the merge artifact into a model-ready encoder. The
+    * global-order window runs at VOCABULARY grain (the adjudicated
+    * bounded-grain class — symbols, not corpus rows).
+    *
+    * @param segmented (word, syms) — [[segmentWords]] output
+    * @return (symbol, token_id) — token_id is 0-based, dense
+    */
+  def vocabOf(segmented: DataFrame): DataFrame =
+    segmented.select(explode(col("syms")).as("symbol")).distinct()
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy(col("symbol"))) - 1)
+          .cast("long"))
+
+  /** Encode the corpus to TOKEN-ID SEQUENCES — the terminal output a
+    * pretraining pipeline materializes: per doc, the ordered stream of
+    * vocabulary ids ([[vocabOf]]) of the BPE segmentation. Exploded form
+    * `(idCol, pos, token_id)` — pos is the doc-wide 0-based stream
+    * position (per-DOC window, the bounded-grain class). The corpus pays
+    * one tokenize + two vocabulary-bounded broadcast joins; the per-merge
+    * replay touches only the DISTINCT words ([[bpeTokenCounts]]'s
+    * contract).
+    */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)],
+                eow: Boolean = false,
+                cjkCharSplit: Boolean = false): DataFrame = {
+    val tok =
+      if (cjkCharSplit)
+        graft.functions.TextFunctions.tokensCjkSplit(col(textCol))
+      else graft.functions.TextFunctions.tokens(col(textCol))
+    val toks = docs.select(col(idCol),
+        posexplode(tok).as(Seq("__wpos", "word")))
+      .filter(col("word") =!= "")
+    val segd = segmentWords(toks.select(col("word")).distinct(), "word",
+      merges, eow)
+    val vocab = vocabOf(segd)
+    val wDoc = Window.partitionBy(col(idCol))
+      .orderBy(col("__wpos"), col("__spos"))
+    toks.join(broadcast(segd), "word")
+      .select(col(idCol), col("__wpos"),
+        posexplode(col("syms")).as(Seq("__spos", "symbol")))
+      .join(broadcast(vocab), "symbol")
+      .withColumn("pos", (row_number().over(wDoc) - 1).cast("long"))
+      .select(col(idCol), col("pos"), col("token_id"))
+  }
+
+  /** Publish [[vocabOf]]'s table as a versioned artifact (the same
+    * tokenizers-are-models discipline as [[publishMerges]]: id drift
+    * silently re-labels every stored sequence).
+    */
+  def publishVocab(spark: SparkSession, root: String,
+                   vocab: DataFrame): String =
+    Layout.publishVersion(spark, root,
+      vocab.select(col("symbol"), col("token_id").cast("long")))
+
   /** Detokenize an eow-marked BPE token stream back to text: concatenate
     * the tokens and turn each [[EowMarker]] into a word boundary — the
     * inverse [[EowMarker]] exists to make possible (an unmarked stream

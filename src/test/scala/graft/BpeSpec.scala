@@ -247,6 +247,30 @@ class BpeSpec extends SparkSpec {
     assert(dist == local && dist.nonEmpty)
   }
 
+  test("vocabOf + encodeIds: dense code-point-ordered ids, the doc's " +
+      "ordered id stream, and the publishVocab roundtrip") {
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val segd = Bpe.segmentWords(
+      Seq(("low", 0L), ("lower", 0L)).toDF("word", "freq"), "word", merges)
+    // symbols: low→[low], lower→[low,e,r] → distinct {e, low, r} →
+    // e=0, low=1, r=2 (binary string order)
+    val vocab = Bpe.vocabOf(segd).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab == Map("e" -> 0L, "low" -> 1L, "r" -> 2L), vocab.toString)
+    val ids = Bpe.encodeIds(docs, "doc_id", "text", merges)
+      .orderBy("pos").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toList
+    // "low low lower" → low, low, low|e|r → [1, 1, 1, 0, 2]
+    assert(ids == List((0L, 1L), (1L, 1L), (2L, 1L), (3L, 0L), (4L, 2L)),
+      ids.toString)
+    val root = graft.util.TempRoots.create("graft_bpevocab") + "/vocab"
+    Bpe.publishVocab(spark, root, Bpe.vocabOf(segd))
+    val back = graft.sources.Layout.readCurrent(spark, root).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(back == vocab)
+  }
+
   test("trainMerges stops early when no pair remains (single-char words " +
       "never mint a merge), returning the rounds it could learn") {
     val docs = Seq((1L, "a b a b c")).toDF("doc_id", "text")
