@@ -419,6 +419,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       val spark = org.apache.spark.sql.SparkSession.active
       graft.ops.Bpe.bpeTokenCounts(table(a(0)), a(1), a(2),
         graft.ops.Bpe.loadMerges(spark, GraftPaths.resolve(spark, a(3)))) }
+    // model-ready id sequences from SQL (r18): the doc's ordered
+    // (pos, token_id) stream under the merge table stored at the given
+    // root — the same versioned-tokenizer contract as graft_bpe_tokens
+    tvf("graft_bpe_ids", 4 to 4) { a =>
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.ops.Bpe.encodeIds(table(a(0)), a(1), a(2),
+        graft.ops.Bpe.loadMerges(spark, GraftPaths.resolve(spark, a(3)))) }
   }
 
   private def strLit(e: Option[Expression], fn: String, arg: String): String =

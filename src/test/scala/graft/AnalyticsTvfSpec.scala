@@ -248,4 +248,20 @@ class AnalyticsTvfSpec extends SparkSpec {
       Bpe.bpeTokenCounts(docs, "doc_id", "text", merges).collect().toSet)
     graft.util.Caches.releaseAll()
   }
+
+  test("graft_bpe_ids ≡ the Scala surface over a published merge table " +
+      "(r18)") {
+    import graft.ops.Bpe
+    val docs = Seq((1L, "low low lower"), (2L, "newest low"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("tvf_bpeids_docs")
+    val root = graft.util.TempRoots.create("graft_tvfbpeids") + "/merges"
+    Bpe.publishMerges(spark, root, Bpe.trainMerges(docs, "text", 3))
+    val merges = Bpe.loadMerges(spark, root)
+    assert(spark.sql(
+        s"SELECT * FROM graft_bpe_ids('tvf_bpeids_docs', 'doc_id', " +
+          s"'text', '$root')").collect().toSet ==
+      Bpe.encodeIds(docs, "doc_id", "text", merges).collect().toSet)
+    graft.util.Caches.releaseAll()
+  }
 }
