@@ -2302,6 +2302,79 @@ object SparkEntry {
     }),
 
 
+    // --- PACKED token-id batches (r18): the pipeline's terminal
+    //     composition — merges train (driver-side), docs encode to id
+    //     streams, and the id-counted docs pack to the 512-token budget
+    //     (q81's shard-cumsum greedy fill); sum_ids is the content
+    //     checksum proving the ids rode into the packs, all exact longs ---
+    "q285_bpe_packed_ids" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.ops.Bpe.trainMergesLocal(docs, "text", rounds = 6)
+        .select(col("round"), col("lhs"), col("rhs"))
+        .collect().sortBy(_.getLong(0)) // rounds rows — bounded metadata
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val perDoc = graft.ops.Bpe.encodeIds(docs, "doc_id", "text", merges)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ids"), sum(col("token_id")).as("id_sum"))
+      // packDocs normalizes the size column to n_tokens and keeps only
+      // the packing columns — the id checksum joins back on doc_id
+      Sampling.packDocs(perDoc, "doc_id", col("n_ids"),
+          seqLen = 512, shards = 8)
+        .join(perDoc.select(col("doc_id"), col("id_sum")), "doc_id")
+        .groupBy("shard", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_len"),
+          sum(col("id_sum")).as("sum_ids"),
+          min(col("doc_id")).as("first_doc"))
+    }),
+
+
+    // --- FIXED-vocab encoding + OOV (r18): publishVocab gets its
+    //     CONSUMER — a NEW corpus encodes against the versioned id map
+    //     (q284 derives ids from the corpus being encoded, correct at
+    //     train time but id-unstable across corpora/retrains), and
+    //     symbols OUTSIDE the vocabulary id as the reserved unk (-1)
+    //     via a left join — an inner join would silently drop them and
+    //     shift every later stream position. Train + vocab on the plain
+    //     corpus, apply to q281's CJK-transliterated slice: every
+    //     transliterated char is honest OOV; per-doc oov_micro is the
+    //     tokenizer-drift gauge ---
+    "q286_bpe_fixed_vocab" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = graft.util.TempRoots.memo(s"graft_q286_$dir") { r =>
+        graft.ops.Bpe.publishMerges(s, r + "/merges",
+          graft.ops.Bpe.trainMergesLocal(docs, "text", rounds = 6))
+        graft.ops.Bpe.publishVocab(s, r + "/vocab",
+          graft.ops.Bpe.corpusVocab(docs, "text",
+            graft.ops.Bpe.loadMerges(s, r + "/merges")))
+      }
+      val merges = graft.ops.Bpe.loadMerges(s, root + "/merges")
+      val vocab = graft.ops.Bpe.loadVocab(s, root + "/vocab")
+      graft.ops.Bpe.oovStats(
+        graft.ops.Bpe.encodeIdsWith(cjkMixedDocs(docs), "doc_id", "text",
+          merges, vocab, cjkCharSplit = true), "doc_id")
+    }),
+
+
+    // --- ANN rung auto-SELECTION (r18): the sweep's decision step as a
+    //     query — qualify rungs at a recall floor, price stage-2 float
+    //     rows at dim·8 = 512 bytes, rank by total bytes; choice_rank 1
+    //     is the config to deploy (at this corpus size SQ8 stage-1 wins:
+    //     refine's 512-byte float rows swamp the small PQ scans) ---
+    "q287_ann_select_rung" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16, seed = 7)
+      val rot = Quantize.seededRotation(64, seed = 11)
+      val (mins, maxs) = Quantize.sqTrain(emb, "embedding", 64)
+      graft.model.AnnSweep.selectRung(
+        graft.model.AnnSweep.recallCostSweep(emb,
+          emb.filter(col("vec_id") >= 60 && col("vec_id") <= 64),
+          cb, emb.filter(col("vec_id") < 8), nprobe = 3, rot,
+          mins, maxs, k = 5, refine = 3),
+        targetRecallMicro = 150000L, floatRowBytes = 512L)
+    }),
+
+
     // --- ANN recall/cost SELECTION sweep (r18): the FULL ladder
     //     (flat ADC / IVF-PQ / +residual / +OPQ / SQ8, each ± exact
     //     refine) measured in one call against the exact inner-product
@@ -7669,221 +7742,93 @@ object SparkEntry {
           token_id
         FROM ids""",
 
+      // packed id batches: q284's id algebra reduced to per-doc
+      // (count, id-sum), then q277's shard-cumsum greedy fill at 512
+      "q285_bpe_packed_ids" -> s"""
+        WITH ${duckBpeCtes(6)},
+        dt AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents),
+        dtoks AS (SELECT doc_id, toks[p] AS word
+          FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p
+            FROM dt)),
+        tw AS (SELECT doc_id, word FROM dtoks WHERE word <> ''),
+        vocab AS (SELECT symbol,
+            CAST(ROW_NUMBER() OVER (ORDER BY symbol) - 1 AS BIGINT)
+              AS token_id
+          FROM (SELECT DISTINCT unnest(syms) AS symbol FROM seg6)),
+        sy AS (SELECT word, syms[p] AS symbol
+          FROM (SELECT word, syms, unnest(range(1, len(syms) + 1)) AS p
+            FROM seg6)),
+        idr AS (SELECT t.doc_id, v.token_id
+          FROM tw t JOIN sy s USING (word) JOIN vocab v USING (symbol)),
+        perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ids,
+            CAST(sum(token_id) AS BIGINT) AS id_sum
+          FROM idr GROUP BY 1),
+        packed AS (SELECT doc_id, doc_id % 8 AS shard, n_ids, id_sum,
+            CAST((SUM(n_ids) OVER (PARTITION BY doc_id % 8
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_ids)
+              // 512 AS BIGINT) AS pack_id
+          FROM perdoc)
+        SELECT shard, pack_id, COUNT(*) AS n_docs,
+          CAST(SUM(n_ids) AS BIGINT) AS sum_len,
+          CAST(SUM(id_sum) AS BIGINT) AS sum_ids,
+          MIN(doc_id) AS first_doc
+        FROM packed GROUP BY 1, 2""",
+
+      // fixed-vocab encode + OOV: train + vocabulary on the PLAIN corpus
+      // (q284's chain), APPLY with the apply-only rounds to the
+      // CJK-mixed corpus (q281's slice, CJK-split tokenization); symbols
+      // outside the published vocabulary id as -1 (unk) via a LEFT join
+      "q286_bpe_fixed_vocab" -> s"""
+        WITH ${duckBpeCtes(6)},
+        vocab AS MATERIALIZED (SELECT symbol,
+            CAST(ROW_NUMBER() OVER (ORDER BY symbol) - 1 AS BIGINT)
+              AS token_id
+          FROM (SELECT DISTINCT unnest(syms) AS symbol FROM seg6)),
+        mtoks AS (SELECT doc_id,
+            unnest(string_split_regex($duckCjkTok, '\\s+')) AS word
+          FROM $duckCjkMixedFrom),
+        mtw AS (SELECT doc_id, word FROM mtoks WHERE word <> ''),
+        aseg0 AS MATERIALIZED (SELECT word,
+            list_transform(range(1, length(word) + 1),
+              i -> substr(word, CAST(i AS INTEGER), 1)) AS syms
+          FROM (SELECT DISTINCT word FROM mtw)),
+        ${duckBpeApplyCtes(6)},
+        sy AS (SELECT word, unnest(syms) AS symbol FROM aseg6),
+        ids AS (SELECT t.doc_id,
+            COALESCE(v.token_id, CAST(-1 AS BIGINT)) AS token_id
+          FROM mtw t JOIN sy s USING (word)
+          LEFT JOIN vocab v USING (symbol))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ids,
+          CAST(sum(CASE WHEN token_id = -1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_oov,
+          CAST(floor(CAST(sum(CASE WHEN token_id = -1 THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
+            AS BIGINT) AS oov_micro
+        FROM ids GROUP BY 1""",
+
+      // rung selection: q282's sweep body VERBATIM as a subquery, then
+      // the decision algebra — recall floor, stage-2 float rows priced
+      // at dim·8 = 512 bytes, deterministic (total_bytes, rung, refine)
+      // rank
+      "q287_ann_select_rung" -> s"""
+        WITH sweep AS MATERIALIZED ($duckSweepSql)
+        SELECT rung, refine, recall_micro, total_bytes,
+          CAST(ROW_NUMBER() OVER (ORDER BY total_bytes, rung, refine)
+            AS BIGINT) AS choice_rank
+        FROM (SELECT rung, refine, recall_micro,
+            code_bytes + float_rows * 512 AS total_bytes
+          FROM sweep WHERE recall_micro >= 150000)""",
+
       // the recall/cost sweep: every rung's candidate chain is the
       // corresponding serving oracle (q160 flat ADC / q270 IVF probe /
       // q279 SQ8) cut at k·refine = 15, the refined variants exact-rerank
       // those candidates, and each rung's hits count against the exact
       // inner-product top-5; costs are exact counts (corpus rows × code
       // width; probed-cell rows; distinct candidate ids)
-      "q282_ann_recall_sweep" -> s"""
-        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-          FROM embeddings),
-        q AS (SELECT vec_id AS query_id, e AS qe FROM v
-          WHERE vec_id BETWEEN 60 AND 64),
-        exact AS MATERIALIZED (SELECT query_id, nn_id FROM (
-          SELECT q.query_id, c.vec_id AS nn_id,
-            ROW_NUMBER() OVER (PARTITION BY q.query_id
-              ORDER BY list_dot_product(q.qe, c.e) DESC, c.vec_id) AS rnk
-          FROM v c JOIN q ON c.vec_id <> q.query_id) WHERE rnk <= 5),
-        coded AS (SELECT vec_id, ${duckPqCode(4, 8, 16, 7)} AS code FROM v),
-        adcs AS (SELECT q.query_id, c.vec_id AS nn_id,
-            ${duckPqScore(4, 8, 16, 7)} AS s
-          FROM coded c JOIN q ON c.vec_id <> q.query_id),
-        adck AS MATERIALIZED (SELECT query_id, nn_id, rnk FROM (
-          SELECT query_id, nn_id,
-            ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY s DESC, nn_id) AS rnk
-          FROM adcs) WHERE rnk <= 15),
-        cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
-        assigned AS MATERIALIZED (SELECT nn_id, c_emb, centroid_id FROM (
-          SELECT v.vec_id AS nn_id, v.e AS c_emb, c.cid AS centroid_id,
-            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-              list_dot_product(v.e, v.e) + list_dot_product(c.ce, c.ce)
-                - 2.0 * list_dot_product(v.e, c.ce), c.cid) AS rn
-          FROM v CROSS JOIN cent c) WHERE rn = 1),
-        icoded AS (SELECT nn_id, centroid_id, ${duckPqCode(4, 8, 16, 7)}
-            AS code
-          FROM (SELECT nn_id, centroid_id, c_emb AS e FROM assigned) t),
-        probes AS MATERIALIZED (SELECT query_id, qe, ce, centroid_id,
-            ${duckRotate(64, 11, "qe")} AS qeo FROM (
-          SELECT q.vec_id AS query_id, q.e AS qe, c.ce AS ce,
-            c.cid AS centroid_id,
-            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-              list_dot_product(q.e, q.e) + list_dot_product(c.ce, c.ce)
-                - 2.0 * list_dot_product(q.e, c.ce), c.cid) AS pr
-          FROM v q CROSS JOIN cent c
-          WHERE q.vec_id BETWEEN 60 AND 64) WHERE pr <= 3),
-        ivfs AS (SELECT p.query_id, c.nn_id,
-            ${duckPqScore(4, 8, 16, 7)} AS s
-          FROM icoded c JOIN probes p ON c.centroid_id = p.centroid_id
-          WHERE c.nn_id <> p.query_id),
-        ivfk AS MATERIALIZED (SELECT query_id, nn_id, rnk FROM (
-          SELECT query_id, nn_id,
-            ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY s DESC, nn_id) AS rnk
-          FROM ivfs) WHERE rnk <= 15),
-        resid AS (SELECT a.nn_id, a.centroid_id,
-            list_transform(range(1, len(a.c_emb) + 1),
-              i -> a.c_emb[i] - c.ce[i]) AS e
-          FROM assigned a JOIN cent c ON a.centroid_id = c.cid),
-        rcoded AS (SELECT nn_id, centroid_id,
-            ${duckPqCode(4, 8, 16, 7)} AS code
-          FROM resid),
-        ress AS (SELECT p.query_id, c.nn_id,
-            list_dot_product(p.qe, p.ce) +
-              (${duckPqScore(4, 8, 16, 7)}) AS s
-          FROM rcoded c JOIN probes p ON c.centroid_id = p.centroid_id
-          WHERE c.nn_id <> p.query_id),
-        resk AS MATERIALIZED (SELECT query_id, nn_id, rnk FROM (
-          SELECT query_id, nn_id,
-            ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY s DESC, nn_id) AS rnk
-          FROM ress) WHERE rnk <= 15),
-        rre AS (SELECT nn_id, centroid_id,
-            ${duckRotate(64, 11, "e")} AS e
-          FROM resid),
-        ocoded AS (SELECT nn_id, centroid_id,
-            ${duckPqCode(4, 8, 16, 7)} AS code
-          FROM rre),
-        opqs AS (SELECT p.query_id, c.nn_id,
-            list_dot_product(p.qraw, p.ce) +
-              (${duckPqScore(4, 8, 16, 7)}) AS s
-          FROM ocoded c JOIN (SELECT query_id, centroid_id, ce,
-            qe AS qraw, qeo AS qe FROM probes) p
-            ON c.centroid_id = p.centroid_id
-          WHERE c.nn_id <> p.query_id),
-        opqk AS MATERIALIZED (SELECT query_id, nn_id, rnk FROM (
-          SELECT query_id, nn_id,
-            ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY s DESC, nn_id) AS rnk
-          FROM opqs) WHERE rnk <= 15),
-        b AS (SELECT i, min(e[i+1]) AS mn, max(e[i+1]) AS mx
-          FROM v, range(0, 64) t(i) GROUP BY i),
-        bl AS (SELECT list(mn ORDER BY i) AS mins,
-            list(CASE WHEN mx > mn THEN mx - mn ELSE 0 END ORDER BY i)
-              AS spans
-          FROM b),
-        sqcoded AS (SELECT vec_id,
-            list_transform(range(0, 64), i -> CASE WHEN spans[i+1] = 0
-              THEN 0 ELSE CAST(least(greatest(
-                floor((e[i+1] - mins[i+1]) * 255.0 / spans[i+1] + 0.5),
-                0.0), 255.0) AS INTEGER) END) AS code
-          FROM v, bl),
-        deq AS (SELECT vec_id,
-            list_transform(range(0, 64),
-              i -> code[i+1] * spans[i+1] / 255.0 + mins[i+1]) AS de
-          FROM sqcoded, bl),
-        sqs AS (SELECT q.query_id, d.vec_id AS nn_id,
-            list_dot_product(q.qe, d.de) AS s
-          FROM deq d JOIN q ON d.vec_id <> q.query_id),
-        sqk AS MATERIALIZED (SELECT query_id, nn_id, rnk FROM (
-          SELECT query_id, nn_id,
-            ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY s DESC, nn_id) AS rnk
-          FROM sqs) WHERE rnk <= 15),
-        adcr AS (SELECT query_id, nn_id FROM (
-          SELECT cd.query_id, cd.nn_id,
-            ROW_NUMBER() OVER (PARTITION BY cd.query_id
-              ORDER BY list_dot_product(qv.e, n.e) DESC, cd.nn_id) AS rnk
-          FROM adck cd JOIN v qv ON qv.vec_id = cd.query_id
-          JOIN v n ON n.vec_id = cd.nn_id) WHERE rnk <= 5),
-        ivfr AS (SELECT query_id, nn_id FROM (
-          SELECT cd.query_id, cd.nn_id,
-            ROW_NUMBER() OVER (PARTITION BY cd.query_id
-              ORDER BY list_dot_product(qv.e, n.e) DESC, cd.nn_id) AS rnk
-          FROM ivfk cd JOIN v qv ON qv.vec_id = cd.query_id
-          JOIN v n ON n.vec_id = cd.nn_id) WHERE rnk <= 5),
-        resr AS (SELECT query_id, nn_id FROM (
-          SELECT cd.query_id, cd.nn_id,
-            ROW_NUMBER() OVER (PARTITION BY cd.query_id
-              ORDER BY list_dot_product(qv.e, n.e) DESC, cd.nn_id) AS rnk
-          FROM resk cd JOIN v qv ON qv.vec_id = cd.query_id
-          JOIN v n ON n.vec_id = cd.nn_id) WHERE rnk <= 5),
-        opqr AS (SELECT query_id, nn_id FROM (
-          SELECT cd.query_id, cd.nn_id,
-            ROW_NUMBER() OVER (PARTITION BY cd.query_id
-              ORDER BY list_dot_product(qv.e, n.e) DESC, cd.nn_id) AS rnk
-          FROM opqk cd JOIN v qv ON qv.vec_id = cd.query_id
-          JOIN v n ON n.vec_id = cd.nn_id) WHERE rnk <= 5),
-        sqr AS (SELECT query_id, nn_id FROM (
-          SELECT cd.query_id, cd.nn_id,
-            ROW_NUMBER() OVER (PARTITION BY cd.query_id
-              ORDER BY list_dot_product(qv.e, n.e) DESC, cd.nn_id) AS rnk
-          FROM sqk cd JOIN v qv ON qv.vec_id = cd.query_id
-          JOIN v n ON n.vec_id = cd.nn_id) WHERE rnk <= 5),
-        nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM q),
-        nc AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM v),
-        ivfrows AS (SELECT CAST(count(*) AS BIGINT) AS ivf_rows
-          FROM assigned WHERE centroid_id IN
-            (SELECT DISTINCT centroid_id FROM probes)),
-        fa AS (SELECT CAST(count(DISTINCT nn_id) AS BIGINT) AS fr
-          FROM adck),
-        fi AS (SELECT CAST(count(DISTINCT nn_id) AS BIGINT) AS fr
-          FROM ivfk),
-        fres AS (SELECT CAST(count(DISTINCT nn_id) AS BIGINT) AS fr
-          FROM resk),
-        fopq AS (SELECT CAST(count(DISTINCT nn_id) AS BIGINT) AS fr
-          FROM opqk),
-        fs AS (SELECT CAST(count(DISTINCT nn_id) AS BIGINT) AS fr
-          FROM sqk),
-        h AS (
-          SELECT 'flat_adc' AS rung, CAST(1 AS BIGINT) AS refine,
-            (SELECT CAST(count(*) AS BIGINT) FROM adck s
-              JOIN exact USING (query_id, nn_id) WHERE s.rnk <= 5) AS hits,
-            (SELECT n_corpus * 4 FROM nc) AS code_bytes,
-            CAST(0 AS BIGINT) AS float_rows
-          UNION ALL
-          SELECT 'flat_adc', 3,
-            (SELECT CAST(count(*) AS BIGINT) FROM adcr
-              JOIN exact USING (query_id, nn_id)),
-            (SELECT n_corpus * 4 FROM nc), (SELECT fr FROM fa)
-          UNION ALL
-          SELECT 'ivfpq', 1,
-            (SELECT CAST(count(*) AS BIGINT) FROM ivfk s
-              JOIN exact USING (query_id, nn_id) WHERE s.rnk <= 5),
-            (SELECT ivf_rows * 4 FROM ivfrows), CAST(0 AS BIGINT)
-          UNION ALL
-          SELECT 'ivfpq', 3,
-            (SELECT CAST(count(*) AS BIGINT) FROM ivfr
-              JOIN exact USING (query_id, nn_id)),
-            (SELECT ivf_rows * 4 FROM ivfrows), (SELECT fr FROM fi)
-          UNION ALL
-          SELECT 'ivfpq_res', 1,
-            (SELECT CAST(count(*) AS BIGINT) FROM resk s
-              JOIN exact USING (query_id, nn_id) WHERE s.rnk <= 5),
-            (SELECT ivf_rows * 4 FROM ivfrows), CAST(0 AS BIGINT)
-          UNION ALL
-          SELECT 'ivfpq_res', 3,
-            (SELECT CAST(count(*) AS BIGINT) FROM resr
-              JOIN exact USING (query_id, nn_id)),
-            (SELECT ivf_rows * 4 FROM ivfrows), (SELECT fr FROM fres)
-          UNION ALL
-          SELECT 'ivfpq_opq', 1,
-            (SELECT CAST(count(*) AS BIGINT) FROM opqk s
-              JOIN exact USING (query_id, nn_id) WHERE s.rnk <= 5),
-            (SELECT ivf_rows * 4 FROM ivfrows), CAST(0 AS BIGINT)
-          UNION ALL
-          SELECT 'ivfpq_opq', 3,
-            (SELECT CAST(count(*) AS BIGINT) FROM opqr
-              JOIN exact USING (query_id, nn_id)),
-            (SELECT ivf_rows * 4 FROM ivfrows), (SELECT fr FROM fopq)
-          UNION ALL
-          SELECT 'sq8', 1,
-            (SELECT CAST(count(*) AS BIGINT) FROM sqk s
-              JOIN exact USING (query_id, nn_id) WHERE s.rnk <= 5),
-            (SELECT n_corpus * 64 FROM nc), CAST(0 AS BIGINT)
-          UNION ALL
-          SELECT 'sq8', 3,
-            (SELECT CAST(count(*) AS BIGINT) FROM sqr
-              JOIN exact USING (query_id, nn_id)),
-            (SELECT n_corpus * 64 FROM nc), (SELECT fr FROM fs))
-        SELECT rung, refine, hits,
-          (SELECT n_q * 5 FROM nq) AS n_eval,
-          CAST(floor(CAST(hits AS DOUBLE) /
-            CAST((SELECT n_q * 5 FROM nq) AS DOUBLE) * 1000000.0 + 0.5)
-            AS BIGINT) AS recall_micro,
-          code_bytes, float_rows
-        FROM h""",
+      "q282_ann_recall_sweep" -> duckSweepSql,
 
       // bloom-root refine: the manifest-stored float corpus serves the
       // SAME bytes as raw parquet (storage is invisible to results —
@@ -9997,6 +9942,221 @@ object SparkEntry {
     * oracles returned zero rows on a low-vocabulary corpus while the
     * engine kept segmenting with the merges it did learn).
     */
+
+  /** q282's full sweep oracle body — shared VERBATIM with q287, whose
+    * selection step wraps it as a subquery (the choice must be made
+    * over exactly the table the sweep serves, or the two oracles could
+    * drift). */
+  private lazy val duckSweepSql: String = s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM v
+          WHERE vec_id BETWEEN 60 AND 64),
+        exact AS MATERIALIZED (SELECT query_id, nn_id FROM (
+          SELECT q.query_id, c.vec_id AS nn_id,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id
+              ORDER BY list_dot_product(q.qe, c.e) DESC, c.vec_id) AS rnk
+          FROM v c JOIN q ON c.vec_id <> q.query_id) WHERE rnk <= 5),
+        coded AS (SELECT vec_id, ${duckPqCode(4, 8, 16, 7)} AS code FROM v),
+        adcs AS (SELECT q.query_id, c.vec_id AS nn_id,
+            ${duckPqScore(4, 8, 16, 7)} AS s
+          FROM coded c JOIN q ON c.vec_id <> q.query_id),
+        adck AS MATERIALIZED (SELECT query_id, nn_id, rnk FROM (
+          SELECT query_id, nn_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM adcs) WHERE rnk <= 15),
+        cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+        assigned AS MATERIALIZED (SELECT nn_id, c_emb, centroid_id FROM (
+          SELECT v.vec_id AS nn_id, v.e AS c_emb, c.cid AS centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+              list_dot_product(v.e, v.e) + list_dot_product(c.ce, c.ce)
+                - 2.0 * list_dot_product(v.e, c.ce), c.cid) AS rn
+          FROM v CROSS JOIN cent c) WHERE rn = 1),
+        icoded AS (SELECT nn_id, centroid_id, ${duckPqCode(4, 8, 16, 7)}
+            AS code
+          FROM (SELECT nn_id, centroid_id, c_emb AS e FROM assigned) t),
+        probes AS MATERIALIZED (SELECT query_id, qe, ce, centroid_id,
+            ${duckRotate(64, 11, "qe")} AS qeo FROM (
+          SELECT q.vec_id AS query_id, q.e AS qe, c.ce AS ce,
+            c.cid AS centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              list_dot_product(q.e, q.e) + list_dot_product(c.ce, c.ce)
+                - 2.0 * list_dot_product(q.e, c.ce), c.cid) AS pr
+          FROM v q CROSS JOIN cent c
+          WHERE q.vec_id BETWEEN 60 AND 64) WHERE pr <= 3),
+        ivfs AS (SELECT p.query_id, c.nn_id,
+            ${duckPqScore(4, 8, 16, 7)} AS s
+          FROM icoded c JOIN probes p ON c.centroid_id = p.centroid_id
+          WHERE c.nn_id <> p.query_id),
+        ivfk AS MATERIALIZED (SELECT query_id, nn_id, rnk FROM (
+          SELECT query_id, nn_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM ivfs) WHERE rnk <= 15),
+        resid AS (SELECT a.nn_id, a.centroid_id,
+            list_transform(range(1, len(a.c_emb) + 1),
+              i -> a.c_emb[i] - c.ce[i]) AS e
+          FROM assigned a JOIN cent c ON a.centroid_id = c.cid),
+        rcoded AS (SELECT nn_id, centroid_id,
+            ${duckPqCode(4, 8, 16, 7)} AS code
+          FROM resid),
+        ress AS (SELECT p.query_id, c.nn_id,
+            list_dot_product(p.qe, p.ce) +
+              (${duckPqScore(4, 8, 16, 7)}) AS s
+          FROM rcoded c JOIN probes p ON c.centroid_id = p.centroid_id
+          WHERE c.nn_id <> p.query_id),
+        resk AS MATERIALIZED (SELECT query_id, nn_id, rnk FROM (
+          SELECT query_id, nn_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM ress) WHERE rnk <= 15),
+        rre AS (SELECT nn_id, centroid_id,
+            ${duckRotate(64, 11, "e")} AS e
+          FROM resid),
+        ocoded AS (SELECT nn_id, centroid_id,
+            ${duckPqCode(4, 8, 16, 7)} AS code
+          FROM rre),
+        opqs AS (SELECT p.query_id, c.nn_id,
+            list_dot_product(p.qraw, p.ce) +
+              (${duckPqScore(4, 8, 16, 7)}) AS s
+          FROM ocoded c JOIN (SELECT query_id, centroid_id, ce,
+            qe AS qraw, qeo AS qe FROM probes) p
+            ON c.centroid_id = p.centroid_id
+          WHERE c.nn_id <> p.query_id),
+        opqk AS MATERIALIZED (SELECT query_id, nn_id, rnk FROM (
+          SELECT query_id, nn_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM opqs) WHERE rnk <= 15),
+        b AS (SELECT i, min(e[i+1]) AS mn, max(e[i+1]) AS mx
+          FROM v, range(0, 64) t(i) GROUP BY i),
+        bl AS (SELECT list(mn ORDER BY i) AS mins,
+            list(CASE WHEN mx > mn THEN mx - mn ELSE 0 END ORDER BY i)
+              AS spans
+          FROM b),
+        sqcoded AS (SELECT vec_id,
+            list_transform(range(0, 64), i -> CASE WHEN spans[i+1] = 0
+              THEN 0 ELSE CAST(least(greatest(
+                floor((e[i+1] - mins[i+1]) * 255.0 / spans[i+1] + 0.5),
+                0.0), 255.0) AS INTEGER) END) AS code
+          FROM v, bl),
+        deq AS (SELECT vec_id,
+            list_transform(range(0, 64),
+              i -> code[i+1] * spans[i+1] / 255.0 + mins[i+1]) AS de
+          FROM sqcoded, bl),
+        sqs AS (SELECT q.query_id, d.vec_id AS nn_id,
+            list_dot_product(q.qe, d.de) AS s
+          FROM deq d JOIN q ON d.vec_id <> q.query_id),
+        sqk AS MATERIALIZED (SELECT query_id, nn_id, rnk FROM (
+          SELECT query_id, nn_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s DESC, nn_id) AS rnk
+          FROM sqs) WHERE rnk <= 15),
+        adcr AS (SELECT query_id, nn_id FROM (
+          SELECT cd.query_id, cd.nn_id,
+            ROW_NUMBER() OVER (PARTITION BY cd.query_id
+              ORDER BY list_dot_product(qv.e, n.e) DESC, cd.nn_id) AS rnk
+          FROM adck cd JOIN v qv ON qv.vec_id = cd.query_id
+          JOIN v n ON n.vec_id = cd.nn_id) WHERE rnk <= 5),
+        ivfr AS (SELECT query_id, nn_id FROM (
+          SELECT cd.query_id, cd.nn_id,
+            ROW_NUMBER() OVER (PARTITION BY cd.query_id
+              ORDER BY list_dot_product(qv.e, n.e) DESC, cd.nn_id) AS rnk
+          FROM ivfk cd JOIN v qv ON qv.vec_id = cd.query_id
+          JOIN v n ON n.vec_id = cd.nn_id) WHERE rnk <= 5),
+        resr AS (SELECT query_id, nn_id FROM (
+          SELECT cd.query_id, cd.nn_id,
+            ROW_NUMBER() OVER (PARTITION BY cd.query_id
+              ORDER BY list_dot_product(qv.e, n.e) DESC, cd.nn_id) AS rnk
+          FROM resk cd JOIN v qv ON qv.vec_id = cd.query_id
+          JOIN v n ON n.vec_id = cd.nn_id) WHERE rnk <= 5),
+        opqr AS (SELECT query_id, nn_id FROM (
+          SELECT cd.query_id, cd.nn_id,
+            ROW_NUMBER() OVER (PARTITION BY cd.query_id
+              ORDER BY list_dot_product(qv.e, n.e) DESC, cd.nn_id) AS rnk
+          FROM opqk cd JOIN v qv ON qv.vec_id = cd.query_id
+          JOIN v n ON n.vec_id = cd.nn_id) WHERE rnk <= 5),
+        sqr AS (SELECT query_id, nn_id FROM (
+          SELECT cd.query_id, cd.nn_id,
+            ROW_NUMBER() OVER (PARTITION BY cd.query_id
+              ORDER BY list_dot_product(qv.e, n.e) DESC, cd.nn_id) AS rnk
+          FROM sqk cd JOIN v qv ON qv.vec_id = cd.query_id
+          JOIN v n ON n.vec_id = cd.nn_id) WHERE rnk <= 5),
+        nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM q),
+        nc AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM v),
+        ivfrows AS (SELECT CAST(count(*) AS BIGINT) AS ivf_rows
+          FROM assigned WHERE centroid_id IN
+            (SELECT DISTINCT centroid_id FROM probes)),
+        fa AS (SELECT CAST(count(DISTINCT nn_id) AS BIGINT) AS fr
+          FROM adck),
+        fi AS (SELECT CAST(count(DISTINCT nn_id) AS BIGINT) AS fr
+          FROM ivfk),
+        fres AS (SELECT CAST(count(DISTINCT nn_id) AS BIGINT) AS fr
+          FROM resk),
+        fopq AS (SELECT CAST(count(DISTINCT nn_id) AS BIGINT) AS fr
+          FROM opqk),
+        fs AS (SELECT CAST(count(DISTINCT nn_id) AS BIGINT) AS fr
+          FROM sqk),
+        h AS (
+          SELECT 'flat_adc' AS rung, CAST(1 AS BIGINT) AS refine,
+            (SELECT CAST(count(*) AS BIGINT) FROM adck s
+              JOIN exact USING (query_id, nn_id) WHERE s.rnk <= 5) AS hits,
+            (SELECT n_corpus * 4 FROM nc) AS code_bytes,
+            CAST(0 AS BIGINT) AS float_rows
+          UNION ALL
+          SELECT 'flat_adc', 3,
+            (SELECT CAST(count(*) AS BIGINT) FROM adcr
+              JOIN exact USING (query_id, nn_id)),
+            (SELECT n_corpus * 4 FROM nc), (SELECT fr FROM fa)
+          UNION ALL
+          SELECT 'ivfpq', 1,
+            (SELECT CAST(count(*) AS BIGINT) FROM ivfk s
+              JOIN exact USING (query_id, nn_id) WHERE s.rnk <= 5),
+            (SELECT ivf_rows * 4 FROM ivfrows), CAST(0 AS BIGINT)
+          UNION ALL
+          SELECT 'ivfpq', 3,
+            (SELECT CAST(count(*) AS BIGINT) FROM ivfr
+              JOIN exact USING (query_id, nn_id)),
+            (SELECT ivf_rows * 4 FROM ivfrows), (SELECT fr FROM fi)
+          UNION ALL
+          SELECT 'ivfpq_res', 1,
+            (SELECT CAST(count(*) AS BIGINT) FROM resk s
+              JOIN exact USING (query_id, nn_id) WHERE s.rnk <= 5),
+            (SELECT ivf_rows * 4 FROM ivfrows), CAST(0 AS BIGINT)
+          UNION ALL
+          SELECT 'ivfpq_res', 3,
+            (SELECT CAST(count(*) AS BIGINT) FROM resr
+              JOIN exact USING (query_id, nn_id)),
+            (SELECT ivf_rows * 4 FROM ivfrows), (SELECT fr FROM fres)
+          UNION ALL
+          SELECT 'ivfpq_opq', 1,
+            (SELECT CAST(count(*) AS BIGINT) FROM opqk s
+              JOIN exact USING (query_id, nn_id) WHERE s.rnk <= 5),
+            (SELECT ivf_rows * 4 FROM ivfrows), CAST(0 AS BIGINT)
+          UNION ALL
+          SELECT 'ivfpq_opq', 3,
+            (SELECT CAST(count(*) AS BIGINT) FROM opqr
+              JOIN exact USING (query_id, nn_id)),
+            (SELECT ivf_rows * 4 FROM ivfrows), (SELECT fr FROM fopq)
+          UNION ALL
+          SELECT 'sq8', 1,
+            (SELECT CAST(count(*) AS BIGINT) FROM sqk s
+              JOIN exact USING (query_id, nn_id) WHERE s.rnk <= 5),
+            (SELECT n_corpus * 64 FROM nc), CAST(0 AS BIGINT)
+          UNION ALL
+          SELECT 'sq8', 3,
+            (SELECT CAST(count(*) AS BIGINT) FROM sqr
+              JOIN exact USING (query_id, nn_id)),
+            (SELECT n_corpus * 64 FROM nc), (SELECT fr FROM fs))
+        SELECT rung, refine, hits,
+          (SELECT n_q * 5 FROM nq) AS n_eval,
+          CAST(floor(CAST(hits AS DOUBLE) /
+            CAST((SELECT n_q * 5 FROM nq) AS DOUBLE) * 1000000.0 + 0.5)
+            AS BIGINT) AS recall_micro,
+          code_bytes, float_rows
+        FROM h"""
+
   private def duckBpeCtes(rounds: Int, where: String = "",
                           eow: Boolean = false,
                           from: String = "documents",

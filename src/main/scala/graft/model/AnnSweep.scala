@@ -186,4 +186,27 @@ object AnnSweep {
     outRows(1, col("h1"), lit(0L))
       .unionAll(outRows(refine, col("hr"), coalesce(col("fr"), lit(0L))))
   }
+
+  /** CHOOSE the cheapest ladder rung meeting a recall target — the
+    * decision [[recallCostSweep]]'s table exists to drive, as a query
+    * instead of an eyeball: qualify rows at `recall_micro ≥ target`,
+    * price each at `code_bytes + float_rows · floatRowBytes` (stage 2
+    * re-reads full-precision rows; `floatRowBytes` ≈ dim · 8 for double
+    * embeddings), rank ascending. `choice_rank = 1` is the serving
+    * config to deploy; ZERO rows means no rung meets the target (raise
+    * `refine`, widen `nprobe`, or retrain books and re-sweep). Ties
+    * break (total_bytes, rung, refine) so the choice is deterministic
+    * cross-engine. The ungrouped window is the bounded-grain class: the
+    * sweep is ≤ 2 · |rungs| rows by construction.
+    */
+  def selectRung(sweep: DataFrame, targetRecallMicro: Long,
+                 floatRowBytes: Long): DataFrame =
+    sweep.filter(col("recall_micro") >= targetRecallMicro)
+      .withColumn("total_bytes",
+        col("code_bytes") + col("float_rows") * lit(floatRowBytes))
+      .withColumn("choice_rank", row_number().over(
+          Window.orderBy(col("total_bytes"), col("rung"), col("refine")))
+        .cast("long"))
+      .select("rung", "refine", "recall_micro", "total_bytes",
+        "choice_rank")
 }

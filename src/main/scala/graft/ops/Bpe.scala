@@ -462,7 +462,38 @@ object Bpe {
   def encodeIds(docs: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)],
                 eow: Boolean = false,
-                cjkCharSplit: Boolean = false): DataFrame = {
+                cjkCharSplit: Boolean = false): DataFrame =
+    encodeStream(docs, idCol, textCol, merges, None, eow, cjkCharSplit)
+
+  /** Reserved token id for symbols OUTSIDE a fixed vocabulary
+    * ([[encodeIdsWith]]) — the conventional `<unk>` slot. Negative, so it
+    * can never collide with [[vocabOf]]'s dense non-negative ids.
+    */
+  val UnkId: Long = -1L
+
+  /** Encode AGAINST A FIXED vocabulary — the cross-corpus serving form
+    * [[publishVocab]] exists for. [[encodeIds]] derives its id map from
+    * the corpus being encoded, which is correct at train time but wrong
+    * at serve time: two corpora (or the same corpus after one new symbol
+    * appears) get DIFFERENT id maps, silently re-labeling every stored
+    * sequence. Here the vocabulary is the pinned artifact
+    * ([[loadVocab]]); symbols it does not cover id as [[UnkId]] via a
+    * LEFT join — an inner join would silently DROP them from the stream,
+    * shifting every later position. Same cost shape as [[encodeIds]]:
+    * one tokenize + two vocabulary-bounded broadcast joins.
+    */
+  def encodeIdsWith(docs: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)], vocab: DataFrame,
+                    eow: Boolean = false,
+                    cjkCharSplit: Boolean = false): DataFrame =
+    encodeStream(docs, idCol, textCol, merges, Some(vocab), eow,
+      cjkCharSplit)
+
+  private def encodeStream(docs: DataFrame, idCol: String,
+                           textCol: String,
+                           merges: Seq[(String, String)],
+                           vocab: Option[DataFrame], eow: Boolean,
+                           cjkCharSplit: Boolean): DataFrame = {
     val tok =
       if (cjkCharSplit)
         graft.functions.TextFunctions.tokensCjkSplit(col(textCol))
@@ -472,16 +503,56 @@ object Bpe {
       .filter(col("word") =!= "")
     val segd = segmentWords(toks.select(col("word")).distinct(), "word",
       merges, eow)
-    val vocab = vocabOf(segd)
     val wDoc = Window.partitionBy(col(idCol))
       .orderBy(col("__wpos"), col("__spos"))
-    toks.join(broadcast(segd), "word")
+    val syms = toks.join(broadcast(segd), "word")
       .select(col(idCol), col("__wpos"),
         posexplode(col("syms")).as(Seq("__spos", "symbol")))
-      .join(broadcast(vocab), "symbol")
-      .withColumn("pos", (row_number().over(wDoc) - 1).cast("long"))
+    val idd = vocab match {
+      case None => syms.join(broadcast(vocabOf(segd)), "symbol")
+      case Some(v) => syms
+        .join(broadcast(v.select(col("symbol"),
+          col("token_id").cast("long").as("__vid"))),
+          Seq("symbol"), "left")
+        .withColumn("token_id", coalesce(col("__vid"), lit(UnkId)))
+    }
+    idd.withColumn("pos", (row_number().over(wDoc) - 1).cast("long"))
       .select(col(idCol), col("pos"), col("token_id"))
   }
+
+  /** The corpus's vocabulary under a merge table: segment the distinct
+    * words and id every produced symbol ([[vocabOf]]). This is the table
+    * [[publishVocab]] versions at train time so [[encodeIdsWith]] can
+    * encode any later corpus without re-deriving ids.
+    */
+  def corpusVocab(docs: DataFrame, textCol: String,
+                  merges: Seq[(String, String)],
+                  eow: Boolean = false,
+                  cjkCharSplit: Boolean = false): DataFrame = {
+    val tok =
+      if (cjkCharSplit)
+        graft.functions.TextFunctions.tokensCjkSplit(col(textCol))
+      else graft.functions.TextFunctions.tokens(col(textCol))
+    val words = docs.select(explode(tok).as("word"))
+      .filter(col("word") =!= "").distinct()
+    vocabOf(segmentWords(words, "word", merges, eow))
+  }
+
+  /** Per-doc OOV accounting over a fixed-vocab id stream
+    * ([[encodeIdsWith]]): id count, [[UnkId]] count, and the
+    * micro-floored OOV rate — the drift gauge a pinned tokenizer needs
+    * over a moving corpus (a rising rate means the vocabulary no longer
+    * covers the data and a retrain/version bump is due). Exact integer
+    * algebra; one map-side-combinable aggregate.
+    */
+  def oovStats(encoded: DataFrame, idCol: String): DataFrame =
+    encoded.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_ids"),
+      sum(when(col("token_id") === UnkId, lit(1L)).otherwise(lit(0L)))
+        .as("n_oov"),
+      floor(sum(when(col("token_id") === UnkId, lit(1.0))
+          .otherwise(lit(0.0))) / count(lit(1)) * lit(1e6) + lit(0.5))
+        .cast("long").as("oov_micro"))
 
   /** Publish [[vocabOf]]'s table as a versioned artifact (the same
     * tokenizers-are-models discipline as [[publishMerges]]: id drift
@@ -491,6 +562,14 @@ object Bpe {
                    vocab: DataFrame): String =
     Layout.publishVersion(spark, root,
       vocab.select(col("symbol"), col("token_id").cast("long")))
+
+  /** Load the LIVE vocabulary back ([[publishVocab]]'s inverse) —
+    * (symbol, token_id), the fixed id map [[encodeIdsWith]] serves
+    * against.
+    */
+  def loadVocab(spark: SparkSession, root: String): DataFrame =
+    Layout.readCurrent(spark, root)
+      .select(col("symbol"), col("token_id").cast("long"))
 
   /** Detokenize an eow-marked BPE token stream back to text: concatenate
     * the tokens and turn each [[EowMarker]] into a word boundary — the

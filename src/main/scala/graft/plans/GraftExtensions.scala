@@ -421,11 +421,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.ops.Bpe.loadMerges(spark, GraftPaths.resolve(spark, a(3)))) }
     // model-ready id sequences from SQL (r18): the doc's ordered
     // (pos, token_id) stream under the merge table stored at the given
-    // root — the same versioned-tokenizer contract as graft_bpe_tokens
-    tvf("graft_bpe_ids", 4 to 4) { a =>
+    // root — the same versioned-tokenizer contract as graft_bpe_tokens.
+    // The optional 5th argument is a PUBLISHED vocabulary root: ids then
+    // come from that pinned artifact (stable across corpora/retrains),
+    // with out-of-vocabulary symbols as Bpe.UnkId instead of per-call
+    // corpus-local ids
+    tvf("graft_bpe_ids", 4 to 5) { a =>
       val spark = org.apache.spark.sql.SparkSession.active
-      graft.ops.Bpe.encodeIds(table(a(0)), a(1), a(2),
-        graft.ops.Bpe.loadMerges(spark, GraftPaths.resolve(spark, a(3)))) }
+      val merges =
+        graft.ops.Bpe.loadMerges(spark, GraftPaths.resolve(spark, a(3)))
+      if (a.size == 4) graft.ops.Bpe.encodeIds(table(a(0)), a(1), a(2),
+        merges)
+      else graft.ops.Bpe.encodeIdsWith(table(a(0)), a(1), a(2), merges,
+        graft.ops.Bpe.loadVocab(spark, GraftPaths.resolve(spark, a(4)))) }
   }
 
   private def strLit(e: Option[Expression], fn: String, arg: String): String =

@@ -264,4 +264,26 @@ class AnalyticsTvfSpec extends SparkSpec {
       Bpe.encodeIds(docs, "doc_id", "text", merges).collect().toSet)
     graft.util.Caches.releaseAll()
   }
+
+  test("graft_bpe_ids arity 5 serves the FIXED published vocabulary — " +
+      "≡ encodeIdsWith, with out-of-vocabulary symbols as UnkId (r18)") {
+    import graft.ops.Bpe
+    val train = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val apply = Seq((9L, "low qat")).toDF("doc_id", "text")
+    apply.createOrReplaceTempView("tvf_bpefix_docs")
+    val root = graft.util.TempRoots.create("graft_tvfbpefix")
+    Bpe.publishMerges(spark, root + "/merges",
+      Bpe.trainMerges(train, "text", 2))
+    val merges = Bpe.loadMerges(spark, root + "/merges")
+    Bpe.publishVocab(spark, root + "/vocab",
+      Bpe.corpusVocab(train, "text", merges))
+    val got = spark.sql(
+      s"SELECT * FROM graft_bpe_ids('tvf_bpefix_docs', 'doc_id', " +
+        s"'text', '$root/merges', '$root/vocab')").collect().toSet
+    assert(got == Bpe.encodeIdsWith(apply, "doc_id", "text", merges,
+      Bpe.loadVocab(spark, root + "/vocab")).collect().toSet)
+    assert(got.exists(_.getLong(2) == Bpe.UnkId),
+      "the unseen word must surface as unk ids, not vanish")
+    graft.util.Caches.releaseAll()
+  }
 }

@@ -50,4 +50,27 @@ class AnnSweepSpec extends SparkSpec {
     assert(byKey(("ivfpq_res", 1L)).getAs[Long]("code_bytes") == ivfBytes)
     assert(byKey(("ivfpq_opq", 1L)).getAs[Long]("code_bytes") == ivfBytes)
   }
+
+  test("selectRung: qualifies at the recall floor, prices float rows, " +
+      "ranks by total bytes with deterministic ties, and returns zero " +
+      "rows when no rung qualifies") {
+    val sweep = Seq(
+      ("flat_adc", 1L, 2L, 10L, 200000L, 2000L, 0L),
+      ("flat_adc", 3L, 4L, 10L, 400000L, 2000L, 70L),
+      ("ivfpq", 1L, 1L, 10L, 100000L, 800L, 0L),
+      ("sq8", 1L, 9L, 10L, 900000L, 32000L, 0L)
+    ).toDF("rung", "refine", "hits", "n_eval", "recall_micro",
+      "code_bytes", "float_rows")
+    val out = AnnSweep.selectRung(sweep, targetRecallMicro = 200000L,
+      floatRowBytes = 512L).orderBy("choice_rank").collect()
+    // ivfpq (10%) fails the floor; costs: flat_adc/1 = 2000,
+    // sq8/1 = 32000, flat_adc/3 = 2000 + 70·512 = 37840
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+      r.getLong(4))).toList == List(
+      ("flat_adc", 1L, 2000L, 1L),
+      ("sq8", 1L, 32000L, 2L),
+      ("flat_adc", 3L, 37840L, 3L)), out.mkString("; "))
+    assert(AnnSweep.selectRung(sweep, 950000L, 512L).count() == 0L,
+      "no rung meets 95% — the empty table IS the answer")
+  }
 }

@@ -271,6 +271,36 @@ class BpeSpec extends SparkSpec {
     assert(back == vocab)
   }
 
+  test("encodeIdsWith: a FIXED vocabulary ids a new corpus — covered " +
+      "symbols keep their published ids, uncovered symbols become UnkId " +
+      "(not silently dropped), and oovStats counts them exactly") {
+    val train = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val vocab = Bpe.corpusVocab(train, "text", merges)
+    // training vocabulary: {e→0, low→1, r→2}
+    // new corpus: "low qat" → low→[low]→1; qat→[q,a,t]→unk,unk,unk —
+    // positions 1..3 PRESENT (an inner join would drop them)
+    val ids = Bpe.encodeIdsWith(Seq((9L, "low qat")).toDF("doc_id", "text"),
+        "doc_id", "text", merges, vocab)
+      .orderBy("pos").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toList
+    assert(ids == List((0L, 1L), (1L, Bpe.UnkId), (2L, Bpe.UnkId),
+      (3L, Bpe.UnkId)), ids.toString)
+    val stats = Bpe.oovStats(
+      Bpe.encodeIdsWith(Seq((9L, "low qat")).toDF("doc_id", "text"),
+        "doc_id", "text", merges, vocab), "doc_id").collect().head
+    assert(stats.getAs[Long]("n_ids") == 4L &&
+      stats.getAs[Long]("n_oov") == 3L &&
+      stats.getAs[Long]("oov_micro") == 750000L, stats.toString)
+    // on the training corpus itself the fixed-vocab form is id-for-id
+    // the per-call form (zero OOV by construction)
+    val fixed = Bpe.encodeIdsWith(train, "doc_id", "text", merges, vocab)
+      .orderBy("pos").collect().map(r => (r.getLong(1), r.getLong(2)))
+    val percall = Bpe.encodeIds(train, "doc_id", "text", merges)
+      .orderBy("pos").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(fixed.sameElements(percall))
+  }
+
   test("trainMerges stops early when no pair remains (single-char words " +
       "never mint a merge), returning the rounds it could learn") {
     val docs = Seq((1L, "a b a b c")).toDF("doc_id", "text")
