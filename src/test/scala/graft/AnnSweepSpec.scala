@@ -51,6 +51,46 @@ class AnnSweepSpec extends SparkSpec {
     assert(byKey(("ivfpq_opq", 1L)).getAs[Long]("code_bytes") == ivfBytes)
   }
 
+  test("recallCostSweep under TRAINED codebooks: Lloyd refinement " +
+      "changes recall, never cost — byte columns are data-layout facts, " +
+      "identical seeded vs trained — and every sweep law still holds") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val seeded = Quantize.seededCodebooks(m = 4, k = 8, subDim = 16,
+      seed = 7)
+    val trained = Quantize.trainCodebooks(emb, "embedding", seeded,
+      iters = 2)
+    assert(Quantize.quantizationMse(emb, "embedding", trained) <=
+      Quantize.quantizationMse(emb, "embedding", seeded),
+      "Lloyd must descend the quantization objective")
+    val rot = Quantize.seededRotation(64, seed = 11)
+    val (mins, maxs) = Quantize.sqTrain(emb, "embedding", 64)
+    def sweep(cb: Array[Array[Array[Double]]]) =
+      AnnSweep.recallCostSweep(emb, emb.filter($"vec_id" < 3), cb,
+        emb.filter($"vec_id" < 8), nprobe = 2, rot, mins, maxs,
+        k = 4, refine = 3).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val s = sweep(seeded)
+    val t = sweep(trained)
+    assert(t.size == 10)
+    for (key <- t.keys) {
+      // cost columns are layout facts: corpus rows × code width and the
+      // probed-cell fraction do not depend on codebook VALUES
+      assert(t(key).getAs[Long]("code_bytes") ==
+        s(key).getAs[Long]("code_bytes"), s"$key bytes moved")
+      if (key._2 > 1L)
+        assert(t(key).getAs[Long]("recall_micro") >=
+          t((key._1, 1L)).getAs[Long]("recall_micro"),
+          s"$key refined < stage-1 under trained books")
+    }
+    // the harness receipt: trained books must not degrade the flat-ADC
+    // rung the training directly optimizes (its score IS the codebook
+    // approximation; the sweep is how seeded-vs-trained gets COMPARED)
+    assert(t(("flat_adc", 3L)).getAs[Long]("recall_micro") >=
+      s(("flat_adc", 3L)).getAs[Long]("recall_micro"),
+      s"trained flat_adc refined recall below seeded: " +
+        s"${t(("flat_adc", 3L))} vs ${s(("flat_adc", 3L))}")
+  }
+
   test("selectRung: qualifies at the recall floor, prices float rows, " +
       "ranks by total bytes with deterministic ties, and returns zero " +
       "rows when no rung qualifies") {
