@@ -2375,6 +2375,45 @@ object SparkEntry {
     }),
 
 
+    // --- PACK capacity accounting (r18): how full the greedy
+    //     shard-cumsum packs actually are — per shard: packs, docs,
+    //     token sum, min/max pack length, straddle overflow beyond the
+    //     512 budget, and fill vs n_packs·512. Straddle assignment (a
+    //     doc belongs to the pack where its running sum starts) lets a
+    //     pack exceed the budget by one doc's tail; this prices that
+    //     choice ---
+    "q288_pack_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // shares q277's memoized merge artifact — same training, one
+      // publish per bench JVM
+      val root = graft.util.TempRoots.memo(s"graft_q277_$dir") { r =>
+        graft.ops.Bpe.publishMerges(s, r + "/merges",
+          graft.ops.Bpe.trainMerges(docs, "text", rounds = 6))
+      }
+      val merges = graft.ops.Bpe.loadMerges(s, root + "/merges")
+      Sampling.packStats(
+        Sampling.packDocs(
+          graft.ops.Bpe.bpeTokenCounts(docs, "doc_id", "text", merges),
+          "doc_id", col("n_bpe_tokens"), seqLen = 512, shards = 8),
+        seqLen = 512)
+    }),
+
+
+    // --- VOCABULARY coverage curve (r18): per symbol, corpus frequency,
+    //     frequency rank, and the cumulative share of all token
+    //     occurrences covered by ranks ≤ this one — the diagnostic that
+    //     CHOOSES a vocab size (stop where the curve flattens);
+    //     vocabulary-grain windows, the corpus touched once ---
+    "q289_vocab_coverage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.ops.Bpe.trainMergesLocal(docs, "text", rounds = 6)
+        .select(col("round"), col("lhs"), col("rhs"))
+        .collect().sortBy(_.getLong(0)) // rounds rows — bounded metadata
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ops.Bpe.vocabCoverage(docs, "text", merges)
+    }),
+
+
     // --- ANN recall/cost SELECTION sweep (r18): the FULL ladder
     //     (flat ADC / IVF-PQ / +residual / +OPQ / SQ8, each ± exact
     //     refine) measured in one call against the exact inner-product
@@ -7821,6 +7860,55 @@ object SparkEntry {
         FROM (SELECT rung, refine, recall_micro,
             code_bytes + float_rows * 512 AS total_bytes
           FROM sweep WHERE recall_micro >= 150000)""",
+
+      // pack capacity: q277's cumsum replay, reduced per pack then per
+      // shard — straddle overflow counts tokens past the 512 budget
+      "q288_pack_stats" -> s"""
+        WITH ${duckBpeCtes(6)},
+        toks AS (SELECT doc_id,
+            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+          FROM documents),
+        tw AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+        wn AS (SELECT word, CAST(len(syms) AS BIGINT) AS n FROM seg6),
+        perdoc AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens
+          FROM tw JOIN wn USING (word) GROUP BY 1),
+        packed AS (SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+            CAST((SUM(n_tokens) OVER (PARTITION BY doc_id % 8
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+              // 512 AS BIGINT) AS pack_id
+          FROM perdoc),
+        perpack AS (SELECT shard, pack_id,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS pack_len
+          FROM packed GROUP BY 1, 2)
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_packs,
+          CAST(sum(n_docs) AS BIGINT) AS n_docs,
+          CAST(sum(pack_len) AS BIGINT) AS sum_tokens,
+          CAST(min(pack_len) AS BIGINT) AS min_pack_len,
+          CAST(max(pack_len) AS BIGINT) AS max_pack_len,
+          CAST(sum(CASE WHEN pack_len > 512 THEN pack_len - 512
+            ELSE 0 END) AS BIGINT) AS overflow_tokens,
+          CAST(floor(CAST(sum(pack_len) AS DOUBLE) /
+            (count(*) * 512.0) * 1000000.0 + 0.5) AS BIGINT) AS fill_micro
+        FROM perpack GROUP BY 1""",
+
+      // vocabulary coverage: symbol frequencies from the trained
+      // segmentation × word counts, ranked with the cumulative share
+      "q289_vocab_coverage" -> s"""
+        WITH ${duckBpeCtes(6)},
+        symf AS (SELECT symbol, CAST(sum(freq) AS BIGINT) AS freq
+          FROM (SELECT freq, unnest(syms) AS symbol FROM seg6)
+          GROUP BY 1),
+        tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM symf)
+        SELECT symbol, freq,
+          CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, symbol) AS BIGINT)
+            AS rank,
+          CAST(floor(CAST(SUM(freq) OVER (ORDER BY freq DESC, symbol
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) / CAST((SELECT total FROM tot) AS DOUBLE)
+              * 1000000.0 + 0.5) AS BIGINT) AS cum_micro
+        FROM symf""",
 
       // the recall/cost sweep: every rung's candidate chain is the
       // corresponding serving oracle (q160 flat ADC / q270 IVF probe /

@@ -538,6 +538,37 @@ object Bpe {
     vocabOf(segmentWords(words, "word", merges, eow))
   }
 
+  /** Symbol-frequency COVERAGE curve of a tokenizer over a corpus: per
+    * vocabulary symbol, its corpus frequency (word frequency × its
+    * occurrences in that word's segmentation), frequency rank, and the
+    * cumulative share of all token occurrences covered by ranks ≤ this
+    * one — the standard diagnostic for CHOOSING a vocabulary size (stop
+    * where the curve flattens; a long flat tail means merges stopped
+    * paying). The corpus is touched once ([[wordCounts]]); everything
+    * after runs at vocabulary grain, including the ungrouped rank/cumsum
+    * windows (the adjudicated bounded class — symbols, not rows).
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    merges: Seq[(String, String)],
+                    eow: Boolean = false,
+                    cjkCharSplit: Boolean = false): DataFrame = {
+    val symf = segmentWords(wordCounts(docs, textCol, cjkCharSplit),
+        "word", merges, eow)
+      .select(col("freq"), explode(col("syms")).as("symbol"))
+      .groupBy("symbol").agg(sum(col("freq")).as("freq"))
+    val wR = Window.orderBy(col("freq").desc, col("symbol"))
+    val wCum = wR.rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    symf.withColumn("rank", row_number().over(wR).cast("long"))
+      .withColumn("cum_micro",
+        floor(sum(col("freq")).over(wCum).cast("double") /
+            sum(col("freq")).over(wTot).cast("double") * lit(1e6) +
+            lit(0.5))
+          .cast("long"))
+      .select(col("symbol"), col("freq"), col("rank"), col("cum_micro"))
+  }
+
   /** Per-doc OOV accounting over a fixed-vocab id stream
     * ([[encodeIdsWith]]): id count, [[UnkId]] count, and the
     * micro-floored OOV rate — the drift gauge a pinned tokenizer needs

@@ -314,4 +314,31 @@ object Sampling {
         ((sum(col("n_tokens")).over(w) - col("n_tokens")) / seqLen).cast("long"))
       .select(col(idCol), col("shard"), col("pack_id"), col("n_tokens"))
   }
+
+  /** Capacity accounting for [[packDocs]] output — per shard: pack and
+    * doc counts, token sum, min/max pack length, the straddle OVERFLOW
+    * beyond the budget, and the fill ratio vs `n_packs · seqLen`.
+    * Straddle assignment (a doc belongs to the pack where its running
+    * sum STARTS) means a pack can exceed `seqLen` by one doc's tail —
+    * this is the metric that prices that choice (rising overflow ⇒
+    * split or truncate straddling docs upstream). Two map-side-
+    * combinable aggregates; the second runs at shard grain (bounded).
+    */
+  def packStats(packed: DataFrame, seqLen: Int): DataFrame =
+    packed.groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_len"))
+      .groupBy("shard").agg(
+        count(lit(1)).as("n_packs"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("pack_len")).as("sum_tokens"),
+        min(col("pack_len")).as("min_pack_len"),
+        max(col("pack_len")).as("max_pack_len"),
+        sum(when(col("pack_len") > seqLen,
+          col("pack_len") - seqLen).otherwise(lit(0L)))
+          .as("overflow_tokens"),
+        floor(sum(col("pack_len")).cast("double") /
+            (count(lit(1)) * lit(seqLen.toLong)).cast("double") *
+            lit(1e6) + lit(0.5))
+          .cast("long").as("fill_micro"))
 }

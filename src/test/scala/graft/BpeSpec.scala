@@ -301,6 +301,21 @@ class BpeSpec extends SparkSpec {
     assert(fixed.sameElements(percall))
   }
 
+  test("vocabCoverage: symbol frequencies are word-count-weighted, rank " +
+      "ties break (freq DESC, symbol), and the cumulative share reaches " +
+      "exactly 1e6 — hand-computed") {
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    // low×2→[low], lower×1→[low,e,r]: low 3, e 1, r 1; total 5 →
+    // rank low(3)=1 cum 600000, e(1)=2 cum 800000, r(1)=3 cum 1000000
+    val out = Bpe.vocabCoverage(docs, "text", merges)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    assert(out == List(("low", 3L, 1L, 600000L), ("e", 1L, 2L, 800000L),
+      ("r", 1L, 3L, 1000000L)), out.toString)
+  }
+
   test("trainMerges stops early when no pair remains (single-char words " +
       "never mint a merge), returning the rounds it could learn") {
     val docs = Seq((1L, "a b a b c")).toDF("doc_id", "text")

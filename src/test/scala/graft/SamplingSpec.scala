@@ -186,4 +186,32 @@ class SamplingSpec extends SparkSpec {
       Sampling.rendezvousShard($"h", 0)
     }
   }
+
+  test("packStats: per-shard pack/doc counts, min/max pack length, " +
+      "straddle overflow past the budget, and the fill ratio — " +
+      "hand-computed") {
+    // shard 0 (even ids): 6,6,6 → starts 0,6,12 → packs 0,0,1 at
+    // seqLen 10: lens 12 and 6, overflow 2, fill 18/20
+    // shard 1 (odd ids): 4,12 → starts 0,4 → both pack 0: len 16,
+    // overflow 6, fill 16/10
+    val docs = Seq((0L, 6L), (2L, 6L), (4L, 6L), (1L, 4L), (3L, 12L))
+      .toDF("doc_id", "n")
+    val out = Sampling.packStats(
+      Sampling.packDocs(docs, "doc_id", $"n", seqLen = 10, shards = 2),
+      seqLen = 10).collect()
+      .map(r => r.getAs[Long]("shard") -> r).toMap
+    val s0 = out(0L)
+    assert(s0.getAs[Long]("n_packs") == 2L &&
+      s0.getAs[Long]("n_docs") == 3L &&
+      s0.getAs[Long]("sum_tokens") == 18L &&
+      s0.getAs[Long]("min_pack_len") == 6L &&
+      s0.getAs[Long]("max_pack_len") == 12L &&
+      s0.getAs[Long]("overflow_tokens") == 2L &&
+      s0.getAs[Long]("fill_micro") == 900000L, s0.toString)
+    val s1 = out(1L)
+    assert(s1.getAs[Long]("n_packs") == 1L &&
+      s1.getAs[Long]("n_docs") == 2L &&
+      s1.getAs[Long]("overflow_tokens") == 6L &&
+      s1.getAs[Long]("fill_micro") == 1600000L, s1.toString)
+  }
 }
