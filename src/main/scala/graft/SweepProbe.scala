@@ -33,21 +33,19 @@ object SweepProbe {
     val rot = Quantize.seededRotation(64, seed = 11)
     val (mins, maxs) = Quantize.sqTrain(emb, "embedding", 64)
     def run(tag: String, cb: Array[Array[Array[Double]]]): Unit = {
-      val rows = AnnSweep.recallCostSweep(emb,
-          emb.filter(col("vec_id") >= 60 && col("vec_id") <= 64), cb,
-          emb.filter(col("vec_id") < 8), nprobe = 3, rot, mins, maxs,
-          k = 5, refine = 3)
-        .orderBy("rung", "refine").collect()
-      rows.foreach(r => println(s"$tag ${r.getString(0)}/${r.getLong(1)}" +
-        s" recall=${r.getAs[Long]("recall_micro")}" +
-        s" code_bytes=${r.getAs[Long]("code_bytes")}" +
-        s" float_rows=${r.getAs[Long]("float_rows")}"))
-      AnnSweep.selectRung(
-        AnnSweep.recallCostSweep(emb,
-          emb.filter(col("vec_id") >= 60 && col("vec_id") <= 64), cb,
-          emb.filter(col("vec_id") < 8), nprobe = 3, rot, mins, maxs,
-          k = 5, refine = 3),
-        targetRecallMicro = 150000L, floatRowBytes = 512L)
+      // ONE sweep per tag — its internal localCheckpoints are reused by
+      // both the table print and the selection pass
+      val sweep = AnnSweep.recallCostSweep(emb,
+        emb.filter(col("vec_id") >= 60 && col("vec_id") <= 64), cb,
+        emb.filter(col("vec_id") < 8), nprobe = 3, rot, mins, maxs,
+        k = 5, refine = 3)
+      sweep.orderBy("rung", "refine").collect()
+        .foreach(r => println(s"$tag ${r.getString(0)}/${r.getLong(1)}" +
+          s" recall=${r.getAs[Long]("recall_micro")}" +
+          s" code_bytes=${r.getAs[Long]("code_bytes")}" +
+          s" float_rows=${r.getAs[Long]("float_rows")}"))
+      AnnSweep.selectRung(sweep, targetRecallMicro = 150000L,
+          floatRowBytes = 512L)
         .orderBy("choice_rank").collect()
         .foreach(r => println(s"$tag CHOICE ${r.getLong(4)}: " +
           s"${r.getString(0)}/${r.getLong(1)} recall=${r.getLong(2)} " +

@@ -528,15 +528,12 @@ object Bpe {
   def corpusVocab(docs: DataFrame, textCol: String,
                   merges: Seq[(String, String)],
                   eow: Boolean = false,
-                  cjkCharSplit: Boolean = false): DataFrame = {
-    val tok =
-      if (cjkCharSplit)
-        graft.functions.TextFunctions.tokensCjkSplit(col(textCol))
-      else graft.functions.TextFunctions.tokens(col(textCol))
-    val words = docs.select(explode(tok).as("word"))
-      .filter(col("word") =!= "").distinct()
-    vocabOf(segmentWords(words, "word", merges, eow))
-  }
+                  cjkCharSplit: Boolean = false): DataFrame =
+    // rides wordCounts (same tokenization branch as every other corpus
+    // entry point — ONE place to drift) — its group-by IS the distinct
+    // word set; the freq column is ignored by vocabOf
+    vocabOf(segmentWords(wordCounts(docs, textCol, cjkCharSplit),
+      "word", merges, eow))
 
   /** Symbol-frequency COVERAGE curve of a tokenizer over a corpus: per
     * vocabulary symbol, its corpus frequency (word frequency × its
@@ -580,10 +577,10 @@ object Bpe {
     encoded.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_ids"),
       sum(when(col("token_id") === UnkId, lit(1L)).otherwise(lit(0L)))
-        .as("n_oov"),
-      floor(sum(when(col("token_id") === UnkId, lit(1.0))
-          .otherwise(lit(0.0))) / count(lit(1)) * lit(1e6) + lit(0.5))
-        .cast("long").as("oov_micro"))
+        .as("n_oov"))
+      .withColumn("oov_micro",
+        floor(col("n_oov").cast("double") / col("n_ids").cast("double")
+          * lit(1e6) + lit(0.5)).cast("long"))
 
   /** Publish [[vocabOf]]'s table as a versioned artifact (the same
     * tokenizers-are-models discipline as [[publishMerges]]: id drift

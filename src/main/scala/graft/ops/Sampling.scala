@@ -323,6 +323,11 @@ object Sampling {
     * this is the metric that prices that choice (rising overflow ⇒
     * split or truncate straddling docs upstream). Two map-side-
     * combinable aggregates; the second runs at shard grain (bounded).
+    *
+    * CONTRACT: `seqLen` must be the SAME budget the frame was packed
+    * with — [[packDocs]] does not carry it, so a mismatched value here
+    * yields plausible-looking but wrong overflow/fill numbers (the
+    * pack_id boundaries were drawn at the other budget).
     */
   def packStats(packed: DataFrame, seqLen: Int): DataFrame =
     packed.groupBy("shard", "pack_id")

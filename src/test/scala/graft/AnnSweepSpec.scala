@@ -82,13 +82,12 @@ class AnnSweepSpec extends SparkSpec {
           t((key._1, 1L)).getAs[Long]("recall_micro"),
           s"$key refined < stage-1 under trained books")
     }
-    // the harness receipt: trained books must not degrade the flat-ADC
-    // rung the training directly optimizes (its score IS the codebook
-    // approximation; the sweep is how seeded-vs-trained gets COMPARED)
-    assert(t(("flat_adc", 3L)).getAs[Long]("recall_micro") >=
-      s(("flat_adc", 3L)).getAs[Long]("recall_micro"),
-      s"trained flat_adc refined recall below seeded: " +
-        s"${t(("flat_adc", 3L))} vs ${s(("flat_adc", 3L))}")
+    // NO cross-codebook recall assertion on purpose: whether trained
+    // books beat seeded on a given eval slice is an empirical outcome
+    // (one-hit granularity at this size — the SweepProbe receipt in
+    // SCALE.md shows a refined rung moving BOTH directions), not a law.
+    // The laws are the byte equality and the within-codebook dominance
+    // above; comparing seeded vs trained is what the sweep table is FOR.
   }
 
   test("selectRung: qualifies at the recall floor, prices float rows, " +
