@@ -182,6 +182,54 @@ object StreamingOps {
         .jsAgainstReference(refCats, batch, keys, catCol)
         .filter(col("jsd_nano") >= alarmNanos))
 
+  /** The drift family's TOKENIZER mode: per micro-batch, encode the
+    * batch's text against a PINNED vocabulary
+    * ([[graft.ops.Bpe.encodeIdsWith]] — the versioned-artifact
+    * discipline) and alert when any key group's out-of-vocabulary share
+    * reaches `alarmMicro`. A rising OOV rate is the leading signal that
+    * the live corpus has outgrown the tokenizer version every stored
+    * sequence is encoded with (new script, new domain, new markup) — the
+    * alarm is the "cut tokenizer version N+1" trigger. Same delivery
+    * contract as [[streamDriftMonitor]]/[[streamDriftMonitorJs]]: ONE
+    * loop implementation ([[monitorLoop]]), exactly-once at-threshold
+    * alert rows. Empty `keys` = one global row per batch.
+    */
+  def streamOovMonitor(stream: DataFrame, idCol: String, textCol: String,
+                       merges: Seq[(String, String)], vocab: DataFrame,
+                       keys: Seq[String], alarmMicro: Long,
+                       alertRoot: String,
+                       checkpoint: String): StreamingQuery = {
+    val spark = stream.sparkSession
+    val alertSchema = StructType(
+      keys.map(k => stream.schema(stream.schema.fieldIndex(k))) ++
+        Seq(org.apache.spark.sql.types.StructField("n_ids",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_oov",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("oov_micro",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+    val emptyAlerts = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      alertSchema)
+    monitorLoop(stream, alertRoot, checkpoint, emptyAlerts,
+      score = batch => {
+        val ids = graft.ops.Bpe.encodeIdsWith(batch, idCol, textCol,
+          merges, vocab)
+        val keyed =
+          if (keys.isEmpty) ids
+          else ids.join(
+            batch.select((idCol +: keys).distinct.map(col): _*), idCol)
+        keyed.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("n_ids"),
+            sum(when(col("token_id") === graft.ops.Bpe.UnkId, lit(1L))
+              .otherwise(lit(0L))).as("n_oov"))
+          .withColumn("oov_micro",
+            floor(col("n_oov").cast("double") / col("n_ids").cast("double")
+              * lit(1e6) + lit(0.5)).cast("long"))
+          .filter(col("oov_micro") >= alarmMicro)
+      })
+  }
+
   /** The ONE alert-delivery loop both drift monitors run (review fix
     * r16 — the two modes were 40-line near-copies whose exactly-once
     * semantics could have diverged under a one-sided fix): self-init the

@@ -540,4 +540,55 @@ class StreamingSpec extends SparkSpec {
     assert(alerts() == after)
     graft.util.Caches.releaseAll()
   }
+
+  test("streamOovMonitor: a batch of out-of-vocabulary text alarms per " +
+      "key with the exact unk share, in-vocab batches stay quiet, " +
+      "replay never double-alerts (r18)") {
+    import graft.sources.Layout
+    import graft.ops.Bpe
+    val root = Files.createTempDirectory("graft_oov_tbl").toString + "/t"
+    val alertRoot = Files.createTempDirectory("graft_oov_al").toString + "/a"
+    val ckpt = Files.createTempDirectory("graft_oov_ck").toString
+    // pinned tokenizer: merges + vocabulary trained on the 'low' corpus
+    // — vocabulary {e, low, r} (chars q/z/a/t never seen)
+    val train = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val vocab = graft.util.Caches.cache(
+      Bpe.corpusVocab(train, "text", merges)).toDF
+    def rows(ids: Range, k: String, text: String) =
+      ids.map(i => (i.toLong, k, text)).toDF("doc_id", "k", "text")
+    Layout.initVersionedManifest(
+      rows(0 until 4, "a", "low lower"), root, Seq("k"))
+    def monitor() = StreamingOps.streamOovMonitor(
+      StreamingOps.readChangeStream(spark, root, Seq("doc_id")),
+      "doc_id", "text", merges, vocab, keys = Seq("k"),
+      alarmMicro = 500000L, alertRoot = alertRoot, checkpoint = ckpt)
+    def alerts() = Layout.readCurrent(spark, alertRoot)
+      .select($"k", $"batch_id", $"n_ids", $"n_oov", $"oov_micro")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // snapshot batch is fully in-vocab — quiet
+    monitor()
+    assert(alerts().isEmpty, s"in-vocab snapshot must not alarm: ${alerts()}")
+    // planted drift on key 'b': "qat zzz" → q,a,t,z,z,z all unk; key 'a'
+    // stays in-vocab in the same batch and must NOT alert
+    Layout.mergeVersionedPartitioned(spark, root,
+      rows(100 until 102, "b", "qat zzz low")
+        .unionByName(rows(200 until 202, "a", "low low")),
+      Seq("doc_id"), "k")
+    monitor()
+    val after = alerts()
+    // per doc "qat zzz low": ids q,a,t,z,z,z,low = 7, unk 6; two docs →
+    // n_ids 14, n_oov 12, 857143 micro
+    assert(after.map(t => (t._1, t._3, t._4, t._5)) ==
+      Set(("b", 14L, 12L, 857143L)), s"exactly key b alarms: $after")
+    // an in-vocab follow-up batch: quiet
+    Layout.mergeVersionedPartitioned(spark, root,
+      rows(300 until 302, "b", "lower low"), Seq("doc_id"), "k")
+    monitor()
+    assert(alerts() == after, "an in-vocab batch must not alarm")
+    // replay with nothing new: no duplicate alerts
+    monitor()
+    assert(alerts() == after)
+    graft.util.Caches.releaseAll()
+  }
 }
