@@ -382,9 +382,15 @@ object Graph {
     def half(scores: DataFrame, scoreCol: String, inCol: String,
              outCol: String, outName: String): DataFrame = {
       val e = if (inCol == "src") eBySrc else eByDst
+      // raw is consumed TWICE — the tot broadcast and the normalized join
+      // below — and without a cut each consumer re-ran the edge join +
+      // aggregate (the whole half-step's work, measured ~2× the loop cost
+      // at sf0.1; r18 perf). Materialize the node-grain contribution sums
+      // once; both consumers then read the pinned ~|nodes| rows.
       val raw = e.join(scores, e(inCol) === scores("node"))
         .select(col(outCol).as("node"), col(scoreCol).cast(dec).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("raw"))
+        .localCheckpoint(true)
       val tot = raw.agg(sum(col("raw")).as("tot"))
       nodes.join(raw, Seq("node"), "left")
         .crossJoin(broadcast(tot))

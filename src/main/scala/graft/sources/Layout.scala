@@ -3,7 +3,8 @@ package graft.sources
 import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{BooleanType, ByteType, IntegerType,
+  LongType, ShortType, StringType, StructType}
 
 /** Physical data layout beyond directories and buckets: multi-dimensional
   * clustering (Z-order) and small-file compaction. Neither changes query
@@ -1160,10 +1161,20 @@ object Layout {
       s"upsertVersionedRows: updates schema ${updates.schema.simpleString} " +
         s"must match the table exactly (${tableCols.keys.mkString(",")}) — " +
         "schema evolution is mergeVersionedPartitioned's job")
-    // empty-batch no-op BEFORE constraint validation — an empty trigger
-    // on a constrained table must not pay a validation job (review fix)
-    if (updates.isEmpty) return cur
-    requireConstraints(updates, man.writerChecks, "upsert rows")
+    // ONE probe job over the pinned batch (r18 perf — was three: an
+    // isEmpty take, a constraint-validation aggregate, a key-bounds
+    // aggregate): emptiness, every needed CHECK, and the key envelope
+    // ride a single combined aggregate. An empty trigger still no-ops
+    // before any constraint can fire (zero rows ⇒ zero violations, the
+    // same vacuous truth the skipped validation job gave).
+    val k0 = keys.head
+    val checks = neededChecks(updates, man.writerChecks)
+    val probeAggs = Seq(count(lit(1)).as("__n"),
+      min(col(s"`$k0`")).as("__lo"), max(col(s"`$k0`")).as("__hi")) ++
+      checks.map { case (name, sql) => count(when(!expr(sql), 1)).as(name) }
+    val probe = updates.agg(probeAggs.head, probeAggs.tail: _*).head()
+    if (probe.getLong(0) == 0L) return cur
+    raiseCheckViolations(checks, i => probe.getLong(3 + i), "upsert rows")
     // UNIQUE: replace-by-key preserves key uniqueness exactly when the
     // constraint IS the key set and the incoming batch is key-unique
     // (dup source keys would all land — the caller-owned contract
@@ -1176,12 +1187,10 @@ object Layout {
     // key-range prefilter: two scalars off the updates (O(1) driver data)
     // let the stats envelopes prune files that cannot hold any incoming
     // key — without it the semi-join would plan every file of the table
-    val k0 = keys.head
-    val bounds = updates.agg(min(col(s"`$k0`")), max(col(s"`$k0`"))).head()
     val ranged =
-      if (bounds.isNullAt(0)) snap
-      else snap.filter(col(s"`$k0`") >= lit(bounds.get(0)) &&
-        col(s"`$k0`") <= lit(bounds.get(1)))
+      if (probe.isNullAt(1)) snap
+      else snap.filter(col(s"`$k0`") >= lit(probe.get(1)) &&
+        col(s"`$k0`") <= lit(probe.get(2)))
     val matched = ranged
       .join(updates.select(keys.map(k => col(s"`$k`")): _*).distinct(),
         keys, "left_semi")
@@ -1309,7 +1318,15 @@ object Layout {
         s"$what: rows schema ${rows.schema.simpleString} " +
           s"must match the table exactly (${tableCols.keys.mkString(",")}) — " +
           evolveHint)
-      val empty = rows.isEmpty
+      // emptiness probe and CHECK validation share ONE aggregate job over
+      // the pinned batch (r18 perf — was an isEmpty take plus a separate
+      // validation job); zero rows ⇒ zero violations, the same vacuous
+      // truth the skipped validation job gave
+      val checks = neededChecks(rows, man.writerChecks)
+      val probeAggs = count(lit(1)).as("__n") +:
+        checks.map { case (name, sql) => count(when(!expr(sql), 1)).as(name) }
+      val probe = rows.agg(probeAggs.head, probeAggs.tail: _*).head()
+      val empty = probe.getLong(0) == 0L
       if (empty && carryForward) return cur // append of nothing: no-op
       // GENERATED identity: values are assigned by completeInsertColumns
       // (which stamps the advanced high-water into extraProps) — a batch
@@ -1322,7 +1339,8 @@ object Layout {
             "through the INSERT surface / completeInsertColumns so ids are " +
             "assigned against the committed high-water mark")
       }
-      if (!empty) requireConstraints(rows, man.writerChecks, s"$op rows")
+      if (!empty)
+        raiseCheckViolations(checks, i => probe.getLong(1 + i), s"$op rows")
       // UNIQUE gate: intra-batch always; vs the current snapshot only on
       // APPEND (REPLACE keeps nothing to collide with)
       if (!empty && man.uniqueConstraints.nonEmpty)
@@ -1492,16 +1510,20 @@ object Layout {
       // an EMPTY source is a no-op ONLY without by-source clauses: with
       // them, every target row is "not matched by source" and the clauses
       // legitimately apply to the whole table (full sync to empty)
-      if (source.isEmpty && !hasBySource) return cur
-      val snap = ManifestIndex.dataFrame(spark, root, man, lineage = true)
       // key-range prefilter, as in upsertVersionedRows: two scalars off the
-      // source let stats envelopes prune files holding no candidate key
+      // source let stats envelopes prune files holding no candidate key.
+      // The emptiness probe RIDES the same aggregate (one pass over the
+      // persisted source instead of a separate isEmpty job per merge —
+      // r18 perf).
       val k0 = keys.head
-      val bounds = source.agg(min(col(s"`$k0`")), max(col(s"`$k0`"))).head()
+      val bounds = source.agg(count(lit(1)),
+        min(col(s"`$k0`")), max(col(s"`$k0`"))).head()
+      if (bounds.getLong(0) == 0L && !hasBySource) return cur
+      val snap = ManifestIndex.dataFrame(spark, root, man, lineage = true)
       val ranged =
-        if (bounds.isNullAt(0)) snap
-        else snap.filter(col(s"`$k0`") >= lit(bounds.get(0)) &&
-          col(s"`$k0`") <= lit(bounds.get(1)))
+        if (bounds.isNullAt(1)) snap
+        else snap.filter(col(s"`$k0`") >= lit(bounds.get(1)) &&
+          col(s"`$k0`") <= lit(bounds.get(2)))
       val src = source.select(source.columns.map(c =>
         col(s"`$c`").as(s"src_$c")): _*)
       val onKeys = keys.map(k => col(s"`$k`") === col(s"`src_$k`")).reduce(_ && _)
@@ -1581,7 +1603,6 @@ object Layout {
           .reduceOption(_ unionByName _)
           .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         try {
-          val haveImages = images.exists(df => !df.isEmpty)
           // the matched-side ambiguity check above cannot see UNMATCHED
           // source duplicates: two source rows with the same new key both
           // pass the insert clause's anti-join and would both append,
@@ -1592,15 +1613,21 @@ object Layout {
           // themselves unless assignments rewrite the keys — which this
           // catches too — and insert keys are snapshot-disjoint by the
           // anti-join, so duplicate keys here always mean a real violation.
-          if (haveImages) {
-            val dupKeys = images.get
-              .groupBy(keys.map(k => col(s"`$k`")): _*)
-              .count().filter(col("count") > 1L)
-            require(dupKeys.isEmpty, "mergeIntoVersionedRows: duplicate keys " +
+          // The emptiness probe and the duplicate-key probe ride ONE
+          // aggregate over the persisted images (one job, not two — r18
+          // perf): total rows = Σ per-key counts, a duplicate = any
+          // per-key count > 1.
+          val haveImages = images.exists { df =>
+            val probe = df.groupBy(keys.map(k => col(s"`$k`")): _*)
+              .count().agg(sum(col("count")), max(col("count"))).head()
+            val total = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+            require(total == 0L || probe.getLong(1) <= 1L,
+              "mergeIntoVersionedRows: duplicate keys " +
               "among the rows this merge appends (duplicate source keys " +
               "feeding the insert clause, or update assignments colliding " +
               "on the merge keys) — deduplicate the source on the merge " +
               "keys first")
+            total > 0L
           }
           rowLevelPlan(spark, root, man, dvRows) match {
             case None if !haveImages => cur // no clause fired
@@ -2662,34 +2689,51 @@ object Layout {
       .drop("__z")
   }
 
-  private def requireConstraints(df: DataFrame,
-                                 constraints: Map[String, String],
-                                 what: String): Unit = {
-    // a synthesized null probe is PROVABLY satisfied when the incoming
-    // batch's own plan schema already declares the column non-nullable
-    // (Catalyst nullability is a guarantee, not a hint) — skip it, so the
-    // schema-level gate costs nothing on the common non-null→non-null
-    // write and a probe job only runs where a null could actually arrive
-    val needed = constraints.filterNot { case (name, _) =>
+  /** The CHECK constraints a batch actually has to probe: a synthesized
+    * null probe is PROVABLY satisfied when the incoming batch's own plan
+    * schema already declares the column non-nullable (Catalyst
+    * nullability is a guarantee, not a hint) — skip it, so the
+    * schema-level gate costs nothing on the common non-null→non-null
+    * write and a probe only runs where a null could actually arrive.
+    * Sorted by name so violation reporting order is deterministic.
+    */
+  private def neededChecks(df: DataFrame,
+                           constraints: Map[String, String])
+      : Seq[(String, String)] =
+    constraints.filterNot { case (name, _) =>
       Seq("__schema_not_null_", "__not_null_").exists { p =>
         name.startsWith(p) && {
           val c = name.stripPrefix(p)
           df.schema.find(_.name == c).exists(!_.nullable)
         }
       }
+    }.toSeq.sortBy(_._1)
+
+  /** Throw for every violated check given the per-check violation counts
+    * (positionally aligned with `checks`). Shared by the standalone
+    * validation job and the writers that fold validation into a combined
+    * probe aggregate (r18 perf).
+    */
+  private def raiseCheckViolations(checks: Seq[(String, String)],
+                                   countAt: Int => Long,
+                                   what: String): Unit =
+    checks.zipWithIndex.foreach { case ((name, sql), i) =>
+      if (countAt(i) > 0)
+        throw new IllegalArgumentException(
+          s"$what violates CHECK constraint '$name' ($sql)")
     }
+
+  private def requireConstraints(df: DataFrame,
+                                 constraints: Map[String, String],
+                                 what: String): Unit = {
+    val needed = neededChecks(df, constraints)
     if (needed.isEmpty) return
     // ONE combined pass instead of a probe job per check: a clean batch
     // scans fully under either shape, so N checks cost N scans the
     // per-check way — the combined conditional-count aggregate pays one
-    val sorted = needed.toSeq.sortBy(_._1)
-    val counts = df.select(sorted.map { case (name, sql) =>
+    val counts = df.select(needed.map { case (name, sql) =>
       count(when(!expr(sql), 1)).as(name) }: _*).first()
-    sorted.zipWithIndex.foreach { case ((name, sql), i) =>
-      if (counts.getLong(i) > 0)
-        throw new IllegalArgumentException(
-          s"$what violates CHECK constraint '$name' ($sql)")
-    }
+    raiseCheckViolations(needed, counts.getLong, what)
   }
 
   /** Column names an expression references — used to refuse renaming or
@@ -2968,9 +3012,10 @@ object Layout {
         man.partitionSchema), updates.schema)
     // writer-enforced CHECK constraints: incoming rows only — carried rows
     // satisfied them when they were written (induction), so validation
-    // cost tracks the merge, not the table
-    requireConstraints(updates, man.writerChecks, "merge updates")
-    val affected = affectedLeaves(updates.select(pcols.map(col): _*), pcols, root)
+    // cost tracks the merge, not the table. Validation and the
+    // affected-leaf derivation ride ONE groupBy aggregate (r18 perf).
+    val affected = affectedLeavesChecked(updates, pcols, man.writerChecks,
+      "merge updates", root)
     val existingAffected = man.leaves.intersect(affected)
     // UNIQUE: replace-by-key is leaf-confined here, so an incoming key
     // that lives in an UNAFFECTED leaf would survive alongside its new
@@ -3187,17 +3232,81 @@ object Layout {
     * back. No row data ever reaches the driver — only partition metadata,
     * O(#distinct values).
     */
+  /** [[affectedLeaves]] + CHECK validation in ONE job (r18 perf): the
+    * distinct partition tuples and the per-check violation counts ride a
+    * single groupBy aggregate over the updates frame (violation totals
+    * fold across groups driver-side). Falls back to the separate
+    * validation job + [[affectedLeaves]] when a partition column's type
+    * is outside the exact-leaf-name fast path.
+    */
+  private def affectedLeavesChecked(updates: DataFrame, pcols: Seq[String],
+                                    constraints: Map[String, String],
+                                    what: String, root: String): Set[String] = {
+    val checks = neededChecks(updates, constraints)
+    val simple = pcols.forall(c => updates.schema(c).dataType match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           BooleanType => true
+      case _ => false
+    })
+    if (!simple) {
+      requireConstraints(updates, constraints, what)
+      affectedLeaves(updates.select(pcols.map(col): _*), pcols, root)
+    } else {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      val aggs = count(lit(1)).as("__n") +:
+        checks.map { case (name, sql) => count(when(!expr(sql), 1)).as(name) }
+      val rows = updates
+        .groupBy(pcols.map(c => col(s"`$c`").cast(StringType)): _*)
+        .agg(aggs.head, aggs.tail: _*).collect()
+      raiseCheckViolations(checks,
+        i => rows.iterator.map(_.getLong(pcols.length + 1 + i)).sum, what)
+      rows.map { row =>
+        pcols.indices.map { i =>
+          val v = if (row.isNullAt(i)) null else row.getString(i)
+          ExternalCatalogUtils.getPartitionPathString(pcols(i), v)
+        }.mkString("/")
+      }.toSet
+    }
+  }
+
   private def affectedLeaves(df: DataFrame, pcols: Seq[String],
                              root: String): Set[String] = {
-    val spark = df.sparkSession
-    val tmp = s"$root/.affected-${System.nanoTime()}"
-    df.distinct().withColumn("__one", lit(1))
-      .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(tmp)
-    val p = new Path(tmp)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val names = leafNames(fs, p)
-    fs.delete(p, true)
-    names
+    // Fast path (r18 perf): the distinct partition tuples are O(#leaves)
+    // metadata either way — collect them directly and build the hive leaf
+    // names with Spark's OWN escaping (ExternalCatalogUtils, the code the
+    // file writer itself goes through), instead of paying a parquet
+    // scratch WRITE + dir listing + recursive delete per DML call just to
+    // read the names back. Values reach the driver through a Catalyst
+    // cast-to-string so the string form is the writer's, not the JVM's.
+    // Types whose partition-path rendering has its own formatter
+    // (timestamps, decimals, …) keep the write-and-list path — name
+    // parity there is guaranteed by construction, not re-implemented.
+    val simple = df.schema.fields.forall(_.dataType match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           BooleanType => true
+      case _ => false
+    })
+    if (simple) {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      df.select(pcols.map(c => col(s"`$c`").cast(StringType)): _*)
+        .distinct().collect()
+        .map { row =>
+          pcols.indices.map { i =>
+            val v = if (row.isNullAt(i)) null else row.getString(i)
+            ExternalCatalogUtils.getPartitionPathString(pcols(i), v)
+          }.mkString("/")
+        }.toSet
+    } else {
+      val spark = df.sparkSession
+      val tmp = s"$root/.affected-${System.nanoTime()}"
+      df.distinct().withColumn("__one", lit(1))
+        .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(tmp)
+      val p = new Path(tmp)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val names = leafNames(fs, p)
+      fs.delete(p, true)
+      names
+    }
   }
 
   /** Relative paths of the TERMINAL hive partition dirs under `dir`:

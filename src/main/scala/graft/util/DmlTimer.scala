@@ -30,10 +30,30 @@ object DmlTimer {
   def timed[T](f: => T): T = {
     val d = depth.get()
     depth.set(d + 1)
+    // Label the jobs this writer op launches (guide §1.5): the outermost
+    // entry point's method name becomes the Spark job description, so a
+    // job-level profile (JobProbe, the UI) attributes multi-action DML
+    // setups op-by-op. Restored (not cleared) on exit so a caller's own
+    // label survives nested writer calls.
+    val sess =
+      if (d == 0) org.apache.spark.sql.SparkSession.getActiveSession else None
+    val prior = sess.map { s =>
+      val p = s.sparkContext.getLocalProperty("spark.job.description")
+      val op = Thread.currentThread.getStackTrace
+        .drop(1).find(e => e.getClassName.startsWith("graft.") &&
+          !e.getClassName.startsWith("graft.util."))
+        .map(e => e.getClassName.split('.').last.takeWhile(_ != '$') +
+          "." + e.getMethodName)
+        .getOrElse("dml")
+      s.sparkContext.setJobDescription(op)
+      p
+    }
     val t0 = System.nanoTime()
     try f
     finally {
       depth.set(d)
+      sess.foreach(s => s.sparkContext
+        .setLocalProperty("spark.job.description", prior.flatMap(Option(_)).orNull))
       if (d == 0) nanos.addAndGet(System.nanoTime() - t0)
       ()
     }
