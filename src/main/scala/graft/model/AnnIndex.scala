@@ -736,7 +736,9 @@ object AnnIndex {
       .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= nprobe)
     val probes =
       if (!residual) probes0.select(col("query_id"),
-        col("q_emb").cast("array<double>").as("__qe"), col("centroid_id"))
+        graft.ops.Quantize.adcLut(col("q_emb").cast("array<double>"), books)
+          .as("__lut"),
+        col("centroid_id"))
       else {
         // q·c once per (query, probed cell) — the residual decomposition's
         // coarse term, on the UNROTATED query; under OPQ the ADC query
@@ -746,7 +748,10 @@ object AnnIndex {
           col("q_emb").cast("array<double>").as("__qe0"))
         rotation.fold(base.withColumn("__qe", col("__qe0")))(r =>
           base.withColumn("__qe", graft.ops.Quantize.rotate(col("__qe0"), r)))
-          .drop("__qe0")
+          .select(col("query_id"), col("centroid_id"), col("__qdotc"),
+            // the ADC LUT rides the broadcast probe rows (r18 perf;
+            // values ≡ the inline adcScore form)
+            graft.ops.Quantize.adcLut(col("__qe"), books).as("__lut"))
       }
     // bounded collect (|queries|·nprobe cell ids) → STATIC partition
     // pruning on the codes root; without it the join alone would leave
@@ -757,7 +762,8 @@ object AnnIndex {
       .filter(col("centroid_id").isin(cells: _*))
     val wK = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("__s").desc, col("nn_id"))
-    val adc = graft.ops.Quantize.adcScore(col("__qe"), col("code"), books)
+    val adc = graft.ops.Quantize.adcScoreLut(col("__lut"), col("code"),
+      books.length)
     codes.join(broadcast(probes), "centroid_id")
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("__s", if (residual) col("__qdotc") + adc else adc)

@@ -366,18 +366,17 @@ object Bpe {
     */
   def segmentWords(df: DataFrame, wordCol: String,
                    merges: Seq[(String, String)],
-                   eow: Boolean = false): DataFrame = {
-    // per-merge localCheckpoint — the same ~4×-per-merge logical-plan
-    // blowup as [[trainMerges]] (a 6-merge uncheckpointed fold measured
-    // 36 s of pure optimizer time at sf0.1); eager per-merge jobs are
-    // the cost, bounded by the merge-table length over a
-    // vocabulary-sized frame
-    val start = df.withColumn("syms", charSyms(col(wordCol), eow))
-      .localCheckpoint(true)
-    merges.foldLeft(start) { case (acc, (a, b)) =>
-      applyMerge(acc, Seq(wordCol), a, b).localCheckpoint(true)
-    }
-  }
+                   eow: Boolean = false): DataFrame =
+    // ONE codegen'd projection (r18 perf): segmenting a word is a pure
+    // function of (word, merge table), so the serve path runs the greedy
+    // scan natively — [[graft.functions.expressions.BpeSegmentWord]],
+    // spec-pinned ≡ the charSyms + per-merge [[applyMerge]] window
+    // replay this method used to fold (that replay paid ~3 shuffles and
+    // an eager checkpoint PER MERGE over the vocabulary frame; it
+    // remains the distributed TRAINING tier's shape in [[trainMerges]],
+    // where the per-round argmax is corpus-grain state)
+    df.withColumn("syms",
+      graft.functions.expressions.BpeSegmentWord(col(wordCol), merges, eow))
 
   /** BPE token count per document: tokenize, segment the DISTINCT words
     * once (vocabulary-bounded work), join the per-word symbol counts

@@ -83,6 +83,31 @@ object Quantize {
     }.reduce(_ + _)
   }
 
+  /** The per-QUERY ADC lookup table — subspace j's m·k sub-dot products
+    * as `array<array<double>>`, computed ON THE BROADCAST QUERY SIDE so
+    * each (query, corpus-row) pair pays m element_at lookups instead of
+    * re-deriving all m·k·subDim multiplies per pair (ADC's textbook
+    * precomputation, Jégou et al. 2011 §III.C; r18 perf). Values are the
+    * SAME dots [[adcScore]] built inline — [[adcScoreLut]]'s fold is
+    * IEEE-identical to adcScore's, so every oracle replay stands.
+    */
+  private[graft] def adcLut(qe: Column,
+                            codebooks: Array[Array[Array[Double]]]): Column = {
+    val subDim = codebooks(0)(0).length
+    array(codebooks.zipWithIndex.map { case (book, j) =>
+      array(book.map(c =>
+        VF.dot(subCol(qe, j, subDim), typedLit(c.toSeq))): _*)
+    }: _*)
+  }
+
+  /** [[adcScore]] reading [[adcLut]]'s precomputed tables: the identical
+    * left-folded Σ_j lut\[j\]\[code_j\] sum (same addends, same order —
+    * bit-equal to the inline form).
+    */
+  private[graft] def adcScoreLut(lut: Column, code: Column, m: Int): Column =
+    (0 until m).map(j =>
+      element_at(element_at(lut, j + 1), code.getItem(j) + 1)).reduce(_ + _)
+
   /** ADC top-k: score every PQ-coded corpus row against every query by
     * summing, per subspace, the dot product of the query's subvector with
     * the centroid the code names — the corpus' original vectors are never
@@ -95,9 +120,11 @@ object Quantize {
   def adcTopK(codedCorpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, codebooks: Array[Array[Array[Double]]],
               topK: Int): DataFrame = {
+    // the ADC LUT rides the broadcast query row — m·k sub-dots once per
+    // query, m lookups per pair (values ≡ the inline adcScore form)
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("__qe"))
-    val score = adcScore(col("__qe"), col("code"), codebooks)
+      adcLut(col(vecCol).cast("array<double>"), codebooks).as("__lut"))
+    val score = adcScoreLut(col("__lut"), col("code"), codebooks.length)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("__s").desc, col(idCol))
@@ -202,10 +229,13 @@ object Quantize {
       .withColumn("qdist",
         col("a2") + col("c2") - lit(2.0) * VF.dot(col("q_emb"), col("cent_emb")))
       .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= nprobe)
+    // the ADC LUT rides the broadcast probe rows — m·k sub-dots once per
+    // (query[, probed cell]), m lookups per pair (≡ the inline form)
     val probes =
       if (!residual)
         probes0.select(col("query_id"),
-          col("q_emb").cast("array<double>").as("__qe"), col("centroid_id"))
+          adcLut(col("q_emb").cast("array<double>"), codebooks).as("__lut"),
+          col("centroid_id"))
       else {
         // q·c once per (query, probed cell) — the residual decomposition's
         // coarse term, shipped with the (tiny) probe set; under rotation
@@ -215,11 +245,12 @@ object Quantize {
           col("q_emb").cast("array<double>").as("__qe0"))
         rotation.fold(base.withColumn("__qe", col("__qe0")))(r =>
           base.withColumn("__qe", rotate(col("__qe0"), r)))
-          .drop("__qe0")
+          .select(col("query_id"), col("centroid_id"), col("__qdotc"),
+            adcLut(col("__qe"), codebooks).as("__lut"))
       }
     // grouping pinned: (qdotc +) left-folded ADC terms, matching the
     // oracle's parenthesization so the doubles agree to the last ulp
-    val adc = adcScore(col("__qe"), col("code"), codebooks)
+    val adc = adcScoreLut(col("__lut"), col("code"), codebooks.length)
     val score = if (residual) col("__qdotc") + adc else adc
     val wK = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("__s").desc, col("nn_id"))
@@ -438,13 +469,18 @@ object Quantize {
   def sqTopK(codedCorpus: DataFrame, queries: DataFrame, idCol: String,
              codeCol: String, queryVecCol: String,
              mins: Array[Double], maxs: Array[Double], k: Int): DataFrame = {
-    val scored = codedCorpus.as("c")
+    // dequantize ON THE CORPUS SIDE, once per row — the decoded vector
+    // depends only on the corpus row, and inlining it under the dot made
+    // every (corpus, query) pair re-run the zip_with decode (r18 perf;
+    // identical values, so the scores are bit-equal)
+    val scored = codedCorpus
+      .select(col(idCol).as("nn_id"),
+        sqDecode(col(codeCol), mins, maxs).as("__dv"))
       .crossJoin(broadcast(queries.select(col(idCol).as("query_id"),
         col(queryVecCol).cast("array<double>").as("qe"))))
-      .filter(col("query_id") =!= col(s"c.$idCol"))
-      .select(col("query_id"), col(s"c.$idCol").as("nn_id"),
-        VF.dot(col("qe"), sqDecode(col(s"c.$codeCol"), mins, maxs))
-          .as("s"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        VF.dot(col("qe"), col("__dv")).as("s"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("s").desc, col("nn_id"))
     scored.withColumn("rnk", row_number().over(w))

@@ -329,4 +329,29 @@ class BpeSpec extends SparkSpec {
     assert(m2.length == 2 && m2(0).getString(3) == "ab" &&
       m2(1).getString(3) == "cd", m2.mkString("; "))
   }
+
+  test("segmentWords' native expression ≡ the charSyms + applyMerge " +
+      "window replay, plain and eow, over adversarial words") {
+    // covers: repeated-symbol runs (greedy every-other), merges consuming
+    // earlier merges' output, multi-code-point (surrogate-pair) chars,
+    // marker-bearing words in eow mode, single chars, and a word where no
+    // merge fires
+    val words = Seq("aaaa", "aaab", "abab", "low", "lower", "lowest",
+      "newest", "widest", "x", "ab", "ba", "a" + Bpe.EowMarker + "b",
+      "😀a😀", "ababab", "aabb").toDF("word")
+    val merges = Seq(("a", "a"), ("a", "b"), ("ab", "ab"), ("l", "o"),
+      ("lo", "w"), ("e", "s"), ("es", "t"), ("w", "est"))
+    for (eow <- Seq(false, true)) {
+      val viaExpr = Bpe.segmentWords(words, "word", merges, eow)
+        .select("word", "syms").collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+      val start = words.withColumn("syms", Bpe.charSyms(col("word"), eow))
+      val viaWindows = merges.foldLeft(start) { case (acc, (a, b)) =>
+        Bpe.applyMerge(acc, Seq("word"), a, b).localCheckpoint(true)
+      }.select("word", "syms").collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+      assert(viaExpr == viaWindows,
+        s"eow=$eow:\nexpr    $viaExpr\nwindows $viaWindows")
+    }
+  }
 }
