@@ -33,10 +33,20 @@ object Similarity {
     val scored = c.join(broadcast(q), col("nn_id") =!= col("query_id"))
       .withColumn("score", when(col("c_n") * col("q_n") === 0.0, 0.0)
         .otherwise(dot(col("c_emb"), col("q_emb")) / (col("c_n") * col("q_n"))))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("nn_id"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
-      .select(col("query_id"), col("nn_id"), round(col("score"), 6).as("score"),
-        col("rnk").cast("long").as("rnk"))
+    // bounded top-k AGGREGATE instead of the row_number window (r18 perf):
+    // the window form shuffled and sorted the full |corpus|·|queries| pair
+    // stream to keep k rows per query; TopKAgg's map-side k-capped buffers
+    // ship k pairs per (query × map partition) — identical results
+    // (score desc, id asc, rnk = position), differentially pinned in
+    // TopKAggSpec against the window form
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.expressions.TopKAgg.topK(
+        col("score"), col("nn_id"), k).as("__tk"))
+      .select(col("query_id"),
+        posexplode(col("__tk")).as(Seq("__pos", "__p")))
+      .select(col("query_id"), col("__p.id").as("nn_id"),
+        round(col("__p.score"), 6).as("score"),
+        (col("__pos") + 1).cast("long").as("rnk"))
   }
 
   /** Exact near-duplicate vector pairs (id_a < id_b, cosine >= threshold).
