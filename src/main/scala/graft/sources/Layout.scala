@@ -755,10 +755,54 @@ object Layout {
     * carry-forward, change-feed and compaction path works on terminal
     * leaves at any depth.
     */
+  /** Right-size a PARTITIONED write: one shuffle by the partition columns
+    * so each touched hive leaf is written by `graft.write.filesPerLeaf`
+    * tasks (default 1) instead of by EVERY upstream task. Without it,
+    * `partitionBy` fans a write out to (upstream partitions × touched
+    * leaves) files — a small batch arriving on a 32-split scan lands
+    * ~160 sliver files per version that every later listing, scan and
+    * carry-forward pays for (q171's setup carried 160-path listings and
+    * 101-task probe scans of tiny versions). One file per touched leaf
+    * per commit is the standard optimized-write policy for incremental
+    * DML — batches are O(batch), compaction owns long-term sizing — and
+    * holds at scale; a BULK load into few leaves should raise
+    * `graft.write.filesPerLeaf` so each leaf's write parallelizes (the
+    * salt splits leaves deterministically by row-content hash).
+    */
+  private def leafSized(df: DataFrame, pcols: Seq[String]): DataFrame = {
+    // a frame the caller DELIBERATELY placed (its plan is rooted at a
+    // repartition/repartitionByRange/coalesce, possibly under projections
+    // — a projection preserves physical placement) is written as placed:
+    // range-disjoint file envelopes and hand-built fragmentation are
+    // writer-level layout decisions this policy must not undo
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, RepartitionOperation, SubqueryAlias}
+    @annotation.tailrec
+    def placed(p: LogicalPlan): Boolean = p match {
+      case _: RepartitionOperation => true
+      case pr: Project => placed(pr.child)
+      case sa: SubqueryAlias => placed(sa.child)
+      case _ => false
+    }
+    val callerPlaced = placed(df.queryExecution.logical)
+    val files = df.sparkSession.conf.getOption("graft.write.filesPerLeaf")
+      .map(_.trim.toInt).getOrElse(1)
+    if (pcols.isEmpty || callerPlaced || files <= 0) df
+    else if (files == 1) df.repartition(pcols.map(col): _*)
+    else {
+      // explicit numPartitions: a bare expression-repartition is an AQE
+      // coalescing target, which would fold the salt buckets back into
+      // one task per leaf and undo the requested fan-out
+      val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      df.repartition(math.max(n, files), pcols.map(col) :+
+        pmod(hash(struct(df.columns.map(col): _*)), lit(files)): _*)
+    }
+  }
+
   def initVersionedPartitioned(df: DataFrame, root: String,
                                pcols: Seq[String]): String = graft.util.DmlTimer.timed {
     val v0 = versionName(0)
-    df.write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(s"$root/$v0")
+    leafSized(df, pcols).write.mode(SaveMode.Overwrite)
+      .partitionBy(pcols: _*).parquet(s"$root/$v0")
     writePointer(df.sparkSession, root, v0)
     s"$root/$v0"
   }
@@ -828,7 +872,8 @@ object Layout {
         StructType(df.schema.filterNot(f => pcols.contains(f.name))))
     val spark = df.sparkSession
     val v0 = versionName(0)
-    df.write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(s"$root/$v0")
+    leafSized(df, pcols).write.mode(SaveMode.Overwrite)
+      .partitionBy(pcols: _*).parquet(s"$root/$v0")
     ManifestIndex.writeFormatMarker(spark, root)
     if (bloomCols.nonEmpty) ManifestIndex.setBloomColumns(spark, root, bloomCols)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -911,7 +956,8 @@ object Layout {
           allowMissingColumns = true)
       }
     val (next, nextPath) = nextVersion(spark, root, cur)
-    merged.write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
+    leafSized(merged, pcols).write.mode(SaveMode.Overwrite)
+      .partitionBy(pcols: _*).parquet(nextPath)
     carryForward(fs, curPath, new Path(nextPath), affected,
       spark.sparkContext.hadoopConfiguration)
     writePointer(spark, root, next)
@@ -947,9 +993,9 @@ object Layout {
     if (existingAffected.isEmpty) return cur
     val (next, nextPath) = nextVersion(spark, root, cur)
     if (existingAffected.nonEmpty) {
-      spark.read.option("basePath", cur)
-        .parquet(existingAffected.map(n => s"$cur/$n"): _*)
-        .filter(!coalesce(predicate, lit(false)))
+      leafSized(spark.read.option("basePath", cur)
+          .parquet(existingAffected.map(n => s"$cur/$n"): _*)
+          .filter(!coalesce(predicate, lit(false))), pcols)
         .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
     }
     carryForward(fs, curPath, new Path(nextPath), affected,
@@ -1066,7 +1112,7 @@ object Layout {
           val (next, nextPath) = nextVersion(spark, root, cur)
           // updated images first (SaveMode.Overwrite targets the version
           // dir; the sidecar lands inside it afterwards)
-          ManifestIndex.toPhysical(images, man.dataSchema)
+          ManifestIndex.toPhysical(leafSized(images, pcols), man.dataSchema)
             .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
           val carried = writeDvSidecar(spark, man, counts, allPos, next, nextPath)
           commitManifest(spark, root, next, man.copy(entries =
@@ -1205,7 +1251,7 @@ object Layout {
       // front — without this, hot upserted tables decluster until OPTIMIZE.
       val zCols = ManifestIndex.clusterColumns(spark, root)
       val placedUpdates =
-        if (zCols.isEmpty) updates
+        if (zCols.isEmpty) leafSized(updates, pcols)
         else clusterForWrite(updates, pcols, zCols, "upsertVersionedRows")
       ManifestIndex.toPhysical(placedUpdates, man.dataSchema)
         .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
@@ -1359,7 +1405,7 @@ object Layout {
           if (zOrderCols.nonEmpty) zOrderCols
           else ManifestIndex.clusterColumns(spark, root)
         val placed =
-          if (zCols.isEmpty) rows
+          if (zCols.isEmpty) leafSized(rows, pcols)
           else clusterForWrite(rows, pcols, zCols, what)
         ManifestIndex.toPhysical(placed, man.dataSchema)
           .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
@@ -1641,7 +1687,7 @@ object Layout {
                 // — update + insert images land z-placed like appends do
                 val zCols = ManifestIndex.clusterColumns(spark, root)
                 val placedImages =
-                  if (zCols.isEmpty) images.get
+                  if (zCols.isEmpty) leafSized(images.get, pcols)
                   else clusterForWrite(images.get, pcols, zCols,
                     "mergeIntoVersionedRows")
                 ManifestIndex.toPhysical(placedImages, man.dataSchema)
@@ -2682,11 +2728,25 @@ object Layout {
       }
     }
     if (usable.isEmpty) rows
-    else rows.withColumn("__z", zValue(usable.map(u => col(u._1)),
+    else {
+      val z = rows.withColumn("__z", zValue(usable.map(u => col(u._1)),
         usable.map(_._2), bits))
-      .repartitionByRange((pcols :+ "__z").map(col): _*)
-      .sortWithinPartitions((pcols :+ "__z").map(col): _*)
-      .drop("__z")
+      // `graft.write.filesPerLeaf` ≥ 2 pins an explicit range-split count
+      // (for a clustered write: TOTAL ranges per commit) — a bare
+      // expression-repartition is an AQE coalescing target, and a small
+      // batch would fold back into ONE file whose z envelope spans the
+      // whole commit, dissolving file-grain skipping. Left unset, AQE
+      // governs: at scale the advisory size splits the range shuffle into
+      // target-sized, z-contiguous (therefore tight-enveloped) files.
+      val files = rows.sparkSession.conf.getOption("graft.write.filesPerLeaf")
+        .map(_.trim.toInt).getOrElse(1)
+      val ranged =
+        if (files >= 2)
+          z.repartitionByRange(files, (pcols :+ "__z").map(col): _*)
+        else z.repartitionByRange((pcols :+ "__z").map(col): _*)
+      ranged.sortWithinPartitions((pcols :+ "__z").map(col): _*)
+        .drop("__z")
+    }
   }
 
   /** The CHECK constraints a batch actually has to probe: a synthesized
@@ -3052,7 +3112,7 @@ object Layout {
         s"(${physNames.mkString(",")}): an added column may not reuse a " +
         "renamed column's physical name")
     val (next, nextPath) = nextVersion(spark, root, cur)
-    ManifestIndex.toPhysical(merged, newDataSchema)
+    ManifestIndex.toPhysical(leafSized(merged, pcols), newDataSchema)
       .write.mode(SaveMode.Overwrite).partitionBy(pcols: _*).parquet(nextPath)
     commitManifest(spark, root, next, man.copy(
       dataSchema = newDataSchema,

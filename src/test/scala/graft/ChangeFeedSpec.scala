@@ -14,6 +14,36 @@ class ChangeFeedSpec extends SparkSpec {
 
   private def rows(rs: (Long, String, Double)*) = rs.toDF("id", "part", "v")
 
+  test("optimized partitioned write: one file per touched leaf by default; " +
+       "caller placement and the files-per-leaf knob override") {
+    def leafFiles(v: String, leaf: String) =
+      new java.io.File(s"$v/$leaf").listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val many = spark.range(300).select($"id",
+      concat(lit("p"), $"id" % 3).as("part"), ($"id" * 1.0).as("v"))
+    // a frame that merely ARRIVES wide (a filter downstream of 8
+    // partitions is not caller placement — projections would be walked
+    // through, a filter is not) lands one file per leaf, not 8 x 3 slivers
+    val r1 = Files.createTempDirectory("graft_ow_default").toString
+    val v1 = Layout.initVersionedPartitioned(
+      many.repartition(8).filter($"id" >= 0), r1, "part")
+    (0 to 2).foreach(p => assert(leafFiles(v1, s"part=p$p") == 1))
+    // a caller-PLACED frame (plan rooted at the repartition) is respected:
+    // the 4 range splits each carry every part value
+    val r2 = Files.createTempDirectory("graft_ow_placed").toString
+    val v2 = Layout.initVersionedPartitioned(
+      many.repartitionByRange(4, $"id"), r2, "part")
+    (0 to 2).foreach(p => assert(leafFiles(v2, s"part=p$p") > 1))
+    // the knob fans a non-placed write out to n salted files per leaf
+    spark.conf.set("graft.write.filesPerLeaf", "2")
+    try {
+      val r3 = Files.createTempDirectory("graft_ow_knob").toString
+      val v3 = Layout.initVersionedPartitioned(
+        many.repartition(8).filter($"id" >= 0), r3, "part")
+      (0 to 2).foreach(p => assert(leafFiles(v3, s"part=p$p") == 2))
+    } finally spark.conf.unset("graft.write.filesPerLeaf")
+  }
+
   /** A 3-version partitioned history: v0 initial, v1 merge (update id=2,
     * insert id=4, both in p1), v2 delete id=3 (p2). p3 is never touched.
     */
@@ -124,11 +154,16 @@ class ChangeFeedSpec extends SparkSpec {
   test("compactVersionedPartitioned heals only fragmented leaves; links the rest") {
     import java.nio.file.{Files => JFiles, Paths}
     val root = Files.createTempDirectory("graft_cvp").toString
-    Layout.initVersionedPartitioned(
-      rows((1L, "p1", 1.0), (100L, "p2", 5.0)), root, "part")
-    // ten 1-row merges into p1 → ten tiny files in p1; p2 untouched
-    (2L to 11L).foreach(i => Layout.mergeVersionedPartitioned(spark, root,
-      rows((i, "p1", i.toDouble)), Seq("id"), "part"))
+    // each merge rewrites the touched leaf whole, and the optimized-write
+    // default is ONE file per leaf per commit — fragmentation is opted
+    // into via the writer's files-per-leaf knob
+    spark.conf.set("graft.write.filesPerLeaf", "4")
+    try {
+      Layout.initVersionedPartitioned(
+        rows((1L, "p1", 1.0), (100L, "p2", 5.0)), root, "part")
+      (2L to 11L).foreach(i => Layout.mergeVersionedPartitioned(spark, root,
+        rows((i, "p1", i.toDouble)), Seq("id"), "part"))
+    } finally spark.conf.unset("graft.write.filesPerLeaf")
     def leafFiles(v: String, leaf: String) =
       new java.io.File(s"$v/$leaf").listFiles()
         .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
@@ -164,13 +199,19 @@ class ChangeFeedSpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     val init = (1L to 400L).map(i =>
       (i, "p1", rnd.nextInt(1000).toDouble)).toDF("id", "part", "v")
-    Layout.initVersionedPartitioned(init, root, "part")
-    // fragment p1, then compact with z-ordering on (id, v)
-    (401L to 404L).foreach(i => Layout.mergeVersionedPartitioned(spark, root,
-      Seq((i, "p1", rnd.nextInt(1000).toDouble)).toDF("id", "part", "v"),
-      Seq("id"), "part"))
+    // fragment p1 (fan-out is opt-in under the optimized-write default),
+    // then compact with z-ordering on (id, v)
+    spark.conf.set("graft.write.filesPerLeaf", "6")
+    try {
+      Layout.initVersionedPartitioned(init, root, "part")
+      (401L to 404L).foreach(i => Layout.mergeVersionedPartitioned(spark, root,
+        Seq((i, "p1", rnd.nextInt(1000).toDouble)).toDF("id", "part", "v"),
+        Seq("id"), "part"))
+    } finally spark.conf.unset("graft.write.filesPerLeaf")
+    // maxFiles below the 6-file fan-out flags the leaf; the target keeps
+    // the rewrite landing multiple clustered files
     val (after, rewritten) = Layout.compactVersionedPartitioned(spark, root,
-      targetBytes = 6000, zOrderCols = Seq("id", "v"))
+      targetBytes = 3000, maxFiles = 2, zOrderCols = Seq("id", "v"))
     assert(rewritten == 1)
     val files = new java.io.File(s"$after/part=p1").listFiles()
       .filter(f => f.getName.endsWith(".parquet"))
@@ -240,9 +281,12 @@ class ChangeFeedSpec extends SparkSpec {
       col("region") === "eu" && col("id") === 3, Seq("day", "region"))
     assert(Layout.readCurrent(spark, root).select($"id").as[Long]
       .collect().toSet == Set(1L, 2L, 4L, 5L))
-    // fragment d1/us further, then per-leaf compaction heals just it
-    (6L to 9L).foreach(i => Layout.mergeVersionedPartitioned(spark, root,
+    // fragment d1/us further (fan-out is opt-in under the optimized-write
+    // default), then per-leaf compaction heals just it
+    spark.conf.set("graft.write.filesPerLeaf", "4")
+    try (6L to 9L).foreach(i => Layout.mergeVersionedPartitioned(spark, root,
       rows2((i, "d1", "us", i.toDouble)), Seq("id"), Seq("day", "region")))
+    finally spark.conf.unset("graft.write.filesPerLeaf")
     val (after, rewritten) =
       Layout.compactVersionedPartitioned(spark, root, targetBytes = 1L << 30)
     assert(rewritten == 1)

@@ -137,10 +137,15 @@ class MaintenanceSpec extends SparkSpec {
 
   test("maintain works on a HARDLINK root too (no purge; compact no-ops clean)") {
     val root = Files.createTempDirectory("graft_maint_hl").toString
-    Layout.initVersionedPartitioned(rows(50), root, "part")
-    (1 to 4).foreach(k => Layout.mergeVersionedPartitioned(spark, root,
-      Seq(((100 + k).toLong, "p1", k.toDouble)).toDF("id", "part", "v"),
-      Seq("id"), "part"))
+    // fan-out is opt-in under the optimized-write default (one file per
+    // touched leaf per commit) — this root needs a fragmented leaf
+    spark.conf.set("graft.write.filesPerLeaf", "4")
+    try {
+      Layout.initVersionedPartitioned(rows(50), root, "part")
+      (1 to 4).foreach(k => Layout.mergeVersionedPartitioned(spark, root,
+        Seq(((100 + k).toLong, "p1", k.toDouble)).toDF("id", "part", "v"),
+        Seq("id"), "part"))
+    } finally spark.conf.unset("graft.write.filesPerLeaf")
     val before = Layout.readCurrent(spark, root)
       .select($"id", $"part", $"v").as[(Long, String, Double)].collect().toSet
     val r = Layout.maintain(spark, root,

@@ -151,12 +151,16 @@ class ManifestLayoutSpec extends SparkSpec {
 
   test("compaction heals fragmented leaves from manifest stats; healthy leaves carry") {
     val root = Files.createTempDirectory("graft_man_cvp").toString
-    Layout.initVersionedManifest(rows((1L, "p1", 1.0), (100L, "p2", 5.0)), root, Seq("part"))
-    (2L to 11L).foreach(i => Layout.mergeVersionedPartitioned(spark, root,
-      rows((i, "p1", i.toDouble)), Seq("id"), "part"))
+    // the optimized-write default lands ONE file per touched leaf per
+    // commit, so this test opts into fan-out via the writer's knob: what
+    // matters is the leaf exceeds maxFiles so stats flag it as fragmented
+    spark.conf.set("graft.write.filesPerLeaf", "8")
+    try {
+      Layout.initVersionedManifest(rows((1L, "p1", 1.0), (100L, "p2", 5.0)), root, Seq("part"))
+      (2L to 11L).foreach(i => Layout.mergeVersionedPartitioned(spark, root,
+        rows((i, "p1", i.toDouble)), Seq("id"), "part"))
+    } finally spark.conf.unset("graft.write.filesPerLeaf")
     val before = ManifestIndex.read(spark, root, "v00010")
-    // each merge rewrites p1 copy-on-write from several tasks; what matters
-    // is the leaf exceeds maxFiles so manifest stats flag it as fragmented
     assert(before.byLeaf("part=p1").size > 4)
     val (_, healed) = Layout.compactVersionedPartitioned(spark, root,
       targetBytes = 64L * 1024 * 1024, maxFiles = 4)

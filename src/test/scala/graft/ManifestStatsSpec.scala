@@ -389,8 +389,13 @@ class ManifestStatsSpec extends SparkSpec {
             lit("p1").as("part")).repartition(4), Seq("id"))
       root
     }
-    val plain = build(declare = false)
-    val clustered = build(declare = true)
+    // the optimized-write default lands ONE file per commit at this batch
+    // size, where file-grain skipping cannot differ — pin the commit
+    // split so placement (salted-wide vs z-ranged-tight) is what's tested
+    spark.conf.set("graft.write.filesPerLeaf", "4")
+    val (plain, clustered) =
+      try (build(declare = false), build(declare = true))
+      finally spark.conf.unset("graft.write.filesPerLeaf")
     def planned(root: String): Int = scannedFiles(
       Layout.readCurrent(spark, root)
         .filter($"a" >= 10 && $"a" < 15 && $"b" >= 10 && $"b" < 15)).size
